@@ -1,0 +1,14 @@
+"""truthound_spark — a PySpark-native data-quality & data-pipeline engine.
+
+Reimplements the capability surface of the reference framework (a Polars
+LazyFrame data-quality validator; see SURVEY.md) Spark-first: checks compile
+to pyspark.sql Column expressions fused into one aggregation job per suite;
+joins/windows/streams map to native DataFrame / Structured Streaming plans.
+"""
+
+from truthound_spark.adapters import get_spark, load_table, to_dataframe  # noqa: F401
+from truthound_spark.api import check  # noqa: F401
+from truthound_spark.core.results import ValidationIssue, ValidationRunResult  # noqa: F401
+from truthound_spark.types import ResultFormat, Severity  # noqa: F401
+
+__version__ = "0.1.0"

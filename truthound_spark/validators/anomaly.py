@@ -1,0 +1,308 @@
+"""Anomaly validators (reference: src/truthound/validators/anomaly/).
+
+Robust univariate rules (IQR/MAD/Tukey/percentile) as two-pass distributed
+aggregates; Mahalanobis via a driver-assembled covariance matrix scored with
+broadcast column math; sklearn-style model validators follow the reference's
+own strategy (sample → fit on driver → broadcast model → score in
+mapInPandas; reference anomaly/ml_based.py:102 LargeDatasetMixin samples
+past a threshold too).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from truthound_spark.core.base import NUMERIC_TYPES, Validator, violation_count
+from truthound_spark.core.registry import register_validator
+from truthound_spark.core.results import ValidationIssue
+from truthound_spark.types import Severity, severity_from_ratio
+
+
+@register_validator("mad_anomaly", category="anomaly")
+class MADAnomalyValidator(Validator):
+    """Median absolute deviation rule (reference: anomaly/statistical.py:136).
+
+    Pass 1: median. Pass 2: MAD = median(|x - med|). Pass 3: fused count of
+    |x - med| > k * 1.4826 * MAD. Exact percentile by default; approx=True
+    switches to the mergeable sketch for scale.
+    """
+
+    def __init__(self, column: str, k: float = 3.5, approx: bool = False) -> None:
+        self.column = column
+        self.k = k
+        self.approx = approx
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        pfn = "percentile_approx" if self.approx else "percentile"
+        med = df.agg(F.expr(f"{pfn}({self.column}, 0.5)").alias("m")).collect()[0]["m"]
+        if med is None:
+            return []
+        mad = (
+            df.select(F.abs(F.col(self.column) - med).alias("__ad"))
+            .agg(F.expr(f"{pfn}(__ad, 0.5)").alias("mad"))
+            .collect()[0]["mad"]
+        )
+        if not mad:
+            return []
+        cutoff = self.k * 1.4826 * mad
+        pred = (F.abs(F.col(self.column) - med) > cutoff) & F.col(self.column).isNotNull()
+        row = df.agg(
+            violation_count(pred).alias("bad"), F.count(F.col(self.column)).alias("nn")
+        ).collect()[0]
+        n, nn = int(row["bad"] or 0), int(row["nn"] or 0)
+        if n == 0:
+            return []
+        ratio = n / nn if nn else 0.0
+        return [
+            ValidationIssue(
+                column=self.column,
+                issue_type="mad_anomalies",
+                count=n,
+                severity=severity_from_ratio(ratio),
+                validator_name="mad_anomaly",
+                expected=f"|x - median| <= {cutoff:.4g}",
+                actual=n,
+                details=f"{n} MAD anomalies ({ratio:.2%})",
+            )
+        ]
+
+
+@register_validator("tukey_fences", category="anomaly")
+class TukeyFencesValidator(Validator):
+    """Inner/outer Tukey fences (reference: anomaly/statistical.py:385)."""
+
+    def __init__(self, column: str, far: bool = False, approx: bool = False) -> None:
+        self.column = column
+        self.k = 3.0 if far else 1.5
+        self.approx = approx
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        from truthound_spark.validators.distribution import IQROutlierValidator
+
+        issues = IQROutlierValidator(columns=[self.column], k=self.k, approx=self.approx).validate(df)
+        for i in issues:
+            i.validator_name = "tukey_fences"
+            i.issue_type = "tukey_outliers"
+        return issues
+
+
+@register_validator("percentile_anomaly", category="anomaly")
+class PercentileAnomalyValidator(Validator):
+    """Values outside [p_lo, p_hi] percentiles
+    (reference: anomaly/statistical.py:504)."""
+
+    def __init__(self, column: str, lower: float = 0.01, upper: float = 0.99, approx: bool = False) -> None:
+        self.column = column
+        self.lower = lower
+        self.upper = upper
+        self.approx = approx
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        pfn = "percentile_approx" if self.approx else "percentile"
+        row = df.agg(
+            F.expr(f"{pfn}({self.column}, {self.lower})").alias("lo"),
+            F.expr(f"{pfn}({self.column}, {self.upper})").alias("hi"),
+        ).collect()[0]
+        lo, hi = row["lo"], row["hi"]
+        if lo is None or hi is None:
+            return []
+        pred = ((F.col(self.column) < lo) | (F.col(self.column) > hi)) & F.col(self.column).isNotNull()
+        agg = df.agg(violation_count(pred).alias("bad"), F.count(F.col(self.column)).alias("nn")).collect()[0]
+        n, nn = int(agg["bad"] or 0), int(agg["nn"] or 0)
+        if n == 0:
+            return []
+        return [
+            ValidationIssue(
+                column=self.column,
+                issue_type="percentile_anomalies",
+                count=n,
+                severity=severity_from_ratio(n / nn if nn else 0.0),
+                validator_name="percentile_anomaly",
+                expected=f"within [{lo:.4g}, {hi:.4g}] (p{self.lower}-p{self.upper})",
+                actual=n,
+                details=f"{n} rows outside percentile band",
+            )
+        ]
+
+
+@register_validator("grubbs_test", category="anomaly")
+class GrubbsTestValidator(Validator):
+    """Grubbs' max-deviation test (reference: anomaly/statistical.py:239,
+    scipy.stats at :287-297). Aggregates distributed; the t-quantile is a
+    driver-side scalar via scipy when available, else a normal-tail
+    approximation."""
+
+    def __init__(self, column: str, alpha: float = 0.05) -> None:
+        self.column = column
+        self.alpha = alpha
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        row = df.agg(
+            F.mean(self.column).alias("mu"),
+            F.stddev(self.column).alias("sd"),
+            F.count(F.col(self.column)).alias("n"),
+            F.max(F.abs(F.col(self.column) - F.mean(self.column).over())).alias("maxdev")
+            if False
+            else F.lit(None).alias("maxdev"),
+        ).collect()[0]
+        mu, sd, n = row["mu"], row["sd"], int(row["n"] or 0)
+        if not sd or n < 3:
+            return []
+        maxdev = df.agg(F.max(F.abs(F.col(self.column) - mu)).alias("d")).collect()[0]["d"]
+        g = maxdev / sd
+        try:
+            from scipy import stats as sstats
+
+            t = sstats.t.ppf(1 - self.alpha / (2 * n), n - 2)
+        except ImportError:  # normal-tail fallback
+            p = 1 - self.alpha / (2 * n)
+            t = math.sqrt(2) * _erfinv(2 * p - 1) if p < 1 else 8.0
+        g_crit = ((n - 1) / math.sqrt(n)) * math.sqrt(t * t / (n - 2 + t * t))
+        if g <= g_crit:
+            return []
+        return [
+            ValidationIssue(
+                column=self.column,
+                issue_type="grubbs_outlier",
+                count=1,
+                severity=Severity.MEDIUM,
+                validator_name="grubbs_test",
+                expected=f"G <= {g_crit:.4f}",
+                actual=round(g, 4),
+                details=f"Grubbs statistic {g:.4f} exceeds critical {g_crit:.4f} (α={self.alpha})",
+            )
+        ]
+
+
+def _erfinv(x: float) -> float:
+    """Winitzki approximation of inverse erf (driver-side scalar only)."""
+    a = 0.147
+    ln1mx2 = math.log(1 - x * x)
+    term = 2 / (math.pi * a) + ln1mx2 / 2
+    return math.copysign(math.sqrt(math.sqrt(term * term - ln1mx2 / a) - term), x)
+
+
+@register_validator("mahalanobis", category="anomaly")
+class MahalanobisValidator(Validator):
+    """Multivariate distance vs covariance (reference: anomaly/
+    multivariate.py:22). Covariance matrix assembled from F.covar_pop pairs
+    (one fused agg of d*(d+1)/2 aggregates); rows scored with broadcast
+    Σ⁻¹ as pure column math — no Python in the row path."""
+
+    def __init__(self, columns: list[str], threshold: float | None = None) -> None:
+        self.columns = columns
+        self.threshold = threshold
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        import numpy as np
+
+        cols = self.columns
+        d = len(cols)
+        aggs = [F.mean(c).alias(f"mu_{i}") for i, c in enumerate(cols)]
+        for i in range(d):
+            for j in range(i, d):
+                aggs.append(F.covar_pop(cols[i], cols[j]).alias(f"cov_{i}_{j}"))
+        row = df.agg(*aggs).collect()[0].asDict()
+        mu = np.array([row[f"mu_{i}"] for i in range(d)], dtype=float)
+        cov = np.zeros((d, d))
+        for i in range(d):
+            for j in range(i, d):
+                cov[i, j] = cov[j, i] = row[f"cov_{i}_{j}"]
+        try:
+            inv = np.linalg.inv(cov + 1e-9 * np.eye(d))
+        except np.linalg.LinAlgError:
+            return []
+        thr = self.threshold if self.threshold is not None else float(d + 3 * math.sqrt(2 * d))
+        # dist² = (x-mu)ᵀ Σ⁻¹ (x-mu) as a Column expression
+        diffs = [F.col(c) - float(mu[i]) for i, c in enumerate(cols)]
+        dist2 = F.lit(0.0)
+        for i in range(d):
+            for j in range(d):
+                dist2 = dist2 + diffs[i] * diffs[j] * float(inv[i, j])
+        nn = F.lit(True)
+        for c in cols:
+            nn = nn & F.col(c).isNotNull()
+        pred = (dist2 > thr) & nn
+        agg = df.agg(violation_count(pred).alias("bad"), F.sum(F.when(nn, 1).otherwise(0)).alias("nn")).collect()[0]
+        n, total = int(agg["bad"] or 0), int(agg["nn"] or 0)
+        if n == 0:
+            return []
+        return [
+            ValidationIssue(
+                column=",".join(cols),
+                issue_type="mahalanobis_anomalies",
+                count=n,
+                severity=severity_from_ratio(n / total if total else 0.0),
+                validator_name="mahalanobis",
+                expected=f"dist² <= {thr:.4g}",
+                actual=n,
+                details=f"{n} multivariate anomalies",
+            )
+        ]
+
+
+@register_validator("isolation_forest", category="anomaly")
+class IsolationForestValidator(Validator):
+    """sklearn IsolationForest: sampled driver fit, broadcast scoring in a
+    vectorized pandas UDF (reference: anomaly/ml_based.py:263,344; sampling
+    strategy ml_based.py:102). Gated on sklearn availability."""
+
+    def __init__(self, columns: list[str], contamination: float = 0.01, sample_rows: int = 100_000, seed: int = 42) -> None:
+        self.columns = columns
+        self.contamination = contamination
+        self.sample_rows = sample_rows
+        self.seed = seed
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        try:
+            from sklearn.ensemble import IsolationForest
+        except ImportError:
+            return [
+                ValidationIssue(
+                    column=",".join(self.columns),
+                    issue_type="execution_error",
+                    count=0,
+                    severity=Severity.LOW,
+                    validator_name="isolation_forest",
+                    details="sklearn not installed; validator skipped",
+                    exception_info={"type": "ImportError", "message": "sklearn"},
+                )
+            ]
+        import pandas as pd
+
+        total = row_count if row_count is not None else df.count()
+        frac = min(1.0, self.sample_rows / max(total, 1))
+        sample_pdf = (
+            df.select(*self.columns).dropna().sample(fraction=frac, seed=self.seed).toPandas()
+        )
+        if len(sample_pdf) < 10:
+            return []
+        model = IsolationForest(contamination=self.contamination, random_state=self.seed)
+        model.fit(sample_pdf.values)
+        bc = df.sparkSession.sparkContext.broadcast(model)
+        cols = self.columns
+
+        def score(batches):
+            for pdf in batches:
+                preds = bc.value.predict(pdf[cols].fillna(0.0).values)
+                yield pd.DataFrame({"anomaly": (preds == -1).astype("int64")})
+
+        scored = df.select(*cols).mapInPandas(score, schema="anomaly long")
+        n = scored.agg(F.sum("anomaly").alias("n")).collect()[0]["n"] or 0
+        if n == 0:
+            return []
+        return [
+            ValidationIssue(
+                column=",".join(cols),
+                issue_type="ml_anomalies",
+                count=int(n),
+                severity=severity_from_ratio(n / total if total else 0.0),
+                validator_name="isolation_forest",
+                expected=f"contamination <= {self.contamination}",
+                actual=int(n),
+                details=f"{n} isolation-forest anomalies (sampled fit, distributed scoring)",
+            )
+        ]

@@ -1,0 +1,272 @@
+"""Business-rule / checksum validators (reference:
+src/truthound/validators/business_rule/{checksum,financial}.py,
+localization/*.py).
+
+Digit-algorithm checks (Luhn mod-10, IBAN mod-97) are implemented as pure
+Spark SQL expression chains — JVM-side, codegen'd, no Python UDF in the hot
+path. The aggregate/transform higher-order functions carry the per-digit
+state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from truthound_spark.core.base import ExpressionSpec, Validator, violation_count
+from truthound_spark.core.registry import register_validator
+
+
+def luhn_valid(col: Column) -> Column:
+    """Luhn mod-10 checksum as a pure column expression
+    (reference algorithm: business_rule/checksum.py:19).
+
+    Digits-only input assumed; reverse the string, double every 2nd digit,
+    subtract 9 when >9, sum % 10 == 0.
+    """
+    digits = F.expr(
+        """
+        aggregate(
+          zip_with(
+            split(reverse(regexp_replace({c}, '[^0-9]', '')), ''),
+            sequence(0, length(regexp_replace({c}, '[^0-9]', '')) - 1),
+            (d, i) -> struct(d as d, i as i)
+          ),
+          0L,
+          (acc, x) -> acc + CASE
+              WHEN x.d = '' THEN 0L
+              WHEN x.i % 2 = 1 THEN
+                CASE WHEN cast(x.d as int) * 2 > 9
+                     THEN cast(x.d as int) * 2 - 9
+                     ELSE cast(x.d as int) * 2 END
+              ELSE cast(x.d as int) END
+        )
+        """.replace("{c}", col._jc.toString() if hasattr(col, "_jc") else str(col))
+    )
+    return (digits % 10) == 0
+
+
+def _luhn_expr(colname: str) -> Column:
+    """Luhn checksum over a named column (SQL-expression form)."""
+    cleaned = f"regexp_replace({colname}, '[^0-9]', '')"
+    return F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            filter(split(reverse({cleaned}), ''), d -> d != ''),
+            sequence(0, greatest(length({cleaned}) - 1, 0)),
+            (d, i) -> CASE
+              WHEN d IS NULL THEN 0
+              WHEN i % 2 = 1 THEN
+                CASE WHEN cast(d as int) * 2 > 9 THEN cast(d as int) * 2 - 9
+                     ELSE cast(d as int) * 2 END
+              ELSE cast(d as int) END
+          ),
+          0,
+          (acc, x) -> acc + coalesce(x, 0)
+        ) % 10 = 0 AND length({cleaned}) >= 8
+        """
+    )
+
+
+@register_validator("luhn", category="business_rule")
+class LuhnValidator(Validator):
+    """Luhn mod-10 (credit cards, IMEI) — reference: checksum.py:19."""
+
+    def __init__(self, column: str) -> None:
+        self.column = column
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        valid = _luhn_expr(self.column)
+        pred = ~valid & F.col(self.column).isNotNull()
+        return [
+            ExpressionSpec(
+                name="luhn",
+                issue_type="invalid_checksum",
+                column=self.column,
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(F.col(self.column)),
+                filter_expr=pred,
+                expected="valid Luhn checksum",
+            )
+        ]
+
+
+@register_validator("credit_card", category="business_rule")
+class CreditCardValidator(Validator):
+    """Brand-pattern + Luhn (reference: checksum.py:340)."""
+
+    BRAND_PATTERNS = {
+        "visa": r"^4[0-9]{12}(?:[0-9]{3})?$",
+        "mastercard": r"^5[1-5][0-9]{14}$",
+        "amex": r"^3[47][0-9]{13}$",
+        "discover": r"^6(?:011|5[0-9]{2})[0-9]{12}$",
+    }
+
+    def __init__(self, column: str) -> None:
+        self.column = column
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        col = F.col(self.column)
+        cleaned = F.regexp_replace(col, "[^0-9]", "")
+        brand_ok = F.lit(False)
+        for pat in self.BRAND_PATTERNS.values():
+            brand_ok = brand_ok | cleaned.rlike(pat)
+        pred = (~brand_ok | ~_luhn_expr(self.column)) & col.isNotNull()
+        return [
+            ExpressionSpec(
+                name="credit_card",
+                issue_type="invalid_credit_card",
+                column=self.column,
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(col),
+                filter_expr=pred,
+                expected="known brand + valid Luhn",
+            )
+        ]
+
+
+@register_validator("isbn", category="business_rule")
+class IsbnValidator(Validator):
+    """ISBN-13 check digit (reference: checksum.py:162): Σ digit·(1,3,...) % 10 == 0."""
+
+    def __init__(self, column: str) -> None:
+        self.column = column
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        cleaned = f"regexp_replace({self.column}, '[^0-9]', '')"
+        valid = F.expr(
+            f"""
+            length({cleaned}) = 13 AND
+            aggregate(
+              zip_with(
+                filter(split({cleaned}, ''), d -> d != ''),
+                sequence(0, 12),
+                (d, i) -> cast(d as int) * CASE WHEN i % 2 = 0 THEN 1 ELSE 3 END
+              ),
+              0, (acc, x) -> acc + coalesce(x, 0)
+            ) % 10 = 0
+            """
+        )
+        pred = ~valid & F.col(self.column).isNotNull()
+        return [
+            ExpressionSpec(
+                name="isbn",
+                issue_type="invalid_isbn",
+                column=self.column,
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(F.col(self.column)),
+                filter_expr=pred,
+                expected="valid ISBN-13",
+            )
+        ]
+
+
+@register_validator("iban", category="business_rule")
+class IbanValidator(Validator):
+    """IBAN mod-97 == 1 (reference: business_rule/financial.py:19).
+
+    The rearranged IBAN's letters map to numbers (A=10..Z=35); the mod-97 of
+    the (potentially 38-digit) number is computed incrementally with
+    aggregate() to stay in long range — still pure SQL expressions.
+    """
+
+    def __init__(self, column: str) -> None:
+        self.column = column
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        c = self.column
+        # rearrange: body = substr(5..) || substr(1,4); map chars to digit strings
+        rearranged = (
+            f"concat(upper(substring(regexp_replace({c}, '\\\\s', ''), 5)), "
+            f"upper(substring(regexp_replace({c}, '\\\\s', ''), 1, 4)))"
+        )
+        valid = F.expr(
+            f"""
+            length(regexp_replace({c}, '\\\\s', '')) BETWEEN 15 AND 34 AND
+            {c} rlike '^[A-Za-z]{{2}}[0-9]{{2}}[A-Za-z0-9 ]+$' AND
+            aggregate(
+              filter(split({rearranged}, ''), ch -> ch != ''),
+              0L,
+              (acc, ch) -> CASE
+                WHEN ch rlike '[0-9]' THEN (acc * 10 + cast(ch as long)) % 97
+                WHEN ch rlike '[A-Z]' THEN (acc * 100 + (ascii(ch) - 55)) % 97
+                ELSE acc END
+            ) = 1
+            """
+        )
+        pred = ~valid & F.col(c).isNotNull()
+        return [
+            ExpressionSpec(
+                name="iban",
+                issue_type="invalid_iban",
+                column=c,
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(F.col(c)),
+                filter_expr=pred,
+                expected="valid IBAN (mod-97)",
+            )
+        ]
+
+
+@register_validator("korean_rrn", category="localization")
+class KoreanRRNValidator(Validator):
+    """Korean resident registration number: format + weighted checksum
+    (reference: localization/korean.py:98)."""
+
+    def __init__(self, column: str) -> None:
+        self.column = column
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        c = self.column
+        cleaned = f"regexp_replace({c}, '-', '')"
+        # weights 2,3,4,5,6,7,8,9,2,3,4,5 over first 12 digits;
+        # check digit = (11 - (sum % 11)) % 10
+        valid = F.expr(
+            f"""
+            {c} rlike '^[0-9]{{6}}-?[1-8][0-9]{{6}}$' AND
+            (11 - aggregate(
+              zip_with(
+                filter(split(substring({cleaned}, 1, 12), ''), d -> d != ''),
+                array(2,3,4,5,6,7,8,9,2,3,4,5),
+                (d, w) -> cast(d as int) * w
+              ),
+              0, (acc, x) -> acc + coalesce(x, 0)
+            ) % 11) % 10 = cast(substring({cleaned}, 13, 1) as int)
+            """
+        )
+        pred = ~valid & F.col(c).isNotNull()
+        return [
+            ExpressionSpec(
+                name="korean_rrn",
+                issue_type="invalid_korean_rrn",
+                column=c,
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(F.col(c)),
+                filter_expr=pred,
+                expected="valid Korean RRN",
+            )
+        ]
+
+
+@register_validator("korean_phone", category="localization")
+class KoreanPhoneValidator(Validator):
+    """Korean phone format (reference: localization/korean.py:250)."""
+
+    def __init__(self, column: str) -> None:
+        self.column = column
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        col = F.col(self.column)
+        pred = ~col.rlike(r"^0(2|[3-6][1-5]|70|1[016789])-?[0-9]{3,4}-?[0-9]{4}$") & col.isNotNull()
+        return [
+            ExpressionSpec(
+                name="korean_phone",
+                issue_type="invalid_korean_phone",
+                column=self.column,
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(col),
+                filter_expr=pred,
+                expected="valid Korean phone number",
+            )
+        ]

