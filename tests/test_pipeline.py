@@ -1,0 +1,150 @@
+"""Tests for the LLM-pipeline operators: dedup, similarity, text, multimodal."""
+
+from pyspark.sql import functions as F
+
+from truthound_spark.pipeline import dedup, multimodal, similarity, text
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog near the river edge"),  # near dup of 1
+        (4, "completely different content about spark and distributed query engines"),
+        (5, "a totally unrelated sentence mentioning databases and storage formats"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    df = _docs(spark)
+    groups = dedup.exact_duplicates(df).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [1, 2]
+    assert dedup.dedup_exact(df).count() == 4
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    df = _docs(spark)
+    pairs = dedup.minhash_dedup_pairs(df, threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found  # exact dup always collides
+    assert (1, 3) in found or (2, 3) in found  # near dup
+    assert not any({4, 5} & {a, b} for a, b in found)
+
+
+def test_ngram_jaccard(spark):
+    df = _docs(spark)
+    pairs = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.4).collect()
+    sims = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert sims[(1, 2)] == 1.0
+    assert (1, 3) in sims and 0.4 <= sims[(1, 3)] < 1.0
+
+
+def test_simhash_near_duplicates(spark):
+    df = _docs(spark)
+    pairs = dedup.simhash_near_duplicates(df, max_hamming=3).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found
+    assert not any({4, 5} & {a, b} for a, b in found if (a, b) != (4, 5))
+
+
+def test_embedding_near_duplicates_and_topk(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.99, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    dups = dedup.embedding_near_duplicates(df, threshold=0.95).collect()
+    assert {(r["id_a"], r["id_b"]) for r in dups} == {(1, 2)}
+
+    queries = df.filter(F.col("vec_id") == 1)
+    topk = similarity.brute_force_topk(df, queries, k=2).collect()
+    assert [r["id"] for r in sorted(topk, key=lambda r: r["rank"])] == [2, 3]
+
+
+def test_lsh_topk_recall(spark):
+    import random
+
+    # clustered vectors: near-neighbors share LSH buckets w.h.p.
+    random.seed(7)
+    centers = [[10.0 * (c == d) for d in range(8)] for c in range(4)]
+    rows = [
+        (i, [centers[i % 4][d] + random.gauss(0, 0.5) for d in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.limit(3)
+    exact = similarity.brute_force_topk(df, queries, k=5)
+    approx = similarity.lsh_topk(df, queries, k=5, num_planes=3)
+    e = {(r["query_id"], r["id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["id"]) for r in approx.collect()}
+    assert len(e & a) >= len(e) * 0.5
+
+
+def test_ivf_assign(spark):
+    rows = [(i, [float(i % 4), float((i * 7) % 5)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = similarity.ivf_assign(df, num_cells=4, sample_rows=40)
+    assert assigned.filter(F.col("cell").isNull()).count() == 0
+    assert assigned.select("cell").distinct().count() <= 4
+    assert len(cents) == 4
+
+
+def test_text_quality_and_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox, and the lazy dog!"), (2, ""), (3, "12345 67890")],
+        "doc_id long, text string",
+    )
+    q = text.quality_score(df).collect()
+    by_id = {r["doc_id"]: r for r in q}
+    assert by_id[1]["n_words"] == 8
+    assert by_id[2]["n_words"] == 0
+    assert by_id[1]["quality_score"] > by_id[3]["quality_score"]
+    assert by_id[1]["n_tokens_bpe"] == 10  # 8 words + ',' + '!'
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat of the mat and it is that for"),
+            (2, "el gato y la casa de que en un una"),
+            (3, "xyzzy plugh qwerty"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["predicted_lang"] for r in text.detect_languages(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+    assert out[3] == "unknown"
+
+
+def test_multimodal_plumbing(spark):
+    rows = [(i, "image", bytes([i] * 32), {"src": f"f{i}.jpg"}) for i in range(5)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    assert multimodal.validate_media_schema(df) == []
+    feats = multimodal.extract_image_features(df).collect()
+    assert len(feats) == 5
+    assert all(len(r["features"]) == 8 for r in feats)
+    # deterministic decode
+    again = multimodal.extract_image_features(df).collect()
+    assert sorted(r["width"] for r in feats) == sorted(r["width"] for r in again)
+    frames = multimodal.sample_video_frames(df, frames_per_video=3)
+    assert frames.count() == 15
+    stats = multimodal.media_size_stats(df).collect()[0]
+    assert stats["n_assets"] == 5 and stats["total_bytes"] == 160
+
+
+def test_streaming_windowed_counts_batch_parity(spark):
+    import datetime as dt
+
+    from truthound_spark.streaming import windowed_counts
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(base + dt.timedelta(minutes=m), "click") for m in range(12)]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = windowed_counts(df, "ts", window_duration="5 minutes", group_by=["event_type"])
+    counts = sorted(r["count"] for r in out.collect())
+    assert counts == [2, 5, 5]

@@ -9,6 +9,11 @@ joins/windows/streams map to native DataFrame / Structured Streaming plans.
 from truthound_spark.adapters import get_spark, load_table, to_dataframe  # noqa: F401
 from truthound_spark.api import check  # noqa: F401
 from truthound_spark.core.results import ValidationIssue, ValidationRunResult  # noqa: F401
+from truthound_spark.maskers import mask  # noqa: F401
+from truthound_spark.profiler import profile  # noqa: F401
+from truthound_spark.scanners import scan  # noqa: F401
+from truthound_spark.schema import Schema, learn  # noqa: F401
 from truthound_spark.types import ResultFormat, Severity  # noqa: F401
+from truthound_spark import drift, pipeline  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1,0 +1,12 @@
+from truthound_spark.drift.detectors import (  # noqa: F401
+    DriftResult,
+    chi_square_drift,
+    compare,
+    js_divergence,
+    kl_divergence,
+    ks_test,
+    mean_drift,
+    psi,
+    variance_drift,
+    wasserstein,
+)

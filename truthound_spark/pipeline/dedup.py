@@ -1,0 +1,362 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's validator surface (BASELINE.json north star): exact,
+MinHash+LSH, SimHash, and n-gram-Jaccard dedup over a documents table.
+
+Scale design:
+  * exact          — groupBy on a content hash (one shuffle on the hash key,
+                     map-side combine; never a full-row comparison)
+  * minhash_lsh    — shingle→minhash→band→bucket-join: candidate pairs are
+                     generated ONLY within LSH buckets (band-key shuffle),
+                     turning the O(n²) pair space into near-linear work;
+                     signatures are computed with JVM-side xxhash64 over
+                     shingle arrays (no Python in the row path)
+  * simhash        — 64-bit signature via Arrow-vectorized pandas UDF;
+                     near-dups = signatures at Hamming distance ≤ k found by
+                     4-segment blocking (pigeonhole), again bucket-joined
+  * ngram_jaccard  — exact Jaccard verification over token n-grams; pair
+                     candidates come from a shared-ngram join (inverted
+                     index), with a document-frequency cap to avoid hub
+                     n-grams exploding the join
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization helpers (pure column expressions)
+# ---------------------------------------------------------------------------
+
+
+def normalized_text(col: Column) -> Column:
+    """Lowercase, strip non-alphanumerics, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", " "), r"\s+", " "))
+
+
+def words(col: Column) -> Column:
+    return F.split(normalized_text(col), " ")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string> column."""
+    w = words(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def content_fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text
+    (the rolling-hash fingerprint surface; md5 keeps oracle parity)."""
+    return F.md5(normalized_text(col))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of exact duplicates by content fingerprint.
+
+    Returns (fingerprint, dup_count, doc_ids). groupBy on the 32-byte hash —
+    the canonical 100 TB exact-dedup plan (shuffle keys are hashes, not
+    documents)."""
+    fp = content_fingerprint(F.col(text_col)).alias("fingerprint")
+    return (
+        df.select(fp, F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per distinct normalized content."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(content_fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(col: Column, num_hashes: int = 64, shingle_n: int = 3) -> Column:
+    """MinHash signature as array<bigint>.
+
+    hash_i(shingle) = xxhash64(i || '#' || shingle) — k independent hash
+    families via seed-prefixing; min over the shingle set per family. All
+    JVM-side (xxhash64 + array_min under codegen)."""
+    sh = word_shingles(col, shingle_n)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}#"), s))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH.
+
+    bands b × rows r (= num_hashes/b): docs agreeing on ALL r minhashes in
+    any band land in the same bucket → pair. Collision prob ≈ 1-(1-s^r)^b.
+    Returns (id_a, id_b) with id_a < id_b, distinct across bands.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
+    )
+    band_entries = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.col("sig")[b * rows_per_band + r].cast("string") for r in range(rows_per_band)])
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = band_entries.alias("a")
+    right = band_entries.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates()
+    )
+    return pairs
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified with exact shingle-set Jaccard.
+
+    Returns (id_a, id_b, jaccard) for pairs ≥ threshold. Verification joins
+    the (small) candidate set back to shingle arrays — array_intersect /
+    array_union stay JVM-side."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
+    b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))).cast("double")
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, inverted-index candidate generation)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.4,
+    max_ngram_df: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 n-gram.
+
+    Inverted index (explode distinct n-grams) self-joined on the n-gram;
+    hub n-grams appearing in > max_ngram_df docs are dropped (they generate
+    quadratic candidates and carry no signal) — the standard scale guard.
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold.
+    """
+    sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh"))
+    sizes = sh.select("id", F.size("sh").alias("sz"))
+    inv = sh.select("id", F.explode("sh").alias("g"))
+    g_df = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    inv = inv.join(F.broadcast(g_df.filter(F.col("df") <= max_ngram_df)), "g", "inner")
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a")
+    sb = sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b")
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document via Arrow-vectorized pandas UDF.
+
+    (Weighted bit-voting over word hashes is genuinely non-relational —
+    the sanctioned Pandas-UDF path; everything around it stays JVM-side.)
+    Returns (id, simhash: bigint)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def sim(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = []
+        for t in texts:
+            if not t:
+                out.append(0)
+                continue
+            counts = [0] * 64
+            for w in t.lower().split():
+                h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                for i in range(64):
+                    counts[i] += 1 if (h >> i) & 1 else -1
+            v = 0
+            for i in range(64):
+                if counts[i] > 0:
+                    v |= 1 << i
+            # to signed 64-bit
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), sim(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs at Hamming distance ≤ max_hamming via 4-segment
+    pigeonhole blocking: any pair within distance 3 agrees on ≥1 of 4
+    16-bit segments → join only within segment buckets (linear candidates),
+    verify with bit_count(xor) — all JVM-side after the signature."""
+    sigs = simhash(df, text_col, id_col)
+    seg = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seg"),
+                        F.shiftright(F.col("simhash"), s * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for s in range(4)
+                ]
+            )
+        ).alias("sk"),
+    ).select("id", "simhash", F.col("sk.seg").alias("seg"), F.col("sk.key").alias("key"))
+    pairs = (
+        seg.alias("a")
+        .join(
+            seg.alias("b"),
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (cosine)
+# ---------------------------------------------------------------------------
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns — pure
+    higher-order-function column math (zip_with + aggregate), JVM-side."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    candidate_df: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs with cosine ≥ threshold.
+
+    Default is the exact O(n²) cross-join — correct baseline for modest n
+    (or within LSH buckets via ``candidate_df`` of (id_a, id_b) candidates,
+    the scale path; see similarity.sign_lsh_buckets)."""
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    if candidate_df is not None:
+        a = v.withColumnRenamed("id", "id_a").withColumnRenamed("v", "v_a")
+        b = v.withColumnRenamed("id", "id_b").withColumnRenamed("v", "v_b")
+        joined = candidate_df.join(a, "id_a").join(b, "id_b")
+        return joined.select(
+            "id_a", "id_b", cosine_sim(F.col("v_a"), F.col("v_b")).alias("cosine")
+        ).filter(F.col("cosine") >= threshold)
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_sim(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

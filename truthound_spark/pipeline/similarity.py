@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k (exact; cross-join + window rank).
+Scale path: sign-random-projection LSH buckets — candidates only within
+matching hash buckets, turning O(n·q) scoring into bucket-local work; and
+an IVF-style coarse quantizer (k-means centroids → probe nearest cells).
+
+All dot products are JVM-side higher-order functions (zip_with+aggregate);
+no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from truthound_spark.pipeline.dedup import cosine_sim
+
+
+def brute_force_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str | None = None,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    queries is broadcast (query sets are small relative to the corpus);
+    the corpus is scanned ONCE, scoring all queries per row — one shuffle
+    for the per-query top-k window. Returns (query_id, id, cosine, rank).
+    """
+    qv = query_vec_col or vec_col
+    qi = query_id_col or id_col
+    corpus = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    q = queries.select(F.col(qi).alias("query_id"), F.col(qv).cast("array<double>").alias("qv"))
+    scored = corpus.crossJoin(F.broadcast(q)).filter(F.col("id") != F.col("query_id")).select(
+        "query_id",
+        "id",
+        cosine_sim(F.col("v"), F.col("qv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def sign_lsh_signature(vec: "F.Column", planes: list[list[float]]) -> "F.Column":
+    """Sign-random-projection bucket id: bit i = sign(v · plane_i).
+
+    planes are driver-generated (seeded) and inlined as literals — pure
+    column math, no UDF."""
+    bits = []
+    for i, p in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(F.zip_with(vec, lit, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
+        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig.cast("int")
+
+
+def make_planes(dim: int, num_planes: int = 12, seed: int = 42) -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((num_planes, dim)).tolist()
+
+
+def lsh_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 12,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing the query's
+    LSH bucket. Recall improves with fewer planes (bigger buckets); at
+    100 TB, bucket the corpus ONCE (write bucketed parquet) and reuse."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = make_planes(dim, num_planes, seed)
+    corpus = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("bucket", sign_lsh_signature(F.col("v"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("bucket", sign_lsh_signature(F.col("qv"), planes))
+    scored = corpus.join(F.broadcast(q), "bucket").filter(F.col("id") != F.col("query_id")).select(
+        "query_id", "id", cosine_sim(F.col("v"), F.col("qv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_assign(
+    df: DataFrame,
+    num_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    max_iter: int = 5,
+    sample_rows: int = 10_000,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: k-means centroids fit on a sample (driver,
+    numpy), then every vector assigned to its nearest centroid cell with
+    broadcast-literal column math. Returns (df + 'cell', centroids).
+
+    Search then probes only the query's nearest cell(s) — the classic
+    inverted-file ANN layout; cells map naturally to partition pruning
+    when the assignment is persisted as a partition column."""
+    import numpy as np
+
+    sample = np.array(
+        [r[0] for r in df.select(vec_col).limit(sample_rows).collect()], dtype=float
+    )
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), size=min(num_cells, len(sample)), replace=False)]
+    for _ in range(max_iter):
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(0)
+    cents = centroids.tolist()
+
+    v = F.col(vec_col).cast("array<double>")
+    dists = []
+    for ci, cent in enumerate(cents):
+        lit = F.array(*[F.lit(float(x)) for x in cent])
+        d2c = F.aggregate(
+            F.zip_with(v, lit, lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda acc, x: acc + x
+        )
+        dists.append(d2c.alias(f"__d{ci}"))
+    # argmin over centroid distances via array_position(array_min)
+    assigned = df.withColumn("__dists", F.array(*dists))
+    assigned = assigned.withColumn(
+        "cell", F.array_position(F.col("__dists"), F.array_min(F.col("__dists"))).cast("int") - 1
+    ).drop("__dists")
+    return assigned, cents

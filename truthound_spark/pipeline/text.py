@@ -1,0 +1,130 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+Everything here is pure pyspark.sql.functions column math (split, regexp,
+array_intersect, aggregate) — whole-stage-codegen'd, zero Python UDFs —
+so the same expressions run unchanged over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from truthound_spark.pipeline.dedup import content_fingerprint, normalized_text, words
+
+#: Tiny per-language stopword lists for the n-gram/stopword-overlap
+#: language-ID heuristic. Deliberately small + deterministic so the same
+#: sets can be inlined into an oracle SQL query.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "que"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "eine"],
+}
+
+#: A BPE-ish token pattern: word pieces, numbers, or single non-space symbols.
+BPE_TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def whitespace_token_count(col: Column) -> Column:
+    """Token count by whitespace split (0 for empty/blank)."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Approximate subword token count: number of BPE-ish pattern matches.
+    regexp_count is JVM-side (Spark 3.5+)."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_PATTERN))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """Fraction of words that are stopwords — a classic quality signal."""
+    w = words(col)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    hits = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
+    return F.when(F.size(w) > 0, hits / F.size(w)).otherwise(F.lit(0.0))
+
+
+def language_scores(col: Column) -> dict[str, Column]:
+    """Per-language stopword-overlap score (distinct stopwords present)."""
+    w = F.array_distinct(words(col))
+    out = {}
+    for lang, sws in STOPWORDS.items():
+        sw = F.array(*[F.lit(s) for s in sws])
+        out[lang] = F.size(F.array_intersect(w, sw))
+    return out
+
+
+def language_id(col: Column, default: str = "unknown") -> Column:
+    """Argmax language by stopword overlap; ties break by language-code
+    order; 0 overlap → default."""
+    scores = language_scores(col)
+    langs = sorted(scores)
+    best = None
+    for lang in langs:
+        s = scores[lang]
+        if best is None:
+            best = (s, F.lit(lang))
+        else:
+            best = (
+                F.when(s > best[0], s).otherwise(best[0]),
+                F.when(s > best[0], F.lit(lang)).otherwise(best[1]),
+            )
+    return F.when(best[0] > 0, best[1]).otherwise(F.lit(default))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features (the reference's profiler analyzers,
+    re-aimed at LLM data curation): lengths, token counts, ratios."""
+    col = F.col(text_col)
+    w = words(col)
+    return df.withColumns(
+        {
+            "n_chars": F.length(col),
+            "n_words": whitespace_token_count(col),
+            "n_tokens_bpe": bpe_ish_token_count(col),
+            "avg_word_len": F.when(
+                F.size(w) > 0,
+                F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x)) / F.size(w),
+            ).otherwise(F.lit(0.0)),
+            "stopword_ratio": stopword_ratio(col),
+            "punct_ratio": F.when(
+                F.length(col) > 0,
+                F.regexp_count(col, F.lit(r"[^\w\s]")).cast("double") / F.length(col),
+            ).otherwise(F.lit(0.0)),
+            "digit_ratio": F.when(
+                F.length(col) > 0,
+                F.regexp_count(col, F.lit(r"[0-9]")).cast("double") / F.length(col),
+            ).otherwise(F.lit(0.0)),
+            "uniq_word_ratio": F.when(
+                F.size(w) > 0, F.size(F.array_distinct(w)).cast("double") / F.size(w)
+            ).otherwise(F.lit(0.0)),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite 0-1 quality score from the features (heuristic weights:
+    enough words, healthy stopword presence, low punctuation/digit noise,
+    lexical diversity)."""
+    feats = quality_features(df, text_col)
+    score = (
+        F.least(F.col("n_words") / 50.0, F.lit(1.0)) * 0.3
+        + F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0)) * 0.2
+        + (1.0 - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))) * 0.2
+        + (1.0 - F.least(F.col("digit_ratio") * 5.0, F.lit(1.0))) * 0.1
+        + F.least(F.col("uniq_word_ratio") * 1.25, F.lit(1.0)) * 0.2
+    )
+    return feats.withColumn("quality_score", score)
+
+
+def fingerprint_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add a deterministic md5 content fingerprint column."""
+    return df.withColumn("fingerprint", content_fingerprint(F.col(text_col)))
+
+
+def detect_languages(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add predicted_lang via the stopword-overlap heuristic."""
+    return df.withColumn("predicted_lang", language_id(F.col(text_col)))

@@ -1,0 +1,5 @@
+from truthound_spark.profiler.table_profiler import (  # noqa: F401
+    ColumnProfile,
+    TableProfile,
+    profile,
+)

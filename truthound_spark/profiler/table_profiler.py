@@ -1,0 +1,165 @@
+"""Data profiler (reference: src/truthound/profiler/table_profiler.py:253
+DataProfiler.profile; column analyzers column_profiler.py:173-366).
+
+One wide distributed aggregate for all per-column stats (basic/numeric/
+string/datetime analyzers fused), one bounded groupBy pass per
+low-cardinality column for value frequencies, one whole-row duplicate
+check. The reference's sketches (HyperLogLog profiler/sketches/
+hyperloglog.py:25) map to approx_count_distinct.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from truthound_spark.core.base import DATETIME_TYPES, NUMERIC_TYPES, STRING_TYPES
+
+
+@dataclass
+class ColumnProfile:
+    name: str
+    dtype: str
+    null_count: int = 0
+    null_ratio: float = 0.0
+    distinct_count: int = 0
+    unique_ratio: float = 0.0
+    min: Any = None
+    max: Any = None
+    mean: float | None = None
+    std: float | None = None
+    quantiles: dict[str, float] | None = None
+    min_length: int | None = None
+    max_length: int | None = None
+    avg_length: float | None = None
+    top_values: list[dict[str, Any]] | None = None
+    skewness: float | None = None
+    kurtosis: float | None = None
+
+
+@dataclass
+class TableProfile:
+    row_count: int = 0
+    column_count: int = 0
+    duplicate_row_count: int = 0
+    columns: dict[str, ColumnProfile] = field(default_factory=dict)
+    correlations: dict[str, float] | None = None
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "row_count": self.row_count,
+            "column_count": self.column_count,
+            "duplicate_row_count": self.duplicate_row_count,
+            "columns": {k: asdict(v) for k, v in self.columns.items()},
+            "correlations": self.correlations,
+        }
+
+    def to_json(self, indent: int = 2) -> str:
+        return json.dumps(self.to_dict(), indent=indent, default=str)
+
+
+def profile(
+    df: DataFrame,
+    approx: bool = False,
+    top_k: int = 10,
+    with_correlations: bool = False,
+    with_duplicates: bool = True,
+) -> TableProfile:
+    """Profile a DataFrame; ``approx=True`` switches distinct counts to
+    HLL++ and percentiles to the mergeable sketch (the 100 TB mode)."""
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    numeric, string = [], []
+    distinct = (
+        (lambda c: F.approx_count_distinct(c).alias(f"{c}__nu"))
+        if approx
+        else (lambda c: F.countDistinct(F.col(c)).alias(f"{c}__nu"))
+    )
+    pfn = "percentile_approx" if approx else "percentile"
+    for f_ in df.schema.fields:
+        c = f_.name
+        aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
+        aggs.append(distinct(c))
+        if isinstance(f_.dataType, NUMERIC_TYPES):
+            numeric.append(c)
+            aggs.extend(
+                [
+                    F.min(c).alias(f"{c}__min"),
+                    F.max(c).alias(f"{c}__max"),
+                    F.mean(c).alias(f"{c}__mean"),
+                    F.stddev(c).alias(f"{c}__std"),
+                    F.skewness(c).alias(f"{c}__skew"),
+                    F.kurtosis(c).alias(f"{c}__kurt"),
+                    F.expr(f"{pfn}({c}, array(0.25, 0.5, 0.75))").alias(f"{c}__q"),
+                ]
+            )
+        elif isinstance(f_.dataType, STRING_TYPES):
+            string.append(c)
+            ln = F.length(F.col(c))
+            aggs.extend(
+                [
+                    F.min(ln).alias(f"{c}__minlen"),
+                    F.max(ln).alias(f"{c}__maxlen"),
+                    F.avg(ln).alias(f"{c}__avglen"),
+                ]
+            )
+        elif isinstance(f_.dataType, DATETIME_TYPES):
+            aggs.extend([F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")])
+    row = df.agg(*aggs).collect()[0].asDict()
+    n = int(row["__n"])
+
+    prof = TableProfile(row_count=n, column_count=len(df.columns))
+    for f_ in df.schema.fields:
+        c = f_.name
+        nn = int(row.get(f"{c}__nn") or 0)
+        nu = int(row.get(f"{c}__nu") or 0)
+        cp = ColumnProfile(
+            name=c,
+            dtype=f_.dataType.simpleString(),
+            null_count=n - nn,
+            null_ratio=round((n - nn) / n, 6) if n else 0.0,
+            distinct_count=nu,
+            unique_ratio=round(nu / nn, 6) if nn else 0.0,
+            min=row.get(f"{c}__min"),
+            max=row.get(f"{c}__max"),
+            mean=row.get(f"{c}__mean"),
+            std=row.get(f"{c}__std"),
+            skewness=row.get(f"{c}__skew"),
+            kurtosis=row.get(f"{c}__kurt"),
+            min_length=row.get(f"{c}__minlen"),
+            max_length=row.get(f"{c}__maxlen"),
+            avg_length=row.get(f"{c}__avglen"),
+        )
+        q = row.get(f"{c}__q")
+        if q:
+            cp.quantiles = {"q25": q[0], "q50": q[1], "q75": q[2]}
+        prof.columns[c] = cp
+
+    # value frequencies for low-cardinality columns (ValueFrequencyAnalyzer,
+    # reference column_profiler.py:311) — bounded groupBy per column
+    for c, cp in prof.columns.items():
+        if 0 < cp.distinct_count <= 100:
+            top = (
+                df.groupBy(c)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.desc("n"), F.col(c))
+                .limit(top_k)
+                .collect()
+            )
+            cp.top_values = [{"value": r[c], "count": int(r["n"])} for r in top]
+
+    if with_duplicates and df.columns:
+        # DuplicateRowAnalyzer (reference table_profiler.py:86)
+        distinct_rows = df.dropDuplicates().count()
+        prof.duplicate_row_count = n - distinct_rows
+
+    if with_correlations and len(numeric) >= 2:
+        # CorrelationAnalyzer (reference table_profiler.py:193): fused pairwise corr
+        pairs = [(a, b) for i, a in enumerate(numeric) for b in numeric[i + 1:]]
+        corr_aggs = [F.corr(a, b).alias(f"{a}|{b}") for a, b in pairs]
+        crow = df.agg(*corr_aggs).collect()[0].asDict()
+        prof.correlations = {k: v for k, v in crow.items() if v is not None}
+    return prof

@@ -1,0 +1,162 @@
+"""Schema learning + persistence (reference: src/truthound/schema.py).
+
+``learn()`` infers the full column profile in ONE wide aggregate select
+(reference schema.py:244-277: pl.len, per-column null_count/n_unique,
+numeric min/max/mean/std/q25/q50/q75, string min/max length) plus a second
+bounded pass for allowed_values on low-cardinality columns
+(schema.py:341-363). Spark: same two jobs — df.agg(*everything) then a
+collect_set pass gated by the observed cardinality.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from truthound_spark.core.base import NUMERIC_TYPES, STRING_TYPES
+
+MAX_ALLOWED_VALUES = 20  # reference schema.py:341 low-cardinality cutoff
+
+
+@dataclass
+class ColumnSchema:
+    """Persisted per-column profile (reference: schema.py:18-98)."""
+
+    name: str
+    dtype: str
+    nullable: bool = True
+    unique: bool = False
+    min_value: Any = None
+    max_value: Any = None
+    allowed_values: list[Any] | None = None
+    min_length: int | None = None
+    max_length: int | None = None
+    null_ratio: float = 0.0
+    unique_ratio: float = 0.0
+    mean: float | None = None
+    std: float | None = None
+    quantiles: dict[str, float] | None = None
+
+
+@dataclass
+class Schema:
+    """Learned table schema (reference: schema.py:101-172)."""
+
+    columns: dict[str, ColumnSchema] = field(default_factory=dict)
+    row_count: int = 0
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "row_count": self.row_count,
+            "columns": {k: asdict(v) for k, v in self.columns.items()},
+        }
+
+    def to_json(self, indent: int = 2) -> str:
+        return json.dumps(self.to_dict(), indent=indent, default=str)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def load(cls, path: str) -> "Schema":
+        with open(path) as f:
+            d = json.load(f)
+        cols = {k: ColumnSchema(**v) for k, v in d["columns"].items()}
+        return cls(columns=cols, row_count=d["row_count"])
+
+
+def learn(df: DataFrame) -> Schema:
+    """Single-pass schema learning (reference: schema.py:244-277)."""
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    numeric = set()
+    string = set()
+    for f_ in df.schema.fields:
+        c = f_.name
+        aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"{c}__nu"))
+        if isinstance(f_.dataType, NUMERIC_TYPES):
+            numeric.add(c)
+            aggs.extend(
+                [
+                    F.min(c).alias(f"{c}__min"),
+                    F.max(c).alias(f"{c}__max"),
+                    F.mean(c).alias(f"{c}__mean"),
+                    F.stddev(c).alias(f"{c}__std"),
+                    F.expr(f"percentile({c}, array(0.25, 0.5, 0.75))").alias(f"{c}__q"),
+                ]
+            )
+        elif isinstance(f_.dataType, STRING_TYPES):
+            string.add(c)
+            aggs.extend(
+                [
+                    F.min(F.length(F.col(c))).alias(f"{c}__minlen"),
+                    F.max(F.length(F.col(c))).alias(f"{c}__maxlen"),
+                ]
+            )
+        else:
+            aggs.extend([F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")])
+    row = df.agg(*aggs).collect()[0].asDict()
+    n = int(row["__n"])
+
+    schema = Schema(row_count=n)
+    low_card: list[str] = []
+    for f_ in df.schema.fields:
+        c = f_.name
+        nn = int(row[f"{c}__nn"] or 0)
+        nu = int(row[f"{c}__nu"] or 0)
+        cs = ColumnSchema(
+            name=c,
+            dtype=f_.dataType.simpleString(),
+            nullable=(n - nn) > 0,
+            unique=(nu == nn and nn > 0),
+            null_ratio=round((n - nn) / n, 6) if n else 0.0,
+            unique_ratio=round(nu / nn, 6) if nn else 0.0,
+        )
+        if c in numeric:
+            q = row.get(f"{c}__q")
+            cs.min_value = row.get(f"{c}__min")
+            cs.max_value = row.get(f"{c}__max")
+            cs.mean = row.get(f"{c}__mean")
+            cs.std = row.get(f"{c}__std")
+            if q:
+                cs.quantiles = {"q25": q[0], "q50": q[1], "q75": q[2]}
+        elif c in string:
+            cs.min_length = row.get(f"{c}__minlen")
+            cs.max_length = row.get(f"{c}__maxlen")
+        else:
+            cs.min_value = row.get(f"{c}__min")
+            cs.max_value = row.get(f"{c}__max")
+        if 0 < nu <= MAX_ALLOWED_VALUES:
+            low_card.append(c)
+        schema.columns[c] = cs
+
+    if low_card:  # second bounded pass (reference schema.py:341-363)
+        sets = df.agg(
+            *[F.sort_array(F.collect_set(F.col(c))).alias(c) for c in low_card]
+        ).collect()[0]
+        for c in low_card:
+            schema.columns[c].allowed_values = list(sets[c])
+    return schema
+
+
+def validate_against(df: DataFrame, schema: Schema) -> list[dict[str, Any]]:
+    """Structural schema match (reference: schema validator in
+    local-schema.json workload): missing/extra columns, dtype changes."""
+    problems = []
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for name, cs in schema.columns.items():
+        if name not in actual:
+            problems.append({"column": name, "problem": "missing_column", "expected": cs.dtype})
+        elif actual[name] != cs.dtype:
+            problems.append(
+                {"column": name, "problem": "dtype_mismatch", "expected": cs.dtype, "actual": actual[name]}
+            )
+    for name in actual:
+        if name not in schema.columns:
+            problems.append({"column": name, "problem": "unexpected_column", "actual": actual[name]})
+    return problems
