@@ -158,7 +158,7 @@ class MixedTypeValidator(Validator):
 
     def specs(self, df: DataFrame) -> list[ExpressionSpec]:
         col = F.col(self.column)
-        numeric_like = col.cast("double").isNotNull() & col.isNotNull()
+        numeric_like = col.try_cast("double").isNotNull() & col.isNotNull()
         mr = self.max_ratio
 
         def judge(m: dict[str, Any]) -> tuple[bool, Any, str]:
