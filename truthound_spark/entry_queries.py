@@ -506,3 +506,676 @@ def q_mixed_type_part_name(spark, sf_dir):
     return df.agg(
         F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias("numeric_like_strings")
     )
+
+
+# ===========================================================================
+# §2.8 string / format
+# ===========================================================================
+
+
+@register(
+    "regex_violations_names",
+    """
+    SELECT
+      CAST(SUM(CASE WHEN NOT regexp_matches(c_name, '^Customer#[0-9]{9}$') AND c_name IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_customer_names,
+      CAST(SUM(CASE WHEN regexp_matches(c_name, '^Customer#0{5}') AND c_name IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS low_key_names
+    FROM customer
+    """,
+)
+def q_regex_violations_names(spark, sf_dir):
+    """Regex / NotMatchRegex rlike compilation (string/regex.py:33)."""
+    from truthound_spark.validators.string import NotMatchRegexValidator, RegexValidator
+
+    df = t(spark, sf_dir, "customer")
+    return fused_counts(
+        df,
+        [
+            (RegexValidator("c_name", r"^Customer#[0-9]{9}$"), ["bad_customer_names"]),
+            (NotMatchRegexValidator("c_name", r"^Customer#0{5}"), ["low_key_names"]),
+        ],
+    )
+
+
+@register(
+    "like_pattern_part_type",
+    """
+    SELECT
+      CAST(SUM(CASE WHEN p_type NOT LIKE '%ECO%' AND p_type IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_eco,
+      CAST(SUM(CASE WHEN p_type LIKE 'SMALL%' AND p_type IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS small_prefixed
+    FROM part
+    """,
+)
+def q_like_pattern_part_type(spark, sf_dir):
+    """LikePattern / NotLikePattern (string/like_pattern.py:19,195)."""
+    from truthound_spark.validators.string import (
+        LikePatternValidator,
+        NotLikePatternValidator,
+    )
+
+    df = t(spark, sf_dir, "part")
+    return fused_counts(
+        df,
+        [
+            (LikePatternValidator("p_type", "%ECO%"), ["not_eco"]),
+            (NotLikePatternValidator("p_type", "SMALL%"), ["small_prefixed"]),
+        ],
+    )
+
+
+@register(
+    "length_violations_documents",
+    """
+    SELECT CAST(SUM(CASE WHEN (length(text) < 60 OR length(text) > 400) AND text IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS length_violations
+    FROM documents
+    """,
+)
+def q_length_violations_documents(spark, sf_dir):
+    from truthound_spark.validators.string import LengthValidator
+
+    df = t(spark, sf_dir, "documents")
+    return fused_counts(df, [(LengthValidator("text", 60, 400), ["length_violations"])])
+
+
+@register(
+    "email_format_derived",
+    """
+    WITH d AS (
+      SELECT CASE WHEN c_custkey % 97 = 0 THEN c_name
+                  ELSE lower(replace(c_name, '#', '.')) || '@example.com' END AS email
+      FROM customer
+    )
+    SELECT CAST(SUM(CASE WHEN NOT regexp_matches(email, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$')
+                          AND email IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS invalid_emails
+    FROM d
+    """,
+)
+def q_email_format_derived(spark, sf_dir):
+    """EmailValidator rlike spec (string/format.py:179) over a derived
+    email column with seeded invalids (every 97th key keeps the raw name)."""
+    from truthound_spark.validators.string import EmailValidator
+
+    df = t(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 97 == 0, F.col("c_name"))
+        .otherwise(F.concat(F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))), F.lit("@example.com")))
+        .alias("email")
+    )
+    return fused_counts(df, [(EmailValidator("email"), ["invalid_emails"])])
+
+
+@register(
+    "casing_consistency_part_type",
+    """
+    SELECT
+      CAST(SUM(CASE WHEN p_type = lower(p_type) THEN 1 ELSE 0 END) AS BIGINT) AS lower_n,
+      CAST(SUM(CASE WHEN p_type = upper(p_type) THEN 1 ELSE 0 END) AS BIGINT) AS upper_n,
+      CAST(COUNT(p_type) AS BIGINT) AS nn
+    FROM part
+    """,
+)
+def q_casing_consistency_part_type(spark, sf_dir):
+    """ConsistentCasing dominant-case metrics (string/casing.py:13)."""
+    df = t(spark, sf_dir, "part")
+    c = F.col("p_type")
+    return df.agg(
+        F.sum(F.when(c == F.lower(c), 1).otherwise(0)).cast("long").alias("lower_n"),
+        F.sum(F.when(c == F.upper(c), 1).otherwise(0)).cast("long").alias("upper_n"),
+        F.count(c).cast("long").alias("nn"),
+    )
+
+
+@register(
+    "json_parseable_events_props",
+    """
+    WITH d AS (
+      SELECT CASE WHEN event_id % 89 = 0 THEN substr(props, 1, length(props) - 1)
+                  ELSE props END AS j
+      FROM events
+    )
+    SELECT
+      CAST(SUM(CASE WHEN json_valid(j) THEN 0 ELSE 1 END) AS BIGINT) AS unparseable,
+      CAST(COUNT(j) AS BIGINT) AS nn
+    FROM d
+    """,
+)
+def q_json_parseable_events_props(spark, sf_dir):
+    """JsonParseable (string/json.py:24): seeded corruption on every 89th
+    event (truncated brace) so the violation count is nonzero."""
+    df = t(spark, sf_dir, "events").select(
+        F.when(
+            F.col("event_id") % 89 == 0,
+            F.expr("substring(props, 1, length(props) - 1)"),
+        )
+        .otherwise(F.col("props"))
+        .alias("j")
+    )
+    unparseable = F.try_parse_json(F.col("j")).isNull() & F.col("j").isNotNull()
+    return df.agg(
+        F.sum(F.when(unparseable, 1).otherwise(0)).cast("long").alias("unparseable"),
+        F.count("j").cast("long").alias("nn"),
+    )
+
+
+@register(
+    "phone_format_derived",
+    """
+    WITH d AS (
+      SELECT CASE WHEN c_custkey % 101 = 0 THEN 'not-a-phone'
+                  ELSE printf('010-%04d-%04d', CAST(c_custkey % 10000 AS INT), CAST((c_custkey * 7) % 10000 AS INT)) END AS phone
+      FROM customer
+    )
+    SELECT CAST(SUM(CASE WHEN NOT regexp_matches(phone, '^01[016789]-?[0-9]{3,4}-?[0-9]{4}$')
+                          AND phone IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS invalid_phones
+    FROM d
+    """,
+)
+def q_phone_format_derived(spark, sf_dir):
+    """KoreanPhone-style regex check (localization/korean.py:250) over a
+    derived phone column with seeded invalids."""
+    df = t(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 101 == 0, F.lit("not-a-phone"))
+        .otherwise(
+            F.format_string(
+                "010-%04d-%04d",
+                (F.col("c_custkey") % 10000).cast("int"),
+                ((F.col("c_custkey") * 7) % 10000).cast("int"),
+            )
+        )
+        .alias("phone")
+    )
+    pred = ~F.col("phone").rlike(r"^01[016789]-?[0-9]{3,4}-?[0-9]{4}$") & F.col(
+        "phone"
+    ).isNotNull()
+    return df.agg(
+        F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias("invalid_phones")
+    )
+
+
+@register(
+    "luhn_checksum_derived",
+    """
+    WITH tt AS (SELECT CAST(c_custkey * 7919 + 13 AS VARCHAR) AS s FROM customer),
+    sc AS (
+      SELECT s, length(s) AS ln,
+             list_sum([CASE WHEN (length(s) - i) % 2 = 1 THEN
+                         CASE WHEN CAST(s[i] AS INT) * 2 > 9 THEN CAST(s[i] AS INT) * 2 - 9
+                              ELSE CAST(s[i] AS INT) * 2 END
+                       ELSE CAST(s[i] AS INT) END
+                       FOR i IN range(1, length(s) + 1)]) AS tot
+      FROM tt
+    )
+    SELECT CAST(SUM(CASE WHEN tot % 10 = 0 AND ln >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS luhn_valid_n,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM sc
+    """,
+)
+def q_luhn_checksum_derived(spark, sf_dir):
+    """Luhn mod-10 as a pure SQL expression chain (business.py _luhn_expr;
+    reference business_rule/checksum.py:19)."""
+    from truthound_spark.validators.business import _luhn_expr
+
+    df = t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") * 7919 + 13).cast("string").alias("s")
+    )
+    valid = _luhn_expr("s")
+    return df.agg(
+        F.sum(F.when(valid, 1).otherwise(0)).cast("long").alias("luhn_valid_n"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+# ===========================================================================
+# §2.8 datetime / §2.5 ordered checks
+# ===========================================================================
+
+
+@register(
+    "future_past_dates_orders",
+    """
+    SELECT
+      CAST(SUM(CASE WHEN o_orderdate > TIMESTAMP '1998-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS future_dates,
+      CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS past_dates
+    FROM orders
+    """,
+)
+def q_future_past_dates_orders(spark, sf_dir):
+    """FutureDate / PastDate (datetime/range.py:92,146) with a fixed 'now'
+    so the check is deterministic."""
+    from truthound_spark.validators.datetime_checks import (
+        FutureDateValidator,
+        PastDateValidator,
+    )
+
+    df = t(spark, sf_dir, "orders")
+    return fused_counts(
+        df.select(F.col("o_orderdate")),
+        [
+            (FutureDateValidator("o_orderdate", now="1998-01-01 00:00:00"), ["future_dates"]),
+            (PastDateValidator("o_orderdate", floor="1996-01-01 00:00:00"), ["past_dates"]),
+        ],
+    )
+
+
+@register(
+    "date_between_orders",
+    """
+    SELECT CAST(SUM(CASE WHEN (o_orderdate < TIMESTAMP '1995-06-01 00:00:00'
+                            OR o_orderdate > TIMESTAMP '2000-12-31 00:00:00')
+                          AND o_orderdate IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS out_of_window
+    FROM orders
+    """,
+)
+def q_date_between_orders(spark, sf_dir):
+    from truthound_spark.validators.datetime_checks import DateBetweenValidator
+
+    df = t(spark, sf_dir, "orders")
+    v = DateBetweenValidator("o_orderdate", "1995-06-01 00:00:00", "2000-12-31 00:00:00")
+    return fused_counts(df, [(v, ["out_of_window"])])
+
+
+@register(
+    "freshness_events",
+    f"""
+    WITH {EV}
+    SELECT
+      CAST(FLOOR((epoch(TIMESTAMP '2024-02-15 00:00:00') - epoch(MAX(ts))) / 3600) AS BIGINT) AS age_hours,
+      CAST(COUNT(DISTINCT CAST(isodow(ts) % 7 + 1 AS INT)) AS BIGINT) AS weekday_coverage
+    FROM ev
+    """,
+)
+def q_freshness_events(spark, sf_dir):
+    """RecentData max-ts age + DatePartCoverage weekday coverage
+    (datetime/freshness.py:14,98)."""
+    df = t(spark, sf_dir, "events")
+    now = F.to_timestamp(F.lit("2024-02-15 00:00:00"))
+    age_h = F.floor(
+        (now.cast("double") - F.max("ts").cast("double")) / 3600.0
+    ).cast("long")
+    return df.agg(
+        age_h.alias("age_hours"),
+        F.countDistinct(F.dayofweek("ts")).alias("weekday_coverage"),
+    )
+
+
+@register(
+    "date_order_orders_lineitem",
+    """
+    SELECT CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS shipped_before_ordered,
+           CAST(COUNT(*) AS BIGINT) AS joined_rows
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def q_date_order_orders_lineitem(spark, sf_dir):
+    """DateOrder across a join (datetime/order.py:13): ship date must not
+    precede order date."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    return joined.agg(
+        F.sum(F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0))
+        .cast("long")
+        .alias("shipped_before_ordered"),
+        F.count(F.lit(1)).cast("long").alias("joined_rows"),
+    )
+
+
+# ===========================================================================
+# §2.5 timeseries (lag windows)
+# ===========================================================================
+
+
+@register(
+    "timeseries_gaps_events",
+    f"""
+    WITH {EV},
+    d AS (
+      SELECT epoch(ts) - lag(epoch(ts)) OVER (ORDER BY ts, event_id) AS gap FROM ev
+    )
+    SELECT
+      CAST(SUM(CASE WHEN gap > 900 THEN 1 ELSE 0 END) AS BIGINT) AS gaps_over_15min,
+      CAST(SUM(CASE WHEN ABS(gap - 260.0) > 250.0 THEN 1 ELSE 0 END) AS BIGINT) AS irregular_intervals
+    FROM d WHERE gap IS NOT NULL
+    """,
+)
+def q_timeseries_gaps_events(spark, sf_dir):
+    """TimeSeriesGap + Interval lag-window plans (timeseries/gap.py:23,215)."""
+    from pyspark.sql import Window
+
+    df = t(spark, sf_dir, "events")
+    w = Window.orderBy(F.col("ts"), F.col("event_id"))
+    ts = F.col("ts").cast("double")
+    gap = ts - F.lag(ts).over(w)
+    d = df.select(gap.alias("gap")).filter(F.col("gap").isNotNull())
+    return d.agg(
+        F.sum(F.when(F.col("gap") > 900, 1).otherwise(0)).cast("long").alias("gaps_over_15min"),
+        F.sum(F.when(F.abs(F.col("gap") - 260.0) > 250.0, 1).otherwise(0))
+        .cast("long")
+        .alias("irregular_intervals"),
+    )
+
+
+@register(
+    "timeseries_monotonic_events",
+    f"""
+    WITH {EV},
+    d AS (
+      SELECT value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS diff
+      FROM ev
+    )
+    SELECT CAST(SUM(CASE WHEN diff < 0 THEN 1 ELSE 0 END) AS BIGINT) AS decreasing_steps,
+           CAST(SUM(CASE WHEN diff IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS steps
+    FROM d
+    """,
+)
+def q_timeseries_monotonic_events(spark, sf_dir):
+    """TimeSeriesMonotonic per-user lag check (timeseries/monotonic.py:32)."""
+    from pyspark.sql import Window
+
+    df = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    diff = F.col("value") - F.lag("value").over(w)
+    d = df.select(diff.alias("diff"))
+    return d.agg(
+        F.sum(F.when(F.col("diff") < 0, 1).otherwise(0)).cast("long").alias("decreasing_steps"),
+        F.sum(F.when(F.col("diff").isNotNull(), 1).otherwise(0)).cast("long").alias("steps"),
+    )
+
+
+@register(
+    "increasing_orders_totalprice",
+    """
+    WITH d AS (
+      SELECT o_totalprice - lag(o_totalprice) OVER (ORDER BY o_orderkey) AS diff FROM orders
+    )
+    SELECT CAST(SUM(CASE WHEN diff < 0 THEN 1 ELSE 0 END) AS BIGINT) AS violations
+    FROM d WHERE diff IS NOT NULL
+    """,
+)
+def q_increasing_orders_totalprice(spark, sf_dir):
+    """IncreasingValidator lag plan (distribution/monotonic.py:17) — order
+    column o_orderkey (unique), so the lag sequence is deterministic."""
+    from pyspark.sql import Window
+
+    df = t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    bad = (F.col("o_totalprice") < prev) & prev.isNotNull()
+    return df.select(F.when(bad, 1).otherwise(0).alias("v")).agg(
+        F.sum("v").cast("long").alias("violations")
+    )
+
+
+@register(
+    "tumbling_window_counts_events",
+    f"""
+    WITH {EV}
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM ev GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_tumbling_window_counts_events(spark, sf_dir):
+    """Tumbling window aggregation — identical expression batch & stream
+    (F.window; realtime/processing/windows.py:30-57). Batch-mode here."""
+    df = t(spark, sf_dir, "events")
+    return (
+        df.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
+            "n",
+            "avg_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "session_window_counts_events",
+    f"""
+    WITH {EV},
+    s AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+    )
+    SELECT CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s
+    """,
+)
+def q_session_window_counts_events(spark, sf_dir):
+    """Session windows (gap 30 min) — F.session_window batch parity with
+    the lag/cumsum sessionization the oracle uses."""
+    df = t(spark, sf_dir, "events")
+    sess = df.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return sess.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("cnt").cast("long").alias("n_events"),
+    )
+
+
+# ===========================================================================
+# §2.3 referential / cross-table joins
+# ===========================================================================
+
+
+@register(
+    "fk_orphans",
+    """
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey) AS lineitem_orphans,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey) AS order_orphans,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o ANTI JOIN customer c
+         ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING') AS orphans_vs_building_parents
+    """,
+)
+def q_fk_orphans(spark, sf_dir):
+    """ForeignKeyValidator anti-join orphans (referential/foreign_key.py:158
+    'Find orphans using anti-join'), incl. a filtered-parent variant with a
+    guaranteed nonzero count."""
+    from truthound_spark.validators.referential import orphans
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    a = orphans(li, o, [("l_orderkey", "o_orderkey")]).agg(
+        F.count(F.lit(1)).cast("long").alias("lineitem_orphans")
+    )
+    b = orphans(o, c, [("o_custkey", "c_custkey")]).agg(
+        F.count(F.lit(1)).cast("long").alias("order_orphans")
+    )
+    d = orphans(o, c.filter(F.col("c_mktsegment") == "BUILDING"), [("o_custkey", "c_custkey")]).agg(
+        F.count(F.lit(1)).cast("long").alias("orphans_vs_building_parents")
+    )
+    return a.crossJoin(b).crossJoin(d)
+
+
+@register(
+    "dangling_parents",
+    """
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c ANTI JOIN orders o ON c.c_custkey = o.o_custkey) AS customers_without_orders,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM part p ANTI JOIN lineitem l ON p.p_partkey = l.l_partkey) AS parts_never_ordered
+    """,
+)
+def q_dangling_parents(spark, sf_dir):
+    """DanglingReference reverse anti-join (referential/orphan.py:349)."""
+    from truthound_spark.validators.referential import orphans
+
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    p = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem")
+    a = orphans(c, o, [("c_custkey", "o_custkey")], broadcast_parent=False).agg(
+        F.count(F.lit(1)).cast("long").alias("customers_without_orders")
+    )
+    b = orphans(p, li, [("p_partkey", "l_partkey")], broadcast_parent=False).agg(
+        F.count(F.lit(1)).cast("long").alias("parts_never_ordered")
+    )
+    return a.crossJoin(b)
+
+
+@register(
+    "referential_nation_region",
+    """
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM nation n ANTI JOIN region r ON n.n_regionkey = r.r_regionkey) AS nation_orphans,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier s ANTI JOIN nation n ON s.s_nationkey = n.n_nationkey) AS supplier_orphans,
+      (SELECT CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) FROM nation) AS regions_referenced
+    """,
+)
+def q_referential_nation_region(spark, sf_dir):
+    from truthound_spark.validators.referential import orphans
+
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    s = t(spark, sf_dir, "supplier")
+    a = orphans(n, r, [("n_regionkey", "r_regionkey")]).agg(
+        F.count(F.lit(1)).cast("long").alias("nation_orphans")
+    )
+    b = orphans(s, n, [("s_nationkey", "n_nationkey")]).agg(
+        F.count(F.lit(1)).cast("long").alias("supplier_orphans")
+    )
+    d = n.agg(F.countDistinct("n_regionkey").alias("regions_referenced"))
+    return a.crossJoin(b).crossJoin(d)
+
+
+@register(
+    "cross_table_aggregates",
+    """
+    SELECT
+      ROUND(CAST((SELECT SUM(o_totalprice) FROM orders) AS DOUBLE), 0) AS orders_total,
+      ROUND(CAST((SELECT SUM(l_extendedprice) FROM lineitem) AS DOUBLE), 0) AS lineitem_total,
+      CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders) AS BIGINT) AS ordering_customers,
+      CAST((SELECT COUNT(DISTINCT c_custkey) FROM customer) AS BIGINT) AS all_customers,
+      ROUND(CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE) / (SELECT COUNT(*) FROM orders), 6) AS lineitem_per_order
+    """,
+)
+def q_cross_table_aggregates(spark, sf_dir):
+    """CrossTableAggregate / DistinctCount / row-count-factor metrics
+    (cross_table/{row_count,aggregate}.py)."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    c = t(spark, sf_dir, "customer")
+    a = o.agg(
+        F.round(F.sum("o_totalprice"), 0).alias("orders_total"),
+        F.countDistinct("o_custkey").alias("ordering_customers"),
+        F.count(F.lit(1)).alias("__no"),
+    )
+    b = li.agg(
+        F.round(F.sum("l_extendedprice"), 0).alias("lineitem_total"),
+        F.count(F.lit(1)).alias("__nl"),
+    )
+    d = c.agg(F.countDistinct("c_custkey").alias("all_customers"))
+    return (
+        a.crossJoin(b)
+        .crossJoin(d)
+        .select(
+            "orders_total",
+            "lineitem_total",
+            "ordering_customers",
+            "all_customers",
+            F.round(F.col("__nl").cast("double") / F.col("__no"), 6).alias("lineitem_per_order"),
+        )
+    )
+
+
+@register(
+    "cross_table_group_aggregate",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_cross_table_group_aggregate(spark, sf_dir):
+    """QueryGroupAggregate per-group bounds surface (query/aggregate.py:144)."""
+    df = t(spark, sf_dir, "orders")
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "column_pair_lineitem",
+    """
+    SELECT
+      CAST(SUM(CASE WHEN NOT (l_discount <= l_tax) AND l_discount IS NOT NULL AND l_tax IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS discount_gt_tax,
+      CAST(SUM(CASE WHEN ABS(l_extendedprice - l_quantity * (l_extendedprice / l_quantity)) > 0.01
+                     AND l_quantity > 0 THEN 1 ELSE 0 END) AS BIGINT) AS arithmetic_violations
+    FROM lineitem
+    """,
+)
+def q_column_pair_lineitem(spark, sf_dir):
+    """ColumnPair in-row relation (schema/column_pair.py:13) + ColumnSum
+    arithmetic consistency (multi_column/arithmetic.py:15)."""
+    df = t(spark, sf_dir, "lineitem")
+    pair_bad = (
+        ~(F.col("l_discount") <= F.col("l_tax"))
+        & F.col("l_discount").isNotNull()
+        & F.col("l_tax").isNotNull()
+    )
+    arith_bad = (
+        F.abs(
+            F.col("l_extendedprice")
+            - F.col("l_quantity") * (F.col("l_extendedprice") / F.col("l_quantity"))
+        )
+        > 0.01
+    ) & (F.col("l_quantity") > 0)
+    return df.agg(
+        F.sum(F.when(pair_bad, 1).otherwise(0)).cast("long").alias("discount_gt_tax"),
+        F.sum(F.when(arith_bad, 1).otherwise(0)).cast("long").alias("arithmetic_violations"),
+    )
+
+
+@register(
+    "correlation_covariance_lineitem",
+    """
+    SELECT
+      ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+      ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+      ROUND(corr(l_discount, l_tax), 6) AS disc_tax_corr
+    FROM lineitem
+    """,
+)
+def q_correlation_covariance_lineitem(spark, sf_dir):
+    """ColumnCorrelation / ColumnCovariance (multi_column/statistical.py:16,140)."""
+    df = t(spark, sf_dir, "lineitem")
+    return df.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        F.round(F.corr("l_discount", "l_tax"), 6).alias("disc_tax_corr"),
+    )
+
+
+@register(
+    "unique_within_record_lineitem",
+    """
+    SELECT CAST(SUM(CASE WHEN l_orderkey = l_partkey OR l_orderkey = l_suppkey OR l_partkey = l_suppkey
+                         THEN 1 ELSE 0 END) AS BIGINT) AS intra_row_collisions
+    FROM lineitem
+    """,
+)
+def q_unique_within_record_lineitem(spark, sf_dir):
+    """UniqueWithinRecord intra-row uniqueness (uniqueness/within_record.py:251):
+    array_distinct size check across the key columns."""
+    df = t(spark, sf_dir, "lineitem")
+    arr = F.array("l_orderkey", "l_partkey", "l_suppkey")
+    pred = F.size(F.array_distinct(arr)) < F.size(arr)
+    return df.agg(
+        F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias("intra_row_collisions")
+    )
