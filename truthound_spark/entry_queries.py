@@ -1179,3 +1179,812 @@ def q_unique_within_record_lineitem(spark, sf_dir):
     return df.agg(
         F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias("intra_row_collisions")
     )
+
+
+# ===========================================================================
+# §2.9 drift / statistics (events split into even/odd event_id halves)
+# ===========================================================================
+
+_DRIFT_BASE = "SELECT value FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL"
+_DRIFT_CURR = "SELECT value FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL"
+
+
+def _drift_frames(spark, sf_dir):
+    df = t(spark, sf_dir, "events")
+    baseline = df.filter((F.col("event_id") % 2 == 0) & F.col("value").isNotNull())
+    current = df.filter((F.col("event_id") % 2 == 1) & F.col("value").isNotNull())
+    return baseline, current
+
+
+def _scalar_df(spark, **cols):
+    """1-row DataFrame from driver-computed scalar statistics."""
+    from pyspark.sql import types as T
+
+    fields = []
+    row = []
+    for k, v in cols.items():
+        if isinstance(v, bool):
+            fields.append(T.StructField(k, T.BooleanType()))
+        elif isinstance(v, int):
+            fields.append(T.StructField(k, T.LongType()))
+        elif isinstance(v, float):
+            fields.append(T.StructField(k, T.DoubleType()))
+        else:
+            fields.append(T.StructField(k, T.StringType()))
+        row.append(v)
+    return spark.createDataFrame([tuple(row)], T.StructType(fields))
+
+
+@register(
+    "psi_drift_events_value",
+    f"""
+    WITH b AS ({_DRIFT_BASE}), c AS ({_DRIFT_CURR}),
+    r AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM b),
+    bins AS (SELECT i FROM generate_series(0, 9) AS gs(i)),
+    bh AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((value - lo) / ((hi - lo) / 10)) AS INT), 0), 9) AS bin,
+             COUNT(*) AS n
+      FROM b, r GROUP BY 1
+    ),
+    ch AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((value - lo) / ((hi - lo) / 10)) AS INT), 0), 9) AS bin,
+             COUNT(*) AS n
+      FROM c, r GROUP BY 1
+    ),
+    f AS (
+      SELECT bins.i,
+             COALESCE(bh.n, 0) / CAST((SELECT SUM(n) FROM bh) AS DOUBLE) AS p,
+             COALESCE(ch.n, 0) / CAST((SELECT SUM(n) FROM ch) AS DOUBLE) AS q
+      FROM bins LEFT JOIN bh ON bins.i = bh.bin LEFT JOIN ch ON bins.i = ch.bin
+    )
+    SELECT ROUND(SUM((p - q) * LN((p + 1e-10) / (q + 1e-10))), 6) AS psi
+    FROM f
+    """,
+)
+def q_psi_drift_events_value(spark, sf_dir):
+    """PSI 10-bin drift (drift/psi.py:29): histogram aggregates per side,
+    driver-side Σ(p−q)ln(p/q). Engine: drift.detectors.psi."""
+    from truthound_spark.drift.detectors import psi
+
+    baseline, current = _drift_frames(spark, sf_dir)
+    r = psi(baseline, current, "value", bins=10)
+    return _scalar_df(spark, psi=round(r.statistic, 6))
+
+
+@register(
+    "ks_drift_events_value",
+    f"""
+    WITH b AS ({_DRIFT_BASE}), c AS ({_DRIFT_CURR}),
+    u AS (
+      SELECT value AS v,
+             SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS nb,
+             SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS nc
+      FROM (SELECT value, 0 AS side FROM b UNION ALL SELECT value, 1 FROM c)
+      GROUP BY value
+    ),
+    e AS (
+      SELECT SUM(nb) OVER (ORDER BY v) / CAST((SELECT COUNT(*) FROM b) AS DOUBLE) AS fb,
+             SUM(nc) OVER (ORDER BY v) / CAST((SELECT COUNT(*) FROM c) AS DOUBLE) AS fc
+      FROM u
+    )
+    SELECT ROUND(MAX(ABS(fb - fc)), 6) AS ks_stat
+    FROM e
+    """,
+)
+def q_ks_drift_events_value(spark, sf_dir):
+    """Exact KS via distributed ECDF merge (drift/detectors.py ks_test;
+    reference detectors.py:82)."""
+    from truthound_spark.drift.detectors import ks_test
+
+    baseline, current = _drift_frames(spark, sf_dir)
+    r = ks_test(baseline, current, "value")
+    return _scalar_df(spark, ks_stat=round(r.statistic, 6))
+
+
+@register(
+    "chi_square_drift_event_type",
+    """
+    WITH b AS (SELECT event_type FROM events WHERE event_id % 2 = 0),
+    c AS (SELECT event_type FROM events WHERE event_id % 2 = 1),
+    cats AS (SELECT DISTINCT event_type FROM events),
+    bc AS (SELECT event_type, COUNT(*) AS n FROM b GROUP BY 1),
+    cc AS (SELECT event_type, COUNT(*) AS n FROM c GROUP BY 1),
+    tot AS (SELECT (SELECT COUNT(*) FROM b) AS nb, (SELECT COUNT(*) FROM c) AS nc),
+    f AS (
+      SELECT COALESCE(bc.n, 0) AS ob, COALESCE(cc.n, 0) AS oc,
+             (COALESCE(bc.n, 0) + COALESCE(cc.n, 0)) * nb / CAST(nb + nc AS DOUBLE) AS eb,
+             (COALESCE(bc.n, 0) + COALESCE(cc.n, 0)) * nc / CAST(nb + nc AS DOUBLE) AS ec
+      FROM cats LEFT JOIN bc USING (event_type) LEFT JOIN cc USING (event_type), tot
+    )
+    SELECT ROUND(SUM(CASE WHEN eb > 0 THEN (ob - eb) * (ob - eb) / eb ELSE 0 END
+                   + CASE WHEN ec > 0 THEN (oc - ec) * (oc - ec) / ec ELSE 0 END), 6) AS chi2,
+           CAST((SELECT COUNT(*) - 1 FROM cats) AS BIGINT) AS dof
+    FROM f
+    """,
+)
+def q_chi_square_drift_event_type(spark, sf_dir):
+    """Categorical χ² homogeneity (drift/statistical.py:312): per-category
+    counts per side, driver χ²."""
+    from truthound_spark.drift.detectors import chi_square_drift
+
+    df = t(spark, sf_dir, "events")
+    baseline = df.filter(F.col("event_id") % 2 == 0)
+    current = df.filter(F.col("event_id") % 2 == 1)
+    r = chi_square_drift(baseline, current, "event_type")
+    return _scalar_df(spark, chi2=round(r.statistic, 6), dof=int(r.details["dof"]))
+
+
+@register(
+    "mean_variance_drift_events",
+    f"""
+    WITH b AS ({_DRIFT_BASE}), c AS ({_DRIFT_CURR})
+    SELECT
+      ROUND(ABS((SELECT AVG(value) FROM c) - (SELECT AVG(value) FROM b))
+            / (ABS((SELECT AVG(value) FROM b)) + 1e-10), 6) AS mean_rel_drift,
+      ROUND(ABS((SELECT VAR_SAMP(value) FROM c) - (SELECT VAR_SAMP(value) FROM b))
+            / (ABS((SELECT VAR_SAMP(value) FROM b)) + 1e-10), 6) AS var_rel_drift
+    """,
+)
+def q_mean_variance_drift_events(spark, sf_dir):
+    """MeanDrift / VarianceDrift relative change (drift/numeric.py:17,117)."""
+    from truthound_spark.drift.detectors import mean_drift, variance_drift
+
+    baseline, current = _drift_frames(spark, sf_dir)
+    m = mean_drift(baseline, current, "value")
+    v = variance_drift(baseline, current, "value")
+    return _scalar_df(
+        spark,
+        mean_rel_drift=round(m.statistic, 6),
+        var_rel_drift=round(v.statistic, 6),
+    )
+
+
+@register(
+    "js_kl_divergence_events",
+    f"""
+    WITH b AS ({_DRIFT_BASE}), c AS ({_DRIFT_CURR}),
+    r AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM b),
+    bins AS (SELECT i FROM generate_series(0, 9) AS gs(i)),
+    bh AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((value - lo) / ((hi - lo) / 10)) AS INT), 0), 9) AS bin, COUNT(*) AS n
+      FROM b, r GROUP BY 1
+    ),
+    ch AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((value - lo) / ((hi - lo) / 10)) AS INT), 0), 9) AS bin, COUNT(*) AS n
+      FROM c, r GROUP BY 1
+    ),
+    f AS (
+      SELECT COALESCE(bh.n, 0) / CAST((SELECT SUM(n) FROM bh) AS DOUBLE) AS p,
+             COALESCE(ch.n, 0) / CAST((SELECT SUM(n) FROM ch) AS DOUBLE) AS q
+      FROM bins LEFT JOIN bh ON bins.i = bh.bin LEFT JOIN ch ON bins.i = ch.bin
+    )
+    SELECT
+      ROUND(SUM(0.5 * p * LN((p + 1e-10) / ((p + q) / 2 + 1e-10))
+              + 0.5 * q * LN((q + 1e-10) / ((p + q) / 2 + 1e-10))), 6) AS js,
+      ROUND(SUM(p * LN((p + 1e-10) / (q + 1e-10))), 6) AS kl
+    FROM f
+    """,
+)
+def q_js_kl_divergence_events(spark, sf_dir):
+    """JS + KL divergence over the shared histogram (detectors.py:384,503)."""
+    from truthound_spark.drift.detectors import js_divergence, kl_divergence
+
+    baseline, current = _drift_frames(spark, sf_dir)
+    js = js_divergence(baseline, current, "value", bins=10)
+    kl = kl_divergence(baseline, current, "value", bins=10)
+    return _scalar_df(spark, js=round(js.statistic, 6), kl=round(kl.statistic, 6))
+
+
+@register(
+    "wasserstein_drift_events",
+    f"""
+    WITH b AS ({_DRIFT_BASE}), c AS ({_DRIFT_CURR}),
+    r AS (SELECT LEAST((SELECT MIN(value) FROM b), (SELECT MIN(value) FROM c)) AS lo,
+                 GREATEST((SELECT MAX(value) FROM b), (SELECT MAX(value) FROM c)) AS hi),
+    bins AS (SELECT i FROM generate_series(0, 99) AS gs(i)),
+    bh AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((value - lo) / ((hi - lo) / 100)) AS INT), 0), 99) AS bin, COUNT(*) AS n
+      FROM b, r GROUP BY 1
+    ),
+    ch AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((value - lo) / ((hi - lo) / 100)) AS INT), 0), 99) AS bin, COUNT(*) AS n
+      FROM c, r GROUP BY 1
+    ),
+    f AS (
+      SELECT bins.i,
+             SUM(COALESCE(bh.n, 0) / CAST((SELECT SUM(n) FROM bh) AS DOUBLE)) OVER (ORDER BY bins.i) AS cp,
+             SUM(COALESCE(ch.n, 0) / CAST((SELECT SUM(n) FROM ch) AS DOUBLE)) OVER (ORDER BY bins.i) AS cq
+      FROM bins LEFT JOIN bh ON bins.i = bh.bin LEFT JOIN ch ON bins.i = ch.bin
+    ),
+    w AS (SELECT SUM(ABS(cp - cq)) * ((SELECT (hi - lo) FROM r) / 100) AS emd FROM f)
+    SELECT ROUND(emd, 6) AS wasserstein FROM w
+    """,
+)
+def q_wasserstein_drift_events(spark, sf_dir):
+    """Wasserstein EMD via histogram CDF difference (detectors.py:605)."""
+    from truthound_spark.drift.detectors import wasserstein
+
+    baseline, current = _drift_frames(spark, sf_dir)
+    r = wasserstein(baseline, current, "value", bins=100)
+    return _scalar_df(spark, wasserstein=round(r.statistic, 6))
+
+
+# ===========================================================================
+# §2.9 profiling: entropy / cardinality / distribution shape
+# ===========================================================================
+
+
+@register(
+    "entropy_cardinality_events",
+    """
+    WITH f AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+    tot AS (SELECT SUM(n) AS total FROM f)
+    SELECT
+      ROUND(-SUM((n / CAST(total AS DOUBLE)) * LN(n / CAST(total AS DOUBLE))), 6) AS entropy_nats,
+      CAST((SELECT COUNT(*) FROM f) AS BIGINT) AS cardinality,
+      ROUND(MAX(n) / CAST(total AS DOUBLE), 6) AS top_value_ratio
+    FROM f, tot GROUP BY total
+    """,
+)
+def q_entropy_cardinality_events(spark, sf_dir):
+    """Entropy / Cardinality / ValueFrequency (profiling/{entropy,cardinality,
+    frequency}.py): distributed Σ p·ln p over groupBy counts."""
+    df = t(spark, sf_dir, "events")
+    freq = df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.agg(F.sum("n").alias("total"))
+    joined = freq.crossJoin(F.broadcast(tot))
+    p = F.col("n") / F.col("total")
+    return joined.agg(
+        F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+        F.count(F.lit(1)).cast("long").alias("cardinality"),
+        F.round(F.max("n") / F.max("total"), 6).alias("top_value_ratio"),
+    )
+
+
+@register(
+    "distribution_shape_events_value",
+    """
+    WITH s AS (SELECT AVG(value) AS mu FROM events),
+    m AS (
+      SELECT AVG(POW(value - mu, 2)) AS m2, AVG(POW(value - mu, 3)) AS m3,
+             AVG(POW(value - mu, 4)) AS m4
+      FROM events, s WHERE value IS NOT NULL
+    )
+    SELECT ROUND(m3 / POW(m2, 1.5), 4) AS skewness,
+           ROUND(m4 / (m2 * m2) - 3, 4) AS kurtosis
+    FROM m
+    """,
+)
+def q_distribution_shape_events_value(spark, sf_dir):
+    """DistributionShape skew/kurtosis (profiling/frequency.py:279):
+    Spark's population skewness/kurtosis formulas."""
+    df = t(spark, sf_dir, "events")
+    return df.agg(
+        F.round(F.skewness("value"), 4).alias("skewness"),
+        F.round(F.kurtosis("value"), 4).alias("kurtosis"),
+    )
+
+
+# ===========================================================================
+# §2.8 geospatial (derived lat/lon columns — identical derivation both sides)
+# ===========================================================================
+
+_GEO_SQL_BASE = """
+      SELECT c_acctbal % 90 AS lat, (c_acctbal * 3) % 180 AS lon FROM customer
+"""
+
+
+def _geo_df(spark, sf_dir):
+    df = t(spark, sf_dir, "customer")
+    return df.select(
+        (F.col("c_acctbal") % 90).alias("lat"),
+        ((F.col("c_acctbal") * 3) % 180).alias("lon"),
+    )
+
+
+@register(
+    "geo_range_bbox",
+    f"""
+    WITH g AS ({_GEO_SQL_BASE})
+    SELECT
+      CAST(SUM(CASE WHEN (lat < -90 OR lat > 90) AND lat IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_lat,
+      CAST(SUM(CASE WHEN (lon < -180 OR lon > 180) AND lon IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_lon,
+      CAST(SUM(CASE WHEN lat = 0 AND lon = 0 THEN 1 ELSE 0 END) AS BIGINT) AS null_island,
+      CAST(SUM(CASE WHEN lat BETWEEN 0 AND 45 AND lon BETWEEN 0 AND 90 THEN 1 ELSE 0 END) AS BIGINT) AS in_bbox
+    FROM g
+    """,
+)
+def q_geo_range_bbox(spark, sf_dir):
+    """Latitude/Longitude/NotNullIsland/GeoBoundingBox range checks
+    (geospatial/{coordinate,boundary}.py)."""
+    g = _geo_df(spark, sf_dir)
+    lat, lon = F.col("lat"), F.col("lon")
+    return g.agg(
+        F.sum(F.when(((lat < -90) | (lat > 90)) & lat.isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("bad_lat"),
+        F.sum(F.when(((lon < -180) | (lon > 180)) & lon.isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("bad_lon"),
+        F.sum(F.when((lat == 0) & (lon == 0), 1).otherwise(0)).cast("long").alias("null_island"),
+        F.sum(F.when(lat.between(0, 45) & lon.between(0, 90), 1).otherwise(0))
+        .cast("long")
+        .alias("in_bbox"),
+    )
+
+
+@register(
+    "geo_haversine_distance",
+    f"""
+    WITH g AS ({_GEO_SQL_BASE}),
+    d AS (
+      SELECT 6371.0 * 2 * ASIN(SQRT(
+               POW(SIN(RADIANS(lat - 37.5) / 2), 2)
+               + COS(RADIANS(37.5)) * COS(RADIANS(lat)) * POW(SIN(RADIANS(lon - 127.0) / 2), 2)
+             )) AS km
+      FROM g
+    )
+    SELECT CAST(SUM(CASE WHEN km <= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS within_5000km,
+           ROUND(AVG(km), 0) AS avg_km
+    FROM d
+    """,
+)
+def q_geo_haversine_distance(spark, sf_dir):
+    """GeoDistanceFromPoint haversine column math (geospatial/distance.py:20;
+    engine geospatial.haversine_km)."""
+    from truthound_spark.validators.geospatial import haversine_km
+
+    g = _geo_df(spark, sf_dir)
+    km = haversine_km(F.col("lat"), F.col("lon"), F.lit(37.5), F.lit(127.0))
+    d = g.select(km.alias("km"))
+    return d.agg(
+        F.sum(F.when(F.col("km") <= 5000, 1).otherwise(0)).cast("long").alias("within_5000km"),
+        F.round(F.avg("km"), 0).alias("avg_km"),
+    )
+
+
+# ===========================================================================
+# Training-data pipeline: text quality / language ID / fingerprints
+# ===========================================================================
+
+#: SQL mirror of dedup.normalized_text (lower, strip non-alnum, collapse ws)
+_NORM_SQL = "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "text_token_counts_documents",
+    f"""
+    SELECT doc_id,
+      CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_words,
+      CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT) AS n_tokens_bpe,
+      CAST(length(text) AS INT) AS n_chars_obs
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_text_token_counts_documents(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex (pipeline/text.py:30,36) —
+    pure codegen'd column math, zero UDFs."""
+    from truthound_spark.pipeline.text import bpe_ish_token_count, whitespace_token_count
+
+    df = t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).cast("int").alias("n_words"),
+        bpe_ish_token_count(F.col("text")).cast("int").alias("n_tokens_bpe"),
+        F.length("text").cast("int").alias("n_chars_obs"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_documents",
+    """
+    WITH w AS (
+      SELECT doc_id, text, string_split(CASE WHEN LEN(TRIM(text)) = 0 THEN '' ELSE """
+    + "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+    + """ END, ' ') AS words
+      FROM documents
+    )
+    SELECT doc_id,
+      ROUND(CASE WHEN len(words) > 0 THEN
+        len(list_filter(words, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))
+        / CAST(len(words) AS DOUBLE) ELSE 0.0 END, 6) AS stopword_ratio,
+      ROUND(CASE WHEN length(text) > 0 THEN
+        len(regexp_extract_all(text, '[^\\x{30}-\\x{39}a-zA-Z_\\s]')) / CAST(length(text) AS DOUBLE)
+        ELSE 0.0 END, 6) AS punct_ratio,
+      ROUND(CASE WHEN len(words) > 0 THEN len(list_distinct(words)) / CAST(len(words) AS DOUBLE)
+            ELSE 0.0 END, 6) AS uniq_word_ratio
+    FROM w ORDER BY doc_id
+    """,
+)
+def q_text_quality_documents(spark, sf_dir):
+    """Quality features (pipeline/text.py quality_features): stopword /
+    punctuation / lexical-diversity ratios per document."""
+    from truthound_spark.pipeline.text import quality_features
+
+    df = t(spark, sf_dir, "documents")
+    feats = quality_features(df, "text")
+    return feats.select(
+        "doc_id",
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("uniq_word_ratio", 6).alias("uniq_word_ratio"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "language_id_documents",
+    f"""
+    WITH w AS (
+      SELECT doc_id, list_distinct(string_split({_NORM_SQL.format(c='text')}, ' ')) AS dw
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+        len(list_filter(dw, x -> list_contains(['der','die','das','und','ist','von','mit','den','ein','eine'], x))) AS de,
+        len(list_filter(dw, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS en,
+        len(list_filter(dw, x -> list_contains(['el','la','de','que','y','en','un','una','los','por'], x))) AS es,
+        len(list_filter(dw, x -> list_contains(['le','la','de','et','les','des','un','une','du','que'], x))) AS fr
+      FROM w
+    ),
+    p AS (
+      SELECT CASE WHEN GREATEST(de, en, es, fr) = 0 THEN 'unknown'
+                  WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+                  WHEN en >= es AND en >= fr THEN 'en'
+                  WHEN es >= fr THEN 'es'
+                  ELSE 'fr' END AS predicted_lang
+      FROM s
+    )
+    SELECT predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_language_id_documents(spark, sf_dir):
+    """Language-ID n-gram/stopword heuristic (pipeline/text.py language_id):
+    argmax stopword overlap, earliest-language tie-break."""
+    from truthound_spark.pipeline.text import detect_languages
+
+    df = t(spark, sf_dir, "documents")
+    return (
+        detect_languages(df, "text")
+        .groupBy("predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("predicted_lang")
+    )
+
+
+@register(
+    "fingerprint_documents",
+    f"""
+    SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS fingerprint
+    FROM documents WHERE doc_id < 25 ORDER BY doc_id
+    """,
+)
+def q_fingerprint_documents(spark, sf_dir):
+    """Document fingerprinting (pipeline/text.py fingerprint_documents):
+    md5 of normalized content — deterministic rolling-hash surface."""
+    from truthound_spark.pipeline.text import fingerprint_documents
+
+    df = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 25)
+    return fingerprint_documents(df, "text").select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+# ===========================================================================
+# Training-data pipeline: dedup
+# ===========================================================================
+
+
+@register(
+    "exact_dedup_documents",
+    f"""
+    WITH fp AS (SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS fingerprint FROM documents),
+    g AS (SELECT fingerprint, COUNT(*) AS dup_count FROM fp GROUP BY 1)
+    SELECT
+      CAST((SELECT COUNT(*) FROM g WHERE dup_count > 1) AS BIGINT) AS dup_groups,
+      CAST((SELECT COALESCE(SUM(dup_count), 0) FROM g WHERE dup_count > 1) AS BIGINT) AS docs_in_dup_groups,
+      CAST((SELECT COUNT(*) FROM g) AS BIGINT) AS distinct_docs
+    """,
+)
+def q_exact_dedup_documents(spark, sf_dir):
+    """Exact dedup by content fingerprint groupBy (pipeline/dedup.py:66-86):
+    shuffle keys are 32-byte hashes, never documents."""
+    from truthound_spark.pipeline.dedup import content_fingerprint
+
+    df = t(spark, sf_dir, "documents")
+    g = (
+        df.select(content_fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+    )
+    return g.agg(
+        F.sum(F.when(F.col("dup_count") > 1, 1).otherwise(0)).cast("long").alias("dup_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("dup_count") > 1, F.col("dup_count"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("docs_in_dup_groups"),
+        F.count(F.lit(1)).cast("long").alias("distinct_docs"),
+    )
+
+
+#: SQL computing word 3-gram shingle lists per doc, mirroring
+#: dedup.word_shingles (slice semantics incl. short-doc edge case).
+_SHINGLES_SQL = f"""
+      SELECT doc_id AS id,
+             list_distinct([array_to_string(list_slice(words, i, i + 2), ' ')
+                            FOR i IN range(1, GREATEST(len(words) - 2, 1) + 1)]) AS sh
+      FROM (SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS words FROM documents)
+"""
+
+
+@register(
+    "ngram_jaccard_pairs_documents",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    inv AS (SELECT id, unnest(sh) AS g FROM sh),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+      FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT id, len(sh) AS sz FROM sh)
+    SELECT p.id_a, p.id_b,
+           ROUND(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+    FROM pairs p JOIN sz sa ON p.id_a = sa.id JOIN sz sb ON p.id_b = sb.id
+    WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.4
+    ORDER BY 1, 2
+    """,
+)
+def q_ngram_jaccard_pairs_documents(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs via inverted-index join
+    (pipeline/dedup.py:194-231), exact verification ≥ 0.4."""
+    from truthound_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    df = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.4)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "minhash_lsh_pairs_documents",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    inv AS (SELECT id, unnest(sh) AS g FROM sh),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+      FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT id, len(sh) AS sz FROM sh)
+    SELECT p.id_a, p.id_b,
+           ROUND(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+    FROM pairs p JOIN sz sa ON p.id_a = sa.id JOIN sz sb ON p.id_b = sb.id
+    WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.7
+    ORDER BY 1, 2
+    """,
+)
+def q_minhash_lsh_pairs_documents(spark, sf_dir):
+    """MinHash+LSH candidates verified with exact Jaccard ≥ 0.7
+    (pipeline/dedup.py:94-186). 32 bands × 2 rows: candidate-recall ≈
+    1-(1-s²)³² (> 1-4e-10 at s=0.7), so the verified output equals the
+    oracle's exhaustive pair set; the LSH plan only prunes the search."""
+    from truthound_spark.pipeline.dedup import minhash_dedup_pairs
+
+    df = t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(
+        df, "text", "doc_id", threshold=0.7, num_hashes=64, bands=32
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@register("simhash_pairs_documents")
+def q_simhash_pairs_documents(spark, sf_dir):
+    """SimHash near-dup pairs (pipeline/dedup.py:239-315) — md5 bit-voting
+    signature is not SQL-expressible; rows-only check."""
+    from truthound_spark.pipeline.dedup import simhash_near_duplicates
+
+    df = t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(df, "text", "doc_id", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ===========================================================================
+# Training-data pipeline: embedding similarity
+# ===========================================================================
+
+
+@register(
+    "embedding_topk_cosine",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT query_id, id,
+             list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+      FROM q, c WHERE id <> query_id
+    ),
+    ranked AS (
+      SELECT query_id, id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
+      FROM scored
+    )
+    SELECT query_id, id, ROUND(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def q_embedding_topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline (pipeline/similarity.py:20-45):
+    broadcast queries, one corpus scan, per-query top-k window."""
+    from truthound_spark.pipeline.similarity import brute_force_topk
+
+    df = t(spark, sf_dir, "embeddings")
+    queries = df.filter(F.col("vec_id") < 5)
+    topk = brute_force_topk(df, queries, k=5)
+    return topk.select(
+        "query_id",
+        "id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "embedding_near_duplicates",
+    """
+    WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    p AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cosine
+      FROM v a, v b WHERE a.id < b.id
+    )
+    SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
+    FROM p WHERE cosine >= 0.9 ORDER BY id_a, id_b
+    """,
+)
+def q_embedding_near_duplicates(spark, sf_dir):
+    """Embedding near-dup pairs, cosine ≥ 0.9 (pipeline/dedup.py:332-362;
+    exact mode — the oracle-verifiable baseline; LSH-bucketed variant is the
+    scale path, registered rows-only)."""
+    from truthound_spark.pipeline.dedup import embedding_near_duplicates
+
+    df = t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(df, threshold=0.9, exact=True)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
+@register("embedding_lsh_near_duplicates")
+def q_embedding_lsh_near_duplicates(spark, sf_dir):
+    """Sign-LSH-bucketed embedding near-dup (the 100 TB path): candidates
+    from random-hyperplane buckets only — rows-only check (bucket recall
+    is probabilistic)."""
+    from truthound_spark.pipeline.dedup import embedding_near_duplicates
+
+    df = t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(df, threshold=0.9).orderBy("id_a", "id_b")
+
+
+@register("ann_lsh_topk")
+def q_ann_lsh_topk(spark, sf_dir):
+    """Sign-LSH bucketed top-k (pipeline/similarity.py lsh_topk) —
+    rows-only (approximate recall)."""
+    from truthound_spark.pipeline.similarity import lsh_topk
+
+    df = t(spark, sf_dir, "embeddings")
+    queries = df.filter(F.col("vec_id") < 5)
+    return lsh_topk(df, queries, k=5).orderBy("query_id", "rank")
+
+
+# ===========================================================================
+# §2.12 PII scan / masking
+# ===========================================================================
+
+
+@register(
+    "pii_scan_derived_contacts",
+    """
+    WITH d AS (
+      SELECT lower(replace(c_name, '#', '.')) || '@example.com' || ' ' ||
+             printf('010-%04d-%04d', CAST(c_custkey % 10000 AS INT), CAST((c_custkey * 7) % 10000 AS INT))
+             AS contact
+      FROM customer
+    )
+    SELECT
+      CAST(SUM(CASE WHEN regexp_matches(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') THEN 1 ELSE 0 END) AS BIGINT) AS email_hits,
+      CAST(SUM(CASE WHEN regexp_matches(contact, '01[016789]-?[0-9]{3,4}-?[0-9]{4}') THEN 1 ELSE 0 END) AS BIGINT) AS korean_phone_hits
+    FROM d
+    """,
+)
+def q_pii_scan_derived_contacts(spark, sf_dir):
+    """PII scan batched rlike aggregation (scanners.py:84-127; reference
+    scanners.py:21-91) over a derived contact column."""
+    df = t(spark, sf_dir, "customer").select(
+        F.concat(
+            F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+            F.lit("@example.com "),
+            F.format_string(
+                "010-%04d-%04d",
+                (F.col("c_custkey") % 10000).cast("int"),
+                ((F.col("c_custkey") * 7) % 10000).cast("int"),
+            ),
+        ).alias("contact")
+    )
+    email_p = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_p = r"01[016789]-?[0-9]{3,4}-?[0-9]{4}"
+    return df.agg(
+        F.sum(F.when(F.col("contact").rlike(email_p), 1).otherwise(0))
+        .cast("long")
+        .alias("email_hits"),
+        F.sum(F.when(F.col("contact").rlike(phone_p), 1).otherwise(0))
+        .cast("long")
+        .alias("korean_phone_hits"),
+    )
+
+
+@register(
+    "mask_hash_names",
+    """
+    SELECT sha256(c_name) AS masked, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer WHERE c_custkey < 10 GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_mask_hash_names(spark, sf_dir):
+    """Hash masking strategy (maskers.py; reference api.py:206-268) —
+    sha2-256, JVM-side, deterministic."""
+    df = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 10)
+    return (
+        df.select(F.sha2(F.col("c_name"), 256).alias("masked"))
+        .groupBy("masked")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("masked")
+    )
+
+
+# ===========================================================================
+# schema learn() profile
+# ===========================================================================
+
+
+@register(
+    "learn_schema_customer",
+    """
+    SELECT 'c_acctbal' AS column_name,
+           ROUND(1.0 - COUNT(c_acctbal) / CAST(COUNT(*) AS DOUBLE), 6) AS null_ratio,
+           CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS n_unique,
+           ROUND(MIN(c_acctbal), 4) AS min_v, ROUND(MAX(c_acctbal), 4) AS max_v,
+           ROUND(AVG(c_acctbal), 4) AS mean_v
+    FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', ROUND(1.0 - COUNT(c_nationkey) / CAST(COUNT(*) AS DOUBLE), 6),
+           COUNT(DISTINCT c_nationkey),
+           ROUND(MIN(c_nationkey), 4), ROUND(MAX(c_nationkey), 4), ROUND(AVG(c_nationkey), 4)
+    FROM customer
+    ORDER BY column_name
+    """,
+)
+def q_learn_schema_customer(spark, sf_dir):
+    """Schema learn() single-pass aggregate profile (schema.py:244-277 in
+    the reference; truthound_spark.schema.learn) — numeric column stats."""
+    df = t(spark, sf_dir, "customer")
+    rows = []
+    for c in ["c_acctbal", "c_nationkey"]:
+        agg = df.agg(
+            F.round(
+                1.0 - F.count(F.col(c)).cast("double") / F.count(F.lit(1)), 6
+            ).alias("null_ratio"),
+            F.countDistinct(F.col(c)).alias("n_unique"),
+            F.round(F.min(c).cast("double"), 4).alias("min_v"),
+            F.round(F.max(c).cast("double"), 4).alias("max_v"),
+            F.round(F.avg(c), 4).alias("mean_v"),
+        ).select(F.lit(c).alias("column_name"), "*")
+        rows.append(agg)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("column_name")

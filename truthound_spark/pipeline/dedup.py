@@ -335,13 +335,35 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     candidate_df: DataFrame | None = None,
+    exact: bool = False,
+    num_planes: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding near-dup pairs with cosine ≥ threshold.
 
-    Default is the exact O(n²) cross-join — correct baseline for modest n
-    (or within LSH buckets via ``candidate_df`` of (id_a, id_b) candidates,
-    the scale path; see similarity.sign_lsh_buckets)."""
+    DEFAULT is the scale-safe path: sign-LSH bucket the corpus and compare
+    only within buckets (near-linear candidates — the O(n²) cross-join never
+    materializes, so the same plan runs at 100 TB). Pass ``exact=True`` for
+    the exhaustive cross-join baseline (oracle-verifiable at small n), or
+    supply your own ``candidate_df`` of (id_a, id_b)."""
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    if candidate_df is None and not exact:
+        from truthound_spark.pipeline.similarity import (
+            _vector_dim,
+            make_planes,
+            sign_lsh_signature,
+        )
+
+        planes = make_planes(_vector_dim(df, vec_col), num_planes, seed)
+        bucketed = v.withColumn("bucket", sign_lsh_signature(F.col("v"), planes))
+        ba = bucketed.select(F.col("id").alias("id_a"), F.col("bucket"))
+        bb = bucketed.select(F.col("id").alias("id_b"), F.col("bucket"))
+        candidate_df = (
+            ba.join(bb, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates()
+        )
     if candidate_df is not None:
         a = v.withColumnRenamed("id", "id_a").withColumnRenamed("v", "v_a")
         b = v.withColumnRenamed("id", "id_b").withColumnRenamed("v", "v_b")

@@ -68,6 +68,18 @@ def make_planes(dim: int, num_planes: int = 12, seed: int = 42) -> list[list[flo
     return rng.standard_normal((num_planes, dim)).tolist()
 
 
+def _vector_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality — from parquet/table metadata when present
+    (free), falling back to one probing row only for schemaless sources."""
+    meta = df.schema[vec_col].metadata or {}
+    if "dim" in meta:
+        return int(meta["dim"])
+    first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError(f"cannot infer dimensionality of empty column {vec_col!r}")
+    return len(first[0])
+
+
 def lsh_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -82,7 +94,7 @@ def lsh_topk(
     LSH bucket. Recall improves with fewer planes (bigger buckets); at
     100 TB, bucket the corpus ONCE (write bucketed parquet) and reuse."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = _vector_dim(df, vec_col)
     planes = make_planes(dim, num_planes, seed)
     corpus = df.select(
         F.col(id_col).alias("id"),
@@ -117,8 +129,15 @@ def ivf_assign(
     when the assignment is persisted as a partition column."""
     import numpy as np
 
+    # Random sample, not limit(): limit takes the FIRST partitions in order,
+    # which biases centroids on any sorted/partitioned dataset.
+    n = df.count()
+    frac = min(1.0, (sample_rows * 1.2) / max(n, 1))
+    sample_df = df.select(vec_col) if frac >= 1.0 else df.select(vec_col).sample(
+        fraction=frac, seed=seed
+    )
     sample = np.array(
-        [r[0] for r in df.select(vec_col).limit(sample_rows).collect()], dtype=float
+        [r[0] for r in sample_df.limit(sample_rows).collect()], dtype=float
     )
     rng = np.random.RandomState(seed)
     centroids = sample[rng.choice(len(sample), size=min(num_cells, len(sample)), replace=False)]
