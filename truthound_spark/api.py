@@ -65,7 +65,8 @@ def check(
     if isinstance(result_format, str):
         result_format = ResultFormat[result_format.upper()]
     vs = resolve(validators) if validators is not None else _auto_suite(df)
-    if cache or result_format >= ResultFormat.BASIC:
+    cached = cache or result_format >= ResultFormat.BASIC
+    if cached:
         df = df.cache()
 
     # split: spec-compiled validators run fused; the rest run standalone
@@ -74,25 +75,31 @@ def check(
     spec_validators = [v for v in vs if type(v).validate is _V.validate]
     other_validators = [v for v in vs if type(v).validate is not _V.validate]
 
-    executor = BatchExpressionExecutor(spec_validators, result_format=result_format)
-    issues, stats = executor.execute_with_stats(df)
-    for v in other_validators:
-        try:
-            issues.extend(v.validate(df, row_count=stats["row_count"]))
-        except Exception as exc:
-            from truthound_spark.core.results import ValidationIssue
+    try:
+        executor = BatchExpressionExecutor(spec_validators, result_format=result_format)
+        issues, stats = executor.execute_with_stats(df)
+        for v in other_validators:
+            try:
+                issues.extend(v.validate(df, row_count=stats["row_count"]))
+            except Exception as exc:
+                from truthound_spark.core.results import ValidationIssue
 
-            issues.append(
-                ValidationIssue(
-                    column=None,
-                    issue_type="execution_error",
-                    count=0,
-                    severity=Severity.HIGH,
-                    validator_name=getattr(v, "name", type(v).__name__),
-                    details=str(exc),
-                    exception_info={"type": type(exc).__name__, "message": str(exc)},
+                issues.append(
+                    ValidationIssue(
+                        column=None,
+                        issue_type="execution_error",
+                        count=0,
+                        severity=Severity.HIGH,
+                        validator_name=getattr(v, "name", type(v).__name__),
+                        details=str(exc),
+                        exception_info={"type": type(exc).__name__, "message": str(exc)},
+                    )
                 )
-            )
+    finally:
+        if cached:
+            # evidence phases are done — release cached partitions so
+            # repeated check() calls don't leak storage in long sessions
+            df.unpersist(blocking=True)
 
     if min_severity is not None:
         issues = [i for i in issues if i.severity >= min_severity or i.issue_type == "execution_error"]

@@ -66,11 +66,20 @@ class BatchExpressionExecutor:
                     )
                 )
 
-        # Phase 1: ONE fused aggregation job for the whole suite.
+        # Phase 1: ONE fused aggregation job for the whole suite. If any
+        # single spec poisons Spark analysis/execution (e.g. a validator
+        # referencing a dropped column), fall back to per-spec jobs so one
+        # bad check cannot crash the suite (reference exception isolation:
+        # base.py:426-548).
         agg_cols = [F.count(F.lit(1)).cast("long").alias("__row_count")]
         for prefix, spec in compiled:
             agg_cols.extend(spec.agg_columns(prefix))
-        row = df.agg(*agg_cols).collect()[0].asDict()
+        try:
+            row = df.agg(*agg_cols).collect()[0].asDict()
+        except Exception:
+            row, spec_errors = self._execute_isolated(df, compiled)
+            exec_issues.extend(spec_errors)
+            compiled = [(p, s) for p, s in compiled if f"{p}__err" not in row]
         row_count = int(row["__row_count"])
 
         issues: list[ValidationIssue] = list(exec_issues)
@@ -91,6 +100,41 @@ class BatchExpressionExecutor:
                 except Exception:  # evidence is best-effort
                     pass
         return issues, {"row_count": row_count, "checks": len(compiled)}
+
+    def _execute_isolated(
+        self, df: DataFrame, compiled: list[tuple[str, ExpressionSpec]]
+    ) -> tuple[dict[str, Any], list[ValidationIssue]]:
+        """Per-spec fallback: run each spec's aggregates as its own job,
+        converting individual failures into execution_error issues."""
+        row: dict[str, Any] = {
+            "__row_count": int(
+                df.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+            )
+        }
+        errors: list[ValidationIssue] = []
+        for prefix, spec in compiled:
+            cols = spec.agg_columns(prefix)
+            if not cols:
+                continue
+            try:
+                row.update(df.agg(*cols).collect()[0].asDict())
+            except Exception as exc:
+                row[f"{prefix}__err"] = True
+                errors.append(
+                    ValidationIssue(
+                        column=spec.column,
+                        issue_type="execution_error",
+                        count=0,
+                        severity=Severity.HIGH,
+                        validator_name=spec.name,
+                        details=f"spec execution failed: {exc}",
+                        exception_info={
+                            "type": type(exc).__name__,
+                            "message": str(exc)[:500],
+                        },
+                    )
+                )
+        return row, errors
 
     def _enrich(self, df: DataFrame, spec: ExpressionSpec, issue: ValidationIssue) -> None:
         pred = spec.filter_expr

@@ -17,7 +17,10 @@ def register_validator(name: str, category: str = "core") -> Callable[[type], ty
     def deco(cls: type) -> type:
         _REGISTRY[name] = cls
         _CATEGORIES.setdefault(category, set()).add(name)
-        cls.name = getattr(cls, "name", name) or name
+        # Only keep an explicitly-declared class name; the inherited
+        # Validator.name ("validator") must not mask the registered name.
+        if "name" not in cls.__dict__:
+            cls.name = name
         cls.category = category
         return cls
 

@@ -280,6 +280,13 @@ def simhash_near_duplicates(
     pigeonhole blocking: any pair within distance 3 agrees on ≥1 of 4
     16-bit segments → join only within segment buckets (linear candidates),
     verify with bit_count(xor) — all JVM-side after the signature."""
+    if max_hamming > 3:
+        # 4 segments only guarantee a shared block for distance ≤ 3; beyond
+        # that pairs differing one bit per segment would be silently missed.
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-segment pigeonhole "
+            "guarantee (≤ 3); use more segments for larger radii"
+        )
     sigs = simhash(df, text_col, id_col)
     seg = sigs.select(
         "id",

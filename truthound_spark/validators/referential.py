@@ -177,31 +177,57 @@ class CircularReferenceValidator(Validator):
             .filter(F.col("dst").isNotNull())
             .dropDuplicates()
         )
-        # pointer-doubling transitive reachability: reach(src → dst)
-        reach = edges
+        # TRUE pointer doubling: reach_{k+1} = reach_k ∪ (reach_k ∘ reach_k),
+        # so after k rounds reach covers all paths of length ≤ 2^k — cycles up
+        # to length 2^max_iterations are found (vs one-hop growth, which
+        # silently misses cycles longer than the round budget). Each round is
+        # localCheckpoint()ed: without it the union/dropDuplicates lineage
+        # doubles per round and Spark recomputes the whole chain at every
+        # count — quadratic recompute, a scale-killer.
+        reach = edges.localCheckpoint(eager=True)
+        size = reach.count()
         cyclic_nodes: set = set()
+        converged = False
         for _ in range(self.max_iterations):
             hits = reach.filter(F.col("src") == F.col("dst")).select("src").limit(10000).collect()
             if hits:
                 cyclic_nodes.update(r["src"] for r in hits)
                 break
-            nxt = (
+            doubled = (
                 reach.alias("a")
-                .join(edges.alias("b"), F.col("a.dst") == F.col("b.src"))
+                .join(reach.alias("b"), F.col("a.dst") == F.col("b.src"))
                 .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
-                .dropDuplicates()
             )
-            # fixed point: no growth → no cycles reachable
-            new_reach = reach.union(nxt).dropDuplicates()
-            if new_reach.count() == reach.count():
-                reach = new_reach
-                break
+            new_reach = reach.union(doubled).dropDuplicates().localCheckpoint(eager=True)
+            new_size = new_reach.count()
             reach = new_reach
-        else:
+            if new_size == size:  # fixed point: full transitive closure built
+                converged = True
+                break
+            size = new_size
+        if not cyclic_nodes:
             hits = reach.filter(F.col("src") == F.col("dst")).select("src").limit(10000).collect()
             cyclic_nodes.update(r["src"] for r in hits)
         if not cyclic_nodes:
-            return []
+            if converged:
+                return []
+            # budget exhausted before the closure converged: report
+            # inconclusive instead of a silent (possibly wrong) "acyclic"
+            return [
+                ValidationIssue(
+                    column=self.id_column,
+                    issue_type="circular_reference_inconclusive",
+                    count=0,
+                    severity=Severity.LOW,
+                    validator_name="circular_reference",
+                    expected="acyclic hierarchy",
+                    actual=None,
+                    details=(
+                        f"no cycle found within {self.max_iterations} doubling rounds "
+                        f"(paths ≤ 2^{self.max_iterations}); closure not converged — inconclusive"
+                    ),
+                )
+            ]
         return [
             ValidationIssue(
                 column=self.id_column,
