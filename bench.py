@@ -1,0 +1,196 @@
+"""Benchmark harness: headline engine workloads at $SPARK_GRAFT_SF_DIR.
+
+Reproduces the BASELINE.md workload shapes (null / unique / range / schema /
+mixed fused suite) at scale factor 0.1 plus the pipeline/drift/join headline
+operators, on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": "suite_seconds", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def make_spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("truthound_spark_bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def bench_one(name, fn, timings):
+    t0 = time.time()
+    fn()
+    timings[name] = round(time.time() - t0, 4)
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from truthound_spark.core.executor import BatchExpressionExecutor
+    from truthound_spark.entry_queries import load_events
+    from truthound_spark.validators.completeness import NullValidator
+    from truthound_spark.validators.distribution import RangeValidator
+    from truthound_spark.validators.uniqueness import UniqueValidator
+
+    spark = make_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    embeddings = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    events = load_events(spark, SF_DIR)
+
+    timings: dict[str, float] = {}
+    t_start = time.time()
+
+    # --- BASELINE.md workload shapes -----------------------------------
+    # local-null: not_null over every lineitem column (fused single agg)
+    bench_one(
+        "null_suite",
+        lambda: BatchExpressionExecutor([NullValidator()]).execute(lineitem),
+        timings,
+    )
+    # local-unique
+    bench_one(
+        "unique_orderkey",
+        lambda: BatchExpressionExecutor([UniqueValidator(columns=["o_orderkey"])]).execute(
+            orders
+        ),
+        timings,
+    )
+    # local-range
+    bench_one(
+        "range_quantity",
+        lambda: BatchExpressionExecutor(
+            [RangeValidator("l_quantity", 1, 30)]
+        ).execute(lineitem),
+        timings,
+    )
+    # local-schema: learn a baseline then validate a frame against it
+    def schema_check():
+        from truthound_spark.schema import learn, validate_against
+
+        sch = learn(customer.limit(2000))
+        validate_against(customer, sch)
+
+    bench_one("schema_learn_validate", schema_check, timings)
+
+    # local-mixed-core-suite: null + unique + range in ONE fused agg
+    bench_one(
+        "mixed_core_suite",
+        lambda: BatchExpressionExecutor(
+            [
+                NullValidator(columns=["l_quantity", "l_extendedprice"]),
+                UniqueValidator(columns=["l_orderkey"]),
+                RangeValidator("l_quantity", 1, 30),
+            ]
+        ).execute(lineitem),
+        timings,
+    )
+
+    # --- headline engine/pipeline operators ----------------------------
+    def q1():
+        (
+            lineitem.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("l_quantity").alias("sq"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sd"),
+                F.avg("l_discount").alias("ad"),
+            )
+            .collect()
+        )
+
+    bench_one("q1_pricing_summary", q1, timings)
+
+    bench_one(
+        "fk_orphans_join",
+        lambda: lineitem.join(
+            orders.select("o_orderkey").dropDuplicates(),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        ).count(),
+        timings,
+    )
+
+    def drift():
+        from truthound_spark.drift.detectors import psi
+
+        base = events.filter(F.col("event_id") % 2 == 0)
+        cur = events.filter(F.col("event_id") % 2 == 1)
+        psi(base, cur, "value")
+
+    bench_one("psi_drift_events", drift, timings)
+
+    bench_one(
+        "tumbling_windows_events",
+        lambda: events.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("a"))
+        .collect(),
+        timings,
+    )
+
+    def minhash():
+        from truthound_spark.pipeline.dedup import minhash_dedup_pairs
+
+        minhash_dedup_pairs(documents, threshold=0.7, num_hashes=64, bands=32).count()
+
+    bench_one("minhash_dedup_documents", minhash, timings)
+
+    def topk():
+        from truthound_spark.pipeline.similarity import brute_force_topk
+
+        q = embeddings.filter(F.col("vec_id") < 8)
+        brute_force_topk(embeddings, q, k=10).count()
+
+    bench_one("embedding_topk", topk, timings)
+
+    def text_quality():
+        from truthound_spark.pipeline.text import quality_score
+
+        quality_score(documents, "text").agg(F.avg("quality_score")).collect()
+
+    bench_one("text_quality_documents", text_quality, timings)
+
+    total = round(time.time() - t_start, 4)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

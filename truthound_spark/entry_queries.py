@@ -1988,3 +1988,207 @@ def q_learn_schema_customer(spark, sf_dir):
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("column_name")
+
+
+# ===========================================================================
+# §2.3 graph: hierarchy depth + cycle detection (derived edge tables)
+# ===========================================================================
+
+
+@register(
+    "hierarchy_depth_derived",
+    """
+    WITH RECURSIVE e AS (
+      SELECT c_custkey AS id,
+             CASE WHEN c_custkey = 0 THEN NULL ELSE CAST((c_custkey - 1) / 2 AS BIGINT) END AS parent
+      FROM customer
+    ),
+    walk(id, depth) AS (
+      SELECT id, 0 FROM e WHERE parent IS NULL
+      UNION ALL
+      SELECT e.id, w.depth + 1 FROM e JOIN walk w ON e.parent = w.id
+    )
+    SELECT CAST(MAX(depth) AS BIGINT) AS max_depth,
+           CAST(COUNT(*) AS BIGINT) AS reachable_nodes,
+           CAST(SUM(CASE WHEN depth > 8 THEN 1 ELSE 0 END) AS BIGINT) AS nodes_deeper_than_8
+    FROM walk
+    """,
+)
+def q_hierarchy_depth_derived(spark, sf_dir):
+    """Hierarchy depth via iterative BFS joins (referential/circular.py:290;
+    engine HierarchyDepthValidator plan shape) over a derived binary-tree
+    edge table (parent = (id-1)//2)."""
+    df = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_custkey") == 0, F.lit(None).cast("long"))
+        .otherwise(F.floor((F.col("c_custkey") - 1) / 2).cast("long"))
+        .alias("parent"),
+    )
+    edges = df.localCheckpoint(eager=True)
+    frontier = edges.filter(F.col("parent").isNull()).select("id").withColumn(
+        "depth", F.lit(0)
+    )
+    all_levels = frontier
+    depth = 0
+    while True:
+        nxt = (
+            edges.join(
+                F.broadcast(frontier.select(F.col("id").alias("parent"))), on="parent"
+            )
+            .select("id")
+            .withColumn("depth", F.lit(depth + 1))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        depth += 1
+        all_levels = all_levels.unionAll(nxt)
+        frontier = nxt
+        if depth > 40:  # safety bound
+            break
+    return all_levels.agg(
+        F.max("depth").cast("long").alias("max_depth"),
+        F.count(F.lit(1)).cast("long").alias("reachable_nodes"),
+        F.sum(F.when(F.col("depth") > 8, 1).otherwise(0))
+        .cast("long")
+        .alias("nodes_deeper_than_8"),
+    )
+
+
+@register(
+    "circular_reference_derived",
+    """
+    WITH RECURSIVE e AS (
+      SELECT n_nationkey AS id, (n_nationkey + 1) % 25 AS parent FROM nation
+    ),
+    walk(start, node, steps) AS (
+      SELECT id, parent, 1 FROM e
+      UNION ALL
+      SELECT w.start, e.parent, w.steps + 1
+      FROM walk w JOIN e ON e.id = w.node
+      WHERE w.steps < 30 AND w.node <> w.start
+    )
+    SELECT CAST(COUNT(DISTINCT start) AS BIGINT) AS nodes_in_cycles
+    FROM walk WHERE node = start
+    """,
+)
+def q_circular_reference_derived(spark, sf_dir):
+    """Cycle detection by pointer doubling (engine
+    CircularReferenceValidator; reference referential/circular.py:24) over a
+    derived 25-node ring (parent = (id+1) mod 25)."""
+    from truthound_spark.validators.referential import CircularReferenceValidator
+
+    df = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("id"),
+        ((F.col("n_nationkey") + 1) % 25).alias("parent"),
+    )
+    issues = CircularReferenceValidator("id", "parent", max_iterations=8).validate(df)
+    n = issues[0].count if issues and issues[0].issue_type == "circular_reference" else 0
+    return _scalar_df(spark, nodes_in_cycles=n)
+
+
+# ===========================================================================
+# §4.4 SQL pushdown (the sqlite-*/duckdb-* BASELINE workload shapes)
+# ===========================================================================
+
+
+@register(
+    "pushdown_null_counts",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count
+    FROM orders
+    """,
+)
+def q_pushdown_null_counts(spark, sf_dir):
+    """SQL pushdown null-count (reference pushdown_support.py:448-465):
+    the generated SQL executes IN the database (DuckDB over the same
+    parquet); only scalars cross the boundary."""
+    from truthound_spark.sources import DuckDBSource
+
+    src = DuckDBSource()
+    src.register_parquet("orders", f"{sf_dir}/orders.parquet")
+    m = src.null_count("orders", "o_totalprice")
+    src.close()
+    return _scalar_df(spark, row_count=m["row_count"], null_count=m["null_count"])
+
+
+@register(
+    "pushdown_unique_counts",
+    """
+    SELECT CAST(COUNT(c_custkey) AS BIGINT) AS non_null_count,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS distinct_count
+    FROM customer
+    """,
+)
+def q_pushdown_unique_counts(spark, sf_dir):
+    """SQL pushdown distinct-count (pushdown_support.py:487-508)."""
+    from truthound_spark.sources import DuckDBSource
+
+    src = DuckDBSource()
+    src.register_parquet("customer", f"{sf_dir}/customer.parquet")
+    m = src.distinct_count("customer", "c_custkey")
+    src.close()
+    return _scalar_df(
+        spark, non_null_count=m["non_null_count"], distinct_count=m["distinct_count"]
+    )
+
+
+@register(
+    "pushdown_range_stats",
+    """
+    SELECT ROUND(MIN(l_quantity), 4) AS min_value, ROUND(MAX(l_quantity), 4) AS max_value,
+           CAST(SUM(CASE WHEN (l_quantity < 1 OR l_quantity > 30) AND l_quantity IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS out_of_range_count,
+           CAST(COUNT(l_quantity) AS BIGINT) AS non_null_count
+    FROM lineitem
+    """,
+)
+def q_pushdown_range_stats(spark, sf_dir):
+    """SQL pushdown MIN/MAX + out-of-range count (pushdown_support.py:530-547)."""
+    from truthound_spark.sources import DuckDBSource
+
+    src = DuckDBSource()
+    src.register_parquet("lineitem", f"{sf_dir}/lineitem.parquet")
+    m = src.range_stats("lineitem", "l_quantity", 1, 30)
+    src.close()
+    return _scalar_df(
+        spark,
+        min_value=round(float(m["min_value"]), 4),
+        max_value=round(float(m["max_value"]), 4),
+        out_of_range_count=int(m["out_of_range_count"] or 0),
+        non_null_count=int(m["non_null_count"] or 0),
+    )
+
+
+# ===========================================================================
+# sliding windows
+# ===========================================================================
+
+
+@register(
+    "sliding_window_counts_events",
+    f"""
+    WITH {EV},
+    starts AS (
+      SELECT epoch(date_trunc('hour', ts)) AS s FROM ev
+      UNION ALL
+      SELECT epoch(date_trunc('hour', ts - INTERVAL 30 MINUTE)) + 1800 FROM ev
+    )
+    SELECT CAST(s AS BIGINT) AS window_start, CAST(COUNT(*) AS BIGINT) AS n
+    FROM starts GROUP BY s ORDER BY s
+    """,
+)
+def q_sliding_window_counts_events(spark, sf_dir):
+    """Sliding windows 1h/30min (F.window(ts, '1 hour', '30 minutes');
+    realtime/processing/windows.py sliding semantics) — each event lands in
+    exactly two windows."""
+    df = t(spark, sf_dir, "events")
+    return (
+        df.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"), "n"
+        )
+        .orderBy("window_start")
+    )

@@ -91,16 +91,45 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(col: Column, num_hashes: int = 64, shingle_n: int = 3) -> Column:
-    """MinHash signature as array<bigint>.
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature columns h0..h{k-1} (bigint).
 
-    hash_i(shingle) = xxhash64(i || '#' || shingle) — k independent hash
-    families via seed-prefixing; min over the shingle set per family. All
-    JVM-side (xxhash64 + array_min under codegen)."""
+    Plan shape: explode distinct shingles ONCE, hash each shingle k times
+    with seed-mixed JVM xxhash64 (``xxhash64(lit(i), shingle)`` — k
+    independent families, no Python), then ONE groupBy(id) computing k
+    ``min`` aggregates (map-side partial agg).
+
+    Deliberately NOT a single giant nested-array expression: inlining k
+    ``array_min(transform(...))`` macros gets re-expanded by Catalyst's
+    projection collapse into every downstream band expression (k×bands
+    copies of the shingle pipeline), which explodes analysis/codegen time
+    long before data size matters. The exploded+aggregated form keeps the
+    expression tree linear in k and scales to any corpus."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("g"),
+    )
+    return sh.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}") for i in range(num_hashes)]
+    )
+
+
+def minhash_signature(col: Column, num_hashes: int = 64, shingle_n: int = 3) -> Column:
+    """MinHash signature as a single array<bigint> Column (expression form).
+
+    Kept for column-level composition on SMALL frames; prefer
+    ``minhash_signatures`` (DataFrame form) in pipelines — see its
+    docstring for why the inline macro form must not feed LSH banding."""
     sh = word_shingles(col, shingle_n)
     return F.array(
         *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}#"), s))))
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
             for i in range(num_hashes)
         ]
     )
@@ -119,12 +148,13 @@ def minhash_lsh_candidates(
     bands b × rows r (= num_hashes/b): docs agreeing on ALL r minhashes in
     any band land in the same bucket → pair. Collision prob ≈ 1-(1-s^r)^b.
     Returns (id_a, id_b) with id_a < id_b, distinct across bands.
+
+    The signature table is aggregated (a real shuffle barrier), so band
+    bucket hashes are cheap column refs — Catalyst cannot re-inline the
+    shingle pipeline into them.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
-    )
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     band_entries = sig.select(
         "id",
         F.explode(
@@ -133,7 +163,13 @@ def minhash_lsh_candidates(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(",", *[F.col("sig")[b * rows_per_band + r].cast("string") for r in range(rows_per_band)])
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"h{b * rows_per_band + r}").cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
                         ).alias("bucket"),
                     )
                     for b in range(bands)
