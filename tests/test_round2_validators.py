@@ -1,0 +1,266 @@
+"""Unit tests for round-2 validator additions (reference test style:
+tiny inline frames with hand-countable defects, tests/test_validators.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- completeness ----------------------------------------------------------
+
+
+def test_nan_ratio_and_finite(spark):
+    from truthound_spark.validators.completeness import FiniteValidator, NaNRatioValidator
+
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (float("inf"),), (4.0,)], ["x"]
+    )
+    issues = NaNRatioValidator(max_ratio=0.1).validate(df)
+    assert issues and issues[0].count == 1  # 1 NaN of 4 = 25% > 10%
+    issues = FiniteValidator().validate(df)
+    assert issues[0].count == 2  # NaN + inf
+
+
+# --- distribution pair sets ------------------------------------------------
+
+
+def test_column_pair_in_set(spark):
+    from truthound_spark.validators.distribution import (
+        ColumnPairInSetValidator,
+        ColumnPairNotInSetValidator,
+    )
+
+    df = spark.createDataFrame(
+        [("US", "USD"), ("KR", "KRW"), ("US", "KRW")], ["country", "currency"]
+    )
+    issues = ColumnPairInSetValidator(
+        "country", "currency", [("US", "USD"), ("KR", "KRW")]
+    ).validate(df)
+    assert issues[0].count == 1
+    issues = ColumnPairNotInSetValidator(
+        "country", "currency", [("US", "KRW")]
+    ).validate(df)
+    assert issues[0].count == 1
+
+
+# --- string ----------------------------------------------------------------
+
+
+def test_not_match_regex_list(spark):
+    from truthound_spark.validators.string import NotMatchRegexListValidator
+
+    df = spark.createDataFrame([("secret-key",), ("ok",), ("password123",)], ["s"])
+    issues = NotMatchRegexListValidator("s", ["secret", "password"]).validate(df)
+    assert issues[0].count == 2
+
+
+def test_ipv6_and_alphanumeric(spark):
+    from truthound_spark.validators.string import AlphanumericValidator, Ipv6Validator
+
+    df = spark.createDataFrame(
+        [("2001:0db8:85a3:0000:0000:8a2e:0370:7334",), ("not-ipv6",)], ["ip"]
+    )
+    assert Ipv6Validator("ip").validate(df)[0].count == 1
+    df2 = spark.createDataFrame([("abc123",), ("no spaces!",)], ["s"])
+    assert AlphanumericValidator("s").validate(df2)[0].count == 1
+
+
+def test_json_schema(spark):
+    from truthound_spark.validators.string import JsonSchemaValidator
+
+    df = spark.createDataFrame(
+        [
+            ('{"k": 1, "name": "a"}',),
+            ('{"name": "b"}',),          # missing required k
+            ('{"k": "oops", "name": 3}',),  # k not a number
+            ("not json",),
+        ],
+        ["j"],
+    )
+    schema = {"required": ["k"], "properties": {"k": {"type": "number"}}}
+    issues = JsonSchemaValidator("j", schema).validate(df)
+    assert issues[0].count == 3
+
+
+# --- business / localization ----------------------------------------------
+
+
+def test_vat_swift(spark):
+    from truthound_spark.validators.business import SwiftBicValidator, VatValidator
+
+    df = spark.createDataFrame([("DE123456789",), ("XX1",)], ["vat"])
+    assert VatValidator("vat").validate(df)[0].count == 1
+    df2 = spark.createDataFrame([("DEUTDEFF",), ("DEUTDEFF500",), ("bad",)], ["bic"])
+    assert SwiftBicValidator("bic").validate(df2)[0].count == 1
+
+
+def test_japanese_postal_and_chinese_id(spark):
+    from truthound_spark.validators.business import (
+        ChineseIdValidator,
+        JapanesePostalValidator,
+    )
+
+    df = spark.createDataFrame([("123-4567",), ("1234567",)], ["postal"])
+    assert JapanesePostalValidator("postal").validate(df)[0].count == 1
+
+    # 11010519491231002X is the canonical valid example ID
+    df2 = spark.createDataFrame(
+        [("11010519491231002X",), ("110105194912310021",)], ["cid"]
+    )
+    issues = ChineseIdValidator("cid").validate(df2)
+    assert issues[0].count == 1
+
+
+# --- timeseries trend / seasonality ---------------------------------------
+
+
+def test_trend_slope(spark):
+    import datetime as dt
+
+    from truthound_spark.validators.timeseries import TrendValidator
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(base + dt.timedelta(seconds=i), float(2 * i)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["ts", "y"])
+    # slope is 2/s — require <= 1/s to trigger
+    issues = TrendValidator("y", "ts", max_slope=1.0).validate(df)
+    assert issues and abs(issues[0].actual - 2.0) < 1e-6
+    assert TrendValidator("y", "ts", max_slope=3.0).validate(df) == []
+
+
+def test_seasonality_deviation(spark):
+    import datetime as dt
+
+    from truthound_spark.validators.timeseries import SeasonalityValidator
+
+    rows = []
+    for day in range(28):
+        d = dt.datetime(2024, 1, 1 + day)
+        v = 100.0 if d.weekday() == 6 else 10.0  # sundays spike
+        rows.append((d, v))
+    df = spark.createDataFrame(rows, ["ts", "y"])
+    issues = SeasonalityValidator("y", "ts", part="dayofweek").validate(df)
+    assert issues and issues[0].count >= 1
+
+
+# --- ml_feature ------------------------------------------------------------
+
+
+def test_target_leakage(spark):
+    from truthound_spark.validators.ml_feature import TargetLeakageValidator
+
+    rows = [(float(i), float(i) * 2.0, float(i % 7)) for i in range(50)]
+    df = spark.createDataFrame(rows, ["target", "leaky", "ok"])
+    issues = TargetLeakageValidator("target").validate(df)
+    assert issues and issues[0].actual[0]["column"] == "leaky"
+
+
+def test_feature_scale_and_corr_matrix(spark):
+    from truthound_spark.validators.ml_feature import (
+        FeatureCorrelationMatrixValidator,
+        FeatureScaleValidator,
+    )
+
+    rows = [(float(i), float(i) * 1e6, float(i * i % 13)) for i in range(60)]
+    df = spark.createDataFrame(rows, ["a", "b", "c"])
+    issues = FeatureScaleValidator(max_ratio=100).validate(df)
+    assert issues and "b" in issues[0].column
+    issues = FeatureCorrelationMatrixValidator(max_abs_corr=0.9).validate(df)
+    assert issues and issues[0].actual[0]["a"] == "a"
+
+
+def test_feature_null_impact(spark):
+    from truthound_spark.validators.ml_feature import FeatureNullImpactValidator
+
+    rows = []
+    for i in range(100):
+        f = None if i < 20 else float(i)
+        target = 100.0 if f is None else 1.0
+        rows.append((f, target))
+    df = spark.createDataFrame(rows, ["feat", "y"])
+    issues = FeatureNullImpactValidator("y", min_null_count=5).validate(df)
+    assert issues and issues[0].column == "feat"
+
+
+# --- query family ----------------------------------------------------------
+
+
+def test_query_family(spark):
+    from truthound_spark.validators.query import (
+        QueryAggregateCompareValidator,
+        QueryAggregateValidator,
+        QueryColumnNotNullValidator,
+        QueryColumnUniqueValidator,
+        QueryColumnValuesValidator,
+        QueryMatchesValidator,
+        QueryReturnsRowsValidator,
+        QueryRowCountCompareValidator,
+        QueryRowCountRatioValidator,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (2, None, 30.0)], ["id", "tag", "v"]
+    )
+    assert QueryReturnsRowsValidator("SELECT * FROM data").validate(df) == []
+    assert QueryReturnsRowsValidator("SELECT * FROM data WHERE id > 99").validate(df)
+
+    assert (
+        QueryMatchesValidator(
+            "SELECT id FROM data WHERE v > 15 ORDER BY id", [(2,), (2,)]
+        ).validate(df)
+        == []
+    )
+    assert QueryRowCountRatioValidator(
+        "SELECT * FROM data WHERE v > 15", 0.0, 0.5
+    ).validate(df)  # 2/3 > 0.5 → issue
+    assert (
+        QueryRowCountCompareValidator(
+            "SELECT * FROM data WHERE v > 15", "SELECT * FROM data WHERE id = 2", "=="
+        ).validate(df)
+        == []
+    )
+    assert QueryColumnValuesValidator("SELECT tag FROM data", ["a"]).validate(df)[0].count == 1
+    assert QueryColumnUniqueValidator("SELECT id FROM data").validate(df)[0].count == 1
+    assert QueryColumnNotNullValidator("SELECT tag FROM data").validate(df)[0].count == 1
+    assert (
+        QueryAggregateValidator("SELECT v FROM data", "sum", 50, 70).validate(df) == []
+    )
+    assert (
+        QueryAggregateCompareValidator(
+            "SELECT v FROM data WHERE id = 2",
+            "SELECT v FROM data WHERE id = 2",
+            "sum",
+        ).validate(df)
+        == []
+    )
+
+
+# --- drift validators (registered) ----------------------------------------
+
+
+def test_registered_drift_validators(spark):
+    from truthound_spark.drift.validators import (
+        FeatureDriftValidator,
+        MeanDriftValidator,
+        QuantileDriftValidator,
+        RangeDriftValidator,
+    )
+
+    base = spark.createDataFrame([(float(i),) for i in range(100)], ["x"])
+    shifted = spark.createDataFrame([(float(i) + 200,) for i in range(100)], ["x"])
+    assert MeanDriftValidator(base).validate(shifted)
+    assert MeanDriftValidator(base).validate(base) == []
+    assert QuantileDriftValidator(base).validate(shifted)
+    assert RangeDriftValidator(base, threshold=0.1).validate(base) == []
+    issues = FeatureDriftValidator(base, method="psi").validate(shifted)
+    assert issues and issues[0].issue_type == "psi_drift"
+
+
+def test_check_reaches_drift_by_name(spark):
+    """th.check(..., validators=[PSIValidator(baseline)]) path works."""
+    from truthound_spark import api
+    from truthound_spark.drift.validators import PSIValidator
+
+    base = spark.createDataFrame([(float(i),) for i in range(50)], ["x"])
+    cur = spark.createDataFrame([(float(i) + 500,) for i in range(50)], ["x"])
+    res = api.check(cur, validators=[PSIValidator(base)])
+    assert any(i.issue_type == "psi_drift" for i in res.issues)

@@ -15,6 +15,7 @@ from truthound_spark.validators import (  # noqa: F401
     datetime_checks,
     distribution,
     geospatial,
+    ml_feature,
     multi_column,
     profiling,
     query,
@@ -23,6 +24,7 @@ from truthound_spark.validators import (  # noqa: F401
     timeseries,
     uniqueness,
 )
+from truthound_spark.drift import validators as drift_validators  # noqa: F401 (registration)
 from truthound_spark.core.registry import (  # noqa: F401
     get_validator,
     list_categories,

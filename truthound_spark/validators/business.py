@@ -270,3 +270,221 @@ class KoreanPhoneValidator(Validator):
                 expected="valid Korean phone number",
             )
         ]
+
+
+@register_validator("vat", category="business_rule")
+class VatValidator(Validator):
+    """EU VAT number structure (reference: business_rule/financial.py:189):
+    2-letter country code + country-specific digit pattern."""
+
+    PATTERNS = {
+        "DE": r"^DE[0-9]{9}$",
+        "FR": r"^FR[A-Z0-9]{2}[0-9]{9}$",
+        "GB": r"^GB([0-9]{9}|[0-9]{12})$",
+        "NL": r"^NL[0-9]{9}B[0-9]{2}$",
+        "IT": r"^IT[0-9]{11}$",
+        "ES": r"^ES[A-Z0-9][0-9]{7}[A-Z0-9]$",
+    }
+
+    def __init__(self, column: str, countries: list[str] | None = None) -> None:
+        self.column = column
+        self.countries = countries or list(self.PATTERNS)
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        col = F.col(self.column)
+        valid = F.lit(False)
+        for c in self.countries:
+            valid = valid | col.rlike(self.PATTERNS[c])
+        pred = ~valid & col.isNotNull()
+        return [
+            ExpressionSpec(
+                name="vat",
+                issue_type="invalid_vat",
+                column=self.column,
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(col),
+                filter_expr=pred,
+                expected=f"valid VAT ({'/'.join(self.countries)})",
+            )
+        ]
+
+
+@register_validator("swift_bic", category="business_rule")
+class SwiftBicValidator(Validator):
+    """SWIFT/BIC code: 4 bank + 2 country + 2 location + optional 3 branch
+    (reference: business_rule/financial.py:372)."""
+
+    PATTERN = r"^[A-Z]{4}[A-Z]{2}[A-Z0-9]{2}([A-Z0-9]{3})?$"
+
+    def __init__(self, column: str) -> None:
+        self.column = column
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        col = F.col(self.column)
+        pred = ~col.rlike(self.PATTERN) & col.isNotNull()
+        return [
+            ExpressionSpec(
+                name="swift_bic",
+                issue_type="invalid_swift_bic",
+                column=self.column,
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(col),
+                filter_expr=pred,
+                expected="valid SWIFT/BIC",
+            )
+        ]
+
+
+@register_validator("japanese_postal", category="localization")
+class JapanesePostalValidator(Validator):
+    """Japanese postal code NNN-NNNN (reference: localization/japanese.py:20)."""
+
+    def __init__(self, column: str) -> None:
+        self.column = column
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        col = F.col(self.column)
+        pred = ~col.rlike(r"^[0-9]{3}-[0-9]{4}$") & col.isNotNull()
+        return [
+            ExpressionSpec(
+                name="japanese_postal",
+                issue_type="invalid_jp_postal",
+                column=self.column,
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(col),
+                filter_expr=pred,
+                expected="NNN-NNNN",
+            )
+        ]
+
+
+@register_validator("japanese_mynumber", category="localization")
+class JapaneseMyNumberValidator(Validator):
+    """Japanese MyNumber: 12 digits + mod-11 check digit
+    (reference: localization/japanese.py:180). Check-digit arithmetic as a
+    pure SQL expression chain (weights 6..2,7..2 per spec)."""
+
+    def __init__(self, column: str) -> None:
+        self.column = column
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        c = self.column
+        # sum over first 11 digits (from the right, position n=1..11):
+        # weight = n<=6 ? n+1 : n-5; check = 11 - (sum % 11); >9 -> 0
+        weighted = F.expr(
+            f"""
+            aggregate(
+              zip_with(
+                slice(split(reverse(substring({c}, 1, 11)), ''), 1, 11),
+                sequence(1, 11),
+                (d, n) -> CASE WHEN d = '' THEN 0
+                               ELSE cast(d as int) * (CASE WHEN n <= 6 THEN n + 1 ELSE n - 5 END) END
+              ), 0, (acc, x) -> acc + x)
+            """
+        )
+        check = 11 - (weighted % 11)
+        check = F.when(check > 9, F.lit(0)).otherwise(check)
+        col = F.col(c)
+        structural = col.rlike(r"^[0-9]{12}$")
+        valid = structural & (F.substring(col, 12, 1).cast("int") == check)
+        pred = ~valid & col.isNotNull()
+        return [
+            ExpressionSpec(
+                name="japanese_mynumber",
+                issue_type="invalid_mynumber",
+                column=c,
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(col),
+                filter_expr=pred,
+                expected="12-digit MyNumber with valid check digit",
+            )
+        ]
+
+
+@register_validator("chinese_id", category="localization")
+class ChineseIdValidator(Validator):
+    """Chinese resident ID: 17 digits + mod-11 check char
+    (reference: localization/chinese.py:21). Weights 2^(18-i) mod 11;
+    checksum map 1,0,X,9..2 — all JVM-side expression math."""
+
+    _CHECK_CHARS = ["1", "0", "X", "9", "8", "7", "6", "5", "4", "3", "2"]
+    _WEIGHTS = [7, 9, 10, 5, 8, 4, 2, 1, 6, 3, 7, 9, 10, 5, 8, 4, 2]
+
+    def __init__(self, column: str) -> None:
+        self.column = column
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        c = self.column
+        col = F.col(c)
+        weights = ",".join(str(w) for w in self._WEIGHTS)
+        weighted = F.expr(
+            f"""
+            aggregate(
+              zip_with(
+                slice(split(substring({c}, 1, 17), ''), 1, 17),
+                array({weights}),
+                (d, w) -> CASE WHEN d = '' THEN 0 ELSE cast(d as int) * w END
+              ), 0, (acc, x) -> acc + x)
+            """
+        )
+        check_arr = F.array(*[F.lit(x) for x in self._CHECK_CHARS])
+        expected_check = F.element_at(check_arr, (weighted % 11) + 1)
+        structural = col.rlike(r"^[0-9]{17}[0-9Xx]$")
+        valid = structural & (F.upper(F.substring(col, 18, 1)) == expected_check)
+        pred = ~valid & col.isNotNull()
+        return [
+            ExpressionSpec(
+                name="chinese_id",
+                issue_type="invalid_chinese_id",
+                column=c,
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(col),
+                filter_expr=pred,
+                expected="18-char resident ID with valid checksum",
+            )
+        ]
+
+
+@register_validator("chinese_uscc", category="localization")
+class ChineseUsccValidator(Validator):
+    """Chinese Unified Social Credit Code: 18 chars, mod-31 check
+    (reference: localization/chinese.py:270)."""
+
+    _CHARSET = "0123456789ABCDEFGHJKLMNPQRTUWXY"
+    _WEIGHTS = [1, 3, 9, 27, 19, 26, 16, 17, 20, 29, 25, 13, 8, 24, 10, 30, 28]
+
+    def __init__(self, column: str) -> None:
+        self.column = column
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        c = self.column
+        col = F.col(c)
+        charset = self._CHARSET
+        weights = ",".join(str(w) for w in self._WEIGHTS)
+        # value of char = position in charset - 1 (instr is 1-based, 0 if absent)
+        weighted = F.expr(
+            f"""
+            aggregate(
+              zip_with(
+                slice(split(substring({c}, 1, 17), ''), 1, 17),
+                array({weights}),
+                (ch, w) -> (instr('{charset}', ch) - 1) * w
+              ), 0, (acc, x) -> acc + x)
+            """
+        )
+        check_idx = (31 - (weighted % 31)) % 31
+        expected_check = F.substring(F.lit(charset), 1, 31).substr(check_idx + 1, F.lit(1))
+        structural = col.rlike(r"^[0-9A-HJ-NP-RT-UW-Y]{18}$")
+        valid = structural & (F.substring(col, 18, 1) == expected_check)
+        pred = ~valid & col.isNotNull()
+        return [
+            ExpressionSpec(
+                name="chinese_uscc",
+                issue_type="invalid_uscc",
+                column=c,
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(col),
+                filter_expr=pred,
+                expected="18-char USCC with valid mod-31 checksum",
+            )
+        ]

@@ -254,3 +254,67 @@ class DefaultValueValidator(Validator):
                 )
             )
         return out
+
+
+@register_validator("not_nan", category="completeness")
+class NotNaNValidator(NaNValidator):
+    """Strict no-NaN variant (reference: completeness/nan.py:99)."""
+
+
+@register_validator("nan_ratio", category="completeness")
+class NaNRatioValidator(Validator):
+    """NaN ratio ≤ threshold (reference: completeness/nan.py:154)."""
+
+    def __init__(self, columns: list[str] | None = None, max_ratio: float = 0.0) -> None:
+        self.columns = columns
+        self.max_ratio = max_ratio
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        out = []
+        for c in self._target_columns(df, self.columns, FLOAT_TYPES):
+            pred = F.isnan(F.col(c))
+            mr = self.max_ratio
+
+            def judge(m: dict[str, Any], mr: float = mr) -> tuple[bool, Any, str]:
+                denom = m.get("denom") or 0
+                cnt = m.get("count") or 0
+                ratio = (cnt / denom) if denom else 0.0
+                return ratio <= mr, round(ratio, 6), f"NaN ratio {ratio:.4f} > {mr}"
+
+            out.append(
+                ExpressionSpec(
+                    name="nan_ratio",
+                    issue_type="nan_ratio_exceeded",
+                    column=c,
+                    count_expr=violation_count(pred),
+                    non_null_expr=F.count(F.lit(1)),
+                    filter_expr=pred,
+                    expected=f"NaN ratio <= {self.max_ratio}",
+                    judge=judge,
+                )
+            )
+        return out
+
+
+@register_validator("finite", category="completeness")
+class FiniteValidator(Validator):
+    """All float values finite: no NaN, no ±inf (reference: nan.py:291)."""
+
+    def __init__(self, columns: list[str] | None = None) -> None:
+        self.columns = columns
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        out = []
+        for c in self._target_columns(df, self.columns, FLOAT_TYPES):
+            pred = F.isnan(F.col(c)) | F.col(c).isin(float("inf"), float("-inf"))
+            out.append(
+                ExpressionSpec(
+                    name="finite",
+                    issue_type="non_finite_values",
+                    column=c,
+                    count_expr=violation_count(pred),
+                    filter_expr=pred,
+                    expected="finite values only",
+                )
+            )
+        return out

@@ -362,3 +362,61 @@ class IncreasingValidator(Validator):
 @register_validator("decreasing", category="distribution")
 class DecreasingValidator(IncreasingValidator):
     direction = "decreasing"
+
+
+@register_validator("column_pair_in_set", category="distribution")
+class ColumnPairInSetValidator(Validator):
+    """(a, b) value pair ∈ allowed set of pairs
+    (reference: schema/column_pair_set.py:13)."""
+
+    def __init__(self, column_a: str, column_b: str, allowed_pairs: list[tuple]) -> None:
+        self.column_a = column_a
+        self.column_b = column_b
+        self.allowed_pairs = [tuple(p) for p in allowed_pairs]
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        pair_ok = F.lit(False)
+        for a, b in self.allowed_pairs:
+            pair_ok = pair_ok | ((F.col(self.column_a) == F.lit(a)) & (F.col(self.column_b) == F.lit(b)))
+        pred = (
+            ~pair_ok
+            & F.col(self.column_a).isNotNull()
+            & F.col(self.column_b).isNotNull()
+        )
+        return [
+            ExpressionSpec(
+                name="column_pair_in_set",
+                issue_type="pair_not_in_set",
+                column=f"{self.column_a},{self.column_b}",
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(F.lit(1)),
+                filter_expr=pred,
+                expected=f"pairs ⊆ {self.allowed_pairs[:5]}...",
+            )
+        ]
+
+
+@register_validator("column_pair_not_in_set", category="distribution")
+class ColumnPairNotInSetValidator(Validator):
+    """(a, b) pair ∉ forbidden set (reference: schema/column_pair_set.py:119)."""
+
+    def __init__(self, column_a: str, column_b: str, forbidden_pairs: list[tuple]) -> None:
+        self.column_a = column_a
+        self.column_b = column_b
+        self.forbidden_pairs = [tuple(p) for p in forbidden_pairs]
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        pred = F.lit(False)
+        for a, b in self.forbidden_pairs:
+            pred = pred | ((F.col(self.column_a) == F.lit(a)) & (F.col(self.column_b) == F.lit(b)))
+        return [
+            ExpressionSpec(
+                name="column_pair_not_in_set",
+                issue_type="forbidden_pair",
+                column=f"{self.column_a},{self.column_b}",
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(F.lit(1)),
+                filter_expr=pred,
+                expected=f"no pairs in {self.forbidden_pairs[:5]}",
+            )
+        ]

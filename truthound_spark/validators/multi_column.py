@@ -163,3 +163,93 @@ class UniqueWithinRecordValidator(Validator):
                 expected=f"distinct values across {self.columns} per row",
             )
         ]
+
+
+@register_validator("multi_column_variance", category="multi_column")
+class MultiColumnVarianceValidator(Validator):
+    """Variance of each column within a shared band — scale-consistency
+    across features (reference: multi_column/statistical.py:213)."""
+
+    def __init__(
+        self,
+        columns: list[str],
+        min_variance: float | None = None,
+        max_variance: float | None = None,
+    ) -> None:
+        self.columns = columns
+        self.min_variance = min_variance
+        self.max_variance = max_variance
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        out = []
+        for c in self.columns:
+            lo, hi = self.min_variance, self.max_variance
+
+            def judge(m, lo=lo, hi=hi):
+                v = m.get("var")
+                ok = v is not None and (lo is None or v >= lo) and (hi is None or v <= hi)
+                return ok, v, f"variance {v} ∉ [{lo},{hi}]"
+
+            out.append(
+                ExpressionSpec(
+                    name="multi_column_variance",
+                    issue_type="variance_out_of_range",
+                    column=c,
+                    extra_exprs={"var": F.var_samp(F.col(c))},
+                    expected=f"variance in [{lo},{hi}]",
+                    judge=judge,
+                )
+            )
+        return out
+
+
+@register_validator("all_columns_unique_within_record", category="multi_column")
+class AllColumnsUniqueWithinRecordValidator(Validator):
+    """Every column value distinct within each row
+    (reference: uniqueness/within_record.py:409)."""
+
+    def __init__(self, columns: list[str] | None = None) -> None:
+        self.columns = columns
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        cols = self.columns or df.columns
+        arr = F.array(*[F.col(c).cast("string") for c in cols])
+        pred = F.size(F.array_distinct(arr)) < F.size(arr)
+        return [
+            ExpressionSpec(
+                name="all_columns_unique_within_record",
+                issue_type="intra_row_duplicates",
+                column=",".join(cols),
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(F.lit(1)),
+                filter_expr=pred,
+                expected="all values distinct within each row",
+            )
+        ]
+
+
+@register_validator("column_pair_unique", category="multi_column")
+class ColumnPairUniqueValidator(Validator):
+    """a ≠ b per row (reference: uniqueness/within_record.py:499)."""
+
+    def __init__(self, column_a: str, column_b: str) -> None:
+        self.column_a = column_a
+        self.column_b = column_b
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        pred = (
+            (F.col(self.column_a) == F.col(self.column_b))
+            & F.col(self.column_a).isNotNull()
+            & F.col(self.column_b).isNotNull()
+        )
+        return [
+            ExpressionSpec(
+                name="column_pair_unique",
+                issue_type="pair_values_equal",
+                column=f"{self.column_a},{self.column_b}",
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(F.lit(1)),
+                filter_expr=pred,
+                expected=f"{self.column_a} != {self.column_b} per row",
+            )
+        ]

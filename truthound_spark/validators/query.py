@@ -300,3 +300,296 @@ class QueryGroupAggregateValidator(Validator):
                 sample_values=[r.asDict() for r in bad.limit(10).collect()],
             )
         ]
+
+
+@register_validator("query_returns_rows", category="query")
+class QueryReturnsRowsValidator(_SQLBase):
+    """Query must return ≥1 row (reference: query/result.py:168)."""
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        if not self._run(df).limit(1).isEmpty():
+            return []
+        return [
+            ValidationIssue(
+                column=None,
+                issue_type="query_returned_no_rows",
+                count=0,
+                severity=Severity.HIGH,
+                validator_name="query_returns_rows",
+                expected=">= 1 row",
+                actual=0,
+                details="query returned no rows",
+            )
+        ]
+
+
+@register_validator("query_matches", category="query")
+class QueryMatchesValidator(_SQLBase):
+    """Query result must equal an expected list of rows, order-insensitive
+    (reference: query/result.py:230)."""
+
+    def __init__(self, query: str, expected_rows: list[tuple], view_name: str = "data") -> None:
+        super().__init__(query, view_name)
+        self.expected_rows = expected_rows
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        got = sorted(tuple(r) for r in self._run(df).limit(len(self.expected_rows) + 101).collect())
+        exp = sorted(tuple(r) for r in self.expected_rows)
+        if got == exp:
+            return []
+        return [
+            ValidationIssue(
+                column=None,
+                issue_type="query_result_mismatch",
+                count=abs(len(got) - len(exp)) or 1,
+                severity=Severity.HIGH,
+                validator_name="query_matches",
+                expected=exp[:10],
+                actual=got[:10],
+                details=f"query returned {len(got)} rows, expected {len(exp)}",
+            )
+        ]
+
+
+@register_validator("query_row_count_ratio", category="query")
+class QueryRowCountRatioValidator(_SQLBase):
+    """count(query) / count(data) within bounds (reference: query/row_count.py:104)."""
+
+    def __init__(
+        self,
+        query: str,
+        min_ratio: float = 0.0,
+        max_ratio: float = 1.0,
+        view_name: str = "data",
+    ) -> None:
+        super().__init__(query, view_name)
+        self.min_ratio = min_ratio
+        self.max_ratio = max_ratio
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        n = self._run(df).count()
+        total = row_count if row_count is not None else df.count()
+        ratio = n / total if total else 0.0
+        if self.min_ratio <= ratio <= self.max_ratio:
+            return []
+        return [
+            ValidationIssue(
+                column=None,
+                issue_type="query_row_count_ratio_out_of_range",
+                count=int(n),
+                severity=Severity.MEDIUM,
+                validator_name="query_row_count_ratio",
+                expected=f"ratio in [{self.min_ratio},{self.max_ratio}]",
+                actual=round(ratio, 6),
+                details=f"{n}/{total} rows = {ratio:.4f}",
+            )
+        ]
+
+
+@register_validator("query_row_count_compare", category="query")
+class QueryRowCountCompareValidator(_SQLBase):
+    """Row counts of two queries compared (reference: query/row_count.py:180)."""
+
+    OPS = {
+        "==": lambda a, b: a == b,
+        "<=": lambda a, b: a <= b,
+        ">=": lambda a, b: a >= b,
+        "<": lambda a, b: a < b,
+        ">": lambda a, b: a > b,
+    }
+
+    def __init__(self, query: str, other_query: str, op: str = "==", view_name: str = "data") -> None:
+        super().__init__(query, view_name)
+        check_sql_safety(other_query)
+        self.other_query = other_query
+        self.op = op
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        df.createOrReplaceTempView(self.view_name)
+        spark = df.sparkSession
+        a = spark.sql(self.query).count()
+        b = spark.sql(self.other_query).count()
+        if self.OPS[self.op](a, b):
+            return []
+        return [
+            ValidationIssue(
+                column=None,
+                issue_type="query_row_count_compare_failed",
+                count=int(abs(a - b)),
+                severity=Severity.MEDIUM,
+                validator_name="query_row_count_compare",
+                expected=f"count(q1) {self.op} count(q2)",
+                actual={"q1": int(a), "q2": int(b)},
+                details=f"{a} {self.op} {b} is false",
+            )
+        ]
+
+
+@register_validator("query_column_values", category="query")
+class QueryColumnValuesValidator(_SQLBase):
+    """First result column values ⊆ allowed set (reference: query/column.py:17)."""
+
+    def __init__(self, query: str, allowed: list[Any], view_name: str = "data") -> None:
+        super().__init__(query, view_name)
+        self.allowed = allowed
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        res = self._run(df)
+        col = res.columns[0]
+        bad = res.filter(~F.col(col).isin(self.allowed) & F.col(col).isNotNull())
+        n = bad.count()
+        if n == 0:
+            return []
+        return [
+            ValidationIssue(
+                column=col,
+                issue_type="query_column_unexpected_values",
+                count=int(n),
+                severity=Severity.MEDIUM,
+                validator_name="query_column_values",
+                expected=f"values ⊆ {self.allowed}",
+                actual=int(n),
+                details=f"{n} result values outside allowed set",
+                sample_values=[r[col] for r in bad.limit(10).collect()],
+            )
+        ]
+
+
+@register_validator("query_column_unique", category="query")
+class QueryColumnUniqueValidator(_SQLBase):
+    """First result column must be unique (reference: query/column.py:118)."""
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        res = self._run(df)
+        col = res.columns[0]
+        agg = res.agg(
+            (F.count(F.col(col)) - F.countDistinct(F.col(col))).alias("dups")
+        ).collect()[0]
+        dups = int(agg["dups"] or 0)
+        if dups == 0:
+            return []
+        return [
+            ValidationIssue(
+                column=col,
+                issue_type="query_column_duplicates",
+                count=dups,
+                severity=Severity.MEDIUM,
+                validator_name="query_column_unique",
+                expected="unique result column",
+                actual=dups,
+                details=f"{dups} duplicate values in query result",
+            )
+        ]
+
+
+@register_validator("query_column_not_null", category="query")
+class QueryColumnNotNullValidator(_SQLBase):
+    """First result column must contain no nulls (reference: query/column.py:188)."""
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        res = self._run(df)
+        col = res.columns[0]
+        n = res.filter(F.col(col).isNull()).count()
+        if n == 0:
+            return []
+        return [
+            ValidationIssue(
+                column=col,
+                issue_type="query_column_nulls",
+                count=int(n),
+                severity=Severity.MEDIUM,
+                validator_name="query_column_not_null",
+                expected="no nulls in result column",
+                actual=int(n),
+                details=f"{n} null values in query result",
+            )
+        ]
+
+
+@register_validator("query_aggregate", category="query")
+class QueryAggregateValidator(_SQLBase):
+    """Aggregate of the first result column within bounds
+    (reference: query/aggregate.py:17)."""
+
+    def __init__(
+        self,
+        query: str,
+        agg: str = "mean",
+        min_value: float | None = None,
+        max_value: float | None = None,
+        view_name: str = "data",
+    ) -> None:
+        super().__init__(query, view_name)
+        self.agg = agg
+        self.min_value = min_value
+        self.max_value = max_value
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        res = self._run(df)
+        col = res.columns[0]
+        fn = {"mean": F.mean, "sum": F.sum, "min": F.min, "max": F.max, "count": F.count}[self.agg]
+        v = res.agg(fn(F.col(col)).alias("v")).collect()[0]["v"]
+        ok = (
+            v is not None
+            and (self.min_value is None or v >= self.min_value)
+            and (self.max_value is None or v <= self.max_value)
+        )
+        if ok:
+            return []
+        return [
+            ValidationIssue(
+                column=col,
+                issue_type="query_aggregate_out_of_range",
+                count=1,
+                severity=Severity.MEDIUM,
+                validator_name="query_aggregate",
+                expected=f"{self.agg} in [{self.min_value},{self.max_value}]",
+                actual=v,
+                details=f"{self.agg}({col}) = {v}",
+            )
+        ]
+
+
+@register_validator("query_aggregate_compare", category="query")
+class QueryAggregateCompareValidator(_SQLBase):
+    """Aggregates of two queries compared within tolerance
+    (reference: query/aggregate.py:248)."""
+
+    def __init__(
+        self,
+        query: str,
+        other_query: str,
+        agg: str = "sum",
+        rel_tolerance: float = 0.0,
+        view_name: str = "data",
+    ) -> None:
+        super().__init__(query, view_name)
+        check_sql_safety(other_query)
+        self.other_query = other_query
+        self.agg = agg
+        self.rel_tolerance = rel_tolerance
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        df.createOrReplaceTempView(self.view_name)
+        spark = df.sparkSession
+        fn = {"mean": F.mean, "sum": F.sum, "min": F.min, "max": F.max, "count": F.count}[self.agg]
+        ra = spark.sql(self.query)
+        rb = spark.sql(self.other_query)
+        va = ra.agg(fn(F.col(ra.columns[0])).alias("v")).collect()[0]["v"]
+        vb = rb.agg(fn(F.col(rb.columns[0])).alias("v")).collect()[0]["v"]
+        if va is not None and vb is not None:
+            rel = abs(va - vb) / (abs(vb) + 1e-10)
+            if rel <= self.rel_tolerance:
+                return []
+        return [
+            ValidationIssue(
+                column=None,
+                issue_type="query_aggregate_compare_failed",
+                count=1,
+                severity=Severity.MEDIUM,
+                validator_name="query_aggregate_compare",
+                expected=f"|Δ{self.agg}| rel <= {self.rel_tolerance}",
+                actual={"q1": va, "q2": vb},
+                details=f"{self.agg}: {va} vs {vb}",
+            )
+        ]

@@ -356,3 +356,91 @@ class JsonParseableValidator(Validator):
                 expected="valid JSON",
             )
         ]
+
+
+@register_validator("not_match_regex_list", category="string")
+class NotMatchRegexListValidator(Validator):
+    """No value may match ANY forbidden pattern
+    (reference: string/regex_extended.py:312)."""
+
+    def __init__(self, column: str, patterns: list[str]) -> None:
+        for p in patterns:
+            check_redos(p)
+        self.column = column
+        self.patterns = patterns
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        col = F.col(self.column)
+        hit = F.lit(False)
+        for p in self.patterns:
+            hit = hit | col.rlike(p)
+        pred = hit & col.isNotNull()
+        return [
+            ExpressionSpec(
+                name="not_match_regex_list",
+                issue_type="forbidden_pattern_match",
+                column=self.column,
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(col),
+                filter_expr=pred,
+                expected=f"no match of {len(self.patterns)} forbidden patterns",
+            )
+        ]
+
+
+@register_validator("ipv6", category="string")
+class Ipv6Validator(_FormatValidator):
+    """reference: string/format.py:400"""
+
+    fmt = "ipv6"
+
+
+@register_validator("alphanumeric", category="string")
+class AlphanumericValidator(_FormatValidator):
+    """Charset check (reference: string/charset.py:17)."""
+
+    fmt = "alphanumeric"
+
+
+@register_validator("json_schema", category="string")
+class JsonSchemaValidator(Validator):
+    """Lightweight JSON-Schema conformance (reference: string/json_schema.py:14):
+    required keys present + primitive type checks, evaluated with JVM-side
+    get_json_object / from_json — no Python in the row path. Supports the
+    common subset: {"required": [...], "properties": {k: {"type": t}}}."""
+
+    _TYPE_CAST = {
+        "string": "string",
+        "number": "double",
+        "integer": "long",
+        "boolean": "boolean",
+    }
+
+    def __init__(self, column: str, schema: dict) -> None:
+        self.column = column
+        self.schema = schema
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        col = F.col(self.column)
+        ok = F.try_parse_json(col).isNotNull()
+        for key in self.schema.get("required", []):
+            ok = ok & F.get_json_object(col, f"$.{key}").isNotNull()
+        for key, prop in self.schema.get("properties", {}).items():
+            t = self._TYPE_CAST.get(prop.get("type"))
+            if t is None:
+                continue
+            raw = F.get_json_object(col, f"$.{key}")
+            # present values must cast cleanly to the declared type
+            ok = ok & (raw.isNull() | raw.try_cast(t).isNotNull())
+        pred = ~ok & col.isNotNull()
+        return [
+            ExpressionSpec(
+                name="json_schema",
+                issue_type="json_schema_violation",
+                column=self.column,
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(col),
+                filter_expr=pred,
+                expected="conforms to JSON schema",
+            )
+        ]

@@ -232,3 +232,232 @@ class TimeSeriesCompletenessValidator(Validator):
                 details=f"{missing}/{expected} {self.bucket} buckets missing",
             )
         ]
+
+
+@register_validator("trend", category="timeseries")
+class TrendValidator(Validator):
+    """Linear-regression slope over time within bounds
+    (reference: timeseries/trend.py:32). slope = covar_pop(t, y)/var_pop(t)
+    — ONE distributed aggregate, no collection of the series."""
+
+    def __init__(
+        self,
+        column: str,
+        time_column: str,
+        min_slope: float | None = None,
+        max_slope: float | None = None,
+    ) -> None:
+        self.column = column
+        self.time_column = time_column
+        self.min_slope = min_slope
+        self.max_slope = max_slope
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        tsec = F.col(self.time_column).cast("double")
+        row = df.agg(
+            F.covar_pop(tsec, F.col(self.column)).alias("cov"),
+            F.var_pop(tsec).alias("var"),
+        ).collect()[0]
+        if row["var"] is None or row["var"] == 0:
+            return []
+        slope = row["cov"] / row["var"]
+        ok = (self.min_slope is None or slope >= self.min_slope) and (
+            self.max_slope is None or slope <= self.max_slope
+        )
+        if ok:
+            return []
+        return [
+            ValidationIssue(
+                column=self.column,
+                issue_type="trend_out_of_range",
+                count=1,
+                severity=Severity.MEDIUM,
+                validator_name="trend",
+                expected=f"slope in [{self.min_slope},{self.max_slope}] per second",
+                actual=round(slope, 10),
+                details=f"OLS slope {slope:.3e}/s",
+            )
+        ]
+
+
+@register_validator("trend_break", category="timeseries")
+class TrendBreakValidator(Validator):
+    """Structural break: slope of first vs second half differs by more than
+    a factor (reference: timeseries/trend.py:319). Two windowed OLS slopes,
+    both distributed aggregates over a median-split."""
+
+    def __init__(self, column: str, time_column: str, max_slope_change: float = 2.0) -> None:
+        self.column = column
+        self.time_column = time_column
+        self.max_slope_change = max_slope_change
+
+    def _slope(self, df: DataFrame) -> float | None:
+        tsec = F.col(self.time_column).cast("double")
+        row = df.agg(
+            F.covar_pop(tsec, F.col(self.column)).alias("cov"),
+            F.var_pop(tsec).alias("var"),
+        ).collect()[0]
+        if row["var"] is None or row["var"] == 0:
+            return None
+        return row["cov"] / row["var"]
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        mid = df.agg(
+            F.expr(f"percentile_approx(cast({self.time_column} as double), 0.5, 10000)").alias("m")
+        ).collect()[0]["m"]
+        if mid is None:
+            return []
+        tsec = F.col(self.time_column).cast("double")
+        s1 = self._slope(df.filter(tsec <= mid))
+        s2 = self._slope(df.filter(tsec > mid))
+        if s1 is None or s2 is None:
+            return []
+        denom = abs(s1) + 1e-12
+        change = abs(s2 - s1) / denom
+        if change <= self.max_slope_change:
+            return []
+        return [
+            ValidationIssue(
+                column=self.column,
+                issue_type="trend_break",
+                count=1,
+                severity=Severity.MEDIUM,
+                validator_name="trend_break",
+                expected=f"slope change <= {self.max_slope_change}x",
+                actual=round(change, 4),
+                details=f"slope {s1:.3e} → {s2:.3e} across median split",
+            )
+        ]
+
+
+@register_validator("seasonality", category="timeseries")
+class SeasonalityValidator(Validator):
+    """Seasonal bucket means must stay within a band of the global mean
+    (reference: timeseries/seasonality.py:33): groupBy(date-part) means —
+    the distributed decomposition of the reference's per-season averages."""
+
+    PARTS = {
+        "hour": F.hour,
+        "dayofweek": F.dayofweek,
+        "month": F.month,
+    }
+
+    def __init__(
+        self,
+        column: str,
+        time_column: str,
+        part: str = "dayofweek",
+        max_relative_deviation: float = 0.5,
+    ) -> None:
+        self.column = column
+        self.time_column = time_column
+        self.part = part
+        self.max_relative_deviation = max_relative_deviation
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        part_fn = self.PARTS[self.part]
+        buckets = (
+            df.groupBy(part_fn(F.col(self.time_column)).alias("bucket"))
+            .agg(F.mean(F.col(self.column)).alias("mu"))
+        )
+        joined = buckets.crossJoin(
+            F.broadcast(df.agg(F.mean(F.col(self.column)).alias("global_mu")))
+        )
+        bad = joined.filter(
+            F.abs(F.col("mu") - F.col("global_mu"))
+            > self.max_relative_deviation * F.abs(F.col("global_mu"))
+        )
+        rows = bad.collect()
+        if not rows:
+            return []
+        return [
+            ValidationIssue(
+                column=self.column,
+                issue_type="seasonal_deviation",
+                count=len(rows),
+                severity=Severity.MEDIUM,
+                validator_name="seasonality",
+                expected=f"per-{self.part} mean within ±{self.max_relative_deviation:.0%} of global",
+                actual=[
+                    {"bucket": r["bucket"], "mean": round(r["mu"], 4)} for r in rows[:5]
+                ],
+                details=f"{len(rows)} {self.part} buckets deviate",
+            )
+        ]
+
+
+@register_validator("timeseries_value_completeness", category="timeseries")
+class TimeSeriesValueCompletenessValidator(Validator):
+    """Non-null value ratio per time bucket ≥ threshold
+    (reference: timeseries/completeness.py:275)."""
+
+    def __init__(
+        self,
+        time_column: str,
+        value_column: str,
+        bucket: str = "hour",
+        min_ratio: float = 0.9,
+    ) -> None:
+        self.time_column = time_column
+        self.value_column = value_column
+        self.bucket = bucket
+        self.min_ratio = min_ratio
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        b = F.date_trunc(self.bucket, F.col(self.time_column))
+        per = df.groupBy(b.alias("bucket")).agg(
+            (F.count(F.col(self.value_column)) / F.count(F.lit(1))).alias("ratio")
+        )
+        bad = per.filter(F.col("ratio") < self.min_ratio)
+        n = bad.count()
+        if n == 0:
+            return []
+        return [
+            ValidationIssue(
+                column=self.value_column,
+                issue_type="bucket_value_incomplete",
+                count=int(n),
+                severity=Severity.MEDIUM,
+                validator_name="timeseries_value_completeness",
+                expected=f"per-{self.bucket} non-null ratio >= {self.min_ratio}",
+                actual=int(n),
+                details=f"{n} buckets below completeness threshold",
+            )
+        ]
+
+
+@register_validator("timeseries_date_range", category="timeseries")
+class TimeSeriesDateRangeValidator(Validator):
+    """Observed [min,max] timestamp must cover an expected range
+    (reference: timeseries/completeness.py:445)."""
+
+    def __init__(self, column: str, expected_start: str, expected_end: str) -> None:
+        self.column = column
+        self.expected_start = expected_start
+        self.expected_end = expected_end
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        row = df.agg(
+            F.min(self.column).alias("lo"), F.max(self.column).alias("hi")
+        ).collect()[0]
+        lo, hi = row["lo"], row["hi"]
+        start = F.lit(self.expected_start).cast("timestamp")
+        end = F.lit(self.expected_end).cast("timestamp")
+        chk = df.sparkSession.range(1).select(
+            (F.lit(lo).cast("timestamp") <= start).alias("covers_start"),
+            (F.lit(hi).cast("timestamp") >= end).alias("covers_end"),
+        ).collect()[0]
+        if lo is not None and chk["covers_start"] and chk["covers_end"]:
+            return []
+        return [
+            ValidationIssue(
+                column=self.column,
+                issue_type="date_range_not_covered",
+                count=1,
+                severity=Severity.MEDIUM,
+                validator_name="timeseries_date_range",
+                expected=f"[{self.expected_start}, {self.expected_end}]",
+                actual={"min": str(lo), "max": str(hi)},
+                details="observed range does not cover expected range",
+            )
+        ]
