@@ -264,3 +264,67 @@ def test_check_reaches_drift_by_name(spark):
     cur = spark.createDataFrame([(float(i) + 500,) for i in range(50)], ["x"])
     res = api.check(cur, validators=[PSIValidator(base)])
     assert any(i.issue_type == "psi_drift" for i in res.issues)
+
+
+# --- multivariate anomaly / cascade / auto-suite ---------------------------
+
+
+def test_zscore_multivariate_and_pca(spark):
+    from truthound_spark.validators.anomaly import (
+        PCAAnomalyValidator,
+        ZScoreMultivariateValidator,
+    )
+
+    rows = [(float(i % 10), float((i * 3) % 10)) for i in range(100)]
+    rows.append((500.0, -500.0))  # gross outlier
+    df = spark.createDataFrame(rows, ["a", "b"])
+    issues = ZScoreMultivariateValidator(["a", "b"], k=3.5).validate(df)
+    assert issues and issues[0].count >= 1
+    issues = PCAAnomalyValidator(["a", "b"], threshold_quantile=0.9).validate(df)
+    assert issues and issues[0].count >= 1
+
+
+def test_cascade_integrity(spark):
+    from truthound_spark.validators.referential import CascadeIntegrityValidator
+
+    parents = spark.createDataFrame(
+        [(1, True), (2, False), (3, True)], ["pid", "deleted"]
+    )
+    children = spark.createDataFrame(
+        [(10, 1, False), (11, 2, False), (12, 3, True)], ["cid", "pid", "deleted"]
+    )
+    issues = CascadeIntegrityValidator(
+        parents, "pid", "pid", "deleted", "deleted"
+    ).validate(children)
+    # child 10 references deleted parent 1 but is not flagged
+    assert issues and issues[0].count == 1
+
+
+def test_cascade_depth(spark):
+    from truthound_spark.validators.referential import CascadeDepthValidator
+
+    rows = [(0, None), (1, 0), (2, 1), (3, 2), (4, 3)]
+    df = spark.createDataFrame(rows, ["id", "parent"])
+    assert CascadeDepthValidator("id", "parent", max_depth=10).validate(df) == []
+    issues = CascadeDepthValidator("id", "parent", max_depth=2).validate(df)
+    assert issues and issues[0].actual > 2
+
+
+def test_auto_suite_uses_learned_baseline(spark):
+    """Reference parity: learn() on clean data must auto-flag an injected
+    out-of-range row (VERDICT round-1 item 8)."""
+    from truthound_spark import api
+    from truthound_spark.schema import learn
+
+    clean = spark.createDataFrame(
+        [(i, float(20 + i % 30)) for i in range(200)], ["user_id", "age"]
+    )
+    baseline = learn(clean)
+    dirty = clean.union(spark.createDataFrame([(999, 5000.0)], ["user_id", "age"]))
+    res = api.check(dirty, baseline=baseline)
+    assert any(i.issue_type == "out_of_range" and i.column == "age" for i in res.issues)
+
+    # learn=True path: learns on the (dirty) data itself — no range issue
+    # (fences widen around observed data) but the suite still runs
+    res2 = api.check(dirty, learn=True)
+    assert res2.checks_run > 0

@@ -22,20 +22,50 @@ from truthound_spark.types import ResultFormat, Severity
 import truthound_spark.validators  # noqa: F401  (registration side effect)
 
 
-def _auto_suite(df: DataFrame) -> list[object]:
+def _auto_suite(df: DataFrame, baseline=None) -> list[object]:
     """Zero-config suite (reference: core/suite.py:438-578 AutoSuiteBuilder).
 
-    Deterministic rules ported from suite.py:512-578: always `null`; `range`
-    (observed min/max fences widened) is deferred to learned baselines —
-    without one we emit null + duplicate + format + key-like unique checks.
+    Deterministic rules ported from suite.py:512-578: always ``null``;
+    with a learned baseline (``baseline`` Schema, or one learned on the
+    spot when ``learn=True`` is passed to check()):
+      * ``type``  — mixed-type smell for string columns,
+      * ``range`` — numeric columns fenced at the learned min/max widened
+        by 3σ (suite.py:530-545 widening rule),
+      * ``unique`` — key-like columns: learned unique==True, or
+        unique_ratio ≥ 0.98 + name patterns (id/key/uuid/guid/email/
+        code/slug — suite.py:552-571).
+    Without a baseline: null + key-name-pattern unique + format.
     """
-    from truthound_spark.core.base import NUMERIC_TYPES, STRING_TYPES
+    from truthound_spark.core.base import STRING_TYPES
+    from truthound_spark.validators.aggregate import MixedTypeValidator
     from truthound_spark.validators.completeness import NullValidator
+    from truthound_spark.validators.distribution import RangeValidator
     from truthound_spark.validators.string import FormatValidator
     from truthound_spark.validators.uniqueness import UniqueValidator
 
     suite: list[object] = [NullValidator()]
     key_patterns = ("id", "key", "uuid", "guid", "email", "code", "slug")
+
+    if baseline is not None:
+        unique_cols: list[str] = []
+        for name, cs in baseline.columns.items():
+            if name not in df.columns:
+                continue
+            if cs.dtype == "string":
+                suite.append(MixedTypeValidator(name))
+            if cs.min_value is not None and cs.max_value is not None and cs.mean is not None:
+                pad = 3.0 * (cs.std or 0.0)
+                suite.append(
+                    RangeValidator(name, cs.min_value - pad, cs.max_value + pad)
+                )
+            key_named = any(p in name.lower() for p in key_patterns)
+            if cs.unique or (cs.unique_ratio >= 0.98 and key_named):
+                unique_cols.append(name)
+        if unique_cols:
+            suite.append(UniqueValidator(columns=unique_cols))
+        suite.append(FormatValidator())
+        return suite
+
     key_like = [
         f.name
         for f in df.schema.fields
@@ -55,16 +85,25 @@ def check(
     result_format: ResultFormat | str = ResultFormat.BOOLEAN_ONLY,
     min_severity: Severity | None = None,
     cache: bool = False,
+    baseline=None,
+    learn: bool = False,
 ) -> ValidationRunResult:
     """Validate ``data`` and return a ValidationRunResult.
 
     ``validators``: names / classes / instances; None → auto-suite.
+    ``baseline``: a learned Schema driving type/range/unique auto-checks
+    (reference core/suite.py:496-578); ``learn=True`` learns one from the
+    data first (reference AutoSuiteBuilder fallback, suite.py:496-510).
     ``cache``: persist the DataFrame when evidence phases will re-scan it.
     """
     df = to_dataframe(data, spark)
     if isinstance(result_format, str):
         result_format = ResultFormat[result_format.upper()]
-    vs = resolve(validators) if validators is not None else _auto_suite(df)
+    if validators is None and baseline is None and learn:
+        from truthound_spark.schema import learn as learn_schema
+
+        baseline = learn_schema(df)
+    vs = resolve(validators) if validators is not None else _auto_suite(df, baseline)
     cached = cache or result_format >= ResultFormat.BASIC
     if cached:
         df = df.cache()

@@ -306,3 +306,119 @@ class IsolationForestValidator(Validator):
                 details=f"{n} isolation-forest anomalies (sampled fit, distributed scoring)",
             )
         ]
+
+
+@register_validator("zscore_multivariate", category="anomaly")
+class ZScoreMultivariateValidator(Validator):
+    """Multivariate z-score: rows whose max per-column |z| exceeds k
+    (reference: anomaly/multivariate.py:409). One agg for means/stds, one
+    fused count — all column math."""
+
+    def __init__(self, columns: list[str], k: float = 3.5) -> None:
+        self.columns = columns
+        self.k = k
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        aggs = []
+        for c in self.columns:
+            aggs.append(F.mean(c).alias(f"{c}__mu"))
+            aggs.append(F.stddev_samp(c).alias(f"{c}__sd"))
+        stats = df.agg(*aggs).collect()[0].asDict()
+        pred = F.lit(False)
+        for c in self.columns:
+            mu, sd = stats[f"{c}__mu"], stats[f"{c}__sd"]
+            if mu is None or sd is None or sd == 0:
+                continue
+            pred = pred | (F.abs((F.col(c) - mu) / sd) > self.k)
+        n = df.agg(
+            F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias("n")
+        ).collect()[0]["n"] or 0
+        if n == 0:
+            return []
+        total = row_count if row_count is not None else df.count()
+        return [
+            ValidationIssue(
+                column=",".join(self.columns),
+                issue_type="multivariate_zscore_outliers",
+                count=int(n),
+                severity=severity_from_ratio(n / total if total else 0.0),
+                validator_name="zscore_multivariate",
+                expected=f"max |z| <= {self.k}",
+                actual=int(n),
+                details=f"{n} rows exceed |z|>{self.k} in ≥1 of {len(self.columns)} columns",
+            )
+        ]
+
+
+@register_validator("pca_anomaly", category="anomaly")
+class PCAAnomalyValidator(Validator):
+    """PCA reconstruction-error anomalies (reference: multivariate.py:327).
+
+    Covariance matrix from DISTRIBUTED covar_pop aggregates (k² scalars to
+    the driver), numpy eigendecomposition, then the reconstruction error of
+    each row against the top-m principal components is scored as broadcast
+    column math — the 100 TB plan: no row ever leaves the executors."""
+
+    def __init__(
+        self,
+        columns: list[str],
+        n_components: int | None = None,
+        threshold_quantile: float = 0.99,
+    ) -> None:
+        self.columns = columns
+        self.n_components = n_components
+        self.threshold_quantile = threshold_quantile
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        import numpy as np
+
+        cols = self.columns
+        k = len(cols)
+        aggs = [F.mean(c).alias(f"mu_{i}") for i, c in enumerate(cols)]
+        for i in range(k):
+            for j in range(i, k):
+                aggs.append(F.covar_pop(cols[i], cols[j]).alias(f"c_{i}_{j}"))
+        row = df.agg(*aggs).collect()[0].asDict()
+        mu = [row[f"mu_{i}"] for i in range(k)]
+        if any(m is None for m in mu):
+            return []
+        cov = np.zeros((k, k))
+        for i in range(k):
+            for j in range(i, k):
+                cov[i, j] = cov[j, i] = row[f"c_{i}_{j}"] or 0.0
+        evals, evecs = np.linalg.eigh(cov)
+        order = np.argsort(evals)[::-1]
+        m = self.n_components or max(1, k // 2)
+        top = evecs[:, order[:m]]  # k × m
+        # residual projector R = I - V V^T ; err(x) = || R (x - mu) ||²
+        resid = np.eye(k) - top @ top.T
+
+        centered = [F.col(c) - float(mu[i]) for i, c in enumerate(cols)]
+        err = F.lit(0.0)
+        for i in range(k):
+            comp = F.lit(0.0)
+            for j in range(k):
+                comp = comp + F.lit(float(resid[i, j])) * centered[j]
+            err = err + comp * comp
+        scored = df.select(err.alias("__err"))
+        thr = scored.agg(
+            F.expr(f"percentile_approx(__err, {self.threshold_quantile}, 10000)").alias("t")
+        ).collect()[0]["t"]
+        if thr is None:
+            return []
+        n = scored.filter(F.col("__err") > thr).count()
+        if n == 0:
+            return []
+        total = row_count if row_count is not None else df.count()
+        return [
+            ValidationIssue(
+                column=",".join(cols),
+                issue_type="pca_anomalies",
+                count=int(n),
+                severity=severity_from_ratio(n / total if total else 0.0),
+                validator_name="pca_anomaly",
+                expected=f"reconstruction error <= q{self.threshold_quantile}",
+                actual=int(n),
+                details=f"{n} rows above the q{self.threshold_quantile} residual threshold",
+            )
+        ]

@@ -386,3 +386,91 @@ class CrossTableDistinctCountValidator(Validator):
                 details=f"distinct counts differ: {a} vs {b}",
             )
         ]
+
+
+@register_validator("cascade_integrity", category="referential")
+class CascadeIntegrityValidator(Validator):
+    """Simulated cascade-delete consistency across an FK chain
+    (reference: referential/cascade.py:51): given parents flagged deleted,
+    every transitively-dependent child row must also be flagged — two
+    anti-join counts per hop, fully distributed."""
+
+    def __init__(
+        self,
+        parent_data: DataFrame,
+        parent_key: str,
+        child_key: str,
+        deleted_predicate: str,
+        child_deleted_predicate: str | None = None,
+    ) -> None:
+        self.parent_data = parent_data
+        self.parent_key = parent_key
+        self.child_key = child_key
+        self.deleted_predicate = deleted_predicate
+        self.child_deleted_predicate = child_deleted_predicate
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        deleted_parents = self.parent_data.filter(F.expr(self.deleted_predicate)).select(
+            F.col(self.parent_key).alias(self.child_key)
+        ).dropDuplicates()
+        affected = df.join(F.broadcast(deleted_parents), on=self.child_key, how="inner")
+        if self.child_deleted_predicate:
+            violating = affected.filter(~F.expr(self.child_deleted_predicate))
+        else:
+            violating = affected  # child rows must not exist at all
+        n = violating.count()
+        if n == 0:
+            return []
+        return [
+            ValidationIssue(
+                column=self.child_key,
+                issue_type="cascade_violation",
+                count=int(n),
+                severity=Severity.HIGH,
+                validator_name="cascade_integrity",
+                expected="children of deleted parents deleted/flagged",
+                actual=int(n),
+                details=f"{n} child rows survive deleted parents",
+            )
+        ]
+
+
+@register_validator("cascade_depth", category="referential")
+class CascadeDepthValidator(Validator):
+    """FK dependency-chain depth ≤ bound (reference: referential/cascade.py:297):
+    iterative frontier joins with localCheckpoint, like HierarchyDepth but
+    over id→parent edges of the SAME table."""
+
+    def __init__(self, id_column: str, parent_column: str, max_depth: int = 5) -> None:
+        self.id_column = id_column
+        self.parent_column = parent_column
+        self.max_depth = max_depth
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        edges = df.select(
+            F.col(self.id_column).alias("id"), F.col(self.parent_column).alias("parent")
+        ).localCheckpoint(eager=True)
+        frontier = edges.filter(F.col("parent").isNull()).select("id")
+        depth = 0
+        while depth <= self.max_depth + 1:
+            nxt = edges.join(
+                F.broadcast(frontier.withColumnRenamed("id", "parent")), on="parent"
+            ).select("id").localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+            depth += 1
+            frontier = nxt
+        if depth <= self.max_depth:
+            return []
+        return [
+            ValidationIssue(
+                column=self.id_column,
+                issue_type="cascade_too_deep",
+                count=1,
+                severity=Severity.MEDIUM,
+                validator_name="cascade_depth",
+                expected=f"dependency depth <= {self.max_depth}",
+                actual=depth,
+                details=f"cascade chain reaches depth {depth}",
+            )
+        ]
