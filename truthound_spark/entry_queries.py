@@ -2192,3 +2192,332 @@ def q_sliding_window_counts_events(spark, sf_dir):
         )
         .orderBy("window_start")
     )
+
+
+# ===========================================================================
+# round-2 widened operators: trend / seasonality / variance / scale / drift
+# ===========================================================================
+
+
+@register(
+    "trend_slope_events",
+    f"""
+    WITH {EV},
+    tv AS (SELECT epoch_us(ts) / 1e6 AS t, value AS v FROM ev WHERE value IS NOT NULL)
+    SELECT ROUND((covar_pop(t, v) / var_pop(t)) * 86400, 6) AS slope_per_day
+    FROM tv
+    """,
+)
+def q_trend_slope_events(spark, sf_dir):
+    """TrendValidator OLS slope = covar_pop/var_pop — ONE distributed agg
+    (reference: timeseries/trend.py:32)."""
+    df = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    tsec = F.col("ts").cast("double")
+    return df.agg(
+        F.round((F.covar_pop(tsec, F.col("value")) / F.var_pop(tsec)) * 86400, 6).alias(
+            "slope_per_day"
+        )
+    )
+
+
+@register(
+    "seasonality_buckets_events",
+    f"""
+    WITH {EV}
+    SELECT CAST(isodow(ts) % 7 + 1 AS INT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM ev GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_seasonality_buckets_events(spark, sf_dir):
+    """SeasonalityValidator per-day-of-week bucket means
+    (reference: timeseries/seasonality.py:33)."""
+    df = t(spark, sf_dir, "events")
+    return (
+        df.groupBy(F.dayofweek("ts").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("dow")
+    )
+
+
+@register(
+    "multi_column_variance_lineitem",
+    """
+    SELECT
+      ROUND(VAR_SAMP(l_quantity), 4) AS var_quantity,
+      ROUND(VAR_SAMP(l_discount), 8) AS var_discount,
+      ROUND(VAR_SAMP(l_tax), 8) AS var_tax,
+      ROUND(STDDEV_SAMP(l_extendedprice) / STDDEV_SAMP(l_quantity), 2) AS scale_ratio
+    FROM lineitem
+    """,
+)
+def q_multi_column_variance_lineitem(spark, sf_dir):
+    """MultiColumnVariance + FeatureScale stddev-ratio metrics
+    (reference: multi_column/statistical.py:213, ml_feature/scale.py:30)."""
+    df = t(spark, sf_dir, "lineitem")
+    return df.agg(
+        F.round(F.var_samp("l_quantity"), 4).alias("var_quantity"),
+        F.round(F.var_samp("l_discount"), 8).alias("var_discount"),
+        F.round(F.var_samp("l_tax"), 8).alias("var_tax"),
+        F.round(F.stddev_samp("l_extendedprice") / F.stddev_samp("l_quantity"), 2).alias(
+            "scale_ratio"
+        ),
+    )
+
+
+@register(
+    "target_leakage_derived",
+    """
+    WITH d AS (
+      SELECT o_totalprice AS target, o_totalprice * 2.0 + 1.0 AS leaky,
+             CAST(o_custkey % 97 AS DOUBLE) AS noise
+      FROM orders
+    )
+    SELECT ROUND(corr(target, leaky), 6) AS leaky_corr,
+           ROUND(corr(target, noise), 4) AS noise_corr
+    FROM d
+    """,
+)
+def q_target_leakage_derived(spark, sf_dir):
+    """TargetLeakage feature↔target correlations (ml_feature/leakage.py:19):
+    the derived 'leaky' feature is an affine copy (r = 1)."""
+    df = t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("target"),
+        (F.col("o_totalprice") * 2.0 + 1.0).alias("leaky"),
+        (F.col("o_custkey") % 97).cast("double").alias("noise"),
+    )
+    return df.agg(
+        F.round(F.corr("target", "leaky"), 6).alias("leaky_corr"),
+        F.round(F.corr("target", "noise"), 4).alias("noise_corr"),
+    )
+
+
+@register(
+    "feature_null_impact_derived",
+    """
+    WITH d AS (
+      SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS feat,
+             c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 1000.0 ELSE 0.0 END AS y
+      FROM customer
+    )
+    SELECT
+      CAST(SUM(CASE WHEN feat IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      ROUND(AVG(CASE WHEN feat IS NULL THEN y END), 4) AS mu_null,
+      ROUND(AVG(CASE WHEN feat IS NOT NULL THEN y END), 4) AS mu_notnull
+    FROM d
+    """,
+)
+def q_feature_null_impact_derived(spark, sf_dir):
+    """FeatureNullImpact grouped-mean shift (ml_feature/null_impact.py:19)."""
+    df = t(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("c_acctbal"))
+        .alias("feat"),
+        (
+            F.col("c_acctbal")
+            + F.when(F.col("c_custkey") % 7 == 0, 1000.0).otherwise(0.0)
+        ).alias("y"),
+    )
+    is_null = F.col("feat").isNull()
+    return df.agg(
+        F.sum(F.when(is_null, 1).otherwise(0)).cast("long").alias("n_null"),
+        F.round(F.avg(F.when(is_null, F.col("y"))), 4).alias("mu_null"),
+        F.round(F.avg(F.when(~is_null, F.col("y"))), 4).alias("mu_notnull"),
+    )
+
+
+@register(
+    "zscore_multivariate_lineitem",
+    """
+    WITH s AS (
+      SELECT AVG(l_quantity) AS mu_q, STDDEV_SAMP(l_quantity) AS sd_q,
+             AVG(l_extendedprice) AS mu_p, STDDEV_SAMP(l_extendedprice) AS sd_p
+      FROM lineitem
+    )
+    SELECT CAST(SUM(CASE WHEN ABS((l_quantity - mu_q) / sd_q) > 2.5
+                           OR ABS((l_extendedprice - mu_p) / sd_p) > 2.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS multivariate_outliers
+    FROM lineitem, s
+    """,
+)
+def q_zscore_multivariate_lineitem(spark, sf_dir):
+    """ZScoreMultivariate fused count (anomaly/multivariate.py:409)."""
+    df = t(spark, sf_dir, "lineitem")
+    stats = df.agg(
+        F.mean("l_quantity").alias("mu_q"),
+        F.stddev_samp("l_quantity").alias("sd_q"),
+        F.mean("l_extendedprice").alias("mu_p"),
+        F.stddev_samp("l_extendedprice").alias("sd_p"),
+    ).collect()[0]
+    pred = (
+        F.abs((F.col("l_quantity") - stats["mu_q"]) / stats["sd_q"]) > 2.5
+    ) | (F.abs((F.col("l_extendedprice") - stats["mu_p"]) / stats["sd_p"]) > 2.5)
+    return df.agg(
+        F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias("multivariate_outliers")
+    )
+
+
+@register(
+    "quantile_range_drift_events",
+    f"""
+    WITH b AS ({_DRIFT_BASE}), c AS ({_DRIFT_CURR})
+    SELECT
+      ROUND(ABS((SELECT quantile_cont(value, 0.5) FROM c) - (SELECT quantile_cont(value, 0.5) FROM b))
+            / (ABS((SELECT quantile_cont(value, 0.5) FROM b)) + 1e-10), 6) AS median_rel_drift,
+      ROUND(ABS(((SELECT MAX(value) - MIN(value) FROM c)) - ((SELECT MAX(value) - MIN(value) FROM b)))
+            / (ABS((SELECT MAX(value) - MIN(value) FROM b)) + 1e-10), 6) AS span_rel_drift
+    """,
+)
+def q_quantile_range_drift_events(spark, sf_dir):
+    """QuantileDrift + RangeDrift relative changes (drift/numeric.py:200,295)
+    — exact percentile here for oracle parity; the registered validator's
+    default is the mergeable percentile_approx sketch (the scale path)."""
+    baseline, current = _drift_frames(spark, sf_dir)
+    mb = baseline.agg(F.expr("percentile(value, 0.5)").alias("m")).collect()[0]["m"]
+    mc = current.agg(F.expr("percentile(value, 0.5)").alias("m")).collect()[0]["m"]
+    rb = baseline.agg((F.max("value") - F.min("value")).alias("s")).collect()[0]["s"]
+    rc = current.agg((F.max("value") - F.min("value")).alias("s")).collect()[0]["s"]
+    return _scalar_df(
+        spark,
+        median_rel_drift=round(abs(mc - mb) / (abs(mb) + 1e-10), 6),
+        span_rel_drift=round(abs(rc - rb) / (abs(rb) + 1e-10), 6),
+    )
+
+
+@register(
+    "csi_bins_events",
+    f"""
+    WITH b AS ({_DRIFT_BASE}), c AS ({_DRIFT_CURR}),
+    r AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM b),
+    bins AS (SELECT i FROM generate_series(0, 9) AS gs(i)),
+    bh AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((value - lo) / ((hi - lo) / 10)) AS INT), 0), 9) AS bin, COUNT(*) AS n
+      FROM b, r GROUP BY 1
+    ),
+    ch AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((value - lo) / ((hi - lo) / 10)) AS INT), 0), 9) AS bin, COUNT(*) AS n
+      FROM c, r GROUP BY 1
+    )
+    SELECT bins.i AS bin,
+           ROUND((COALESCE(bh.n, 0) / CAST((SELECT SUM(n) FROM bh) AS DOUBLE)
+                - COALESCE(ch.n, 0) / CAST((SELECT SUM(n) FROM ch) AS DOUBLE))
+               * LN((COALESCE(bh.n, 0) / CAST((SELECT SUM(n) FROM bh) AS DOUBLE) + 1e-10)
+                  / (COALESCE(ch.n, 0) / CAST((SELECT SUM(n) FROM ch) AS DOUBLE) + 1e-10)), 6) AS csi
+    FROM bins LEFT JOIN bh ON bins.i = bh.bin LEFT JOIN ch ON bins.i = ch.bin
+    ORDER BY bin
+    """,
+)
+def q_csi_bins_events(spark, sf_dir):
+    """CSI per-bin stability contributions (drift/psi.py:298) — the
+    engine's histogram aggregates, one row per bin."""
+    import math
+
+    from truthound_spark.drift import detectors
+
+    baseline, current = _drift_frames(spark, sf_dir)
+    lo, hi = detectors._numeric_range(baseline, "value")
+    p = detectors._freqs(detectors._hist_counts(baseline, "value", lo, hi, 10))
+    q = detectors._freqs(detectors._hist_counts(current, "value", lo, hi, 10))
+    rows = [
+        (i, round((pi - qi) * math.log((pi + 1e-10) / (qi + 1e-10)), 6))
+        for i, (pi, qi) in enumerate(zip(p, q))
+    ]
+    from pyspark.sql import types as T
+
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("bin", T.LongType()),
+                T.StructField("csi", T.DoubleType()),
+            ]
+        ),
+    ).orderBy("bin")
+
+
+@register(
+    "vat_swift_derived",
+    """
+    WITH d AS (
+      SELECT CASE WHEN c_custkey % 89 = 0 THEN 'XX' || lpad(CAST(c_custkey % 1000000000 AS VARCHAR), 9, '0')
+                  ELSE 'DE' || lpad(CAST((c_custkey * 37) % 1000000000 AS VARCHAR), 9, '0') END AS vat,
+             CASE WHEN c_custkey % 97 = 0 THEN 'bad!'
+                  WHEN c_custkey % 2 = 0 THEN 'DEUTDEFF'
+                  ELSE 'DEUTDEFF500' END AS bic
+      FROM customer
+    )
+    SELECT
+      CAST(SUM(CASE WHEN NOT regexp_matches(vat, '^DE[0-9]{9}$') THEN 1 ELSE 0 END) AS BIGINT) AS invalid_vat,
+      CAST(SUM(CASE WHEN NOT regexp_matches(bic, '^[A-Z]{4}[A-Z]{2}[A-Z0-9]{2}([A-Z0-9]{3})?$') THEN 1 ELSE 0 END) AS BIGINT) AS invalid_bic
+    FROM d
+    """,
+)
+def q_vat_swift_derived(spark, sf_dir):
+    """VAT + SWIFT/BIC structure checks (business_rule/financial.py:189,372)
+    over derived columns with seeded invalids."""
+    from truthound_spark.validators.business import SwiftBicValidator, VatValidator
+
+    df = t(spark, sf_dir, "customer").select(
+        F.when(
+            F.col("c_custkey") % 89 == 0,
+            F.concat(
+                F.lit("XX"),
+                F.lpad((F.col("c_custkey") % 1000000000).cast("string"), 9, "0"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("DE"),
+                F.lpad(((F.col("c_custkey") * 37) % 1000000000).cast("string"), 9, "0"),
+            )
+        )
+        .alias("vat"),
+        F.when(F.col("c_custkey") % 97 == 0, F.lit("bad!"))
+        .when(F.col("c_custkey") % 2 == 0, F.lit("DEUTDEFF"))
+        .otherwise(F.lit("DEUTDEFF500"))
+        .alias("bic"),
+    )
+    return fused_counts(
+        df,
+        [
+            (VatValidator("vat", countries=["DE"]), ["invalid_vat"]),
+            (SwiftBicValidator("bic"), ["invalid_bic"]),
+        ],
+    )
+
+
+@register(
+    "json_schema_events_props",
+    """
+    WITH d AS (
+      SELECT CASE WHEN event_id % 89 = 0 THEN substr(props, 1, length(props) - 1)
+                  ELSE props END AS j
+      FROM events
+    )
+    SELECT CAST(SUM(CASE WHEN NOT (json_valid(j)
+                              AND TRY_CAST((CASE WHEN json_valid(j)
+                                            THEN json_extract_string(j, '$.k') END) AS DOUBLE)
+                                  IS NOT NULL)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS schema_violations
+    FROM d
+    """,
+)
+def q_json_schema_events_props(spark, sf_dir):
+    """JsonSchema conformance via JVM-side get_json_object
+    (string/json_schema.py:14), seeded corruption every 89th event."""
+    from truthound_spark.validators.string import JsonSchemaValidator
+
+    df = t(spark, sf_dir, "events").select(
+        F.when(
+            F.col("event_id") % 89 == 0,
+            F.expr("substring(props, 1, length(props) - 1)"),
+        )
+        .otherwise(F.col("props"))
+        .alias("j")
+    )
+    v = JsonSchemaValidator("j", {"required": ["k"], "properties": {"k": {"type": "number"}}})
+    return fused_counts(df, [(v, ["schema_violations"])])
