@@ -350,3 +350,50 @@ class FeatureDriftValidator(Validator):
                 ChiSquareDriftValidator(self.baseline, columns=categorical).validate(df)
             )
         return issues
+
+
+@register_validator("streaming_ks", category="drift")
+class StreamingKSValidator(Validator):
+    """Sketch-based KS for unbounded/huge data (reference: StreamingKSTest
+    drift/statistical.py:129 + t-digest ECDF memory/streaming_ecdf.py:52).
+
+    Spark-first: percentile_approx IS a mergeable quantile sketch (KLL-
+    style), the same role the reference's t-digest plays — both sides'
+    ECDFs are evaluated on a shared quantile grid; sup-diff on the driver.
+    O(grid) driver data regardless of row count."""
+
+    def __init__(
+        self,
+        baseline: DataFrame,
+        columns: list[str] | None = None,
+        grid: int = 200,
+        alpha: float = 0.05,
+    ) -> None:
+        self.baseline = baseline
+        self.columns = columns
+        self.grid = grid
+        self.alpha = alpha
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        issues = []
+        cols = [
+            c
+            for c in self._target_columns(df, self.columns, NUMERIC_TYPES)
+            if c in self.baseline.columns
+        ]
+        for c in cols:
+            r = detectors.ks_test(self.baseline, df, c, alpha=self.alpha, grid=self.grid)
+            if r.drifted:
+                issues.append(
+                    ValidationIssue(
+                        column=c,
+                        issue_type="streaming_ks_drift",
+                        count=0,
+                        severity=Severity.HIGH,
+                        validator_name="streaming_ks",
+                        expected=f"KS <= {r.threshold:.6f}",
+                        actual=round(r.statistic, 6),
+                        details=f"sketch-ECDF KS {r.statistic:.6f} (grid={self.grid})",
+                    )
+                )
+        return issues

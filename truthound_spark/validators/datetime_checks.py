@@ -8,6 +8,8 @@ from __future__ import annotations
 import datetime as dt
 from typing import Any
 
+import pandas as pd  # noqa: F401 (pandas_udf type-hint resolution)
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -19,7 +21,7 @@ from truthound_spark.core.base import (
 )
 from truthound_spark.core.registry import register_validator
 from truthound_spark.core.results import ValidationIssue
-from truthound_spark.types import Severity
+from truthound_spark.types import Severity, severity_from_ratio
 
 
 @register_validator("date_between", category="datetime")
@@ -288,5 +290,46 @@ class TimezoneValidator(Validator):
                 expected="tz-aware (TimestampType)" if self.require_aware else "naive (TimestampNTZ)",
                 actual=str(field.dataType),
                 details="timestamp tz-awareness does not match requirement",
+            )
+        ]
+
+
+@register_validator("dateutil_parseable", category="datetime")
+class DateutilParseableValidator(Validator):
+    """Flexible date parsing (reference: datetime/parseable.py:14 uses
+    dateutil). Spark-first: an Arrow-batched pandas UDF over pd.to_datetime
+    (format='mixed') — the sanctioned vectorized path for genuinely
+    non-relational parsing; everything around it stays JVM-side."""
+
+    def __init__(self, column: str) -> None:
+        self.column = column
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("boolean")
+        def parseable(s: pd.Series) -> pd.Series:
+            return pd.to_datetime(s, errors="coerce", format="mixed").notna()
+
+        col = F.col(self.column)
+        pred = ~parseable(col) & col.isNotNull()
+        n = df.agg(
+            F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias("n"),
+            F.count(col).alias("nn"),
+        ).collect()[0]
+        if not n["n"]:
+            return []
+        ratio = n["n"] / n["nn"] if n["nn"] else 0.0
+        return [
+            ValidationIssue(
+                column=self.column,
+                issue_type="unparseable_dates",
+                count=int(n["n"]),
+                severity=severity_from_ratio(ratio),
+                validator_name="dateutil_parseable",
+                expected="flexibly parseable date strings",
+                actual=int(n["n"]),
+                details=f"{n['n']} unparseable values ({ratio:.2%})",
             )
         ]
