@@ -2521,3 +2521,97 @@ def q_json_schema_events_props(spark, sf_dir):
     )
     v = JsonSchemaValidator("j", {"required": ["k"], "properties": {"k": {"type": "number"}}})
     return fused_counts(df, [(v, ["schema_violations"])])
+
+
+# ===========================================================================
+# multimodal plumbing (binary payload columns derived from documents.text)
+# ===========================================================================
+
+
+def _media_df(spark, sf_dir):
+    df = t(spark, sf_dir, "documents")
+    return df.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+
+@register(
+    "media_size_stats",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           ROUND(AVG(octet_length(encode(text))), 4) AS avg_bytes,
+           CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+    FROM documents
+    """,
+)
+def q_media_size_stats(spark, sf_dir):
+    """Binary-payload size stats (pipeline/multimodal.py media_size_stats) —
+    the partition-sizing signal; payloads never leave the executors."""
+    from truthound_spark.pipeline.multimodal import media_size_stats
+
+    m = media_size_stats(_media_df(spark, sf_dir))
+    return m.select(
+        F.col("n_assets").cast("long"),
+        F.col("total_bytes").cast("long"),
+        F.round("avg_bytes", 4).alias("avg_bytes"),
+        F.col("max_bytes").cast("long"),
+    )
+
+
+@register(
+    "media_image_features",
+    """
+    WITH m AS (
+      SELECT doc_id AS asset_id, md5(text) AS h FROM documents WHERE doc_id < 50
+    ),
+    v AS (
+      SELECT asset_id,
+             (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+               + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) AS b0,
+             (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+               + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) AS b1
+      FROM m
+    )
+    SELECT asset_id,
+           CAST(64 + b0 % 192 AS INT) AS width,
+           CAST(64 + b1 % 192 AS INT) AS height,
+           CAST(3 AS INT) AS channels
+    FROM v ORDER BY asset_id
+    """,
+)
+def q_media_image_features(spark, sf_dir):
+    """Image decode/feature-extract plumbing via mapInPandas
+    (pipeline/multimodal.py extract_image_features). The deterministic fake
+    decoder (md5-derived dims) lets the oracle verify the full Arrow-batch
+    pipeline; a real decoder drops into the same slot."""
+    from truthound_spark.pipeline.multimodal import extract_image_features
+
+    media = _media_df(spark, sf_dir).filter(F.col("asset_id") < 50)
+    feats = extract_image_features(media)
+    return feats.select("asset_id", "width", "height", "channels").orderBy("asset_id")
+
+
+@register(
+    "media_video_frames",
+    """
+    SELECT doc_id AS asset_id, gs.i AS frame_index,
+           md5(text || CAST(gs.i AS VARCHAR)) AS frame_fingerprint
+    FROM documents, generate_series(0, 3) AS gs(i)
+    WHERE doc_id < 20
+    ORDER BY asset_id, frame_index
+    """,
+)
+def q_media_video_frames(spark, sf_dir):
+    """Video frame-sampling plumbing (pipeline/multimodal.py
+    sample_video_frames): one row per sampled frame, deterministic
+    per-frame fingerprints."""
+    from truthound_spark.pipeline.multimodal import sample_video_frames
+
+    media = _media_df(spark, sf_dir).filter(F.col("asset_id") < 20)
+    frames = sample_video_frames(media, frames_per_video=4)
+    return frames.select(
+        "asset_id", F.col("frame_index").cast("long").alias("frame_index"), "frame_fingerprint"
+    ).orderBy("asset_id", "frame_index")

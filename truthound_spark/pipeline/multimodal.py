@@ -138,7 +138,11 @@ def sample_video_frames(
                         {
                             id_col: aid,
                             "frame_index": i,
-                            "frame_fingerprint": hashlib.md5(data + i.to_bytes(4, "big")).hexdigest(),
+                            # payload bytes + decimal frame index — oracle-
+                            # checkable (md5 over valid UTF-8 both engines)
+                            "frame_fingerprint": hashlib.md5(
+                                data + str(i).encode()
+                            ).hexdigest(),
                         }
                     )
             yield pd.DataFrame(rows, columns=[id_col, "frame_index", "frame_fingerprint"])
