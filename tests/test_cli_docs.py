@@ -1,0 +1,68 @@
+"""CLI, datadocs, pattern/sketch profiler tests."""
+
+import json
+import os
+
+
+def _write_parquet(spark, tmp_path, name="t.parquet"):
+    df = spark.createDataFrame(
+        [(1, "a@example.com", 10.0), (2, "bad-email", 20.0), (2, None, 999.0)],
+        ["user_id", "email", "score"],
+    )
+    path = str(tmp_path / name)
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_cli_check_and_profile(spark, tmp_path, capsys):
+    from truthound_spark.cli import main
+
+    path = _write_parquet(spark, tmp_path)
+    rc = main(["check", path, "--validators", "null,unique"])
+    out = capsys.readouterr().out
+    assert rc == 1 and "FAIL" in out
+
+    html_out = str(tmp_path / "profile.html")
+    rc = main(["profile", path, "--output", html_out])
+    assert rc == 0 and os.path.exists(html_out)
+    assert "<table>" in open(html_out).read()
+
+
+def test_cli_learn_and_mask(spark, tmp_path, capsys):
+    from truthound_spark.cli import main
+
+    path = _write_parquet(spark, tmp_path)
+    baseline = str(tmp_path / "baseline.json")
+    rc = main(["learn", path, "--output", baseline])
+    assert rc == 0
+    assert json.load(open(baseline))["row_count"] == 3
+
+    masked_out = str(tmp_path / "masked")
+    rc = main(["mask", path, masked_out, "--columns", "email", "--strategy", "hash"])
+    assert rc == 0
+    masked = spark.read.parquet(masked_out)
+    vals = [r["email"] for r in masked.collect() if r["email"]]
+    assert all(len(v) == 64 for v in vals)  # sha2-256 hex
+
+
+def test_pattern_profile(spark):
+    from truthound_spark.profiler.table_profiler import pattern_profile
+
+    df = spark.createDataFrame(
+        [("123", "a@b.co"), ("456", "c@d.io"), ("abc", "not-email")],
+        ["code", "email"],
+    )
+    p = pattern_profile(df)
+    assert p["code"]["ratios"]["numeric"] == round(2 / 3, 6)
+    assert p["email"]["dominant"] == "email"
+
+
+def test_sketch_profile(spark):
+    from truthound_spark.profiler.table_profiler import sketch_profile
+
+    df = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 5 + [(str(i),) for i in range(20)], ["v"]
+    )
+    s = sketch_profile(df, ["v"], support=0.3)
+    assert s["v"]["approx_distinct"] >= 20
+    assert "a" in s["v"]["heavy_hitters"]

@@ -1,0 +1,162 @@
+"""CLI (reference: src/truthound/cli.py + cli_modules/core/{check,scan,
+mask,profile,learn,compare}.py — `th <command> <path>`).
+
+spark-submit-able: ``python -m truthound_spark check data.parquet``.
+Exit code reflects failure severity (reference tests/e2e/utils.py
+assert_cli_error contract): 0 = pass, 1 = issues found, 2 = usage error.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+
+def _spark(cpus: str = "*") -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("truthound_spark_cli")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _load(spark: SparkSession, path: str):
+    from truthound_spark.adapters import to_dataframe
+
+    return to_dataframe(path, spark)
+
+
+def cmd_check(args: argparse.Namespace) -> int:
+    from truthound_spark import api
+    from truthound_spark.reporters import render, save_report
+
+    df = _load(_spark(), args.path)
+    validators = args.validators.split(",") if args.validators else None
+    result = api.check(df, validators=validators, learn=args.learn)
+    print(render(result, args.format))
+    if args.output:
+        save_report(result, args.output)
+    return 0 if result.success else 1
+
+
+def cmd_profile(args: argparse.Namespace) -> int:
+    from truthound_spark.profiler.table_profiler import profile
+
+    df = _load(_spark(), args.path)
+    p = profile(df, approx=args.approx)
+    if args.output and args.output.endswith(".html"):
+        from truthound_spark.datadocs import save_profile_docs
+
+        save_profile_docs(p, args.output, title=f"Profile — {args.path}")
+        print(f"wrote {args.output}")
+    else:
+        print(p.to_json())
+    return 0
+
+
+def cmd_scan(args: argparse.Namespace) -> int:
+    from truthound_spark.scanners import scan
+
+    df = _load(_spark(), args.path)
+    report = scan(df)
+    for f in report.findings:
+        print(f"{f.column}: {f.pii_type} ({f.match_count} matches, {f.match_ratio:.2%})")
+    return 1 if report.findings else 0
+
+
+def cmd_mask(args: argparse.Namespace) -> int:
+    from truthound_spark.maskers import mask
+
+    df = _load(_spark(), args.path)
+    columns = args.columns.split(",") if args.columns else None
+    masked = mask(df, columns=columns, strategy=args.strategy)
+    masked.write.mode("overwrite").parquet(args.output)
+    print(f"wrote masked data to {args.output}")
+    return 0
+
+
+def cmd_learn(args: argparse.Namespace) -> int:
+    from truthound_spark.schema import learn
+
+    df = _load(_spark(), args.path)
+    schema = learn(df)
+    if args.output:
+        schema.save(args.output)
+        print(f"wrote baseline to {args.output}")
+    else:
+        print(schema.to_json())
+    return 0
+
+
+def cmd_compare(args: argparse.Namespace) -> int:
+    from truthound_spark.drift.detectors import compare
+
+    spark = _spark()
+    baseline = _load(spark, args.baseline)
+    current = _load(spark, args.path)
+    results = compare(baseline, current, method=args.method)
+    drifted = False
+    for col, r in results.items():
+        flag = "DRIFT" if r.drifted else "ok"
+        print(f"{col}: {r.method}={r.statistic:.6f} (threshold {r.threshold:.6f}) {flag}")
+        drifted = drifted or r.drifted
+    return 1 if drifted else 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="truthound-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    c = sub.add_parser("check", help="validate a dataset")
+    c.add_argument("path")
+    c.add_argument("--validators", help="comma-separated validator names")
+    c.add_argument("--learn", action="store_true", help="learn a baseline first")
+    c.add_argument("--format", default="console", choices=["console", "json", "markdown", "html"])
+    c.add_argument("--output", help="write report to file")
+    c.set_defaults(fn=cmd_check)
+
+    c = sub.add_parser("profile", help="profile a dataset")
+    c.add_argument("path")
+    c.add_argument("--approx", action="store_true")
+    c.add_argument("--output", help=".html → datadocs page, else JSON to stdout")
+    c.set_defaults(fn=cmd_profile)
+
+    c = sub.add_parser("scan", help="PII scan")
+    c.add_argument("path")
+    c.set_defaults(fn=cmd_scan)
+
+    c = sub.add_parser("mask", help="mask PII columns")
+    c.add_argument("path")
+    c.add_argument("output")
+    c.add_argument("--columns")
+    c.add_argument("--strategy", default="redact", choices=["redact", "hash", "fake"])
+    c.set_defaults(fn=cmd_mask)
+
+    c = sub.add_parser("learn", help="learn a schema baseline")
+    c.add_argument("path")
+    c.add_argument("--output")
+    c.set_defaults(fn=cmd_learn)
+
+    c = sub.add_parser("compare", help="drift compare baseline vs current")
+    c.add_argument("baseline")
+    c.add_argument("path")
+    c.add_argument("--method", default="psi")
+    c.set_defaults(fn=cmd_compare)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    try:
+        args = build_parser().parse_args(argv)
+    except SystemExit as e:
+        return 2 if e.code not in (0, None) else 0
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

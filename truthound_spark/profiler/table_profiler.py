@@ -163,3 +163,75 @@ def profile(
         crow = df.agg(*corr_aggs).collect()[0].asDict()
         prof.correlations = {k: v for k, v in crow.items() if v is not None}
     return prof
+
+
+#: Pattern classes for the string pattern analyzer
+#: (reference: profiler/column_profiler.py:366 PatternAnalyzer).
+PATTERN_CLASSES: dict[str, str] = {
+    "numeric": r"^-?[0-9]+(\.[0-9]+)?$",
+    "alpha": r"^[A-Za-z]+$",
+    "alphanumeric": r"^[A-Za-z0-9]+$",
+    "email": r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$",
+    "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
+    "date_iso": r"^\d{4}-\d{2}-\d{2}",
+    "whitespace_padded": r"^\s+.*|.*\s+$",
+}
+
+
+def pattern_profile(
+    df: DataFrame, columns: list[str] | None = None
+) -> dict[str, dict[str, Any]]:
+    """Per-column pattern-class ratios + dominant class — ONE fused agg over
+    all (column × class) rlike counters (reference PatternAnalyzer,
+    profiler/column_profiler.py:366)."""
+    cols = columns or [
+        f.name for f in df.schema.fields if isinstance(f.dataType, STRING_TYPES)
+    ]
+    if not cols:
+        return {}
+    aggs = []
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
+        for cls, pat in PATTERN_CLASSES.items():
+            aggs.append(
+                F.sum(F.when(F.col(c).rlike(pat), 1).otherwise(0)).alias(f"{c}__{cls}")
+            )
+    row = df.agg(*aggs).collect()[0].asDict()
+    out: dict[str, dict[str, Any]] = {}
+    for c in cols:
+        nn = int(row[f"{c}__nn"] or 0)
+        ratios = {
+            cls: round((row[f"{c}__{cls}"] or 0) / nn, 6) if nn else 0.0
+            for cls in PATTERN_CLASSES
+        }
+        dominant = max(ratios, key=ratios.get) if nn else None
+        out[c] = {
+            "ratios": ratios,
+            "dominant": dominant if ratios.get(dominant, 0) > 0 else None,
+        }
+    return out
+
+
+def sketch_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    support: float = 0.01,
+) -> dict[str, dict[str, Any]]:
+    """Sketch-based profile for 100 TB columns (reference sketches:
+    profiler/sketches/{hyperloglog,countmin,bloom}.py → Spark built-ins):
+    HLL++ distinct estimates (approx_count_distinct) + heavy hitters
+    (df.stat.freqItems — the count-min-sketch role)."""
+    cols = columns or df.columns
+    aggs = [F.approx_count_distinct(c).alias(f"{c}__nu") for c in cols]
+    row = df.agg(*aggs).collect()[0].asDict()
+    freq = df.stat.freqItems(cols, support).collect()[0].asDict()
+    return {
+        c: {
+            "approx_distinct": int(row[f"{c}__nu"] or 0),
+            "heavy_hitters": sorted(
+                (v for v in (freq.get(f"{c}_freqItems") or []) if v is not None),
+                key=str,
+            )[:20],
+        }
+        for c in cols
+    }
