@@ -2615,3 +2615,295 @@ def q_media_video_frames(spark, sf_dir):
     return frames.select(
         "asset_id", F.col("frame_index").cast("long").alias("frame_index"), "frame_fingerprint"
     ).orderBy("asset_id", "frame_index")
+
+
+# ===========================================================================
+# checksum family (derived columns, engine validators vs SQL re-computation)
+# ===========================================================================
+
+
+@register(
+    "isbn_checksum_derived",
+    """
+    WITH tt AS (SELECT lpad(CAST((c_custkey * 991 + 7) % 10000000000000 AS VARCHAR), 13, '0') AS s
+                FROM customer),
+    sc AS (
+      SELECT s, list_sum([CAST(s[i] AS INT) * (CASE WHEN i % 2 = 1 THEN 1 ELSE 3 END)
+                          FOR i IN range(1, 14)]) AS tot
+      FROM tt
+    )
+    SELECT CAST(SUM(CASE WHEN tot % 10 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS invalid_isbn,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM sc
+    """,
+)
+def q_isbn_checksum_derived(spark, sf_dir):
+    """ISBN-13 weighted checksum (reference checksum.py:162) — engine
+    IsbnValidator over derived 13-digit strings."""
+    from truthound_spark.validators.business import IsbnValidator
+
+    df = t(spark, sf_dir, "customer").select(
+        F.lpad(((F.col("c_custkey") * 991 + 7) % 10000000000000).cast("string"), 13, "0").alias("s")
+    )
+    base = fused_counts(df, [(IsbnValidator("s"), ["invalid_isbn"])])
+    return base.crossJoin(df.agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+@register(
+    "credit_card_derived",
+    """
+    WITH tt AS (SELECT '4' || lpad(CAST((c_custkey * 7919) % 1000000000000000 AS VARCHAR), 15, '0') AS s
+                FROM customer),
+    sc AS (
+      SELECT s, list_sum([CASE WHEN (length(s) - i) % 2 = 1 THEN
+                            CASE WHEN CAST(s[i] AS INT) * 2 > 9 THEN CAST(s[i] AS INT) * 2 - 9
+                                 ELSE CAST(s[i] AS INT) * 2 END
+                          ELSE CAST(s[i] AS INT) END
+                          FOR i IN range(1, length(s) + 1)]) AS tot
+      FROM tt
+    )
+    SELECT CAST(SUM(CASE WHEN regexp_matches(s, '^4[0-9]{12}([0-9]{3})?$') AND tot % 10 = 0
+                         THEN 0 ELSE 1 END) AS BIGINT) AS invalid_cards
+    FROM sc
+    """,
+)
+def q_credit_card_derived(spark, sf_dir):
+    """CreditCard = brand pattern + Luhn (reference checksum.py:340) over
+    derived 16-digit Visa-prefixed strings (~10% pass Luhn)."""
+    from truthound_spark.validators.business import CreditCardValidator
+
+    df = t(spark, sf_dir, "customer").select(
+        F.concat(
+            F.lit("4"),
+            F.lpad(((F.col("c_custkey") * 7919) % 1000000000000000).cast("string"), 15, "0"),
+        ).alias("s")
+    )
+    return fused_counts(df, [(CreditCardValidator("s"), ["invalid_cards"])])
+
+
+@register(
+    "iban_mod97_derived",
+    """
+    WITH tt AS (
+      SELECT 'DE' || lpad(CAST(c_custkey % 97 AS VARCHAR), 2, '0')
+             || lpad(CAST((c_custkey * 37) % 10000000000000000 AS VARCHAR), 16, '0') AS iban
+      FROM customer
+    ),
+    v AS (
+      SELECT iban,
+             CAST(substr(iban, 5) || '1314' || substr(iban, 3, 2) AS HUGEINT) % 97 AS m
+      FROM tt
+    )
+    SELECT CAST(SUM(CASE WHEN m = 1 THEN 0 ELSE 1 END) AS BIGINT) AS invalid_iban,
+           CAST(SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS valid_iban
+    FROM v
+    """,
+)
+def q_iban_mod97_derived(spark, sf_dir):
+    """IBAN mod-97 (reference financial.py:19): engine computes the mod
+    incrementally with aggregate() (stays in long range); the oracle casts
+    the 22-digit rearranged number to HUGEINT — same arithmetic."""
+    from truthound_spark.validators.business import IbanValidator
+
+    df = t(spark, sf_dir, "customer").select(
+        F.concat(
+            F.lit("DE"),
+            F.lpad((F.col("c_custkey") % 97).cast("string"), 2, "0"),
+            F.lpad(((F.col("c_custkey") * 37) % 10000000000000000).cast("string"), 16, "0"),
+        ).alias("iban")
+    )
+    base = fused_counts(df, [(IbanValidator("iban"), ["invalid_iban"])])
+    valid = df.agg(
+        (
+            F.count(F.lit(1))
+            - fused_counts(df, [(IbanValidator("iban"), ["x"])]).collect()[0]["x"]
+        )
+        .cast("long")
+        .alias("valid_iban")
+    )
+    return base.crossJoin(valid)
+
+
+@register(
+    "korean_rrn_derived",
+    """
+    WITH tt AS (
+      SELECT lpad(CAST(400000 + c_custkey % 500000 AS VARCHAR), 6, '0') || '-'
+             || CAST(1 + c_custkey % 8 AS VARCHAR)
+             || lpad(CAST((c_custkey * 13) % 1000000 AS VARCHAR), 6, '0') AS rrn
+      FROM customer
+    ),
+    v AS (
+      SELECT rrn, replace(rrn, '-', '') AS d FROM tt
+    ),
+    sc AS (
+      SELECT rrn, d,
+             list_sum([CAST(d[i] AS INT) * ([2,3,4,5,6,7,8,9,2,3,4,5])[i]
+                       FOR i IN range(1, 13)]) AS tot
+      FROM v
+    )
+    SELECT CAST(SUM(CASE WHEN (11 - tot % 11) % 10 = CAST(d[13] AS INT)
+                         THEN 0 ELSE 1 END) AS BIGINT) AS invalid_rrn
+    FROM sc
+    """,
+)
+def q_korean_rrn_derived(spark, sf_dir):
+    """Korean RRN weighted checksum (reference localization/korean.py:98)
+    over derived RRN-formatted strings (~10% checksum-valid)."""
+    from truthound_spark.validators.business import KoreanRRNValidator
+
+    df = t(spark, sf_dir, "customer").select(
+        F.concat(
+            F.lpad((400000 + F.col("c_custkey") % 500000).cast("string"), 6, "0"),
+            F.lit("-"),
+            (1 + F.col("c_custkey") % 8).cast("string"),
+            F.lpad(((F.col("c_custkey") * 13) % 1000000).cast("string"), 6, "0"),
+        ).alias("rrn")
+    )
+    return fused_counts(df, [(KoreanRRNValidator("rrn"), ["invalid_rrn"])])
+
+
+# ===========================================================================
+# set relations / ratios / grouped freshness / composite quality
+# ===========================================================================
+
+
+@register(
+    "distinct_set_relations_orders",
+    """
+    SELECT string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS observed_statuses,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+    FROM orders
+    """,
+)
+def q_distinct_set_relations_orders(spark, sf_dir):
+    """DistinctValuesEqual/ContainSet set algebra (uniqueness/
+    distinct_values.py:81,173): bounded collect_set of the distinct values."""
+    df = t(spark, sf_dir, "orders")
+    return df.agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias(
+            "observed_statuses"
+        ),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+@register(
+    "unique_ratio_metrics",
+    """
+    SELECT
+      ROUND(CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) / COUNT(o_custkey), 6) AS custkey_unique_ratio,
+      ROUND(CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(o_orderkey), 6) AS orderkey_unique_ratio,
+      CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS priority_cardinality
+    FROM orders
+    """,
+)
+def q_unique_ratio_metrics(spark, sf_dir):
+    """UniqueRatio + Cardinality observation metrics (uniqueness/unique.py:189,
+    profiling/cardinality.py:21)."""
+    df = t(spark, sf_dir, "orders")
+    return df.agg(
+        F.round(
+            F.countDistinct("o_custkey").cast("double") / F.count("o_custkey"), 6
+        ).alias("custkey_unique_ratio"),
+        F.round(
+            F.countDistinct("o_orderkey").cast("double") / F.count("o_orderkey"), 6
+        ).alias("orderkey_unique_ratio"),
+        F.countDistinct("o_orderpriority").alias("priority_cardinality"),
+    )
+
+
+@register(
+    "grouped_recent_data_events",
+    f"""
+    WITH {EV}
+    SELECT event_type,
+           CAST(FLOOR((epoch(TIMESTAMP '2024-02-15 00:00:00') - epoch(MAX(ts))) / 3600) AS BIGINT) AS age_hours
+    FROM ev GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_grouped_recent_data_events(spark, sf_dir):
+    """GroupedRecentData per-group freshness (datetime/freshness.py:211):
+    groupBy(g).agg(max(ts)) vs a fixed now."""
+    df = t(spark, sf_dir, "events")
+    now = F.to_timestamp(F.lit("2024-02-15 00:00:00"))
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.floor((now.cast("double") - F.max("ts").cast("double")) / 3600.0)
+            .cast("long")
+            .alias("age_hours")
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "quality_score_documents",
+    """
+    WITH w AS (
+      SELECT doc_id, text,
+             string_split(CASE WHEN LEN(TRIM(text)) = 0 THEN '' ELSE
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))
+             END, ' ') AS words,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, n_words,
+        CASE WHEN len(words) > 0 THEN
+          len(list_filter(words, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))
+          / CAST(len(words) AS DOUBLE) ELSE 0.0 END AS stop_r,
+        CASE WHEN length(text) > 0 THEN
+          len(regexp_extract_all(text, '[^\\x{30}-\\x{39}a-zA-Z_\\s]')) / CAST(length(text) AS DOUBLE)
+          ELSE 0.0 END AS punct_r,
+        CASE WHEN length(text) > 0 THEN
+          len(regexp_extract_all(text, '[0-9]')) / CAST(length(text) AS DOUBLE)
+          ELSE 0.0 END AS digit_r,
+        CASE WHEN len(words) > 0 THEN len(list_distinct(words)) / CAST(len(words) AS DOUBLE)
+             ELSE 0.0 END AS uniq_r
+      FROM w
+    )
+    SELECT doc_id,
+      ROUND(LEAST(n_words / 50.0, 1.0) * 0.3
+          + LEAST(stop_r * 4.0, 1.0) * 0.2
+          + (1.0 - LEAST(punct_r * 5.0, 1.0)) * 0.2
+          + (1.0 - LEAST(digit_r * 5.0, 1.0)) * 0.1
+          + LEAST(uniq_r * 1.25, 1.0) * 0.2, 6) AS quality_score
+    FROM f ORDER BY doc_id
+    """,
+)
+def q_quality_score_documents(spark, sf_dir):
+    """Composite 0-1 quality score (pipeline/text.py quality_score) — the
+    LLM-curation filter signal, per document."""
+    from truthound_spark.pipeline.text import quality_score
+
+    df = t(spark, sf_dir, "documents")
+    return (
+        quality_score(df, "text")
+        .select("doc_id", F.round("quality_score", 6).alias("quality_score"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_keep_one_documents",
+    f"""
+    WITH fp AS (SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS f FROM documents),
+    keep AS (SELECT MIN(doc_id) AS kept FROM fp GROUP BY f)
+    SELECT CAST(COUNT(*) AS BIGINT) AS kept_docs, CAST(SUM(kept) AS BIGINT) AS kept_id_sum
+    FROM keep
+    """,
+)
+def q_dedup_keep_one_documents(spark, sf_dir):
+    """dedup_exact keep-one-representative (pipeline/dedup.py:81-86):
+    min-id per fingerprint via a window, verified by count + id-sum."""
+    from truthound_spark.pipeline.dedup import dedup_exact
+
+    df = t(spark, sf_dir, "documents")
+    kept = dedup_exact(df, "text", "doc_id")
+    return kept.agg(
+        F.count(F.lit(1)).cast("long").alias("kept_docs"),
+        F.sum("doc_id").cast("long").alias("kept_id_sum"),
+    )
