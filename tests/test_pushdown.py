@@ -69,3 +69,39 @@ def test_duckdb_pushdown_matches_dataframe_path(spark):
     n = df.agg(F.sum(F.when(pred, 1).otherwise(0)).alias("n")).collect()[0]["n"]
     assert int(r["out_of_range_count"] or 0) == int(n or 0)
     src.close()
+
+
+def test_data_source_factory(spark):
+    from truthound_spark.sources.factory import (
+        DataSource,
+        data_source,
+        elasticsearch_options,
+        jdbc_options,
+        mongodb_options,
+    )
+
+    src = data_source(f"{SF_DIR}/orders.parquet", max_rows=100)
+    df = src.load(spark)
+    assert df.count() == 100
+
+    sampled = DataSource(kind="file", path=f"{SF_DIR}/orders.parquet", sample_fraction=0.1)
+    n = sampled.load(spark).count()
+    assert 0 < n < 1500  # ~10% of 1500 sf0.001 orders
+
+    opts = jdbc_options(
+        "jdbc:postgresql://h/db",
+        query="SELECT COUNT(*) FROM t",
+        partition_column=None,
+    )
+    assert opts["query"].startswith("SELECT")
+    par = jdbc_options(
+        "jdbc:postgresql://h/db",
+        table="t",
+        partition_column="id",
+        num_partitions=8,
+        lower_bound=0,
+        upper_bound=1000,
+    )
+    assert par["numPartitions"] == "8"
+    assert mongodb_options("mongodb://h", "db", "c")["collection"] == "c"
+    assert elasticsearch_options("es:9200", "idx")["es.resource"] == "idx"
