@@ -114,3 +114,30 @@ def test_dateutil_parseable(spark):
     )
     issues = DateutilParseableValidator("d").validate(df)
     assert issues and issues[0].count == 1
+
+
+def test_context_workspace(spark, tmp_path):
+    from truthound_spark.context import Context, source_fingerprint
+    from truthound_spark.schema import learn
+
+    root = str(tmp_path / ".truthound")
+    ctx = Context(root)
+    df = spark.createDataFrame([(i, float(i)) for i in range(50)], ["id", "v"])
+
+    # baseline resolution: miss → learn + persist → hit
+    assert ctx.resolve_baseline(df) is None
+    b = ctx.resolve_baseline(df, learn_if_missing=True)
+    assert b is not None and b.row_count == 50
+    again = ctx.resolve_baseline(df)
+    assert again is not None and again.columns["v"].max_value == 49.0
+
+    # run persistence + metric history
+    r = api.check(df, validators=["null"])
+    run_id = ctx.persist_run(r)
+    assert ctx.run_store.load(run_id)["success"] is True
+    hist = ctx.metric_history()
+    assert len(hist) == 1 and hist[0]["run_id"] == run_id
+
+    # fingerprints are schema-keyed
+    df2 = spark.createDataFrame([(1, "x")], ["id", "s"])
+    assert source_fingerprint(df) != source_fingerprint(df2)

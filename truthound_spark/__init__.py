@@ -14,6 +14,10 @@ from truthound_spark.profiler import profile  # noqa: F401
 from truthound_spark.scanners import scan  # noqa: F401
 from truthound_spark.schema import Schema, learn  # noqa: F401
 from truthound_spark.types import ResultFormat, Severity  # noqa: F401
-from truthound_spark import drift, pipeline  # noqa: F401
+from truthound_spark.drift.detectors import compare  # noqa: F401
+from truthound_spark.reporters import render, save_report  # noqa: F401
+from truthound_spark.sdk import ValidatorBuilder, validator  # noqa: F401
+from truthound_spark.checkpoint import Checkpoint  # noqa: F401
+from truthound_spark import drift, pipeline, sources, streaming  # noqa: F401
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
