@@ -2907,3 +2907,233 @@ def q_dedup_keep_one_documents(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("kept_docs"),
         F.sum("doc_id").cast("long").alias("kept_id_sum"),
     )
+
+
+# ===========================================================================
+# anomaly fences / custom expressions / row-level UDF / formats
+# ===========================================================================
+
+
+@register(
+    "robust_anomaly_fences_events",
+    """
+    WITH med AS (SELECT quantile_cont(value, 0.5) AS m FROM events),
+    mad AS (SELECT quantile_cont(ABS(value - m), 0.5) AS d FROM events, med),
+    q AS (SELECT quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3,
+                 quantile_cont(value, 0.01) AS p01, quantile_cont(value, 0.99) AS p99
+          FROM events)
+    SELECT
+      CAST((SELECT SUM(CASE WHEN ABS(value - m) / (d * 1.4826) > 3.5 THEN 1 ELSE 0 END)
+            FROM events, med, mad WHERE value IS NOT NULL) AS BIGINT) AS mad_outliers,
+      CAST((SELECT SUM(CASE WHEN value < q1 - 3.0 * (q3 - q1) OR value > q3 + 3.0 * (q3 - q1)
+                            THEN 1 ELSE 0 END)
+            FROM events, q WHERE value IS NOT NULL) AS BIGINT) AS tukey_far_outliers,
+      CAST((SELECT SUM(CASE WHEN value < p01 OR value > p99 THEN 1 ELSE 0 END)
+            FROM events, q WHERE value IS NOT NULL) AS BIGINT) AS percentile_outliers
+    """,
+)
+def q_robust_anomaly_fences_events(spark, sf_dir):
+    """MAD / Tukey-far / Percentile anomaly fences (reference:
+    anomaly/statistical.py:136,385,504) — exact-percentile two-pass plans."""
+    df = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = df.agg(F.expr("percentile(value, 0.5)").alias("m")).collect()[0]["m"]
+    mad = df.agg(
+        F.expr(f"percentile(abs(value - {med!r}), 0.5)").alias("d")
+    ).collect()[0]["d"]
+    q = df.agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+        F.expr("percentile(value, 0.01)").alias("p01"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    ).collect()[0]
+    iqr = q["q3"] - q["q1"]
+    mad_pred = F.abs(F.col("value") - med) / (mad * 1.4826) > 3.5
+    tukey_pred = (F.col("value") < q["q1"] - 3.0 * iqr) | (
+        F.col("value") > q["q3"] + 3.0 * iqr
+    )
+    pct_pred = (F.col("value") < q["p01"]) | (F.col("value") > q["p99"])
+    return df.agg(
+        F.sum(F.when(mad_pred, 1).otherwise(0)).cast("long").alias("mad_outliers"),
+        F.sum(F.when(tukey_pred, 1).otherwise(0)).cast("long").alias("tukey_far_outliers"),
+        F.sum(F.when(pct_pred, 1).otherwise(0)).cast("long").alias("percentile_outliers"),
+    )
+
+
+@register(
+    "custom_expression_counts",
+    """
+    SELECT
+      CAST(SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price,
+      CAST(SUM(CASE WHEN o_orderstatus = 'O' AND NOT (o_totalprice < 400000) THEN 1 ELSE 0 END) AS BIGINT) AS open_but_huge,
+      CAST(SUM(CASE WHEN NOT (o_totalprice > 0 AND o_custkey >= 0) THEN 1 ELSE 0 END) AS BIGINT) AS multi_condition_violations
+    FROM orders
+    """,
+)
+def q_custom_expression_counts(spark, sf_dir):
+    """CustomExpression / ConditionalExpression / MultiCondition
+    (reference query/expression.py:17,41,103) — engine validators fused."""
+    from truthound_spark.validators.query import (
+        ConditionalExpressionValidator,
+        CustomExpressionValidator,
+        MultiConditionValidator,
+    )
+
+    df = t(spark, sf_dir, "orders")
+    return fused_counts(
+        df,
+        [
+            (CustomExpressionValidator("o_totalprice > 0"), ["nonpositive_price"]),
+            (
+                ConditionalExpressionValidator("o_orderstatus = 'O'", "o_totalprice < 400000"),
+                ["open_but_huge"],
+            ),
+            (
+                MultiConditionValidator(["o_totalprice > 0", "o_custkey >= 0"]),
+                ["multi_condition_violations"],
+            ),
+        ],
+    )
+
+
+@register(
+    "row_level_udf_counts",
+    """
+    SELECT CAST(SUM(CASE WHEN c_custkey % 7 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS udf_violations
+    FROM customer
+    """,
+)
+def q_row_level_udf_counts(spark, sf_dir):
+    """RowLevelValidator vectorized pandas-UDF surface (reference
+    query/expression.py:187): arbitrary per-row Python — here a
+    SQL-mirrorable predicate so the oracle can verify the Arrow path."""
+    from truthound_spark.validators.query import RowLevelValidator
+
+    df = t(spark, sf_dir, "customer")
+    v = RowLevelValidator("c_custkey", lambda s: s % 7 == 0, vectorized=True)
+    issues = v.validate(df)
+    n = issues[0].count if issues else 0
+    return _scalar_df(spark, udf_violations=n)
+
+
+@register(
+    "date_format_violations_derived",
+    """
+    WITH d AS (
+      SELECT CASE WHEN o_orderkey % 83 = 0 THEN strftime(o_orderdate, '%d/%m/%Y')
+                  ELSE strftime(o_orderdate, '%Y-%m-%d') END AS ds
+      FROM orders
+    )
+    SELECT CAST(SUM(CASE WHEN try_strptime(ds, '%Y-%m-%d') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS format_violations
+    FROM d
+    """,
+)
+def q_date_format_violations_derived(spark, sf_dir):
+    """DateFormat strptime-match (reference datetime/format.py:17): derived
+    date strings, every 83rd in the wrong format."""
+    df = t(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderkey") % 83 == 0,
+            F.date_format("o_orderdate", "dd/MM/yyyy"),
+        )
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .alias("ds")
+    )
+    from truthound_spark.validators.datetime_checks import DateFormatValidator
+
+    return fused_counts(df, [(DateFormatValidator("ds", "yyyy-MM-dd"), ["format_violations"])])
+
+
+@register(
+    "url_uuid_ip_formats_derived",
+    """
+    WITH d AS (
+      SELECT
+        CASE WHEN c_custkey % 91 = 0 THEN 'not a url'
+             ELSE 'https://example.com/c/' || CAST(c_custkey AS VARCHAR) END AS url,
+        CASE WHEN c_custkey % 93 = 0 THEN 'not-a-uuid'
+             ELSE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) || '-'
+                  || substr(md5(CAST(c_custkey AS VARCHAR)), 9, 4) || '-'
+                  || substr(md5(CAST(c_custkey AS VARCHAR)), 13, 4) || '-'
+                  || substr(md5(CAST(c_custkey AS VARCHAR)), 17, 4) || '-'
+                  || substr(md5(CAST(c_custkey AS VARCHAR)), 21, 12) END AS uid,
+        CASE WHEN c_custkey % 95 = 0 THEN '999.999.999.999'
+             ELSE CAST(c_custkey % 256 AS VARCHAR) || '.' || CAST((c_custkey * 3) % 256 AS VARCHAR)
+                  || '.' || CAST((c_custkey * 7) % 256 AS VARCHAR) || '.'
+                  || CAST((c_custkey * 11) % 256 AS VARCHAR) END AS ip
+      FROM customer
+    )
+    SELECT
+      CAST(SUM(CASE WHEN NOT regexp_matches(url, '^https?://[^\\s/$.?#].[^\\s]*$') THEN 1 ELSE 0 END) AS BIGINT) AS invalid_urls,
+      CAST(SUM(CASE WHEN NOT regexp_matches(uid, '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$') THEN 1 ELSE 0 END) AS BIGINT) AS invalid_uuids,
+      CAST(SUM(CASE WHEN NOT regexp_matches(ip, '^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$') THEN 1 ELSE 0 END) AS BIGINT) AS invalid_ips
+    FROM d
+    """,
+)
+def q_url_uuid_ip_formats_derived(spark, sf_dir):
+    """Url / Uuid / IpAddress format validators (reference string/
+    format.py:207,356,378) over derived columns with seeded invalids."""
+    from truthound_spark.validators.string import (
+        IpAddressValidator,
+        UrlValidator,
+        UuidValidator,
+    )
+
+    k = F.col("c_custkey")
+    m = F.md5(k.cast("string"))
+    df = t(spark, sf_dir, "customer").select(
+        F.when(k % 91 == 0, F.lit("not a url"))
+        .otherwise(F.concat(F.lit("https://example.com/c/"), k.cast("string")))
+        .alias("url"),
+        F.when(k % 93 == 0, F.lit("not-a-uuid"))
+        .otherwise(
+            F.concat_ws(
+                "-",
+                F.substring(m, 1, 8),
+                F.substring(m, 9, 4),
+                F.substring(m, 13, 4),
+                F.substring(m, 17, 4),
+                F.substring(m, 21, 12),
+            )
+        )
+        .alias("uid"),
+        F.when(k % 95 == 0, F.lit("999.999.999.999"))
+        .otherwise(
+            F.concat_ws(
+                ".",
+                (k % 256).cast("string"),
+                ((k * 3) % 256).cast("string"),
+                ((k * 7) % 256).cast("string"),
+                ((k * 11) % 256).cast("string"),
+            )
+        )
+        .alias("ip"),
+    )
+    return fused_counts(
+        df,
+        [
+            (UrlValidator("url"), ["invalid_urls"]),
+            (UuidValidator("uid"), ["invalid_uuids"]),
+            (IpAddressValidator("ip"), ["invalid_ips"]),
+        ],
+    )
+
+
+@register(
+    "sql_view_query_counts",
+    """
+    SELECT CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice > 300000) AS BIGINT) AS big_orders,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT) AS bad_status_rows
+    """,
+)
+def q_sql_view_query_counts(spark, sf_dir):
+    """QuerySQL family path: user SQL over a temp view through spark.sql
+    (reference query/base.py:59; engine _SQLBase._run)."""
+    df = t(spark, sf_dir, "orders")
+    df.createOrReplaceTempView("data")
+    big = df.sparkSession.sql(
+        "SELECT COUNT(*) AS n FROM data WHERE o_totalprice > 300000"
+    ).collect()[0]["n"]
+    bad = df.sparkSession.sql(
+        "SELECT COUNT(*) AS n FROM data WHERE o_orderstatus NOT IN ('O', 'F', 'P')"
+    ).collect()[0]["n"]
+    return _scalar_df(spark, big_orders=int(big), bad_status_rows=int(bad))
