@@ -172,6 +172,28 @@ def main():
 
     bench_one("text_quality_documents", text_quality, timings)
 
+    # --- BASELINE.md pushdown workload shapes (sqlite-null/range/unique
+    # roles; DuckDB executes the generated SQL in-database over the same
+    # parquet — on a cluster the identical SQL rides spark.read.jdbc) -----
+    def pushdown(kind):
+        from truthound_spark.sources import DuckDBSource
+
+        src = DuckDBSource()
+        src.register_parquet("lineitem", f"{SF_DIR}/lineitem.parquet")
+        try:
+            if kind == "null":
+                src.null_count("lineitem", "l_quantity")
+            elif kind == "range":
+                src.range_stats("lineitem", "l_quantity", 1, 30)
+            else:
+                src.distinct_count("lineitem", "l_orderkey")
+        finally:
+            src.close()
+
+    bench_one("pushdown_null", lambda: pushdown("null"), timings)
+    bench_one("pushdown_range", lambda: pushdown("range"), timings)
+    bench_one("pushdown_unique", lambda: pushdown("unique"), timings)
+
     total = round(time.time() - t_start, 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -328,3 +328,21 @@ def test_auto_suite_uses_learned_baseline(spark):
     # (fences widen around observed data) but the suite still runs
     res2 = api.check(dirty, learn=True)
     assert res2.checks_run > 0
+
+
+def test_geo_country_and_multipolygon(spark):
+    from truthound_spark.validators.geospatial import (
+        GeoCountryValidator,
+        MultiPolygonValidator,
+    )
+
+    df = spark.createDataFrame(
+        [(37.5, 127.0), (51.5, -0.1), (0.0, 0.0)], ["lat", "lon"]
+    )
+    issues = GeoCountryValidator("lat", "lon", "KR").validate(df)
+    assert issues and issues[0].count == 2  # only Seoul inside KR
+
+    square_kr = [(33.0, 124.0), (33.0, 132.0), (39.0, 132.0), (39.0, 124.0)]
+    square_uk = [(49.0, -9.0), (49.0, 2.0), (61.0, 2.0), (61.0, -9.0)]
+    issues = MultiPolygonValidator("lat", "lon", [square_kr, square_uk]).validate(df)
+    assert issues and issues[0].count == 1  # null island outside both

@@ -211,3 +211,117 @@ class PointInPolygonValidator(Validator):
                 details=f"{n_out} points outside polygon",
             )
         ]
+
+
+#: Coarse country bounding boxes (lat_min, lat_max, lon_min, lon_max) —
+#: the reference's GeoCountry check is bbox-level too (boundary.py:138).
+COUNTRY_BBOXES: dict[str, tuple[float, float, float, float]] = {
+    "US": (24.5, 49.4, -125.0, -66.9),
+    "KR": (33.0, 38.7, 124.5, 131.9),
+    "JP": (24.0, 45.6, 122.9, 153.99),
+    "DE": (47.2, 55.1, 5.8, 15.0),
+    "FR": (41.3, 51.1, -5.2, 9.6),
+    "GB": (49.9, 60.9, -8.7, 1.8),
+    "CN": (18.1, 53.6, 73.5, 135.1),
+    "IN": (6.5, 35.5, 68.1, 97.4),
+    "BR": (-33.8, 5.3, -73.99, -34.7),
+    "AU": (-43.7, -10.0, 112.9, 153.7),
+}
+
+
+@register_validator("geo_country", category="geospatial")
+class GeoCountryValidator(Validator):
+    """Coordinates must fall inside the named country's bounding box
+    (reference: geospatial/boundary.py:138 GeoCountry) — pure column math."""
+
+    def __init__(self, lat_column: str, lon_column: str, country: str) -> None:
+        if country not in COUNTRY_BBOXES:
+            raise ValueError(f"unknown country {country!r}; known: {sorted(COUNTRY_BBOXES)}")
+        self.lat_column = lat_column
+        self.lon_column = lon_column
+        self.country = country
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        lat_min, lat_max, lon_min, lon_max = COUNTRY_BBOXES[self.country]
+        lat, lon = F.col(self.lat_column), F.col(self.lon_column)
+        outside = ~(
+            lat.between(lat_min, lat_max) & lon.between(lon_min, lon_max)
+        ) & lat.isNotNull() & lon.isNotNull()
+        return [
+            ExpressionSpec(
+                name="geo_country",
+                issue_type="outside_country",
+                column=f"{self.lat_column},{self.lon_column}",
+                count_expr=violation_count(outside),
+                non_null_expr=F.count(F.lit(1)),
+                filter_expr=outside,
+                expected=f"coordinates within {self.country} bbox",
+            )
+        ]
+
+
+@register_validator("multi_polygon", category="geospatial")
+class MultiPolygonValidator(Validator):
+    """Point must fall inside ANY of several polygons (reference:
+    geospatial/polygon.py:386 MultiPolygon) — one vectorized ray-casting
+    pass evaluating all polygons per Arrow batch."""
+
+    def __init__(
+        self,
+        lat_column: str,
+        lon_column: str,
+        polygons: list[list[tuple[float, float]]],
+    ) -> None:
+        self.lat_column = lat_column
+        self.lon_column = lon_column
+        self.polygons = polygons
+
+    def validate(self, df: DataFrame, row_count: int | None = None):
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        from truthound_spark.core.results import ValidationIssue
+        from truthound_spark.types import severity_from_ratio
+
+        polys = [np.asarray(p, dtype=float) for p in self.polygons]
+
+        @pandas_udf("boolean")
+        def inside_any(lat: pd.Series, lon: pd.Series) -> pd.Series:
+            x, y = lon.values, lat.values
+            result = np.zeros(len(x), dtype=bool)
+            for poly in polys:
+                hit = np.zeros(len(x), dtype=bool)
+                j = len(poly) - 1
+                for i in range(len(poly)):
+                    yi, xi = poly[i]
+                    yj, xj = poly[j]
+                    cond = ((xi > x) != (xj > x)) & (
+                        y < (yj - yi) * (x - xi) / np.where(xj - xi == 0, 1e-12, xj - xi) + yi
+                    )
+                    hit ^= cond
+                    j = i
+                result |= hit
+            return pd.Series(result)
+
+        agg = df.select(
+            inside_any(F.col(self.lat_column), F.col(self.lon_column)).alias("__in")
+        ).agg(
+            F.sum(F.when(~F.col("__in"), 1).otherwise(0)).alias("out"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        n_out, n = int(agg["out"] or 0), int(agg["n"] or 0)
+        if n_out == 0:
+            return []
+        return [
+            ValidationIssue(
+                column=f"{self.lat_column},{self.lon_column}",
+                issue_type="outside_polygons",
+                count=n_out,
+                severity=severity_from_ratio(n_out / n if n else 0.0),
+                validator_name="multi_polygon",
+                expected=f"inside any of {len(self.polygons)} polygons",
+                actual=n_out,
+                details=f"{n_out} points outside all polygons",
+            )
+        ]
