@@ -42,13 +42,51 @@ def words(col: Column) -> Column:
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string> column."""
+    """Distinct word n-gram shingles as an array<string> column.
+
+    NOTE (perf): referencing the ``words`` macro from inside the transform
+    lambda re-evaluates the whole normalize+split pipeline PER SHINGLE
+    INDEX (no CSE across higher-order-function lambda boundaries) —
+    quadratic in document length. This Column form is kept for API
+    compatibility on small frames; pipeline code paths go through
+    ``_shingle_arrays`` / ``_shingle_rows`` which materialize the words
+    array in its own projection first (CollapseProject keeps multi-use
+    non-cheap aliases separate), making shingling linear."""
     w = words(col)
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
         )
+    )
+
+
+def _shingles_of_words(w: Column, n: int) -> Column:
+    """Shingle expression over an ALREADY-MATERIALIZED words column."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+        )
+    )
+
+
+def _shingle_arrays(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, sh: array<string>) — linear-time shingling via a two-step
+    projection (see word_shingles perf note)."""
+    base = _ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    )
+    w = base.select("id", words(F.col("__t")).alias("__w"))
+    return w.select("id", _shingles_of_words(F.col("__w"), n).alias("sh"))
+
+
+def _shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, g: string) exploded shingles — the minhash input."""
+    return _shingle_arrays(df, text_col, id_col, n).select(
+        "id", F.explode("sh").alias("g")
     )
 
 
@@ -91,6 +129,17 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Small single-file inputs arrive as 1-2 partitions, serializing every
+    downstream CPU-heavy expression onto one core. Repartition up to the
+    cluster's parallelism when the scan is narrower than half of it — a
+    no-op on real (many-partition) corpora, one cheap shuffle otherwise."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -111,10 +160,7 @@ def minhash_signatures(
     copies of the shingle pipeline), which explodes analysis/codegen time
     long before data size matters. The exploded+aggregated form keeps the
     expression tree linear in k and scales to any corpus."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("g"),
-    )
+    sh = _shingle_rows(df, text_col, id_col, shingle_n)
     return sh.groupBy("id").agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}") for i in range(num_hashes)]
     )
@@ -177,6 +223,9 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # materialize once: the self-join below would otherwise recompute the
+    # whole shingle→signature pipeline for BOTH sides
+    band_entries = band_entries.localCheckpoint(eager=True)
     left = band_entries.alias("a")
     right = band_entries.alias("b")
     pairs = (
@@ -207,9 +256,8 @@ def minhash_dedup_pairs(
     the (small) candidate set back to shingle arrays — array_intersect /
     array_union stay JVM-side."""
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
-    )
+    # compute shingles once; joined from both pair sides below
+    sh = _shingle_arrays(df, text_col, id_col, shingle_n).localCheckpoint(eager=True)
     a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
     b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -242,7 +290,7 @@ def ngram_jaccard_pairs(
     quadratic candidates and carry no signal) — the standard scale guard.
     Returns (id_a, id_b, jaccard) with jaccard >= threshold.
     """
-    sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh"))
+    sh = _shingle_arrays(df, text_col, id_col, n)
     sizes = sh.select("id", F.size("sh").alias("sz"))
     inv = sh.select("id", F.explode("sh").alias("g"))
     g_df = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
