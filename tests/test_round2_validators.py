@@ -346,3 +346,42 @@ def test_geo_country_and_multipolygon(spark):
     square_uk = [(49.0, -9.0), (49.0, 2.0), (61.0, 2.0), (61.0, -9.0)]
     issues = MultiPolygonValidator("lat", "lon", [square_kr, square_uk]).validate(df)
     assert issues and issues[0].count == 1  # null island outside both
+
+
+def test_one_sample_distribution(spark):
+    from truthound_spark.validators.distribution import DistributionValidator
+
+    rows = [("a",)] * 50 + [("b",)] * 50
+    df = spark.createDataFrame(rows, ["cat"])
+    ok = DistributionValidator("cat", {"a": 0.5, "b": 0.5}).validate(df)
+    assert ok == []
+    bad = DistributionValidator("cat", {"a": 0.95, "b": 0.05}).validate(df)
+    assert bad and bad[0].issue_type == "distribution_mismatch"
+
+
+def test_multi_table_orphan(spark):
+    from truthound_spark.validators.referential import MultiTableOrphanValidator
+
+    parents_a = spark.createDataFrame([(1,), (2,)], ["pk"])
+    parents_b = spark.createDataFrame([(10,), (20,)], ["qk"])
+    child = spark.createDataFrame([(1, 10), (2, 99), (3, 20)], ["a_id", "b_id"])
+    issues = MultiTableOrphanValidator(
+        [(parents_a, "a_id", "pk"), (parents_b, "b_id", "qk")]
+    ).validate(child)
+    assert len(issues) == 2
+    by_col = {i.column: i.count for i in issues}
+    assert by_col == {"a_id": 1, "b_id": 1}
+
+
+def test_sklearn_gated_validators_skip_cleanly(spark):
+    from truthound_spark.validators.anomaly import (
+        EllipticEnvelopeValidator,
+        LOFValidator,
+        OneClassSVMValidator,
+    )
+
+    df = spark.createDataFrame([(1.0, 2.0)], ["a", "b"])
+    for cls in (LOFValidator, OneClassSVMValidator, EllipticEnvelopeValidator):
+        issues = cls(["a", "b"]).validate(df)
+        # environment has no sklearn: must skip with a LOW execution_error
+        assert issues and issues[0].issue_type == "execution_error"

@@ -44,8 +44,20 @@ SQLITE = SQLDialect("sqlite", '"')
 DUCKDB = SQLDialect("duckdb", '"')
 POSTGRES = SQLDialect("postgresql", '"')
 MYSQL = SQLDialect("mysql", "`")
+BIGQUERY = SQLDialect("bigquery", "`")
+SNOWFLAKE = SQLDialect("snowflake", '"')
+DATABRICKS = SQLDialect("databricks", "`")
+REDSHIFT = SQLDialect("redshift", '"')
+ORACLE = SQLDialect("oracle", '"')
+MSSQL = SQLDialect("sqlserver", '"')  # ANSI QUOTED_IDENTIFIER mode
 
-DIALECTS = {d.name: d for d in (SQLITE, DUCKDB, POSTGRES, MYSQL)}
+DIALECTS = {
+    d.name: d
+    for d in (
+        SQLITE, DUCKDB, POSTGRES, MYSQL, BIGQUERY, SNOWFLAKE,
+        DATABRICKS, REDSHIFT, ORACLE, MSSQL,
+    )
+}
 
 
 # ---------------------------------------------------------------------------

@@ -422,3 +422,126 @@ class PCAAnomalyValidator(Validator):
                 details=f"{n} rows above the q{self.threshold_quantile} residual threshold",
             )
         ]
+
+
+class _SklearnScoredValidator(Validator):
+    """Shared shell for sklearn-backed row scorers (reference
+    anomaly/ml_based.py LargeDatasetMixin:102): fit on a driver-side sample,
+    score distributed via broadcast model in mapInPandas. Skips with an
+    execution_error issue when sklearn is absent (not installed here)."""
+
+    model_name = "sklearn"
+
+    def __init__(
+        self,
+        columns: list[str],
+        contamination: float = 0.01,
+        sample_rows: int = 100_000,
+        seed: int = 42,
+    ) -> None:
+        self.columns = columns
+        self.contamination = contamination
+        self.sample_rows = sample_rows
+        self.seed = seed
+
+    def _make_model(self):  # pragma: no cover - needs sklearn
+        raise NotImplementedError
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        try:
+            import sklearn  # noqa: F401
+        except ImportError:
+            return [
+                ValidationIssue(
+                    column=",".join(self.columns),
+                    issue_type="execution_error",
+                    count=0,
+                    severity=Severity.LOW,
+                    validator_name=self.model_name,
+                    details="sklearn not installed; validator skipped",
+                    exception_info={"type": "ImportError", "message": "sklearn"},
+                )
+            ]
+        return self._validate_with_sklearn(df, row_count)  # pragma: no cover
+
+    def _validate_with_sklearn(self, df, row_count):  # pragma: no cover
+        import pandas as pd
+
+        n = df.count()
+        frac = min(1.0, self.sample_rows / max(n, 1))
+        sample = (
+            df.select(*self.columns)
+            .sample(fraction=frac, seed=self.seed)
+            .limit(self.sample_rows)
+            .toPandas()
+            .dropna()
+        )
+        model = self._make_model()
+        model.fit(sample.values)
+
+        cols = self.columns
+        bmodel = df.sparkSession.sparkContext.broadcast(model)
+
+        def score(batches):
+            for pdf in batches:
+                x = pdf[cols].fillna(0.0).values
+                pred = bmodel.value.predict(x)
+                yield pd.DataFrame({"anomaly": (pred == -1).astype("int64")})
+
+        flagged = (
+            df.select(*cols)
+            .mapInPandas(score, schema="anomaly long")
+            .agg(F.sum("anomaly").alias("n"))
+            .collect()[0]["n"]
+            or 0
+        )
+        if not flagged:
+            return []
+        return [
+            ValidationIssue(
+                column=",".join(cols),
+                issue_type=f"{self.model_name}_anomalies",
+                count=int(flagged),
+                severity=severity_from_ratio(flagged / n if n else 0.0),
+                validator_name=self.model_name,
+                expected=f"contamination ~{self.contamination}",
+                actual=int(flagged),
+                details=f"{flagged} rows flagged by sampled {self.model_name}",
+            )
+        ]
+
+
+@register_validator("lof", category="anomaly")
+class LOFValidator(_SklearnScoredValidator):
+    """Local Outlier Factor (reference: anomaly/ml_based.py:445)."""
+
+    model_name = "lof"
+
+    def _make_model(self):  # pragma: no cover
+        from sklearn.neighbors import LocalOutlierFactor
+
+        return LocalOutlierFactor(novelty=True, contamination=self.contamination)
+
+
+@register_validator("one_class_svm", category="anomaly")
+class OneClassSVMValidator(_SklearnScoredValidator):
+    """One-class SVM (reference: anomaly/ml_based.py:612)."""
+
+    model_name = "one_class_svm"
+
+    def _make_model(self):  # pragma: no cover
+        from sklearn.svm import OneClassSVM
+
+        return OneClassSVM(nu=self.contamination)
+
+
+@register_validator("elliptic_envelope", category="anomaly")
+class EllipticEnvelopeValidator(_SklearnScoredValidator):
+    """Robust-covariance envelope (reference: anomaly/multivariate.py:212)."""
+
+    model_name = "elliptic_envelope"
+
+    def _make_model(self):  # pragma: no cover
+        from sklearn.covariance import EllipticEnvelope
+
+        return EllipticEnvelope(contamination=self.contamination)

@@ -420,3 +420,57 @@ class ColumnPairNotInSetValidator(Validator):
                 expected=f"no pairs in {self.forbidden_pairs[:5]}",
             )
         ]
+
+
+@register_validator("distribution", category="distribution")
+class DistributionValidator(Validator):
+    """One-sample categorical distribution vs an expected frequency map,
+    χ² goodness-of-fit (reference: distribution/distribution.py:17 +
+    critical-value table statistical.py:17). One groupBy; χ² on the driver
+    with the Wilson–Hilferty p-value approximation."""
+
+    def __init__(
+        self,
+        column: str,
+        expected_freqs: dict,
+        threshold_pvalue: float = 0.05,
+    ) -> None:
+        self.column = column
+        self.expected_freqs = expected_freqs
+        self.threshold_pvalue = threshold_pvalue
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        from truthound_spark.drift.detectors import _chi2_sf
+
+        counts = {
+            r[self.column]: r["n"]
+            for r in df.groupBy(self.column).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        total = sum(counts.values())
+        if not total:
+            return []
+        norm = sum(self.expected_freqs.values())
+        stat = 0.0
+        for cat, w in self.expected_freqs.items():
+            expected = total * (w / norm)
+            observed = counts.get(cat, 0)
+            if expected > 0:
+                stat += (observed - expected) ** 2 / expected
+        extra = sum(n for c, n in counts.items() if c not in self.expected_freqs)
+        stat += extra  # unexpected categories contribute fully
+        dof = max(len(self.expected_freqs) - 1, 1)
+        p = _chi2_sf(stat, dof)
+        if p >= self.threshold_pvalue:
+            return []
+        return [
+            ValidationIssue(
+                column=self.column,
+                issue_type="distribution_mismatch",
+                count=extra,
+                severity=Severity.MEDIUM,
+                validator_name="distribution",
+                expected=self.expected_freqs,
+                actual={c: n / total for c, n in sorted(counts.items(), key=str)[:10]},
+                details=f"chi2={stat:.4f} dof={dof} p={p:.6f} < {self.threshold_pvalue}",
+            )
+        ]

@@ -474,3 +474,38 @@ class CascadeDepthValidator(Validator):
                 details=f"cascade chain reaches depth {depth}",
             )
         ]
+
+
+@register_validator("multi_table_orphan", category="referential")
+class MultiTableOrphanValidator(Validator):
+    """Child rows orphaned w.r.t. ANY of several parent tables
+    (reference: referential/orphan.py:191 MultiTableOrphan): one anti-join
+    per relation, fused severity on the union count."""
+
+    def __init__(self, relations: list[tuple[DataFrame, str, str]]) -> None:
+        """relations: [(parent_df, child_key, parent_key), ...]"""
+        self.relations = relations
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        issues = []
+        total = row_count if row_count is not None else df.count()
+        for parent, child_key, parent_key in self.relations:
+            n = orphans(
+                df.filter(F.col(child_key).isNotNull()),
+                parent,
+                [(child_key, parent_key)],
+            ).count()
+            if n:
+                issues.append(
+                    ValidationIssue(
+                        column=child_key,
+                        issue_type="orphan_records",
+                        count=int(n),
+                        severity=severity_from_ratio(n / total if total else 0.0),
+                        validator_name="multi_table_orphan",
+                        expected=f"{child_key} ⊆ parent {parent_key}",
+                        actual=int(n),
+                        details=f"{n} orphans vs parent on {parent_key}",
+                    )
+                )
+        return issues
