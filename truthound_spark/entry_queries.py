@@ -3137,3 +3137,194 @@ def q_sql_view_query_counts(spark, sf_dir):
         "SELECT COUNT(*) AS n FROM data WHERE o_orderstatus NOT IN ('O', 'F', 'P')"
     ).collect()[0]["n"]
     return _scalar_df(spark, big_orders=int(big), bad_status_rows=int(bad))
+
+
+# ===========================================================================
+# batch 9: one-sample distribution, multi-table orphans, pattern profile,
+# charset/ipv6/regex-list/pair-set derived checks
+# ===========================================================================
+
+
+@register(
+    "one_sample_distribution_events",
+    """
+    WITH f AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+    tot AS (SELECT SUM(n) AS total FROM f)
+    SELECT ROUND(SUM(POW(n - total * 0.2, 2) / (total * 0.2)), 6) AS chi2_vs_uniform
+    FROM f, tot GROUP BY total
+    """,
+)
+def q_one_sample_distribution_events(spark, sf_dir):
+    """One-sample χ² vs an expected uniform distribution over the 5 event
+    types (reference distribution/distribution.py:17)."""
+    df = t(spark, sf_dir, "events")
+    freq = df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.agg(F.sum("n").alias("total"))
+    joined = freq.crossJoin(F.broadcast(tot))
+    expected = F.col("total") * 0.2
+    return joined.agg(
+        F.round(F.sum(F.pow(F.col("n") - expected, 2) / expected), 6).alias(
+            "chi2_vs_uniform"
+        )
+    )
+
+
+@register(
+    "multi_table_orphans",
+    """
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l ANTI JOIN part p ON l.l_partkey = p.p_partkey) AS part_orphans,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l ANTI JOIN supplier s ON l.l_suppkey = s.s_suppkey) AS supplier_orphans
+    """,
+)
+def q_multi_table_orphans(spark, sf_dir):
+    """MultiTableOrphan: one child vs several parents (referential/
+    orphan.py:191) — engine validator, per-relation anti-joins."""
+    from truthound_spark.validators.referential import MultiTableOrphanValidator
+
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    s = t(spark, sf_dir, "supplier")
+    v = MultiTableOrphanValidator(
+        [(p, "l_partkey", "p_partkey"), (s, "l_suppkey", "s_suppkey")]
+    )
+    issues = {i.column: i.count for i in v.validate(li)}
+    return _scalar_df(
+        spark,
+        part_orphans=int(issues.get("l_partkey", 0)),
+        supplier_orphans=int(issues.get("l_suppkey", 0)),
+    )
+
+
+@register(
+    "pattern_profile_customer",
+    """
+    SELECT
+      ROUND(SUM(CASE WHEN regexp_matches(c_mktsegment, '^[A-Za-z]+$') THEN 1 ELSE 0 END)
+            / CAST(COUNT(c_mktsegment) AS DOUBLE), 6) AS segment_alpha_ratio,
+      ROUND(SUM(CASE WHEN regexp_matches(c_name, '^[A-Za-z0-9]+$') THEN 1 ELSE 0 END)
+            / CAST(COUNT(c_name) AS DOUBLE), 6) AS name_alnum_ratio,
+      ROUND(SUM(CASE WHEN regexp_matches(c_name, '^-?[0-9]+(\\.[0-9]+)?$') THEN 1 ELSE 0 END)
+            / CAST(COUNT(c_name) AS DOUBLE), 6) AS name_numeric_ratio
+    FROM customer
+    """,
+)
+def q_pattern_profile_customer(spark, sf_dir):
+    """Profiler pattern analyzer ratios (reference profiler/
+    column_profiler.py:366) — fused rlike counters via pattern_profile."""
+    from truthound_spark.profiler.table_profiler import pattern_profile
+
+    df = t(spark, sf_dir, "customer")
+    prof = pattern_profile(df, ["c_mktsegment", "c_name"])
+    return _scalar_df(
+        spark,
+        segment_alpha_ratio=prof["c_mktsegment"]["ratios"]["alpha"],
+        name_alnum_ratio=prof["c_name"]["ratios"]["alphanumeric"],
+        name_numeric_ratio=prof["c_name"]["ratios"]["numeric"],
+    )
+
+
+@register(
+    "charset_ipv6_derived",
+    """
+    WITH d AS (
+      SELECT
+        CASE WHEN c_custkey % 88 = 0 THEN 'has space!' ELSE 'token' || CAST(c_custkey AS VARCHAR) END AS tok,
+        CASE WHEN c_custkey % 90 = 0 THEN 'not:ipv6'
+             ELSE lpad(substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4), 4, '0') || ':' ||
+                  substr(md5(CAST(c_custkey AS VARCHAR)), 5, 4) || ':' ||
+                  substr(md5(CAST(c_custkey AS VARCHAR)), 9, 4) || ':' ||
+                  substr(md5(CAST(c_custkey AS VARCHAR)), 13, 4) || ':' ||
+                  substr(md5(CAST(c_custkey AS VARCHAR)), 17, 4) || ':' ||
+                  substr(md5(CAST(c_custkey AS VARCHAR)), 21, 4) || ':' ||
+                  substr(md5(CAST(c_custkey AS VARCHAR)), 25, 4) || ':' ||
+                  substr(md5(CAST(c_custkey AS VARCHAR)), 29, 4) END AS ip6
+      FROM customer
+    )
+    SELECT
+      CAST(SUM(CASE WHEN NOT regexp_matches(tok, '^[A-Za-z0-9]*$') THEN 1 ELSE 0 END) AS BIGINT) AS non_alphanumeric,
+      CAST(SUM(CASE WHEN NOT regexp_matches(ip6, '^([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}$') THEN 1 ELSE 0 END) AS BIGINT) AS invalid_ipv6
+    FROM d
+    """,
+)
+def q_charset_ipv6_derived(spark, sf_dir):
+    """Alphanumeric charset + IPv6 format validators (string/charset.py:17,
+    format.py:400) over derived columns."""
+    from truthound_spark.validators.string import AlphanumericValidator, Ipv6Validator
+
+    k = F.col("c_custkey")
+    m = F.md5(k.cast("string"))
+    df = t(spark, sf_dir, "customer").select(
+        F.when(k % 88 == 0, F.lit("has space!"))
+        .otherwise(F.concat(F.lit("token"), k.cast("string")))
+        .alias("tok"),
+        F.when(k % 90 == 0, F.lit("not:ipv6"))
+        .otherwise(
+            F.concat_ws(
+                ":",
+                *[F.substring(m, 1 + 4 * i, 4) for i in range(8)],
+            )
+        )
+        .alias("ip6"),
+    )
+    return fused_counts(
+        df,
+        [
+            (AlphanumericValidator("tok"), ["non_alphanumeric"]),
+            (Ipv6Validator("ip6"), ["invalid_ipv6"]),
+        ],
+    )
+
+
+@register(
+    "regex_list_pair_set_derived",
+    """
+    WITH d AS (
+      SELECT CASE WHEN c_custkey % 3 = 0 THEN 'alpha' WHEN c_custkey % 3 = 1 THEN 'beta' ELSE 'gamma' END AS grp,
+             CASE WHEN c_custkey % 2 = 0 THEN 'even' ELSE 'odd' END AS par,
+             'doc_' || CAST(c_custkey AS VARCHAR) ||
+             CASE WHEN c_custkey % 77 = 0 THEN '_secret' ELSE '' END AS label
+      FROM customer
+    )
+    SELECT
+      CAST(SUM(CASE WHEN regexp_matches(label, 'secret') OR regexp_matches(label, 'password')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS forbidden_matches,
+      CAST(SUM(CASE WHEN NOT ((grp = 'alpha' AND par = 'odd') OR (grp = 'beta' AND par = 'even')
+                           OR (grp = 'gamma' AND par = 'even') OR (grp = 'gamma' AND par = 'odd'))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS pair_violations
+    FROM d
+    """,
+)
+def q_regex_list_pair_set_derived(spark, sf_dir):
+    """NotMatchRegexList + ColumnPairInSet (string/regex_extended.py:312,
+    schema/column_pair_set.py:13) over derived columns."""
+    from truthound_spark.validators.distribution import ColumnPairInSetValidator
+    from truthound_spark.validators.string import NotMatchRegexListValidator
+
+    k = F.col("c_custkey")
+    df = t(spark, sf_dir, "customer").select(
+        F.when(k % 3 == 0, F.lit("alpha"))
+        .when(k % 3 == 1, F.lit("beta"))
+        .otherwise(F.lit("gamma"))
+        .alias("grp"),
+        F.when(k % 2 == 0, F.lit("even")).otherwise(F.lit("odd")).alias("par"),
+        F.concat(
+            F.lit("doc_"),
+            k.cast("string"),
+            F.when(k % 77 == 0, F.lit("_secret")).otherwise(F.lit("")),
+        ).alias("label"),
+    )
+    return fused_counts(
+        df,
+        [
+            (NotMatchRegexListValidator("label", ["secret", "password"]), ["forbidden_matches"]),
+            (
+                ColumnPairInSetValidator(
+                    "grp",
+                    "par",
+                    [("alpha", "odd"), ("beta", "even"), ("gamma", "even"), ("gamma", "odd")],
+                ),
+                ["pair_violations"],
+            ),
+        ],
+    )
