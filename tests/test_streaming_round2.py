@@ -67,3 +67,59 @@ def test_stateful_running_stats(spark):
     assert len(rows) == 4
     # values beyond 10 violate the [0, 10] range per key
     assert any(r["viol"] > 0 for r in rows)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """withWatermark + windowed agg: events later than the watermark delay
+    must be dropped from closed windows (SURVEY §2.10 lateness mapping)."""
+    import json
+    import os
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    out_ckpt = str(tmp_path / "ckpt")
+
+    schema = "ts TIMESTAMP, v INT"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    agged = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("string").alias("start"), "n")
+    )
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for ts, v in rows:
+                f.write(json.dumps({"ts": ts, "v": v}) + "\n")
+
+    # batch 1: events in window 10:00 + one at 11:00 (advances watermark
+    # to 10:50 → the 10:00-10:10 window is closed)
+    write_batch("b1.json", [("2024-01-01 10:01:00", 1), ("2024-01-01 10:02:00", 2),
+                            ("2024-01-01 11:00:00", 3)])
+    q = (
+        agged.writeStream.format("memory")
+        .queryName("wm_agg")
+        .outputMode("append")
+        .option("checkpointLocation", out_ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a VERY late event for the closed 10:00 window
+        write_batch("b2.json", [("2024-01-01 10:03:00", 4)])
+        q.processAllAvailable()
+        # batch 3: advance watermark far so all open windows emit
+        write_batch("b3.json", [("2024-01-01 12:00:00", 5)])
+        q.processAllAvailable()
+        rows = {r["start"]: r["n"] for r in spark.sql("SELECT * FROM wm_agg").collect()}
+    finally:
+        q.stop()
+    # the 10:00 window emitted with ONLY the 2 on-time events — the late
+    # arrival (v=4) was dropped past the watermark
+    ten_oclock = [v for k, v in rows.items() if "10:00" in k]
+    assert ten_oclock == [2], rows

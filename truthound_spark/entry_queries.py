@@ -3328,3 +3328,32 @@ def q_regex_list_pair_set_derived(spark, sf_dir):
             ),
         ],
     )
+
+
+@register(
+    "timeseries_completeness_events",
+    f"""
+    WITH {EV}
+    SELECT
+      CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS present_buckets,
+      CAST((epoch(date_trunc('hour', MAX(ts))) - epoch(date_trunc('hour', MIN(ts)))) / 3600 + 1 AS BIGINT) AS expected_buckets
+    FROM ev
+    """,
+)
+def q_timeseries_completeness_events(spark, sf_dir):
+    """TimeSeriesCompleteness bucket coverage (timeseries/completeness.py:24):
+    distinct hour buckets vs the arithmetic expectation between min/max."""
+    df = t(spark, sf_dir, "events")
+    return df.agg(
+        F.countDistinct(F.date_trunc("hour", F.col("ts"))).alias("present_buckets"),
+        (
+            (
+                F.unix_timestamp(F.date_trunc("hour", F.max("ts")))
+                - F.unix_timestamp(F.date_trunc("hour", F.min("ts")))
+            )
+            / 3600
+            + 1
+        )
+        .cast("long")
+        .alias("expected_buckets"),
+    )
