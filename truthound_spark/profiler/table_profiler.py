@@ -235,3 +235,37 @@ def sketch_profile(
         }
         for c in cols
     }
+
+
+def suggest_suite(profile: TableProfile) -> list:
+    """Profile → suggested validator suite (reference: profiler/suite_*.py
+    generation): null checks everywhere nulls are rare, unique for
+    key-like cardinality, range fenced at observed min/max ± 3σ for
+    numerics, in_set for low-cardinality strings."""
+    from truthound_spark.validators.completeness import NullValidator
+    from truthound_spark.validators.distribution import InSetValidator, RangeValidator
+    from truthound_spark.validators.uniqueness import UniqueValidator
+
+    suite: list = []
+    null_cols = [c.name for c in profile.columns.values() if c.null_ratio <= 0.01]
+    if null_cols:
+        suite.append(NullValidator(columns=null_cols))
+    unique_cols = [
+        c.name for c in profile.columns.values() if c.unique_ratio >= 0.999 and c.distinct_count > 1
+    ]
+    if unique_cols:
+        suite.append(UniqueValidator(columns=unique_cols))
+    for c in profile.columns.values():
+        if c.mean is not None and c.min is not None and c.max is not None:
+            pad = 3.0 * (c.std or 0.0)
+            suite.append(RangeValidator(c.name, float(c.min) - pad, float(c.max) + pad))
+        elif (
+            c.top_values
+            and c.distinct_count
+            and c.distinct_count <= 20
+            and c.dtype == "string"
+        ):
+            suite.append(
+                InSetValidator(c.name, [t["value"] for t in c.top_values])
+            )
+    return suite
