@@ -141,3 +141,57 @@ def test_context_workspace(spark, tmp_path):
     # fingerprints are schema-keyed
     df2 = spark.createDataFrame([(1, "x")], ["id", "s"])
     assert source_fingerprint(df) != source_fingerprint(df2)
+
+
+def test_shared_metric_store(spark):
+    from truthound_spark.core.metrics import MetricKey, SharedMetricStore
+
+    df = spark.createDataFrame([(float(i), i % 5) for i in range(100)], ["v", "g"])
+    store = SharedMetricStore(df)
+    # batch of distinct metrics → ONE flush computes all of them
+    keys = [
+        MetricKey("row_count"),
+        MetricKey("mean", "v"),
+        MetricKey("n_unique", "g"),
+        MetricKey("quantile", "v", 0.5),
+    ]
+    store.request(*keys)
+    assert store.flush() == 4
+    assert store.get(MetricKey("row_count")) == 100
+    assert abs(store.get(MetricKey("mean", "v")) - 49.5) < 1e-9
+    assert store.get(MetricKey("n_unique", "g")) == 5
+    # repeated gets are memoized — nothing new to flush
+    assert store.flush() == 0
+
+
+def test_checkpoint_triggers(tmp_path):
+    from truthound_spark.checkpoint import FileWatchTrigger, ScheduleTrigger
+
+    trig = ScheduleTrigger(60)
+    assert trig.due(now=1000.0) is True
+    assert trig.due(now=1030.0) is False
+    assert trig.due(now=1061.0) is True
+
+    f = tmp_path / "watched.csv"
+    watch = FileWatchTrigger(str(f))
+    assert watch.due() is False
+    f.write_text("a,b\n1,2\n")
+    assert watch.due() is True
+    assert watch.due() is False
+
+
+def test_information_gain(spark):
+    from truthound_spark.validators.profiling import InformationGainValidator
+
+    # feature perfectly predicts target → IG == H(target) = ln 2
+    rows = [("a", "x")] * 50 + [("b", "y")] * 50
+    df = spark.createDataFrame(rows, ["feat", "tgt"])
+    v = InformationGainValidator("feat", "tgt")
+    import math
+
+    assert abs(v.information_gain(df) - math.log(2)) < 1e-9
+    # independent feature → IG ~ 0 → violates min_gain
+    rows = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")] * 25
+    df2 = spark.createDataFrame(rows, ["feat", "tgt"])
+    issues = InformationGainValidator("feat", "tgt", min_gain=0.1).validate(df2)
+    assert issues and issues[0].actual < 0.01

@@ -116,3 +116,57 @@ class Checkpoint:
         for action in self.actions:
             action(self.name, result)
         return result
+
+
+# ---------------------------------------------------------------------------
+# triggers (reference: checkpoint/triggers/{schedule,event}.py)
+# ---------------------------------------------------------------------------
+
+
+class ScheduleTrigger:
+    """Interval schedule (reference triggers/schedule.py:53): fires when
+    ``interval_seconds`` have elapsed since the last run. Poll-style —
+    call ``due(now)``; an external scheduler (cron/airflow) owns the loop."""
+
+    def __init__(self, interval_seconds: float) -> None:
+        self.interval_seconds = interval_seconds
+        self.last_fired: float | None = None
+
+    def due(self, now: float | None = None) -> bool:
+        import time as _time
+
+        now = _time.time() if now is None else now
+        if self.last_fired is None or now - self.last_fired >= self.interval_seconds:
+            self.last_fired = now
+            return True
+        return False
+
+
+class FileWatchTrigger:
+    """File-modification trigger (reference triggers/event.py:46): fires
+    when the watched path's mtime advances past the last seen value."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self._last_mtime: float | None = None
+
+    def due(self, now: float | None = None) -> bool:
+        import os as _os
+
+        try:
+            mtime = _os.stat(self.path).st_mtime
+        except FileNotFoundError:
+            return False
+        if self._last_mtime is None or mtime > self._last_mtime:
+            self._last_mtime = mtime
+            return True
+        return False
+
+
+def run_when_due(
+    checkpoint: "Checkpoint", trigger, data: Any, **check_kwargs: Any
+):
+    """One poll step: run the checkpoint iff the trigger is due."""
+    if trigger.due():
+        return checkpoint.run(data, **check_kwargs)
+    return None

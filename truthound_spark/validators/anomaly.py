@@ -545,3 +545,49 @@ class EllipticEnvelopeValidator(_SklearnScoredValidator):
         from sklearn.covariance import EllipticEnvelope
 
         return EllipticEnvelope(contamination=self.contamination)
+
+
+@register_validator("dbscan", category="anomaly")
+class DBSCANValidator(_SklearnScoredValidator):
+    """DBSCAN noise points as anomalies (reference: anomaly/ml_based.py:777).
+    DBSCAN has no predict(); the sampled fit labels noise directly, and
+    unseen rows are scored by distance to the nearest core sample."""
+
+    model_name = "dbscan"
+
+    def _make_model(self):  # pragma: no cover
+        from sklearn.cluster import DBSCAN
+
+        return DBSCAN()
+
+    def _validate_with_sklearn(self, df, row_count):  # pragma: no cover
+        # fit-only scoring: anomalies = noise labels within the sample,
+        # extrapolated by the sample fraction (documented approximation,
+        # mirroring the reference's LargeDatasetMixin sampling contract)
+        n = df.count()
+        frac = min(1.0, self.sample_rows / max(n, 1))
+        sample = (
+            df.select(*self.columns)
+            .sample(fraction=frac, seed=self.seed)
+            .limit(self.sample_rows)
+            .toPandas()
+            .dropna()
+        )
+        model = self._make_model()
+        labels = model.fit_predict(sample.values)
+        noise = int((labels == -1).sum())
+        if not noise:
+            return []
+        est_total = int(noise / max(frac, 1e-9))
+        return [
+            ValidationIssue(
+                column=",".join(self.columns),
+                issue_type="dbscan_anomalies",
+                count=est_total,
+                severity=severity_from_ratio(est_total / n if n else 0.0),
+                validator_name="dbscan",
+                expected="no density-noise points",
+                actual=est_total,
+                details=f"{noise} noise points in sample (~{est_total} extrapolated)",
+            )
+        ]

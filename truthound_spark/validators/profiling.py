@@ -159,3 +159,70 @@ class ValueFrequencyValidator(Validator):
                 details=f"most frequent value covers {ratio:.2%} of rows",
             )
         ]
+
+
+@register_validator("information_gain", category="profiling")
+class InformationGainValidator(Validator):
+    """Information gain of a categorical feature w.r.t. a categorical
+    target: IG = H(target) − H(target|feature) (reference:
+    profiling/entropy.py:205 InformationGain). One groupBy(feature, target)
+    count — all entropy terms from the joint-count table; 100 TB safe."""
+
+    def __init__(
+        self,
+        feature: str,
+        target: str,
+        min_gain: float | None = None,
+        max_gain: float | None = None,
+    ) -> None:
+        self.feature = feature
+        self.target = target
+        self.min_gain = min_gain
+        self.max_gain = max_gain
+
+    @staticmethod
+    def _entropy(counts: dict) -> float:
+        total = sum(counts.values())
+        if not total:
+            return 0.0
+        return -sum((n / total) * math.log(n / total) for n in counts.values() if n)
+
+    def information_gain(self, df: DataFrame) -> float:
+        joint = {
+            (r[self.feature], r[self.target]): r["n"]
+            for r in df.groupBy(self.feature, self.target)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        target_counts: dict = {}
+        feature_counts: dict = {}
+        for (f_, t_), n in joint.items():
+            target_counts[t_] = target_counts.get(t_, 0) + n
+            feature_counts[f_] = feature_counts.get(f_, 0) + n
+        total = sum(target_counts.values())
+        h_target = self._entropy(target_counts)
+        h_cond = 0.0
+        for f_, nf in feature_counts.items():
+            cond = {t_: n for (ff, t_), n in joint.items() if ff == f_}
+            h_cond += (nf / total) * self._entropy(cond)
+        return h_target - h_cond
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        ig = self.information_gain(df)
+        ok = (self.min_gain is None or ig >= self.min_gain) and (
+            self.max_gain is None or ig <= self.max_gain
+        )
+        if ok:
+            return []
+        return [
+            ValidationIssue(
+                column=self.feature,
+                issue_type="information_gain_out_of_range",
+                count=1,
+                severity=Severity.MEDIUM,
+                validator_name="information_gain",
+                expected=f"IG({self.feature}→{self.target}) in [{self.min_gain},{self.max_gain}]",
+                actual=round(ig, 6),
+                details=f"information gain {ig:.6f} nats",
+            )
+        ]
