@@ -385,3 +385,25 @@ def test_sklearn_gated_validators_skip_cleanly(spark):
         issues = cls(["a", "b"]).validate(df)
         # environment has no sklearn: must skip with a LOW execution_error
         assert issues and issues[0].issue_type == "execution_error"
+
+
+def test_phone_region_ssn_zip(spark):
+    from truthound_spark.validators.string import (
+        PhoneRegionValidator,
+        UsSsnValidator,
+        UsZipValidator,
+    )
+
+    df = spark.createDataFrame(
+        [("(212) 555-0123",), ("010-1234-5678",), ("junk",)], ["phone"]
+    )
+    assert PhoneRegionValidator("phone", "US").validate(df)[0].count == 2
+    assert PhoneRegionValidator("phone", "KR").validate(df)[0].count == 2
+
+    df2 = spark.createDataFrame(
+        [("123-45-6789",), ("000-12-3456",), ("666-12-3456",), ("987-65-4320",)], ["ssn"]
+    )
+    # 000 and 666 areas invalid; 9xx area invalid
+    assert UsSsnValidator("ssn").validate(df2)[0].count == 3
+    df3 = spark.createDataFrame([("12345",), ("12345-6789",), ("1234",)], ["zip"])
+    assert UsZipValidator("zip").validate(df3)[0].count == 1

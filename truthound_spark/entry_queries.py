@@ -3357,3 +3357,78 @@ def q_timeseries_completeness_events(spark, sf_dir):
         .cast("long")
         .alias("expected_buckets"),
     )
+
+
+@register(
+    "flagship_check_lineitem",
+    """
+    SELECT
+      CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_values,
+      CAST(COUNT(l_orderkey) - COUNT(DISTINCT l_orderkey) AS BIGINT) AS duplicate_values,
+      CAST(SUM(CASE WHEN (l_quantity < 1 OR l_quantity > 30) AND l_quantity IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS out_of_range,
+      CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') AND l_returnflag IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_not_in_set
+    FROM lineitem
+    """,
+)
+def q_flagship_check_lineitem(spark, sf_dir):
+    """The MAIN API end-to-end: th.check() with an explicit suite; issue
+    counts from the ValidationRunResult are oracle-verified — the check
+    lifecycle (suite → fused executor → result) is itself under the gate."""
+    from truthound_spark import api
+    from truthound_spark.validators.completeness import NullValidator
+    from truthound_spark.validators.distribution import InSetValidator, RangeValidator
+    from truthound_spark.validators.uniqueness import UniqueValidator
+
+    df = t(spark, sf_dir, "lineitem")
+    result = api.check(
+        df,
+        validators=[
+            NullValidator(columns=["l_quantity"]),
+            UniqueValidator(columns=["l_orderkey"]),
+            RangeValidator("l_quantity", 1, 30),
+            InSetValidator("l_returnflag", ["A", "N", "R"]),
+        ],
+    )
+    counts = {"null_values": 0, "duplicate_values": 0, "out_of_range": 0, "value_not_in_set": 0}
+    for issue in result.issues:
+        if issue.issue_type in counts:
+            counts[issue.issue_type] += issue.count
+    return _scalar_df(spark, **{k: int(v) for k, v in counts.items()})
+
+
+@register(
+    "information_gain_events",
+    """
+    WITH j AS (
+      SELECT CASE WHEN value > 245 THEN 'hi' ELSE 'lo' END AS feat, event_type AS tgt, COUNT(*) AS n
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM j),
+    ht AS (
+      SELECT -SUM(p * LN(p)) AS h FROM (
+        SELECT SUM(n) / (SELECT total FROM tot) AS p FROM j GROUP BY tgt)
+    ),
+    perf AS (SELECT feat, SUM(n) AS nf FROM j GROUP BY feat),
+    hcond AS (
+      SELECT SUM((nf / (SELECT total FROM tot)) * hf) AS h
+      FROM (
+        SELECT j.feat, perf.nf,
+               -SUM((j.n / CAST(perf.nf AS DOUBLE)) * LN(j.n / CAST(perf.nf AS DOUBLE))) AS hf
+        FROM j JOIN perf ON j.feat = perf.feat
+        GROUP BY j.feat, perf.nf
+      )
+    )
+    SELECT ROUND((SELECT h FROM ht) - (SELECT h FROM hcond), 6) AS information_gain
+    """,
+)
+def q_information_gain_events(spark, sf_dir):
+    """InformationGain of a derived binary feature vs event_type
+    (profiling/entropy.py:205) — joint-count entropy terms."""
+    from truthound_spark.validators.profiling import InformationGainValidator
+
+    df = t(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
+        F.when(F.col("value") > 245, F.lit("hi")).otherwise(F.lit("lo")).alias("feat"),
+        F.col("event_type").alias("tgt"),
+    )
+    ig = InformationGainValidator("feat", "tgt").information_gain(df)
+    return _scalar_df(spark, information_gain=round(ig, 6))

@@ -444,3 +444,93 @@ class JsonSchemaValidator(Validator):
                 expected="conforms to JSON schema",
             )
         ]
+
+
+#: Region-specific phone patterns (reference: string/format.py:279
+#: PhoneValidator region patterns).
+PHONE_REGION_PATTERNS: dict[str, str] = {
+    "US": r"^(\+?1[-.\s]?)?(\([0-9]{3}\)|[0-9]{3})[-.\s]?[0-9]{3}[-.\s]?[0-9]{4}$",
+    "KR": r"^0(2|[3-6][1-5]|70|1[016789])-?[0-9]{3,4}-?[0-9]{4}$",
+    "JP": r"^0[0-9]{1,4}-?[0-9]{1,4}-?[0-9]{3,4}$",
+    "UK": r"^(\+44\s?|0)[0-9]{2,5}[\s-]?[0-9]{3,4}[\s-]?[0-9]{3,4}$",
+    "DE": r"^(\+49\s?|0)[0-9]{2,5}[\s/-]?[0-9]{3,8}$",
+    "INTL": r"^\+[1-9][0-9]{0,2}[-.\s]?[0-9][0-9\-\s()]{5,17}[0-9]$",
+}
+
+
+@register_validator("phone_region", category="string")
+class PhoneRegionValidator(Validator):
+    """Region-specific phone format (reference: format.py:279 region
+    patterns)."""
+
+    def __init__(self, column: str, region: str = "US") -> None:
+        if region not in PHONE_REGION_PATTERNS:
+            raise ValueError(
+                f"unknown region {region!r}; known: {sorted(PHONE_REGION_PATTERNS)}"
+            )
+        self.column = column
+        self.region = region
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        col = F.col(self.column)
+        pred = ~col.rlike(PHONE_REGION_PATTERNS[self.region]) & col.isNotNull()
+        return [
+            ExpressionSpec(
+                name="phone_region",
+                issue_type=f"invalid_phone_{self.region.lower()}",
+                column=self.column,
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(col),
+                filter_expr=pred,
+                expected=f"valid {self.region} phone",
+            )
+        ]
+
+
+@register_validator("us_ssn", category="localization")
+class UsSsnValidator(Validator):
+    """US SSN structure: AAA-GG-SSSS, area not 000/666/9xx, group/serial
+    nonzero (reference: localization patterns; scanners.py ssn)."""
+
+    PATTERN = r"^(?!000|666|9[0-9]{2})[0-9]{3}-(?!00)[0-9]{2}-(?!0000)[0-9]{4}$"
+
+    def __init__(self, column: str) -> None:
+        self.column = column
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        col = F.col(self.column)
+        pred = ~col.rlike(self.PATTERN) & col.isNotNull()
+        return [
+            ExpressionSpec(
+                name="us_ssn",
+                issue_type="invalid_ssn",
+                column=self.column,
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(col),
+                filter_expr=pred,
+                expected="valid SSN (AAA-GG-SSSS)",
+            )
+        ]
+
+
+@register_validator("us_zip", category="localization")
+class UsZipValidator(Validator):
+    """US ZIP / ZIP+4."""
+
+    def __init__(self, column: str) -> None:
+        self.column = column
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        col = F.col(self.column)
+        pred = ~col.rlike(r"^[0-9]{5}(-[0-9]{4})?$") & col.isNotNull()
+        return [
+            ExpressionSpec(
+                name="us_zip",
+                issue_type="invalid_zip",
+                column=self.column,
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(col),
+                filter_expr=pred,
+                expected="valid ZIP or ZIP+4",
+            )
+        ]
