@@ -407,3 +407,18 @@ def test_phone_region_ssn_zip(spark):
     assert UsSsnValidator("ssn").validate(df2)[0].count == 3
     df3 = spark.createDataFrame([("12345",), ("12345-6789",), ("1234",)], ["zip"])
     assert UsZipValidator("zip").validate(df3)[0].count == 1
+
+
+def test_cramer_von_mises(spark):
+    from truthound_spark.drift.detectors import cramer_von_mises
+    from truthound_spark.drift.validators import CramerVonMisesValidator
+
+    base = spark.createDataFrame([(float(i % 200),) for i in range(1000)], ["x"])
+    same = spark.createDataFrame([(float(i % 200) + 0.5,) for i in range(1000)], ["x"])
+    shifted = spark.createDataFrame([(float(i % 200) + 150,) for i in range(1000)], ["x"])
+    r_same = cramer_von_mises(base, same, "x")
+    r_shift = cramer_von_mises(base, shifted, "x")
+    assert not r_same.drifted
+    assert r_shift.drifted and r_shift.statistic > r_same.statistic
+    issues = CramerVonMisesValidator(base).validate(shifted)
+    assert issues and issues[0].issue_type == "cramer_von_mises_drift"

@@ -259,3 +259,48 @@ def compare(
 
         columns = [c for c in columns_of_type(baseline, NUMERIC_TYPES) if c in current.columns]
     return {c: fn(baseline, current, c, **kwargs) for c in columns}
+
+
+def cramer_von_mises(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    threshold: float = 0.461,
+) -> DriftResult:
+    """Two-sample Cramér–von Mises criterion (reference: detectors.py:709).
+
+    Rank-based T statistic (Anderson 1962): with pooled ranks r_i of the
+    baseline sample and s_j of the current sample,
+      U = n·Σ(r_i − i)² + m·Σ(s_j − j)²
+      T = U/(n·m·(n+m)) − (4·n·m − 1)/(6·(n+m))
+    Ranks come from ONE distributed sort-window over the pooled values;
+    the Σ terms are two aggregate scalars — no raw-row collection.
+    threshold 0.461 ≈ 5% critical value of the limiting distribution.
+    """
+    from pyspark.sql import Window
+
+    b = baseline.select(F.col(column).alias("v")).filter(F.col("v").isNotNull()).withColumn("side", F.lit(0))
+    c = current.select(F.col(column).alias("v")).filter(F.col("v").isNotNull()).withColumn("side", F.lit(1))
+    pooled = b.unionAll(c)
+    w = Window.orderBy("v", "side")
+    ranked = pooled.withColumn("r", F.row_number().over(w))
+    per_side = ranked.withColumn(
+        "i", F.row_number().over(Window.partitionBy("side").orderBy("v"))
+    )
+    agg = per_side.groupBy("side").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.pow(F.col("r") - F.col("i"), 2)).alias("ss"),
+    ).collect()
+    stats = {row["side"]: (int(row["n"]), float(row["ss"])) for row in agg}
+    n, ss_b = stats.get(0, (0, 0.0))
+    m, ss_c = stats.get(1, (0, 0.0))
+    if not n or not m:
+        return DriftResult("cramer_von_mises", 0.0, threshold, False, {"n": n, "m": m})
+    u = n * ss_b + m * ss_c
+    t = u / (n * m * (n + m)) - (4.0 * n * m - 1.0) / (6.0 * (n + m))
+    return DriftResult(
+        "cramer_von_mises", t, threshold, t > threshold, {"n": n, "m": m, "U": u}
+    )
+
+
+_METHODS["cramer_von_mises"] = cramer_von_mises

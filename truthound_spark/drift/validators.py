@@ -397,3 +397,10 @@ class StreamingKSValidator(Validator):
                     )
                 )
         return issues
+
+
+@register_validator("cramer_von_mises", category="drift")
+class CramerVonMisesValidator(_DriftValidator):
+    """reference: drift detectors.py:709 (CvM two-sample criterion)."""
+
+    method = "cramer_von_mises"

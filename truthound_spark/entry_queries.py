@@ -3432,3 +3432,39 @@ def q_information_gain_events(spark, sf_dir):
     )
     ig = InformationGainValidator("feat", "tgt").information_gain(df)
     return _scalar_df(spark, information_gain=round(ig, 6))
+
+
+@register(
+    "cramer_von_mises_events",
+    f"""
+    WITH b AS ({_DRIFT_BASE}), c AS ({_DRIFT_CURR}),
+    pooled AS (
+      SELECT value AS v, 0 AS side FROM b UNION ALL SELECT value, 1 FROM c
+    ),
+    ranked AS (
+      SELECT side,
+             ROW_NUMBER() OVER (ORDER BY v, side) AS r,
+             ROW_NUMBER() OVER (PARTITION BY side ORDER BY v) AS i
+      FROM pooled
+    ),
+    agg AS (
+      SELECT side, COUNT(*) AS n, SUM(POW(r - i, 2)) AS ss FROM ranked GROUP BY side
+    ),
+    s AS (
+      SELECT MAX(CASE WHEN side = 0 THEN n END) AS n, MAX(CASE WHEN side = 0 THEN ss END) AS ssb,
+             MAX(CASE WHEN side = 1 THEN n END) AS m, MAX(CASE WHEN side = 1 THEN ss END) AS ssc
+      FROM agg
+    )
+    SELECT ROUND((n * ssb + m * ssc) / (n * m * CAST(n + m AS DOUBLE))
+               - (4.0 * n * m - 1.0) / (6.0 * (n + m)), 6) AS cvm
+    FROM s
+    """,
+)
+def q_cramer_von_mises_events(spark, sf_dir):
+    """Two-sample Cramér–von Mises criterion (reference detectors.py:709):
+    rank-based T from one distributed sort-window."""
+    from truthound_spark.drift.detectors import cramer_von_mises
+
+    baseline, current = _drift_frames(spark, sf_dir)
+    r = cramer_von_mises(baseline, current, "value")
+    return _scalar_df(spark, cvm=round(r.statistic, 6))

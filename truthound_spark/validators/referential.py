@@ -509,3 +509,15 @@ class MultiTableOrphanValidator(Validator):
                     )
                 )
         return issues
+
+
+@register_validator("hierarchy_circular", category="referential")
+class HierarchyCircularValidator(CircularReferenceValidator):
+    """Hierarchy-specific cycle check (reference: referential/circular.py:119)
+    — same pointer-doubling detection over the id→parent hierarchy."""
+
+
+@register_validator("orphan_record", category="referential")
+class OrphanRecordValidator(ForeignKeyValidator):
+    """Reference naming parity (referential/orphan.py:24): orphaned child
+    rows via the same anti-join plan as foreign_key."""
