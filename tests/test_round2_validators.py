@@ -422,3 +422,34 @@ def test_cramer_von_mises(spark):
     assert r_shift.drifted and r_shift.statistic > r_same.statistic
     issues = CramerVonMisesValidator(base).validate(shifted)
     assert issues and issues[0].issue_type == "cramer_von_mises_drift"
+
+
+def test_increasing_distributed_matches_window(spark):
+    """Range-partitioned monotonic check == single-window semantics."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    from truthound_spark.validators.distribution import (
+        DecreasingValidator,
+        IncreasingValidator,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, float(i) + (50.0 if rng.random() < 0.05 else 0.0) * rng.choice([-1, 1]))
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, ["o", "v"])
+
+    # ground truth via the naive single-partition window
+    prev = F.lag("v").over(W.orderBy("o"))
+    expected = df.select(
+        F.when((F.col("v") < prev) & prev.isNotNull(), 1).otherwise(0).alias("b")
+    ).agg(F.sum("b")).collect()[0][0]
+
+    issues = IncreasingValidator("v", "o", num_partitions=8).validate(df)
+    got = issues[0].count if issues else 0
+    assert got == int(expected or 0)
+
+    # decreasing over a mostly-increasing series flags most steps
+    issues = DecreasingValidator("v", "o", num_partitions=8).validate(df)
+    assert issues and issues[0].count > 1500

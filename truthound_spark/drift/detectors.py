@@ -276,6 +276,12 @@ def cramer_von_mises(
     Ranks come from ONE distributed sort-window over the pooled values;
     the Σ terms are two aggregate scalars — no raw-row collection.
     threshold 0.461 ≈ 5% critical value of the limiting distribution.
+
+    Scale note: the global rank window funnels the pooled sort through one
+    partition — exact CvM is an oracle-scale tool (like exact KS). At
+    100 TB use the sketch-ECDF path (``ks_test(grid=...)`` /
+    StreamingKSValidator); a CvM analogue over the same quantile grid
+    bounds the statistic with O(grid) work.
     """
     from pyspark.sql import Window
 

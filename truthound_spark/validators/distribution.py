@@ -316,33 +316,72 @@ class IncreasingValidator(Validator):
     (reference: distribution/monotonic.py:17; SURVEY §7 hard-part 1: Spark
     DataFrames are unordered, so an order column is required).
 
-    lag window over orderBy(order_col) — a single shuffle-free sort per
-    partition range; at scale, pre-sorted/bucketed data avoids the sort.
+    Scale design: a bare ``Window.orderBy`` funnels every row through ONE
+    partition. This validator instead range-partitions on the order column
+    and counts lag violations within each sorted partition; the only
+    cross-partition comparisons are the per-partition (first, last)
+    boundary rows — N scalars to the driver. Identical semantics, fully
+    distributed sort.
     """
 
     strictly = False
     direction = "increasing"
 
-    def __init__(self, column: str, order_by: str, strictly: bool | None = None) -> None:
+    def __init__(
+        self,
+        column: str,
+        order_by: str,
+        strictly: bool | None = None,
+        num_partitions: int | None = None,
+    ) -> None:
         self.column = column
         self.order_by = order_by
         if strictly is not None:
             self.strictly = strictly
+        self.num_partitions = num_partitions
+
+    def _bad(self, cur, prev):
+        if self.direction == "increasing":
+            return (cur < prev) if not self.strictly else (cur <= prev)
+        return (cur > prev) if not self.strictly else (cur >= prev)
 
     def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
-        w = Window.orderBy(F.col(self.order_by))
-        prev = F.lag(F.col(self.column)).over(w)
-        cur = F.col(self.column)
-        if self.direction == "increasing":
-            bad = (cur < prev) if not self.strictly else (cur <= prev)
-        else:
-            bad = (cur > prev) if not self.strictly else (cur >= prev)
-        n = (
-            df.select(F.when(bad & prev.isNotNull(), 1).otherwise(0).alias("v"))
-            .agg(F.sum("v").alias("n"))
-            .collect()[0]["n"]
-            or 0
+        parts = self.num_partitions or df.sparkSession.sparkContext.defaultParallelism
+        ordered = (
+            df.select(F.col(self.order_by).alias("__o"), F.col(self.column).alias("__v"))
+            .repartitionByRange(parts, F.col("__o"))
+            .sortWithinPartitions("__o")
         )
+        tagged = ordered.withColumn("__pid", F.spark_partition_id())
+        w = Window.partitionBy("__pid").orderBy("__o")
+        prev = F.lag("__v").over(w)
+        bad = self._bad(F.col("__v"), prev)
+        flagged = tagged.select(
+            "__pid",
+            "__o",
+            "__v",
+            F.when(bad & prev.isNotNull(), 1).otherwise(0).alias("__b"),
+        )
+        per_part = flagged.groupBy("__pid").agg(
+            F.sum("__b").alias("__viol"),
+            F.min_by(F.col("__v"), F.col("__o")).alias("__first"),
+            F.max_by(F.col("__v"), F.col("__o")).alias("__last"),
+            F.min("__o").alias("__o_min"),
+        )
+        rows = sorted(per_part.collect(), key=lambda r: r["__o_min"])
+        n = sum(int(r["__viol"] or 0) for r in rows)
+        # boundary comparisons between adjacent partitions (driver-side:
+        # one pair per partition boundary)
+        for a, b in zip(rows, rows[1:]):
+            prev_last, cur_first = a["__last"], b["__first"]
+            if prev_last is None or cur_first is None:
+                continue
+            if self.direction == "increasing":
+                viol = cur_first <= prev_last if self.strictly else cur_first < prev_last
+            else:
+                viol = cur_first >= prev_last if self.strictly else cur_first > prev_last
+            if viol:
+                n += 1
         if n == 0:
             return []
         return [
