@@ -84,9 +84,19 @@ def _shingle_arrays(
 
 
 def _shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, g: string) exploded shingles — the minhash input."""
-    return _shingle_arrays(df, text_col, id_col, n).select(
-        "id", F.explode("sh").alias("g")
+    """(id, g: string) exploded shingles — the minhash input.
+
+    explode_outer, NOT explode: Catalyst's InferFiltersFromGenerate adds a
+    ``size(sh) > 0`` filter for plain explode, and filter pushdown inlines
+    the ENTIRE shingle pipeline into that predicate — re-running
+    normalize+split once per shingle index (quadratic per document; was
+    ~10× the whole minhash cost at sf0.1). The shingle array is never
+    empty (sequence(0, greatest(..,0)) emits index 0 even for short docs),
+    so outer semantics are identical; the null guard is belt-and-braces."""
+    return (
+        _shingle_arrays(df, text_col, id_col, n)
+        .select("id", F.explode_outer("sh").alias("g"))
+        .filter(F.col("g").isNotNull())
     )
 
 
@@ -146,6 +156,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_n: int = 3,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature columns h0..h{k-1} (bigint).
 
@@ -159,8 +170,17 @@ def minhash_signatures(
     projection collapse into every downstream band expression (k×bands
     copies of the shingle pipeline), which explodes analysis/codegen time
     long before data size matters. The exploded+aggregated form keeps the
-    expression tree linear in k and scales to any corpus."""
-    sh = _shingle_rows(df, text_col, id_col, shingle_n)
+    expression tree linear in k and scales to any corpus.
+
+    ``_shingles``: optional precomputed (id, sh) frame (from
+    ``_shingle_arrays``) so pipelines that also need the raw shingles for
+    Jaccard verification shingle each document exactly once."""
+    if _shingles is not None:
+        sh = _shingles.select("id", F.explode_outer("sh").alias("g")).filter(
+            F.col("g").isNotNull()
+        )
+    else:
+        sh = _shingle_rows(df, text_col, id_col, shingle_n)
     return sh.groupBy("id").agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}") for i in range(num_hashes)]
     )
@@ -188,6 +208,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH.
 
@@ -200,7 +221,7 @@ def minhash_lsh_candidates(
     shingle pipeline into them.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, _shingles=_shingles)
     band_entries = sig.select(
         "id",
         F.explode(
@@ -255,9 +276,14 @@ def minhash_dedup_pairs(
     Returns (id_a, id_b, jaccard) for pairs ≥ threshold. Verification joins
     the (small) candidate set back to shingle arrays — array_intersect /
     array_union stay JVM-side."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
-    # compute shingles once; joined from both pair sides below
+    # shingle each document exactly once: the checkpointed (id, sh) table
+    # feeds BOTH the signature/banding pipeline and the Jaccard
+    # verification joins (at 100 TB this is the difference between one
+    # and two full-corpus tokenization passes)
     sh = _shingle_arrays(df, text_col, id_col, shingle_n).localCheckpoint(eager=True)
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_n, _shingles=sh
+    )
     a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
     b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -292,7 +318,9 @@ def ngram_jaccard_pairs(
     """
     sh = _shingle_arrays(df, text_col, id_col, n)
     sizes = sh.select("id", F.size("sh").alias("sz"))
-    inv = sh.select("id", F.explode("sh").alias("g"))
+    # explode_outer: see _shingle_rows — plain explode's inferred filter
+    # pushes the inlined (quadratic) shingle pipeline below the projection
+    inv = sh.select("id", F.explode_outer("sh").alias("g")).filter(F.col("g").isNotNull())
     g_df = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     inv = inv.join(F.broadcast(g_df.filter(F.col("df") <= max_ngram_df)), "g", "inner")
     pairs = (
