@@ -3468,3 +3468,465 @@ def q_cramer_von_mises_events(spark, sf_dir):
     baseline, current = _drift_frames(spark, sf_dir)
     r = cramer_von_mises(baseline, current, "value")
     return _scalar_df(spark, cvm=round(r.statistic, 6))
+
+
+# ===========================================================================
+# Round-3 additions: table family, schema structure, multi-column
+# arithmetic/consistency, privacy/compliance, localization, misc long tail
+# ===========================================================================
+
+
+def judge_counts(df: DataFrame, validator, aliases: dict[str, str]) -> DataFrame:
+    """ONE df.agg over a judge-based validator's extra_exprs (the fused
+    plan shape for metric-judged specs): ``aliases`` maps extra-expr key →
+    output column name."""
+    spec = validator.specs(df)[0]
+    aggs = [
+        expr.cast("long").alias(aliases[key])
+        for key, expr in spec.extra_exprs.items()
+        if key in aliases
+    ]
+    return df.agg(*aggs)
+
+
+@register(
+    "table_shape_lineitem",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(11 AS BIGINT) AS n_cols,
+           COUNT(*) >= 1000 AS rows_in_range
+    FROM lineitem
+    """,
+)
+def q_table_shape_lineitem(spark, sf_dir):
+    """TableRowCountRange + TableDimensions (reference table/row_count.py:17,
+    size.py:190): fused count agg + driver-side schema width."""
+    from truthound_spark.validators.table import (
+        TableDimensionsValidator,
+        TableRowCountRangeValidator,
+    )
+
+    df = t(spark, sf_dir, "lineitem")
+    v = TableRowCountRangeValidator(min_rows=1000)
+    ok = not v.validate(df)
+    ncols = len(df.columns)
+    assert TableDimensionsValidator(max_cols=20).validate(df) == []
+    return judge_counts(df, v, {"n": "n_rows"}).select(
+        F.col("n_rows"),
+        F.lit(ncols).cast("long").alias("n_cols"),
+        F.lit(ok).alias("rows_in_range"),
+    )
+
+
+@register(
+    "column_product_derived",
+    """
+    WITH tt AS (
+      SELECT l_quantity AS a, l_extendedprice AS b,
+             l_quantity * l_extendedprice
+               + CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END AS prod
+      FROM lineitem
+    )
+    SELECT CAST(SUM(CASE WHEN abs(a * b - prod) > 1e-6 THEN 1 ELSE 0 END) AS BIGINT)
+             AS product_violations
+    FROM tt
+    """,
+)
+def q_column_product_derived(spark, sf_dir):
+    """ColumnProductValidator (reference multi_column/arithmetic.py:67):
+    perturbed product column — violations = rows with l_linenumber=1."""
+    from truthound_spark.validators.multi_column import ColumnProductValidator
+
+    df = t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("a"),
+        F.col("l_extendedprice").alias("b"),
+        (
+            F.col("l_quantity") * F.col("l_extendedprice")
+            + F.when(F.col("l_linenumber") == 1, 1).otherwise(0)
+        ).alias("prod"),
+    )
+    return fused_counts(
+        df, [(ColumnProductValidator(["a", "b"], result_column="prod", tolerance=1e-6),
+              ["product_violations"])]
+    )
+
+
+@register(
+    "mutual_exclusivity_orders",
+    """
+    WITH tt AS (
+      SELECT CASE WHEN o_orderstatus = 'O' THEN 1 END AS is_open,
+             CASE WHEN o_orderstatus = 'F' THEN 1 END AS is_filled
+      FROM orders
+    )
+    SELECT CAST(SUM(CASE WHEN is_open IS NULL AND is_filled IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS exclusivity_violations
+    FROM tt
+    """,
+)
+def q_mutual_exclusivity_orders(spark, sf_dir):
+    """ColumnMutualExclusivityValidator (reference consistency.py:105):
+    open/filled flags are exclusive; 'P' orders have neither → violations."""
+    from truthound_spark.validators.multi_column import ColumnMutualExclusivityValidator
+
+    df = t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderstatus") == "O", 1).alias("is_open"),
+        F.when(F.col("o_orderstatus") == "F", 1).alias("is_filled"),
+    )
+    return fused_counts(
+        df,
+        [(ColumnMutualExclusivityValidator(["is_open", "is_filled"]),
+          ["exclusivity_violations"])],
+    )
+
+
+@register(
+    "implication_orders",
+    """
+    SELECT CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' AND o_orderstatus <> 'F'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS implication_violations,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' AND o_orderpriority IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS dependency_violations
+    FROM orders
+    """,
+)
+def q_implication_orders(spark, sf_dir):
+    """ColumnImplication + ColumnDependency (reference consistency.py:198,264)
+    fused into one agg."""
+    from truthound_spark.validators.multi_column import (
+        ColumnDependencyValidator,
+        ColumnImplicationValidator,
+    )
+
+    df = t(spark, sf_dir, "orders")
+    return fused_counts(
+        df,
+        [
+            (ColumnImplicationValidator("o_orderpriority", "1-URGENT", "o_orderstatus", "F"),
+             ["implication_violations"]),
+            (ColumnDependencyValidator("o_orderstatus", "O", ["o_orderpriority"]),
+             ["dependency_violations"]),
+        ],
+    )
+
+
+@register(
+    "privacy_phone_detection_derived",
+    """
+    WITH tt AS (
+      SELECT CASE WHEN c_custkey % 7 = 0 THEN 'not-a-phone'
+             ELSE '010-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                  || '-' || lpad(CAST((c_custkey * 31) % 10000 AS VARCHAR), 4, '0')
+             END AS phone
+      FROM customer
+    )
+    SELECT CAST(SUM(CASE WHEN regexp_matches(phone, '^\\+?[0-9][0-9\\s().-]{6,18}$')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS phone_matches,
+           CAST(COUNT(phone) AS BIGINT) AS scanned,
+           TRUE AS flagged
+    FROM tt
+    """,
+)
+def q_privacy_phone_detection(spark, sf_dir):
+    """GDPRComplianceValidator (reference privacy/gdpr.py:372): fused rlike
+    aggregate over a derived phone column; 'flagged' asserts the validator's
+    verdict on both the pattern ratio and the column-name hint."""
+    from truthound_spark.validators.privacy import GDPRComplianceValidator
+
+    df = t(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("not-a-phone"))
+        .otherwise(
+            F.concat(
+                F.lit("010-"),
+                F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+                F.lit("-"),
+                F.lpad(((F.col("c_custkey") * 31) % 10000).cast("string"), 4, "0"),
+            )
+        )
+        .alias("phone")
+    )
+    issues = GDPRComplianceValidator().validate(df)
+    flagged = any(i.column == "phone" for i in issues)
+    spec = GDPRComplianceValidator().specs(df)[0]
+    return df.agg(
+        spec.extra_exprs["phone"].cast("long").alias("phone_matches"),
+        spec.extra_exprs["nn"].cast("long").alias("scanned"),
+    ).select("phone_matches", "scanned", F.lit(flagged).alias("flagged"))
+
+
+@register(
+    "table_freshness_events",
+    f"""
+    WITH {EV}
+    SELECT strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts,
+           MAX(ts) >= TIMESTAMP '2024-02-15 00:00:00' - INTERVAL 30 DAY AS is_fresh
+    FROM ev
+    """,
+)
+def q_table_freshness_events(spark, sf_dir):
+    """TableFreshnessValidator (reference table/freshness.py:18): single
+    max() aggregate judged against a fixed reference time."""
+    from datetime import datetime
+
+    from truthound_spark.validators.table import TableFreshnessValidator
+
+    df = load_events(spark, sf_dir)
+    ref = datetime(2024, 2, 15)
+    fresh = not TableFreshnessValidator(
+        "ts", max_age_days=30, reference_time=ref
+    ).validate(df)
+    return df.agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+        F.lit(fresh).alias("is_fresh"),
+    )
+
+
+@register(
+    "update_frequency_events",
+    f"""
+    WITH {EV}
+    SELECT CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS hour_buckets,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) // 3600 + 1
+                - COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS gaps
+    FROM ev
+    """,
+)
+def q_update_frequency_events(spark, sf_dir):
+    """TableUpdateFrequencyValidator (reference table/freshness.py:251):
+    distinct hourly buckets vs expected span — one aggregate, no window."""
+    from truthound_spark.validators.table import TableUpdateFrequencyValidator
+
+    df = load_events(spark, sf_dir)
+    v = TableUpdateFrequencyValidator("ts", "hourly", max_gaps=10**9)
+    assert v.validate(df) == []  # routed through the engine path
+    return df.agg(
+        F.count_distinct(F.date_trunc("hour", F.col("ts"))).cast("long").alias(
+            "hour_buckets"
+        ),
+        (
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            ) / 3600
+        ).cast("long").alias("__span"),
+    ).select(
+        "hour_buckets",
+        (F.col("__span") + 1 - F.col("hour_buckets")).cast("long").alias("gaps"),
+    )
+
+
+@register(
+    "korean_business_checksum_derived",
+    """
+    WITH tt AS (
+      SELECT lpad(CAST(c_custkey * 131 % 10000000000 AS VARCHAR), 10, '0') AS bn
+      FROM customer
+    ),
+    d AS (
+      SELECT bn,
+             CAST(substr(bn, 1, 1) AS INT) AS d1, CAST(substr(bn, 2, 1) AS INT) AS d2,
+             CAST(substr(bn, 3, 1) AS INT) AS d3, CAST(substr(bn, 4, 1) AS INT) AS d4,
+             CAST(substr(bn, 5, 1) AS INT) AS d5, CAST(substr(bn, 6, 1) AS INT) AS d6,
+             CAST(substr(bn, 7, 1) AS INT) AS d7, CAST(substr(bn, 8, 1) AS INT) AS d8,
+             CAST(substr(bn, 9, 1) AS INT) AS d9, CAST(substr(bn, 10, 1) AS INT) AS d10
+      FROM tt
+    ),
+    v AS (
+      SELECT (10 - ((d1*1 + d2*3 + d3*7 + d4*1 + d5*3 + d6*7 + d7*1 + d8*3 + d9*5
+                     + (d9 * 5) // 10) % 10)) % 10 = d10 AS ok
+      FROM d
+    )
+    SELECT CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS invalid_business_numbers,
+           CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS valid_business_numbers
+    FROM v
+    """,
+)
+def q_korean_business_checksum(spark, sf_dir):
+    """KoreanBusinessNumberValidator (reference localization/korean.py:22):
+    weighted mod-10 checksum as a pure SQL expression chain."""
+    from truthound_spark.validators.business import KoreanBusinessNumberValidator
+
+    df = t(spark, sf_dir, "customer").select(
+        F.lpad(((F.col("c_custkey") * 131) % 10000000000).cast("string"), 10, "0").alias(
+            "bn"
+        )
+    )
+    base = fused_counts(
+        df, [(KoreanBusinessNumberValidator("bn"), ["invalid_business_numbers"])]
+    )
+    total = df.count()
+    return base.select(
+        "invalid_business_numbers",
+        (F.lit(total) - F.col("invalid_business_numbers"))
+        .cast("long")
+        .alias("valid_business_numbers"),
+    )
+
+
+@register(
+    "compound_key_lineitem",
+    """
+    SELECT CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+             AS key_duplicates,
+           CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS distinct_keys
+    FROM lineitem
+    """,
+)
+def q_compound_key_lineitem(spark, sf_dir):
+    """CompoundKeyValidator (reference uniqueness/primary_key.py): one fused
+    agg of count + count_distinct(struct) + null parts."""
+    from truthound_spark.validators.schema_structure import CompoundKeyValidator
+
+    df = t(spark, sf_dir, "lineitem")
+    v = CompoundKeyValidator(["l_orderkey", "l_linenumber"])
+    spec = v.specs(df)[0]
+    return df.agg(
+        (spec.extra_exprs["n"] - spec.extra_exprs["distinct"])
+        .cast("long")
+        .alias("key_duplicates"),
+        spec.extra_exprs["distinct"].cast("long").alias("distinct_keys"),
+    )
+
+
+@register(
+    "distinct_count_between_orders",
+    """
+    SELECT CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS status_distinct,
+           COUNT(DISTINCT o_orderstatus) BETWEEN 2 AND 5 AS in_range
+    FROM orders
+    """,
+)
+def q_distinct_count_between_orders(spark, sf_dir):
+    """DistinctCountBetweenValidator (reference uniqueness/distinct_count.py)."""
+    from truthound_spark.validators.uniqueness import DistinctCountBetweenValidator
+
+    df = t(spark, sf_dir, "orders")
+    v = DistinctCountBetweenValidator("o_orderstatus", 2, 5)
+    ok = not v.validate(df)
+    return judge_counts(df, v, {"distinct": "status_distinct"}).select(
+        "status_distinct", F.lit(ok).alias("in_range")
+    )
+
+
+@register(
+    "sign_checks_lineitem",
+    """
+    SELECT CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS negative_price,
+           CAST(SUM(CASE WHEN l_discount <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS nonpositive_discount
+    FROM lineitem
+    """,
+)
+def q_sign_checks_lineitem(spark, sf_dir):
+    """NonNegative + Positive (reference distribution/sign.py) fused."""
+    from truthound_spark.validators.distribution import (
+        NonNegativeValidator,
+        PositiveValidator,
+    )
+
+    df = t(spark, sf_dir, "lineitem")
+    return fused_counts(
+        df,
+        [
+            (NonNegativeValidator("l_extendedprice"), ["negative_price"]),
+            (PositiveValidator("l_discount"), ["nonpositive_discount"]),
+        ],
+    )
+
+
+@register(
+    "geo_distance_derived",
+    """
+    WITH tt AS (
+      SELECT ((user_id % 170) - 85) + 0.25 AS lat1,
+             ((event_id % 360) - 180) + 0.25 AS lon1,
+             ((user_id % 140) - 70) + 0.5 AS lat2,
+             (((event_id * 7) % 360) - 180) + 0.5 AS lon2
+      FROM events
+    ),
+    d AS (
+      SELECT 2 * 6371.0088 * asin(sqrt(
+               pow(sin(radians(lat2 - lat1) / 2), 2)
+               + cos(radians(lat1)) * cos(radians(lat2))
+                 * pow(sin(radians(lon2 - lon1) / 2), 2))) AS km
+      FROM tt
+    )
+    SELECT CAST(SUM(CASE WHEN km > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS far_pairs,
+           CAST(SUM(CASE WHEN km <= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS near_pairs
+    FROM d
+    """,
+)
+def q_geo_distance_derived(spark, sf_dir):
+    """GeoDistanceValidator (reference geospatial/distance.py:20): row-pair
+    haversine as one codegen'd expression — counts of >5000 km pairs."""
+    from truthound_spark.validators.geospatial import GeoDistanceValidator
+
+    ev = t(spark, sf_dir, "events")
+    df = ev.select(
+        ((F.col("user_id") % 170) - 85 + 0.25).alias("lat1"),
+        ((F.col("event_id") % 360) - 180 + 0.25).alias("lon1"),
+        ((F.col("user_id") % 140) - 70 + 0.5).alias("lat2"),
+        (((F.col("event_id") * 7) % 360) - 180 + 0.5).alias("lon2"),
+    )
+    base = fused_counts(
+        df,
+        [(GeoDistanceValidator("lat1", "lon1", "lat2", "lon2", max_distance=5000.0),
+          ["far_pairs"])],
+    )
+    total = df.count()
+    return base.select(
+        "far_pairs",
+        (F.lit(total) - F.col("far_pairs")).cast("long").alias("near_pairs"),
+    )
+
+
+@register(
+    "consent_tracking_derived",
+    """
+    WITH tt AS (
+      SELECT CASE WHEN o_custkey % 10 = 0 THEN NULL ELSE 'yes' END AS consent,
+             o_orderpriority AS pii
+      FROM orders
+    )
+    SELECT CAST(SUM(CASE WHEN pii IS NOT NULL AND consent IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS consent_violations
+    FROM tt
+    """,
+)
+def q_consent_tracking_derived(spark, sf_dir):
+    """ConsentValidator (reference privacy/base.py:526): PII rows must carry
+    valid consent — one fused conditional-sum."""
+    from truthound_spark.validators.privacy import ConsentValidator
+
+    df = t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_custkey") % 10 == 0, F.lit(None)).otherwise(F.lit("yes")).alias(
+            "consent"
+        ),
+        F.col("o_orderpriority").alias("pii"),
+    )
+    return fused_counts(
+        df, [(ConsentValidator("consent", ["pii"]), ["consent_violations"])]
+    )
+
+
+@register(
+    "data_retention_events",
+    f"""
+    WITH {EV}
+    SELECT CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-03-01 00:00:00' - INTERVAL 45 DAY
+                          AND user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS retained_beyond_policy
+    FROM ev
+    """,
+)
+def q_data_retention_events(spark, sf_dir):
+    """DataRetentionValidator (reference privacy/base.py:417) with a fixed
+    reference time: rows with PII older than the retention window."""
+    from truthound_spark.validators.privacy import DataRetentionValidator
+
+    df = load_events(spark, sf_dir)
+    v = DataRetentionValidator(
+        "ts", retention_days=45, pii_columns=["user_id"],
+        reference_time="2024-03-01 00:00:00",
+    )
+    return fused_counts(df, [(v, ["retained_beyond_policy"])])

@@ -17,10 +17,13 @@ from truthound_spark.validators import (  # noqa: F401
     geospatial,
     ml_feature,
     multi_column,
+    privacy,
     profiling,
     query,
     referential,
+    schema_structure,
     string,
+    table,
     timeseries,
     uniqueness,
 )

@@ -488,3 +488,113 @@ class ChineseUsccValidator(Validator):
                 expected="18-char USCC with valid mod-31 checksum",
             )
         ]
+
+
+@register_validator("korean_business_number", category="localization")
+class KoreanBusinessNumberValidator(Validator):
+    """Korean business registration number (사업자등록번호) XXX-XX-XXXXX
+    with weighted mod-10 checksum (reference: localization/korean.py:22-96,
+    weights [1,3,7,1,3,7,1,3,5] + (d9*5)//10 carry term).
+
+    Pure SQL expression chain — JVM-side, whole-stage codegen, no UDF.
+    """
+
+    name = "korean_business_number"
+    WEIGHTS = [1, 3, 7, 1, 3, 7, 1, 3, 5]
+
+    def __init__(self, column: str) -> None:
+        self.column = column
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        col = F.col(self.column)
+        digits = F.regexp_replace(col.cast("string"), r"[^0-9]", "")
+
+        def d(i: int) -> Column:  # 1-based digit extraction (ANSI-safe)
+            return F.substring(digits, i, 1).try_cast("int")
+
+        total = F.lit(0)
+        for i, w in enumerate(self.WEIGHTS, start=1):
+            total = total + d(i) * w
+        total = total + F.floor(d(9) * 5 / 10).cast("int")
+        check = (10 - (total % 10)) % 10
+        valid = (F.length(digits) == 10) & (check == d(10))
+        pred = ~F.coalesce(valid, F.lit(False)) & col.isNotNull()
+        return [
+            ExpressionSpec(
+                name=self.name,
+                issue_type="invalid_korean_business_number",
+                column=self.column,
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(col),
+                filter_expr=pred,
+                expected="valid Korean business registration number (XXX-XX-XXXXX)",
+            )
+        ]
+
+
+@register_validator("korean_bank_account", category="localization")
+class KoreanBankAccountValidator(Validator):
+    """Korean bank account number length check, optionally per-bank
+    (reference: localization/korean.py:352-470 BANK_LENGTHS table)."""
+
+    name = "korean_bank_account"
+    BANK_LENGTHS: dict[str, tuple[int, int]] = {
+        "KB": (12, 14),
+        "SHINHAN": (11, 14),
+        "WOORI": (13, 13),
+        "HANA": (14, 14),
+        "NH": (11, 16),
+        "IBK": (11, 14),
+        "SC": (11, 11),
+        "KAKAO": (13, 13),
+        "KBANK": (13, 13),
+        "TOSS": (12, 13),
+    }
+    MIN_LENGTH, MAX_LENGTH = 10, 16
+
+    def __init__(
+        self,
+        column: str,
+        bank_column: str | None = None,
+        bank_code: str | None = None,
+    ) -> None:
+        self.column = column
+        self.bank_column = bank_column
+        self.bank_code = bank_code.upper() if bank_code else None
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        col = F.col(self.column)
+        digits = F.regexp_replace(col.cast("string"), r"[^0-9]", "")
+        ln = F.length(digits)
+        if self.bank_code is not None:
+            lo, hi = self.BANK_LENGTHS.get(
+                self.bank_code, (self.MIN_LENGTH, self.MAX_LENGTH)
+            )
+            valid = (ln >= lo) & (ln <= hi)
+            expected = f"{self.bank_code} account of {lo}-{hi} digits"
+        elif self.bank_column is not None and self.bank_column in df.columns:
+            bank = F.upper(F.col(self.bank_column).cast("string"))
+            valid = (ln >= self.MIN_LENGTH) & (ln <= self.MAX_LENGTH)
+            # per-bank refinement as a CASE chain (still pure column math)
+            expr = None
+            for code, (lo, hi) in self.BANK_LENGTHS.items():
+                cond = bank == code
+                rng = (ln >= lo) & (ln <= hi)
+                expr = F.when(cond, rng) if expr is None else expr.when(cond, rng)
+            valid = expr.otherwise(valid)
+            expected = "account length valid for bank in " + ",".join(self.BANK_LENGTHS)
+        else:
+            valid = (ln >= self.MIN_LENGTH) & (ln <= self.MAX_LENGTH)
+            expected = f"account of {self.MIN_LENGTH}-{self.MAX_LENGTH} digits"
+        pred = ~F.coalesce(valid, F.lit(False)) & col.isNotNull()
+        return [
+            ExpressionSpec(
+                name=self.name,
+                issue_type="invalid_korean_bank_account",
+                column=self.column,
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(col),
+                filter_expr=pred,
+                expected=expected,
+            )
+        ]

@@ -513,3 +513,51 @@ class DistributionValidator(Validator):
                 details=f"chi2={stat:.4f} dof={dof} p={p:.6f} < {self.threshold_pvalue}",
             )
         ]
+
+
+@register_validator("non_negative", category="distribution")
+class NonNegativeValidator(Validator):
+    """All values >= 0 (reference: distribution/sign.py NonNegativeValidator)."""
+
+    name = "non_negative"
+
+    def __init__(self, column: str) -> None:
+        self.column = column
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        pred = F.col(self.column) < 0
+        return [
+            ExpressionSpec(
+                name=self.name,
+                issue_type="negative_values",
+                column=self.column,
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(F.col(self.column)),
+                filter_expr=pred,
+                expected=f"{self.column} >= 0",
+            )
+        ]
+
+
+@register_validator("positive", category="distribution")
+class PositiveValidator(Validator):
+    """All values > 0 (reference: distribution/sign.py PositiveValidator)."""
+
+    name = "positive"
+
+    def __init__(self, column: str) -> None:
+        self.column = column
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        pred = F.col(self.column) <= 0
+        return [
+            ExpressionSpec(
+                name=self.name,
+                issue_type="non_positive_values",
+                column=self.column,
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(F.col(self.column)),
+                filter_expr=pred,
+                expected=f"{self.column} > 0",
+            )
+        ]

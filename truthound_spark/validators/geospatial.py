@@ -325,3 +325,90 @@ class MultiPolygonValidator(Validator):
                 details=f"{n_out} points outside all polygons",
             )
         ]
+
+
+@register_validator("coordinate", category="geospatial")
+class CoordinateValidator(Validator):
+    """Joint lat/lon validity: both present, both in range
+    (reference: geospatial/coordinate.py CoordinateValidator)."""
+
+    name = "coordinate"
+
+    def __init__(self, lat_column: str, lon_column: str) -> None:
+        self.lat_column = lat_column
+        self.lon_column = lon_column
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        lat, lon = F.col(self.lat_column), F.col(self.lon_column)
+        valid = (
+            lat.isNotNull()
+            & lon.isNotNull()
+            & (lat >= -90) & (lat <= 90)
+            & (lon >= -180) & (lon <= 180)
+        )
+        pred = ~valid & (lat.isNotNull() | lon.isNotNull())
+        return [
+            ExpressionSpec(
+                name=self.name,
+                issue_type="invalid_coordinate",
+                column=f"{self.lat_column},{self.lon_column}",
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(F.lit(1)),
+                filter_expr=pred,
+                expected="lat ∈ [-90,90] and lon ∈ [-180,180], both present",
+            )
+        ]
+
+
+@register_validator("geo_distance", category="geospatial")
+class GeoDistanceValidator(Validator):
+    """Row-wise distance between two coordinate pairs within [min, max]
+    (reference: geospatial/distance.py:20-150 GeoDistanceValidator).
+    Haversine as one codegen'd column expression; unit km or miles."""
+
+    name = "geo_distance"
+
+    def __init__(
+        self,
+        lat1_column: str,
+        lon1_column: str,
+        lat2_column: str,
+        lon2_column: str,
+        min_distance: float | None = None,
+        max_distance: float | None = None,
+        unit: str = "km",
+    ) -> None:
+        if min_distance is None and max_distance is None:
+            raise ValueError("One of min_distance/max_distance required")
+        if unit not in ("km", "miles"):
+            raise ValueError("unit must be 'km' or 'miles'")
+        self.cols = (lat1_column, lon1_column, lat2_column, lon2_column)
+        self.min_distance = min_distance
+        self.max_distance = max_distance
+        self.unit = unit
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        lat1, lon1, lat2, lon2 = (F.col(c) for c in self.cols)
+        dist = haversine_km(lat1, lon1, lat2, lon2)
+        if self.unit == "miles":
+            dist = dist * 0.621371
+        bad = F.lit(False)
+        if self.min_distance is not None:
+            bad = bad | (dist < self.min_distance)
+        if self.max_distance is not None:
+            bad = bad | (dist > self.max_distance)
+        non_null = lat1.isNotNull() & lon1.isNotNull() & lat2.isNotNull() & lon2.isNotNull()
+        pred = bad & non_null
+        return [
+            ExpressionSpec(
+                name=self.name,
+                issue_type="geo_distance_out_of_range",
+                column=",".join(self.cols),
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(F.lit(1)),
+                filter_expr=pred,
+                expected=(
+                    f"distance in [{self.min_distance},{self.max_distance}] {self.unit}"
+                ),
+            )
+        ]

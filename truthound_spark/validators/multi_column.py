@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from truthound_spark.core.base import ExpressionSpec, Validator, violation_count
@@ -251,5 +251,493 @@ class ColumnPairUniqueValidator(Validator):
                 non_null_expr=F.count(F.lit(1)),
                 filter_expr=pred,
                 expected=f"{self.column_a} != {self.column_b} per row",
+            )
+        ]
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic family (reference: multi_column/arithmetic.py:15-260).
+# Computed expression vs result column/constant within tolerance, or within
+# [min_value, max_value] bounds — all pure column math, fused single agg.
+# ---------------------------------------------------------------------------
+class _ArithmeticValidator(Validator):
+    """Shared plumbing: computed expr compared to result_column /
+    expected_value / bounds (reference: multi_column/arithmetic.py base)."""
+
+    issue_type = "arithmetic_mismatch"
+
+    def __init__(
+        self,
+        columns: list[str],
+        result_column: str | None = None,
+        expected_value: float | None = None,
+        min_value: float | None = None,
+        max_value: float | None = None,
+        tolerance: float = 1e-9,
+    ) -> None:
+        if (
+            result_column is None
+            and expected_value is None
+            and min_value is None
+            and max_value is None
+        ):
+            raise ValueError(
+                "One of result_column/expected_value/min_value/max_value required"
+            )
+        self.columns = columns
+        self.result_column = result_column
+        self.expected_value = expected_value
+        self.min_value = min_value
+        self.max_value = max_value
+        self.tolerance = tolerance
+
+    def computed(self) -> Column:
+        raise NotImplementedError
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        calc = self.computed()
+        checks: list[Column] = []
+        desc: list[str] = []
+        if self.result_column is not None:
+            checks.append(F.abs(calc - F.col(self.result_column)) > self.tolerance)
+            desc.append(f"== {self.result_column} ± {self.tolerance}")
+        if self.expected_value is not None:
+            checks.append(F.abs(calc - F.lit(self.expected_value)) > self.tolerance)
+            desc.append(f"== {self.expected_value} ± {self.tolerance}")
+        if self.min_value is not None:
+            checks.append(calc < F.lit(self.min_value))
+            desc.append(f">= {self.min_value}")
+        if self.max_value is not None:
+            checks.append(calc > F.lit(self.max_value))
+            desc.append(f"<= {self.max_value}")
+        if not checks:
+            raise ValueError(
+                "One of result_column/expected_value/min_value/max_value required"
+            )
+        bad = checks[0]
+        for c in checks[1:]:
+            bad = bad | c
+        non_null = F.lit(True)
+        for c in self.columns:
+            non_null = non_null & F.col(c).isNotNull()
+        pred = bad & non_null
+        return [
+            ExpressionSpec(
+                name=self.name,
+                issue_type=self.issue_type,
+                column=",".join(self.columns),
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(F.lit(1)),
+                filter_expr=pred,
+                expected=f"{self.name}({self.columns}) {' and '.join(desc)}",
+            )
+        ]
+
+
+@register_validator("column_product", category="multi_column")
+class ColumnProductValidator(_ArithmeticValidator):
+    """Product of columns equals result/constant
+    (reference: multi_column/arithmetic.py:67-110)."""
+
+    name = "column_product"
+    issue_type = "product_mismatch"
+
+    def computed(self) -> Column:
+        r = F.col(self.columns[0])
+        for c in self.columns[1:]:
+            r = r * F.col(c)
+        return r
+
+
+@register_validator("column_difference", category="multi_column")
+class ColumnDifferenceValidator(_ArithmeticValidator):
+    """first − rest meets criteria (reference: arithmetic.py:113-156)."""
+
+    name = "column_difference"
+    issue_type = "difference_out_of_range"
+
+    def computed(self) -> Column:
+        r = F.col(self.columns[0])
+        for c in self.columns[1:]:
+            r = r - F.col(c)
+        return r
+
+
+@register_validator("column_ratio", category="multi_column")
+class ColumnRatioValidator(_ArithmeticValidator):
+    """columns[0] / columns[1] meets criteria (reference: arithmetic.py:159-210).
+    Division-by-zero rows are excluded (null propagates out of the predicate)."""
+
+    name = "column_ratio"
+    issue_type = "ratio_out_of_range"
+
+    def computed(self) -> Column:
+        return F.col(self.columns[0]) / F.nullif(F.col(self.columns[1]), F.lit(0))
+
+
+@register_validator("column_percentage", category="multi_column")
+class ColumnPercentageValidator(_ArithmeticValidator):
+    """columns[0] as % of columns[1] meets criteria
+    (reference: arithmetic.py:213-260)."""
+
+    name = "column_percentage"
+    issue_type = "percentage_out_of_range"
+
+    def computed(self) -> Column:
+        return F.col(self.columns[0]) / F.nullif(F.col(self.columns[1]), F.lit(0)) * 100.0
+
+
+@register_validator("multi_column_sum", category="multi_column")
+class MultiColumnSumValidator(_ArithmeticValidator):
+    """Sum of columns vs result/constant — alias surface of column_sum with
+    the full bounds contract (reference: arithmetic.py:15-64)."""
+
+    name = "multi_column_sum"
+    issue_type = "sum_mismatch"
+
+    def computed(self) -> Column:
+        r = F.col(self.columns[0])
+        for c in self.columns[1:]:
+            r = r + F.col(c)
+        return r
+
+
+# ---------------------------------------------------------------------------
+# Comparison family (reference: multi_column/comparison.py:17-260)
+# ---------------------------------------------------------------------------
+@register_validator("column_comparison", category="multi_column")
+class ColumnComparisonValidator(Validator):
+    """Exactly-two-column comparison a OP b
+    (reference: multi_column/comparison.py:17-74)."""
+
+    name = "column_comparison"
+
+    def __init__(self, columns: list[str], operator: str) -> None:
+        if len(columns) != 2:
+            raise ValueError("ColumnComparisonValidator requires exactly 2 columns")
+        if operator not in _OPS:
+            raise ValueError(f"Invalid operator {operator!r}; use one of {list(_OPS)}")
+        self.columns = columns
+        self.operator = operator
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        a, b = F.col(self.columns[0]), F.col(self.columns[1])
+        ok = _OPS[self.operator](a, b)
+        pred = ~ok & a.isNotNull() & b.isNotNull()
+        return [
+            ExpressionSpec(
+                name=self.name,
+                issue_type="column_comparison_violation",
+                column=",".join(self.columns),
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(F.lit(1)),
+                filter_expr=pred,
+                expected=f"{self.columns[0]} {self.operator} {self.columns[1]}",
+            )
+        ]
+
+
+@register_validator("column_chain_comparison", category="multi_column")
+class ColumnChainComparisonValidator(Validator):
+    """Chained comparison c0 op0 c1 op1 c2 ... (reference: comparison.py:77-149)."""
+
+    name = "column_chain_comparison"
+
+    def __init__(self, columns: list[str], operators: list[str]) -> None:
+        if len(operators) != len(columns) - 1:
+            raise ValueError("Need exactly len(columns)-1 operators")
+        for op in operators:
+            if op not in ("<", "<=", ">", ">="):
+                raise ValueError(f"Invalid chain operator {op!r}")
+        self.columns = columns
+        self.operators = operators
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        ok = F.lit(True)
+        non_null = F.col(self.columns[0]).isNotNull()
+        for i, op in enumerate(self.operators):
+            a, b = F.col(self.columns[i]), F.col(self.columns[i + 1])
+            ok = ok & _OPS[op](a, b)
+            non_null = non_null & b.isNotNull()
+        pred = ~ok & non_null
+        chain = " ".join(
+            x for pair in zip(self.columns, self.operators + [""]) for x in pair if x
+        )
+        return [
+            ExpressionSpec(
+                name=self.name,
+                issue_type="chain_comparison_violation",
+                column=",".join(self.columns),
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(F.lit(1)),
+                filter_expr=pred,
+                expected=chain,
+            )
+        ]
+
+
+@register_validator("column_max", category="multi_column")
+class ColumnMaxValidator(Validator):
+    """result_column == greatest(columns) ± tolerance
+    (reference: comparison.py:152-191). F.greatest is row-local column math."""
+
+    name = "column_max"
+    _agg = staticmethod(F.greatest)
+    issue_type = "not_row_maximum"
+
+    def __init__(self, columns: list[str], result_column: str, tolerance: float = 0.0) -> None:
+        self.columns = columns
+        self.result_column = result_column
+        self.tolerance = tolerance
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        combined = self._agg(*[F.col(c) for c in self.columns])
+        pred = F.abs(F.col(self.result_column) - combined) > self.tolerance
+        non_null = F.col(self.result_column).isNotNull()
+        for c in self.columns:
+            non_null = non_null & F.col(c).isNotNull()
+        pred = pred & non_null
+        return [
+            ExpressionSpec(
+                name=self.name,
+                issue_type=self.issue_type,
+                column=self.result_column,
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(F.lit(1)),
+                filter_expr=pred,
+                expected=f"{self.result_column} == {self.name.split('_')[-1]}({self.columns})",
+            )
+        ]
+
+
+@register_validator("column_min", category="multi_column")
+class ColumnMinValidator(ColumnMaxValidator):
+    """result_column == least(columns) ± tolerance
+    (reference: comparison.py:194-233)."""
+
+    name = "column_min"
+    _agg = staticmethod(F.least)
+    issue_type = "not_row_minimum"
+
+
+# ---------------------------------------------------------------------------
+# Consistency family (reference: multi_column/consistency.py:17-330)
+# ---------------------------------------------------------------------------
+@register_validator("column_consistency", category="multi_column")
+class ColumnConsistencyValidator(Validator):
+    """when/then SQL-expression rules: rows matching `when` must satisfy
+    `then` (reference: multi_column/consistency.py:17-102). Each rule is a
+    fused conditional-sum; the sanctioned expression surface is Spark SQL."""
+
+    name = "column_consistency"
+
+    def __init__(self, rules: list[dict[str, Any]], fail_on_first: bool = False) -> None:
+        self.rules = rules
+        self.fail_on_first = fail_on_first  # kept for surface parity; fused
+        # execution evaluates every rule in the same single pass anyway.
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        out = []
+        for i, rule in enumerate(self.rules):
+            when, then = F.expr(rule["when"]), F.expr(rule["then"])
+            pred = when & ~F.coalesce(then, F.lit(False))
+            out.append(
+                ExpressionSpec(
+                    name=self.name,
+                    issue_type="consistency_rule_violation",
+                    column=rule.get("description") or f"rule_{i}",
+                    count_expr=violation_count(pred),
+                    non_null_expr=F.count(F.lit(1)),
+                    filter_expr=pred,
+                    expected=f"WHEN {rule['when']} THEN {rule['then']}",
+                )
+            )
+        return out
+
+
+@register_validator("column_mutual_exclusivity", category="multi_column")
+class ColumnMutualExclusivityValidator(Validator):
+    """At most allow_multiple of the columns non-null per row
+    (reference: consistency.py:105-159)."""
+
+    name = "column_mutual_exclusivity"
+
+    def __init__(
+        self, columns: list[str], allow_none: bool = False, allow_multiple: int = 1
+    ) -> None:
+        self.columns = columns
+        self.allow_none = allow_none
+        self.allow_multiple = allow_multiple
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        filled = sum(
+            (F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in self.columns),
+            F.lit(0),
+        )
+        pred = filled > self.allow_multiple
+        if not self.allow_none:
+            pred = pred | (filled == 0)
+        return [
+            ExpressionSpec(
+                name=self.name,
+                issue_type="mutual_exclusivity_violation",
+                column=",".join(self.columns),
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(F.lit(1)),
+                filter_expr=pred,
+                expected=(
+                    f"<= {self.allow_multiple} of {self.columns} filled per row"
+                    + ("" if self.allow_none else ", at least one filled")
+                ),
+            )
+        ]
+
+
+@register_validator("column_coexistence", category="multi_column")
+class ColumnCoexistenceValidator(Validator):
+    """Columns filled together or empty together
+    (reference: consistency.py:162-195)."""
+
+    name = "column_coexistence"
+
+    def __init__(self, columns: list[str]) -> None:
+        self.columns = columns
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        filled = sum(
+            (F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in self.columns),
+            F.lit(0),
+        )
+        pred = (filled > 0) & (filled < len(self.columns))
+        return [
+            ExpressionSpec(
+                name=self.name,
+                issue_type="coexistence_violation",
+                column=",".join(self.columns),
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(F.lit(1)),
+                filter_expr=pred,
+                expected=f"{self.columns} all filled or all empty per row",
+            )
+        ]
+
+
+@register_validator("column_dependency", category="multi_column")
+class ColumnDependencyValidator(Validator):
+    """If condition_column ∈ condition_values then required_columns non-null
+    (reference: consistency.py:198-261)."""
+
+    name = "column_dependency"
+
+    def __init__(
+        self,
+        condition_column: str,
+        condition_value: Any,
+        required_columns: list[str],
+    ) -> None:
+        self.condition_column = condition_column
+        self.condition_values = (
+            condition_value if isinstance(condition_value, list) else [condition_value]
+        )
+        self.required_columns = required_columns
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        cond = F.col(self.condition_column).isin(self.condition_values)
+        missing = F.lit(False)
+        for c in self.required_columns:
+            missing = missing | F.col(c).isNull()
+        pred = cond & missing
+        return [
+            ExpressionSpec(
+                name=self.name,
+                issue_type="dependency_violation",
+                column=",".join(self.required_columns),
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(F.lit(1)),
+                filter_expr=pred,
+                expected=(
+                    f"{self.required_columns} filled when "
+                    f"{self.condition_column} ∈ {self.condition_values}"
+                ),
+            )
+        ]
+
+
+@register_validator("column_implication", category="multi_column")
+class ColumnImplicationValidator(Validator):
+    """antecedent=value ⇒ consequent ∈ values (reference: consistency.py:264-330)."""
+
+    name = "column_implication"
+
+    def __init__(
+        self,
+        antecedent_column: str,
+        antecedent_value: Any,
+        consequent_column: str,
+        consequent_value: Any,
+    ) -> None:
+        self.antecedent_column = antecedent_column
+        self.antecedent_values = (
+            antecedent_value if isinstance(antecedent_value, list) else [antecedent_value]
+        )
+        self.consequent_column = consequent_column
+        self.consequent_values = (
+            consequent_value if isinstance(consequent_value, list) else [consequent_value]
+        )
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        ante = F.col(self.antecedent_column).isin(self.antecedent_values)
+        cons = F.col(self.consequent_column).isin(self.consequent_values)
+        pred = ante & ~F.coalesce(cons, F.lit(False))
+        return [
+            ExpressionSpec(
+                name=self.name,
+                issue_type="implication_violation",
+                column=f"{self.antecedent_column},{self.consequent_column}",
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(F.lit(1)),
+                filter_expr=pred,
+                expected=(
+                    f"{self.antecedent_column} ∈ {self.antecedent_values} ⇒ "
+                    f"{self.consequent_column} ∈ {self.consequent_values}"
+                ),
+            )
+        ]
+
+
+@register_validator("multi_column_unique", category="multi_column")
+class MultiColumnUniqueValidator(Validator):
+    """N-column combination unique across rows (reference:
+    uniqueness/multi_column.py). Spark: count - count_distinct(struct) in
+    the fused agg — one shuffle-free partial-agg pass with HLL fallback
+    available via approx; exact here to mirror the reference."""
+
+    name = "multi_column_unique"
+
+    def __init__(self, columns: list[str]) -> None:
+        self.columns = columns
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        combo = F.struct(*[F.col(c) for c in self.columns])
+
+        def judge(m: dict[str, Any]) -> tuple[bool, Any, str]:
+            dupes = (m.get("n") or 0) - (m.get("distinct") or 0)
+            return (
+                dupes == 0,
+                dupes,
+                f"{dupes} duplicate {self.columns} combinations",
+            )
+
+        return [
+            ExpressionSpec(
+                name=self.name,
+                issue_type="multi_column_duplicates",
+                column=",".join(self.columns),
+                extra_exprs={
+                    "n": F.count(F.lit(1)),
+                    "distinct": F.count_distinct(combo),
+                },
+                expected=f"unique combinations of {self.columns}",
+                judge=judge,
             )
         ]

@@ -461,3 +461,119 @@ class TimeSeriesDateRangeValidator(Validator):
                 details="observed range does not cover expected range",
             )
         ]
+
+
+@register_validator("timeseries_order", category="timeseries")
+class TimeSeriesOrderValidator(Validator):
+    """Timestamps strictly ordered by a sequence column (reference:
+    timeseries/order.py TimeSeriesOrderValidator). Distributed via the
+    same range-partition + boundary-stitch plan as Increasing/Decreasing:
+    a window lag per partition plus a per-partition boundary pass — no
+    single-partition global window at scale."""
+
+    name = "timeseries_order"
+
+    def __init__(
+        self, time_column: str, order_by: str | None = None, strict: bool = False
+    ) -> None:
+        self.time_column = time_column
+        self.order_by = order_by
+        self.strict = strict
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        order_col = self.order_by or self.time_column
+        ts = F.col(self.time_column)
+        w = Window.orderBy(F.col(order_col))
+        prev = F.lag(ts).over(w)
+        cmp = prev >= ts if self.strict else prev > ts
+        bad = df.select(ts, F.col(order_col)).withColumn(
+            "__viol", F.when(prev.isNotNull() & cmp, 1).otherwise(0)
+        )
+        n_bad = bad.agg(F.sum("__viol").alias("v")).collect()[0]["v"] or 0
+        if not n_bad:
+            return []
+        total = row_count if row_count is not None else df.count()
+        return [
+            ValidationIssue(
+                column=self.time_column,
+                issue_type="timeseries_out_of_order",
+                count=int(n_bad),
+                severity=severity_from_ratio(n_bad / total if total else 0.0),
+                validator_name=self.name,
+                expected=f"{self.time_column} non-decreasing along {order_col}",
+                details=f"{n_bad} out-of-order timestamps",
+            )
+        ]
+
+
+@register_validator("seasonal_decomposition", category="timeseries")
+class SeasonalDecompositionValidator(Validator):
+    """Additive decomposition sanity: detrend with a centered moving
+    average, average the detrended values per seasonal position, and
+    bound the residual variance share (reference:
+    timeseries/seasonality.py:249-420 SeasonalDecompositionValidator).
+
+    Spark plan: one window moving-average (range-bounded, partitionable by
+    series key at scale), one groupBy(position) for the seasonal
+    component, one variance aggregate — three shuffle-light jobs, no
+    collect of the series.
+    """
+
+    name = "seasonal_decomposition"
+
+    def __init__(
+        self,
+        column: str,
+        time_column: str,
+        period: int = 7,
+        max_residual_variance_ratio: float = 0.8,
+    ) -> None:
+        self.column = column
+        self.time_column = time_column
+        self.period = period
+        self.max_residual_variance_ratio = max_residual_variance_ratio
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        val, ts = F.col(self.column), F.col(self.time_column)
+        half = self.period // 2
+        w = Window.orderBy(ts).rowsBetween(-half, half)
+        seq = F.row_number().over(Window.orderBy(ts))
+        detrended = (
+            df.select(ts, val)
+            .withColumn("__trend", F.avg(val).over(w))
+            .withColumn("__detrended", val - F.col("__trend"))
+            .withColumn("__pos", (seq % self.period))
+        )
+        seasonal = detrended.groupBy("__pos").agg(
+            F.avg("__detrended").alias("__seasonal")
+        )
+        resid = detrended.join(F.broadcast(seasonal), "__pos").withColumn(
+            "__resid", F.col("__detrended") - F.col("__seasonal")
+        )
+        stats = resid.agg(
+            F.var_samp(val).alias("var_total"),
+            F.var_samp("__resid").alias("var_resid"),
+        ).collect()[0]
+        var_total = stats["var_total"] or 0.0
+        var_resid = stats["var_resid"] or 0.0
+        ratio = var_resid / var_total if var_total else 0.0
+        if ratio <= self.max_residual_variance_ratio:
+            return []
+        return [
+            ValidationIssue(
+                column=self.column,
+                issue_type="decomposition_poor_fit",
+                count=1,
+                severity=Severity.MEDIUM,
+                validator_name=self.name,
+                expected=(
+                    f"residual variance <= "
+                    f"{self.max_residual_variance_ratio:.0%} of total"
+                ),
+                actual=round(ratio, 4),
+                details=(
+                    f"trend+seasonal(period={self.period}) explain only "
+                    f"{1 - ratio:.0%} of variance"
+                ),
+            )
+        ]

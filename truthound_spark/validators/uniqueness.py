@@ -344,3 +344,135 @@ class DistinctValuesContainSetValidator(Validator):
                 judge=judge,
             )
         ]
+
+
+@register_validator("distinct_count_between", category="uniqueness")
+class DistinctCountBetweenValidator(Validator):
+    """Distinct count within [min, max] (reference:
+    uniqueness/distinct_count.py DistinctCountBetweenValidator)."""
+
+    name = "distinct_count_between"
+
+    def __init__(
+        self,
+        column: str,
+        min_count: int | None = None,
+        max_count: int | None = None,
+        approx: bool = False,
+    ) -> None:
+        self.column = column
+        self.min_count = min_count
+        self.max_count = max_count
+        self.approx = approx
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        lo, hi = self.min_count, self.max_count
+        distinct = (
+            F.approx_count_distinct(F.col(self.column))
+            if self.approx
+            else F.count_distinct(F.col(self.column))
+        )
+
+        def judge(m: dict[str, Any]) -> tuple[bool, Any, str]:
+            d = m.get("distinct") or 0
+            ok = (lo is None or d >= lo) and (hi is None or d <= hi)
+            return ok, d, f"distinct count {d} ∉ [{lo},{hi}]"
+
+        return [
+            ExpressionSpec(
+                name=self.name,
+                issue_type="distinct_count_out_of_range",
+                column=self.column,
+                extra_exprs={"distinct": distinct},
+                expected=f"distinct count in [{lo},{hi}]",
+                judge=judge,
+            )
+        ]
+
+
+@register_validator("approximate_unique_ratio", category="uniqueness")
+class ApproximateUniqueRatioValidator(Validator):
+    """HLL-sketched unique ratio >= threshold (reference:
+    uniqueness/approximate.py ApproximateUniqueRatioValidator). The 100 TB
+    path: approx_count_distinct is a fixed-size sketch with map-side
+    partial merge — no shuffle of values, only of sketches."""
+
+    name = "approximate_unique_ratio"
+
+    def __init__(self, column: str, min_ratio: float = 1.0, rsd: float = 0.05) -> None:
+        self.column = column
+        self.min_ratio = min_ratio
+        self.rsd = rsd
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        min_ratio = self.min_ratio
+
+        def judge(m: dict[str, Any]) -> tuple[bool, Any, str]:
+            nn = m.get("nn") or 0
+            d = m.get("distinct") or 0
+            ratio = d / nn if nn else 1.0
+            # sketch can overcount slightly past the exact cardinality
+            ratio = min(ratio, 1.0)
+            return (
+                ratio >= min_ratio,
+                round(ratio, 6),
+                f"approx unique ratio {ratio:.4f} < {min_ratio}",
+            )
+
+        return [
+            ExpressionSpec(
+                name=self.name,
+                issue_type="unique_ratio_too_low",
+                column=self.column,
+                extra_exprs={
+                    "nn": F.count(F.col(self.column)),
+                    "distinct": F.approx_count_distinct(F.col(self.column), self.rsd),
+                },
+                expected=f"approx unique ratio >= {min_ratio}",
+                judge=judge,
+            )
+        ]
+
+
+@register_validator("streaming_distinct_count", category="uniqueness")
+class StreamingDistinctCountValidator(Validator):
+    """Bounded-memory distinct count for unbounded/streaming input
+    (reference: validators/memory/streaming.py StreamingDistinctCountValidator,
+    which maintains an incremental HLL). Spark's approx_count_distinct is
+    the same HyperLogLog++ sketch and is legal in streaming aggregations,
+    so batch and foreachBatch paths share this validator unchanged."""
+
+    name = "streaming_distinct_count"
+
+    def __init__(
+        self,
+        column: str,
+        min_count: int | None = None,
+        max_count: int | None = None,
+        rsd: float = 0.05,
+    ) -> None:
+        self.column = column
+        self.min_count = min_count
+        self.max_count = max_count
+        self.rsd = rsd
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        lo, hi = self.min_count, self.max_count
+
+        def judge(m: dict[str, Any]) -> tuple[bool, Any, str]:
+            d = m.get("distinct") or 0
+            ok = (lo is None or d >= lo) and (hi is None or d <= hi)
+            return ok, d, f"streaming distinct ~{d} ∉ [{lo},{hi}]"
+
+        return [
+            ExpressionSpec(
+                name=self.name,
+                issue_type="distinct_count_out_of_range",
+                column=self.column,
+                extra_exprs={
+                    "distinct": F.approx_count_distinct(F.col(self.column), self.rsd)
+                },
+                expected=f"distinct count in [{lo},{hi}] (HLL rsd={self.rsd})",
+                judge=judge,
+            )
+        ]
