@@ -70,15 +70,31 @@ class Schema:
         return cls(columns=cols, row_count=d["row_count"])
 
 
-def learn(df: DataFrame) -> Schema:
-    """Single-pass schema learning (reference: schema.py:244-277)."""
+def learn(df: DataFrame, approx_distinct: bool = False) -> Schema:
+    """Single-pass schema learning (reference: schema.py:244-277).
+
+    Scale notes (100 TB): quantiles use ``percentile_approx`` (t-digest-like
+    sketch, bounded memory per partition) rather than exact ``percentile``
+    (which buffers every value). Each exact ``countDistinct`` adds a
+    projection to Spark's Expand operator — one duplicated row-stream per
+    column — so at cluster scale pass ``approx_distinct=True`` to use HLL
+    ``approx_count_distinct`` (regular agg, no Expand); the ``unique`` flag
+    then means "distinct count within HLL error of row count" and the
+    auto-suite should confirm with an exact UniqueValidator on flagged
+    columns before enforcing.
+    """
     aggs: list = [F.count(F.lit(1)).alias("__n")]
     numeric = set()
     string = set()
+    nu_of = (
+        (lambda c: F.approx_count_distinct(F.col(c), 0.01))
+        if approx_distinct
+        else (lambda c: F.countDistinct(F.col(c)))
+    )
     for f_ in df.schema.fields:
         c = f_.name
         aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"{c}__nu"))
+        aggs.append(nu_of(c).alias(f"{c}__nu"))
         if isinstance(f_.dataType, NUMERIC_TYPES):
             numeric.add(c)
             aggs.extend(
@@ -87,7 +103,9 @@ def learn(df: DataFrame) -> Schema:
                     F.max(c).alias(f"{c}__max"),
                     F.mean(c).alias(f"{c}__mean"),
                     F.stddev(c).alias(f"{c}__std"),
-                    F.expr(f"percentile({c}, array(0.25, 0.5, 0.75))").alias(f"{c}__q"),
+                    F.expr(
+                        f"percentile_approx({c}, array(0.25, 0.5, 0.75), 10000)"
+                    ).alias(f"{c}__q"),
                 ]
             )
         elif isinstance(f_.dataType, STRING_TYPES):
@@ -113,7 +131,11 @@ def learn(df: DataFrame) -> Schema:
             name=c,
             dtype=f_.dataType.simpleString(),
             nullable=(n - nn) > 0,
-            unique=(nu == nn and nn > 0),
+            unique=(
+                (nu >= nn * 0.99 and nn > 0)
+                if approx_distinct
+                else (nu == nn and nn > 0)
+            ),
             null_ratio=round((n - nn) / n, 6) if n else 0.0,
             unique_ratio=round(nu / nn, 6) if nn else 0.0,
         )
