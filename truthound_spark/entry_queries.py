@@ -3930,3 +3930,755 @@ def q_data_retention_events(spark, sf_dir):
         reference_time="2024-03-01 00:00:00",
     )
     return fused_counts(df, [(v, ["retained_beyond_policy"])])
+
+
+# ===========================================================================
+# wave-4: anomaly statistics, column arithmetic/comparison, special values,
+# localization checksums, polygons, cascade, query-surface compares
+# ===========================================================================
+
+
+@register(
+    "grubbs_statistic_events",
+    f"""
+    WITH {EV},
+    s AS (SELECT AVG(value) AS mu, STDDEV_SAMP(value) AS sd,
+                 CAST(COUNT(value) AS BIGINT) AS n
+          FROM ev)
+    SELECT ROUND(MAX(ABS(value - mu)) / sd, 4) AS grubbs_g, n
+    FROM ev, s WHERE value IS NOT NULL GROUP BY sd, n
+    """,
+)
+def q_grubbs_statistic_events(spark, sf_dir):
+    """Grubbs max-deviation statistic (GrubbsTestValidator plan,
+    anomaly.py:131; reference anomaly/statistical.py:239) — two fused
+    aggregate passes, no row data to the driver."""
+    df = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = df.agg(
+        F.mean("value").alias("mu"),
+        F.stddev_samp("value").alias("sd"),
+        F.count("value").alias("n"),
+    ).collect()[0]
+    g = df.agg(F.max(F.abs(F.col("value") - s["mu"])).alias("d")).collect()[0]["d"]
+    return _scalar_df(spark, grubbs_g=round(g / s["sd"], 4), n=int(s["n"]))
+
+
+@register(
+    "mahalanobis_count_lineitem",
+    """
+    WITH s AS (
+      SELECT AVG(l_quantity) AS mu_q, AVG(l_extendedprice) AS mu_p,
+             COVAR_POP(l_quantity, l_quantity) + 1e-9 AS vqq,
+             COVAR_POP(l_extendedprice, l_extendedprice) + 1e-9 AS vpp,
+             COVAR_POP(l_quantity, l_extendedprice) AS vqp
+      FROM lineitem
+    ),
+    inv AS (
+      SELECT mu_q, mu_p,
+             vpp / (vqq * vpp - vqp * vqp) AS ia,
+             -vqp / (vqq * vpp - vqp * vqp) AS ib,
+             vqq / (vqq * vpp - vqp * vqp) AS id
+      FROM s
+    )
+    SELECT CAST(SUM(CASE WHEN
+        (l_quantity - mu_q) * (l_quantity - mu_q) * ia
+        + 2 * (l_quantity - mu_q) * (l_extendedprice - mu_p) * ib
+        + (l_extendedprice - mu_p) * (l_extendedprice - mu_p) * id > 8.0
+        THEN 1 ELSE 0 END) AS BIGINT) AS mahalanobis_anomalies
+    FROM lineitem, inv
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    """,
+)
+def q_mahalanobis_count_lineitem(spark, sf_dir):
+    """MahalanobisValidator (anomaly.py:188; reference anomaly/
+    multivariate.py:22): covariance from one fused agg, broadcast 2x2
+    inverse scored as pure column math. Threshold d+3*sqrt(2d)=8.0."""
+    from truthound_spark.validators.anomaly import MahalanobisValidator
+
+    df = t(spark, sf_dir, "lineitem")
+    issues = MahalanobisValidator(["l_quantity", "l_extendedprice"]).validate(df)
+    return _scalar_df(
+        spark, mahalanobis_anomalies=int(issues[0].count) if issues else 0
+    )
+
+
+@register(
+    "column_arithmetic_lineitem",
+    """
+    SELECT
+      CAST(SUM(CASE WHEN l_extendedprice - l_quantity < 0
+                     AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS diff_negative,
+      CAST(SUM(CASE WHEN l_extendedprice / nullif(l_quantity, 0) > 2000
+                     AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS ratio_violations,
+      CAST(SUM(CASE WHEN l_discount / nullif(l_tax, 0) * 100.0 > 100
+                     AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS percentage_violations,
+      CAST(SUM(CASE WHEN l_tax + l_discount > 0.1
+                     AND l_tax IS NOT NULL AND l_discount IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS sum_violations,
+      CAST(SUM(CASE WHEN NOT (l_quantity < l_extendedprice)
+                     AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS comparison_violations,
+      CAST(SUM(CASE WHEN NOT (l_discount <= l_tax AND l_tax < l_quantity)
+                     AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+                     AND l_quantity IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS chain_violations,
+      CAST(SUM(CASE WHEN l_orderkey % 7 = 0
+                     AND l_tax IS NOT NULL AND l_discount IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS row_max_violations
+    FROM lineitem
+    """,
+)
+def q_column_arithmetic_lineitem(spark, sf_dir):
+    """Column arithmetic/comparison family fused into ONE agg:
+    ColumnDifference/Ratio/Percentage/MultiColumnSum (multi_column.py:
+    352-406; reference multi_column/arithmetic.py), ColumnComparison/
+    ChainComparison (multi_column.py:408-477; reference comparison.py),
+    ColumnMax with a derived result column (multi_column.py:479)."""
+    from truthound_spark.validators.multi_column import (
+        ColumnChainComparisonValidator,
+        ColumnComparisonValidator,
+        ColumnDifferenceValidator,
+        ColumnMaxValidator,
+        ColumnPercentageValidator,
+        ColumnRatioValidator,
+        MultiColumnSumValidator,
+    )
+
+    df = t(spark, sf_dir, "lineitem").withColumn(
+        "max_td",
+        F.greatest("l_tax", "l_discount")
+        + F.when(F.col("l_orderkey") % 7 == 0, 0.01).otherwise(0.0),
+    )
+    return fused_counts(
+        df,
+        [
+            (ColumnDifferenceValidator(["l_extendedprice", "l_quantity"], min_value=0), ["diff_negative"]),
+            (ColumnRatioValidator(["l_extendedprice", "l_quantity"], max_value=2000), ["ratio_violations"]),
+            (ColumnPercentageValidator(["l_discount", "l_tax"], max_value=100), ["percentage_violations"]),
+            (MultiColumnSumValidator(["l_tax", "l_discount"], max_value=0.1), ["sum_violations"]),
+            (ColumnComparisonValidator(["l_quantity", "l_extendedprice"], "<"), ["comparison_violations"]),
+            (
+                ColumnChainComparisonValidator(
+                    ["l_discount", "l_tax", "l_quantity"], ["<=", "<"]
+                ),
+                ["chain_violations"],
+            ),
+            (
+                ColumnMaxValidator(["l_tax", "l_discount"], "max_td", tolerance=0.001),
+                ["row_max_violations"],
+            ),
+        ],
+    )
+
+
+@register(
+    "multi_column_consistency_orders",
+    """
+    WITH d AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_custkey % 3 = 0 THEN NULL ELSE o_totalprice END AS a,
+             CASE WHEN o_custkey % 5 = 0 THEN NULL ELSE o_orderkey END AS b,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_totalprice END AS tp
+      FROM orders
+    )
+    SELECT
+      CAST(SUM(CASE WHEN (CASE WHEN a IS NOT NULL THEN 1 ELSE 0 END
+                          + CASE WHEN b IS NOT NULL THEN 1 ELSE 0 END) = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS coexistence_violations,
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' AND tp IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS dependency_violations,
+      CAST((SELECT COUNT(*) - COUNT(DISTINCT (o_custkey, o_orderstatus)) FROM d)
+           AS BIGINT) AS combo_duplicates
+    FROM d
+    """,
+)
+def q_multi_column_consistency_orders(spark, sf_dir):
+    """ColumnCoexistence + ColumnDependency + MultiColumnUnique fused
+    (multi_column.py:596,625,708; reference multi_column/consistency.py:
+    162-261, uniqueness/multi_column.py) on derived nullable columns."""
+    from truthound_spark.validators.multi_column import (
+        ColumnCoexistenceValidator,
+        ColumnDependencyValidator,
+        MultiColumnUniqueValidator,
+    )
+
+    df = (
+        t(spark, sf_dir, "orders")
+        .withColumn("a", F.when(F.col("o_custkey") % 3 == 0, None).otherwise(F.col("o_totalprice")))
+        .withColumn("b", F.when(F.col("o_custkey") % 5 == 0, None).otherwise(F.col("o_orderkey")))
+        .withColumn("tp", F.when(F.col("o_orderkey") % 11 == 0, None).otherwise(F.col("o_totalprice")))
+    )
+    co = fused_counts(
+        df,
+        [
+            (ColumnCoexistenceValidator(["a", "b"]), ["coexistence_violations"]),
+            (ColumnDependencyValidator("o_orderstatus", "F", ["tp"]), ["dependency_violations"]),
+        ],
+    ).collect()[0]
+    mcu = MultiColumnUniqueValidator(["o_custkey", "o_orderstatus"])
+    spec = mcu.specs(df)[0]
+    row = df.agg(
+        spec.extra_exprs["n"].alias("n"), spec.extra_exprs["distinct"].alias("d")
+    ).collect()[0]
+    return _scalar_df(
+        spark,
+        coexistence_violations=int(co["coexistence_violations"]),
+        dependency_violations=int(co["dependency_violations"]),
+        combo_duplicates=int(row["n"] - row["d"]),
+    )
+
+
+@register(
+    "special_values_events",
+    f"""
+    WITH {EV},
+    d AS (
+      SELECT CASE WHEN event_id % 97 = 0 THEN 'NaN'::DOUBLE
+                  WHEN event_id % 101 = 0 THEN 'Infinity'::DOUBLE
+                  WHEN event_id % 103 = 0 THEN '-Infinity'::DOUBLE
+                  ELSE value END AS dval
+      FROM ev
+    )
+    SELECT
+      CAST(SUM(CASE WHEN isnan(dval) THEN 1 ELSE 0 END) AS BIGINT) AS nan_count,
+      CAST(SUM(CASE WHEN dval = 'Infinity'::DOUBLE OR dval = '-Infinity'::DOUBLE
+                    THEN 1 ELSE 0 END) AS BIGINT) AS inf_count,
+      CAST(SUM(CASE WHEN isnan(dval) OR dval = 'Infinity'::DOUBLE
+                     OR dval = '-Infinity'::DOUBLE
+                    THEN 1 ELSE 0 END) AS BIGINT) AS nonfinite_count,
+      ROUND(SUM(CASE WHEN isnan(dval) THEN 1 ELSE 0 END)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS nan_ratio
+    FROM d
+    """,
+)
+def q_special_values_events(spark, sf_dir):
+    """NaN / Infinity / Finite / NaNRatio validators (completeness.py:97,
+    121,264,299; reference completeness/nan.py) over injected IEEE special
+    values — fused single agg, isnan/isin stay JVM-side."""
+    from truthound_spark.validators.completeness import (
+        FiniteValidator,
+        InfinityValidator,
+        NaNValidator,
+    )
+
+    df = t(spark, sf_dir, "events").withColumn(
+        "dval",
+        F.when(F.col("event_id") % 97 == 0, F.lit(float("nan")))
+        .when(F.col("event_id") % 101 == 0, F.lit(float("inf")))
+        .when(F.col("event_id") % 103 == 0, F.lit(float("-inf")))
+        .otherwise(F.col("value")),
+    ).select("dval")
+    base = fused_counts(
+        df,
+        [
+            (NaNValidator(columns=["dval"]), ["nan_count"]),
+            (InfinityValidator(columns=["dval"]), ["inf_count"]),
+            (FiniteValidator(columns=["dval"]), ["nonfinite_count"]),
+        ],
+    )
+    total = df.count()
+    return base.select(
+        "*",
+        (F.col("nan_count") / F.lit(float(total))).alias("__r"),
+    ).select(
+        "nan_count", "inf_count", "nonfinite_count", F.round("__r", 6).alias("nan_ratio")
+    )
+
+
+@register(
+    "japanese_chinese_ids_derived",
+    """
+    WITH d AS (
+      SELECT
+        CASE WHEN c_custkey % 5 = 0
+             THEN lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0')
+                  || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+             ELSE lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-'
+                  || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') END AS jp_postal,
+        lpad(CAST((c_custkey * 37) % 100000000000 AS VARCHAR), 11, '0')
+          || CAST(c_custkey % 10 AS VARCHAR) AS my,
+        lpad(CAST((c_custkey * 73) % 100000000000000000 AS VARCHAR), 17, '0')
+          || substr('10X98765432', (c_custkey % 11) + 1, 1) AS cn
+      FROM customer
+    ),
+    chk AS (
+      SELECT jp_postal, my, cn,
+             CAST(my[11] AS INT) * 2 + CAST(my[10] AS INT) * 3 + CAST(my[9] AS INT) * 4 + CAST(my[8] AS INT) * 5 + CAST(my[7] AS INT) * 6 + CAST(my[6] AS INT) * 7 + CAST(my[5] AS INT) * 2 + CAST(my[4] AS INT) * 3 + CAST(my[3] AS INT) * 4 + CAST(my[2] AS INT) * 5 + CAST(my[1] AS INT) * 6 AS my_tot,
+             CAST(cn[1] AS INT) * 7 + CAST(cn[2] AS INT) * 9 + CAST(cn[3] AS INT) * 10 + CAST(cn[4] AS INT) * 5 + CAST(cn[5] AS INT) * 8 + CAST(cn[6] AS INT) * 4 + CAST(cn[7] AS INT) * 2 + CAST(cn[8] AS INT) * 1 + CAST(cn[9] AS INT) * 6 + CAST(cn[10] AS INT) * 3 + CAST(cn[11] AS INT) * 7 + CAST(cn[12] AS INT) * 9 + CAST(cn[13] AS INT) * 10 + CAST(cn[14] AS INT) * 5 + CAST(cn[15] AS INT) * 8 + CAST(cn[16] AS INT) * 4 + CAST(cn[17] AS INT) * 2 AS cn_tot
+      FROM d
+    )
+    SELECT
+      CAST(SUM(CASE WHEN NOT regexp_matches(jp_postal, '^[0-9]{3}-[0-9]{4}$')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS invalid_jp_postal,
+      CAST(SUM(CASE WHEN CAST(my[12] AS INT)
+                         = (CASE WHEN 11 - (my_tot % 11) > 9 THEN 0
+                                 ELSE 11 - (my_tot % 11) END)
+                    THEN 0 ELSE 1 END) AS BIGINT) AS invalid_mynumber,
+      CAST(SUM(CASE WHEN cn[18] = substr('10X98765432', (cn_tot % 11) + 1, 1)
+                    THEN 0 ELSE 1 END) AS BIGINT) AS invalid_chinese_id
+    FROM chk
+    """,
+)
+def q_japanese_chinese_ids_derived(spark, sf_dir):
+    """JapanesePostal + JapaneseMyNumber (mod-11) + ChineseId (mod-11
+    charmap) checksum validators (business.py:338,361,404; reference
+    localization/japanese.py:20,180, chinese.py:21) — pure expression
+    chains fused into one agg, oracle recomputes both checksums digit by
+    digit."""
+    from truthound_spark.validators.business import (
+        ChineseIdValidator,
+        JapaneseMyNumberValidator,
+        JapanesePostalValidator,
+    )
+
+    k = F.col("c_custkey")
+    df = t(spark, sf_dir, "customer").select(
+        F.when(
+            k % 5 == 0,
+            F.concat(
+                F.lpad(((k * 7) % 1000).cast("string"), 3, "0"),
+                F.lpad((k % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lpad(((k * 7) % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((k % 10000).cast("string"), 4, "0"),
+            )
+        )
+        .alias("jp_postal"),
+        F.concat(
+            F.lpad(((k * 37) % 100000000000).cast("string"), 11, "0"),
+            (k % 10).cast("string"),
+        ).alias("my"),
+        F.concat(
+            F.lpad(((k * 73) % 100000000000000000).cast("string"), 17, "0"),
+            F.substring(F.lit("10X98765432"), 1, 11).substr(
+                ((k % 11) + 1).cast("int"), F.lit(1)
+            ),
+        ).alias("cn"),
+    )
+    return fused_counts(
+        df,
+        [
+            (JapanesePostalValidator("jp_postal"), ["invalid_jp_postal"]),
+            (JapaneseMyNumberValidator("my"), ["invalid_mynumber"]),
+            (ChineseIdValidator("cn"), ["invalid_chinese_id"]),
+        ],
+    )
+
+
+@register(
+    "us_regional_formats_derived",
+    """
+    WITH d AS (
+      SELECT
+        lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') AS area,
+        lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') AS grp,
+        lpad(CAST((c_custkey * 3) % 10000 AS VARCHAR), 4, '0') AS ser,
+        CASE c_custkey % 4
+          WHEN 0 THEN lpad(CAST(c_custkey % 100000 AS VARCHAR), 5, '0')
+          WHEN 1 THEN lpad(CAST(c_custkey % 100000 AS VARCHAR), 5, '0') || '-'
+                      || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+          WHEN 2 THEN lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+          ELSE lpad(CAST(c_custkey % 100000 AS VARCHAR), 5, '0') || '-'
+               || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') END AS zip
+      FROM customer
+    )
+    SELECT
+      CAST(SUM(CASE WHEN area IN ('000', '666') OR area LIKE '9%'
+                     OR grp = '00' OR ser = '0000'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS invalid_ssn,
+      CAST(SUM(CASE WHEN regexp_matches(zip, '^[0-9]{5}(-[0-9]{4})?$')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS invalid_zip
+    FROM d
+    """,
+)
+def q_us_regional_formats_derived(spark, sf_dir):
+    """UsSsn (area/group/serial exclusions via Java lookaheads; the oracle
+    re-expresses them as RE2-safe substring predicates) + UsZip
+    (string.py:490,516) fused."""
+    from truthound_spark.validators.string import UsSsnValidator, UsZipValidator
+
+    k = F.col("c_custkey")
+    df = t(spark, sf_dir, "customer").select(
+        F.concat_ws(
+            "-",
+            F.lpad(((k * 7) % 1000).cast("string"), 3, "0"),
+            F.lpad((k % 100).cast("string"), 2, "0"),
+            F.lpad(((k * 3) % 10000).cast("string"), 4, "0"),
+        ).alias("ssn"),
+        F.when(k % 4 == 0, F.lpad((k % 100000).cast("string"), 5, "0"))
+        .when(
+            k % 4 == 1,
+            F.concat(
+                F.lpad((k % 100000).cast("string"), 5, "0"),
+                F.lit("-"),
+                F.lpad((k % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .when(k % 4 == 2, F.lpad((k % 10000).cast("string"), 4, "0"))
+        .otherwise(
+            F.concat(
+                F.lpad((k % 100000).cast("string"), 5, "0"),
+                F.lit("-"),
+                F.lpad((k % 1000).cast("string"), 3, "0"),
+            )
+        )
+        .alias("zip"),
+    )
+    return fused_counts(
+        df,
+        [
+            (UsSsnValidator("ssn"), ["invalid_ssn"]),
+            (UsZipValidator("zip"), ["invalid_zip"]),
+        ],
+    )
+
+
+@register(
+    "dateutil_parseable_derived",
+    """
+    WITH d AS (
+      SELECT CASE o_orderkey % 4
+               WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+               WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+               WHEN 2 THEN '2024-13-45'
+               ELSE 'not a date' END AS ds
+      FROM orders
+    )
+    SELECT CAST(SUM(CASE WHEN TRY_CAST(ds AS TIMESTAMP) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS unparseable_dates
+    FROM d
+    """,
+)
+def q_dateutil_parseable_derived(spark, sf_dir):
+    """DateutilParseableValidator (datetime_checks.py:297; reference
+    datetime/parseable.py:14): Arrow-batched pandas UDF over
+    pd.to_datetime(format='mixed') — the sanctioned vectorized Python
+    path; unambiguous formats keep pandas and DuckDB TRY_CAST in
+    agreement."""
+    from truthound_spark.validators.datetime_checks import DateutilParseableValidator
+
+    k = F.col("o_orderkey")
+    df = t(spark, sf_dir, "orders").select(
+        F.when(k % 4 == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(k % 4 == 1, F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+        .when(k % 4 == 2, F.lit("2024-13-45"))
+        .otherwise(F.lit("not a date"))
+        .alias("ds")
+    )
+    issues = DateutilParseableValidator("ds").validate(df)
+    return _scalar_df(
+        spark, unparseable_dates=int(issues[0].count) if issues else 0
+    )
+
+
+@register(
+    "timeseries_regularity_events",
+    f"""
+    WITH {EV},
+    lagged AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us,
+             lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id
+      FROM ev
+    )
+    SELECT
+      CAST(SUM(CASE WHEN us - prev_us = 0 THEN 1 ELSE 0 END) AS BIGINT) AS duplicate_ts,
+      CAST(SUM(CASE WHEN us - prev_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS gap_count,
+      CAST(SUM(CASE WHEN event_id < prev_id THEN 1 ELSE 0 END) AS BIGINT) AS order_violations,
+      CAST(MIN(us) AS BIGINT) AS min_us, CAST(MAX(us) AS BIGINT) AS max_us
+    FROM lagged
+    """,
+)
+def q_timeseries_regularity_events(spark, sf_dir):
+    """TimeSeriesDuplicate / Interval(gap) / Order / DateRange
+    (timeseries.py; reference timeseries/regularity.py) in one
+    window+agg plan: per-user lag over (ts, event_id) — the partition key
+    distributes the sort; no global ordering anywhere."""
+    from pyspark.sql import Window
+
+    df = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    lagged = df.select(
+        "event_id",
+        us.alias("us"),
+        F.lag(us).over(w).alias("prev_us"),
+        F.lag("event_id").over(w).alias("prev_id"),
+    )
+    return lagged.agg(
+        F.sum(F.when(F.col("us") - F.col("prev_us") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("duplicate_ts"),
+        F.sum(F.when(F.col("us") - F.col("prev_us") > 3600000000, 1).otherwise(0))
+        .cast("long")
+        .alias("gap_count"),
+        F.sum(F.when(F.col("event_id") < F.col("prev_id"), 1).otherwise(0))
+        .cast("long")
+        .alias("order_violations"),
+        F.min("us").cast("long").alias("min_us"),
+        F.max("us").cast("long").alias("max_us"),
+    )
+
+
+@register(
+    "schema_structure_events",
+    """
+    SELECT
+      CAST((SELECT COUNT(*) FROM (DESCRIBE events)) AS BIGINT) AS n_cols,
+      EXISTS(SELECT 1 FROM (DESCRIBE events) WHERE column_name = 'value') AS has_value,
+      (SELECT column_type = 'DOUBLE' FROM (DESCRIBE events)
+       WHERE column_name = 'value') AS value_is_double,
+      NOT EXISTS(SELECT 1 FROM (DESCRIBE events)
+                 WHERE column_name IN ('ssn', 'password')) AS forbidden_absent,
+      EXISTS(SELECT 1 FROM (DESCRIBE events)
+             WHERE column_name IN ('event_id', 'ts', 'user_id')) AS required_present
+    """,
+)
+def q_schema_structure_events(spark, sf_dir):
+    """ColumnExists/Count/Type + TableRequired/ForbiddenColumns
+    (schema_structure.py:50-179, table.py:266,293; reference schema/
+    column_exists.py, table/columns.py) — all driver-side schema reads,
+    ZERO Spark jobs; the oracle reads DuckDB's catalog the same way."""
+    from truthound_spark.validators.schema_structure import (
+        ColumnCountValidator,
+        ColumnExistsValidator,
+        ColumnTypeValidator,
+    )
+    from truthound_spark.validators.table import (
+        TableForbiddenColumnsValidator,
+        TableRequiredColumnsValidator,
+    )
+
+    df = t(spark, sf_dir, "events")
+    n_cols = len(df.columns)
+    has_value = not ColumnExistsValidator(["value"]).validate(df)
+    value_is_double = not ColumnTypeValidator({"value": "double"}).validate(df)
+    forbidden_absent = not TableForbiddenColumnsValidator(["ssn", "password"]).validate(df)
+    required_present = not TableRequiredColumnsValidator(
+        ["event_id", "ts", "user_id"]
+    ).validate(df)
+    assert not ColumnCountValidator(expected_count=n_cols).validate(df)
+    return _scalar_df(
+        spark,
+        n_cols=n_cols,
+        has_value=bool(has_value),
+        value_is_double=bool(value_is_double),
+        forbidden_absent=bool(forbidden_absent),
+        required_present=bool(required_present),
+    )
+
+
+@register(
+    "query_surface_compares_orders",
+    """
+    SELECT
+      CAST((SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'O') AS BIGINT) AS open_count,
+      CAST((SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F') AS BIGINT) AS finished_count,
+      ROUND((SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'O')
+            / CAST((SELECT COUNT(*) FROM orders) AS DOUBLE), 6) AS open_ratio,
+      ROUND(ABS((SELECT AVG(o_totalprice) FROM orders WHERE o_orderstatus = 'O')
+                - (SELECT AVG(o_totalprice) FROM orders))
+            / ((SELECT AVG(o_totalprice) FROM orders) + 1e-10), 6) AS avg_tp_rel_diff
+    FROM (SELECT 1)
+    """,
+)
+def q_query_surface_compares_orders(spark, sf_dir):
+    """QueryRowCount / RowCountRatio / RowCountCompare / AggregateCompare
+    surface (query.py:231,354,389,553; reference query/row_count.py,
+    aggregate.py): user SQL over the registered 'data' view, compared
+    driver-side exactly as the validators do."""
+    df = t(spark, sf_dir, "orders")
+    df.createOrReplaceTempView("data")
+    spark_ = df.sparkSession
+    open_count = spark_.sql("SELECT * FROM data WHERE o_orderstatus = 'O'").count()
+    finished_count = spark_.sql("SELECT * FROM data WHERE o_orderstatus = 'F'").count()
+    total = df.count()
+    avg_open = spark_.sql(
+        "SELECT AVG(o_totalprice) AS v FROM data WHERE o_orderstatus = 'O'"
+    ).collect()[0]["v"]
+    avg_all = spark_.sql("SELECT AVG(o_totalprice) AS v FROM data").collect()[0]["v"]
+    return _scalar_df(
+        spark,
+        open_count=int(open_count),
+        finished_count=int(finished_count),
+        open_ratio=round(open_count / total, 6),
+        avg_tp_rel_diff=round(abs(avg_open - avg_all) / (avg_all + 1e-10), 6),
+    )
+
+
+@register(
+    "self_referential_fk_customer",
+    """
+    WITH d AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN c_custkey + 1000000
+                  WHEN c_custkey < 25 THEN NULL
+                  ELSE CAST(c_custkey // 2 AS BIGINT) END AS parent_key
+      FROM customer
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS dangling_parents
+    FROM d
+    WHERE parent_key IS NOT NULL
+      AND parent_key NOT IN (SELECT c_custkey FROM d)
+    """,
+)
+def q_self_referential_fk_customer(spark, sf_dir):
+    """SelfReferentialFKValidator (referential.py:99; reference
+    referential/foreign_key.py:458): anti-join of parent pointers against
+    the same table's keys — broadcast of deduplicated keys when small."""
+    from truthound_spark.validators.referential import SelfReferentialFKValidator
+
+    k = F.col("c_custkey")
+    df = t(spark, sf_dir, "customer").withColumn(
+        "parent_key",
+        F.when(k % 10 == 0, k + 1000000)
+        .when(k < 25, None)
+        .otherwise(F.floor(k / 2).cast("long")),
+    )
+    issues = SelfReferentialFKValidator("c_custkey", "parent_key").validate(df)
+    return _scalar_df(
+        spark, dangling_parents=int(issues[0].count) if issues else 0
+    )
+
+
+@register(
+    "polygon_membership_derived",
+    """
+    WITH d AS (
+      SELECT ((c_custkey * 7) % 180) - 90 + 0.25 AS lat,
+             ((c_custkey * 13) % 360) - 180 + 0.25 AS lon
+      FROM customer
+    )
+    SELECT
+      CAST(SUM(CASE WHEN lat >= -30 AND lat < 40 AND lon >= -100 AND lon < 60
+                    THEN 0 ELSE 1 END) AS BIGINT) AS outside_rect,
+      CAST(SUM(CASE WHEN (lat >= -30 AND lat < 40 AND lon >= -100 AND lon < 60)
+                      OR (lat >= -80 AND lat < -50 AND lon >= 100 AND lon < 170)
+                    THEN 0 ELSE 1 END) AS BIGINT) AS outside_any_rect,
+      CAST(SUM(CASE WHEN lat BETWEEN 24.5 AND 49.4 AND lon BETWEEN -125.0 AND -66.9
+                    THEN 0 ELSE 1 END) AS BIGINT) AS outside_us_bbox
+    FROM d
+    """,
+)
+def q_polygon_membership_derived(spark, sf_dir):
+    """PointInPolygon + MultiPolygon (vectorized ray-casting pandas UDF,
+    geospatial.py:157,263; reference geospatial/polygon.py:85,386) +
+    GeoCountry bbox (geospatial.py:232). For axis-aligned rectangles the
+    ray-cast reduces to half-open box membership — the oracle states that
+    closed form."""
+    from truthound_spark.validators.geospatial import (
+        GeoCountryValidator,
+        MultiPolygonValidator,
+        PointInPolygonValidator,
+    )
+
+    k = F.col("c_custkey")
+    df = t(spark, sf_dir, "customer").select(
+        (((k * 7) % 180) - 90 + 0.25).alias("lat"),
+        (((k * 13) % 360) - 180 + 0.25).alias("lon"),
+    )
+    rect = [(-30.0, -100.0), (-30.0, 60.0), (40.0, 60.0), (40.0, -100.0)]
+    rect_b = [(-80.0, 100.0), (-80.0, 170.0), (-50.0, 170.0), (-50.0, 100.0)]
+    i1 = PointInPolygonValidator("lat", "lon", rect).validate(df)
+    i2 = MultiPolygonValidator("lat", "lon", [rect, rect_b]).validate(df)
+    geo_out = fused_counts(
+        df, [(GeoCountryValidator("lat", "lon", "US"), ["outside_us_bbox"])]
+    ).collect()[0]["outside_us_bbox"]
+    return _scalar_df(
+        spark,
+        outside_rect=int(i1[0].count) if i1 else 0,
+        outside_any_rect=int(i2[0].count) if i2 else 0,
+        outside_us_bbox=int(geo_out),
+    )
+
+
+@register(
+    "cascade_integrity_orders_lineitem",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS cascade_violations
+    FROM lineitem l
+    JOIN (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderstatus = 'F') d
+      ON l.l_orderkey = d.o_orderkey
+    WHERE NOT (l.l_returnflag IN ('R', 'A'))
+    """,
+)
+def q_cascade_integrity_orders_lineitem(spark, sf_dir):
+    """CascadeIntegrityValidator (referential.py:391; reference
+    referential/cascade.py:51): children of 'deleted' parents must satisfy
+    the child predicate — broadcast inner join on deduplicated parent
+    keys, one distributed count."""
+    from truthound_spark.validators.referential import CascadeIntegrityValidator
+
+    orders = t(spark, sf_dir, "orders")
+    lineitem = t(spark, sf_dir, "lineitem")
+    issues = CascadeIntegrityValidator(
+        parent_data=orders,
+        parent_key="o_orderkey",
+        child_key="l_orderkey",
+        deleted_predicate="o_orderstatus = 'F'",
+        child_deleted_predicate="l_returnflag IN ('R', 'A')",
+    ).validate(lineitem)
+    return _scalar_df(
+        spark, cascade_violations=int(issues[0].count) if issues else 0
+    )
+
+
+@register(
+    "table_factor_metrics",
+    """
+    SELECT
+      ROUND((SELECT COUNT(*) FROM lineitem)
+            / CAST((SELECT COUNT(*) FROM orders) AS DOUBLE), 4) AS lineitem_orders_factor,
+      ROUND((SELECT COUNT(*) FROM lineitem) / 11.0, 2) AS rows_per_column,
+      (SELECT COUNT(*) FROM lineitem) >= (SELECT COUNT(*) FROM orders) AS compare_ok
+    """,
+)
+def q_table_factor_metrics(spark, sf_dir):
+    """CrossTableRowCountFactor + TableRowToColumnRatio +
+    TableRowCountCompare observations (referential.py, table.py:136,592;
+    reference cross_table/row_count.py, table/dimensions.py) — two
+    metadata-cheap counts, driver-side compare like the validators."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    n_li = li.count()
+    n_o = orders.count()
+    return _scalar_df(
+        spark,
+        lineitem_orders_factor=round(n_li / n_o, 4),
+        rows_per_column=round(n_li / len(li.columns), 2),
+        compare_ok=bool(n_li >= n_o),
+    )
+
+
+@register(
+    "approx_distinct_tolerance_events",
+    f"""
+    WITH {EV}
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM ev
+    """,
+)
+def q_approx_distinct_tolerance_events(spark, sf_dir):
+    """ApproxDistinctCount HLL sketch vs exact (uniqueness.py:112,393;
+    reference memory/hyperloglog.py): the approx path must land within 5%
+    of truth — the scale path for per-column cardinality at 100 TB (no
+    Expand, constant memory)."""
+    df = t(spark, sf_dir, "events")
+    row = df.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx"),
+    ).collect()[0]
+    exact, approx = int(row["exact"]), int(row["approx"])
+    return _scalar_df(
+        spark,
+        exact_users=exact,
+        approx_within_5pct=bool(abs(approx - exact) <= 0.05 * exact),
+    )
