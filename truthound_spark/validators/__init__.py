@@ -28,6 +28,8 @@ from truthound_spark.validators import (  # noqa: F401
     uniqueness,
 )
 from truthound_spark.drift import validators as drift_validators  # noqa: F401 (registration)
+from truthound_spark.validators import parity  # noqa: F401  (registration; AFTER drift —
+#   aliases resolve names registered by every earlier import)
 from truthound_spark.core.registry import (  # noqa: F401
     get_validator,
     list_categories,

@@ -1,0 +1,360 @@
+"""Reference-name API parity: missing validators + registry aliases.
+
+The reference registers every validator under a snake-case ``name`` that
+user code passes to ``th.check(validators=[...])``. This module closes the
+name-level gap so a reference user's validator lists resolve unchanged:
+
+* genuinely missing validators are implemented here (``column_mean``,
+  ``polygon_distance``, ``schema``, ``online_svm``, ``streaming_positive``);
+* names whose functionality already exists under a different registered
+  name are aliased to the SAME class (one implementation, two names) —
+  e.g. the reference's ``optimized_mahalanobis`` (optimization/
+  mahalanobis.py) exists because Polars needs a hand-batched fast path;
+  on Spark the base implementation IS the optimized path (fused aggs +
+  broadcast Σ⁻¹), so both names resolve to one class;
+* the reference's ``streaming_*`` chunk validators (validators/streaming/
+  completeness.py etc.) exist because Polars needs explicit incremental
+  state. In this engine the SAME batch validator runs per micro-batch via
+  ``foreachBatch`` (streaming/validate.py), so the streaming names alias
+  the batch classes — that is the Spark-first design, not a shortcut.
+
+Names NOT mirrored (and why): ``adaptive/sequential/parallel`` are the
+reference's orchestrator execution strategies (optimization/
+orchestrator.py), delegated to Catalyst/AQE here; ``rule_based/
+logistic_regression/random_forest/gradient_boosting/ensemble`` are ReDoS
+classifier models (security/redos/ml/models.py), not data validators —
+the ReDoS guard here is the pattern-complexity check in string.py;
+``add_anchors/factor_common_prefix/...`` are regex rewrite passes of that
+same subsystem.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import pandas as pd  # module-level so pandas_udf type hints resolve
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from truthound_spark.core.base import ExpressionSpec, Validator, violation_count
+from truthound_spark.core.registry import get_validator, register_validator
+from truthound_spark.core.results import ValidationIssue
+from truthound_spark.types import Severity, severity_from_ratio
+
+
+@register_validator("column_mean", category="multi_column")
+class ColumnMeanValidator(Validator):
+    """result_column == row-wise mean(columns) ± tolerance
+    (reference: multi_column/comparison.py ColumnMeanValidator)."""
+
+    name = "column_mean"
+
+    def __init__(
+        self, columns: list[str], result_column: str, tolerance: float = 0.001
+    ) -> None:
+        self.columns = columns
+        self.result_column = result_column
+        self.tolerance = tolerance
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        total = F.col(self.columns[0])
+        for c in self.columns[1:]:
+            total = total + F.col(c)
+        mean = total / float(len(self.columns))
+        non_null = F.col(self.result_column).isNotNull()
+        for c in self.columns:
+            non_null = non_null & F.col(c).isNotNull()
+        pred = (F.abs(F.col(self.result_column) - mean) > self.tolerance) & non_null
+        return [
+            ExpressionSpec(
+                name=self.name,
+                issue_type="not_row_mean",
+                column=self.result_column,
+                count_expr=violation_count(pred),
+                non_null_expr=F.count(F.lit(1)),
+                filter_expr=pred,
+                expected=f"{self.result_column} == mean({self.columns}) ± {self.tolerance}",
+            )
+        ]
+
+
+@register_validator("polygon_distance", category="geospatial")
+class PolygonDistanceValidator(Validator):
+    """Points within ``max_distance_km`` of a polygon (reference:
+    geospatial/polygon.py PolygonDistanceValidator).
+
+    Distance model: 0 km when the point is inside the polygon (vectorized
+    ray-cast, same pandas UDF kernel as PointInPolygonValidator), else the
+    minimum haversine distance to the polygon's vertices — the reference's
+    vertex approximation. One Arrow pass; everything else is aggregates.
+    """
+
+    name = "polygon_distance"
+
+    def __init__(
+        self,
+        lat_column: str,
+        lon_column: str,
+        polygon_coords: list[tuple[float, float]],
+        max_distance_km: float = 10.0,
+    ) -> None:
+        self.lat_column = lat_column
+        self.lon_column = lon_column
+        self.polygon = polygon_coords
+        self.max_distance_km = max_distance_km
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        poly = np.asarray(self.polygon, dtype=float)
+        max_km = self.max_distance_km
+
+        @pandas_udf("boolean")
+        def within(lat: pd.Series, lon: pd.Series) -> pd.Series:
+            x, y = lon.values, lat.values
+            inside = np.zeros(len(x), dtype=bool)
+            j = len(poly) - 1
+            for i in range(len(poly)):
+                yi, xi = poly[i]
+                yj, xj = poly[j]
+                cond = ((xi > x) != (xj > x)) & (
+                    y < (yj - yi) * (x - xi) / np.where(xj - xi == 0, 1e-12, xj - xi) + yi
+                )
+                inside ^= cond
+                j = i
+            # min haversine distance to any vertex (km)
+            min_d = np.full(len(x), np.inf)
+            lat_r, lon_r = np.radians(y), np.radians(x)
+            for yi, xi in poly:
+                p_lat, p_lon = math.radians(yi), math.radians(xi)
+                a = (
+                    np.sin((p_lat - lat_r) / 2) ** 2
+                    + np.cos(lat_r) * math.cos(p_lat) * np.sin((p_lon - lon_r) / 2) ** 2
+                )
+                d = 2 * 6371.0 * np.arcsin(np.sqrt(np.clip(a, 0, 1)))
+                min_d = np.minimum(min_d, d)
+            return pd.Series(inside | (min_d <= max_km))
+
+        agg = (
+            df.select(within(F.col(self.lat_column), F.col(self.lon_column)).alias("__ok"))
+            .agg(
+                F.sum(F.when(~F.col("__ok"), 1).otherwise(0)).alias("far"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+        n_far, n = int(agg["far"] or 0), int(agg["n"] or 0)
+        if n_far == 0:
+            return []
+        return [
+            ValidationIssue(
+                column=f"{self.lat_column},{self.lon_column}",
+                issue_type="too_far_from_polygon",
+                count=n_far,
+                severity=severity_from_ratio(n_far / n if n else 0.0),
+                validator_name=self.name,
+                expected=f"within {self.max_distance_km} km of polygon",
+                actual=n_far,
+                details=f"{n_far} points farther than {self.max_distance_km} km",
+            )
+        ]
+
+
+@register_validator("schema", category="schema")
+class SchemaValidator(Validator):
+    """Validate a frame against a learned Schema baseline (reference:
+    schema_validator.py): dtype match, nullability, uniqueness, numeric
+    ranges — the drift side of ``truthound_spark.schema.learn``."""
+
+    name = "schema"
+
+    def __init__(self, baseline: Any) -> None:
+        self.baseline = baseline  # truthound_spark.schema.Schema
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        from truthound_spark.schema import validate_against
+
+        issues = []
+        for v in validate_against(df, self.baseline):
+            issues.append(
+                ValidationIssue(
+                    column=v.get("column"),
+                    issue_type=v.get("problem", "schema_violation"),
+                    count=int(v.get("count", 1) or 1),
+                    severity=Severity.MEDIUM,
+                    validator_name=self.name,
+                    expected=str(v.get("expected")),
+                    actual=v.get("actual"),
+                    details=str(v),
+                )
+            )
+        # Data-level baseline checks (reference auto-suite semantics:
+        # core/suite.py:512-578) — nullability, learned numeric range —
+        # fused into ONE aggregate over all baseline columns.
+        aggs: list = []
+        checks: list[tuple[str, str, Any]] = []  # (alias, issue_type, expected)
+        for name, cs in self.baseline.columns.items():
+            if name not in df.columns:
+                continue
+            col = F.col(name)
+            if not cs.nullable:
+                aggs.append(
+                    F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{name}__nulls")
+                )
+                checks.append((f"{name}__nulls", "unexpected_nulls", "no nulls"))
+            if cs.min_value is not None and cs.max_value is not None and cs.quantiles:
+                pred = (col < cs.min_value) | (col > cs.max_value)
+                aggs.append(F.sum(F.when(pred, 1).otherwise(0)).alias(f"{name}__range"))
+                checks.append(
+                    (
+                        f"{name}__range",
+                        "out_of_learned_range",
+                        f"[{cs.min_value}, {cs.max_value}]",
+                    )
+                )
+        if aggs:
+            row = df.agg(*aggs).collect()[0].asDict()
+            for alias, issue_type, expected in checks:
+                n = int(row.get(alias) or 0)
+                if n:
+                    issues.append(
+                        ValidationIssue(
+                            column=alias.rsplit("__", 1)[0],
+                            issue_type=issue_type,
+                            count=n,
+                            severity=Severity.MEDIUM,
+                            validator_name=self.name,
+                            expected=expected,
+                            actual=n,
+                            details=f"{n} rows violate learned baseline ({issue_type})",
+                        )
+                    )
+        return issues
+
+
+@register_validator("streaming_positive", category="streaming")
+class PositiveValidator(Validator):
+    """Values must be > 0 (reference: streaming/numeric.py
+    StreamingPositiveValidator; batch semantics identical — runs per
+    micro-batch under foreachBatch)."""
+
+    name = "streaming_positive"
+
+    def __init__(self, columns: list[str] | None = None) -> None:
+        self.columns = columns
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        from truthound_spark.core.base import NUMERIC_TYPES
+
+        out = []
+        for c in self._target_columns(df, self.columns, NUMERIC_TYPES):
+            pred = (F.col(c) <= 0) & F.col(c).isNotNull()
+            out.append(
+                ExpressionSpec(
+                    name=self.name,
+                    issue_type="non_positive_values",
+                    column=c,
+                    count_expr=violation_count(pred),
+                    non_null_expr=F.count(F.col(c)),
+                    filter_expr=pred,
+                    expected="> 0",
+                )
+            )
+        return out
+
+
+@register_validator("online_svm", category="anomaly")
+class OnlineSVMValidator(Validator):
+    """Incremental one-class SVM (reference: anomaly/ml_based.py
+    OnlineSVMValidator): sklearn SGDOneClassSVM fitted on a bounded
+    sample, scored distributed via mapInPandas — sklearn-gated like the
+    other ML anomaly validators."""
+
+    name = "online_svm"
+
+    def __init__(
+        self,
+        columns: list[str],
+        contamination: float = 0.05,
+        sample_rows: int = 100_000,
+        seed: int = 42,
+    ) -> None:
+        self.columns = columns
+        self.contamination = contamination
+        self.sample_rows = sample_rows
+        self.seed = seed
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        from truthound_spark.validators.anomaly import _SklearnScoredValidator
+
+        class _Impl(_SklearnScoredValidator):
+            model_name = "online_svm"
+
+            def _make_model(inner):  # pragma: no cover - needs sklearn
+                from sklearn.linear_model import SGDOneClassSVM
+
+                return SGDOneClassSVM(nu=inner.contamination, random_state=inner.seed)
+
+        return _Impl(
+            self.columns, self.contamination, self.sample_rows, self.seed
+        ).validate(df, row_count)
+
+
+# ---------------------------------------------------------------------------
+# Registry aliases: reference name → already-implemented class.
+# ---------------------------------------------------------------------------
+_ALIASES: dict[str, tuple[str, str]] = {
+    # reference name: (our registered name, category)
+    "approximate_distinct_count": ("approx_distinct_count", "uniqueness"),
+    "chi_square": ("chi_square_drift", "drift"),
+    "composite_foreign_key": ("foreign_key", "referential"),
+    "coordinate_not_null_island": ("not_null_island", "geospatial"),
+    "cross_table_row_count_factor": ("cross_table_row_count", "referential"),
+    "date_part_coverage": ("datepart_coverage", "datetime"),
+    "dbscan_anomaly": ("dbscan", "anomaly"),
+    "ipv6_address": ("ipv6", "string"),
+    "iqr_anomaly": ("outlier", "anomaly"),
+    "japanese_my_number": ("japanese_mynumber", "localization"),
+    "japanese_postal_code": ("japanese_postal", "localization"),
+    "js_divergence": ("js_drift", "drift"),
+    "kl_divergence": ("kl_drift", "drift"),
+    "ks_test": ("ks_drift", "drift"),
+    "memory_efficient_lof": ("lof", "anomaly"),
+    "polygon": ("point_in_polygon", "geospatial"),
+    "query_result_matches": ("query_matches", "query"),
+    "row_count": ("row_count_between", "schema"),
+    "swift": ("swift_bic", "localization"),
+    "table_row_column_ratio": ("table_row_to_column_ratio", "table"),
+    "table_schema": ("table_schema_match", "table"),
+    "timezone": ("timezone_consistent", "datetime"),
+    "type": ("mixed_type", "core"),
+    "uniqueness_ratio": ("unique_ratio", "uniqueness"),
+    # Polars-workaround "optimized" variants: the Spark base impl IS the
+    # optimized path (fused aggs / broadcast joins) — same class.
+    "optimized_mahalanobis": ("mahalanobis", "anomaly"),
+    "optimized_geo_distance": ("geo_distance", "geospatial"),
+    "optimized_cross_table_aggregate": ("cross_table_aggregate", "referential"),
+    "optimized_hierarchy_circular": ("hierarchy_circular", "referential"),
+    # streaming chunk validators → same batch classes under foreachBatch
+    "streaming_null": ("null", "streaming"),
+    "streaming_nan": ("nan", "streaming"),
+    "streaming_range": ("range", "streaming"),
+    "streaming_outlier": ("outlier", "streaming"),
+    "streaming_completeness": ("completeness_ratio", "streaming"),
+    "streaming_referential_integrity": ("referential_integrity", "streaming"),
+    "streaming_ks_test": ("streaming_ks", "streaming"),
+}
+
+
+def _install_aliases() -> None:
+    for alias, (target, category) in _ALIASES.items():
+        cls = get_validator(target)
+        original_category = cls.category
+        register_validator(alias, category=category)(cls)
+        cls.category = original_category  # alias must not re-home the class
+
+
+_install_aliases()
