@@ -113,6 +113,39 @@ def main():
         timings,
     )
 
+    # batch-executor claim (BASELINE.md base.py:2347): N validators in ONE
+    # fused agg vs one Spark job per validator
+    def suite_12():
+        # 12 single-agg validators (the distinct-count validator is benched
+        # separately in unique_orderkey — its two-phase shuffle would mask
+        # the scan-count comparison here)
+        return [
+            NullValidator(columns=["l_quantity"]),
+            NullValidator(columns=["l_extendedprice"]),
+            NullValidator(columns=["l_discount"]),
+            NullValidator(columns=["l_tax"]),
+            NullValidator(columns=["l_shipdate"]),
+            RangeValidator("l_quantity", 1, 30),
+            RangeValidator("l_discount", 0.0, 0.1),
+            RangeValidator("l_tax", 0.0, 0.1),
+            RangeValidator("l_extendedprice", 0, 200000),
+            RangeValidator("l_linenumber", 1, 7),
+            RangeValidator("l_partkey", 0, 10_000_000),
+            RangeValidator("l_suppkey", 0, 1_000_000),
+        ]
+
+    bench_one(
+        "fused_suite",
+        lambda: BatchExpressionExecutor(suite_12()).execute(lineitem),
+        timings,
+    )
+
+    def sequential_suite():
+        for v in suite_12():
+            BatchExpressionExecutor([v]).execute(lineitem)
+
+    bench_one("sequential_suite", sequential_suite, timings)
+
     # --- headline engine/pipeline operators ----------------------------
     def q1():
         (

@@ -4682,3 +4682,68 @@ def q_approx_distinct_tolerance_events(spark, sf_dir):
         exact_users=exact,
         approx_within_5pct=bool(abs(approx - exact) <= 0.05 * exact),
     )
+
+
+@register(
+    "feature_drift_sweep_events",
+    f"""
+    WITH {EV}
+    
+    SELECT 'value' AS column_name, ROUND(SUM((p - q) * LN((p + 1e-10) / (q + 1e-10))), 6) AS psi
+    FROM (
+      WITH b AS (SELECT value AS v FROM ev WHERE event_id % 2 = 0 AND value IS NOT NULL),
+      c AS (SELECT value AS v FROM ev WHERE event_id % 2 = 1 AND value IS NOT NULL),
+      r AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM b),
+      bins AS (SELECT i FROM generate_series(0, 9) AS gs(i)),
+      bh AS (SELECT LEAST(GREATEST(CAST(FLOOR((v - lo) / ((hi - lo) / 10)) AS INT), 0), 9) AS bin,
+                    COUNT(*) AS n FROM b, r GROUP BY 1),
+      ch AS (SELECT LEAST(GREATEST(CAST(FLOOR((v - lo) / ((hi - lo) / 10)) AS INT), 0), 9) AS bin,
+                    COUNT(*) AS n FROM c, r GROUP BY 1)
+      SELECT bins.i,
+             COALESCE(bh.n, 0) / CAST((SELECT SUM(n) FROM bh) AS DOUBLE) AS p,
+             COALESCE(ch.n, 0) / CAST((SELECT SUM(n) FROM ch) AS DOUBLE) AS q
+      FROM bins LEFT JOIN bh ON bins.i = bh.bin LEFT JOIN ch ON bins.i = ch.bin
+    )
+    
+    UNION ALL
+    
+    SELECT 'user_id' AS column_name, ROUND(SUM((p - q) * LN((p + 1e-10) / (q + 1e-10))), 6) AS psi
+    FROM (
+      WITH b AS (SELECT user_id AS v FROM ev
+                 WHERE event_id % 2 = 0 AND value IS NOT NULL AND user_id IS NOT NULL),
+      c AS (SELECT user_id AS v FROM ev
+            WHERE event_id % 2 = 1 AND value IS NOT NULL AND user_id IS NOT NULL),
+      r AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM b),
+      bins AS (SELECT i FROM generate_series(0, 9) AS gs(i)),
+      bh AS (SELECT LEAST(GREATEST(CAST(FLOOR((v - lo) / ((hi - lo) / 10)) AS INT), 0), 9) AS bin,
+                    COUNT(*) AS n FROM b, r GROUP BY 1),
+      ch AS (SELECT LEAST(GREATEST(CAST(FLOOR((v - lo) / ((hi - lo) / 10)) AS INT), 0), 9) AS bin,
+                    COUNT(*) AS n FROM c, r GROUP BY 1)
+      SELECT bins.i,
+             COALESCE(bh.n, 0) / CAST((SELECT SUM(n) FROM bh) AS DOUBLE) AS p,
+             COALESCE(ch.n, 0) / CAST((SELECT SUM(n) FROM ch) AS DOUBLE) AS q
+      FROM bins LEFT JOIN bh ON bins.i = bh.bin LEFT JOIN ch ON bins.i = ch.bin
+    )
+    
+    ORDER BY column_name
+    """,
+)
+def q_feature_drift_sweep_events(spark, sf_dir):
+    """FeatureDriftValidator multi-column sweep (drift/validators.py:309;
+    reference drift/multi_feature.py:18): one PSI histogram-aggregate pair
+    per numeric column — O(bins) driver transfer per feature, never the
+    column data."""
+    from truthound_spark.drift.detectors import psi
+
+    baseline, current = _drift_frames(spark, sf_dir)
+    rows = []
+    for col in ["user_id", "value"]:
+        r = psi(baseline, current, col, bins=10)
+        rows.append((col, round(r.statistic, 6)))
+    out = None
+    for col, v in rows:
+        one = _scalar_df(spark, psi=v).select(
+            F.lit(col).alias("column_name"), "psi"
+        )
+        out = one if out is None else out.unionAll(one)
+    return out.orderBy("column_name")
