@@ -4747,3 +4747,82 @@ def q_feature_drift_sweep_events(spark, sf_dir):
         )
         out = one if out is None else out.unionAll(one)
     return out.orderBy("column_name")
+
+
+@register(
+    "trend_break_events",
+    f"""
+    WITH {EV},
+    rng AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) / 2.0 AS mid FROM ev
+            WHERE value IS NOT NULL),
+    h1 AS (SELECT COVAR_POP(epoch_us(ts), value) / VAR_POP(epoch_us(ts)) AS s
+           FROM ev, rng WHERE value IS NOT NULL AND epoch_us(ts) <= mid),
+    h2 AS (SELECT COVAR_POP(epoch_us(ts), value) / VAR_POP(epoch_us(ts)) AS s
+           FROM ev, rng WHERE value IS NOT NULL AND epoch_us(ts) > mid)
+    SELECT ROUND((SELECT s FROM h1) * 1e12, 6) AS slope_first_pico,
+           ROUND((SELECT s FROM h2) * 1e12, 6) AS slope_second_pico,
+           ABS((SELECT s FROM h2) - (SELECT s FROM h1))
+             / (ABS((SELECT s FROM h1)) + 1e-12) <= 2.0 AS no_break
+    """,
+)
+def q_trend_break_events(spark, sf_dir):
+    """TrendBreakValidator plan (timeseries.py:284; reference
+    timeseries/trend.py:319): OLS slope = covar_pop/var_pop per half —
+    two distributed aggregates; range-midpoint split keeps the oracle
+    deterministic (the registered validator uses the approx median)."""
+    df = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    us = F.unix_micros(F.col("ts")).cast("double")
+    r = df.agg(F.min(us).alias("lo"), F.max(us).alias("hi")).collect()[0]
+    mid = (r["lo"] + r["hi"]) / 2.0
+
+    def slope(part):
+        row = part.agg(
+            F.covar_pop(us, F.col("value")).alias("cov"),
+            F.var_pop(us).alias("var"),
+        ).collect()[0]
+        return row["cov"] / row["var"]
+
+    s1 = slope(df.filter(us <= mid))
+    s2 = slope(df.filter(us > mid))
+    return _scalar_df(
+        spark,
+        slope_first_pico=round(s1 * 1e12, 6),
+        slope_second_pico=round(s2 * 1e12, 6),
+        no_break=bool(abs(s2 - s1) / (abs(s1) + 1e-12) <= 2.0),
+    )
+
+
+@register(
+    "correlation_matrix_lineitem",
+    """
+    SELECT 'l_extendedprice' AS col_a, 'l_quantity' AS col_b,
+           ROUND(CORR(l_extendedprice, l_quantity), 6) AS r FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount',
+           ROUND(CORR(l_extendedprice, l_discount), 6) FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount',
+           ROUND(CORR(l_quantity, l_discount), 6) FROM lineitem
+    ORDER BY col_a, col_b
+    """,
+)
+def q_correlation_matrix_lineitem(spark, sf_dir):
+    """FeatureCorrelationMatrix (ml_feature.py:34; reference ml_feature/
+    correlation.py:19): pyspark.ml.stat.Correlation over one assembled
+    vector — the full Pearson matrix in a single distributed job."""
+    from truthound_spark.validators.ml_feature import correlation_matrix
+
+    cols = ["l_extendedprice", "l_quantity", "l_discount"]
+    df = t(spark, sf_dir, "lineitem")
+    m = correlation_matrix(df, cols)
+    rows = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            rows.append((cols[i], cols[j], round(m[i][j], 6)))
+    out = None
+    for a, b, r in rows:
+        one = _scalar_df(spark, r=r).select(
+            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"), "r"
+        )
+        out = one if out is None else out.unionAll(one)
+    return out.orderBy("col_a", "col_b")
