@@ -4826,3 +4826,124 @@ def q_correlation_matrix_lineitem(spark, sf_dir):
         )
         out = one if out is None else out.unionAll(one)
     return out.orderBy("col_a", "col_b")
+
+
+@register(
+    "consistency_rules_bank_orders",
+    """
+    WITH d AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice,
+             substr('12345678901234567890', 1, 7 + CAST(o_custkey % 10 AS INT)) AS acct
+      FROM orders
+    )
+    SELECT
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' AND NOT COALESCE(o_totalprice > 0, FALSE)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS rule_finished_paid,
+      CAST(SUM(CASE WHEN o_orderpriority LIKE '1%'
+                     AND NOT COALESCE(o_totalprice < 450000, FALSE)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS rule_urgent_bounded,
+      CAST(SUM(CASE WHEN CAST(o_orderkey AS VARCHAR) = CAST(o_custkey AS VARCHAR)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS intra_row_duplicates,
+      CAST(SUM(CASE WHEN NOT (length(acct) >= 10 AND length(acct) <= 16)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS invalid_bank_accounts
+    FROM d
+    """,
+)
+def q_consistency_rules_bank_orders(spark, sf_dir):
+    """ColumnConsistency when/then rules + AllColumnsUniqueWithinRecord +
+    KoreanBankAccount length table (multi_column.py:526,206,
+    business.py:535; reference multi_column/consistency.py:17,
+    uniqueness/within_record.py:409, localization/korean.py:352) — all
+    fused into ONE aggregate pass."""
+    from truthound_spark.validators.business import KoreanBankAccountValidator
+    from truthound_spark.validators.multi_column import (
+        AllColumnsUniqueWithinRecordValidator,
+        ColumnConsistencyValidator,
+    )
+
+    k = F.col("o_custkey")
+    df = t(spark, sf_dir, "orders").withColumn(
+        "acct", F.expr("substr('12345678901234567890', 1, 7 + CAST(o_custkey % 10 AS INT))")
+    )
+    rules = [
+        {"when": "o_orderstatus = 'F'", "then": "o_totalprice > 0"},
+        {"when": "o_orderpriority LIKE '1%'", "then": "o_totalprice < 450000"},
+    ]
+    return fused_counts(
+        df,
+        [
+            (ColumnConsistencyValidator(rules), ["rule_finished_paid", "rule_urgent_bounded"]),
+            (
+                AllColumnsUniqueWithinRecordValidator(["o_orderkey", "o_custkey"]),
+                ["intra_row_duplicates"],
+            ),
+            (KoreanBankAccountValidator("acct"), ["invalid_bank_accounts"]),
+        ],
+    )
+
+
+@register(
+    "global_privacy_scan_derived",
+    r"""
+    WITH d AS (
+      SELECT CASE CAST(c_custkey % 4 AS INT)
+               WHEN 0 THEN 'user' || CAST(c_custkey AS VARCHAR) || '@example.com'
+               WHEN 1 THEN '+82 10-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                           || '-' || lpad(CAST(c_custkey % 9999 AS VARCHAR), 4, '0')
+               WHEN 2 THEN CAST((c_custkey * 7) % 256 AS VARCHAR) || '.'
+                           || CAST((c_custkey * 13) % 256 AS VARCHAR) || '.'
+                           || CAST((c_custkey * 17) % 256 AS VARCHAR) || '.'
+                           || CAST(c_custkey % 256 AS VARCHAR)
+               ELSE 'record ' || CAST(c_custkey AS VARCHAR) END AS contact
+      FROM customer
+    )
+    SELECT
+      CAST(SUM(CASE WHEN regexp_matches(contact,
+        '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$') THEN 1 ELSE 0 END) AS BIGINT)
+        AS email_matches,
+      CAST(SUM(CASE WHEN regexp_matches(contact,
+        '^\+?[0-9][0-9\s().-]{6,18}$') THEN 1 ELSE 0 END) AS BIGINT) AS phone_matches,
+      CAST(SUM(CASE WHEN regexp_matches(contact,
+        '^([0-9]{1,3}\.){3}[0-9]{1,3}$') THEN 1 ELSE 0 END) AS BIGINT) AS ip_matches
+    FROM d
+    """,
+)
+def q_global_privacy_scan_derived(spark, sf_dir):
+    """GDPR/global privacy pattern scan (privacy.py:191 PrivacyValidator;
+    reference privacy/base.py:146-415): ALL (column × pattern) rlike
+    counters fuse into one aggregate — full-scan distributed detection,
+    unlike the reference's driver-side sample loop."""
+    from truthound_spark.core.registry import get_validator
+
+    k = F.col("c_custkey")
+    df = t(spark, sf_dir, "customer").select(
+        F.when(k % 4 == 0, F.concat(F.lit("user"), k.cast("string"), F.lit("@example.com")))
+        .when(
+            k % 4 == 1,
+            F.concat(
+                F.lit("+82 10-"),
+                F.lpad((k % 10000).cast("string"), 4, "0"),
+                F.lit("-"),
+                F.lpad((k % 9999).cast("string"), 4, "0"),
+            ),
+        )
+        .when(
+            k % 4 == 2,
+            F.concat(
+                ((k * 7) % 256).cast("string"), F.lit("."),
+                ((k * 13) % 256).cast("string"), F.lit("."),
+                ((k * 17) % 256).cast("string"), F.lit("."),
+                (k % 256).cast("string"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("record "), k.cast("string")))
+        .alias("contact")
+    )
+    v = get_validator("gdpr_compliance")(columns=["contact"])
+    spec = v.specs(df)[0]
+    extras = spec.extra_exprs
+    return df.agg(
+        extras["email"].cast("long").alias("email_matches"),
+        extras["phone"].cast("long").alias("phone_matches"),
+        extras["ip_address"].cast("long").alias("ip_matches"),
+    )
