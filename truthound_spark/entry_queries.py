@@ -4947,3 +4947,35 @@ def q_global_privacy_scan_derived(spark, sf_dir):
         extras["phone"].cast("long").alias("phone_matches"),
         extras["ip_address"].cast("long").alias("ip_matches"),
     )
+
+
+# rows-only entries (no SQL-expressible oracle: numpy eigendecomposition /
+# seeded k-means — the driver records the weaker rows-only check)
+@register("pca_anomaly_lineitem")
+def q_pca_anomaly_lineitem(spark, sf_dir):
+    """PCAAnomalyValidator (anomaly.py:353; reference multivariate.py:327):
+    distributed covariance, numpy eigh on the driver (k² scalars), residual
+    error as broadcast column math, approx-quantile threshold."""
+    from truthound_spark.validators.anomaly import PCAAnomalyValidator
+
+    df = t(spark, sf_dir, "lineitem")
+    issues = PCAAnomalyValidator(
+        ["l_quantity", "l_extendedprice", "l_discount"]
+    ).validate(df)
+    return _scalar_df(spark, pca_anomalies=int(issues[0].count) if issues else 0)
+
+
+@register("ivf_topk_embeddings")
+def q_ivf_topk_embeddings(spark, sf_dir):
+    """IVF coarse-quantizer ANN (pipeline/similarity.py:ivf_assign):
+    seeded sampled k-means centroids, cell assignment via broadcast-literal
+    column math, probe = exact cosine within the query's cell."""
+    from truthound_spark.pipeline.similarity import ivf_assign
+
+    df = t(spark, sf_dir, "embeddings")
+    assigned, _cents = ivf_assign(df, num_cells=8)
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cell")
+    )

@@ -144,9 +144,6 @@ class GrubbsTestValidator(Validator):
             F.mean(self.column).alias("mu"),
             F.stddev(self.column).alias("sd"),
             F.count(F.col(self.column)).alias("n"),
-            F.max(F.abs(F.col(self.column) - F.mean(self.column).over())).alias("maxdev")
-            if False
-            else F.lit(None).alias("maxdev"),
         ).collect()[0]
         mu, sd, n = row["mu"], row["sd"], int(row["n"] or 0)
         if not sd or n < 3:
