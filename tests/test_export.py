@@ -1,0 +1,102 @@
+"""Training-data export operators: sharding, packing, split, streaming dedup."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from truthound_spark.pipeline.export import (
+    pack_sequences,
+    shard_by_hash,
+    streaming_dedup,
+    train_val_split,
+    write_shards,
+)
+
+
+def _docs(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("document body "), (F.col("id") % 50).cast("string")).alias("text"),
+    )
+
+
+def test_shard_by_hash_stable_and_complete(spark):
+    df = _docs(spark)
+    a = shard_by_hash(df, 8).select("doc_id", "shard").collect()
+    b = shard_by_hash(df.repartition(13), 8).select("doc_id", "shard").collect()
+    assert dict((r["doc_id"], r["shard"]) for r in a) == dict(
+        (r["doc_id"], r["shard"]) for r in b
+    )
+    shards = {r["shard"] for r in a}
+    assert shards <= set(range(8)) and len(shards) > 1
+
+
+def test_write_shards_layout(spark):
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "out")
+        write_shards(_docs(spark), path, n_shards=4)
+        back = spark.read.parquet(path)
+        assert back.count() == 200
+        assert sorted(r["shard"] for r in back.select("shard").distinct().collect()) == [
+            0,
+            1,
+            2,
+            3,
+        ]
+        # partition pruning: reading one shard touches one directory
+        one = spark.read.parquet(path).filter(F.col("shard") == 2)
+        assert one.count() == shard_by_hash(_docs(spark), 4).filter(
+            F.col("shard") == 2
+        ).count()
+
+
+def test_train_val_split_no_content_leak(spark):
+    df = _docs(spark)  # 50 distinct texts, each appears 4x
+    train, val = train_val_split(df, val_fraction=0.3)
+    t_texts = {r["text"] for r in train.select("text").distinct().collect()}
+    v_texts = {r["text"] for r in val.select("text").distinct().collect()}
+    assert not (t_texts & v_texts)
+    assert train.count() + val.count() == 200
+
+
+def test_pack_sequences_budget_and_coverage(spark):
+    df = _docs(spark, 100)
+    packed = pack_sequences(df, max_tokens=12, n_shards=4)
+    rows = packed.collect()
+    assert all(r["total_tokens"] <= 12 for r in rows)
+    all_ids = sorted(i for r in rows for i in r["doc_ids"])
+    assert all_ids == list(range(100))
+    # greedy fill: bins per shard should be far fewer than docs per shard
+    assert len(rows) < 100
+
+
+def test_streaming_dedup_drops_repeats(spark, tmp_path):
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    batch = spark.createDataFrame(
+        [(1, "same text", "2024-01-01 00:00:00"),
+         (2, "same text", "2024-01-01 00:00:01"),
+         (3, "other", "2024-01-01 00:00:02")],
+        "doc_id long, text string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch.write.parquet(src + "/f1")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .parquet(src + "/*")
+    )
+    deduped = streaming_dedup(stream, watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM dedup_out").collect()
+    texts = sorted(r["text"] for r in out)
+    assert texts == ["other", "same text"]

