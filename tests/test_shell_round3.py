@@ -1,0 +1,108 @@
+"""Shell breadth: service actions, database/object stores, CLI read/doctor."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+import truthound_spark as th
+from truthound_spark.checkpoint import (
+    Checkpoint,
+    DiscordAction,
+    EmailAction,
+    GitHubActionAction,
+    OpsgenieAction,
+    PagerDutyAction,
+    SlackAction,
+    TeamsAction,
+    TelegramAction,
+)
+from truthound_spark.stores import DatabaseStore, ObjectStoreStore
+
+
+def _failing_df(spark):
+    return spark.createDataFrame([(1, None), (1, "x")], "id int, email string")
+
+
+def _run(spark, action):
+    from truthound_spark.core.registry import get_validator
+
+    cp = Checkpoint(
+        "t",
+        validators=[
+            get_validator("null")(columns=["email"]),
+            get_validator("unique")(columns=["id"]),
+        ],
+        actions=[action],
+    )
+    return cp.run(_failing_df(spark))
+
+
+def test_service_action_payload_shapes(spark):
+    sent: list[tuple[str, bytes]] = []
+    sender = lambda url, body: sent.append((url, body))
+    actions = [
+        SlackAction("http://hooks/slack", sender=sender),
+        TeamsAction("http://hooks/teams", sender=sender),
+        DiscordAction("http://hooks/discord", sender=sender),
+        TelegramAction("http://api/bot/sendMessage", chat_id="42", sender=sender),
+        PagerDutyAction("rk-123", sender=sender),
+        OpsgenieAction("http://api/opsgenie", sender=sender),
+    ]
+    for a in actions:
+        _run(spark, a)
+    assert len(sent) == 6
+    payloads = [json.loads(b) for _, b in sent]
+    assert "blocks" in payloads[0]
+    assert payloads[1]["@type"] == "MessageCard"
+    assert "embeds" in payloads[2]
+    assert payloads[3]["chat_id"] == "42"
+    assert payloads[4]["routing_key"] == "rk-123"
+    assert payloads[5]["priority"].startswith("P")
+
+
+def test_email_action_builds_mime(spark):
+    captured = {}
+
+    def transport(host, port, sender, to, message):
+        captured.update(host=host, to=to, message=message)
+
+    _run(spark, EmailAction(["ops@example.com"], transport=transport))
+    assert captured["to"] == ["ops@example.com"]
+    assert "Subject: [truthound] checkpoint t: FAIL" in captured["message"]
+
+
+def test_github_action_writes_summary(spark, tmp_path, capsys):
+    summary = tmp_path / "summary.md"
+    _run(spark, GitHubActionAction(summary_path=str(summary)))
+    out = capsys.readouterr().out
+    assert "::error title=truthound checkpoint t::" in out
+    assert "## Checkpoint t" in summary.read_text()
+
+
+def test_database_store_roundtrip(spark, tmp_path):
+    store = DatabaseStore(db_path=str(tmp_path / "runs.db"))
+    res = th.check(_failing_df(spark), validators=["null"])
+    run_id = store.save(res)
+    assert store.load(run_id)["row_count"] == 2
+    assert run_id in store.list_runs()
+
+
+def test_object_store_local_fallback(spark, tmp_path):
+    store = ObjectStoreStore(str(tmp_path / "runs"))
+    res = th.check(_failing_df(spark), validators=["null"])
+    run_id = store.save(res)
+    assert (tmp_path / "runs" / f"{run_id}.json").exists()
+
+
+def test_cli_read_and_doctor(tmp_path, spark, capsys):
+    from truthound_spark.cli import main
+
+    p = str(tmp_path / "d.parquet")
+    spark.range(5).select(F.col("id").alias("k")).write.parquet(p)
+    assert main(["read", p, "-n", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "rows: 5" in out and "k: bigint" in out
+    assert main(["doctor"]) == 0
+    assert "doctor: healthy" in capsys.readouterr().out

@@ -170,3 +170,192 @@ def run_when_due(
     if trigger.due():
         return checkpoint.run(data, **check_kwargs)
     return None
+
+
+# ---------------------------------------------------------------------------
+# service-specific notification actions (reference: checkpoint/actions/
+# {slack,teams,discord,telegram,pagerduty,opsgenie,email,github_action}.py)
+# — each is the generic WebhookAction with that service's payload contract.
+# ---------------------------------------------------------------------------
+
+
+class SlackAction(WebhookAction):
+    """reference: checkpoint/actions/slack.py — Block Kit message."""
+
+    def payload(self, name: str, result: ValidationRunResult) -> dict[str, Any]:
+        status = ":white_check_mark: PASS" if result.success else ":x: FAIL"
+        return {
+            "text": f"{status} checkpoint {name}",
+            "blocks": [
+                {
+                    "type": "section",
+                    "text": {
+                        "type": "mrkdwn",
+                        "text": (
+                            f"*{status}* `{name}` — {len(result.issues)} issues "
+                            f"/ {result.checks_run} checks / {result.row_count} rows"
+                        ),
+                    },
+                }
+            ],
+        }
+
+
+class TeamsAction(WebhookAction):
+    """reference: checkpoint/actions/teams.py — MessageCard."""
+
+    def payload(self, name: str, result: ValidationRunResult) -> dict[str, Any]:
+        return {
+            "@type": "MessageCard",
+            "@context": "https://schema.org/extensions",
+            "themeColor": "2EB886" if result.success else "CC0000",
+            "summary": f"checkpoint {name}",
+            "sections": [
+                {
+                    "activityTitle": f"Checkpoint {name}: "
+                    + ("PASS" if result.success else "FAIL"),
+                    "facts": [
+                        {"name": "issues", "value": str(len(result.issues))},
+                        {"name": "checks", "value": str(result.checks_run)},
+                        {"name": "rows", "value": str(result.row_count)},
+                    ],
+                }
+            ],
+        }
+
+
+class DiscordAction(WebhookAction):
+    """reference: checkpoint/actions/discord.py — embed payload."""
+
+    def payload(self, name: str, result: ValidationRunResult) -> dict[str, Any]:
+        return {
+            "embeds": [
+                {
+                    "title": f"Checkpoint {name}",
+                    "description": ("PASS" if result.success else "FAIL")
+                    + f" — {len(result.issues)} issues / {result.checks_run} checks",
+                    "color": 3066993 if result.success else 15158332,
+                }
+            ]
+        }
+
+
+class TelegramAction(WebhookAction):
+    """reference: checkpoint/actions/telegram.py — sendMessage body
+    (url should be https://api.telegram.org/bot<token>/sendMessage)."""
+
+    def __init__(self, url: str, chat_id: str, **kw: Any) -> None:
+        super().__init__(url, **kw)
+        self.chat_id = chat_id
+
+    def payload(self, name: str, result: ValidationRunResult) -> dict[str, Any]:
+        status = "PASS" if result.success else "FAIL"
+        return {
+            "chat_id": self.chat_id,
+            "text": f"checkpoint {name}: {status} "
+            f"({len(result.issues)} issues / {result.checks_run} checks)",
+        }
+
+
+class PagerDutyAction(WebhookAction):
+    """reference: checkpoint/actions/pagerduty.py — Events API v2."""
+
+    def __init__(self, routing_key: str, url: str = "https://events.pagerduty.com/v2/enqueue", **kw: Any) -> None:
+        super().__init__(url, **kw)
+        self.routing_key = routing_key
+
+    def payload(self, name: str, result: ValidationRunResult) -> dict[str, Any]:
+        return {
+            "routing_key": self.routing_key,
+            "event_action": "trigger",
+            "payload": {
+                "summary": f"checkpoint {name} failed: {len(result.issues)} issues",
+                "source": "truthound_spark",
+                "severity": "error",
+                "custom_details": {
+                    "checks_run": result.checks_run,
+                    "row_count": result.row_count,
+                },
+            },
+        }
+
+
+class OpsgenieAction(WebhookAction):
+    """reference: checkpoint/actions/opsgenie.py — alert create body."""
+
+    def payload(self, name: str, result: ValidationRunResult) -> dict[str, Any]:
+        return {
+            "message": f"checkpoint {name} failed",
+            "description": f"{len(result.issues)} issues / {result.checks_run} checks",
+            "priority": "P3" if len(result.issues) < 10 else "P2",
+        }
+
+
+class EmailAction:
+    """reference: checkpoint/actions/email.py — SMTP notification; the
+    transport is injected (like WebhookAction's sender) so tests and
+    offline environments capture the message instead of sending."""
+
+    def __init__(
+        self,
+        to: list[str],
+        sender: str = "truthound@localhost",
+        smtp_host: str = "localhost",
+        smtp_port: int = 25,
+        only_on_failure: bool = True,
+        transport: Callable[[str, int, str, list[str], str], Any] | None = None,
+    ) -> None:
+        self.to = to
+        self.sender = sender
+        self.smtp_host = smtp_host
+        self.smtp_port = smtp_port
+        self.only_on_failure = only_on_failure
+        self._transport = transport or self._smtp_transport
+
+    @staticmethod
+    def _smtp_transport(host: str, port: int, sender: str, to: list[str], message: str):
+        import smtplib
+
+        with smtplib.SMTP(host, port, timeout=10) as s:
+            s.sendmail(sender, to, message)
+
+    def message(self, name: str, result: ValidationRunResult) -> str:
+        from email.mime.text import MIMEText
+
+        from truthound_spark.reporters import render_markdown
+
+        status = "PASS" if result.success else "FAIL"
+        msg = MIMEText(render_markdown(result))
+        msg["Subject"] = f"[truthound] checkpoint {name}: {status}"
+        msg["From"] = self.sender
+        msg["To"] = ", ".join(self.to)
+        return msg.as_string()
+
+    def __call__(self, name: str, result: ValidationRunResult) -> Any:
+        if self.only_on_failure and result.success:
+            return None
+        return self._transport(
+            self.smtp_host, self.smtp_port, self.sender, self.to, self.message(name, result)
+        )
+
+
+class GitHubActionAction:
+    """reference: checkpoint/actions/github_action.py — workflow-command
+    annotations on stdout + step summary to $GITHUB_STEP_SUMMARY."""
+
+    def __init__(self, summary_path: str | None = None) -> None:
+        import os as _os
+
+        self.summary_path = summary_path or _os.environ.get("GITHUB_STEP_SUMMARY")
+
+    def __call__(self, name: str, result: ValidationRunResult) -> None:
+        from truthound_spark.reporters import render_markdown
+
+        level = "notice" if result.success else "error"
+        print(
+            f"::{level} title=truthound checkpoint {name}::"
+            f"{len(result.issues)} issues / {result.checks_run} checks"
+        )
+        if self.summary_path:
+            with open(self.summary_path, "a") as f:
+                f.write(f"## Checkpoint {name}\n\n{render_markdown(result)}\n")

@@ -147,7 +147,62 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("path")
     c.add_argument("--method", default="psi")
     c.set_defaults(fn=cmd_compare)
+
+    c = sub.add_parser("read", help="load a source and show schema + head")
+    c.add_argument("path")
+    c.add_argument("-n", type=int, default=10)
+    c.set_defaults(fn=cmd_read)
+
+    c = sub.add_parser("doctor", help="diagnose the runtime environment")
+    c.set_defaults(fn=cmd_doctor)
     return p
+
+
+
+
+def cmd_read(args: argparse.Namespace) -> int:
+    """reference: cli read — load a source, print schema + head + counts."""
+    from truthound_spark import get_spark
+    from truthound_spark.adapters import _read_path
+
+    spark = get_spark()
+    df = _read_path(spark, args.path)
+    print(f"rows: {df.count()}")
+    for f_ in df.schema.fields:
+        print(f"  {f_.name}: {f_.dataType.simpleString()}")
+    df.show(args.n, truncate=80)
+    return 0
+
+
+def cmd_doctor(args: argparse.Namespace) -> int:
+    """reference: cli doctor — environment diagnosis."""
+    import importlib
+    import os as _os
+
+    ok = True
+    print(f"python: {sys.version.split()[0]}")
+    for mod in ["pyspark", "pyarrow", "pandas", "numpy", "duckdb"]:
+        try:
+            m = importlib.import_module(mod)
+            print(f"{mod}: {getattr(m, '__version__', '?')}")
+        except ImportError:
+            print(f"{mod}: MISSING")
+            ok = mod in ("duckdb",) and ok  # duckdb optional for the engine
+    java = _os.environ.get("JAVA_HOME")
+    print(f"JAVA_HOME: {java or 'NOT SET'}")
+    if not java:
+        ok = False
+    try:
+        from truthound_spark import get_spark
+
+        spark = get_spark()
+        n = spark.range(10).count()
+        print(f"spark session: OK (local count={n}, version {spark.version})")
+    except Exception as ex:  # pragma: no cover - env-specific
+        print(f"spark session: FAILED ({ex})")
+        ok = False
+    print("doctor:", "healthy" if ok else "problems found")
+    return 0 if ok else 1
 
 
 def main(argv: list[str] | None = None) -> int:
