@@ -5083,3 +5083,187 @@ def q_train_val_split_documents(spark, sf_dir):
         no_content_leak=bool(overlap == 0),
         val_fraction_sane=bool(0.02 <= va / n <= 0.5),
     )
+
+
+@register(
+    "chinese_uscc_checksum_derived",
+    """
+    WITH d AS (
+      SELECT lpad(CAST((c_custkey * 91) % 100000000000000000 AS VARCHAR), 17, '0')
+             || substr('0123456789ABCDEFGHJKLMNPQRTUWXY', CAST(c_custkey % 31 AS INT) + 1, 1) AS uscc
+      FROM customer
+    ),
+    chk AS (SELECT uscc, (strpos('0123456789ABCDEFGHJKLMNPQRTUWXY', uscc[1]) - 1) * 1 + (strpos('0123456789ABCDEFGHJKLMNPQRTUWXY', uscc[2]) - 1) * 3 + (strpos('0123456789ABCDEFGHJKLMNPQRTUWXY', uscc[3]) - 1) * 9 + (strpos('0123456789ABCDEFGHJKLMNPQRTUWXY', uscc[4]) - 1) * 27 + (strpos('0123456789ABCDEFGHJKLMNPQRTUWXY', uscc[5]) - 1) * 19 + (strpos('0123456789ABCDEFGHJKLMNPQRTUWXY', uscc[6]) - 1) * 26 + (strpos('0123456789ABCDEFGHJKLMNPQRTUWXY', uscc[7]) - 1) * 16 + (strpos('0123456789ABCDEFGHJKLMNPQRTUWXY', uscc[8]) - 1) * 17 + (strpos('0123456789ABCDEFGHJKLMNPQRTUWXY', uscc[9]) - 1) * 20 + (strpos('0123456789ABCDEFGHJKLMNPQRTUWXY', uscc[10]) - 1) * 29 + (strpos('0123456789ABCDEFGHJKLMNPQRTUWXY', uscc[11]) - 1) * 25 + (strpos('0123456789ABCDEFGHJKLMNPQRTUWXY', uscc[12]) - 1) * 13 + (strpos('0123456789ABCDEFGHJKLMNPQRTUWXY', uscc[13]) - 1) * 8 + (strpos('0123456789ABCDEFGHJKLMNPQRTUWXY', uscc[14]) - 1) * 24 + (strpos('0123456789ABCDEFGHJKLMNPQRTUWXY', uscc[15]) - 1) * 10 + (strpos('0123456789ABCDEFGHJKLMNPQRTUWXY', uscc[16]) - 1) * 30 + (strpos('0123456789ABCDEFGHJKLMNPQRTUWXY', uscc[17]) - 1) * 28 AS tot FROM d)
+    SELECT CAST(SUM(CASE WHEN uscc[18] =
+                 substr('0123456789ABCDEFGHJKLMNPQRTUWXY', ((31 - (tot % 31)) % 31) + 1, 1)
+               THEN 0 ELSE 1 END) AS BIGINT) AS invalid_uscc
+    FROM chk
+    """,
+)
+def q_chinese_uscc_checksum_derived(spark, sf_dir):
+    """ChineseUscc mod-31 weighted checksum (business.py:448; reference
+    localization/chinese.py:270) — charset-position arithmetic as one
+    fused expression chain; oracle recomputes all 17 weighted terms."""
+    from truthound_spark.validators.business import ChineseUsccValidator
+
+    k = F.col("c_custkey")
+    df = t(spark, sf_dir, "customer").select(
+        F.concat(
+            F.lpad(((k * 91) % 100000000000000000).cast("string"), 17, "0"),
+            F.substring(F.lit("0123456789ABCDEFGHJKLMNPQRTUWXY"), 1, 31).substr(
+                ((k % 31) + 1).cast("int"), F.lit(1)
+            ),
+        ).alias("uscc")
+    )
+    return fused_counts(df, [(ChineseUsccValidator("uscc"), ["invalid_uscc"])])
+
+
+@register(
+    "intl_privacy_patterns_derived",
+    r"""
+    WITH d AS (
+      SELECT
+        lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '.'
+          || lpad(CAST((c_custkey * 3) % 1000 AS VARCHAR), 3, '0') || '.'
+          || lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-'
+          || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') AS cpf,
+        CASE WHEN c_custkey % 2 = 0
+             THEN lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || ' '
+                  || lpad(CAST((c_custkey * 3) % 1000 AS VARCHAR), 3, '0') || ' '
+                  || lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0')
+             ELSE 'id-' || CAST(c_custkey AS VARCHAR) END AS sin,
+        CASE WHEN c_custkey % 3 = 0
+             THEN lpad(CAST((c_custkey * 37) % 1000000000000 AS VARCHAR), 12, '0')
+             ELSE CAST(c_custkey AS VARCHAR) END AS mynum
+      FROM customer
+    )
+    SELECT
+      CAST(SUM(CASE WHEN regexp_matches(cpf, '^[0-9]{3}\.?[0-9]{3}\.?[0-9]{3}-?[0-9]{2}$')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS cpf_matches,
+      CAST(SUM(CASE WHEN regexp_matches(sin, '^[0-9]{3}[\s-]?[0-9]{3}[\s-]?[0-9]{3}$')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS sin_matches,
+      CAST(SUM(CASE WHEN regexp_matches(mynum, '^[0-9]{12}$')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS mynumber_matches,
+      CAST(2 AS BIGINT) AS special_category_columns
+    FROM d
+    """,
+)
+def q_intl_privacy_patterns_derived(spark, sf_dir):
+    """LGPD CPF + PIPEDA SIN + APPI MyNumber pattern scans (privacy.py
+    regulation catalogs; reference global_patterns.py:30-190) fused in one
+    agg, plus the GDPR special-category COLUMN-NAME path (privacy.py:328,
+    hint-only, zero Spark jobs) on a frame with 'diagnosis'/'race'
+    columns — the oracle pins that schema-derived count."""
+    from truthound_spark.core.registry import get_validator
+
+    k = F.col("c_custkey")
+    df = t(spark, sf_dir, "customer").select(
+        F.concat(
+            F.lpad((k % 1000).cast("string"), 3, "0"), F.lit("."),
+            F.lpad(((k * 3) % 1000).cast("string"), 3, "0"), F.lit("."),
+            F.lpad(((k * 7) % 1000).cast("string"), 3, "0"), F.lit("-"),
+            F.lpad((k % 100).cast("string"), 2, "0"),
+        ).alias("cpf"),
+        F.when(
+            k % 2 == 0,
+            F.concat(
+                F.lpad((k % 1000).cast("string"), 3, "0"), F.lit(" "),
+                F.lpad(((k * 3) % 1000).cast("string"), 3, "0"), F.lit(" "),
+                F.lpad(((k * 7) % 1000).cast("string"), 3, "0"),
+            ),
+        ).otherwise(F.concat(F.lit("id-"), k.cast("string"))).alias("sin"),
+        F.when(
+            k % 3 == 0,
+            F.lpad(((k * 37) % 1000000000000).cast("string"), 12, "0"),
+        ).otherwise(k.cast("string")).alias("mynum"),
+    )
+    lgpd = get_validator("lgpd_compliance")(columns=["cpf"])
+    pipeda = get_validator("pipeda_compliance")(columns=["sin"])
+    appi = get_validator("appi_compliance")(columns=["mynum"])
+    cpf_e = lgpd.specs(df)[0].extra_exprs["cpf"]
+    sin_e = pipeda.specs(df)[0].extra_exprs["sin"]
+    my_e = appi.specs(df)[0].extra_exprs["my_number"]
+    counts = df.agg(
+        cpf_e.cast("long").alias("cpf_matches"),
+        sin_e.cast("long").alias("sin_matches"),
+        my_e.cast("long").alias("mynumber_matches"),
+    )
+    # hint-only special-category detection on a renamed 2-col frame
+    special_df = df.select(
+        F.col("cpf").alias("diagnosis"), F.col("sin").alias("race")
+    )
+    findings = get_validator("gdpr_special_category")(
+        check_column_names_only=True
+    ).validate(special_df)
+    return counts.select(
+        "*", F.lit(len(findings)).cast("long").alias("special_category_columns")
+    )
+
+
+@register(
+    "cross_table_distinct_count_orders",
+    """
+    SELECT
+      CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders) AS BIGINT) AS ordering_customers,
+      CAST((SELECT COUNT(DISTINCT c_custkey) FROM customer) AS BIGINT) AS total_customers,
+      ROUND((SELECT COUNT(DISTINCT o_custkey) FROM orders)
+            / CAST((SELECT COUNT(DISTINCT c_custkey) FROM customer) AS DOUBLE), 6)
+        AS customer_coverage
+    """,
+)
+def q_cross_table_distinct_count_orders(spark, sf_dir):
+    """CrossTableDistinctCount (referential.py; reference cross_table/
+    aggregate.py distinct-count compare): two distinct aggregates, one
+    driver-side ratio — no join of the tables themselves."""
+    from truthound_spark.validators.referential import CrossTableDistinctCountValidator
+
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    v = CrossTableDistinctCountValidator(
+        reference_data=customer, column="o_custkey", reference_column="c_custkey"
+    )
+    v.validate(orders)  # engine path (issue emission depends on tolerance)
+    a = orders.agg(F.countDistinct("o_custkey").alias("n")).collect()[0]["n"]
+    b = customer.agg(F.countDistinct("c_custkey").alias("n")).collect()[0]["n"]
+    return _scalar_df(
+        spark,
+        ordering_customers=int(a),
+        total_customers=int(b),
+        customer_coverage=round(a / b, 6),
+    )
+
+
+@register(
+    "seasonal_value_completeness_events",
+    f"""
+    WITH {EV},
+    hourly AS (
+      SELECT EXTRACT(hour FROM ts) AS hr,
+             AVG(value) AS mean_v,
+             COUNT(value) / CAST(COUNT(*) AS DOUBLE) AS completeness
+      FROM ev GROUP BY 1
+    ),
+    g AS (SELECT AVG(value) AS gmean FROM ev)
+    SELECT
+      ROUND(MAX(ABS(mean_v - gmean)), 4) AS max_seasonal_amplitude,
+      ROUND(MIN(completeness), 4) AS min_bucket_completeness,
+      CAST(COUNT(*) AS BIGINT) AS buckets
+    FROM hourly, g
+    """,
+)
+def q_seasonal_value_completeness_events(spark, sf_dir):
+    """SeasonalDecomposition amplitude + TimeSeriesValueCompleteness
+    (timeseries.py seasonality/value-completeness; reference timeseries/
+    seasonality.py:249, completeness.py): per-date-part groupBy means and
+    value-fill ratios — the distributed decomposition, O(buckets) out."""
+    df = t(spark, sf_dir, "events")
+    hourly = df.groupBy(F.hour("ts").alias("hr")).agg(
+        F.avg("value").alias("mean_v"),
+        (F.count("value") / F.count(F.lit(1))).alias("completeness"),
+    )
+    gmean = df.agg(F.avg("value")).collect()[0][0]
+    return hourly.agg(
+        F.round(F.max(F.abs(F.col("mean_v") - gmean)), 4).alias("max_seasonal_amplitude"),
+        F.round(F.min("completeness"), 4).alias("min_bucket_completeness"),
+        F.count(F.lit(1)).cast("long").alias("buckets"),
+    )
