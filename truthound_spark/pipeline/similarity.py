@@ -31,6 +31,11 @@ def brute_force_topk(
     queries is broadcast (query sets are small relative to the corpus);
     the corpus is scanned ONCE, scoring all queries per row — one shuffle
     for the per-query top-k window. Returns (query_id, id, cosine, rank).
+
+    Audited plan (Spark 4): the ``rank <= k`` filter compiles to
+    ``WindowGroupLimit … Partial`` BEFORE the exchange — each map task
+    ships only its local top-k per query, so the shuffle carries
+    O(partitions · queries · k) rows, not O(corpus · queries).
     """
     qv = query_vec_col or vec_col
     qi = query_id_col or id_col
