@@ -100,3 +100,36 @@ def test_streaming_dedup_drops_repeats(spark, tmp_path):
     out = spark.sql("SELECT * FROM dedup_out").collect()
     texts = sorted(r["text"] for r in out)
     assert texts == ["other", "same text"]
+
+
+def test_clean_text_and_scrub(spark):
+    from truthound_spark.pipeline.text import clean_text, scrub_pii_text
+
+    df = spark.createDataFrame(
+        [("<b>Hello</b>   world https://x.io/a?b=1 mail me: a.b@c.io or +1 (555) 123-4567",)],
+        "text string",
+    )
+    out = df.select(
+        scrub_pii_text(clean_text(F.col("text"))).alias("t")
+    ).collect()[0]["t"]
+    assert out == "Hello world mail me: <EMAIL> or <PHONE>"
+
+
+def test_repetition_signals_and_gopher_filter(spark):
+    from truthound_spark.pipeline.text import gopher_filter, repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam spam spam"),
+            (2, "a perfectly ordinary sentence with mostly unique words here"),
+            (3, "line\nline\nline\nline"),
+        ],
+        "doc_id long, text string",
+    )
+    sig = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert sig[1]["top_word_fraction"] == 1.0
+    assert sig[1]["dup_word_fraction"] > 0.8
+    assert sig[3]["dup_line_fraction"] == 0.75
+    assert sig[2]["dup_word_fraction"] < 0.2
+    kept = [r["doc_id"] for r in gopher_filter(df).collect()]
+    assert kept == [2]

@@ -5267,3 +5267,121 @@ def q_seasonal_value_completeness_events(spark, sf_dir):
         F.round(F.min("completeness"), 4).alias("min_bucket_completeness"),
         F.count(F.lit(1)).cast("long").alias("buckets"),
     )
+
+
+# ===========================================================================
+# corpus hygiene: cleaning, PII scrub, Gopher repetition filters
+# ===========================================================================
+
+
+@register(
+    "clean_scrub_text_derived",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             '<p>' || text || '</p> see https://example.com/' || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.com'
+                       ELSE '' END AS raw
+      FROM documents
+    ),
+    cleaned AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               raw, '<[^>]{0,500}>', ' ', 'g'), 'https?://[^\s]+', ' ', 'g'),
+               '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'), '\s+', ' ', 'g')) AS ct
+      FROM d
+    ),
+    scrubbed AS (
+      SELECT doc_id, ct,
+             regexp_replace(ct, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g') AS st
+      FROM cleaned
+    )
+    SELECT
+      CAST(SUM(CASE WHEN ct LIKE '%<p>%' OR regexp_matches(ct, 'https?://')
+               THEN 1 ELSE 0 END) AS BIGINT) AS residual_markup,
+      CAST(SUM(CASE WHEN st LIKE '%<EMAIL>%' THEN 1 ELSE 0 END) AS BIGINT) AS docs_scrubbed,
+      CAST(SUM(length(ct)) AS BIGINT) AS total_clean_chars
+    FROM scrubbed
+    """,
+)
+def q_clean_scrub_text_derived(spark, sf_dir):
+    """clean_text + scrub_pii_text (pipeline/text.py): C4-style markup/URL
+    strip and free-text PII replacement as codegen'd regexp chains — the
+    oracle re-runs the identical RE2 patterns in DuckDB."""
+    from truthound_spark.pipeline.text import clean_text, scrub_pii_text
+
+    k = F.col("doc_id")
+    df = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<p>"), F.col("text"), F.lit("</p> see https://example.com/"),
+            k.cast("string"),
+            F.when(
+                k % 3 == 0,
+                F.concat(F.lit(" contact user"), k.cast("string"), F.lit("@mail.com")),
+            ).otherwise(F.lit("")),
+        ).alias("raw"),
+    )
+    out = df.select(
+        "doc_id", clean_text(F.col("raw")).alias("ct")
+    ).select("doc_id", "ct", scrub_pii_text(F.col("ct")).alias("st"))
+    return out.agg(
+        F.sum(
+            F.when(
+                F.col("ct").contains("<p>") | F.col("ct").rlike("https?://"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("residual_markup"),
+        F.sum(F.when(F.col("st").contains("<EMAIL>"), 1).otherwise(0))
+        .cast("long")
+        .alias("docs_scrubbed"),
+        F.sum(F.length("ct")).cast("long").alias("total_clean_chars"),
+    )
+
+
+@register(
+    "gopher_repetition_documents",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS ws,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             CASE WHEN len(lines) > 0
+                  THEN 1.0 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE)
+                  ELSE 0.0 END AS dup_line_fraction,
+             CASE WHEN len(ws) > 0
+                  THEN 1.0 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE)
+                  ELSE 0.0 END AS dup_word_fraction
+      FROM w
+    )
+    SELECT
+      ROUND(AVG(dup_line_fraction), 6) AS avg_dup_line_fraction,
+      ROUND(AVG(dup_word_fraction), 6) AS avg_dup_word_fraction,
+      CAST(SUM(CASE WHEN dup_word_fraction > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        AS highly_repetitive_docs
+    FROM sig
+    """,
+)
+def q_gopher_repetition_documents(spark, sf_dir):
+    """repetition_signals (pipeline/text.py, Gopher corpus filters):
+    dup-line / dup-word fractions as pure higher-order-function column
+    math — per-document features with zero shuffle."""
+    from truthound_spark.pipeline.text import repetition_signals
+
+    df = t(spark, sf_dir, "documents")
+    sig = repetition_signals(df)
+    return sig.agg(
+        F.round(F.avg("dup_line_fraction"), 6).alias("avg_dup_line_fraction"),
+        F.round(F.avg("dup_word_fraction"), 6).alias("avg_dup_word_fraction"),
+        F.sum(F.when(F.col("dup_word_fraction") > 0.5, 1).otherwise(0))
+        .cast("long")
+        .alias("highly_repetitive_docs"),
+    )

@@ -128,3 +128,101 @@ def fingerprint_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
 def detect_languages(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add predicted_lang via the stopword-overlap heuristic."""
     return df.withColumn("predicted_lang", language_id(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# cleaning + repetition filters (C4/Gopher-style corpus hygiene)
+# ---------------------------------------------------------------------------
+
+#: Markup / URL / control-character strippers — all RE2-safe so the same
+#: patterns run in an oracle SQL regexp_replace.
+_TAG_RE = r"<[^>]{0,500}>"
+_URL_RE = r"https?://[^\s]+"
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+
+
+def clean_text(col: Column) -> Column:
+    """C4-style cleaning as one codegen'd expression chain: strip HTML
+    tags, URLs, control chars, then collapse runs of whitespace. No UDFs —
+    the identical chain runs over 100 TB unchanged."""
+    c = F.regexp_replace(col, _TAG_RE, " ")
+    c = F.regexp_replace(c, _URL_RE, " ")
+    c = F.regexp_replace(c, _CTRL_RE, "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def scrub_pii_text(col: Column) -> Column:
+    """Training-text PII scrub: replace emails / intl phone numbers /
+    SSN-shaped tokens inside free text with typed placeholders (the
+    column-level maskers handle structured columns; this is the free-text
+    path a pretraining pipeline needs)."""
+    c = F.regexp_replace(
+        col, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+    )
+    c = F.regexp_replace(c, r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>")
+    c = F.regexp_replace(c, r"\+[0-9][0-9()\s.-]{6,18}[0-9]", "<PHONE>")
+    return c
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", top_word_window: int = 512
+) -> DataFrame:
+    """Gopher-style repetition features, all higher-order-function column
+    math (no shuffle, no UDF):
+
+      dup_line_fraction     — 1 − distinct(lines)/lines
+      top_word_fraction     — frequency of the most common word / words
+      dup_word_fraction     — 1 − distinct(words)/words
+
+    The reference corpus filters drop documents whose signals exceed
+    Gopher's thresholds (dup lines > 0.3, top word > 0.2, ...).
+
+    top_word_fraction scans distinct×occurrences pairs, which is quadratic
+    in document length — so it is computed over the first
+    ``top_word_window`` words (a repeated-token pathology shows up in any
+    window; the dup_* signals remain exact over the full document)."""
+    lines = F.split(F.col(text_col), r"\n")
+    ws = words(F.col(text_col))
+    wsw = F.slice(ws, 1, top_word_window)
+    n_lines = F.size(lines)
+    n_words = F.size(ws)
+    # most-common-word count via transform over the distinct words of the
+    # window: for each, count occurrences with filter(); take max.
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(wsw),
+            lambda w: F.size(F.filter(wsw, lambda x: x == w)),
+        )
+    )
+    return df.select(
+        "*",
+        F.when(n_lines > 0, 1.0 - F.size(F.array_distinct(lines)) / n_lines)
+        .otherwise(0.0)
+        .alias("dup_line_fraction"),
+        F.when(F.size(wsw) > 0, top_count / F.size(wsw))
+        .otherwise(0.0)
+        .alias("top_word_fraction"),
+        F.when(n_words > 0, 1.0 - F.size(F.array_distinct(ws)) / n_words)
+        .otherwise(0.0)
+        .alias("dup_word_fraction"),
+    )
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    max_dup_line_fraction: float = 0.30,
+    max_top_word_fraction: float = 0.20,
+    min_words: int = 5,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Drop documents failing the Gopher repetition/length gates — a
+    filter over the signal columns, fully pushdown-friendly."""
+    sig = repetition_signals(df, text_col)
+    n_words = F.size(words(F.col(text_col)))
+    return sig.filter(
+        (F.col("dup_line_fraction") <= max_dup_line_fraction)
+        & (F.col("top_word_fraction") <= max_top_word_fraction)
+        & n_words.between(min_words, max_words)
+    ).drop("dup_line_fraction", "top_word_fraction", "dup_word_fraction")
