@@ -210,6 +210,22 @@ def main():
 
     bench_one("text_quality_documents", text_quality, timings)
 
+    def corpus_hygiene():
+        from truthound_spark.pipeline.text import clean_text, gopher_filter
+
+        gopher_filter(
+            documents.withColumn("text", clean_text(F.col("text")))
+        ).count()
+
+    bench_one("corpus_hygiene_filter", corpus_hygiene, timings)
+
+    def export_pack():
+        from truthound_spark.pipeline.export import pack_sequences
+
+        pack_sequences(documents, max_tokens=1024, n_shards=32).count()
+
+    bench_one("sequence_packing", export_pack, timings)
+
     # --- BASELINE.md pushdown workload shapes (sqlite-null/range/unique
     # roles; DuckDB executes the generated SQL in-database over the same
     # parquet — on a cluster the identical SQL rides spark.read.jdbc) -----

@@ -76,3 +76,57 @@ def test_no_entry_query_has_accidental_cartesian(spark):
             if "FileScan" in plan.split("CartesianProduct", 1)[1][:2000]:
                 offenders.append(name)
     assert offenders == [], f"unexpected cartesian over a file scan: {offenders}"
+
+
+def test_salted_anti_join_matches_plain(spark):
+    """Skew-salted left_anti must return exactly the plain anti-join rows."""
+    from truthound_spark.core.skew import salted_left_join
+    from pyspark.sql import functions as F
+
+    # heavy skew: 90% of children point at parent 7
+    child = spark.range(1000).select(
+        F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id") + 10_000).alias("fk"),
+        F.col("id").alias("cid"),
+    )
+    parent = spark.range(100).select(F.col("id").alias("fk"))
+    plain = {r["cid"] for r in child.join(parent, "fk", "left_anti").collect()}
+    salted = {
+        r["cid"]
+        for r in salted_left_join(child, parent, ["fk"], how="left_anti").collect()
+    }
+    assert salted == plain and len(plain) == 100
+
+
+def test_salted_inner_join_matches_plain(spark):
+    from truthound_spark.core.skew import salted_left_join
+    from pyspark.sql import functions as F
+
+    child = spark.range(500).select((F.col("id") % 5).alias("k"), F.col("id").alias("v"))
+    parent = spark.range(5).select(F.col("id").alias("k"))
+    plain = sorted((r["k"], r["v"]) for r in child.join(parent, "k").collect())
+    salted = sorted(
+        (r["k"], r["v"]) for r in salted_left_join(child, parent, ["k"]).collect()
+    )
+    assert len(salted) == 500  # every child row kept exactly once
+    assert plain == salted
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Bucketed tables co-locate the join: physical plan shows NO Exchange
+    on the join keys — the 100 TB co-located-join strategy (SURVEY §4.5)."""
+    from pyspark.sql import functions as F
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("a")).write.bucketBy(
+        8, "k"
+    ).sortBy("k").mode("overwrite").saveAsTable("b_orders")
+    spark.range(3000).select((F.col("id") % 1000).alias("k"), F.col("id").alias("b")).write.bucketBy(
+        8, "k"
+    ).sortBy("k").mode("overwrite").saveAsTable("b_lineitem")
+    joined = spark.table("b_lineitem").join(spark.table("b_orders"), "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(k" not in plan
+    assert joined.count() == 3000
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")

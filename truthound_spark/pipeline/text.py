@@ -187,13 +187,26 @@ def repetition_signals(
     wsw = F.slice(ws, 1, top_word_window)
     n_lines = F.size(lines)
     n_words = F.size(ws)
-    # most-common-word count via transform over the distinct words of the
-    # window: for each, count occurrences with filter(); take max.
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct(wsw),
-            lambda w: F.size(F.filter(wsw, lambda x: x == w)),
-        )
+    # Most-common-word count as the longest equal-run in the SORTED window:
+    # one aggregate() pass referencing the words array exactly once.
+    # (A distinct×filter formulation re-inlines the whole normalize+split
+    # chain into every lambda via Catalyst projection collapse — the same
+    # quadratic-expansion trap as dedup.py's shingle pipeline; measured
+    # ~10x slower at sf0.1.)
+    top_count = F.aggregate(
+        F.sort_array(wsw),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     return df.select(
         "*",
