@@ -106,3 +106,59 @@ def test_cli_read_and_doctor(tmp_path, spark, capsys):
     assert "rows: 5" in out and "k: bigint" in out
     assert main(["doctor"]) == 0
     assert "doctor: healthy" in capsys.readouterr().out
+
+
+def test_audit_log_and_metrics(spark, tmp_path):
+    from truthound_spark.observability import AuditLog, MetricsEmitter
+
+    res = th.check(_failing_df(spark), validators=["null"])
+    log = AuditLog(path=str(tmp_path / "audit.jsonl"))
+    log.record("check", res, dataset="test_df")
+    entries = log.entries()
+    assert len(entries) == 1 and entries[0]["action"] == "check"
+    assert entries[0]["issues"] == len(res.issues)
+
+    lines: list[str] = []
+    m = MetricsEmitter(transport=lines.append)
+    m.emit_result("suite1", res, elapsed=1.5)
+    assert any(line.startswith("truthound.runs:1|c|#") for line in lines)
+    assert any("|ms" in line for line in lines)
+    assert any("status:pass" in line or "status:fail" in line for line in lines)
+
+
+def test_retry_and_circuit_breaker():
+    from truthound_spark.resilience import CircuitBreaker, RetryPolicy
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ValueError("transient")
+        return "ok"
+
+    assert RetryPolicy(max_attempts=3, base_delay=0.01).execute(flaky) == "ok"
+
+    cb = CircuitBreaker(failure_threshold=2, reset_seconds=60)
+    for _ in range(2):
+        try:
+            cb.execute(lambda: (_ for _ in ()).throw(ValueError()))
+        except ValueError:
+            pass
+    assert cb.state == "open"
+    try:
+        cb.execute(lambda: "x")
+        raise AssertionError("expected open circuit")
+    except RuntimeError:
+        pass
+
+
+def test_suite_deadline_degrades(spark):
+    from truthound_spark.core.registry import get_validator
+    from truthound_spark.resilience import SuiteDeadline
+
+    df = _failing_df(spark)
+    vs = [get_validator("null")(columns=["email"]) for _ in range(3)]
+    issues = SuiteDeadline(budget_seconds=0.0).run(df, vs)
+    skipped = [i for i in issues if i.issue_type == "skipped_deadline"]
+    assert len(skipped) >= 2  # budget gone after the first check at most
