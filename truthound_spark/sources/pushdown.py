@@ -209,6 +209,12 @@ class DuckDBSource(_BaseSQLSource):
             f"SELECT * FROM read_parquet('{path}')"
         )
 
+    def register_csv(self, table: str, path: str) -> None:
+        self._conn.execute(
+            f"CREATE OR REPLACE VIEW {self.dialect.quote(table)} AS "
+            f"SELECT * FROM read_csv_auto('{path}', nullstr=['', 'NULL'])"
+        )
+
 
 # ---------------------------------------------------------------------------
 # pushdown validation engine (reference pushdown_support.py:173-424)
