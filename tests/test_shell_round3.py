@@ -162,3 +162,17 @@ def test_suite_deadline_degrades(spark):
     issues = SuiteDeadline(budget_seconds=0.0).run(df, vs)
     skipped = [i for i in issues if i.issue_type == "skipped_deadline"]
     assert len(skipped) >= 2  # budget gone after the first check at most
+
+
+def test_datadocs_site(spark, tmp_path):
+    from truthound_spark.datadocs import build_site
+    from truthound_spark.profiler.table_profiler import profile
+
+    df = _failing_df(spark)
+    prof = profile(df)
+    res = th.check(df, validators=["null"])
+    idx = build_site(str(tmp_path / "docs"), profiles={"users": prof}, runs=[("r1", res)])
+    html = open(idx).read()
+    assert "table_users.html" in html and "run_r1.html" in html
+    assert (tmp_path / "docs" / "table_users.html").exists()
+    assert (tmp_path / "docs" / "run_r1.html").exists()

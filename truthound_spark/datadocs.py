@@ -49,3 +49,68 @@ def profile_docs(profile: TableProfile, title: str = "Data profile") -> str:
 def save_profile_docs(profile: TableProfile, path: str, title: str = "Data profile") -> None:
     with open(path, "w") as f:
         f.write(profile_docs(profile, title))
+
+
+# ---------------------------------------------------------------------------
+# multi-page docs site (reference: datadocs/ site builder — index page,
+# per-table profile pages, validation-run history)
+# ---------------------------------------------------------------------------
+
+
+def build_site(
+    out_dir: str,
+    profiles: dict[str, TableProfile] | None = None,
+    runs: list[tuple[str, Any]] | None = None,
+    title: str = "truthound data docs",
+) -> str:
+    """Write a static docs site: ``index.html`` linking per-table profile
+    pages (``table_<name>.html``) and per-run validation reports
+    (``run_<id>.html``). Returns the index path.
+
+    ``runs``: list of (run_id, ValidationRunResult). The artifacts are
+    plain HTML files — publishable from any object store."""
+    import os
+
+    from truthound_spark.reporters import render_html
+
+    os.makedirs(out_dir, exist_ok=True)
+    profiles = profiles or {}
+    runs = runs or []
+
+    table_links = []
+    for name, prof in profiles.items():
+        page = f"table_{name}.html"
+        save_profile_docs(prof, os.path.join(out_dir, page), title=f"Profile: {name}")
+        table_links.append(
+            f"<tr><td><a href='{page}'>{_html.escape(name)}</a></td>"
+            f"<td class='num'>{prof.row_count}</td>"
+            f"<td class='num'>{prof.column_count}</td>"
+            f"<td class='num'>{prof.duplicate_row_count}</td></tr>"
+        )
+
+    run_links = []
+    for run_id, result in runs:
+        page = f"run_{run_id}.html"
+        with open(os.path.join(out_dir, page), "w") as f:
+            f.write(render_html(result))
+        status = "PASS" if result.success else "FAIL"
+        run_links.append(
+            f"<tr><td><a href='{page}'>{_html.escape(str(run_id))}</a></td>"
+            f"<td>{status}</td><td class='num'>{len(result.issues)}</td>"
+            f"<td class='num'>{result.checks_run}</td></tr>"
+        )
+
+    index = (
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        f"<title>{_html.escape(title)}</title><style>{_CSS}</style></head><body>"
+        f"<h1>{_html.escape(title)}</h1>"
+        "<h2>Tables</h2><table><tr><th>table</th><th>rows</th><th>cols</th>"
+        f"<th>dup rows</th></tr>{''.join(table_links)}</table>"
+        "<h2>Validation runs</h2><table><tr><th>run</th><th>status</th>"
+        f"<th>issues</th><th>checks</th></tr>{''.join(run_links)}</table>"
+        "</body></html>"
+    )
+    index_path = os.path.join(out_dir, "index.html")
+    with open(index_path, "w") as f:
+        f.write(index)
+    return index_path
