@@ -32,7 +32,7 @@ TABLES = [
     "embeddings",
 ]
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_VERIFY_SF_DIR", "/root/testdata/sf0.01")
 
 
 def norm_cell(v):
