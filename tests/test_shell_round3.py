@@ -176,3 +176,18 @@ def test_datadocs_site(spark, tmp_path):
     assert "table_users.html" in html and "run_r1.html" in html
     assert (tmp_path / "docs" / "table_users.html").exists()
     assert (tmp_path / "docs" / "run_r1.html").exists()
+
+
+def test_i18n_catalog(spark):
+    from truthound_spark import i18n
+
+    res = th.check(_failing_df(spark), validators=["null"])
+    issue = res.issues[0]
+    i18n.set_locale("ko")
+    assert "널 값" in i18n.localize_issue(issue)
+    i18n.set_locale("ja")
+    assert "NULL値" in i18n.localize_issue(issue)
+    i18n.set_locale("nope")  # falls back to en
+    assert i18n.get_locale() == "en"
+    assert "null values" in i18n.localize_issue(issue)
+    assert i18n.t("report.issues", n=1, checks=2, rows=3) == "1 issues across 2 checks on 3 rows"
