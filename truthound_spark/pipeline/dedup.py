@@ -111,17 +111,28 @@ def content_fingerprint(col: Column) -> Column:
     return F.md5(normalized_text(col))
 
 
-def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_members: int = 10_000,
+) -> DataFrame:
     """Groups of exact duplicates by content fingerprint.
 
     Returns (fingerprint, dup_count, doc_ids). groupBy on the 32-byte hash —
     the canonical 100 TB exact-dedup plan (shuffle keys are hashes, not
-    documents)."""
+    documents). ``doc_ids`` is capped at ``max_members`` per group:
+    dup_count stays exact, but a pathological fingerprint (empty/boilerplate
+    docs repeated millions of times) cannot materialize an unbounded array
+    in one aggregation buffer."""
     fp = content_fingerprint(F.col(text_col)).alias("fingerprint")
     return (
         df.select(fp, F.col(id_col))
         .groupBy("fingerprint")
-        .agg(F.count(F.lit(1)).alias("dup_count"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.slice(F.sort_array(F.collect_list(id_col)), 1, max_members).alias("doc_ids"),
+        )
         .filter(F.col("dup_count") > 1)
     )
 
