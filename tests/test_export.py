@@ -133,3 +133,31 @@ def test_repetition_signals_and_gopher_filter(spark):
     assert sig[2]["dup_word_fraction"] < 0.2
     kept = [r["doc_id"] for r in gopher_filter(df).collect()]
     assert kept == [2]
+
+
+def test_pack_sequences_null_text_and_string_ids(spark):
+    from truthound_spark.pipeline.export import pack_sequences
+
+    df = spark.createDataFrame(
+        [("doc:a", "one two three"), ("doc:b", None), ("doc:c", "four five")],
+        "doc_id string, text string",
+    )
+    rows = pack_sequences(df, max_tokens=10, n_shards=2).collect()
+    packed = sorted(i for r in rows for i in r["doc_ids"])
+    assert packed == ["doc:a", "doc:b", "doc:c"]  # null text packed at 0 tokens
+
+
+def test_train_val_split_bounds(spark):
+    import pytest
+
+    from truthound_spark.pipeline.export import train_val_split
+
+    df = _docs(spark, 500)
+    # a tiny fraction floors to 1 bucket (not 0) — still a valid partition
+    train, val = train_val_split(df, val_fraction=0.00001, buckets=100)
+    assert train.count() + val.count() == 500
+    with pytest.raises(ValueError):
+        train_val_split(df, val_fraction=1.5)
+    # fraction 0 is an explicit no-validation split
+    tr0, va0 = train_val_split(df, val_fraction=0.0)
+    assert va0.count() == 0 and tr0.count() == 500

@@ -88,3 +88,14 @@ def test_online_svm_gated(spark):
     )
     issues = get_validator("online_svm")(["a", "b"], sample_rows=500).validate(df)
     assert isinstance(issues, list)  # flags some fraction or none; no crash
+
+
+def test_polygon_distance_ignores_null_coords(spark):
+    square = [(-1.0, -1.0), (-1.0, 1.0), (1.0, 1.0), (1.0, -1.0)]
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (None, 5.0), (50.0, None)], "lat double, lon double"
+    )
+    from truthound_spark.core.registry import get_validator
+
+    issues = get_validator("polygon_distance")("lat", "lon", square, 10.0).validate(df)
+    assert issues == []  # null-coordinate rows are not distance violations

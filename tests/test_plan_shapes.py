@@ -130,3 +130,12 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     assert joined.count() == 3000
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_rejects_payload_joins():
+    import pytest
+
+    from truthound_spark.core.skew import salted_left_join
+
+    with pytest.raises(ValueError):
+        salted_left_join(None, None, ["k"], how="left")

@@ -191,3 +191,12 @@ def test_i18n_catalog(spark):
     assert i18n.get_locale() == "en"
     assert "null values" in i18n.localize_issue(issue)
     assert i18n.t("report.issues", n=1, checks=2, rows=3) == "1 issues across 2 checks on 3 rows"
+
+
+def test_retry_policy_rejects_zero_attempts():
+    import pytest
+
+    from truthound_spark.resilience import RetryPolicy
+
+    with pytest.raises(ValueError):
+        RetryPolicy(max_attempts=0)

@@ -26,20 +26,33 @@ def salted_left_join(
     left: DataFrame,
     right: DataFrame,
     on: list[str],
-    how: str = "inner",
+    how: str = "left_semi",
     salt: int = 16,
 ) -> DataFrame:
-    """Join with the left side's hot keys scattered over ``salt`` buckets.
+    """KEY-MEMBERSHIP join with the left side's hot keys scattered over
+    ``salt`` buckets.
 
-    The right side is deduplicated on the join keys and replicated
-    ``salt`` times (an explode of a literal range — cheap when right is
-    the small side); the left side gets a uniform pseudo-random salt from
-    a hash of ALL its columns, so the same key's rows land on different
-    reducers. Correct for ``inner``, ``left`` and ``left_anti``: each left
-    row matches exactly the one replica carrying its salt.
+    The right side is reduced to its deduplicated join keys and replicated
+    ``salt`` times (an explode of a literal range — cheap when right is the
+    small side); the left side gets a uniform pseudo-random salt from a
+    hash of ALL its columns, so the same key's rows land on different
+    reducers.
+
+    Scope: this is a membership filter, not a general join — the result
+    carries ONLY left columns (``left_semi``: rows whose key exists in
+    right; ``left_anti``: rows whose key does not; ``inner`` is accepted
+    as an alias of ``left_semi`` since the key-only replicated right side
+    makes them equivalent). Right-side payload columns and right-side key
+    multiplicity are intentionally out of scope — a general salted inner
+    join would have to replicate payload too and is a different trade.
     """
-    if how not in ("inner", "left", "left_anti", "left_semi"):
-        raise ValueError(f"salted_left_join does not support how={how!r}")
+    if how not in ("inner", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_left_join supports left_semi/left_anti membership joins "
+            f"(and 'inner' as a semi alias), not how={how!r}"
+        )
+    if how == "inner":
+        how = "left_semi"
     salt_col = "__salt"
     left_s = left.withColumn(
         salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))

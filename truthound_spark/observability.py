@@ -33,9 +33,13 @@ class AuditLog:
         result: ValidationRunResult | None = None,
         **context: Any,
     ) -> dict[str, Any]:
+        try:
+            user = getpass.getuser()
+        except (KeyError, OSError):  # containers with no passwd entry / env
+            user = f"uid:{os.getuid()}" if hasattr(os, "getuid") else "unknown"
         entry = {
             "ts": time.time(),
-            "user": getpass.getuser(),
+            "user": user,
             "host": socket.gethostname(),
             "action": action,
             **context,

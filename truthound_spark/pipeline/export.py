@@ -57,13 +57,16 @@ def write_shards(
 ) -> None:
     """Size-balanced sharded parquet export.
 
-    ``repartition(n_shards, shard)`` is ONE hash shuffle; each task writes
-    exactly one shard file under ``shard=k/`` (partition pruning on read).
+    ``repartitionByRange(n_shards, shard)`` is ONE shuffle whose range
+    boundaries put each shard value in its own task (plain
+    ``repartition(n, col)`` hash-partitions the VALUE, colliding ~1/e of
+    shards into shared tasks and leaving others empty), so each task
+    writes one shard file under ``shard=k/`` (partition pruning on read).
     At 100 TB pick n_shards so each shard is 0.5–2 GB — the parquet sweet
     spot for downstream loaders."""
     sharded = shard_by_hash(df, n_shards, key_col)
     (
-        sharded.repartition(n_shards, F.col("shard"))
+        sharded.repartitionByRange(n_shards, F.col("shard"))
         .write.mode(mode)
         .partitionBy("shard")
         .parquet(path)
@@ -80,7 +83,11 @@ def train_val_split(
     buckets; validation = first ``val_fraction`` of buckets. Exact
     duplicates (same normalized content) always land on the SAME side —
     the split a row-random ``randomSplit`` cannot guarantee."""
-    cutoff = int(buckets * val_fraction)
+    if val_fraction < 0 or val_fraction >= 1:
+        raise ValueError(f"val_fraction must be in [0, 1), got {val_fraction}")
+    # floor at 1 bucket so a tiny fraction can't silently yield an EMPTY
+    # validation set (int() would truncate e.g. 0.5 buckets to 0)
+    cutoff = max(1, int(buckets * val_fraction)) if val_fraction > 0 else 0
     b = F.pmod(F.xxhash64(content_fingerprint(F.col(text_col))), F.lit(buckets))
     with_b = df.withColumn("__b", b)
     train = with_b.filter(F.col("__b") >= cutoff).drop("__b")
@@ -105,34 +112,43 @@ def pack_sequences(
 
     Cross-shard packing would need a global sort + sequential scan; greedy
     per-shard loses <1/max_tokens of fill on real corpora and keeps the
-    operator embarrassingly parallel at any scale."""
+    operator embarrassingly parallel at any scale.
+
+    Null text counts as 0 tokens (the document is still packed); ids keep
+    their input type (string ids work — ``doc_ids`` takes the id column's
+    element type)."""
     import pandas as pd
 
     n = n_shards or max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    id_type = df.schema[id_col].dataType.simpleString()
     prepped = shard_by_hash(
         df.select(id_col, text_col), n, key_col=id_col
     ).select(
         "shard",
         F.col(id_col).alias("id"),
-        bpe_ish_token_count(F.col(text_col)).cast("int").alias("tokens"),
+        F.coalesce(bpe_ish_token_count(F.col(text_col)).cast("int"), F.lit(0)).alias(
+            "tokens"
+        ),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id")
         shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
         bins: list[dict] = []
-        cur_ids: list[int] = []
+        cur_ids: list = []
         cur_tok = 0
         bin_id = 0
-        for _, row in pdf.iterrows():
-            t = min(int(row["tokens"]), max_tokens)
+        for _, doc_id, tokens in pdf[["shard", "id", "tokens"]].itertuples(
+            index=False, name=None
+        ):
+            t = min(int(tokens), max_tokens)
             if cur_tok + t > max_tokens and cur_ids:
                 bins.append(
                     {"shard": shard, "bin_id": bin_id, "doc_ids": cur_ids, "total_tokens": cur_tok}
                 )
                 bin_id += 1
                 cur_ids, cur_tok = [], 0
-            cur_ids.append(int(row["id"]))
+            cur_ids.append(doc_id)
             cur_tok += t
         if cur_ids:
             bins.append(
@@ -143,7 +159,8 @@ def pack_sequences(
         )
 
     return prepped.groupBy("shard").applyInPandas(
-        pack, schema="shard int, bin_id int, doc_ids array<long>, total_tokens int"
+        pack,
+        schema=f"shard int, bin_id int, doc_ids array<{id_type}>, total_tokens int",
     )
 
 

@@ -31,6 +31,13 @@ class RetryPolicy:
     backoff: float = 2.0
     retryable: tuple[type[BaseException], ...] = (Exception,)
 
+    def __post_init__(self) -> None:
+        if self.max_attempts < 1:
+            raise ValueError(
+                f"max_attempts must be >= 1 (got {self.max_attempts}); "
+                "1 means 'no retries', not 0"
+            )
+
     def execute(self, fn: Callable[[], Any]) -> Any:
         delay = self.base_delay
         for attempt in range(1, self.max_attempts + 1):

@@ -138,8 +138,12 @@ class PolygonDistanceValidator(Validator):
                 min_d = np.minimum(min_d, d)
             return pd.Series(inside | (min_d <= max_km))
 
+        lat, lon = F.col(self.lat_column), F.col(self.lon_column)
         agg = (
-            df.select(within(F.col(self.lat_column), F.col(self.lon_column)).alias("__ok"))
+            df.filter(lat.isNotNull() & lon.isNotNull())  # same convention as
+            # every expression-based geospatial validator: nulls are a
+            # completeness problem, not a distance violation
+            .select(within(lat, lon).alias("__ok"))
             .agg(
                 F.sum(F.when(~F.col("__ok"), 1).otherwise(0)).alias("far"),
                 F.count(F.lit(1)).alias("n"),
