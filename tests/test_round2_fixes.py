@@ -102,3 +102,84 @@ def test_embedding_near_dup_default_is_bucketed(spark):
         .toString()
     )
     assert "CartesianProduct" in exact_plan or "BroadcastNestedLoopJoin" in exact_plan
+
+
+def test_auto_suite_handles_decimal_columns(spark):
+    """Decimal min/max from learn() must not crash range synthesis."""
+    from pyspark.sql import functions as F
+
+    import truthound_spark as th
+    from truthound_spark.schema import learn
+
+    df = spark.range(50).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).cast("decimal(10,2)").alias("amount"),
+    )
+    baseline = learn(df)
+    res = th.check(df, baseline=baseline)
+    assert not res.execution_issues
+
+
+def test_check_preserves_caller_cache(spark):
+    from pyspark.sql import functions as F
+
+    import truthound_spark as th
+
+    df = spark.range(100).select(F.col("id").alias("k")).cache()
+    df.count()
+    th.check(df, validators=["null"], result_format="basic")
+    assert df.is_cached  # caller's persistence must survive check()
+    df.unpersist()
+
+
+def test_minhash_rejects_bad_band_config(spark):
+    import pytest
+
+    from truthound_spark.pipeline.dedup import minhash_lsh_candidates
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        minhash_lsh_candidates(docs, num_hashes=8, bands=16)
+    with pytest.raises(ValueError):
+        minhash_lsh_candidates(docs, num_hashes=64, bands=12)
+
+
+def test_empty_docs_do_not_form_minhash_bucket(spark):
+    """Contentless documents must not become candidate pairs."""
+    from truthound_spark.pipeline.dedup import minhash_dedup_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "!!!"),
+            (2, "???"),
+            (3, None),
+            (4, ""),
+            (5, "a real document about spark joins and shuffles"),
+            (6, "a real document about spark joins and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_dedup_pairs(docs, threshold=0.7, num_hashes=16, bands=8).collect()
+    pair_set = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (5, 6) in pair_set
+    assert all(a not in (1, 2, 3, 4) and b not in (1, 2, 3, 4) for a, b in pair_set)
+
+
+def test_vector_dim_skips_null_first_row(spark):
+    from truthound_spark.pipeline.similarity import _vector_dim
+
+    df = spark.createDataFrame(
+        [(1, None), (2, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    assert _vector_dim(df, "embedding") == 3
+
+
+def test_streaming_sink_idempotent_per_batch(spark):
+    from truthound_spark.streaming.validate import StreamingValidationSink
+
+    fired = []
+    sink = StreamingValidationSink(["null"], on_result=lambda b, r: fired.append(b))
+    df = spark.createDataFrame([(1, None)], "id int, email string")
+    sink(df, 7)
+    sink(df, 7)  # replay of the same batch id (failure recovery)
+    assert fired == [7] and len(sink.results) == 1

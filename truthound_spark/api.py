@@ -54,9 +54,13 @@ def _auto_suite(df: DataFrame, baseline=None) -> list[object]:
             if cs.dtype == "string":
                 suite.append(MixedTypeValidator(name))
             if cs.min_value is not None and cs.max_value is not None and cs.mean is not None:
-                pad = 3.0 * (cs.std or 0.0)
+                pad = 3.0 * float(cs.std or 0.0)
+                # float() — learn() yields decimal.Decimal for DecimalType
+                # columns, and Decimal - float raises TypeError
                 suite.append(
-                    RangeValidator(name, cs.min_value - pad, cs.max_value + pad)
+                    RangeValidator(
+                        name, float(cs.min_value) - pad, float(cs.max_value) + pad
+                    )
                 )
             key_named = any(p in name.lower() for p in key_patterns)
             if cs.unique or (cs.unique_ratio >= 0.98 and key_named):
@@ -104,7 +108,10 @@ def check(
 
         baseline = learn_schema(df)
     vs = resolve(validators) if validators is not None else _auto_suite(df, baseline)
-    cached = cache or result_format >= ResultFormat.BASIC
+    # respect a caller-established cache: if the frame is already
+    # persisted, caching is a no-op and unpersisting would destroy the
+    # CALLER's cache — so only manage the lifecycle we created ourselves
+    cached = (cache or result_format >= ResultFormat.BASIC) and not df.is_cached
     if cached:
         df = df.cache()
 

@@ -146,7 +146,9 @@ class BatchExpressionExecutor:
             issue.sample_values = [
                 r[spec.column] if cols else r.asDict() for r in rows
             ]
-        if self.result_format >= ResultFormat.SUMMARY and cols:
+        # issue.result None (judge-path specs) would discard the frequency
+        # rows — check BEFORE firing the groupBy scan, not after
+        if self.result_format >= ResultFormat.SUMMARY and cols and issue.result is not None:
             freq = (
                 base.groupBy(spec.column)
                 .count()
@@ -154,10 +156,9 @@ class BatchExpressionExecutor:
                 .limit(self.sample_limit)
                 .collect()
             )
-            if issue.result is not None:
-                issue.result.partial_unexpected_counts = [
-                    {"value": r[spec.column], "count": r["count"]} for r in freq
-                ]
+            issue.result.partial_unexpected_counts = [
+                {"value": r[spec.column], "count": r["count"]} for r in freq
+            ]
         if self.result_format >= ResultFormat.COMPLETE and issue.result is not None:
             rows = base.limit(self.sample_limit).collect()
             issue.result.unexpected_rows = [r.asDict() for r in rows]

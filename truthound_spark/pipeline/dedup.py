@@ -92,11 +92,18 @@ def _shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
     normalize+split once per shingle index (quadratic per document; was
     ~10× the whole minhash cost at sf0.1). The shingle array is never
     empty (sequence(0, greatest(..,0)) emits index 0 even for short docs),
-    so outer semantics are identical; the null guard is belt-and-braces."""
+    so outer semantics are identical; the null guard is belt-and-braces.
+
+    The empty shingle '' (null / punctuation-only / empty documents all
+    normalize to it) is filtered: otherwise every contentless document
+    shares ONE MinHash signature, forming a single giant LSH bucket whose
+    self-join is O(m²) in the count of empty docs — a real-corpus job
+    killer. Contentless docs simply have no signature here; exact-dedup
+    (fingerprint groupBy) is the right tool for them."""
     return (
         _shingle_arrays(df, text_col, id_col, n)
         .select("id", F.explode_outer("sh").alias("g"))
-        .filter(F.col("g").isNotNull())
+        .filter(F.col("g").isNotNull() & (F.col("g") != ""))
     )
 
 
@@ -121,19 +128,31 @@ def exact_duplicates(
 
     Returns (fingerprint, dup_count, doc_ids). groupBy on the 32-byte hash —
     the canonical 100 TB exact-dedup plan (shuffle keys are hashes, not
-    documents). ``doc_ids`` is capped at ``max_members`` per group:
-    dup_count stays exact, but a pathological fingerprint (empty/boilerplate
-    docs repeated millions of times) cannot materialize an unbounded array
-    in one aggregation buffer."""
-    fp = content_fingerprint(F.col(text_col)).alias("fingerprint")
+    documents). ``doc_ids`` is capped at ``max_members`` per group, and the
+    cap is enforced BEFORE the list aggregation (row_number window + filter)
+    so a pathological fingerprint (empty/boilerplate docs repeated millions
+    of times) never materializes an unbounded array in an aggregation
+    buffer — the window's sort state is spillable; a collect_list buffer is
+    not. ``dup_count`` stays exact via a count over the same partition."""
+    from pyspark.sql import Window
+
+    fp_df = df.select(
+        content_fingerprint(F.col(text_col)).alias("fingerprint"), F.col(id_col)
+    )
+    w = Window.partitionBy("fingerprint")
+    ranked = fp_df.select(
+        "fingerprint",
+        F.col(id_col),
+        F.row_number().over(w.orderBy(id_col)).alias("__rn"),
+        F.count(F.lit(1)).over(w).alias("__cnt"),
+    )
     return (
-        df.select(fp, F.col(id_col))
+        ranked.filter((F.col("__cnt") > 1) & (F.col("__rn") <= max_members))
         .groupBy("fingerprint")
         .agg(
-            F.count(F.lit(1)).alias("dup_count"),
-            F.slice(F.sort_array(F.collect_list(id_col)), 1, max_members).alias("doc_ids"),
+            F.first("__cnt").cast("long").alias("dup_count"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
         )
-        .filter(F.col("dup_count") > 1)
     )
 
 
@@ -188,7 +207,7 @@ def minhash_signatures(
     Jaccard verification shingle each document exactly once."""
     if _shingles is not None:
         sh = _shingles.select("id", F.explode_outer("sh").alias("g")).filter(
-            F.col("g").isNotNull()
+            F.col("g").isNotNull() & (F.col("g") != "")
         )
     else:
         sh = _shingle_rows(df, text_col, id_col, shingle_n)
@@ -231,6 +250,13 @@ def minhash_lsh_candidates(
     bucket hashes are cheap column refs — Catalyst cannot re-inline the
     shingle pipeline into them.
     """
+    if bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes (got num_hashes={num_hashes}, "
+            f"bands={bands}): rows_per_band=0 would put EVERY document in "
+            "one shared bucket (all-pairs join), and a remainder silently "
+            "drops trailing hashes"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, _shingles=_shingles)
     band_entries = sig.select(

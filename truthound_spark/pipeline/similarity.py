@@ -79,9 +79,9 @@ def _vector_dim(df: DataFrame, vec_col: str) -> int:
     meta = df.schema[vec_col].metadata or {}
     if "dim" in meta:
         return int(meta["dim"])
-    first = df.select(vec_col).first()
+    first = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
     if first is None or first[0] is None:
-        raise ValueError(f"cannot infer dimensionality of empty column {vec_col!r}")
+        raise ValueError(f"cannot infer dimensionality of all-null column {vec_col!r}")
     return len(first[0])
 
 
@@ -134,16 +134,21 @@ def ivf_assign(
     when the assignment is persisted as a partition column."""
     import numpy as np
 
-    # Random sample, not limit(): limit takes the FIRST partitions in order,
-    # which biases centroids on any sorted/partitioned dataset.
-    n = df.count()
+    # Random sample, not limit(): limit takes the FIRST partitions in
+    # order, which biases centroids on any sorted/partitioned dataset —
+    # so collect the whole (bounded, ~1.2x oversized) sample and trim it
+    # with a seeded numpy choice; applying .limit() to the sample would
+    # quietly reintroduce the same partition-order bias.
+    nn = df.select(vec_col).where(F.col(vec_col).isNotNull())
+    n = nn.count()
     frac = min(1.0, (sample_rows * 1.2) / max(n, 1))
-    sample_df = df.select(vec_col) if frac >= 1.0 else df.select(vec_col).sample(
-        fraction=frac, seed=seed
-    )
-    sample = np.array(
-        [r[0] for r in sample_df.limit(sample_rows).collect()], dtype=float
-    )
+    sample_df = nn if frac >= 1.0 else nn.sample(fraction=frac, seed=seed)
+    collected = [r[0] for r in sample_df.collect()]
+    rng0 = np.random.RandomState(seed)
+    if len(collected) > sample_rows:
+        idx = rng0.choice(len(collected), size=sample_rows, replace=False)
+        collected = [collected[i] for i in idx]
+    sample = np.array(collected, dtype=float)
     rng = np.random.RandomState(seed)
     centroids = sample[rng.choice(len(sample), size=min(num_cells, len(sample)), replace=False)]
     for _ in range(max_iter):

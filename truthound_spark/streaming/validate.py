@@ -32,16 +32,27 @@ class StreamingValidationSink:
         self,
         validators: list[Any],
         on_result: Callable[[int, ValidationRunResult], None] | None = None,
+        max_results: int = 1000,
     ) -> None:
         self.validators = validators
         self.on_result = on_result
+        self.max_results = max_results
         self.results: list[tuple[int, ValidationRunResult]] = []
+        self._seen_batches: set[int] = set()
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from truthound_spark.api import check
 
+        # idempotence: Structured Streaming REPLAYS the last uncommitted
+        # batch (same batch_id) after failure recovery — re-validating and
+        # re-alerting it would duplicate notifications
+        if batch_id in self._seen_batches:
+            return
+        self._seen_batches.add(batch_id)
         result = check(batch_df, validators=self.validators)
         self.results.append((batch_id, result))
+        if len(self.results) > self.max_results:  # bound driver memory on
+            del self.results[: -self.max_results]  # long-lived queries
         if self.on_result is not None:
             self.on_result(batch_id, result)
 
