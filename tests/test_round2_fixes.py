@@ -183,3 +183,52 @@ def test_streaming_sink_idempotent_per_batch(spark):
     sink(df, 7)
     sink(df, 7)  # replay of the same batch id (failure recovery)
     assert fired == [7] and len(sink.results) == 1
+
+
+def test_drift_detectors_handle_empty_sides(spark):
+    from pyspark.sql import functions as F
+
+    from truthound_spark.drift.detectors import js_divergence, ks_test, psi, wasserstein
+
+    full = spark.range(100).select((F.col("id") % 10).cast("double").alias("v"))
+    empty = full.filter(F.col("v") < -1)
+    for fn in (psi, js_divergence, wasserstein):
+        r = fn(empty, full, "v")
+        assert r.drifted is False
+    assert ks_test(empty, full, "v").drifted is False
+    assert ks_test(empty, full, "v", grid=8).drifted is False
+
+
+def test_cvm_deterministic_and_zero_on_identical_tied_data(spark):
+    from pyspark.sql import functions as F
+
+    from truthound_spark.drift.detectors import cramer_von_mises
+
+    tied = spark.range(400).select((F.col("id") % 5).cast("double").alias("v"))
+    stats = {cramer_von_mises(tied, tied, "v").statistic for _ in range(3)}
+    assert len(stats) == 1  # deterministic under heavy ties
+    assert abs(next(iter(stats))) < 0.05  # identical samples → ~no drift
+
+
+def test_learn_skips_map_columns(spark):
+    from pyspark.sql import functions as F
+
+    from truthound_spark.schema import learn
+
+    df = spark.range(20).select(
+        F.col("id").alias("k"),
+        F.create_map(F.lit("a"), F.col("id")).alias("m"),
+    )
+    s = learn(df)
+    assert s.columns["m"].dtype.startswith("map<")
+    assert s.columns["k"].unique
+
+
+def test_chi_square_column_named_n(spark):
+    from pyspark.sql import functions as F
+
+    from truthound_spark.drift.detectors import chi_square_drift
+
+    df = spark.range(200).select((F.col("id") % 3).cast("string").alias("n"))
+    r = chi_square_drift(df, df, "n")
+    assert r.statistic == 0.0 and r.drifted is False

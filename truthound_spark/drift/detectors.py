@@ -50,8 +50,10 @@ class DriftResult:
 def _hist_counts(df: DataFrame, column: str, lo: float, hi: float, bins: int) -> list[int]:
     """Per-bin counts with clamped fixed-width bins — one distributed agg."""
     width = (hi - lo) / bins if hi > lo else 1.0
+    # floor() already yields long; casting to int would wrap (or raise
+    # under ANSI) for outliers whose scaled offset exceeds 2^31
     b = F.least(
-        F.greatest(F.floor((F.col(column) - lo) / width).cast("int"), F.lit(0)),
+        F.greatest(F.floor((F.col(column) - lo) / width), F.lit(0)),
         F.lit(bins - 1),
     )
     rows = (
@@ -66,8 +68,11 @@ def _hist_counts(df: DataFrame, column: str, lo: float, hi: float, bins: int) ->
     return counts
 
 
-def _numeric_range(df: DataFrame, column: str) -> tuple[float, float]:
+def _numeric_range(df: DataFrame, column: str) -> tuple[float, float] | None:
+    """(lo, hi) of the column, or None when it is empty / all-null."""
     row = df.agg(F.min(column).alias("lo"), F.max(column).alias("hi")).collect()[0]
+    if row["lo"] is None or row["hi"] is None:
+        return None
     return float(row["lo"]), float(row["hi"])
 
 
@@ -84,7 +89,10 @@ def psi(baseline: DataFrame, current: DataFrame, column: str, bins: int = 10, th
 
     Bin edges from the baseline's range; Σ (p−q)·ln(p/q) with ε-smoothing.
     """
-    lo, hi = _numeric_range(baseline, column)
+    rng = _numeric_range(baseline, column)
+    if rng is None:
+        return DriftResult("psi", 0.0, threshold, False, {"bins": bins, "empty_baseline": True})
+    lo, hi = rng
     p = _freqs(_hist_counts(baseline, column, lo, hi, bins))
     q = _freqs(_hist_counts(current, column, lo, hi, bins))
     stat = sum((pi - qi) * math.log((pi + EPS) / (qi + EPS)) for pi, qi in zip(p, q))
@@ -111,12 +119,14 @@ def ks_test(
     """
     if grid:
         probs = [i / grid for i in range(1, grid)]
+        nb = baseline.filter(F.col(column).isNotNull()).count()
+        nc = current.filter(F.col(column).isNotNull()).count()
+        if nb == 0 or nc == 0:
+            return DriftResult("ks", 0.0, float("inf"), False, {"n_baseline": nb, "n_current": nc, "empty_side": True})
         qb = baseline.agg(F.percentile_approx(column, probs, 10000).alias("q")).collect()[0]["q"]
         qc = current.agg(F.percentile_approx(column, probs, 10000).alias("q")).collect()[0]["q"]
         # evaluate each side's ECDF on the union grid via counts <= x
         pts = sorted(set(qb) | set(qc))
-        nb = baseline.filter(F.col(column).isNotNull()).count()
-        nc = current.filter(F.col(column).isNotNull()).count()
         conds_b = [F.sum((F.col(column) <= x).cast("long")).alias(f"b{i}") for i, x in enumerate(pts)]
         conds_c = [F.sum((F.col(column) <= x).cast("long")).alias(f"c{i}") for i, x in enumerate(pts)]
         rb = baseline.agg(*conds_b).collect()[0]
@@ -127,6 +137,8 @@ def ks_test(
         c = current.select(F.col(column).alias("v")).filter(F.col("v").isNotNull()).withColumn("s", F.lit(1))
         nb = b.count()
         nc = c.count()
+        if nb == 0 or nc == 0:
+            return DriftResult("ks", 0.0, float("inf"), False, {"n_baseline": nb, "n_current": nc, "empty_side": True})
         from pyspark.sql import Window
 
         u = b.unionAll(c).groupBy("v").agg(
@@ -149,8 +161,8 @@ def chi_square_drift(baseline: DataFrame, current: DataFrame, column: str, thres
     """Categorical χ² homogeneity test (reference: detectors.py:281).
     Per-category counts via one groupBy per side; χ² + Wilson–Hilferty
     p-value approximation on the driver."""
-    bc = {r[column]: r["n"] for r in baseline.groupBy(column).agg(F.count(F.lit(1)).alias("n")).collect()}
-    cc = {r[column]: r["n"] for r in current.groupBy(column).agg(F.count(F.lit(1)).alias("n")).collect()}
+    bc = {r[column]: r["__cnt"] for r in baseline.groupBy(column).agg(F.count(F.lit(1)).alias("__cnt")).collect()}
+    cc = {r[column]: r["__cnt"] for r in current.groupBy(column).agg(F.count(F.lit(1)).alias("__cnt")).collect()}
     cats = sorted(set(bc) | set(cc), key=str)
     nb, nc = sum(bc.values()), sum(cc.values())
     stat = 0.0
@@ -178,7 +190,10 @@ def _chi2_sf(x: float, k: int) -> float:
 
 def js_divergence(baseline: DataFrame, current: DataFrame, column: str, bins: int = 10, threshold: float = 0.1) -> DriftResult:
     """Jensen–Shannon divergence over shared histogram (reference: detectors.py:384)."""
-    lo, hi = _numeric_range(baseline, column)
+    rng = _numeric_range(baseline, column)
+    if rng is None:
+        return DriftResult("js_divergence", 0.0, threshold, False, {"bins": bins, "empty_baseline": True})
+    lo, hi = rng
     p = _freqs(_hist_counts(baseline, column, lo, hi, bins))
     q = _freqs(_hist_counts(current, column, lo, hi, bins))
     m = [(pi + qi) / 2 for pi, qi in zip(p, q)]
@@ -190,7 +205,10 @@ def js_divergence(baseline: DataFrame, current: DataFrame, column: str, bins: in
 
 def kl_divergence(baseline: DataFrame, current: DataFrame, column: str, bins: int = 10, threshold: float = 0.5) -> DriftResult:
     """KL(baseline ‖ current) over shared histogram (reference: detectors.py:503)."""
-    lo, hi = _numeric_range(baseline, column)
+    rng = _numeric_range(baseline, column)
+    if rng is None:
+        return DriftResult("kl_divergence", 0.0, threshold, False, {"bins": bins, "empty_baseline": True})
+    lo, hi = rng
     p = _freqs(_hist_counts(baseline, column, lo, hi, bins))
     q = _freqs(_hist_counts(current, column, lo, hi, bins))
     stat = sum(pi * math.log((pi + EPS) / (qi + EPS)) for pi, qi in zip(p, q))
@@ -200,9 +218,13 @@ def kl_divergence(baseline: DataFrame, current: DataFrame, column: str, bins: in
 def wasserstein(baseline: DataFrame, current: DataFrame, column: str, bins: int = 100, threshold: float | None = None) -> DriftResult:
     """Earth-mover distance via histogram CDF difference
     (reference: detectors.py:605; quantile-grid approximation per SURVEY §2.9)."""
-    lo_b, hi_b = _numeric_range(baseline, column)
-    lo_c, hi_c = _numeric_range(current, column)
-    lo, hi = min(lo_b, lo_c), max(hi_b, hi_c)
+    rng_b = _numeric_range(baseline, column)
+    rng_c = _numeric_range(current, column)
+    if rng_b is None or rng_c is None:
+        return DriftResult(
+            "wasserstein", 0.0, threshold or 0.0, False, {"bins": bins, "empty_side": True}
+        )
+    lo, hi = min(rng_b[0], rng_c[0]), max(rng_b[1], rng_c[1])
     p = _freqs(_hist_counts(baseline, column, lo, hi, bins))
     q = _freqs(_hist_counts(current, column, lo, hi, bins))
     width = (hi - lo) / bins if hi > lo else 1.0
@@ -269,17 +291,18 @@ def cramer_von_mises(
 ) -> DriftResult:
     """Two-sample Cramér–von Mises criterion (reference: detectors.py:709).
 
-    Rank-based T statistic (Anderson 1962): with pooled ranks r_i of the
-    baseline sample and s_j of the current sample,
-      U = n·Σ(r_i − i)² + m·Σ(s_j − j)²
-      T = U/(n·m·(n+m)) − (4·n·m − 1)/(6·(n+m))
-    Ranks come from ONE distributed sort-window over the pooled values;
-    the Σ terms are two aggregate scalars — no raw-row collection.
+    ECDF form: T = n·m/(n+m)² · Σ_x g(x)·(F_b(x) − F_c(x))², summed over
+    the pooled sample (g(x) = multiplicity of the distinct value x). This
+    definition is equivalent to Anderson's rank formula on continuous data
+    and — unlike the rank form, whose (4nm−1)/(6(n+m)) centering assumes
+    no ties — is deterministic AND exactly 0 for identical samples under
+    arbitrary ties. One groupBy + one cumulative sort-window over DISTINCT
+    values; two aggregate scalars to the driver.
     threshold 0.461 ≈ 5% critical value of the limiting distribution.
 
-    Scale note: the global rank window funnels the pooled sort through one
-    partition — exact CvM is an oracle-scale tool (like exact KS). At
-    100 TB use the sketch-ECDF path (``ks_test(grid=...)`` /
+    Scale note: the global cumulative window funnels the distinct values
+    through one partition — exact CvM is an oracle-scale tool (like exact
+    KS). At 100 TB use the sketch-ECDF path (``ks_test(grid=...)`` /
     StreamingKSValidator); a CvM analogue over the same quantile grid
     bounds the statistic with O(grid) work.
     """
@@ -288,22 +311,43 @@ def cramer_von_mises(
     b = baseline.select(F.col(column).alias("v")).filter(F.col("v").isNotNull()).withColumn("side", F.lit(0))
     c = current.select(F.col(column).alias("v")).filter(F.col("v").isNotNull()).withColumn("side", F.lit(1))
     pooled = b.unionAll(c)
-    w = Window.orderBy("v", "side")
-    ranked = pooled.withColumn("r", F.row_number().over(w))
-    per_side = ranked.withColumn(
-        "i", F.row_number().over(Window.partitionBy("side").orderBy("v"))
+    grouped = pooled.groupBy("v").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("gb"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("gc"),
     )
-    agg = per_side.groupBy("side").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.pow(F.col("r") - F.col("i"), 2)).alias("ss"),
-    ).collect()
-    stats = {row["side"]: (int(row["n"]), float(row["ss"])) for row in agg}
-    n, ss_b = stats.get(0, (0, 0.0))
-    m, ss_c = stats.get(1, (0, 0.0))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = grouped.select(
+        "gb",
+        "gc",
+        F.sum("gb").over(w).alias("cum_b"),
+        F.sum("gc").over(w).alias("cum_c"),
+    )
+    agg = cum.agg(
+        F.sum("gb").alias("n"),
+        F.sum("gc").alias("m"),
+        F.max("cum_b").alias("nb_total"),
+        F.max("cum_c").alias("nc_total"),
+        F.sum(
+            (F.col("gb") + F.col("gc")) * F.pow(F.col("cum_b"), 2)
+        ).alias("sbb"),
+        F.sum(
+            (F.col("gb") + F.col("gc")) * F.col("cum_b") * F.col("cum_c")
+        ).alias("sbc"),
+        F.sum(
+            (F.col("gb") + F.col("gc")) * F.pow(F.col("cum_c"), 2)
+        ).alias("scc"),
+    ).collect()[0]
+    n, m = int(agg["n"] or 0), int(agg["m"] or 0)
     if not n or not m:
         return DriftResult("cramer_von_mises", 0.0, threshold, False, {"n": n, "m": m})
-    u = n * ss_b + m * ss_c
-    t = u / (n * m * (n + m)) - (4.0 * n * m - 1.0) / (6.0 * (n + m))
+    # Σ g·(cum_b/n − cum_c/m)² expanded into the three aggregate scalars
+    ssq = (
+        float(agg["sbb"]) / (n * n)
+        - 2.0 * float(agg["sbc"]) / (n * m)
+        + float(agg["scc"]) / (m * m)
+    )
+    u = ssq  # Σ g (Fb − Fc)²
+    t = (n * m) / float((n + m) ** 2) * ssq
     return DriftResult(
         "cramer_von_mises", t, threshold, t > threshold, {"n": n, "m": m, "U": u}
     )

@@ -3441,28 +3441,35 @@ def q_information_gain_events(spark, sf_dir):
     pooled AS (
       SELECT value AS v, 0 AS side FROM b UNION ALL SELECT value, 1 FROM c
     ),
-    ranked AS (
-      SELECT side,
-             ROW_NUMBER() OVER (ORDER BY v, side) AS r,
-             ROW_NUMBER() OVER (PARTITION BY side ORDER BY v) AS i
-      FROM pooled
+    grouped AS (
+      SELECT v,
+             SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS gb,
+             SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS gc
+      FROM pooled GROUP BY v
     ),
-    agg AS (
-      SELECT side, COUNT(*) AS n, SUM(POW(r - i, 2)) AS ss FROM ranked GROUP BY side
+    cum AS (
+      SELECT gb, gc,
+             SUM(gb) OVER (ORDER BY v) AS cum_b,
+             SUM(gc) OVER (ORDER BY v) AS cum_c
+      FROM grouped
     ),
     s AS (
-      SELECT MAX(CASE WHEN side = 0 THEN n END) AS n, MAX(CASE WHEN side = 0 THEN ss END) AS ssb,
-             MAX(CASE WHEN side = 1 THEN n END) AS m, MAX(CASE WHEN side = 1 THEN ss END) AS ssc
-      FROM agg
+      SELECT SUM(gb) AS n, SUM(gc) AS m,
+             SUM((gb + gc) * POW(cum_b, 2)) AS sbb,
+             SUM((gb + gc) * cum_b * cum_c) AS sbc,
+             SUM((gb + gc) * POW(cum_c, 2)) AS scc
+      FROM cum
     )
-    SELECT ROUND((n * ssb + m * ssc) / (n * m * CAST(n + m AS DOUBLE))
-               - (4.0 * n * m - 1.0) / (6.0 * (n + m)), 6) AS cvm
+    SELECT ROUND((n * m) / POW(n + m, 2)
+                 * (sbb / (n * n) - 2.0 * sbc / (n * m) + scc / (m * m)),
+                 6) AS cvm
     FROM s
     """,
 )
 def q_cramer_von_mises_events(spark, sf_dir):
     """Two-sample Cramér–von Mises criterion (reference detectors.py:709):
-    rank-based T from one distributed sort-window."""
+    ECDF-form T (deterministic and exactly 0 on identical samples under
+    ties) from one cumulative sort-window over per-value group counts."""
     from truthound_spark.drift.detectors import cramer_von_mises
 
     baseline, current = _drift_frames(spark, sf_dir)

@@ -91,9 +91,16 @@ def learn(df: DataFrame, approx_distinct: bool = False) -> Schema:
         if approx_distinct
         else (lambda c: F.countDistinct(F.col(c)))
     )
+    import pyspark.sql.types as T
+
     for f_ in df.schema.fields:
         c = f_.name
         aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
+        if isinstance(f_.dataType, T.MapType):
+            # MapType is not orderable/hashable for countDistinct/min/max —
+            # record null stats only and skip the value profile
+            aggs.append(F.lit(None).cast("long").alias(f"{c}__nu"))
+            continue
         aggs.append(nu_of(c).alias(f"{c}__nu"))
         if isinstance(f_.dataType, NUMERIC_TYPES):
             numeric.add(c)
@@ -104,7 +111,7 @@ def learn(df: DataFrame, approx_distinct: bool = False) -> Schema:
                     F.mean(c).alias(f"{c}__mean"),
                     F.stddev(c).alias(f"{c}__std"),
                     F.expr(
-                        f"percentile_approx({c}, array(0.25, 0.5, 0.75), 10000)"
+                        f"percentile_approx(`{c}`, array(0.25, 0.5, 0.75), 10000)"
                     ).alias(f"{c}__q"),
                 ]
             )

@@ -203,16 +203,22 @@ class DuckDBSource(_BaseSQLSource):
 
         self._conn = duckdb.connect(database)
 
+    @staticmethod
+    def _path_literal(path: str) -> str:
+        """Escape a filesystem path for a single-quoted SQL literal —
+        apostrophes in legitimate paths must not terminate the string."""
+        return path.replace("'", "''")
+
     def register_parquet(self, table: str, path: str) -> None:
         self._conn.execute(
             f"CREATE OR REPLACE VIEW {self.dialect.quote(table)} AS "
-            f"SELECT * FROM read_parquet('{path}')"
+            f"SELECT * FROM read_parquet('{self._path_literal(path)}')"
         )
 
     def register_csv(self, table: str, path: str) -> None:
         self._conn.execute(
             f"CREATE OR REPLACE VIEW {self.dialect.quote(table)} AS "
-            f"SELECT * FROM read_csv_auto('{path}', nullstr=['', 'NULL'])"
+            f"SELECT * FROM read_csv_auto('{self._path_literal(path)}', nullstr=['', 'NULL'])"
         )
 
 

@@ -256,13 +256,16 @@ class HierarchyDepthValidator(Validator):
     def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
         edges = df.select(
             F.col(self.id_column).alias("id"), F.col(self.parent_column).alias("parent")
-        )
+        ).localCheckpoint(eager=True)
         frontier = edges.filter(F.col("parent").isNull()).select("id")
         depth = 0
         while depth <= self.max_depth:
+            # localCheckpoint per round: without it the frontier's lineage
+            # stacks one join per level and every isEmpty() re-executes the
+            # whole chain (quadratic recompute — same fix as CascadeDepth)
             nxt = edges.join(
                 F.broadcast(frontier.withColumnRenamed("id", "parent")), on="parent"
-            ).select("id")
+            ).select("id").localCheckpoint(eager=True)
             if nxt.isEmpty():
                 return []
             frontier = nxt
@@ -298,16 +301,18 @@ class CrossTableRowCountValidator(Validator):
             expected = self.factor * b
             ok = abs(a - expected) <= self.tolerance * max(expected, 1)
             desc = f"count(A)={a} vs {self.factor}·count(B)={expected:.0f}"
+            deviation = int(abs(a - expected))
         else:
             ok = abs(a - b) <= self.tolerance * max(b, 1)
             desc = f"count(A)={a} vs count(B)={b}"
+            deviation = abs(a - b)
         if ok:
             return []
         return [
             ValidationIssue(
                 column=None,
                 issue_type="row_count_mismatch",
-                count=abs(a - b),
+                count=deviation,
                 severity=Severity.HIGH,
                 validator_name="cross_table_row_count",
                 expected=f"within tolerance {self.tolerance}",
