@@ -5392,3 +5392,160 @@ def q_gopher_repetition_documents(spark, sf_dir):
         .cast("long")
         .alias("highly_repetitive_docs"),
     )
+
+
+# ===========================================================================
+# batch 15: the full Query-SQL result-shape family (reference
+# query/result.py, row_count.py, column.py, aggregate.py — 13 validators)
+# driven end-to-end through the REAL validator classes
+# ===========================================================================
+
+
+@register(
+    "query_result_shape_family_orders",
+    """
+    WITH tot AS (SELECT COUNT(*) AS n FROM orders),
+    big AS (SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > 100000),
+    po AS (SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus = 'O'),
+    pp AS (SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus = 'P'),
+    mo AS (SELECT AVG(o_totalprice) AS v FROM orders WHERE o_orderstatus = 'O'),
+    mf AS (SELECT AVG(o_totalprice) AS v FROM orders WHERE o_orderstatus = 'F'),
+    ga AS (
+      SELECT COUNT(*) AS n FROM (
+        SELECT o_orderpriority, AVG(o_totalprice) AS v FROM orders GROUP BY 1
+      ) WHERE v < 50000 OR v > 250000
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice < 0) AS BIGINT)
+        AS no_rows_violations,
+      (SELECT COUNT(DISTINCT o_orderstatus) FROM orders) = 3 AS single_value_ok,
+      (SELECT n FROM po) > 0 AS returns_rows_ok,
+      (SELECT string_agg(s, ',' ORDER BY s) FROM (
+         SELECT DISTINCT o_orderstatus AS s FROM orders)) = 'F,O,P'
+        AS matches_ok,
+      (SELECT n FROM big) >= 1 AS row_count_ok,
+      (SELECT n FROM big) * 1.0 / (SELECT n FROM tot) BETWEEN 0.05 AND 1.0
+        AS row_count_ratio_ok,
+      (SELECT n FROM po) >= (SELECT n FROM pp) AS row_count_compare_ok,
+      CAST((SELECT COUNT(*) FROM orders
+            WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM',
+                                          '4-NOT SPECIFIED','5-LOW')
+              AND o_orderpriority IS NOT NULL) AS BIGINT)
+        AS column_values_violations,
+      CAST((SELECT COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) FROM orders)
+           AS BIGINT) AS column_unique_dups,
+      CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+        AS column_not_null_nulls,
+      (SELECT AVG(o_totalprice) FROM orders) BETWEEN 1000 AND 1000000
+        AS aggregate_ok,
+      ABS((SELECT v FROM mo) - (SELECT v FROM mf))
+        / (ABS((SELECT v FROM mf)) + 1e-10) <= 0.5 AS aggregate_compare_ok,
+      CAST((SELECT n FROM ga) AS BIGINT) AS group_agg_violating_groups
+    FROM tot
+    """,
+)
+def q_query_result_shape_family_orders(spark, sf_dir):
+    """All 13 Query-SQL result-shape validators (validators/query.py:181-554;
+    reference query/result.py:18-230, row_count.py:17-180, column.py:17-188,
+    aggregate.py:17-248) driven through their real ``validate()`` paths over
+    a temp view of ``orders``. Each validator's outcome is reduced to a
+    deterministic scalar (violation count or pass flag) so the whole family
+    is oracle-checkable in one row. The user-SQL plans stay fully
+    distributed: every query compiles through spark.sql over the view, and
+    result-shape checks are aggregate/limit jobs, never driver row loops."""
+    from truthound_spark.validators.query import (
+        QueryAggregateCompareValidator,
+        QueryAggregateValidator,
+        QueryColumnNotNullValidator,
+        QueryColumnUniqueValidator,
+        QueryColumnValuesValidator,
+        QueryGroupAggregateValidator,
+        QueryMatchesValidator,
+        QueryReturnsNoRowsValidator,
+        QueryReturnsRowsValidator,
+        QueryRowCountCompareValidator,
+        QueryRowCountRatioValidator,
+        QueryRowCountValidator,
+        QueryReturnsSingleValueValidator,
+    )
+
+    df = t(spark, sf_dir, "orders")
+
+    def n_violations(issues):
+        return int(issues[0].count) if issues else 0
+
+    def passed(issues):
+        return not issues
+
+    no_rows = QueryReturnsNoRowsValidator(
+        "SELECT * FROM data WHERE o_totalprice < 0"
+    ).validate(df)
+    single = QueryReturnsSingleValueValidator(
+        "SELECT COUNT(DISTINCT o_orderstatus) FROM data", expected_value=3
+    ).validate(df)
+    has_rows = QueryReturnsRowsValidator(
+        "SELECT * FROM data WHERE o_orderstatus = 'O'"
+    ).validate(df)
+    matches = QueryMatchesValidator(
+        "SELECT DISTINCT o_orderstatus FROM data",
+        expected_rows=[("F",), ("O",), ("P",)],
+    ).validate(df)
+    row_count = QueryRowCountValidator(
+        "SELECT * FROM data WHERE o_totalprice > 100000", min_count=1
+    ).validate(df)
+    ratio = QueryRowCountRatioValidator(
+        "SELECT * FROM data WHERE o_totalprice > 100000",
+        min_ratio=0.05,
+        max_ratio=1.0,
+    ).validate(df)
+    compare = QueryRowCountCompareValidator(
+        "SELECT * FROM data WHERE o_orderstatus = 'O'",
+        "SELECT * FROM data WHERE o_orderstatus = 'P'",
+        op=">=",
+    ).validate(df)
+    col_values = QueryColumnValuesValidator(
+        "SELECT o_orderpriority FROM data",
+        allowed=["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+    ).validate(df)
+    col_unique = QueryColumnUniqueValidator(
+        "SELECT o_orderkey FROM data"
+    ).validate(df)
+    col_not_null = QueryColumnNotNullValidator(
+        "SELECT o_custkey FROM data"
+    ).validate(df)
+    agg = QueryAggregateValidator(
+        "SELECT o_totalprice FROM data",
+        agg="mean",
+        min_value=1000,
+        max_value=1_000_000,
+    ).validate(df)
+    agg_cmp = QueryAggregateCompareValidator(
+        "SELECT o_totalprice FROM data WHERE o_orderstatus = 'O'",
+        "SELECT o_totalprice FROM data WHERE o_orderstatus = 'F'",
+        agg="mean",
+        rel_tolerance=0.5,
+    ).validate(df)
+    grp = QueryGroupAggregateValidator(
+        group_by=["o_orderpriority"],
+        column="o_totalprice",
+        agg="mean",
+        min_value=50_000,
+        max_value=250_000,
+    ).validate(df)
+
+    return _scalar_df(
+        spark,
+        no_rows_violations=n_violations(no_rows),
+        single_value_ok=passed(single),
+        returns_rows_ok=passed(has_rows),
+        matches_ok=passed(matches),
+        row_count_ok=passed(row_count),
+        row_count_ratio_ok=passed(ratio),
+        row_count_compare_ok=passed(compare),
+        column_values_violations=n_violations(col_values),
+        column_unique_dups=n_violations(col_unique),
+        column_not_null_nulls=n_violations(col_not_null),
+        aggregate_ok=passed(agg),
+        aggregate_compare_ok=passed(agg_cmp),
+        group_agg_violating_groups=n_violations(grp),
+    )
