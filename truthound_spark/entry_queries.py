@@ -5549,3 +5549,88 @@ def q_query_result_shape_family_orders(spark, sf_dir):
         aggregate_compare_ok=passed(agg_cmp),
         group_agg_violating_groups=n_violations(grp),
     )
+
+
+@register(
+    "cascade_depth_derived",
+    """
+    WITH RECURSIVE e AS (
+      SELECT c_custkey AS id,
+             CASE WHEN c_custkey = 0 THEN NULL ELSE CAST((c_custkey - 1) / 2 AS BIGINT) END AS parent
+      FROM customer
+    ),
+    walk(id, depth) AS (
+      SELECT id, 0 FROM e WHERE parent IS NULL
+      UNION ALL
+      SELECT e.id, w.depth + 1 FROM e JOIN walk w ON e.parent = w.id
+    ),
+    d AS (SELECT MAX(depth) AS md FROM walk)
+    SELECT (SELECT md FROM d) > 4 AS depth_exceeds_4,
+           (SELECT md FROM d) <= 64 AS depth_within_64,
+           CAST(LEAST((SELECT md FROM d), 6) AS BIGINT) AS reported_depth_at_bound_4
+    FROM d
+    """,
+)
+def q_cascade_depth_derived(spark, sf_dir):
+    """CascadeDepthValidator (validators/referential.py:444; reference
+    referential/cascade.py:297): FK dependency-chain depth over same-table
+    id→parent edges, walked with broadcast frontier joins + localCheckpoint
+    per level (bounded lineage — the BFS plan that survives deep chains).
+    The derived edge table is the customer binary tree (parent=(id-1)//2).
+    The validator caps its walk at max_depth+2 levels, so the violation's
+    reported depth is min(true_depth, bound+2) — mirrored in the oracle
+    with LEAST(max_depth, 6) at bound 4."""
+    from truthound_spark.validators.referential import CascadeDepthValidator
+
+    df = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_custkey") == 0, F.lit(None).cast("long"))
+        .otherwise(F.floor((F.col("c_custkey") - 1) / 2).cast("long"))
+        .alias("parent"),
+    )
+    tight = CascadeDepthValidator("id", "parent", max_depth=4).validate(df)
+    loose = CascadeDepthValidator("id", "parent", max_depth=64).validate(df)
+    return _scalar_df(
+        spark,
+        depth_exceeds_4=bool(tight),
+        depth_within_64=not loose,
+        reported_depth_at_bound_4=int(tight[0].actual) if tight else 0,
+    )
+
+
+@register(
+    "feature_scale_lineitem",
+    """
+    WITH s AS (
+      SELECT stddev_samp(l_quantity) AS s_qty,
+             stddev_samp(l_extendedprice) AS s_price,
+             stddev_samp(l_discount) AS s_disc
+      FROM lineitem
+    )
+    SELECT ROUND(GREATEST(s_qty, s_price, s_disc)
+                 / LEAST(s_qty, s_price, s_disc), 2) AS scale_ratio,
+           GREATEST(s_qty, s_price, s_disc)
+             / LEAST(s_qty, s_price, s_disc) > 100 AS exceeds_100,
+           GREATEST(s_qty, s_price, s_disc)
+             / LEAST(s_qty, s_price, s_disc) <= 1e9 AS within_1e9
+    FROM s
+    """,
+)
+def q_feature_scale_lineitem(spark, sf_dir):
+    """FeatureScaleValidator (validators/ml_feature.py:173; reference
+    ml_feature/scale.py:30): stddev-magnitude spread across numeric
+    features from ONE fused agg — price vs discount spans >100x, so the
+    tight bound flags and the loose bound passes; the flagged ratio is
+    oracle-checked exactly."""
+    from truthound_spark.validators.ml_feature import FeatureScaleValidator
+
+    df = t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    tight = FeatureScaleValidator(columns=cols, max_ratio=100).validate(df)
+    loose = FeatureScaleValidator(columns=cols, max_ratio=1e9).validate(df)
+    return _scalar_df(
+        spark,
+        scale_ratio=float(tight[0].actual) if tight else 0.0,
+        exceeds_100=bool(tight),
+        within_1e9=not loose,
+    )
