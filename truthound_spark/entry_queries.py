@@ -5634,3 +5634,66 @@ def q_feature_scale_lineitem(spark, sf_dir):
         exceeds_100=bool(tight),
         within_1e9=not loose,
     )
+
+
+@register(
+    "table_contracts_nation",
+    """
+    WITH d AS (SELECT * FROM (DESCRIBE SELECT * FROM nation))
+    SELECT
+      (SELECT COUNT(*) FROM nation) >= 1 AS not_empty_ok,
+      (SELECT COUNT(*) FROM d) = 3 AS column_count_ok,
+      (SELECT COUNT(*) FROM d
+        WHERE (column_name = 'n_nationkey' AND column_type = 'INTEGER')
+           OR (column_name = 'n_name' AND column_type = 'VARCHAR')
+           OR (column_name = 'n_regionkey' AND column_type = 'INTEGER')) = 3
+        AS schema_match_ok,
+      (SELECT COUNT(*) FROM d
+        WHERE column_type IN ('INTEGER', 'BIGINT', 'VARCHAR')) = 3
+        AS types_allowed_ok,
+      (SELECT COUNT(*) FROM nation) / 3.0 >= 1.0 AS row_col_ratio_ok
+    """,
+)
+def q_table_contracts_nation(spark, sf_dir):
+    """Table-contract family (validators/table.py:106-626; reference
+    table/row_count.py:224, column_count.py:17, schema.py:17-330,
+    size.py:115): TableNotEmpty (bounded ``limit(n).take(n)`` scan — never
+    a full count), TableColumnCount / TableSchemaMatch / TableColumnTypes
+    (pure schema checks, zero data jobs), and TableRowToColumnRatio (one
+    fused count agg). The DuckDB oracle mirrors each contract against the
+    same parquet via DESCRIBE introspection — Spark 'int'/'string' map to
+    DuckDB INTEGER/VARCHAR."""
+    from truthound_spark.validators.table import (
+        TableColumnCountValidator,
+        TableColumnTypesValidator,
+        TableNotEmptyValidator,
+        TableRowToColumnRatioValidator,
+        TableSchemaMatchValidator,
+    )
+
+    df = t(spark, sf_dir, "nation")
+    not_empty = TableNotEmptyValidator(min_rows=1).validate(df)
+    col_count = TableColumnCountValidator(expected_count=3).validate(df)
+    schema_match = TableSchemaMatchValidator(
+        {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+        strict=True,
+    ).validate(df)
+    types_ok = TableColumnTypesValidator(
+        {
+            "n_nationkey": ["int", "bigint"],
+            "n_name": "string",
+            "n_regionkey": ["int", "bigint"],
+        }
+    ).validate(df)
+    ratio = TableRowToColumnRatioValidator(min_ratio=1.0)
+    from truthound_spark.core.executor import BatchExpressionExecutor
+
+    ratio_issues = BatchExpressionExecutor([ratio]).execute(df)
+    return _scalar_df(
+        spark,
+        not_empty_ok=not not_empty,
+        column_count_ok=not col_count,
+        schema_match_ok=not schema_match,
+        types_allowed_ok=not types_ok,
+        row_col_ratio_ok=not ratio_issues,
+    )
