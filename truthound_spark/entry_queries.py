@@ -5697,3 +5697,46 @@ def q_table_contracts_nation(spark, sf_dir):
         types_allowed_ok=not types_ok,
         row_col_ratio_ok=not ratio_issues,
     )
+
+
+@register(
+    "streaming_microbatch_validation_events",
+    f"""
+    WITH {EV}
+    SELECT CAST((SELECT COUNT(*) FROM ev WHERE value IS NULL) AS BIGINT)
+             AS total_null_value,
+           CAST((SELECT COUNT(*) FROM ev) AS BIGINT) AS total_rows,
+           CAST(4 AS BIGINT) AS batches_processed,
+           TRUE AS replay_ignored
+    """,
+)
+def q_streaming_microbatch_validation_events(spark, sf_dir):
+    """Micro-batch validation surface (streaming/validate.py:24-57;
+    reference realtime/base.py:369-551): StreamingValidationSink invoked
+    exactly as Structured Streaming's foreachBatch would — one call per
+    micro-batch plus a REPLAYED batch_id (crash-recovery semantics) that
+    the idempotence guard must drop. Per-batch suites run through the real
+    ``th.check`` fused-agg path; summed per-batch null counts must equal
+    the whole-table oracle count (partial results compose exactly — the
+    property that makes incremental validation trustworthy)."""
+    from truthound_spark.streaming.validate import StreamingValidationSink
+    from truthound_spark.validators.completeness import NullValidator
+
+    ev = t(spark, sf_dir, "events")
+    sink = StreamingValidationSink([NullValidator(columns=["value"])])
+    for batch_id in range(4):
+        sink(ev.filter(F.col("event_id") % 4 == batch_id), batch_id)
+    sink(ev.filter(F.col("event_id") % 4 == 0), 0)  # replayed batch
+
+    def nulls(res):
+        return sum(i.count for i in res.issues if i.issue_type == "null_values")
+
+    total_null = sum(nulls(r) for _, r in sink.results)
+    total_rows = sum(r.row_count for _, r in sink.results)
+    return _scalar_df(
+        spark,
+        total_null_value=int(total_null),
+        total_rows=int(total_rows),
+        batches_processed=len(sink.results),
+        replay_ignored=len(sink.results) == 4,
+    )
