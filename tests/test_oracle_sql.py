@@ -59,7 +59,6 @@ def test_rows_only_entries_are_the_declared_exceptions():
         "embedding_lsh_near_duplicates",
         "ivf_topk_embeddings",
         "pca_anomaly_lineitem",
-        "simhash_pairs_documents",
     ], rows_only
 
 

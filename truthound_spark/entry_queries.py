@@ -1781,10 +1781,42 @@ def q_minhash_lsh_pairs_documents(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-@register("simhash_pairs_documents")
+@register(
+    "simhash_pairs_documents",
+    r"""
+    WITH w AS (
+      SELECT doc_id AS id,
+             list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    tok AS (SELECT id, unnest(ws) AS wd FROM w),
+    h AS (SELECT id, ('0x' || substr(md5(wd), 1, 16))::UBIGINT AS hv FROM tok),
+    bits AS (
+      SELECT id, i, SUM(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM h, range(64) t(i) GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT w.id,
+             COALESCE((SELECT SUM(CASE WHEN vote > 0
+                                       THEN (1::UBIGINT << i) ELSE 0::UBIGINT END)
+                       FROM bits b WHERE b.id = w.id), 0)::UBIGINT AS v
+      FROM w
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.v, b.v)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.id < b.id
+    WHERE bit_count(xor(a.v, b.v)) <= 3
+    ORDER BY 1, 2
+    """,
+)
 def q_simhash_pairs_documents(spark, sf_dir):
-    """SimHash near-dup pairs (pipeline/dedup.py:239-315) — md5 bit-voting
-    signature is not SQL-expressible; rows-only check."""
+    """SimHash near-dup pairs (pipeline/dedup.py:239-315). The md5
+    bit-voting signature is replicated bit-exactly in the oracle (md5
+    first-8-bytes big-endian word hash, ±1 votes per bit, vote>0 sets the
+    bit), and the oracle's EXHAUSTIVE hamming≤3 pair join must equal the
+    engine's 4-segment pigeonhole plan — the blocking is exact (not
+    approximate) at distance ≤ 3, which this oracle proves."""
     from truthound_spark.pipeline.dedup import simhash_near_duplicates
 
     df = t(spark, sf_dir, "documents")
