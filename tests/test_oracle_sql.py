@@ -55,8 +55,6 @@ def test_rows_only_entries_are_the_declared_exceptions():
     # keep that set explicit so a forgotten oracle fails loudly.
     rows_only = sorted(set(QUERIES) - set(ORACLES))
     assert rows_only == [
-        "ann_lsh_topk",
-        "embedding_lsh_near_duplicates",
         "ivf_topk_embeddings",
         "pca_anomaly_lineitem",
     ], rows_only

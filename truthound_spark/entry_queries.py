@@ -1891,26 +1891,107 @@ def q_embedding_near_duplicates(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-@register("embedding_lsh_near_duplicates")
+def _lsh_near_dup_oracle() -> str:
+    """Oracle replicating the sign-LSH bucketing EXACTLY: the seeded
+    hyperplanes (make_planes(64, 8, 42) — deterministic) are inlined as
+    SQL literals, bucket bit i = (v · plane_i >= 0), and candidate pairs
+    come from the same bucket-equality join the engine uses. Both engines
+    fold the dot product left-to-right over the same element order, so
+    bucket bits and (6-digit-rounded) cosines agree bit-for-bit."""
+    from truthound_spark.pipeline.similarity import make_planes
+
+    planes = make_planes(64, 8, 42)
+
+    def lit(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lit(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    cos = (
+        "list_dot_product(a.v, bb.v) / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(bb.v, bb.v)))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT id, v, {bits} AS bucket FROM e)
+    SELECT a.id AS id_a, bb.id AS id_b, ROUND({cos}, 6) AS cosine
+    FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id
+    WHERE {cos} >= 0.3
+    ORDER BY 1, 2
+    """
+
+
+@register("embedding_lsh_near_duplicates", _lsh_near_dup_oracle())
 def q_embedding_lsh_near_duplicates(spark, sf_dir):
-    """Sign-LSH-bucketed embedding near-dup (the 100 TB path): candidates
-    from random-hyperplane buckets only — rows-only check (bucket recall
-    is probabilistic)."""
+    """Sign-LSH-bucketed embedding near-dup (pipeline/dedup.py:488-525 —
+    the 100 TB path: candidates only from random-hyperplane buckets, the
+    O(n²) cross-join never materializes). The oracle replicates the
+    bucketing itself (seeded planes as literals), so the bucket-join
+    candidate set AND the verified cosines must match exactly — threshold
+    0.3 keeps the result non-trivial on the random test embeddings."""
     from truthound_spark.pipeline.dedup import embedding_near_duplicates
 
     df = t(spark, sf_dir, "embeddings")
-    return embedding_near_duplicates(df, threshold=0.9).orderBy("id_a", "id_b")
+    pairs = embedding_near_duplicates(df, threshold=0.3)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).orderBy("id_a", "id_b")
 
 
-@register("ann_lsh_topk")
+def _lsh_topk_oracle() -> str:
+    """Oracle replicating lsh_topk's deterministic plan: seeded 6-plane
+    bucketing as SQL literals, bucket-equality candidate join, and the
+    same (cosine DESC, id) row_number ranking."""
+    from truthound_spark.pipeline.similarity import make_planes
+
+    planes = make_planes(64, 6, 42)
+
+    def lit(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lit(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    cos = (
+        "list_dot_product(c.v, q.v) / (sqrt(list_dot_product(c.v, c.v))"
+        " * sqrt(list_dot_product(q.v, q.v)))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT id, v, {bits} AS bucket FROM e),
+    scored AS (
+      SELECT q.id AS query_id, c.id AS id, {cos} AS cosine
+      FROM b c JOIN b q ON c.bucket = q.bucket AND c.id <> q.id
+      WHERE q.id < 5
+    ),
+    ranked AS (
+      SELECT query_id, id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, id) AS rank
+      FROM scored
+    )
+    SELECT query_id, id, ROUND(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """
+
+
+@register("ann_lsh_topk", _lsh_topk_oracle())
 def q_ann_lsh_topk(spark, sf_dir):
-    """Sign-LSH bucketed top-k (pipeline/similarity.py lsh_topk) —
-    rows-only (approximate recall)."""
+    """Sign-LSH bucketed top-k (pipeline/similarity.py:88-116 lsh_topk).
+    The plan is deterministic end-to-end — seeded planes, bucket-equality
+    candidates, row_number over (cosine DESC, id) — so the oracle
+    replicates it exactly: same buckets, same candidates, same ranks."""
     from truthound_spark.pipeline.similarity import lsh_topk
 
     df = t(spark, sf_dir, "embeddings")
     queries = df.filter(F.col("vec_id") < 5)
-    return lsh_topk(df, queries, k=5).orderBy("query_id", "rank")
+    res = lsh_topk(df, queries, k=5, num_planes=6)
+    return res.select(
+        "query_id", "id", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")
 
 
 # ===========================================================================
