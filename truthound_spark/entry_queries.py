@@ -44,14 +44,20 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    parquet reader rejects; read nanos as long and convert to a proper
-    (microsecond) timestamp column. Oracle side mirrors with
-    make_timestamp(epoch_ns(ts)//1000)."""
+    """events.parquet carries TIMESTAMP(NANOS). Spark ≤4.1.0 needs the
+    ``nanosAsLong`` legacy conf (nanos arrive as bigint → convert); Spark
+    ≥4.1.2 ignores that conf and reads nanos natively as TIMESTAMP_NTZ
+    (truncated to micros) → cast to a session-timezone (UTC) timestamp so
+    downstream epoch math (``cast(ts as double)``, ``unix_micros``) stays
+    legal. Both paths land on the same UTC microsecond instants; oracle
+    side mirrors with make_timestamp(epoch_ns(ts)//1000)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
