@@ -5859,3 +5859,77 @@ def q_streaming_microbatch_validation_events(spark, sf_dir):
         batches_processed=len(sink.results),
         replay_ignored=len(sink.results) == 4,
     )
+
+
+# ===========================================================================
+# Round 3: duplicate-cluster resolution + decontamination
+# ===========================================================================
+
+
+@register(
+    "dedup_clusters_documents",
+    # DuckDB disallows UNNEST anywhere inside a WITH RECURSIVE block, so
+    # the edge list is built unnest-free: pairwise list_intersect Jaccard
+    # over the shingle arrays (exhaustive — fine at oracle scale).
+    f"""
+    WITH RECURSIVE reach(node, root) AS (
+      SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+      UNION
+      SELECT e.v, r.root FROM reach r JOIN (
+        WITH shf AS (
+          SELECT id, list_filter(sh, x -> x <> '') AS sh FROM ({_SHINGLES_SQL})
+        ),
+        p AS (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM shf a JOIN shf b ON a.id < b.id
+          WHERE len(list_intersect(a.sh, b.sh))
+                / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.7
+        )
+        SELECT id_a AS u, id_b AS v FROM p
+        UNION SELECT id_b, id_a FROM p
+      ) e ON e.u = r.node
+    )
+    SELECT node AS doc_id, MIN(root) AS cluster_id,
+           (MIN(root) = node) AS is_canonical
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def q_dedup_clusters_documents(spark, sf_dir):
+    """Fuzzy-dedup cluster resolution (pipeline/dedup.py dedup_clusters):
+    MinHash-LSH pairs ≥ 0.7 → distributed connected components (min-label
+    propagation + pointer jumping, localCheckpoint per round) →
+    (doc_id, cluster_id, is_canonical). The oracle recomputes components
+    with a recursive CTE over the exhaustive exact-Jaccard pair set — the
+    transitive closure must match exactly, proving both the LSH recall
+    argument AND the iterative component algorithm."""
+    from truthound_spark.pipeline.dedup import dedup_clusters
+
+    df = t(spark, sf_dir, "documents")
+    return dedup_clusters(
+        df, "text", "doc_id", threshold=0.7, num_hashes=64, bands=32
+    ).orderBy("doc_id")
+
+
+@register(
+    "decontamination_overlap_documents",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    tr AS (SELECT id, unnest(sh) AS g FROM sh WHERE id % 2 = 0),
+    te AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE id % 2 = 1)
+    SELECT tr.id AS doc_id, CAST(COUNT(*) AS BIGINT) AS overlap_ngrams
+    FROM tr JOIN te ON tr.g = te.g AND tr.g <> ''
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_decontamination_overlap_documents(spark, sf_dir):
+    """Benchmark decontamination (pipeline/dedup.py decontaminate):
+    training docs (even doc_ids) sharing any word 3-gram with the held-out
+    set (odd doc_ids). The distinct test n-gram probe set is broadcast
+    against the train inverted index — the training corpus itself is
+    never shuffled, the property that makes this runnable at 100 TB."""
+    from truthound_spark.pipeline.dedup import decontaminate
+
+    df = t(spark, sf_dir, "documents")
+    train = df.filter(F.col("doc_id") % 2 == 0)
+    test = df.filter(F.col("doc_id") % 2 == 1)
+    return decontaminate(train, test, "text", "doc_id", n=3).orderBy("doc_id")

@@ -258,7 +258,13 @@ def minhash_lsh_candidates(
             "drops trailing hashes"
         )
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, _shingles=_shingles)
+    # materialize the aggregated signature table once (narrow: one row of
+    # k longs per doc); the banded self-join below re-derives band bucket
+    # hashes from it on both sides as cheap column math instead of
+    # materializing the bands×-wider exploded entry table
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, _shingles=_shingles
+    ).localCheckpoint(eager=True)
     band_entries = sig.select(
         "id",
         F.explode(
@@ -281,9 +287,6 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    # materialize once: the self-join below would otherwise recompute the
-    # whole shingle→signature pipeline for BOTH sides
-    band_entries = band_entries.localCheckpoint(eager=True)
     left = band_entries.alias("a")
     right = band_entries.alias("b")
     pairs = (
@@ -323,12 +326,26 @@ def minhash_dedup_pairs(
     )
     a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
     b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
+    # candidate pairs are tiny next to the corpus — broadcast them so the
+    # two shingle lookups are map-side, never shuffling the shingle table
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))).cast("double")
+    with_a = a.join(F.broadcast(cands), "id_a")
     return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        b.join(F.broadcast(with_a), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size("sh_a").alias("__na"),
+            F.size("sh_b").alias("__nb"),
+            inter.alias("__inter"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter"))).alias(
+                "jaccard"
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -537,4 +554,156 @@ def embedding_near_duplicates(
             cosine_sim(F.col("a.v"), F.col("b.v")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution (connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Resolve a near-duplicate pair list into duplicate CLUSTERS:
+    (id, cluster_id) where cluster_id is the minimum member id of the
+    connected component (reference surface: the dedup "groups" concept of
+    exact_duplicates, generalized to transitive near-dup closure).
+
+    Distributed min-label propagation with pointer jumping: each round
+    (a) every node takes the min label over itself and its neighbors
+    (one shuffle: edges ⋈ labels, groupBy node), then (b) labels jump
+    through themselves (labels ⋈ labels on label==node) so a chain of
+    length L resolves in O(log L) rounds, not O(L). Each round ends in
+    ``localCheckpoint`` — lineage stays constant-depth, the classic
+    iterative-Spark requirement. Convergence is detected by a changed-row
+    count; the loop raises if max_iterations rounds don't converge
+    (inconclusive is NOT silently reported as converged).
+
+    At 100 TB: rounds shuffle only (node, label) longs — never documents;
+    duplicate clusters are typically tiny-diameter, so 3-4 rounds suffice.
+    """
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+    )
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    edges = edges.dropDuplicates().localCheckpoint(eager=True)
+    lab = (
+        edges.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("label"))
+        .select(F.col("u").alias("node"), "label")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(lab, edges["v"] == lab["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = (
+            lab.join(nbr, lab["node"] == nbr["u"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        jumped = (
+            stepped.alias("x")
+            .join(
+                stepped.select(
+                    F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+                ),
+                F.col("x.label") == F.col("jnode"),
+                "left",
+            )
+            .select(
+                F.col("x.node").alias("node"),
+                F.least(F.col("x.label"), F.coalesce(F.col("jlabel"), F.col("x.label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(lab.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        lab = jumped
+        if changed == 0:
+            return lab.select(F.col("node").alias("id"), F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds "
+        "(pathological graph diameter); raise max_iterations"
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end fuzzy-dedup resolution: MinHash-LSH pairs ≥ threshold →
+    connected components → (doc_id, cluster_id, is_canonical). Keep rows
+    with ``is_canonical`` to retain exactly one representative (the min
+    doc id) per transitive near-duplicate cluster — the standard
+    large-corpus fuzzy-dedup final step. Docs in no pair keep themselves
+    as singleton canonical clusters (left join, not dropped)."""
+    pairs = minhash_dedup_pairs(
+        df, text_col, id_col, threshold, num_hashes, bands, shingle_n
+    )
+    comp = connected_components(pairs)
+    ids = df.select(F.col(id_col).cast("long").alias("id"))
+    out = ids.join(comp, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"),
+    )
+    return out.withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# decontamination (train/test n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ≥
+    ``min_overlap`` distinct word n-grams with ANY test/eval document
+    (the GPT-3/PaLM-style n-gram collision rule).
+
+    Plan: shingle both corpora once (same normalize→split→slice pipeline
+    as MinHash, zero Python), distinct test n-grams form the probe set —
+    at real scale the eval suite is tiny next to the training corpus, so
+    Spark broadcast-joins the probe side against the train inverted index
+    and the corpus is never shuffled. Returns (doc_id,
+    overlap_ngrams) for contaminated train docs; anti-join the result to
+    clean the corpus."""
+    tr = _shingle_rows(train, text_col, id_col, n).dropDuplicates(["id", "g"])
+    te = (
+        _shingle_rows(test, text_col, id_col, n)
+        .select("g")
+        .dropDuplicates()
+    )
+    hits = tr.join(F.broadcast(te), "g").groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("overlap_ngrams")
+    )
+    return hits.filter(F.col("overlap_ngrams") >= min_overlap).select(
+        F.col("id").alias(id_col), "overlap_ngrams"
     )
