@@ -195,6 +195,25 @@ def main():
 
     bench_one("minhash_dedup_documents", minhash, timings)
 
+    def dedup_clusters_bench():
+        from truthound_spark.pipeline.dedup import dedup_clusters
+
+        dedup_clusters(documents, threshold=0.7, num_hashes=64, bands=32).filter(
+            ~F.col("is_canonical")
+        ).count()
+
+    bench_one("dedup_clusters_documents", dedup_clusters_bench, timings)
+
+    def decontaminate_bench():
+        from truthound_spark.pipeline.dedup import decontaminate
+
+        decontaminate(
+            documents.filter(F.col("doc_id") % 2 == 0),
+            documents.filter(F.col("doc_id") % 2 == 1),
+        ).count()
+
+    bench_one("decontamination_documents", decontaminate_bench, timings)
+
     def topk():
         from truthound_spark.pipeline.similarity import brute_force_topk
 
