@@ -14,10 +14,21 @@ from truthound_spark.entry_families import (
 from truthound_spark.entry_queries import ORACLES, QUERIES
 
 
+#: Genuinely non-SQL iterative entries (numpy eigh / sampled k-means);
+#: registered after the verified prefix, whose closed-form variants
+#: (ivf_seeded_topk, pca_power_anomaly) cover the same operators.
+POST_PREFIX_ROWS_ONLY = {"ivf_topk_embeddings", "pca_anomaly_lineitem"}
+
+
 def test_families_cover_every_granular_query_exactly_once():
     fam_members = [m for ms in FAMILIES.values() for m in ms]
     assert len(fam_members) == len(set(fam_members)), "duplicate family member"
-    slotted = set(fam_members) | set(MULTI_ROW_SLOTS) | set(ROWS_ONLY_SLOTS)
+    slotted = (
+        set(fam_members)
+        | set(MULTI_ROW_SLOTS)
+        | set(ROWS_ONLY_SLOTS)
+        | POST_PREFIX_ROWS_ONLY
+    )
     granular = set(QUERIES)
     assert slotted == granular, (
         f"uncovered={sorted(granular - slotted)} unknown={sorted(slotted - granular)}"

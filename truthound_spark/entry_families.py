@@ -214,6 +214,7 @@ MULTI_ROW_SLOTS: list[str] = [
     "embedding_near_duplicates",
     "embedding_lsh_near_duplicates",
     "ann_lsh_topk",
+    "ivf_seeded_topk_embeddings",
     "text_token_counts_documents",
     "text_quality_documents",
     "quality_score_documents",
@@ -234,13 +235,13 @@ MULTI_ROW_SLOTS: list[str] = [
     "cross_table_group_aggregate",
     "dedup_clusters_documents",
     "decontamination_overlap_documents",
+    "pca_power_anomaly_lineitem",
 ]
 
-#: Genuinely non-SQL-expressible entries (driver rows-only check).
-ROWS_ONLY_SLOTS: list[str] = [
-    "pca_anomaly_lineitem",
-    "ivf_topk_embeddings",
-]
+#: Genuinely non-SQL-expressible entries (numpy eigh / sampled k-means —
+#: iterative); registered AFTER the verified prefix, which covers the same
+#: operators via the closed-form ivf_seeded / pca_power variants.
+ROWS_ONLY_SLOTS: list[str] = []
 
 
 def _composite_query(members: list[str]) -> Callable[[SparkSession, str], DataFrame]:

@@ -5933,3 +5933,188 @@ def q_decontamination_overlap_documents(spark, sf_dir):
     train = df.filter(F.col("doc_id") % 2 == 0)
     test = df.filter(F.col("doc_id") % 2 == 1)
     return decontaminate(train, test, "text", "doc_id", n=3).orderBy("doc_id")
+
+
+_IVF_D2 = (
+    "list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+    " + list_dot_product({b}, {b})"
+)
+
+
+@register(
+    "ivf_seeded_topk_embeddings",
+    f"""
+    WITH ed AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+    ),
+    c AS (
+      SELECT CAST(vec_id AS BIGINT) AS cell, embedding AS cv
+      FROM ed WHERE vec_id < 16
+    ),
+    a AS (
+      SELECT id, v, cell FROM (
+        SELECT CAST(e.vec_id AS BIGINT) AS id, e.embedding AS v, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_IVF_D2.format(a='e.embedding', b='c.cv')}, c.cell
+               ) AS rn
+        FROM ed e, c
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT CAST(q.vec_id AS BIGINT) AS query_id, q.embedding AS qv, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_IVF_D2.format(a='q.embedding', b='c.cv')}, c.cell
+               ) AS rn
+        FROM ed q, c WHERE q.vec_id < 8
+      ) WHERE rn <= 2
+    ),
+    s AS (
+      SELECT p.query_id, a.id,
+             list_dot_product(a.v, p.qv)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(p.qv, p.qv)))
+             AS cosine
+      FROM probe p JOIN a ON a.cell = p.cell
+      WHERE a.id <> p.query_id
+    )
+    SELECT query_id, id, ROUND(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
+      FROM s
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q_ivf_seeded_topk_embeddings(spark, sf_dir):
+    """IVF ANN, fully oracle-verified (pipeline/similarity.py
+    ivf_seeded_topk): deterministic seed centroids (16 lowest vec_ids, no
+    Lloyd iterations) make assignment + probing closed-form; the unrounded
+    argmin cell assignment hash-matches because both engines compute the
+    distance in the same dot-product fold form. The production
+    ``ivf_assign`` path (sampled k-means) shares this probe/search plan
+    and stays covered by the rows-only ``ivf_topk_embeddings`` entry."""
+    from truthound_spark.pipeline.similarity import ivf_seeded_topk
+
+    df = t(spark, sf_dir, "embeddings")
+    q = df.filter(F.col("vec_id") < 8)
+    out = ivf_seeded_topk(df, q, k=5, num_cells=16, nprobe=2)
+    return out.select(
+        "query_id", "id", F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "pca_power_anomaly_lineitem",
+    """
+    WITH stats AS (
+      SELECT AVG(l_quantity) AS mu0, AVG(l_extendedprice) AS mu1, AVG(l_discount) AS mu2,
+             covar_pop(l_quantity, l_quantity) AS c00,
+             covar_pop(l_quantity, l_extendedprice) AS c01,
+             covar_pop(l_quantity, l_discount) AS c02,
+             covar_pop(l_extendedprice, l_extendedprice) AS c11,
+             covar_pop(l_extendedprice, l_discount) AS c12,
+             covar_pop(l_discount, l_discount) AS c22
+      FROM lineitem
+    ),
+    it1 AS (
+      SELECT *, c00 + c01 + c02 AS s0, c01 + c11 + c12 AS s1, c02 + c12 + c22 AS s2
+      FROM stats
+    ),
+    it2 AS (
+      SELECT *, c00 * s0 + c01 * s1 + c02 * s2 AS t0,
+                c01 * s0 + c11 * s1 + c12 * s2 AS t1,
+                c02 * s0 + c12 * s1 + c22 * s2 AS t2
+      FROM it1
+    ),
+    pc AS (
+      SELECT *, t0 / sqrt(t0 * t0 + t1 * t1 + t2 * t2) AS v0,
+                t1 / sqrt(t0 * t0 + t1 * t1 + t2 * t2) AS v1,
+                t2 / sqrt(t0 * t0 + t1 * t1 + t2 * t2) AS v2,
+                c00 + c11 + c22 AS trace
+      FROM it2
+    ),
+    scored AS (
+      SELECT l.l_orderkey, l.l_linenumber,
+             ((l.l_quantity - p.mu0) * (l.l_quantity - p.mu0)
+              + (l.l_extendedprice - p.mu1) * (l.l_extendedprice - p.mu1)
+              + (l.l_discount - p.mu2) * (l.l_discount - p.mu2)
+              - ((l.l_quantity - p.mu0) * p.v0 + (l.l_extendedprice - p.mu1) * p.v1
+                 + (l.l_discount - p.mu2) * p.v2)
+                * ((l.l_quantity - p.mu0) * p.v0 + (l.l_extendedprice - p.mu1) * p.v1
+                   + (l.l_discount - p.mu2) * p.v2)) / p.trace AS err
+      FROM lineitem l, pc p
+    )
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           ROUND(err, 6) AS resid_ratio,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT l_orderkey, l_linenumber, err,
+             ROW_NUMBER() OVER (ORDER BY err DESC, l_orderkey, l_linenumber) AS rank
+      FROM scored
+    ) WHERE rank <= 10 ORDER BY rank
+    """,
+)
+def q_pca_power_anomaly_lineitem(spark, sf_dir):
+    """PCA reconstruction-error anomaly ranking, fully oracle-verified:
+    top principal component via TWO fixed power-iteration steps from the
+    all-ones start vector (closed-form — same literal arithmetic both
+    engines, normalization deferred to the end so scaling cancels), then
+    the top-10 rows by residual ratio ||x-mu||² - ((x-mu)·v)² over
+    trace(Σ). The production PCAAnomalyValidator (numpy eigh, m
+    components, approx-quantile threshold — iterative, genuinely non-SQL)
+    stays covered by the rows-only pca_anomaly_lineitem entry."""
+    df = t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = [F.avg(c).alias(f"mu{i}") for i, c in enumerate(cols)]
+    for i in range(3):
+        for j in range(i, 3):
+            aggs.append(F.covar_pop(cols[i], cols[j]).alias(f"c{i}{j}"))
+    st = df.agg(*aggs).collect()[0].asDict()
+    mu = [st["mu0"], st["mu1"], st["mu2"]]
+    c = [[st["c00"], st["c01"], st["c02"]],
+         [st["c01"], st["c11"], st["c12"]],
+         [st["c02"], st["c12"], st["c22"]]]
+    # two power-iteration steps, all-ones start, same operation order as
+    # the SQL (left-to-right adds, no interim normalization)
+    s = [c[i][0] + c[i][1] + c[i][2] for i in range(3)]
+    tv = [c[i][0] * s[0] + c[i][1] * s[1] + c[i][2] * s[2] for i in range(3)]
+    import math
+
+    nrm = math.sqrt(tv[0] * tv[0] + tv[1] * tv[1] + tv[2] * tv[2])
+    v = [x / nrm for x in tv]
+    trace = c[0][0] + c[1][1] + c[2][2]
+
+    centered = [F.col(cols[i]) - F.lit(float(mu[i])) for i in range(3)]
+    proj = (
+        centered[0] * F.lit(v[0]) + centered[1] * F.lit(v[1]) + centered[2] * F.lit(v[2])
+    )
+    err = (
+        centered[0] * centered[0]
+        + centered[1] * centered[1]
+        + centered[2] * centered[2]
+        - proj * proj
+    ) / F.lit(float(trace))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("err"), "l_orderkey", "l_linenumber")
+    return (
+        df.select(
+            F.col("l_orderkey").cast("long"),
+            F.col("l_linenumber").cast("long"),
+            err.alias("err"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("err", 6).alias("resid_ratio"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("rank")
+    )

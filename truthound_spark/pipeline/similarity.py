@@ -174,3 +174,75 @@ def ivf_assign(
         "cell", F.array_position(F.col("__dists"), F.array_min(F.col("__dists"))).cast("int") - 1
     ).drop("__dists")
     return assigned, cents
+
+
+def l2_sq(a: "F.Column", b: "F.Column") -> "F.Column":
+    """Squared L2 distance in dot-product form: a·a - 2·a·b + b·b.
+
+    The dot-product formulation (sequential fold, identical on both
+    vectors) is chosen over sum((a-b)²) so a SQL oracle computing the
+    same three list_dot_product terms reproduces the exact IEEE result —
+    the property that lets IVF cell ASSIGNMENT (an unrounded argmin)
+    hash-match across engines."""
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return dot(a, a) - 2 * dot(a, b) + dot(b, b)
+
+
+def ivf_seeded_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 16,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN with DETERMINISTIC seed centroids: the ``num_cells``
+    lowest-id vectors act as the coarse quantizer (no Lloyd iterations),
+    making the whole index closed-form and oracle-verifiable; the
+    production path (``ivf_assign``) fits real k-means on a seeded sample
+    and shares this exact probe/search plan shape.
+
+    Plan: centroids are a broadcast 16-row frame; corpus assignment =
+    cross join with centroids → min-(distance, cell) window (16× map-side
+    amplification, collapsed before any shuffle by the WindowGroupLimit
+    partial top-1); probe = each query's ``nprobe`` nearest cells; search
+    = exact cosine within probed cells only, per-query top-k window.
+    Returns (query_id, id, cosine, rank)."""
+    cents = df.filter(F.col(id_col) < num_cells).select(
+        F.col(id_col).cast("long").alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    corpus = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    wa = Window.partitionBy("id").orderBy("d2", "cell")
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .select("id", "v", "cell", l2_sq(F.col("v"), F.col("cv")).alias("d2"))
+        .withColumn("__rn", F.row_number().over(wa))
+        .filter(F.col("__rn") == 1)
+        .select("id", "v", "cell")
+    )
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    wp = Window.partitionBy("query_id").orderBy("d2", "cell")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", "cell", l2_sq(F.col("qv"), F.col("cv")).alias("d2"))
+        .withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", "id", cosine_sim(F.col("v"), F.col("qv")).alias("cosine"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("id"))
+    return scored.withColumn("rank", F.row_number().over(wk)).filter(F.col("rank") <= k)
