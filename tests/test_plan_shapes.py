@@ -139,3 +139,47 @@ def test_salted_join_rejects_payload_joins():
 
     with pytest.raises(ValueError):
         salted_left_join(None, None, ["k"], how="left")
+
+
+def test_decontaminate_broadcasts_probe_side(spark):
+    """The test/eval n-gram probe set must be broadcast: the training
+    corpus is never shuffled (the 100 TB property)."""
+    from truthound_spark.pipeline.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = decontaminate(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivf_seeded_topk_broadcasts_centroids_and_probes(spark):
+    """IVF assignment/probing cross-joins must be against BROADCAST
+    centroid/probe frames — never a shuffle of the corpus — and the
+    per-query top-k must compile to a partial WindowGroupLimit."""
+    from truthound_spark.pipeline.similarity import ivf_seeded_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = ivf_seeded_topk(emb, emb.filter(F.col("vec_id") < 4), k=3, num_cells=8)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_connected_components_shuffles_only_labels(spark):
+    """Component rounds operate on (node, label) pairs: the plan of one
+    round's label table reads from a checkpointed RDD (constant-depth
+    lineage), not from a re-derived join tree."""
+    from truthound_spark.pipeline.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "id_a long, id_b long"
+    )
+    out = connected_components(pairs)
+    plan = _plan(out)
+    # result is a projection over the final checkpointed label table
+    assert "Scan ExistingRDD" in plan
