@@ -155,3 +155,51 @@ def test_decontaminate_min_overlap_threshold(spark):
     )
     out = decontaminate(train, test, min_overlap=2)
     assert out.count() == 0
+
+
+def test_connected_components_matches_union_find_on_random_graphs(spark):
+    """Distributed CC vs a pure-Python union-find oracle on seeded random
+    graphs (mixed chains, stars, islands, self-contained cliques)."""
+    import random
+
+    from truthound_spark.pipeline.dedup import connected_components
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(45)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {}
+        for a, b in edges:
+            for x in (a, b):
+                expected[x] = find(x)
+        # canonical root = min node of component
+        comp_min = {}
+        for x, r in expected.items():
+            comp_min.setdefault(find(r), set()).add(x)
+        want = {
+            x: min(members)
+            for root, members in comp_min.items()
+            for x in members
+        }
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r.id: r.cluster_id for r in connected_components(pairs).collect()
+        }
+        assert got == want, f"seed {seed}: {got} != {want}"
