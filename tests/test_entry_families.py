@@ -58,16 +58,20 @@ def test_driver_prefix_is_50_slots_with_oracles():
     assert set(names) >= set(QUERIES)
 
 
-def test_composite_oracle_sql_is_wellformed_duckdb():
+def test_composite_oracle_sql_is_wellformed_duckdb(sf_dir):
+    import os as _os
+
     import duckdb
 
+    if not _os.path.isdir(sf_dir):
+        pytest.skip(f"test dataset not present: {sf_dir}")
     con = duckdb.connect()
     for tb in [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]:
         con.execute(
-            f"CREATE VIEW {tb} AS SELECT * FROM '/root/testdata/sf0.001/{tb}.parquet'"
+            f"CREATE VIEW {tb} AS SELECT * FROM '{sf_dir}/{tb}.parquet'"
         )
     _, os = build_registries()
     for fam in FAMILIES:

@@ -1940,7 +1940,10 @@ def q_embedding_lsh_near_duplicates(spark, sf_dir):
     from truthound_spark.pipeline.dedup import embedding_near_duplicates
 
     df = t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_duplicates(df, threshold=0.3)
+    # pinned to the single-band 8-plane configuration the oracle inlines
+    # (band 0 at seed 42 == the library's pre-banding behavior); the
+    # library DEFAULT is the banded OR-construction (16 planes × 8 bands)
+    pairs = embedding_near_duplicates(df, threshold=0.3, num_planes=8, num_bands=1)
     return pairs.select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     ).orderBy("id_a", "id_b")
@@ -6050,11 +6053,11 @@ def q_ivf_seeded_topk_embeddings(spark, sf_dir):
     )
     SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
            CAST(l_linenumber AS BIGINT) AS l_linenumber,
-           ROUND(err, 6) AS resid_ratio,
+           r6 AS resid_ratio,
            CAST(rank AS BIGINT) AS rank
     FROM (
-      SELECT l_orderkey, l_linenumber, err,
-             ROW_NUMBER() OVER (ORDER BY err DESC, l_orderkey, l_linenumber) AS rank
+      SELECT l_orderkey, l_linenumber, ROUND(err, 6) AS r6,
+             ROW_NUMBER() OVER (ORDER BY ROUND(err, 6) DESC, l_orderkey, l_linenumber) AS rank
       FROM scored
     ) WHERE rank <= 10 ORDER BY rank
     """,
@@ -6101,19 +6104,24 @@ def q_pca_power_anomaly_lineitem(spark, sf_dir):
     ) / F.lit(float(trace))
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.desc("err"), "l_orderkey", "l_linenumber")
+    # rank on the 6-dp-ROUNDED residual (ties broken by key) in BOTH
+    # engines: the unrounded values differ between Spark's distributed
+    # avg/covar_pop fold order and DuckDB's sequential one at sub-ulp
+    # magnitudes, so an unrounded rank could flip on boundary values at
+    # other scale factors / partition counts (ADVICE r3)
+    w = Window.orderBy(F.desc("resid_ratio"), "l_orderkey", "l_linenumber")
     return (
         df.select(
             F.col("l_orderkey").cast("long"),
             F.col("l_linenumber").cast("long"),
-            err.alias("err"),
+            F.round(err, 6).alias("resid_ratio"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
         .select(
             "l_orderkey",
             "l_linenumber",
-            F.round("err", 6).alias("resid_ratio"),
+            "resid_ratio",
             F.col("rank").cast("long").alias("rank"),
         )
         .orderBy("rank")

@@ -236,7 +236,7 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 32,
     shingle_n: int = 3,
     _shingles: DataFrame | None = None,
 ) -> DataFrame:
@@ -308,7 +308,7 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard.
@@ -326,12 +326,21 @@ def minhash_dedup_pairs(
     )
     a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
     b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
-    # candidate pairs are tiny next to the corpus — broadcast them so the
-    # two shingle lookups are map-side, never shuffling the shingle table
+    # ONLY the bare (id_a, id_b) candidate list is broadcast — once into
+    # each side's shingle lookup, so both lookups are map-side and the
+    # corpus shingle table is never shuffled for them. The two enriched
+    # sides (candidate-count rows, each carrying ONE document's shingle
+    # array) then meet in an ordinary shuffle join on the pair key.
+    # Broadcasting an enriched side instead would ship candidate_count ×
+    # document-sized arrays through the driver — past Spark's broadcast
+    # cap at real corpus scale.
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    with_a = a.join(F.broadcast(cands), "id_a")
+    with_a = a.join(F.broadcast(cands), "id_a").select("id_a", "id_b", "sh_a")
+    with_b = b.join(F.broadcast(cands.select("id_b").dropDuplicates()), "id_b").select(
+        "id_b", "sh_b"
+    )
     return (
-        b.join(F.broadcast(with_a), "id_b")
+        with_a.join(with_b, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -509,16 +518,33 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     candidate_df: DataFrame | None = None,
     exact: bool = False,
-    num_planes: int = 8,
+    num_planes: int = 16,
+    num_bands: int = 8,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding near-dup pairs with cosine ≥ threshold.
 
-    DEFAULT is the scale-safe path: sign-LSH bucket the corpus and compare
-    only within buckets (near-linear candidates — the O(n²) cross-join never
-    materializes, so the same plan runs at 100 TB). Pass ``exact=True`` for
-    the exhaustive cross-join baseline (oracle-verifiable at small n), or
-    supply your own ``candidate_df`` of (id_a, id_b)."""
+    DEFAULT is the scale-safe path: banded sign-LSH (OR-construction, the
+    same shape as the MinHash band trick) — ``num_bands`` independent
+    plane sets of ``num_planes`` hyperplanes each; two vectors are
+    candidates if they share a bucket in ANY band, then every candidate is
+    verified against the exact cosine threshold. The O(n²) cross-join
+    never materializes, so the same plan runs at 100 TB.
+
+    Why banded: a single plane set is a pure AND-construction — recall at
+    the target threshold decays as p(θ)^planes, and the only way to keep
+    buckets small at corpus scale (more planes) destroys recall. Banding
+    decouples the two: per-band bucket count is 2^num_planes (65 536 at
+    the default 16 — in-bucket pair work stays near-linear as the corpus
+    grows), while recall is 1-(1-p^r)^b over bands. With p = 1-θ/π:
+    cosine 0.95 → p≈0.90, per-band hit 0.90^16≈0.18, 8 bands → ~80 %
+    recall; raise ``num_bands`` to 16 for ~96 %. At larger corpora scale
+    ``num_planes`` up (each +1 halves expected bucket occupancy) and
+    compensate recall with more bands.
+
+    Pass ``exact=True`` for the exhaustive cross-join baseline
+    (oracle-verifiable at small n), or supply your own ``candidate_df`` of
+    (id_a, id_b)."""
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     if candidate_df is None and not exact:
         from truthound_spark.pipeline.similarity import (
@@ -527,12 +553,26 @@ def embedding_near_duplicates(
             sign_lsh_signature,
         )
 
-        planes = make_planes(_vector_dim(df, vec_col), num_planes, seed)
-        bucketed = v.withColumn("bucket", sign_lsh_signature(F.col("v"), planes))
-        ba = bucketed.select(F.col("id").alias("id_a"), F.col("bucket"))
-        bb = bucketed.select(F.col("id").alias("id_b"), F.col("bucket"))
+        dim = _vector_dim(df, vec_col)
+        # one projection computes every band's signature, then a single
+        # explode → one self-join on (band, bucket) — not num_bands joins
+        band_sigs = [
+            F.struct(
+                F.lit(band).alias("band"),
+                sign_lsh_signature(
+                    F.col("v"), make_planes(dim, num_planes, seed + 7919 * band)
+                ).alias("bucket"),
+            )
+            for band in range(num_bands)
+        ]
+        entries = (
+            v.select("id", F.explode(F.array(*band_sigs)).alias("bb"))
+            .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        )
+        ba = entries.select(F.col("id").alias("id_a"), "band", "bucket")
+        bb = entries.select(F.col("id").alias("id_b"), "band", "bucket")
         candidate_df = (
-            ba.join(bb, "bucket")
+            ba.join(bb, ["band", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
             .dropDuplicates()
@@ -650,7 +690,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
     """End-to-end fuzzy-dedup resolution: MinHash-LSH pairs ≥ threshold →

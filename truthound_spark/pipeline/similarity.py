@@ -210,7 +210,17 @@ def ivf_seeded_topk(
     amplification, collapsed before any shuffle by the WindowGroupLimit
     partial top-1); probe = each query's ``nprobe`` nearest cells; search
     = exact cosine within probed cells only, per-query top-k window.
-    Returns (query_id, id, cosine, rank)."""
+    Returns (query_id, id, cosine, rank).
+
+    Cross-engine determinism caveat (ADVICE r3): the argmin cell
+    assignment and the final rank order compare UNROUNDED floats, so a
+    DuckDB-oracle hash-match additionally assumes both engines fold the
+    dot product in the same left-to-right element order (true today for
+    F.aggregate vs list_dot_product). Distances/cosines whose difference
+    is below one ulp of the fold could in principle assign/rank
+    differently on another engine version — ties at 6-dp are already
+    broken deterministically by (cell) / (id); if a future oracle flips,
+    round the window sort keys like pca_power_anomaly_lineitem does."""
     cents = df.filter(F.col(id_col) < num_cells).select(
         F.col(id_col).cast("long").alias("cell"),
         F.col(vec_col).cast("array<double>").alias("cv"),
