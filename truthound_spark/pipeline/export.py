@@ -105,10 +105,13 @@ def pack_sequences(
     """Greedy sample packing: concatenate documents into bins of at most
     ``max_tokens`` (by the BPE-ish token estimate), shard-locally.
 
-    Plan: one shuffle to co-locate a shard's documents (deterministic
-    order by id within shard), then an Arrow-batched applyInPandas greedy
-    first-fit pass per shard — the classic packing used to build
-    pretraining batches. Returns (shard, bin_id, doc_ids, total_tokens).
+    Plan: ONE range shuffle puts each shard value in its own task
+    (``repartitionByRange(n, shard)`` — the same 1:1 shard/task trick as
+    ``write_shards``; a ``groupBy(shard)`` hash shuffle instead collides
+    ~1/e of shards into shared tasks, leaving others idle and the collided
+    ones straggling), then an Arrow-batched mapInPandas greedy first-fit
+    pass per shard — the classic packing used to build pretraining
+    batches. Returns (shard, bin_id, doc_ids, total_tokens).
 
     Cross-shard packing would need a global sort + sequential scan; greedy
     per-shard loses <1/max_tokens of fill on real corpora and keeps the
@@ -131,35 +134,40 @@ def pack_sequences(
         ),
     )
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("id")
-        shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
-        bins: list[dict] = []
-        cur_ids: list = []
-        cur_tok = 0
-        bin_id = 0
-        for _, doc_id, tokens in pdf[["shard", "id", "tokens"]].itertuples(
-            index=False, name=None
-        ):
-            t = min(int(tokens), max_tokens)
-            if cur_tok + t > max_tokens and cur_ids:
-                bins.append(
-                    {"shard": shard, "bin_id": bin_id, "doc_ids": cur_ids, "total_tokens": cur_tok}
+    def pack_partition(iterator):
+        # a partition streams in as multiple Arrow batches that can split
+        # a shard — concat before packing (a partition is one shard's
+        # (id, tokens) pairs: small even when its documents are not)
+        chunks = list(iterator)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        out_rows: list[dict] = []
+        for shard, g in pdf.groupby("shard", sort=True):
+            g = g.sort_values("id")
+            cur_ids: list = []
+            cur_tok = 0
+            bin_id = 0
+            for doc_id, tokens in g[["id", "tokens"]].itertuples(index=False, name=None):
+                t = min(int(tokens), max_tokens)
+                if cur_tok + t > max_tokens and cur_ids:
+                    out_rows.append(
+                        {"shard": int(shard), "bin_id": bin_id, "doc_ids": cur_ids, "total_tokens": cur_tok}
+                    )
+                    bin_id += 1
+                    cur_ids, cur_tok = [], 0
+                cur_ids.append(doc_id)
+                cur_tok += t
+            if cur_ids:
+                out_rows.append(
+                    {"shard": int(shard), "bin_id": bin_id, "doc_ids": cur_ids, "total_tokens": cur_tok}
                 )
-                bin_id += 1
-                cur_ids, cur_tok = [], 0
-            cur_ids.append(doc_id)
-            cur_tok += t
-        if cur_ids:
-            bins.append(
-                {"shard": shard, "bin_id": bin_id, "doc_ids": cur_ids, "total_tokens": cur_tok}
-            )
-        return pd.DataFrame(
-            bins, columns=["shard", "bin_id", "doc_ids", "total_tokens"]
+        yield pd.DataFrame(
+            out_rows, columns=["shard", "bin_id", "doc_ids", "total_tokens"]
         )
 
-    return prepped.groupBy("shard").applyInPandas(
-        pack,
+    return prepped.repartitionByRange(n, "shard").mapInPandas(
+        pack_partition,
         schema=f"shard int, bin_id int, doc_ids array<{id_type}>, total_tokens int",
     )
 
