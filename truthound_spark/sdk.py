@@ -1,16 +1,39 @@
 """Custom-validator SDK (reference: src/truthound/decorators.py ``@validator``
 + validators/sdk/{builder,templates,testing}.py).
 
-Three surfaces:
+Five surfaces:
   * ``@validator`` — wrap a predicate-factory function into a registered
     Validator class (the reference decorator surface).
   * ``ValidatorBuilder`` — fluent builder composing column predicates.
   * ``assert_validator`` — micro test-harness running a validator on an
     inline dict frame and asserting the expected violation count
     (reference sdk/testing.py).
+  * templates — subclass-and-go validator scaffolds
+    (``truthound_spark.sdk_templates``, reference sdk/templates.py).
+  * testing — ``ValidatorTestCase`` + fixtures + benchmark harness
+    (``truthound_spark.sdk_testing``, reference sdk/testing.py).
 """
 
 from __future__ import annotations
+
+from truthound_spark.sdk_templates import (  # noqa: F401
+    CompositeValidator,
+    SimpleColumnValidator,
+    SimpleComparisonValidator,
+    SimplePatternValidator,
+    SimpleRangeValidator,
+)
+from truthound_spark.sdk_testing import (  # noqa: F401
+    BenchmarkResult,
+    ValidatorTestCase,
+    ValidatorTestResult,
+    assert_has_issue,
+    assert_issue_count,
+    assert_no_issues,
+    benchmark_validator,
+    create_edge_case_data,
+    create_test_dataframe,
+)
 
 from typing import Any, Callable
 

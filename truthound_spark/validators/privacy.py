@@ -821,3 +821,84 @@ class ConsentValidator(PrivacyValidator):
                 fixed_severity=Severity.HIGH,
             )
         ]
+
+
+# ---------------------------------------------------------------------------
+# Plugin-based privacy validation (reference: privacy/plugins.py:260-340 —
+# PII definitions come from a pluggable regulation object, not hardcoded
+# catalogs, so users can ship e.g. a HIPAA plugin without forking)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PrivacyRegulationPlugin:
+    """A pluggable regulation: code + display name + PII definitions
+    (reference: privacy/plugins.py PrivacyRegulationPlugin protocol)."""
+
+    code: str
+    regulation: str
+    definitions: list[PIIFieldDefinition]
+    issue_prefix: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.issue_prefix is None:
+            self.issue_prefix = self.code
+
+
+_PRIVACY_PLUGINS: dict[str, PrivacyRegulationPlugin] = {}
+
+
+def register_privacy_plugin(plugin: PrivacyRegulationPlugin) -> None:
+    """Register (or override) a regulation plugin under its code."""
+    _PRIVACY_PLUGINS[plugin.code] = plugin
+
+
+def get_privacy_plugin(code: str) -> PrivacyRegulationPlugin:
+    if code not in _PRIVACY_PLUGINS:
+        raise KeyError(
+            f"unknown privacy regulation {code!r}; known: {sorted(_PRIVACY_PLUGINS)}"
+        )
+    return _PRIVACY_PLUGINS[code]
+
+
+def list_privacy_plugins() -> list[str]:
+    return sorted(_PRIVACY_PLUGINS)
+
+
+for _code, _reg, _defs in [
+    ("gdpr", "GDPR", GDPR_PII_DEFINITIONS),
+    ("ccpa", "CCPA", CCPA_PII_DEFINITIONS),
+    ("lgpd", "LGPD", LGPD_PII_DEFINITIONS),
+    ("pipeda", "PIPEDA", PIPEDA_PII_DEFINITIONS),
+    ("appi", "APPI", APPI_PII_DEFINITIONS),
+    ("global", "Global", GLOBAL_PII_DEFINITIONS),
+]:
+    register_privacy_plugin(PrivacyRegulationPlugin(_code, _reg, list(_defs)))
+
+
+@register_validator("plugin_based_privacy", category="privacy")
+class PluginBasedPrivacyValidator(PrivacyValidator):
+    """PII scan driven by a regulation plugin (reference:
+    privacy/plugins.py:260 PluginBasedValidator).
+
+    >>> v = PluginBasedPrivacyValidator(regulation_code="gdpr")
+    >>> v = PluginBasedPrivacyValidator(plugin=my_hipaa_plugin)
+    """
+
+    name = "plugin_based_privacy"
+
+    def __init__(
+        self,
+        plugin: PrivacyRegulationPlugin | None = None,
+        regulation_code: str | None = None,
+        **kwargs: Any,
+    ) -> None:
+        if plugin is None and regulation_code is None:
+            raise ValueError("provide either plugin or regulation_code")
+        self._plugin = plugin or get_privacy_plugin(regulation_code)
+        self.regulation = self._plugin.regulation
+        self.issue_prefix = self._plugin.issue_prefix
+        super().__init__(**kwargs)
+
+    def get_pii_definitions(self) -> list[PIIFieldDefinition]:
+        return list(self._plugin.definitions)
