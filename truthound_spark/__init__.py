@@ -13,7 +13,7 @@ from truthound_spark.maskers import mask  # noqa: F401
 from truthound_spark.profiler import profile  # noqa: F401
 from truthound_spark.scanners import scan  # noqa: F401
 from truthound_spark.schema import Schema, learn  # noqa: F401
-from truthound_spark.types import ResultFormat, Severity  # noqa: F401
+from truthound_spark.types import ResultFormat, ResultFormatConfig, Severity  # noqa: F401
 from truthound_spark.drift.detectors import compare  # noqa: F401
 from truthound_spark.reporters import render, save_report  # noqa: F401
 from truthound_spark.sdk import ValidatorBuilder, validator  # noqa: F401

@@ -86,7 +86,7 @@ def check(
     data: Any,
     validators: Iterable[Any] | None = None,
     spark: SparkSession | None = None,
-    result_format: ResultFormat | str = ResultFormat.BOOLEAN_ONLY,
+    result_format: "ResultFormat | str | Any" = ResultFormat.BOOLEAN_ONLY,
     min_severity: Severity | None = None,
     cache: bool = False,
     baseline=None,
@@ -101,8 +101,10 @@ def check(
     ``cache``: persist the DataFrame when evidence phases will re-scan it.
     """
     df = to_dataframe(data, spark)
-    if isinstance(result_format, str):
-        result_format = ResultFormat[result_format.upper()]
+    from truthound_spark.types import ResultFormatConfig
+
+    format_config = ResultFormatConfig.from_any(result_format)
+    result_format = format_config.format
     if validators is None and baseline is None and learn:
         from truthound_spark.schema import learn as learn_schema
 
@@ -111,7 +113,11 @@ def check(
     # respect a caller-established cache: if the frame is already
     # persisted, caching is a no-op and unpersisting would destroy the
     # CALLER's cache — so only manage the lifecycle we created ourselves
-    cached = (cache or result_format >= ResultFormat.BASIC) and not df.is_cached
+    cached = (
+        cache
+        or result_format >= ResultFormat.BASIC
+        or format_config.include_unexpected_rows
+    ) and not df.is_cached
     if cached:
         df = df.cache()
 
@@ -122,7 +128,7 @@ def check(
     other_validators = [v for v in vs if type(v).validate is not _V.validate]
 
     try:
-        executor = BatchExpressionExecutor(spec_validators, result_format=result_format)
+        executor = BatchExpressionExecutor(spec_validators, result_format=format_config)
         issues, stats = executor.execute_with_stats(df)
         for v in other_validators:
             try:

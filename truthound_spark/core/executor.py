@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from truthound_spark.core.base import ExpressionSpec, Validator
 from truthound_spark.core.results import ValidationIssue
-from truthound_spark.types import ResultFormat, Severity
+from truthound_spark.types import ResultFormat, ResultFormatConfig, Severity
 
 #: Evidence sample size per issue (reference: SafeSampler, base.py:204-217).
 SAMPLE_LIMIT = 20
@@ -32,12 +32,17 @@ class BatchExpressionExecutor:
     def __init__(
         self,
         validators: list[Validator],
-        result_format: ResultFormat = ResultFormat.BOOLEAN_ONLY,
+        result_format: ResultFormat | str | ResultFormatConfig = ResultFormat.BOOLEAN_ONLY,
         sample_limit: int = SAMPLE_LIMIT,
     ) -> None:
         self.validators = validators
-        self.result_format = result_format
-        self.sample_limit = sample_limit
+        cfg = ResultFormatConfig.from_any(result_format)
+        if sample_limit != SAMPLE_LIMIT:
+            # legacy knob: pre-config callers sized the sample list here
+            cfg = cfg.replace(partial_unexpected_count=sample_limit)
+        self.format_config = cfg
+        self.result_format = cfg.format
+        self.sample_limit = cfg.partial_unexpected_count
 
     def execute(self, df: DataFrame) -> list[ValidationIssue]:
         issues, _ = self.execute_with_stats(df)
@@ -93,7 +98,10 @@ class BatchExpressionExecutor:
                     failing.append((spec, issue))
 
         # Phases 2-4 (format-gated evidence; reference base.py:2004-2015).
-        if self.result_format >= ResultFormat.BASIC and failing:
+        if (
+            self.format_config.includes_unexpected_samples()
+            or self.format_config.includes_full_results()
+        ) and failing:
             for spec, issue in failing:
                 try:
                     self._enrich(df, spec, issue)
@@ -137,28 +145,40 @@ class BatchExpressionExecutor:
         return row, errors
 
     def _enrich(self, df: DataFrame, spec: ExpressionSpec, issue: ValidationIssue) -> None:
+        cfg = self.format_config
         pred = spec.filter_expr
         cols = [spec.column] if spec.column and spec.column in df.columns else None
         base = df.filter(pred)
-        if self.result_format >= ResultFormat.BASIC:
+        if cfg.includes_unexpected_samples() and cfg.partial_unexpected_count > 0:
             sample_df = base.select(*cols) if cols else base
-            rows = sample_df.limit(self.sample_limit).collect()
+            rows = sample_df.limit(cfg.partial_unexpected_count).collect()
             issue.sample_values = [
                 r[spec.column] if cols else r.asDict() for r in rows
             ]
         # issue.result None (judge-path specs) would discard the frequency
         # rows — check BEFORE firing the groupBy scan, not after
-        if self.result_format >= ResultFormat.SUMMARY and cols and issue.result is not None:
+        if cfg.includes_unexpected_counts() and cols and issue.result is not None:
             freq = (
                 base.groupBy(spec.column)
                 .count()
                 .orderBy(F.desc("count"))
-                .limit(self.sample_limit)
+                .limit(cfg.partial_unexpected_count or 1)
                 .collect()
             )
             issue.result.partial_unexpected_counts = [
                 {"value": r[spec.column], "count": r["count"]} for r in freq
             ]
-        if self.result_format >= ResultFormat.COMPLETE and issue.result is not None:
-            rows = base.limit(self.sample_limit).collect()
+        if cfg.includes_full_results() and issue.result is not None:
+            row_df = base
+            if cfg.include_unexpected_index:
+                # partition-encoded id — see ResultFormatConfig docstring
+                row_df = row_df.withColumn(
+                    "__row_index", F.monotonically_increasing_id()
+                )
+            rows = row_df.limit(cfg.max_unexpected_rows).collect()
             issue.result.unexpected_rows = [r.asDict() for r in rows]
+        if cfg.return_debug_query and issue.result is not None and pred is not None:
+            try:
+                issue.result.debug_query = str(pred._jc)
+            except Exception:
+                issue.result.debug_query = str(pred)

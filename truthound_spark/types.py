@@ -57,6 +57,96 @@ class ResultFormat(enum.IntEnum):
     SUMMARY = 2
     COMPLETE = 3
 
+    @classmethod
+    def from_string(cls, value: str) -> "ResultFormat":
+        try:
+            return cls[value.upper()]
+        except KeyError:
+            valid = ", ".join(m.name for m in cls)
+            raise ValueError(
+                f"Invalid result_format: {value!r}. Must be one of: {valid}"
+            ) from None
+
+
+@dataclass(frozen=True)
+class ResultFormatConfig:
+    """Fine-grained control over result detail (reference: types.py:95-174).
+
+    Extends the ResultFormat ladder with knobs the enum alone cannot
+    express — e.g. capping returned failure rows even at COMPLETE, or
+    pulling full rows at a lower level. Frozen for thread safety.
+
+    * ``partial_unexpected_count`` — size of the sample-values list
+      (BASIC+) and the value-frequency list (SUMMARY+).
+    * ``include_unexpected_rows`` — force full-row evidence below
+      COMPLETE.
+    * ``max_unexpected_rows`` — cap on collected failure rows.
+    * ``include_unexpected_index`` — attach a ``__row_index`` column to
+      unexpected rows. Spark note: the id is partition-encoded
+      (monotonically_increasing_id) — unique and ordered within a
+      partition, not a global row position like the reference's
+      single-node index.
+    * ``return_debug_query`` — attach the violation predicate's compiled
+      expression text for debugging.
+    """
+
+    format: ResultFormat = ResultFormat.SUMMARY
+    partial_unexpected_count: int = 20
+    include_unexpected_rows: bool = False
+    max_unexpected_rows: int = 1000
+    include_unexpected_index: bool = False
+    return_debug_query: bool = False
+
+    def __post_init__(self) -> None:
+        if self.partial_unexpected_count < 0:
+            raise ValueError(
+                f"partial_unexpected_count must be >= 0, got {self.partial_unexpected_count}"
+            )
+        if self.max_unexpected_rows < 1:
+            raise ValueError(
+                f"max_unexpected_rows must be >= 1, got {self.max_unexpected_rows}"
+            )
+
+    # -- what to include at each level (reference types.py:124-141) --
+    def includes_observed_value(self) -> bool:
+        return self.format >= ResultFormat.BASIC
+
+    def includes_unexpected_samples(self) -> bool:
+        return self.format >= ResultFormat.BASIC
+
+    def includes_unexpected_counts(self) -> bool:
+        return self.format >= ResultFormat.SUMMARY
+
+    def includes_full_results(self) -> bool:
+        return self.format >= ResultFormat.COMPLETE or self.include_unexpected_rows
+
+    # -- factory helpers (reference types.py:143-174) --
+    def replace(self, **kwargs: Any) -> "ResultFormatConfig":
+        from dataclasses import asdict
+
+        current = asdict(self)
+        current.update(kwargs)
+        if isinstance(current.get("format"), str):
+            current["format"] = ResultFormat.from_string(current["format"])
+        return ResultFormatConfig(**current)
+
+    @classmethod
+    def from_any(
+        cls, value: "str | ResultFormat | ResultFormatConfig | None"
+    ) -> "ResultFormatConfig":
+        if value is None:
+            return cls()
+        if isinstance(value, ResultFormatConfig):
+            return value
+        if isinstance(value, ResultFormat):
+            return cls(format=value)
+        if isinstance(value, str):
+            return cls(format=ResultFormat.from_string(value))
+        raise TypeError(
+            f"Cannot convert {type(value).__name__} to ResultFormatConfig. "
+            "Expected str, ResultFormat, ResultFormatConfig, or None."
+        )
+
 
 @dataclass
 class ValidationDetail:
