@@ -23,10 +23,13 @@ POST_PREFIX_ROWS_ONLY = {"ivf_topk_embeddings", "pca_anomaly_lineitem"}
 def test_families_cover_every_granular_query_exactly_once():
     fam_members = [m for ms in FAMILIES.values() for m in ms]
     assert len(fam_members) == len(set(fam_members)), "duplicate family member"
+    from truthound_spark.entry_families import POST_PREFIX_ORACLE_SLOTS
+
     slotted = (
         set(fam_members)
         | set(MULTI_ROW_SLOTS)
         | set(ROWS_ONLY_SLOTS)
+        | set(POST_PREFIX_ORACLE_SLOTS)
         | POST_PREFIX_ROWS_ONLY
     )
     granular = set(QUERIES)

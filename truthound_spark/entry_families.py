@@ -243,6 +243,14 @@ MULTI_ROW_SLOTS: list[str] = [
 #: operators via the closed-form ivf_seeded / pca_power variants.
 ROWS_ONLY_SLOTS: list[str] = []
 
+#: Oracle-backed multi-row queries registered AFTER the 50-slot prefix
+#: (the prefix is full): still verified by any full-registry harness run.
+POST_PREFIX_ORACLE_SLOTS: list[str] = [
+    "check_report_orders",
+    "evidence_samples_customer",
+    "mask_fake_customers",
+]
+
 
 def _composite_query(members: list[str]) -> Callable[[SparkSession, str], DataFrame]:
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:

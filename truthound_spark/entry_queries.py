@@ -6126,3 +6126,127 @@ def q_pca_power_anomaly_lineitem(spark, sf_dir):
         )
         .orderBy("rank")
     )
+
+
+# ===========================================================================
+# round-4 oracle-ization of previously pytest-only surfaces:
+# the full check() API path, evidence sampling, and fake masking
+# ===========================================================================
+
+
+@register(
+    "check_report_orders",
+    """
+    SELECT * FROM (
+      SELECT 'range' AS validator_name, 'o_totalprice' AS column_name,
+             CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n
+      FROM orders
+      UNION ALL
+      SELECT 'in_set', 'o_orderstatus',
+             CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                            AND o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'regex', 'o_orderpriority',
+             CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                            AND NOT regexp_matches(o_orderpriority, '^[1-3]') THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+    ) ORDER BY validator_name
+    """,
+)
+def q_check_report_orders(spark, sf_dir):
+    """The PUBLIC ``th.check`` entrypoint end-to-end (api.py check →
+    executor fused agg → ValidationRunResult), not just the spec layer:
+    the emitted issue rows themselves are the verified output (reference
+    core engine run loop, validators/base.py:787-878)."""
+    from truthound_spark.api import check
+    from truthound_spark.core.registry import get_validator
+
+    df = t(spark, sf_dir, "orders")
+    res = check(
+        df,
+        validators=[
+            get_validator("range")(column="o_totalprice", min_value=0, max_value=200000),
+            get_validator("in_set")(column="o_orderstatus", values=["O", "F"]),
+            get_validator("regex")(column="o_orderpriority", pattern="^[1-3]"),
+        ],
+    )
+    rows = [(i.validator_name, i.column, int(i.count)) for i in res.issues]
+    return spark.createDataFrame(
+        sorted(rows), "validator_name string, column_name string, n long"
+    )
+
+
+@register(
+    "evidence_samples_customer",
+    """
+    SELECT ROUND(c_acctbal, 2) AS sample_value FROM customer
+    WHERE c_acctbal < -990 ORDER BY 1
+    """,
+)
+def q_evidence_samples_customer(spark, sf_dir):
+    """Evidence sampling path (core/executor.py _enrich; reference
+    ResultFormat partial_unexpected_list, types.py:95-174): the
+    sample_values a failing check attaches ARE the verified output. The
+    cap is set above the failing-set size so the collected sample is the
+    complete (order-normalized) violation set."""
+    from truthound_spark.api import check
+    from truthound_spark.core.registry import get_validator
+    from truthound_spark.types import ResultFormatConfig, ResultFormat
+
+    df = t(spark, sf_dir, "customer")
+    res = check(
+        df,
+        validators=[
+            get_validator("range")(column="c_acctbal", min_value=-990.0, max_value=1e18)
+        ],
+        result_format=ResultFormatConfig(
+            format=ResultFormat.SUMMARY, partial_unexpected_count=100000
+        ),
+    )
+    vals = sorted(round(float(v), 2) for i in res.issues for v in i.sample_values)
+    return spark.createDataFrame([(v,) for v in vals], "sample_value double")
+
+
+@register(
+    "mask_fake_customers",
+    """
+    WITH h AS (
+      SELECT c_custkey,
+             ('0x' || substr(md5(c_name), 1, 6))::BIGINT AS hn,
+             ('0x' || substr(md5(c_mktsegment), 1, 6))::BIGINT AS hc
+      FROM customer WHERE c_custkey <= 25
+    )
+    SELECT c_custkey,
+           (['Alex Kim','Sam Lee','Jordan Park','Casey Choi','Riley Jung',
+             'Morgan Han','Taylor Shin','Drew Kang','Jamie Cho','Avery Yoon'])[(hn % 10) + 1]
+             AS masked_name,
+           'user' || (hc % 100000)::VARCHAR || '@' ||
+             (['example.com','example.org','example.net','mail.test','post.test'])[(hc % 5) + 1]
+             AS masked_contact
+    FROM h ORDER BY c_custkey
+    """,
+)
+def q_mask_fake_customers(spark, sf_dir):
+    """Fake-masking strategy through the real ``mask()`` API (maskers.py;
+    reference api.py:206-268): md5-derived stable index → pseudonym
+    lookup, reproducible across engines/runs — the oracle recomputes the
+    identical pseudonyms in SQL."""
+    from truthound_spark.maskers import mask
+
+    df = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 25)
+        .withColumn("contact", F.col("c_mktsegment"))
+    )
+    masked = mask(
+        df,
+        columns=["c_name", "contact"],
+        strategy="fake",
+        pii_types={"c_name": "name", "contact": "email"},
+    )
+    return masked.select(
+        F.col("c_custkey").cast("long"),
+        F.col("c_name").alias("masked_name"),
+        F.col("contact").alias("masked_contact"),
+    ).orderBy("c_custkey")

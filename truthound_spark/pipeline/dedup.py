@@ -619,9 +619,11 @@ def connected_components(
     through themselves (labels ⋈ labels on label==node) so a chain of
     length L resolves in O(log L) rounds, not O(L). Each round ends in
     ``localCheckpoint`` — lineage stays constant-depth, the classic
-    iterative-Spark requirement. Convergence is detected by a changed-row
-    count; the loop raises if max_iterations rounds don't converge
-    (inconclusive is NOT silently reported as converged).
+    iterative-Spark requirement. Convergence is detected by carrying the
+    previous label through the round and probing the checkpointed result
+    with ``isEmpty`` (early-exit scan of longs — no extra join job); the
+    loop raises if max_iterations rounds don't converge (inconclusive is
+    NOT silently reported as converged).
 
     At 100 TB: rounds shuffle only (node, label) longs — never documents;
     duplicate clusters are typically tiny-diameter, so 3-4 rounds suffice.
@@ -647,6 +649,7 @@ def connected_components(
             lab.join(nbr, lab["node"] == nbr["u"], "left")
             .select(
                 "node",
+                F.col("label").alias("old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
@@ -663,20 +666,15 @@ def connected_components(
             )
             .select(
                 F.col("x.node").alias("node"),
+                F.col("x.old").alias("old"),
                 F.least(F.col("x.label"), F.coalesce(F.col("jlabel"), F.col("x.label"))).alias(
                     "label"
                 ),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.alias("n")
-            .join(lab.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        lab = jumped
-        if changed == 0:
+        lab = jumped.select("node", "label")
+        if jumped.filter(F.col("label") != F.col("old")).isEmpty():
             return lab.select(F.col("node").alias("id"), F.col("label").alias("cluster_id"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds "

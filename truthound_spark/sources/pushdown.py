@@ -76,7 +76,7 @@ def build_null_count_query(
     c = dialect.quote(column)
     return (
         f"SELECT COUNT(*) AS row_count, "
-        f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS null_count "
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count "
         f"FROM {dialect.quote(table)}"
     )
 
@@ -110,7 +110,7 @@ def build_range_count_query(
     out_pred = " OR ".join(conds) if conds else "1=0"
     return (
         f"SELECT MIN({c}) AS min_value, MAX({c}) AS max_value, "
-        f"SUM(CASE WHEN ({out_pred}) AND {c} IS NOT NULL THEN 1 ELSE 0 END) AS out_of_range_count, "
+        f"CAST(SUM(CASE WHEN ({out_pred}) AND {c} IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS out_of_range_count, "
         f"COUNT({c}) AS non_null_count "
         f"FROM {dialect.quote(table)}"
     )
@@ -121,7 +121,8 @@ def build_stats_query(table: str, column: str, dialect: SQLDialect = DUCKDB) -> 
     c = dialect.quote(column)
     return (
         f"SELECT COUNT({c}) AS count_value, AVG({c}) AS avg_value, "
-        f"MIN({c}) AS min_value, MAX({c}) AS max_value, SUM({c}) AS sum_value "
+        f"MIN({c}) AS min_value, MAX({c}) AS max_value, "
+        f"CAST(SUM({c}) AS DOUBLE) AS sum_value "
         f"FROM {dialect.quote(table)}"
     )
 
