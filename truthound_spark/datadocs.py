@@ -62,27 +62,50 @@ def build_site(
     profiles: dict[str, TableProfile] | None = None,
     runs: list[tuple[str, Any]] | None = None,
     title: str = "truthound data docs",
+    theme: Any = None,
+    previous_profiles: dict[str, TableProfile] | None = None,
 ) -> str:
     """Write a static docs site: ``index.html`` linking per-table profile
-    pages (``table_<name>.html``) and per-run validation reports
-    (``run_<id>.html``). Returns the index path.
+    pages (``table_<name>.html`` — full section reports: overview cards,
+    quality scores, SVG distributions, correlations, suggested checks),
+    per-run validation reports (``run_<id>.html``), and — when
+    ``previous_profiles`` carries an earlier snapshot — a versioned
+    ``diff_<name>.html`` per table. Returns the index path.
 
     ``runs``: list of (run_id, ValidationRunResult). The artifacts are
     plain HTML files — publishable from any object store."""
     import os
 
+    from truthound_spark.datadocs_report import (
+        DEFAULT_THEME,
+        build_report,
+        diff_profiles,
+        render_diff_html,
+        render_report_html,
+    )
     from truthound_spark.reporters import render_html
 
+    theme = theme or DEFAULT_THEME
     os.makedirs(out_dir, exist_ok=True)
     profiles = profiles or {}
     runs = runs or []
+    previous_profiles = previous_profiles or {}
 
     table_links = []
     for name, prof in profiles.items():
         page = f"table_{name}.html"
-        save_profile_docs(prof, os.path.join(out_dir, page), title=f"Profile: {name}")
+        spec = build_report(prof, runs=runs, title=f"Profile: {name}")
+        with open(os.path.join(out_dir, page), "w") as f:
+            f.write(render_report_html(spec, theme))
+        diff_cell = ""
+        if name in previous_profiles:
+            diff_page = f"diff_{name}.html"
+            changes = diff_profiles(previous_profiles[name], prof)
+            with open(os.path.join(out_dir, diff_page), "w") as f:
+                f.write(render_diff_html(changes, title=f"Diff: {name}", theme=theme))
+            diff_cell = f" <a href='{diff_page}'>(diff: {len(changes)})</a>"
         table_links.append(
-            f"<tr><td><a href='{page}'>{_html.escape(name)}</a></td>"
+            f"<tr><td><a href='{page}'>{_html.escape(name)}</a>{diff_cell}</td>"
             f"<td class='num'>{prof.row_count}</td>"
             f"<td class='num'>{prof.column_count}</td>"
             f"<td class='num'>{prof.duplicate_row_count}</td></tr>"
