@@ -190,10 +190,16 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature columns h0..h{k-1} (bigint).
 
-    Plan shape: explode distinct shingles ONCE, hash each shingle k times
-    with seed-mixed JVM xxhash64 (``xxhash64(lit(i), shingle)`` — k
-    independent families, no Python), then ONE groupBy(id) computing k
-    ``min`` aggregates (map-side partial agg).
+    Plan shape: explode distinct shingles ONCE, hash each shingle's BYTES
+    once (JVM xxhash64 → 31-bit residue), then derive the k independent
+    hash families as seeded affine transforms ``(aᵢ·x + bᵢ) mod p``
+    (p = 2³¹-1 — the classic universal-hash MinHash construction, same
+    family Spark MLlib's MinHashLSH uses), and ONE groupBy(id) computing k
+    ``min`` aggregates (map-side partial agg). Hashing the string k times
+    instead would put k full string-hash passes in the hot loop — the
+    affine form replaces k-1 of them with two integer ops each, the
+    dominant CPU saving at corpus scale. Operands stay < 2³¹ so products
+    fit a long — no ANSI overflow.
 
     Deliberately NOT a single giant nested-array expression: inlining k
     ``array_min(transform(...))`` macros gets re-expanded by Catalyst's
@@ -211,9 +217,33 @@ def minhash_signatures(
         )
     else:
         sh = _shingle_rows(df, text_col, id_col, shingle_n)
-    return sh.groupBy("id").agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}") for i in range(num_hashes)]
+    coefs = _minhash_coefficients(num_hashes)
+    hashed = sh.select(
+        "id", F.pmod(F.xxhash64(F.col("g")), F.lit(_MERSENNE_31)).alias("x")
     )
+    return hashed.groupBy("id").agg(
+        *[
+            F.min(
+                F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(_MERSENNE_31))
+            ).alias(f"h{i}")
+            for i, (a, b) in enumerate(coefs)
+        ]
+    )
+
+
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def _minhash_coefficients(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (aᵢ, bᵢ) pairs for the affine hash families — fixed
+    seed so signatures are reproducible across runs and engines."""
+    import random
+
+    rng = random.Random(0x5EED)
+    return [
+        (rng.randrange(1, _MERSENNE_31), rng.randrange(0, _MERSENNE_31))
+        for _ in range(num_hashes)
+    ]
 
 
 def minhash_signature(col: Column, num_hashes: int = 64, shingle_n: int = 3) -> Column:
@@ -633,10 +663,21 @@ def connected_components(
     )
     edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     edges = edges.dropDuplicates().localCheckpoint(eager=True)
+    # Size the iterative stage to the graph, not the global shuffle
+    # setting: each round is 2 joins + a checkpoint over (long,long)
+    # tables, so a near-dup graph of a few thousand edges on 32 partitions
+    # pays ~100 empty-task launches per round. ~100k edges/partition keeps
+    # partitions MB-sized; the configured shuffle parallelism stays the
+    # ceiling so cluster-scale graphs keep cluster-scale parallelism.
+    n_edges = edges.count()  # free: edges were just checkpointed
+    ceiling = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    p = max(1, min(ceiling, n_edges // 100_000 + 1))
+    edges = edges.repartition(p, "v").localCheckpoint(eager=True)
     lab = (
         edges.groupBy("u")
         .agg(F.least(F.min("v"), F.first("u")).alias("label"))
         .select(F.col("u").alias("node"), "label")
+        .repartition(p, "node")
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
