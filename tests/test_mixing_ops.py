@@ -1,0 +1,84 @@
+"""Data-mixing + bloom-decontamination operators (pipeline/export.py
+stratified_sample / mixture_weights, pipeline/dedup.py decontaminate_bloom)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from truthound_spark.pipeline.dedup import decontaminate, decontaminate_bloom
+from truthound_spark.pipeline.export import mixture_weights, stratified_sample
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (i, f"src{i % 3}", " ".join(f"w{(i * 7 + j) % 50}" for j in range(30)))
+        for i in range(90)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_stratified_quota_deterministic(corpus):
+    s1 = stratified_sample(corpus, "source", k_per_group=5)
+    s2 = stratified_sample(corpus, "source", k_per_group=5)
+    ids1 = sorted(r.doc_id for r in s1.collect())
+    assert ids1 == sorted(r.doc_id for r in s2.collect())
+    per_group = {r["source"]: r["c"] for r in s1.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert per_group == {"src0": 5, "src1": 5, "src2": 5}
+
+
+def test_stratified_fractions_mapside_no_shuffle(corpus):
+    s = stratified_sample(corpus, "source", fractions={"src0": 1.0, "src1": 0.0})
+    got = {r["source"] for r in s.select("source").distinct().collect()}
+    assert got == {"src0"}  # src1 rate 0, src2 unlisted -> dropped
+    assert s.count() == 30
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "fraction mode must be pure map-side"
+
+
+def test_stratified_sample_validates_args(corpus):
+    with pytest.raises(ValueError, match="exactly one"):
+        stratified_sample(corpus, "source")
+    with pytest.raises(ValueError, match="exactly one"):
+        stratified_sample(corpus, "source", k_per_group=1, fractions={"a": 0.5})
+    with pytest.raises(ValueError, match="fractions"):
+        stratified_sample(corpus, "source", fractions={"a": 1.5})
+
+
+def test_mixture_weights_binding_source(corpus):
+    out = {r["source"]: r.asDict() for r in mixture_weights(
+        corpus, {"src0": 0.6, "src1": 0.2, "src2": 0.2}
+    ).collect()}
+    assert set(out) == {"src0", "src1", "src2"}
+    # all sources have ~equal tokens, so the heaviest weight binds
+    binding = out["src0"]
+    assert binding["sample_rate"] == pytest.approx(1.0, abs=1e-6)
+    for r in out.values():
+        assert 0 < r["sample_rate"] <= 1.0 + 1e-9
+        assert r["target_tokens"] <= r["available_tokens"]
+    # realized mixture matches the target proportions
+    total = sum(r["target_tokens"] for r in out.values())
+    assert out["src0"]["target_tokens"] / total == pytest.approx(0.6, abs=0.01)
+
+
+def test_mixture_weights_rejects_zero_sum(corpus):
+    with pytest.raises(ValueError, match="sum > 0"):
+        mixture_weights(corpus, {"src0": 0.0})
+
+
+def test_bloom_equals_exact_decontamination(corpus):
+    train = corpus.filter("doc_id % 2 = 0")
+    test = corpus.filter("doc_id % 2 = 1")
+    exact = {(r["doc_id"], r["overlap_ngrams"]) for r in decontaminate(
+        train, test, "text", "doc_id", n=3
+    ).collect()}
+    bloom = {(r["doc_id"], r["overlap_ngrams"]) for r in decontaminate_bloom(
+        train, test, "text", "doc_id", n=3
+    ).collect()}
+    assert exact == bloom and len(exact) > 0
+
+
+def test_bloom_empty_test_set(corpus, spark):
+    empty = spark.createDataFrame([], "doc_id long, source string, text string")
+    assert decontaminate_bloom(corpus, empty, "text", "doc_id", n=3).count() == 0

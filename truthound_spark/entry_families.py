@@ -249,6 +249,9 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "check_report_orders",
     "evidence_samples_customer",
     "mask_fake_customers",
+    "stratified_sample_documents",
+    "mixture_weights_documents",
+    "decontamination_bloom_documents",
 ]
 
 

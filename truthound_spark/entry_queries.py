@@ -6250,3 +6250,91 @@ def q_mask_fake_customers(spark, sf_dir):
         F.col("c_name").alias("masked_name"),
         F.col("contact").alias("masked_contact"),
     ).orderBy("c_custkey")
+
+
+# ===========================================================================
+# round-4 data-mixing + bloom-decontamination operators
+# ===========================================================================
+
+_BPE_SQL = "len(regexp_extract_all({c}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))"
+
+
+@register(
+    "stratified_sample_documents",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 3 ORDER BY source, doc_id
+    """,
+)
+def q_stratified_sample_documents(spark, sf_dir):
+    """Deterministic per-source quota sampling (pipeline/export.py
+    stratified_sample — data-mixing primitive): 3 docs per source in
+    engine-portable md5 pseudo-random order; Spark plans the window as a
+    WindowGroupLimit (per-group limit applied map-side pre-shuffle)."""
+    from truthound_spark.pipeline.export import stratified_sample
+
+    df = t(spark, sf_dir, "documents")
+    return (
+        stratified_sample(df, group_col="source", k_per_group=3)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
+
+
+@register(
+    "mixture_weights_documents",
+    f"""
+    WITH avail AS (
+      SELECT source,
+             CAST(SUM({_BPE_SQL.format(c='text')}) AS BIGINT) AS available_tokens,
+             CAST(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3 ELSE 0.2 END AS DOUBLE) AS w
+      FROM documents WHERE source IN ('src0','src1','src2') GROUP BY source
+    ), s AS (SELECT MIN(available_tokens / w) AS s FROM avail)
+    SELECT source, available_tokens, ROUND(w, 6) AS target_weight,
+           CAST(FLOOR(s.s * w) AS BIGINT) AS target_tokens,
+           ROUND(s.s * w / available_tokens, 6) AS sample_rate
+    FROM avail, s ORDER BY source
+    """,
+)
+def q_mixture_weights_documents(spark, sf_dir):
+    """Token-mixture planning (pipeline/export.py mixture_weights): the
+    largest token budget whose target proportions fit every source's
+    available tokens, and the per-source sampling rate realizing it —
+    one fused agg over the corpus, scalar fold on the tiny grouped
+    result."""
+    from truthound_spark.pipeline.export import mixture_weights
+
+    df = t(spark, sf_dir, "documents")
+    return mixture_weights(
+        df, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, group_col="source"
+    ).orderBy("source")
+
+
+@register(
+    "decontamination_bloom_documents",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    tr AS (SELECT id, unnest(sh) AS g FROM sh WHERE id % 2 = 0),
+    te AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE id % 2 = 1)
+    SELECT tr.id AS doc_id, CAST(COUNT(*) AS BIGINT) AS overlap_ngrams
+    FROM tr JOIN te ON tr.g = te.g AND tr.g <> ''
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_decontamination_bloom_documents(spark, sf_dir):
+    """Bloom-prescreened decontamination (pipeline/dedup.py
+    decontaminate_bloom): test n-grams fold into one bloom_filter_agg
+    bitmap broadcast to the corpus; might_contain prescreens map-side and
+    an exact-confirm join removes false positives — result is provably
+    identical to the exact path, so the SAME oracle certifies it."""
+    from truthound_spark.pipeline.dedup import decontaminate_bloom
+
+    df = t(spark, sf_dir, "documents")
+    train = df.filter(F.col("doc_id") % 2 == 0)
+    test = df.filter(F.col("doc_id") % 2 == 1)
+    return decontaminate_bloom(train, test, "text", "doc_id", n=3).orderBy("doc_id")

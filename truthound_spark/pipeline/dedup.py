@@ -786,3 +786,91 @@ def decontaminate(
     return hits.filter(F.col("overlap_ngrams") >= min_overlap).select(
         F.col("id").alias(id_col), "overlap_ngrams"
     )
+
+def decontaminate_bloom(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_overlap: int = 1,
+    bits_per_item: int = 10,
+) -> DataFrame:
+    """Bloom-prescreened decontamination — the scale path when the probe
+    set itself is too large to broadcast as rows (e.g. contamination
+    against another large corpus, not a small eval suite).
+
+    Plan: test n-grams fold into ONE bloom bitmap — k seeded xxhash64 bit
+    positions per n-gram, OR-ed into a dense ``array<long>`` by a single
+    groupBy(word)+bit_or aggregation (the bitmap is a few MB regardless of
+    n-gram count; pure column math, Spark has no public bloom_filter_agg).
+    The 1-row bitmap broadcasts to every train partition where the k-probe
+    test prescreens n-grams map-side — the corpus is never shuffled. Only
+    the tiny surviving fraction meets the true test set in an
+    exact-confirm join, so bloom false positives are eliminated and the
+    result is IDENTICAL to :func:`decontaminate` (same oracle).
+
+    ``bits_per_item=10`` with k=7 probes ≈ 1% FP rate — prescreen passes
+    ~1% of clean n-grams to the confirm join, which rejects them exactly.
+    Bitmap size = bits_per_item·|test n-grams|/8 bytes; at ~1B probe
+    n-grams (≈1.3 GB) shard the probe set instead."""
+    k_probes = 7
+    tr = _shingle_rows(train, text_col, id_col, n).dropDuplicates(["id", "g"])
+    te = (
+        _shingle_rows(test, text_col, id_col, n)
+        .select("g")
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    n_items = max(1, te.count())
+    m_bits = max(64, n_items * bits_per_item)
+    n_words = (m_bits + 63) // 64
+
+    def positions(g: Column) -> list[Column]:
+        return [
+            F.pmod(F.xxhash64(F.lit(i), g), F.lit(m_bits)) for i in range(k_probes)
+        ]
+
+    # sparse (word, mask) contributions → bit_or per word → dense array
+    # (index-ordered, zero-filled) in ONE row. shiftleft's Column form
+    # takes only literal shift counts, so the variable shifts go through
+    # expr over a named position column.
+    contrib = (
+        te.select(F.explode(F.array(*positions(F.col("g")))).alias("pos"))
+        .select(
+            (F.col("pos") / F.lit(64)).cast("long").alias("word"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
+        )
+    )
+    words_sparse = contrib.groupBy("word").agg(F.bit_or("mask").alias("mask"))
+    spark = te.sparkSession
+    dense = (
+        spark.range(n_words)
+        .withColumnRenamed("id", "word")
+        .join(words_sparse, "word", "left")
+        .select("word", F.coalesce("mask", F.lit(0).cast("long")).alias("mask"))
+    )
+    bloom = dense.agg(
+        F.array_sort(F.collect_list(F.struct("word", "mask"))).alias("wm")
+    ).select(F.transform("wm", lambda s: s["mask"]).alias("bf"))
+
+    with_pos = tr.join(F.broadcast(bloom)).select(  # 1-row cross join: the bitmap
+        "id",
+        "g",
+        *[p.alias(f"p{i}") for i, p in enumerate(positions(F.col("g")))],
+        "bf",
+    )
+    probe_ok = None
+    for i in range(k_probes):
+        hit = F.expr(
+            f"(element_at(bf, CAST(p{i} DIV 64 AS INT) + 1)"
+            f" & shiftleft(1L, CAST(p{i} % 64 AS INT))) != 0"
+        )
+        probe_ok = hit if probe_ok is None else (probe_ok & hit)
+    prescreened = with_pos.filter(probe_ok).select("id", "g")
+    hits = prescreened.join(te, "g").groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("overlap_ngrams")
+    )
+    return hits.filter(F.col("overlap_ngrams") >= min_overlap).select(
+        F.col("id").alias(id_col), "overlap_ngrams"
+    )

@@ -190,3 +190,97 @@ def streaming_dedup(
         "__fp", content_fingerprint(F.col(text_col))
     ).withWatermark(ts_col, watermark)
     return with_fp.dropDuplicatesWithinWatermark(["__fp"]).drop("__fp")
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    k_per_group: int | None = None,
+    fractions: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling — the data-mixing primitive.
+
+    Two modes (exactly one):
+
+    * ``k_per_group`` — quota sampling: the k docs per group that sort
+      first by ``md5(key)`` (an engine-portable pseudo-random order, so
+      the sample is reproducible across reruns AND engines). Spark plans
+      the row_number window as a WindowGroupLimit: the per-group limit is
+      applied map-side before the shuffle, so a billion-doc group ships
+      ~k rows per input partition, not the group.
+    * ``fractions`` — per-group rate sampling: keep iff
+      ``pmod(xxhash64(key), 1e6) < rate·1e6``. Pure map-side column math —
+      NO shuffle at all, the right mode for 100 TB mixing by rate.
+    """
+    if (k_per_group is None) == (fractions is None):
+        raise ValueError("exactly one of k_per_group / fractions is required")
+    if k_per_group is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(group_col).orderBy(
+            F.md5(F.col(key_col).cast("string")), F.col(key_col)
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k_per_group)
+            .drop("__rn")
+        )
+    bad = {g: r for g, r in fractions.items() if not 0.0 <= r <= 1.0}
+    if bad:
+        raise ValueError(f"fractions must be in [0,1]: {bad}")
+    denom = 1_000_000
+    rate_map = F.create_map(
+        *[x for g, r in sorted(fractions.items()) for x in (F.lit(g), F.lit(float(r)))]
+    )
+    rate = F.coalesce(F.element_at(rate_map, F.col(group_col)), F.lit(0.0))
+    keep = F.pmod(F.xxhash64(F.col(key_col)), F.lit(denom)) < (rate * denom)
+    return df.filter(keep)
+
+
+def mixture_weights(
+    df: DataFrame,
+    target_weights: dict[str, float],
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source sampling rates that realize a target token mixture.
+
+    Given target proportions w_g, finds the largest total token budget S
+    with S·w_g ≤ available_g for every source (the binding source caps
+    the mixture), then rate_g = S·w_g / available_g. One fused aggregate
+    over the corpus computes available tokens per source; the closed-form
+    scalar fold happens on the grouped (tiny) result. Returns
+    (source, available_tokens, target_weight, target_tokens, sample_rate)
+    — feed ``sample_rate`` straight into ``stratified_sample(fractions=…)``.
+    """
+    total_w = sum(target_weights.values())
+    if total_w <= 0:
+        raise ValueError("target weights must sum > 0")
+    norm = {g: w / total_w for g, w in target_weights.items()}
+    wmap = F.create_map(
+        *[x for g, w in sorted(norm.items()) for x in (F.lit(g), F.lit(float(w)))]
+    )
+    avail = (
+        df.filter(F.col(group_col).isin(list(norm)))
+        .groupBy(group_col)
+        .agg(F.sum(bpe_ish_token_count(F.col(text_col))).cast("long").alias("available_tokens"))
+        .withColumn("target_weight", F.element_at(wmap, F.col(group_col)))
+    )
+    # S = min over groups of available/weight — a 1-row aggregate joined
+    # back (broadcast: the grouped table is ≤ n_sources rows)
+    s = avail.agg(
+        F.min(F.col("available_tokens") / F.col("target_weight")).alias("__s")
+    )
+    return (
+        avail.join(F.broadcast(s))
+        .select(
+            group_col,
+            "available_tokens",
+            F.round("target_weight", 6).alias("target_weight"),
+            F.floor(F.col("__s") * F.col("target_weight")).cast("long").alias("target_tokens"),
+            F.round(
+                F.col("__s") * F.col("target_weight") / F.col("available_tokens"), 6
+            ).alias("sample_rate"),
+        )
+    )
