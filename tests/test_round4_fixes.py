@@ -171,3 +171,55 @@ def test_embedding_banded_lsh_has_no_cartesian(spark):
         df, threshold=0.9
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+# -- bare-string column targeting (silent-pass hazard) -----------------------
+#
+# NullValidator("email") used to store the bare string in ``columns`` and
+# iterate it character-by-character — matching no real column and passing
+# SILENTLY. A validator that validates nothing must either target what the
+# user named or fail loudly.
+
+
+def test_bare_string_column_targeting(spark):
+    import truthound_spark as th
+    from truthound_spark.core.registry import get_validator
+
+    rows = [
+        (1, "a@example.com", 25),
+        (2, "b@example.com", 35),
+        (2, None, 151),
+        (4, "d@example.com", 40),
+    ]
+    f = spark.createDataFrame(rows, ["customer_id", "email", "age"])
+    res = th.check(
+        f,
+        validators=[
+            get_validator("not_null")("email"),
+            get_validator("unique")("customer_id"),
+            get_validator("between")("age", 0, 120),
+        ],
+    )
+    assert not res.success
+    assert len(res.issues) == 3  # FIXTURES.md F1: one issue per seeded defect
+    assert {i.validator_name for i in res.issues} == {"null", "unique", "range"}
+
+
+def test_missing_explicit_column_surfaces_execution_error(spark):
+    import truthound_spark as th
+    from truthound_spark.core.registry import get_validator
+
+    f = spark.createDataFrame([(1,)], ["a"])
+    res = th.check(f, validators=[get_validator("null")("nonexistent")])
+    assert not res.success
+    assert res.execution_issues and "nonexistent" in res.execution_issues[0].details
+
+
+def test_partial_column_match_still_filters(spark):
+    # schema-drift tolerance: when SOME named columns exist, the validator
+    # runs on the intersection instead of raising
+    from truthound_spark.validators.completeness import NullValidator
+
+    f = spark.createDataFrame([(1, None)], "a int, b string")
+    specs = NullValidator(["b", "dropped_col"]).specs(f)
+    assert [s.column for s in specs] == ["b"]

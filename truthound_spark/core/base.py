@@ -185,9 +185,26 @@ class Validator:
         types: tuple[type, ...] | None = None,
         exclude: list[str] | None = None,
     ) -> list[str]:
-        """Column targeting (reference: base.py:2822-2858 ColumnValidator)."""
+        """Column targeting (reference: base.py:2822-2858 ColumnValidator).
+
+        Accepts a bare column name for ``columns`` (the natural call is
+        ``NullValidator("email")``) — without the wrap, iterating the
+        string would target single-character column names and the check
+        would SILENTLY pass, the worst failure mode a validator can have.
+        For the same reason, an explicit target list where *nothing*
+        matches the frame raises instead of validating vacuously; partial
+        matches still filter (schema-drift tolerance for auto-suites).
+        """
+        if isinstance(columns, str):
+            columns = [columns]
         if columns:
-            return [c for c in columns if c in df.columns]
+            matched = [c for c in columns if c in df.columns]
+            if not matched:
+                raise ValueError(
+                    f"none of the targeted columns {list(columns)!r} exist in "
+                    f"the frame (columns: {df.columns})"
+                )
+            return matched
         out = columns_of_type(df, types) if types else list(df.columns)
         if exclude:
             out = [c for c in out if c not in exclude]

@@ -252,6 +252,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "stratified_sample_documents",
     "mixture_weights_documents",
     "decontamination_bloom_documents",
+    "dbscan_clusters_customer",
 ]
 
 

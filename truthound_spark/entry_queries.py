@@ -6338,3 +6338,85 @@ def q_decontamination_bloom_documents(spark, sf_dir):
     train = df.filter(F.col("doc_id") % 2 == 0)
     test = df.filter(F.col("doc_id") % 2 == 1)
     return decontaminate_bloom(train, test, "text", "doc_id", n=3).orderBy("doc_id")
+
+
+# ===========================================================================
+# Round 4: exact distributed DBSCAN
+# ===========================================================================
+
+
+@register(
+    "dbscan_clusters_customer",
+    # eps = 0.25 (power-of-two fraction: eps² = 0.0625 is exact in IEEE
+    # double, so the distance comparison cannot straddle a rounding
+    # boundary between engines). The oracle recomputes DBSCAN relationally:
+    # brute-force eps-pairs (fine at oracle scale), degree -> core points,
+    # recursive-CTE transitive closure over core-core edges (min-root
+    # labels = the engine's min-id cluster ids), min-cluster border
+    # adoption. The Spark side must reproduce it EXACTLY via the grid
+    # construction — proving cell partitioning loses no pairs.
+    """
+    WITH RECURSIVE
+    pts AS (
+      SELECT CAST(c_custkey AS BIGINT) AS id,
+             c_acctbal / 1000 AS x0,
+             CAST(c_nationkey AS DOUBLE) AS x1
+      FROM customer
+    ),
+    pairs AS (
+      SELECT a.id AS u, b.id AS v
+      FROM pts a JOIN pts b
+      ON a.id <> b.id
+      AND (a.x0-b.x0)*(a.x0-b.x0) + (a.x1-b.x1)*(a.x1-b.x1)
+          <= CAST(0.0625 AS DOUBLE)
+    ),
+    deg AS (SELECT u AS id, COUNT(*) AS nbrs FROM pairs GROUP BY u),
+    lab AS (
+      SELECT p.id, COALESCE(d.nbrs, 0) + 1 >= 4 AS is_core
+      FROM pts p LEFT JOIN deg d USING (id)
+    ),
+    ce AS (
+      SELECT u, v FROM pairs
+      WHERE u IN (SELECT id FROM lab WHERE is_core)
+        AND v IN (SELECT id FROM lab WHERE is_core)
+    ),
+    reach(node, root) AS (
+      SELECT id, id FROM lab WHERE is_core
+      UNION
+      SELECT e.v, r.root FROM reach r JOIN ce e ON e.u = r.node
+    ),
+    comp AS (SELECT node AS id, MIN(root) AS cluster_id FROM reach GROUP BY node),
+    border AS (
+      SELECT p.u AS id, MIN(c.cluster_id) AS border_cluster
+      FROM pairs p JOIN comp c ON p.v = c.id
+      GROUP BY p.u
+    )
+    SELECT l.id, l.is_core,
+           CASE WHEN l.is_core THEN comp.cluster_id
+                ELSE border.border_cluster END AS cluster_id
+    FROM lab l
+    LEFT JOIN comp ON l.id = comp.id
+    LEFT JOIN border ON l.id = border.id
+    ORDER BY l.id
+    """,
+)
+def q_dbscan_clusters_customer(spark, sf_dir):
+    """Exact distributed DBSCAN (pipeline/clustering.py dbscan): customers
+    embedded at (acctbal/1000, nationkey), eps=0.25, min_pts=4. Candidate
+    pairs come from the eps-grid equi-join (3^d neighbor cells — never a
+    cross join), core points from one degree groupBy, clusters from the
+    audited connected-components rounds, border points adopt the min
+    in-range core cluster. Exercises grid partitioning, degree counting,
+    iterative CC, and deterministic label assignment end-to-end against a
+    relational recomputation."""
+    from truthound_spark.pipeline.clustering import dbscan
+
+    c = t(spark, sf_dir, "customer")
+    feats = c.select(
+        F.col("c_custkey").alias("cid"),
+        (F.col("c_acctbal") / 1000).alias("x0"),
+        F.col("c_nationkey").cast("double").alias("x1"),
+    )
+    return dbscan(feats, ["x0", "x1"], eps=0.25, min_pts=4, id_col="cid").orderBy(
+        "id"
+    )

@@ -1,0 +1,182 @@
+"""Distributed density clustering: exact grid-partitioned DBSCAN.
+
+Reference surface: anomaly/ml_based.py:777 runs sklearn DBSCAN on a
+driver-side sample and calls the noise points anomalies — a single-node
+approximation that silently degrades as data outgrows the sample. This
+module instead implements EXACT DBSCAN as a distributed composition of
+relational primitives, the standard grid/cell construction (MR-DBSCAN
+family):
+
+1. **Grid assignment** — every point lands in a cell of side ``eps``
+   (``floor(x_i/eps)`` per dimension). Any two points within ``eps`` are
+   in the same or an adjacent cell, so candidate pairs only need a join
+   between a point's 3^d neighbor cells and the cell index — an
+   equi-join on cell coordinates (hash-partitioned, no cross join),
+   filtered by the exact squared distance.
+2. **Core points** — neighbor counts from one ``groupBy(id)``; a point is
+   core when |N_eps(p)| >= min_pts (count includes the point itself).
+3. **Clusters** — connected components over the core-core edge subgraph,
+   reusing :func:`truthound_spark.pipeline.dedup.connected_components`
+   (min-label propagation + pointer jumping, localCheckpoint per round).
+   cluster_id = min core id of the component → fully deterministic.
+4. **Border points** — non-core points adopt the MIN cluster id among
+   their in-range cores (deterministic tie-break; textbook DBSCAN leaves
+   this arbitrary). Points with no core neighbor are noise
+   (``cluster_id`` null).
+
+Everything is DataFrame algebra: the only shuffles are the cell-key join,
+the degree groupBy, and the component rounds over (long, long) label
+tables. At 100 TB the cell join partitions by spatial locality, so dense
+regions parallelize across cells; a single pathologically dense cell is
+inherently quadratic in ANY exact DBSCAN — cap it upstream by sampling or
+raise ``eps`` resolution.
+
+Determinism note: distances compare as ``dist² <= eps²`` with one
+floating-point rounding per term — reproducible bit-for-bit across
+engines, which is what lets a SQL oracle certify the whole pipeline.
+"""
+
+from __future__ import annotations
+
+from itertools import product
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from truthound_spark.pipeline.dedup import connected_components
+
+__all__ = ["dbscan"]
+
+
+def dbscan(
+    df: DataFrame,
+    feature_cols: list[str],
+    eps: float,
+    min_pts: int,
+    id_col: str | None = None,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Exact distributed DBSCAN.
+
+    Returns ``(id, is_core, cluster_id)`` — one row per input row with
+    non-null features. ``cluster_id`` is the minimum member id of the
+    density-connected component (null = noise). ``id_col`` must be unique
+    and castable to long; when omitted, a stable id is derived from
+    ``monotonically_increasing_id`` (partition-stable, NOT reproducible
+    across different partitionings — prefer an explicit id).
+    """
+    if eps <= 0:
+        raise ValueError(f"eps must be positive, got {eps}")
+    if min_pts < 1:
+        raise ValueError(f"min_pts must be >= 1, got {min_pts}")
+    d = len(feature_cols)
+    if d == 0:
+        raise ValueError("feature_cols must name at least one column")
+    if d > 4:
+        # 3^d neighbor cells per point — the grid construction stops
+        # paying for itself; reduce dimensionality first
+        raise ValueError(f"dbscan supports up to 4 dimensions, got {d}")
+
+    xs = [f"x{i}" for i in range(d)]
+    cs = [f"c{i}" for i in range(d)]
+    pts = df.select(
+        (
+            F.col(id_col).cast("long")
+            if id_col
+            else F.monotonically_increasing_id()
+        ).alias("id"),
+        *[F.col(c).cast("double").alias(x) for c, x in zip(feature_cols, xs)],
+    ).na.drop(subset=xs)
+    pts = pts.select(
+        "id", *xs, *[F.floor(F.col(x) / F.lit(float(eps))).alias(c) for x, c in zip(xs, cs)]
+    )
+
+    # Candidate pairs: left side exploded over its 3^d neighbor cells,
+    # right side keyed by its own cell — equi-join on the d cell coords.
+    offsets = F.array(
+        *[
+            F.struct(*[F.lit(o).alias(f"o{i}") for i, o in enumerate(offs)])
+            for offs in product((-1, 0, 1), repeat=d)
+        ]
+    )
+    left = (
+        pts.withColumn("off", F.explode(offsets))
+        .select(
+            F.col("id").alias("id_a"),
+            *[F.col(x).alias(f"a{i}") for i, x in enumerate(xs)],
+            *[
+                (F.col(c) + F.col(f"off.o{i}")).alias(f"n{i}")
+                for i, c in enumerate(cs)
+            ],
+        )
+    )
+    right = pts.select(
+        F.col("id").alias("id_b"),
+        *[F.col(x).alias(f"b{i}") for i, x in enumerate(xs)],
+        *[F.col(c).alias(f"m{i}") for i, c in enumerate(cs)],
+    )
+    dist2 = sum(
+        (F.col(f"a{i}") - F.col(f"b{i}")) * (F.col(f"a{i}") - F.col(f"b{i}"))
+        for i in range(d)
+    )
+    pairs = (
+        left.join(
+            right,
+            [F.col(f"n{i}") == F.col(f"m{i}") for i in range(d)]
+            + [F.col("id_a") != F.col("id_b")],
+        )
+        .filter(dist2 <= F.lit(float(eps) * float(eps)))
+        .select("id_a", "id_b")
+    )
+    # Directed: (a,b) AND (b,a) both appear (each found via the other's
+    # neighbor-cell explosion), so one groupBy(id_a) counts full degree.
+    pairs = pairs.localCheckpoint(eager=True)  # reused 3x below
+
+    degree = pairs.groupBy("id_a").agg(F.count(F.lit(1)).alias("nbrs"))
+    labeled = pts.select("id").join(
+        degree, pts["id"] == degree["id_a"], "left"
+    ).select(
+        "id",
+        (F.coalesce(F.col("nbrs"), F.lit(0)) + F.lit(1) >= F.lit(min_pts)).alias(
+            "is_core"
+        ),
+    )
+
+    cores = labeled.filter("is_core").select("id")
+    core_edges = (
+        pairs.join(cores.withColumnRenamed("id", "id_a"), "id_a", "left_semi")
+        .join(cores.withColumnRenamed("id", "id_b"), "id_b", "left_semi")
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    if core_edges.isEmpty():
+        # every core is its own singleton cluster; everything else is noise
+        comp = cores.select("id", F.col("id").alias("cluster_id"))
+    else:
+        cc = connected_components(
+            core_edges, "id_a", "id_b", max_iterations=max_iterations
+        )
+        comp = (
+            cores.join(cc, "id", "left")
+            .select("id", F.coalesce("cluster_id", "id").alias("cluster_id"))
+        )
+
+    # Border points: min cluster among in-range cores; others are noise.
+    border = (
+        pairs.join(
+            comp.withColumnRenamed("id", "id_b"), "id_b"
+        )
+        .groupBy("id_a")
+        .agg(F.min("cluster_id").alias("border_cluster"))
+        .withColumnRenamed("id_a", "id")
+    )
+    return (
+        labeled.join(comp.withColumnRenamed("cluster_id", "core_cluster"), "id", "left")
+        .join(border, "id", "left")
+        .select(
+            "id",
+            "is_core",
+            F.when(F.col("is_core"), F.col("core_cluster"))
+            .otherwise(F.col("border_cluster"))
+            .alias("cluster_id"),
+        )
+    )

@@ -545,46 +545,74 @@ class EllipticEnvelopeValidator(_SklearnScoredValidator):
 
 
 @register_validator("dbscan", category="anomaly")
-class DBSCANValidator(_SklearnScoredValidator):
+class DBSCANValidator(Validator):
     """DBSCAN noise points as anomalies (reference: anomaly/ml_based.py:777).
-    DBSCAN has no predict(); the sampled fit labels noise directly, and
-    unseen rows are scored by distance to the nearest core sample."""
 
-    model_name = "dbscan"
+    The reference fits sklearn DBSCAN on a driver sample and extrapolates
+    the noise count by the sample fraction. This runs the EXACT algorithm
+    over the full table instead: the distributed grid-partitioned DBSCAN
+    in ``pipeline/clustering.py`` (eps-cell equi-join for candidate
+    pairs, one groupBy for core points, connected components for
+    clusters). No sklearn, no sampling error, deterministic counts.
 
-    def _make_model(self):  # pragma: no cover
-        from sklearn.cluster import DBSCAN
+    ``eps=None`` auto-scales to a fraction of the observed feature span —
+    mirroring sklearn's "0.5 on standardized features" default spirit
+    without requiring standardized input.
+    """
 
-        return DBSCAN()
+    def __init__(
+        self,
+        columns: list[str],
+        eps: float | None = None,
+        min_pts: int = 5,
+        max_noise_ratio: float = 0.0,
+    ) -> None:
+        self.columns = [columns] if isinstance(columns, str) else list(columns)
+        self.eps = eps
+        self.min_pts = min_pts
+        self.max_noise_ratio = max_noise_ratio
 
-    def _validate_with_sklearn(self, df, row_count):  # pragma: no cover
-        # fit-only scoring: anomalies = noise labels within the sample,
-        # extrapolated by the sample fraction (documented approximation,
-        # mirroring the reference's LargeDatasetMixin sampling contract)
-        n = df.count()
-        frac = min(1.0, self.sample_rows / max(n, 1))
-        sample = (
-            df.select(*self.columns)
-            .sample(fraction=frac, seed=self.seed)
-            .limit(self.sample_rows)
-            .toPandas()
-            .dropna()
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        from truthound_spark.pipeline.clustering import dbscan
+
+        eps = self.eps
+        if eps is None:
+            # one agg: max per-dimension span / 20 (heuristic grid scale)
+            aggs = []
+            for c in self.columns:
+                aggs += [F.max(c).alias(f"mx_{c}"), F.min(c).alias(f"mn_{c}")]
+            row = df.agg(*aggs).collect()[0].asDict()
+            spans = [
+                float(row[f"mx_{c}"] or 0) - float(row[f"mn_{c}"] or 0)
+                for c in self.columns
+            ]
+            eps = max(max(spans), 1e-9) / 20.0
+
+        with_id = df.select(*self.columns).withColumn(
+            "__row_id", F.monotonically_increasing_id()
         )
-        model = self._make_model()
-        labels = model.fit_predict(sample.values)
-        noise = int((labels == -1).sum())
-        if not noise:
+        labels = dbscan(
+            with_id, self.columns, eps=eps, min_pts=self.min_pts, id_col="__row_id"
+        )
+        agg = labels.agg(
+            F.count(F.lit(1)).alias("n"),
+            violation_count(F.col("cluster_id").isNull()).alias("noise"),
+        ).collect()[0]
+        n, noise = int(agg["n"]), int(agg["noise"] or 0)
+        if n == 0 or noise / n <= self.max_noise_ratio:
             return []
-        est_total = int(noise / max(frac, 1e-9))
         return [
             ValidationIssue(
                 column=",".join(self.columns),
                 issue_type="dbscan_anomalies",
-                count=est_total,
-                severity=severity_from_ratio(est_total / n if n else 0.0),
+                count=noise,
+                severity=severity_from_ratio(noise / n),
                 validator_name="dbscan",
-                expected="no density-noise points",
-                actual=est_total,
-                details=f"{noise} noise points in sample (~{est_total} extrapolated)",
+                expected=f"noise ratio <= {self.max_noise_ratio}",
+                actual=noise,
+                details=(
+                    f"{noise} density-noise points "
+                    f"(eps={eps:.6g}, min_pts={self.min_pts}, exact distributed DBSCAN)"
+                ),
             )
         ]

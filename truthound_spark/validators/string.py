@@ -22,18 +22,23 @@ from truthound_spark.core.base import (
 )
 from truthound_spark.core.registry import register_validator
 
-# -- ReDoS guard (port of reference base.py:140-165 static heuristics) ------
-_REDOS_PATTERNS = (
-    re.compile(r"\((?:[^)]*[+*])\)[+*]"),          # nested quantifier (a+)+
-    re.compile(r"\((?:[^)|]*\|)+[^)]*\)[+*]\$?"),  # alternation under quantifier
-)
+# -- ReDoS guard --------------------------------------------------------------
+# Full parse-tree static analyzer in validators/redos.py (capability parity
+# with reference validators/security/redos.py:160-587). rlike runs on
+# java.util.regex inside executor tasks, so rejecting a catastrophic pattern
+# on the driver is the distributed defense.
 
 
 def check_redos(pattern: str) -> None:
-    """Raise on obviously catastrophic-backtracking-prone patterns."""
-    for bad in _REDOS_PATTERNS:
-        if bad.search(pattern):
-            raise ValueError(f"pattern {pattern!r} risks catastrophic backtracking")
+    """Raise on patterns the static analyzer rates HIGH/CRITICAL."""
+    from truthound_spark.validators.redos import ReDoSRisk, analyze_regex_complexity
+
+    analysis = analyze_regex_complexity(pattern)
+    if analysis.risk >= ReDoSRisk.HIGH:
+        detail = analysis.issues[0] if analysis.issues else analysis.risk.name
+        raise ValueError(
+            f"pattern {pattern!r} risks catastrophic backtracking: {detail}"
+        )
 
 
 #: Precompiled format patterns (reference: string/format.py:179-432).
