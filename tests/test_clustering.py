@@ -175,3 +175,52 @@ def test_dbscan_validator_auto_eps(spark):
     # blobs must not be flagged wholesale
     if issues:
         assert issues[0].count < len(rows) // 2
+
+
+# -- native isolation forest (validators/iforest.py) -------------------------
+
+
+def test_iforest_flags_planted_outliers(spark):
+    import numpy as np
+
+    from truthound_spark.validators.anomaly import IsolationForestValidator
+
+    rng = np.random.RandomState(0)
+    blob = rng.normal(0, 1, size=(500, 2))
+    rows = [(float(a), float(b)) for a, b in blob] + [(9.0, 9.0), (-10.0, 8.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    issues = IsolationForestValidator(["x", "y"], contamination=0.01, seed=7).validate(df)
+    assert len(issues) == 1
+    # the 2 planted outliers plus at most ~1% of the blob
+    assert 2 <= issues[0].count <= 10
+    assert "native trees" in issues[0].details
+
+
+def test_iforest_deterministic_across_runs(spark):
+    import numpy as np
+
+    from truthound_spark.validators.anomaly import IsolationForestValidator
+
+    rng = np.random.RandomState(3)
+    rows = [(float(a), float(b)) for a, b in rng.normal(0, 1, size=(300, 2))]
+    df = spark.createDataFrame(rows, "x double, y double")
+    v = IsolationForestValidator(["x", "y"], contamination=0.05, seed=11)
+    c1 = v.validate(df)
+    c2 = v.validate(df)
+    assert [i.count for i in c1] == [i.count for i in c2]
+
+
+def test_iforest_model_score_properties():
+    import numpy as np
+
+    from truthound_spark.validators.iforest import fit_isolation_forest
+
+    rng = np.random.RandomState(1)
+    data = np.vstack([rng.normal(0, 1, size=(400, 3)), [[12.0, -12.0, 12.0]]])
+    m = fit_isolation_forest(data, ["a", "b", "c"], seed=5)
+    s = m.scores(data)
+    assert (s > 0).all() and (s < 1).all()
+    # the isolated point must out-score the entire blob
+    assert s[-1] > s[:-1].max()
+    # deeper points average below 0.5 (the classic "clearly not anomalous" band)
+    assert s[:-1].mean() < 0.55

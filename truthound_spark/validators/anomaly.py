@@ -243,32 +243,32 @@ class MahalanobisValidator(Validator):
 
 @register_validator("isolation_forest", category="anomaly")
 class IsolationForestValidator(Validator):
-    """sklearn IsolationForest: sampled driver fit, broadcast scoring in a
-    vectorized pandas UDF (reference: anomaly/ml_based.py:263,344; sampling
-    strategy ml_based.py:102). Gated on sklearn availability."""
+    """Isolation forest (reference: anomaly/ml_based.py:263,344; sampling
+    strategy ml_based.py:102). The reference wraps sklearn; this fits the
+    NATIVE numpy forest (validators/iforest.py — flat-array trees,
+    vectorized traversal) on a seeded driver-side sample, broadcasts the
+    packed forest, and scores every Arrow batch with pure numpy — no
+    sklearn dependency, deterministic for a fixed seed."""
 
-    def __init__(self, columns: list[str], contamination: float = 0.01, sample_rows: int = 100_000, seed: int = 42) -> None:
-        self.columns = columns
+    def __init__(
+        self,
+        columns: list[str],
+        contamination: float = 0.01,
+        sample_rows: int = 100_000,
+        seed: int = 42,
+        n_trees: int = 100,
+    ) -> None:
+        self.columns = [columns] if isinstance(columns, str) else list(columns)
         self.contamination = contamination
         self.sample_rows = sample_rows
         self.seed = seed
+        self.n_trees = n_trees
 
     def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
-        try:
-            from sklearn.ensemble import IsolationForest
-        except ImportError:
-            return [
-                ValidationIssue(
-                    column=",".join(self.columns),
-                    issue_type="execution_error",
-                    count=0,
-                    severity=Severity.LOW,
-                    validator_name="isolation_forest",
-                    details="sklearn not installed; validator skipped",
-                    exception_info={"type": "ImportError", "message": "sklearn"},
-                )
-            ]
+        import numpy as np
         import pandas as pd
+
+        from truthound_spark.validators.iforest import fit_isolation_forest
 
         total = row_count if row_count is not None else df.count()
         frac = min(1.0, self.sample_rows / max(total, 1))
@@ -277,15 +277,21 @@ class IsolationForestValidator(Validator):
         )
         if len(sample_pdf) < 10:
             return []
-        model = IsolationForest(contamination=self.contamination, random_state=self.seed)
-        model.fit(sample_pdf.values)
+        model = fit_isolation_forest(
+            sample_pdf.values.astype("float64"),
+            self.columns,
+            n_trees=self.n_trees,
+            contamination=self.contamination,
+            seed=self.seed,
+        )
         bc = df.sparkSession.sparkContext.broadcast(model)
         cols = self.columns
 
         def score(batches):
             for pdf in batches:
-                preds = bc.value.predict(pdf[cols].fillna(0.0).values)
-                yield pd.DataFrame({"anomaly": (preds == -1).astype("int64")})
+                x = pdf[cols].fillna(0.0).values.astype("float64")
+                flags = bc.value.predict_anomaly(x)
+                yield pd.DataFrame({"anomaly": flags.astype("int64")})
 
         scored = df.select(*cols).mapInPandas(score, schema="anomaly long")
         n = scored.agg(F.sum("anomaly").alias("n")).collect()[0]["n"] or 0
@@ -300,7 +306,10 @@ class IsolationForestValidator(Validator):
                 validator_name="isolation_forest",
                 expected=f"contamination <= {self.contamination}",
                 actual=int(n),
-                details=f"{n} isolation-forest anomalies (sampled fit, distributed scoring)",
+                details=(
+                    f"{n} isolation-forest anomalies "
+                    f"({self.n_trees} native trees, sampled fit, distributed scoring)"
+                ),
             )
         ]
 
