@@ -1,0 +1,147 @@
+"""Round-4 text-curation operators: hashed classifier, paragraph dedup,
+token chunking (pipeline/text.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from truthound_spark.pipeline.text import (
+    chunk_documents,
+    classifier_quality_score,
+    paragraph_dedup,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox\n\nthe quick brown fox\n\njumps over"),
+        (2, "the quick brown fox\n\nsomething else entirely"),
+        (3, "   "),
+        (4, "one two three four five six seven eight nine ten"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestClassifierScore:
+    def test_scores_bounded_and_deterministic(self, docs):
+        r1 = {r.doc_id: r.classifier_score for r in classifier_quality_score(docs).collect()}
+        r2 = {r.doc_id: r.classifier_score for r in classifier_quality_score(docs).collect()}
+        assert r1 == r2
+        assert all(0.0 < v < 1.0 for v in r1.values())
+
+    def test_blank_doc_scores_sigmoid_of_bias(self, docs):
+        got = {r.doc_id: r.classifier_score for r in classifier_quality_score(docs).collect()}
+        assert got[3] == 0.5  # no tokens -> sigmoid(0)
+        got_b = {
+            r.doc_id: r.classifier_score
+            for r in classifier_quality_score(docs, bias=1.0).collect()
+        }
+        assert got_b[3] == pytest.approx(0.731059, abs=1e-6)
+
+    def test_trained_weights_override(self, spark):
+        df = spark.createDataFrame([(1, "good good good")], "doc_id long, text string")
+        # all-positive weights force score > 0.5; all-negative force < 0.5
+        hi = classifier_quality_score(df, weights=[2.0] * 64, num_buckets=64).collect()
+        lo = classifier_quality_score(df, weights=[-2.0] * 64, num_buckets=64).collect()
+        assert hi[0].classifier_score > 0.8 > 0.2 > lo[0].classifier_score
+
+    def test_weights_length_validated(self, docs):
+        with pytest.raises(ValueError, match="weights"):
+            classifier_quality_score(docs, weights=[0.1], num_buckets=64)
+
+    def test_no_udf_in_plan(self, docs):
+        plan = (
+            classifier_quality_score(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestParagraphDedup:
+    def test_first_occurrence_wins(self, docs):
+        got = {
+            r.doc_id: (r.text, r.paragraphs_kept, r.paragraphs_removed)
+            for r in paragraph_dedup(docs).collect()
+        }
+        # doc 1 keeps its first copy + unique paragraph
+        assert got[1] == ("the quick brown fox\n\njumps over", 2, 1)
+        # doc 2 loses the paragraph doc 1 owns
+        assert got[2] == ("something else entirely", 1, 1)
+        # blank doc -> empty text, zero counts, row preserved
+        assert got[3] == ("", 0, 0)
+        assert got[4][1:] == (1, 0)
+
+    def test_idempotent(self, docs):
+        once = paragraph_dedup(docs)
+        twice = paragraph_dedup(once.select("doc_id", "text"))
+        t1 = {r.doc_id: r.text for r in once.collect()}
+        t2 = {r.doc_id: r.text for r in twice.collect()}
+        assert t1 == t2
+        assert all(r.paragraphs_removed == 0 for r in twice.collect())
+
+    def test_original_columns_survive(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a\n\nb", "keep-me")], "doc_id long, text string, extra string"
+        )
+        row = paragraph_dedup(df).collect()[0]
+        assert row.extra == "keep-me"
+
+
+class TestChunkDocuments:
+    def test_no_overlap_partitions_tokens(self, docs):
+        got = [
+            (r.chunk_index, r.chunk_text, r.chunk_tokens)
+            for r in chunk_documents(docs, max_tokens=4)
+            .filter("doc_id = 4")
+            .orderBy("chunk_index")
+            .collect()
+        ]
+        assert got == [
+            (0, "one two three four", 4),
+            (1, "five six seven eight", 4),
+            (2, "nine ten", 2),
+        ]
+
+    def test_overlap_shares_tokens(self, docs):
+        got = [
+            r.chunk_text
+            for r in chunk_documents(docs, max_tokens=4, overlap=1)
+            .filter("doc_id = 4")
+            .orderBy("chunk_index")
+            .collect()
+        ]
+        # stride 3: each chunk repeats the previous chunk's last token
+        assert got == [
+            "one two three four",
+            "four five six seven",
+            "seven eight nine ten",
+        ]
+        # no tail chunk fully contained in its predecessor
+        assert all(len(c.split()) > 1 for c in got)
+
+    def test_blank_docs_produce_no_chunks(self, docs):
+        assert chunk_documents(docs, max_tokens=4).filter("doc_id = 3").count() == 0
+
+    def test_doc_shorter_than_chunk(self, spark):
+        df = spark.createDataFrame([(1, "just three words")], "doc_id long, text string")
+        got = chunk_documents(df, max_tokens=100, overlap=10).collect()
+        assert len(got) == 1 and got[0].chunk_tokens == 3
+
+    def test_parameter_validation(self, docs):
+        with pytest.raises(ValueError, match="max_tokens"):
+            chunk_documents(docs, max_tokens=0)
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(docs, max_tokens=4, overlap=4)
+
+    def test_no_shuffle_in_plan(self, docs):
+        plan = (
+            chunk_documents(docs, max_tokens=4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan  # pure map-side projection + explode

@@ -253,6 +253,9 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "mixture_weights_documents",
     "decontamination_bloom_documents",
     "dbscan_clusters_customer",
+    "classifier_scores_documents",
+    "paragraph_dedup_documents",
+    "chunk_documents_documents",
 ]
 
 

@@ -6420,3 +6420,148 @@ def q_dbscan_clusters_customer(spark, sf_dir):
     return dbscan(feats, ["x0", "x1"], eps=0.25, min_pts=4, id_col="cid").orderBy(
         "id"
     )
+
+
+# ===========================================================================
+# Round 4: hashed-feature classifier, paragraph dedup, RAG chunking
+# ===========================================================================
+
+_WORDS_SQL = (
+    "list_filter(string_split(trim(regexp_replace(regexp_replace(lower({t}),"
+    " '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), x -> x <> '')"
+)
+
+
+@register(
+    "classifier_scores_documents",
+    # fastText-style hashed linear scorer replicated relationally: same
+    # md5-bucket hash, same stand-in weight function, same fold order
+    # (unigrams then bigrams, document order)
+    f"""
+    WITH w AS (
+      SELECT doc_id, {_WORDS_SQL.format(t='text')} AS ws FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             ws || list_transform(range(1, len(ws)), i -> ws[i] || '_' || ws[i+1]) AS feats
+      FROM w
+    ),
+    b AS (
+      SELECT doc_id,
+             list_transform(feats,
+               t -> CAST(('0x' || substr(md5(t), 1, 6)) AS BIGINT) % 4096) AS bk
+      FROM f
+    )
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + EXP(-(CASE WHEN len(bk) > 0 THEN
+             list_sum(list_transform(bk, x -> ((x % 2001) - 1000) / 1000.0)) / len(bk)
+             ELSE 0.0 END))), 6) AS classifier_score
+    FROM b ORDER BY doc_id
+    """,
+)
+def q_classifier_scores_documents(spark, sf_dir):
+    """Hashed-feature quality classifier (pipeline/text.py
+    classifier_quality_score): word unigram+bigram features hash into 4096
+    md5 buckets, document score = sigmoid(mean bucket weight) — the
+    fastText quality-filter shape as ONE codegen'd projection (hashing
+    trick + F.aggregate fold, zero UDFs). The deterministic stand-in
+    weight function stands where trained weights plug in; the oracle
+    replays the identical hash/weight/fold pipeline in SQL."""
+    from truthound_spark.pipeline.text import classifier_quality_score
+
+    df = t(spark, sf_dir, "documents")
+    return classifier_quality_score(df).select("doc_id", "classifier_score").orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "paragraph_dedup_documents",
+    # documents are single-line word streams; a deterministic break
+    # (replace ' table ' -> blank line, same left-to-right non-overlapping
+    # semantics in both engines) yields paragraphs that REPEAT across the
+    # corpus' seeded near-duplicates, so the dedup is exercised for real
+    """
+    WITH src AS (
+      SELECT doc_id, replace(text, ' table ', chr(10) || chr(10)) AS text
+      FROM documents
+    ),
+    paras AS (
+      SELECT doc_id, u.pos, u.para FROM (
+        SELECT doc_id, regexp_split_to_array(text, '\\n{2,}') AS arr FROM src
+      ), UNNEST(list_transform(range(1, len(arr)+1),
+                i -> {'pos': i, 'para': arr[i]})) AS t(u)
+      WHERE trim(u.para) <> ''
+    ),
+    ranked AS (
+      SELECT doc_id, pos, para,
+             ROW_NUMBER() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rk
+      FROM paras
+    ),
+    reb AS (
+      SELECT doc_id,
+             COALESCE(string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                      FILTER (rk = 1), '') AS text,
+             COUNT(*) FILTER (rk = 1) AS paragraphs_kept,
+             COUNT(*) FILTER (rk > 1) AS paragraphs_removed
+      FROM ranked GROUP BY doc_id
+    )
+    SELECT s.doc_id, COALESCE(r.text, '') AS text,
+           CAST(COALESCE(r.paragraphs_kept, 0) AS BIGINT) AS paragraphs_kept,
+           CAST(COALESCE(r.paragraphs_removed, 0) AS BIGINT) AS paragraphs_removed
+    FROM src s LEFT JOIN reb r ON s.doc_id = r.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def q_paragraph_dedup_documents(spark, sf_dir):
+    """Corpus-wide paragraph-level exact dedup (pipeline/text.py
+    paragraph_dedup — the C4/RefinedWeb paragraph-hash pass): every
+    paragraph survives only at its first (doc_id, position) occurrence;
+    documents are reassembled in original order with kept/removed counts.
+    The shuffle key is the paragraph's md5, so the window moves 32-char
+    hashes plus each paragraph exactly once."""
+    from truthound_spark.pipeline.text import paragraph_dedup
+
+    df = t(spark, sf_dir, "documents").withColumn(
+        "text", F.expr("replace(text, ' table ', '\\n\\n')")
+    )
+    return (
+        paragraph_dedup(df)
+        .select("doc_id", "text", "paragraphs_kept", "paragraphs_removed")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "chunk_documents_documents",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             range(1, greatest(len(toks) - 16, 1) + 1, 48) AS starts
+      FROM d
+    )
+    SELECT doc_id, u.pos - 1 AS chunk_index,
+           array_to_string(toks[u.s:u.s+63], ' ') AS chunk_text,
+           CAST(len(toks[u.s:u.s+63]) AS INT) AS chunk_tokens
+    FROM s, UNNEST(list_transform(range(1, len(starts)+1),
+              i -> {'pos': i, 's': starts[i]})) AS t(u)
+    ORDER BY doc_id, chunk_index
+    """,
+)
+def q_chunk_documents_documents(spark, sf_dir):
+    """Token-bounded chunking (pipeline/text.py chunk_documents — the RAG
+    / context-window primitive): 64-token windows with 16-token overlap,
+    every boundary computed in one sequence+slice projection (no UDF, no
+    shuffle), posexplode to (doc_id, chunk_index, chunk_text,
+    chunk_tokens). Tail chunks are never fully contained in their
+    predecessor."""
+    from truthound_spark.pipeline.text import chunk_documents
+
+    df = t(spark, sf_dir, "documents")
+    return chunk_documents(df, max_tokens=64, overlap=16).orderBy(
+        "doc_id", "chunk_index"
+    )

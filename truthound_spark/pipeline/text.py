@@ -239,3 +239,180 @@ def gopher_filter(
         & (F.col("top_word_fraction") <= max_top_word_fraction)
         & n_words.between(min_words, max_words)
     ).drop("dup_line_fraction", "top_word_fraction", "dup_word_fraction")
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature quality classifier, paragraph dedup, RAG chunking
+# ---------------------------------------------------------------------------
+
+
+def _md5_bucket(col: Column, num_buckets: int) -> Column:
+    """Engine-portable feature hash: first 6 md5 hex digits → long → mod.
+    (Same idiom as maskers._stable_index; SQL mirror is
+    ``('0x' || substr(md5(x),1,6))::BIGINT % B``.)"""
+    return F.conv(F.substring(F.md5(col), 1, 6), 16, 10).cast("long") % num_buckets
+
+
+def classifier_quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    weights: list[float] | None = None,
+    num_buckets: int = 4096,
+    bias: float = 0.0,
+    use_bigrams: bool = True,
+) -> DataFrame:
+    """fastText-style linear quality classifier over hashed n-gram
+    features (the CCNet/LLaMA-pipeline "quality filter" shape): word
+    unigrams (+ bigrams) hash into ``num_buckets`` buckets, the document
+    score is sigmoid(bias + mean bucket weight).
+
+    The heavy lifting is the HASHING TRICK as pure column math: tokens →
+    md5 bucket ids → weight lookup → ``F.aggregate`` mean — zero UDFs, so
+    scoring 100 TB is one codegen'd projection. ``weights`` is the trained
+    model (index = bucket id); when omitted, a deterministic stand-in
+    derived from the bucket id itself ((b % 2001 − 1000)/1000) exercises
+    the full plumbing so the operator is testable end-to-end — swap in
+    real trained weights for production filtering.
+
+    Inlining the weight vector as an array literal is right for the
+    fastText regime (vocab-hashed buckets, tens of KB); a million-bucket
+    model should become a broadcast join against a weights table instead.
+    """
+    # words('') yields [''] (split semantics) — drop empty tokens so blank
+    # documents score exactly sigmoid(bias), not a hashed-''-bucket weight
+    w = F.filter(words(F.col(text_col)), lambda x: x != F.lit(""))
+    feats = w
+    if use_bigrams:
+        n = F.size(w)
+        bigrams = F.zip_with(
+            F.slice(w, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(w, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        )
+        feats = F.concat(w, bigrams)
+    buckets = F.transform(feats, lambda t: _md5_bucket(t, num_buckets))
+    if weights is None:
+        weight_of = lambda b: ((b % 2001) - 1000) / F.lit(1000.0)  # noqa: E731
+    else:
+        if len(weights) != num_buckets:
+            raise ValueError(
+                f"weights has {len(weights)} entries, expected {num_buckets}"
+            )
+        arr = F.array(*[F.lit(float(x)) for x in weights])
+        weight_of = lambda b: F.element_at(arr, (b + 1).cast("int"))  # noqa: E731
+    total = F.aggregate(
+        buckets, F.lit(0.0), lambda acc, b: acc + weight_of(b)
+    )
+    mean = F.when(F.size(buckets) > 0, total / F.size(buckets)).otherwise(F.lit(0.0))
+    logit = F.lit(float(bias)) + mean
+    return df.withColumn(
+        "classifier_score", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    separator: str = r"\n{2,}",
+    join_with: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide PARAGRAPH-level exact dedup (the C4/RefinedWeb line- or
+    paragraph-hash pass): every paragraph keeps exactly its first
+    occurrence — ordered by (doc_id, position) — and later repeats are
+    dropped from their documents; document rows survive (possibly with
+    empty text) so ids never vanish mid-pipeline.
+
+    Shape: split+posexplode, one window rank over the paragraph's md5 (the
+    shuffle key is a 32-char hash, not the paragraph body — the text rides
+    exactly once to its winning position), then groupBy(id) reassembly in
+    original order. Engine-portable decisions (md5 + deterministic
+    ordering) keep this SQL-replicable.
+
+    Returns the input frame with ``text_col`` rewritten plus
+    ``paragraphs_kept`` / ``paragraphs_removed`` counts.
+    """
+    from pyspark.sql import Window
+
+    paras = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(F.split(F.col(text_col), separator)).alias("__pos", "__para"),
+        )
+        .filter(F.trim(F.col("__para")) != "")
+    )
+    ranked = paras.withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy(F.md5(F.col("__para"))).orderBy("__id", "__pos")
+        ),
+    )
+    kept = ranked.withColumn("__keep", F.col("__rk") == 1)
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"),
+                            F.struct(F.col("__pos"), F.col("__para")),
+                        )
+                    )
+                ),
+                lambda s: s["__para"],
+            ),
+            join_with,
+        ).alias("__new_text"),
+        F.sum(F.when(F.col("__keep"), 1).otherwise(0)).cast("long").alias("paragraphs_kept"),
+        F.sum(F.when(F.col("__keep"), 0).otherwise(1)).cast("long").alias("paragraphs_removed"),
+    )
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["__id"], "left")
+        .drop("__id")
+        .withColumn(text_col, F.coalesce(F.col("__new_text"), F.lit("")))
+        .drop("__new_text")
+        .withColumn("paragraphs_kept", F.coalesce("paragraphs_kept", F.lit(0)))
+        .withColumn("paragraphs_removed", F.coalesce("paragraphs_removed", F.lit(0)))
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into token-bounded chunks (the RAG / context-window
+    packing primitive): whitespace tokens, windows of ``max_tokens`` with
+    ``overlap`` tokens shared between consecutive chunks.
+
+    One projection computes every chunk boundary with ``sequence`` +
+    ``slice`` (no UDF, no shuffle); posexplode yields
+    ``(id, chunk_index, chunk_text, chunk_tokens)``. Empty/blank docs
+    produce zero chunks.
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"overlap must be in [0, max_tokens), got {overlap}")
+    stride = max_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # last start obeys s <= n - overlap so a tail chunk is never fully
+    # contained in its predecessor (pure duplication otherwise)
+    starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.array_join(F.slice(toks, s, max_tokens), " "))
+    return (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_index", "chunk_text"),
+        )
+        .withColumn(
+            "chunk_tokens",
+            F.when(F.length(F.col("chunk_text")) == 0, F.lit(0)).otherwise(
+                F.size(F.split(F.col("chunk_text"), " "))
+            ),
+        )
+    )
