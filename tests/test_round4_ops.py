@@ -1,0 +1,236 @@
+"""Round-4 operators: distributed k-means, SemDeDup semantic dedup,
+deterministic global shuffle, embedding-column stats.
+
+kmeans correctness is proven against a pure-numpy Lloyd reference that
+replicates the operator's contract (fixed-point quantization, k-lowest-id
+init, (dist, cell) argmin tie-break) on seeded random blobs; the other
+operators assert exact expected outputs on crafted frames plus the
+determinism properties the docstrings promise.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from truthound_spark.pipeline.clustering import kmeans
+from truthound_spark.pipeline.dedup import semantic_dedup
+from truthound_spark.pipeline.export import global_shuffle
+from truthound_spark.pipeline.similarity import embedding_stats
+
+
+# ---------------------------------------------------------------------------
+# kmeans
+# ---------------------------------------------------------------------------
+
+
+def _py_kmeans(rows, k, iters, scale=1e6):
+    """Reference Lloyd's under the operator's exact arithmetic contract."""
+    pts = [(i, [round(x * scale) for x in xs]) for i, xs in rows]
+    d = len(rows[0][1])
+    init = sorted(pts)[:k]
+    cents = [(ci, [q / scale for q in row[1]]) for ci, row in enumerate(init)]
+
+    def assign_of(p):
+        best = None
+        for ci, c in cents:
+            dist = 0.0
+            for j in range(d):
+                dist += (p[j] / scale - c[j]) * (p[j] / scale - c[j])
+            if best is None or (dist, ci) < best[:2]:
+                best = (dist, ci)
+        return best[1]
+
+    for _ in range(iters):
+        groups: dict[int, list[list[int]]] = {}
+        for _i, q in pts:
+            groups.setdefault(assign_of(q), []).append(q)
+        cents = sorted(
+            (
+                (ci, [(float(sum(q[j] for q in g)) / float(len(g))) / scale for j in range(d)])
+                for ci, g in groups.items()
+            ),
+            key=lambda t: t[0],
+        )
+    return {i: assign_of(q) for i, q in pts}
+
+
+@pytest.mark.parametrize("seed", [1, 7])
+def test_kmeans_matches_reference_lloyd(spark, seed):
+    rng = random.Random(seed)
+    rows = []
+    i = 0
+    for cx, cy in [(0.0, 0.0), (5.0, 5.0), (-4.0, 3.0)]:
+        for _ in range(40):
+            rows.append((i, [cx + rng.gauss(0, 0.6), cy + rng.gauss(0, 0.6)]))
+            i += 1
+    expected = _py_kmeans(rows, k=3, iters=4)
+    df = spark.createDataFrame(
+        [(i, xs[0], xs[1]) for i, xs in rows], "id long, x0 double, x1 double"
+    ).repartition(5)
+    assigned, cents = kmeans(df, ["x0", "x1"], k=3, iters=4, id_col="id")
+    got = {r["id"]: r["cluster"] for r in assigned.collect()}
+    assert got == expected
+    # three well-separated blobs must resolve to three distinct clusters
+    assert len(set(got.values())) == 3
+    assert len(cents) == 3
+
+
+def test_kmeans_iters_zero_is_init_assignment(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, 10.0), (3, 0.1), (4, 9.9)], "id long, x double"
+    )
+    assigned, cents = kmeans(df, ["x"], k=2, iters=0, id_col="id")
+    got = {r["id"]: r["cluster"] for r in assigned.collect()}
+    # centroids = points 1 (cell 0) and 2 (cell 1), no update rounds
+    assert got == {1: 0, 2: 1, 3: 0, 4: 1}
+    assert [c for c, _ in cents] == [0, 1]
+
+
+def test_kmeans_empty_cluster_drops_out(spark):
+    # init takes the 3 lowest ids: duplicate locations (ids 1,2 both at
+    # 0.0) mean cell 1 never wins a tie-break — it must vanish from the
+    # centroid table without error (no reseeding: determinism over
+    # cleverness), and the two real blobs still separate
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, 0.0), (3, 100.0), (4, 0.2), (5, 99.8)],
+        "id long, x double",
+    )
+    assigned, cents = kmeans(df, ["x"], k=3, iters=3, id_col="id")
+    got = {r["id"]: r["cluster"] for r in assigned.collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1] == got[2] == got[4] == 0
+    assert got[3] == got[5] == 2
+    assert [c for c, _ in cents] == [0, 2]  # cell 1 dropped out
+
+
+def test_kmeans_validates_args(spark):
+    df = spark.createDataFrame([(1, 0.0)], "id long, x double")
+    with pytest.raises(ValueError):
+        kmeans(df, ["x"], k=0)
+    with pytest.raises(ValueError):
+        kmeans(df, ["x"], k=1, iters=-1)
+    with pytest.raises(ValueError):
+        kmeans(df, [], k=1)
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup
+# ---------------------------------------------------------------------------
+
+
+def _vec(angle):
+    return [math.cos(angle), math.sin(angle)]
+
+
+def test_semantic_dedup_drops_higher_id_near_dups(spark):
+    # ids 0,1 are centroids (num_cells=2). 10 and 11 are near-identical
+    # to 0's direction -> same cell, cosine ~1: 10 survives (lowest of the
+    # dup group after 0), everything >= threshold vs a lower id drops.
+    rows = [
+        (0, _vec(0.0)),
+        (1, _vec(math.pi / 2)),
+        (10, _vec(0.01)),
+        (11, _vec(0.02)),
+        (20, _vec(math.pi / 2 + 0.01)),
+        (30, _vec(math.pi / 4)),  # between cells, no near-dup
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["id"]: (r["cell"], r["keep"])
+        for r in semantic_dedup(df, num_cells=2, threshold=0.99).collect()
+    }
+    assert out[0] == (0, True)
+    assert out[1] == (1, True)
+    assert out[10][1] is False  # cos(0, 10) ~ 1 > .99, 0 is lower id
+    assert out[11][1] is False
+    assert out[20] == (1, False)  # dup of centroid 1
+    assert out[30][1] is True  # cos(pi/4 vs anything) ~ .92 < .99
+
+
+def test_semantic_dedup_threshold_gates_drops(spark):
+    rows = [(0, _vec(0.0)), (1, _vec(1.5)), (2, _vec(0.3))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lax = semantic_dedup(df, num_cells=2, threshold=0.9).filter("NOT keep").count()
+    strict = semantic_dedup(df, num_cells=2, threshold=0.9999).filter("NOT keep").count()
+    assert lax == 1 and strict == 0  # cos(0.3) ~ .955
+
+
+def test_semantic_dedup_custom_centroids(spark):
+    rows = [(5, _vec(0.0)), (6, _vec(math.pi / 2))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(100, _vec(0.0)), (200, _vec(math.pi / 2))], "cell long, cv array<double>"
+    )
+    out = {r["id"]: r["cell"] for r in semantic_dedup(df, centroids=cents).collect()}
+    assert out == {5: 100, 6: 200}
+
+
+# ---------------------------------------------------------------------------
+# global_shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_global_shuffle_contiguous_positions_and_determinism(spark):
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(200)], "doc_id long, text string")
+    out = global_shuffle(df, n_shards=4, key_col="doc_id", seed=3)
+    rows = [(r["shard"], r["position"], r["doc_id"]) for r in out.collect()]
+    by_shard: dict[int, list[int]] = {}
+    for s, p, _ in rows:
+        by_shard.setdefault(s, []).append(p)
+    assert sum(len(v) for v in by_shard.values()) == 200
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # layout-independence: a different partitioning yields the SAME permutation
+    again = global_shuffle(df.repartition(13), n_shards=4, key_col="doc_id", seed=3)
+    assert sorted(rows) == sorted(
+        (r["shard"], r["position"], r["doc_id"]) for r in again.collect()
+    )
+    # a different seed is a different permutation
+    other = global_shuffle(df, n_shards=4, key_col="doc_id", seed=4)
+    assert sorted(rows) != sorted(
+        (r["shard"], r["position"], r["doc_id"]) for r in other.collect()
+    )
+
+
+def test_global_shuffle_validates_args(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        global_shuffle(df, n_shards=0)
+
+
+# ---------------------------------------------------------------------------
+# embedding_stats
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_stats_counts_each_failure_mode(spark):
+    nan = float("nan")
+    rows = [
+        (1, [3.0, 4.0]),       # norm 5
+        (2, [0.0, 0.0]),       # zero vector
+        (3, [1.0, nan]),       # NaN component
+        (4, None),             # null
+        (5, [6.0, 8.0, 0.0]),  # dim 3 != expected 2, norm 10
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = embedding_stats(df, "embedding", expected_dim=2).collect()[0]
+    assert r["n_vectors"] == 5
+    assert r["n_null"] == 1
+    assert r["n_dim_mismatch"] == 1
+    assert r["n_nan"] == 1
+    assert r["n_zero"] == 1
+    assert r["avg_norm"] == 5.0  # (5 + 0 + 10) / 3
+    assert r["min_norm"] == 0.0
+    assert r["max_norm"] == 10.0
+
+
+def test_embedding_stats_infers_max_dim(spark):
+    rows = [(1, [1.0, 0.0]), (2, [1.0]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = embedding_stats(df, "embedding").collect()[0]
+    assert r["n_dim_mismatch"] == 1
+    assert r["avg_norm"] == 1.0

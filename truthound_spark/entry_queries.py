@@ -6565,3 +6565,236 @@ def q_chunk_documents_documents(spark, sf_dir):
     return chunk_documents(df, max_tokens=64, overlap=16).orderBy(
         "doc_id", "chunk_index"
     )
+
+
+# ===========================================================================
+# Round 4 (cont.): distributed k-means, SemDeDup, global shuffle, embedding QA
+# ===========================================================================
+
+
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    """Relational replay of clustering.kmeans on customer(acctbal/1000,
+    nationkey): same fixed-point quantization (exact, order-independent
+    long sums -> bit-identical centroids), same k-lowest-id init, same
+    (dist, cell) argmin tie-break — generated as one CTE chain per Lloyd
+    iteration."""
+    dist = "(p.x0 - c.k0) * (p.x0 - c.k0) + (p.x1 - c.k1) * (p.x1 - c.k1)"
+    ctes = [
+        """pts AS (
+      SELECT CAST(c_custkey AS BIGINT) AS id,
+             CAST(round(c_acctbal / 1000.0 * 1000000.0) AS BIGINT) AS q0,
+             CAST(round(CAST(c_nationkey AS DOUBLE) * 1000000.0) AS BIGINT) AS q1
+      FROM customer
+      WHERE c_acctbal IS NOT NULL AND c_nationkey IS NOT NULL
+    )""",
+        "pv AS (SELECT id, q0, q1, q0 / 1000000.0 AS x0, q1 / 1000000.0 AS x1 FROM pts)",
+        f"""c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cell, x0 AS k0, x1 AS k1
+      FROM pv ORDER BY id LIMIT {k}
+    )""",
+    ]
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""a{it} AS (
+      SELECT id, q0, q1, x0, x1, cell FROM (
+        SELECT p.*, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY {dist}, c.cell) AS rn
+        FROM pv p, c{it - 1} c
+      ) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""c{it} AS (
+      SELECT cell, CAST(SUM(q0) AS DOUBLE) / COUNT(*) / 1000000.0 AS k0,
+                   CAST(SUM(q1) AS DOUBLE) / COUNT(*) / 1000000.0 AS k1
+      FROM a{it} GROUP BY cell
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT id, cell AS cluster FROM (
+      SELECT p.id, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY {dist}, c.cell) AS rn
+      FROM pv p, c{iters} c
+    ) WHERE rn = 1 ORDER BY id"""
+    )
+
+
+@register("kmeans_clusters_customer", _kmeans_oracle_sql(k=8, iters=3))
+def q_kmeans_clusters_customer(spark, sf_dir):
+    """Distributed Lloyd's k-means, hash-certified END-TO-END THROUGH THE
+    ITERATIONS (pipeline/clustering.py kmeans): customers at
+    (acctbal/1000, nationkey), k=8, 3 full Lloyd rounds. Quantized-long
+    centroid sums make every iteration's float state bit-identical across
+    engines — this upgrades an iterative ML algorithm from the usual
+    rows-only check to a value-hash match. Per iteration the plan is one
+    cached narrow scan + literal-math argmin projection + k-row shuffle.
+    Reference surface: anomaly/ml_based.py KMeans anomaly fits sklearn on
+    a driver sample; here every row participates in every round."""
+    from truthound_spark.pipeline.clustering import kmeans
+
+    c = t(spark, sf_dir, "customer")
+    feats = c.select(
+        F.col("c_custkey").alias("cid"),
+        (F.col("c_acctbal") / 1000).alias("x0"),
+        F.col("c_nationkey").cast("double").alias("x1"),
+    )
+    assigned, _cents = kmeans(feats, ["x0", "x1"], k=8, iters=3, id_col="cid")
+    return assigned.orderBy("id")
+
+
+@register(
+    "semantic_dedup_embeddings",
+    f"""
+    WITH ed AS (
+      SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    c AS (SELECT id AS cell, v AS cv FROM ed WHERE id < 16),
+    a AS (
+      SELECT id, v, cell FROM (
+        SELECT e.id, e.v, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.id
+                 ORDER BY {_IVF_D2.format(a='e.v', b='c.cv')}, c.cell
+               ) AS rn
+        FROM ed e, c
+      ) WHERE rn = 1
+    ),
+    drops AS (
+      SELECT DISTINCT y.id
+      FROM a x JOIN a y ON x.cell = y.cell AND x.id < y.id
+      WHERE list_dot_product(x.v, y.v)
+              / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+            >= 0.4
+    )
+    SELECT a.id, a.cell, d.id IS NULL AS keep
+    FROM a LEFT JOIN drops d ON a.id = d.id
+    ORDER BY a.id
+    """,
+)
+def q_semantic_dedup_embeddings(spark, sf_dir):
+    """SemDeDup semantic deduplication (pipeline/dedup.py semantic_dedup,
+    Abbas et al. 2023): coarse-cluster the embedding space (closed-form
+    seeded centroids here; kmeans cells in production), drop any document
+    whose cell contains a lower-id document with cosine >= threshold.
+    Threshold 0.4 because the synthetic corpus holds no true semantic
+    duplicates (max in-cell cosine ~=0.49) — the production default 0.95
+    exercises the identical plan. The O(n^2) pairing never materializes:
+    only in-cell pairs are scored, partitioned by cell."""
+    from truthound_spark.pipeline.dedup import semantic_dedup
+
+    df = t(spark, sf_dir, "embeddings")
+    return semantic_dedup(df, num_cells=16, threshold=0.4).orderBy("id")
+
+
+@register(
+    "global_shuffle_documents",
+    """
+    WITH k AS (
+      SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS okey FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(okey, 1, 6)) AS BIGINT) % 8 AS INT) AS shard,
+           ROW_NUMBER() OVER (
+             PARTITION BY CAST(('0x' || substr(okey, 1, 6)) AS BIGINT) % 8
+             ORDER BY okey, doc_id
+           ) AS position
+    FROM k ORDER BY doc_id
+    """,
+)
+def q_global_shuffle_documents(spark, sf_dir):
+    """Deterministic global training-order shuffle (pipeline/export.py
+    global_shuffle): order key = md5(seed:doc_id), shard = 6-hex-digit
+    prefix mod n_shards, position = in-shard rank. The permutation is
+    reproducible across engines, reruns, and partitionings — the property
+    a training-data export needs for resumability and audit. The window
+    ranks PER SHARD (one shuffle, bounded per-task sort); a global
+    row_number would serialize at scale."""
+    from truthound_spark.pipeline.export import global_shuffle
+
+    df = t(spark, sf_dir, "documents")
+    return (
+        global_shuffle(df, n_shards=8, seed=7)
+        .select("doc_id", "shard", "position")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "embedding_stats_embeddings",
+    """
+    WITH ed AS (
+      SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS v0
+      FROM embeddings
+    ),
+    mut AS (
+      SELECT id,
+             CASE
+               WHEN id % 53 = 0 THEN NULL
+               WHEN id % 71 = 0 THEN list_transform(v0, x -> 0.0)
+               WHEN id % 89 = 0 THEN list_append(v0[2:], CAST('nan' AS DOUBLE))
+               WHEN id % 61 = 0 THEN v0[1:len(v0) - 1]
+               ELSE v0
+             END AS v
+      FROM ed
+    ),
+    dref AS (SELECT MAX(len(v)) AS dim_ref FROM mut),
+    b AS (
+      SELECT v,
+             len(v) AS dim,
+             len(list_filter(v, x -> isnan(x))) > 0 AS has_nan,
+             len(v) > 0 AND len(list_filter(v, x -> x <> 0.0)) = 0 AS is_zero,
+             sqrt(list_dot_product(v, v)) AS norm
+      FROM mut
+    ),
+    g AS (
+      SELECT v, dim, has_nan, is_zero,
+             CASE WHEN v IS NOT NULL AND NOT has_nan
+                  THEN CAST(round(norm * 1000000.0) AS BIGINT) END AS qnorm,
+             CASE WHEN v IS NOT NULL AND NOT has_nan THEN norm END AS norm_ok
+      FROM b
+    )
+    SELECT COUNT(*) AS n_vectors,
+           SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null,
+           SUM(CASE WHEN v IS NOT NULL AND dim <> (SELECT dim_ref FROM dref)
+                    THEN 1 ELSE 0 END) AS n_dim_mismatch,
+           SUM(CASE WHEN COALESCE(has_nan, FALSE) THEN 1 ELSE 0 END) AS n_nan,
+           SUM(CASE WHEN COALESCE(is_zero, FALSE) THEN 1 ELSE 0 END) AS n_zero,
+           ROUND(SUM(qnorm) / COUNT(qnorm) / 1000000.0, 6) AS avg_norm,
+           ROUND(MIN(norm_ok), 6) AS min_norm,
+           ROUND(MAX(norm_ok), 6) AS max_norm
+    FROM g
+    """,
+)
+def q_embedding_stats_embeddings(spark, sf_dir):
+    """Embedding-column health report (pipeline/similarity.py
+    embedding_stats): nulls, dimension drift, NaN components, zero
+    vectors, norm stats — ONE fused aggregate, the engine's standard
+    validation plan shape applied to array<float>. The entry INJECTS each
+    failure mode deterministically (null @ id%53, zero vector @ id%71,
+    NaN @ id%89, truncated dim @ id%61 — same CASE chain in the oracle)
+    so every counter is exercised nonzero. avg_norm sums quantized longs
+    (exact, order-independent) — the determinism trick that lets a float
+    mean hash-match across engines."""
+    from truthound_spark.pipeline.similarity import embedding_stats
+
+    df = t(spark, sf_dir, "embeddings")
+    idc = F.col("vec_id").cast("long")
+    v = F.col("embedding").cast("array<double>")
+    mut = df.select(
+        F.when(idc % 53 == 0, F.lit(None).cast("array<double>"))
+        .when(idc % 71 == 0, F.transform(v, lambda x: F.lit(0.0)))
+        .when(
+            idc % 89 == 0,
+            F.concat(
+                F.slice(v, 2, F.size(v)), F.array(F.lit(float("nan")))
+            ),
+        )
+        .when(idc % 61 == 0, F.slice(v, 1, F.size(v) - 1))
+        .otherwise(v)
+        .alias("embedding")
+    )
+    return embedding_stats(mut, "embedding")

@@ -1,1 +1,8 @@
-from truthound_spark.pipeline import dedup, multimodal, similarity, text  # noqa: F401
+from truthound_spark.pipeline import (  # noqa: F401
+    clustering,
+    dedup,
+    export,
+    multimodal,
+    similarity,
+    text,
+)

@@ -45,7 +45,133 @@ from pyspark.sql import functions as F
 
 from truthound_spark.pipeline.dedup import connected_components
 
-__all__ = ["dbscan"]
+__all__ = ["dbscan", "kmeans"]
+
+
+def kmeans(
+    df: DataFrame,
+    feature_cols: list[str],
+    k: int,
+    iters: int = 3,
+    id_col: str | None = None,
+    scale: float = 1e6,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Distributed Lloyd's k-means with DETERMINISTIC, engine-portable
+    arithmetic — the full iterative algorithm, not a sampled approximation
+    (reference anomaly/ml_based.py fits sklearn KMeans on a driver-side
+    sample; here every iteration sees every row).
+
+    Determinism design (what lets a SQL oracle hash-certify an iterative
+    float algorithm):
+
+    * **Quantized sums.** Features are fixed-point quantized once
+      (``round(x·scale)`` → long). Centroid updates sum LONGS — exact and
+      addition-order-independent — so Spark's partial/final distributed
+      aggregation and a sequential engine produce bit-identical centroids
+      (``(sum/count)/scale`` is then one double rounding each, the same
+      in any IEEE engine). A naive ``avg(double)`` would differ across
+      partition counts and engines in the last ulp.
+    * **Deterministic init + tie-break.** Initial centroids are the ``k``
+      lowest-id points; assignment breaks distance ties on the lowest
+      cell id. No RNG anywhere.
+
+    Plan shape per iteration: centroids collect to the driver (k·d
+    doubles) and re-enter as LITERAL column math — the distance argmin is
+    a pure projection (no join, no Python) — then ONE groupBy(cell) whose
+    map-side partials shuffle k rows per task. The quantized point table
+    is localCheckpoint'ed once, so iterations re-scan a narrow cached
+    projection, never the source. At 100 TB: iters × (cached scan + k-row
+    shuffle). For k ≳ 10⁴ swap literal injection for a broadcast join on
+    a centroid table; the aggregation strategy is unchanged.
+
+    Empty clusters simply drop out of the centroid table (both engines'
+    GROUP BY omit them) — ids stay sparse and comparisons stay aligned.
+
+    Returns ``(assignment, centroids)``: assignment = one row per input
+    row ``(id, cluster)`` under the FINAL centroids; centroids = list of
+    ``(cluster_id, vector)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    d = len(feature_cols)
+    if d == 0:
+        raise ValueError("feature_cols must name at least one column")
+    qs = [f"q{i}" for i in range(d)]
+    pts = (
+        df.select(
+            (
+                F.col(id_col).cast("long")
+                if id_col
+                else F.monotonically_increasing_id()
+            ).alias("id"),
+            *[
+                F.round(F.col(c).cast("double") * F.lit(float(scale)))
+                .cast("long")
+                .alias(q)
+                for c, q in zip(feature_cols, qs)
+            ],
+        )
+        .na.drop(subset=qs)
+        .localCheckpoint(eager=True)
+    )
+
+    # dequantized view: EXACTLY representable the same way in any engine
+    # (integer / literal), so downstream double math is reproducible
+    xs = [(F.col(q) / F.lit(float(scale))).alias(f"x{i}") for i, q in enumerate(qs)]
+    pv = pts.select("id", *qs, *xs)
+
+    init = pts.orderBy("id").limit(k).collect()
+    # (cell_id, centroid vector as doubles) — cell ids are 0..k-1 by rank
+    cents: list[tuple[int, list[float]]] = [
+        (ci, [row[q] / scale for q in qs]) for ci, row in enumerate(init)
+    ]
+
+    def assign(frame: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+        # struct array (dist, cell) → array_min orders by dist then cell:
+        # argmin with deterministic lowest-cell tie-break, pure projection
+        entries = [
+            F.struct(
+                sum(
+                    (F.col(f"x{i}") - F.lit(c[i])) * (F.col(f"x{i}") - F.lit(c[i]))
+                    for i in range(d)
+                ).alias("dist"),
+                F.lit(ci).cast("long").alias("cell"),
+            )
+            for ci, c in centroids
+        ]
+        return frame.withColumn(
+            "cluster", F.array_min(F.array(*entries))["cell"]
+        )
+
+    for _ in range(iters):
+        agg = (
+            assign(pv, cents)
+            .groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(q).alias(f"s{i}") for i, q in enumerate(qs)],
+            )
+            .collect()
+        )
+        # float(s)/float(n) — NOT s/n — replicates a SQL engine's
+        # CAST(SUM AS DOUBLE)/COUNT rounding order (Python's int/int is
+        # correctly rounded over the exact rational, which can differ in
+        # the last ulp once the sum exceeds 2^53); choose ``scale`` so
+        # Σ|q| stays below 2^63 (long sum) for exactness
+        cents = sorted(
+            (
+                (
+                    int(row["cluster"]),
+                    [(float(row[f"s{i}"]) / float(row["n"])) / scale for i in range(d)],
+                )
+                for row in agg
+            ),
+            key=lambda t: t[0],
+        )
+
+    return assign(pv, cents).select("id", "cluster"), cents
 
 
 def dbscan(

@@ -627,6 +627,82 @@ def embedding_near_duplicates(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_cells: int = 16,
+    threshold: float = 0.95,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, then remove
+    within-cluster semantic near-duplicates, keeping the lowest-id
+    representative of each near-dup neighborhood.
+
+    A document is DROPPED when some lower-id document in the SAME cell has
+    cosine ≥ threshold with it — the greedy keep-first rule, evaluated
+    set-at-a-time: drops = distinct id_b of qualifying (id_a < id_b)
+    pairs. Deterministic, so a SQL oracle can replay it exactly.
+
+    Clustering: by default the ``num_cells`` lowest-id vectors act as
+    closed-form centroids (same deterministic construction as
+    ``ivf_seeded_topk``); pass ``centroids`` — any (cell, cv) frame, e.g.
+    from :func:`truthound_spark.pipeline.clustering.kmeans` — for
+    production-quality cells. Assignment is a broadcast cross join +
+    per-id top-1 window (WindowGroupLimit collapses the k× amplification
+    map-side before any shuffle), in the l2 dot-product fold form whose
+    IEEE result is engine-reproducible.
+
+    Scale: the O(n²) pairing never materializes — only in-cell pairs do,
+    and cells partition the corpus (shuffle key = cell). In-cell work is
+    O(Σ cell²): scale ``num_cells`` with the corpus (SemDeDup itself uses
+    k = 11k cells for LAION) so expected cell occupancy stays bounded;
+    with k-means cells the occupancy is balanced by construction.
+
+    Returns one row per input vector: (id, cell, keep) — filter on keep
+    for the surviving corpus.
+    """
+    from pyspark.sql import Window
+
+    from truthound_spark.pipeline.similarity import l2_sq
+
+    v = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    if centroids is None:
+        centroids = v.filter(F.col("id") < num_cells).select(
+            F.col("id").alias("cell"), F.col("v").alias("cv")
+        )
+    w = Window.partitionBy("id").orderBy("d2", "cell")
+    assigned = (
+        v.crossJoin(F.broadcast(centroids))
+        .select("id", "v", "cell", l2_sq(F.col("v"), F.col("cv")).alias("d2"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "v", "cell")
+    )
+    a = assigned.select(
+        F.col("cell"), F.col("id").alias("id_a"), F.col("v").alias("v_a")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col("id").alias("id_b"), F.col("v").alias("v_b")
+    )
+    drops = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_sim(F.col("v_a"), F.col("v_b")) >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .dropDuplicates()
+        .withColumn("__drop", F.lit(True))
+    )
+    return (
+        assigned.join(drops, "id", "left")
+        .select("id", "cell", F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # duplicate-cluster resolution (connected components)
 # ---------------------------------------------------------------------------

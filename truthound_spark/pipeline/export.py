@@ -238,6 +238,47 @@ def stratified_sample(
     return df.filter(keep)
 
 
+def global_shuffle(
+    df: DataFrame,
+    n_shards: int = 1024,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global training-order shuffle — the "randomize the
+    corpus before training" step, reproducible across reruns, engines,
+    and cluster layouts.
+
+    Order key = ``md5(seed || ':' || key)``: cryptographic diffusion makes
+    the order indistinguishable from random w.r.t. any data attribute, yet
+    a (seed, key) pair always lands at the same position — resumable
+    exports, auditable sample order, and a different ``seed`` gives an
+    independent epoch order. shard = first 6 hex digits mod n_shards
+    (uniform), position = rank of the order key within the shard; the
+    training loader reads shards in index order, rows by position, for the
+    full deterministic permutation.
+
+    Scale: ONE shuffle keyed by shard + an in-shard sort (the window's
+    rank is per-shard, never global — a global row_number would serialize
+    on one task at 100 TB). n_shards bounds per-task sort memory: pick
+    corpus_size / n_shards ≈ 0.5–2 GB.
+
+    Returns df + (shard int, position long) — sort key (shard, position).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import Window
+
+    okey = F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col(key_col).cast("string")))
+    shard = (F.conv(F.substring(okey, 1, 6), 16, 10).cast("long") % n_shards).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("__okey"), F.col(key_col))
+    return (
+        df.withColumn("__okey", okey)
+        .withColumn("shard", shard)
+        .withColumn("position", F.row_number().over(w).cast("long"))
+        .drop("__okey")
+    )
+
+
 def mixture_weights(
     df: DataFrame,
     target_weights: dict[str, float],

@@ -256,3 +256,63 @@ def ivf_seeded_topk(
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("id"))
     return scored.withColumn("rank", F.row_number().over(wk)).filter(F.col("rank") <= k)
+
+
+def embedding_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    expected_dim: int | None = None,
+) -> DataFrame:
+    """Corpus-level embedding-column health report — ONE fused aggregate
+    (the engine's standard validation plan shape) over the checks an
+    embedding pipeline actually breaks on: null vectors, dimension drift
+    after a model swap, NaN components from overflowed encoders,
+    all-zero vectors from failed inference, and norm collapse/explosion.
+
+    Columns: n_vectors, n_null, n_dim_mismatch (vs ``expected_dim``, or
+    vs the column's max dim when omitted — a cheap modal stand-in),
+    n_nan, n_zero, avg_norm, min_norm, max_norm.
+
+    Determinism: per-vector norms are a sequential JVM fold (bit-identical
+    to a SQL engine's list fold); avg_norm sums QUANTIZED norms
+    (``round(norm·1e6)`` → long) so the distributed sum is exact and
+    addition-order-independent — the same trick as clustering.kmeans.
+    min/max pick existing values (order-free). Everything rounds to 6dp.
+
+    Scale: one scan, one 1-row shuffle. The fold reads every component
+    once; no UDFs, no collect.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    dim = F.size(v)
+    dot = F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = F.sqrt(dot)
+    has_nan = F.exists(v, lambda x: F.isnan(x))
+    is_zero = (dim > 0) & F.forall(v, lambda x: x == F.lit(0.0))
+    qnorm = F.round(norm * F.lit(1e6)).cast("long")
+    if expected_dim is None:
+        # one extra 1-row aggregate (never an unpartitioned window, which
+        # would drag every row through a single task) — its scalar result
+        # re-enters the fused agg as a literal
+        expected_dim = df.agg(F.max(F.size(v))).collect()[0][0]
+    dim_ref = F.lit(expected_dim)
+    base = df.select(
+        v.alias("__v"),
+        dim.alias("__dim"),
+        has_nan.alias("__nan"),
+        is_zero.alias("__zero"),
+        F.when(v.isNotNull() & ~has_nan, qnorm).alias("__qnorm"),
+        F.when(v.isNotNull() & ~has_nan, norm).alias("__norm"),
+        (v.isNotNull() & (dim != dim_ref)).alias("__mismatch"),
+    )
+    return base.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.col("__v").isNull().cast("long")).alias("n_null"),
+        F.sum(F.col("__mismatch").cast("long")).alias("n_dim_mismatch"),
+        F.sum(F.coalesce(F.col("__nan"), F.lit(False)).cast("long")).alias("n_nan"),
+        F.sum(F.coalesce(F.col("__zero"), F.lit(False)).cast("long")).alias("n_zero"),
+        F.round(F.sum("__qnorm") / F.count("__qnorm") / F.lit(1e6), 6).alias("avg_norm"),
+        F.round(F.min("__norm"), 6).alias("min_norm"),
+        F.round(F.max("__norm"), 6).alias("max_norm"),
+    )
