@@ -109,7 +109,7 @@ def test_connected_components_long_chain_pointer_jumping(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "id_a long, id_b long"
     )
-    rows = connected_components(pairs, max_iterations=10).collect()
+    rows = connected_components(pairs, max_iterations=10, driver_threshold=0).collect()
     assert {r.cluster_id for r in rows} == {0}
     assert len(rows) == n + 1
 
@@ -206,7 +206,14 @@ def test_connected_components_matches_union_find_on_random_graphs(spark):
         }
 
         pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-        got = {
+        # BOTH execution paths must match the oracle: the distributed
+        # label-propagation rounds and the small-graph driver fast path
+        got_dist = {
+            r.id: r.cluster_id
+            for r in connected_components(pairs, driver_threshold=0).collect()
+        }
+        assert got_dist == want, f"seed {seed} (distributed): {got_dist} != {want}"
+        got_fast = {
             r.id: r.cluster_id for r in connected_components(pairs).collect()
         }
-        assert got == want, f"seed {seed}: {got} != {want}"
+        assert got_fast == want, f"seed {seed} (driver): {got_fast} != {want}"

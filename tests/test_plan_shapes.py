@@ -179,7 +179,59 @@ def test_connected_components_shuffles_only_labels(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(20)], "id_a long, id_b long"
     )
-    out = connected_components(pairs)
+    out = connected_components(pairs, driver_threshold=0)
     plan = _plan(out)
     # result is a projection over the final checkpointed label table
     assert "Scan ExistingRDD" in plan
+
+
+def test_kmeans_assignment_is_pure_projection(spark):
+    """Each k-means round's argmin assignment must be literal column math
+    over the checkpointed quantized table — no join, no window; the only
+    shuffle in a round is the k-row centroid groupBy."""
+    from truthound_spark.pipeline.clustering import kmeans
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7), float(i % 3)) for i in range(50)],
+        "id long, x0 double, x1 double",
+    )
+    assigned, _ = kmeans(df, ["x0", "x1"], k=3, iters=2, id_col="id")
+    plan = _plan(assigned)
+    assert "Scan ExistingRDD" in plan  # reads the checkpointed point table
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_semantic_dedup_broadcasts_centroids_no_cartesian_scan(spark):
+    """Cell assignment must be a broadcast of the (tiny) centroid frame;
+    the corpus-side O(n^2) pairing must never materialize as a cartesian
+    over a file scan — only the in-cell equi-join."""
+    from truthound_spark.pipeline.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(semantic_dedup(emb, num_cells=8, threshold=0.5))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan  # top-1 cell collapses map-side
+
+
+def test_global_shuffle_single_shuffle_no_global_sort(spark):
+    """One hash exchange on the shard key; the rank is per-shard (no
+    rangepartitioning/global sort, which would serialize at scale)."""
+    from truthound_spark.pipeline.export import global_shuffle
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(global_shuffle(docs, n_shards=8))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_embedding_stats_is_one_fused_aggregate(spark):
+    """The health report must compile to ONE scan + partial/final agg pair
+    — no window, no join, single-row exchange."""
+    from truthound_spark.pipeline.similarity import embedding_stats
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(embedding_stats(emb, "embedding", expected_dim=64))
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("HashAggregate") == 2 or "SortAggregate" in plan

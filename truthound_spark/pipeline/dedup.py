@@ -713,6 +713,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Resolve a near-duplicate pair list into duplicate CLUSTERS:
     (id, cluster_id) where cluster_id is the minimum member id of the
@@ -731,6 +732,17 @@ def connected_components(
     loop raises if max_iterations rounds don't converge (inconclusive is
     NOT silently reported as converged).
 
+    Small-graph fast path: when the (already LSH-filtered, verified) dup
+    graph has ≤ ``driver_threshold`` directed edges, the edge LIST — never
+    the documents — collects to the driver and a union-find labels it in
+    one pass (2M long-pairs ≈ 32 MB, far under driver headroom; the same
+    adaptive collect-small-side call Spark itself makes for broadcast
+    joins). Iterative rounds cost ~4 Spark jobs each; on a few-thousand-
+    edge graph that's seconds of pure scheduling for work a driver loop
+    does in milliseconds. Identical output by construction (min-member
+    labels); ``driver_threshold=0`` forces the distributed path — the
+    equivalence is pinned by tests on both.
+
     At 100 TB: rounds shuffle only (node, label) longs — never documents;
     duplicate clusters are typically tiny-diameter, so 3-4 rounds suffice.
     """
@@ -746,6 +758,34 @@ def connected_components(
     # partitions MB-sized; the configured shuffle parallelism stays the
     # ceiling so cluster-scale graphs keep cluster-scale parallelism.
     n_edges = edges.count()  # free: edges were just checkpointed
+    if n_edges <= driver_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges.collect():
+            u, v = row[0], row[1]
+            if u not in parent:
+                parent[u] = u
+            if v not in parent:
+                parent[v] = v
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by MIN id so the root IS the canonical label
+                if ru < rv:
+                    parent[rv] = ru
+                else:
+                    parent[ru] = rv
+        out = [(x, find(x)) for x in parent]
+        return pairs.sparkSession.createDataFrame(
+            out, "id long, cluster_id long"
+        )
     ceiling = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     p = max(1, min(ceiling, n_edges // 100_000 + 1))
     edges = edges.repartition(p, "v").localCheckpoint(eager=True)
