@@ -234,3 +234,53 @@ def test_embedding_stats_infers_max_dim(spark):
     r = embedding_stats(df, "embedding").collect()[0]
     assert r["n_dim_mismatch"] == 1
     assert r["avg_norm"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# incremental_dedup
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_dedup_exact_near_and_kept(spark):
+    from truthound_spark.pipeline.dedup import incremental_dedup
+
+    base = spark.createDataFrame(
+        [
+            (2, "the quick brown fox jumps over the lazy dog again today"),
+            (4, "an entirely different historical document about databases"),
+            (6, "shared boilerplate text that appears verbatim everywhere"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # exact dup of base 6 (same normalized content)
+            (11, "Shared boilerplate text that appears VERBATIM everywhere"),
+            # near dup of base 2 (one word changed)
+            (13, "the quick brown fox jumps over the lazy cat again today"),
+            # genuinely new
+            (15, "completely novel content never seen in the base corpus"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: (r["dup_of"], r["match_kind"])
+        for r in incremental_dedup(new, base, threshold=0.5).collect()
+    }
+    assert out[11] == (6, "exact")
+    assert out[13] == (2, "near")
+    assert out[15] == (None, None)
+
+
+def test_incremental_dedup_exact_wins_and_min_base_id(spark):
+    from truthound_spark.pipeline.dedup import incremental_dedup
+
+    txt = "identical content in every snapshot of this corpus today"
+    base = spark.createDataFrame(
+        [(8, txt), (2, txt)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame([(9, txt)], "doc_id long, text string")
+    rows = incremental_dedup(new, base).collect()
+    assert [(r["id"], r["dup_of"], r["match_kind"]) for r in rows] == [
+        (9, 2, "exact")
+    ]

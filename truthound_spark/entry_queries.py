@@ -6798,3 +6798,57 @@ def q_embedding_stats_embeddings(spark, sf_dir):
         .alias("embedding")
     )
     return embedding_stats(mut, "embedding")
+
+
+@register(
+    "incremental_dedup_documents",
+    f"""
+    WITH nfp AS (
+      SELECT doc_id AS id, md5({_NORM_SQL.format(c='text')}) AS fp
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    bfp AS (
+      SELECT doc_id AS id, md5({_NORM_SQL.format(c='text')}) AS fp
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    ex AS (
+      SELECT n.id, MIN(b.id) AS exact_of
+      FROM nfp n JOIN bfp b ON n.fp = b.fp GROUP BY n.id
+    ),
+    sh AS ({_SHINGLES_SQL}),
+    inv AS (SELECT id, unnest(sh) AS g FROM sh),
+    pairs AS (
+      SELECT a.id AS id, b.id AS base_id, COUNT(*) AS inter
+      FROM inv a JOIN inv b ON a.g = b.g AND a.id % 2 = 1 AND b.id % 2 = 0
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT id, len(sh) AS sz FROM sh),
+    near AS (
+      SELECT p.id, MIN(p.base_id) AS near_of
+      FROM pairs p JOIN sz sa ON p.id = sa.id JOIN sz sb ON p.base_id = sb.id
+      WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.7
+      GROUP BY p.id
+    )
+    SELECT n.id, COALESCE(ex.exact_of, near.near_of) AS dup_of,
+           CASE WHEN ex.exact_of IS NOT NULL THEN 'exact'
+                WHEN near.near_of IS NOT NULL THEN 'near' END AS match_kind
+    FROM nfp n
+    LEFT JOIN ex ON n.id = ex.id
+    LEFT JOIN near ON n.id = near.id
+    ORDER BY n.id
+    """,
+)
+def q_incremental_dedup_documents(spark, sf_dir):
+    """Cross-snapshot incremental dedup (pipeline/dedup.py
+    incremental_dedup — the daily-crawl-delta primitive): odd doc_ids play
+    the new batch, even ids the historical base. Exact matches via
+    fingerprint equi-join; near matches via ONE side-tagged banded-LSH
+    pass kept only for cross-side pairs and verified with exact Jaccard
+    >= 0.7 (32x2 banding => per-pair miss < 4e-10, so the verified output
+    equals the oracle's exhaustive cross-side pair set)."""
+    from truthound_spark.pipeline.dedup import incremental_dedup
+
+    docs = t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    return incremental_dedup(new, base, threshold=0.7).orderBy("id")

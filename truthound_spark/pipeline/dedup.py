@@ -866,6 +866,107 @@ def dedup_clusters(
     return out.withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
 
 
+def incremental_dedup(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-snapshot deduplication: which NEW documents already exist in
+    the BASE corpus — the daily-crawl-increment primitive (dedup the
+    delta against 100 TB of history without re-clustering the history).
+
+    Two passes, both scale-shaped:
+
+    * **exact** — fingerprint equi-join new×base (shuffle keys are 32-char
+      hashes, never documents); match = lowest base id sharing the
+      fingerprint.
+    * **near** — both sides shingle once into a side-tagged union, ONE
+      banded-LSH pass over the union yields candidates, kept only when
+      the two ids straddle sides, then verified with exact shingle-set
+      Jaccard ≥ threshold (same broadcast-bare-candidates join shape as
+      ``minhash_dedup_pairs``). New-vs-new duplicates are deliberately
+      NOT reported — run ``dedup_clusters`` on the delta for those.
+
+    Ids must be globally unique across both snapshots (they share an id
+    space in any real pipeline). In production, persist the base side's
+    fingerprints and signatures between increments and feed the stored
+    tables here — the plan is identical, minus the base recompute.
+
+    Returns one row per new document: (id, dup_of, match_kind) with
+    match_kind ∈ ('exact', 'near', NULL); exact wins over near, and
+    dup_of is the minimum matching base id. Keep rows with NULL
+    match_kind."""
+    new_docs = new_df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("__t")
+    )
+    base_docs = base_df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("__t")
+    )
+    # exact pass
+    nfp = new_docs.select("id", content_fingerprint(F.col("__t")).alias("fp"))
+    bfp = base_docs.select(
+        F.col("id").alias("base_id"), content_fingerprint(F.col("__t")).alias("fp")
+    )
+    exact = (
+        nfp.join(bfp, "fp")
+        .groupBy("id")
+        .agg(F.min("base_id").alias("exact_of"))
+    )
+    # near pass: one shingle+signature+banding run over the tagged union
+    sh_new = _shingle_arrays(new_docs, "__t", "id", shingle_n)
+    sh_base = _shingle_arrays(base_docs, "__t", "id", shingle_n)
+    sh = sh_new.unionByName(sh_base).localCheckpoint(eager=True)
+    sides = sh_new.select("id").withColumn("side", F.lit(1)).unionByName(
+        sh_base.select("id").withColumn("side", F.lit(0))
+    )
+    cands = minhash_lsh_candidates(
+        sh, "__t", "id", num_hashes, bands, shingle_n, _shingles=sh
+    )
+    # orient candidates as (new_id, base_id); candidates are bare id
+    # pairs — broadcast them into the side lookup, map-side both times
+    sa = sides.select(F.col("id").alias("id_a"), F.col("side").alias("side_a"))
+    sb = sides.select(F.col("id").alias("id_b"), F.col("side").alias("side_b"))
+    cross = (
+        sa.join(F.broadcast(cands), "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("side_a") != F.col("side_b"))
+        .select(
+            F.when(F.col("side_a") == 1, F.col("id_a")).otherwise(F.col("id_b")).alias("id"),
+            F.when(F.col("side_a") == 1, F.col("id_b")).otherwise(F.col("id_a")).alias("base_id"),
+        )
+    )
+    a = sh.select(F.col("id"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("base_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    jac = inter / (
+        F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    )
+    near = (
+        a.join(F.broadcast(cross), "id")
+        .join(b.join(F.broadcast(cross.select("base_id").dropDuplicates()), "base_id"), "base_id")
+        .filter(jac >= threshold)
+        .groupBy("id")
+        .agg(F.min("base_id").alias("near_of"))
+    )
+    return (
+        new_docs.select("id")
+        .join(exact, "id", "left")
+        .join(near, "id", "left")
+        .select(
+            "id",
+            F.coalesce("exact_of", "near_of").alias("dup_of"),
+            F.when(F.col("exact_of").isNotNull(), F.lit("exact"))
+            .when(F.col("near_of").isNotNull(), F.lit("near"))
+            .alias("match_kind"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # decontamination (train/test n-gram overlap)
 # ---------------------------------------------------------------------------
