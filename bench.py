@@ -265,6 +265,37 @@ def main():
 
     bench_one("sequence_packing", export_pack, timings, cold_timings)
 
+    def kmeans_bench():
+        from truthound_spark.pipeline.clustering import kmeans
+
+        feats = customer.select(
+            F.col("c_custkey").alias("cid"),
+            (F.col("c_acctbal") / 1000).alias("x0"),
+            F.col("c_nationkey").cast("double").alias("x1"),
+        )
+        assigned, _ = kmeans(feats, ["x0", "x1"], k=8, iters=3, id_col="cid")
+        assigned.groupBy("cluster").count().collect()
+
+    bench_one("kmeans_customer", kmeans_bench, timings, cold_timings)
+
+    def semantic_dedup_bench():
+        from truthound_spark.pipeline.dedup import semantic_dedup
+
+        semantic_dedup(embeddings, num_cells=16, threshold=0.4).filter(
+            "NOT keep"
+        ).count()
+
+    bench_one("semantic_dedup_embeddings", semantic_dedup_bench, timings, cold_timings)
+
+    def global_shuffle_bench():
+        from truthound_spark.pipeline.export import global_shuffle
+
+        global_shuffle(documents, n_shards=32).agg(
+            F.max("position"), F.count(F.lit(1))
+        ).collect()
+
+    bench_one("global_shuffle_documents", global_shuffle_bench, timings, cold_timings)
+
     # --- BASELINE.md pushdown workload shapes (sqlite-null/range/unique
     # roles; DuckDB executes the generated SQL in-database over the same
     # parquet — on a cluster the identical SQL rides spark.read.jdbc) -----

@@ -208,7 +208,7 @@ def test_semantic_dedup_broadcasts_centroids_no_cartesian_scan(spark):
     from truthound_spark.pipeline.dedup import semantic_dedup
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    plan = _plan(semantic_dedup(emb, num_cells=8, threshold=0.5))
+    plan = _plan(semantic_dedup(emb, num_cells=8, threshold=0.5, checkpoint=False))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan  # top-1 cell collapses map-side

@@ -634,6 +634,7 @@ def semantic_dedup(
     num_cells: int = 16,
     threshold: float = 0.95,
     centroids: DataFrame | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space coarsely, then remove
@@ -676,6 +677,9 @@ def semantic_dedup(
             F.col("id").alias("cell"), F.col("v").alias("cv")
         )
     w = Window.partitionBy("id").orderBy("d2", "cell")
+    # checkpoint: the assignment feeds BOTH pairing sides and the final
+    # keep join — without it Spark re-runs the broadcast+window subtree
+    # three times (three full corpus scans at scale)
     assigned = (
         v.crossJoin(F.broadcast(centroids))
         .select("id", "v", "cell", l2_sq(F.col("v"), F.col("cv")).alias("d2"))
@@ -683,6 +687,8 @@ def semantic_dedup(
         .filter(F.col("__rn") == 1)
         .select("id", "v", "cell")
     )
+    if checkpoint:
+        assigned = assigned.localCheckpoint(eager=True)
     a = assigned.select(
         F.col("cell"), F.col("id").alias("id_a"), F.col("v").alias("v_a")
     )
