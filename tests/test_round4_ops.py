@@ -284,3 +284,91 @@ def test_incremental_dedup_exact_wins_and_min_base_id(spark):
     assert [(r["id"], r["dup_of"], r["match_kind"]) for r in rows] == [
         (9, 2, "exact")
     ]
+
+
+# ---------------------------------------------------------------------------
+# kmeans_vec
+# ---------------------------------------------------------------------------
+
+
+def _py_kmeans_vec(rows, k, iters, scale=1e6):
+    """Reference Lloyd's for the array-column variant (same contract)."""
+    pts = [(i, [round(x * scale) for x in v]) for i, v in rows]
+    d = len(rows[0][1])
+    cents = [(ci, [q / scale for q in row[1]]) for ci, row in enumerate(sorted(pts)[:k])]
+
+    def assign_of(q):
+        x = [qi / scale for qi in q]
+        best = None
+        for ci, c in cents:
+            dxx = 0.0
+            for j in range(d):
+                dxx += x[j] * x[j]
+            dxc = 0.0
+            for j in range(d):
+                dxc += x[j] * c[j]
+            dcc = 0.0
+            for j in range(d):
+                dcc += c[j] * c[j]
+            dist = dxx - 2 * dxc + dcc
+            if best is None or (dist, ci) < best[:2]:
+                best = (dist, ci)
+        return best[1]
+
+    for _ in range(iters):
+        groups: dict[int, list[list[int]]] = {}
+        for _i, q in pts:
+            groups.setdefault(assign_of(q), []).append(q)
+        cents = sorted(
+            (
+                (ci, [(float(sum(q[j] for q in g)) / float(len(g))) / scale for j in range(d)])
+                for ci, g in groups.items()
+            ),
+            key=lambda t: t[0],
+        )
+    return {i: assign_of(q) for i, q in pts}, cents
+
+
+def test_kmeans_vec_matches_reference_on_64_dims(spark):
+    from truthound_spark.pipeline.clustering import kmeans_vec
+
+    rng = random.Random(11)
+    rows = []
+    i = 0
+    for center in range(3):
+        base = [math.sin(center * 7 + j) * 3 for j in range(64)]
+        for _ in range(25):
+            rows.append((i, [b + rng.gauss(0, 0.3) for b in base]))
+            i += 1
+    expected, exp_cents = _py_kmeans_vec(rows, k=3, iters=3)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(7)
+    assigned, cents = kmeans_vec(df, "embedding", k=3, iters=3)
+    got = {r["id"]: r["cluster"] for r in assigned.collect()}
+    # the equivalence is the contract; how many clusters survive is a
+    # property of the data (overlapping blobs may merge — same both sides)
+    assert got == expected
+    got_cents = {r["cell"]: r["cv"] for r in cents.collect()}
+    for ci, cv in exp_cents:
+        assert got_cents[ci] == pytest.approx(cv, abs=1e-12)
+
+
+def test_kmeans_vec_feeds_semantic_dedup(spark):
+    """The production SemDeDup path: kmeans_vec centroids -> semantic_dedup.
+    Near-identical vectors must land in the same kmeans cell and dedup."""
+    from truthound_spark.pipeline.clustering import kmeans_vec
+
+    rows = [
+        (0, _vec(0.0)),
+        (1, _vec(math.pi / 2)),
+        (2, _vec(math.pi)),
+        (10, _vec(0.005)),
+        (11, _vec(math.pi + 0.005)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    _, cents = kmeans_vec(df, "embedding", k=3, iters=2)
+    out = {
+        r["id"]: r["keep"]
+        for r in semantic_dedup(df, centroids=cents, threshold=0.99).collect()
+    }
+    assert out[0] is True and out[1] is True and out[2] is True
+    assert out[10] is False and out[11] is False

@@ -6852,3 +6852,75 @@ def q_incremental_dedup_documents(spark, sf_dir):
     new = docs.filter(F.col("doc_id") % 2 == 1)
     base = docs.filter(F.col("doc_id") % 2 == 0)
     return incremental_dedup(new, base, threshold=0.7).orderBy("id")
+
+
+def _kmeans_vec_oracle_sql(k: int, iters: int, dim: int) -> str:
+    """Relational replay of clustering.kmeans_vec on dim-sliced embeddings
+    (same quantized-long sums, k-lowest-id init, dot-form distance)."""
+    dist = (
+        "list_dot_product(p.xv, p.xv) - 2 * list_dot_product(p.xv, c.cv)"
+        " + list_dot_product(c.cv, c.cv)"
+    )
+    sums = ", ".join(f"SUM(qv[{j + 1}]) AS s{j}" for j in range(dim))
+    cvec = (
+        "["
+        + ", ".join(f"CAST(s{j} AS DOUBLE) / n / 1000000.0" for j in range(dim))
+        + "]"
+    )
+    ctes = [
+        f"""pts AS (
+      SELECT CAST(vec_id AS BIGINT) AS id,
+             list_transform(CAST(embedding AS DOUBLE[])[1:{dim}],
+                            x -> CAST(round(x * 1000000.0) AS BIGINT)) AS qv
+      FROM embeddings WHERE embedding IS NOT NULL
+    )""",
+        "pv AS (SELECT id, qv, list_transform(qv, q -> q / 1000000.0) AS xv FROM pts)",
+        f"""c0v AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cell, xv AS cv
+      FROM pv ORDER BY id LIMIT {k}
+    )""",
+    ]
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""a{it} AS (
+      SELECT id, qv, xv, cell FROM (
+        SELECT p.id, p.qv, p.xv, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY {dist}, c.cell) AS rn
+        FROM pv p, c{it - 1}v c
+      ) WHERE rn = 1
+    )""",
+        )
+        ctes.append(
+            f"""c{it} AS (
+      SELECT cell, COUNT(*) AS n, {sums} FROM a{it} GROUP BY cell
+    )""",
+        )
+        ctes.append(f"c{it}v AS (SELECT cell, {cvec} AS cv FROM c{it})")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT id, cell AS cluster FROM (
+      SELECT p.id, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY {dist}, c.cell) AS rn
+      FROM pv p, c{iters}v c
+    ) WHERE rn = 1 ORDER BY id"""
+    )
+
+
+@register("kmeans_vec_embeddings", _kmeans_vec_oracle_sql(k=4, iters=2, dim=4))
+def q_kmeans_vec_embeddings(spark, sf_dir):
+    """kmeans over an embedding array column (pipeline/clustering.py
+    kmeans_vec — the production SemDeDup/IVF clustering step): embeddings
+    sliced to 4 dims (keeps the generated oracle readable; the operator
+    itself is dimension-generic and pytest covers 64-dim vs numpy), k=4,
+    two full Lloyd rounds, distances in the l2 dot-product fold form.
+    Hash-certified THROUGH the iterations like kmeans_clusters_customer."""
+    from truthound_spark.pipeline.clustering import kmeans_vec
+
+    emb = t(spark, sf_dir, "embeddings")
+    sliced = emb.select(
+        "vec_id", F.slice(F.col("embedding").cast("array<double>"), 1, 4).alias("embedding")
+    )
+    assigned, _cents = kmeans_vec(sliced, "embedding", k=4, iters=2)
+    return assigned.orderBy("id")

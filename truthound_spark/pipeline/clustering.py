@@ -45,7 +45,103 @@ from pyspark.sql import functions as F
 
 from truthound_spark.pipeline.dedup import connected_components
 
-__all__ = ["dbscan", "kmeans"]
+__all__ = ["dbscan", "kmeans", "kmeans_vec"]
+
+
+def kmeans_vec(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    scale: float = 1e6,
+) -> tuple[DataFrame, "DataFrame"]:
+    """:func:`kmeans` over an ``array<float/double>`` column — the
+    production clustering step for SemDeDup / IVF over embeddings.
+
+    Same determinism contract as ``kmeans`` (fixed-point quantized sums,
+    k-lowest-id init, (dist, cell) argmin tie-break), with the distance
+    in the l2 dot-product fold form (``dot(x,x) − 2·dot(x,c) +
+    dot(c,c)``, sequential left-to-right — the form a SQL engine's
+    list_dot_product reproduces bit-for-bit). Per iteration: one cached
+    narrow scan, literal-array argmin projection, and ONE groupBy whose
+    aggregate is d per-dimension long sums + a count — k rows shuffled.
+
+    Returns ``(assignment, centroids)``: assignment = (id, cluster);
+    centroids = (cell, cv) DataFrame ready to feed
+    ``semantic_dedup(centroids=…)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    pts = (
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.transform(
+                F.col(vec_col).cast("array<double>"),
+                lambda x: F.round(x * F.lit(float(scale))).cast("long"),
+            ).alias("qv"),
+        )
+        .where(F.col("qv").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    d = len(pts.select("qv").first()["qv"])
+    xv = F.transform(F.col("qv"), lambda q: q / F.lit(float(scale)))
+    pv = pts.select("id", "qv", xv.alias("xv"))
+
+    init = pts.orderBy("id").limit(k).collect()
+    cents: list[tuple[int, list[float]]] = [
+        (ci, [q / scale for q in row["qv"]]) for ci, row in enumerate(init)
+    ]
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    def assign(frame: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+        x = F.col("xv")
+        entries = []
+        for ci, c in centroids:
+            lit = F.array(*[F.lit(float(v)) for v in c])
+            entries.append(
+                F.struct(
+                    (dot(x, x) - 2 * dot(x, lit) + dot(lit, lit)).alias("dist"),
+                    F.lit(ci).cast("long").alias("cell"),
+                )
+            )
+        return frame.withColumn("cluster", F.array_min(F.array(*entries))["cell"])
+
+    for _ in range(iters):
+        agg = (
+            assign(pv, cents)
+            .groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("qv", j + 1)).alias(f"s{j}")
+                    for j in range(d)
+                ],
+            )
+            .collect()
+        )
+        cents = sorted(
+            (
+                (
+                    int(row["cluster"]),
+                    [(float(row[f"s{j}"]) / float(row["n"])) / scale for j in range(d)],
+                )
+                for row in agg
+            ),
+            key=lambda t: t[0],
+        )
+
+    assignment = assign(pv, cents).select("id", "cluster")
+    cent_df = df.sparkSession.createDataFrame(
+        [(ci, c) for ci, c in cents], "cell long, cv array<double>"
+    )
+    return assignment, cent_df
 
 
 def kmeans(
