@@ -256,6 +256,12 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "classifier_scores_documents",
     "paragraph_dedup_documents",
     "chunk_documents_documents",
+    "kmeans_clusters_customer",
+    "kmeans_vec_embeddings",
+    "semantic_dedup_embeddings",
+    "global_shuffle_documents",
+    "embedding_stats_embeddings",
+    "incremental_dedup_documents",
 ]
 
 
