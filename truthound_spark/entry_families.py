@@ -262,6 +262,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "global_shuffle_documents",
     "embedding_stats_embeddings",
     "incremental_dedup_documents",
+    "corpus_validators_documents",
 ]
 
 

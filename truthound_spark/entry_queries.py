@@ -6924,3 +6924,111 @@ def q_kmeans_vec_embeddings(spark, sf_dir):
     )
     assigned, _cents = kmeans_vec(sliced, "embedding", k=4, iters=2)
     return assigned.orderBy("id")
+
+
+_QSCORE_SQL = """
+      SELECT doc_id,
+        LEAST(n_words / 50.0, 1.0) * 0.3
+          + LEAST(stop_r * 4.0, 1.0) * 0.2
+          + (1.0 - LEAST(punct_r * 5.0, 1.0)) * 0.2
+          + (1.0 - LEAST(digit_r * 5.0, 1.0)) * 0.1
+          + LEAST(uniq_r * 1.25, 1.0) * 0.2 AS score
+      FROM (
+        SELECT doc_id, n_words,
+          CASE WHEN len(words) > 0 THEN
+            len(list_filter(words, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))
+            / CAST(len(words) AS DOUBLE) ELSE 0.0 END AS stop_r,
+          CASE WHEN length(text) > 0 THEN
+            len(regexp_extract_all(text, '[^\\x{30}-\\x{39}a-zA-Z_\\s]')) / CAST(length(text) AS DOUBLE)
+            ELSE 0.0 END AS punct_r,
+          CASE WHEN length(text) > 0 THEN
+            len(regexp_extract_all(text, '[0-9]')) / CAST(length(text) AS DOUBLE)
+            ELSE 0.0 END AS digit_r,
+          CASE WHEN len(words) > 0 THEN len(list_distinct(words)) / CAST(len(words) AS DOUBLE)
+               ELSE 0.0 END AS uniq_r
+        FROM (
+          SELECT doc_id, text,
+                 string_split(CASE WHEN LEN(TRIM(text)) = 0 THEN '' ELSE
+                   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))
+                 END, ' ') AS words,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words
+          FROM documents
+        )
+      )
+"""
+
+_LANG_PRED_SQL = f"""
+      SELECT doc_id, CASE WHEN GREATEST(de, en, es, fr) = 0 THEN 'unknown'
+                  WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+                  WHEN en >= es AND en >= fr THEN 'en'
+                  WHEN es >= fr THEN 'es'
+                  ELSE 'fr' END AS predicted_lang
+      FROM (
+        SELECT doc_id,
+          len(list_filter(dw, x -> list_contains(['der','die','das','und','ist','von','mit','den','ein','eine'], x))) AS de,
+          len(list_filter(dw, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS en,
+          len(list_filter(dw, x -> list_contains(['el','la','de','que','y','en','un','una','los','por'], x))) AS es,
+          len(list_filter(dw, x -> list_contains(['le','la','de','et','les','des','un','une','du','que'], x))) AS fr
+        FROM (SELECT doc_id, list_distinct(string_split({_NORM_SQL.format(c='text')}, ' ')) AS dw FROM documents)
+      )
+"""
+
+
+@register(
+    "corpus_validators_documents",
+    f"""
+    WITH q AS ({_QSCORE_SQL}),
+    lang AS ({_LANG_PRED_SQL}),
+    fp AS (SELECT md5({_NORM_SQL.format(c='text')}) AS fp FROM documents),
+    tok AS (SELECT len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS nt FROM documents)
+    SELECT
+      (SELECT CAST(COUNT(fp) - COUNT(DISTINCT fp) AS BIGINT) FROM fp) AS dup_excess,
+      (SELECT CAST(SUM(CASE WHEN score < 0.3 THEN 1 ELSE 0 END) AS BIGINT) FROM q) AS low_quality,
+      (SELECT CAST(SUM(CASE WHEN nt < 10 OR nt > 1000 THEN 1 ELSE 0 END) AS BIGINT) FROM tok) AS token_violations,
+      (SELECT CAST(SUM(nt) AS BIGINT) FROM tok) AS total_tokens,
+      (SELECT CAST(SUM(CASE WHEN COALESCE({_NORM_SQL.format(c='text')}, '') = '' THEN 1 ELSE 0 END) AS BIGINT)
+       FROM documents) AS empty_docs,
+      (SELECT CAST(SUM(CASE WHEN predicted_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) FROM lang) AS n_en,
+      (SELECT CAST(SUM(CASE WHEN predicted_lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) FROM lang) AS n_de,
+      (SELECT CAST(SUM(CASE WHEN predicted_lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) FROM lang) AS n_fr,
+      (SELECT CAST(SUM(CASE WHEN predicted_lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) FROM lang) AS n_es,
+      (SELECT CAST(SUM(CASE WHEN predicted_lang = 'unknown' THEN 1 ELSE 0 END) AS BIGINT) FROM lang) AS n_unknown,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs
+    """,
+)
+def q_corpus_validators_documents(spark, sf_dir):
+    """Corpus validators (validators/corpus.py) as ONE fused aggregate —
+    the engine's single-scan suite plan applied to LLM-corpus gating:
+    exact-dup excess, low-quality share, token-budget violations + total
+    token inventory, empty docs, and per-language counts, all compiled
+    from the REAL validator specs() layer. The avg-score observation
+    stays in the validator but out of this compare (a cross-engine float
+    mean; counts are the contract)."""
+    from truthound_spark.validators.corpus import (
+        CorpusDuplicateRatioValidator,
+        CorpusQualityValidator,
+        CorpusTokenCountValidator,
+        EmptyDocumentValidator,
+        LanguageBalanceValidator,
+    )
+
+    df = t(spark, sf_dir, "documents")
+    dup = CorpusDuplicateRatioValidator().specs(df)[0]
+    qual = CorpusQualityValidator(min_score=0.3).specs(df)[0]
+    tokc = CorpusTokenCountValidator(min_tokens=10, max_tokens=1000).specs(df)[0]
+    empty = EmptyDocumentValidator().specs(df)[0]
+    lang = LanguageBalanceValidator().specs(df)[0]
+    return df.agg(
+        dup.count_expr.cast("long").alias("dup_excess"),
+        qual.count_expr.cast("long").alias("low_quality"),
+        tokc.count_expr.cast("long").alias("token_violations"),
+        tokc.extra_exprs["total_tokens"].alias("total_tokens"),
+        empty.count_expr.cast("long").alias("empty_docs"),
+        lang.extra_exprs["n_en"].alias("n_en"),
+        lang.extra_exprs["n_de"].alias("n_de"),
+        lang.extra_exprs["n_fr"].alias("n_fr"),
+        lang.extra_exprs["n_es"].alias("n_es"),
+        lang.extra_exprs["n_unknown"].alias("n_unknown"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )

@@ -12,6 +12,7 @@ from truthound_spark.validators import (  # noqa: F401
     anomaly,
     business,
     completeness,
+    corpus,
     datetime_checks,
     distribution,
     geospatial,
