@@ -263,6 +263,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "embedding_stats_embeddings",
     "incremental_dedup_documents",
     "corpus_validators_documents",
+    "lof_native_customer",
 ]
 
 

@@ -7032,3 +7032,66 @@ def q_corpus_validators_documents(spark, sf_dir):
         lang.extra_exprs["n_unknown"].alias("n_unknown"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
     )
+
+
+@register(
+    "lof_native_customer",
+    """
+    WITH p AS (
+      SELECT CAST(c_custkey AS BIGINT) AS id, c_acctbal / 1000.0 AS x,
+             CAST(c_nationkey AS DOUBLE) AS y
+      FROM customer
+    ),
+    d AS (
+      SELECT a.id AS id, b.id AS nbr,
+             sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS d
+      FROM p a JOIN p b ON a.id <> b.id
+    ),
+    kd AS (
+      SELECT id, d AS k_dist FROM (
+        SELECT id, d, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, nbr) AS rn
+        FROM d
+      ) WHERE rn = 5
+    ),
+    e AS (
+      SELECT d.id, d.nbr, d.d FROM d JOIN kd ON d.id = kd.id
+      WHERE d.d <= kd.k_dist
+    ),
+    r AS (
+      SELECT e.id, e.nbr,
+             CAST(round(GREATEST(ko.k_dist, e.d) * 1000000.0) AS BIGINT) AS qreach
+      FROM e JOIN kd ko ON e.nbr = ko.id
+    ),
+    l AS (
+      SELECT id, CAST(COUNT(*) AS DOUBLE) * 1000000.0
+                   / NULLIF(CAST(SUM(qreach) AS DOUBLE), 0.0) AS lrd
+      FROM r GROUP BY id
+    ),
+    q AS (SELECT id, lrd, CAST(round(lrd * 1000000.0) AS BIGINT) AS qlrd FROM l),
+    m AS (
+      SELECT e.id, CAST(SUM(qo.qlrd) AS DOUBLE) / COUNT(qo.qlrd) / 1000000.0 AS mean_lrd_o
+      FROM e JOIN q qo ON e.nbr = qo.id GROUP BY e.id
+    )
+    SELECT q.id, ROUND(m.mean_lrd_o / q.lrd, 6) AS lof
+    FROM q LEFT JOIN m ON q.id = m.id ORDER BY q.id
+    """,
+)
+def q_lof_native_customer(spark, sf_dir):
+    """EXACT distributed Local Outlier Factor (pipeline/neighbors.py lof;
+    reference anomaly/ml_based.py:445 fits sklearn LOF on a driver
+    sample). kNN comes from the grid + radius-doubling rounds (frontier
+    shrinks each round; candidate pairs only inside 3^d cell
+    neighborhoods), LOF from the relational reach/lrd chain whose means
+    sum quantized longs — which is why the distributed result value-hash
+    matches this exhaustive O(n^2) recomputation. k=5 on customer
+    (acctbal/1000, nationkey)."""
+    from truthound_spark.pipeline.neighbors import lof
+
+    c = t(spark, sf_dir, "customer")
+    feats = c.select(
+        F.col("c_custkey").alias("cid"),
+        (F.col("c_acctbal") / 1000).alias("x"),
+        F.col("c_nationkey").cast("double").alias("y"),
+    )
+    out = lof(feats, ["x", "y"], k=5, id_col="cid")
+    return out.select("id", F.round("lof", 6).alias("lof")).orderBy("id")

@@ -529,6 +529,54 @@ class LOFValidator(_SklearnScoredValidator):
         return LocalOutlierFactor(novelty=True, contamination=self.contamination)
 
 
+@register_validator("lof_native", category="anomaly")
+class NativeLOFValidator(Validator):
+    """EXACT distributed Local Outlier Factor — no sklearn, no sampling:
+    grid-kNN + relational reach/lrd chain over every row
+    (pipeline/neighbors.py; oracle-certified by lof_native_customer).
+    Flags rows with LOF > threshold. Prefer this over the sampled
+    ``lof`` validator whenever features are ≤ 4 numeric columns."""
+
+    def __init__(
+        self,
+        columns: list[str] | None = None,
+        k: int = 10,
+        threshold: float = 1.5,
+        id_column: str | None = None,
+    ) -> None:
+        self.columns = columns
+        self.k = k
+        self.threshold = threshold
+        self.id_column = id_column
+
+    def validate(
+        self, df: DataFrame, row_count: int | None = None
+    ) -> list[ValidationIssue]:
+        from truthound_spark.pipeline.neighbors import lof
+
+        cols = self._target_columns(df, self.columns, NUMERIC_TYPES)[:4]
+        scores = lof(df, cols, k=self.k, id_col=self.id_column)
+        n = row_count if row_count is not None else df.count()
+        flagged = scores.filter(F.col("lof") > self.threshold).count()
+        if flagged == 0:
+            return []
+        return [
+            ValidationIssue(
+                column=",".join(cols),
+                issue_type="lof_anomalies",
+                count=int(flagged),
+                severity=severity_from_ratio(flagged / n if n else 0.0),
+                validator_name="lof_native",
+                expected=f"LOF <= {self.threshold}",
+                actual=int(flagged),
+                details=(
+                    f"{flagged} rows with exact LOF > {self.threshold} "
+                    f"(k={self.k}, full-data distributed kNN)"
+                ),
+            )
+        ]
+
+
 @register_validator("one_class_svm", category="anomaly")
 class OneClassSVMValidator(_SklearnScoredValidator):
     """One-class SVM (reference: anomaly/ml_based.py:612)."""
