@@ -1,0 +1,133 @@
+"""End-to-end LLM-corpus curation pipeline: the full composition a real
+pretraining-data job runs, with row-conservation invariants at every
+stage — hygiene filter → exact dedup → fuzzy dedup clusters →
+decontamination → quality gate → deterministic shuffle → sequence
+packing. Each stage is individually oracle-verified; this test pins that
+they COMPOSE (schemas line up, ids survive, nothing double-drops)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from truthound_spark.pipeline.dedup import dedup_clusters, decontaminate
+from truthound_spark.pipeline.export import global_shuffle, pack_sequences
+from truthound_spark.pipeline.text import clean_text, gopher_filter, quality_score
+
+
+@pytest.fixture()
+def raw_docs(spark, sf_dir):
+    import os
+
+    path = f"{sf_dir}/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip(f"test dataset not present: {path}")
+    return spark.read.parquet(path)
+
+
+def test_full_curation_pipeline_composes(spark, raw_docs):
+    n0 = raw_docs.count()
+
+    # 1. hygiene: C4-style cleanup + Gopher repetition gate
+    cleaned = raw_docs.withColumn("text", clean_text(F.col("text")))
+    hygienic = gopher_filter(cleaned)
+    n1 = hygienic.count()
+    assert 0 < n1 <= n0
+
+    # 2. fuzzy dedup: keep one canonical doc per near-dup cluster
+    clusters = dedup_clusters(hygienic, threshold=0.7)
+    assert clusters.count() == n1  # one row per surviving doc
+    canon = hygienic.join(
+        clusters.filter("is_canonical").select("doc_id"), "doc_id", "left_semi"
+    )
+    n2 = canon.count()
+    assert 0 < n2 <= n1
+
+    # 3. decontamination against a held-out probe set
+    probe = raw_docs.filter(F.col("doc_id") % 97 == 0)
+    contaminated = decontaminate(canon, probe, min_overlap=5)
+    kept = canon.join(contaminated.select("doc_id"), "doc_id", "left_anti")
+    n3 = kept.count()
+    assert n3 + contaminated.count() == n2
+
+    # 4. quality gate
+    scored = quality_score(kept, "text")
+    final = scored.filter(F.col("quality_score") >= 0.2).select("doc_id", "text")
+    n4 = final.count()
+    assert 0 < n4 <= n3
+
+    # 5. deterministic global shuffle: a full permutation of the corpus
+    shuffled = global_shuffle(final, n_shards=8)
+    assert shuffled.count() == n4
+    assert (
+        shuffled.groupBy("shard", "position").count().filter("count > 1").count()
+        == 0
+    )
+
+    # 6. pack into training sequences: token conservation
+    packed = pack_sequences(final, max_tokens=512, n_shards=8)
+    total_docs_packed = packed.agg(F.sum(F.size("doc_ids"))).collect()[0][0]
+    assert total_docs_packed == n4  # every doc lands in exactly one pack
+    over = packed.filter(F.col("total_tokens") > 512)
+    # single docs longer than the budget get their own pack; multi-doc
+    # packs must respect it
+    assert over.filter(F.size("doc_ids") > 1).count() == 0
+
+
+def test_pipeline_is_deterministic_across_partitionings(spark, raw_docs):
+    """The whole front half of the pipeline (hygiene -> dedup -> quality)
+    must give the SAME surviving id set regardless of input layout."""
+
+    def run(df):
+        hygienic = gopher_filter(df.withColumn("text", clean_text(F.col("text"))))
+        clusters = dedup_clusters(hygienic, threshold=0.7)
+        canon = hygienic.join(
+            clusters.filter("is_canonical").select("doc_id"), "doc_id", "left_semi"
+        )
+        scored = quality_score(canon, "text")
+        return {
+            r["doc_id"]
+            for r in scored.filter(F.col("quality_score") >= 0.2)
+            .select("doc_id")
+            .collect()
+        }
+
+    a = run(raw_docs)
+    b = run(raw_docs.repartition(17))
+    assert a == b and len(a) > 0
+
+
+def test_streaming_corpus_gate(spark, tmp_path):
+    """Corpus validators ride the streaming path unchanged: a file-source
+    stream of documents is gated per micro-batch by the SAME fused-agg
+    corpus suite used in batch (availableNow trigger = bounded test)."""
+    from truthound_spark.streaming.validate import validate_stream
+    from truthound_spark.validators.corpus import (
+        CorpusTokenCountValidator,
+        EmptyDocumentValidator,
+    )
+
+    src = str(tmp_path / "in")
+    rows = [
+        (1, "a healthy document with plenty of ordinary words to pass"),
+        (2, "   "),
+        (3, "another perfectly reasonable document streaming through here"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    query, sink = validate_stream(
+        stream,
+        validators=[
+            CorpusTokenCountValidator(min_tokens=3, max_tokens=500),
+            EmptyDocumentValidator(),
+        ],
+        checkpoint_location=str(tmp_path / "ckpt"),
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    assert len(sink.results) >= 1
+    issues = [i for _, res in sink.results for i in res.issues]
+    kinds = {i.validator_name: i.count for i in issues}
+    assert kinds.get("empty_document") == 1  # the whitespace-only doc
