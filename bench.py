@@ -296,6 +296,20 @@ def main():
 
     bench_one("global_shuffle_documents", global_shuffle_bench, timings, cold_timings)
 
+    def lof_bench():
+        from truthound_spark.pipeline.neighbors import lof
+
+        feats = customer.select(
+            F.col("c_custkey").alias("cid"),
+            (F.col("c_acctbal") / 1000).alias("x"),
+            F.col("c_nationkey").cast("double").alias("y"),
+        )
+        lof(feats, ["x", "y"], k=5, id_col="cid").filter(
+            F.col("lof") > 1.5
+        ).count()
+
+    bench_one("lof_native_customer", lof_bench, timings, cold_timings)
+
     # --- BASELINE.md pushdown workload shapes (sqlite-null/range/unique
     # roles; DuckDB executes the generated SQL in-database over the same
     # parquet — on a cluster the identical SQL rides spark.read.jdbc) -----
