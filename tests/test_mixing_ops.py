@@ -82,3 +82,45 @@ def test_bloom_equals_exact_decontamination(corpus):
 def test_bloom_empty_test_set(corpus, spark):
     empty = spark.createDataFrame([], "doc_id long, source string, text string")
     assert decontaminate_bloom(corpus, empty, "text", "doc_id", n=3).count() == 0
+
+
+def test_build_training_mix_end_to_end(spark, tmp_path):
+    """mixture plan -> map-side sample -> deterministic shuffle -> sharded
+    parquet, with the realized token mixture near the target."""
+    import random
+
+    from truthound_spark.pipeline.export import build_training_mix
+    from truthound_spark.pipeline.text import bpe_ish_token_count
+    from pyspark.sql import functions as F
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(1200):
+        src = "web" if i % 3 else "code"
+        words = " ".join(rng.choice(["alpha", "beta", "gamma", "delta"]) for _ in range(20))
+        rows.append((i, src, words))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    out_path = str(tmp_path / "mix")
+    mixed = build_training_mix(
+        df, {"web": 0.5, "code": 0.5}, path=out_path, n_shards=4, seed=1
+    )
+    got = (
+        mixed.groupBy("source")
+        .agg(F.sum(bpe_ish_token_count(F.col("text"))).alias("tok"))
+        .collect()
+    )
+    toks = {r["source"]: r["tok"] for r in got}
+    total = sum(toks.values())
+    # 'code' (400 docs) binds the mixture; each side should be ~50%
+    assert abs(toks["web"] / total - 0.5) < 0.1
+    assert abs(toks["code"] / total - 0.5) < 0.1
+
+    back = spark.read.parquet(out_path)
+    assert back.count() == mixed.count()
+    assert set(back.select("shard").distinct().toPandas()["shard"]) <= {0, 1, 2, 3}
+    # deterministic: same seed reproduces the identical sample + order
+    again = build_training_mix(df, {"web": 0.5, "code": 0.5}, n_shards=4, seed=1)
+    assert sorted(
+        (r["doc_id"], r["shard"], r["position"]) for r in mixed.collect()
+    ) == sorted((r["doc_id"], r["shard"], r["position"]) for r in again.collect())

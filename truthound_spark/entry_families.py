@@ -264,6 +264,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "incremental_dedup_documents",
     "corpus_validators_documents",
     "lof_native_customer",
+    "ivf_index_search_embeddings",
 ]
 
 

@@ -7095,3 +7095,79 @@ def q_lof_native_customer(spark, sf_dir):
     )
     out = lof(feats, ["x", "y"], k=5, id_col="cid")
     return out.select("id", F.round("lof", 6).alias("lof")).orderBy("id")
+
+
+@register(
+    "ivf_index_search_embeddings",
+    # identical semantics (and oracle) to ivf_seeded_topk_embeddings:
+    # the index just persists the same seeded assignment partitioned by
+    # cell, so search-over-index returns the same rows
+    f"""
+    WITH ed AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+    ),
+    c AS (
+      SELECT CAST(vec_id AS BIGINT) AS cell, embedding AS cv
+      FROM ed WHERE vec_id < 16
+    ),
+    a AS (
+      SELECT id, v, cell FROM (
+        SELECT CAST(e.vec_id AS BIGINT) AS id, e.embedding AS v, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_IVF_D2.format(a='e.embedding', b='c.cv')}, c.cell
+               ) AS rn
+        FROM ed e, c
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT CAST(q.vec_id AS BIGINT) AS query_id, q.embedding AS qv, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_IVF_D2.format(a='q.embedding', b='c.cv')}, c.cell
+               ) AS rn
+        FROM ed q, c WHERE q.vec_id < 8
+      ) WHERE rn <= 2
+    ),
+    s AS (
+      SELECT p.query_id, a.id,
+             list_dot_product(a.v, p.qv)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(p.qv, p.qv)))
+             AS cosine
+      FROM probe p JOIN a ON a.cell = p.cell
+      WHERE a.id <> p.query_id
+    )
+    SELECT query_id, id, ROUND(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
+      FROM s
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q_ivf_index_search_embeddings(spark, sf_dir):
+    """PERSISTED IVF index round-trip (pipeline/similarity.py
+    ivf_build_index + ivf_search_index): vectors written partitioned by
+    cell, then searched — the probed-cell isin filter prunes the scan to
+    the probed partitions (plan-tested), which is what makes ANN search
+    I/O independent of corpus size at 100 TB. Same seeded centroids as
+    ivf_seeded_topk, so the same oracle certifies the whole
+    build→persist→search cycle."""
+    import tempfile
+
+    from truthound_spark.pipeline.similarity import (
+        ivf_build_index,
+        ivf_search_index,
+    )
+
+    df = t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    ivf_build_index(df, path, num_cells=16)
+    q = df.filter(F.col("vec_id") < 8)
+    out = ivf_search_index(spark, path, q, k=5, nprobe=2)
+    return out.select(
+        "query_id", "id", F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")

@@ -730,25 +730,39 @@ def semantic_dedup(
     # checkpoint: the assignment feeds BOTH pairing sides and the final
     # keep join — without it Spark re-runs the broadcast+window subtree
     # three times (three full corpus scans at scale)
+    # the vector norm is precomputed INTO the checkpoint (same sequential
+    # fold as cosine_sim's denominator, so values are bit-identical to
+    # computing it per pair) — the in-cell pairing then folds only the
+    # cross dot product: 1 fold per pair instead of 3
+    norm = F.sqrt(
+        F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
     assigned = (
         v.crossJoin(F.broadcast(centroids))
         .select("id", "v", "cell", l2_sq(F.col("v"), F.col("cv")).alias("d2"))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select("id", "v", "cell")
+        .select("id", "v", "cell", norm.alias("nv"))
     )
     if checkpoint:
         assigned = assigned.localCheckpoint(eager=True)
     a = assigned.select(
-        F.col("cell"), F.col("id").alias("id_a"), F.col("v").alias("v_a")
+        F.col("cell"), F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+        F.col("nv").alias("n_a"),
     )
     b = assigned.select(
-        F.col("cell"), F.col("id").alias("id_b"), F.col("v").alias("v_b")
+        F.col("cell"), F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+        F.col("nv").alias("n_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     drops = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine_sim(F.col("v_a"), F.col("v_b")) >= threshold)
+        .filter(dot / (F.col("n_a") * F.col("n_b")) >= threshold)
         .select(F.col("id_b").alias("id"))
         .dropDuplicates()
         .withColumn("__drop", F.lit(True))

@@ -325,3 +325,42 @@ def mixture_weights(
             ).alias("sample_rate"),
         )
     )
+
+
+def build_training_mix(
+    df: DataFrame,
+    target_weights: dict[str, float],
+    path: str | None = None,
+    group_col: str = "source",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_shards: int = 1024,
+    seed: int = 0,
+) -> DataFrame:
+    """One-call mixing-to-disk: plan per-source rates for a target token
+    mixture (``mixture_weights``), sample map-side at those rates
+    (``stratified_sample`` — zero extra shuffles), impose a deterministic
+    global training order (``global_shuffle``), and, when ``path`` is
+    given, write one parquet file per shard partition.
+
+    Every stage is individually oracle-verified; this composes them with
+    the rate plan computed ON THE SAME FRAME the sample draws from, so
+    the realized token mixture tracks the target up to per-doc token
+    granularity. Returns the shuffled (and sampled) frame with
+    (shard, position) — write or iterate shards in (shard, position)
+    order for the training loader."""
+    plan = mixture_weights(df, target_weights, group_col, text_col)
+    rates = {
+        r[group_col]: float(r["sample_rate"]) for r in plan.collect()
+    }
+    sampled = stratified_sample(df, group_col, fractions=rates, key_col=key_col)
+    shuffled = global_shuffle(sampled, n_shards=n_shards, key_col=key_col, seed=seed)
+    if path is not None:
+        (
+            shuffled.repartitionByRange(n_shards, F.col("shard"))
+            .sortWithinPartitions("shard", "position")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(path)
+        )
+    return shuffled

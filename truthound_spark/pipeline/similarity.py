@@ -316,3 +316,96 @@ def embedding_stats(
         F.round(F.min("__norm"), 6).alias("min_norm"),
         F.round(F.max("__norm"), 6).alias("max_norm"),
     )
+
+
+def ivf_build_index(
+    df: DataFrame,
+    path: str,
+    num_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist an IVF index: vectors partitioned BY CELL on disk.
+
+    This is the piece that makes IVF pay off at 100 TB: assignment cost is
+    paid once at build time, and every search after that reads ONLY the
+    probed cells' parquet partitions (``cell=k/`` directories → Spark
+    partition pruning, asserted by plan test). Layout:
+
+    * ``{path}/vectors/cell=<c>/…`` — (id, v) rows, one directory per cell
+    * ``{path}/centroids``          — (cell, cv), tiny
+
+    ``centroids``: any (cell, cv) frame — :func:`truthound_spark.pipeline.
+    clustering.kmeans_vec` for production, default = the ``num_cells``
+    lowest-id vectors (closed-form, oracle-verifiable). Assignment is the
+    same broadcast + WindowGroupLimit top-1 plan as ``ivf_seeded_topk``.
+    """
+    v = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    if centroids is None:
+        centroids = v.filter(F.col("id") < num_cells).select(
+            F.col("id").alias("cell"), F.col("v").alias("cv")
+        )
+    wa = Window.partitionBy("id").orderBy("d2", "cell")
+    assigned = (
+        v.crossJoin(F.broadcast(centroids))
+        .select("id", "v", "cell", l2_sq(F.col("v"), F.col("cv")).alias("d2"))
+        .withColumn("__rn", F.row_number().over(wa))
+        .filter(F.col("__rn") == 1)
+        .select("id", "v", "cell")
+    )
+    assigned.write.mode(mode).partitionBy("cell").parquet(f"{path}/vectors")
+    centroids.write.mode(mode).parquet(f"{path}/centroids")
+
+
+def ivf_search_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Search a persisted IVF index: probe each query's ``nprobe`` nearest
+    cells, scan ONLY those partitions, exact cosine inside them.
+
+    The probed-cell set (≤ queries × nprobe values) becomes an ``isin``
+    partition filter on the vectors scan — Spark lists just those
+    ``cell=`` directories, so search I/O is |probed cells| / |cells| of
+    the corpus regardless of corpus size. Returns (query_id, id, cosine,
+    rank), identical semantics (and results, for the same centroids) to
+    the in-memory ``ivf_seeded_topk``."""
+    cents = spark.read.parquet(f"{path}/centroids").select(
+        F.col("cell").cast("long").alias("cell"), F.col("cv")
+    )
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    wp = Window.partitionBy("query_id").orderBy("d2", "cell")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", "cell", l2_sq(F.col("qv"), F.col("cv")).alias("d2"))
+        .withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "qv", "cell")
+        .localCheckpoint(eager=True)
+    )
+    probed_cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    corpus = (
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("cell").isin(probed_cells))
+        .select("id", "v", F.col("cell").cast("long").alias("cell"))
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", "id", cosine_sim(F.col("v"), F.col("qv")).alias("cosine"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("id"))
+    return scored.withColumn("rank", F.row_number().over(wk)).filter(F.col("rank") <= k)
