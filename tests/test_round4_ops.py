@@ -372,3 +372,66 @@ def test_kmeans_vec_feeds_semantic_dedup(spark):
     }
     assert out[0] is True and out[1] is True and out[2] is True
     assert out[10] is False and out[11] is False
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_roundtrip_and_recall(spark, sf_dir):
+    import os
+
+    from truthound_spark.pipeline.similarity import (
+        brute_force_topk,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    path = f"{sf_dir}/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("embeddings dataset absent")
+    emb = spark.read.parquet(path)
+    q = quantize_embeddings(emb)
+    # codes bounded to int8 symmetric range
+    bad = q.filter(
+        F.exists(F.col("q"), lambda c: (c < -127) | (c > 127))
+    ).count()
+    assert bad == 0
+    # reconstruction error bounded by scale/2 per component
+    deq = dequantize_embeddings(q)
+    joined = emb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("embedding").cast("array<double>").alias("orig"),
+    ).join(deq.select("id", "scale", F.col("embedding").alias("rec")), "id")
+    worst = joined.select(
+        F.array_max(
+            F.zip_with(F.col("orig"), F.col("rec"), lambda a, b: F.abs(a - b))
+        ).alias("err"),
+        (F.col("scale") / 2 + F.lit(1e-12)).alias("bound"),
+    )
+    assert worst.filter(F.col("err") > F.col("bound")).count() == 0
+    # top-1 recall of dequantized search vs exact search
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        r["query_id"]: r["id"]
+        for r in brute_force_topk(emb, queries, k=1).collect()
+    }
+    deq_corpus = deq.select(F.col("id").alias("vec_id"), "embedding")
+    approx = {
+        r["query_id"]: r["id"]
+        for r in brute_force_topk(deq_corpus, queries, k=1).collect()
+    }
+    agree = sum(1 for k_ in exact if approx.get(k_) == exact[k_])
+    assert agree >= len(exact) * 0.8
+
+
+def test_quantize_zero_vector_guard(spark):
+    from truthound_spark.pipeline.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, -2.0])], "vec_id long, embedding array<double>"
+    )
+    rows = {r["id"]: (r["scale"], list(r["q"])) for r in quantize_embeddings(df).collect()}
+    assert rows[1] == (0.0, [0, 0])
+    assert rows[2][1][1] == -127

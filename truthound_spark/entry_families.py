@@ -265,6 +265,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "corpus_validators_documents",
     "lof_native_customer",
     "ivf_index_search_embeddings",
+    "quantize_embeddings_int8",
 ]
 
 

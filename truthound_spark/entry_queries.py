@@ -7171,3 +7171,32 @@ def q_ivf_index_search_embeddings(spark, sf_dir):
         "query_id", "id", F.round("cosine", 6).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "quantize_embeddings_int8",
+    """
+    WITH ed AS (
+      SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM ed
+    )
+    SELECT id, ROUND(amax / 127.0, 9) AS scale,
+           CASE WHEN amax > 0
+                THEN list_transform(v, x -> CAST(round(x / (amax / 127.0)) AS TINYINT))
+                ELSE list_transform(v, x -> CAST(0 AS TINYINT)) END AS q
+    FROM s ORDER BY id
+    """,
+)
+def q_quantize_embeddings_int8(spark, sf_dir):
+    """Symmetric int8 embedding quantization (pipeline/similarity.py
+    quantize_embeddings): per-vector scale = max|x|/127, codes as
+    array<tinyint> — the 4x embedding-storage compression, certified
+    value-exact (same division + half-away rounding in both engines)."""
+    from truthound_spark.pipeline.similarity import quantize_embeddings
+
+    df = t(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(df)
+    return out.select("id", F.round("scale", 9).alias("scale"), "q").orderBy("id")

@@ -409,3 +409,45 @@ def ivf_search_index(
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("id"))
     return scored.withColumn("rank", F.row_number().over(wk)).filter(F.col("rank") <= k)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 quantization: per-vector scale = max|x|/127,
+    q_i = round(x_i / scale) ∈ [-127, 127]. Cuts embedding storage ~4×
+    (plus parquet byte-packing) — the standard trick for keeping a
+    100 TB embedding corpus scannable; cosine on dequantized vectors is
+    within ~1e-2 of exact for unit-scale embeddings (recall pinned by
+    test). Pure column math; deterministic, so SQL-certifiable.
+
+    Returns (id, scale, q: array<tinyint>). Reconstruct with
+    ``dequantize_embeddings``; all-zero vectors get scale 0 and zero
+    codes (guarded division)."""
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = amax / F.lit(127.0)
+    q = F.when(
+        amax > 0,
+        F.transform(v, lambda x: F.round(x / scale).cast("byte")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("byte")))
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        scale.alias("scale"),
+        q.alias("q"),
+    )
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    scale_col: str = "scale",
+    q_col: str = "q",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of ``quantize_embeddings``: x̂_i = q_i · scale."""
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(q_col), lambda c: c.cast("double") * F.col(scale_col)),
+    )
