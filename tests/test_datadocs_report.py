@@ -124,3 +124,34 @@ def test_build_site_with_reports_and_diff(prof, tmp_path):
     diff = open(tmp_path / "diff_t.html").read()
     assert "stat_drift" in diff
     assert "diff_t.html" in open(idx).read()
+
+
+def test_corpus_section_in_report(spark):
+    from truthound_spark.datadocs_report import (
+        build_report,
+        corpus_stats,
+        render_report_html,
+        render_report_markdown,
+    )
+    from truthound_spark.profiler.table_profiler import profile as profile_table
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "der hund und die katze sind von den besten ein beispiel"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    stats = corpus_stats(docs)
+    assert stats["n_docs"] == 4
+    assert stats["dup_excess"] == 1
+    assert stats["empty_docs"] == 1
+    assert stats["languages"].get("en") == 2
+    profile = profile_table(docs)
+    spec = build_report(profile, corpus=stats, title="corpus docs")
+    html = render_report_html(spec)
+    assert "Corpus health" in html and "exact-dup rate" in html
+    md = render_report_markdown(spec)
+    assert "Corpus health" in md

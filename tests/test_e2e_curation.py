@@ -131,3 +131,33 @@ def test_streaming_corpus_gate(spark, tmp_path):
     issues = [i for _, res in sink.results for i in res.issues]
     kinds = {i.validator_name: i.count for i in issues}
     assert kinds.get("empty_document") == 1  # the whitespace-only doc
+
+
+def test_minhash_survives_pathological_skew(spark):
+    """The documented scale guards must hold under skew: 2000 contentless
+    docs (all normalizing to '') + 500 copies of one boilerplate doc must
+    not send the LSH self-join quadratic — empty shingles are filtered
+    before signatures, and the exact-dup mass resolves via the hash
+    groupBy path, not pairwise comparison."""
+    import time
+
+    from truthound_spark.pipeline.dedup import dedup_clusters, exact_duplicates
+
+    rows = [(i, "!!! ??? ...") for i in range(2000)]
+    rows += [(10_000 + i, "identical boilerplate text repeated verbatim in every copy") for i in range(500)]
+    rows += [(20_000 + i, f"unique document number {i} with its own distinct words here") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    t0 = time.time()
+    groups = exact_duplicates(df).collect()
+    clusters = dedup_clusters(df, threshold=0.7)
+    canonical = clusters.filter("is_canonical").count()
+    elapsed = time.time() - t0
+    # all 2000 contentless docs are ONE exact-dup group; 500 boilerplate
+    # another; minhash sees only the contentful docs
+    counts = sorted(g["dup_count"] for g in groups)
+    assert counts[-2:] == [500, 2000]
+    # boilerplate cluster collapses to 1 canonical; contentless docs have
+    # no shingles so each keeps itself (exact-dedup is their tool)
+    assert canonical == 2000 + 1 + 300
+    assert elapsed < 120, f"skew guard failed: took {elapsed:.0f}s"

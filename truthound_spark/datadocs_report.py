@@ -357,8 +357,10 @@ def build_report(
     runs: list[tuple[str, Any]] | None = None,
     title: str = "Data profile",
     sections: list[str] | None = None,
+    corpus: dict[str, Any] | None = None,
 ) -> ReportSpec:
-    """Assemble a ReportSpec; ``sections`` selects/reorders by id."""
+    """Assemble a ReportSpec; ``sections`` selects/reorders by id.
+    ``corpus`` (a ``corpus_stats`` dict) adds the corpus-health section."""
     builders = {
         "overview": lambda: overview_section(profile),
         "columns": lambda: columns_section(profile),
@@ -368,6 +370,8 @@ def build_report(
         "recommendations": lambda: recommendations_section(profile),
         "alerts": lambda: alerts_section(runs or []),
     }
+    if corpus is not None:
+        builders["corpus"] = lambda: corpus_section(corpus)
     chosen = sections or list(builders)
     unknown = [s for s in chosen if s not in builders]
     if unknown:
@@ -502,3 +506,69 @@ def render_diff_html(
         f"<style>{theme.to_css_vars()}{_BASE_CSS}</style></head><body>"
         f"<h1>{_esc(title)}</h1>{body}</body></html>"
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus section (round 4: LLM-corpus gating surfaced in the docs site)
+# ---------------------------------------------------------------------------
+
+
+def corpus_stats(df: Any, text_col: str = "text") -> dict[str, Any]:
+    """One-pass corpus metrics for the report: the SAME column math as
+    validators/corpus.py, reduced to kilobytes driver-side. Two Spark
+    jobs: the fused scalar agg + a per-language count."""
+    from pyspark.sql import functions as F
+
+    from truthound_spark.pipeline.dedup import content_fingerprint, normalized_text
+    from truthound_spark.pipeline.text import bpe_ish_token_count, language_id
+    from truthound_spark.validators.corpus import _quality_score_expr
+
+    c = F.col(text_col)
+    tok = bpe_ish_token_count(c)
+    row = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(content_fingerprint(c)) - F.count_distinct(content_fingerprint(c))).alias("dup_excess"),
+        F.sum(F.coalesce(tok, F.lit(0))).alias("total_tokens"),
+        F.round(F.avg(tok), 1).alias("avg_tokens"),
+        F.max(tok).alias("max_tokens"),
+        F.sum((F.coalesce(normalized_text(c), F.lit("")) == "").cast("long")).alias("empty_docs"),
+        F.round(F.avg(_quality_score_expr(c)), 4).alias("avg_quality"),
+        F.sum((_quality_score_expr(c) < 0.3).cast("long")).alias("low_quality"),
+    ).collect()[0]
+    langs = {
+        r["lang"]: r["n"]
+        for r in df.select(language_id(c).alias("lang"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    out = row.asDict()
+    out["languages"] = dict(sorted(langs.items(), key=lambda kv: -kv[1]))
+    return out
+
+
+def corpus_section(stats: dict[str, Any]) -> Section:
+    """Corpus health cards + language distribution bar chart."""
+    n = stats.get("n_docs") or 0
+    dup_pct = (stats.get("dup_excess") or 0) / n if n else 0.0
+    low_pct = (stats.get("low_quality") or 0) / n if n else 0.0
+    cards = [
+        ("documents", f"{n:,}"),
+        ("total tokens", f"{stats.get('total_tokens') or 0:,}"),
+        ("avg tokens/doc", _fmt(stats.get("avg_tokens"))),
+        ("exact-dup rate", f"{dup_pct:.2%}"),
+        ("low quality", f"{low_pct:.2%}"),
+        ("empty docs", str(stats.get("empty_docs") or 0)),
+        ("avg quality", _fmt(stats.get("avg_quality"))),
+    ]
+    html = "<div class='cards'>" + "".join(
+        f"<div class='card'><div class='v'>{_esc(v)}</div>"
+        f"<div class='l'>{_esc(l)}</div></div>"
+        for l, v in cards
+    ) + "</div>"
+    langs: dict[str, int] = stats.get("languages") or {}
+    if langs:
+        html += "<h3>Languages</h3>" + _bar_svg(
+            [float(v) for v in langs.values()], list(langs)
+        )
+    return Section("corpus", "Corpus health", html, data={**stats})
