@@ -66,3 +66,28 @@ def test_sketch_profile(spark):
     s = sketch_profile(df, ["v"], support=0.3)
     assert s["v"]["approx_distinct"] >= 20
     assert "a" in s["v"]["heavy_hitters"]
+
+
+def test_cli_curate_end_to_end(spark, tmp_path, capsys):
+    import json
+
+    from truthound_spark.cli import main
+
+    src = str(tmp_path / "docs.parquet")
+    rows = [
+        (i, f"a perfectly ordinary document number {i} with enough distinct words to pass the gates")
+        for i in range(40)
+    ]
+    rows += [(100, rows[0][1]), (101, rows[0][1])]  # exact dups of doc 0
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "curated")
+    rc = main(["curate", src, out, "--n-shards", "4", "--min-quality", "0.1"])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    c = payload["counts"]
+    assert c["input"] == 42
+    assert c["after_dedup"] == 40  # the two copies collapse onto doc 0
+    assert c["written"] <= c["after_dedup"]
+    back = spark.read.parquet(out)
+    assert back.count() == c["written"]
+    assert {"doc_id", "text", "position"} <= set(back.columns)

@@ -108,6 +108,55 @@ def cmd_compare(args: argparse.Namespace) -> int:
     return 1 if drifted else 0
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    """End-to-end corpus curation (the pipeline test_e2e_curation pins):
+    C4/Gopher hygiene -> fuzzy-dedup canonical selection -> optional probe
+    decontamination -> quality gate -> deterministic global shuffle ->
+    sharded parquet at OUTPUT. Prints one JSON line of stage counts."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from truthound_spark.pipeline.dedup import decontaminate, dedup_clusters
+    from truthound_spark.pipeline.export import global_shuffle
+    from truthound_spark.pipeline.text import clean_text, gopher_filter, quality_score
+
+    spark = _spark()
+    df = _load(spark, args.path)
+    tc, ic = args.text_col, args.id_col
+    counts: dict[str, int] = {"input": df.count()}
+    work = df
+    if not args.skip_hygiene:
+        work = gopher_filter(
+            df.withColumn(tc, clean_text(F.col(tc))), text_col=tc
+        )
+        counts["after_hygiene"] = work.count()
+    clusters = dedup_clusters(work, text_col=tc, id_col=ic, threshold=args.dedup_threshold)
+    work = work.join(clusters.filter("is_canonical").select(ic), ic, "left_semi")
+    counts["after_dedup"] = work.count()
+    if args.decontaminate:
+        probe = _load(spark, args.decontaminate)
+        flagged = decontaminate(
+            work, probe, text_col=tc, id_col=ic, min_overlap=args.min_overlap
+        )
+        work = work.join(flagged.select(ic), ic, "left_anti")
+        counts["after_decontamination"] = work.count()
+    scored = quality_score(work, tc)
+    work = scored.filter(F.col("quality_score") >= args.min_quality).select(*df.columns)
+    counts["after_quality_gate"] = work.count()
+    shuffled = global_shuffle(work, n_shards=args.n_shards, key_col=ic, seed=args.seed)
+    (
+        shuffled.repartitionByRange(args.n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "position")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(args.output)
+    )
+    counts["written"] = counts["after_quality_gate"]
+    print(_json.dumps({"output": args.output, "counts": counts}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="truthound-spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -152,6 +201,20 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("path")
     c.add_argument("-n", type=int, default=10)
     c.set_defaults(fn=cmd_read)
+
+    c = sub.add_parser("curate", help="LLM-corpus curation: hygiene -> dedup -> quality gate -> shuffle -> sharded parquet")
+    c.add_argument("path")
+    c.add_argument("output")
+    c.add_argument("--text-col", default="text")
+    c.add_argument("--id-col", default="doc_id")
+    c.add_argument("--dedup-threshold", type=float, default=0.7)
+    c.add_argument("--min-quality", type=float, default=0.2)
+    c.add_argument("--decontaminate", help="path to a probe/eval dataset")
+    c.add_argument("--min-overlap", type=int, default=5)
+    c.add_argument("--n-shards", type=int, default=64)
+    c.add_argument("--seed", type=int, default=0)
+    c.add_argument("--skip-hygiene", action="store_true")
+    c.set_defaults(fn=cmd_curate)
 
     c = sub.add_parser("doctor", help="diagnose the runtime environment")
     c.set_defaults(fn=cmd_doctor)
