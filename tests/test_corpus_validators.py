@@ -128,3 +128,25 @@ def test_names_resolve_via_registry(spark, corpus):
         ],
     )
     assert res is not None  # all five resolve and run fused
+
+
+def test_corpus_drift_flags_shifted_snapshot(spark):
+    from truthound_spark.pipeline.text import corpus_drift
+
+    base = spark.createDataFrame(
+        [(i, "a normal document with about ten reasonable words here") for i in range(60)],
+        "doc_id long, text string",
+    )
+    same = spark.createDataFrame(
+        [(1000 + i, "a normal document with about ten reasonable words here") for i in range(60)],
+        "doc_id long, text string",
+    )
+    shifted = spark.createDataFrame(
+        [(2000 + i, "1234 5678 " * 40) for i in range(60)],
+        "doc_id long, text string",
+    )
+    stable = {r["signal"]: r["drifted"] for r in corpus_drift(base, same).collect()}
+    assert set(stable) == {"quality_score", "token_count", "char_length"}
+    assert not any(stable.values())
+    moved = {r["signal"]: r["drifted"] for r in corpus_drift(base, shifted).collect()}
+    assert any(moved.values())

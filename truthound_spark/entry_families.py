@@ -266,6 +266,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "lof_native_customer",
     "ivf_index_search_embeddings",
     "quantize_embeddings_int8",
+    "corpus_drift_documents",
 ]
 
 

@@ -7200,3 +7200,102 @@ def q_quantize_embeddings_int8(spark, sf_dir):
     df = t(spark, sf_dir, "embeddings")
     out = quantize_embeddings(df)
     return out.select("id", F.round("scale", 9).alias("scale"), "q").orderBy("id")
+
+
+
+def _corpus_psi_block(col: str) -> str:
+    """PSI-over-signal SQL block: baseline = even doc_ids, current = odd,
+    10 bins from the baseline's range — mirrors drift.detectors.psi
+    (same clamp, same eps smoothing) applied to the ``sig`` CTE."""
+    return f"""
+    SELECT '{col}' AS signal, ROUND(SUM((p - q) * LN((p + 1e-10) / (q + 1e-10))), 6) AS psi
+    FROM (
+      SELECT bins.i,
+             COALESCE(bh.n, 0) / CAST((SELECT SUM(n) FROM hist WHERE side = 0 AND name = '{col}') AS DOUBLE) AS p,
+             COALESCE(ch.n, 0) / CAST((SELECT SUM(n) FROM hist WHERE side = 1 AND name = '{col}') AS DOUBLE) AS q
+      FROM (SELECT i FROM generate_series(0, 9) AS gs(i)) bins
+      LEFT JOIN (SELECT bin, n FROM hist WHERE side = 0 AND name = '{col}') bh ON bins.i = bh.bin
+      LEFT JOIN (SELECT bin, n FROM hist WHERE side = 1 AND name = '{col}') ch ON bins.i = ch.bin
+    )
+    """
+
+
+_CORPUS_SIG_SQL = f"""
+    sigbase AS (
+      SELECT doc_id,
+        LEAST(n_words / 50.0, 1.0) * 0.3
+          + LEAST(stop_r * 4.0, 1.0) * 0.2
+          + (1.0 - LEAST(punct_r * 5.0, 1.0)) * 0.2
+          + (1.0 - LEAST(digit_r * 5.0, 1.0)) * 0.1
+          + LEAST(uniq_r * 1.25, 1.0) * 0.2 AS quality_score,
+        tok AS token_count, chars AS char_length
+      FROM (
+        SELECT doc_id, n_words,
+          CASE WHEN len(words) > 0 THEN
+            len(list_filter(words, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))
+            / CAST(len(words) AS DOUBLE) ELSE 0.0 END AS stop_r,
+          CASE WHEN length(text) > 0 THEN
+            len(regexp_extract_all(text, '[^\\x{{30}}-\\x{{39}}a-zA-Z_\\s]')) / CAST(length(text) AS DOUBLE)
+            ELSE 0.0 END AS punct_r,
+          CASE WHEN length(text) > 0 THEN
+            len(regexp_extract_all(text, '[0-9]')) / CAST(length(text) AS DOUBLE)
+            ELSE 0.0 END AS digit_r,
+          CASE WHEN len(words) > 0 THEN len(list_distinct(words)) / CAST(len(words) AS DOUBLE)
+               ELSE 0.0 END AS uniq_r,
+          CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS DOUBLE) AS tok,
+          CAST(COALESCE(length(text), 0) AS DOUBLE) AS chars
+        FROM (
+          SELECT doc_id, text,
+                 string_split(CASE WHEN LEN(TRIM(text)) = 0 THEN '' ELSE
+                   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))
+                 END, ' ') AS words,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words
+          FROM documents
+        )
+      )
+    ),
+    melted AS (
+      SELECT doc_id % 2 AS side, 'quality_score' AS name, quality_score AS value FROM sigbase
+      UNION ALL SELECT doc_id % 2, 'token_count', token_count FROM sigbase
+      UNION ALL SELECT doc_id % 2, 'char_length', char_length FROM sigbase
+    ),
+    rng AS (
+      SELECT name, MIN(value) AS lo, MAX(value) AS hi FROM melted WHERE side = 0 GROUP BY name
+    ),
+    hist AS (
+      SELECT m.side, m.name,
+             LEAST(GREATEST(CAST(FLOOR((m.value - r.lo) / ((r.hi - r.lo) / 10)) AS INT), 0), 9) AS bin,
+             COUNT(*) AS n
+      FROM melted m JOIN rng r ON m.name = r.name
+      GROUP BY 1, 2, 3
+    )
+"""
+
+
+@register(
+    "corpus_drift_documents",
+    "WITH "
+    + _CORPUS_SIG_SQL
+    + _corpus_psi_block("char_length")
+    + " UNION ALL "
+    + _corpus_psi_block("quality_score")
+    + " UNION ALL "
+    + _corpus_psi_block("token_count")
+    + " ORDER BY signal",
+)
+def q_corpus_drift_documents(spark, sf_dir):
+    """Corpus-version drift (pipeline/text.py corpus_drift): PSI between
+    the even-id and odd-id halves of the documents table over quality
+    score, token count, and char length — the snapshot-refresh gate a
+    training pipeline runs on every crawl update. Each signal reduces
+    both sides to 10-bin histogram aggregates; the oracle replays the
+    identical baseline-range clamp + eps-smoothed sum per signal."""
+    from truthound_spark.pipeline.text import corpus_drift
+
+    docs = t(spark, sf_dir, "documents")
+    out = corpus_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+    return out.select("signal", "psi").orderBy("signal")

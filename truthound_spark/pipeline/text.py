@@ -416,3 +416,40 @@ def chunk_documents(
             ),
         )
     )
+
+
+def corpus_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Corpus-version drift: PSI between two snapshots over the curation
+    signals (composite quality score, BPE-ish token count, char length).
+
+    The "did my crawl/filters change the corpus distribution" check a
+    training-data pipeline runs on every refresh — each signal reduces
+    both sides to 10-bin histogram aggregates (drift.detectors.psi), so
+    the comparison cost is two fused scans regardless of corpus size.
+    Returns one row per signal: (signal, psi, threshold, drifted)."""
+    from truthound_spark.drift.detectors import psi
+    from truthound_spark.validators.corpus import _quality_score_expr
+
+    signals = {
+        "quality_score": lambda d: d.select(
+            _quality_score_expr(F.col(text_col)).alias("__sig")
+        ),
+        "token_count": lambda d: d.select(
+            bpe_ish_token_count(F.col(text_col)).cast("double").alias("__sig")
+        ),
+        "char_length": lambda d: d.select(
+            F.coalesce(F.length(text_col), F.lit(0)).cast("double").alias("__sig")
+        ),
+    }
+    rows = []
+    for name, proj in signals.items():
+        r = psi(proj(baseline), proj(current), "__sig", threshold=threshold)
+        rows.append((name, round(r.statistic, 6), float(threshold), bool(r.drifted)))
+    return baseline.sparkSession.createDataFrame(
+        rows, "signal string, psi double, threshold double, drifted boolean"
+    )
