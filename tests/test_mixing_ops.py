@@ -124,3 +124,47 @@ def test_build_training_mix_end_to_end(spark, tmp_path):
     assert sorted(
         (r["doc_id"], r["shard"], r["position"]) for r in mixed.collect()
     ) == sorted((r["doc_id"], r["shard"], r["position"]) for r in again.collect())
+
+
+def test_repetition_plan_budget_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from truthound_spark.pipeline.export import repetition_plan
+    from truthound_spark.pipeline.text import bpe_ish_token_count
+
+    df = spark.createDataFrame(
+        [(i, "ten short words appear in this document exactly as planned") for i in range(100)],
+        "doc_id long, text string",
+    )
+    tok = F.coalesce(bpe_ish_token_count(F.col("text")), F.lit(0))
+    available = df.agg(F.sum(tok)).collect()[0][0]
+
+    # budget = 2.5 corpora -> 2 full epochs + ~half the docs once more
+    out = repetition_plan(df, target_tokens=int(available * 2.5))
+    planned = out.agg(F.sum(F.col("repeats") * tok)).collect()[0][0]
+    reps = {r["doc_id"]: r["repeats"] for r in out.collect()}
+    assert set(reps.values()) <= {2, 3}
+    assert abs(planned - available * 2.5) / (available * 2.5) < 0.15
+    # deterministic across layouts
+    again = repetition_plan(df.repartition(9), target_tokens=int(available * 2.5))
+    assert reps == {r["doc_id"]: r["repeats"] for r in again.collect()}
+
+    # budget beyond max_epochs caps at max_epochs everywhere
+    capped = repetition_plan(df, target_tokens=available * 10, max_epochs=4)
+    assert {r["repeats"] for r in capped.collect()} == {4}
+    # sub-corpus budget -> 0 base epochs, partial extra pass
+    small = repetition_plan(df, target_tokens=available // 2)
+    assert {r["repeats"] for r in small.collect()} <= {0, 1}
+
+
+def test_repetition_plan_validates_and_empty(spark):
+    import pytest as _pytest
+
+    from truthound_spark.pipeline.export import repetition_plan
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    assert repetition_plan(df, 100).collect()[0]["repeats"] == 0
+    with _pytest.raises(ValueError):
+        repetition_plan(df, -1)
+    with _pytest.raises(ValueError):
+        repetition_plan(df, 10, max_epochs=0)

@@ -267,6 +267,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "ivf_index_search_embeddings",
     "quantize_embeddings_int8",
     "corpus_drift_documents",
+    "repetition_plan_documents",
 ]
 
 

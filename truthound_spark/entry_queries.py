@@ -7299,3 +7299,45 @@ def q_corpus_drift_documents(spark, sf_dir):
         docs.filter(F.col("doc_id") % 2 == 1),
     )
     return out.select("signal", "psi").orderBy("signal")
+
+
+@register(
+    "repetition_plan_documents",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             COALESCE(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')), 0) AS nt
+      FROM documents
+    ),
+    avail AS (
+      SELECT CAST(SUM(nt) AS BIGINT) AS a,
+             -- target replicates the entry's int(available * 2.5)
+             -- truncation, then frac = (target - 2a)/a as double math
+             CAST(FLOOR(CAST(SUM(nt) AS BIGINT) * 2.5) AS BIGINT) AS tgt
+      FROM tok
+    )
+    SELECT t.doc_id,
+           CAST(2 + CASE WHEN CAST(('0x' || substr(md5('rep:' || CAST(t.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000000
+                         < CAST(FLOOR(CAST(tgt - 2 * a AS DOUBLE) / a * 1000000) AS BIGINT)
+                    THEN 1 ELSE 0 END AS INT) AS repeats
+    FROM tok t, avail
+    ORDER BY t.doc_id
+    """,
+)
+def q_repetition_plan_documents(spark, sf_dir):
+    """Data-constrained epoch planning (pipeline/export.py
+    repetition_plan): a 2.5x-corpus token budget plans 2 full epochs plus
+    a deterministic md5-keyed half-corpus extra pass — map-side column
+    math, no global sort. The oracle replays the identical base/remainder
+    arithmetic and hash-rate subset."""
+    from truthound_spark.pipeline.export import repetition_plan
+
+    docs = t(spark, sf_dir, "documents")
+    from truthound_spark.pipeline.text import bpe_ish_token_count
+
+    available = docs.agg(
+        F.sum(F.coalesce(bpe_ish_token_count(F.col("text")), F.lit(0))).cast("long")
+    ).collect()[0][0]
+    target = int(available * 2.5)
+    out = repetition_plan(docs, target_tokens=target, max_epochs=4)
+    return out.select("doc_id", "repeats").orderBy("doc_id")

@@ -364,3 +364,48 @@ def build_training_mix(
             .parquet(path)
         )
     return shuffled
+
+
+def repetition_plan(
+    df: DataFrame,
+    target_tokens: int,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    max_epochs: int = 4,
+) -> DataFrame:
+    """Data-constrained epoch planning: per-document repeat counts that
+    realize a token budget larger than the corpus (the "repeat your data
+    N epochs plus a bit" recipe of data-constrained scaling).
+
+    base epochs = min(target // available, max_epochs); the remainder
+    budget selects a deterministic md5-keyed subset for one extra pass:
+    doc joins the extra epoch iff ``md5_frac(key) < remainder/available``
+    — pure map-side column math (no global sort, no cumulative window:
+    a token-exact remainder would need an md5-ordered running sum, which
+    serializes on one task at scale; the hash-rate subset hits the budget
+    in expectation with per-doc-token variance, the right trade at
+    100 TB). Total planned tokens is capped at max_epochs · available.
+
+    Returns df + (repeats int) with repeats ≥ base (0 when the budget is
+    smaller than the corpus — then use ``stratified_sample`` instead).
+    One aggregate job plans; the projection assigns."""
+    if target_tokens < 0:
+        raise ValueError(f"target_tokens must be >= 0, got {target_tokens}")
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    tok = F.coalesce(bpe_ish_token_count(F.col(text_col)), F.lit(0))
+    available = df.agg(F.sum(tok).cast("long")).collect()[0][0] or 0
+    if available == 0:
+        return df.withColumn("repeats", F.lit(0))
+    base = min(target_tokens // available, max_epochs)
+    remainder = target_tokens - base * available if base < max_epochs else 0
+    frac = min(max(remainder / available, 0.0), 1.0)
+    denom = 1_000_000
+    # same engine-portable md5 idiom as global_shuffle / stratified_sample
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("rep:"), F.col(key_col).cast("string"))), 1, 6),
+        16,
+        10,
+    ).cast("long") % denom
+    extra = (h < F.lit(int(frac * denom))).cast("int")
+    return df.withColumn("repeats", (F.lit(int(base)) + extra).cast("int"))
