@@ -108,3 +108,106 @@ def test_range_validator_matches_python(spark, values, lo, hi):
     spark_bad = issues[0].count if issues else 0
     py_bad = sum(1 for v in values if v is not None and (v < lo or v > hi))
     assert spark_bad == py_bad
+
+
+# ---------------------------------------------------------------------------
+# round-4 operators: permutation / quantization / planning invariants
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(st.characters(codec="ascii", exclude_characters="\x00"), min_size=1, max_size=12),
+        min_size=2,
+        max_size=40,
+        unique=True,
+    ),
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=0, max_value=3),
+)
+def test_global_shuffle_is_bijection_for_any_keys(spark, keys, n_shards, seed):
+    """For ARBITRARY unique string keys: every row appears exactly once,
+    per-shard positions are 1..n_s contiguous, and the permutation is a
+    pure function of (key, seed)."""
+    from truthound_spark.pipeline.export import global_shuffle
+
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id string")
+    out = [
+        (r["doc_id"], r["shard"], r["position"])
+        for r in global_shuffle(df, n_shards=n_shards, seed=seed).collect()
+    ]
+    assert sorted(k for k, _, _ in out) == sorted(keys)
+    per_shard: dict[int, list[int]] = {}
+    for _, s, p in out:
+        assert 0 <= s < n_shards
+        per_shard.setdefault(s, []).append(p)
+    for ps in per_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    again = [
+        (r["doc_id"], r["shard"], r["position"])
+        for r in global_shuffle(df.repartition(3), n_shards=n_shards, seed=seed).collect()
+    ]
+    assert sorted(out) == sorted(again)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-100, max_value=100, allow_nan=False, width=64),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_quantize_bounds_and_reconstruction(spark, vectors):
+    """int8 codes stay in [-127, 127]; reconstruction error <= scale/2 per
+    component for ANY finite vectors."""
+    from truthound_spark.pipeline.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vectors)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = {r["id"]: (r["scale"], list(r["q"])) for r in quantize_embeddings(df).collect()}
+    rec = {
+        r["id"]: list(r["embedding"])
+        for r in dequantize_embeddings(quantize_embeddings(df)).collect()
+    }
+    for i, v in rows:
+        scale, codes = q[i]
+        assert all(-127 <= c <= 127 for c in codes)
+        for orig, back in zip(v, rec[i]):
+            assert abs(orig - back) <= scale / 2 + 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=6),
+    st.integers(min_value=1, max_value=4),
+)
+def test_repetition_plan_monotone_in_budget(spark, mult, max_epochs):
+    """Planned tokens never decrease as the budget grows, and never exceed
+    max_epochs x corpus."""
+    from truthound_spark.pipeline.export import repetition_plan
+    from truthound_spark.pipeline.text import bpe_ish_token_count
+
+    df = spark.createDataFrame(
+        [(i, "seven words of text in each doc") for i in range(20)],
+        "doc_id long, text string",
+    )
+    tok = F.coalesce(bpe_ish_token_count(F.col("text")), F.lit(0))
+    available = df.agg(F.sum(tok)).collect()[0][0]
+
+    def planned(budget):
+        out = repetition_plan(df, budget, max_epochs=max_epochs)
+        return out.agg(F.sum(F.col("repeats") * tok)).collect()[0][0] or 0
+
+    lo = planned(int(available * mult / 2))
+    hi = planned(int(available * mult))
+    assert lo <= hi
+    assert hi <= max_epochs * available
