@@ -435,3 +435,51 @@ def test_quantize_zero_vector_guard(spark):
     rows = {r["id"]: (r["scale"], list(r["q"])) for r in quantize_embeddings(df).collect()}
     assert rows[1] == (0.0, [0, 0])
     assert rows[2][1][1] == -127
+
+
+# ---------------------------------------------------------------------------
+# media dedup (exact payload + perceptual-hash blocking)
+# ---------------------------------------------------------------------------
+
+
+def test_media_exact_and_phash_near_dup(spark):
+    from truthound_spark.pipeline.multimodal import (
+        fake_perceptual_hash,
+        media_exact_duplicates,
+        media_near_duplicates,
+    )
+
+    rows = [
+        (1, bytearray(b"image-bytes-alpha")),
+        (2, bytearray(b"image-bytes-alpha")),  # byte-identical re-fetch
+        (3, bytearray(b"image-bytes-beta")),
+        (4, bytearray(b"image-bytes-gamma")),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    groups = media_exact_duplicates(df).collect()
+    assert len(groups) == 1
+    assert groups[0]["dup_count"] == 2 and list(groups[0]["asset_ids"]) == [1, 2]
+
+    pairs = media_near_duplicates(df).collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
+
+    # a custom phash column wires through: force two assets to hamming 1
+    sig = F.when(F.col("asset_id") == 3, F.lit(0b1001))
+    sig = sig.when(F.col("asset_id") == 4, F.lit(0b1000)).otherwise(
+        fake_perceptual_hash(F.col("payload"))
+    )
+    pairs2 = media_near_duplicates(df, phash_col=sig.cast("long")).collect()
+    got = {(p["id_a"], p["id_b"]): p["hamming"] for p in pairs2}
+    assert got[(3, 4)] == 1 and got[(1, 2)] == 0
+
+
+def test_fake_phash_is_positive_63bit(spark):
+    from truthound_spark.pipeline.multimodal import fake_perceptual_hash
+
+    df = spark.createDataFrame(
+        [(i, bytearray(f"payload-{i}".encode())) for i in range(50)],
+        "asset_id long, payload binary",
+    )
+    sigs = df.select(fake_perceptual_hash(F.col("payload")).alias("s")).collect()
+    for r in sigs:
+        assert 0 <= r["s"] < (1 << 63)

@@ -268,6 +268,8 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "quantize_embeddings_int8",
     "corpus_drift_documents",
     "repetition_plan_documents",
+    "media_exact_dedup",
+    "media_phash_near_dup",
 ]
 
 

@@ -7341,3 +7341,75 @@ def q_repetition_plan_documents(spark, sf_dir):
     target = int(available * 2.5)
     out = repetition_plan(docs, target_tokens=target, max_epochs=4)
     return out.select("doc_id", "repeats").orderBy("doc_id")
+
+
+@register(
+    "media_exact_dedup",
+    # corpus = documents' bytes + a re-fetched copy of the doc_id%3==0
+    # third under new asset ids -> guaranteed dup groups to verify
+    """
+    WITH m AS (
+      SELECT doc_id AS asset_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT payload_md5, dup_count, asset_ids FROM (
+      SELECT md5(text) AS payload_md5,
+             CAST(COUNT(*) AS BIGINT) AS dup_count,
+             array_agg(asset_id ORDER BY asset_id) AS asset_ids
+      FROM m GROUP BY 1
+    ) WHERE dup_count > 1 ORDER BY payload_md5
+    """,
+)
+def q_media_exact_dedup(spark, sf_dir):
+    """Byte-identical media dedup (pipeline/multimodal.py
+    media_exact_duplicates): md5 over the BINARY payload, bounded dup
+    groups — the crawl-refetch pass every image/audio pipeline runs
+    first. Payloads here are the documents' UTF-8 bytes (same stand-in
+    as the other media entries), so DuckDB's md5(text) replays the hash
+    over identical bytes."""
+    from truthound_spark.pipeline.multimodal import media_exact_duplicates
+
+    media = _media_df(spark, sf_dir)
+    refetched = media.filter(F.col("asset_id") % 3 == 0).withColumn(
+        "asset_id", F.col("asset_id") + 1_000_000
+    )
+    return media_exact_duplicates(media.unionByName(refetched)).orderBy("payload_md5")
+
+
+@register(
+    "media_phash_near_dup",
+    """
+    WITH m AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0
+    ),
+    p AS (
+      SELECT id,
+             CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 2147483648 * 4294967296
+               + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) AS sig
+      FROM m
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM p a JOIN p b ON a.id < b.id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    ORDER BY 1, 2
+    """,
+)
+def q_media_phash_near_dup(spark, sf_dir):
+    """Perceptual-hash media near-dup (pipeline/multimodal.py
+    media_near_duplicates): 64-bit signatures blocked with the SAME
+    4-segment pigeonhole join as SimHash (dedup.hamming_blocked_pairs),
+    verified by bit_count(xor). The deterministic fake pHash stands where
+    a real decoder-backed pHash drops in; the oracle is the EXHAUSTIVE
+    pairwise Hamming scan, which the pigeonhole guarantee says the
+    blocked plan must reproduce exactly at distance <= 3."""
+    from truthound_spark.pipeline.multimodal import media_near_duplicates
+
+    media = _media_df(spark, sf_dir)
+    refetched = media.filter(F.col("asset_id") % 3 == 0).withColumn(
+        "asset_id", F.col("asset_id") + 1_000_000
+    )
+    return media_near_duplicates(media.unionByName(refetched)).orderBy("id_a", "id_b")

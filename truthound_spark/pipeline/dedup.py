@@ -525,40 +525,39 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return df.select(F.col(id_col).alias("id"), sim(F.col(text_col)).alias("simhash"))
 
 
-def simhash_near_duplicates(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def hamming_blocked_pairs(
+    sigs: DataFrame,
+    sig_col: str = "sig",
+    id_col: str = "id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs at Hamming distance ≤ max_hamming via 4-segment
-    pigeonhole blocking: any pair within distance 3 agrees on ≥1 of 4
-    16-bit segments → join only within segment buckets (linear candidates),
-    verify with bit_count(xor) — all JVM-side after the signature."""
+    """Pairs of 64-bit signatures at Hamming distance ≤ max_hamming via
+    4-segment pigeonhole blocking (any pair within distance 3 agrees on
+    ≥ 1 of the 4 16-bit segments) — the generic engine behind SimHash
+    text near-dup AND perceptual-hash media near-dup. Join only within
+    segment buckets (linear candidates), verify with bit_count(xor)."""
     if max_hamming > 3:
-        # 4 segments only guarantee a shared block for distance ≤ 3; beyond
-        # that pairs differing one bit per segment would be silently missed.
         raise ValueError(
             f"max_hamming={max_hamming} exceeds the 4-segment pigeonhole "
             "guarantee (≤ 3); use more segments for larger radii"
         )
-    sigs = simhash(df, text_col, id_col)
-    seg = sigs.select(
+    base = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig"))
+    seg = base.select(
         "id",
-        "simhash",
+        "sig",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(s).alias("seg"),
-                        F.shiftright(F.col("simhash"), s * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                        F.shiftright(F.col("sig"), s * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
                     )
                     for s in range(4)
                 ]
             )
         ).alias("sk"),
-    ).select("id", "simhash", F.col("sk.seg").alias("seg"), F.col("sk.key").alias("key"))
-    pairs = (
+    ).select("id", "sig", F.col("sk.seg").alias("seg"), F.col("sk.key").alias("key"))
+    return (
         seg.alias("a")
         .join(
             seg.alias("b"),
@@ -569,12 +568,25 @@ def simhash_near_duplicates(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
-    return pairs
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs at Hamming distance ≤ max_hamming via 4-segment
+    pigeonhole blocking: any pair within distance 3 agrees on ≥1 of 4
+    16-bit segments → join only within segment buckets (linear candidates),
+    verify with bit_count(xor) — all JVM-side after the signature."""
+    sigs = simhash(df, text_col, id_col)
+    return hamming_blocked_pairs(sigs, "simhash", "id", max_hamming)
 
 
 # ---------------------------------------------------------------------------

@@ -159,3 +159,76 @@ def media_size_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         F.avg(F.length(F.col(payload_col))).alias("avg_bytes"),
         F.max(F.length(F.col(payload_col))).alias("max_bytes"),
     )
+
+
+def fake_perceptual_hash(payload_col: "Column") -> "Column":
+    """DETERMINISTIC STAND-IN for a perceptual hash (pHash/aHash need an
+    image decoder this container lacks — same stub pattern as
+    fake_image_decoder): a 63-bit signature from the payload md5
+    (hi-31-bits · 2³² + lo-32-bits, kept positive so SQL engines with
+    checked BIGINT arithmetic reproduce it). A real pHash drops into the
+    same column slot; everything downstream (blocking, verification) is
+    real and tested."""
+    h = F.md5(payload_col)
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(2147483648)
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return hi * F.lit(4294967296) + lo
+
+
+def media_exact_duplicates(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+    max_members: int = 10_000,
+) -> DataFrame:
+    """Byte-identical asset dedup: groups by md5(payload) — the first pass
+    of any image/audio dedup (crawls re-fetch the same bytes constantly).
+    Same bounded-group plan as text exact_duplicates: the shuffle key is
+    the 32-char hash, group membership is capped BEFORE aggregation via a
+    spillable window, so a boilerplate asset repeated millions of times
+    never materializes an unbounded array buffer.
+
+    Returns (payload_md5, dup_count, asset_ids)."""
+    from pyspark.sql import Window
+
+    fp = df.select(
+        F.md5(F.col(payload_col)).alias("payload_md5"), F.col(id_col)
+    )
+    w = Window.partitionBy("payload_md5")
+    ranked = fp.select(
+        "payload_md5",
+        F.col(id_col),
+        F.row_number().over(w.orderBy(id_col)).alias("__rn"),
+        F.count(F.lit(1)).over(w).alias("__cnt"),
+    )
+    return (
+        ranked.filter((F.col("__cnt") > 1) & (F.col("__rn") <= max_members))
+        .groupBy("payload_md5")
+        .agg(
+            F.first("__cnt").cast("long").alias("dup_count"),
+            F.sort_array(F.collect_list(id_col)).alias("asset_ids"),
+        )
+    )
+
+
+def media_near_duplicates(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+    max_hamming: int = 3,
+    phash_col: "Column | None" = None,
+) -> DataFrame:
+    """Perceptual near-dup pairs: 64-bit perceptual hashes at Hamming
+    distance ≤ max_hamming, found with the SAME 4-segment pigeonhole
+    blocking as SimHash text dedup (dedup.hamming_blocked_pairs — linear
+    candidates, bit_count verification, never an all-pairs join).
+
+    ``phash_col``: a real pHash column expression when a decoder is
+    available; defaults to the deterministic fake (see
+    fake_perceptual_hash) so the full blocking pipeline is testable and
+    oracle-verifiable today. Returns (id_a, id_b, hamming)."""
+    from truthound_spark.pipeline.dedup import hamming_blocked_pairs
+
+    sig = phash_col if phash_col is not None else fake_perceptual_hash(F.col(payload_col))
+    sigs = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    return hamming_blocked_pairs(sigs, "sig", "id", max_hamming)
