@@ -113,3 +113,48 @@ def test_native_lof_validator_flags_outlier(spark):
     assert len(issues) == 1
     assert issues[0].count >= 1
     assert issues[0].validator_name == "lof_native"
+
+
+def test_lof_embeddings_flags_isolated_vector(spark):
+    """Approximate embedding LOF: a vector far from two tight clusters
+    scores highest (when LSH buckets give it neighbors at all); cluster
+    members sit near 1."""
+    import math
+
+    from truthound_spark.pipeline.neighbors import lof_embeddings
+
+    rng = random.Random(2)
+    rows = []
+    i = 0
+    for base_angle in (0.0, math.pi / 2):
+        for _ in range(25):
+            a = base_angle + rng.gauss(0, 0.02)
+            rows.append((i, [math.cos(a) * 5, math.sin(a) * 5, rng.gauss(0, 0.05)]))
+            i += 1
+    rows.append((99, [-40.0, -40.0, 30.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["id"]: r["lof"]
+        for r in lof_embeddings(df, k=4, num_planes=4, num_bands=4).collect()
+    }
+    assert set(got) == {r[0] for r in rows}
+    inliers = [v for p, v in got.items() if p != 99 and v is not None]
+    assert inliers and sum(1 for v in inliers if v < 2) > len(inliers) * 0.8
+    if got[99] is not None:  # bucket recall permitting, the outlier pops
+        assert got[99] > max(inliers)
+
+
+def test_lof_embeddings_deterministic_across_layouts(spark):
+    from truthound_spark.pipeline.neighbors import lof_embeddings
+
+    rng = random.Random(4)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {r["id"]: r["lof"] for r in lof_embeddings(df, k=3).collect()}
+    b = {
+        r["id"]: r["lof"]
+        for r in lof_embeddings(df.repartition(7), k=3).collect()
+    }
+    assert a == b

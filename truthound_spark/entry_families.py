@@ -270,6 +270,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "repetition_plan_documents",
     "media_exact_dedup",
     "media_phash_near_dup",
+    "lof_embeddings_lsh",
 ]
 
 

@@ -7413,3 +7413,96 @@ def q_media_phash_near_dup(spark, sf_dir):
         "asset_id", F.col("asset_id") + 1_000_000
     )
     return media_near_duplicates(media.unionByName(refetched)).orderBy("id_a", "id_b")
+
+
+def _lof_embeddings_oracle(k: int, num_planes: int, num_bands: int, seed: int) -> str:
+    """Relational replay of neighbors.lof_embeddings: the seeded LSH
+    planes inline as literals (bucket bit i = sign(v · plane_i), same
+    fold), banded directed candidates, (d, nbr)-ranked kNN with the
+    fewer-than-k fallback, then the identical quantized reach/lrd/LOF
+    chain as the lof_native oracle."""
+    from truthound_spark.pipeline.similarity import make_planes
+
+    def lit(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    band_exprs = []
+    for band in range(num_bands):
+        planes = make_planes(64, num_planes, seed + 7919 * band)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {lit(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        band_exprs.append(f"SELECT id, v, {band} AS band, ({bits}) AS bucket FROM ed")
+    entries = " UNION ALL ".join(band_exprs)
+    d2 = (
+        "list_dot_product(a.v_a, a.v_a) - 2 * list_dot_product(a.v_a, b.v_b)"
+        " + list_dot_product(b.v_b, b.v_b)"
+    )
+    return f"""
+    WITH ed AS (
+      SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    ent AS ({entries}),
+    cand AS (
+      SELECT DISTINCT x.id AS id_a, y.id AS id_b
+      FROM ent x JOIN ent y ON x.band = y.band AND x.bucket = y.bucket AND x.id <> y.id
+    ),
+    scored AS (
+      SELECT a.id_a AS id, a.id_b AS nbr, sqrt({d2}) AS d
+      FROM (SELECT c.id_a, c.id_b, e.v AS v_a FROM cand c JOIN ed e ON c.id_a = e.id) a
+      JOIN (SELECT id AS id_b2, v AS v_b FROM ed) b ON a.id_b = b.id_b2
+    ),
+    ranked AS (
+      SELECT id, nbr, d, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, nbr) AS rn
+      FROM scored
+    ),
+    kd AS (
+      SELECT id, MAX(CASE WHEN rn <= {k} THEN d END) AS k_dist FROM ranked GROUP BY id
+    ),
+    e AS (
+      SELECT s.id, s.nbr, s.d FROM scored s JOIN kd ON s.id = kd.id
+      WHERE s.d <= kd.k_dist
+    ),
+    r AS (
+      SELECT e.id, e.nbr,
+             CAST(round(GREATEST(ko.k_dist, e.d) * 1000000.0) AS BIGINT) AS qreach
+      FROM e JOIN kd ko ON e.nbr = ko.id
+    ),
+    l AS (
+      SELECT id, CAST(COUNT(*) AS DOUBLE) * 1000000.0
+                   / NULLIF(CAST(SUM(qreach) AS DOUBLE), 0.0) AS lrd
+      FROM r GROUP BY id
+    ),
+    q AS (SELECT id, lrd, CAST(round(lrd * 1000000.0) AS BIGINT) AS qlrd FROM l),
+    m AS (
+      SELECT e.id, CAST(SUM(qo.qlrd) AS DOUBLE) / COUNT(qo.qlrd) / 1000000.0 AS mean_lrd_o
+      FROM e JOIN q qo ON e.nbr = qo.id GROUP BY e.id
+    )
+    SELECT ed.id, ROUND(m.mean_lrd_o / q.lrd, 6) AS lof
+    FROM ed
+    LEFT JOIN q ON ed.id = q.id
+    LEFT JOIN m ON ed.id = m.id
+    ORDER BY ed.id
+    """
+
+
+@register(
+    "lof_embeddings_lsh",
+    _lof_embeddings_oracle(k=5, num_planes=8, num_bands=4, seed=42),
+)
+def q_lof_embeddings_lsh(spark, sf_dir):
+    """Approximate LOF over embeddings (pipeline/neighbors.py
+    lof_embeddings): banded sign-LSH candidates stand in for exact kNN
+    (the standard scalable form in embedding space — exact kNN is itself
+    approximated in practice), then the SAME quantized density chain as
+    the grid-exact lof_native. Approximation lives ONLY in neighbor
+    selection and is fully deterministic (seeded planes), so the oracle
+    hash-certifies the whole thing; isolated-by-LSH points come back
+    NULL."""
+    from truthound_spark.pipeline.neighbors import lof_embeddings
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = lof_embeddings(emb, k=5, num_planes=8, num_bands=4, seed=42)
+    return out.select("id", F.round("lof", 6).alias("lof")).orderBy("id")

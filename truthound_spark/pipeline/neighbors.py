@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["knn_edges", "lof"]
+__all__ = ["knn_edges", "lof", "lof_from_edges", "lof_embeddings"]
 
 _SCALE = 1e6
 
@@ -174,6 +174,15 @@ def lof(
     docstring). Quantized-long means keep the floats engine-reproducible.
     """
     edges, kdist = knn_edges(df, feature_cols, k, id_col)
+    return lof_from_edges(edges, kdist)
+
+
+def lof_from_edges(edges: DataFrame, kdist: DataFrame) -> DataFrame:
+    """The LOF density chain over ANY kNN edge list: reach-dist → lrd →
+    LOF, with quantized-long means (engine-reproducible floats). Shared
+    by the exact grid kNN (``lof``) and the LSH-approximate embedding
+    variant (``lof_embeddings``). ``edges`` = (id, nbr, d);
+    ``kdist`` = (id, k_dist)."""
     reach = (
         edges.join(
             kdist.select(F.col("id").alias("nbr"), F.col("k_dist").alias("kd_o")),
@@ -211,3 +220,91 @@ def lof(
         qlrd.join(nbr_lrd, "id", "left")
         .select("id", (F.col("mean_lrd_o") / F.col("lrd")).alias("lof"))
     )
+
+
+def lof_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    num_planes: int = 8,
+    num_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """APPROXIMATE LOF for high-dimensional embeddings: kNN candidates
+    come from banded sign-LSH buckets (the embedding_near_duplicates
+    construction — OR over ``num_bands`` independent ``num_planes``-plane
+    sets), each point's k nearest CANDIDATES stand in for its true kNN,
+    and the exact LOF density chain (``lof_from_edges``) runs over that
+    edge list.
+
+    The grid-exact ``lof`` is the right tool up to 4 dimensions; in
+    embedding space exact kNN is itself approximated in practice, and LOF
+    over LSH-kNN is the standard scalable form. Approximation is ONLY in
+    neighbor selection — deterministic (seeded planes, (d, id)
+    tie-breaks), so a SQL oracle can still hash-certify the output.
+    Points sharing no bucket with anyone have no neighbors → NULL lof
+    (isolated-by-LSH; raise num_bands for more recall).
+
+    Returns (id, lof) with one row per input vector."""
+    from truthound_spark.pipeline.similarity import (
+        _vector_dim,
+        l2_sq,
+        make_planes,
+        sign_lsh_signature,
+    )
+    from pyspark.sql import Window
+
+    dim = _vector_dim(df, vec_col)
+    v = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    band_sigs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            sign_lsh_signature(
+                F.col("v"), make_planes(dim, num_planes, seed + 7919 * band)
+            ).alias("bucket"),
+        )
+        for band in range(num_bands)
+    ]
+    entries = v.select(
+        "id", F.explode(F.array(*band_sigs)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ea = entries.select(F.col("id").alias("id_a"), "band", "bucket")
+    eb = entries.select(F.col("id").alias("id_b"), "band", "bucket")
+    # DIRECTED candidate pairs (both orientations), deduped across bands
+    cands = (
+        ea.join(eb, ["band", "bucket"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    scored = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.col("id_a").alias("id"),
+            F.col("id_b").alias("nbr"),
+            F.sqrt(l2_sq(F.col("v_a"), F.col("v_b"))).alias("d"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("id").orderBy("d", "nbr")
+    ranked = scored.withColumn("__rn", F.row_number().over(w))
+    # k-dist = k-th candidate distance, or the farthest candidate when a
+    # point has fewer than k (LSH recall miss — still well-defined)
+    kdist = (
+        ranked.groupBy("id")
+        .agg(F.max(F.when(F.col("__rn") <= k, F.col("d"))).alias("k_dist"))
+    )
+    edges = (
+        scored.join(kdist, "id")
+        .filter(F.col("d") <= F.col("k_dist"))
+        .select("id", "nbr", "d")
+    )
+    out = lof_from_edges(edges, kdist)
+    return v.select("id").join(out, "id", "left").select("id", "lof")
