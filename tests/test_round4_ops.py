@@ -483,3 +483,73 @@ def test_fake_phash_is_positive_63bit(spark):
     sigs = df.select(fake_perceptual_hash(F.col("payload")).alias("s")).collect()
     for r in sigs:
         assert 0 <= r["s"] < (1 << 63)
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranks_relevant_docs_first(spark):
+    from truthound_spark.pipeline.retrieval import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a fast auburn fox leaps above a sleepy canine"),
+            (3, "quantum entanglement in superconducting qubits"),
+            (4, "the dog sleeps while the fox runs through the forest"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(100, "fox dog"), (200, "quantum qubits")], "query_id long, text string"
+    )
+    out = {
+        (r["query_id"], r["rank"]): r["doc_id"]
+        for r in bm25_search(docs, qs, k=3).collect()
+    }
+    # both fox+dog docs outrank the fox-only doc; quantum query hits doc 3 only
+    assert {out[(100, 1)], out[(100, 2)]} == {1, 4}
+    assert out[(100, 3)] == 2
+    assert out[(200, 1)] == 3 and (200, 2) not in out
+
+
+def test_bm25_rare_terms_outweigh_common(spark):
+    from truthound_spark.pipeline.retrieval import bm25_search
+
+    docs = spark.createDataFrame(
+        [(i, "common words everywhere in all documents") for i in range(9)]
+        + [(9, "common words everywhere plus the rare zyzzyva")],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame([(1, "zyzzyva common")], "query_id long, text string")
+    top = bm25_search(docs, qs, k=1).collect()[0]
+    assert top["doc_id"] == 9 and top["score"] > 0
+
+
+def test_bm25_self_retrieval_and_determinism(spark, sf_dir):
+    import os
+
+    from truthound_spark.pipeline.retrieval import bm25_search
+
+    path = f"{sf_dir}/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip("documents dataset absent")
+    docs = spark.read.parquet(path)
+    qs = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    out = bm25_search(docs, qs, k=3, query_id_col="query_id")
+    rows = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in out.collect()
+    )
+    # a query made of a doc's own text retrieves that doc or one of its
+    # seeded near-duplicates at the top — the doc itself is in the top 3
+    for qid in (0, 1, 2):
+        hits = [r[2] for r in rows if r[0] == qid]
+        assert qid in hits, (qid, hits)
+    again = bm25_search(docs.repartition(13), qs, k=3, query_id_col="query_id")
+    assert rows == sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in again.collect()
+    )

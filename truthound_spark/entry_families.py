@@ -271,6 +271,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "media_exact_dedup",
     "media_phash_near_dup",
     "lof_embeddings_lsh",
+    "bm25_topk_documents",
 ]
 
 

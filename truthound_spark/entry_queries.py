@@ -7506,3 +7506,74 @@ def q_lof_embeddings_lsh(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     out = lof_embeddings(emb, k=5, num_planes=8, num_bands=4, seed=42)
     return out.select("id", F.round("lof", 6).alias("lof")).orderBy("id")
+
+
+@register(
+    "bm25_topk_documents",
+    f"""
+    WITH toks AS (
+      SELECT doc_id AS id, t.term FROM (
+        SELECT doc_id,
+               list_filter(string_split({_NORM_SQL.format(c='text')}, ' '), x -> x <> '') AS ws
+        FROM documents
+      ), UNNEST(ws) AS t(term)
+    ),
+    tf AS (SELECT id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    tfl AS (SELECT tf.id, tf.term, tf.tf, dl.dl FROM tf JOIN dl ON tf.id = dl.id),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tfl GROUP BY 1),
+    stats AS (
+      SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n,
+             CAST((SELECT SUM(dl) FROM dl) AS DOUBLE)
+               / (SELECT COUNT(*) FROM documents) AS avgdl
+    ),
+    qt AS (
+      SELECT DISTINCT doc_id AS query_id, t.term FROM (
+        SELECT doc_id,
+               list_filter(string_split({_NORM_SQL.format(c='text')}, ' '), x -> x <> '') AS ws
+        FROM documents WHERE doc_id < 3
+      ), UNNEST(ws) AS t(term)
+    ),
+    contrib AS (
+      SELECT qt.query_id, tfl.id AS doc_id,
+             CAST(round(
+               LN((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+               * (tfl.tf * 2.2)
+               / (tfl.tf + 1.2 * (1.0 - 0.75 + 0.75 * tfl.dl / stats.avgdl))
+               * 1000000000.0
+             ) AS BIGINT) AS qc
+      FROM qt JOIN tfl ON qt.term = tfl.term, stats, dfreq
+      WHERE dfreq.term = qt.term
+    ),
+    scored AS (
+      SELECT query_id, doc_id, CAST(SUM(qc) AS DOUBLE) / 1000000000.0 AS score
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, ROUND(score, 6) AS score, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q_bm25_topk_documents(spark, sf_dir):
+    """Distributed BM25 retrieval (pipeline/retrieval.py bm25_search):
+    inverted-index tf/df aggregates, broadcast query terms joined on term
+    (only query-term postings are touched), per-(query, doc) scores as
+    quantized-long sums — which is why ranks AND scores hash-match the
+    relational oracle. Queries = documents 0-2 searching the corpus
+    (self-retrieval: each query's own doc ranks at or near the top).
+    k1=1.2, b=0.75."""
+    from truthound_spark.pipeline.retrieval import bm25_search
+
+    docs = t(spark, sf_dir, "documents")
+    qs = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    out = bm25_search(docs, qs, k=5, query_id_col="query_id")
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")

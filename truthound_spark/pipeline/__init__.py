@@ -3,6 +3,8 @@ from truthound_spark.pipeline import (  # noqa: F401
     dedup,
     export,
     multimodal,
+    neighbors,
+    retrieval,
     similarity,
     text,
 )
