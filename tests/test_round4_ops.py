@@ -553,3 +553,49 @@ def test_bm25_self_retrieval_and_determinism(spark, sf_dir):
     assert rows == sorted(
         (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in again.collect()
     )
+
+
+# ---------------------------------------------------------------------------
+# span-level decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_spans_surgical_removal(spark):
+    from truthound_spark.pipeline.dedup import decontaminate_spans
+
+    train = spark.createDataFrame(
+        [
+            (1, "intro words THEN the secret eval answer is forty two exactly HERE plus clean tail text"),
+            (2, "totally clean document with nothing shared at all"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(9, "the secret eval answer is forty two exactly")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in decontaminate_spans(train, test, n=5).collect()}
+    # the full 8-token contaminated run is excised (overlapping 5-gram
+    # windows union into one span); original casing survives elsewhere
+    assert out[1]["text"] == "intro words THEN HERE plus clean tail text"
+    assert out[1]["removed_tokens"] == 8
+    assert out[2]["removed_tokens"] == 0
+    assert out[2]["text"] == "totally clean document with nothing shared at all"
+    assert out[3]["total_tokens"] == 0 and out[3]["text"] == ""
+
+
+def test_decontaminate_spans_normalized_matching(spark):
+    from truthound_spark.pipeline.dedup import decontaminate_spans
+
+    train = spark.createDataFrame(
+        [(1, "The SECRET, eval! answer; is FORTY two... and more words beyond")],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(9, "the secret eval answer is forty two")], "doc_id long, text string"
+    )
+    out = decontaminate_spans(train, test, n=7).collect()[0]
+    # punctuation/casing differences don't hide the overlap
+    assert out["removed_tokens"] == 7
+    assert out["text"] == "and more words beyond"

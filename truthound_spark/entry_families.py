@@ -272,6 +272,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "media_phash_near_dup",
     "lof_embeddings_lsh",
     "bm25_topk_documents",
+    "decontaminate_spans_documents",
 ]
 
 

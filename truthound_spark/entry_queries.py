@@ -7577,3 +7577,75 @@ def q_bm25_topk_documents(spark, sf_dir):
         "query_id", "doc_id", F.round("score", 6).alias("score"),
         F.col("rank").cast("long").alias("rank"),
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "decontaminate_spans_documents",
+    """
+    WITH src AS (
+      SELECT doc_id AS id, text,
+             CASE WHEN length(trim(text)) > 0
+                  THEN string_split_regex(trim(text), '\\s+')
+                  ELSE [] END AS raw
+      FROM documents
+    ),
+    nrm AS (
+      SELECT id, raw,
+             list_transform(raw, t -> regexp_replace(lower(t), '[^a-z0-9]', '', 'g')) AS nt
+      FROM src
+    ),
+    grams AS (
+      SELECT id, u.s AS start, array_to_string(nt[u.s:u.s + 7], ' ') AS gram
+      FROM (
+        SELECT id, nt,
+               CASE WHEN len(nt) >= 8 THEN range(1, len(nt) - 8 + 2) ELSE [] END AS starts
+        FROM nrm
+      ), UNNEST(starts) AS u(s)
+    ),
+    probe AS (SELECT DISTINCT gram FROM grams WHERE id % 2 = 1),
+    matches AS (
+      SELECT g.id, g.start FROM grams g JOIN probe p ON g.gram = p.gram
+      WHERE g.id % 2 = 0
+    ),
+    covered AS (
+      SELECT DISTINCT id, u.pos FROM matches, UNNEST(range(start, start + 8)) AS u(pos)
+    ),
+    toks AS (
+      SELECT id, u.pos, raw[u.pos] AS tok
+      FROM nrm, UNNEST(range(1, len(raw) + 1)) AS u(pos)
+      WHERE id % 2 = 0
+    ),
+    kept AS (
+      SELECT t.id, t.pos, t.tok FROM toks t
+      LEFT JOIN covered c ON t.id = c.id AND t.pos = c.pos
+      WHERE c.id IS NULL
+    ),
+    reb AS (
+      SELECT id, string_agg(tok, ' ' ORDER BY pos) AS text,
+             COUNT(*) AS kept FROM kept GROUP BY id
+    )
+    SELECT s.id, COALESCE(r.text, '') AS text,
+           CAST(len(s.raw) - COALESCE(r.kept, 0) AS BIGINT) AS removed_tokens,
+           CAST(len(s.raw) AS BIGINT) AS total_tokens
+    FROM src s LEFT JOIN reb r ON s.id = r.id
+    WHERE s.id % 2 = 0
+    ORDER BY s.id
+    """,
+)
+def q_decontaminate_spans_documents(spark, sf_dir):
+    """Span-level decontamination (pipeline/dedup.py decontaminate_spans):
+    even-id docs are the training side, odd-id docs the probe; every
+    8-gram span (normalized-token match) shared with the probe set is
+    surgically excised and the surviving ORIGINAL tokens re-spliced in
+    order — whole-doc removal's production-grade refinement. The corpus'
+    seeded near-duplicates guarantee real span hits across the parity
+    split."""
+    from truthound_spark.pipeline.dedup import decontaminate_spans
+
+    docs = t(spark, sf_dir, "documents")
+    out = decontaminate_spans(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        n=8,
+    )
+    return out.orderBy("id")

@@ -1174,3 +1174,94 @@ def decontaminate_bloom(
     return hits.filter(F.col("overlap_ngrams") >= min_overlap).select(
         F.col("id").alias(id_col), "overlap_ngrams"
     )
+
+
+def decontaminate_spans(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """SPAN-LEVEL decontamination: instead of dropping whole contaminated
+    documents (``decontaminate``), surgically remove only the token spans
+    covered by a test-set n-gram — the production recipe (a 13-gram
+    overlap should not cost a 10k-token document).
+
+    Matching is on NORMALIZED tokens (lowercase, alphanumerics only) so
+    cosmetic differences don't hide contamination; the REBUILT text
+    splices the ORIGINAL tokens, preserving everything outside covered
+    spans. Plan: train docs tokenize once with positions; n-gram starts
+    semi-join the (broadcast) probe n-gram set; covered positions explode
+    from matched starts; kept tokens anti-join covered and re-aggregate
+    in position order. Shuffle keys are (id, pos) pairs and n-gram
+    strings — never full documents except the final per-doc rebuild.
+
+    Returns one row per train doc: (id, text, removed_tokens,
+    total_tokens) — text == original (modulo whitespace collapse) when
+    removed_tokens = 0."""
+    raw = F.split(F.trim(F.col(text_col)), r"\s+")
+    raw = F.when(F.length(F.trim(F.col(text_col))) > 0, raw).otherwise(
+        F.array().cast("array<string>")
+    )
+    norm = F.transform(raw, lambda t_: F.regexp_replace(F.lower(t_), "[^a-z0-9]", ""))
+
+    def grams_of(df: DataFrame) -> DataFrame:
+        base = df.select(
+            F.col(id_col).cast("long").alias("id"), norm.alias("__nt")
+        )
+        g = base.select(
+            "id",
+            F.when(
+                F.size("__nt") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__nt") - n + 1),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.concat_ws(" ", F.slice("__nt", i, n)).alias("gram"),
+                    ),
+                ),
+            )
+            .otherwise(F.array().cast("array<struct<start:int,gram:string>>"))
+            .alias("__g"),
+        )
+        return g.select("id", F.explode_outer("__g").alias("sg")).select(
+            "id", F.col("sg.start").alias("start"), F.col("sg.gram").alias("gram")
+        ).filter(F.col("gram").isNotNull())
+
+    probe = grams_of(test).select("gram").dropDuplicates()
+    matches = grams_of(train).join(F.broadcast(probe), "gram", "left_semi")
+    covered = (
+        matches.select(
+            "id", F.explode(F.sequence(F.col("start"), F.col("start") + n - 1)).alias("pos")
+        )
+        .dropDuplicates()
+    )
+    toks = train.select(
+        F.col(id_col).cast("long").alias("id"), F.posexplode_outer(raw).alias("pos0", "tok")
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = toks.filter(F.col("tok").isNotNull()).join(covered, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+            ),
+        ).alias("__text"),
+        F.count(F.lit(1)).cast("long").alias("__kept"),
+    )
+    base = train.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.size(raw).cast("long").alias("total_tokens"),
+    )
+    return (
+        base.join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("__text", F.lit("")).alias("text"),
+            (F.col("total_tokens") - F.coalesce("__kept", F.lit(0))).alias(
+                "removed_tokens"
+            ),
+            "total_tokens",
+        )
+    )
