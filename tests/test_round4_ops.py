@@ -599,3 +599,18 @@ def test_decontaminate_spans_normalized_matching(spark):
     # punctuation/casing differences don't hide the overlap
     assert out["removed_tokens"] == 7
     assert out["text"] == "and more words beyond"
+
+
+def test_corpus_diff_statuses(spark):
+    from truthound_spark.pipeline.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "gamma text")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text CHANGED"), (4, "delta text")],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

@@ -273,6 +273,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "lof_embeddings_lsh",
     "bm25_topk_documents",
     "decontaminate_spans_documents",
+    "corpus_diff_documents",
 ]
 
 

@@ -7649,3 +7649,52 @@ def q_decontaminate_spans_documents(spark, sf_dir):
         n=8,
     )
     return out.orderBy("id")
+
+
+@register(
+    "corpus_diff_documents",
+    f"""
+    WITH o AS (
+      SELECT doc_id AS id, md5({_NORM_SQL.format(c='text')}) AS fp FROM documents
+    ),
+    n AS (
+      SELECT doc_id AS id,
+             md5({_NORM_SQL.format(c="CASE WHEN doc_id % 5 = 0 THEN text || ' edited' ELSE text END")}) AS fp
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, md5({_NORM_SQL.format(c='text')})
+      FROM documents WHERE doc_id < 20
+    )
+    SELECT COALESCE(o.id, n.id) AS id,
+           CASE WHEN o.id IS NULL THEN 'added'
+                WHEN n.id IS NULL THEN 'removed'
+                WHEN o.fp = n.fp THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM o FULL OUTER JOIN n ON o.id = n.id
+    ORDER BY id
+    """,
+)
+def q_corpus_diff_documents(spark, sf_dir):
+    """Corpus snapshot diff (pipeline/dedup.py corpus_diff): the new
+    version drops every 7th doc, edits every 5th, and adds 20 fresh ids —
+    the diff reports added/removed/changed/unchanged per id from ONE
+    fingerprint-only full-outer join (the incremental-revalidation and
+    release-note primitive)."""
+    from truthound_spark.pipeline.dedup import corpus_diff
+
+    docs = t(spark, sf_dir, "documents")
+    new = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" edited"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") < 20).withColumn(
+                "doc_id", F.col("doc_id") + 1_000_000
+            )
+        )
+    )
+    return corpus_diff(docs, new).orderBy("id")

@@ -1265,3 +1265,40 @@ def decontaminate_spans(
             "total_tokens",
         )
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snapshot diff for corpus versioning: per-document status between
+    two corpus versions — 'added' (id only in new), 'removed' (only in
+    old), 'changed' (both, different content fingerprint), 'unchanged'.
+
+    One full-outer join on the id with 32-char fingerprints as the only
+    payload — documents never move. Feed the result to
+    ``groupBy('status').count()`` for the release-note summary, or join
+    'changed'/'added' ids back for incremental re-validation (the
+    cache-invalidation set).
+
+    Returns (id, status)."""
+    o = old.select(
+        F.col(id_col).cast("long").alias("id"),
+        content_fingerprint(F.col(text_col)).alias("__fp_old"),
+    )
+    nw = new.select(
+        F.col(id_col).cast("long").alias("id"),
+        content_fingerprint(F.col(text_col)).alias("__fp_new"),
+    )
+    return o.join(nw, "id", "full_outer").select(
+        "id",
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("removed"))
+        .when(
+            F.col("__fp_old").eqNullSafe(F.col("__fp_new")), F.lit("unchanged")
+        )
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
