@@ -7184,7 +7184,7 @@ def q_ivf_index_search_embeddings(spark, sf_dir):
       SELECT id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM ed
     )
     SELECT id, ROUND(amax / 127.0, 9) AS scale,
-           CASE WHEN amax > 0
+           CASE WHEN amax / 127.0 > 0
                 THEN list_transform(v, x -> CAST(round(x / (amax / 127.0)) AS TINYINT))
                 ELSE list_transform(v, x -> CAST(0 AS TINYINT)) END AS q
     FROM s ORDER BY id

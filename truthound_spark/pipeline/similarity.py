@@ -429,8 +429,12 @@ def quantize_embeddings(
     v = F.col(vec_col).cast("array<double>")
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = amax / F.lit(127.0)
+    # guard on SCALE, not amax: a subnormal amax (≈5e-324) underflows
+    # amax/127 to exactly 0.0, and dividing by it would raise under ANSI
+    # mode — such vectors quantize to zero codes with scale 0, same as
+    # true zero vectors (found by hypothesis)
     q = F.when(
-        amax > 0,
+        scale > 0,
         F.transform(v, lambda x: F.round(x / scale).cast("byte")),
     ).otherwise(F.transform(v, lambda x: F.lit(0).cast("byte")))
     return df.select(
