@@ -253,3 +253,33 @@ def test_ivf_index_search_prunes_partitions(spark, tmp_path):
     assert m and "cell" in m.group(1), plan
     # ≤ 2 queries × 2 probes distinct cells reach the scan
     assert out.count() > 0
+
+
+def test_bm25_broadcasts_query_terms(spark):
+    """BM25 search must broadcast the query-term table — the corpus-side
+    postings join is the only big-table operation, keyed by term."""
+    from truthound_spark.pipeline.retrieval import bm25_search
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    qs = docs.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    plan = _plan(bm25_search(docs, qs, k=3, query_id_col="query_id"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_spans_broadcasts_probe(spark):
+    """The probe n-gram set must broadcast; the training corpus is never
+    shuffled for the match (same property as whole-doc decontaminate)."""
+    from truthound_spark.pipeline.dedup import decontaminate_spans
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = decontaminate_spans(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        n=8,
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
