@@ -614,3 +614,22 @@ def test_corpus_diff_statuses(spark):
     )
     got = {r["id"]: r["status"] for r in corpus_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_ngram_novelty_separates_copies_from_originals(spark):
+    from truthound_spark.pipeline.text import ngram_novelty
+
+    rows = [
+        (1, "completely original text about distributed query optimization strategies"),
+        (2, "the shared boilerplate sentence appears in multiple documents here"),
+        (3, "the shared boilerplate sentence appears in multiple documents here"),
+        (4, "x"),  # too short for a 3-gram? (single word -> 1 shingle of itself)
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in ngram_novelty(df, n=3).collect()}
+    assert got[1]["novelty"] == 1.0
+    assert got[2]["novelty"] == 0.0 and got[3]["novelty"] == 0.0
+    assert got[5]["n_grams"] == 0 and got[5]["novelty"] == 0.0
+    # doc 4: one single-word shingle unique to it
+    assert got[4]["n_grams"] == 1 and got[4]["novelty"] == 1.0

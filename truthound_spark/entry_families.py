@@ -274,6 +274,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "bm25_topk_documents",
     "decontaminate_spans_documents",
     "corpus_diff_documents",
+    "ngram_novelty_documents",
 ]
 
 

@@ -7698,3 +7698,37 @@ def q_corpus_diff_documents(spark, sf_dir):
         )
     )
     return corpus_diff(docs, new).orderBy("id")
+
+
+@register(
+    "ngram_novelty_documents",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    inv AS (
+      SELECT id, g FROM (SELECT id, unnest(sh) AS g FROM sh) WHERE g IS NOT NULL AND g <> ''
+    ),
+    dfreq AS (SELECT g, COUNT(*) AS df FROM inv GROUP BY 1),
+    per_doc AS (
+      SELECT inv.id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams
+      FROM inv JOIN dfreq ON inv.g = dfreq.g GROUP BY 1
+    )
+    SELECT d.doc_id AS id,
+           COALESCE(p.n_grams, 0) AS n_grams,
+           COALESCE(p.novel_grams, 0) AS novel_grams,
+           ROUND(COALESCE(CAST(p.novel_grams AS DOUBLE) / p.n_grams, 0.0), 6) AS novelty
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.id
+    ORDER BY id
+    """,
+)
+def q_ngram_novelty_documents(spark, sf_dir):
+    """Per-document n-gram novelty (pipeline/text.py ngram_novelty): the
+    fraction of a doc's distinct 3-grams unique to it corpus-wide — the
+    self-information curation signal (seeded near-duplicates score low,
+    original docs high). One shingle pass + one df aggregate + one join;
+    shuffle keys are n-grams."""
+    from truthound_spark.pipeline.text import ngram_novelty
+
+    docs = t(spark, sf_dir, "documents")
+    return ngram_novelty(docs, n=3).orderBy("id")

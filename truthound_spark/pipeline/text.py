@@ -453,3 +453,50 @@ def corpus_drift(
     return baseline.sparkSession.createDataFrame(
         rows, "signal string, psi double, threshold double, drifted boolean"
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document novelty: the fraction of a document's DISTINCT word
+    n-grams that occur in no other document — a self-information proxy
+    that separates templated/boilerplate-heavy docs (novelty → 0) from
+    genuinely original text (→ 1), and a cheap complement to near-dup
+    detection (a doc can evade pairwise Jaccard while still being built
+    entirely from corpus-common n-grams).
+
+    Plan: one shingling pass, one groupBy(gram) document-frequency
+    aggregate, one join back — shuffle keys are n-gram strings, payloads
+    counts. Returns (id, n_grams, novel_grams, novelty ∈ [0,1]; docs too
+    short for any n-gram report 0 grams and novelty 0.0)."""
+    from truthound_spark.pipeline.dedup import _shingle_arrays
+
+    sh = _shingle_arrays(df, text_col, id_col, n)
+    inv = (
+        sh.select("id", F.explode_outer("sh").alias("g"))
+        .filter(F.col("g").isNotNull() & (F.col("g") != ""))
+    )
+    dfreq = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        inv.join(dfreq, "g")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("df") == 1).cast("long")).alias("novel_grams"),
+        )
+    )
+    ids = df.select(F.col(id_col).cast("long").alias("id"))
+    return ids.join(per_doc, "id", "left").select(
+        "id",
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("novel_grams", F.lit(0)).alias("novel_grams"),
+        F.round(
+            F.coalesce(
+                F.col("novel_grams") / F.col("n_grams"), F.lit(0.0)
+            ),
+            6,
+        ).alias("novelty"),
+    )
