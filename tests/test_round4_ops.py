@@ -633,3 +633,19 @@ def test_ngram_novelty_separates_copies_from_originals(spark):
     assert got[5]["n_grams"] == 0 and got[5]["novelty"] == 0.0
     # doc 4: one single-word shingle unique to it
     assert got[4]["n_grams"] == 1 and got[4]["novelty"] == 1.0
+
+
+def test_bigram_perplexity_orders_gibberish_above_fluent(spark):
+    from truthound_spark.pipeline.text import bigram_perplexity
+
+    fluent = "the cat sat on the mat and then the cat sat on the mat again"
+    rows = [(i, fluent) for i in range(10)]
+    rows.append((90, "zqx wvu bnm plo ikj uhy tgb rfv edc wsx"))
+    rows.append((91, None))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in bigram_perplexity(df).collect()}
+    fluent_ppl = got[0]["perplexity"]
+    assert got[90]["perplexity"] > fluent_ppl  # unseen bigrams cost more
+    assert got[91]["n_bigrams"] == 0 and got[91]["perplexity"] is None
+    # repeated fluent docs all share the same score (same bigrams)
+    assert len({got[i]["perplexity"] for i in range(10)}) == 1

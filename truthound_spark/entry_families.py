@@ -275,6 +275,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "decontaminate_spans_documents",
     "corpus_diff_documents",
     "ngram_novelty_documents",
+    "bigram_perplexity_documents",
 ]
 
 

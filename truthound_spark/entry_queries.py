@@ -7732,3 +7732,56 @@ def q_ngram_novelty_documents(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return ngram_novelty(docs, n=3).orderBy("id")
+
+
+@register(
+    "bigram_perplexity_documents",
+    f"""
+    WITH w AS (
+      SELECT doc_id AS id,
+             list_filter(string_split({_NORM_SQL.format(c='text')}, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    bg AS (
+      SELECT id, u.b[1] AS w1, u.b[2] AS w2 FROM (
+        SELECT id,
+               CASE WHEN len(ws) >= 2
+                    THEN list_transform(range(1, len(ws)), i -> [ws[i], ws[i + 1]])
+                    ELSE [] END AS bs
+        FROM w
+      ), UNNEST(bs) AS u(b)
+    ),
+    uni AS (
+      SELECT t AS w1, COUNT(*) AS c1 FROM (SELECT unnest(ws) AS t FROM w) GROUP BY 1
+    ),
+    v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vocab FROM uni),
+    big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    lp AS (
+      SELECT bg.id,
+             CAST(round(-LN((big.c12 + 1.0) / (uni.c1 + v.vocab)) * 1000000.0) AS BIGINT) AS qlp
+      FROM bg JOIN big ON bg.w1 = big.w1 AND bg.w2 = big.w2
+      JOIN uni ON bg.w1 = uni.w1, v
+    ),
+    s AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(qlp) AS DOUBLE) / COUNT(*) / 1000000.0 AS anl
+      FROM lp GROUP BY id
+    )
+    SELECT d.doc_id AS id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+           ROUND(s.anl, 6) AS avg_neg_logprob,
+           ROUND(EXP(s.anl), 4) AS perplexity
+    FROM documents d LEFT JOIN s ON d.doc_id = s.id
+    ORDER BY id
+    """,
+)
+def q_bigram_perplexity_documents(spark, sf_dir):
+    """Corpus-self-trained bigram-LM perplexity (pipeline/text.py
+    bigram_perplexity — the relational CCNet/KenLM filter shape):
+    add-one-smoothed p(w2|w1) from corpus-wide counts, per-doc mean
+    -ln p over ALL bigram positions as a quantized-long sum (the exact
+    mean that lets the oracle certify the floats), perplexity = e^score.
+    Outlier-high = noise; outlier-low = boilerplate."""
+    from truthound_spark.pipeline.text import bigram_perplexity
+
+    docs = t(spark, sf_dir, "documents")
+    return bigram_perplexity(docs).orderBy("id")

@@ -500,3 +500,85 @@ def ngram_novelty(
             6,
         ).alias("novelty"),
     )
+
+
+def bigram_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perplexity under a corpus-self-trained bigram LM — the relational
+    analog of the CCNet/KenLM perplexity filter (their LM is external;
+    here the corpus IS the model, so "perplexing" means "unlike this
+    corpus"): outlier-high perplexity flags noise/garbled text,
+    outlier-low flags boilerplate.
+
+    Model: add-one-smoothed bigram probabilities p(w₂|w₁) =
+    (c(w₁w₂)+1)/(c(w₁)+V) with corpus-wide counts and vocabulary V;
+    score(doc) = mean −ln p over the doc's bigram positions (ALL
+    positions, not distinct — LM scoring weights repetition);
+    perplexity = e^score.
+
+    Plan: one tokenize pass feeds bigram + unigram count aggregates
+    (shuffle keys are grams), scores join counts back and average
+    QUANTIZED per-position logprobs (round(lp·10⁶) longs — the engine's
+    standard exact-mean trick, so a SQL oracle certifies the floats).
+    Returns (id, n_bigrams, avg_neg_logprob, perplexity); docs with < 2
+    tokens report 0 bigrams and NULL scores."""
+    from truthound_spark.pipeline.dedup import words
+
+    w = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.filter(words(F.col(text_col)), lambda x: x != F.lit("")).alias("__w"),
+    )
+    n = F.size("__w")
+    bigrams = w.select(
+        "id",
+        F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice("__w", 1, n - 1),
+                F.slice("__w", 2, n - 1),
+                lambda a, b_: F.struct(a.alias("w1"), b_.alias("w2")),
+            ),
+        )
+        .otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        .alias("__b"),
+    ).select("id", F.explode_outer("__b").alias("bg")).select(
+        "id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    ).filter(F.col("w1").isNotNull())
+    unigrams = w.select(F.explode_outer("__w").alias("t")).filter(
+        F.col("t").isNotNull()
+    )
+    uni = unigrams.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = uni.count()
+    big = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    lp = (
+        bigrams.join(big, ["w1", "w2"])
+        .join(uni.withColumnRenamed("t", "w1"), "w1")
+        .select(
+            "id",
+            F.round(
+                -F.log(
+                    (F.col("c12") + F.lit(1.0))
+                    / (F.col("c1") + F.lit(float(vocab)))
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("qlp"),
+        )
+    )
+    scored = lp.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        (F.sum("qlp").cast("double") / F.count(F.lit(1)) / F.lit(1e6)).alias(
+            "avg_neg_logprob"
+        ),
+    )
+    ids = df.select(F.col(id_col).cast("long").alias("id"))
+    return ids.join(scored, "id", "left").select(
+        "id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.round("avg_neg_logprob", 6).alias("avg_neg_logprob"),
+        F.round(F.exp("avg_neg_logprob"), 4).alias("perplexity"),
+    )
