@@ -649,3 +649,28 @@ def test_bigram_perplexity_orders_gibberish_above_fluent(spark):
     assert got[91]["n_bigrams"] == 0 and got[91]["perplexity"] is None
     # repeated fluent docs all share the same score (same bigrams)
     assert len({got[i]["perplexity"] for i in range(10)}) == 1
+
+
+def test_evaluate_recall_against_exact_topk(spark, sf_dir):
+    import os
+
+    from truthound_spark.pipeline.similarity import (
+        brute_force_topk,
+        evaluate_recall,
+        lsh_topk,
+    )
+
+    path = f"{sf_dir}/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("embeddings dataset absent")
+    emb = spark.read.parquet(path)
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, qs, k=5)
+    approx = lsh_topk(emb, qs, k=5, num_planes=4)
+    rep = {r[0]: (r["hits"], r["expected"], r["recall"]) for r in evaluate_recall(approx, exact, id_col="id").collect()}
+    overall = rep["__overall__"]
+    assert overall[1] == 25  # 5 queries x k=5 expected
+    assert 0.0 <= overall[2] <= 1.0
+    # identity check: exact vs itself is perfect
+    perfect = {r[0]: r["recall"] for r in evaluate_recall(exact, exact, id_col="id").collect()}
+    assert perfect["__overall__"] == 1.0

@@ -455,3 +455,39 @@ def dequantize_embeddings(
         out_col,
         F.transform(F.col(q_col), lambda c: c.cast("double") * F.col(scale_col)),
     )
+
+
+def evaluate_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "id",
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one —
+    the evaluation loop for tuning LSH planes/bands, IVF nprobe, or
+    quantization: both inputs are (query_id, id[, rank]) frames from
+    ``brute_force_topk`` / ``lsh_topk`` / ``ivf_*`` / quantized search.
+
+    Returns (query_id, hits, expected, recall) plus one '__overall__'
+    row. Joins on (query, id) — never materializes score matrices."""
+    a = approx.select(F.col(query_col).alias("q"), F.col(id_col).alias("i"))
+    e = exact.select(F.col(query_col).alias("q"), F.col(id_col).alias("i"))
+    hits = a.join(e, ["q", "i"], "left_semi").groupBy("q").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    expected = e.groupBy("q").agg(F.count(F.lit(1)).alias("expected"))
+    per_q = expected.join(hits, "q", "left").select(
+        F.col("q").alias(query_col),
+        F.coalesce("hits", F.lit(0)).alias("hits"),
+        "expected",
+        F.round(F.coalesce("hits", F.lit(0)) / F.col("expected"), 6).alias("recall"),
+    )
+    overall = per_q.agg(
+        F.lit("__overall__").alias(query_col),
+        F.sum("hits").alias("hits"),
+        F.sum("expected").alias("expected"),
+        F.round(F.sum("hits") / F.sum("expected"), 6).alias("recall"),
+    )
+    return per_q.select(
+        F.col(query_col).cast("string").alias(query_col), "hits", "expected", "recall"
+    ).unionByName(overall)
