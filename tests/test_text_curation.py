@@ -145,3 +145,39 @@ class TestChunkDocuments:
             .toString()
         )
         assert "Exchange" not in plan  # pure map-side projection + explode
+
+
+def test_train_quality_weights_separates_classes(spark):
+    """Closed-form NB training: docs resembling the positive corpus score
+    above docs resembling the negative one."""
+    from pyspark.sql import functions as F
+
+    from truthound_spark.pipeline.text import (
+        classifier_quality_score,
+        train_quality_weights,
+    )
+
+    pos = spark.createDataFrame(
+        [(i, "thoughtful encyclopedic prose about science history and culture") for i in range(20)],
+        "doc_id long, text string",
+    )
+    neg = spark.createDataFrame(
+        [(i, "click here buy now free casino winner jackpot prize") for i in range(20)],
+        "doc_id long, text string",
+    )
+    weights = train_quality_weights(pos, neg)
+    assert len(weights) == 4096
+    probe = spark.createDataFrame(
+        [
+            (1, "encyclopedic prose about science and culture"),
+            (2, "free casino jackpot click here now"),
+            (3, "completely unrelated neutral vocabulary entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["classifier_score"]
+        for r in classifier_quality_score(probe, weights=weights).collect()
+    }
+    assert got[1] > got[3] > got[2]
+    assert got[1] > 0.5 > got[2]

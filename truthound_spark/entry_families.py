@@ -276,6 +276,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "corpus_diff_documents",
     "ngram_novelty_documents",
     "bigram_perplexity_documents",
+    "trained_classifier_scores_documents",
 ]
 
 

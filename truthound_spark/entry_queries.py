@@ -7785,3 +7785,65 @@ def q_bigram_perplexity_documents(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return bigram_perplexity(docs).orderBy("id")
+
+
+@register(
+    "trained_classifier_scores_documents",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {_WORDS_SQL.format(t='text')} AS ws FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             ws || list_transform(range(1, len(ws)), i -> ws[i] || '_' || ws[i+1]) AS feats
+      FROM w
+    ),
+    b AS (
+      SELECT doc_id,
+             list_transform(feats,
+               t -> CAST(('0x' || substr(md5(t), 1, 6)) AS BIGINT) % 4096) AS bk
+      FROM f
+    ),
+    m AS (SELECT doc_id, u.bucket FROM b, UNNEST(bk) AS u(bucket)),
+    cp AS (SELECT bucket, COUNT(*) AS n FROM m WHERE doc_id % 2 = 0 GROUP BY 1),
+    cn AS (SELECT bucket, COUNT(*) AS n FROM m WHERE doc_id % 2 = 1 GROUP BY 1),
+    tot AS (
+      SELECT (SELECT COALESCE(SUM(n), 0) FROM cp) + 4096 AS pt,
+             (SELECT COALESCE(SUM(n), 0) FROM cn) + 4096 AS nt
+    ),
+    wfull AS (
+      SELECT gs.i AS bucket,
+             LN((COALESCE(cp.n, 0) + 1) / tot.pt) - LN((COALESCE(cn.n, 0) + 1) / tot.nt) AS wt
+      FROM generate_series(0, 4095) AS gs(i)
+      LEFT JOIN cp ON gs.i = cp.bucket
+      LEFT JOIN cn ON gs.i = cn.bucket, tot
+    ),
+    warr AS (SELECT list(wt ORDER BY bucket) AS ws FROM wfull)
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + EXP(-(CASE WHEN len(bk) > 0 THEN
+             list_sum(list_transform(bk, x -> warr.ws[x + 1])) / len(bk)
+             ELSE 0.0 END))), 6) AS classifier_score
+    FROM b, warr ORDER BY doc_id
+    """,
+)
+def q_trained_classifier_scores_documents(spark, sf_dir):
+    """END-TO-END trained quality classifier (pipeline/text.py
+    train_quality_weights + classifier_quality_score): even-id docs play
+    the high-quality exemplar corpus, odd-id docs the raw crawl; training
+    is the closed-form Naive Bayes log-odds over hashed features (one
+    count aggregate per side, no gradient loop), scoring inlines the
+    4096 trained weights as a literal array. The oracle retrains
+    relationally and replays the identical list-fold scoring — the full
+    train->apply cycle hash-certified."""
+    from truthound_spark.pipeline.text import (
+        classifier_quality_score,
+        train_quality_weights,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    weights = train_quality_weights(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+    out = classifier_quality_score(docs, weights=weights)
+    return out.select("doc_id", "classifier_score").orderBy("doc_id")

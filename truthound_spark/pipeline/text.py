@@ -253,6 +253,69 @@ def _md5_bucket(col: Column, num_buckets: int) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 6), 16, 10).cast("long") % num_buckets
 
 
+def hashed_feature_buckets(
+    text_col: str, num_buckets: int = 4096, use_bigrams: bool = True
+) -> Column:
+    """The classifier's feature extractor as a reusable Column: word
+    unigrams (+ bigrams) hashed into md5 buckets — shared by scoring
+    (classifier_quality_score) and training (train_quality_weights) so
+    the two can never drift apart."""
+    # words('') yields [''] (split semantics) — drop empty tokens so blank
+    # documents score exactly sigmoid(bias), not a hashed-''-bucket weight
+    w = F.filter(words(F.col(text_col)), lambda x: x != F.lit(""))
+    feats = w
+    if use_bigrams:
+        n = F.size(w)
+        bigrams = F.zip_with(
+            F.slice(w, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(w, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        )
+        feats = F.concat(w, bigrams)
+    return F.transform(feats, lambda t: _md5_bucket(t, num_buckets))
+
+
+def train_quality_weights(
+    pos: DataFrame,
+    neg: DataFrame,
+    text_col: str = "text",
+    num_buckets: int = 4096,
+    use_bigrams: bool = True,
+) -> list[float]:
+    """Train the hashed-feature quality classifier CLOSED-FORM: per-bucket
+    Naive Bayes log-odds ln((pos_b+1)/(pos_total+B)) −
+    ln((neg_b+1)/(neg_total+B)) from one count aggregate per side —
+    distributed, single-pass, deterministic (exact integer counts; no
+    gradient loop). ``pos`` = exemplar high-quality corpus (e.g.
+    Wikipedia), ``neg`` = raw crawl. Feed the result straight into
+    ``classifier_quality_score(weights=…)`` — the standard
+    fastText-style quality-filter training recipe, relationally.
+
+    Returns a dense ``num_buckets`` weight list (unseen buckets get the
+    smoothing-only weight)."""
+    import math
+
+    def counts(df: DataFrame) -> dict[int, int]:
+        b = hashed_feature_buckets(text_col, num_buckets, use_bigrams)
+        rows = (
+            df.select(F.explode_outer(b).alias("bucket"))
+            .filter(F.col("bucket").isNotNull())
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        return {int(r["bucket"]): int(r["n"]) for r in rows}
+
+    pc = counts(pos)
+    nc = counts(neg)
+    pt = sum(pc.values()) + num_buckets
+    nt = sum(nc.values()) + num_buckets
+    return [
+        math.log((pc.get(b, 0) + 1) / pt) - math.log((nc.get(b, 0) + 1) / nt)
+        for b in range(num_buckets)
+    ]
+
+
 def classifier_quality_score(
     df: DataFrame,
     text_col: str = "text",
@@ -278,19 +341,7 @@ def classifier_quality_score(
     fastText regime (vocab-hashed buckets, tens of KB); a million-bucket
     model should become a broadcast join against a weights table instead.
     """
-    # words('') yields [''] (split semantics) — drop empty tokens so blank
-    # documents score exactly sigmoid(bias), not a hashed-''-bucket weight
-    w = F.filter(words(F.col(text_col)), lambda x: x != F.lit(""))
-    feats = w
-    if use_bigrams:
-        n = F.size(w)
-        bigrams = F.zip_with(
-            F.slice(w, 1, F.greatest(n - 1, F.lit(0))),
-            F.slice(w, 2, F.greatest(n - 1, F.lit(0))),
-            lambda a, b: F.concat(a, F.lit("_"), b),
-        )
-        feats = F.concat(w, bigrams)
-    buckets = F.transform(feats, lambda t: _md5_bucket(t, num_buckets))
+    buckets = hashed_feature_buckets(text_col, num_buckets, use_bigrams)
     if weights is None:
         weight_of = lambda b: ((b % 2001) - 1000) / F.lit(1000.0)  # noqa: E731
     else:
