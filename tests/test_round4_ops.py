@@ -674,3 +674,65 @@ def test_evaluate_recall_against_exact_topk(spark, sf_dir):
     # identity check: exact vs itself is perfect
     perfect = {r[0]: r["recall"] for r in evaluate_recall(exact, exact, id_col="id").collect()}
     assert perfect["__overall__"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# self_dedup_spans (within-corpus repeated-span excision)
+# ---------------------------------------------------------------------------
+
+
+def test_self_dedup_spans_owner_keeps_span(spark):
+    from truthound_spark.pipeline.dedup import self_dedup_spans
+
+    boiler = "all rights reserved by the example corporation"  # 7 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {boiler} gamma"),
+            (2, f"delta epsilon {boiler} zeta eta"),
+            (3, "totally unique text with no repeats at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r for r in self_dedup_spans(docs, n=7).collect()}
+    # doc 1 owns the first (id,start)-ordered occurrence: text unchanged
+    assert out[1]["removed_tokens"] == 0
+    assert out[1]["text"] == f"alpha beta {boiler} gamma"
+    # doc 2 loses exactly the 7-token duplicated span
+    assert out[2]["removed_tokens"] == 7
+    assert out[2]["text"] == "delta epsilon zeta eta"
+    # unique doc untouched
+    assert out[3]["removed_tokens"] == 0
+    assert out[3]["text"] == "totally unique text with no repeats at all"
+
+
+def test_self_dedup_spans_overlapping_windows_merge(spark):
+    from truthound_spark.pipeline.dedup import self_dedup_spans
+
+    # 5 shared tokens with n=4 -> two overlapping duplicated windows in
+    # doc 2 merge into ONE maximal 5-token excision (position union).
+    shared = "one two three four five"
+    docs = spark.createDataFrame(
+        [(1, f"{shared} tail"), (2, f"head {shared}")], ["doc_id", "text"]
+    )
+    out = {r["id"]: r for r in self_dedup_spans(docs, n=4).collect()}
+    assert out[1]["removed_tokens"] == 0
+    assert out[2]["removed_tokens"] == 5
+    assert out[2]["text"] == "head"
+
+
+def test_self_dedup_spans_normalized_matching(spark):
+    from truthound_spark.pipeline.dedup import self_dedup_spans
+
+    # punctuation/case differences don't protect the duplicate; the
+    # ORIGINAL tokens are what get removed/kept.
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over it"),
+            (2, "intro The, Quick! Brown; Fox? jumps... OVER outro"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r for r in self_dedup_spans(docs, n=6).collect()}
+    assert out[1]["removed_tokens"] == 0
+    assert out[2]["removed_tokens"] == 6
+    assert out[2]["text"] == "intro outro"

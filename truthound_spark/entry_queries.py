@@ -7652,6 +7652,76 @@ def q_decontaminate_spans_documents(spark, sf_dir):
 
 
 @register(
+    "self_dedup_spans_documents",
+    """
+    WITH src AS (
+      SELECT doc_id AS id, text,
+             CASE WHEN length(trim(text)) > 0
+                  THEN string_split_regex(trim(text), '\\s+')
+                  ELSE [] END AS raw
+      FROM documents
+    ),
+    nrm AS (
+      SELECT id, raw,
+             list_transform(raw, t -> regexp_replace(lower(t), '[^a-z0-9]', '', 'g')) AS nt
+      FROM src
+    ),
+    grams AS (
+      SELECT id, u.s AS start, array_to_string(nt[u.s:u.s + 7], ' ') AS gram
+      FROM (
+        SELECT id, nt,
+               CASE WHEN len(nt) >= 8 THEN range(1, len(nt) - 8 + 2) ELSE [] END AS starts
+        FROM nrm
+      ), UNNEST(starts) AS u(s)
+    ),
+    ranked AS (
+      SELECT id, start,
+             COUNT(*) OVER (PARTITION BY gram) AS occ,
+             ROW_NUMBER() OVER (PARTITION BY gram ORDER BY id, start) AS rn
+      FROM grams
+    ),
+    covered AS (
+      SELECT DISTINCT id, u.pos
+      FROM (SELECT id, start FROM ranked WHERE occ >= 2 AND rn > 1) m,
+           UNNEST(range(start, start + 8)) AS u(pos)
+    ),
+    toks AS (
+      SELECT id, u.pos, raw[u.pos] AS tok
+      FROM nrm, UNNEST(range(1, len(raw) + 1)) AS u(pos)
+    ),
+    kept AS (
+      SELECT t.id, t.pos, t.tok FROM toks t
+      LEFT JOIN covered c ON t.id = c.id AND t.pos = c.pos
+      WHERE c.id IS NULL
+    ),
+    reb AS (
+      SELECT id, string_agg(tok, ' ' ORDER BY pos) AS text, COUNT(*) AS kept
+      FROM kept GROUP BY id
+    )
+    SELECT s.id, COALESCE(r.text, '') AS text,
+           CAST(len(s.raw) - COALESCE(r.kept, 0) AS BIGINT) AS removed_tokens,
+           CAST(len(s.raw) AS BIGINT) AS total_tokens
+    FROM src s LEFT JOIN reb r ON s.id = r.id
+    ORDER BY s.id
+    """,
+)
+def q_self_dedup_spans_documents(spark, sf_dir):
+    """Within-corpus repeated-span self-dedup (pipeline/dedup.py
+    self_dedup_spans — Lee et al. 2022 substring dedup, relational form):
+    every 8-token normalized span occurring more than once in the corpus
+    keeps its globally-first (id, start) occurrence; all other
+    occurrences are excised and the surviving original tokens re-spliced.
+    The oracle replicates owner selection with a window (ROW_NUMBER over
+    (id, start) per gram == Spark's min-struct) and must match the
+    rebuilt text byte-for-byte. The corpus' seeded near-duplicates
+    guarantee real repeated spans."""
+    from truthound_spark.pipeline.dedup import self_dedup_spans
+
+    docs = t(spark, sf_dir, "documents")
+    return self_dedup_spans(docs, n=8).orderBy("id")
+
+
+@register(
     "corpus_diff_documents",
     f"""
     WITH o AS (

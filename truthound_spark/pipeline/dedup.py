@@ -1267,6 +1267,120 @@ def decontaminate_spans(
     )
 
 
+def self_dedup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """WITHIN-CORPUS repeated-span excision — the substring-level self
+    deduplication of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), re-expressed relationally: every n-token
+    span (normalized-token match) that occurs MORE THAN ONCE across the
+    corpus keeps exactly one *owner* occurrence — the globally smallest
+    ``(id, start)`` — and every other occurrence is excised from its
+    document. Unlike document-level dedup this removes boilerplate that
+    repeats *inside otherwise-distinct documents* (headers, footers,
+    license blocks, templated paragraphs) without dropping the documents.
+
+    The reference ships only whole-document dedup
+    (src/truthound/validators/uniqueness.py); this is the corpus-curation
+    extension of that family. Differences from the suffix-array original:
+    spans are fixed n-token windows (overlapping duplicated windows merge
+    into maximal excised spans through the position union), and matching
+    is on normalized tokens, so cosmetic punctuation/case differences
+    don't protect a duplicated span.
+
+    Plan (100 TB shape): tokenize once with positions; ONE groupBy on the
+    n-gram string computes (occurrence count, min-(id,start) owner); only
+    grams with count ≥ 2 survive the filter before the back-join, so the
+    join's build side is the duplicated-gram subset (AQE broadcasts it
+    when small); covered positions explode to bare (id, pos) longs; the
+    rebuild re-aggregates original tokens in position order. Nothing
+    document-sized ever shuffles except the final per-doc concat — the
+    same shape as :func:`decontaminate_spans`. At extreme corpus scale
+    the gram-string shuffle can be shrunk ~10x by hashing grams to
+    longs first (collision odds ~m²/2⁶⁴); kept exact here so the output
+    is engine-reproducible.
+
+    Returns one row per doc: (id, text, removed_tokens, total_tokens);
+    text == original (modulo whitespace collapse) when removed_tokens=0."""
+    raw = F.split(F.trim(F.col(text_col)), r"\s+")
+    raw = F.when(F.length(F.trim(F.col(text_col))) > 0, raw).otherwise(
+        F.array().cast("array<string>")
+    )
+    norm = F.transform(raw, lambda t_: F.regexp_replace(F.lower(t_), "[^a-z0-9]", ""))
+
+    base = df.select(F.col(id_col).cast("long").alias("id"), norm.alias("__nt"))
+    grams = (
+        base.select(
+            "id",
+            F.when(
+                F.size("__nt") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__nt") - n + 1),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.concat_ws(" ", F.slice("__nt", i, n)).alias("gram"),
+                    ),
+                ),
+            )
+            .otherwise(F.array().cast("array<struct<start:int,gram:string>>"))
+            .alias("__g"),
+        )
+        .select("id", F.explode("__g").alias("sg"))
+        .select("id", F.col("sg.start").alias("start"), F.col("sg.gram").alias("gram"))
+    )
+    # one shuffle on the gram: count + lexicographic-min (id, start) owner
+    dup_stats = (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("__occ"),
+            F.min(F.struct("id", "start")).alias("__owner"),
+        )
+        .filter(F.col("__occ") >= 2)
+        .select("gram", "__owner")
+    )
+    losers = grams.join(dup_stats, "gram").filter(
+        ~(
+            (F.col("id") == F.col("__owner.id"))
+            & (F.col("start") == F.col("__owner.start"))
+        )
+    )
+    covered = losers.select(
+        "id",
+        F.explode(F.sequence(F.col("start"), F.col("start") + n - 1)).alias("pos"),
+    ).dropDuplicates()
+    toks = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode_outer(raw).alias("pos0", "tok"),
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = toks.filter(F.col("tok").isNotNull()).join(
+        covered, ["id", "pos"], "left_anti"
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+            ),
+        ).alias("__text"),
+        F.count(F.lit(1)).cast("long").alias("__kept"),
+    )
+    sizes = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.size(raw).cast("long").alias("total_tokens"),
+    )
+    return sizes.join(rebuilt, "id", "left").select(
+        "id",
+        F.coalesce("__text", F.lit("")).alias("text"),
+        (F.col("total_tokens") - F.coalesce("__kept", F.lit(0))).alias(
+            "removed_tokens"
+        ),
+        "total_tokens",
+    )
+
+
 def corpus_diff(
     old: DataFrame,
     new: DataFrame,
