@@ -736,3 +736,41 @@ def test_self_dedup_spans_normalized_matching(spark):
     assert out[1]["removed_tokens"] == 0
     assert out[2]["removed_tokens"] == 6
     assert out[2]["text"] == "intro outro"
+
+
+# ---------------------------------------------------------------------------
+# semantic_decontaminate (embedding-space decontamination)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_decontaminate_flags_similar_vectors(spark):
+    from truthound_spark.pipeline.dedup import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),   # identical to probe 100
+            (2, [0.9, 0.1, 0.0]),   # near probe 100 (cos ~0.994)
+            (3, [0.0, 0.0, 1.0]),   # orthogonal to both probes
+            (4, [0.0, 1.0, 0.0]),   # identical to probe 101
+        ],
+        ["vec_id", "embedding"],
+    )
+    probe = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    out = {r["id"]: r for r in semantic_decontaminate(corpus, probe, threshold=0.9).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1]["n_matches"] == 1 and out[1]["max_cosine"] == 1.0
+    assert out[2]["n_matches"] == 1 and out[2]["max_cosine"] > 0.99
+    assert out[4]["n_matches"] == 1 and out[4]["max_cosine"] == 1.0
+
+
+def test_semantic_decontaminate_broadcasts_probe(spark):
+    from truthound_spark.pipeline.dedup import semantic_decontaminate
+
+    corpus = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    probe = spark.createDataFrame([(2, [1.0, 0.0])], ["vec_id", "embedding"])
+    plan = semantic_decontaminate(corpus, probe)._jdf.queryExecution().executedPlan().toString()
+    # probe rides a broadcast nested-loop join: the corpus side never shuffles
+    assert "BroadcastNestedLoopJoin" in plan

@@ -7652,6 +7652,39 @@ def q_decontaminate_spans_documents(spark, sf_dir):
 
 
 @register(
+    "semantic_decontaminate_embeddings",
+    """
+    WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    c AS (SELECT * FROM v WHERE id % 5 <> 0),
+    p AS (SELECT * FROM v WHERE id % 5 = 0),
+    m AS (
+      SELECT c.id,
+             list_dot_product(c.e, p.e) / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(p.e, p.e))) AS cosine
+      FROM c, p
+    )
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS n_matches, MAX(ROUND(cosine, 6)) AS max_cosine
+    FROM m WHERE cosine >= 0.45 GROUP BY id ORDER BY id
+    """,
+)
+def q_semantic_decontaminate_embeddings(spark, sf_dir):
+    """Embedding-space decontamination (pipeline/dedup.py
+    semantic_decontaminate): corpus vectors (vec_id % 5 != 0) whose
+    cosine to ANY probe vector (vec_id % 5 == 0) reaches 0.45 — the
+    semantic complement to n-gram collision decontamination, catching
+    paraphrased benchmark leakage. Probe side broadcast, cosine rides
+    the nested-loop join, corpus never shuffles."""
+    from truthound_spark.pipeline.dedup import semantic_decontaminate
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = semantic_decontaminate(
+        emb.filter(F.col("vec_id") % 5 != 0),
+        emb.filter(F.col("vec_id") % 5 == 0),
+        threshold=0.45,
+    )
+    return out.orderBy("id")
+
+
+@register(
     "self_dedup_spans_documents",
     """
     WITH src AS (

@@ -1267,6 +1267,52 @@ def decontaminate_spans(
     )
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    probe: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EMBEDDING-SPACE decontamination — the semantic complement to the
+    n-gram collision rule (:func:`decontaminate`): flag corpus vectors
+    whose cosine similarity to ANY probe (test/eval) vector reaches
+    ``threshold``, catching paraphrased or re-worded benchmark leakage
+    that exact n-gram matching misses (the contamination analysis used
+    for GPT-4/Llama-style report cards).
+
+    Plan: the probe side is broadcast (eval suites are tiny next to a
+    training corpus) and the cosine predicate rides the broadcast
+    nested-loop join, so the corpus is scanned ONCE and never shuffled;
+    only matched (id, sim) pairs — not vectors — reach the per-id
+    aggregation. For probe sets too large to broadcast, prescreen with
+    the sign-LSH bucketing of :func:`embedding_near_duplicates` and
+    exact-confirm survivors (same two-phase shape as
+    :func:`decontaminate_bloom`).
+
+    Returns (id, n_matches, max_cosine) for contaminated corpus rows;
+    anti-join on id to clean the corpus. max_cosine is rounded to 6 dp
+    so downstream comparisons don't hinge on sub-ulp float ordering."""
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    p = probe.select(
+        F.col(id_col).cast("long").alias("__pid"),
+        F.col(vec_col).cast("array<double>").alias("__pv"),
+    )
+    sim = cosine_sim(F.col("__v"), F.col("__pv"))
+    matched = c.join(F.broadcast(p), sim >= F.lit(threshold))
+    return (
+        matched.select("id", F.round(sim, 6).alias("__sim"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.max("__sim").alias("max_cosine"),
+        )
+    )
+
+
 def self_dedup_spans(
     df: DataFrame,
     text_col: str = "text",
