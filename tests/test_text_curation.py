@@ -181,3 +181,52 @@ def test_train_quality_weights_separates_classes(spark):
     }
     assert got[1] > got[3] > got[2]
     assert got[1] > 0.5 > got[2]
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer et al. 2003)
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_guarantee_shared_run_yields_shared_fingerprint(spark):
+    from truthound_spark.pipeline.text import winnow_fingerprints, winnow_overlap_pairs
+
+    # shared run of 12 tokens >= w + k - 1 = 7 -> at least one shared hash
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    docs = spark.createDataFrame(
+        [(1, f"{run} ending one"), (2, f"prefix words here {run}")],
+        ["doc_id", "text"],
+    )
+    pairs = winnow_overlap_pairs(docs, k=4, w=4, min_shared=1).collect()
+    assert len(pairs) == 1 and pairs[0]["shared_fingerprints"] >= 1
+
+    # density: selected <= grams, >= 1 for docs with >= k tokens
+    for r in winnow_fingerprints(docs, k=4, w=4).collect():
+        assert 1 <= len(r["fingerprints"])
+
+
+def test_winnow_short_and_empty_docs(spark):
+    from truthound_spark.pipeline.text import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "one two three"), (2, ""), (3, "exactly four tokens here")],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r["fingerprints"] for r in winnow_fingerprints(docs, k=4, w=4).collect()}
+    assert out[1] == [] and out[2] == []     # < k tokens -> no grams
+    assert len(out[3]) == 1                  # one gram -> one window -> one pick
+
+
+def test_winnow_deterministic_and_position_invariant_hashes(spark):
+    from truthound_spark.pipeline.text import winnow_fingerprints
+
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [(1, text), (2, "shift " + text)], ["doc_id", "text"]
+    )
+    out = {r["id"]: r["fingerprints"] for r in winnow_fingerprints(docs, k=4, w=4).collect()}
+    h1 = {f["h"] for f in out[1]}
+    h2 = {f["h"] for f in out[2]}
+    # same content at shifted offset selects (almost) the same hash set;
+    # every doc-1 hash not near the new prefix boundary must reappear
+    assert len(h1 & h2) >= len(h1) - 2

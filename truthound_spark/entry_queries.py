@@ -7652,6 +7652,47 @@ def q_decontaminate_spans_documents(spark, sf_dir):
 
 
 @register(
+    "winnow_overlap_documents",
+    f"""
+    WITH src AS (SELECT doc_id AS id, {_NORM_SQL.format(c='text')} AS ntext FROM documents),
+    tok AS (SELECT id, string_split(ntext, ' ') AS nt FROM src WHERE length(ntext) > 0),
+    grams AS (
+      SELECT id, u.s AS pos, substr(md5(array_to_string(nt[u.s:u.s+3], ' ')), 1, 16) AS h
+      FROM (SELECT id, nt, CASE WHEN len(nt) >= 4 THEN range(1, len(nt) - 4 + 2) ELSE [] END AS starts FROM tok),
+      UNNEST(starts) AS u(s)
+    ),
+    winm AS (
+      SELECT id, pos,
+             MIN(struct_pack(h := h, np := -pos)) OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+             COUNT(*) OVER (PARTITION BY id) AS ng
+      FROM grams
+    ),
+    sel AS (SELECT DISTINCT id, (m).h AS h FROM winm WHERE pos <= GREATEST(ng - 4 + 1, 1)),
+    pairs AS (SELECT a.id id_a, b.id id_b, COUNT(*) shared FROM sel a JOIN sel b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2),
+    sz AS (SELECT id, COUNT(*) n FROM sel GROUP BY id)
+    SELECT p.id_a, p.id_b, CAST(p.shared AS BIGINT) AS shared_fingerprints,
+           ROUND(p.shared / CAST(LEAST(sa.n, sb.n) AS DOUBLE), 6) AS containment
+    FROM pairs p JOIN sz sa ON p.id_a = sa.id JOIN sz sb ON p.id_b = sb.id
+    WHERE p.shared >= 2 ORDER BY 1, 2
+    """,
+)
+def q_winnow_overlap_documents(spark, sf_dir):
+    """Winnowing fingerprint overlap (pipeline/text.py winnow_fingerprints
+    / winnow_overlap_pairs — Schleimer et al. 2003 MOSS): k=4-token gram
+    md5 hashes, w=4 window minima with rightmost tie-break, pairs sharing
+    ≥ 2 selected hashes with containment score. The oracle replicates
+    selection with a struct-min window frame (hash asc, -pos asc ==
+    rightmost minimal) and must produce the identical pair set — the
+    engine's HOF extraction is map-only and never shuffles text."""
+    from truthound_spark.pipeline.text import winnow_overlap_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(docs, k=4, w=4, min_shared=2).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
     "semantic_decontaminate_embeddings",
     """
     WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -361,6 +361,139 @@ def classifier_quality_score(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer, Wilkerson, Aiken 2003
+    — the MOSS algorithm): hash every normalized k-token gram, slide a
+    w-gram window over the hash sequence, and select each window's
+    minimum hash (rightmost occurrence on ties). The selected set is a
+    position-aware fingerprint with the winnowing guarantee: any shared
+    token run of length ≥ w + k - 1 between two documents yields at
+    least one shared fingerprint, while storage is ~2/(w+1) of the gram
+    count — the local-document complement to MinHash (which sketches
+    whole-document similarity and has no locality guarantee).
+
+    Hashes are the first 16 hex chars of md5 over the gram text —
+    compared AS STRINGS, where lexicographic order equals unsigned
+    numeric order, so selection is engine-reproducible. The whole
+    extraction is array higher-order-function column math: ZERO shuffles,
+    zero Python, whole-stage-codegen'd — fingerprinting 100 TB is a
+    single map-only scan.
+
+    Returns (id, fingerprints: array<struct<pos:int, h:string>>),
+    pos = 1-based gram start of the selected hash."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
+    nt = words(F.col(text_col))
+    nt = F.when(F.length(normalized_text(F.col(text_col))) > 0, nt).otherwise(
+        F.array().cast("array<string>")
+    )
+    base = df.select(F.col(id_col).cast("long").alias("id"), nt.alias("__nt"))
+    hs = F.when(
+        F.size("__nt") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__nt") - k + 1),
+            lambda i: F.struct(
+                F.substring(F.md5(F.concat_ws(" ", F.slice("__nt", i, k))), 1, 16).alias(
+                    "h"
+                ),
+                i.cast("int").alias("pos"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<h:string,pos:int>>"))
+    with_h = base.select("id", hs.alias("__hs"))
+    n_g = F.size("__hs")
+    # window starts: 1..n_g-w+1 (short docs with 1..w grams get ONE
+    # window over everything). sequence() with start > stop counts DOWN
+    # in Spark, so the empty case must be guarded explicitly.
+    starts = F.when(
+        n_g >= 1, F.sequence(F.lit(1), F.greatest(n_g - w + 1, F.lit(1)))
+    ).otherwise(F.array().cast("array<int>"))
+    # per window: min over (h asc, -pos asc) == smallest hash, rightmost
+    # position on ties — the robust-winnowing tie rule.
+    sel = F.transform(
+        starts,
+        lambda s: F.array_min(
+            F.transform(
+                F.slice("__hs", s, w),
+                lambda e: F.struct(e["h"].alias("h"), (-e["pos"]).alias("np")),
+            )
+        ),
+    )
+    fps = F.array_distinct(
+        F.transform(
+            sel, lambda m: F.struct((-m["np"]).cast("int").alias("pos"), m["h"].alias("h"))
+        )
+    )
+    return with_h.select("id", fps.alias("fingerprints"))
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document-overlap detection on winnowing fingerprints: pairs of
+    documents sharing ≥ ``min_shared`` selected hashes, with a
+    containment score shared/|smaller fingerprint set| — the MOSS
+    plagiarism report, distributed.
+
+    Shape: map-only fingerprint extraction (:func:`winnow_fingerprints`),
+    explode to a (hash, id) inverted index — 16-char hashes, never text —
+    self-join on the hash, aggregate per pair. Identical to the n-gram
+    Jaccard plan but over the winnowed ~2/(w+1) subsample, so the index
+    and join are ~5x smaller at the same detection guarantee for runs
+    ≥ w + k - 1 tokens.
+
+    Returns (id_a, id_b, shared_fingerprints, containment)."""
+    # explode_outer, NOT explode: InferFiltersFromGenerate would add a
+    # size(fingerprints) > 0 predicate and filter pushdown inlines the
+    # ENTIRE winnowing HOF pipeline into it — re-evaluating extraction
+    # once per emitted fingerprint (was ~60x the extraction cost; same
+    # pathology as dedup._shingle_rows, see its docstring).
+    fp = (
+        winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+        .select("id", F.explode_outer("fingerprints").alias("f"))
+        .filter(F.col("f").isNotNull())
+        .select("id", F.col("f.h").alias("h"))
+        .dropDuplicates(["id", "h"])
+    )
+    sizes = fp.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
+    a = fp.select(F.col("id").alias("id_a"), "h")
+    b = fp.select(F.col("id").alias("id_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared_fingerprints",
+            F.round(
+                F.col("shared_fingerprints")
+                / F.least("__na", "__nb").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     text_col: str = "text",
