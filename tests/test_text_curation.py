@@ -230,3 +230,46 @@ def test_winnow_deterministic_and_position_invariant_hashes(spark):
     # same content at shifted offset selects (almost) the same hash set;
     # every doc-1 hash not near the new prefix boundary must reappear
     assert len(h1 & h2) >= len(h1) - 2
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_importance_favors_target_like_docs(spark):
+    from truthound_spark.pipeline.text import dsir_log_importance, train_quality_weights
+
+    target = spark.createDataFrame(
+        [(i, "science research physics theory experiment") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [(100, "science research physics theory experiment"),
+         (101, "buy cheap pills online casino bonus")],
+        ["doc_id", "text"],
+    )
+    weights = train_quality_weights(target, raw)
+    out = {r["doc_id"]: r["log_importance"]
+           for r in dsir_log_importance(raw, weights).collect()}
+    assert out[100] > out[101]
+
+
+def test_dsir_select_deterministic_and_target_biased(spark):
+    from truthound_spark.pipeline.text import dsir_select
+
+    target = spark.createDataFrame(
+        [(1000 + i, "alpha beta gamma delta epsilon") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(20)]
+        + [(100 + i, "zig zag zoom completely other words") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    sel1 = [(r["id"], r["rank"]) for r in dsir_select(raw, target, n_select=10).collect()]
+    sel2 = [(r["id"], r["rank"]) for r in dsir_select(raw, target, n_select=10).collect()]
+    assert sel1 == sel2                                  # md5-Gumbel: no RNG state
+    ids = {i for i, _ in sel1}
+    assert len(ids) == 10
+    assert sum(1 for i in ids if i < 100) >= 8           # softmax mass on target-like

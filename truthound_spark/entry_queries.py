@@ -7652,6 +7652,73 @@ def q_decontaminate_spans_documents(spark, sf_dir):
 
 
 @register(
+    "dsir_select_documents",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang, {_WORDS_SQL.format(t='text')} AS ws FROM documents
+    ),
+    f AS (
+      SELECT doc_id, lang,
+             ws || list_transform(range(1, len(ws)), i -> ws[i] || '_' || ws[i+1]) AS feats
+      FROM w
+    ),
+    b AS (
+      SELECT doc_id, lang,
+             list_transform(feats,
+               t -> CAST(('0x' || substr(md5(t), 1, 6)) AS BIGINT) % 4096) AS bk
+      FROM f
+    ),
+    m AS (SELECT doc_id, lang, u.bucket FROM b, UNNEST(bk) AS u(bucket)),
+    cp AS (SELECT bucket, COUNT(*) AS n FROM m WHERE lang = 'en' GROUP BY 1),
+    cn AS (SELECT bucket, COUNT(*) AS n FROM m GROUP BY 1),
+    tot AS (
+      SELECT (SELECT COALESCE(SUM(n), 0) FROM cp) + 4096 AS pt,
+             (SELECT COALESCE(SUM(n), 0) FROM cn) + 4096 AS nt
+    ),
+    wfull AS (
+      SELECT gs.i AS bucket,
+             LN((COALESCE(cp.n, 0) + 1) / tot.pt) - LN((COALESCE(cn.n, 0) + 1) / tot.nt) AS wt
+      FROM generate_series(0, 4095) AS gs(i)
+      LEFT JOIN cp ON gs.i = cp.bucket
+      LEFT JOIN cn ON gs.i = cn.bucket, tot
+    ),
+    warr AS (SELECT list(wt ORDER BY bucket) AS ws FROM wfull),
+    sc AS (
+      SELECT doc_id AS id,
+             CASE WHEN len(bk) > 0
+                  THEN list_sum(list_transform(bk, x -> warr.ws[x + 1]))
+                  ELSE 0.0 END AS logw
+      FROM b, warr
+    ),
+    g AS (
+      SELECT id, logw,
+             -LN(-LN((CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 12)) AS BIGINT) + 0.5)
+                     / 281474976710656.0)) AS gum
+      FROM sc
+    ),
+    k AS (SELECT id, logw, CAST(round((logw + gum) * 1000000.0) AS BIGINT) AS key_q FROM g),
+    r AS (SELECT id, logw, ROW_NUMBER() OVER (ORDER BY key_q DESC, id) AS rnk FROM k)
+    SELECT id, ROUND(logw, 6) AS log_importance, CAST(rnk AS INT) AS rank
+    FROM r WHERE rnk <= 100 ORDER BY rnk
+    """,
+)
+def q_dsir_select_documents(spark, sf_dir):
+    """DSIR importance resampling (pipeline/text.py dsir_select — Xie et
+    al. 2023): English-language docs play the target distribution, the
+    whole corpus the raw pool; per-doc log importance is the hashed
+    n-gram Naive Bayes log-odds sum (trainer shared verbatim with the
+    quality classifier), and selection is deterministic Gumbel top-100
+    (md5-derived noise, 1e-6-quantized sampling key) so inclusion follows
+    softmax(log_importance). Oracle retrains the weights relationally and
+    replays the identical fold + ranking."""
+    from truthound_spark.pipeline.text import dsir_select
+
+    docs = t(spark, sf_dir, "documents")
+    out = dsir_select(docs, docs.filter(F.col("lang") == "en"), n_select=100)
+    return out.orderBy("rank")
+
+
+@register(
     "winnow_overlap_documents",
     f"""
     WITH src AS (SELECT doc_id AS id, {_NORM_SQL.format(c='text')} AS ntext FROM documents),

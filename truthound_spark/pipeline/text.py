@@ -361,6 +361,90 @@ def classifier_quality_score(
     )
 
 
+def dsir_log_importance(
+    df: DataFrame,
+    weights: list[float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+    use_bigrams: bool = True,
+) -> DataFrame:
+    """Per-document DSIR log importance weight (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): the sum of
+    per-feature log(p_target/p_raw) over the document's hashed n-gram
+    features. ``weights`` is exactly the Naive Bayes log-odds vector from
+    :func:`train_quality_weights` trained on (target, raw) — DSIR's
+    bag-of-hashed-ngrams importance estimate IS that closed form, so the
+    trainer is shared verbatim.
+
+    Pure column math: bucket hashing + one F.aggregate fold over an
+    inlined weight literal — a single codegen'd projection at any scale.
+
+    Returns df + ``log_importance`` (double)."""
+    if len(weights) != num_buckets:
+        raise ValueError(f"weights has {len(weights)} entries, expected {num_buckets}")
+    buckets = hashed_feature_buckets(text_col, num_buckets, use_bigrams)
+    arr = F.array(*[F.lit(float(x)) for x in weights])
+    logw = F.aggregate(
+        buckets, F.lit(0.0), lambda acc, b: acc + F.element_at(arr, (b + 1).cast("int"))
+    )
+    return df.withColumn("log_importance", logw)
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    n_select: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+    use_bigrams: bool = True,
+    weights: list[float] | None = None,
+) -> DataFrame:
+    """DSIR data selection: importance-RESAMPLE ``n_select`` documents
+    from the raw corpus toward the ``target`` distribution — Gumbel
+    top-k sampling without replacement, so inclusion probability follows
+    softmax(log_importance) rather than a hard threshold (the paper's
+    resampling step; hard top-k over-concentrates on near-duplicates of
+    the target).
+
+    Determinism at scale: the Gumbel noise derives from md5 of the doc id
+    (u = (first-12-hex-digits + 0.5) / 2^48, g = -ln(-ln u)) — reruns and
+    engines agree, no RNG state. The sampling key is quantized to 1e-6
+    before ranking so the selection boundary never hinges on sub-ulp
+    float disagreement. Selection is orderBy+limit — Spark's TakeOrdered
+    (per-partition top-n, driver merge of n_select rows), not a global
+    sort.
+
+    Returns (id, log_importance, rank) for the selected documents."""
+    if weights is None:
+        weights = train_quality_weights(
+            target, df, text_col, num_buckets, use_bigrams
+        )
+    scored = dsir_log_importance(
+        df, weights, text_col, id_col, num_buckets, use_bigrams
+    ).select(F.col(id_col).cast("long").alias("id"), "log_importance")
+    u = (
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 12), 16, 10).cast(
+            "double"
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(2**48))
+    gumbel = -F.log(-F.log(u))
+    key_q = F.round((F.col("log_importance") + gumbel) * 1e6).cast("long")
+    ranked = (
+        scored.withColumn("__key", key_q)
+        .orderBy(F.desc("__key"), "id")
+        .limit(n_select)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("__key"), "id")
+    return ranked.withColumn("rank", F.row_number().over(w)).select(
+        "id", F.round("log_importance", 6).alias("log_importance"), "rank"
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
