@@ -273,3 +273,26 @@ def test_dsir_select_deterministic_and_target_biased(spark):
     ids = {i for i, _ in sel1}
     assert len(ids) == 10
     assert sum(1 for i in ids if i < 100) >= 8           # softmax mass on target-like
+
+
+def test_quantile_gate_exact_membership_per_group(spark):
+    from truthound_spark.pipeline.text import quantile_gate
+
+    rows = [(i, "a", float(i)) for i in range(10)] + [(100 + i, "b", float(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "s"])
+    out = quantile_gate(df, "s", group_col="src", keep_fraction=0.5)
+    kept = {r["id"] for r in out.collect() if r["kept"]}
+    # group a: top 5 of 10 by score desc -> ids 5..9; group b: top 2 of 4 -> 102,103
+    assert kept == {5, 6, 7, 8, 9, 102, 103}
+
+
+def test_quantile_gate_validates_fraction(spark):
+    import pytest as _pytest
+    from truthound_spark.pipeline.text import quantile_gate
+
+    df = spark.createDataFrame([(1, 1.0)], ["doc_id", "s"])
+    with _pytest.raises(ValueError):
+        quantile_gate(df, "s", keep_fraction=0.0)
+    # global gate (no group): one stratum
+    out = quantile_gate(df, "s", keep_fraction=1.0).collect()
+    assert out[0]["kept"] is True and out[0]["group"] == "__all__"

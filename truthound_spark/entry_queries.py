@@ -7652,6 +7652,64 @@ def q_decontaminate_spans_documents(spark, sf_dir):
 
 
 @register(
+    "quantile_gate_documents",
+    """
+    WITH w AS (
+      SELECT doc_id, text, source,
+             string_split(CASE WHEN LEN(TRIM(text)) = 0 THEN '' ELSE
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))
+             END, ' ') AS words,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, source, n_words,
+        CASE WHEN len(words) > 0 THEN
+          len(list_filter(words, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))
+          / CAST(len(words) AS DOUBLE) ELSE 0.0 END AS stop_r,
+        CASE WHEN length(text) > 0 THEN
+          len(regexp_extract_all(text, '[^\\x{30}-\\x{39}a-zA-Z_\\s]')) / CAST(length(text) AS DOUBLE)
+          ELSE 0.0 END AS punct_r,
+        CASE WHEN length(text) > 0 THEN
+          len(regexp_extract_all(text, '[0-9]')) / CAST(length(text) AS DOUBLE)
+          ELSE 0.0 END AS digit_r,
+        CASE WHEN len(words) > 0 THEN len(list_distinct(words)) / CAST(len(words) AS DOUBLE)
+             ELSE 0.0 END AS uniq_r
+      FROM w
+    ),
+    q AS (
+      SELECT doc_id AS id, source,
+        ROUND(LEAST(n_words / 50.0, 1.0) * 0.3
+            + LEAST(stop_r * 4.0, 1.0) * 0.2
+            + (1.0 - LEAST(punct_r * 5.0, 1.0)) * 0.2
+            + (1.0 - LEAST(digit_r * 5.0, 1.0)) * 0.1
+            + LEAST(uniq_r * 1.25, 1.0) * 0.2, 6) AS score
+      FROM f
+    )
+    SELECT id, source AS "group", score,
+           (CUME_DIST() OVER (PARTITION BY source ORDER BY score DESC, id) <= 0.6) AS kept
+    FROM q ORDER BY id
+    """,
+)
+def q_quantile_gate_documents(spark, sf_dir):
+    """Per-source adaptive quality gating (pipeline/text.py
+    quantile_gate — the CCNet per-bucket recipe): keep the top 60% of
+    docs by 6-dp-rounded quality score WITHIN each source, exact
+    cume_dist membership with deterministic id tie-break — source
+    composition survives filtering while each source drops its worst
+    tail. Oracle replays the identical windowed cume_dist."""
+    from truthound_spark.pipeline.text import quality_score, quantile_gate
+
+    docs = t(spark, sf_dir, "documents")
+    scored = quality_score(docs, "text").withColumn(
+        "qs", F.round("quality_score", 6)
+    )
+    out = quantile_gate(scored, "qs", group_col="source", keep_fraction=0.6)
+    return out.orderBy("id")
+
+
+@register(
     "dsir_select_documents",
     f"""
     WITH w AS (

@@ -361,6 +361,45 @@ def classifier_quality_score(
     )
 
 
+def quantile_gate(
+    df: DataFrame,
+    score_col: str,
+    group_col: str | None = None,
+    keep_fraction: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ADAPTIVE quality gating: keep the top ``keep_fraction`` of rows by
+    ``score_col`` WITHIN each ``group_col`` stratum (per-source, per-lang,
+    per-crawl-snapshot…). A single global threshold silently empties weak
+    sources and keeps the whole strongest one — per-stratum quantiles are
+    how production corpus mixes hold their source composition while still
+    dropping each source's worst tail (the CCNet per-language-bucket
+    recipe).
+
+    Exact, not sketched: cume_dist over (score desc, id) per stratum, keep
+    where cume_dist ≤ fraction — so the kept count per stratum is
+    ⌊fraction·n⌋ (+ ties broken deterministically by id) and the oracle
+    can certify the exact membership. One shuffle on the stratum key with
+    an in-partition sort; at extreme per-stratum cardinality swap in
+    percentile_approx for the threshold and accept sketch tolerance.
+
+    Returns (id, group, score, kept)."""
+    if not 0.0 < keep_fraction <= 1.0:
+        raise ValueError(f"keep_fraction must be in (0, 1], got {keep_fraction}")
+    from pyspark.sql import Window
+
+    grp = F.col(group_col) if group_col else F.lit("__all__")
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        grp.cast("string").alias("group"),
+        F.col(score_col).cast("double").alias("score"),
+    )
+    w = Window.partitionBy("group").orderBy(F.desc("score"), "id")
+    return base.withColumn(
+        "kept", (F.cume_dist().over(w) <= F.lit(keep_fraction)).cast("boolean")
+    )
+
+
 def dsir_log_importance(
     df: DataFrame,
     weights: list[float],
