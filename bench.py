@@ -310,6 +310,42 @@ def main():
 
     bench_one("lof_native_customer", lof_bench, timings, cold_timings)
 
+    def self_dedup_bench():
+        from truthound_spark.pipeline.dedup import self_dedup_spans
+
+        self_dedup_spans(documents, n=8).agg(
+            F.sum("removed_tokens"), F.count(F.lit(1))
+        ).collect()
+
+    bench_one("self_dedup_spans", self_dedup_bench, timings, cold_timings)
+
+    def winnow_bench():
+        from truthound_spark.pipeline.text import winnow_overlap_pairs
+
+        winnow_overlap_pairs(documents, k=4, w=4, min_shared=2).count()
+
+    bench_one("winnow_overlap", winnow_bench, timings, cold_timings)
+
+    def dsir_bench():
+        from truthound_spark.pipeline.text import dsir_select
+
+        dsir_select(
+            documents, documents.filter(F.col("lang") == "en"), n_select=1000
+        ).count()
+
+    bench_one("dsir_select", dsir_bench, timings, cold_timings)
+
+    def semantic_decon_bench():
+        from truthound_spark.pipeline.dedup import semantic_decontaminate
+
+        semantic_decontaminate(
+            embeddings.filter(F.col("vec_id") % 5 != 0),
+            embeddings.filter(F.col("vec_id") % 5 == 0),
+            threshold=0.45,
+        ).count()
+
+    bench_one("semantic_decontaminate", semantic_decon_bench, timings, cold_timings)
+
     # --- BASELINE.md pushdown workload shapes (sqlite-null/range/unique
     # roles; DuckDB executes the generated SQL in-database over the same
     # parquet — on a cluster the identical SQL rides spark.read.jdbc) -----

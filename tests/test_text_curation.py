@@ -296,3 +296,39 @@ def test_quantile_gate_validates_fraction(spark):
     # global gate (no group): one stratum
     out = quantile_gate(df, "s", keep_fraction=1.0).collect()
     assert out[0]["kept"] is True and out[0]["group"] == "__all__"
+
+
+def test_tfidf_keywords_rank_rare_terms_highest(spark):
+    from truthound_spark.pipeline.retrieval import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common zebra"),
+            (2, "common words appear here"),
+            (3, "common words appear there"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_keywords(docs, k=2).collect()
+    top1 = {r["id"]: r["term"] for r in out if r["rank"] == 1}
+    # 'zebra' (df=1) beats 'common' (df=3) despite tf=3 for common in doc 1?
+    # tf*idf: common 3*(ln(4/4)+1)=3.0; zebra 1*(ln(4/2)+1)=1.69 -> common wins on tf
+    assert top1[1] == "common"
+    # doc 2/3: unique terms (df=1) outrank shared 'common'/'words'/'appear' (df>=2)
+    assert top1[2] == "here" and top1[3] == "there"
+
+
+def test_boilerplate_ngrams_finds_shared_template(spark):
+    from truthound_spark.pipeline.retrieval import boilerplate_ngrams
+
+    footer = "copyright two thousand example company all rights reserved"
+    docs = spark.createDataFrame(
+        [(i, f"body text number {i} words vary a lot {footer}") for i in range(6)]
+        + [(99, "entirely unrelated document content")],
+        ["doc_id", "text"],
+    )
+    out = boilerplate_ngrams(docs, n=5, min_docs=3, k=10).collect()
+    assert out, "expected shared footer grams"
+    assert all(r["n_docs"] == 6 for r in out if "copyright" in r["gram"] or "rights" in r["gram"])
+    ranks = [r["rank"] for r in out]
+    assert ranks == sorted(ranks) and ranks[0] == 1

@@ -7652,6 +7652,63 @@ def q_decontaminate_spans_documents(spark, sf_dir):
 
 
 @register(
+    "tfidf_keywords_documents",
+    f"""
+    WITH t AS (SELECT doc_id AS id, unnest({_WORDS_SQL.format(t='text')}) AS term FROM documents),
+    tf AS (SELECT id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+    dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+    s AS (
+      SELECT tf.id, tf.term,
+             CAST(round(tf.tf * (LN((1.0 + n.nd) / (1.0 + dfr.df)) + 1.0) * 1000000000.0) AS BIGINT) AS q
+      FROM tf JOIN dfr USING (term), n
+    ),
+    r AS (SELECT id, term, q, ROW_NUMBER() OVER (PARTITION BY id ORDER BY q DESC, term) AS rnk FROM s)
+    SELECT id, term, q / 1000000000.0 AS tfidf, CAST(rnk AS INT) AS rank
+    FROM r WHERE rnk <= 5 ORDER BY id, rnk
+    """,
+)
+def q_tfidf_keywords_documents(spark, sf_dir):
+    """Per-doc top-5 TF-IDF keywords (pipeline/retrieval.py
+    tfidf_keywords): smoothed idf, 1e-9-quantized scores ranked with
+    (score desc, term) tie-break — WindowGroupLimit top-k, ranks AND
+    scores hash-certified."""
+    from truthound_spark.pipeline.retrieval import tfidf_keywords
+
+    docs = t(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, k=5).orderBy("id", "rank")
+
+
+@register(
+    "boilerplate_ngrams_documents",
+    f"""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct([array_to_string(list_slice(words, i, i + 4), ' ')
+                            FOR i IN range(1, GREATEST(len(words) - 4, 1) + 1)]) AS sh
+      FROM (SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS words FROM documents)
+    ),
+    inv AS (SELECT id, unnest(sh) AS g FROM sh),
+    sp AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM inv WHERE g <> '' GROUP BY g HAVING COUNT(*) >= 2
+    ),
+    r AS (SELECT g AS gram, n_docs, ROW_NUMBER() OVER (ORDER BY n_docs DESC, g) AS rnk FROM sp)
+    SELECT gram, n_docs, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= 100 ORDER BY rnk
+    """,
+)
+def q_boilerplate_ngrams_documents(spark, sf_dir):
+    """Corpus boilerplate report (pipeline/retrieval.py
+    boilerplate_ngrams): top-100 5-gram shingles by distinct-doc spread
+    (>= 2 docs), deterministic (spread desc, gram) rank — the
+    surface self_dedup_spans would excise, surfaced for review."""
+    from truthound_spark.pipeline.retrieval import boilerplate_ngrams
+
+    docs = t(spark, sf_dir, "documents")
+    return boilerplate_ngrams(docs, n=5, min_docs=2, k=100).orderBy("rank")
+
+
+@register(
     "quantile_gate_documents",
     """
     WITH w AS (

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from truthound_spark.pipeline.dedup import words
 
-__all__ = ["bm25_index", "bm25_search"]
+__all__ = ["bm25_index", "bm25_search", "tfidf_keywords", "boilerplate_ngrams"]
 
 _QSCALE = 1e9
 
@@ -111,4 +111,79 @@ def bm25_search(
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("doc_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-k TF-IDF keywords — the corpus-exploration /
+    labeling primitive (what is this document about, relationally).
+
+    tf and df come from the same two hash aggregations as
+    :func:`bm25_index`; idf is the smoothed ln((1+N)/(1+df)) + 1 so
+    corpus-universal terms still score positive. The per-term score is
+    quantized to 1e-9 longs BEFORE ranking (same determinism contract as
+    BM25: addition-order-independent, engine-reproducible ranks with
+    (score desc, term) tie-break). Per-doc top-k is a WindowGroupLimit —
+    map-side partial limiting, no global sort.
+
+    Returns (id, term, tfidf, rank)."""
+    terms = _terms(df, text_col, id_col)
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.count()
+    idf = F.log(
+        (F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df"))
+    ) + F.lit(1.0)
+    qscore = F.round(F.col("tf") * idf * F.lit(_QSCALE)).cast("long")
+    scored = tf.join(dfreq, "term").select(
+        "id", "term", qscore.alias("__q")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("__q"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "id",
+            "term",
+            (F.col("__q").cast("double") / F.lit(_QSCALE)).alias("tfidf"),
+            "rank",
+        )
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+    k: int = 100,
+) -> DataFrame:
+    """Corpus-wide BOILERPLATE REPORT: the top-k n-grams by distinct-doc
+    spread — the headers/footers/license-blocks/templates that
+    :func:`truthound_spark.pipeline.dedup.self_dedup_spans` would excise,
+    surfaced for human review first (curate with eyes open, then cut).
+
+    One distinct + one groupBy on the n-gram string; the top-k is
+    orderBy+limit (TakeOrdered: per-partition heads, driver merge of k
+    rows), ranked deterministically by (doc spread desc, gram asc).
+
+    Returns (gram, n_docs, rank)."""
+    from truthound_spark.pipeline.dedup import _shingle_rows
+
+    grams = _shingle_rows(df, text_col, id_col, n).dropDuplicates(["id", "g"])
+    spread = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    top = spread.orderBy(F.desc("n_docs"), "g").limit(k)
+    w = Window.orderBy(F.desc("n_docs"), "g")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("g").alias("gram"), "n_docs", "rank"
     )
