@@ -123,3 +123,68 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # arrival (v=4) was dropped past the watermark
     ten_oclock = [v for k, v in rows.items() if "10:00" in k]
     assert ten_oclock == [2], rows
+
+
+def test_streaming_near_dedup_cross_batch(spark, tmp_path):
+    """MinHash+LSH dedup state persists across micro-batches: a near-dup
+    arriving in batch 2 is flagged against batch 1's canonical."""
+    import json
+
+    from truthound_spark.streaming.stateful import streaming_near_dedup
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "dedup_ckpt")
+
+    base = ("the quick brown fox jumps over the lazy dog while the rain "
+            "falls gently on the quiet green meadow beside the old stone bridge")
+    variant = base.replace("old stone bridge", "old stone wall")
+    other = ("completely different content about distributed sql engines "
+             "catalyst optimizer whole stage codegen and parquet column pruning")
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for i, txt in rows:
+                f.write(json.dumps({"doc_id": i, "text": txt}) + "\n")
+
+    write_batch("b1.json", [(1, base), (2, other)])
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    alerts = streaming_near_dedup(stream, threshold=0.5, num_hashes=64, bands=16)
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("near_dedup_alerts")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM near_dedup_alerts").count() == 0
+
+        write_batch("b2.json", [(3, variant)])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT DISTINCT doc_id, dup_of FROM near_dedup_alerts"
+        ).collect()
+        assert rows and all(r["doc_id"] == 3 and r["dup_of"] == 1 for r in rows)
+        est = spark.sql("SELECT max(est_jaccard) AS e FROM near_dedup_alerts").collect()[0]["e"]
+        assert est >= 0.5
+    finally:
+        q.stop()
+
+
+def test_streaming_near_dedup_validates_bands(spark):
+    import pytest as _pytest
+
+    from truthound_spark.streaming.stateful import streaming_near_dedup
+
+    stream = spark.readStream.format("rate").load().selectExpr(
+        "value AS doc_id", "CAST(value AS STRING) AS text"
+    )
+    with _pytest.raises(ValueError):
+        streaming_near_dedup(stream, num_hashes=64, bands=7)

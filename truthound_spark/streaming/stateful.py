@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Any, Iterator
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
@@ -77,4 +78,155 @@ def running_column_stats(
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+NEAR_DEDUP_STATE_SCHEMA = "ids ARRAY<LONG>, sigs ARRAY<STRING>"
+NEAR_DEDUP_OUTPUT_SCHEMA = (
+    "doc_id LONG, dup_of LONG, est_jaccard DOUBLE, bucket LONG"
+)
+
+
+def streaming_near_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """STREAMING near-duplicate detection: MinHash+LSH with the bucket
+    index living in the Spark state store — the continuous-ingest
+    complement to the batch ``pipeline.dedup`` path (which needs the
+    whole corpus; a crawl firehose doesn't have one yet).
+
+    Per micro-batch: signatures are computed as pure column math (the
+    same seeded affine MinHash family as the batch path — signatures are
+    comparable ACROSS batch and stream), each doc is keyed into its
+    ``bands`` LSH buckets, and ``applyInPandasWithState`` keeps per-bucket
+    canonical signatures. An arriving doc whose signature-agreement
+    fraction (the unbiased Jaccard estimator) reaches ``threshold``
+    against any stored canonical emits an alert row (doc_id, dup_of,
+    est_jaccard, bucket); otherwise it becomes a canonical itself.
+
+    Scale/state bounds: state per bucket is at most ``max_bucket_size``
+    signatures (beyond the cap, new uniques pass through unstored —
+    bounded memory beats silent OOM; size buckets via ``bands`` so
+    collisions stay rare). A doc surfaces in up to ``bands`` buckets;
+    aggregate alerts by doc_id downstream (min dup_of / max est) for
+    one-row-per-dup semantics. Exactly-once with checkpointLocation, as
+    with any stateful query.
+
+    Returns the streaming alert DataFrame (append mode)."""
+    from truthound_spark.pipeline.dedup import (
+        _minhash_coefficients,
+        _MERSENNE_31,
+        word_shingles,
+    )
+
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    r = num_hashes // bands
+
+    # two-step projection: shingles materialize once, the 64 min-hashes
+    # reference the alias (multi-use alias -> CollapseProject keeps the
+    # shingle pipeline from being inlined per hash family)
+    base = stream_df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        word_shingles(F.col(text_col)).alias("__sh"),
+    )
+    # drop the empty shingle '' (null/whitespace-only docs) BEFORE hashing:
+    # otherwise every contentless doc shares one signature and a single
+    # giant bucket accretes in the state store (same rationale as
+    # dedup._shingle_rows)
+    hashed = base.select(
+        "doc_id",
+        F.transform(
+            F.filter("__sh", lambda s: s != F.lit("")), lambda s: F.xxhash64(s)
+        ).alias("__hv"),
+    )
+    coeffs = _minhash_coefficients(num_hashes)
+
+    def _affine(a: int, b: int):
+        # closure factory, NOT lambda-with-default-args: PySpark counts the
+        # lambda's parameters to build the HOF variable list, so defaults
+        # would masquerade as extra lambda variables
+        return lambda h: F.pmod(
+            F.lit(a) * F.pmod(h, F.lit(_MERSENNE_31)) + F.lit(b),
+            F.lit(_MERSENNE_31),
+        )
+
+    sig = F.array(
+        *[F.array_min(F.transform("__hv", _affine(a, b))) for a, b in coeffs]
+    )
+    signed = hashed.filter(F.size("__hv") > 0).select("doc_id", sig.alias("__sig"))
+    buckets = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice("__sig", b * r + 1, r), lambda x: x.cast("string")
+                    ),
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = signed.select(
+        "doc_id",
+        F.concat_ws(",", F.transform("__sig", lambda x: x.cast("string"))).alias(
+            "__sigstr"
+        ),
+        F.explode(buckets).alias("bucket"),
+    )
+
+    thr = float(threshold)
+    cap = int(max_bucket_size)
+    nh = int(num_hashes)
+
+    def update(key: Any, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            ids, sigstrs = state.get
+            ids = list(ids)
+            sigs = [[int(x) for x in s.split(",")] for s in sigstrs]
+        else:
+            ids, sigs = [], []
+        out = []
+        for pdf in pdfs:
+            for _, row in pdf.sort_values("doc_id").iterrows():
+                sg = [int(x) for x in row["__sigstr"].split(",")]
+                best = None
+                for cid, cs in zip(ids, sigs):
+                    if cid == row["doc_id"]:
+                        continue
+                    m = sum(1 for x, y in zip(sg, cs) if x == y) / nh
+                    if m >= thr and (best is None or m > best[1]):
+                        best = (cid, m)
+                if best is not None:
+                    out.append(
+                        {
+                            "doc_id": int(row["doc_id"]),
+                            "dup_of": int(best[0]),
+                            "est_jaccard": float(best[1]),
+                            "bucket": int(key[0]),
+                        }
+                    )
+                elif len(ids) < cap:
+                    ids.append(int(row["doc_id"]))
+                    sigs.append(sg)
+        state.update((ids, [",".join(str(x) for x in s) for s in sigs]))
+        if out:
+            yield pd.DataFrame(out)
+
+    return exploded.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType=NEAR_DEDUP_OUTPUT_SCHEMA,
+        stateStructType=NEAR_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
