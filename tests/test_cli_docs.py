@@ -91,3 +91,32 @@ def test_cli_curate_end_to_end(spark, tmp_path, capsys):
     back = spark.read.parquet(out)
     assert back.count() == c["written"]
     assert {"doc_id", "text", "position"} <= set(back.columns)
+
+
+def test_cli_curate_with_self_dedup_and_quantile_gate(spark, tmp_path, capsys):
+    import json
+
+    from truthound_spark.cli import main
+
+    footer = "standard footer all rights reserved by the example publishing company"
+    rows = [
+        (i, f"document body number {i} with plenty of distinct ordinary words here {footer}")
+        for i in range(30)
+    ]
+    src = str(tmp_path / "docs2.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "curated2")
+    rc = main([
+        "curate", src, out, "--n-shards", "2", "--min-quality", "0.0",
+        "--self-dedup", "8", "--quantile-gate", "0.5",
+    ])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    c = payload["counts"]
+    assert c["after_self_dedup"] == c["input"] == 30   # docs survive, spans excised
+    assert c["after_quantile_gate"] == 15              # top half kept
+    back = spark.read.parquet(out)
+    assert back.count() == c["written"] == 15
+    # the shared footer span was excised from all but one owner doc
+    with_footer = back.filter(back.text.contains("rights reserved")).count()
+    assert with_footer <= 1

@@ -131,6 +131,20 @@ def cmd_curate(args: argparse.Namespace) -> int:
             df.withColumn(tc, clean_text(F.col(tc))), text_col=tc
         )
         counts["after_hygiene"] = work.count()
+    if args.self_dedup:
+        # Lee et al. '22 ordering: excise repeated spans BEFORE document
+        # dedup, so boilerplate can't mask whole-document near-dups
+        from truthound_spark.pipeline.dedup import self_dedup_spans
+
+        excised = self_dedup_spans(work, text_col=tc, id_col=ic, n=args.self_dedup)
+        keep_cols = [c for c in work.columns if c not in (tc, ic)]
+        work = (
+            work.select(F.col(ic).cast("long").alias("id"), *keep_cols)
+            .join(excised.select("id", F.col("text").alias(tc)), "id")
+            .withColumnRenamed("id", ic)
+            .select(*work.columns)
+        )
+        counts["after_self_dedup"] = work.count()
     clusters = dedup_clusters(work, text_col=tc, id_col=ic, threshold=args.dedup_threshold)
     work = work.join(clusters.filter("is_canonical").select(ic), ic, "left_semi")
     counts["after_dedup"] = work.count()
@@ -144,6 +158,25 @@ def cmd_curate(args: argparse.Namespace) -> int:
     scored = quality_score(work, tc)
     work = scored.filter(F.col("quality_score") >= args.min_quality).select(*df.columns)
     counts["after_quality_gate"] = work.count()
+    if args.quantile_gate is not None:
+        # per-stratum adaptive gate on top of the absolute floor: keeps
+        # source composition while dropping each stratum's worst tail
+        from truthound_spark.pipeline.text import quantile_gate
+
+        rescored = quality_score(work, tc).withColumn(
+            "__qs", F.round("quality_score", 6)
+        )
+        gated = quantile_gate(
+            rescored,
+            "__qs",
+            group_col=args.gate_by if args.gate_by else None,
+            keep_fraction=args.quantile_gate,
+            id_col=ic,
+        )
+        work = work.join(
+            gated.filter("kept").select(F.col("id").alias(ic)), ic, "left_semi"
+        )
+        counts["after_quantile_gate"] = work.count()
     shuffled = global_shuffle(work, n_shards=args.n_shards, key_col=ic, seed=args.seed)
     (
         shuffled.repartitionByRange(args.n_shards, F.col("shard"))
@@ -152,7 +185,7 @@ def cmd_curate(args: argparse.Namespace) -> int:
         .partitionBy("shard")
         .parquet(args.output)
     )
-    counts["written"] = counts["after_quality_gate"]
+    counts["written"] = counts.get("after_quantile_gate", counts["after_quality_gate"])
     print(_json.dumps({"output": args.output, "counts": counts}))
     return 0
 
@@ -214,6 +247,23 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--n-shards", type=int, default=64)
     c.add_argument("--seed", type=int, default=0)
     c.add_argument("--skip-hygiene", action="store_true")
+    c.add_argument(
+        "--self-dedup",
+        type=int,
+        default=0,
+        metavar="N",
+        help="excise repeated N-token spans corpus-wide before dedup (0 = off)",
+    )
+    c.add_argument(
+        "--quantile-gate",
+        type=float,
+        default=None,
+        metavar="FRACTION",
+        help="additionally keep only the top FRACTION by quality per stratum",
+    )
+    c.add_argument(
+        "--gate-by", help="stratum column for --quantile-gate (default: global)"
+    )
     c.set_defaults(fn=cmd_curate)
 
     c = sub.add_parser("doctor", help="diagnose the runtime environment")
