@@ -774,3 +774,58 @@ def test_semantic_decontaminate_broadcasts_probe(spark):
     plan = semantic_decontaminate(corpus, probe)._jdf.queryExecution().executedPlan().toString()
     # probe rides a broadcast nested-loop join: the corpus side never shuffles
     assert "BroadcastNestedLoopJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# product quantization (Jégou et al. 2011)
+# ---------------------------------------------------------------------------
+
+
+def _pq_blobs(spark, seed=7):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(30):
+        center = [0.0, 0.0, 10.0, 10.0] if i % 2 == 0 else [10.0, 10.0, 0.0, 0.0]
+        rows.append((i, [c + rng.uniform(-0.5, 0.5) for c in center]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_pq_encode_matches_trainer_assignment(spark):
+    from pyspark.sql import functions as F
+    from truthound_spark.pipeline.clustering import kmeans_vec
+    from truthound_spark.pipeline.similarity import pq_encode, pq_train
+
+    df = _pq_blobs(spark)
+    books = pq_train(df, m=2, k=2, iters=2)
+    codes = {r["id"]: list(r["codes"]) for r in pq_encode(df, books).collect()}
+    for s in range(2):
+        sub = df.select(
+            "vec_id", F.slice(F.col("embedding").cast("array<double>"), s * 2 + 1, 2).alias("embedding")
+        )
+        assigned, _ = kmeans_vec(sub, k=2, iters=2)
+        for r in assigned.collect():
+            assert codes[r["id"]][s] == r["cluster"]
+
+
+def test_pq_search_separated_clusters(spark):
+    from pyspark.sql import functions as F
+    from truthound_spark.pipeline.similarity import pq_search, pq_train
+
+    df = _pq_blobs(spark)
+    books = pq_train(df, m=2, k=2, iters=2)
+    queries = df.filter(F.col("vec_id") < 2).withColumnRenamed("vec_id", "query_id")
+    out = pq_search(df, queries, books, k=10).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["id"])
+    # query 0 is even (cluster A) -> all top-10 even ids; query 1 odd -> odd ids
+    assert all(i % 2 == 0 for i in by_q[0])
+    assert all(i % 2 == 1 for i in by_q[1])
+
+
+def test_pq_train_validates_divisibility(spark):
+    from truthound_spark.pipeline.similarity import pq_train
+
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        pq_train(df, m=2, k=2, iters=1)

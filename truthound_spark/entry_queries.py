@@ -6854,6 +6854,129 @@ def q_incremental_dedup_documents(spark, sf_dir):
     return incremental_dedup(new, base, threshold=0.7).orderBy("id")
 
 
+def _pq_oracle_ctes(m: int, k: int, iters: int, dim: int) -> list[str]:
+    """Per-subspace relational replay of pq_train+assign (kmeans_vec per
+    slice — same quantized grid, k-lowest-id init, (dist, cell) argmin)."""
+    sub_d = dim // m
+    dist = (
+        "list_dot_product(p.xv, p.xv) - 2 * list_dot_product(p.xv, c.cv)"
+        " + list_dot_product(c.cv, c.cv)"
+    )
+    ctes: list[str] = []
+    for s in range(m):
+        lo = s * sub_d
+        sums = ", ".join(f"SUM(qv[{j + 1}]) AS s{j}" for j in range(sub_d))
+        cvec = (
+            "["
+            + ", ".join(f"CAST(s{j} AS DOUBLE) / n / 1000000.0" for j in range(sub_d))
+            + "]"
+        )
+        ctes.append(
+            f"""pts{s} AS (
+      SELECT CAST(vec_id AS BIGINT) AS id,
+             list_transform(CAST(embedding AS DOUBLE[])[{lo + 1}:{lo + sub_d}],
+                            x -> CAST(round(x * 1000000.0) AS BIGINT)) AS qv
+      FROM embeddings WHERE embedding IS NOT NULL
+    )"""
+        )
+        ctes.append(
+            f"pv{s} AS (SELECT id, qv, list_transform(qv, q -> q / 1000000.0) AS xv FROM pts{s})"
+        )
+        ctes.append(
+            f"""c0v{s} AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cell, xv AS cv
+      FROM pv{s} ORDER BY id LIMIT {k}
+    )"""
+        )
+        for it in range(1, iters + 1):
+            ctes.append(
+                f"""a{it}s{s} AS (
+      SELECT id, qv, xv, cell FROM (
+        SELECT p.id, p.qv, p.xv, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY {dist}, c.cell) AS rn
+        FROM pv{s} p, c{it - 1}v{s} c
+      ) WHERE rn = 1
+    )"""
+            )
+            ctes.append(
+                f"""cn{it}s{s} AS (
+      SELECT cell, COUNT(*) AS n, {sums} FROM a{it}s{s} GROUP BY cell
+    )"""
+            )
+            ctes.append(
+                f"c{it}v{s} AS (SELECT cell, {cvec} AS cv FROM cn{it}s{s})"
+            )
+        ctes.append(
+            f"""fin{s} AS (
+      SELECT id, cell FROM (
+        SELECT p.id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY {dist}, c.cell) AS rn
+        FROM pv{s} p, c{iters}v{s} c
+      ) WHERE rn = 1
+    )"""
+        )
+    return ctes
+
+
+def _pq_encode_oracle_sql(m: int, k: int, iters: int, dim: int) -> str:
+    ctes = _pq_oracle_ctes(m, k, iters, dim)
+    codes = "[" + ", ".join(f"CAST(fin{s}.cell AS INT)" for s in range(m)) + "]"
+    joins = "fin0" + "".join(f" JOIN fin{s} USING (id)" for s in range(1, m))
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT id, {codes} AS codes FROM {joins} ORDER BY id"""
+    )
+
+
+def _pq_search_oracle_sql(m: int, k: int, iters: int, dim: int, n_queries: int, topk: int) -> str:
+    sub_d = dim // m
+    ctes = _pq_oracle_ctes(m, k, iters, dim)
+    for s in range(m):
+        lo = s * sub_d
+        ctes.append(
+            f"""q{s} AS (
+      SELECT CAST(vec_id AS BIGINT) AS qid,
+             list_transform(CAST(embedding AS DOUBLE[])[{lo + 1}:{lo + sub_d}],
+                            x -> round(x * 1000000.0) / 1000000.0) AS xv
+      FROM embeddings WHERE vec_id < {n_queries}
+    )"""
+        )
+        sq = " + ".join(
+            f"(q.xv[{j + 1}] - c.cv[{j + 1}]) * (q.xv[{j + 1}] - c.cv[{j + 1}])"
+            for j in range(sub_d)
+        )
+        ctes.append(
+            f"lut{s} AS (SELECT q.qid, c.cell, {sq} AS d FROM q{s} q, c{iters}v{s} c)"
+        )
+    dsum = " + ".join(f"l{s}.d" for s in range(m))
+    j = "fin0"
+    for s in range(1, m):
+        j += f" JOIN fin{s} USING (id)"
+    lut_joins = " ".join(
+        f"JOIN lut{s} l{s} ON l{s}.cell = fin{s}.cell AND l{s}.qid = l0.qid"
+        for s in range(1, m)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    , scored AS (
+      SELECT l0.qid AS query_id, fin0.id,
+             round(({dsum}) * 1000000.0) / 1000000.0 AS adc_dist
+      FROM {j} JOIN lut0 l0 ON l0.cell = fin0.cell {lut_joins}
+    )
+    SELECT query_id, id, adc_dist,
+           CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT query_id, id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {topk} ORDER BY query_id, rnk"""
+    )
+
+
 def _kmeans_vec_oracle_sql(k: int, iters: int, dim: int) -> str:
     """Relational replay of clustering.kmeans_vec on dim-sliced embeddings
     (same quantized-long sums, k-lowest-id init, dot-form distance)."""
@@ -7649,6 +7772,52 @@ def q_decontaminate_spans_documents(spark, sf_dir):
         n=8,
     )
     return out.orderBy("id")
+
+
+@register("pq_encode_embeddings", _pq_encode_oracle_sql(m=2, k=4, iters=1, dim=4))
+def q_pq_encode_embeddings(spark, sf_dir):
+    """Product-quantization train+encode (pipeline/similarity.py pq_train
+    / pq_encode — Jégou et al. 2011, the FAISS PQ compressor): embeddings
+    sliced to 4 dims, m=2 subspaces, k=4 codes, one Lloyd round per
+    subspace (kmeans_vec per slice, shared determinism contract). The
+    oracle replays BOTH subspace trainings relationally and joins the
+    final assignments into the codes array — train→encode hash-certified
+    end-to-end."""
+    from truthound_spark.pipeline.similarity import pq_encode, pq_train
+
+    emb = t(spark, sf_dir, "embeddings")
+    sliced = emb.select(
+        "vec_id",
+        F.slice(F.col("embedding").cast("array<double>"), 1, 4).alias("embedding"),
+    )
+    books = pq_train(sliced, m=2, k=4, iters=1)
+    return pq_encode(sliced, books).orderBy("id")
+
+
+@register(
+    "pq_search_embeddings",
+    _pq_search_oracle_sql(m=2, k=4, iters=1, dim=4, n_queries=3, topk=5),
+)
+def q_pq_search_embeddings(spark, sf_dir):
+    """PQ asymmetric-distance search (pipeline/similarity.py pq_search):
+    full-precision queries vs PQ-coded corpus, distance = Σ_s
+    ||q_s − centroid(code_s)||² via per-query lookup tables — no corpus
+    vectors touched after encoding. 1e-6-quantized distances ranked with
+    (dist, id) tie-break; the oracle recomputes codebooks, codes, LUTs
+    and ranks relationally — the full compress→search path certified."""
+    from truthound_spark.pipeline.similarity import pq_search, pq_train
+
+    emb = t(spark, sf_dir, "embeddings")
+    sliced = emb.select(
+        "vec_id",
+        F.slice(F.col("embedding").cast("array<double>"), 1, 4).alias("embedding"),
+    )
+    books = pq_train(sliced, m=2, k=4, iters=1)
+    queries = sliced.filter(F.col("vec_id") < 3).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    out = pq_search(sliced, queries, books, k=5)
+    return out.orderBy("query_id", "rank")
 
 
 @register(
