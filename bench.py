@@ -346,6 +346,17 @@ def main():
 
     bench_one("semantic_decontaminate", semantic_decon_bench, timings, cold_timings)
 
+    def pq_bench():
+        from truthound_spark.pipeline.similarity import pq_search, pq_train
+
+        books = pq_train(embeddings, m=8, k=16, iters=1)
+        q = embeddings.filter(F.col("vec_id") < 8).withColumnRenamed(
+            "vec_id", "query_id"
+        )
+        pq_search(embeddings, q, books, k=10).count()
+
+    bench_one("pq_train_search", pq_bench, timings, cold_timings)
+
     # --- BASELINE.md pushdown workload shapes (sqlite-null/range/unique
     # roles; DuckDB executes the generated SQL in-database over the same
     # parquet — on a cluster the identical SQL rides spark.read.jdbc) -----

@@ -155,3 +155,19 @@ def test_corpus_section_in_report(spark):
     assert "Corpus health" in html and "exact-dup rate" in html
     md = render_report_markdown(spec)
     assert "Corpus health" in md
+
+
+def test_corpus_section_surfaces_boilerplate(spark):
+    from truthound_spark.datadocs_report import corpus_section, corpus_stats
+
+    footer = "all rights reserved by the example publishing company today"
+    df = spark.createDataFrame(
+        [(i, f"unique body text number {i} with several distinct filler words {footer}")
+         for i in range(12)],
+        ["doc_id", "text"],
+    )
+    stats = corpus_stats(df)
+    assert stats["boilerplate"], "shared footer must surface"
+    assert all(e["n_docs"] == 12 for e in stats["boilerplate"][:1])
+    sec = corpus_section(stats)
+    assert "boilerplate" in sec.html.lower()

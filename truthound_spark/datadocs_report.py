@@ -544,6 +544,20 @@ def corpus_stats(df: Any, text_col: str = "text") -> dict[str, Any]:
     }
     out = row.asDict()
     out["languages"] = dict(sorted(langs.items(), key=lambda kv: -kv[1]))
+    try:
+        from truthound_spark.pipeline.retrieval import boilerplate_ngrams
+
+        out["boilerplate"] = [
+            {"gram": r["gram"], "n_docs": int(r["n_docs"])}
+            for r in boilerplate_ngrams(
+                df.select(F.monotonically_increasing_id().alias("doc_id"), c.alias("text")),
+                n=5,
+                min_docs=max(2, int(0.05 * (out["n_docs"] or 1))),
+                k=5,
+            ).collect()
+        ]
+    except Exception:  # boilerplate is advisory — never fail the report
+        out["boilerplate"] = []
     return out
 
 
@@ -571,4 +585,9 @@ def corpus_section(stats: dict[str, Any]) -> Section:
         html += "<h3>Languages</h3>" + _bar_svg(
             [float(v) for v in langs.values()], list(langs)
         )
+    bp = stats.get("boilerplate") or []
+    if bp:
+        html += "<h3>Top boilerplate 5-grams (doc spread)</h3><table>" + "".join(
+            f"<tr><td>{_esc(e['gram'])}</td><td>{e['n_docs']}</td></tr>" for e in bp
+        ) + "</table>"
     return Section("corpus", "Corpus health", html, data={**stats})

@@ -510,53 +510,115 @@ def pq_train(
     between int8 quantization (4x) and raw floats; at m=8, k=256 over
     768-dim floats the compression is 384x.
 
-    Training IS :func:`truthound_spark.pipeline.clustering.kmeans_vec`
-    per subspace (same determinism contract: quantized-long sums,
-    k-lowest-id init, (dist, cell) argmin tie-break) — m small
-    distributed Lloyd runs, each shuffling k rows of per-dimension sums
-    per iteration.
+    Training replicates :func:`truthound_spark.pipeline.clustering
+    .kmeans_vec` per subspace EXACTLY (same determinism contract:
+    quantized-long sums, k-lowest-id init, (dist, cell) argmin
+    tie-break; the equivalence is pinned by tests and the oracle, which
+    replays kmeans_vec per slice) — but FUSED: every Lloyd round is ONE
+    exploded aggregation covering all m subspaces (rows explode to
+    (subspace, subvector, cell), groupBy (subspace, cell) sums), so the
+    per-iteration cost is one scan + one m·k-row shuffle instead of m
+    separate jobs. Same bytes, 1/m the job launches — the difference
+    between 8 sequential passes and 1 at any scale.
 
     Returns ``codebooks``: codebooks[s] = [(cell, centroid), …] for
     subspace s (driver-side lists — m·k·(dim/m) floats, tiny)."""
-    from truthound_spark.pipeline.clustering import kmeans_vec
-
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     dim = _vector_dim(df, vec_col)
     if dim % m != 0:
         raise ValueError(f"m={m} must divide the vector dim {dim}")
     sub_d = dim // m
-    codebooks: list[list[tuple[int, list[float]]]] = []
-    for s in range(m):
-        sub = df.select(
-            F.col(id_col).alias(id_col),
-            F.slice(
-                F.col(vec_col).cast("array<double>"), s * sub_d + 1, sub_d
-            ).alias(vec_col),
+    pts = (
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.transform(
+                F.col(vec_col).cast("array<double>"),
+                lambda x: F.round(x * F.lit(float(scale))).cast("long"),
+            ).alias("qv"),
         )
-        _assigned, cents = kmeans_vec(
-            sub, vec_col, k=k, iters=iters, id_col=id_col, scale=scale
+        .where(F.col("qv").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    init = pts.orderBy("id").limit(k).collect()
+    codebooks: list[list[tuple[int, list[float]]]] = [
+        [
+            (ci, [q / scale for q in row["qv"][s * sub_d : (s + 1) * sub_d]])
+            for ci, row in enumerate(init)
+        ]
+        for s in range(m)
+    ]
+    xv = F.transform(F.col("qv"), lambda q: q / F.lit(float(scale)))
+    pv = pts.select("id", "qv", xv.alias("xv"))
+    for _ in range(iters):
+        subs = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice("qv", s * sub_d + 1, sub_d).alias("sq"),
+                    _pq_subspace_code(
+                        F.slice("xv", s * sub_d + 1, sub_d), codebooks[s]
+                    ).alias("cell"),
+                )
+                for s in range(m)
+            ]
         )
-        rows = sorted(cents.collect(), key=lambda r: r["cell"])
-        codebooks.append([(int(r["cell"]), [float(x) for x in r["cv"]]) for r in rows])
+        agg = (
+            pv.select(F.explode(subs).alias("e"))
+            .select("e.s", "e.sq", "e.cell")
+            .groupBy("s", "cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("sq", j + 1)).alias(f"s{j}")
+                    for j in range(sub_d)
+                ],
+            )
+            .collect()
+        )
+        codebooks = [[] for _ in range(m)]
+        for row in agg:
+            codebooks[int(row["s"])].append(
+                (
+                    int(row["cell"]),
+                    [
+                        (float(row[f"s{j}"]) / float(row["n"])) / scale
+                        for j in range(sub_d)
+                    ],
+                )
+            )
+        codebooks = [sorted(cb, key=lambda t: t[0]) for cb in codebooks]
     return codebooks
 
 
-def _pq_subspace_code(xsub, centroids: list[tuple[int, list[float]]]):
+def _pq_subspace_code(xsub, centroids: list[tuple[int, list[float]]], xx=None):
     """argmin-by-(dist, cell) code for one subvector against inlined
-    centroid literals — the kmeans_vec assignment expression."""
+    centroid literals — the kmeans_vec assignment expression
+    ``dot(x,x) − 2·dot(x,c) + dot(c,c)`` with the same left-to-right
+    fold order. Two IEEE-safe strength reductions keep the expression
+    tree k× smaller than the naive form: ``dot(c,c)`` is a Python-side
+    constant (identical sequential fold over the same doubles), and
+    ``xx`` lets the caller compute ``dot(x,x)`` ONCE per subspace
+    instead of once per centroid entry."""
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    if xx is None:
+        xx = dot(xsub, xsub)
     entries = []
     for ci, c in centroids:
         lit = F.array(*[F.lit(float(v)) for v in c])
-
-        def dot(a, b):
-            return F.aggregate(
-                F.zip_with(a, b, lambda p, q: p * q),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-
+        cc = 0.0
+        for v in c:
+            cc = cc + v * v
         entries.append(
             F.struct(
-                (dot(xsub, xsub) - 2 * dot(xsub, lit) + dot(lit, lit)).alias("dist"),
+                (xx - 2 * dot(xsub, lit) + F.lit(cc)).alias("dist"),
                 F.lit(ci).cast("int").alias("cell"),
             )
         )
@@ -585,15 +647,38 @@ def pq_encode(
         lambda x: F.round(x * F.lit(float(scale))) / F.lit(float(scale)),
     )
     base = df.select(F.col(id_col).cast("long").alias("id"), qx.alias("__x"))
+    # materialize each subvector and its self-dot in their own projection
+    # (multi-use non-cheap aliases survive CollapseProject), so the argmin
+    # references them instead of re-slicing/re-folding per centroid entry
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    subs = base.select(
+        "id",
+        *[
+            F.slice("__x", s * sub_d + 1, sub_d).alias(f"__sub{s}")
+            for s in range(m)
+        ],
+    )
+    with_xx = subs.select(
+        "id",
+        *[F.col(f"__sub{s}") for s in range(m)],
+        *[
+            dot(F.col(f"__sub{s}"), F.col(f"__sub{s}")).alias(f"__xx{s}")
+            for s in range(m)
+        ],
+    )
     codes = F.array(
         *[
             _pq_subspace_code(
-                F.slice("__x", s * sub_d + 1, sub_d), codebooks[s]
+                F.col(f"__sub{s}"), codebooks[s], xx=F.col(f"__xx{s}")
             )
             for s in range(m)
         ]
     )
-    return base.select("id", codes.alias("codes"))
+    return with_xx.select("id", codes.alias("codes"))
 
 
 def pq_search(
