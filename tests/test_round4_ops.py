@@ -829,3 +829,36 @@ def test_pq_train_validates_divisibility(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], ["vec_id", "embedding"])
     with pytest.raises(ValueError):
         pq_train(df, m=2, k=2, iters=1)
+
+
+def test_dedup_keep_best_prefers_high_quality_member(spark):
+    from truthound_spark.pipeline.dedup import dedup_keep_best
+
+    base = ("the quick brown fox jumps over the lazy dog while rain falls "
+            "gently on the quiet green meadow beside the old stone bridge")
+    docs = spark.createDataFrame(
+        [
+            (1, base + " 111 222 333 444 555"),   # digit-heavy -> lower quality
+            (2, base + " and calm winds drift"),  # clean near-dup -> higher quality
+            (3, "entirely different text about query engines and columnar storage"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r for r in dedup_keep_best(docs, threshold=0.5).collect()}
+    # docs 1 and 2 cluster together; the cleaner doc 2 wins despite higher id
+    assert out[1]["cluster_id"] == out[2]["cluster_id"]
+    assert out[2]["keep"] and not out[1]["keep"]
+    assert out[2]["score"] > out[1]["score"]
+    # singleton keeps itself
+    assert out[3]["keep"]
+
+
+def test_dedup_keep_best_with_explicit_score(spark):
+    from truthound_spark.pipeline.dedup import dedup_keep_best
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, t1, 0.2), (2, t1 + " iota", 0.9)], ["doc_id", "text", "s"]
+    )
+    out = {r["id"]: r["keep"] for r in dedup_keep_best(docs, score_col="s", threshold=0.5).collect()}
+    assert out == {1: False, 2: True}

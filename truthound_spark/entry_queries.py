@@ -7081,6 +7081,50 @@ _QSCORE_SQL = """
       )
 """
 
+@register(
+    "dedup_keep_best_documents",
+    f"""
+    WITH RECURSIVE reach(node, root) AS (
+      SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+      UNION
+      SELECT e.v, r.root FROM reach r JOIN (
+        WITH shf AS (
+          SELECT id, list_filter(sh, x -> x <> '') AS sh FROM ({_SHINGLES_SQL})
+        ),
+        p AS (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM shf a JOIN shf b ON a.id < b.id
+          WHERE len(list_intersect(a.sh, b.sh))
+                / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.7
+        )
+        SELECT id_a AS u, id_b AS v FROM p
+        UNION SELECT id_b, id_a FROM p
+      ) e ON e.u = r.node
+    )
+    SELECT id, cluster_id, score, (rn = 1) AS keep FROM (
+      SELECT cl.id, cl.cluster_id, q.score,
+             ROW_NUMBER() OVER (PARTITION BY cl.cluster_id ORDER BY q.score DESC, cl.id) AS rn
+      FROM (SELECT node AS id, MIN(root) AS cluster_id FROM reach GROUP BY node) cl
+      JOIN (SELECT doc_id AS id, ROUND(score, 6) AS score FROM ({_QSCORE_SQL})) q
+      USING (id)
+    ) ORDER BY id
+    """,
+)
+def q_dedup_keep_best_documents(spark, sf_dir):
+    """Quality-aware canonical selection (pipeline/dedup.py
+    dedup_keep_best): the certified cluster resolution unchanged, then
+    each cluster keeps its highest-quality member ((6-dp score desc, id)
+    rank — deterministic). Oracle = the recursive-CTE transitive closure
+    joined with the relational quality score and the identical window
+    rank."""
+    from truthound_spark.pipeline.dedup import dedup_keep_best
+
+    df = t(spark, sf_dir, "documents")
+    return dedup_keep_best(
+        df, threshold=0.7, num_hashes=64, bands=32
+    ).orderBy("id")
+
+
 _LANG_PRED_SQL = f"""
       SELECT doc_id, CASE WHEN GREATEST(de, en, es, fr) = 0 THEN 'unknown'
                   WHEN de >= en AND de >= es AND de >= fr THEN 'de'

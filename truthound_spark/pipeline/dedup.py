@@ -948,6 +948,55 @@ def dedup_clusters(
     return out.withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    score_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 32,
+) -> DataFrame:
+    """Fuzzy dedup with a QUALITY-AWARE canonical policy: each near-dup
+    cluster keeps its highest-scoring member (ties → lowest id) instead
+    of :func:`dedup_clusters`' keep-lowest-id — at corpus scale the
+    near-dup group often spans a clean original and mangled re-crawls,
+    and keep-first throws away the clean one roughly half the time.
+
+    ``score_col`` names a precomputed per-doc score; when omitted, the
+    composite heuristic quality score (6-dp rounded — deterministic,
+    engine-reproducible ranking) is computed in the same pass. Cluster
+    resolution is the certified :func:`dedup_clusters` path unchanged;
+    the policy adds ONE window rank per cluster over (score desc, id) —
+    shuffle key is the cluster label, payload (id, score) pairs.
+
+    Returns (id, cluster_id, score, keep)."""
+    clusters = dedup_clusters(
+        df, text_col, id_col, threshold=threshold, num_hashes=num_hashes, bands=bands
+    )
+    if score_col is None:
+        from truthound_spark.pipeline.text import quality_score
+
+        scored = quality_score(df, text_col).select(
+            F.col(id_col).cast("long").alias("id"),
+            F.round("quality_score", 6).alias("__score"),
+        )
+    else:
+        scored = df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(score_col).cast("double").alias("__score"),
+        )
+    from pyspark.sql import Window
+
+    joined = clusters.select(
+        F.col(id_col).cast("long").alias("id"), "cluster_id"
+    ).join(scored, "id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("__score"), "id")
+    return joined.withColumn(
+        "keep", (F.row_number().over(w) == 1).cast("boolean")
+    ).select("id", "cluster_id", F.col("__score").alias("score"), "keep")
+
+
 def incremental_dedup(
     new_df: DataFrame,
     base_df: DataFrame,
