@@ -277,6 +277,16 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "ngram_novelty_documents",
     "bigram_perplexity_documents",
     "trained_classifier_scores_documents",
+    "semantic_decontaminate_embeddings",
+    "self_dedup_spans_documents",
+    "winnow_overlap_documents",
+    "dsir_select_documents",
+    "quantile_gate_documents",
+    "tfidf_keywords_documents",
+    "boilerplate_ngrams_documents",
+    "pq_encode_embeddings",
+    "pq_search_embeddings",
+    "dedup_keep_best_documents",
 ]
 
 
