@@ -1342,15 +1342,22 @@ def semantic_decontaminate(
     Returns (id, n_matches, max_cosine) for contaminated corpus rows;
     anti-join on id to clean the corpus. max_cosine is rounded to 6 dp
     so downstream comparisons don't hinge on sub-ulp float ordering."""
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    # norms hoist into each side's own projection — the per-pair work in
+    # the nested-loop join is ONE dot product, not three
     c = corpus.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
-    )
+    ).select("id", "__v", F.sqrt(dot("__v", "__v")).alias("__nv"))
     p = probe.select(
         F.col(id_col).cast("long").alias("__pid"),
         F.col(vec_col).cast("array<double>").alias("__pv"),
-    )
-    sim = cosine_sim(F.col("__v"), F.col("__pv"))
+    ).select("__pid", "__pv", F.sqrt(dot("__pv", "__pv")).alias("__np"))
+    sim = dot(F.col("__v"), F.col("__pv")) / (F.col("__nv") * F.col("__np"))
     matched = c.join(F.broadcast(p), sim >= F.lit(threshold))
     return (
         matched.select("id", F.round(sim, 6).alias("__sim"))
@@ -1423,9 +1430,14 @@ def self_dedup_spans(
             .otherwise(F.array().cast("array<struct<start:int,gram:string>>"))
             .alias("__g"),
         )
-        .select("id", F.explode("__g").alias("sg"))
+        .select("id", F.explode_outer("__g").alias("sg"))
+        .filter(F.col("sg").isNotNull())
         .select("id", F.col("sg.start").alias("start"), F.col("sg.gram").alias("gram"))
     )
+    # (explode_outer, not explode: InferFiltersFromGenerate would infer a
+    # size(__g) > 0 predicate and inline the whole gram pipeline into it —
+    # re-tokenizing once per emitted gram; see _shingle_rows docstring.
+    # Measured 9x on the sf0.1 bench.)
     # one shuffle on the gram: count + lexicographic-min (id, start) owner
     dup_stats = (
         grams.groupBy("gram")
