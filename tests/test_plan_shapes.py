@@ -283,3 +283,30 @@ def test_decontaminate_spans_broadcasts_probe(spark):
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_no_inferred_size_filter_inlines_gram_pipelines(spark):
+    """Plain explode lets InferFiltersFromGenerate add a size(...) > 0
+    predicate whose pushdown inlines the ENTIRE tokenize/gram/HOF
+    pipeline into the filter — re-evaluated per emitted row (measured
+    11x on self_dedup_spans, 40x on winnowing at sf0.1/sf0.01). The
+    explode_outer + isNotNull recipe must keep every Filter free of
+    size(): only null guards may appear above the Generates."""
+    from truthound_spark.pipeline.dedup import self_dedup_spans
+    from truthound_spark.pipeline.text import winnow_overlap_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l"), (2, "m n o p q r s t u v w x")],
+        ["doc_id", "text"],
+    )
+    for frame in (
+        self_dedup_spans(docs, n=3),
+        winnow_overlap_pairs(docs, k=3, w=3, min_shared=1),
+    ):
+        plan = frame._jdf.queryExecution().optimizedPlan().toString()
+        offending = [
+            line
+            for line in plan.splitlines()
+            if "Filter" in line and "size(" in line
+        ]
+        assert not offending, offending
