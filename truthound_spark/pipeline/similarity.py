@@ -550,6 +550,28 @@ def pq_train(
     ]
     xv = F.transform(F.col("qv"), lambda q: q / F.lit(float(scale)))
     pv = pts.select("id", "qv", xv.alias("xv"))
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    # subvectors and their self-dots materialize once per row (their own
+    # projections — multi-use aliases survive CollapseProject), so each
+    # round's argmin tree is k lookups per subspace, not k re-slices and
+    # 3k folds: the codegen cost of the fused round stays linear in m·k
+    psub = pv.select(
+        "qv",
+        *[F.slice("xv", s * sub_d + 1, sub_d).alias(f"__xs{s}") for s in range(m)],
+    )
+    pxx = psub.select(
+        "qv",
+        *[F.col(f"__xs{s}") for s in range(m)],
+        *[
+            _dot(F.col(f"__xs{s}"), F.col(f"__xs{s}")).alias(f"__xx{s}")
+            for s in range(m)
+        ],
+    )
     for _ in range(iters):
         subs = F.array(
             *[
@@ -557,14 +579,14 @@ def pq_train(
                     F.lit(s).alias("s"),
                     F.slice("qv", s * sub_d + 1, sub_d).alias("sq"),
                     _pq_subspace_code(
-                        F.slice("xv", s * sub_d + 1, sub_d), codebooks[s]
+                        F.col(f"__xs{s}"), codebooks[s], xx=F.col(f"__xx{s}")
                     ).alias("cell"),
                 )
                 for s in range(m)
             ]
         )
         agg = (
-            pv.select(F.explode(subs).alias("e"))
+            pxx.select(F.explode(subs).alias("e"))
             .select("e.s", "e.sq", "e.cell")
             .groupBy("s", "cell")
             .agg(
@@ -706,40 +728,39 @@ def pq_search(
 
     m = len(codebooks)
     sub_d = len(codebooks[0][0][1])
-    # materialize codes once — the per-query branches below re-scan the
-    # (id, codes) relation, never the raw vectors
-    enc = pq_encode(df, codebooks, vec_col, id_col, scale).localCheckpoint(
-        eager=True
-    )
+    enc = pq_encode(df, codebooks, vec_col, id_col, scale)
     qrows = queries.select(
         F.col(query_id_col).cast("long").alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).collect()
-    per_query = []
+    # ONE corpus scan scores every query: each row emits an array of
+    # (query_id, adc_dist) structs — q·m LUT lookups per row — and an
+    # explode_outer turns it into the scored relation. No per-query
+    # branches, no union, one codegen'd pass.
+    entries = []
     for qr in qrows:
         qv = [round(float(x) * scale) / scale for x in qr["qv"]]
-        luts = []
-        for s in range(m):
-            qs = qv[s * sub_d : (s + 1) * sub_d]
-            lut = []
-            for ci, c in codebooks[s]:
-                lut.append(sum((a - b) * (a - b) for a, b in zip(qs, c)))
-            luts.append(lut)
         dist = None
         for s in range(m):
-            lut_lit = F.array(*[F.lit(float(v)) for v in luts[s]])
+            qs = qv[s * sub_d : (s + 1) * sub_d]
+            lut = [
+                sum((a - b) * (a - b) for a, b in zip(qs, c))
+                for _ci, c in codebooks[s]
+            ]
+            lut_lit = F.array(*[F.lit(float(v)) for v in lut])
             term = F.element_at(lut_lit, F.element_at("codes", s + 1) + 1)
             dist = term if dist is None else dist + term
-        per_query.append(
-            enc.select(
+        entries.append(
+            F.struct(
                 F.lit(int(qr["query_id"])).alias("query_id"),
-                "id",
                 (F.round(dist * 1e6) / F.lit(1e6)).alias("adc_dist"),
             )
         )
-    scored = per_query[0]
-    for p in per_query[1:]:
-        scored = scored.unionByName(p)
+    scored = (
+        enc.select("id", F.explode_outer(F.array(*entries)).alias("e"))
+        .filter(F.col("e").isNotNull())
+        .select(F.col("e.query_id").alias("query_id"), "id", F.col("e.adc_dist").alias("adc_dist"))
+    )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
