@@ -332,3 +332,26 @@ def test_boilerplate_ngrams_finds_shared_template(spark):
     assert all(r["n_docs"] == 6 for r in out if "copyright" in r["gram"] or "rights" in r["gram"])
     ranks = [r["rank"] for r in out]
     assert ranks == sorted(ranks) and ranks[0] == 1
+
+
+def test_char_entropy_separates_noise_and_spam(spark):
+    import math
+
+    from truthound_spark.pipeline.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and more normal prose"),
+            (2, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),                # run-length spam
+            (3, "abcdefghij klmnopqrst uvwxyz0123 456789abcd efghijklmn"),  # near-uniform
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r for r in char_entropy(docs).collect()}
+    assert 3.5 < out[1]["entropy_bits"] < 4.6          # typical English prose
+    assert out[2]["entropy_bits"] < 0.5                # one-symbol spam
+    assert out[3]["entropy_bits"] > out[1]["entropy_bits"]  # near-uniform alphabet
+    assert out[4]["entropy_bits"] == 0.0 and out[4]["n_chars"] == 0
+    # exact check: doc 2 = 36 'a' chars -> entropy exactly 0
+    assert out[2]["entropy_bits"] == 0.0 or out[2]["entropy_bits"] < 1e-6

@@ -287,6 +287,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "pq_encode_embeddings",
     "pq_search_embeddings",
     "dedup_keep_best_documents",
+    "char_entropy_documents",
 ]
 
 

@@ -7922,6 +7922,43 @@ def q_boilerplate_ngrams_documents(spark, sf_dir):
 
 
 @register(
+    "char_entropy_documents",
+    f"""
+    WITH src AS (SELECT doc_id AS id, {_NORM_SQL.format(c='text')} AS nt FROM documents),
+    ch AS (
+      SELECT id, unnest(string_split(nt, '')) AS c FROM src WHERE length(nt) > 0
+    ),
+    cc AS (SELECT id, c, COUNT(*) AS n FROM ch WHERE c <> '' GROUP BY 1, 2),
+    tot AS (SELECT id, SUM(n) AS t FROM cc GROUP BY id),
+    terms AS (
+      SELECT cc.id, tot.t,
+             CAST(round(-((cc.n / CAST(tot.t AS DOUBLE)) * LN(cc.n / CAST(tot.t AS DOUBLE)) / LN(2.0)) * 1000000000.0) AS BIGINT) AS q
+      FROM cc JOIN tot USING (id)
+    ),
+    e AS (
+      SELECT id, CAST(MAX(t) AS BIGINT) AS n_chars,
+             ROUND(SUM(q) / 1000000000.0, 6) AS entropy_bits
+      FROM terms GROUP BY id
+    )
+    SELECT d.doc_id AS id,
+           COALESCE(e.n_chars, 0) AS n_chars,
+           COALESCE(e.entropy_bits, 0.0) AS entropy_bits
+    FROM documents d LEFT JOIN e ON d.doc_id = e.id
+    ORDER BY id
+    """,
+)
+def q_char_entropy_documents(spark, sf_dir):
+    """Per-doc Shannon entropy of the normalized char distribution
+    (pipeline/text.py char_entropy — bits/char over the pinned ASCII
+    alphabet): the model-free noise/spam signal; per-char -p·log2 p
+    terms sum as 1e-9-quantized longs, hash-certified floats."""
+    from truthound_spark.pipeline.text import char_entropy
+
+    docs = t(spark, sf_dir, "documents")
+    return char_entropy(docs).orderBy("id")
+
+
+@register(
     "quantile_gate_documents",
     """
     WITH w AS (

@@ -8,6 +8,8 @@ so the same expressions run unchanged over 100 TB of documents.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -358,6 +360,59 @@ def classifier_quality_score(
     logit = F.lit(float(bias)) + mean
     return df.withColumn(
         "classifier_score", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy of the NORMALIZED character
+    distribution (bits/char) — the language-model-free noise signal:
+    random gibberish scores near log2(alphabet), keyboard-mash and
+    run-length spam score far below typical prose (~4.0-4.3 bits for
+    English), so both tails are filterable without any trained model.
+
+    Normalization ([a-z0-9 ] after case-fold) pins the alphabet to
+    ASCII, so char segmentation is identical in any engine (no
+    surrogate-pair or grapheme ambiguity). Per-char terms
+    -p·log2(p) sum as 1e-9-quantized longs — the distributed sum is
+    addition-order-independent and the oracle hash-certifies the
+    floats. Shape: explode to (id, char) — shuffle key a few dozen
+    distinct values per doc — two hash aggregations, no Python.
+
+    Returns (id, n_chars, entropy_bits); empty/normalized-empty docs
+    get entropy 0 over 0 chars."""
+    ch = (
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.explode_outer(F.split(normalized_text(F.col(text_col)), "")).alias(
+                "__c"
+            ),
+        )
+        .filter(F.col("__c").isNotNull() & (F.col("__c") != ""))
+    )
+    cc = ch.groupBy("id", "__c").agg(F.count(F.lit(1)).alias("__n"))
+    tot = cc.groupBy("id").agg(F.sum("__n").alias("__t"))
+    p = F.col("__n") / F.col("__t").cast("double")
+    term_q = F.round(-(p * F.log(p) / F.lit(math.log(2.0))) * F.lit(1e9)).cast(
+        "long"
+    )
+    ent = (
+        cc.join(tot, "id")
+        .select("id", F.col("__t").alias("__tt"), term_q.alias("__q"))
+        .groupBy("id")
+        .agg(
+            F.max("__tt").cast("long").alias("n_chars"),
+            F.round(F.sum("__q") / F.lit(1e9), 6).alias("entropy_bits"),
+        )
+    )
+    base = df.select(F.col(id_col).cast("long").alias("id"))
+    return base.join(ent, "id", "left").select(
+        "id",
+        F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+        F.coalesce("entropy_bits", F.lit(0.0)).alias("entropy_bits"),
     )
 
 
