@@ -862,3 +862,48 @@ def test_dedup_keep_best_with_explicit_score(spark):
     )
     out = {r["id"]: r["keep"] for r in dedup_keep_best(docs, score_col="s", threshold=0.5).collect()}
     assert out == {1: False, 2: True}
+
+
+# ---------------------------------------------------------------------------
+# set_similarity_join (SSJoin/PPJoin prefix filtering)
+# ---------------------------------------------------------------------------
+
+
+def test_set_similarity_join_equals_brute_force(spark):
+    from truthound_spark.pipeline.dedup import set_similarity_join
+
+    rng = random.Random(11)
+    vocab = [f"t{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        base = rng.sample(vocab, rng.randint(4, 12))
+        rows.append((i, base))
+        if i % 3 == 0:  # seeded near-dups: drop/add one element
+            mutated = base[:-1] + [rng.choice(vocab)]
+            rows.append((1000 + i, mutated))
+    df = spark.createDataFrame(rows, ["doc_id", "s"])
+
+    for t in (0.5, 0.8):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in set_similarity_join(df, "s", "doc_id", threshold=t).collect()
+        }
+        sets = {i: set(s) for i, s in rows}
+        ids = sorted(sets)
+        expect = {}
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = sets[ids[x]], sets[ids[y]]
+                inter = len(a & b)
+                j = round(inter / (len(a) + len(b) - inter), 6)
+                if j >= t:
+                    expect[(ids[x], ids[y])] = j
+        assert got == expect, f"threshold {t}: mismatch"
+
+
+def test_set_similarity_join_validates_threshold(spark):
+    from truthound_spark.pipeline.dedup import set_similarity_join
+
+    df = spark.createDataFrame([(1, ["a"])], ["doc_id", "s"])
+    with pytest.raises(ValueError):
+        set_similarity_join(df, "s", threshold=0.0)

@@ -288,6 +288,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "pq_search_embeddings",
     "dedup_keep_best_documents",
     "char_entropy_documents",
+    "set_similarity_join_documents",
 ]
 
 

@@ -7922,6 +7922,42 @@ def q_boilerplate_ngrams_documents(spark, sf_dir):
 
 
 @register(
+    "set_similarity_join_documents",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    nz AS (SELECT id, list_filter(sh, x -> x <> '') AS s FROM sh WHERE len(list_filter(sh, x -> x <> '')) > 0),
+    p AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             len(list_intersect(a.s, b.s))
+             / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS j
+      FROM nz a JOIN nz b ON a.id < b.id
+    )
+    SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p WHERE ROUND(j, 6) >= 0.4 ORDER BY 1, 2
+    """,
+)
+def q_set_similarity_join_documents(spark, sf_dir):
+    """Prefix-filtered exact set-similarity self-join (pipeline/dedup.py
+    set_similarity_join — the SSJoin/PPJoin prefix-filtering principle):
+    3-gram shingle Jaccard ≥ 0.4, the same semantics ngram_jaccard_pairs
+    computes with a full inverted index — here the engine indexes only
+    each set's rarest-first prefix (n − ⌈t·n⌉ + 1 tokens), and the
+    EXHAUSTIVE oracle must equal the pruned plan's output, certifying
+    the prefix-filtering theorem's completeness end-to-end."""
+    from truthound_spark.pipeline.dedup import set_similarity_join, word_shingles
+
+    docs = t(spark, sf_dir, "documents")
+    with_sets = docs.select(
+        "doc_id",
+        F.filter(word_shingles(F.col("text"), 3), lambda x: x != F.lit("")).alias(
+            "sh"
+        ),
+    )
+    return set_similarity_join(with_sets, "sh", "doc_id", threshold=0.4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
     "char_entropy_documents",
     f"""
     WITH src AS (SELECT doc_id AS id, {_NORM_SQL.format(c='text')} AS nt FROM documents),

@@ -491,6 +491,76 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def set_similarity_join(
+    df: DataFrame,
+    set_col: str,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """PREFIX-FILTERED exact set-similarity self-join (the SSJoin/PPJoin
+    principle — Chaudhuri et al. '06, Xiao et al. '08): all pairs with
+    Jaccard ≥ ``threshold`` over an arbitrary array column, without
+    indexing every token. Elements order globally by (frequency asc,
+    value) — rarest first — and each set contributes only its PREFIX of
+    length n − ⌈t·n⌉ + 1 to the inverted index: if J(a,b) ≥ t then
+    overlap ≥ ⌈t·n⌉ on each side, so the prefixes must intersect
+    (prefix-filtering theorem). At t=0.8 the index holds ~20% of the
+    tokens, and frequent tokens — the quadratic-bucket killers — land in
+    suffixes, never in the index.
+
+    This is the exact complement to MinHash (probabilistic, fixed-cost
+    signatures): same verified output, no hashing error, better when
+    sets are small or thresholds high. Candidates are bare id pairs
+    (broadcast into both verification lookups — the enriched sides meet
+    in a shuffle join, never a broadcast of payloads); verification is
+    exact array_intersect Jaccard.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sets = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.array_distinct(F.col(set_col)).alias("__s"),
+    ).filter(F.size("__s") > 0)
+    toks = sets.select("id", F.explode("__s").alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__f"))
+    # per-set global order (freq asc, tok asc): rarest-first, total and
+    # identical for every set
+    ordered = (
+        toks.join(freq, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__f", "tok"))),
+                lambda s: s["tok"],
+            ).alias("__sorted")
+        )
+    )
+    n = F.size("__sorted")
+    plen = n - F.ceil(F.lit(float(threshold)) * n).cast("int") + 1
+    prefix = ordered.select(
+        "id", F.explode(F.slice("__sorted", 1, plen)).alias("tok")
+    )
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates()
+    )
+    wa = sets.select(F.col("id").alias("id_a"), F.col("__s").alias("__sa"))
+    wb = sets.select(F.col("id").alias("id_b"), F.col("__s").alias("__sb"))
+    enriched = (
+        wa.join(F.broadcast(cands), "id_a")
+        .join(wb, "id_b")
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    jac = inter / (F.size("__sa") + F.size("__sb") - inter).cast("double")
+    return enriched.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document via Arrow-vectorized pandas UDF.
 
