@@ -539,12 +539,23 @@ def set_similarity_join(
     n = F.size("__sorted")
     plen = n - F.ceil(F.lit(float(threshold)) * n).cast("int") + 1
     prefix = ordered.select(
-        "id", F.explode(F.slice("__sorted", 1, plen)).alias("tok")
+        "id",
+        n.alias("__n"),
+        F.explode(F.slice("__sorted", 1, plen)).alias("tok"),
     )
+    # length filter (PPJoin): J ≥ t forces overlap ≥ t·max(na, nb) ≤
+    # min(na, nb), so size-mismatched pairs prune before the verify join.
+    # Only candidate COUNT changes — every candidate is exactly verified —
+    # so the filter cannot affect the output, only the work.
+    t_lit = F.lit(float(threshold))
     cands = (
         prefix.alias("a")
         .join(prefix.alias("b"), "tok")
-        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(
+            (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.__n") >= t_lit * F.col("a.__n"))
+            & (F.col("a.__n") >= t_lit * F.col("b.__n"))
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates()
     )
