@@ -5952,7 +5952,7 @@ _IVF_D2 = (
     ),
     c AS (
       SELECT CAST(vec_id AS BIGINT) AS cell, embedding AS cv
-      FROM ed WHERE vec_id < 16
+      FROM ed ORDER BY vec_id LIMIT 16
     ),
     a AS (
       SELECT id, v, cell FROM (
@@ -6652,7 +6652,7 @@ def q_kmeans_clusters_customer(spark, sf_dir):
       SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS v
       FROM embeddings
     ),
-    c AS (SELECT id AS cell, v AS cv FROM ed WHERE id < 16),
+    c AS (SELECT id AS cell, v AS cv FROM ed ORDER BY id LIMIT 16),
     a AS (
       SELECT id, v, cell FROM (
         SELECT e.id, e.v, c.cell,
@@ -6741,7 +6741,12 @@ def q_global_shuffle_documents(spark, sf_dir):
              END AS v
       FROM ed
     ),
-    dref AS (SELECT MAX(len(v)) AS dim_ref FROM mut),
+    dref AS (
+      SELECT dim AS dim_ref FROM (
+        SELECT len(v) AS dim, COUNT(*) AS c FROM mut WHERE v IS NOT NULL
+        GROUP BY 1 ORDER BY c DESC, dim LIMIT 1
+      )
+    ),
     b AS (
       SELECT v,
              len(v) AS dim,
@@ -7275,7 +7280,7 @@ def q_lof_native_customer(spark, sf_dir):
     ),
     c AS (
       SELECT CAST(vec_id AS BIGINT) AS cell, embedding AS cv
-      FROM ed WHERE vec_id < 16
+      FROM ed ORDER BY vec_id LIMIT 16
     ),
     a AS (
       SELECT id, v, cell FROM (

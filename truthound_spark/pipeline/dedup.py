@@ -830,9 +830,19 @@ def semantic_dedup(
         F.col(vec_col).cast("array<double>").alias("v"),
     )
     if centroids is None:
-        centroids = v.filter(F.col("id") < num_cells).select(
+        # the num_cells LOWEST-ID vectors, not filter(id < num_cells):
+        # with an id space that doesn't start near 0 (snowflake ids) the
+        # latter is silently EMPTY, the cross join produces nothing, and
+        # "filter on keep" would empty the corpus. TakeOrderedAndProject
+        # keeps this a cheap top-k, never a global sort.
+        centroids = v.orderBy("id").limit(num_cells).select(
             F.col("id").alias("cell"), F.col("v").alias("cv")
         )
+        if centroids.limit(1).count() == 0:
+            raise ValueError(
+                "semantic_dedup: input has no vectors to seed default "
+                "centroids from; pass an explicit `centroids` frame"
+            )
     w = Window.partitionBy("id").orderBy("d2", "cell")
     # checkpoint: the assignment feeds BOTH pairing sides and the final
     # keep join — without it Spark re-runs the broadcast+window subtree
@@ -890,7 +900,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
-    driver_threshold: int = 2_000_000,
+    driver_threshold: int = 500_000,
 ) -> DataFrame:
     """Resolve a near-duplicate pair list into duplicate CLUSTERS:
     (id, cluster_id) where cluster_id is the minimum member id of the
@@ -911,12 +921,17 @@ def connected_components(
 
     Small-graph fast path: when the (already LSH-filtered, verified) dup
     graph has ≤ ``driver_threshold`` directed edges, the edge LIST — never
-    the documents — collects to the driver and a union-find labels it in
-    one pass (2M long-pairs ≈ 32 MB, far under driver headroom; the same
-    adaptive collect-small-side call Spark itself makes for broadcast
-    joins). Iterative rounds cost ~4 Spark jobs each; on a few-thousand-
-    edge graph that's seconds of pure scheduling for work a driver loop
-    does in milliseconds. Identical output by construction (min-member
+    the documents — collects to the driver VIA ARROW (two int64 numpy
+    columns, ~16 B/edge → 500k edges ≈ 8 MB on the wire; Arrow is enabled
+    around just this collect so Row-object materialization — 10-30× the
+    raw size — never happens) and a union-find labels it in one pass.
+    Real driver cost at the default ceiling: ~8 MB arrays + a ≤1M-entry
+    Python parent dict (~50-80 MB) + ~1 s of GIL-bound loop — bounded and
+    documented, which is why the default is 500k and not higher; raise
+    ``driver_threshold`` explicitly only on drivers sized for it.
+    Iterative rounds cost ~4 Spark jobs each; on a few-thousand-edge
+    graph that's seconds of pure scheduling for work a driver loop does
+    in milliseconds. Identical output by construction (min-member
     labels); ``driver_threshold=0`` forces the distributed path — the
     equivalence is pinned by tests on both.
 
@@ -936,6 +951,16 @@ def connected_components(
     # ceiling so cluster-scale graphs keep cluster-scale parallelism.
     n_edges = edges.count()  # free: edges were just checkpointed
     if n_edges <= driver_threshold:
+        sess = pairs.sparkSession
+        arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
+        prev_arrow = sess.conf.get(arrow_key, "false")
+        sess.conf.set(arrow_key, "true")
+        try:
+            pdf = edges.toPandas()
+        finally:
+            sess.conf.set(arrow_key, prev_arrow)
+        us = pdf["u"].to_numpy()
+        vs = pdf["v"].to_numpy()
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -946,8 +971,8 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in edges.collect():
-            u, v = row[0], row[1]
+        for u, v in zip(us, vs):
+            u, v = int(u), int(v)
             if u not in parent:
                 parent[u] = u
             if v not in parent:

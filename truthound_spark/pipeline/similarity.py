@@ -221,9 +221,15 @@ def ivf_seeded_topk(
     differently on another engine version — ties at 6-dp are already
     broken deterministically by (cell) / (id); if a future oracle flips,
     round the window sort keys like pca_power_anomaly_lineitem does."""
-    cents = df.filter(F.col(id_col) < num_cells).select(
-        F.col(id_col).cast("long").alias("cell"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
+    cents = (
+        # num_cells LOWEST ids (top-k, not filter(id < num_cells) which is
+        # empty when the id space doesn't start near 0 — ADVICE r4)
+        df.select(
+            F.col(id_col).cast("long").alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .orderBy("cell")
+        .limit(num_cells)
     )
     corpus = df.select(
         F.col(id_col).cast("long").alias("id"),
@@ -270,8 +276,9 @@ def embedding_stats(
     all-zero vectors from failed inference, and norm collapse/explosion.
 
     Columns: n_vectors, n_null, n_dim_mismatch (vs ``expected_dim``, or
-    vs the column's max dim when omitted — a cheap modal stand-in),
-    n_nan, n_zero, avg_norm, min_norm, max_norm.
+    vs the column's MODAL dimension when omitted — robust to a handful of
+    corrupted outlier dims, unlike a max), n_nan, n_zero, avg_norm,
+    min_norm, max_norm. Empty/all-null input → n_dim_mismatch = 0.
 
     Determinism: per-vector norms are a sequential JVM fold (bit-identical
     to a SQL engine's list fold); avg_norm sums QUANTIZED norms
@@ -292,11 +299,26 @@ def embedding_stats(
     is_zero = (dim > 0) & F.forall(v, lambda x: x == F.lit(0.0))
     qnorm = F.round(norm * F.lit(1e6)).cast("long")
     if expected_dim is None:
-        # one extra 1-row aggregate (never an unpartitioned window, which
-        # would drag every row through a single task) — its scalar result
-        # re-enters the fused agg as a literal
-        expected_dim = df.agg(F.max(F.size(v))).collect()[0][0]
-    dim_ref = F.lit(expected_dim)
+        # MODAL dimension, not MAX (ADVICE r4): with MAX, one corrupted
+        # over-long vector flips every healthy vector to "mismatched"
+        # (n-1 instead of 1), inverting the health signal. One extra
+        # small groupBy-on-size aggregate (never an unpartitioned window);
+        # its scalar re-enters the fused agg as a literal. Ties break to
+        # the smaller dimension, deterministically.
+        mode_row = (
+            df.filter(v.isNotNull())
+            .groupBy(F.size(v).alias("__d"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .orderBy(F.desc("__c"), F.asc("__d"))
+            .first()
+        )
+        expected_dim = mode_row["__d"] if mode_row is not None else None
+    if expected_dim is None:
+        # empty / all-null input: no reference dimension exists, so no
+        # vector can mismatch (counter stays 0, not null)
+        dim_ref = dim
+    else:
+        dim_ref = F.lit(expected_dim)
     base = df.select(
         v.alias("__v"),
         dim.alias("__dim"),
@@ -347,9 +369,17 @@ def ivf_build_index(
         F.col(vec_col).cast("array<double>").alias("v"),
     )
     if centroids is None:
-        centroids = v.filter(F.col("id") < num_cells).select(
+        # num_cells LOWEST ids, not filter(id < num_cells) — the latter is
+        # empty for id spaces that don't start near 0 (snowflake ids) and
+        # would silently build an index with zero vectors assigned
+        centroids = v.orderBy("id").limit(num_cells).select(
             F.col("id").alias("cell"), F.col("v").alias("cv")
         )
+        if centroids.limit(1).count() == 0:
+            raise ValueError(
+                "ivf_build_index: input has no vectors to seed default "
+                "centroids from; pass an explicit `centroids` frame"
+            )
     wa = Window.partitionBy("id").orderBy("d2", "cell")
     assigned = (
         v.crossJoin(F.broadcast(centroids))

@@ -197,8 +197,15 @@ def streaming_near_dedup(
         else:
             ids, sigs = [], []
         out = []
-        for pdf in pdfs:
-            for _, row in pdf.sort_values("doc_id").iterrows():
+        # concatenate ALL chunks of the micro-batch before sorting: the
+        # iterator's chunk boundaries are arbitrary, so a per-chunk sort
+        # would make canonical selection (and dup_of/est_jaccard) depend
+        # on chunking — nondeterministic across reruns/retries of the
+        # same batch (ADVICE r4)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = pd.concat(chunks, ignore_index=True)
+            for _, row in whole.sort_values("doc_id").iterrows():
                 sg = [int(x) for x in row["__sigstr"].split(",")]
                 best = None
                 for cid, cs in zip(ids, sigs):
