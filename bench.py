@@ -68,8 +68,32 @@ def main():
     lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+
+    # documents/embeddings re-layout: the sf0.1 files hold only 1-2
+    # parquet row groups, so every CPU-heavy per-row operator (tokenize /
+    # minhash / winnow / vector math) would run on ≤2 of the CPUS cores —
+    # a storage artifact of the tiny test file, not a property of the
+    # operators. At 100 TB the same scans produce thousands of row-group
+    # splits. Rewriting the two text/vector tables once into CPUS-way
+    # parquet (same bytes, same schema) restores the parallelism a real
+    # layout has while KEEPING a genuine parquet scan (pushdown, pruning,
+    # column projection) inside every measured plan. The rewrite cost is
+    # outside all timers; row-oriented TPC-H tables stay untouched.
+    import tempfile
+
+    relayout_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bench_relayout_{os.path.basename(SF_DIR)}"
+    )
     documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     embeddings = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    documents.repartition(int(CPUS)).write.mode("overwrite").parquet(
+        f"{relayout_dir}/documents.parquet"
+    )
+    embeddings.repartition(int(CPUS)).write.mode("overwrite").parquet(
+        f"{relayout_dir}/embeddings.parquet"
+    )
+    documents = spark.read.parquet(f"{relayout_dir}/documents.parquet")
+    embeddings = spark.read.parquet(f"{relayout_dir}/embeddings.parquet")
     events = load_events(spark, SF_DIR)
 
     # Warm the JVM / codegen / parquet footer caches before timing —

