@@ -555,10 +555,6 @@ def pq_train(
     subspace s (driver-side lists — m·k·(dim/m) floats, tiny)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    dim = _vector_dim(df, vec_col)
-    if dim % m != 0:
-        raise ValueError(f"m={m} must divide the vector dim {dim}")
-    sub_d = dim // m
     pts = (
         df.select(
             F.col(id_col).cast("long").alias("id"),
@@ -571,6 +567,13 @@ def pq_train(
         .localCheckpoint(eager=True)
     )
     init = pts.orderBy("id").limit(k).collect()
+    if not init:
+        raise ValueError("pq_train: input has no non-null vectors")
+    # dim comes free from the init rows — no separate probing job
+    dim = len(init[0]["qv"])
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide the vector dim {dim}")
+    sub_d = dim // m
     codebooks: list[list[tuple[int, list[float]]]] = [
         [
             (ci, [q / scale for q in row["qv"][s * sub_d : (s + 1) * sub_d]])
