@@ -381,6 +381,14 @@ def main():
 
     bench_one("pq_train_search", pq_bench, timings, cold_timings)
 
+    def bpe_bench():
+        from truthound_spark.pipeline.tokenizer import bpe_token_counts, bpe_train
+
+        merges = bpe_train(documents, rounds=6)
+        bpe_token_counts(documents, merges).agg(F.sum("n_tokens")).collect()
+
+    bench_one("bpe_train_tokenize", bpe_bench, timings, cold_timings)
+
     # --- BASELINE.md pushdown workload shapes (sqlite-null/range/unique
     # roles; DuckDB executes the generated SQL in-database over the same
     # parquet — on a cluster the identical SQL rides spark.read.jdbc) -----

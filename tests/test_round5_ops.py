@@ -1,0 +1,235 @@
+"""Round-5 operators: BPE tokenizer training, cluster-aware split,
+ANN recall evaluation.
+
+The BPE trainer is pinned against an independent pure-Python reference
+implementation of the canonical algorithm (pair counting over word
+frequencies + greedy left-to-right merge), not against its own string
+machinery — so a delimiter bug can't self-certify.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# python reference BPE (independent of the Spark implementation)
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe(word_freqs: dict[str, int], rounds: int, min_count: int = 2):
+    vocab = {tuple(w): n for w, n in word_freqs.items()}
+    merges = []
+    for r in range(1, rounds + 1):
+        pairs: Counter = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        # max by (count, then lexicographically smallest pair)
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (x, y), c = best
+        if c < min_count:
+            break
+        merges.append((r, x, y, x + y, c))
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges, vocab
+
+
+def _tokenize_words(text: str) -> list[str]:
+    import re
+
+    t = re.sub(r"[^a-z0-9\s]", " ", text.lower())
+    return [w for w in re.sub(r"\s+", " ", t).strip().split(" ") if w]
+
+
+CORPUS = [
+    (1, "low low low low low"),
+    (2, "lower lower newest newest"),
+    (3, "newest newest newest widest widest"),
+    (4, "the lowest newest widest low"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_bpe_train_matches_python_reference(spark, corpus_df):
+    from truthound_spark.pipeline.tokenizer import bpe_train
+
+    freqs: Counter = Counter()
+    for _, text in CORPUS:
+        freqs.update(_tokenize_words(text))
+    expected, _ = _ref_bpe(dict(freqs), rounds=8)
+    got = [
+        (r["round"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train(corpus_df, rounds=8).orderBy("round").collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_token_counts_matches_reference_tokenization(spark, corpus_df):
+    from truthound_spark.pipeline.tokenizer import bpe_token_counts, bpe_train
+
+    merges = bpe_train(corpus_df, rounds=8)
+    got = {
+        r["id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_token_counts(corpus_df, merges).collect()
+    }
+    # reference: apply the same merges greedily per word
+    mlist = [(r["left"], r["right"]) for r in merges.orderBy("round").collect()]
+    for doc_id, text in CORPUS:
+        words = _tokenize_words(text)
+        total = 0
+        for w in words:
+            syms = list(w)
+            for x, y in mlist:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                        out.append(x + y)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            total += len(syms)
+        assert got[doc_id] == (len(words), total), doc_id
+
+
+def test_bpe_token_count_decreases_with_rounds(spark, corpus_df):
+    from truthound_spark.pipeline.tokenizer import bpe_token_counts, bpe_train
+
+    def total(rounds):
+        m = bpe_train(corpus_df, rounds=rounds)
+        return bpe_token_counts(corpus_df, m).agg(F.sum("n_tokens")).collect()[0][0]
+
+    assert total(8) <= total(4)
+    # zero merges = plain character count of normalized words
+    chars = sum(len(w) for _, tx in CORPUS for w in _tokenize_words(tx))
+    assert (
+        bpe_token_counts(corpus_df, []).agg(F.sum("n_tokens")).collect()[0][0]
+        == chars
+    )
+
+
+def test_bpe_train_early_stop_on_exhausted_vocab(spark):
+    from truthound_spark.pipeline.tokenizer import bpe_train
+
+    df = spark.createDataFrame([(1, "ab ab cd")], "doc_id long, text string")
+    m = bpe_train(df, rounds=50)  # far more rounds than merges available
+    rows = m.collect()
+    assert 0 < len(rows) < 50
+    # the only pair reaching min_count=2 is (a, b)
+    assert (rows[0]["left"], rows[0]["right"]) == ("a", "b")
+
+
+def test_bpe_empty_and_single_char_words(spark):
+    from truthound_spark.pipeline.tokenizer import bpe_token_counts
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, "!!!")], "doc_id long, text string"
+    )
+    got = {r["id"]: (r["n_words"], r["n_tokens"]) for r in bpe_token_counts(df, []).collect()}
+    assert got[1] == (3, 3)
+    assert got[2] == (0, 0)
+    assert got[3] == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# split_by_cluster
+# ---------------------------------------------------------------------------
+
+
+def test_split_by_cluster_never_straddles(spark):
+    from truthound_spark.pipeline.export import split_by_cluster
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    clusters = spark.createDataFrame(
+        [(i, i % 40) for i in range(200)], "id long, cluster_id long"
+    )
+    out = split_by_cluster(docs, clusters, val_fraction=0.2)
+    assert out.count() == 200
+    straddle = (
+        out.groupBy("cluster_key")
+        .agg(F.countDistinct("side").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert straddle == 0
+    sides = {r["side"] for r in out.select("side").distinct().collect()}
+    assert sides == {"train", "val"}
+
+
+def test_split_by_cluster_singletons_use_own_id(spark):
+    from truthound_spark.pipeline.export import split_by_cluster
+
+    docs = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id long, text string")
+    empty_clusters = spark.createDataFrame([], "id long, cluster_id long")
+    out = {r["id"]: r["cluster_key"] for r in split_by_cluster(docs, empty_clusters).collect()}
+    assert out == {1: 1, 2: 2}
+
+
+def test_split_by_cluster_bad_fraction(spark):
+    from truthound_spark.pipeline.export import split_by_cluster
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    c = spark.createDataFrame([], "id long, cluster_id long")
+    with pytest.raises(ValueError):
+        split_by_cluster(docs, c, val_fraction=1.0)
+
+
+# ---------------------------------------------------------------------------
+# ann_recall
+# ---------------------------------------------------------------------------
+
+
+def _topk_df(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, id long, rank int")
+
+
+def test_ann_recall_exact_vs_itself_is_one(spark):
+    from truthound_spark.pipeline.similarity import ann_recall
+
+    e = _topk_df(spark, [(1, 10, 1), (1, 11, 2), (2, 20, 1)])
+    out = {r["query_id"]: r["recall"] for r in ann_recall(e, e, k=2).collect()}
+    assert out == {1: 1.0, 2: 1.0}
+
+
+def test_ann_recall_partial_and_missing_queries(spark):
+    from truthound_spark.pipeline.similarity import ann_recall
+
+    exact = _topk_df(spark, [(1, 10, 1), (1, 11, 2), (2, 20, 1), (2, 21, 2)])
+    approx = _topk_df(spark, [(1, 10, 1), (1, 99, 2)])  # query 2 dropped
+    rows = {r["query_id"]: r for r in ann_recall(approx, exact, k=2).collect()}
+    assert rows[1]["n_hit"] == 1 and rows[1]["recall"] == 0.5
+    assert rows[2]["n_hit"] == 0 and rows[2]["recall"] == 0.0
+
+
+def test_ann_recall_respects_k_cutoff(spark):
+    from truthound_spark.pipeline.similarity import ann_recall
+
+    exact = _topk_df(spark, [(1, 10, 1), (1, 11, 2), (1, 12, 3)])
+    approx = _topk_df(spark, [(1, 12, 1), (1, 10, 2), (1, 11, 3)])
+    out = ann_recall(approx, exact, k=2).collect()[0]
+    # approx rank 3 (id=11) is beyond k; exact top-2 = {10, 11} -> 1 hit
+    assert out["n_exact"] == 2 and out["n_hit"] == 1

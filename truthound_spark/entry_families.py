@@ -289,6 +289,10 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "dedup_keep_best_documents",
     "char_entropy_documents",
     "set_similarity_join_documents",
+    "bpe_train_documents",
+    "bpe_token_counts_documents",
+    "cluster_split_documents",
+    "ann_recall_embeddings",
 ]
 
 

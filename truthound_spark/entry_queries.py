@@ -8464,3 +8464,252 @@ def q_trained_classifier_scores_documents(spark, sf_dir):
     )
     out = classifier_quality_score(docs, weights=weights)
     return out.select("doc_id", "classifier_score").orderBy("doc_id")
+
+
+# ===========================================================================
+# Round 5: tokenizer training, cluster-aware split, ANN evaluation
+# ===========================================================================
+
+
+def _bpe_oracle_sql(rounds: int) -> str:
+    """Per-round relational replay of bpe_train: the pair-count argmax
+    and the delimiter-wrapped string replace are expressed in the SAME
+    operations DuckDB has (string replace is greedy left-to-right
+    non-overlapping in both engines — the exact BPE merge fold)."""
+    norm = _NORM_SQL.format(c="text")
+    pair_cte = """p{r} AS (
+      SELECT p[1] AS x, p[2] AS y, SUM(n) AS c FROM (
+        SELECT n, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS p
+        FROM (SELECT n, string_split(trim(sym,'|'),'||') AS syms FROM w{prev})
+      ) GROUP BY 1,2
+    )"""
+    ctes = [
+        f"""wc AS (
+      SELECT word, COUNT(*) AS n FROM (
+        SELECT unnest(string_split({norm}, ' ')) AS word FROM documents
+      ) WHERE word <> '' GROUP BY word
+    )""",
+        "w0 AS (SELECT '|' || array_to_string(string_split(word,''),'||') || '|'"
+        " AS sym, n FROM wc)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(pair_cte.format(r=r, prev=r - 1))
+        ctes.append(
+            f"m{r} AS (SELECT x, y, c FROM p{r} ORDER BY c DESC, x, y LIMIT 1)"
+        )
+        ctes.append(
+            f"w{r} AS (SELECT replace(sym, '|'||m.x||'||'||m.y||'|',"
+            f" '|'||m.x||m.y||'|') AS sym, n FROM w{r-1}, m{r} m)"
+        )
+    selects = [
+        f'SELECT {r} AS round, x AS "left", y AS "right", x||y AS merged,'
+        f" c AS pair_count FROM m{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+        + " ORDER BY round"
+    )
+
+
+_BPE_ROUNDS = 6
+
+
+@register("bpe_train_documents", _bpe_oracle_sql(_BPE_ROUNDS))
+def q_bpe_train_documents(spark, sf_dir):
+    """Distributed BPE tokenizer training (pipeline/tokenizer.py
+    bpe_train — Sennrich et al. 2016): the corpus collapses to a
+    (word, count) table in ONE pass, then each merge round is one
+    aggregate over that vocabulary-sized table (most-frequent adjacent
+    symbol pair, ties (left, right)-lexicographic) plus a literal string
+    replace on delimiter-wrapped symbol strings — which IS the greedy
+    left-to-right merge fold, in both engines. The oracle replays all 6
+    rounds as generated CTEs; counts are exact integers, so the whole
+    iterative training loop hash-matches."""
+    from truthound_spark.pipeline.tokenizer import bpe_train
+
+    df = t(spark, sf_dir, "documents")
+    return bpe_train(df, rounds=_BPE_ROUNDS).orderBy("round")
+
+
+@register(
+    "bpe_token_counts_documents",
+    _bpe_oracle_sql(_BPE_ROUNDS).split("\nSELECT 1 AS round")[0]
+    + f""",
+    enc AS (
+      SELECT doc_id,
+             len(list_filter(string_split({_NORM_SQL.format(c='text')}, ' '),
+                             w -> w <> '')) AS n_words,
+             {"".join("replace(" for _ in range(_BPE_ROUNDS))}array_to_string(
+               list_transform(
+                 list_filter(string_split({_NORM_SQL.format(c='text')}, ' '),
+                             w -> w <> ''),
+                 w -> '|' || array_to_string(string_split(w,''),'||') || '|'
+               ), ' ')"""
+    + "".join(
+        f""",
+               (SELECT '|'||x||'||'||y||'|' FROM m{r}),
+               (SELECT '|'||x||y||'|' FROM m{r}))"""
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    + """ AS s
+      FROM documents
+    )
+    SELECT doc_id AS id, CAST(n_words AS BIGINT) AS n_words,
+           CASE WHEN n_words > 0 THEN
+             CAST((length(s) - length(replace(s, '||', ''))) / 2 + n_words AS BIGINT)
+           ELSE 0 END AS n_tokens
+    FROM enc ORDER BY id
+    """,
+)
+def q_bpe_token_counts_documents(spark, sf_dir):
+    """Tokenizer-true token budget (pipeline/tokenizer.py
+    bpe_token_counts): the 6 trained merges apply to every document as
+    nested literal replaces inside ONE map-only projection — no
+    tokenized array materializes; the count falls out of delimiter
+    arithmetic. The oracle retrains the merges (same CTEs as
+    bpe_train_documents) and replays the replace chain + length
+    arithmetic — training AND application certified end-to-end."""
+    from truthound_spark.pipeline.tokenizer import bpe_token_counts, bpe_train
+
+    df = t(spark, sf_dir, "documents")
+    merges = bpe_train(df, rounds=_BPE_ROUNDS)
+    return bpe_token_counts(df, merges).orderBy("id")
+
+
+@register(
+    "cluster_split_documents",
+    f"""
+    WITH RECURSIVE reach(node, root) AS (
+      SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+      UNION
+      SELECT e.v, r.root FROM reach r JOIN (
+        WITH shf AS (
+          SELECT id, list_filter(sh, x -> x <> '') AS sh FROM ({_SHINGLES_SQL})
+        ),
+        p AS (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM shf a JOIN shf b ON a.id < b.id
+          WHERE len(list_intersect(a.sh, b.sh))
+                / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.7
+        )
+        SELECT id_a AS u, id_b AS v FROM p
+        UNION SELECT id_b, id_a FROM p
+      ) e ON e.u = r.node
+    ),
+    cl AS (SELECT node AS id, MIN(root) AS cluster_id FROM reach GROUP BY node)
+    SELECT cl.id, cl.cluster_id AS cluster_key,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(cl.cluster_id AS VARCHAR)), 1, 6)) AS BIGINT)
+                     % 10000 < 1000
+                THEN 'val' ELSE 'train' END AS side
+    FROM cl ORDER BY cl.id
+    """,
+)
+def q_cluster_split_documents(spark, sf_dir):
+    """Near-dup-aware leak-proof split (pipeline/export.py
+    split_by_cluster): the split key is the MinHash-dedup CLUSTER id, so
+    near-duplicate documents — which content-hash splitting cannot pin
+    together — always land on the same side of train/val. The md5-bucket
+    arithmetic is engine-portable, so the oracle certifies the EXACT
+    membership (recursive-CTE clusters + identical bucket math), not
+    just invariants."""
+    from truthound_spark.pipeline.dedup import dedup_clusters
+    from truthound_spark.pipeline.export import split_by_cluster
+
+    df = t(spark, sf_dir, "documents")
+    clusters = dedup_clusters(
+        df, "text", "doc_id", threshold=0.7, num_hashes=64, bands=32
+    ).select(F.col("doc_id").alias("id"), "cluster_id")
+    return split_by_cluster(df, clusters, val_fraction=0.1).orderBy("id")
+
+
+@register(
+    "ann_recall_embeddings",
+    f"""
+    WITH ed AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+    ),
+    c AS (
+      SELECT CAST(vec_id AS BIGINT) AS cell, embedding AS cv
+      FROM ed ORDER BY vec_id LIMIT 16
+    ),
+    a AS (
+      SELECT id, v, cell FROM (
+        SELECT CAST(e.vec_id AS BIGINT) AS id, e.embedding AS v, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_IVF_D2.format(a='e.embedding', b='c.cv')}, c.cell
+               ) AS rn
+        FROM ed e, c
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT CAST(q.vec_id AS BIGINT) AS query_id, q.embedding AS qv, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_IVF_D2.format(a='q.embedding', b='c.cv')}, c.cell
+               ) AS rn
+        FROM ed q, c WHERE q.vec_id < 8
+      ) WHERE rn <= 1
+    ),
+    approx AS (
+      SELECT query_id, id FROM (
+        SELECT p.query_id, a.id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY list_dot_product(a.v, p.qv)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(p.qv, p.qv))) DESC,
+                   a.id
+               ) AS rank
+        FROM probe p JOIN a ON a.cell = p.cell WHERE a.id <> p.query_id
+      ) WHERE rank <= 5
+    ),
+    q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, embedding AS qv FROM ed WHERE vec_id < 8),
+    ex AS (
+      SELECT query_id, id FROM (
+        SELECT q.query_id, CAST(c2.vec_id AS BIGINT) AS id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_dot_product(c2.embedding, q.qv)
+                   / (sqrt(list_dot_product(c2.embedding, c2.embedding)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                   CAST(c2.vec_id AS BIGINT)
+               ) AS rank
+        FROM q, ed c2 WHERE CAST(c2.vec_id AS BIGINT) <> q.query_id
+      ) WHERE rank <= 5
+    ),
+    hits AS (
+      SELECT ap.query_id, COUNT(*) AS n_hit
+      FROM approx ap JOIN ex ON ap.query_id = ex.query_id AND ap.id = ex.id
+      GROUP BY 1
+    ),
+    den AS (SELECT query_id, COUNT(*) AS n_exact FROM ex GROUP BY 1)
+    SELECT den.query_id, CAST(COALESCE(hits.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(den.n_exact AS BIGINT) AS n_exact,
+           ROUND(COALESCE(hits.n_hit, 0) / den.n_exact, 6) AS recall
+    FROM den LEFT JOIN hits ON den.query_id = hits.query_id
+    ORDER BY den.query_id
+    """,
+)
+def q_ann_recall_embeddings(spark, sf_dir):
+    """ANN recall@k evaluation (pipeline/similarity.py ann_recall): the
+    1-probe seeded IVF's top-5 measured against brute-force cosine
+    top-5 per query — the tuning loop that decides nprobe/num_planes
+    before an index replaces brute force. The oracle recomputes both
+    sides relationally and the same hit/denominator join; deliberately
+    nprobe=1 so recall is genuinely < 1 for some queries and the metric
+    is exercised off the trivial fixed point."""
+    from truthound_spark.pipeline.similarity import (
+        ann_recall,
+        brute_force_topk,
+        ivf_seeded_topk,
+    )
+
+    df = t(spark, sf_dir, "embeddings")
+    q = df.filter(F.col("vec_id") < 8)
+    approx = ivf_seeded_topk(df, q, k=5, num_cells=16, nprobe=1)
+    exact = brute_force_topk(df, q, k=5)
+    return ann_recall(approx, exact, k=5).orderBy("query_id")

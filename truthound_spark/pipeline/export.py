@@ -95,6 +95,54 @@ def train_val_split(
     return train, val
 
 
+def split_by_cluster(
+    df: DataFrame,
+    clusters: DataFrame,
+    val_fraction: float = 0.01,
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """NEAR-DUP-AWARE leak-proof split: the whole duplicate CLUSTER goes
+    to one side. ``train_val_split`` already pins exact duplicates
+    together (content hash), but two near-duplicate documents hash
+    differently and can still straddle the split — the classic silent
+    eval leak. Here the split key is the document's cluster id from
+    :func:`truthound_spark.pipeline.dedup.dedup_clusters` (or any
+    (id/doc_id, cluster_id) frame, e.g. semantic cells), so everything
+    the dedup pass considers "the same document" lands on the same side;
+    docs absent from the cluster frame (singletons) key on their own id.
+
+    The bucket is md5-derived (first 6 hex digits of ``md5(cluster_key)``
+    mod ``buckets`` — same engine-portable arithmetic as
+    ``global_shuffle``), so membership is exactly reproducible across
+    reruns AND engines — the oracle certifies the exact assignment, not
+    just invariants.
+
+    Scale: one equi-join against the (small, pair-derived) cluster frame
+    + map-side arithmetic; the corpus is never shuffled.
+
+    Returns (id, cluster_key, side) with side ∈ {'train', 'val'}."""
+    if val_fraction < 0 or val_fraction >= 1:
+        raise ValueError(f"val_fraction must be in [0, 1), got {val_fraction}")
+    cutoff = max(1, int(buckets * val_fraction)) if val_fraction > 0 else 0
+    cid = "id" if "id" in clusters.columns else id_col
+    c = clusters.select(
+        F.col(cid).cast("long").alias("__k"),
+        F.col("cluster_id").cast("long").alias("__cluster"),
+    )
+    base = df.select(F.col(id_col).cast("long").alias("id"))
+    joined = base.join(c, base["id"] == c["__k"], "left")
+    key = F.coalesce(F.col("__cluster"), F.col("id"))
+    b = F.conv(F.substring(F.md5(key.cast("string")), 1, 6), 16, 10).cast(
+        "long"
+    ) % F.lit(buckets)
+    return joined.select(
+        "id",
+        key.alias("cluster_key"),
+        F.when(b < cutoff, F.lit("val")).otherwise(F.lit("train")).alias("side"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int = 2048,

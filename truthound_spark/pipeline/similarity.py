@@ -809,3 +809,52 @@ def pq_search(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    id_col: str = "id",
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact top-k —
+    the evaluation loop every ANN deployment needs before trading
+    brute-force for an index (tune nprobe / num_planes / PQ m,k until
+    measured recall clears the product bar).
+
+    Both inputs are (query_id, id, …, rank) frames as produced by every
+    top-k operator in this module (``brute_force_topk``, ``lsh_topk``,
+    ``ivf_seeded_topk``, ``ivf_search_index``, ``pq_search``). Recall is
+    |approx∩exact| / |exact| per query (exact side defines the
+    denominator, so truncated approx results read as misses, and queries
+    the index dropped entirely still appear with recall 0.0).
+
+    Scale: two rank filters + one equi-join on (query, id) + a per-query
+    count — the joined relation is ≤ queries×k rows regardless of corpus
+    size; nothing touches the corpus itself.
+
+    Returns (query_id, n_hit, n_exact, recall) rounded to 6dp."""
+    a = approx.filter(F.col("rank") <= k).select(
+        F.col(query_col).cast("long").alias("query_id"),
+        F.col(id_col).cast("long").alias("id"),
+    )
+    e = exact.filter(F.col("rank") <= k).select(
+        F.col(query_col).cast("long").alias("query_id"),
+        F.col(id_col).cast("long").alias("id"),
+    )
+    hits = a.join(e, ["query_id", "id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    denom = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        denom.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            "n_exact",
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )

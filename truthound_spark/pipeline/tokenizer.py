@@ -1,0 +1,183 @@
+"""Distributed tokenizer-training operators: BPE merge learning and
+corpus token accounting.
+
+Reference surface: the reference engine's corpus-preparation layer stops
+at token *counting* (`src/truthound/validators/corpus.py` token-budget
+checks); training the tokenizer itself is the canonical upstream step a
+100 TB training-data pipeline owns, so it is implemented here as a
+first-class relational operator set (BASELINE.json "beyond-reference
+LLM-pipeline operators" north star).
+
+Design — the fast-BPE shape (what HuggingFace tokenizers / SentencePiece
+BPE do, relationally):
+
+* The corpus is scanned ONCE, into a (word, count) table — vocabulary
+  scale (≤ millions of rows), not corpus scale. Every merge round after
+  that runs on the compact word table; 100 TB of text trains with one
+  corpus pass + R tiny-table rounds.
+* Words are represented as delimiter-wrapped symbol strings
+  (``low`` → ``|l||o||w|``). A BPE merge of pair (x, y) is then EXACTLY
+  the SQL ``replace(sym, '|x||y|', '|xy|')``: string replace scans left
+  to right taking non-overlapping matches — identical to the canonical
+  greedy left-to-right merge fold (``aaa`` + merge(a,a) → ``aa a``, the
+  second ``a`` is NOT re-merged), and because every symbol carries its
+  own delimiters, adjacent occurrences share no boundary characters and
+  all merge in one pass. The same expression runs verbatim in DuckDB,
+  which is what lets the oracle hash-certify the whole training loop.
+* Pair selection per round is one aggregate over the word table:
+  explode adjacent symbol pairs weighted by word count, sum, take the
+  (count DESC, left ASC, right ASC) maximum — exact integer counts and
+  a total deterministic order, so reruns and engines agree.
+
+No UDFs anywhere: wrapping, pair explosion, and merge application are
+all codegen'd column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from truthound_spark.pipeline.dedup import words
+
+__all__ = [
+    "word_counts",
+    "wrap_symbols",
+    "bpe_train",
+    "bpe_token_counts",
+]
+
+
+def word_counts(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, n) over the normalized corpus — the ONE corpus-scale pass
+    of BPE training. Same tokenizer as every other text operator
+    (``dedup.words``: lowercase, strip non-alphanumerics, split), so the
+    trained vocabulary matches what the dedup/quality operators see."""
+    w = F.explode(
+        F.filter(words(F.col(text_col)), lambda x: x != F.lit(""))
+    ).alias("word")
+    return df.select(w).groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+
+
+def wrap_symbols(col: Column) -> Column:
+    """``low`` → ``|l||o||w|``: each character becomes a delimiter-wrapped
+    symbol. Safe because normalized words are [a-z0-9] — the delimiter
+    can never occur inside a symbol."""
+    return F.concat(F.lit("|"), F.array_join(F.split(col, ""), "||"), F.lit("|"))
+
+
+def _sym_array(col: Column) -> Column:
+    """Wrapped symbol string back to array<string> of symbols."""
+    return F.split(F.btrim(col, F.lit("|")), r"\|\|")
+
+
+def bpe_train(
+    df: DataFrame,
+    rounds: int = 8,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    word_counts_df: DataFrame | None = None,
+) -> DataFrame:
+    """Learn ``rounds`` BPE merges from the corpus (Sennrich et al. 2016,
+    arXiv:1508.07909 — the byte-pair-encoding subword algorithm every
+    modern LLM tokenizer descends from).
+
+    Per round: ONE aggregate over the (word, count) table picks the
+    most frequent adjacent symbol pair (ties broken by (left, right)
+    lexicographically — fully deterministic), then a literal string
+    ``replace`` applies the merge to every word. The corpus itself is
+    read exactly once (``word_counts``); rounds run on the vocabulary-
+    sized table, which is what makes training tractable at 100 TB.
+    Stops early when no pair reaches ``min_pair_count`` (never returns
+    noise merges from an exhausted vocabulary).
+
+    Pass ``word_counts_df`` (word, n) to reuse a precomputed/persisted
+    count table across experiments.
+
+    Returns a DataFrame (round, left, right, merged, pair_count) —
+    round is 1-based, in learned order (feed to ``bpe_token_counts``)."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    spark = df.sparkSession
+    wc = word_counts_df if word_counts_df is not None else word_counts(df, text_col)
+    wt = wc.select(
+        wrap_symbols(F.col("word")).alias("sym"), F.col("n").cast("long").alias("n")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        a = _sym_array(F.col("sym"))
+        pair = F.zip_with(
+            F.slice(a, 1, F.greatest(F.size(a) - 1, F.lit(0))),
+            F.slice(a, 2, F.greatest(F.size(a) - 1, F.lit(0))),
+            lambda p, q: F.struct(p.alias("x"), q.alias("y")),
+        )
+        top = (
+            wt.select("n", F.explode(pair).alias("p"))
+            .groupBy("p.x", "p.y")
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.desc("c"), "x", "y")
+            .limit(1)
+            .collect()
+        )
+        if not top or int(top[0]["c"]) < min_pair_count:
+            break
+        x, y, c = top[0]["x"], top[0]["y"], int(top[0]["c"])
+        merges.append((r, x, y, x + y, c))
+        wt = wt.withColumn(
+            "sym",
+            F.replace(
+                F.col("sym"), F.lit(f"|{x}||{y}|"), F.lit(f"|{x}{y}|")
+            ),
+        )
+        # constant-depth lineage: each round's replace nests one level;
+        # checkpoint every few rounds so the chain never grows unbounded
+        if r % 8 == 0:
+            wt = wt.localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "round int, left string, right string, merged string, pair_count long"
+    )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list[tuple] | DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply learned BPE merges to the corpus and count tokens per
+    document — the tokenizer-true token budget (vs the whitespace /
+    regex approximations in ``pipeline.text``).
+
+    Map-only at any scale: the whole document becomes ONE wrapped-symbol
+    string (words joined by a space, which no ``|x||y|`` pattern can
+    cross, so merges never leak across word boundaries), the R merges
+    apply as R nested literal ``replace`` calls inside a single
+    codegen'd projection, and the token count falls out of arithmetic —
+    tokens = interior-delimiter pairs / 2 + words — with NO tokenized
+    array ever materialized. Zero shuffles, zero UDFs.
+
+    ``merges`` is the output of :func:`bpe_train` (DataFrame, collected
+    in round order) or an equivalent list of (round, left, right, …)
+    tuples.
+
+    Returns (id, n_words, n_tokens)."""
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("round").collect()
+        pairs = [(r["left"], r["right"]) for r in rows]
+    else:
+        pairs = [(m[1], m[2]) for m in sorted(merges, key=lambda m: m[0])]
+    wlist = F.filter(words(F.col(text_col)), lambda x: x != F.lit(""))
+    doc_sym = F.array_join(F.transform(wlist, wrap_symbols), " ")
+    for x, y in pairs:
+        doc_sym = F.replace(doc_sym, F.lit(f"|{x}||{y}|"), F.lit(f"|{x}{y}|"))
+    n_words = F.size(wlist)
+    # each word contributes (interior '||' count + 1) symbols; '||' count
+    # via the length-difference trick — still pure column arithmetic
+    n_sep = (F.length(doc_sym) - F.length(F.replace(doc_sym, F.lit("||"), F.lit("")))) / 2
+    n_tokens = F.when(n_words > 0, (n_sep + n_words).cast("long")).otherwise(F.lit(0))
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        n_words.cast("long").alias("n_words"),
+        n_tokens.alias("n_tokens"),
+    )
