@@ -233,3 +233,83 @@ def test_ann_recall_respects_k_cutoff(spark):
     out = ann_recall(approx, exact, k=2).collect()[0]
     # approx rank 3 (id=11) is beyond k; exact top-2 = {10, 11} -> 1 hit
     assert out["n_exact"] == 2 and out["n_hit"] == 1
+
+
+# ---------------------------------------------------------------------------
+# temperature_weights / decontaminate_multi
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_weights_sum_to_one_and_order(spark):
+    from truthound_spark.pipeline.export import temperature_weights
+
+    docs = spark.createDataFrame(
+        [(i, "word " * (10 if i % 3 else 100), f"src{i % 3}") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    out = temperature_weights(docs, alpha=0.3).collect()
+    assert abs(sum(r["weight"] for r in out) - 1.0) < 1e-4
+    # alpha < 1 compresses: the big source's weight share is SMALLER than
+    # its token share
+    tok = {r["source"]: r["available_tokens"] for r in out}
+    w = {r["source"]: r["weight"] for r in out}
+    big = max(tok, key=tok.get)
+    assert w[big] < tok[big] / sum(tok.values())
+
+
+def test_temperature_weights_alpha_one_is_natural(spark):
+    from truthound_spark.pipeline.export import temperature_weights
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "x"), (2, "a b c d a b c d", "y")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in temperature_weights(docs, alpha=1.0).collect()}
+    tot = out["x"]["available_tokens"] + out["y"]["available_tokens"]
+    assert abs(out["x"]["weight"] - out["x"]["available_tokens"] / tot) < 1e-5
+
+
+def test_temperature_weights_bad_alpha(spark):
+    import pytest as _pytest
+
+    from truthound_spark.pipeline.export import temperature_weights
+
+    docs = spark.createDataFrame([(1, "a", "x")], "doc_id long, text string, source string")
+    with _pytest.raises(ValueError):
+        temperature_weights(docs, alpha=0)
+
+
+def test_decontaminate_multi_equals_per_suite_runs(spark):
+    from truthound_spark.pipeline.dedup import decontaminate, decontaminate_multi
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"common phrase shared tokens here doc {i % 7} tail tail tail")
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    sa = docs.filter(F.col("doc_id") % 4 == 1)
+    sb = docs.filter(F.col("doc_id") % 4 == 3)
+    multi = {
+        (r["doc_id"], r["benchmark"]): r["overlap_ngrams"]
+        for r in decontaminate_multi(train, {"suite_a": sa, "suite_b": sb}).collect()
+    }
+    for name, suite in (("suite_a", sa), ("suite_b", sb)):
+        single = {
+            (r["doc_id"], name): r["overlap_ngrams"]
+            for r in decontaminate(train, suite).collect()
+        }
+        got = {k: v for k, v in multi.items() if k[1] == name}
+        assert got == single, name
+
+
+def test_decontaminate_multi_empty_dict_raises(spark):
+    import pytest as _pytest
+
+    from truthound_spark.pipeline.dedup import decontaminate_multi
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        decontaminate_multi(docs, {})

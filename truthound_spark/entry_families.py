@@ -293,6 +293,8 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "bpe_token_counts_documents",
     "cluster_split_documents",
     "ann_recall_embeddings",
+    "temperature_weights_documents",
+    "decontaminate_multi_documents",
 ]
 
 

@@ -8713,3 +8713,70 @@ def q_ann_recall_embeddings(spark, sf_dir):
     approx = ivf_seeded_topk(df, q, k=5, num_cells=16, nprobe=1)
     exact = brute_force_topk(df, q, k=5)
     return ann_recall(approx, exact, k=5).orderBy("query_id")
+
+
+@register(
+    "temperature_weights_documents",
+    f"""
+    WITH avail AS (
+      SELECT source,
+             CAST(SUM({_BPE_SQL.format(c='text')}) AS BIGINT) AS available_tokens
+      FROM documents GROUP BY source
+    ),
+    q AS (
+      SELECT source, available_tokens,
+             CAST(round(pow(CAST(available_tokens AS DOUBLE), 0.3) * 1000000.0)
+                  AS BIGINT) AS qp
+      FROM avail
+    ),
+    tot AS (SELECT SUM(qp) AS t FROM q)
+    SELECT source, available_tokens, ROUND(qp / tot.t, 6) AS weight
+    FROM q, tot ORDER BY source
+    """,
+)
+def q_temperature_weights_documents(spark, sf_dir):
+    """Temperature mixture weights (pipeline/export.py
+    temperature_weights — the mT5/XLM-R alpha-sampling recipe): source
+    weight ∝ available_tokens^0.3, up-weighting low-resource sources
+    without per-source hand targets. The powered sizes quantize to 1e-6
+    longs BEFORE the normalization sum, so the denominator is exact and
+    order-independent — the weights hash-match across engines."""
+    from truthound_spark.pipeline.export import temperature_weights
+
+    df = t(spark, sf_dir, "documents")
+    return temperature_weights(df, alpha=0.3).orderBy("source")
+
+
+@register(
+    "decontaminate_multi_documents",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    tr AS (SELECT id, unnest(sh) AS g FROM sh WHERE id % 2 = 0),
+    pa AS (SELECT DISTINCT 'suite_a' AS benchmark, unnest(sh) AS g
+           FROM sh WHERE id % 4 = 1),
+    pb AS (SELECT DISTINCT 'suite_b' AS benchmark, unnest(sh) AS g
+           FROM sh WHERE id % 4 = 3),
+    pr AS (SELECT * FROM pa UNION ALL SELECT * FROM pb)
+    SELECT tr.id AS doc_id, pr.benchmark, CAST(COUNT(*) AS BIGINT) AS overlap_ngrams
+    FROM tr JOIN pr ON tr.g = pr.g AND tr.g <> ''
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_decontaminate_multi_documents(spark, sf_dir):
+    """Multi-benchmark decontamination (pipeline/dedup.py
+    decontaminate_multi): the whole eval battery screens in ONE corpus
+    pass — every suite's distinct n-grams union with a suite tag into a
+    single broadcast probe, grouped by (doc, suite). Per-suite results
+    equal K separate decontaminate() runs at 1/K the corpus scans
+    (equality pinned by tests); here suites are the odd doc_ids split
+    %4 into two batteries."""
+    from truthound_spark.pipeline.dedup import decontaminate_multi
+
+    df = t(spark, sf_dir, "documents")
+    return decontaminate_multi(
+        df.filter(F.col("doc_id") % 2 == 0),
+        {
+            "suite_a": df.filter(F.col("doc_id") % 4 == 1),
+            "suite_b": df.filter(F.col("doc_id") % 4 == 3),
+        },
+    ).orderBy("doc_id", "benchmark")

@@ -1256,6 +1256,51 @@ def decontaminate(
         F.col("id").alias(id_col), "overlap_ngrams"
     )
 
+
+def decontaminate_multi(
+    train: DataFrame,
+    benchmarks: dict[str, DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Decontaminate against MANY benchmark suites in ONE corpus pass —
+    production decontamination runs against the whole eval battery
+    (MMLU + GSM8K + HumanEval + ...), and scanning the 100 TB corpus once
+    per suite is the naive K-pass mistake this operator removes.
+
+    Plan: the train corpus shingles ONCE (same pipeline as
+    :func:`decontaminate`); every benchmark's distinct n-grams union with
+    a benchmark tag into a single probe relation, which broadcasts
+    against the train inverted index — one join, grouped by (doc,
+    benchmark). Per-suite output equals running :func:`decontaminate`
+    against each suite separately (pinned by tests and the oracle), at
+    1/K the corpus scans.
+
+    Returns (doc_id, benchmark, overlap_ngrams), one row per
+    contaminated (train doc, suite) pair."""
+    if not benchmarks:
+        raise ValueError("benchmarks must contain at least one suite")
+    tr = _shingle_rows(train, text_col, id_col, n).dropDuplicates(["id", "g"])
+    probe = None
+    for name, bdf in sorted(benchmarks.items()):
+        p = (
+            _shingle_rows(bdf, text_col, id_col, n)
+            .select(F.lit(name).alias("benchmark"), "g")
+            .dropDuplicates()
+        )
+        probe = p if probe is None else probe.unionByName(p)
+    hits = (
+        tr.join(F.broadcast(probe), "g")
+        .groupBy("id", "benchmark")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap_ngrams"))
+    )
+    return hits.filter(F.col("overlap_ngrams") >= min_overlap).select(
+        F.col("id").alias(id_col), "benchmark", "overlap_ngrams"
+    )
+
+
 def decontaminate_bloom(
     train: DataFrame,
     test: DataFrame,

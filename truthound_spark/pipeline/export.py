@@ -327,6 +327,54 @@ def global_shuffle(
     )
 
 
+
+def temperature_weights(
+    df: DataFrame,
+    alpha: float = 0.3,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based mixture weights (the mT5/XLM-R multilingual
+    recipe, arXiv:1910.10683 / 1911.02116): w_g proportional to
+    available_tokens_g ** alpha. alpha=1 reproduces natural proportions,
+    alpha -> 0 approaches uniform — the standard knob for up-weighting
+    low-resource sources without hand-tuning per-source targets. Feed the
+    result straight into ``mixture_weights`` /
+    ``stratified_sample(fractions=...)``.
+
+    Determinism: the powered sizes are quantized to 1e-6 longs before the
+    cross-group normalization sum, so the denominator is exact and
+    addition-order-independent — weights hash-match across engines.
+
+    One fused aggregate over the corpus; the normalization runs on the
+    tiny per-group relation (broadcast 1-row join).
+
+    Returns (group, available_tokens, weight) with weights summing to 1
+    (up to 6dp rounding)."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    from truthound_spark.pipeline.text import bpe_ish_token_count
+
+    avail = df.groupBy(group_col).agg(
+        F.sum(bpe_ish_token_count(F.col(text_col))).cast("long").alias(
+            "available_tokens"
+        )
+    )
+    qpow = F.round(
+        F.pow(F.col("available_tokens").cast("double"), F.lit(float(alpha))) * 1e6
+    ).cast("long")
+    powed = avail.withColumn("__qp", qpow)
+    tot = powed.agg(F.sum("__qp").alias("__tot"))
+    return (
+        powed.join(F.broadcast(tot))
+        .select(
+            group_col,
+            "available_tokens",
+            F.round(F.col("__qp") / F.col("__tot"), 6).alias("weight"),
+        )
+    )
+
+
 def mixture_weights(
     df: DataFrame,
     target_weights: dict[str, float],
