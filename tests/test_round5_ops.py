@@ -313,3 +313,67 @@ def test_decontaminate_multi_empty_dict_raises(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         decontaminate_multi(docs, {})
+
+
+# ---------------------------------------------------------------------------
+# tag_documents (fused one-pass tagger)
+# ---------------------------------------------------------------------------
+
+
+def _formatted_plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_tag_documents_is_one_pass_no_shuffle(spark, tmp_path):
+    from truthound_spark.pipeline.text import tag_documents
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"the quick brown fox {i}\nthe quick brown fox {i}") for i in range(20)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    out = tag_documents(spark.read.parquet(p))
+    plan = _formatted_plan(out)
+    import re
+
+    # ONE corpus pass: exactly one scan node in the details section
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "Exchange" not in plan  # zero shuffles
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_tag_documents_columns_match_individual_taggers(spark):
+    from truthound_spark.pipeline.text import (
+        classifier_quality_score,
+        detect_languages,
+        fingerprint_documents,
+        quality_score,
+        repetition_signals,
+        tag_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "la la la la la la"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    fused = {r["doc_id"]: r for r in tag_documents(docs).collect()}
+    for maker, cols in [
+        (quality_score, ["quality_score", "stopword_ratio", "n_words"]),
+        (detect_languages, ["predicted_lang"]),
+        (fingerprint_documents, ["fingerprint"]),
+        (repetition_signals, ["dup_line_fraction", "dup_word_fraction"]),
+        (classifier_quality_score, ["classifier_score"]),
+    ]:
+        for r in maker(docs).collect():
+            for c in cols:
+                assert fused[r["doc_id"]][c] == r[c], (maker.__name__, c)

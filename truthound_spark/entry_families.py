@@ -295,6 +295,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "ann_recall_embeddings",
     "temperature_weights_documents",
     "decontaminate_multi_documents",
+    "tag_documents_documents",
 ]
 
 

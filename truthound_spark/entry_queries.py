@@ -8780,3 +8780,82 @@ def q_decontaminate_multi_documents(spark, sf_dir):
             "suite_b": df.filter(F.col("doc_id") % 4 == 3),
         },
     ).orderBy("doc_id", "benchmark")
+
+
+@register(
+    "tag_documents_documents",
+    f"""
+    WITH w AS (
+      SELECT doc_id, text,
+             string_split(CASE WHEN LEN(TRIM(text)) = 0 THEN ''
+                  ELSE {_NORM_SQL.format(c='text')} END, ' ') AS words,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ),
+    lang AS (
+      SELECT doc_id,
+        len(list_filter(list_distinct(words), x -> list_contains(['der','die','das','und','ist','von','mit','den','ein','eine'], x))) AS de,
+        len(list_filter(list_distinct(words), x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS en,
+        len(list_filter(list_distinct(words), x -> list_contains(['el','la','de','que','y','en','un','una','los','por'], x))) AS es,
+        len(list_filter(list_distinct(words), x -> list_contains(['le','la','de','et','les','des','un','une','du','que'], x))) AS fr
+      FROM w
+    ),
+    clf AS (
+      SELECT doc_id,
+             list_transform(
+               fw || list_transform(range(1, len(fw)), i -> fw[i] || '_' || fw[i+1]),
+               t -> CAST(('0x' || substr(md5(t), 1, 6)) AS BIGINT) % 4096) AS bk
+      FROM (SELECT doc_id, list_filter(words, x -> x <> '') AS fw FROM w)
+    )
+    SELECT w.doc_id,
+      ROUND(CASE WHEN len(words) > 0 THEN
+        len(list_filter(words, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))
+        / CAST(len(words) AS DOUBLE) ELSE 0.0 END, 6) AS stopword_ratio,
+      ROUND(CASE WHEN length(text) > 0 THEN
+        len(regexp_extract_all(text, '[^\\x{{30}}-\\x{{39}}a-zA-Z_\\s]')) / CAST(length(text) AS DOUBLE)
+        ELSE 0.0 END, 6) AS punct_ratio,
+      ROUND(CASE WHEN len(words) > 0 THEN len(list_distinct(words)) / CAST(len(words) AS DOUBLE)
+            ELSE 0.0 END, 6) AS uniq_word_ratio,
+      CASE WHEN GREATEST(lang.de, lang.en, lang.es, lang.fr) = 0 THEN 'unknown'
+           WHEN lang.de >= lang.en AND lang.de >= lang.es AND lang.de >= lang.fr THEN 'de'
+           WHEN lang.en >= lang.es AND lang.en >= lang.fr THEN 'en'
+           WHEN lang.es >= lang.fr THEN 'es'
+           ELSE 'fr' END AS predicted_lang,
+      md5({_NORM_SQL.format(c='text')}) AS fingerprint,
+      ROUND(CASE WHEN len(lines) > 0
+            THEN 1.0 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE)
+            ELSE 0.0 END, 6) AS dup_line_fraction,
+      ROUND(CASE WHEN len(words) > 0
+            THEN 1.0 - len(list_distinct(words)) / CAST(len(words) AS DOUBLE)
+            ELSE 0.0 END, 6) AS dup_word_fraction,
+      ROUND(1.0 / (1.0 + EXP(-(CASE WHEN len(clf.bk) > 0 THEN
+        list_sum(list_transform(clf.bk, x -> ((x % 2001) - 1000) / 1000.0)) / len(clf.bk)
+        ELSE 0.0 END))), 6) AS classifier_score
+    FROM w JOIN lang ON w.doc_id = lang.doc_id
+           JOIN clf ON w.doc_id = clf.doc_id
+    ORDER BY w.doc_id
+    """,
+)
+def q_tag_documents_documents(spark, sf_dir):
+    """Fused one-pass document tagger (pipeline/text.py tag_documents —
+    the Dolma 'taggers' stage shape): quality ratios, language id,
+    content fingerprint, Gopher repetition signals, and the classifier
+    score in ONE projection over ONE scan (CollapseProject folds the
+    whole helper stack; a plan test pins zero exchanges). Each signal's
+    expression is byte-identical to its individually-certified slot —
+    this slot certifies they stay identical when fused."""
+    from truthound_spark.pipeline.text import tag_documents
+
+    df = t(spark, sf_dir, "documents")
+    out = tag_documents(df)
+    return out.select(
+        "doc_id",
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("uniq_word_ratio", 6).alias("uniq_word_ratio"),
+        "predicted_lang",
+        "fingerprint",
+        F.round("dup_line_fraction", 6).alias("dup_line_fraction"),
+        F.round("dup_word_fraction", 6).alias("dup_word_fraction"),
+        "classifier_score",
+    ).orderBy("doc_id")

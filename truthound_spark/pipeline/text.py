@@ -978,3 +978,35 @@ def bigram_perplexity(
         F.round("avg_neg_logprob", 6).alias("avg_neg_logprob"),
         F.round(F.exp("avg_neg_logprob"), 4).alias("perplexity"),
     )
+
+
+def tag_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    classifier_weights: list[float] | None = None,
+) -> DataFrame:
+    """Dolma-style FUSED document tagger: every per-document curation
+    signal this module offers, computed in ONE corpus pass.
+
+    Attaches quality features + composite score (``quality_score``),
+    language id (``detect_languages``), content fingerprint
+    (``fingerprint_documents``), Gopher repetition signals
+    (``repetition_signals``) and the hashed-feature classifier score
+    (``classifier_quality_score``) — all of which are pure column math,
+    so Catalyst's CollapseProject folds the whole stack into a single
+    projection over the scan: NO join, NO shuffle, no second pass
+    (pinned by a plan test). Running the taggers separately costs K
+    corpus scans at 100 TB; this is the one-pass form a production
+    tagging stage actually ships.
+
+    Returns df + the ~15 signal columns; filter/gate downstream
+    (``gopher_filter`` thresholds, ``quantile_gate`` on quality_score,
+    …) or write the tagged corpus once and let every later stage reuse
+    it."""
+    out = quality_score(df, text_col)
+    out = detect_languages(out, text_col)
+    out = fingerprint_documents(out, text_col)
+    out = repetition_signals(out, text_col)
+    out = classifier_quality_score(out, text_col, weights=classifier_weights)
+    return out
