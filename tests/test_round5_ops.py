@@ -377,3 +377,30 @@ def test_tag_documents_columns_match_individual_taggers(spark):
         for r in maker(docs).collect():
             for c in cols:
                 assert fused[r["doc_id"]][c] == r[c], (maker.__name__, c)
+
+
+def test_bpe_vocab_matches_python_reference(spark, corpus_df):
+    from truthound_spark.pipeline.tokenizer import bpe_train, bpe_vocab
+
+    freqs: Counter = Counter()
+    for _, text in CORPUS:
+        freqs.update(_tokenize_words(text))
+    _, ref_vocab = _ref_bpe(dict(freqs), rounds=8)
+    ref_counts: Counter = Counter()
+    for syms, n in ref_vocab.items():
+        for s in syms:
+            ref_counts[s] += n
+    merges = bpe_train(corpus_df, rounds=8)
+    got = {r["token"]: r["n"] for r in bpe_vocab(corpus_df, merges).collect()}
+    assert got == dict(ref_counts)
+
+
+def test_bpe_vocab_coverage_curve(spark, corpus_df):
+    from truthound_spark.pipeline.tokenizer import bpe_train, bpe_vocab
+
+    merges = bpe_train(corpus_df, rounds=4)
+    rows = bpe_vocab(corpus_df, merges).orderBy("rank").collect()
+    cums = [r["cum_coverage"] for r in rows]
+    assert cums == sorted(cums)  # monotone non-decreasing
+    assert abs(cums[-1] - 1.0) < 1e-5  # full curve ends at 1
+    assert rows[0]["n"] >= rows[-1]["n"]  # ranked by count desc

@@ -296,6 +296,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "temperature_weights_documents",
     "decontaminate_multi_documents",
     "tag_documents_documents",
+    "bpe_vocab_documents",
 ]
 
 

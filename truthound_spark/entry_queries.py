@@ -8859,3 +8859,40 @@ def q_tag_documents_documents(spark, sf_dir):
         F.round("dup_word_fraction", 6).alias("dup_word_fraction"),
         "classifier_score",
     ).orderBy("doc_id")
+
+
+@register(
+    "bpe_vocab_documents",
+    _bpe_oracle_sql(_BPE_ROUNDS).split("\nSELECT 1 AS round")[0]
+    + """,
+    toks AS (
+      SELECT t AS token, SUM(n) AS n FROM (
+        SELECT n, unnest(string_split(trim(sym,'|'),'||')) AS t FROM w6
+      ) GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS t FROM toks),
+    ranked AS (
+      SELECT token, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank,
+             SUM(n) OVER (ORDER BY n DESC, token
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks
+    )
+    SELECT token, n, CAST(rank AS BIGINT) AS rank,
+           ROUND(cum / tot.t, 6) AS cum_coverage
+    FROM ranked, tot WHERE rank <= 50 ORDER BY rank
+    """,
+)
+def q_bpe_vocab_documents(spark, sf_dir):
+    """BPE vocabulary + coverage curve (pipeline/tokenizer.py bpe_vocab):
+    the surviving symbols after the 6 trained merges, ranked by corpus
+    occurrence with the cumulative coverage fraction — the freeze-check
+    a tokenizer ships with (does top-V cover enough?). Vocabulary-scale
+    work throughout; exact long counts make the curve hash-certifiable.
+    The oracle replays training (same CTEs) then the token explosion +
+    window."""
+    from truthound_spark.pipeline.tokenizer import bpe_train, bpe_vocab
+
+    df = t(spark, sf_dir, "documents")
+    merges = bpe_train(df, rounds=_BPE_ROUNDS)
+    return bpe_vocab(df, merges, top_v=50).orderBy("rank")

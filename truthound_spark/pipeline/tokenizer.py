@@ -44,6 +44,7 @@ __all__ = [
     "wrap_symbols",
     "bpe_train",
     "bpe_token_counts",
+    "bpe_vocab",
 ]
 
 
@@ -181,3 +182,62 @@ def bpe_token_counts(
         n_words.cast("long").alias("n_words"),
         n_tokens.alias("n_tokens"),
     )
+
+
+def bpe_vocab(
+    df: DataFrame,
+    merges: list[tuple] | DataFrame,
+    text_col: str = "text",
+    top_v: int | None = None,
+) -> DataFrame:
+    """Final vocabulary after applying the learned merges: every surviving
+    symbol with its corpus occurrence count, ranked, with the cumulative
+    coverage curve — the check you run before freezing a tokenizer (does
+    the top-V vocabulary cover enough of the corpus? where does the
+    long tail start?).
+
+    Scale: same shape as training — the corpus collapses to the word
+    table once, merges apply as literal replaces, and the vocabulary
+    aggregate explodes SYMBOLS of distinct words weighted by word count
+    (vocabulary-scale work throughout). The coverage window runs over
+    the final (tokens × 1 row) relation, which is vocab-sized.
+    Counts are exact longs; the cumulative fraction divides exact sums,
+    so the curve is deterministic cross-engine.
+
+    Returns (token, n, rank, cum_coverage) ordered by rank; ``top_v``
+    truncates to the head of the curve."""
+    from pyspark.sql import Window
+
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("round").collect()
+        pairs = [(r["left"], r["right"]) for r in rows]
+    else:
+        pairs = [(m[1], m[2]) for m in sorted(merges, key=lambda m: m[0])]
+    wc = word_counts(df, text_col)
+    sym = wrap_symbols(F.col("word"))
+    for x, y in pairs:
+        sym = F.replace(sym, F.lit(f"|{x}||{y}|"), F.lit(f"|{x}{y}|"))
+    toks = (
+        wc.select(F.col("n"), F.explode(_sym_array(sym)).alias("token"))
+        .groupBy("token")
+        .agg(F.sum("n").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), "token")
+    total = toks.agg(F.sum("n").alias("__t"))
+    out = (
+        toks.join(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "token",
+            "n",
+            F.col("rank").cast("long").alias("rank"),
+            F.round(
+                F.sum("n").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                / F.col("__t"),
+                6,
+            ).alias("cum_coverage"),
+        )
+    )
+    return out.filter(F.col("rank") <= top_v) if top_v else out
