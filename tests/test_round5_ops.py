@@ -404,3 +404,71 @@ def test_bpe_vocab_coverage_curve(spark, corpus_df):
     assert cums == sorted(cums)  # monotone non-decreasing
     assert abs(cums[-1] - 1.0) < 1e-5  # full curve ends at 1
     assert rows[0]["n"] >= rows[-1]["n"]  # ranked by count desc
+
+
+# ---------------------------------------------------------------------------
+# mine_bitext (margin-based alignment)
+# ---------------------------------------------------------------------------
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_mine_bitext_finds_planted_pairs(spark):
+    from truthound_spark.pipeline.align import mine_bitext
+
+    # src i and tgt i share (nearly) the same direction; others orthogonal-ish
+    src = _vec_df(spark, [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.0, 1.0])])
+    tgt = _vec_df(
+        spark,
+        [
+            (11, [0.99, 0.1, 0.0]),
+            (12, [0.1, 0.99, 0.0]),
+            (13, [0.0, 0.1, 0.99]),
+        ],
+    )
+    got = {(r["src_id"], r["tgt_id"]) for r in mine_bitext(src, tgt, k=2).collect()}
+    assert got == {(1, 11), (2, 12), (3, 13)}
+
+
+def test_mine_bitext_shared_id_space_not_dropped(spark):
+    """Regression: brute_force_topk's self-exclusion must NOT apply
+    cross-corpus — numerically equal ids are different documents."""
+    from truthound_spark.pipeline.align import mine_bitext
+
+    src = _vec_df(spark, [(1, [1.0, 0.0])])
+    tgt = _vec_df(spark, [(1, [1.0, 0.01])])  # same id, best (only) match
+    out = mine_bitext(src, tgt, k=1).collect()
+    assert len(out) == 1 and out[0]["src_id"] == 1 and out[0]["tgt_id"] == 1
+
+
+def test_mine_bitext_min_margin_filters(spark):
+    from truthound_spark.pipeline.align import mine_bitext
+
+    src = _vec_df(spark, [(1, [1.0, 0.0]), (2, [0.7, 0.7])])
+    tgt = _vec_df(spark, [(11, [1.0, 0.05]), (12, [0.7, 0.72])])
+    all_pairs = mine_bitext(src, tgt, k=2).collect()
+    strict = mine_bitext(src, tgt, k=2, min_margin=999.0).collect()
+    assert len(all_pairs) >= 1 and strict == []
+
+
+def test_mine_bitext_mutual_false_keeps_every_src(spark):
+    from truthound_spark.pipeline.align import mine_bitext
+
+    src = _vec_df(spark, [(1, [1.0, 0.0]), (2, [0.9, 0.1])])
+    tgt = _vec_df(spark, [(11, [1.0, 0.0])])
+    out = mine_bitext(src, tgt, k=1, mutual=False)
+    assert out.count() == 2  # both srcs nominate; only one can be mutual
+    assert mine_bitext(src, tgt, k=1, mutual=True).count() == 1
+
+
+def test_brute_force_topk_exclude_self_default_unchanged(spark):
+    from truthound_spark.pipeline.similarity import brute_force_topk
+
+    df = _vec_df(spark, [(1, [1.0, 0.0]), (2, [0.9, 0.1])])
+    q = df.filter(F.col("vec_id") == 1)
+    default = brute_force_topk(df, q, k=5).collect()
+    assert all(r["id"] != r["query_id"] for r in default)
+    incl = brute_force_topk(df, q, k=5, exclude_self=False).collect()
+    assert any(r["id"] == r["query_id"] for r in incl)

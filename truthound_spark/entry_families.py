@@ -297,6 +297,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "decontaminate_multi_documents",
     "tag_documents_documents",
     "bpe_vocab_documents",
+    "bitext_mining_embeddings",
 ]
 
 

@@ -8896,3 +8896,101 @@ def q_bpe_vocab_documents(spark, sf_dir):
     df = t(spark, sf_dir, "documents")
     merges = bpe_train(df, rounds=_BPE_ROUNDS)
     return bpe_vocab(df, merges, top_v=50).orderBy("rank")
+
+
+_COS_SQL = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "bitext_mining_embeddings",
+    f"""
+    WITH ed AS (
+      SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    s AS (SELECT * FROM ed WHERE id % 2 = 0),
+    tt AS (SELECT * FROM ed WHERE id % 2 = 1),
+    fwd AS (
+      SELECT src_id, tgt_id, cosine FROM (
+        SELECT s.id AS src_id, tt.id AS tgt_id,
+               {_COS_SQL.format(a='s.v', b='tt.v')} AS cosine,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.id
+                 ORDER BY {_COS_SQL.format(a='s.v', b='tt.v')} DESC, tt.id
+               ) AS rn
+        FROM s, tt
+      ) WHERE rn <= 4
+    ),
+    bwd AS (
+      SELECT src_id, tgt_id, cosine FROM (
+        SELECT tt.id AS tgt_id, s.id AS src_id,
+               {_COS_SQL.format(a='tt.v', b='s.v')} AS cosine,
+               ROW_NUMBER() OVER (
+                 PARTITION BY tt.id
+                 ORDER BY {_COS_SQL.format(a='tt.v', b='s.v')} DESC, s.id
+               ) AS rn
+        FROM tt, s
+      ) WHERE rn <= 4
+    ),
+    asrc AS (
+      SELECT src_id,
+             SUM(CAST(round(cosine * 1000000.0) AS BIGINT)) / COUNT(*) / 1000000.0
+               AS nbhd_src
+      FROM fwd GROUP BY 1
+    ),
+    atgt AS (
+      SELECT tgt_id,
+             SUM(CAST(round(cosine * 1000000.0) AS BIGINT)) / COUNT(*) / 1000000.0
+               AS nbhd_tgt
+      FROM bwd GROUP BY 1
+    ),
+    cand AS (
+      SELECT f.src_id, f.tgt_id, f.cosine,
+             ROUND(f.cosine / ((a.nbhd_src + b.nbhd_tgt) / 2), 6) AS margin
+      FROM fwd f JOIN asrc a ON f.src_id = a.src_id
+                 JOIN atgt b ON f.tgt_id = b.tgt_id
+    ),
+    bestf AS (
+      SELECT src_id, tgt_id, ROUND(cosine, 6) AS cosine, margin FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ),
+    bcand AS (
+      SELECT w.src_id, w.tgt_id,
+             ROUND(w.cosine / ((a.nbhd_src + b.nbhd_tgt) / 2), 6) AS margin
+      FROM bwd w JOIN asrc a ON w.src_id = a.src_id
+                 JOIN atgt b ON w.tgt_id = b.tgt_id
+    ),
+    bestb AS (
+      SELECT tgt_id, src_id AS b_src FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS rn
+        FROM bcand
+      ) WHERE rn = 1
+    )
+    SELECT f.src_id, f.tgt_id, f.cosine, f.margin
+    FROM bestf f JOIN bestb b ON f.tgt_id = b.tgt_id AND f.src_id = b.b_src
+    ORDER BY f.src_id
+    """,
+)
+def q_bitext_mining_embeddings(spark, sf_dir):
+    """Margin-based bitext mining (pipeline/align.py mine_bitext —
+    Artetxe & Schwenk 2019, the LASER/CCMatrix parallel-corpus recipe):
+    even vec_ids play the source corpus, odd the target; each side's
+    k-NN neighborhood mean (exact quantized sums) normalizes the cosine
+    into the ratio margin, each src nominates its max-margin tgt, and
+    only MUTUAL nominations survive. Two broadcast-query top-k passes —
+    the corpora never cross-shuffle; all post-candidate work is
+    candidate-sized. The oracle replays both passes and the margin/
+    mutual chain."""
+    from truthound_spark.pipeline.align import mine_bitext
+
+    df = t(spark, sf_dir, "embeddings")
+    src = df.filter(F.col("vec_id") % 2 == 0)
+    tgt = df.filter(F.col("vec_id") % 2 == 1)
+    return mine_bitext(src, tgt, k=4).orderBy("src_id")

@@ -25,12 +25,18 @@ def brute_force_topk(
     id_col: str = "vec_id",
     query_vec_col: str | None = None,
     query_id_col: str | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
     queries is broadcast (query sets are small relative to the corpus);
     the corpus is scanned ONCE, scoring all queries per row — one shuffle
     for the per-query top-k window. Returns (query_id, id, cosine, rank).
+
+    ``exclude_self=True`` (default) drops id == query_id pairs — right
+    when queries come FROM the corpus; pass False for cross-corpus
+    search where numerically equal ids are different documents
+    (``align.mine_bitext``).
 
     Audited plan (Spark 4): the ``rank <= k`` filter compiles to
     ``WindowGroupLimit … Partial`` BEFORE the exchange — each map task
@@ -41,7 +47,10 @@ def brute_force_topk(
     qi = query_id_col or id_col
     corpus = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     q = queries.select(F.col(qi).alias("query_id"), F.col(qv).cast("array<double>").alias("qv"))
-    scored = corpus.crossJoin(F.broadcast(q)).filter(F.col("id") != F.col("query_id")).select(
+    joined = corpus.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col("id") != F.col("query_id"))
+    scored = joined.select(
         "query_id",
         "id",
         cosine_sim(F.col("v"), F.col("qv")).alias("cosine"),
