@@ -472,3 +472,70 @@ def test_brute_force_topk_exclude_self_default_unchanged(spark):
     assert all(r["id"] != r["query_id"] for r in default)
     incl = brute_force_topk(df, q, k=5, exclude_self=False).collect()
     assert any(r["id"] == r["query_id"] for r in incl)
+
+
+# ---------------------------------------------------------------------------
+# mine_hard_negatives / curriculum_order
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_excludes_positives_and_ranks_dense(spark):
+    from truthound_spark.pipeline.align import mine_hard_negatives
+
+    corpus = _vec_df(
+        spark,
+        [(i, [1.0 - i * 0.1, i * 0.1]) for i in range(6)],
+    )
+    q = corpus.filter(F.col("vec_id") == 0).withColumnRenamed("vec_id", "query_id")
+    pos = spark.createDataFrame([(0, 1)], "query_id long, vec_id long")
+    out = mine_hard_negatives(corpus, q, pos, k=3).collect()
+    ids = [r["id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert 1 not in ids  # positive excluded
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3]
+
+
+def test_hard_negatives_cosine_band(spark):
+    from truthound_spark.pipeline.align import mine_hard_negatives
+
+    corpus = _vec_df(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])])
+    q = _vec_df(spark, [(9, [1.0, 0.0])]).withColumnRenamed("vec_id", "query_id")
+    pos = spark.createDataFrame([], "query_id long, vec_id long")
+    out = mine_hard_negatives(corpus, q, pos, k=5, max_cosine=0.98).collect()
+    assert all(r["cosine"] <= 0.98 for r in out)
+    assert all(r["id"] == 2 for r in out)  # the cos=1.0 self-alike is banded out
+
+
+def test_curriculum_order_bands_partition_by_score(spark):
+    from truthound_spark.pipeline.export import curriculum_order
+
+    docs = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "doc_id long, score double"
+    )
+    out = curriculum_order(docs, "score", n_bands=4, n_shards=4)
+    rows = out.collect()
+    assert len(rows) == 100
+    by_id = {r["id"]: r["band"] for r in rows}
+    # band 0 = highest scores; each quartile of 25
+    for i in range(100):
+        assert by_id[i] == min(3, (99 - i) // 25), i
+    # positions dense per (band, shard)
+    import collections
+
+    pos = collections.defaultdict(list)
+    for r in rows:
+        pos[(r["band"], r["shard"])].append(r["position"])
+    for k_, v in pos.items():
+        assert sorted(v) == list(range(1, len(v) + 1)), k_
+
+
+def test_curriculum_order_ties_share_band(spark):
+    from truthound_spark.pipeline.export import curriculum_order
+
+    docs = spark.createDataFrame(
+        [(i, 1.0) for i in range(10)] + [(100 + i, 0.0) for i in range(10)],
+        "doc_id long, score double",
+    )
+    out = curriculum_order(docs, "score", n_bands=2, n_shards=2)
+    bands = {r["id"]: r["band"] for r in out.collect()}
+    assert all(bands[i] == 0 for i in range(10))
+    assert all(bands[100 + i] == 1 for i in range(10))

@@ -298,6 +298,8 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "tag_documents_documents",
     "bpe_vocab_documents",
     "bitext_mining_embeddings",
+    "hard_negatives_embeddings",
+    "curriculum_order_documents",
 ]
 
 

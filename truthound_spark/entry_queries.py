@@ -8994,3 +8994,106 @@ def q_bitext_mining_embeddings(spark, sf_dir):
     src = df.filter(F.col("vec_id") % 2 == 0)
     tgt = df.filter(F.col("vec_id") % 2 == 1)
     return mine_bitext(src, tgt, k=4).orderBy("src_id")
+
+
+@register(
+    "hard_negatives_embeddings",
+    f"""
+    WITH ed AS (
+      SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT id AS query_id, v AS qv FROM ed WHERE id < 6),
+    pos AS (
+      SELECT id AS query_id, id + 1 AS id FROM ed WHERE id < 6
+    ),
+    scored AS (
+      SELECT q.query_id, c.id, {_COS_SQL.format(a='c.v', b='q.qv')} AS cosine
+      FROM ed c, q
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pos p WHERE p.query_id = q.query_id AND p.id = c.id
+      )
+    )
+    SELECT query_id, id, ROUND(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
+      FROM scored WHERE cosine <= 0.98
+    ) WHERE rank <= 8 ORDER BY query_id, rank
+    """,
+)
+def q_hard_negatives_embeddings(spark, sf_dir):
+    """Hard-negative mining (pipeline/align.py mine_hard_negatives — the
+    DPR/bi-encoder training recipe): per query the top-8 most-similar
+    corpus vectors that are NOT labeled positives (gold = each query's
+    id+1 neighbor here), anti-joined BEFORE ranking so every rank is a
+    usable negative, with a 0.98 cosine ceiling as the false-negative
+    guard. One scored corpus pass + broadcast anti-join + per-query
+    window; the oracle replays scoring, NOT EXISTS, band, and ranks."""
+    from truthound_spark.pipeline.align import mine_hard_negatives
+
+    df = t(spark, sf_dir, "embeddings")
+    q = df.filter(F.col("vec_id") < 6).withColumnRenamed("vec_id", "query_id")
+    pos = (
+        df.filter(F.col("vec_id") < 6)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            (F.col("vec_id") + 1).alias("vec_id"),
+        )
+    )
+    return mine_hard_negatives(
+        df, q, pos, k=8, max_cosine=0.98
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "curriculum_order_documents",
+    """
+    WITH sc AS (
+      SELECT doc_id,
+             CAST(round((CASE WHEN n_chars > 0 THEN LEAST(n_chars / 200.0, 1.0)
+                         ELSE 0.0 END) * 1000000.0) AS BIGINT) AS qs
+      FROM documents
+    ),
+    hist AS (SELECT qs, COUNT(*) AS c FROM sc GROUP BY qs),
+    tot AS (SELECT SUM(c) AS t FROM hist),
+    bands AS (
+      SELECT qs,
+             CAST(LEAST(
+               FLOOR((SUM(c) OVER (ORDER BY qs DESC
+                                   ROWS UNBOUNDED PRECEDING) - c) * 4 / tot.t),
+               3) AS INT) AS band
+      FROM hist, tot
+    ),
+    keyed AS (
+      SELECT sc.doc_id AS id, b.band,
+             md5('0:' || CAST(sc.doc_id AS VARCHAR)) AS okey
+      FROM sc JOIN bands b ON sc.qs = b.qs
+    )
+    SELECT id, band,
+           CAST(CAST(('0x' || substr(okey, 1, 6)) AS BIGINT) % 8 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY band, CAST(('0x' || substr(okey, 1, 6)) AS BIGINT) % 8
+             ORDER BY okey, id
+           ) AS BIGINT) AS position
+    FROM keyed ORDER BY id
+    """,
+)
+def q_curriculum_order_documents(spark, sf_dir):
+    """Curriculum export order (pipeline/export.py curriculum_order):
+    exact quality-quantile bands WITHOUT a global sort — scores quantize
+    to 1e-6 longs into a value histogram (distinct-score-sized), whose
+    running count gives each value's rank range and band; the corpus
+    gets its band via broadcast join, then a per-(band, shard)
+    deterministic md5 order. Score here = bounded length signal
+    least(n_chars/200, 1). The oracle replays histogram, band
+    arithmetic, and the md5 shuffle — exact membership and positions."""
+    from truthound_spark.pipeline.export import curriculum_order
+
+    df = t(spark, sf_dir, "documents")
+    scored = df.withColumn(
+        "score",
+        F.when(F.col("n_chars") > 0, F.least(F.col("n_chars") / 200.0, F.lit(1.0)))
+        .otherwise(F.lit(0.0)),
+    )
+    return curriculum_order(scored, "score", n_bands=4, n_shards=8).orderBy("id")

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from truthound_spark.pipeline.similarity import brute_force_topk
 
-__all__ = ["mine_bitext"]
+__all__ = ["mine_bitext", "mine_hard_negatives"]
 
 
 def mine_bitext(
@@ -126,3 +126,70 @@ def mine_bitext(
     if min_margin is not None:
         out = out.filter(F.col("margin") >= float(min_margin))
     return out
+
+
+def mine_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    min_cosine: float | None = None,
+    max_cosine: float | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retriever training (the DPR /
+    sentence-transformers recipe): for each query, the top-k most similar
+    corpus documents that are NOT its labeled positives — the negatives
+    that actually move a bi-encoder, unlike random ones.
+
+    ``positives`` is (query_id, id) gold pairs; they are anti-joined out
+    BEFORE the rank window, so every returned rank is a usable negative
+    (no holes where a positive was removed). The optional
+    ``min_cosine``/``max_cosine`` band selects SEMI-hard negatives —
+    similar enough to be informative, not so similar they're likely
+    unlabeled positives (the false-negative guard production mining
+    uses).
+
+    Plan: one broadcast-query scored pass over the corpus (same
+    WindowGroupLimit shape as ``brute_force_topk``), one broadcast
+    anti-join against the (tiny) gold set, one per-query window. The
+    corpus is scanned once and never shuffled beyond the per-query
+    top-k rows.
+
+    Returns (query_id, id, cosine, rank), rank 1-based per query."""
+    from truthound_spark.pipeline.dedup import cosine_sim
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    q = queries.select(
+        F.col(query_id_col).cast("long").alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    pos = positives.select(
+        F.col(query_id_col).cast("long").alias("query_id"),
+        F.col(id_col).cast("long").alias("id"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .select("query_id", "id", cosine_sim(F.col("v"), F.col("qv")).alias("cosine"))
+        .join(F.broadcast(pos), ["query_id", "id"], "left_anti")
+    )
+    if min_cosine is not None:
+        scored = scored.filter(F.col("cosine") >= float(min_cosine))
+    if max_cosine is not None:
+        scored = scored.filter(F.col("cosine") <= float(max_cosine))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "id", F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -505,3 +505,75 @@ def repetition_plan(
     ).cast("long") % denom
     extra = (h < F.lit(int(frac * denom))).cast("int")
     return df.withColumn("repeats", (F.lit(int(base)) + extra).cast("int"))
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    n_bands: int = 4,
+    n_shards: int = 8,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Curriculum export order: band the corpus into ``n_bands`` exact
+    score quantile bins (band 0 = highest scores — train on the cleanest
+    data first, the quality-staged pretraining schedule), then give each
+    band its own deterministic ``global_shuffle``-style order so training
+    within a stage is still well-mixed.
+
+    EXACT banding WITHOUT a global sort: scores quantize to 1e-6 longs
+    and aggregate into a value histogram — a relation the size of the
+    DISTINCT score set, tiny next to the corpus — whose running count
+    (one window over the small histogram) yields each score value's
+    rank range; band = floor(rank_start · n_bands / total), so ties
+    share a band deterministically. The corpus then gets its band by a
+    broadcast join on the quantized score: no corpus-wide sort ever
+    happens (the trap a cume_dist/ntile formulation falls into — one
+    task sorting 100 TB).
+
+    Returns (id, band, shard, position); the loader reads bands in
+    order, shards within a band in index order, rows by position."""
+    if n_bands < 1 or n_shards < 1:
+        raise ValueError("n_bands and n_shards must be >= 1")
+    from pyspark.sql import Window
+
+    qs = F.round(F.col(score_col) * 1e6).cast("long")
+    hist = df.groupBy(qs.alias("__qs")).agg(F.count(F.lit(1)).alias("__c"))
+    wcum = Window.orderBy(F.desc("__qs")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = hist.agg(F.sum("__c").alias("__t"))
+    bands = (
+        hist.withColumn("__cum", F.sum("__c").over(wcum))
+        .join(F.broadcast(total))
+        .select(
+            "__qs",
+            F.least(
+                F.floor((F.col("__cum") - F.col("__c")) * n_bands / F.col("__t")),
+                F.lit(n_bands - 1),
+            )
+            .cast("int")
+            .alias("band"),
+        )
+    )
+    return (
+        df.select(F.col(key_col).cast("long").alias("id"), qs.alias("__qs"))
+        .join(F.broadcast(bands), "__qs")
+        .withColumn(
+            "__okey",
+            F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col("id").cast("string"))),
+        )
+        .withColumn(
+            "shard",
+            (F.conv(F.substring("__okey", 1, 6), 16, 10).cast("long") % n_shards).cast(
+                "int"
+            ),
+        )
+        .withColumn(
+            "position",
+            F.row_number()
+            .over(Window.partitionBy("band", "shard").orderBy("__okey", "id"))
+            .cast("long"),
+        )
+        .select("id", "band", "shard", "position")
+    )
