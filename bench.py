@@ -389,6 +389,26 @@ def main():
 
     bench_one("bpe_train_tokenize", bpe_bench, timings, cold_timings)
 
+    def tagger_bench():
+        from truthound_spark.pipeline.text import tag_documents
+
+        tag_documents(documents).agg(
+            F.avg("quality_score"), F.avg("classifier_score")
+        ).collect()
+
+    bench_one("tag_documents_fused", tagger_bench, timings, cold_timings)
+
+    def bitext_bench():
+        from truthound_spark.pipeline.align import mine_bitext
+
+        mine_bitext(
+            embeddings.filter(F.col("vec_id") % 2 == 0),
+            embeddings.filter(F.col("vec_id") % 2 == 1),
+            k=4,
+        ).count()
+
+    bench_one("bitext_mining", bitext_bench, timings, cold_timings)
+
     # --- BASELINE.md pushdown workload shapes (sqlite-null/range/unique
     # roles; DuckDB executes the generated SQL in-database over the same
     # parquet — on a cluster the identical SQL rides spark.read.jdbc) -----

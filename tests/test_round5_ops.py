@@ -539,3 +539,30 @@ def test_curriculum_order_ties_share_band(spark):
     bands = {r["id"]: r["band"] for r in out.collect()}
     assert all(bands[i] == 0 for i in range(10))
     assert all(bands[100 + i] == 1 for i in range(10))
+
+
+def test_tag_documents_streaming_compatible(spark, tmp_path):
+    """tag_documents is map-only, so the same call must work unchanged on
+    a streaming DataFrame — the property that lets the tagging stage run
+    in the ingestion path (readStream -> tag -> writeStream)."""
+    src = str(tmp_path / "stream_in")
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "la la la")], "doc_id long, text string"
+    ).write.parquet(src)
+    from truthound_spark.pipeline.text import tag_documents
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    tagged = tag_documents(stream)
+    q = (
+        tagged.select("doc_id", "quality_score", "predicted_lang", "classifier_score")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2}
