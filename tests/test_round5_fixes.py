@@ -1,10 +1,11 @@
 """Round-5 regression tests: the ADVICE r4 fixes stay fixed.
 
-1. connected_components' small-graph fast path collects edges via Arrow
-   (two int64 columns, ~16 B/edge) instead of Row objects, restores the
-   session's Arrow conf afterwards, and now defaults to a 500k-edge
-   ceiling (ADVICE r4 medium: the old 2M default under-estimated Row
-   overhead by 10-30x).
+1. connected_components' small-graph fast path collects edges via
+   DataFrame.toArrow() (two int64 columns, ~16 B/edge) instead of Row
+   objects — no session-conf involvement at all (the conf-restore
+   assertions below pin that the session state is untouched either
+   way) — and defaults to a 500k-edge ceiling (ADVICE r4 medium: the
+   old 2M default under-estimated Row overhead by 10-30x).
 2. semantic_dedup / ivf_seeded_topk / ivf_build_index default centroids
    are the num_cells LOWEST-id vectors, not filter(id < num_cells) — so
    a snowflake-style id space (ids nowhere near 0) no longer silently
@@ -166,7 +167,8 @@ def test_embedding_stats_empty_input_zero_mismatch(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     r = embedding_stats(df, "embedding").collect()[0]
     assert r["n_vectors"] == 0
-    assert r["n_dim_mismatch"] == 0 or r["n_dim_mismatch"] is None
+    assert r["n_dim_mismatch"] == 0  # strict: the documented contract
+    assert r["n_null"] == 0 and r["n_nan"] == 0 and r["n_zero"] == 0
 
 
 def test_embedding_stats_all_null_zero_mismatch(spark):

@@ -566,3 +566,62 @@ def test_tag_documents_streaming_compatible(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got == {1, 2}
+
+
+def test_bpe_oracle_early_stop_parity(spark):
+    """The generated DuckDB oracle must mirror bpe_train's early stop:
+    on a sparse corpus where only ONE pair reaches min_pair_count, both
+    sides emit exactly one merge row, and the vocab CTEs pass through
+    unchanged instead of emptying (the old cross-join trapdoor)."""
+    import duckdb
+
+    from truthound_spark.entry_queries import _BPE_ROUNDS, _bpe_oracle_ctes, _bpe_oracle_sql
+    from truthound_spark.pipeline.tokenizer import bpe_train, bpe_vocab
+
+    docs = [(1, "ab ab cd")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got_train = [
+        (r["round"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train(df, rounds=_BPE_ROUNDS).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    oracle_train = [
+        (r[0], r[1], r[2], r[4]) for r in con.execute(_bpe_oracle_sql(_BPE_ROUNDS)).fetchall()
+    ]
+    assert got_train == oracle_train == [(1, "a", "b", 2)]
+    # vocab after the single merge: oracle w{R} must NOT be empty
+    vocab_sql = (
+        _bpe_oracle_ctes(_BPE_ROUNDS)
+        + f" SELECT t AS token, SUM(n) AS n FROM (SELECT n,"
+        f" unnest(string_split(trim(sym,'|'),'||')) AS t FROM w{_BPE_ROUNDS})"
+        f" GROUP BY 1 ORDER BY 1"
+    )
+    oracle_vocab = dict(con.execute(vocab_sql).fetchall())
+    merges = bpe_train(df, rounds=_BPE_ROUNDS)
+    got_vocab = {r["token"]: r["n"] for r in bpe_vocab(df, merges).collect()}
+    assert got_vocab == oracle_vocab == {"ab": 2, "c": 1, "d": 1}
+
+
+def test_curriculum_order_null_scores_keep_rows_lowest_band(spark):
+    """Review r5: NULL scores must neither vanish from the export nor
+    inflate the band denominator — they sort last, into the lowest
+    band, and every input row appears in the output."""
+    from truthound_spark.pipeline.export import curriculum_order
+
+    docs = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)]
+        + [(1000 + i, None) for i in range(50)],
+        "doc_id long, score double",
+    )
+    out = curriculum_order(docs, "score", n_bands=4, n_shards=4)
+    rows = out.collect()
+    assert len(rows) == 150  # nothing dropped
+    bands = {r["id"]: r["band"] for r in rows}
+    null_bands = {bands[1000 + i] for i in range(50)}
+    assert len(null_bands) == 1  # all NULLs share one band (one tie group)
+    # ...and it is never better than any real score's band
+    assert min(null_bands) >= max(bands[i] for i in range(100))
+    # highest scores still band 0
+    assert bands[99] == 0

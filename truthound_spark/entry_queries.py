@@ -8471,11 +8471,20 @@ def q_trained_classifier_scores_documents(spark, sf_dir):
 # ===========================================================================
 
 
-def _bpe_oracle_sql(rounds: int) -> str:
-    """Per-round relational replay of bpe_train: the pair-count argmax
-    and the delimiter-wrapped string replace are expressed in the SAME
-    operations DuckDB has (string replace is greedy left-to-right
-    non-overlapping in both engines — the exact BPE merge fold)."""
+def _bpe_oracle_ctes(rounds: int, min_pair_count: int = 2) -> str:
+    """The shared CTE chain replaying bpe_train: per-round pair-count
+    argmax + delimiter-wrapped string replace, in the SAME operations
+    DuckDB has (string replace is greedy left-to-right non-overlapping
+    in both engines — the exact BPE merge fold).
+
+    Early-stop parity: each m{r} filters ``c >= min_pair_count`` exactly
+    like bpe_train's stop condition, and w{r} applies the merge via a
+    LEFT JOIN ON TRUE — when no pair qualifies, m{r} is empty, w{r}
+    passes w{r-1} through UNCHANGED (a cross join would silently EMPTY
+    the relation), and every later round is identically empty — the
+    relational image of the Spark loop's break. Returns the "WITH ..."
+    prefix ending at w{rounds}; callers append their own final SELECT
+    against m1..m{rounds} / w{rounds}."""
     norm = _NORM_SQL.format(c="text")
     pair_cte = """p{r} AS (
       SELECT p[1] AS x, p[2] AS y, SUM(n) AS c FROM (
@@ -8495,20 +8504,26 @@ def _bpe_oracle_sql(rounds: int) -> str:
     for r in range(1, rounds + 1):
         ctes.append(pair_cte.format(r=r, prev=r - 1))
         ctes.append(
-            f"m{r} AS (SELECT x, y, c FROM p{r} ORDER BY c DESC, x, y LIMIT 1)"
+            f"m{r} AS (SELECT x, y, c FROM p{r} WHERE c >= {min_pair_count}"
+            f" ORDER BY c DESC, x, y LIMIT 1)"
         )
         ctes.append(
-            f"w{r} AS (SELECT replace(sym, '|'||m.x||'||'||m.y||'|',"
-            f" '|'||m.x||m.y||'|') AS sym, n FROM w{r-1}, m{r} m)"
+            f"w{r} AS (SELECT CASE WHEN m.x IS NULL THEN sym ELSE"
+            f" replace(sym, '|'||m.x||'||'||m.y||'|', '|'||m.x||m.y||'|')"
+            f" END AS sym, n FROM w{r-1} LEFT JOIN m{r} m ON TRUE)"
         )
+    return "WITH " + ",\n".join(ctes)
+
+
+def _bpe_oracle_sql(rounds: int) -> str:
+    """Full bpe_train oracle: the CTE chain + one row per learned merge."""
     selects = [
         f'SELECT {r} AS round, x AS "left", y AS "right", x||y AS merged,'
         f" c AS pair_count FROM m{r}"
         for r in range(1, rounds + 1)
     ]
     return (
-        "WITH "
-        + ",\n".join(ctes)
+        _bpe_oracle_ctes(rounds)
         + "\n"
         + "\nUNION ALL ".join(selects)
         + " ORDER BY round"
@@ -8537,7 +8552,7 @@ def q_bpe_train_documents(spark, sf_dir):
 
 @register(
     "bpe_token_counts_documents",
-    _bpe_oracle_sql(_BPE_ROUNDS).split("\nSELECT 1 AS round")[0]
+    _bpe_oracle_ctes(_BPE_ROUNDS)
     + f""",
     enc AS (
       SELECT doc_id,
@@ -8551,8 +8566,8 @@ def q_bpe_train_documents(spark, sf_dir):
                ), ' ')"""
     + "".join(
         f""",
-               (SELECT '|'||x||'||'||y||'|' FROM m{r}),
-               (SELECT '|'||x||y||'|' FROM m{r}))"""
+               COALESCE((SELECT '|'||x||'||'||y||'|' FROM m{r}), chr(1)),
+               COALESCE((SELECT '|'||x||y||'|' FROM m{r}), chr(1)))"""
         for r in range(1, _BPE_ROUNDS + 1)
     )
     + """ AS s
@@ -8863,11 +8878,12 @@ def q_tag_documents_documents(spark, sf_dir):
 
 @register(
     "bpe_vocab_documents",
-    _bpe_oracle_sql(_BPE_ROUNDS).split("\nSELECT 1 AS round")[0]
-    + """,
+    _bpe_oracle_ctes(_BPE_ROUNDS)
+    + f""",
     toks AS (
       SELECT t AS token, SUM(n) AS n FROM (
-        SELECT n, unnest(string_split(trim(sym,'|'),'||')) AS t FROM w6
+        SELECT n, unnest(string_split(trim(sym,'|'),'||')) AS t
+        FROM w{_BPE_ROUNDS}
       ) GROUP BY 1
     ),
     tot AS (SELECT SUM(n) AS t FROM toks),

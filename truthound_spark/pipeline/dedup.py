@@ -921,10 +921,10 @@ def connected_components(
 
     Small-graph fast path: when the (already LSH-filtered, verified) dup
     graph has ≤ ``driver_threshold`` directed edges, the edge LIST — never
-    the documents — collects to the driver VIA ARROW (two int64 numpy
-    columns, ~16 B/edge → 500k edges ≈ 8 MB on the wire; Arrow is enabled
-    around just this collect so Row-object materialization — 10-30× the
-    raw size — never happens) and a union-find labels it in one pass.
+    the documents — collects to the driver VIA ARROW (``toArrow()``: two
+    int64 numpy columns, ~16 B/edge → 500k edges ≈ 8 MB on the wire, no
+    Row-object materialization, and no session-conf toggling — safe under
+    concurrent SparkSession use) and a union-find labels it in one pass.
     Real driver cost at the default ceiling: ~8 MB arrays + a ≤1M-entry
     Python parent dict (~50-80 MB) + ~1 s of GIL-bound loop — bounded and
     documented, which is why the default is 500k and not higher; raise
@@ -951,16 +951,13 @@ def connected_components(
     # ceiling so cluster-scale graphs keep cluster-scale parallelism.
     n_edges = edges.count()  # free: edges were just checkpointed
     if n_edges <= driver_threshold:
-        sess = pairs.sparkSession
-        arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
-        prev_arrow = sess.conf.get(arrow_key, "false")
-        sess.conf.set(arrow_key, "true")
-        try:
-            pdf = edges.toPandas()
-        finally:
-            sess.conf.set(arrow_key, prev_arrow)
-        us = pdf["u"].to_numpy()
-        vs = pdf["v"].to_numpy()
+        # DataFrame.toArrow() (Spark 4) always ships Arrow batches —
+        # no session conf involved, so nothing to toggle and no race
+        # with concurrent work sharing the SparkSession (ADVICE r4 /
+        # review r5): two int64 columns, ~16 B/edge on the wire
+        tbl = edges.toArrow()
+        us = tbl.column("u").to_numpy()
+        vs = tbl.column("v").to_numpy()
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:

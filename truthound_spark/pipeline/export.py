@@ -32,6 +32,16 @@ from truthound_spark.pipeline.dedup import content_fingerprint
 from truthound_spark.pipeline.text import bpe_ish_token_count
 
 
+def md5_bucket6(col, n: int):
+    """First 6 md5 hex digits of ``col`` (a string Column) as a long,
+    mod ``n`` — THE engine-portable bucket/shard idiom shared by
+    global_shuffle / split_by_cluster / repetition_plan /
+    curriculum_order (DuckDB spells it
+    ``CAST(('0x'||substr(md5(x),1,6)) AS BIGINT) %% n``). One definition
+    so the arithmetic can never drift between operators."""
+    return F.conv(F.substring(F.md5(col), 1, 6), 16, 10).cast("long") % F.lit(n)
+
+
 def shard_by_hash(
     df: DataFrame,
     n_shards: int,
@@ -133,9 +143,7 @@ def split_by_cluster(
     base = df.select(F.col(id_col).cast("long").alias("id"))
     joined = base.join(c, base["id"] == c["__k"], "left")
     key = F.coalesce(F.col("__cluster"), F.col("id"))
-    b = F.conv(F.substring(F.md5(key.cast("string")), 1, 6), 16, 10).cast(
-        "long"
-    ) % F.lit(buckets)
+    b = md5_bucket6(key.cast("string"), buckets)
     return joined.select(
         "id",
         key.alias("cluster_key"),
@@ -317,7 +325,7 @@ def global_shuffle(
     from pyspark.sql import Window
 
     okey = F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col(key_col).cast("string")))
-    shard = (F.conv(F.substring(okey, 1, 6), 16, 10).cast("long") % n_shards).cast("int")
+    shard = (F.conv(F.substring(okey, 1, 6), 16, 10).cast("long") % n_shards).cast("int")  # = md5_bucket6 on the precomputed okey
     w = Window.partitionBy("shard").orderBy(F.col("__okey"), F.col(key_col))
     return (
         df.withColumn("__okey", okey)
@@ -537,7 +545,13 @@ def curriculum_order(
         raise ValueError("n_bands and n_shards must be >= 1")
     from pyspark.sql import Window
 
-    qs = F.round(F.col(score_col) * 1e6).cast("long")
+    # NULL scores sort LAST (lowest band) instead of silently vanishing
+    # from the export AND inflating the band denominator (review r5):
+    # coalesce to a sentinel below any real quantized score.
+    qs = F.coalesce(
+        F.round(F.col(score_col) * 1e6).cast("long"),
+        F.lit(-(2 ** 62)),
+    )
     hist = df.groupBy(qs.alias("__qs")).agg(F.count(F.lit(1)).alias("__c"))
     wcum = Window.orderBy(F.desc("__qs")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -567,7 +581,7 @@ def curriculum_order(
             "shard",
             (F.conv(F.substring("__okey", 1, 6), 16, 10).cast("long") % n_shards).cast(
                 "int"
-            ),
+            ),  # = md5_bucket6 on the precomputed __okey
         )
         .withColumn(
             "position",

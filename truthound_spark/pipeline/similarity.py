@@ -337,12 +337,22 @@ def embedding_stats(
         F.when(v.isNotNull() & ~has_nan, norm).alias("__norm"),
         (v.isNotNull() & (dim != dim_ref)).alias("__mismatch"),
     )
+    # counters coalesce to 0 so the documented empty-input contract
+    # (n_* = 0, never NULL) holds — SUM over zero rows is NULL in SQL
     return base.agg(
         F.count(F.lit(1)).alias("n_vectors"),
-        F.sum(F.col("__v").isNull().cast("long")).alias("n_null"),
-        F.sum(F.col("__mismatch").cast("long")).alias("n_dim_mismatch"),
-        F.sum(F.coalesce(F.col("__nan"), F.lit(False)).cast("long")).alias("n_nan"),
-        F.sum(F.coalesce(F.col("__zero"), F.lit(False)).cast("long")).alias("n_zero"),
+        F.coalesce(F.sum(F.col("__v").isNull().cast("long")), F.lit(0)).alias(
+            "n_null"
+        ),
+        F.coalesce(F.sum(F.col("__mismatch").cast("long")), F.lit(0)).alias(
+            "n_dim_mismatch"
+        ),
+        F.coalesce(
+            F.sum(F.coalesce(F.col("__nan"), F.lit(False)).cast("long")), F.lit(0)
+        ).alias("n_nan"),
+        F.coalesce(
+            F.sum(F.coalesce(F.col("__zero"), F.lit(False)).cast("long")), F.lit(0)
+        ).alias("n_zero"),
         F.round(F.sum("__qnorm") / F.count("__qnorm") / F.lit(1e6), 6).alias("avg_norm"),
         F.round(F.min("__norm"), 6).alias("min_norm"),
         F.round(F.max("__norm"), 6).alias("max_norm"),
