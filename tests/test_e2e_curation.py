@@ -161,3 +161,54 @@ def test_minhash_survives_pathological_skew(spark):
     # no shingles so each keeps itself (exact-dedup is their tool)
     assert canonical == 2000 + 1 + 300
     assert elapsed < 120, f"skew guard failed: took {elapsed:.0f}s"
+
+
+def test_round5_curation_stages_compose(spark, raw_docs):
+    """Round-5 stages in one flow: fused tagging → per-source quality
+    gate → near-dup clusters → cluster-aware split → curriculum order
+    → tokenizer-true token budget. Pins schema/id survival across the
+    new operators exactly like the round-4 composition above."""
+    from truthound_spark.pipeline.dedup import dedup_clusters
+    from truthound_spark.pipeline.export import curriculum_order, split_by_cluster
+    from truthound_spark.pipeline.text import quantile_gate, tag_documents
+    from truthound_spark.pipeline.tokenizer import bpe_token_counts, bpe_train
+
+    n0 = raw_docs.count()
+
+    # 1. ONE tagging pass provides every downstream signal
+    tagged = tag_documents(raw_docs).localCheckpoint(eager=True)
+    assert tagged.count() == n0
+
+    # 2. adaptive quality gate on the tagger's composite score
+    gated = quantile_gate(tagged, "quality_score", group_col="source", keep_fraction=0.8)
+    keep_ids = gated.filter(F.col("kept")).select("id")
+    survivors = tagged.join(
+        keep_ids.withColumnRenamed("id", "doc_id"), "doc_id"
+    )
+    n2 = survivors.count()
+    assert 0 < n2 <= n0
+
+    # 3. near-dup clusters → leak-proof cluster-aware split
+    clusters = dedup_clusters(survivors, threshold=0.7).select(
+        F.col("doc_id").alias("id"), "cluster_id"
+    )
+    split = split_by_cluster(survivors, clusters, val_fraction=0.1)
+    assert split.count() == n2
+    straddle = (
+        split.groupBy("cluster_key")
+        .agg(F.countDistinct("side").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert straddle == 0
+
+    # 4. curriculum order over the train side
+    train_ids = split.filter(F.col("side") == "train").select("id")
+    train = survivors.join(train_ids.withColumnRenamed("id", "doc_id"), "doc_id")
+    ordered = curriculum_order(train, "quality_score", n_bands=3, n_shards=4)
+    assert ordered.count() == train.count()
+
+    # 5. tokenizer-true token budget of the final corpus
+    merges = bpe_train(train, rounds=4)
+    budget = bpe_token_counts(train, merges).agg(F.sum("n_tokens")).collect()[0][0]
+    assert budget and budget > 0
