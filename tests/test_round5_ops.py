@@ -625,3 +625,31 @@ def test_curriculum_order_null_scores_keep_rows_lowest_band(spark):
     assert min(null_bands) >= max(bands[i] for i in range(100))
     # highest scores still band 0
     assert bands[99] == 0
+
+
+def test_curation_funnel_accounting(spark):
+    from truthound_spark.pipeline.report import curation_funnel
+
+    a = spark.range(100).withColumnRenamed("id", "doc_id")
+    b = a.filter(F.col("doc_id") < 60)
+    c = b.filter(F.col("doc_id") < 30)
+    rows = curation_funnel([("raw", a), ("s1", b), ("s2", c)]).orderBy("stage_idx").collect()
+    assert [(r["rows"], r["dropped"]) for r in rows] == [(100, 0), (60, 40), (30, 30)]
+    assert rows[1]["drop_rate"] == 0.4 and rows[2]["drop_rate"] == 0.5
+    assert rows[2]["keep_rate"] == 0.3
+
+
+def test_curation_funnel_growth_is_negative_drop(spark):
+    from truthound_spark.pipeline.report import curation_funnel
+
+    a = spark.range(10).withColumnRenamed("id", "doc_id")
+    grown = a.union(a)  # a stage that (wrongly) grew
+    rows = curation_funnel([("raw", a), ("grown", grown)]).orderBy("stage_idx").collect()
+    assert rows[1]["dropped"] == -10  # surfaced, not clamped
+
+
+def test_curation_funnel_empty_raises(spark):
+    from truthound_spark.pipeline.report import curation_funnel
+
+    with pytest.raises(ValueError):
+        curation_funnel([])

@@ -300,6 +300,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "bitext_mining_embeddings",
     "hard_negatives_embeddings",
     "curriculum_order_documents",
+    "curation_funnel_documents",
 ]
 
 

@@ -9113,3 +9113,80 @@ def q_curriculum_order_documents(spark, sf_dir):
         .otherwise(F.lit(0.0)),
     )
     return curriculum_order(scored, "score", n_bands=4, n_shards=8).orderBy("id")
+
+
+@register(
+    "curation_funnel_documents",
+    f"""
+    WITH RECURSIVE reach(node, root) AS (
+      SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+      UNION
+      SELECT e.v, r.root FROM reach r JOIN (
+        WITH shf AS (
+          SELECT id, list_filter(sh, x -> x <> '') AS sh FROM ({_SHINGLES_SQL})
+        ),
+        p AS (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM shf a JOIN shf b ON a.id < b.id
+          WHERE len(list_intersect(a.sh, b.sh))
+                / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.7
+        )
+        SELECT id_a AS u, id_b AS v FROM p
+        UNION SELECT id_b, id_a FROM p
+      ) e ON e.u = r.node
+    ),
+    canon AS (
+      SELECT node AS id FROM (
+        SELECT node, MIN(root) AS root FROM reach GROUP BY node
+      ) WHERE root = node
+    ),
+    c0 AS (SELECT COUNT(*) AS n FROM documents),
+    c1 AS (
+      SELECT COUNT(DISTINCT md5({_NORM_SQL.format(c='text')})) AS n FROM documents
+    ),
+    c2 AS (SELECT COUNT(*) AS n FROM canon),
+    c3 AS (
+      SELECT COUNT(*) AS n FROM canon JOIN documents d ON canon.id = d.doc_id
+      WHERE d.n_chars >= 100
+    ),
+    f(stage_idx, stage, rows) AS (
+      SELECT 0, 'raw', (SELECT n FROM c0)
+      UNION ALL SELECT 1, 'exact_canonical', (SELECT n FROM c1)
+      UNION ALL SELECT 2, 'fuzzy_canonical', (SELECT n FROM c2)
+      UNION ALL SELECT 3, 'length_gated', (SELECT n FROM c3)
+    )
+    SELECT stage_idx, stage, CAST(rows AS BIGINT) AS rows,
+           CAST(COALESCE(LAG(rows) OVER (ORDER BY stage_idx) - rows, 0) AS BIGINT)
+             AS dropped,
+           ROUND(COALESCE(
+             CAST(LAG(rows) OVER (ORDER BY stage_idx) - rows AS DOUBLE)
+               / NULLIF(LAG(rows) OVER (ORDER BY stage_idx), 0), 0.0), 6)
+             AS drop_rate,
+           ROUND(CAST(rows AS DOUBLE) / (SELECT n FROM c0), 6) AS keep_rate
+    FROM f ORDER BY stage_idx
+    """,
+)
+def q_curation_funnel_documents(spark, sf_dir):
+    """Curation funnel report (pipeline/report.py curation_funnel): row
+    accounting across raw → exact-canonical (distinct fingerprints) →
+    fuzzy-canonical (MinHash cluster representatives) → length-gated.
+    One O(1)-result count per stage — the audit that catches a silent
+    40%% drop no validator would flag. The oracle recomputes each
+    stage's membership relationally (recursive-CTE clusters for the
+    fuzzy stage) and the same dropped/drop_rate/keep_rate arithmetic."""
+    from truthound_spark.pipeline.dedup import content_fingerprint, dedup_clusters
+    from truthound_spark.pipeline.report import curation_funnel
+
+    df = t(spark, sf_dir, "documents")
+    exact = df.withColumn("__fp", content_fingerprint(F.col("text"))).dropDuplicates(
+        ["__fp"]
+    )
+    clusters = dedup_clusters(df, threshold=0.7)
+    canon = df.join(
+        clusters.filter(F.col("is_canonical")).select("doc_id"), "doc_id"
+    )
+    gated = canon.filter(F.col("n_chars") >= 100)
+    return curation_funnel(
+        [("raw", df), ("exact_canonical", exact), ("fuzzy_canonical", canon),
+         ("length_gated", gated)]
+    ).orderBy("stage_idx")
