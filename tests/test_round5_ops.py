@@ -653,3 +653,38 @@ def test_curation_funnel_empty_raises(spark):
 
     with pytest.raises(ValueError):
         curation_funnel([])
+
+
+def test_corpus_token_count_validator_with_trained_merges(spark):
+    """CorpusTokenCountValidator(merges=...) counts with the TRAINED
+    tokenizer inside the fused check() aggregate, and agrees with
+    bpe_token_counts exactly."""
+    import truthound_spark as th
+    from truthound_spark.pipeline.tokenizer import bpe_token_counts, bpe_train
+    from truthound_spark.validators.corpus import CorpusTokenCountValidator
+
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest " * (1 + i % 3)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, rounds=4)
+    per_doc = bpe_token_counts(docs, merges)
+    lo, hi = 8, 999
+    expect_viol = per_doc.filter(
+        (F.col("n_tokens") < lo) | (F.col("n_tokens") > hi)
+    ).count()
+    expect_total = per_doc.agg(F.sum("n_tokens")).collect()[0][0]
+    res = th.check(
+        docs,
+        validators=[
+            CorpusTokenCountValidator(min_tokens=lo, max_tokens=hi, merges=merges)
+        ],
+    )
+    issue = next(
+        (i for i in res.issues if i.issue_type == "token_budget_violation"), None
+    )
+    viol = issue.count if issue else 0
+    assert viol == expect_viol
+    details = (issue.details or {}) if issue else {}
+    if "total_tokens" in details:
+        assert int(details["total_tokens"]) == int(expect_total)

@@ -155,23 +155,56 @@ class CorpusQualityValidator(Validator):
 
 @register_validator("corpus_token_count", category="corpus")
 class CorpusTokenCountValidator(Validator):
-    """Docs outside [min_tokens, max_tokens] (BPE-ish estimate)."""
+    """Docs outside [min_tokens, max_tokens].
+
+    Token estimate: the BPE-ish regex count by default; pass ``merges``
+    (the output of ``pipeline.tokenizer.bpe_train``, collected list or
+    DataFrame) to count with the TRAINED tokenizer instead — the
+    tokenizer-true budget, still a pure column expression, so the check
+    stays inside the suite's single fused aggregate."""
 
     def __init__(
         self,
         column: str = "text",
         min_tokens: int = 10,
         max_tokens: int = 1_000_000,
+        merges: object | None = None,
     ) -> None:
         self.column = column
         self.min_tokens = min_tokens
         self.max_tokens = max_tokens
+        self.merges = merges
 
-    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+    def _token_expr(self, c: str):
         from truthound_spark.pipeline.text import bpe_ish_token_count
 
+        if self.merges is None:
+            return bpe_ish_token_count(F.col(c))
+        from pyspark.sql import DataFrame as _DF
+
+        from truthound_spark.pipeline.dedup import words
+        from truthound_spark.pipeline.tokenizer import wrap_symbols
+
+        if isinstance(self.merges, _DF):
+            rows = self.merges.orderBy("round").collect()
+            pairs = [(r["left"], r["right"]) for r in rows]
+        else:
+            pairs = [(m[1], m[2]) for m in sorted(self.merges, key=lambda m: m[0])]
+        wlist = F.filter(words(F.col(c)), lambda x: x != F.lit(""))
+        doc_sym = F.array_join(F.transform(wlist, wrap_symbols), " ")
+        for x, y in pairs:
+            doc_sym = F.replace(doc_sym, F.lit(f"|{x}||{y}|"), F.lit(f"|{x}{y}|"))
+        n_sep = (
+            F.length(doc_sym)
+            - F.length(F.replace(doc_sym, F.lit("||"), F.lit("")))
+        ) / 2
+        return F.when(
+            F.size(wlist) > 0, (n_sep + F.size(wlist)).cast("long")
+        ).otherwise(F.lit(0))
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
         (c,) = self._target_columns(df, [self.column])
-        tok = bpe_ish_token_count(F.col(c))
+        tok = self._token_expr(c)
         pred = (tok < self.min_tokens) | (tok > self.max_tokens)
         return [
             ExpressionSpec(
