@@ -688,3 +688,34 @@ def test_corpus_token_count_validator_with_trained_merges(spark):
     details = (issue.details or {}) if issue else {}
     if "total_tokens" in details:
         assert int(details["total_tokens"]) == int(expect_total)
+
+
+def test_soft_dedup_weights_mass_conservation(spark):
+    from truthound_spark.pipeline.dedup import soft_dedup_weights
+
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "same text"), (4, "unique one")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in soft_dedup_weights(docs).collect()}
+    assert out[1]["n_copies"] == 3 and out[1]["weight"] == round(1 / 3, 6)
+    assert out[4]["n_copies"] == 1 and out[4]["weight"] == 1.0
+    # alpha=1: every family sums to ~1 document of mass
+    total = sum(r["weight"] for r in out.values())
+    assert abs(total - 2.0) < 1e-4  # 2 distinct contents
+
+
+def test_soft_dedup_weights_cluster_mode(spark):
+    from truthound_spark.pipeline.dedup import soft_dedup_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, text string"
+    )
+    clusters = spark.createDataFrame(
+        [(i, i % 2) for i in range(6)], "id long, cluster_id long"
+    )
+    out = soft_dedup_weights(docs, clusters=clusters, alpha=0.5).collect()
+    assert all(r["n_copies"] == 3 for r in out)
+    import math
+
+    assert all(abs(r["weight"] - round(1 / math.sqrt(3), 6)) < 1e-9 for r in out)

@@ -301,6 +301,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "hard_negatives_embeddings",
     "curriculum_order_documents",
     "curation_funnel_documents",
+    "soft_dedup_weights_documents",
 ]
 
 

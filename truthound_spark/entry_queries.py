@@ -9190,3 +9190,32 @@ def q_curation_funnel_documents(spark, sf_dir):
         [("raw", df), ("exact_canonical", exact), ("fuzzy_canonical", canon),
          ("length_gated", gated)]
     ).orderBy("stage_idx")
+
+
+@register(
+    "soft_dedup_weights_documents",
+    f"""
+    WITH fp AS (
+      SELECT CAST(doc_id AS BIGINT) AS id,
+             md5({_NORM_SQL.format(c='text')}) AS f
+      FROM documents
+    ),
+    sz AS (SELECT f, COUNT(*) AS n FROM fp GROUP BY f)
+    SELECT fp.id, CAST(sz.n AS BIGINT) AS n_copies,
+           ROUND(1.0 / sz.n, 6) AS weight
+    FROM fp JOIN sz ON fp.f = sz.f ORDER BY fp.id
+    """,
+)
+def q_soft_dedup_weights_documents(spark, sf_dir):
+    """Soft deduplication (pipeline/dedup.py soft_dedup_weights): every
+    copy kept, weighted 1/n_copies so a duplicate family contributes one
+    document's worth of training mass — the drop-free alternative that
+    preserves the family's best member and its frequency signal.
+    Fingerprint groupBy shuffles 32-byte hashes only. The Spark side
+    groups on xxhash64(fingerprint) (shorter shuffle key); n_copies is
+    identical because md5 fingerprints are already distinct per content,
+    so the oracle groups on the fingerprint itself."""
+    from truthound_spark.pipeline.dedup import soft_dedup_weights
+
+    df = t(spark, sf_dir, "documents")
+    return soft_dedup_weights(df).orderBy("id")

@@ -1685,3 +1685,55 @@ def corpus_diff(
         .otherwise(F.lit("changed"))
         .alias("status"),
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    clusters: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """SOFT deduplication: keep every copy but down-weight it —
+    weight = 1 / n_copies^alpha, so a duplicate FAMILY contributes
+    ~one document's worth of training signal instead of n (the
+    SoftDeDup insight: dropping loses the family's best member and its
+    natural frequency signal; re-weighting keeps both). alpha=1 is
+    exact mass conservation; alpha<1 interpolates toward keeping
+    duplicates' extra weight.
+
+    Group key: the exact content fingerprint by default, or pass
+    ``clusters`` (any (id/doc_id, cluster_id) frame, e.g. from
+    :func:`dedup_clusters`) to weight by NEAR-dup family size.
+
+    Scale: fingerprint groupBy shuffles 32-byte hashes (never
+    documents); the weight join is on the id. Weights round to 6dp
+    (engine-reproducible).
+
+    Returns (id, n_copies, weight) — multiply into the loss or into
+    sampling rates downstream."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    if clusters is not None:
+        cid = "id" if "id" in clusters.columns else id_col
+        keyed = clusters.select(
+            F.col(cid).cast("long").alias("id"),
+            F.col("cluster_id").cast("long").alias("__k"),
+        )
+    else:
+        keyed = df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.xxhash64(content_fingerprint(F.col(text_col))).alias("__k"),
+        )
+    sizes = keyed.groupBy("__k").agg(F.count(F.lit(1)).alias("n_copies"))
+    return (
+        keyed.join(sizes, "__k")
+        .select(
+            "id",
+            F.col("n_copies").cast("long").alias("n_copies"),
+            F.round(
+                F.lit(1.0) / F.pow(F.col("n_copies").cast("double"), F.lit(float(alpha))),
+                6,
+            ).alias("weight"),
+        )
+    )
