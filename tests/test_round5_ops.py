@@ -719,3 +719,55 @@ def test_soft_dedup_weights_cluster_mode(spark):
     import math
 
     assert all(abs(r["weight"] - round(1 / math.sqrt(3), 6)) < 1e-9 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket-size skew guard
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_max_bucket_size_caps_quadratic_blowup(spark):
+    from truthound_spark.pipeline.dedup import minhash_lsh_candidates
+
+    n = 60
+    docs = spark.createDataFrame(
+        [(i, "exact same boilerplate cookie banner text appears here") for i in range(n)],
+        "doc_id long, text string",
+    )
+    uncapped = minhash_lsh_candidates(docs).count()
+    assert uncapped == n * (n - 1) // 2  # the quadratic monster bucket
+    capped = minhash_lsh_candidates(docs, max_bucket_size=10)
+    rows = capped.collect()
+    assert len(rows) == n - 1  # star edges only
+    assert all(r["id_a"] == 0 for r in rows)  # bucket-min is the hub
+
+
+def test_lsh_max_bucket_size_preserves_cluster_connectivity(spark):
+    from truthound_spark.pipeline.dedup import connected_components, minhash_lsh_candidates
+
+    docs = spark.createDataFrame(
+        [(i, "identical body of repeated boilerplate text for the skew test") for i in range(40)]
+        + [(100 + i, f"genuinely unique document number {i} with its own words {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_candidates(docs, max_bucket_size=8)
+    clusters = connected_components(pairs)
+    # all 40 boilerplate docs in ONE cluster rooted at 0
+    got = {r["id"]: r["cluster_id"] for r in clusters.collect()}
+    assert all(got[i] == 0 for i in range(40))
+
+
+def test_lsh_small_buckets_unaffected_by_cap(spark):
+    from truthound_spark.pipeline.dedup import minhash_lsh_candidates
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "completely different content with other words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    base = sorted(map(tuple, minhash_lsh_candidates(docs).collect()))
+    capped = sorted(map(tuple, minhash_lsh_candidates(docs, max_bucket_size=100).collect()))
+    assert base == capped == [(1, 2)]

@@ -307,6 +307,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 32,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
     _shingles: DataFrame | None = None,
     _hashed_shingles: DataFrame | None = None,
 ) -> DataFrame:
@@ -315,6 +316,20 @@ def minhash_lsh_candidates(
     bands b × rows r (= num_hashes/b): docs agreeing on ALL r minhashes in
     any band land in the same bucket → pair. Collision prob ≈ 1-(1-s^r)^b.
     Returns (id_a, id_b) with id_a < id_b, distinct across bands.
+
+    ``max_bucket_size`` is the SKEW GUARD for boilerplate-heavy corpora:
+    a bucket of m near-identical documents (cookie banners, templated
+    pages) otherwise emits m²/2 pairs per band — quadratic blowup on
+    exactly the data that needs dedup most. Buckets over the cap degrade
+    to STAR edges (bucket-min id → every member): candidate count drops
+    from O(m²) to O(m), transitive CLUSTERING connectivity is preserved
+    (every member still reaches the canonical via the star), and only
+    direct pair recall inside monster buckets degrades to via-canonical
+    (a member pair both ≥ threshold vs the canonical but < threshold vs
+    each other may split after verification). Default None keeps exact
+    all-pairs semantics — the oracle-certified mode; set a cap (e.g.
+    500) for production web-scale corpora, and/or run exact dedup first
+    so identical documents never form the bucket.
 
     The signature table is aggregated (a real shuffle barrier), so band
     bucket hashes are cheap column refs — Catalyst cannot re-inline the
@@ -363,6 +378,39 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "bucket")
+        band_entries = band_entries.select(
+            "id",
+            "band",
+            "bucket",
+            F.count(F.lit(1)).over(wb).alias("__bn"),
+            F.min("id").over(wb).alias("__bmin"),
+        )
+        small = band_entries.filter(F.col("__bn") <= max_bucket_size)
+        big_star = (
+            band_entries.filter(
+                (F.col("__bn") > max_bucket_size)
+                & (F.col("id") != F.col("__bmin"))
+            )
+            .select(F.col("__bmin").alias("id_a"), F.col("id").alias("id_b"))
+        )
+        left = small.alias("a")
+        right = small.alias("b")
+        pairs = (
+            left.join(
+                right,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .unionByName(big_star)
+            .dropDuplicates()
+        )
+        return pairs
     left = band_entries.alias("a")
     right = band_entries.alias("b")
     pairs = (
