@@ -434,12 +434,14 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     bands: int = 32,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard.
 
     Returns (id_a, id_b, jaccard) for pairs ≥ threshold. Verification joins
     the (small) candidate set back to shingle arrays — array_intersect /
-    array_union stay JVM-side."""
+    array_union stay JVM-side. ``max_bucket_size`` passes through to the
+    candidate stage's skew guard (see ``minhash_lsh_candidates``)."""
     # shingle+hash each document exactly once: the checkpointed
     # (id, array<long>) table feeds BOTH the signature/banding pipeline
     # and the Jaccard verification joins (at 100 TB this is the
@@ -450,7 +452,8 @@ def minhash_dedup_pairs(
         eager=True
     )
     cands = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_n, _hashed_shingles=sh
+        df, text_col, id_col, num_hashes, bands, shingle_n,
+        max_bucket_size=max_bucket_size, _hashed_shingles=sh,
     )
     a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
     b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
@@ -1094,6 +1097,7 @@ def dedup_clusters(
     num_hashes: int = 64,
     bands: int = 32,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end fuzzy-dedup resolution: MinHash-LSH pairs ≥ threshold →
     connected components → (doc_id, cluster_id, is_canonical). Keep rows
@@ -1102,7 +1106,8 @@ def dedup_clusters(
     large-corpus fuzzy-dedup final step. Docs in no pair keep themselves
     as singleton canonical clusters (left join, not dropped)."""
     pairs = minhash_dedup_pairs(
-        df, text_col, id_col, threshold, num_hashes, bands, shingle_n
+        df, text_col, id_col, threshold, num_hashes, bands, shingle_n,
+        max_bucket_size=max_bucket_size,
     )
     comp = connected_components(pairs)
     ids = df.select(F.col(id_col).cast("long").alias("id"))
