@@ -211,3 +211,35 @@ def test_repetition_plan_monotone_in_budget(spark, mult, max_epochs):
     hi = planned(int(available * mult))
     assert lo <= hi
     assert hi <= max_epochs * available
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab c", min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_bpe_train_matches_reference_on_random_corpora(spark, texts, rounds):
+    """Distributed bpe_train == the canonical pure-Python BPE on random
+    tiny-alphabet corpora (small alphabet maximizes merge collisions and
+    tie-breaks — the hard cases)."""
+    from collections import Counter
+
+    from tests.test_round5_ops import _ref_bpe, _tokenize_words
+    from truthound_spark.pipeline.tokenizer import bpe_train
+
+    freqs = Counter()
+    for t in texts:
+        freqs.update(_tokenize_words(t))
+    expected, _ = _ref_bpe(dict(freqs), rounds=rounds)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["round"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train(df, rounds=rounds).orderBy("round").collect()
+    ]
+    assert got == expected
