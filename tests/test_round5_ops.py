@@ -771,3 +771,45 @@ def test_lsh_small_buckets_unaffected_by_cap(spark):
     base = sorted(map(tuple, minhash_lsh_candidates(docs).collect()))
     capped = sorted(map(tuple, minhash_lsh_candidates(docs, max_bucket_size=100).collect()))
     assert base == capped == [(1, 2)]
+
+
+# ---------------------------------------------------------------------------
+# ivfpq_search
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_all_cells_probed_equals_pq_search(spark):
+    """With nprobe = num_cells (no pruning), IVF-PQ must return exactly
+    pq_search's ranking — the composition adds pruning, nothing else."""
+    from truthound_spark.pipeline.similarity import ivfpq_search, pq_search, pq_train
+
+    rows = [(i, [float((i * 7 + j * 3) % 11) / 11 + 0.1 for j in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 3).withColumnRenamed("vec_id", "query_id")
+    books = pq_train(df, m=2, k=4, iters=1)
+    full = {
+        (r["query_id"], r["rank"]): (r["id"], r["adc_dist"])
+        for r in pq_search(df, q, books, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): (r["id"], r["adc_dist"])
+        for r in ivfpq_search(
+            df, q, k=5, num_cells=4, nprobe=4, m=2, pq_k=4, iters=1, codebooks=books
+        ).collect()
+    }
+    assert ivf == full
+
+
+def test_ivfpq_pruning_returns_subset_of_probed_cells(spark):
+    from truthound_spark.pipeline.similarity import ivfpq_search
+
+    rows = [(i, [float((i * 5 + j) % 13) / 13 + 0.05 for j in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 2).withColumnRenamed("vec_id", "query_id")
+    out = ivfpq_search(df, q, k=5, num_cells=6, nprobe=1, m=2, pq_k=4, iters=1)
+    assert out.count() > 0
+    assert out.filter(F.col("rank") > 5).count() == 0
+    # fewer probes can only shrink the candidate pool
+    wide = ivfpq_search(df, q, k=60, num_cells=6, nprobe=6, m=2, pq_k=4, iters=1)
+    narrow = ivfpq_search(df, q, k=60, num_cells=6, nprobe=1, m=2, pq_k=4, iters=1)
+    assert narrow.count() <= wide.count()

@@ -302,6 +302,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "curriculum_order_documents",
     "curation_funnel_documents",
     "soft_dedup_weights_documents",
+    "ivfpq_search_embeddings",
 ]
 
 

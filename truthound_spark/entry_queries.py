@@ -9219,3 +9219,118 @@ def q_soft_dedup_weights_documents(spark, sf_dir):
 
     df = t(spark, sf_dir, "documents")
     return soft_dedup_weights(df).orderBy("id")
+
+
+def _ivfpq_oracle_sql(
+    m: int, pq_k: int, iters: int, dim: int,
+    num_cells: int, nprobe: int, n_queries: int, topk: int,
+) -> str:
+    """IVF-PQ relational replay: the seeded coarse quantizer's
+    assignment/probe CTEs (same as the IVF slots) composed with the PQ
+    training/encode/LUT CTEs (same as the PQ slots), scored only where
+    the candidate's cell is probed by the query."""
+    sub_d = dim // m
+    ctes = _pq_oracle_ctes(m, pq_k, iters, dim)
+    ctes.append(
+        f"""ed AS (
+      SELECT CAST(vec_id AS BIGINT) AS id,
+             CAST(embedding AS DOUBLE[])[1:{dim}] AS v
+      FROM embeddings
+    )"""
+    )
+    ctes.append(
+        f"cc AS (SELECT id AS cell, v AS cv FROM ed ORDER BY id LIMIT {num_cells})"
+    )
+    d2 = _IVF_D2.format(a="e.v", b="c.cv")
+    ctes.append(
+        f"""ca AS (
+      SELECT id, cell FROM (
+        SELECT e.id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {d2}, c.cell) AS rn
+        FROM ed e, cc c
+      ) WHERE rn = 1
+    )"""
+    )
+    ctes.append(
+        f"""pb AS (
+      SELECT qid, cell FROM (
+        SELECT e.id AS qid, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {d2}, c.cell) AS rn
+        FROM ed e, cc c WHERE e.id < {n_queries}
+      ) WHERE rn <= {nprobe}
+    )"""
+    )
+    for s in range(m):
+        lo = s * sub_d
+        ctes.append(
+            f"""q{s} AS (
+      SELECT CAST(vec_id AS BIGINT) AS qid,
+             list_transform(CAST(embedding AS DOUBLE[])[{lo + 1}:{lo + sub_d}],
+                            x -> round(x * 1000000.0) / 1000000.0) AS xv
+      FROM embeddings WHERE vec_id < {n_queries}
+    )"""
+        )
+        sq = " + ".join(
+            f"(q.xv[{j + 1}] - c.cv[{j + 1}]) * (q.xv[{j + 1}] - c.cv[{j + 1}])"
+            for j in range(sub_d)
+        )
+        ctes.append(
+            f"lut{s} AS (SELECT q.qid, c.cell, {sq} AS d FROM q{s} q, c{iters}v{s} c)"
+        )
+    dsum = " + ".join(f"l{s}.d" for s in range(m))
+    j = "fin0"
+    for s in range(1, m):
+        j += f" JOIN fin{s} USING (id)"
+    lut_joins = " ".join(
+        f"JOIN lut{s} l{s} ON l{s}.cell = fin{s}.cell AND l{s}.qid = l0.qid"
+        for s in range(1, m)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    , scored AS (
+      SELECT l0.qid AS query_id, fin0.id,
+             round(({dsum}) * 1000000.0) / 1000000.0 AS adc_dist
+      FROM {j} JOIN lut0 l0 ON l0.cell = fin0.cell {lut_joins}
+           JOIN ca ON ca.id = fin0.id
+      WHERE EXISTS (SELECT 1 FROM pb WHERE pb.qid = l0.qid AND pb.cell = ca.cell)
+    )
+    SELECT query_id, id, adc_dist, CAST(rnk AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {topk} ORDER BY query_id, rnk"""
+    )
+
+
+@register(
+    "ivfpq_search_embeddings",
+    _ivfpq_oracle_sql(
+        m=2, pq_k=4, iters=1, dim=8, num_cells=8, nprobe=2, n_queries=6, topk=5
+    ),
+)
+def q_ivfpq_search_embeddings(spark, sf_dir):
+    """IVF-PQ search (pipeline/similarity.py ivfpq_search — the FAISS
+    IVFx,PQy billion-scale layout): seeded coarse cells prune candidates
+    to nprobe cells, PQ ADC lookups score them from m-byte codes — the
+    corpus vectors are read ONCE (cell + codes in one combined pass) and
+    never touched again. Vectors sliced to 8 dims so the generated
+    oracle (coarse assignment/probe CTEs composed with the PQ
+    train/encode/LUT CTEs) stays reviewable; every stage — Lloyd
+    training, coarse argmin, probing, ADC, ranking — hash-matches."""
+    from truthound_spark.pipeline.similarity import ivfpq_search
+
+    df = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.slice(F.col("embedding").cast("array<double>"), 1, 8).alias("embedding"),
+    )
+    q = df.filter(F.col("vec_id") < 6)
+    out = ivfpq_search(
+        df, q, k=5, num_cells=8, nprobe=2, m=2, pq_k=4, iters=1,
+        query_id_col="vec_id",
+    )
+    return out.select(
+        "query_id", "id", "adc_dist", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")

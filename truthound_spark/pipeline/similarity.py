@@ -877,3 +877,154 @@ def ann_recall(
             ).alias("recall"),
         )
     )
+
+
+def ivfpq_search(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_cells: int = 16,
+    nprobe: int = 2,
+    m: int = 2,
+    pq_k: int = 16,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    scale: float = 1e6,
+    codebooks: list[list[tuple[int, list[float]]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ: the standard billion-scale ANN layout (FAISS ``IVFx,PQy``)
+    — a coarse quantizer prunes the search to ``nprobe`` cells, and
+    distance within them is the PQ asymmetric-distance (ADC) table
+    lookup over m-byte codes instead of a full-dim scan. This is the
+    composition that serves web-scale retrieval: IVF bounds the
+    candidates, PQ bounds the bytes per candidate.
+
+    Deterministic end to end: coarse centroids are the ``num_cells``
+    lowest-id vectors (same closed-form seeding as ``ivf_seeded_topk``),
+    PQ codebooks come from :func:`pq_train` (quantized-long Lloyd
+    rounds), and ADC scores quantize to 1e-6 before ranking — the whole
+    train→assign→probe→score chain hash-certifies against a relational
+    oracle.
+
+    Plan: ONE combined map pass computes each corpus vector's coarse
+    cell AND its m PQ codes (a single projection — the vector is read
+    once); per query the probed-cell set and the m·pq_k LUT entries
+    inline as literals, so scoring is a codegen'd scan of the
+    (id, cell, codes) relation with an ``array_contains`` prune —
+    corpus vectors are never touched after encoding.
+
+    Returns (query_id, id, adc_dist, rank), rank ≤ k per query."""
+    from pyspark.sql import Window
+
+    if codebooks is None:
+        codebooks = pq_train(df, vec_col, id_col, m=m, k=pq_k, iters=iters, scale=scale)
+    mm = len(codebooks)
+    sub_d = len(codebooks[0][0][1])
+    cents = (
+        df.select(
+            F.col(id_col).cast("long").alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .orderBy("cell")
+        .limit(num_cells)
+    )
+    qx = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * F.lit(float(scale))) / F.lit(float(scale)),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    wa = Window.partitionBy("id").orderBy("d2", "cell")
+    # combined pass: coarse cell via full-vector argmin + PQ codes from
+    # the SAME materialized (sub)vectors — the corpus is read once
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        qx.alias("__x"),
+    )
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .select("id", "v", "__x", "cell", l2_sq(F.col("v"), F.col("cv")).alias("d2"))
+        .withColumn("__rn", F.row_number().over(wa))
+        .filter(F.col("__rn") == 1)
+        .select("id", "__x", "cell")
+    )
+    subs = assigned.select(
+        "id",
+        "cell",
+        *[F.slice("__x", s * sub_d + 1, sub_d).alias(f"__sub{s}") for s in range(mm)],
+    )
+    with_xx = subs.select(
+        "id",
+        "cell",
+        *[F.col(f"__sub{s}") for s in range(mm)],
+        *[
+            dot(F.col(f"__sub{s}"), F.col(f"__sub{s}")).alias(f"__xx{s}")
+            for s in range(mm)
+        ],
+    )
+    codes = F.array(
+        *[
+            _pq_subspace_code(F.col(f"__sub{s}"), codebooks[s], xx=F.col(f"__xx{s}"))
+            for s in range(mm)
+        ]
+    )
+    enc = with_xx.select("id", "cell", codes.alias("codes"))
+
+    q = queries.select(
+        F.col(query_id_col).cast("long").alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    wp = Window.partitionBy("query_id").orderBy("d2", "cell")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", "cell", l2_sq(F.col("qv"), F.col("cv")).alias("d2"))
+        .withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    prows = probes.collect()
+    by_query: dict[int, dict] = {}
+    for r in prows:
+        e = by_query.setdefault(
+            int(r["query_id"]), {"cells": [], "qv": r["qv"]}
+        )
+        e["cells"].append(int(r["cell"]))
+    entries = []
+    for qid, info in sorted(by_query.items()):
+        qv = [round(float(x) * scale) / scale for x in info["qv"]]
+        dist = None
+        for s in range(mm):
+            qs = qv[s * sub_d : (s + 1) * sub_d]
+            lut = [
+                sum((a - b) * (a - b) for a, b in zip(qs, c))
+                for _ci, c in codebooks[s]
+            ]
+            lut_lit = F.array(*[F.lit(float(v)) for v in lut])
+            term = F.element_at(lut_lit, F.element_at("codes", s + 1) + 1)
+            dist = term if dist is None else dist + term
+        cells_lit = F.array(*[F.lit(c) for c in sorted(info["cells"])])
+        entries.append(
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                F.array_contains(cells_lit, F.col("cell")).alias("probed"),
+                (F.round(dist * 1e6) / F.lit(1e6)).alias("adc_dist"),
+            )
+        )
+    scored = (
+        enc.select("id", "cell", "codes", F.explode_outer(F.array(*entries)).alias("e"))
+        .filter(F.col("e").isNotNull() & F.col("e.probed"))
+        .select(
+            F.col("e.query_id").alias("query_id"), "id", F.col("e.adc_dist").alias("adc_dist")
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy("adc_dist", "id")
+    return scored.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= k
+    )
