@@ -813,3 +813,47 @@ def test_ivfpq_pruning_returns_subset_of_probed_cells(spark):
     wide = ivfpq_search(df, q, k=60, num_cells=6, nprobe=6, m=2, pq_k=4, iters=1)
     narrow = ivfpq_search(df, q, k=60, num_cells=6, nprobe=1, m=2, pq_k=4, iters=1)
     assert narrow.count() <= wide.count()
+
+
+def test_blocklist_filter_word_mode_normalizes(spark):
+    from truthound_spark.pipeline.text import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [(1, "This has a B.A.D word inside"), (2, "totally clean text here"),
+         (3, "bad BAD b-a-d everywhere")],
+        "doc_id long, text string",
+    )
+    # a term that normalization SPLITS is rejected loudly in word mode
+    with pytest.raises(ValueError, match="multi-word"):
+        blocklist_filter(docs, ["B.a.d"])
+    # ...but matches in phrase mode
+    ph = {r["id"]: r for r in blocklist_filter(docs, ["B.a.d"], mode="phrase").collect()}
+    assert ph[1]["blocked"] is True and ph[2]["blocked"] is False
+    # "bad" appears as a whole word in doc 3
+    out2 = {r["id"]: r for r in blocklist_filter(docs, ["BAD!"]).collect()}
+    assert out2[3]["blocked"] is True and "bad" in out2[3]["matched_terms"]
+    assert out2[2]["blocked"] is False
+
+
+def test_blocklist_filter_phrase_mode(spark):
+    from truthound_spark.pipeline.text import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [(1, "click here to win now"), (2, "click elsewhere to win")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in blocklist_filter(docs, ["click here"], mode="phrase").collect()}
+    assert out[1]["blocked"] is True
+    assert out[2]["blocked"] is False
+
+
+def test_blocklist_filter_validations(spark):
+    from truthound_spark.pipeline.text import blocklist_filter
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        blocklist_filter(docs, [])
+    with pytest.raises(ValueError):
+        blocklist_filter(docs, ["!!!"])
+    with pytest.raises(ValueError):
+        blocklist_filter(docs, ["ok"], mode="regex")

@@ -303,6 +303,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "curation_funnel_documents",
     "soft_dedup_weights_documents",
     "ivfpq_search_embeddings",
+    "blocklist_filter_documents",
 ]
 
 

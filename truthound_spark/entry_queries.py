@@ -9334,3 +9334,33 @@ def q_ivfpq_search_embeddings(spark, sf_dir):
     return out.select(
         "query_id", "id", "adc_dist", F.col("rank").cast("long").alias("rank")
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "blocklist_filter_documents",
+    f"""
+    WITH base AS (
+      SELECT CAST(doc_id AS BIGINT) AS id,
+             list_distinct(string_split({_NORM_SQL.format(c='text')}, ' ')) AS dw
+      FROM documents
+    )
+    SELECT id,
+           list_sort(list_intersect(dw, ['fast', 'shuffle', 'window'])) AS matched_terms,
+           CAST(len(list_intersect(dw, ['fast', 'shuffle', 'window'])) AS BIGINT)
+             AS n_matched,
+           len(list_intersect(dw, ['fast', 'shuffle', 'window'])) > 0 AS blocked
+    FROM base ORDER BY id
+    """,
+)
+def q_blocklist_filter_documents(spark, sf_dir):
+    """Blocklist screening (pipeline/text.py blocklist_filter — the C4
+    bad-words filter shape): whole-word matches against a normalized
+    term list that rides in as a broadcast one-row array column (O(1)
+    plan size at 10k+ terms), one array_intersect per document. Terms
+    here are common corpus words so matches are exercised nonzero. The
+    oracle replays the distinct-words intersect and the match
+    arithmetic."""
+    from truthound_spark.pipeline.text import blocklist_filter
+
+    df = t(spark, sf_dir, "documents")
+    return blocklist_filter(df, ["fast", "Shuffle!", "window"]).orderBy("id")

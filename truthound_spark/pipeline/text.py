@@ -1010,3 +1010,86 @@ def tag_documents(
     out = repetition_signals(out, text_col)
     out = classifier_quality_score(out, text_col, weights=classifier_weights)
     return out
+
+
+def blocklist_filter(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "word",
+) -> DataFrame:
+    """Blocklist screening (the C4 "bad words" filter shape): flag
+    documents containing blocked terms.
+
+    ``mode="word"`` matches whole normalized words — the scalable form:
+    the blocklist rides in as a BROADCAST one-row array column (same
+    O(1)-plan-size trick as the classifier weights; a 10k-term literal
+    array would bloat every optimizer pass) and the per-doc check is one
+    ``array_intersect`` against the doc's distinct words. ``mode=
+    "phrase"`` additionally matches multi-word phrases by substring
+    over the space-padded normalized text — literal ``contains`` chain,
+    meant for SMALL phrase lists (every phrase is one codegen'd
+    predicate).
+
+    Matching is over the same normalization as every other text
+    operator (lowercase, alnum, collapsed spaces), so obfuscation by
+    case/punctuation ("B.a.d") is folded before matching.
+
+    Returns (id, matched_terms array<string>, n_matched, blocked)."""
+    if not terms:
+        raise ValueError("terms must contain at least one entry")
+    if mode not in ("word", "phrase"):
+        raise ValueError(f"mode must be 'word' or 'phrase', got {mode!r}")
+    import re as _re
+
+    def _norm(t: str) -> str:
+        # Python mirror of normalized_text: lowercase, alnum, collapsed
+        return _re.sub(r"\s+", " ", _re.sub(r"[^a-z0-9\s]", " ", t.lower())).strip()
+
+    norm_terms = sorted({n for n in (_norm(t) for t in terms) if n})
+    if not norm_terms:
+        raise ValueError("terms normalize to nothing")
+    if mode == "word":
+        multi = [t for t in norm_terms if " " in t]
+        if multi:
+            raise ValueError(
+                "word mode cannot match multi-word terms (normalization "
+                f"split {multi[:3]}...); use mode='phrase' for these"
+            )
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(text_col).alias("__t"),
+    )
+    if mode == "word":
+        bl = df.sparkSession.createDataFrame(
+            [(norm_terms,)], "__bl: array<string>"
+        )
+        w = F.array_distinct(words(F.col("__t")))
+        matched = F.array_sort(F.array_intersect(w, F.col("__bl")))
+        out = (
+            base.crossJoin(F.broadcast(bl))
+            .select("id", matched.alias("matched_terms"))
+        )
+    else:
+        padded = F.concat(F.lit(" "), normalized_text(F.col("__t")), F.lit(" "))
+        hits = F.array(
+            *[
+                F.when(
+                    padded.contains(F.lit(f" {t} ")), F.lit(t)
+                )
+                for t in norm_terms
+            ]
+        )
+        out = base.select(
+            "id",
+            F.array_sort(
+                F.filter(hits, lambda x: x.isNotNull())
+            ).alias("matched_terms"),
+        )
+    return out.select(
+        "id",
+        "matched_terms",
+        F.size("matched_terms").cast("long").alias("n_matched"),
+        (F.size("matched_terms") > 0).alias("blocked"),
+    )
