@@ -857,3 +857,70 @@ def test_blocklist_filter_validations(spark):
         blocklist_filter(docs, ["!!!"])
     with pytest.raises(ValueError):
         blocklist_filter(docs, ["ok"], mode="regex")
+
+
+def test_pq_search_handles_non_contiguous_cell_ids(spark):
+    """Review r5: a Lloyd round can empty a cell, leaving codebooks with
+    non-contiguous cell ids — the ADC LUT must index BY CELL ID, not by
+    position, or rankings silently misread (or ANSI-crash)."""
+    from truthound_spark.pipeline.similarity import pq_search
+
+    # hand-built codebooks with a hole: cells [0, 2] (1 vanished)
+    books = [
+        [(0, [0.0, 0.0]), (2, [1.0, 1.0])],
+        [(0, [0.0, 0.0]), (2, [1.0, 1.0])],
+    ]
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0, 0.0]), (2, [1.0, 1.0, 1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(9, [1.0, 1.0, 1.0, 1.0])], "query_id long, embedding array<double>"
+    )
+    out = {r["id"]: r for r in pq_search(df, q, books, k=2).collect()}
+    # doc 2 encodes to cell 2 in both subspaces -> adc 0 vs the query
+    assert out[2]["rank"] == 1 and out[2]["adc_dist"] == 0.0
+    assert out[1]["rank"] == 2 and out[1]["adc_dist"] == 4.0
+
+
+def test_pq_and_ivfpq_ignore_null_vectors(spark):
+    from truthound_spark.pipeline.similarity import ivfpq_search, pq_search, pq_train
+
+    rows = [(i, [float((i * 7 + j * 3) % 11) / 11 + 0.1 for j in range(8)]) for i in range(20)]
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 2).withColumnRenamed("vec_id", "query_id")
+    books = pq_train(df, m=2, k=4, iters=1)
+    assert pq_search(df, q, books, k=5).filter(F.col("id") == 99).count() == 0
+    out = ivfpq_search(df, q, k=5, num_cells=4, nprobe=4, m=2, pq_k=4, iters=1, codebooks=books)
+    assert out.filter(F.col("id") == 99).count() == 0
+
+
+def test_curation_funnel_zero_stage_rates_are_null(spark):
+    from truthound_spark.pipeline.report import curation_funnel
+
+    empty = spark.range(0).withColumnRenamed("id", "doc_id")
+    grown = spark.range(100).withColumnRenamed("id", "doc_id")
+    rows = curation_funnel([("raw", empty), ("grown", grown)]).orderBy("stage_idx").collect()
+    assert rows[1]["dropped"] == -100  # the anomaly stays visible...
+    assert rows[1]["drop_rate"] is None  # ...and rates don't fake health
+    assert rows[0]["keep_rate"] is None and rows[1]["keep_rate"] is None
+
+
+def test_soft_dedup_cluster_mode_keeps_singletons(spark):
+    """Review r5: docs absent from the cluster frame (e.g.
+    connected_components only emits paired docs) must appear with
+    n_copies=1, weight=1.0 — not vanish."""
+    from truthound_spark.pipeline.dedup import soft_dedup_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
+    )
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0)], "id long, cluster_id long"  # only the dup family
+    )
+    out = {r["id"]: r for r in soft_dedup_weights(docs, clusters=clusters).collect()}
+    assert len(out) == 10  # every corpus doc present
+    assert out[0]["n_copies"] == 3 and out[0]["weight"] == round(1 / 3, 6)
+    for i in range(3, 10):
+        assert out[i]["n_copies"] == 1 and out[i]["weight"] == 1.0

@@ -9158,11 +9158,13 @@ def q_curriculum_order_documents(spark, sf_dir):
     SELECT stage_idx, stage, CAST(rows AS BIGINT) AS rows,
            CAST(COALESCE(LAG(rows) OVER (ORDER BY stage_idx) - rows, 0) AS BIGINT)
              AS dropped,
-           ROUND(COALESCE(
-             CAST(LAG(rows) OVER (ORDER BY stage_idx) - rows AS DOUBLE)
-               / NULLIF(LAG(rows) OVER (ORDER BY stage_idx), 0), 0.0), 6)
-             AS drop_rate,
-           ROUND(CAST(rows AS DOUBLE) / (SELECT n FROM c0), 6) AS keep_rate
+           CASE WHEN LAG(rows) OVER (ORDER BY stage_idx) IS NULL THEN 0.0
+                ELSE ROUND(
+                  CAST(LAG(rows) OVER (ORDER BY stage_idx) - rows AS DOUBLE)
+                    / NULLIF(LAG(rows) OVER (ORDER BY stage_idx), 0), 6)
+           END AS drop_rate,
+           ROUND(CAST(rows AS DOUBLE) / NULLIF((SELECT n FROM c0), 0), 6)
+             AS keep_rate
     FROM f ORDER BY stage_idx
     """,
 )

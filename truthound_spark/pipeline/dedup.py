@@ -323,10 +323,11 @@ def minhash_lsh_candidates(
     exactly the data that needs dedup most. Buckets over the cap degrade
     to STAR edges (bucket-min id → every member): candidate count drops
     from O(m²) to O(m), transitive CLUSTERING connectivity is preserved
-    (every member still reaches the canonical via the star), and only
-    direct pair recall inside monster buckets degrades to via-canonical
-    (a member pair both ≥ threshold vs the canonical but < threshold vs
-    each other may split after verification). Default None keeps exact
+    for every member that VERIFIES against the bucket-min hub, and the
+    recall loss is precisely the member pairs that are ≥ threshold vs
+    EACH OTHER but < threshold vs the hub — their direct pair is never
+    emitted, so after verification that sub-family can fragment away
+    from the hub's cluster. Default None keeps exact
     all-pairs semantics — the oracle-certified mode; set a cap (e.g.
     500) for production web-scale corpora, and/or run exact dedup first
     so identical documents never form the bucket.
@@ -1767,11 +1768,20 @@ def soft_dedup_weights(
     sampling rates downstream."""
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
+    base = df.select(F.col(id_col).cast("long").alias("id"))
     if clusters is not None:
+        # LEFT join from the corpus: docs absent from the cluster frame
+        # (singletons — connected_components only emits paired docs) are
+        # their own family of 1, weight 1.0 — NOT silently dropped
+        # (review r5: dropping uniques inverts the keep-every-copy
+        # contract)
         cid = "id" if "id" in clusters.columns else id_col
-        keyed = clusters.select(
+        ckeys = clusters.select(
             F.col(cid).cast("long").alias("id"),
             F.col("cluster_id").cast("long").alias("__k"),
+        )
+        keyed = base.join(ckeys, "id", "left").select(
+            "id", F.coalesce(F.col("__k"), F.col("id")).alias("__k")
         )
     else:
         keyed = df.select(

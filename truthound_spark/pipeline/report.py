@@ -25,7 +25,10 @@ def curation_funnel(stages: list[tuple[str, DataFrame]]) -> DataFrame:
     is cumulative vs stage 0 — both rounded to 6dp. A negative
     ``dropped`` (stage grew — e.g. an explode snuck in) is reported
     as-is rather than clamped: it's exactly the anomaly the funnel
-    exists to surface."""
+    exists to surface. Rates around a ZERO-count stage are NULL, not a
+    fake-healthy 0.0/1.0 (review r5): growth out of an empty stage has
+    no meaningful rate, and masking it would hide the very anomaly the
+    signed ``dropped`` column flags."""
     if not stages:
         raise ValueError("stages must contain at least one (name, frame) pair")
     spark = stages[0][1].sparkSession
@@ -35,8 +38,13 @@ def curation_funnel(stages: list[tuple[str, DataFrame]]) -> DataFrame:
     prev = None
     for i, (name, n) in enumerate(counts):
         dropped = 0 if prev is None else prev - n
-        drop_rate = 0.0 if not prev else round(dropped / prev, 6)
-        keep_rate = 1.0 if not base else round(n / base, 6)
+        if prev is None:
+            drop_rate = 0.0
+        elif prev == 0:
+            drop_rate = None
+        else:
+            drop_rate = round(dropped / prev, 6)
+        keep_rate = None if base == 0 else round(n / base, 6)
         rows.append((i, name, n, dropped, drop_rate, keep_rate))
         prev = n
     return spark.createDataFrame(

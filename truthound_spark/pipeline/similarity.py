@@ -710,6 +710,73 @@ def _pq_subspace_code(xsub, centroids: list[tuple[int, list[float]]], xx=None):
     return F.array_min(scored)["cell"]
 
 
+def _quantize_half_away(x: float, scale: float) -> float:
+    """HALF-AWAY-FROM-ZERO quantization to the 1/scale grid — matches
+    Spark's F.round and DuckDB's round on ties; Python's builtin round
+    is half-EVEN, a latent tie divergence in paths the oracle replays
+    with SQL round (review r5)."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * scale + 0.5), x) / scale
+
+
+def _pq_adc_dist(qv: list[float], codebooks, sub_d: int):
+    """Σ_s LUT_s[code_s] as a Column over a ``codes`` array column, with
+    each LUT indexed BY CELL ID: a Lloyd round that empties a cell makes
+    cell ids non-contiguous (e.g. [0, 1, 3]) and a positional LUT would
+    read the wrong entry — or overflow under ANSI mode (review r5).
+    Missing cells hold +inf; no code ever references them (codes come
+    from the same codebook), the sentinel only keeps ``element_at``
+    in-bounds. Returns the 1e-6-quantized distance column."""
+    dist = None
+    for s in range(len(codebooks)):
+        qs = qv[s * sub_d : (s + 1) * sub_d]
+        max_cell = max(ci for ci, _c in codebooks[s])
+        lut = [float("inf")] * (max_cell + 1)
+        for ci, c in codebooks[s]:
+            lut[ci] = sum((a - b) * (a - b) for a, b in zip(qs, c))
+        lut_lit = F.array(*[F.lit(float(v)) for v in lut])
+        term = F.element_at(lut_lit, F.element_at("codes", s + 1) + 1)
+        dist = term if dist is None else dist + term
+    return F.round(dist * 1e6) / F.lit(1e6)
+
+
+def _pq_codes_from(frame: DataFrame, codebooks, extra: tuple[str, ...] = ()):
+    """(id, *extra, codes) from a frame carrying (id, __x, *extra) where
+    ``__x`` is the grid-quantized vector — THE shared encode projection
+    (pq_encode and ivfpq_search), so the subvector/self-dot
+    materialization and the argmin wiring exist once."""
+    m = len(codebooks)
+    sub_d = len(codebooks[0][0][1])
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    subs = frame.select(
+        "id",
+        *extra,
+        *[F.slice("__x", s * sub_d + 1, sub_d).alias(f"__sub{s}") for s in range(m)],
+    )
+    with_xx = subs.select(
+        "id",
+        *extra,
+        *[F.col(f"__sub{s}") for s in range(m)],
+        *[
+            dot(F.col(f"__sub{s}"), F.col(f"__sub{s}")).alias(f"__xx{s}")
+            for s in range(m)
+        ],
+    )
+    codes = F.array(
+        *[
+            _pq_subspace_code(F.col(f"__sub{s}"), codebooks[s], xx=F.col(f"__xx{s}"))
+            for s in range(m)
+        ]
+    )
+    return with_xx.select("id", *extra, codes.alias("codes"))
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[tuple[int, list[float]]]],
@@ -725,45 +792,12 @@ def pq_encode(
     assignment).
 
     Returns (id, codes: array<int>), codes[s] = cell in subspace s."""
-    m = len(codebooks)
-    sub_d = len(codebooks[0][0][1])
     qx = F.transform(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.round(x * F.lit(float(scale))) / F.lit(float(scale)),
     )
     base = df.select(F.col(id_col).cast("long").alias("id"), qx.alias("__x"))
-    # materialize each subvector and its self-dot in their own projection
-    # (multi-use non-cheap aliases survive CollapseProject), so the argmin
-    # references them instead of re-slicing/re-folding per centroid entry
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
-        )
-
-    subs = base.select(
-        "id",
-        *[
-            F.slice("__x", s * sub_d + 1, sub_d).alias(f"__sub{s}")
-            for s in range(m)
-        ],
-    )
-    with_xx = subs.select(
-        "id",
-        *[F.col(f"__sub{s}") for s in range(m)],
-        *[
-            dot(F.col(f"__sub{s}"), F.col(f"__sub{s}")).alias(f"__xx{s}")
-            for s in range(m)
-        ],
-    )
-    codes = F.array(
-        *[
-            _pq_subspace_code(
-                F.col(f"__sub{s}"), codebooks[s], xx=F.col(f"__xx{s}")
-            )
-            for s in range(m)
-        ]
-    )
-    return with_xx.select("id", codes.alias("codes"))
+    return _pq_codes_from(base, codebooks)
 
 
 def pq_search(
@@ -789,9 +823,14 @@ def pq_search(
     as IVF/BM25). Returns (query_id, id, adc_dist, rank)."""
     from pyspark.sql import Window
 
-    m = len(codebooks)
     sub_d = len(codebooks[0][0][1])
-    enc = pq_encode(df, codebooks, vec_col, id_col, scale)
+    # null-vector rows must not score: their subvector distances are
+    # all NULL, the argmin still emits SOME cell, and the phantom row
+    # can outrank genuine neighbors (review r5). Filter the source
+    # vector — same contract as pq_train's isNotNull guard.
+    enc = pq_encode(
+        df.where(F.col(vec_col).isNotNull()), codebooks, vec_col, id_col, scale
+    )
     qrows = queries.select(
         F.col(query_id_col).cast("long").alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
@@ -802,21 +841,11 @@ def pq_search(
     # branches, no union, one codegen'd pass.
     entries = []
     for qr in qrows:
-        qv = [round(float(x) * scale) / scale for x in qr["qv"]]
-        dist = None
-        for s in range(m):
-            qs = qv[s * sub_d : (s + 1) * sub_d]
-            lut = [
-                sum((a - b) * (a - b) for a, b in zip(qs, c))
-                for _ci, c in codebooks[s]
-            ]
-            lut_lit = F.array(*[F.lit(float(v)) for v in lut])
-            term = F.element_at(lut_lit, F.element_at("codes", s + 1) + 1)
-            dist = term if dist is None else dist + term
+        qv = [_quantize_half_away(float(x), scale) for x in qr["qv"]]
         entries.append(
             F.struct(
                 F.lit(int(qr["query_id"])).alias("query_id"),
-                (F.round(dist * 1e6) / F.lit(1e6)).alias("adc_dist"),
+                _pq_adc_dist(qv, codebooks, sub_d).alias("adc_dist"),
             )
         )
     scored = (
@@ -920,7 +949,6 @@ def ivfpq_search(
 
     if codebooks is None:
         codebooks = pq_train(df, vec_col, id_col, m=m, k=pq_k, iters=iters, scale=scale)
-    mm = len(codebooks)
     sub_d = len(codebooks[0][0][1])
     cents = (
         df.select(
@@ -934,20 +962,17 @@ def ivfpq_search(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.round(x * F.lit(float(scale))) / F.lit(float(scale)),
     )
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
-        )
-
     wa = Window.partitionBy("id").orderBy("d2", "cell")
     # combined pass: coarse cell via full-vector argmin + PQ codes from
-    # the SAME materialized (sub)vectors — the corpus is read once
+    # the SAME materialized (sub)vectors — the corpus is read once.
+    # Null vectors drop up front (pq_train's contract): without the
+    # guard they'd take rn=1 at the lowest cell (NULL d2 sorts first)
+    # and score as phantom candidates (review r5).
     base = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         qx.alias("__x"),
-    )
+    ).where(F.col("v").isNotNull())
     assigned = (
         base.crossJoin(F.broadcast(cents))
         .select("id", "v", "__x", "cell", l2_sq(F.col("v"), F.col("cv")).alias("d2"))
@@ -955,27 +980,7 @@ def ivfpq_search(
         .filter(F.col("__rn") == 1)
         .select("id", "__x", "cell")
     )
-    subs = assigned.select(
-        "id",
-        "cell",
-        *[F.slice("__x", s * sub_d + 1, sub_d).alias(f"__sub{s}") for s in range(mm)],
-    )
-    with_xx = subs.select(
-        "id",
-        "cell",
-        *[F.col(f"__sub{s}") for s in range(mm)],
-        *[
-            dot(F.col(f"__sub{s}"), F.col(f"__sub{s}")).alias(f"__xx{s}")
-            for s in range(mm)
-        ],
-    )
-    codes = F.array(
-        *[
-            _pq_subspace_code(F.col(f"__sub{s}"), codebooks[s], xx=F.col(f"__xx{s}"))
-            for s in range(mm)
-        ]
-    )
-    enc = with_xx.select("id", "cell", codes.alias("codes"))
+    enc = _pq_codes_from(assigned, codebooks, extra=("cell",))
 
     q = queries.select(
         F.col(query_id_col).cast("long").alias("query_id"),
@@ -998,23 +1003,13 @@ def ivfpq_search(
         e["cells"].append(int(r["cell"]))
     entries = []
     for qid, info in sorted(by_query.items()):
-        qv = [round(float(x) * scale) / scale for x in info["qv"]]
-        dist = None
-        for s in range(mm):
-            qs = qv[s * sub_d : (s + 1) * sub_d]
-            lut = [
-                sum((a - b) * (a - b) for a, b in zip(qs, c))
-                for _ci, c in codebooks[s]
-            ]
-            lut_lit = F.array(*[F.lit(float(v)) for v in lut])
-            term = F.element_at(lut_lit, F.element_at("codes", s + 1) + 1)
-            dist = term if dist is None else dist + term
+        qv = [_quantize_half_away(float(x), scale) for x in info["qv"]]
         cells_lit = F.array(*[F.lit(c) for c in sorted(info["cells"])])
         entries.append(
             F.struct(
                 F.lit(qid).alias("query_id"),
                 F.array_contains(cells_lit, F.col("cell")).alias("probed"),
-                (F.round(dist * 1e6) / F.lit(1e6)).alias("adc_dist"),
+                _pq_adc_dist(qv, codebooks, sub_d).alias("adc_dist"),
             )
         )
     scored = (

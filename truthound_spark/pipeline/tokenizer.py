@@ -42,6 +42,8 @@ from truthound_spark.pipeline.dedup import words
 __all__ = [
     "word_counts",
     "wrap_symbols",
+    "merge_pairs",
+    "bpe_token_count_expr",
     "bpe_train",
     "bpe_token_counts",
     "bpe_vocab",
@@ -71,6 +73,37 @@ def wrap_symbols(col: Column) -> Column:
 def _sym_array(col: Column) -> Column:
     """Wrapped symbol string back to array<string> of symbols."""
     return F.split(F.btrim(col, F.lit("|")), r"\|\|")
+
+
+def merge_pairs(merges) -> list[tuple[str, str]]:
+    """Normalize a merge table — :func:`bpe_train`'s DataFrame or an
+    equivalent (round, left, right, …) tuple list — into ordered
+    (left, right) pairs. THE single parser shared by every consumer
+    (bpe_token_counts / bpe_vocab / CorpusTokenCountValidator), so the
+    merge-application semantics can never drift between them."""
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("round").collect()
+        return [(r["left"], r["right"]) for r in rows]
+    return [(m[1], m[2]) for m in sorted(merges, key=lambda m: m[0])]
+
+
+def bpe_token_count_expr(col: Column, pairs: list[tuple[str, str]]) -> tuple[Column, Column]:
+    """(n_words, n_tokens) Columns for ``col`` under the given merges —
+    the ONE implementation of merge application + delimiter arithmetic
+    (wrapped words joined by a space no pattern can cross; R nested
+    literal replaces; tokens = interior-delimiter pairs / 2 + words).
+    Shared by :func:`bpe_token_counts` and the corpus token-budget
+    validator so they can never diverge."""
+    wlist = F.filter(words(col), lambda x: x != F.lit(""))
+    doc_sym = F.array_join(F.transform(wlist, wrap_symbols), " ")
+    for x, y in pairs:
+        doc_sym = F.replace(doc_sym, F.lit(f"|{x}||{y}|"), F.lit(f"|{x}{y}|"))
+    n_words = F.size(wlist)
+    n_sep = (
+        F.length(doc_sym) - F.length(F.replace(doc_sym, F.lit("||"), F.lit("")))
+    ) / 2
+    n_tokens = F.when(n_words > 0, (n_sep + n_words).cast("long")).otherwise(F.lit(0))
+    return n_words, n_tokens
 
 
 def bpe_train(
@@ -163,20 +196,7 @@ def bpe_token_counts(
     tuples.
 
     Returns (id, n_words, n_tokens)."""
-    if isinstance(merges, DataFrame):
-        rows = merges.orderBy("round").collect()
-        pairs = [(r["left"], r["right"]) for r in rows]
-    else:
-        pairs = [(m[1], m[2]) for m in sorted(merges, key=lambda m: m[0])]
-    wlist = F.filter(words(F.col(text_col)), lambda x: x != F.lit(""))
-    doc_sym = F.array_join(F.transform(wlist, wrap_symbols), " ")
-    for x, y in pairs:
-        doc_sym = F.replace(doc_sym, F.lit(f"|{x}||{y}|"), F.lit(f"|{x}{y}|"))
-    n_words = F.size(wlist)
-    # each word contributes (interior '||' count + 1) symbols; '||' count
-    # via the length-difference trick — still pure column arithmetic
-    n_sep = (F.length(doc_sym) - F.length(F.replace(doc_sym, F.lit("||"), F.lit("")))) / 2
-    n_tokens = F.when(n_words > 0, (n_sep + n_words).cast("long")).otherwise(F.lit(0))
+    n_words, n_tokens = bpe_token_count_expr(F.col(text_col), merge_pairs(merges))
     return df.select(
         F.col(id_col).cast("long").alias("id"),
         n_words.cast("long").alias("n_words"),
@@ -208,11 +228,7 @@ def bpe_vocab(
     truncates to the head of the curve."""
     from pyspark.sql import Window
 
-    if isinstance(merges, DataFrame):
-        rows = merges.orderBy("round").collect()
-        pairs = [(r["left"], r["right"]) for r in rows]
-    else:
-        pairs = [(m[1], m[2]) for m in sorted(merges, key=lambda m: m[0])]
+    pairs = merge_pairs(merges)
     wc = word_counts(df, text_col)
     sym = wrap_symbols(F.col("word"))
     for x, y in pairs:

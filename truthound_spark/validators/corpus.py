@@ -180,27 +180,15 @@ class CorpusTokenCountValidator(Validator):
 
         if self.merges is None:
             return bpe_ish_token_count(F.col(c))
-        from pyspark.sql import DataFrame as _DF
+        # the ONE shared merge-application/count implementation — the
+        # validator can never diverge from bpe_token_counts
+        from truthound_spark.pipeline.tokenizer import (
+            bpe_token_count_expr,
+            merge_pairs,
+        )
 
-        from truthound_spark.pipeline.dedup import words
-        from truthound_spark.pipeline.tokenizer import wrap_symbols
-
-        if isinstance(self.merges, _DF):
-            rows = self.merges.orderBy("round").collect()
-            pairs = [(r["left"], r["right"]) for r in rows]
-        else:
-            pairs = [(m[1], m[2]) for m in sorted(self.merges, key=lambda m: m[0])]
-        wlist = F.filter(words(F.col(c)), lambda x: x != F.lit(""))
-        doc_sym = F.array_join(F.transform(wlist, wrap_symbols), " ")
-        for x, y in pairs:
-            doc_sym = F.replace(doc_sym, F.lit(f"|{x}||{y}|"), F.lit(f"|{x}{y}|"))
-        n_sep = (
-            F.length(doc_sym)
-            - F.length(F.replace(doc_sym, F.lit("||"), F.lit("")))
-        ) / 2
-        return F.when(
-            F.size(wlist) > 0, (n_sep + F.size(wlist)).cast("long")
-        ).otherwise(F.lit(0))
+        _n_words, n_tokens = bpe_token_count_expr(F.col(c), merge_pairs(self.merges))
+        return n_tokens
 
     def specs(self, df: DataFrame) -> list[ExpressionSpec]:
         (c,) = self._target_columns(df, [self.column])
