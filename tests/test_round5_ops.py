@@ -924,3 +924,53 @@ def test_soft_dedup_cluster_mode_keeps_singletons(spark):
     assert out[0]["n_copies"] == 3 and out[0]["weight"] == round(1 / 3, 6)
     for i in range(3, 10):
         assert out[i]["n_copies"] == 1 and out[i]["weight"] == 1.0
+
+
+def test_bpe_tokenize_matches_counts_and_reference(spark, corpus_df):
+    from truthound_spark.pipeline.tokenizer import (
+        bpe_token_counts,
+        bpe_tokenize,
+        bpe_train,
+    )
+
+    merges = bpe_train(corpus_df, rounds=8)
+    toks = {r["id"]: r for r in bpe_tokenize(corpus_df, merges).collect()}
+    counts = {r["id"]: r["n_tokens"] for r in bpe_token_counts(corpus_df, merges).collect()}
+    for i, r in toks.items():
+        assert r["n_tokens"] == counts[i] == len(r["tokens"])
+    # reference check on one word: "low" trained on this corpus merges fully
+    mlist = [(r["left"], r["right"]) for r in merges.orderBy("round").collect()]
+    doc1 = toks[1]["tokens"]
+    # doc 1 is "low low low low low" -> each word must be a single token
+    # iff the merges chain covers it (they do on this corpus)
+    ref = []
+    for w in ["low"] * 5:
+        syms = list(w)
+        for x, y in mlist:
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == x and syms[j + 1] == y:
+                    out.append(x + y); j += 2
+                else:
+                    out.append(syms[j]); j += 1
+            syms = out
+        ref.extend(syms)
+    assert doc1 == ref
+
+
+def test_pack_sequences_with_tokenizer_true_counts(spark, corpus_df):
+    from truthound_spark.pipeline.export import pack_sequences
+    from truthound_spark.pipeline.tokenizer import (
+        bpe_token_count_expr,
+        bpe_train,
+        merge_pairs,
+    )
+
+    merges = merge_pairs(bpe_train(corpus_df, rounds=8))
+    _, n_tokens = bpe_token_count_expr(F.col("text"), merges)
+    bins = pack_sequences(
+        corpus_df, max_tokens=8, n_shards=2, token_count=n_tokens
+    ).collect()
+    packed = sorted(d for r in bins for d in r["doc_ids"])
+    assert packed == [1, 2, 3, 4]  # every doc packed exactly once
+    assert all(r["total_tokens"] <= 8 for r in bins)

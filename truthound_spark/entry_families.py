@@ -304,6 +304,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "soft_dedup_weights_documents",
     "ivfpq_search_embeddings",
     "blocklist_filter_documents",
+    "bpe_tokenize_documents",
 ]
 
 

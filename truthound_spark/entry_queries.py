@@ -9366,3 +9366,44 @@ def q_blocklist_filter_documents(spark, sf_dir):
 
     df = t(spark, sf_dir, "documents")
     return blocklist_filter(df, ["fast", "Shuffle!", "window"]).orderBy("id")
+
+
+@register(
+    "bpe_tokenize_documents",
+    _bpe_oracle_ctes(_BPE_ROUNDS)
+    + ",\n    mp AS (SELECT "
+    + ", ".join(
+        f"COALESCE((SELECT '|'||x||'||'||y||'|' FROM m{r}), chr(1)) AS f{r}, "
+        f"COALESCE((SELECT '|'||x||y||'|' FROM m{r}), chr(1)) AS t{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    + ")"
+    + f""",
+    enc AS (
+      SELECT doc_id,
+             flatten(list_transform(
+               list_filter(string_split({_NORM_SQL.format(c='text')}, ' '),
+                           w -> w <> ''),
+               w -> string_split(trim(
+                 {"".join("replace(" for _ in range(_BPE_ROUNDS))}'|' || array_to_string(string_split(w,''),'||') || '|'"""
+    + "".join(f", mp.f{r}, mp.t{r})" for r in range(1, _BPE_ROUNDS + 1))
+    + """, '|'), '||')
+             )) AS tokens
+      FROM documents, mp
+    )
+    SELECT doc_id AS id, tokens, CAST(len(tokens) AS BIGINT) AS n_tokens
+    FROM enc ORDER BY id
+    """,
+)
+def q_bpe_tokenize_documents(spark, sf_dir):
+    """Materialized BPE tokenization (pipeline/tokenizer.py bpe_tokenize):
+    the actual per-document token sequences under the 6 trained merges —
+    the trainer-input export form. Map-only (per-word replace chain +
+    split + flatten, no shuffles, no UDFs); the oracle retrains the
+    merges and replays the identical per-word chain, so token ARRAYS —
+    not just counts — hash-match."""
+    from truthound_spark.pipeline.tokenizer import bpe_tokenize, bpe_train
+
+    df = t(spark, sf_dir, "documents")
+    merges = bpe_train(df, rounds=_BPE_ROUNDS)
+    return bpe_tokenize(df, merges).orderBy("id")

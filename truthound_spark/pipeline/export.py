@@ -157,6 +157,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_shards: int | None = None,
+    token_count: "F.Column | str | None" = None,
 ) -> DataFrame:
     """Greedy sample packing: concatenate documents into bins of at most
     ``max_tokens`` (by the BPE-ish token estimate), shard-locally.
@@ -175,19 +176,26 @@ def pack_sequences(
 
     Null text counts as 0 tokens (the document is still packed); ids keep
     their input type (string ids work — ``doc_ids`` takes the id column's
-    element type)."""
+    element type).
+
+    ``token_count``: override the BPE-ish estimate with any token-count
+    Column or column name — e.g. ``tokenizer.bpe_token_count_expr(...)``
+    for TOKENIZER-TRUE packing, so bin budgets match what the trainer
+    actually sees."""
     import pandas as pd
 
     n = n_shards or max(df.sparkSession.sparkContext.defaultParallelism, 1)
     id_type = df.schema[id_col].dataType.simpleString()
-    prepped = shard_by_hash(
-        df.select(id_col, text_col), n, key_col=id_col
-    ).select(
+    if token_count is None:
+        tok = bpe_ish_token_count(F.col(text_col))
+    elif isinstance(token_count, str):
+        tok = F.col(token_count)
+    else:
+        tok = token_count
+    prepped = shard_by_hash(df, n, key_col=id_col).select(
         "shard",
         F.col(id_col).alias("id"),
-        F.coalesce(bpe_ish_token_count(F.col(text_col)).cast("int"), F.lit(0)).alias(
-            "tokens"
-        ),
+        F.coalesce(tok.cast("int"), F.lit(0)).alias("tokens"),
     )
 
     def pack_partition(iterator):

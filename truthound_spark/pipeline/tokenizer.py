@@ -46,6 +46,7 @@ __all__ = [
     "bpe_token_count_expr",
     "bpe_train",
     "bpe_token_counts",
+    "bpe_tokenize",
     "bpe_vocab",
 ]
 
@@ -257,3 +258,37 @@ def bpe_vocab(
         )
     )
     return out.filter(F.col("rank") <= top_v) if top_v else out
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: list[tuple] | DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the actual BPE token sequence per document — the
+    trainer-input form (``bpe_token_counts`` gives budgets without ever
+    building arrays; exports need the tokens themselves).
+
+    Map-only like the counter: words wrap, merges apply as nested
+    literal replaces, and the token array falls out of splitting each
+    merged word on the interior delimiter — per-word token lists
+    flattened in document order. Zero shuffles, zero UDFs; the output
+    column feeds straight into sequence packing / shard export.
+
+    Returns (id, tokens array<string>, n_tokens)."""
+    pairs = merge_pairs(merges)
+    wlist = F.filter(words(F.col(text_col)), lambda x: x != F.lit(""))
+
+    def merged_word(w):
+        sym = wrap_symbols(w)
+        for x, y in pairs:
+            sym = F.replace(sym, F.lit(f"|{x}||{y}|"), F.lit(f"|{x}{y}|"))
+        return F.split(F.btrim(sym, F.lit("|")), r"\|\|")
+
+    toks = F.flatten(F.transform(wlist, merged_word))
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.coalesce(toks, F.array().cast("array<string>")).alias("tokens"),
+        F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("n_tokens"),
+    )
