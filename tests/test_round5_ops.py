@@ -974,3 +974,20 @@ def test_pack_sequences_with_tokenizer_true_counts(spark, corpus_df):
     packed = sorted(d for r in bins for d in r["doc_ids"])
     assert packed == [1, 2, 3, 4]  # every doc packed exactly once
     assert all(r["total_tokens"] <= 8 for r in bins)
+
+
+def test_ivfpq_residual_mode_shape_and_determinism(spark):
+    from truthound_spark.pipeline.similarity import ivfpq_search, ivfpq_train_residual
+
+    rows = [(i, [float((i * 5 + j) % 13) / 13 + 0.05 for j in range(8)]) for i in range(48)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 2).withColumnRenamed("vec_id", "query_id")
+    books = ivfpq_train_residual(df, num_cells=4, m=2, pq_k=4, iters=1)
+    assert len(books) == 2 and all(len(cb) >= 1 for cb in books)
+    a = ivfpq_search(df, q, k=5, num_cells=4, nprobe=2, m=2, pq_k=4, iters=1,
+                     residual=True, codebooks=books).collect()
+    b = ivfpq_search(df, q, k=5, num_cells=4, nprobe=2, m=2, pq_k=4, iters=1,
+                     residual=True, codebooks=books).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    ranks = sorted(r["rank"] for r in a if r["query_id"] == 0)
+    assert ranks == list(range(1, len(ranks) + 1))  # dense per-query ranks

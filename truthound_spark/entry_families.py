@@ -305,6 +305,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "ivfpq_search_embeddings",
     "blocklist_filter_documents",
     "bpe_tokenize_documents",
+    "ivfpq_residual_search_embeddings",
 ]
 
 

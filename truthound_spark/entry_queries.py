@@ -6859,9 +6859,13 @@ def q_incremental_dedup_documents(spark, sf_dir):
     return incremental_dedup(new, base, threshold=0.7).orderBy("id")
 
 
-def _pq_oracle_ctes(m: int, k: int, iters: int, dim: int) -> list[str]:
+def _pq_oracle_ctes(
+    m: int, k: int, iters: int, dim: int, source: str = "embeddings"
+) -> list[str]:
     """Per-subspace relational replay of pq_train+assign (kmeans_vec per
-    slice — same quantized grid, k-lowest-id init, (dist, cell) argmin)."""
+    slice — same quantized grid, k-lowest-id init, (dist, cell) argmin).
+    ``source`` is any relation/CTE with (vec_id, embedding DOUBLE[])
+    columns — the residual IVF-PQ oracle feeds a residual CTE here."""
     sub_d = dim // m
     dist = (
         "list_dot_product(p.xv, p.xv) - 2 * list_dot_product(p.xv, c.cv)"
@@ -6881,8 +6885,8 @@ def _pq_oracle_ctes(m: int, k: int, iters: int, dim: int) -> list[str]:
       SELECT CAST(vec_id AS BIGINT) AS id,
              list_transform(CAST(embedding AS DOUBLE[])[{lo + 1}:{lo + sub_d}],
                             x -> CAST(round(x * 1000000.0) AS BIGINT)) AS qv
-      FROM embeddings WHERE embedding IS NOT NULL
-    )"""
+      FROM {source} WHERE embedding IS NOT NULL
+    )""".replace("{source}", source)
         )
         ctes.append(
             f"pv{s} AS (SELECT id, qv, list_transform(qv, q -> q / 1000000.0) AS xv FROM pts{s})"
@@ -9407,3 +9411,119 @@ def q_bpe_tokenize_documents(spark, sf_dir):
     df = t(spark, sf_dir, "documents")
     merges = bpe_train(df, rounds=_BPE_ROUNDS)
     return bpe_tokenize(df, merges).orderBy("id")
+
+
+def _ivfpq_residual_oracle_sql(
+    m: int, pq_k: int, iters: int, dim: int,
+    num_cells: int, nprobe: int, n_queries: int, topk: int,
+) -> str:
+    """Residual IVF-PQ replay: coarse assignment/probe CTEs feed a
+    residual relation (x − centroid(cell)) into the SAME PQ training
+    CTEs (source-parameterized), and each (query, probed cell) pair
+    carries its own LUT over q − centroid(cell)."""
+    sub_d = dim // m
+    d2 = _IVF_D2.format(a="e.v", b="c.cv")
+    pre = [
+        f"""ed AS (
+      SELECT CAST(vec_id AS BIGINT) AS id,
+             CAST(embedding AS DOUBLE[])[1:{dim}] AS v
+      FROM embeddings
+    )""",
+        f"cc AS (SELECT id AS cell, v AS cv FROM ed ORDER BY id LIMIT {num_cells})",
+        f"""ca AS (
+      SELECT id, cell FROM (
+        SELECT e.id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {d2}, c.cell) AS rn
+        FROM ed e, cc c
+      ) WHERE rn = 1
+    )""",
+        """resid AS (
+      SELECT e.id AS vec_id,
+             list_transform(list_zip(e.v, c.cv), p -> p[1] - p[2]) AS embedding
+      FROM ed e JOIN ca ON ca.id = e.id JOIN cc c ON c.cell = ca.cell
+    )""",
+        f"""pb AS (
+      SELECT qid, cell FROM (
+        SELECT e.id AS qid, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {d2}, c.cell) AS rn
+        FROM ed e, cc c WHERE e.id < {n_queries}
+      ) WHERE rn <= {nprobe}
+    )""",
+    ]
+    ctes = pre + _pq_oracle_ctes(m, pq_k, iters, dim, source="resid")
+    for s in range(m):
+        lo = s * sub_d
+        sq = " + ".join(
+            f"(round((q.v[{lo + j + 1}] - b.cv[{lo + j + 1}]) * 1000000.0) / 1000000.0"
+            f" - c.cv[{j + 1}])"
+            f" * (round((q.v[{lo + j + 1}] - b.cv[{lo + j + 1}]) * 1000000.0) / 1000000.0"
+            f" - c.cv[{j + 1}])"
+            for j in range(sub_d)
+        )
+        ctes.append(
+            f"""lut{s} AS (
+      SELECT q.id AS qid, pb.cell AS pcell, c.cell, {sq} AS d
+      FROM ed q JOIN pb ON pb.qid = q.id JOIN cc b ON b.cell = pb.cell,
+           c{iters}v{s} c
+      WHERE q.id < {n_queries}
+    )"""
+        )
+    dsum = " + ".join(f"l{s}.d" for s in range(m))
+    j = "fin0"
+    for s in range(1, m):
+        j += f" JOIN fin{s} USING (id)"
+    lut_joins = " ".join(
+        f"JOIN lut{s} l{s} ON l{s}.cell = fin{s}.cell AND l{s}.qid = l0.qid"
+        f" AND l{s}.pcell = l0.pcell"
+        for s in range(1, m)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    , scored AS (
+      SELECT l0.qid AS query_id, fin0.id,
+             round(({dsum}) * 1000000.0) / 1000000.0 AS adc_dist
+      FROM {j} JOIN ca ON ca.id = fin0.id
+           JOIN lut0 l0 ON l0.cell = fin0.cell AND l0.pcell = ca.cell
+           {lut_joins}
+    )
+    SELECT query_id, id, adc_dist, CAST(rnk AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {topk} ORDER BY query_id, rnk"""
+    )
+
+
+@register(
+    "ivfpq_residual_search_embeddings",
+    _ivfpq_residual_oracle_sql(
+        m=2, pq_k=4, iters=1, dim=8, num_cells=8, nprobe=2, n_queries=6, topk=5
+    ),
+)
+def q_ivfpq_residual_search_embeddings(spark, sf_dir):
+    """RESIDUAL IVF-PQ (pipeline/similarity.py ivfpq_search(residual=
+    True) — the canonical FAISS refinement): PQ trains on and encodes
+    x − centroid(cell), whose norms are far smaller than raw vectors,
+    so the same m·log2(k) bits quantize much more finely; each (query,
+    probed cell) pair gets its own ADC LUT over q − centroid(cell).
+    The oracle feeds a residual CTE into the source-parameterized PQ
+    training replay and scores per probed cell — coarse assignment,
+    residual computation, Lloyd training, encoding, per-cell LUTs, and
+    ranking all hash-match."""
+    from truthound_spark.pipeline.similarity import ivfpq_search
+
+    df = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.slice(F.col("embedding").cast("array<double>"), 1, 8).alias("embedding"),
+    )
+    q = df.filter(F.col("vec_id") < 6)
+    out = ivfpq_search(
+        df, q, k=5, num_cells=8, nprobe=2, m=2, pq_k=4, iters=1,
+        query_id_col="vec_id", residual=True,
+    )
+    return out.select(
+        "query_id", "id", "adc_dist", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")

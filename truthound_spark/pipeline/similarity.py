@@ -922,6 +922,7 @@ def ivfpq_search(
     query_id_col: str = "query_id",
     scale: float = 1e6,
     codebooks: list[list[tuple[int, list[float]]]] | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the standard billion-scale ANN layout (FAISS ``IVFx,PQy``)
     — a coarse quantizer prunes the search to ``nprobe`` cells, and
@@ -944,11 +945,27 @@ def ivfpq_search(
     (id, cell, codes) relation with an ``array_contains`` prune —
     corpus vectors are never touched after encoding.
 
+    ``residual=True`` is the canonical FAISS refinement: PQ trains on
+    and encodes the RESIDUAL ``x − centroid(cell(x))`` instead of the
+    raw vector — residual norms are much smaller, so the same code
+    budget quantizes far more finely (better recall at equal
+    m·log2(k) bits). Query-side each probed cell gets its OWN LUT over
+    ``q − centroid(cell)`` (q·nprobe literal LUT sets, still tiny).
+    Both modes hash-certify; a supplied ``codebooks`` must match the
+    chosen mode.
+
     Returns (query_id, id, adc_dist, rank), rank ≤ k per query."""
     from pyspark.sql import Window
 
     if codebooks is None:
-        codebooks = pq_train(df, vec_col, id_col, m=m, k=pq_k, iters=iters, scale=scale)
+        codebooks = (
+            ivfpq_train_residual(
+                df, num_cells=num_cells, m=m, pq_k=pq_k, iters=iters,
+                vec_col=vec_col, id_col=id_col, scale=scale,
+            )
+            if residual
+            else pq_train(df, vec_col, id_col, m=m, k=pq_k, iters=iters, scale=scale)
+        )
     sub_d = len(codebooks[0][0][1])
     cents = (
         df.select(
@@ -978,8 +995,27 @@ def ivfpq_search(
         .select("id", "v", "__x", "cell", l2_sq(F.col("v"), F.col("cv")).alias("d2"))
         .withColumn("__rn", F.row_number().over(wa))
         .filter(F.col("__rn") == 1)
-        .select("id", "__x", "cell")
+        .select("id", "v", "__x", "cell")
     )
+    if residual:
+        # __x becomes the grid-quantized residual x − centroid(cell);
+        # every PQ stage below then runs unchanged on it
+        assigned = (
+            assigned.join(
+                F.broadcast(cents.withColumnRenamed("cell", "__ccell")),
+                F.col("cell") == F.col("__ccell"),
+            )
+            .select(
+                "id",
+                "cell",
+                F.transform(
+                    F.zip_with(F.col("v"), F.col("cv"), lambda a, b: a - b),
+                    lambda x: F.round(x * F.lit(float(scale))) / F.lit(float(scale)),
+                ).alias("__x"),
+            )
+        )
+    else:
+        assigned = assigned.select("id", "__x", "cell")
     enc = _pq_codes_from(assigned, codebooks, extra=("cell",))
 
     q = queries.select(
@@ -1002,16 +1038,33 @@ def ivfpq_search(
         )
         e["cells"].append(int(r["cell"]))
     entries = []
-    for qid, info in sorted(by_query.items()):
-        qv = [_quantize_half_away(float(x), scale) for x in info["qv"]]
-        cells_lit = F.array(*[F.lit(c) for c in sorted(info["cells"])])
-        entries.append(
-            F.struct(
-                F.lit(qid).alias("query_id"),
-                F.array_contains(cells_lit, F.col("cell")).alias("probed"),
-                _pq_adc_dist(qv, codebooks, sub_d).alias("adc_dist"),
+    if residual:
+        crows = {int(r["cell"]): list(r["cv"]) for r in cents.collect()}
+        for qid, info in sorted(by_query.items()):
+            for cell in sorted(info["cells"]):
+                cv = crows[cell]
+                qv = [
+                    _quantize_half_away(float(x) - float(b), scale)
+                    for x, b in zip(info["qv"], cv)
+                ]
+                entries.append(
+                    F.struct(
+                        F.lit(qid).alias("query_id"),
+                        (F.col("cell") == F.lit(cell)).alias("probed"),
+                        _pq_adc_dist(qv, codebooks, sub_d).alias("adc_dist"),
+                    )
+                )
+    else:
+        for qid, info in sorted(by_query.items()):
+            qv = [_quantize_half_away(float(x), scale) for x in info["qv"]]
+            cells_lit = F.array(*[F.lit(c) for c in sorted(info["cells"])])
+            entries.append(
+                F.struct(
+                    F.lit(qid).alias("query_id"),
+                    F.array_contains(cells_lit, F.col("cell")).alias("probed"),
+                    _pq_adc_dist(qv, codebooks, sub_d).alias("adc_dist"),
+                )
             )
-        )
     scored = (
         enc.select("id", "cell", "codes", F.explode_outer(F.array(*entries)).alias("e"))
         .filter(F.col("e").isNotNull() & F.col("e.probed"))
@@ -1023,3 +1076,56 @@ def ivfpq_search(
     return scored.withColumn("rank", F.row_number().over(wr)).filter(
         F.col("rank") <= k
     )
+
+
+def ivfpq_train_residual(
+    df: DataFrame,
+    num_cells: int = 16,
+    m: int = 2,
+    pq_k: int = 16,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: float = 1e6,
+) -> list[list[tuple[int, list[float]]]]:
+    """PQ codebooks over coarse-cell RESIDUALS ``x − centroid(cell(x))``
+    — the training half of residual IVF-PQ (``ivfpq_search(residual=
+    True)``). The residual frame is one assignment pass (broadcast
+    seeded centroids, argmin window) + an elementwise subtract; training
+    is the standard :func:`pq_train` on it, so the determinism contract
+    (quantized-long sums, lowest-id init) is inherited verbatim."""
+    from pyspark.sql import Window
+
+    cents = (
+        df.select(
+            F.col(id_col).cast("long").alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .orderBy("cell")
+        .limit(num_cells)
+    )
+    wa = Window.partitionBy("id").orderBy("d2", "cell")
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).where(F.col("v").isNotNull())
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .select("id", "v", "cell", l2_sq(F.col("v"), F.col("cv")).alias("d2"))
+        .withColumn("__rn", F.row_number().over(wa))
+        .filter(F.col("__rn") == 1)
+        .select("id", "v", "cell")
+    )
+    res = (
+        assigned.join(
+            F.broadcast(cents.withColumnRenamed("cell", "__ccell")),
+            F.col("cell") == F.col("__ccell"),
+        )
+        .select(
+            F.col("id").alias("vec_id"),
+            F.zip_with(F.col("v"), F.col("cv"), lambda a, b: a - b).alias(
+                "embedding"
+            ),
+        )
+    )
+    return pq_train(res, "embedding", "vec_id", m=m, k=pq_k, iters=iters, scale=scale)
