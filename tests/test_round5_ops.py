@@ -991,3 +991,33 @@ def test_ivfpq_residual_mode_shape_and_determinism(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
     ranks = sorted(r["rank"] for r in a if r["query_id"] == 0)
     assert ranks == list(range(1, len(ranks) + 1))  # dense per-query ranks
+
+
+def test_pool_embeddings_mean_and_max(spark):
+    from truthound_spark.pipeline.similarity import pool_embeddings
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("a", [3.0, 2.0]), ("b", [5.0, 5.0])],
+        "grp string, embedding array<double>",
+    )
+    mean = {r["group"]: r for r in pool_embeddings(df, "grp").collect()}
+    assert mean["a"]["pooled"] == [2.0, 1.0] and mean["a"]["n_vectors"] == 2
+    assert mean["b"]["pooled"] == [5.0, 5.0]
+    mx = {r["group"]: r["pooled"] for r in pool_embeddings(df, "grp", mode="max").collect()}
+    assert mx["a"] == [3.0, 2.0]
+
+
+def test_pool_embeddings_normalize_and_l2(spark):
+    from truthound_spark.pipeline.similarity import l2_normalize, pool_embeddings
+
+    df = spark.createDataFrame(
+        [("a", [3.0, 4.0]), ("z", [0.0, 0.0])], "grp string, embedding array<double>"
+    )
+    out = {r["group"]: r["pooled"] for r in
+           pool_embeddings(df, "grp", normalize=True).collect()}
+    assert [round(x, 6) for x in out["a"]] == [0.6, 0.8]
+    assert out["z"] == [0.0, 0.0]  # zero vector passes through
+    row = df.filter(F.col("grp") == "a").select(
+        l2_normalize(F.col("embedding").cast("array<double>")).alias("v")
+    ).collect()[0]
+    assert [round(x, 6) for x in row["v"]] == [0.6, 0.8]

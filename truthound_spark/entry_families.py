@@ -306,6 +306,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "blocklist_filter_documents",
     "bpe_tokenize_documents",
     "ivfpq_residual_search_embeddings",
+    "pool_embeddings_by_label",
 ]
 
 

@@ -9527,3 +9527,36 @@ def q_ivfpq_residual_search_embeddings(spark, sf_dir):
     return out.select(
         "query_id", "id", "adc_dist", F.col("rank").cast("long").alias("rank")
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "pool_embeddings_by_label",
+    """
+    WITH ex AS (
+      SELECT label, u.pos - 1 AS pos, u.x
+      FROM embeddings,
+           LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+                           generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos) u
+    ),
+    pd AS (
+      SELECT label AS "group", pos, COUNT(*) AS n,
+             ROUND(SUM(CAST(round(x * 1000000.0) AS BIGINT)) / COUNT(*) / 1000000.0, 6) AS v
+      FROM ex GROUP BY 1, 2
+    )
+    SELECT "group", CAST(MAX(n) AS BIGINT) AS n_vectors,
+           list(v ORDER BY pos) AS pooled
+    FROM pd GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_pool_embeddings_by_label(spark, sf_dir):
+    """Embedding pooling (pipeline/similarity.py pool_embeddings): the
+    chunk→document rollup — one mean vector per label group, quantized
+    per-dimension long sums so the distributed mean is exact and
+    order-independent (the kmeans_vec centroid trick applied to
+    pooling). One (group, dim)-keyed shuffle with map-side partials; no
+    UDFs. The oracle replays the explode/quantize/mean/ordered-collect
+    chain."""
+    from truthound_spark.pipeline.similarity import pool_embeddings
+
+    df = t(spark, sf_dir, "embeddings")
+    return pool_embeddings(df, "label").orderBy("group")

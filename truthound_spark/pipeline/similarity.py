@@ -1129,3 +1129,74 @@ def ivfpq_train_residual(
         )
     )
     return pq_train(res, "embedding", "vec_id", m=m, k=pq_k, iters=iters, scale=scale)
+
+
+def l2_normalize(col: "F.Column") -> "F.Column":
+    """Unit-normalize an array<double> vector column (zero vectors pass
+    through unchanged rather than dividing by zero). Same sequential
+    fold as ``cosine_sim``'s denominator, so normalize-then-dot equals
+    cosine bit-for-bit."""
+    norm = F.sqrt(
+        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return F.when(norm > 0, F.transform(col, lambda x: x / norm)).otherwise(col)
+
+
+def pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    mode: str = "mean",
+    normalize: bool = False,
+) -> DataFrame:
+    """Pool many vectors into one per group — the chunk→document rollup
+    of a RAG/retrieval pipeline (documents are embedded chunk-wise; the
+    document-level vector is the mean or max of its chunks).
+
+    Determinism: mean pooling sums per-dimension 1e-6-QUANTIZED longs
+    (exact, order-independent — the same trick as kmeans_vec's centroid
+    sums) before dividing by the group count; max picks existing values.
+    Plan: posexplode to (group, dim, value) — one shuffle keyed by
+    (group, dim), partial aggregation map-side — then one small
+    collect_list sorted by dim position per group. No UDFs, no driver
+    loops.
+
+    Returns (group, n_vectors, pooled array<double>), mean values
+    rounded to 6dp."""
+    if mode not in ("mean", "max"):
+        raise ValueError(f"mode must be 'mean' or 'max', got {mode!r}")
+    base = df.select(
+        F.col(group_col).alias("group"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
+    )
+    if mode == "mean":
+        per_dim = base.groupBy("group", "pos").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.round(F.col("x") * 1e6).cast("long")).alias("__qs"),
+        ).select(
+            "group",
+            "pos",
+            "__n",
+            F.round(F.col("__qs") / F.col("__n") / F.lit(1e6), 6).alias("__v"),
+        )
+    else:
+        per_dim = base.groupBy("group", "pos").agg(
+            F.count(F.lit(1)).alias("__n"), F.max("x").alias("__v")
+        )
+    out = (
+        per_dim.groupBy("group")
+        .agg(
+            F.max("__n").alias("n_vectors"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("__v")))
+            ).alias("__pv"),
+        )
+        .select(
+            "group",
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.transform(F.col("__pv"), lambda e: e["__v"]).alias("pooled"),
+        )
+    )
+    if normalize:
+        out = out.withColumn("pooled", l2_normalize(F.col("pooled")))
+    return out
