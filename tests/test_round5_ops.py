@@ -1021,3 +1021,42 @@ def test_pool_embeddings_normalize_and_l2(spark):
         l2_normalize(F.col("embedding").cast("array<double>")).alias("v")
     ).collect()[0]
     assert [round(x, 6) for x in row["v"]] == [0.6, 0.8]
+
+
+def test_embedding_drift_detects_planted_shift(spark):
+    from truthound_spark.pipeline.similarity import embedding_drift
+
+    base = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 2.0]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    cur = base.select(
+        F.transform(
+            F.col("embedding"), lambda x, i: F.when(i == 1, x + 5.0).otherwise(x)
+        ).alias("embedding")
+    )
+    rows = {r["pos"]: r for r in embedding_drift(cur, base).collect()}
+    assert rows[1]["shift"] > rows[0]["shift"] and rows[1]["shift"] > rows[2]["shift"]
+    assert rows[0]["shift"] == 0.0 and rows[2]["shift"] == 0.0
+    top = embedding_drift(cur, base, top_k=1).collect()
+    assert len(top) == 1 and top[0]["pos"] == 1
+
+
+def test_dedup_pair_evidence_shows_shared_ngrams(spark):
+    from truthound_spark.pipeline.dedup import dedup_pair_evidence
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over a sleepy dog"),
+            (3, "entirely different content with other words"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = dedup_pair_evidence(docs, pairs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_shared"] > 0
+    assert "the quick brown" in r["shared_ngrams"]
+    assert len(r["shared_ngrams"]) <= 10

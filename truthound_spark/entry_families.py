@@ -307,6 +307,8 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "bpe_tokenize_documents",
     "ivfpq_residual_search_embeddings",
     "pool_embeddings_by_label",
+    "embedding_drift_embeddings",
+    "dedup_pair_evidence_documents",
 ]
 
 

@@ -9560,3 +9560,105 @@ def q_pool_embeddings_by_label(spark, sf_dir):
 
     df = t(spark, sf_dir, "embeddings")
     return pool_embeddings(df, "label").orderBy("group")
+
+
+@register(
+    "embedding_drift_embeddings",
+    """
+    WITH cur AS (
+      SELECT list_transform(
+               list_zip(CAST(embedding AS DOUBLE[]),
+                        range(len(CAST(embedding AS DOUBLE[])))),
+               p -> p[1] + p[2] / 100.0) AS v
+      FROM embeddings
+    ),
+    bas AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    exc AS (
+      SELECT u.pos - 1 AS pos, u.x FROM cur,
+        LATERAL (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos) u
+    ),
+    exb AS (
+      SELECT u.pos - 1 AS pos, u.x FROM bas,
+        LATERAL (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos) u
+    ),
+    sc AS (
+      SELECT pos, COUNT(*) AS n,
+             SUM(CAST(round(x * 1000000.0) AS BIGINT)) AS s,
+             SUM(CAST(round(x * x * 1000000.0) AS BIGINT)) AS ss
+      FROM exc GROUP BY pos
+    ),
+    sb AS (
+      SELECT pos, COUNT(*) AS n,
+             SUM(CAST(round(x * 1000000.0) AS BIGINT)) AS s,
+             SUM(CAST(round(x * x * 1000000.0) AS BIGINT)) AS ss
+      FROM exb GROUP BY pos
+    ),
+    m AS (
+      SELECT sc.pos,
+             sb.s / sb.n / 1000000.0 AS mb, sc.s / sc.n / 1000000.0 AS mc,
+             GREATEST(sb.ss / sb.n / 1000000.0
+               - (sb.s / sb.n / 1000000.0) * (sb.s / sb.n / 1000000.0), 0.0) AS vb,
+             GREATEST(sc.ss / sc.n / 1000000.0
+               - (sc.s / sc.n / 1000000.0) * (sc.s / sc.n / 1000000.0), 0.0) AS vc
+      FROM sc JOIN sb ON sc.pos = sb.pos
+    )
+    SELECT pos, ROUND(mb, 6) AS mean_base, ROUND(mc, 6) AS mean_cur,
+           ROUND(sqrt(vb), 6) AS std_base, ROUND(sqrt(vc), 6) AS std_cur,
+           ROUND(CASE WHEN sqrt((vc + vb) / 2) > 0
+                 THEN abs(mc - mb) / sqrt((vc + vb) / 2)
+                 WHEN abs(mc - mb) > 0 THEN CAST('infinity' AS DOUBLE)
+                 ELSE 0.0 END, 6) AS shift
+    FROM m ORDER BY pos
+    """,
+)
+def q_embedding_drift_embeddings(spark, sf_dir):
+    """Embedding-snapshot drift (pipeline/similarity.py embedding_drift):
+    per-dimension mean/std on both sides from exact quantized-long sums
+    plus the standardized shift — the regression check after an
+    embedding-model update. The entry injects a deterministic
+    index-proportional perturbation (x + pos/100) as the 'current'
+    snapshot so every dimension's shift is nonzero and grows with pos;
+    the oracle replays the mutation and the whole moment arithmetic."""
+    from truthound_spark.pipeline.similarity import embedding_drift
+
+    df = t(spark, sf_dir, "embeddings")
+    cur = df.select(
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x + i / F.lit(100.0),
+        ).alias("embedding")
+    )
+    return embedding_drift(cur, df).orderBy("pos")
+
+
+@register(
+    "dedup_pair_evidence_documents",
+    f"""
+    WITH shf AS (
+      SELECT id, list_filter(sh, x -> x <> '') AS sh FROM ({_SHINGLES_SQL})
+    ),
+    p AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.sh AS sa, b.sh AS sb
+      FROM shf a JOIN shf b ON a.id < b.id
+      WHERE len(list_intersect(a.sh, b.sh))
+            / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.7
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(sa, sb)) AS BIGINT) AS n_shared,
+           list_sort(list_intersect(sa, sb))[1:10] AS shared_ngrams
+    FROM p ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_pair_evidence_documents(spark, sf_dir):
+    """Near-dup pair EVIDENCE (pipeline/dedup.py dedup_pair_evidence):
+    for every flagged MinHash pair, the concrete shared word 3-grams —
+    the reviewer-facing WHY behind a deletion decision (the dedup-side
+    analogue of the validator layer's evidence sampling). Only docs
+    appearing in pairs are shingled (semi-join); the oracle recomputes
+    the exhaustive >= 0.7 pair set and the identical sorted/truncated
+    intersection."""
+    from truthound_spark.pipeline.dedup import dedup_pair_evidence, minhash_dedup_pairs
+
+    df = t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(df, threshold=0.7, num_hashes=64, bands=32)
+    return dedup_pair_evidence(df, pairs).orderBy("id_a", "id_b")

@@ -1800,3 +1800,58 @@ def soft_dedup_weights(
             ).alias("weight"),
         )
     )
+
+
+def dedup_pair_evidence(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reviewer-facing evidence for flagged near-duplicate pairs: the
+    concrete shared word n-grams (same mapping as the validator layer's
+    evidence sampling, applied to the dedup surface) — a pair list alone
+    says THAT two docs collided, this says WHY, which is what a human
+    audit or an appeals process needs before deleting data.
+
+    Plan: shingle the (already tiny) set of docs appearing in pairs —
+    the corpus is touched only through a semi-join on those ids — then
+    one pair join + array_intersect. ``top_k`` bounds the evidence
+    payload per pair; ``n_shared`` keeps the full overlap count.
+
+    Returns (id_a, id_b, n_shared, shared_ngrams array<string>) with
+    shared n-grams sorted lexicographically, truncated to top_k."""
+    ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .dropDuplicates()
+    )
+    docs = df.join(
+        ids,
+        df[id_col].cast("long") == ids["id"],
+        "left_semi",
+    )
+    sh = _shingle_arrays(docs, text_col, id_col, n).select(
+        "id", F.filter("sh", lambda x: x != F.lit("")).alias("sh")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("__sa"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("__sb"))
+    shared = F.array_sort(
+        F.array_intersect(F.col("__sa"), F.col("__sb"))
+    )
+    return (
+        pairs.select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+        )
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(shared).cast("long").alias("n_shared"),
+            F.slice(shared, 1, top_k).alias("shared_ngrams"),
+        )
+    )

@@ -1200,3 +1200,73 @@ def pool_embeddings(
     if normalize:
         out = out.withColumn("pooled", l2_normalize(F.col("pooled")))
     return out
+
+
+def embedding_drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    vec_col: str = "embedding",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Per-DIMENSION drift between two embedding snapshots — the
+    regression check after an embedding-model update or re-embedding
+    run: a handful of shifted dimensions (or a global norm change)
+    silently degrades every downstream ANN/dedup/clustering result
+    long before any end metric notices.
+
+    Per dimension: mean and std on both sides (exact quantized-long
+    sums — order-independent, hash-certifiable) and the standardized
+    shift |mean_cur − mean_base| / pooled_std; a zero-variance dimension
+    whose mean moved reports shift = +inf (a constant dim that shifted
+    is the LOUDEST drift, not a zero — review-of-review), and only a
+    truly unchanged constant dim reports 0.
+    One posexplode + (dim)-keyed aggregate per side; dims are few, the
+    shuffle is tiny regardless of corpus size.
+
+    Returns (pos, mean_base, mean_cur, std_base, std_cur, shift),
+    optionally truncated to the ``top_k`` most-shifted dimensions
+    (shift DESC, pos)."""
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        ex = df.select(
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x")
+        )
+        q = F.round(F.col("x") * 1e6).cast("long")
+        qq = F.round(F.col("x") * F.col("x") * 1e6).cast("long")
+        return ex.groupBy("pos").agg(
+            F.count(F.lit(1)).alias(f"__n_{tag}"),
+            F.sum(q).alias(f"__s_{tag}"),
+            F.sum(qq).alias(f"__ss_{tag}"),
+        )
+
+    j = side(current, "c").join(side(baseline, "b"), "pos")
+    mean = lambda t: F.col(f"__s_{t}") / F.col(f"__n_{t}") / 1e6  # noqa: E731
+    var = lambda t: F.greatest(  # noqa: E731
+        F.col(f"__ss_{t}") / F.col(f"__n_{t}") / 1e6
+        - (F.col(f"__s_{t}") / F.col(f"__n_{t}") / 1e6)
+        * (F.col(f"__s_{t}") / F.col(f"__n_{t}") / 1e6),
+        F.lit(0.0),
+    )
+    pooled = F.sqrt((var("c") + var("b")) / 2)
+    out = j.select(
+        "pos",
+        F.round(mean("b"), 6).alias("mean_base"),
+        F.round(mean("c"), 6).alias("mean_cur"),
+        F.round(F.sqrt(var("b")), 6).alias("std_base"),
+        F.round(F.sqrt(var("c")), 6).alias("std_cur"),
+        F.round(
+            F.when(pooled > 0, F.abs(mean("c") - mean("b")) / pooled)
+            .when(F.abs(mean("c") - mean("b")) > 0, F.lit(float("inf")))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("shift"),
+    )
+    if top_k:
+        from pyspark.sql import Window as _W
+
+        w = _W.orderBy(F.desc("shift"), "pos")
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= top_k)
+            .drop("__rn")
+        )
+    return out
