@@ -1060,3 +1060,33 @@ def test_dedup_pair_evidence_shows_shared_ngrams(spark):
     assert r["n_shared"] > 0
     assert "the quick brown" in r["shared_ngrams"]
     assert len(r["shared_ngrams"]) <= 10
+
+
+def test_trigram_backoff_levels_exercise(spark):
+    from truthound_spark.pipeline.text import trigram_backoff_score
+
+    ref = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (2, "the dog sat on the rug")],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),     # all trigrams seen
+            (3, "the cat sat under a tree"),   # partial backoff
+            (5, "zq xv wk pj mn bb"),          # full unigram backoff
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in trigram_backoff_score(score, reference=ref).collect()}
+    # seen text scores far better (lower perplexity) than noise
+    assert out[1]["perplexity"] < out[3]["perplexity"] < out[5]["perplexity"]
+    assert out[1]["n_trigrams"] == 4 and out[5]["n_trigrams"] == 4
+
+
+def test_trigram_backoff_short_docs_null(spark):
+    from truthound_spark.pipeline.text import trigram_backoff_score
+
+    df = spark.createDataFrame([(1, "two words"), (2, "")], "doc_id long, text string")
+    out = {r["id"]: r for r in trigram_backoff_score(df).collect()}
+    assert out[1]["n_trigrams"] == 0 and out[1]["perplexity"] is None
+    assert out[2]["n_trigrams"] == 0

@@ -309,6 +309,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "pool_embeddings_by_label",
     "embedding_drift_embeddings",
     "dedup_pair_evidence_documents",
+    "trigram_backoff_documents",
 ]
 
 

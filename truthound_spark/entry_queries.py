@@ -9662,3 +9662,82 @@ def q_dedup_pair_evidence_documents(spark, sf_dir):
     df = t(spark, sf_dir, "documents")
     pairs = minhash_dedup_pairs(df, threshold=0.7, num_hashes=64, bands=32)
     return dedup_pair_evidence(df, pairs).orderBy("id_a", "id_b")
+
+
+@register(
+    "trigram_backoff_documents",
+    f"""
+    WITH wd AS (
+      SELECT doc_id AS id,
+             list_filter(string_split({_NORM_SQL.format(c='text')}, ' '),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    score_w AS (SELECT * FROM wd WHERE id % 2 = 1),
+    ref_w AS (SELECT * FROM wd WHERE id % 2 = 0),
+    uni AS (
+      SELECT t, COUNT(*) AS c1 FROM (SELECT unnest(w) AS t FROM ref_w) GROUP BY t
+    ),
+    vt AS (SELECT COUNT(*) AS vocab, (SELECT COUNT(*) FROM (SELECT unnest(w) FROM ref_w)) AS total FROM uni),
+    bi AS (
+      SELECT p[1] AS wa, p[2] AS wb, COUNT(*) AS cb FROM (
+        SELECT unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p FROM ref_w
+        WHERE len(w) >= 2
+      ) GROUP BY 1, 2
+    ),
+    rtri AS (
+      SELECT p[1] AS w1, p[2] AS w2, p[3] AS w3, COUNT(*) AS c123 FROM (
+        SELECT unnest(list_zip(w[1:len(w)-2], w[2:len(w)-1], w[3:len(w)])) AS p
+        FROM ref_w WHERE len(w) >= 3
+      ) GROUP BY 1, 2, 3
+    ),
+    pos AS (
+      SELECT id, p[1] AS w1, p[2] AS w2, p[3] AS w3 FROM (
+        SELECT id, unnest(list_zip(w[1:len(w)-2], w[2:len(w)-1], w[3:len(w)])) AS p
+        FROM score_w WHERE len(w) >= 3
+      )
+    ),
+    lp AS (
+      SELECT pos.id,
+             CAST(round(1000000.0 * (
+               CASE WHEN COALESCE(rtri.c123, 0) > 0
+                    THEN -ln(rtri.c123 / CAST(b12.cb AS DOUBLE))
+                    WHEN COALESCE(b23.cb, 0) > 0
+                    THEN -ln(b23.cb / CAST(u2.c1 AS DOUBLE)) - ln(0.4)
+                    ELSE -ln((COALESCE(u3.c1, 0) + 1.0)
+                             / (vt.total + vt.vocab)) - 2 * ln(0.4)
+               END)) AS BIGINT) AS qlp
+      FROM pos
+      LEFT JOIN rtri ON rtri.w1 = pos.w1 AND rtri.w2 = pos.w2 AND rtri.w3 = pos.w3
+      LEFT JOIN bi b12 ON b12.wa = pos.w1 AND b12.wb = pos.w2
+      LEFT JOIN bi b23 ON b23.wa = pos.w2 AND b23.wb = pos.w3
+      LEFT JOIN uni u2 ON u2.t = pos.w2
+      LEFT JOIN uni u3 ON u3.t = pos.w3, vt
+    ),
+    sc AS (
+      SELECT id, COUNT(*) AS n_trigrams,
+             SUM(qlp) / COUNT(*) / 1000000.0 AS alp
+      FROM lp GROUP BY id
+    )
+    SELECT w.id, CAST(COALESCE(sc.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+           ROUND(sc.alp, 6) AS avg_neg_logprob,
+           ROUND(EXP(sc.alp), 6) AS perplexity
+    FROM score_w w LEFT JOIN sc ON w.id = sc.id ORDER BY w.id
+    """,
+)
+def q_trigram_backoff_documents(spark, sf_dir):
+    """Trigram LM with stupid backoff (pipeline/text.py
+    trigram_backoff_score — Brants et al. 2007): the model trains on
+    even-id docs, odd-id docs are scored, so unseen grams genuinely
+    exercise every backoff level (trigram → α·bigram → α²·add-one
+    unigram). Exact corpus counts + quantized per-position −ln p means
+    make the whole three-level model hash-certifiable. A sharper
+    noise/boilerplate signal than the bigram model — 3-gram context
+    separates fluent text from locally-plausible garble."""
+    from truthound_spark.pipeline.text import trigram_backoff_score
+
+    df = t(spark, sf_dir, "documents")
+    return trigram_backoff_score(
+        df.filter(F.col("doc_id") % 2 == 1),
+        reference=df.filter(F.col("doc_id") % 2 == 0),
+    ).orderBy("id")

@@ -943,7 +943,7 @@ def bigram_perplexity(
     ).select("id", F.explode_outer("__b").alias("bg")).select(
         "id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
     ).filter(F.col("w1").isNotNull())
-    unigrams = w.select(F.explode_outer("__w").alias("t")).filter(
+    unigrams = ref_w.select(F.explode_outer("__w").alias("t")).filter(
         F.col("t").isNotNull()
     )
     uni = unigrams.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
@@ -1092,4 +1092,199 @@ def blocklist_filter(
         "matched_terms",
         F.size("matched_terms").cast("long").alias("n_matched"),
         (F.size("matched_terms") > 0).alias("blocked"),
+    )
+
+
+def trigram_backoff_score(
+    df: DataFrame,
+    reference: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Perplexity under a corpus-self-trained trigram LM with STUPID
+    BACKOFF (Brants et al. 2007 — the web-scale LM scoring recipe:
+    score(w₃|w₁w₂) = c₁₂₃/c₁₂, backing off to α·c₂₃/c₂, then to
+    α²·(c₃+1)/(N+V)): a sharper noise/boilerplate signal than the
+    bigram model because 3-gram context separates fluent text from
+    locally-plausible-but-globally-garbled noise.
+
+    All counts are corpus-wide exact integers; the backoff CASE picks
+    the highest-order level with evidence; per-position −ln p quantizes
+    to 1e-6 longs before the per-doc mean (the engine's exact-mean
+    trick) — the whole model hash-certifies relationally.
+
+    ``reference`` is the corpus the MODEL trains on (its
+    trigram/bigram/unigram counts); ``df`` is what gets scored. With
+    the default (reference = df itself) every observed trigram has
+    count ≥ 1 and the backoff never fires — useful as a pure
+    typicality score; train on a held-out/reference slice to exercise
+    real backoff on unseen grams (as the entry does).
+
+    Plan: one tokenize pass per side feeds the count aggregates
+    (shuffle keys = grams); scoring is four left joins of the doc's
+    trigram positions against the count tables. Docs with < 3 tokens
+    report 0 trigrams and NULL scores.
+
+    Returns (id, n_trigrams, avg_neg_logprob, perplexity)."""
+    import math as _math
+
+    from truthound_spark.pipeline.dedup import words
+
+    w = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.filter(words(F.col(text_col)), lambda x: x != F.lit("")).alias("__w"),
+    ).localCheckpoint(eager=True)
+    ref_w = (
+        w
+        if reference is None
+        else reference.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.filter(words(F.col(text_col)), lambda x: x != F.lit("")).alias("__w"),
+        ).localCheckpoint(eager=True)
+    )
+    n = F.size("__w")
+    tri = (
+        w.select(
+            "id",
+            F.when(
+                n >= 3,
+                F.zip_with(
+                    F.slice("__w", 1, n - 2),
+                    F.zip_with(
+                        F.slice("__w", 2, n - 2),
+                        F.slice("__w", 3, n - 2),
+                        lambda b_, c_: F.struct(b_.alias("w2"), c_.alias("w3")),
+                    ),
+                    lambda a, bc: F.struct(
+                        a.alias("w1"), bc["w2"].alias("w2"), bc["w3"].alias("w3")
+                    ),
+                ),
+            )
+            .otherwise(
+                F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
+            )
+            .alias("__t"),
+        )
+        .select("id", F.explode_outer("__t").alias("tg"))
+        .select(
+            "id",
+            F.col("tg.w1").alias("w1"),
+            F.col("tg.w2").alias("w2"),
+            F.col("tg.w3").alias("w3"),
+        )
+        .filter(F.col("w1").isNotNull())
+    )
+    unigrams = ref_w.select(F.explode_outer("__w").alias("t")).filter(
+        F.col("t").isNotNull()
+    )
+    uni = unigrams.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = uni.count()
+    total = unigrams.count()
+    bi = (
+        ref_w.select(
+            "id",
+            F.when(
+                n >= 2,
+                F.zip_with(
+                    F.slice("__w", 1, n - 1),
+                    F.slice("__w", 2, n - 1),
+                    lambda a, b_: F.struct(a.alias("wa"), b_.alias("wb")),
+                ),
+            )
+            .otherwise(F.array().cast("array<struct<wa:string,wb:string>>"))
+            .alias("__b"),
+        )
+        .select(F.explode_outer("__b").alias("bg"))
+        .select(F.col("bg.wa").alias("wa"), F.col("bg.wb").alias("wb"))
+        .filter(F.col("wa").isNotNull())
+        .groupBy("wa", "wb")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    ref_tri = (
+        ref_w.select(
+            F.when(
+                n >= 3,
+                F.zip_with(
+                    F.slice("__w", 1, n - 2),
+                    F.zip_with(
+                        F.slice("__w", 2, n - 2),
+                        F.slice("__w", 3, n - 2),
+                        lambda b_, c_: F.struct(b_.alias("w2"), c_.alias("w3")),
+                    ),
+                    lambda a, bc: F.struct(
+                        a.alias("w1"), bc["w2"].alias("w2"), bc["w3"].alias("w3")
+                    ),
+                ),
+            )
+            .otherwise(
+                F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
+            )
+            .alias("__t")
+        )
+        .select(F.explode_outer("__t").alias("tg"))
+        .select(
+            F.col("tg.w1").alias("w1"),
+            F.col("tg.w2").alias("w2"),
+            F.col("tg.w3").alias("w3"),
+        )
+        .filter(F.col("w1").isNotNull())
+    )
+    tg = ref_tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
+    a = float(alpha)
+    la = _math.log(a)
+    p = (
+        tri.join(tg, ["w1", "w2", "w3"], "left")
+        .join(
+            bi.select(
+                F.col("wa").alias("w1"), F.col("wb").alias("w2"),
+                F.col("cb").alias("c12"),
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            bi.select(
+                F.col("wa").alias("w2"), F.col("wb").alias("w3"),
+                F.col("cb").alias("c23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(uni.select(F.col("t").alias("w2"), F.col("c1").alias("c2")), "w2", "left")
+        .join(uni.select(F.col("t").alias("w3"), F.col("c1").alias("c3")), "w3", "left")
+    )
+    # backoff CASE: trigram evidence → bigram → add-one unigram; the
+    # −ln p terms fold the α factors in log space (exactly −ln α·x =
+    # −ln x − ln α, same float ops the oracle replays)
+    neg_lp = (
+        F.when(
+            F.coalesce(F.col("c123"), F.lit(0)) > 0,
+            -F.log(F.col("c123") / F.col("c12").cast("double")),
+        )
+        .when(
+            F.coalesce(F.col("c23"), F.lit(0)) > 0,
+            -F.log(F.col("c23") / F.col("c2").cast("double")) - F.lit(la),
+        )
+        .otherwise(
+            -F.log(
+                (F.coalesce(F.col("c3"), F.lit(0)) + F.lit(1.0))
+                / F.lit(float(total + vocab))
+            )
+            - F.lit(2 * la)
+        )
+    )
+    lp = p.select("id", F.round(neg_lp * F.lit(1e6)).cast("long").alias("qlp"))
+    scored = lp.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        (F.sum("qlp").cast("double") / F.count(F.lit(1)) / F.lit(1e6)).alias(
+            "avg_neg_logprob"
+        ),
+    )
+    ids = df.select(F.col(id_col).cast("long").alias("id"))
+    return ids.join(scored, "id", "left").select(
+        "id",
+        F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+        F.round("avg_neg_logprob", 6).alias("avg_neg_logprob"),
+        F.round(F.exp("avg_neg_logprob"), 6).alias("perplexity"),
     )
