@@ -1090,3 +1090,22 @@ def test_trigram_backoff_short_docs_null(spark):
     out = {r["id"]: r for r in trigram_backoff_score(df).collect()}
     assert out[1]["n_trigrams"] == 0 and out[1]["perplexity"] is None
     assert out[2]["n_trigrams"] == 0
+
+
+def test_embedding_health_validator_thresholds(spark):
+    import truthound_spark as th
+    from truthound_spark.validators.corpus import EmbeddingHealthValidator
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    strict = th.check(df, validators=[EmbeddingHealthValidator()])
+    assert not strict.success  # one null > max_null=0
+    lax = th.check(df, validators=[EmbeddingHealthValidator(max_null=1)])
+    assert lax.success
+    explicit = th.check(
+        df, validators=[EmbeddingHealthValidator(expected_dim=3)]
+    )
+    dim_issue = next(i for i in explicit.issues if i.issue_type == "dim_mismatch")
+    assert dim_issue.count == 2  # both non-null vectors are 2-dim, not 3

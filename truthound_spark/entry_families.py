@@ -310,6 +310,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "embedding_drift_embeddings",
     "dedup_pair_evidence_documents",
     "trigram_backoff_documents",
+    "embedding_health_check_embeddings",
 ]
 
 

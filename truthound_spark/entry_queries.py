@@ -9741,3 +9741,78 @@ def q_trigram_backoff_documents(spark, sf_dir):
         df.filter(F.col("doc_id") % 2 == 1),
         reference=df.filter(F.col("doc_id") % 2 == 0),
     ).orderBy("id")
+
+
+@register(
+    "embedding_health_check_embeddings",
+    """
+    WITH ed AS (
+      SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS v0
+      FROM embeddings
+    ),
+    mut AS (
+      SELECT id,
+             CASE
+               WHEN id % 53 = 0 THEN NULL
+               WHEN id % 71 = 0 THEN list_transform(v0, x -> 0.0)
+               WHEN id % 89 = 0 THEN list_append(v0[2:], CAST('nan' AS DOUBLE))
+               WHEN id % 61 = 0 THEN v0[1:len(v0) - 1]
+               ELSE v0
+             END AS v
+      FROM ed
+    ),
+    dref AS (
+      SELECT dim AS dim_ref FROM (
+        SELECT len(v) AS dim, COUNT(*) AS c FROM mut WHERE v IS NOT NULL
+        GROUP BY 1 ORDER BY c DESC, dim LIMIT 1
+      )
+    )
+    SELECT
+      CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      CAST(SUM(CASE WHEN v IS NOT NULL
+                     AND len(list_filter(v, x -> isnan(x))) > 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+      CAST(SUM(CASE WHEN v IS NOT NULL AND len(v) > 0
+                     AND len(list_filter(v, x -> x <> 0.0)) = 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      CAST(SUM(CASE WHEN v IS NOT NULL AND len(v) <> (SELECT dim_ref FROM dref)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_dim_mismatch,
+      FALSE AS check_success
+    FROM mut
+    """,
+)
+def q_embedding_health_check_embeddings(spark, sf_dir):
+    """Vector-column validation through the PUBLIC check() path
+    (validators/corpus.py EmbeddingHealthValidator): the same injected
+    failure modes as the embedding_stats slot (null @ id%53, zero @
+    id%71, NaN @ id%89, truncated dim @ id%61), but counted by the
+    fused-agg validator inside th.check — certifying that embedding
+    health runs as a first-class suite member, not just a pipeline
+    report. Oracle recomputes all four counters + the failing verdict."""
+    import truthound_spark as th
+    from truthound_spark.validators.corpus import EmbeddingHealthValidator
+
+    df = t(spark, sf_dir, "embeddings")
+    idc = F.col("vec_id").cast("long")
+    v = F.col("embedding").cast("array<double>")
+    mut = df.select(
+        F.when(idc % 53 == 0, F.lit(None).cast("array<double>"))
+        .when(idc % 71 == 0, F.transform(v, lambda x: F.lit(0.0)))
+        .when(
+            idc % 89 == 0,
+            F.concat(F.slice(v, 2, F.size(v)), F.array(F.lit(float("nan")))),
+        )
+        .when(idc % 61 == 0, F.slice(v, 1, F.size(v) - 1))
+        .otherwise(v)
+        .alias("embedding")
+    )
+    res = th.check(mut, validators=[EmbeddingHealthValidator()])
+    by_type = {i.issue_type: i.count for i in res.issues}
+    return _scalar_df(
+        spark,
+        n_null=int(by_type.get("null_vectors", 0)),
+        n_nan=int(by_type.get("nan_components", 0)),
+        n_zero=int(by_type.get("zero_vectors", 0)),
+        n_dim_mismatch=int(by_type.get("dim_mismatch", 0)),
+        check_success=bool(res.success),
+    )

@@ -332,3 +332,84 @@ class ContaminationValidator(Validator):
                 ),
             )
         ]
+
+
+@register_validator("embedding_health", category="corpus")
+class EmbeddingHealthValidator(Validator):
+    """Vector columns as first-class citizens of ``check()``: nulls, NaN
+    components, zero vectors, and dimension drift in an embedding
+    column, with thresholds — the fused-agg validator form of
+    ``pipeline.similarity.embedding_stats`` (same expressions, same
+    modal-dimension reference when ``expected_dim`` is omitted).
+
+    The specs ride the suite's single aggregate like every other
+    validator; the one extra job is the modal-dimension probe (skipped
+    when ``expected_dim`` is given)."""
+
+    def __init__(
+        self,
+        column: str = "embedding",
+        expected_dim: int | None = None,
+        max_null: int = 0,
+        max_nan: int = 0,
+        max_zero: int = 0,
+        max_dim_mismatch: int = 0,
+    ) -> None:
+        self.column = column
+        self.expected_dim = expected_dim
+        self.max_null = max_null
+        self.max_nan = max_nan
+        self.max_zero = max_zero
+        self.max_dim_mismatch = max_dim_mismatch
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        (c,) = self._target_columns(df, [self.column])
+        v = F.col(c).cast("array<double>")
+        dim = F.size(v)
+        has_nan = F.exists(v, lambda x: F.isnan(x))
+        is_zero = (dim > 0) & F.forall(v, lambda x: x == F.lit(0.0))
+        expected = self.expected_dim
+        if expected is None:
+            mode_row = (
+                df.filter(v.isNotNull())
+                .groupBy(dim.alias("__d"))
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .orderBy(F.desc("__c"), F.asc("__d"))
+                .first()
+            )
+            expected = mode_row["__d"] if mode_row is not None else None
+        mismatch = (
+            (v.isNotNull() & (dim != F.lit(expected)))
+            if expected is not None
+            else F.lit(False)
+        )
+        checks = [
+            ("embedding_null", "null_vectors", v.isNull(), self.max_null),
+            ("embedding_nan", "nan_components", F.coalesce(has_nan, F.lit(False)), self.max_nan),
+            ("embedding_zero", "zero_vectors", F.coalesce(is_zero, F.lit(False)), self.max_zero),
+            ("embedding_dim", "dim_mismatch", mismatch, self.max_dim_mismatch),
+        ]
+        out = []
+        for name, issue, pred, ceiling in checks:
+
+            def judge(m: dict[str, Any], ceiling: int = ceiling, issue: str = issue):
+                count = m.get("count") or 0
+                return (
+                    count <= ceiling,
+                    int(count),
+                    f"{issue} count {count} > allowed {ceiling}",
+                )
+
+            out.append(
+                ExpressionSpec(
+                    name=name,
+                    issue_type=issue,
+                    column=c,
+                    count_expr=violation_count(pred),
+                    non_null_expr=F.count(F.lit(1)),
+                    filter_expr=pred,
+                    expected=f"{issue} <= {ceiling}",
+                    judge=judge,
+                )
+            )
+        return out
