@@ -1109,3 +1109,27 @@ def test_embedding_health_validator_thresholds(spark):
     )
     dim_issue = next(i for i in explicit.issues if i.issue_type == "dim_mismatch")
     assert dim_issue.count == 2  # both non-null vectors are 2-dim, not 3
+
+
+def test_pool_embeddings_keeps_empty_groups(spark):
+    from truthound_spark.pipeline.similarity import pool_embeddings
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 3.0]), ("gone", None), ("empty", [])],
+        "grp string, embedding array<double>",
+    )
+    out = {r["group"]: r for r in pool_embeddings(df, "grp").collect()}
+    assert set(out) == {"a", "gone", "empty"}  # nothing vanishes
+    assert out["gone"]["n_vectors"] == 0 and out["gone"]["pooled"] is None
+    assert out["empty"]["n_vectors"] == 0 and out["empty"]["pooled"] is None
+    assert out["a"]["pooled"] == [1.0, 3.0]
+
+
+def test_dedup_pair_evidence_keeps_missing_doc_pairs(spark):
+    from truthound_spark.pipeline.dedup import dedup_pair_evidence
+
+    docs = spark.createDataFrame([(1, "shared words here")], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 99)], "id_a long, id_b long")  # 99 deleted
+    out = dedup_pair_evidence(docs, pairs).collect()
+    assert len(out) == 1
+    assert out[0]["n_shared"] == 0 and out[0]["shared_ngrams"] == []

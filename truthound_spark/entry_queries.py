@@ -6886,7 +6886,7 @@ def _pq_oracle_ctes(
              list_transform(CAST(embedding AS DOUBLE[])[{lo + 1}:{lo + sub_d}],
                             x -> CAST(round(x * 1000000.0) AS BIGINT)) AS qv
       FROM {source} WHERE embedding IS NOT NULL
-    )""".replace("{source}", source)
+    )"""
         )
         ctes.append(
             f"pv{s} AS (SELECT id, qv, list_transform(qv, q -> q / 1000000.0) AS xv FROM pts{s})"

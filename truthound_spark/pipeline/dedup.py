@@ -1842,16 +1842,21 @@ def dedup_pair_evidence(
         F.array_intersect(F.col("__sa"), F.col("__sb"))
     )
     return (
+        # LEFT joins: a flagged pair whose doc vanished from df (or has
+        # null text) must still appear in the audit report — with 0
+        # shared n-grams — not silently drop (review r5 #3)
         pairs.select(
             F.col("id_a").cast("long").alias("id_a"),
             F.col("id_b").cast("long").alias("id_b"),
         )
-        .join(a, "id_a")
-        .join(b, "id_b")
+        .join(a, "id_a", "left")
+        .join(b, "id_b", "left")
         .select(
             "id_a",
             "id_b",
-            F.size(shared).cast("long").alias("n_shared"),
-            F.slice(shared, 1, top_k).alias("shared_ngrams"),
+            F.coalesce(F.size(shared), F.lit(0)).cast("long").alias("n_shared"),
+            F.coalesce(
+                F.slice(shared, 1, top_k), F.array().cast("array<string>")
+            ).alias("shared_ngrams"),
         )
     )

@@ -957,18 +957,12 @@ def ivfpq_search(
     Returns (query_id, id, adc_dist, rank), rank ≤ k per query."""
     from pyspark.sql import Window
 
-    if codebooks is None:
-        codebooks = (
-            ivfpq_train_residual(
-                df, num_cells=num_cells, m=m, pq_k=pq_k, iters=iters,
-                vec_col=vec_col, id_col=id_col, scale=scale,
-            )
-            if residual
-            else pq_train(df, vec_col, id_col, m=m, k=pq_k, iters=iters, scale=scale)
-        )
-    sub_d = len(codebooks[0][0][1])
     cents = (
-        df.select(
+        # null vectors can't seed cells: a NULL centroid nulls every
+        # row's d2, which sorts FIRST and hijacks all assignments
+        # (review r5 #3)
+        df.where(F.col(vec_col).isNotNull())
+        .select(
             F.col(id_col).cast("long").alias("cell"),
             F.col(vec_col).cast("array<double>").alias("cv"),
         )
@@ -999,8 +993,12 @@ def ivfpq_search(
     )
     if residual:
         # __x becomes the grid-quantized residual x − centroid(cell);
-        # every PQ stage below then runs unchanged on it
-        assigned = (
+        # every PQ stage below then runs unchanged on it. The RAW
+        # residual is checkpointed so default training reuses THIS
+        # assignment pass instead of redoing the corpus-scale
+        # crossJoin+window inside ivfpq_train_residual (review r5 #4 —
+        # the module's read-once contract).
+        res = (
             assigned.join(
                 F.broadcast(cents.withColumnRenamed("cell", "__ccell")),
                 F.col("cell") == F.col("__ccell"),
@@ -1008,14 +1006,31 @@ def ivfpq_search(
             .select(
                 "id",
                 "cell",
-                F.transform(
-                    F.zip_with(F.col("v"), F.col("cv"), lambda a, b: a - b),
-                    lambda x: F.round(x * F.lit(float(scale))) / F.lit(float(scale)),
-                ).alias("__x"),
+                F.zip_with(F.col("v"), F.col("cv"), lambda a, b: a - b).alias(
+                    "__rv"
+                ),
             )
+            .localCheckpoint(eager=True)
+        )
+        if codebooks is None:
+            codebooks = pq_train(
+                res, "__rv", "id", m=m, k=pq_k, iters=iters, scale=scale
+            )
+        assigned = res.select(
+            "id",
+            "cell",
+            F.transform(
+                F.col("__rv"),
+                lambda x: F.round(x * F.lit(float(scale))) / F.lit(float(scale)),
+            ).alias("__x"),
         )
     else:
+        if codebooks is None:
+            codebooks = pq_train(
+                df, vec_col, id_col, m=m, k=pq_k, iters=iters, scale=scale
+            )
         assigned = assigned.select("id", "__x", "cell")
+    sub_d = len(codebooks[0][0][1])
     enc = _pq_codes_from(assigned, codebooks, extra=("cell",))
 
     q = queries.select(
@@ -1097,7 +1112,8 @@ def ivfpq_train_residual(
     from pyspark.sql import Window
 
     cents = (
-        df.select(
+        df.where(F.col(vec_col).isNotNull())
+        .select(
             F.col(id_col).cast("long").alias("cell"),
             F.col(vec_col).cast("array<double>").alias("cv"),
         )
@@ -1183,22 +1199,40 @@ def pool_embeddings(
         per_dim = base.groupBy("group", "pos").agg(
             F.count(F.lit(1)).alias("__n"), F.max("x").alias("__v")
         )
-    out = (
+    pooled = (
         per_dim.groupBy("group")
         .agg(
-            F.max("__n").alias("n_vectors"),
+            F.max("__n").alias("__nv"),
             F.array_sort(
                 F.collect_list(F.struct(F.col("pos"), F.col("__v")))
             ).alias("__pv"),
         )
         .select(
             "group",
-            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.col("__nv").cast("long").alias("__nv"),
             F.transform(F.col("__pv"), lambda e: e["__v"]).alias("pooled"),
         )
     )
+    # every input group survives: groups whose vectors are all NULL or
+    # empty report n_vectors=0 and pooled=NULL instead of vanishing —
+    # a caller reconciling "every document got a pooled vector" must
+    # SEE the missing-embedding groups (review r5 #8)
+    all_groups = df.select(F.col(group_col).alias("group")).distinct()
+    out = (
+        all_groups.join(pooled, "group", "left")
+        .select(
+            "group",
+            F.coalesce(F.col("__nv"), F.lit(0)).cast("long").alias("n_vectors"),
+            "pooled",
+        )
+    )
     if normalize:
-        out = out.withColumn("pooled", l2_normalize(F.col("pooled")))
+        out = out.withColumn(
+            "pooled",
+            F.when(
+                F.col("pooled").isNotNull(), l2_normalize(F.col("pooled"))
+            ),
+        )
     return out
 
 

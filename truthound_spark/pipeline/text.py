@@ -943,7 +943,7 @@ def bigram_perplexity(
     ).select("id", F.explode_outer("__b").alias("bg")).select(
         "id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
     ).filter(F.col("w1").isNotNull())
-    unigrams = ref_w.select(F.explode_outer("__w").alias("t")).filter(
+    unigrams = w.select(F.explode_outer("__w").alias("t")).filter(
         F.col("t").isNotNull()
     )
     uni = unigrams.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
@@ -1095,6 +1095,37 @@ def blocklist_filter(
     )
 
 
+def _gram_structs(wcol, n_gram: int):
+    """array<struct<w1..wN>> of consecutive word n-grams over a words
+    array column — THE single extraction expression shared by the LM
+    scorers (review r5: the nested zip_with builder existed in three
+    near-verbatim copies)."""
+    n = F.size(wcol)
+    length = F.greatest(n - (n_gram - 1), F.lit(0))
+    slices = [F.slice(wcol, i + 1, length) for i in range(n_gram)]
+    if n_gram == 2:
+        z = F.zip_with(
+            slices[0], slices[1],
+            lambda a, b_: F.struct(a.alias("w1"), b_.alias("w2")),
+        )
+        typ = "array<struct<w1:string,w2:string>>"
+    elif n_gram == 3:
+        inner = F.zip_with(
+            slices[1], slices[2],
+            lambda b_, c_: F.struct(b_.alias("w2"), c_.alias("w3")),
+        )
+        z = F.zip_with(
+            slices[0], inner,
+            lambda a, bc: F.struct(
+                a.alias("w1"), bc["w2"].alias("w2"), bc["w3"].alias("w3")
+            ),
+        )
+        typ = "array<struct<w1:string,w2:string,w3:string>>"
+    else:
+        raise ValueError(f"n_gram must be 2 or 3, got {n_gram}")
+    return F.when(n >= n_gram, z).otherwise(F.array().cast(typ))
+
+
 def trigram_backoff_score(
     df: DataFrame,
     reference: DataFrame | None = None,
@@ -1145,27 +1176,7 @@ def trigram_backoff_score(
     )
     n = F.size("__w")
     tri = (
-        w.select(
-            "id",
-            F.when(
-                n >= 3,
-                F.zip_with(
-                    F.slice("__w", 1, n - 2),
-                    F.zip_with(
-                        F.slice("__w", 2, n - 2),
-                        F.slice("__w", 3, n - 2),
-                        lambda b_, c_: F.struct(b_.alias("w2"), c_.alias("w3")),
-                    ),
-                    lambda a, bc: F.struct(
-                        a.alias("w1"), bc["w2"].alias("w2"), bc["w3"].alias("w3")
-                    ),
-                ),
-            )
-            .otherwise(
-                F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
-            )
-            .alias("__t"),
-        )
+        w.select("id", _gram_structs(F.col("__w"), 3).alias("__t"))
         .select("id", F.explode_outer("__t").alias("tg"))
         .select(
             "id",
@@ -1179,49 +1190,23 @@ def trigram_backoff_score(
         F.col("t").isNotNull()
     )
     uni = unigrams.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = uni.count()
-    total = unigrams.count()
+    # ONE action returns both scalars (review r5 #6: two full count
+    # jobs over the reference corpus collapsed into one aggregate)
+    stats = uni.agg(
+        F.count(F.lit(1)).alias("__v"), F.sum("c1").alias("__t")
+    ).first()
+    vocab = int(stats["__v"] or 0)
+    total = int(stats["__t"] or 0)
     bi = (
-        ref_w.select(
-            "id",
-            F.when(
-                n >= 2,
-                F.zip_with(
-                    F.slice("__w", 1, n - 1),
-                    F.slice("__w", 2, n - 1),
-                    lambda a, b_: F.struct(a.alias("wa"), b_.alias("wb")),
-                ),
-            )
-            .otherwise(F.array().cast("array<struct<wa:string,wb:string>>"))
-            .alias("__b"),
-        )
+        ref_w.select(_gram_structs(F.col("__w"), 2).alias("__b"))
         .select(F.explode_outer("__b").alias("bg"))
-        .select(F.col("bg.wa").alias("wa"), F.col("bg.wb").alias("wb"))
+        .select(F.col("bg.w1").alias("wa"), F.col("bg.w2").alias("wb"))
         .filter(F.col("wa").isNotNull())
         .groupBy("wa", "wb")
         .agg(F.count(F.lit(1)).alias("cb"))
     )
     ref_tri = (
-        ref_w.select(
-            F.when(
-                n >= 3,
-                F.zip_with(
-                    F.slice("__w", 1, n - 2),
-                    F.zip_with(
-                        F.slice("__w", 2, n - 2),
-                        F.slice("__w", 3, n - 2),
-                        lambda b_, c_: F.struct(b_.alias("w2"), c_.alias("w3")),
-                    ),
-                    lambda a, bc: F.struct(
-                        a.alias("w1"), bc["w2"].alias("w2"), bc["w3"].alias("w3")
-                    ),
-                ),
-            )
-            .otherwise(
-                F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
-            )
-            .alias("__t")
-        )
+        ref_w.select(_gram_structs(F.col("__w"), 3).alias("__t"))
         .select(F.explode_outer("__t").alias("tg"))
         .select(
             F.col("tg.w1").alias("w1"),

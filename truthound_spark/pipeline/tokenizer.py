@@ -284,7 +284,7 @@ def bpe_tokenize(
         sym = wrap_symbols(w)
         for x, y in pairs:
             sym = F.replace(sym, F.lit(f"|{x}||{y}|"), F.lit(f"|{x}{y}|"))
-        return F.split(F.btrim(sym, F.lit("|")), r"\|\|")
+        return _sym_array(sym)
 
     toks = F.flatten(F.transform(wlist, merged_word))
     return df.select(
