@@ -1133,3 +1133,21 @@ def test_dedup_pair_evidence_keeps_missing_doc_pairs(spark):
     out = dedup_pair_evidence(docs, pairs).collect()
     assert len(out) == 1
     assert out[0]["n_shared"] == 0 and out[0]["shared_ngrams"] == []
+
+
+def test_lsh_multiprobe_recall_superset(spark):
+    """Multi-probe candidates strictly contain the single-probe ones, so
+    per-query result count (and measured recall) can only improve."""
+    from truthound_spark.pipeline.similarity import ann_recall, brute_force_topk, lsh_topk
+
+    rows = [(i, [float((i * 7 + j * 5) % 17) / 17 - 0.4 for j in range(8)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 4)
+    single = lsh_topk(df, q, k=5, num_planes=6, probe_hamming=0)
+    multi = lsh_topk(df, q, k=5, num_planes=6, probe_hamming=1)
+    exact = brute_force_topk(df, q, k=5)
+    r1 = ann_recall(single, exact, k=5).agg(F.avg("recall")).collect()[0][0]
+    r2 = ann_recall(multi, exact, k=5).agg(F.avg("recall")).collect()[0][0]
+    assert r2 >= r1
+    with pytest.raises(ValueError):
+        lsh_topk(df, q, probe_hamming=2)

@@ -311,6 +311,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "dedup_pair_evidence_documents",
     "trigram_backoff_documents",
     "embedding_health_check_embeddings",
+    "ann_lsh_multiprobe_topk",
 ]
 
 

@@ -9816,3 +9816,64 @@ def q_embedding_health_check_embeddings(spark, sf_dir):
         n_dim_mismatch=int(by_type.get("dim_mismatch", 0)),
         check_success=bool(res.success),
     )
+
+
+def _lsh_multiprobe_oracle() -> str:
+    """Multi-probe replay: same seeded planes as SQL literals; a corpus
+    doc is a candidate when its bucket is the query's own bucket or any
+    Hamming-1 flip of it."""
+    from truthound_spark.pipeline.similarity import make_planes
+
+    planes = make_planes(64, 6, 42)
+
+    def lit(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lit(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    probes = "[q.bucket" + "".join(
+        f", xor(q.bucket, {1 << i})" for i in range(6)
+    ) + "]"
+    cos = (
+        "list_dot_product(c.v, q.v) / (sqrt(list_dot_product(c.v, c.v))"
+        " * sqrt(list_dot_product(q.v, q.v)))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT id, v, {bits} AS bucket FROM e),
+    scored AS (
+      SELECT q.id AS query_id, c.id AS id, {cos} AS cosine
+      FROM b c JOIN b q ON list_contains({probes}, c.bucket) AND c.id <> q.id
+      WHERE q.id < 5
+    ),
+    ranked AS (
+      SELECT query_id, id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, id) AS rank
+      FROM scored
+    )
+    SELECT query_id, id, ROUND(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """
+
+
+@register("ann_lsh_multiprobe_topk", _lsh_multiprobe_oracle())
+def q_ann_lsh_multiprobe_topk(spark, sf_dir):
+    """Multi-probe sign-LSH top-k (pipeline/similarity.py lsh_topk with
+    probe_hamming=1 — Lv et al. 2007): each query additionally probes
+    the num_planes buckets one sign-flip away, recovering the near-miss
+    neighbors a single-bucket probe loses WITHOUT coarsening the
+    bucketing — the corpus side (and any persisted bucketed layout) is
+    untouched; only the tiny broadcast query side fans out. Same seeded
+    planes as literals in the oracle; candidates = Hamming ≤ 1 bucket
+    match, identical ranks."""
+    from truthound_spark.pipeline.similarity import lsh_topk
+
+    df = t(spark, sf_dir, "embeddings")
+    queries = df.filter(F.col("vec_id") < 5)
+    res = lsh_topk(df, queries, k=5, num_planes=6, probe_hamming=1)
+    return res.select(
+        "query_id", "id", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")

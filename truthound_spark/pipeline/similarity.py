@@ -103,10 +103,21 @@ def lsh_topk(
     num_planes: int = 12,
     dim: int | None = None,
     seed: int = 42,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors sharing the query's
     LSH bucket. Recall improves with fewer planes (bigger buckets); at
-    100 TB, bucket the corpus ONCE (write bucketed parquet) and reuse."""
+    100 TB, bucket the corpus ONCE (write bucketed parquet) and reuse.
+
+    ``probe_hamming=1`` enables MULTI-PROBE: each query also probes the
+    ``num_planes`` buckets one sign-flip away (Lv et al. 2007) — the
+    near-miss neighbors a single-bucket probe loses sit overwhelmingly
+    in Hamming-1 buckets, so recall recovers WITHOUT coarsening the
+    bucketing (the corpus side, and any persisted bucketed layout, is
+    untouched — only the tiny broadcast query side fans out
+    num_planes+1×)."""
+    if probe_hamming not in (0, 1):
+        raise ValueError(f"probe_hamming must be 0 or 1, got {probe_hamming}")
     if dim is None:
         dim = _vector_dim(df, vec_col)
     planes = make_planes(dim, num_planes, seed)
@@ -118,6 +129,17 @@ def lsh_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).withColumn("bucket", sign_lsh_signature(F.col("qv"), planes))
+    if probe_hamming == 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("int")
+                for i in range(num_planes)
+            ],
+        )
+        q = q.select(
+            "query_id", "qv", F.explode(probes).alias("bucket")
+        )
     scored = corpus.join(F.broadcast(q), "bucket").filter(F.col("id") != F.col("query_id")).select(
         "query_id", "id", cosine_sim(F.col("v"), F.col("qv")).alias("cosine")
     )
