@@ -1151,3 +1151,24 @@ def test_lsh_multiprobe_recall_superset(spark):
     assert r2 >= r1
     with pytest.raises(ValueError):
         lsh_topk(df, q, probe_hamming=2)
+
+
+def test_dedup_threshold_curve_cumulative_and_bins(spark):
+    from truthound_spark.pipeline.dedup import dedup_threshold_curve
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),      # exact dup of 1
+            (3, "alpha beta gamma delta epsilon other"),      # near dup
+            (4, "totally unrelated text with nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup_threshold_curve(docs, bin_width=0.25).collect()
+    # cumulative is monotone down the bins and ends at the total
+    cum = [r["n_pairs_at_least"] for r in rows]
+    assert cum == sorted(cum)
+    assert cum[-1] == sum(r["n_pairs"] for r in rows)
+    # the exact-dup pair lands in the top bin
+    assert rows[0]["bin_lo"] >= 0.75 and rows[0]["n_pairs"] >= 1

@@ -312,6 +312,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "trigram_backoff_documents",
     "embedding_health_check_embeddings",
     "ann_lsh_multiprobe_topk",
+    "dedup_threshold_curve_documents",
 ]
 
 

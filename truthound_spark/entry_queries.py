@@ -9877,3 +9877,44 @@ def q_ann_lsh_multiprobe_topk(spark, sf_dir):
     return res.select(
         "query_id", "id", F.round("cosine", 6).alias("cosine"), "rank"
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "dedup_threshold_curve_documents",
+    f"""
+    WITH shf AS (
+      SELECT id, list_filter(sh, x -> x <> '') AS sh FROM ({_SHINGLES_SQL})
+    ),
+    p AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             len(list_intersect(a.sh, b.sh))
+               / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               AS jaccard
+      FROM shf a JOIN shf b ON a.id < b.id
+      WHERE len(list_intersect(a.sh, b.sh)) > 0
+    ),
+    binned AS (
+      SELECT ROUND(FLOOR(round(jaccard * 1000000.0) / 1000000.0 / 0.05) * 0.05, 6)
+               AS bin_lo
+      FROM p WHERE jaccard >= 0.05
+    ),
+    hist AS (SELECT bin_lo, COUNT(*) AS n_pairs FROM binned GROUP BY bin_lo)
+    SELECT bin_lo, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(SUM(n_pairs) OVER (ORDER BY bin_lo DESC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_pairs_at_least
+    FROM hist ORDER BY bin_lo DESC
+    """,
+)
+def q_dedup_threshold_curve_documents(spark, sf_dir):
+    """Dedup threshold calibration curve (pipeline/dedup.py
+    dedup_threshold_curve): binned pair counts by exact Jaccard with the
+    cumulative from-the-top totals — the evidence behind choosing 0.7
+    instead of guessing. Exact down to min_jaccard because the
+    inverted-index path's candidates are complete (any overlapping pair
+    shares a shingle); the oracle recomputes the exhaustive pair set
+    and the identical binning/cumulative arithmetic."""
+    from truthound_spark.pipeline.dedup import dedup_threshold_curve
+
+    df = t(spark, sf_dir, "documents")
+    return dedup_threshold_curve(df).orderBy(F.desc("bin_lo"))

@@ -1860,3 +1860,55 @@ def dedup_pair_evidence(
             ).alias("shared_ngrams"),
         )
     )
+
+
+def dedup_threshold_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.05,
+    bin_width: float = 0.05,
+    shingle_n: int = 3,
+    max_ngram_df: int = 1000,
+) -> DataFrame:
+    """The calibration curve BEHIND the dedup threshold choice: how many
+    pairs exist at each Jaccard level, binned — run this before
+    committing to 0.7/0.8/0.85, instead of guessing. The knee of the
+    cumulative curve is where near-duplicate structure ends and topical
+    similarity begins.
+
+    Built on the EXACT inverted-index path (``ngram_jaccard_pairs``) —
+    any pair with jaccard > 0 shares a shingle, so candidate generation
+    is complete and the curve is exact down to ``min_jaccard`` (unlike
+    a banded-LSH pass, whose recall collapses at low similarity; the
+    ``max_ngram_df`` hub cap is the one scale guard, and under-counts
+    only pairs whose overlap is exclusively ultra-common shingles).
+    Bins are [lo, lo+width) on the 1e-6-rounded jaccard;
+    ``n_pairs_at_least`` is the running total from the top — the pair
+    count a threshold at that bin's lower edge would flag.
+
+    Returns (bin_lo, n_pairs, n_pairs_at_least) ordered by bin_lo
+    descending."""
+    from pyspark.sql import Window
+
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, n=shingle_n, threshold=min_jaccard,
+        max_ngram_df=max_ngram_df,
+    )
+    j = F.round(F.col("jaccard") * 1e6) / F.lit(1e6)
+    bin_lo = F.round(
+        F.floor(j / F.lit(float(bin_width))) * F.lit(float(bin_width)), 6
+    )
+    hist = (
+        pairs.select(bin_lo.alias("bin_lo"))
+        .groupBy("bin_lo")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    w = Window.orderBy(F.desc("bin_lo")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        "bin_lo",
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("n_pairs_at_least"),
+    ).orderBy(F.desc("bin_lo"))
