@@ -157,17 +157,47 @@ def ks_test(
     return DriftResult("ks", float(stat), crit, float(stat) > crit, {"n_baseline": nb, "n_current": nc, "alpha": alpha})
 
 
-def chi_square_drift(baseline: DataFrame, current: DataFrame, column: str, threshold_pvalue: float = 0.05) -> DriftResult:
+def chi_square_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    threshold_pvalue: float = 0.05,
+    max_categories: int = 1000,
+) -> DriftResult:
     """Categorical χ² homogeneity test (reference: detectors.py:281).
-    Per-category counts via one groupBy per side; χ² + Wilson–Hilferty
-    p-value approximation on the driver."""
-    bc = {r[column]: r["__cnt"] for r in baseline.groupBy(column).agg(F.count(F.lit(1)).alias("__cnt")).collect()}
-    cc = {r[column]: r["__cnt"] for r in current.groupBy(column).agg(F.count(F.lit(1)).alias("__cnt")).collect()}
-    cats = sorted(set(bc) | set(cc), key=str)
-    nb, nc = sum(bc.values()), sum(cc.values())
+
+    One union + groupBy builds the per-category count table distributed;
+    only the top ``max_categories`` categories (by combined count, stable
+    string tie-break) reach the driver — the tail is folded into a single
+    "other" bucket via two subtraction scalars, so a high-cardinality
+    column mistyped as categorical (user_id) can never OOM the driver.
+    Below the cap the statistic is bit-identical to the uncapped form.
+    """
+    u = (
+        baseline.select(F.col(column).alias("v")).withColumn("s", F.lit(0))
+        .unionAll(current.select(F.col(column).alias("v")).withColumn("s", F.lit(1)))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("s") == 0, 1).otherwise(0)).alias("nb"),
+            F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("nc"),
+        )
+    )
+    top = (
+        u.orderBy(F.desc(F.col("nb") + F.col("nc")), F.col("v").cast("string"))
+        .limit(max_categories + 1)
+        .collect()
+    )
+    capped = len(top) > max_categories
+    top = top[:max_categories]
+    bc = {r["v"]: int(r["nb"]) for r in top}
+    cc = {r["v"]: int(r["nc"]) for r in top}
+    nb = int(baseline.count())
+    nc = int(current.count())
+    pairs = [(bc[cat], cc[cat]) for cat in bc]
+    if capped:
+        pairs.append((nb - sum(bc.values()), nc - sum(cc.values())))
     stat = 0.0
-    for cat in cats:
-        o_b, o_c = bc.get(cat, 0), cc.get(cat, 0)
+    for o_b, o_c in pairs:
         tot = o_b + o_c
         e_b = tot * nb / (nb + nc)
         e_c = tot * nc / (nb + nc)
@@ -175,9 +205,15 @@ def chi_square_drift(baseline: DataFrame, current: DataFrame, column: str, thres
             stat += (o_b - e_b) ** 2 / e_b
         if e_c > 0:
             stat += (o_c - e_c) ** 2 / e_c
-    dof = max(len(cats) - 1, 1)
+    dof = max(len(pairs) - 1, 1)
     pvalue = _chi2_sf(stat, dof)
-    return DriftResult("chi_square", stat, threshold_pvalue, pvalue < threshold_pvalue, {"dof": dof, "p_value": pvalue})
+    return DriftResult(
+        "chi_square",
+        stat,
+        threshold_pvalue,
+        pvalue < threshold_pvalue,
+        {"dof": dof, "p_value": pvalue, "capped": capped, "max_categories": max_categories},
+    )
 
 
 def _chi2_sf(x: float, k: int) -> float:

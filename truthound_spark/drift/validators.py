@@ -73,9 +73,44 @@ class PSIValidator(_DriftValidator):
 
 @register_validator("ks_drift", category="drift")
 class KSDriftValidator(_DriftValidator):
-    """reference: drift/statistical.py:21"""
+    """reference: drift/statistical.py:21.
+
+    Sketch-by-default at scale: when neither caller nor kwargs pin
+    ``grid`` and either side exceeds ``auto_sketch_rows`` (default 1M),
+    the quantile-grid ECDF sketch (grid=200) replaces the exact
+    distinct-value window — the reference's own streaming variant
+    (validators/memory/streaming_ecdf.py:52) is the precedent. Exact
+    remains the oracle/small-data default; pass ``grid=0`` explicitly to
+    force exact at any size.
+    """
 
     method = "ks"
+    AUTO_SKETCH_ROWS = 1_000_000
+    AUTO_GRID = 200
+
+    def __init__(
+        self,
+        baseline: DataFrame,
+        columns: list[str] | None = None,
+        auto_sketch_rows: int | None = None,
+        **kwargs,
+    ) -> None:
+        super().__init__(baseline, columns, **kwargs)
+        self.auto_sketch_rows = (
+            self.AUTO_SKETCH_ROWS if auto_sketch_rows is None else auto_sketch_rows
+        )
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        saved = self.kwargs
+        try:
+            if "grid" not in saved:
+                nb = self.baseline.count()
+                nc = row_count if row_count is not None else df.count()
+                if max(nb, nc) > self.auto_sketch_rows:
+                    self.kwargs = {**saved, "grid": self.AUTO_GRID}
+            return super().validate(df, row_count)
+        finally:
+            self.kwargs = saved
 
 
 @register_validator("js_drift", category="drift")

@@ -530,12 +530,19 @@ def curriculum_order(
     n_shards: int = 8,
     key_col: str = "doc_id",
     seed: int = 0,
+    max_hist_rows: int = 2_000_000,
 ) -> DataFrame:
     """Curriculum export order: band the corpus into ``n_bands`` exact
     score quantile bins (band 0 = highest scores — train on the cleanest
     data first, the quality-staged pretraining schedule), then give each
     band its own deterministic ``global_shuffle``-style order so training
     within a stage is still well-mixed.
+
+    The 1e-6 quantization grid assumes a BOUNDED score (quality scores in
+    [0, 1] → ≤1e6+1 histogram rows, broadcastable). For unbounded scores
+    (perplexity) the grid auto-coarsens so the histogram stays under
+    ``max_hist_rows`` — one min/max scalar aggregate decides; bounded
+    scores keep the exact 1e-6 grid bit-identically.
 
     EXACT banding WITHOUT a global sort: scores quantize to 1e-6 longs
     and aggregate into a value histogram — a relation the size of the
@@ -553,11 +560,21 @@ def curriculum_order(
         raise ValueError("n_bands and n_shards must be >= 1")
     from pyspark.sql import Window
 
+    scale = 1e6
+    rng = df.agg(
+        F.min(score_col).alias("lo"), F.max(score_col).alias("hi")
+    ).collect()[0]
+    if (
+        rng["lo"] is not None
+        and rng["hi"] is not None
+        and (float(rng["hi"]) - float(rng["lo"])) * scale > max_hist_rows
+    ):
+        scale = max_hist_rows / (float(rng["hi"]) - float(rng["lo"]))
     # NULL scores sort LAST (lowest band) instead of silently vanishing
     # from the export AND inflating the band denominator (review r5):
     # coalesce to a sentinel below any real quantized score.
     qs = F.coalesce(
-        F.round(F.col(score_col) * 1e6).cast("long"),
+        F.round(F.col(score_col) * scale).cast("long"),
         F.lit(-(2 ** 62)),
     )
     hist = df.groupBy(qs.alias("__qs")).agg(F.count(F.lit(1)).alias("__c"))

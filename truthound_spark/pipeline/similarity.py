@@ -870,6 +870,15 @@ def pq_search(
                 _pq_adc_dist(qv, codebooks, sub_d).alias("adc_dist"),
             )
         )
+    if not entries:
+        # empty query side: F.array() would be array<void> and the e.*
+        # extraction fails analysis — return an empty, correctly-typed frame
+        return enc.select(
+            F.lit(None).cast("long").alias("query_id"),
+            "id",
+            F.lit(None).cast("double").alias("adc_dist"),
+            F.lit(None).cast("int").alias("rank"),
+        ).limit(0)
     scored = (
         enc.select("id", F.explode_outer(F.array(*entries)).alias("e"))
         .filter(F.col("e").isNotNull())
@@ -1102,6 +1111,14 @@ def ivfpq_search(
                     _pq_adc_dist(qv, codebooks, sub_d).alias("adc_dist"),
                 )
             )
+    if not entries:
+        # empty query side (see pq_search): avoid array<void> analysis failure
+        return enc.select(
+            F.lit(None).cast("long").alias("query_id"),
+            "id",
+            F.lit(None).cast("double").alias("adc_dist"),
+            F.lit(None).cast("int").alias("rank"),
+        ).limit(0)
     scored = (
         enc.select("id", "cell", "codes", F.explode_outer(F.array(*entries)).alias("e"))
         .filter(F.col("e").isNotNull() & F.col("e.probed"))

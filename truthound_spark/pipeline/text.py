@@ -1087,11 +1087,14 @@ def blocklist_filter(
                 F.filter(hits, lambda x: x.isNotNull())
             ).alias("matched_terms"),
         )
+    # NULL text propagates to NULL matched_terms; coalesce so n_matched /
+    # blocked are 0/false and a downstream filter(~blocked) keeps the row
+    nn = F.coalesce(F.col("matched_terms"), F.array().cast("array<string>"))
     return out.select(
         "id",
-        "matched_terms",
-        F.size("matched_terms").cast("long").alias("n_matched"),
-        (F.size("matched_terms") > 0).alias("blocked"),
+        nn.alias("matched_terms"),
+        F.size(nn).cast("long").alias("n_matched"),
+        (F.size(nn) > 0).alias("blocked"),
     )
 
 

@@ -9,8 +9,11 @@ un-partitioned window is only advisable on pre-aggregated/small frames.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from truthound_spark.core.base import Validator
 from truthound_spark.core.registry import register_validator
@@ -18,11 +21,102 @@ from truthound_spark.core.results import ValidationIssue
 from truthound_spark.types import Severity, severity_from_ratio
 
 
-def _lag_window(order_by: list[str], partition_by: list[str] | None):
-    w = Window.orderBy(*[F.col(c) for c in order_by])
+def _per_partition_lag_frame(
+    df: DataFrame,
+    order_by: list[str],
+    carry: Column,
+    predicate: Callable[[Column, Column], Column],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-range-partition lag-violation counts + boundary carries.
+
+    One row per non-empty partition: (__pid, __viol, __first, __last,
+    __kmin). Plan contains NO single-partition exchange — asserted by
+    tests/test_round6_fixes.py.
+    """
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ocols = [f"__o{i}" for i in range(len(order_by))]
+    ordered = (
+        df.select(
+            *[F.col(c).alias(o) for c, o in zip(order_by, ocols)], carry.alias("__c")
+        )
+        .repartitionByRange(parts, *[F.col(o) for o in ocols])
+        .sortWithinPartitions(*ocols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("__pid").orderBy(*ocols)
+    prev = F.lag("__c").over(w)
+    okey = F.struct(*[F.col(o) for o in ocols])
+    return (
+        ordered.select(
+            "__pid",
+            "__c",
+            okey.alias("__k"),
+            F.when(predicate(F.col("__c"), prev), 1).otherwise(0).alias("__b"),
+        )
+        .groupBy("__pid")
+        .agg(
+            F.sum("__b").alias("__viol"),
+            F.min_by("__c", F.col("__k")).alias("__first"),
+            F.max_by("__c", F.col("__k")).alias("__last"),
+            F.min("__k").alias("__kmin"),
+        )
+    )
+
+
+def _count_lag_violations(
+    df: DataFrame,
+    order_by: list[str],
+    partition_by: list[str] | None,
+    carry: Column,
+    predicate: Callable[[Column, Column], Column],
+    num_partitions: int | None = None,
+) -> int:
+    """Count ``predicate(cur, prev)`` over consecutive pairs in order.
+
+    ``carry`` is the single column whose previous value the predicate
+    needs; a NULL predicate result (e.g. first row, prev NULL) is not
+    counted.
+
+    With ``partition_by`` the lag window shuffles once on the series key —
+    already scalable. Without a key, a bare ``Window.orderBy`` would
+    funnel every row through ONE task; instead we range-partition on the
+    order columns, count lag violations within each sorted partition, and
+    evaluate the SAME Column predicate over the per-partition (first,
+    last) boundary rows — N-1 scalar pairs — so no logic is duplicated
+    driver-side (pattern: IncreasingValidator, distribution.py:314).
+    """
     if partition_by:
         w = Window.partitionBy(*partition_by).orderBy(*[F.col(c) for c in order_by])
-    return w
+        prev = F.lag(carry).over(w)
+        n = (
+            df.select(F.when(predicate(carry, prev), 1).otherwise(0).alias("__b"))
+            .agg(F.sum("__b").alias("n"))
+            .collect()[0]["n"]
+        )
+        return int(n or 0)
+
+    spark = df.sparkSession
+    per_part = _per_partition_lag_frame(df, order_by, carry, predicate, num_partitions)
+    rows = per_part.collect()
+    rows.sort(key=lambda r: tuple(r["__kmin"]))
+    n = sum(int(r["__viol"] or 0) for r in rows)
+    pairs = [(a["__last"], b["__first"]) for a, b in zip(rows, rows[1:])]
+    if pairs:
+        carry_type = per_part.schema["__first"].dataType
+        schema = T.StructType(
+            [T.StructField("__p", carry_type), T.StructField("__c", carry_type)]
+        )
+        nb = (
+            spark.createDataFrame(pairs, schema)
+            .select(
+                F.when(predicate(F.col("__c"), F.col("__p")), 1).otherwise(0).alias("__b")
+            )
+            .agg(F.sum("__b").alias("n"))
+            .collect()[0]["n"]
+        )
+        n += int(nb or 0)
+    return n
 
 
 @register_validator("timeseries_gap", category="timeseries")
@@ -44,14 +138,13 @@ class TimeSeriesGapValidator(Validator):
 
     def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
         order = [self.column] + ([self.tiebreak] if self.tiebreak else [])
-        w = _lag_window(order, self.partition_by)
-        ts = F.col(self.column).cast("double")
-        gap = ts - F.lag(ts).over(w)
-        n = (
-            df.select(F.when(gap > self.max_gap_seconds, 1).otherwise(0).alias("g"))
-            .agg(F.sum("g").alias("n"))
-            .collect()[0]["n"]
-            or 0
+        n = _count_lag_violations(
+            df,
+            order,
+            self.partition_by,
+            F.col(self.column),
+            lambda cur, prev: (cur.cast("double") - prev.cast("double"))
+            > self.max_gap_seconds,
         )
         if n == 0:
             return []
@@ -90,15 +183,15 @@ class TimeSeriesIntervalValidator(Validator):
 
     def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
         order = [self.column] + ([self.tiebreak] if self.tiebreak else [])
-        w = _lag_window(order, self.partition_by)
-        ts = F.col(self.column).cast("double")
-        diff = ts - F.lag(ts).over(w)
-        bad = F.abs(diff - self.interval_seconds) > self.tolerance_seconds
-        n = (
-            df.select(F.when(bad & diff.isNotNull(), 1).otherwise(0).alias("g"))
-            .agg(F.sum("g").alias("n"))
-            .collect()[0]["n"]
-            or 0
+        n = _count_lag_violations(
+            df,
+            order,
+            self.partition_by,
+            F.col(self.column),
+            lambda cur, prev: F.abs(
+                cur.cast("double") - prev.cast("double") - self.interval_seconds
+            )
+            > self.tolerance_seconds,
         )
         if n == 0:
             return []
@@ -169,15 +262,12 @@ class TimeSeriesMonotonicValidator(Validator):
 
     def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
         order = [self.time_column] + ([self.tiebreak] if self.tiebreak else [])
-        w = _lag_window(order, self.partition_by)
-        cur = F.col(self.value_column)
-        prev = F.lag(cur).over(w)
-        bad = (cur < prev) if self.direction == "increasing" else (cur > prev)
-        n = (
-            df.select(F.when(bad & prev.isNotNull(), 1).otherwise(0).alias("v"))
-            .agg(F.sum("v").alias("n"))
-            .collect()[0]["n"]
-            or 0
+        if self.direction == "increasing":
+            pred = lambda cur, prev: cur < prev  # noqa: E731
+        else:
+            pred = lambda cur, prev: cur > prev  # noqa: E731
+        n = _count_lag_violations(
+            df, order, self.partition_by, F.col(self.value_column), pred
         )
         if n == 0:
             return []
@@ -482,14 +572,13 @@ class TimeSeriesOrderValidator(Validator):
 
     def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
         order_col = self.order_by or self.time_column
-        ts = F.col(self.time_column)
-        w = Window.orderBy(F.col(order_col))
-        prev = F.lag(ts).over(w)
-        cmp = prev >= ts if self.strict else prev > ts
-        bad = df.select(ts, F.col(order_col)).withColumn(
-            "__viol", F.when(prev.isNotNull() & cmp, 1).otherwise(0)
+        if self.strict:
+            pred = lambda cur, prev: prev >= cur  # noqa: E731
+        else:
+            pred = lambda cur, prev: prev > cur  # noqa: E731
+        n_bad = _count_lag_violations(
+            df, [order_col], None, F.col(self.time_column), pred
         )
-        n_bad = bad.agg(F.sum("__viol").alias("v")).collect()[0]["v"] or 0
         if not n_bad:
             return []
         total = row_count if row_count is not None else df.count()
@@ -513,10 +602,12 @@ class SeasonalDecompositionValidator(Validator):
     bound the residual variance share (reference:
     timeseries/seasonality.py:249-420 SeasonalDecompositionValidator).
 
-    Spark plan: one window moving-average (range-bounded, partitionable by
-    series key at scale), one groupBy(position) for the seasonal
-    component, one variance aggregate — three shuffle-light jobs, no
-    collect of the series.
+    Spark plan (no single-partition Window anywhere): per-series windows
+    when ``series_key`` is given (shuffle on the key, scalable); without a
+    key the global sequence is assigned distributed-ly (range-partition on
+    time + per-partition row_number + driver-cumulated offsets — N scalars)
+    and the centered moving average becomes an explode(±half)/groupBy —
+    (2·half+1)× row fan-out, keyed shuffles only.
     """
 
     name = "seasonal_decomposition"
@@ -527,31 +618,90 @@ class SeasonalDecompositionValidator(Validator):
         time_column: str,
         period: int = 7,
         max_residual_variance_ratio: float = 0.8,
+        series_key: str | None = None,
+        num_partitions: int | None = None,
     ) -> None:
         self.column = column
         self.time_column = time_column
         self.period = period
         self.max_residual_variance_ratio = max_residual_variance_ratio
+        self.series_key = series_key
+        self.num_partitions = num_partitions
 
-    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+    def _detrended_keyed(self, df: DataFrame) -> DataFrame:
+        """Per-series decomposition: windows partitioned by the key."""
         val, ts = F.col(self.column), F.col(self.time_column)
         half = self.period // 2
-        w = Window.orderBy(ts).rowsBetween(-half, half)
-        seq = F.row_number().over(Window.orderBy(ts))
-        detrended = (
-            df.select(ts, val)
-            .withColumn("__trend", F.avg(val).over(w))
-            .withColumn("__detrended", val - F.col("__trend"))
-            .withColumn("__pos", (seq % self.period))
+        w = Window.partitionBy("__key").orderBy("__t").rowsBetween(-half, half)
+        seq = F.row_number().over(Window.partitionBy("__key").orderBy("__t"))
+        return (
+            df.select(
+                F.col(self.series_key).alias("__key"), ts.alias("__t"), val.alias("__v")
+            )
+            .withColumn("__trend", F.avg("__v").over(w))
+            .withColumn("__detrended", F.col("__v") - F.col("__trend"))
+            .withColumn("__pos", seq % self.period)
         )
-        seasonal = detrended.groupBy("__pos").agg(
+
+    def _detrended_global(self, df: DataFrame) -> DataFrame:
+        """Global series: distributed sequence + explode moving average."""
+        val, ts = F.col(self.column), F.col(self.time_column)
+        half = self.period // 2
+        spark = df.sparkSession
+        parts = self.num_partitions or spark.sparkContext.defaultParallelism
+        ordered = (
+            df.select(ts.alias("__t"), val.alias("__v"))
+            .repartitionByRange(parts, F.col("__t"))
+            .sortWithinPartitions("__t")
+            .withColumn("__pid", F.spark_partition_id())
+        )
+        counts = {
+            r["__pid"]: r["c"]
+            for r in ordered.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off = F.coalesce(
+            F.element_at(
+                F.create_map(
+                    *[F.lit(x) for kv in offsets.items() for x in kv]
+                ),
+                F.col("__pid"),
+            ),
+            F.lit(0),
+        )
+        local = F.row_number().over(Window.partitionBy("__pid").orderBy("__t"))
+        with_seq = ordered.withColumn("__seq", (local + off).cast("long"))
+        contrib = with_seq.select(
+            F.explode(
+                F.array(*[F.col("__seq") + F.lit(j) for j in range(-half, half + 1)])
+            ).alias("__tgt"),
+            F.col("__v").alias("__cv"),
+        )
+        trend = contrib.groupBy("__tgt").agg(F.avg("__cv").alias("__trend"))
+        return (
+            with_seq.join(trend, with_seq["__seq"] == trend["__tgt"])
+            .withColumn("__detrended", F.col("__v") - F.col("__trend"))
+            .withColumn("__pos", F.col("__seq") % self.period)
+        )
+
+    def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
+        if self.series_key:
+            detrended = self._detrended_keyed(df)
+            seasonal_keys = ["__key", "__pos"]
+        else:
+            detrended = self._detrended_global(df)
+            seasonal_keys = ["__pos"]
+        seasonal = detrended.groupBy(*seasonal_keys).agg(
             F.avg("__detrended").alias("__seasonal")
         )
-        resid = detrended.join(F.broadcast(seasonal), "__pos").withColumn(
+        resid = detrended.join(F.broadcast(seasonal), seasonal_keys).withColumn(
             "__resid", F.col("__detrended") - F.col("__seasonal")
         )
         stats = resid.agg(
-            F.var_samp(val).alias("var_total"),
+            F.var_samp("__v").alias("var_total"),
             F.var_samp("__resid").alias("var_resid"),
         ).collect()[0]
         var_total = stats["var_total"] or 0.0
