@@ -5078,35 +5078,74 @@ def q_global_privacy_scan_derived(spark, sf_dir):
     )
 
 
-# rows-only entries (no SQL-expressible oracle: numpy eigendecomposition /
-# seeded k-means — the driver records the weaker rows-only check)
-@register("pca_anomaly_lineitem")
+# Formerly rows-only entries (numpy eigendecomposition / sampled k-means
+# are not SQL-replayable) — reshaped to invariant oracles (the
+# shard_balance_documents precedent): the exact totals come from the
+# data, the numeric invariants of the non-SQL part are pinned as
+# booleans, so the driver hash-verifies them like any other slot.
+@register(
+    "pca_anomaly_lineitem",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS anomalies_positive,
+           TRUE AS anomaly_fraction_near_tail
+    FROM lineitem
+    """,
+)
 def q_pca_anomaly_lineitem(spark, sf_dir):
     """PCAAnomalyValidator (anomaly.py:353; reference multivariate.py:327):
     distributed covariance, numpy eigh on the driver (k² scalars), residual
-    error as broadcast column math, approx-quantile threshold."""
+    error as broadcast column math, approx-quantile threshold. Oracle pins
+    the exact row count plus the quantile-threshold contract: with
+    threshold_quantile=0.99 the flagged fraction must sit near the 1% tail
+    (±0.5% absolute — percentile_approx tolerance). The exact top-10
+    ranking sibling (pca_power_anomaly_lineitem) hash-certifies the
+    reconstruction-error arithmetic itself."""
     from truthound_spark.validators.anomaly import PCAAnomalyValidator
 
     df = t(spark, sf_dir, "lineitem")
     issues = PCAAnomalyValidator(
         ["l_quantity", "l_extendedprice", "l_discount"]
     ).validate(df)
-    return _scalar_df(spark, pca_anomalies=int(issues[0].count) if issues else 0)
+    n_anom = int(issues[0].count) if issues else 0
+    n = df.count()
+    frac = n_anom / n if n else 0.0
+    return _scalar_df(
+        spark,
+        n_rows=int(n),
+        anomalies_positive=bool(n_anom > 0),
+        anomaly_fraction_near_tail=bool(abs(frac - 0.01) < 0.005),
+    )
 
 
-@register("ivf_topk_embeddings")
+@register(
+    "ivf_topk_embeddings",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_assigned,
+           TRUE AS cells_le_requested,
+           TRUE AS multiple_cells_used,
+           TRUE AS balanced_within_4x
+    FROM embeddings WHERE embedding IS NOT NULL
+    """,
+)
 def q_ivf_topk_embeddings(spark, sf_dir):
     """IVF coarse-quantizer ANN (pipeline/similarity.py:ivf_assign):
     seeded sampled k-means centroids, cell assignment via broadcast-literal
-    column math, probe = exact cosine within the query's cell."""
+    column math. Oracle pins the exact assignment total (every non-null
+    vector lands in exactly one cell) plus the quantizer invariants — at
+    most num_cells cells, more than one used, max cell ≤ 4× the mean. The
+    closed-form sibling (ivf_seeded_topk_embeddings) hash-certifies the
+    probe/search arithmetic itself."""
     from truthound_spark.pipeline.similarity import ivf_assign
 
     df = t(spark, sf_dir, "embeddings")
     assigned, _cents = ivf_assign(df, num_cells=8)
-    return (
-        assigned.groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("cell")
+    hist = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    return hist.agg(
+        F.sum("n").cast("long").alias("total_assigned"),
+        (F.count(F.lit(1)) <= 8).alias("cells_le_requested"),
+        (F.count(F.lit(1)) >= 2).alias("multiple_cells_used"),
+        (F.max("n") <= 4 * F.avg("n")).alias("balanced_within_4x"),
     )
 
 

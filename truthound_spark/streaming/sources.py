@@ -101,6 +101,32 @@ def pubsub_options(
     return opts
 
 
+def read_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: Any,
+    format: str = "json",
+    max_files_per_trigger: int | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """File-source streaming reader: poll a growing directory (reference
+    datasources/streaming file-watch role; Structured Streaming's
+    broker-free ingestion path — each newly landed file becomes part of
+    the next micro-batch, exactly-once via the checkpoint's file log).
+
+    ``schema`` is required: streaming reads cannot infer (Spark would
+    have to list-and-sample on every trigger). ``max_files_per_trigger``
+    bounds batch size for backfills over large landings."""
+    if format not in ("json", "csv", "parquet", "text", "orc"):
+        raise ValueError(f"unsupported file stream format: {format}")
+    reader = spark.readStream.schema(schema).format(format)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
 def read_rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     """Built-in rate source — the connector-free stand-in used by tests and
     local development (reference MockStreamingSource role)."""
