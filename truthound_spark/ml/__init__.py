@@ -1,0 +1,43 @@
+"""ML-assisted rule/threshold learning (reference: src/truthound/ml/
+rule_learning/ and profiler/auto_threshold.py).
+
+Everything here operates on PROFILES (O(columns) scalars produced by the
+distributed one-pass profiler) or on bounded aggregate relations — the
+raw data is never collected. That is the Spark-first inversion of the
+reference, which samples rows to the driver (constraint_miner.py:101
+``df.sample(...)``) before mining.
+"""
+
+from truthound_spark.ml.auto_threshold import (
+    ColumnThresholds,
+    HistoryThresholdLearner,
+    ProfileHistoryStore,
+    TableThresholds,
+    ThresholdTuner,
+    thresholds_to_suite,
+    tune_thresholds,
+)
+from truthound_spark.ml.rule_learning import (
+    ConstraintMiner,
+    DataProfileRuleLearner,
+    LearnedRule,
+    PatternRuleLearner,
+    RuleLearningResult,
+    rules_to_suite,
+)
+
+__all__ = [
+    "ColumnThresholds",
+    "TableThresholds",
+    "ThresholdTuner",
+    "HistoryThresholdLearner",
+    "ProfileHistoryStore",
+    "thresholds_to_suite",
+    "tune_thresholds",
+    "LearnedRule",
+    "RuleLearningResult",
+    "DataProfileRuleLearner",
+    "ConstraintMiner",
+    "PatternRuleLearner",
+    "rules_to_suite",
+]

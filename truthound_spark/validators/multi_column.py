@@ -741,3 +741,122 @@ class MultiColumnUniqueValidator(Validator):
                 judge=judge,
             )
         ]
+
+
+@register_validator("functional_dependency", category="multi_column")
+class FunctionalDependencyValidator(Validator):
+    """X → Y must hold: every determinant value maps to exactly one
+    dependent value (reference: ml/rule_learning/constraint_miner.py:
+    163-260 mines these; this validator ENFORCES a mined FD).
+
+    Needs a groupBy (countDistinct per determinant group), so it is a
+    standalone validate() — one shuffle keyed on the determinant, then a
+    count over the (tiny) violating-group relation. At scale the shuffle
+    carries (X, Y) pairs only, never whole rows."""
+
+    def __init__(self, determinant: str | list[str], dependent: str) -> None:
+        self.determinants = (
+            [determinant] if isinstance(determinant, str) else list(determinant)
+        )
+        self.dependent = dependent
+
+    def validate(self, df, row_count=None):
+        from truthound_spark.core.results import ValidationIssue
+        from truthound_spark.types import severity_from_ratio
+
+        keys = [F.col(c) for c in self.determinants]
+        grouped = (
+            df.where(F.greatest(*[k.isNotNull() for k in keys]) if len(keys) > 1 else keys[0].isNotNull())
+            .groupBy(*self.determinants)
+            .agg(F.countDistinct(F.col(self.dependent)).alias("__u"))
+        )
+        stat = grouped.agg(
+            F.count(F.lit(1)).alias("groups"),
+            F.sum((F.col("__u") > 1).cast("long")).alias("violating"),
+        ).collect()[0]
+        groups, violating = int(stat["groups"]), int(stat["violating"] or 0)
+        if violating == 0:
+            return []
+        samples = [
+            r.asDict()
+            for r in grouped.where(F.col("__u") > 1)
+            .select(*self.determinants, "__u")
+            .orderBy(F.desc("__u"))
+            .limit(10)
+            .collect()
+        ]
+        det = ",".join(self.determinants)
+        return [
+            ValidationIssue(
+                column=f"{det}->{self.dependent}",
+                issue_type="functional_dependency_violated",
+                count=violating,
+                severity=severity_from_ratio(violating / groups if groups else 0.0),
+                validator_name="functional_dependency",
+                expected=f"{det} -> {self.dependent}",
+                actual=violating,
+                details=(
+                    f"{violating}/{groups} determinant groups map to "
+                    f"multiple {self.dependent} values"
+                ),
+                sample_values=samples,
+            )
+        ]
+
+
+@register_validator("value_implication", category="multi_column")
+class ValueImplicationValidator(Validator):
+    """If X = x then Y must equal y (reference: constraint_miner.py:
+    262-326 value implications; enforcement side). Spec-compiled — rides
+    the fused single-aggregation plan."""
+
+    def __init__(
+        self,
+        condition_column: str,
+        condition_value: Any,
+        expected_column: str,
+        expected_value: Any,
+        mostly: float = 1.0,
+    ) -> None:
+        self.condition_column = condition_column
+        self.condition_value = condition_value
+        self.expected_column = expected_column
+        self.expected_value = expected_value
+        self.mostly = mostly
+
+    def specs(self, df: DataFrame) -> list[ExpressionSpec]:
+        cond = F.col(self.condition_column) == F.lit(self.condition_value)
+        bad = cond & (
+            ~F.col(self.expected_column).eqNullSafe(F.lit(self.expected_value))
+        )
+        mostly = self.mostly
+
+        def judge(m: dict[str, Any]) -> tuple[bool, Any, str]:
+            n_cond = m.get("n_cond") or 0
+            n_bad = m.get("value") or 0
+            ok_ratio = 1.0 - (n_bad / n_cond) if n_cond else 1.0
+            return (
+                ok_ratio >= mostly,
+                n_bad,
+                f"{n_bad}/{n_cond} rows violate the implication",
+            )
+
+        return [
+            ExpressionSpec(
+                name="value_implication",
+                issue_type="value_implication_violated",
+                column=f"{self.condition_column}->{self.expected_column}",
+                count_expr=violation_count(bad),
+                non_null_expr=F.sum(cond.cast("long")),
+                filter_expr=bad,
+                extra_exprs={
+                    "value": violation_count(bad),
+                    "n_cond": F.sum(cond.cast("long")),
+                },
+                expected=(
+                    f"{self.condition_column}={self.condition_value!r} ⇒ "
+                    f"{self.expected_column}={self.expected_value!r}"
+                ),
+                judge=judge,
+            )
+        ]
