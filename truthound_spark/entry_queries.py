@@ -9957,3 +9957,363 @@ def q_dedup_threshold_curve_documents(spark, sf_dir):
 
     df = t(spark, sf_dir, "documents")
     return dedup_threshold_curve(df).orderBy(F.desc("bin_lo"))
+
+
+# ===========================================================================
+# rule/threshold learning (truthound_spark/ml/ — reference
+# profiler/auto_threshold.py, ml/rule_learning/*)
+# ===========================================================================
+
+
+@register(
+    "learned_thresholds_lineitem",
+    """
+    WITH runs AS (
+      SELECT l_orderkey % 4 AS snap,
+             MIN(l_quantity) AS qmin, MAX(l_quantity) AS qmax,
+             AVG(l_quantity) AS qmean, STDDEV(l_quantity) AS qstd,
+             COUNT(*) AS n
+      FROM lineitem WHERE l_orderkey % 4 IN (0, 1, 2)
+      GROUP BY 1
+    ),
+    learned AS (
+      SELECT MIN(qmin) - 0.1 * (MAX(qmax) - MIN(qmin)) AS qty_lo,
+             MAX(qmax) + 0.1 * (MAX(qmax) - MIN(qmin)) AS qty_hi,
+             MIN(qmean) - 3 * MAX(qstd) AS qmean_lo,
+             MAX(qmean) + 3 * MAX(qstd) AS qmean_hi,
+             CAST(FLOOR(MIN(n) * 0.8) AS BIGINT) AS rows_lo,
+             CAST(CEIL(MAX(n) * 1.2) AS BIGINT) AS rows_hi
+      FROM runs
+    ),
+    probe AS (
+      SELECT CASE WHEN l_orderkey % 8 = 7 THEN l_quantity + 30
+                  ELSE l_quantity END AS q
+      FROM lineitem WHERE l_orderkey % 4 = 3
+    ),
+    pstat AS (SELECT AVG(q) AS pmean, COUNT(*) AS pn FROM probe),
+    viol AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v
+      FROM probe, learned WHERE q < qty_lo OR q > qty_hi
+    )
+    SELECT ROUND(l.qty_lo, 6) AS qty_lo,
+           ROUND(l.qty_hi, 6) AS qty_hi,
+           v.v AS qty_viol,
+           ROUND(l.qmean_lo, 4) AS qmean_lo,
+           ROUND(l.qmean_hi, 4) AS qmean_hi,
+           (p.pmean >= l.qmean_lo AND p.pmean <= l.qmean_hi) AS mean_ok,
+           l.rows_lo AS rows_lo, l.rows_hi AS rows_hi,
+           (p.pn >= l.rows_lo AND p.pn <= l.rows_hi) AS rows_ok
+    FROM learned l, pstat p, viol v
+    """,
+)
+def q_learned_thresholds_lineitem(spark, sf_dir):
+    """History-based threshold learning e2e (ml/auto_threshold.py
+    HistoryThresholdLearner; reference profiler/auto_threshold.py +
+    "learn from run history" evolution loop): profile snapshots 0..2 of
+    lineitem (l_orderkey%4) with the distributed one-pass profiler, learn
+    range/mean-band/row-count gates via the closed-form history formulas,
+    emit the suite with thresholds_to_suite, and run it through the REAL
+    fused check() path against a probe snapshot (%4==3) with an injected
+    +30 quantity shift on half its rows. The oracle replays the profile
+    aggregates, the learned-bound arithmetic, and the violation counts."""
+    from truthound_spark.api import check
+    from truthound_spark.ml import HistoryThresholdLearner, thresholds_to_suite
+    from truthound_spark.profiler.table_profiler import profile as profile_fn
+
+    df = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity", "l_discount")
+    cols = ["l_quantity", "l_discount"]
+    history = [
+        profile_fn(
+            df.filter(F.col("l_orderkey") % 4 == i).select(*cols),
+            with_duplicates=False,
+        )
+        for i in (0, 1, 2)
+    ]
+    tt = HistoryThresholdLearner().learn(history, table="lineitem")
+    probe = df.filter(F.col("l_orderkey") % 4 == 3).select(
+        F.when(F.col("l_orderkey") % 8 == 7, F.col("l_quantity") + 30)
+        .otherwise(F.col("l_quantity"))
+        .alias("l_quantity"),
+        F.col("l_discount"),
+    )
+    res = check(probe, validators=thresholds_to_suite(tt))
+    qty = tt.get_column("l_quantity")
+    qty_viol = next(
+        (
+            i.count
+            for i in res.issues
+            if i.issue_type == "out_of_range" and i.column == "l_quantity"
+        ),
+        0,
+    )
+    mean_ok = not any(
+        i.issue_type == "aggregate_out_of_range" and i.column == "l_quantity"
+        for i in res.issues
+    )
+    rows_ok = not any(i.issue_type == "row_count_out_of_range" for i in res.issues)
+    return _scalar_df(
+        spark,
+        qty_lo=round(qty.min_value, 6),
+        qty_hi=round(qty.max_value, 6),
+        qty_viol=int(qty_viol),
+        qmean_lo=round(qty.mean_min, 4),
+        qmean_hi=round(qty.mean_max, 4),
+        mean_ok=bool(mean_ok),
+        rows_lo=int(tt.row_count_min),
+        rows_hi=int(tt.row_count_max),
+        rows_ok=bool(rows_ok),
+    )
+
+
+@register(
+    "fd_mining_orders",
+    """
+    WITH g1 AS (
+      SELECT o_custkey AS k, COUNT(DISTINCT o_orderstatus) AS u
+      FROM orders GROUP BY 1
+    ),
+    g2 AS (
+      SELECT o_custkey AS k, COUNT(DISTINCT o_orderpriority) AS u
+      FROM orders GROUP BY 1
+    ),
+    g3 AS (
+      SELECT o_orderstatus AS k, COUNT(DISTINCT o_orderpriority) AS u
+      FROM orders GROUP BY 1
+    )
+    SELECT * FROM (
+      SELECT 'o_custkey' AS determinant, 'o_orderstatus' AS dependent,
+             ROUND(SUM(CASE WHEN u <= 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+               AS confidence,
+             (MAX(u) <= 1) AS holds
+      FROM g1
+      UNION ALL
+      SELECT 'o_custkey', 'o_orderpriority',
+             ROUND(SUM(CASE WHEN u <= 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6),
+             (MAX(u) <= 1)
+      FROM g2
+      UNION ALL
+      SELECT 'o_orderstatus', 'o_orderpriority',
+             ROUND(SUM(CASE WHEN u <= 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6),
+             (MAX(u) <= 1)
+      FROM g3
+    ) ORDER BY determinant, dependent
+    """,
+)
+def q_fd_mining_orders(spark, sf_dir):
+    """Functional-dependency mining (ml/rule_learning.py ConstraintMiner;
+    reference constraint_miner.py:163-260): X→Y confidence = fraction of
+    determinant groups with a single dependent value. The Spark plan is
+    ONE groupBy per determinant covering all its dependents (o_custkey's
+    two dependents share one shuffle) — exact over the full table, never
+    a sampled driver collect like the reference."""
+    from truthound_spark.ml import ConstraintMiner
+
+    df = t(spark, sf_dir, "orders")
+    res = ConstraintMiner(
+        min_confidence=0.0, min_support=0.0, discover_value_implications=False
+    ).learn_rules(
+        df,
+        fd_candidates=[
+            ("o_custkey", "o_orderstatus"),
+            ("o_custkey", "o_orderpriority"),
+            ("o_orderstatus", "o_orderpriority"),
+        ],
+    )
+    rows = [
+        (r.column[0], r.column[1], round(r.confidence, 6), r.confidence == 1.0)
+        for r in res.by_type("functional_dependency")
+    ]
+    return (
+        spark.createDataFrame(
+            rows, "determinant string, dependent string, confidence double, holds boolean"
+        )
+        .orderBy("determinant", "dependent")
+    )
+
+
+@register(
+    "value_implications_orders",
+    """
+    WITH base AS (
+      SELECT substr(o_orderpriority, 1, 1) AS prio_digit,
+             o_orderpriority, o_orderstatus
+      FROM orders
+    ),
+    n AS (SELECT COUNT(*) AS total FROM base),
+    pairs AS (
+      SELECT 'prio_digit' AS cond_col, prio_digit AS cond_val,
+             'o_orderpriority' AS exp_col, o_orderpriority AS exp_val,
+             COUNT(*) AS c,
+             SUM(COUNT(*)) OVER (PARTITION BY prio_digit) AS xt
+      FROM base GROUP BY prio_digit, o_orderpriority
+      UNION ALL
+      SELECT 'prio_digit', prio_digit, 'o_orderstatus', o_orderstatus,
+             COUNT(*), SUM(COUNT(*)) OVER (PARTITION BY prio_digit)
+      FROM base GROUP BY prio_digit, o_orderstatus
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority, 'prio_digit', prio_digit,
+             COUNT(*), SUM(COUNT(*)) OVER (PARTITION BY o_orderpriority)
+      FROM base GROUP BY o_orderpriority, prio_digit
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority, 'o_orderstatus', o_orderstatus,
+             COUNT(*), SUM(COUNT(*)) OVER (PARTITION BY o_orderpriority)
+      FROM base GROUP BY o_orderpriority, o_orderstatus
+      UNION ALL
+      SELECT 'o_orderstatus', o_orderstatus, 'prio_digit', prio_digit,
+             COUNT(*), SUM(COUNT(*)) OVER (PARTITION BY o_orderstatus)
+      FROM base GROUP BY o_orderstatus, prio_digit
+      UNION ALL
+      SELECT 'o_orderstatus', o_orderstatus, 'o_orderpriority', o_orderpriority,
+             COUNT(*), SUM(COUNT(*)) OVER (PARTITION BY o_orderstatus)
+      FROM base GROUP BY o_orderstatus, o_orderpriority
+    )
+    SELECT cond_col, cond_val, exp_col, exp_val,
+           ROUND(c * 1.0 / xt, 6) AS confidence,
+           ROUND(c * 1.0 / (SELECT total FROM n), 6) AS support
+    FROM pairs
+    WHERE c * 1.0 / xt >= 0.9
+      AND c * 1.0 / (SELECT total FROM n) >= 0.01
+      AND cond_val IS NOT NULL
+    ORDER BY cond_col, cond_val, exp_col, exp_val
+    """,
+)
+def q_value_implications_orders(spark, sf_dir):
+    """Value-implication mining (ConstraintMiner._mine_implications;
+    reference constraint_miner.py:262-326): X=x ⇒ Y=y rules with
+    confidence ≥ 0.9 and support ≥ 1%. Ground truth: the priority
+    digit and the full o_orderpriority string determine each other
+    (10 perfect rules), while pairs involving o_orderstatus fall under
+    the confidence gate and are filtered. groupBy(X,Y) + a window over
+    X computes confidence distributed; only mined rules reach the
+    driver."""
+    from truthound_spark.ml import ConstraintMiner
+
+    df = t(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1).alias("prio_digit"),
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+    res = ConstraintMiner(
+        min_confidence=0.9, min_support=0.01, discover_functional_deps=False
+    ).learn_rules(df)
+    rows = [
+        (
+            r.validator_config["condition_column"],
+            r.validator_config["condition_value"],
+            r.validator_config["expected_column"],
+            r.validator_config["expected_value"],
+            round(r.confidence, 6),
+            round(r.support, 6),
+        )
+        for r in res.by_type("value_implication")
+    ]
+    return spark.createDataFrame(
+        rows,
+        "cond_col string, cond_val string, exp_col string, exp_val string,"
+        " confidence double, support double",
+    ).orderBy("cond_col", "cond_val", "exp_col", "exp_val")
+
+
+@register(
+    "pattern_rules_customer",
+    r"""
+    WITH h AS (
+      SELECT regexp_replace(
+               regexp_replace(
+                 regexp_replace(c_name, '[0-9]+', '9', 'g'),
+                 '[A-Za-z]+', 'A', 'g'),
+               '\s+', '_', 'g') AS pattern,
+             COUNT(*) AS n
+      FROM customer WHERE c_name IS NOT NULL GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS total FROM h)
+    SELECT pattern, CAST(n AS BIGINT) AS n,
+           ROUND(n * 1.0 / (SELECT total FROM tot), 6) AS coverage
+    FROM h ORDER BY n DESC, pattern LIMIT 3
+    """,
+)
+def q_pattern_rules_customer(spark, sf_dir):
+    """Pattern learning (ml/rule_learning.py PatternRuleLearner;
+    reference pattern_learner.py:343-425 D/A/S class generalization):
+    strings collapse to character-class patterns via a JVM-side
+    regexp_replace chain (digit runs→'9', letter runs→'A', whitespace
+    →'_'), histogrammed by ONE groupBy over the generalized pattern —
+    distinct patterns ≪ distinct values, so driver traffic is
+    pattern-count rows. 'Customer#000000042' → 'A#9'."""
+    from truthound_spark.ml.rule_learning import PatternRuleLearner
+
+    df = t(spark, sf_dir, "customer")
+    hist = PatternRuleLearner().pattern_histogram(df, "c_name")
+    return hist.select(
+        "pattern", F.col("n").cast("long").alias("n"), F.round("coverage", 6).alias("coverage")
+    ).limit(3)
+
+
+@register(
+    "profile_rules_customer",
+    """
+    WITH rng_bal AS (
+      SELECT quantile_cont(c_acctbal, 0.01) AS lo, quantile_cont(c_acctbal, 0.99) AS hi
+      FROM customer
+    ),
+    rng_key AS (
+      SELECT quantile_cont(c_custkey, 0.01) AS lo, quantile_cont(c_custkey, 0.99) AS hi
+      FROM customer
+    )
+    SELECT * FROM (
+      SELECT 'not_null_c_acctbal' AS name, 'not_null' AS rule_type,
+             'c_acctbal' AS column_name,
+             CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi
+      UNION ALL
+      SELECT 'not_null_c_custkey', 'not_null', 'c_custkey', NULL, NULL
+      UNION ALL
+      SELECT 'unique_c_custkey', 'unique', 'c_custkey', NULL, NULL
+      WHERE (SELECT ROUND(COUNT(DISTINCT c_custkey) * 1.0 / COUNT(c_custkey), 6)
+             FROM customer) >= 0.999
+      UNION ALL
+      SELECT 'unique_c_acctbal', 'unique', 'c_acctbal', NULL, NULL
+      WHERE (SELECT ROUND(COUNT(DISTINCT c_acctbal) * 1.0 / COUNT(c_acctbal), 6)
+             FROM customer) >= 0.999
+      UNION ALL
+      SELECT 'range_c_acctbal', 'range', 'c_acctbal', ROUND(lo, 6), ROUND(hi, 6)
+      FROM rng_bal
+      UNION ALL
+      SELECT 'range_c_custkey', 'range', 'c_custkey', ROUND(lo, 6), ROUND(hi, 6)
+      FROM rng_key
+      UNION ALL
+      SELECT 'non_negative_c_custkey', 'min_value', 'c_custkey', 0.0, NULL
+    ) ORDER BY name
+    """,
+)
+def q_profile_rules_customer(spark, sf_dir):
+    """Profile→rule learning (ml/rule_learning.py DataProfileRuleLearner;
+    reference profile_learner.py:299-458): strict strictness fences
+    ranges at exact p01/p99 (one fused percentile aggregate across all
+    numeric columns), emits not_null (null_ratio < 1%), unique
+    (unique_ratio ≥ 0.999), and non-negative (observed min ≥ 0) rules.
+    The oracle replays every learned bound."""
+    from truthound_spark.ml import DataProfileRuleLearner
+
+    df = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    res = DataProfileRuleLearner(strictness="strict").learn_rules(df)
+    rows = [
+        (
+            r.name,
+            r.rule_type,
+            r.column,
+            (
+                round(float(r.validator_config["min_value"]), 6)
+                if r.validator_config.get("min_value") is not None
+                else None
+            ),
+            (
+                round(float(r.validator_config["max_value"]), 6)
+                if r.validator_config.get("max_value") is not None
+                else None
+            ),
+        )
+        for r in res.rules
+    ]
+    return spark.createDataFrame(
+        rows, "name string, rule_type string, column_name string, lo double, hi double"
+    ).orderBy("name")
