@@ -91,6 +91,8 @@ def check(
     cache: bool = False,
     baseline=None,
     learn: bool = False,
+    lineage=None,
+    asset: str | None = None,
 ) -> ValidationRunResult:
     """Validate ``data`` and return a ValidationRunResult.
 
@@ -158,7 +160,7 @@ def check(
 
     exec_issues = [i for i in issues if i.issue_type == "execution_error"]
     real_issues = [i for i in issues if i.issue_type != "execution_error"]
-    return ValidationRunResult(
+    result = ValidationRunResult(
         issues=real_issues,
         execution_issues=exec_issues,
         source="dataframe",
@@ -167,6 +169,26 @@ def check(
         execution_mode="batched",
         checks_run=stats["checks"] + len(other_validators),
     )
+    if lineage is not None:
+        # record the run into the lineage graph (reference
+        # lineage/tracker.py:248 track_validation): validator names +
+        # the union of columns they target, so impact_of_column can
+        # answer blast-radius queries later
+        touched: set[str] = set()
+        for v in vs:
+            cols = getattr(v, "columns", None) or []
+            one = getattr(v, "column", None)
+            for c in list(cols) + ([one] if isinstance(one, str) else []):
+                if isinstance(c, str) and c in df.columns:
+                    touched.add(c)
+        lineage.track_validation(
+            asset=asset or "dataframe",
+            validators=[getattr(v, "name", type(v).__name__) for v in vs],
+            columns=touched,
+            success=result.success,
+            issue_count=len(real_issues),
+        )
+    return result
 
 
 __all__ = ["check", "get_spark"]
