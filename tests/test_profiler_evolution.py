@@ -1,0 +1,177 @@
+"""Profiler evolution (comparison/rename/trends) + incremental
+mergeable partial profiles (reference profiler/comparison.py,
+profiler/evolution/*, profiler/incremental.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from truthound_spark.profiler.evolution import (
+    DriftThresholds,
+    ProfileEvolution,
+    compare_profiles,
+)
+from truthound_spark.profiler.incremental import (
+    IncrementalProfiler,
+    merge_partials,
+    partial_profile,
+)
+from truthound_spark.profiler.table_profiler import profile
+
+
+@pytest.fixture(scope="module")
+def li(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet").cache()
+
+
+# ---------------------------------------------------------------------------
+# comparison / evolution
+# ---------------------------------------------------------------------------
+
+
+def _mk(spark, n, mean, null_every=0, extra_col=False, rename=False):
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(n):
+        amount = None if null_every and i % null_every == 0 else float(rng.gauss(mean, 5))
+        base = [i, amount, f"tag{i % 7}"]
+        if extra_col:
+            base.append(i % 3)
+        rows.append(tuple(base))
+    schema = "id long, amount double, " + ("label string" if rename else "tag string")
+    if extra_col:
+        schema += ", grp long"
+    return spark.createDataFrame(rows, schema)
+
+
+def test_compare_no_drift(spark):
+    a = profile(_mk(spark, 1000, 100), with_duplicates=False)
+    b = profile(_mk(spark, 1000, 100), with_duplicates=False)
+    cmp = compare_profiles(a, b)
+    assert not cmp.has_drift and not cmp.has_schema_changes and not cmp.breaking
+
+
+def test_compare_detects_mean_null_rowcount(spark):
+    a = profile(_mk(spark, 1000, 100), with_duplicates=False)
+    b = profile(_mk(spark, 2000, 160, null_every=5), with_duplicates=False)
+    cmp = compare_profiles(a, b)
+    types = {d.drift_type for d in cmp.drifts}
+    assert {"row_count", "mean", "null_ratio"} <= types
+    mean_drift = cmp.get_by_type("mean")[0]
+    assert mean_drift.severity == "critical"  # 60/5 = 12σ > 3×gate
+    assert "mean" in cmp.to_report()
+
+
+def test_compare_schema_changes_and_rename(spark):
+    a = profile(_mk(spark, 1000, 100), with_duplicates=False)
+    b = profile(_mk(spark, 1000, 100, extra_col=True, rename=True), with_duplicates=False)
+    cmp = compare_profiles(a, b)
+    # 'tag' -> 'label' has identical stats → rename, not remove+add
+    assert cmp.renamed_columns == {"tag": "label"}
+    assert cmp.added_columns == ["grp"]
+    assert not cmp.removed_columns
+    assert not cmp.breaking  # adds + renames are non-breaking
+
+
+def test_compare_type_change_is_breaking(spark):
+    a = profile(spark.createDataFrame([(1, 1)], "id long, v long"), with_duplicates=False)
+    b = profile(spark.createDataFrame([(1, "x")], "id long, v string"), with_duplicates=False)
+    cmp = compare_profiles(a, b)
+    assert cmp.type_changes == {"v": ("bigint", "string")}
+    assert cmp.breaking
+
+
+def test_thresholds_presets_order():
+    s, d, l = DriftThresholds.strict(), DriftThresholds(), DriftThresholds.loose()
+    assert s.mean_sigmas < d.mean_sigmas < l.mean_sigmas
+    assert s.null_ratio_abs < d.null_ratio_abs < l.null_ratio_abs
+
+
+def test_evolution_trend_and_anomaly_gate(spark):
+    evo = ProfileEvolution()
+    for i, mean in enumerate((100, 102, 104)):
+        cmp = evo.add(profile(_mk(spark, 1000, mean), with_duplicates=False))
+        assert (cmp is None) == (i == 0)
+    tr = evo.trend("amount", "mean")
+    assert tr.direction == "increasing"
+    assert tr.slope == pytest.approx(2.0, abs=0.5)
+
+    drifted = profile(_mk(spark, 1000, 170), with_duplicates=False)
+    alerts = evo.detect_anomalies(drifted)
+    assert any(a.drift_type == "mean" and a.column == "amount" for a in alerts)
+    clean = profile(_mk(spark, 1000, 102), with_duplicates=False)
+    assert not [a for a in evo.detect_anomalies(clean) if a.drift_type == "mean"]
+
+
+# ---------------------------------------------------------------------------
+# incremental partial profiles
+# ---------------------------------------------------------------------------
+
+
+def test_partial_merge_matches_full_profile(spark, li):
+    """Exact-mergeable stats (count/null/min/max/mean/std) from 3 merged
+    partials must equal the one-shot profile of the whole table."""
+    cols = ["l_quantity", "l_extendedprice", "l_returnflag"]
+    parts = [
+        partial_profile(li.filter(F.col("l_orderkey") % 3 == i), f"s{i}", cols)
+        for i in range(3)
+    ]
+    merged = merge_partials(parts[0].unionByName(parts[1]).unionByName(parts[2]))
+    full = profile(li.select(*cols), with_duplicates=False)
+
+    assert merged.row_count == full.row_count
+    for c in ("l_quantity", "l_extendedprice"):
+        m, f_ = merged.columns[c], full.columns[c]
+        assert m.null_count == f_.null_count
+        assert float(m.min) == pytest.approx(float(f_.min))
+        assert float(m.max) == pytest.approx(float(f_.max))
+        assert m.mean == pytest.approx(f_.mean, rel=1e-9)
+        assert m.std == pytest.approx(f_.std, rel=1e-6)
+        # HLL estimate within 5% of exact
+        assert m.distinct_count == pytest.approx(f_.distinct_count, rel=0.05)
+    s = merged.columns["l_returnflag"]
+    fs = full.columns["l_returnflag"]
+    assert (s.min_length, s.max_length) == (fs.min_length, fs.max_length)
+    assert s.avg_length == pytest.approx(fs.avg_length, rel=1e-9)
+
+
+def test_incremental_profiler_snapshots(spark, li, tmp_path):
+    prof = IncrementalProfiler(root=str(tmp_path / "partials"))
+    for i in range(3):
+        prof.profile_snapshot(
+            li.filter(F.col("l_orderkey") % 3 == i), f"day{i}", ["l_quantity"]
+        )
+    assert prof.snapshots() == ["day0", "day1", "day2"]
+    merged = prof.current_profile(spark)
+    assert merged.row_count == li.count()
+
+    # idempotent re-profile of one snapshot (backfill correction)
+    prof.profile_snapshot(li.filter(F.col("l_orderkey") % 3 == 1), "day1", ["l_quantity"])
+    assert merged.row_count == prof.current_profile(spark).row_count
+
+    # retention: dropping a snapshot subtracts its contribution
+    prof.remove_snapshot("day2")
+    remaining = prof.current_profile(spark)
+    expect = li.filter(F.col("l_orderkey") % 3 != 2).count()
+    assert remaining.row_count == expect
+
+
+def test_incremental_profile_feeds_history_learner(spark, li, tmp_path):
+    """Partial profiles + HistoryThresholdLearner: merged per-snapshot
+    profiles are valid learner inputs (the production loop: daily
+    partial → daily merged profile → learned thresholds)."""
+    from truthound_spark.ml import HistoryThresholdLearner
+
+    prof = IncrementalProfiler(root=str(tmp_path / "p2"))
+    history = []
+    for i in range(3):
+        part = prof.profile_snapshot(
+            li.filter(F.col("l_orderkey") % 3 == i), f"d{i}", ["l_quantity"]
+        )
+        history.append(merge_partials(part))
+    tt = HistoryThresholdLearner().learn(history)
+    th = tt.get_column("l_quantity")
+    assert th.min_value is not None and th.mean_min is not None

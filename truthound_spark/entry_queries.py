@@ -10317,3 +10317,121 @@ def q_profile_rules_customer(spark, sf_dir):
     return spark.createDataFrame(
         rows, "name string, rule_type string, column_name string, lo double, hi double"
     ).orderBy("name")
+
+
+@register(
+    "incremental_profile_merge_lineitem",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS qty_nulls,
+           ROUND(MIN(l_quantity), 6) AS qty_min,
+           ROUND(MAX(l_quantity), 6) AS qty_max,
+           TRUE AS mean_merge_exact,
+           TRUE AS std_merge_exact,
+           ROUND(AVG(LENGTH(l_returnflag)), 6) AS flag_avg_len,
+           TRUE AS distinct_within_5pct
+    FROM lineitem
+    """,
+)
+def q_incremental_profile_merge_lineitem(spark, sf_dir):
+    """Incremental profiling (profiler/incremental.py; reference
+    profiler/incremental.py:230-519 ProfileMerger): three snapshot
+    partial profiles (l_orderkey%3 splits — each ONE scan of its split,
+    mergeable count/sum/sum²/min/max + Datasketches HLL binary) merged
+    by hll_union_agg + algebraic sums into the full-table profile. The
+    oracle certifies counts/nulls/extremes/avg-length against one-shot
+    full-table SQL aggregates by VALUE; mean/std are pinned as
+    merge-exactness booleans vs Spark's own full-table aggregate (the
+    3-way partial-sum association shifts the last float ulp, which a
+    fixed decimal rounding can land on — e.g. mean 25.40225); the HLL
+    distinct estimate is pinned to within 5% of exact (the documented
+    sketch contract)."""
+    from truthound_spark.profiler.incremental import merge_partials, partial_profile
+
+    df = t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_returnflag"]
+    parts = [
+        partial_profile(df.filter(F.col("l_orderkey") % 3 == i), f"s{i}", cols)
+        for i in range(3)
+    ]
+    merged = merge_partials(parts[0].unionByName(parts[1]).unionByName(parts[2]))
+    qty = merged.columns["l_quantity"]
+    flag = merged.columns["l_returnflag"]
+    full = df.agg(
+        F.countDistinct("l_quantity").alias("d"),
+        F.avg("l_quantity").alias("m"),
+        F.stddev("l_quantity").alias("s"),
+    ).collect()[0]
+    close = abs(qty.distinct_count - full["d"]) / full["d"] < 0.05
+    mean_exact = abs(qty.mean - full["m"]) <= 1e-9 * abs(full["m"])
+    std_exact = abs(qty.std - full["s"]) <= 1e-6 * abs(full["s"])
+    return _scalar_df(
+        spark,
+        n_rows=int(merged.row_count),
+        qty_nulls=int(qty.null_count),
+        qty_min=round(float(qty.min), 6),
+        qty_max=round(float(qty.max), 6),
+        mean_merge_exact=bool(mean_exact),
+        std_merge_exact=bool(std_exact),
+        flag_avg_len=round(flag.avg_length, 6),
+        distinct_within_5pct=bool(close),
+    )
+
+
+@register(
+    "profile_evolution_drift_lineitem",
+    """
+    WITH old_h AS (
+      SELECT AVG(l_quantity) AS m, STDDEV(l_quantity) AS s, COUNT(*) AS n
+      FROM lineitem WHERE l_orderkey % 2 = 0
+    ),
+    new_h AS (
+      SELECT AVG(l_quantity + 50) AS m, COUNT(*) AS n
+      FROM lineitem WHERE l_orderkey % 2 = 1
+    )
+    SELECT ROUND(ABS(n2.m - o.m) / o.s, 2) AS mean_shift_sigmas,
+           (ABS(n2.m - o.m) / o.s > 3.0) AS mean_flagged,
+           CASE WHEN ABS(n2.m - o.m) / o.s > 9.0 THEN 'critical'
+                WHEN ABS(n2.m - o.m) / o.s > 3.0 THEN 'warning'
+                ELSE 'none' END AS mean_severity,
+           (ABS(n2.n - o.n) * 1.0 / o.n > 0.3) AS rows_flagged
+    FROM old_h o, new_h n2
+    """,
+)
+def q_profile_evolution_drift_lineitem(spark, sf_dir):
+    """Profile-over-time comparison (profiler/evolution.py
+    compare_profiles; reference profiler/comparison.py DriftDetector +
+    DriftThresholds): two profile runs (even/odd orderkey halves, the
+    'new' half shifted +50) diffed driver-side — mean drift measured in
+    old-σ units, warning at the 3σ gate, critical at 3× the gate. The
+    oracle replays the per-half aggregates and the drift arithmetic."""
+    from truthound_spark.profiler.evolution import compare_profiles
+    from truthound_spark.profiler.table_profiler import profile as profile_fn
+
+    df = t(spark, sf_dir, "lineitem")
+    old = profile_fn(
+        df.filter(F.col("l_orderkey") % 2 == 0).select("l_quantity"),
+        with_duplicates=False,
+    )
+    new = profile_fn(
+        df.filter(F.col("l_orderkey") % 2 == 1).select(
+            (F.col("l_quantity") + 50).alias("l_quantity")
+        ),
+        with_duplicates=False,
+    )
+    cmp = compare_profiles(old, new)
+    mean_drifts = cmp.get_by_type("mean")
+    flagged = bool(mean_drifts)
+    sev = mean_drifts[0].severity if mean_drifts else "none"
+    shift = (
+        abs(float(new.columns["l_quantity"].mean) - float(old.columns["l_quantity"].mean))
+        / float(old.columns["l_quantity"].std)
+    )
+    rows_flagged = any(d.drift_type == "row_count" for d in cmp.drifts)
+    return _scalar_df(
+        spark,
+        mean_shift_sigmas=round(shift, 2),
+        mean_flagged=flagged,
+        mean_severity=sev,
+        rows_flagged=bool(rows_flagged),
+    )
