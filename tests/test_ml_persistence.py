@@ -1,0 +1,118 @@
+"""Model persistence + monitoring (ml/persistence.py, ml/monitoring.py;
+reference ml/anomaly_models/*.save/load, ml/monitoring/monitor.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from truthound_spark.ml.persistence import (
+    ModelRegistry,
+    iforest_from_payload,
+    iforest_to_payload,
+)
+from truthound_spark.ml.monitoring import ModelMonitor, summarize_scores
+from truthound_spark.validators.iforest import fit_isolation_forest
+
+
+@pytest.fixture(scope="module")
+def fitted():
+    rng = np.random.RandomState(0)
+    x = rng.normal(size=(500, 3))
+    return fit_isolation_forest(x, ["a", "b", "c"], n_trees=20, seed=7)
+
+
+def test_iforest_payload_roundtrip_scores_identical(fitted):
+    back = iforest_from_payload(iforest_to_payload(fitted))
+    rng = np.random.RandomState(1)
+    probe = rng.normal(size=(50, 3))
+    assert np.allclose(fitted.scores(probe), back.scores(probe))
+    assert back.columns == fitted.columns
+    assert back.score_threshold == fitted.score_threshold
+
+
+def test_registry_versioning(tmp_path, fitted):
+    reg = ModelRegistry(root=str(tmp_path / "models"))
+    v1 = reg.save_iforest("fraud", fitted, n_trees=20)
+    v2 = reg.save_iforest("fraud", fitted, n_trees=20)
+    assert (v1, v2) == ("v0001", "v0002")
+    assert reg.list_models() == ["fraud"]
+    assert reg.latest_version("fraud") == "v0002"
+    loaded = reg.load_iforest("fraud")  # latest
+    rng = np.random.RandomState(2)
+    probe = rng.normal(size=(10, 3))
+    assert np.allclose(loaded.scores(probe), fitted.scores(probe))
+    _, meta = reg.load("fraud", "v0001")
+    assert meta["kind"] == "isolation_forest" and meta["params"]["n_trees"] == 20
+    reg.delete_version("fraud", "v0001")
+    assert reg.list_versions("fraud") == ["v0002"]
+
+
+def test_registry_kind_mismatch_and_missing(tmp_path):
+    reg = ModelRegistry(root=str(tmp_path / "m2"))
+    reg.save_centroids("km", [[0.0, 1.0], [2.0, 3.0]], k=2)
+    assert reg.load_centroids("km") == [[0.0, 1.0], [2.0, 3.0]]
+    with pytest.raises(ValueError):
+        reg.load_iforest("km")
+    with pytest.raises(FileNotFoundError):
+        reg.load("nope")
+
+
+def test_persisted_model_drives_validator(spark, tmp_path, fitted):
+    """Save → load → inject into IsolationForestValidator (no refit):
+    the anomaly-model persistence loop the reference carries."""
+    from truthound_spark.api import check
+    from truthound_spark.validators.anomaly import IsolationForestValidator
+
+    reg = ModelRegistry(root=str(tmp_path / "m3"))
+    reg.save_iforest("if", fitted)
+    model = reg.load_iforest("if")
+
+    rng = np.random.RandomState(3)
+    normal = rng.normal(size=(300, 3))
+    outliers = np.full((5, 3), 12.0)
+    rows = [tuple(map(float, r)) for r in np.vstack([normal, outliers])]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    v = IsolationForestValidator(["a", "b", "c"], model=model)
+    res = check(df, validators=[v])
+    assert not res.success
+    assert res.issues[0].count >= 5  # planted outliers flagged
+
+
+def test_monitor_healthy_then_drift_alerts(spark, tmp_path):
+    rng = np.random.RandomState(4)
+    ref = spark.createDataFrame(
+        [(float(v),) for v in rng.normal(0.2, 0.05, 2000)], "score double"
+    )
+    mon = ModelMonitor(root=str(tmp_path / "mon"))
+    mon.register_model("m1", ref, threshold=0.5)
+
+    clean = spark.createDataFrame(
+        [(float(v),) for v in rng.normal(0.2, 0.05, 1000)], "score double"
+    )
+    s1 = mon.record_scores("m1", clean)
+    assert mon.health("m1") == "healthy"
+    assert s1.anomaly_rate == pytest.approx(0.0, abs=0.01)
+
+    drifted = spark.createDataFrame(
+        [(float(v),) for v in rng.normal(0.75, 0.05, 1000)], "score double"
+    )
+    mon.record_scores("m1", drifted)
+    assert mon.health("m1") == "critical"
+    rules = {a.rule for a in mon.alerts("m1")}
+    assert "score_psi" in rules and "anomaly_rate" in rules
+
+    metrics = mon.get_metrics("m1")
+    assert len(metrics["batches"]) == 2
+    # persisted summaries recoverable
+    assert len(mon.load_history("m1")) == 2
+
+
+def test_summarize_scores_one_aggregate(spark):
+    df = spark.range(1000).select((F.col("id") / 1000.0).alias("score"))
+    s = summarize_scores(df, "score", threshold=0.9)
+    assert s.n == 1000
+    assert s.mean == pytest.approx(0.4995, abs=0.001)
+    assert s.q50 == pytest.approx(0.5, abs=0.02)
+    assert s.anomaly_rate == pytest.approx(0.1, abs=0.01)

@@ -1,0 +1,249 @@
+"""Model monitoring: score-distribution tracking + drift alerting.
+
+Reference: ml/monitoring/{monitor.py,collectors,stores,alerting} —
+ModelMonitor.register_model / record_prediction / set_reference_data /
+get_metrics with health scoring. Re-expressed synchronously (the
+reference is asyncio around the same bookkeeping) and Spark-first: a
+score batch is summarized by ONE distributed aggregate (count/mean/std/
+approx quantiles) and drift vs the registered reference is the engine's
+own PSI detector over DataFrames — the monitor never collects scores,
+only O(1) summaries per batch.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HEALTH_LEVELS = ("healthy", "degraded", "critical")
+
+
+@dataclass
+class ScoreSummary:
+    """O(1) summary of one scored batch."""
+
+    ts: float
+    n: int
+    mean: float
+    std: float
+    q05: float
+    q50: float
+    q95: float
+    anomaly_rate: float | None = None
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "ts": self.ts,
+            "n": self.n,
+            "mean": self.mean,
+            "std": self.std,
+            "q05": self.q05,
+            "q50": self.q50,
+            "q95": self.q95,
+            "anomaly_rate": self.anomaly_rate,
+        }
+
+
+def summarize_scores(
+    scores: DataFrame, column: str = "score", threshold: float | None = None
+) -> ScoreSummary:
+    """ONE aggregate over the scored frame (approx quantile sketch — the
+    100 TB path; scores never reach the driver)."""
+    aggs = [
+        F.count(column).alias("n"),
+        F.mean(column).alias("mean"),
+        F.stddev(column).alias("std"),
+        F.expr(f"percentile_approx({column}, array(0.05, 0.5, 0.95))").alias("q"),
+    ]
+    if threshold is not None:
+        aggs.append(
+            F.avg((F.col(column) > threshold).cast("double")).alias("rate")
+        )
+    r = scores.agg(*aggs).collect()[0]
+    q = list(r["q"] or [0.0, 0.0, 0.0])
+    return ScoreSummary(
+        ts=time.time(),
+        n=int(r["n"]),
+        mean=float(r["mean"] or 0.0),
+        std=float(r["std"] or 0.0),
+        q05=float(q[0]),
+        q50=float(q[1]),
+        q95=float(q[2]),
+        anomaly_rate=float(r["rate"]) if threshold is not None else None,
+    )
+
+
+@dataclass
+class Alert:
+    model_id: str
+    rule: str
+    level: str
+    value: float
+    threshold: float
+    ts: float = field(default_factory=time.time)
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "model_id": self.model_id,
+            "rule": self.rule,
+            "level": self.level,
+            "value": self.value,
+            "threshold": self.threshold,
+            "ts": self.ts,
+        }
+
+
+class ModelMonitor:
+    """Track per-model score batches; alert on drift/shift
+    (reference monitor.py:60-430)."""
+
+    def __init__(
+        self,
+        root: str | None = None,
+        psi_warn: float = 0.1,
+        psi_critical: float = 0.25,
+        mean_shift_sigmas: float = 3.0,
+        anomaly_rate_max: float = 0.05,
+    ) -> None:
+        self.root = root
+        if root:
+            os.makedirs(root, exist_ok=True)
+        self.psi_warn = psi_warn
+        self.psi_critical = psi_critical
+        self.mean_shift_sigmas = mean_shift_sigmas
+        self.anomaly_rate_max = anomaly_rate_max
+        self._reference: dict[str, DataFrame] = {}
+        self._ref_summary: dict[str, ScoreSummary] = {}
+        self._history: dict[str, list[ScoreSummary]] = {}
+        self._alerts: dict[str, list[Alert]] = {}
+        self._meta: dict[str, dict[str, Any]] = {}
+
+    # -- registration ---------------------------------------------------------
+    def register_model(
+        self,
+        model_id: str,
+        reference_scores: DataFrame,
+        column: str = "score",
+        threshold: float | None = None,
+        **metadata: Any,
+    ) -> None:
+        """Reference scores define 'normal' (reference
+        set_reference_data :257). Persisted as a cached/persistable
+        DataFrame handle + its summary."""
+        ref = reference_scores.select(F.col(column).alias("score"))
+        self._reference[model_id] = ref
+        self._ref_summary[model_id] = summarize_scores(ref, "score", threshold)
+        self._history[model_id] = []
+        self._alerts[model_id] = []
+        self._meta[model_id] = {"column": column, "threshold": threshold, **metadata}
+
+    def unregister_model(self, model_id: str) -> None:
+        for d in (self._reference, self._ref_summary, self._history, self._alerts, self._meta):
+            d.pop(model_id, None)
+
+    def models(self) -> list[str]:
+        return sorted(self._reference)
+
+    # -- recording --------------------------------------------------------------
+    def record_scores(self, model_id: str, scores: DataFrame, column: str | None = None) -> ScoreSummary:
+        """Summarize a batch, evaluate alert rules, persist the summary."""
+        if model_id not in self._reference:
+            raise KeyError(f"model {model_id!r} not registered")
+        meta = self._meta[model_id]
+        col = column or meta["column"]
+        batch = scores.select(F.col(col).alias("score"))
+        summary = summarize_scores(batch, "score", meta["threshold"])
+        self._history[model_id].append(summary)
+        self._evaluate(model_id, batch, summary)
+        if self.root:
+            with open(os.path.join(self.root, f"{model_id}.jsonl"), "a") as f:
+                f.write(json.dumps(summary.to_dict()) + "\n")
+        return summary
+
+    # -- rules ------------------------------------------------------------------
+    def _evaluate(self, model_id: str, batch: DataFrame, summary: ScoreSummary) -> None:
+        from truthound_spark.drift.detectors import psi as psi_detector
+
+        alerts = self._alerts[model_id]
+        ref = self._reference[model_id]
+        ref_sum = self._ref_summary[model_id]
+
+        # score-distribution PSI vs the reference (engine's own detector)
+        res = psi_detector(ref, batch, "score", threshold=self.psi_warn)
+        if res.statistic > self.psi_critical:
+            alerts.append(
+                Alert(model_id, "score_psi", "critical", round(res.statistic, 6), self.psi_critical)
+            )
+        elif res.statistic > self.psi_warn:
+            alerts.append(
+                Alert(model_id, "score_psi", "warning", round(res.statistic, 6), self.psi_warn)
+            )
+
+        # mean shift in reference-σ units
+        if ref_sum.std > 0:
+            shift = abs(summary.mean - ref_sum.mean) / ref_sum.std
+            if shift > self.mean_shift_sigmas:
+                alerts.append(
+                    Alert(model_id, "mean_shift", "warning", round(shift, 4), self.mean_shift_sigmas)
+                )
+
+        # anomaly-rate breach
+        if summary.anomaly_rate is not None and summary.anomaly_rate > self.anomaly_rate_max:
+            alerts.append(
+                Alert(
+                    model_id,
+                    "anomaly_rate",
+                    "critical",
+                    round(summary.anomaly_rate, 6),
+                    self.anomaly_rate_max,
+                )
+            )
+
+    # -- status ------------------------------------------------------------------
+    def alerts(self, model_id: str) -> list[Alert]:
+        return list(self._alerts.get(model_id, []))
+
+    def health(self, model_id: str) -> str:
+        """reference _calculate_health_score (:367): critical alert →
+        critical; any alert → degraded; else healthy. Only alerts from
+        the LAST recorded batch window count (stale alerts age out)."""
+        recent = [
+            a
+            for a in self._alerts.get(model_id, [])
+            if self._history.get(model_id)
+            and a.ts >= self._history[model_id][-1].ts - 1.0
+        ]
+        if any(a.level == "critical" for a in recent):
+            return "critical"
+        if recent:
+            return "degraded"
+        return "healthy"
+
+    def get_metrics(self, model_id: str) -> dict[str, Any]:
+        hist = self._history.get(model_id, [])
+        return {
+            "model_id": model_id,
+            "reference": self._ref_summary[model_id].to_dict()
+            if model_id in self._ref_summary
+            else None,
+            "batches": [s.to_dict() for s in hist],
+            "alerts": [a.to_dict() for a in self._alerts.get(model_id, [])],
+            "health": self.health(model_id),
+        }
+
+    def load_history(self, model_id: str) -> list[dict[str, Any]]:
+        """Re-read persisted summaries (restart recovery)."""
+        if not self.root:
+            return []
+        path = os.path.join(self.root, f"{model_id}.jsonl")
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return [json.loads(line) for line in f if line.strip()]

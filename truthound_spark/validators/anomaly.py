@@ -257,12 +257,16 @@ class IsolationForestValidator(Validator):
         sample_rows: int = 100_000,
         seed: int = 42,
         n_trees: int = 100,
+        model=None,
     ) -> None:
         self.columns = [columns] if isinstance(columns, str) else list(columns)
         self.contamination = contamination
         self.sample_rows = sample_rows
         self.seed = seed
         self.n_trees = n_trees
+        # pre-fitted model (e.g. ml/persistence.py ModelRegistry.load_iforest)
+        # → skip the sampled fit and score with the persisted forest
+        self.model = model
 
     def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
         import numpy as np
@@ -271,19 +275,22 @@ class IsolationForestValidator(Validator):
         from truthound_spark.validators.iforest import fit_isolation_forest
 
         total = row_count if row_count is not None else df.count()
-        frac = min(1.0, self.sample_rows / max(total, 1))
-        sample_pdf = (
-            df.select(*self.columns).dropna().sample(fraction=frac, seed=self.seed).toPandas()
-        )
-        if len(sample_pdf) < 10:
-            return []
-        model = fit_isolation_forest(
-            sample_pdf.values.astype("float64"),
-            self.columns,
-            n_trees=self.n_trees,
-            contamination=self.contamination,
-            seed=self.seed,
-        )
+        if self.model is not None:
+            model = self.model
+        else:
+            frac = min(1.0, self.sample_rows / max(total, 1))
+            sample_pdf = (
+                df.select(*self.columns).dropna().sample(fraction=frac, seed=self.seed).toPandas()
+            )
+            if len(sample_pdf) < 10:
+                return []
+            model = fit_isolation_forest(
+                sample_pdf.values.astype("float64"),
+                self.columns,
+                n_trees=self.n_trees,
+                contamination=self.contamination,
+                seed=self.seed,
+            )
         bc = df.sparkSession.sparkContext.broadcast(model)
         cols = self.columns
 
