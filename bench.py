@@ -36,12 +36,15 @@ def make_spark():
 
 
 def bench_one(name, fn, timings, cold_timings):
-    """Warm best-of-2: BASELINE.md's reference numbers are explicitly warm
+    """Warm best-of-N: BASELINE.md's reference numbers are explicitly warm
     runs, and this VM shows 2x wall-clock noise between identical runs —
-    the first pass warms codegen/file-listing caches, the min of two is
-    the comparable figure. BOTH passes are recorded (ADVICE r3): the cold
-    first pass goes to ``queries_cold`` so cross-round comparisons under
-    either protocol stay honest."""
+    the first pass warms codegen/file-listing caches, the min of the warm
+    passes is the comparable figure. BOTH protocols are recorded (ADVICE
+    r3): the cold first pass goes to ``queries_cold`` so cross-round
+    comparisons under either protocol stay honest. Sub-300ms queries get
+    one extra warm pass (r5→r6 showed their best-of-2 still carries
+    ±100ms scheduler/OS noise — pushdown_unique 0.067 vs 0.133s on
+    identical code; a third sample pins the floor)."""
     best = None
     for i in range(2):
         t0 = time.time()
@@ -50,6 +53,10 @@ def bench_one(name, fn, timings, cold_timings):
         if i == 0:
             cold_timings[name] = round(dt, 4)
         best = dt if best is None else min(best, dt)
+    if best < 0.3:
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
     timings[name] = round(best, 4)
 
 
@@ -431,11 +438,113 @@ def main():
     bench_one("pushdown_range", lambda: pushdown("range"), timings, cold_timings)
     bench_one("pushdown_unique", lambda: pushdown("unique"), timings, cold_timings)
 
+    # --- round-7 learning workloads -----------------------------------
+    def fd_mining_bench():
+        from truthound_spark.ml import ConstraintMiner
+
+        ConstraintMiner(
+            min_confidence=0.0, min_support=0.0, discover_value_implications=False
+        ).learn_rules(
+            orders,
+            fd_candidates=[
+                ("o_custkey", "o_orderstatus"),
+                ("o_custkey", "o_orderpriority"),
+                ("o_orderstatus", "o_orderpriority"),
+            ],
+        )
+
+    bench_one("fd_mining", fd_mining_bench, timings, cold_timings)
+
+    def learned_thresholds_bench():
+        from truthound_spark.api import check
+        from truthound_spark.ml import HistoryThresholdLearner, thresholds_to_suite
+        from truthound_spark.profiler.table_profiler import profile as profile_fn
+
+        li = lineitem.select("l_orderkey", "l_quantity", "l_discount")
+        history = [
+            profile_fn(
+                li.filter(F.col("l_orderkey") % 4 == i).select(
+                    "l_quantity", "l_discount"
+                ),
+                with_duplicates=False,
+            )
+            for i in (0, 1, 2)
+        ]
+        tt = HistoryThresholdLearner().learn(history)
+        probe = li.filter(F.col("l_orderkey") % 4 == 3).select(
+            "l_quantity", "l_discount"
+        )
+        check(probe, validators=thresholds_to_suite(tt))
+
+    bench_one("learned_thresholds", learned_thresholds_bench, timings, cold_timings)
+
+    # --- sf1 lane (VERDICT r5 #10): the dedup/BPE/tagger trio on a 10×
+    # documents corpus derived from SF_DIR (replica-perturbed text: every
+    # 7th word, offset per replica, gets a replica suffix — JVM HOFs, so
+    # replicas are NOT near-duplicates and the LSH pair stage measures
+    # scaling, not a synthetic 45×-duplicate explosion). Single cold pass
+    # each — this lane measures throughput growth vs the sf0.1 numbers
+    # above, turning SCALING.md's synthetic-multiple curve into a
+    # real-workload one. Disable with SPARK_GRAFT_SF1_LANE=0.
+    sf1_lane: dict = {}
+    if os.environ.get("SPARK_GRAFT_SF1_LANE", "1") != "0":
+        reps = spark.range(10).select(F.col("id").cast("int").alias("rep"))
+        documents10 = (
+            documents.crossJoin(F.broadcast(reps))
+            .select(
+                (F.col("doc_id") * 10 + F.col("rep")).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(split(text, ' '), (w, i) -> "
+                        "IF((i + rep) % 7 = 0, concat(w, '_', rep), w))"
+                    ),
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            .persist()
+        )
+        n10 = documents10.count()  # materialize outside the timers
+
+        def sf1_minhash():
+            from truthound_spark.pipeline.dedup import minhash_dedup_pairs
+
+            minhash_dedup_pairs(
+                documents10, threshold=0.7, num_hashes=64, bands=32
+            ).count()
+
+        def sf1_bpe():
+            from truthound_spark.pipeline.tokenizer import bpe_token_counts, bpe_train
+
+            merges = bpe_train(documents10, rounds=6)
+            bpe_token_counts(documents10, merges).agg(F.sum("n_tokens")).collect()
+
+        def sf1_tagger():
+            from truthound_spark.pipeline.text import tag_documents
+
+            tag_documents(documents10).agg(
+                F.avg("quality_score"), F.avg("classifier_score")
+            ).collect()
+
+        for nm, fn in (
+            ("minhash_dedup", sf1_minhash),
+            ("bpe_train_tokenize", sf1_bpe),
+            ("tag_documents_fused", sf1_tagger),
+        ):
+            t0 = time.time()
+            fn()
+            sf1_lane[nm] = round(time.time() - t0, 3)
+        sf1_lane["rows"] = n10
+        documents10.unpersist()
+
     # headline = sum of per-query WARM times (best-of-2, comparable to
-    # BASELINE.md's warm-run protocol). The cold first-pass timings and
-    # their total ride along (ADVICE r3) so a round-over-round comparison
-    # can be made under EITHER protocol — the headline protocol change in
-    # r3 is thereby auditable, not silent.
+    # BASELINE.md's warm-run protocol; sf1 lane excluded — different data
+    # scale). The cold first-pass timings and their total ride along
+    # (ADVICE r3) so a round-over-round comparison can be made under
+    # EITHER protocol — the headline protocol change in r3 is thereby
+    # auditable, not silent.
     total = round(sum(timings.values()), 4)
     cold_total = round(sum(cold_timings.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -456,6 +565,7 @@ def main():
         "cold_value": cold_total,
         "queries_cold": cold_timings,
         "sf": sf_val,
+        "sf1_lane": sf1_lane,
     }
     try:
         with open(
@@ -465,18 +575,17 @@ def main():
             json.dump(detail, fh, indent=1)
     except OSError:
         pass
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": {k: round(v, 3) for k, v in timings.items()},
-                "cold_value": cold_total,
-                "sf": sf_val,
-            }
-        )
-    )
+    line = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "cold_value": cold_total,
+        "sf": sf_val,
+    }
+    if sf1_lane:
+        line["sf1"] = sf1_lane
+    print(json.dumps(line))
     spark.stop()
 
 

@@ -201,6 +201,11 @@ FAMILIES: dict[str, list[str]] = {
         "pack_sequences_documents",
         "train_val_split_documents",
     ],
+    "family_learning": [
+        "learned_thresholds_lineitem",
+        "incremental_profile_merge_lineitem",
+        "profile_evolution_drift_lineitem",
+    ],
 }
 
 #: Multi-row granular queries that keep their own verified slot, in
@@ -313,6 +318,10 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "embedding_health_check_embeddings",
     "ann_lsh_multiprobe_topk",
     "dedup_threshold_curve_documents",
+    "fd_mining_orders",
+    "value_implications_orders",
+    "pattern_rules_customer",
+    "profile_rules_customer",
 ]
 
 
