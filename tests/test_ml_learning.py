@@ -312,3 +312,51 @@ def test_pattern_histogram_mixed(spark):
     hist = learner.pattern_histogram(df, "s").collect()
     assert [r["pattern"] for r in hist] == ["A-9", "A9"]
     assert hist[0]["coverage"] == pytest.approx(7 / 9)
+
+
+def test_conditional_mining_lineitem(spark, sf_dir):
+    """Null/positive/ordering conditionals over lineitem numerics —
+    ONE fused aggregate covers every candidate pair."""
+    from truthound_spark.api import check
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    )
+    res = ConstraintMiner(
+        discover_functional_deps=False,
+        discover_value_implications=False,
+        discover_conditional_rules=True,
+        min_support=0.0,
+    ).learn_rules(li)
+    names = {r.name for r in res.rules}
+    # ground truth: quantity >= 1 and price > 0 always
+    assert "order_l_discount_leq_l_quantity" in names
+    assert "order_l_quantity_leq_l_extendedprice" in names
+    assert "positive_impl_l_quantity_to_l_extendedprice" in names
+    # and the reverse ordering must NOT be mined
+    assert "order_l_extendedprice_leq_l_quantity" not in names
+    # no nulls in TPC-H → null implications hold for every pair
+    assert "null_impl_l_quantity_to_l_discount" in names
+
+    # enforcement round-trip: mined suite passes on the mining frame
+    suite = rules_to_suite(res.rules)
+    assert check(li, validators=suite).success
+    # and catches a violation of the learned ordering
+    broken = li.withColumn("l_discount", F.col("l_quantity") + 1)
+    assert not check(broken, validators=suite).success
+
+
+def test_conditional_mining_null_implication_gate(spark):
+    """X-not-null coverage gate: a sparse X (<10% non-null) emits no
+    null-implication rule even at confidence 1.0."""
+    rows = [(None, 1.0)] * 95 + [(2.0, 1.0)] * 5
+    df = spark.createDataFrame(rows, "x double, y double")
+    res = ConstraintMiner(
+        discover_functional_deps=False,
+        discover_value_implications=False,
+        discover_conditional_rules=True,
+        min_support=0.0,
+    ).learn_rules(df)
+    assert not [r for r in res.rules if r.name == "null_impl_x_to_y"]
+    # y is 100% non-null → y⇒x fails confidence (only 5% of y rows have x)
+    assert not [r for r in res.rules if r.name == "null_impl_y_to_x"]

@@ -322,6 +322,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "value_implications_orders",
     "pattern_rules_customer",
     "profile_rules_customer",
+    "conditional_rules_lineitem",
 ]
 
 

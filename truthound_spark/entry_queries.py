@@ -10435,3 +10435,88 @@ def q_profile_evolution_drift_lineitem(spark, sf_dir):
         mean_severity=sev,
         rows_flagged=bool(rows_flagged),
     )
+
+
+def _cond_rule_sql() -> str:
+    """Conditional-mining oracle: per-pair gate arithmetic mirrored
+    generically (no hardcoded expected rule set — the SQL applies the
+    same coverage/confidence gates the miner does, so the slot stays
+    correct if the data distribution shifts across scale factors)."""
+    cols = {"q": "l_quantity", "p": "l_extendedprice", "d": "l_discount"}
+    pairs = [(a, b) for a in cols for b in cols if a != b]
+    stats = ["COUNT(*) AS n"]
+    for k, c in cols.items():
+        stats.append(f"COUNT({c}) AS nx_{k}")
+        stats.append(f"SUM(CASE WHEN {c} > 0 THEN 1 ELSE 0 END) AS px_{k}")
+    for a, b in pairs:
+        ca, cb = cols[a], cols[b]
+        stats.append(
+            f"SUM(CASE WHEN {ca} IS NOT NULL AND {cb} IS NOT NULL THEN 1 ELSE 0 END)"
+            f" AS nxy_{a}{b}"
+        )
+        stats.append(
+            f"SUM(CASE WHEN {ca} > 0 AND {cb} > 0 THEN 1 ELSE 0 END) AS pxy_{a}{b}"
+        )
+        stats.append(
+            f"SUM(CASE WHEN {ca} IS NOT NULL AND {cb} IS NOT NULL AND {ca} <= {cb}"
+            f" THEN 1 ELSE 0 END) AS ord_{a}{b}"
+        )
+    branches = []
+    for a, b in pairs:
+        ca, cb = cols[a], cols[b]
+        branches.append(
+            f"SELECT 'null_impl_{ca}_to_{cb}' AS name,"
+            f" 'null_implication' AS rule_type,"
+            f" ROUND(nxy_{a}{b} * 1.0 / nx_{a}, 6) AS confidence,"
+            f" ROUND(nxy_{a}{b} * 1.0 / n, 6) AS support FROM s"
+            f" WHERE nx_{a} > n * 0.1 AND nxy_{a}{b} * 1.0 / nx_{a} >= 0.99"
+        )
+        branches.append(
+            f"SELECT 'positive_impl_{ca}_to_{cb}', 'comparison_implication',"
+            f" ROUND(pxy_{a}{b} * 1.0 / px_{a}, 6),"
+            f" ROUND(pxy_{a}{b} * 1.0 / n, 6) FROM s"
+            f" WHERE px_{a} >= n * 0.1 AND px_{a} > 0"
+            f" AND pxy_{a}{b} * 1.0 / px_{a} >= 0.95"
+        )
+        branches.append(
+            f"SELECT 'order_{ca}_leq_{cb}', 'ordering',"
+            f" ROUND(ord_{a}{b} * 1.0 / nxy_{a}{b}, 6),"
+            f" ROUND(ord_{a}{b} * 1.0 / n, 6) FROM s"
+            f" WHERE nxy_{a}{b} >= n * 0.5 AND ord_{a}{b} * 1.0 / nxy_{a}{b} >= 0.99"
+        )
+    return (
+        "WITH s AS (SELECT " + ", ".join(stats) + " FROM lineitem)\n"
+        "SELECT * FROM (\n" + "\nUNION ALL\n".join(branches) + "\n) ORDER BY name"
+    )
+
+
+@register("conditional_rules_lineitem", _cond_rule_sql())
+def q_conditional_rules_lineitem(spark, sf_dir):
+    """Conditional-constraint mining (ml/rule_learning.py
+    ConstraintMiner._mine_conditionals; reference constraint_miner.py:
+    328-455): null implications, positive implications, and X≤Y
+    orderings over (quantity, price, discount). The reference runs
+    3·C² filter passes over collected rows; here the entire candidate
+    grid costs ONE fused aggregate (every stat is a sum of boolean
+    products). The oracle replays each pair's coverage and confidence
+    gates."""
+    from truthound_spark.ml import ConstraintMiner
+
+    df = t(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    )
+    res = ConstraintMiner(
+        min_confidence=0.0,
+        min_support=0.0,
+        max_rules=1000,
+        discover_functional_deps=False,
+        discover_value_implications=False,
+        discover_conditional_rules=True,
+    ).learn_rules(df)
+    rows = [
+        (r.name, r.rule_type, round(r.confidence, 6), round(r.support, 6))
+        for r in res.rules
+    ]
+    return spark.createDataFrame(
+        rows, "name string, rule_type string, confidence double, support double"
+    ).orderBy("name")

@@ -282,7 +282,9 @@ class ConstraintMiner:
         categorical_max_card: int = 20,
         discover_functional_deps: bool = True,
         discover_value_implications: bool = True,
+        discover_conditional_rules: bool = False,
         max_implication_rows: int = 10_000,
+        max_conditional_columns: int = 12,
     ) -> None:
         self.min_confidence = min_confidence
         self.min_support = min_support
@@ -291,7 +293,9 @@ class ConstraintMiner:
         self.categorical_max_card = categorical_max_card
         self.discover_functional_deps = discover_functional_deps
         self.discover_value_implications = discover_value_implications
+        self.discover_conditional_rules = discover_conditional_rules
         self.max_implication_rows = max_implication_rows
+        self.max_conditional_columns = max_conditional_columns
 
     # -- cardinality prefilter: one fused sketch pass ----------------------
     def _cardinalities(self, df: DataFrame, columns: list[str]) -> dict[str, int]:
@@ -330,6 +334,11 @@ class ConstraintMiner:
         if self.discover_value_implications:
             cats = [c for c in cols if 2 <= card[c] <= self.categorical_max_card]
             rules.extend(self._mine_implications(df, cats, cols, n))
+
+        if self.discover_conditional_rules:
+            rules.extend(
+                self._mine_conditionals(df, cols[: self.max_conditional_columns], n)
+            )
 
         kept, n_filtered = _filter_rank(
             rules, self.min_confidence, self.min_support, self.max_rules
@@ -439,6 +448,106 @@ class ConstraintMiner:
                         description=f"When {x} is {x_val!r}, {y} should be {y_val!r}",
                     )
                 )
+        return rules
+
+
+    def _mine_conditionals(
+        self, df: DataFrame, cols: list[str], n_rows: int
+    ) -> list[LearnedRule]:
+        """Conditional constraints (reference constraint_miner.py:
+        328-455): null implications (X not null ⇒ Y not null, gate 0.99,
+        X coverage > 10%), positive implications (X>0 ⇒ Y>0, gate 0.95),
+        and orderings (X ≤ Y, gate 0.99, joint coverage > 50%).
+
+        The reference runs 3·C² filter passes over collected rows; here
+        ALL pair statistics come from ONE fused aggregate — each stat is
+        a sum of boolean products, so the whole candidate grid costs a
+        single table scan regardless of pair count."""
+        numeric = {
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, NUMERIC_TYPES) and f.name in cols
+        }
+        pairs = [(x, y) for x in cols for y in cols if x != y]
+        aggs: list = []
+        for i, (x, y) in enumerate(pairs):
+            xc, yc = F.col(x), F.col(y)
+            aggs.append(F.sum(xc.isNotNull().cast("long")).alias(f"nx_{i}"))
+            aggs.append(
+                F.sum((xc.isNotNull() & yc.isNotNull()).cast("long")).alias(f"nxy_{i}")
+            )
+            if x in numeric and y in numeric:
+                aggs.append(F.sum((xc > 0).cast("long")).alias(f"px_{i}"))
+                aggs.append(F.sum(((xc > 0) & (yc > 0)).cast("long")).alias(f"pxy_{i}"))
+                aggs.append(
+                    F.sum((xc.isNotNull() & yc.isNotNull() & (xc <= yc)).cast("long")).alias(
+                        f"ord_{i}"
+                    )
+                )
+        if not aggs:
+            return []
+        row = df.agg(*aggs).collect()[0]
+
+        rules: list[LearnedRule] = []
+        for i, (x, y) in enumerate(pairs):
+            nx = int(row[f"nx_{i}"] or 0)
+            nxy = int(row[f"nxy_{i}"] or 0)
+            # null implication (reference :343-373)
+            if nx > n_rows * 0.1 and nx > 0 and nxy / nx >= 0.99:
+                rules.append(
+                    LearnedRule(
+                        name=f"null_impl_{x}_to_{y}",
+                        rule_type="null_implication",
+                        column=(x, y),
+                        condition=f"if {x} is not null then {y} is not null",
+                        support=nxy / n_rows,
+                        confidence=nxy / nx,
+                        validator_config={
+                            "condition": f"{x} IS NOT NULL",
+                            "constraint": f"{y} IS NOT NULL",
+                        },
+                        description=f"When {x} has a value, {y} should too",
+                    )
+                )
+            if x in numeric and y in numeric:
+                px = int(row[f"px_{i}"] or 0)
+                pxy = int(row[f"pxy_{i}"] or 0)
+                # positive implication (reference :391-415)
+                if px >= n_rows * 0.1 and px > 0 and pxy / px >= 0.95:
+                    rules.append(
+                        LearnedRule(
+                            name=f"positive_impl_{x}_to_{y}",
+                            rule_type="comparison_implication",
+                            column=(x, y),
+                            condition=f"if {x} > 0 then {y} > 0",
+                            support=pxy / n_rows,
+                            confidence=pxy / px,
+                            validator_config={
+                                "condition": f"{x} > 0",
+                                "constraint": f"{y} > 0",
+                            },
+                            description=f"When {x} is positive, {y} should be too",
+                        )
+                    )
+                # ordering (reference :418-443)
+                ordered = int(row[f"ord_{i}"] or 0)
+                if nxy >= n_rows * 0.5 and nxy > 0 and ordered / nxy >= 0.99:
+                    rules.append(
+                        LearnedRule(
+                            name=f"order_{x}_leq_{y}",
+                            rule_type="ordering",
+                            column=(x, y),
+                            condition=f"{x} <= {y}",
+                            support=ordered / n_rows,
+                            confidence=ordered / nxy,
+                            validator_config={
+                                "column_a": x,
+                                "column_b": y,
+                                "op": "<=",
+                            },
+                            description=f"{x} should be <= {y}",
+                        )
+                    )
         return rules
 
 
@@ -611,6 +720,37 @@ def rules_to_suite(rules: Iterable[LearnedRule]) -> list[object]:
                     cfg["condition_value"],
                     cfg["expected_column"],
                     cfg["expected_value"],
+                    mostly=1.0 if r.confidence >= 1.0 else max(0.0, r.confidence - 0.005),
+                )
+            )
+        elif r.rule_type == "ordering":
+            if r.confidence >= 1.0:
+                from truthound_spark.validators.multi_column import ColumnPairValidator
+
+                suite.append(
+                    ColumnPairValidator(cfg["column_a"], cfg["column_b"], cfg["op"])
+                )
+            else:
+                # enforce at the rule's own confidence (a 99.2%-true
+                # mined ordering must not fail on the corpus it was
+                # mined from); small slack absorbs batch-to-batch jitter
+                from truthound_spark.validators.query import CustomExpressionValidator
+
+                suite.append(
+                    CustomExpressionValidator(
+                        f"{cfg['column_a']} {cfg['op']} {cfg['column_b']}",
+                        name=r.name,
+                        mostly=max(0.0, r.confidence - 0.005),
+                    )
+                )
+        elif r.rule_type in ("null_implication", "comparison_implication"):
+            from truthound_spark.validators.query import ConditionalExpressionValidator
+
+            suite.append(
+                ConditionalExpressionValidator(
+                    cfg["condition"],
+                    cfg["constraint"],
+                    mostly=1.0 if r.confidence >= 1.0 else max(0.0, r.confidence - 0.005),
                 )
             )
     return suite

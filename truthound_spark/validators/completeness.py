@@ -34,6 +34,20 @@ class NullValidator(Validator):
 
     def specs(self, df: DataFrame) -> list[ExpressionSpec]:
         out = []
+        mostly = self.mostly
+
+        def judge(m):
+            # tolerance mode (reference null.py `mostly`): pass while the
+            # non-null share stays >= mostly; count>0 alone is not a fail
+            denom = m.get("denom") or 0
+            count = int(m.get("count") or 0)
+            ok_ratio = 1.0 - (count / denom) if denom else 1.0
+            return (
+                ok_ratio >= mostly,
+                count,
+                f"{count}/{denom} nulls ({1 - ok_ratio:.2%} > {1 - mostly:.2%} allowed)",
+            )
+
         for c in self._target_columns(df, self.columns):
             pred = F.col(c).isNull()
             out.append(
@@ -45,6 +59,7 @@ class NullValidator(Validator):
                     non_null_expr=F.count(F.lit(1)),
                     filter_expr=pred,
                     expected="no nulls" if self.mostly >= 1.0 else f"≥{self.mostly:.0%} non-null",
+                    judge=judge if self.mostly < 1.0 else None,
                 )
             )
         return out

@@ -43,13 +43,28 @@ class CustomExpressionValidator(Validator):
     """Arbitrary boolean expression = pass predicate
     (reference: query/expression.py:17)."""
 
-    def __init__(self, expression: str | Column, name: str | None = None) -> None:
+    def __init__(
+        self, expression: str | Column, name: str | None = None, mostly: float = 1.0
+    ) -> None:
         self.expression = expression
         self._name = name or "custom_expression"
+        self.mostly = mostly
 
     def specs(self, df: DataFrame) -> list[ExpressionSpec]:
         ok = _to_column(self.expression)
         pred = ~ok | ok.isNull()
+        mostly = self.mostly
+
+        def judge(m):
+            denom = m.get("denom") or 0
+            count = int(m.get("count") or 0)
+            ok_ratio = 1.0 - (count / denom) if denom else 1.0
+            return (
+                ok_ratio >= mostly,
+                count,
+                f"{count}/{denom} rows violate ({ok_ratio:.2%} pass < {mostly:.2%})",
+            )
+
         return [
             ExpressionSpec(
                 name=self._name,
@@ -59,6 +74,7 @@ class CustomExpressionValidator(Validator):
                 non_null_expr=F.count(F.lit(1)),
                 filter_expr=pred,
                 expected=str(self.expression),
+                judge=judge if self.mostly < 1.0 else None,
             )
         ]
 
@@ -68,14 +84,32 @@ class ConditionalExpressionValidator(Validator):
     """IF cond THEN check; counts `cond & ~then` in one fused agg
     (reference: query/expression.py:41-101, count at :72-77)."""
 
-    def __init__(self, condition: str | Column, then: str | Column) -> None:
+    def __init__(
+        self, condition: str | Column, then: str | Column, mostly: float = 1.0
+    ) -> None:
         self.condition = condition
         self.then = then
+        self.mostly = mostly
 
     def specs(self, df: DataFrame) -> list[ExpressionSpec]:
         cond = _to_column(self.condition)
         then = _to_column(self.then)
         pred = cond & (~then | then.isNull())
+        mostly = self.mostly
+
+        def judge(m):
+            # denom = rows where the condition holds; tolerate up to
+            # (1-mostly) of them violating (mined-rule enforcement at
+            # the rule's own confidence)
+            denom = m.get("denom") or 0
+            count = int(m.get("count") or 0)
+            ok_ratio = 1.0 - (count / denom) if denom else 1.0
+            return (
+                ok_ratio >= mostly,
+                count,
+                f"{count}/{denom} conditioned rows violate",
+            )
+
         return [
             ExpressionSpec(
                 name="conditional_expression",
@@ -85,6 +119,7 @@ class ConditionalExpressionValidator(Validator):
                 non_null_expr=violation_count(cond),
                 filter_expr=pred,
                 expected=f"WHEN {self.condition} THEN {self.then}",
+                judge=judge if self.mostly < 1.0 else None,
             )
         ]
 
