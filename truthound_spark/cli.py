@@ -108,6 +108,85 @@ def cmd_compare(args: argparse.Namespace) -> int:
     return 1 if drifted else 0
 
 
+def cmd_tune(args: argparse.Namespace) -> int:
+    """Profile → thresholds (reference auto_threshold.py tune_thresholds);
+    with --history-root, learn from stored profile runs instead and
+    optionally append this run first (--save)."""
+    import json as _json
+
+    from truthound_spark.ml import (
+        HistoryThresholdLearner,
+        ProfileHistoryStore,
+        ThresholdTuner,
+    )
+    from truthound_spark.profiler.table_profiler import profile
+
+    df = _load(_spark(), args.path)
+    p = profile(df, approx=args.approx)
+    if args.history_root:
+        store = ProfileHistoryStore(root=args.history_root)
+        table = args.table or args.path.rsplit("/", 1)[-1].split(".")[0]
+        if args.save:
+            run_id = store.save(table, p)
+            print(f"saved profile run {run_id} for {table}", flush=True)
+        history = store.load_history(table)
+        if len(history) < 2:
+            print(f"only {len(history)} stored run(s); need >= 2 to learn")
+            return 1
+        tt = HistoryThresholdLearner().learn(history, table=table)
+    else:
+        tt = ThresholdTuner(args.strategy, args.strictness).tune(p, table=args.path)
+    print(_json.dumps(tt.to_dict(), indent=2, default=str))
+    return 0
+
+
+def cmd_mine(args: argparse.Namespace) -> int:
+    """Rule mining (reference ml/rule_learning/): profile rules,
+    constraints (FD/implications/conditionals), string patterns."""
+    import json as _json
+
+    from truthound_spark.ml import ConstraintMiner, DataProfileRuleLearner, PatternRuleLearner
+
+    df = _load(_spark(), args.path)
+    if args.miner == "profile":
+        res = DataProfileRuleLearner(strictness=args.strictness).learn_rules(df)
+    elif args.miner == "constraints":
+        res = ConstraintMiner(discover_conditional_rules=True).learn_rules(df)
+    else:
+        res = PatternRuleLearner().learn_rules(df)
+    print(
+        _json.dumps(
+            {
+                "rules": [r.to_dict() for r in res.rules],
+                "total": res.total_rules,
+                "filtered": res.filtered_rules,
+            },
+            indent=2,
+            default=str,
+        )
+    )
+    return 0
+
+
+def cmd_evolve(args: argparse.Namespace) -> int:
+    """Profile two snapshots and diff them (reference profiler/
+    comparison.py + evolution/): exit 1 on breaking changes."""
+    from truthound_spark.profiler.evolution import DriftThresholds, compare_profiles
+    from truthound_spark.profiler.table_profiler import profile
+
+    spark = _spark()
+    old = profile(_load(spark, args.old), approx=args.approx)
+    new = profile(_load(spark, args.path), approx=args.approx)
+    th = {
+        "strict": DriftThresholds.strict(),
+        "default": DriftThresholds(),
+        "loose": DriftThresholds.loose(),
+    }[args.thresholds]
+    cmp = compare_profiles(old, new, th)
+    print(cmp.to_report())
+    return 1 if cmp.breaking else 0
+
+
 def cmd_curate(args: argparse.Namespace) -> int:
     """End-to-end corpus curation (the pipeline test_e2e_curation pins):
     C4/Gopher hygiene -> fuzzy-dedup canonical selection -> optional probe
@@ -234,6 +313,30 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("path")
     c.add_argument("-n", type=int, default=10)
     c.set_defaults(fn=cmd_read)
+
+    c = sub.add_parser("tune", help="learn validation thresholds (profile or run history)")
+    c.add_argument("path")
+    c.add_argument("--strategy", default="balanced",
+                   choices=["conservative", "balanced", "permissive", "adaptive", "statistical"])
+    c.add_argument("--strictness", default="medium", choices=["loose", "medium", "strict"])
+    c.add_argument("--approx", action="store_true")
+    c.add_argument("--history-root", help="profile-history dir: learn from stored runs")
+    c.add_argument("--table", help="history table name (default: file stem)")
+    c.add_argument("--save", action="store_true", help="append this run to the history first")
+    c.set_defaults(fn=cmd_tune)
+
+    c = sub.add_parser("mine", help="mine rules: profile | constraints | patterns")
+    c.add_argument("path")
+    c.add_argument("--miner", default="profile", choices=["profile", "constraints", "patterns"])
+    c.add_argument("--strictness", default="medium", choices=["loose", "medium", "strict"])
+    c.set_defaults(fn=cmd_mine)
+
+    c = sub.add_parser("evolve", help="diff two snapshot profiles; exit 1 on breaking changes")
+    c.add_argument("old")
+    c.add_argument("path")
+    c.add_argument("--thresholds", default="default", choices=["strict", "default", "loose"])
+    c.add_argument("--approx", action="store_true")
+    c.set_defaults(fn=cmd_evolve)
 
     c = sub.add_parser("curate", help="LLM-corpus curation: hygiene -> dedup -> quality gate -> shuffle -> sharded parquet")
     c.add_argument("path")
