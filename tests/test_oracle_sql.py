@@ -52,12 +52,11 @@ def test_registry_nonempty_and_callable():
 
 def test_rows_only_entries_are_the_declared_exceptions():
     # Entries without an oracle get the driver's weaker rows-only check;
-    # keep that set explicit so a forgotten oracle fails loudly.
+    # keep that set explicit so a forgotten oracle fails loudly. Since
+    # round 6 the two former iterative rows-only entries carry invariant
+    # oracles — the registry is 100% oracle-backed.
     rows_only = sorted(set(QUERIES) - set(ORACLES))
-    assert rows_only == [
-        "ivf_topk_embeddings",
-        "pca_anomaly_lineitem",
-    ], rows_only
+    assert rows_only == [], rows_only
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))

@@ -134,4 +134,6 @@ def test_cron_trigger_due():
 def test_preset_lookup_forms():
     assert get_preset("WEEKDAYS-9AM") is PRESETS["weekdays_9am"]
     assert get_preset("nope") is None
-    assert len(list_presets()) == 34
+    # reference scheduling/presets.py defines exactly 33 named presets;
+    # parity is 1:1 (verified by name-set diff against the reference)
+    assert len(list_presets()) == 33
