@@ -613,16 +613,25 @@ class PatternRuleLearner:
         self._patterns: dict[str, list[dict[str, Any]]] = {}
 
     def pattern_histogram(self, df: DataFrame, column: str) -> DataFrame:
-        """(pattern, n, coverage) relation, most frequent first."""
+        """(pattern, n, coverage) relation, most frequent first.
+
+        The total joins in as a broadcast 1-row aggregate rather than an
+        unpartitioned window: distinct patterns are usually few, but a
+        high-entropy column (free text) can yield corpus-sized pattern
+        counts, and a bare ``Window.partitionBy()`` would funnel them
+        through ONE task."""
         non_null = df.where(F.col(column).isNotNull())
         hist = (
             non_null.select(generalize_expr(F.col(column)).alias("pattern"))
             .groupBy("pattern")
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        total = F.sum("n").over(Window.partitionBy())
-        return hist.withColumn("coverage", F.col("n") / total).orderBy(
-            F.desc("n"), "pattern"
+        total = hist.agg(F.sum("n").alias("__total"))
+        return (
+            hist.crossJoin(F.broadcast(total))
+            .withColumn("coverage", F.col("n") / F.col("__total"))
+            .drop("__total")
+            .orderBy(F.desc("n"), "pattern")
         )
 
     def learn_rules(
