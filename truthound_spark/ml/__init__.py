@@ -17,6 +17,8 @@ from truthound_spark.ml.auto_threshold import (
     thresholds_to_suite,
     tune_thresholds,
 )
+from truthound_spark.ml.monitoring import ModelMonitor, ScoreSummary, summarize_scores
+from truthound_spark.ml.persistence import ModelRegistry
 from truthound_spark.ml.rule_learning import (
     ConstraintMiner,
     DataProfileRuleLearner,
@@ -40,4 +42,8 @@ __all__ = [
     "ConstraintMiner",
     "PatternRuleLearner",
     "rules_to_suite",
+    "ModelRegistry",
+    "ModelMonitor",
+    "ScoreSummary",
+    "summarize_scores",
 ]
