@@ -360,3 +360,65 @@ def test_conditional_mining_null_implication_gate(spark):
     assert not [r for r in res.rules if r.name == "null_impl_x_to_y"]
     # y is 100% non-null → y⇒x fails confidence (only 5% of y rows have x)
     assert not [r for r in res.rules if r.name == "null_impl_y_to_x"]
+
+
+def test_domain_aware_strategy(cust, spark):
+    """reference DomainAwareStrategy (:677-828): detected domains pick
+    their gate defaults; generic columns fall back to balanced math."""
+    from truthound_spark.ml.auto_threshold import detect_domain
+
+    prof = profile(cust, with_duplicates=False)
+    tt = ThresholdTuner("domain_aware").tune(prof, table="customer")
+    # c_custkey: key-named + unique → identifier domain → exact gates
+    key = tt.get_column("c_custkey")
+    assert key.null_ratio_max == 0.0 and key.unique_ratio_min == 1.0
+    # c_acctbal: 'bal' → currency → floor 0... but TPC-H balances go
+    # negative; domain default still pins min_value=0 (the reference's
+    # behavior — the domain table wins over observed stats)
+    bal = tt.get_column("c_acctbal")
+    assert bal.min_value == 0.0 and bal.null_ratio_max == 0.05
+    # c_mktsegment: low-cardinality string → categorical
+    assert detect_domain(prof.columns["c_mktsegment"]) == "categorical"
+    assert tt.get_column("c_mktsegment").null_ratio_max == 0.05
+
+    emails = spark.createDataFrame(
+        [(f"u{i}@x.com",) for i in range(50)], "user_email string"
+    )
+    ep = profile(emails, with_duplicates=False)
+    th = ThresholdTuner("domain_aware").tune(ep).get_column("user_email")
+    assert (th.min_length, th.max_length) == (5, 254)
+
+
+def test_composite_fd_mining(spark, sf_dir):
+    """(X1,X2)→Y composite determinants (reference constraint_miner.py:
+    222-254): lineitem's compound PK determines everything; a
+    2-categorical composite does not."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = orders.select(
+        (F.col("o_orderkey") % 10).alias("k_lo"),
+        F.floor(F.col("o_orderkey") / 10).alias("k_hi"),
+        "o_orderpriority",
+    )
+    res = ConstraintMiner(
+        min_confidence=0.0, min_support=0.0, discover_value_implications=False
+    ).learn_rules(
+        df,
+        fd_candidates=[
+            (("k_lo", "k_hi"), "o_orderpriority"),  # joint = unique key → FD
+            ("k_lo", "o_orderpriority"),  # alone: 10 groups → no FD
+        ],
+    )
+    fds = {r.name: r for r in res.by_type("functional_dependency")}
+    assert fds["fd_k_lo_k_hi_to_o_orderpriority"].confidence == 1.0
+    assert fds["fd_k_lo_to_o_orderpriority"].confidence < 0.5
+
+    # enforcement: list-determinant validator path
+    suite = rules_to_suite([r for r in res.rules if r.confidence == 1.0])
+    from truthound_spark.api import check
+
+    assert check(df, validators=suite).success
+    # break the FD: duplicate 20 keys with a conflicting dependent value
+    broken = df.unionByName(
+        df.limit(20).withColumn("o_orderpriority", F.lit("9-BROKEN"))
+    )
+    assert not check(broken, validators=suite).success

@@ -317,7 +317,8 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("tune", help="learn validation thresholds (profile or run history)")
     c.add_argument("path")
     c.add_argument("--strategy", default="balanced",
-                   choices=["conservative", "balanced", "permissive", "adaptive", "statistical"])
+                   choices=["conservative", "balanced", "permissive", "adaptive",
+                            "statistical", "domain_aware"])
     c.add_argument("--strictness", default="medium", choices=["loose", "medium", "strict"])
     c.add_argument("--approx", action="store_true")
     c.add_argument("--history-root", help="profile-history dir: learn from stored runs")

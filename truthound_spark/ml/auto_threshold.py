@@ -121,6 +121,96 @@ _STRICTNESS = {
 }
 
 
+#: domain-specific gate defaults (reference DomainAwareStrategy
+#: DOMAIN_DEFAULTS :685-744 — the KR-specific entries ride the same
+#: table; keys absent here fall back to the balanced formulas)
+_DOMAIN_DEFAULTS: dict[str, dict[str, Any]] = {
+    "email": {"null_ratio_max": 0.1, "min_length": 5, "max_length": 254},
+    "phone": {"null_ratio_max": 0.2, "min_length": 7, "max_length": 20},
+    "uuid": {
+        "null_ratio_max": 0.0,
+        "unique_ratio_min": 1.0,
+        "min_length": 36,
+        "max_length": 36,
+    },
+    "date": {"null_ratio_max": 0.1},
+    "identifier": {"null_ratio_max": 0.0, "unique_ratio_min": 1.0},
+    "categorical": {"null_ratio_max": 0.05},
+    "currency": {"null_ratio_max": 0.05, "min_value": 0.0},
+    "percentage": {"null_ratio_max": 0.05, "min_value": 0.0, "max_value": 100.0},
+    "boolean": {"null_ratio_max": 0.0},
+    "korean_phone": {"null_ratio_max": 0.1, "min_length": 10, "max_length": 13},
+    "korean_rrn": {"null_ratio_max": 0.0, "min_length": 13, "max_length": 14},
+}
+
+
+def detect_domain(cp: ColumnProfile) -> str | None:
+    """Infer a column's domain from name/dtype/profile stats (reference
+    infers via its type-inference layer; the same signals — key-like
+    names, cardinality, fixed lengths — are already in the profile)."""
+    name = cp.name.lower()
+    if "email" in name:
+        return "email"
+    if "uuid" in name or "guid" in name or (
+        cp.min_length == 36 and cp.max_length == 36 and cp.dtype == "string"
+    ):
+        return "uuid"
+    if "phone" in name or "tel" in name:
+        return "phone"
+    if cp.dtype in ("date", "timestamp", "timestamp_ntz"):
+        return "date"
+    if cp.dtype == "boolean" or (cp.distinct_count in (1, 2) and cp.dtype != "string"):
+        return "boolean" if cp.dtype == "boolean" else None
+    if (
+        cp.unique_ratio >= 0.999
+        and cp.distinct_count > 1
+        and (name.endswith(("id", "key", "code")) or "uuid" in name)
+    ):
+        return "identifier"
+    if any(t in name for t in ("price", "amount", "cost", "balance", "bal", "revenue")):
+        return "currency"
+    if any(t in name for t in ("pct", "percent", "ratio", "rate", "discount")):
+        return "percentage"
+    if cp.dtype == "string" and 0 < cp.distinct_count <= 20:
+        return "categorical"
+    return None
+
+
+def _tune_domain_aware(cp: ColumnProfile) -> ColumnThresholds:
+    """reference DomainAwareStrategy.tune_column (:745-793): domain
+    defaults first, balanced-formula fallback per field."""
+    th = ColumnThresholds(column=cp.name)
+    domain = detect_domain(cp)
+    defaults = _DOMAIN_DEFAULTS.get(domain or "", {})
+    th.reasoning.append(f"domain={domain or 'generic'}")
+    th.null_ratio_max = defaults.get(
+        "null_ratio_max", min(1.0, cp.null_ratio * 1.2 + 0.01)
+    )
+    if "min_length" in defaults:
+        th.min_length = defaults["min_length"]
+    elif cp.min_length is not None:
+        th.min_length = int(cp.min_length)
+    if "max_length" in defaults:
+        th.max_length = defaults["max_length"]
+    elif cp.max_length is not None:
+        th.max_length = int(cp.max_length)
+    if "unique_ratio_min" in defaults:
+        th.unique_ratio_min = defaults["unique_ratio_min"]
+    elif cp.unique_ratio >= 0.999 and cp.distinct_count > 1:
+        th.unique_ratio_min = 0.99
+    if "min_value" in defaults:
+        th.min_value = defaults["min_value"]
+    elif cp.min is not None and cp.mean is not None:
+        pad = (float(cp.max) - float(cp.min)) * 0.1
+        th.min_value = float(cp.min) - pad
+    if "max_value" in defaults:
+        th.max_value = defaults["max_value"]
+    elif cp.max is not None and cp.mean is not None:
+        th.max_value = float(cp.max) * 1.1 if float(cp.max) > 0 else float(cp.max) * 0.9
+    th.confidence = 0.75
+    return th
+
+
 def _assess_quality(cp: ColumnProfile) -> float:
     """reference AdaptiveStrategy._assess_quality (:545-568):
     mean of completeness, uniqueness-appropriateness."""
@@ -135,6 +225,8 @@ def _assess_quality(cp: ColumnProfile) -> float:
 
 
 def _tune_column(cp: ColumnProfile, strategy: str, strictness: str) -> ColumnThresholds:
+    if strategy == "domain_aware":
+        return _tune_domain_aware(cp)
     th = ColumnThresholds(column=cp.name)
     if strategy == "adaptive":
         # reference AdaptiveStrategy (:464-477): quality picks the knobs
@@ -201,7 +293,14 @@ def _tune_column(cp: ColumnProfile, strategy: str, strictness: str) -> ColumnThr
 class ThresholdTuner:
     """Profile → thresholds (reference ThresholdTuner :876-1014)."""
 
-    STRATEGIES = ("conservative", "balanced", "permissive", "adaptive", "statistical")
+    STRATEGIES = (
+        "conservative",
+        "balanced",
+        "permissive",
+        "adaptive",
+        "statistical",
+        "domain_aware",
+    )
 
     def __init__(self, strategy: str = "balanced", strictness: str = "medium") -> None:
         if strategy not in self.STRATEGIES:

@@ -327,7 +327,13 @@ class ConstraintMiner:
                 fd_candidates = [
                     (x, y)
                     for x, y in fd_candidates
-                    if card.get(x, 0) <= self.max_determinant_card
+                    if (
+                        card.get(x, 0) <= self.max_determinant_card
+                        if isinstance(x, str)
+                        else all(
+                            card.get(c, 0) <= self.max_determinant_card for c in x
+                        )
+                    )
                 ]
             rules.extend(self._mine_fds(df, fd_candidates, n))
 
@@ -351,23 +357,28 @@ class ConstraintMiner:
         )
 
     def _mine_fds(
-        self, df: DataFrame, candidates: list[tuple[str, str]], n_rows: int
+        self,
+        df: DataFrame,
+        candidates: list[tuple[str | tuple[str, ...] | list[str], str]],
+        n_rows: int,
     ) -> list[LearnedRule]:
         """FD X→Y holds iff every X-group has exactly one distinct Y
-        (reference constraint_miner.py:163-260). One groupBy(X) covers ALL
-        dependents of that X; the per-group relation is reduced by a
-        second aggregate (groups, single-Y groups per dependent) — two
-        jobs per determinant regardless of dependent count, shuffle keyed
-        on X only."""
+        (reference constraint_miner.py:163-260; composite determinants
+        (X1,X2)→Y at :222-254). One groupBy(X) covers ALL dependents of
+        that X; the per-group relation is reduced by a second aggregate
+        (groups, single-Y groups per dependent) — two jobs per
+        determinant regardless of dependent count, shuffle keyed on the
+        determinant columns only."""
         from collections import defaultdict
 
-        by_det: dict[str, list[str]] = defaultdict(list)
+        by_det: dict[tuple[str, ...], list[str]] = defaultdict(list)
         for x, y in candidates:
-            by_det[x].append(y)
+            key = (x,) if isinstance(x, str) else tuple(x)
+            by_det[key].append(y)
 
         rules: list[LearnedRule] = []
-        for x, deps in sorted(by_det.items()):
-            grouped = df.groupBy(x).agg(
+        for xs, deps in sorted(by_det.items()):
+            grouped = df.groupBy(*xs).agg(
                 *[F.countDistinct(F.col(y)).alias(f"__u_{y}") for y in deps]
             )
             stat = grouped.agg(
@@ -378,6 +389,8 @@ class ConstraintMiner:
                 ],
             ).collect()[0]
             total_groups = int(stat["__groups"])
+            x_label = "_".join(xs)
+            x_cond = ", ".join(xs) if len(xs) > 1 else xs[0]
             for y in deps:
                 single = int(stat[f"__s_{y}"] or 0)
                 if total_groups == 0:
@@ -385,14 +398,19 @@ class ConstraintMiner:
                 confidence = single / total_groups
                 rules.append(
                     LearnedRule(
-                        name=f"fd_{x}_to_{y}",
+                        name=f"fd_{x_label}_to_{y}",
                         rule_type="functional_dependency",
-                        column=(x, y),
-                        condition=f"{x} -> {y}",
+                        column=(*xs, y),
+                        condition=(
+                            f"({x_cond}) -> {y}" if len(xs) > 1 else f"{x_cond} -> {y}"
+                        ),
                         support=confidence,
                         confidence=confidence,
-                        validator_config={"determinant": x, "dependent": y},
-                        description=f"{x} functionally determines {y}",
+                        validator_config={
+                            "determinant": xs[0] if len(xs) == 1 else list(xs),
+                            "dependent": y,
+                        },
+                        description=f"{x_cond} functionally determines {y}",
                     )
                 )
         return rules
