@@ -323,6 +323,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "pattern_rules_customer",
     "profile_rules_customer",
     "conditional_rules_lineitem",
+    "composite_fd_orders",
 ]
 
 

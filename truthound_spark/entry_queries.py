@@ -10520,3 +10520,66 @@ def q_conditional_rules_lineitem(spark, sf_dir):
     return spark.createDataFrame(
         rows, "name string, rule_type string, confidence double, support double"
     ).orderBy("name")
+
+
+@register(
+    "composite_fd_orders",
+    """
+    WITH base AS (
+      SELECT o_orderkey % 10 AS k_lo,
+             CAST(FLOOR(o_orderkey / 10) AS BIGINT) AS k_hi,
+             o_orderpriority
+      FROM orders
+    ),
+    g2 AS (
+      SELECT k_lo, k_hi, COUNT(DISTINCT o_orderpriority) AS u
+      FROM base GROUP BY k_lo, k_hi
+    ),
+    g1 AS (
+      SELECT k_lo, COUNT(DISTINCT o_orderpriority) AS u
+      FROM base GROUP BY k_lo
+    )
+    SELECT * FROM (
+      SELECT 'fd_k_lo_k_hi_to_o_orderpriority' AS name,
+             ROUND(SUM(CASE WHEN u <= 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+               AS confidence,
+             (MAX(u) <= 1) AS holds
+      FROM g2
+      UNION ALL
+      SELECT 'fd_k_lo_to_o_orderpriority',
+             ROUND(SUM(CASE WHEN u <= 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6),
+             (MAX(u) <= 1)
+      FROM g1
+    ) ORDER BY name
+    """,
+)
+def q_composite_fd_orders(spark, sf_dir):
+    """Composite-determinant FD mining (ml/rule_learning.py
+    ConstraintMiner._mine_fds; reference constraint_miner.py:222-254
+    (X1,X2)→Y): the derived (k_lo, k_hi) decomposition of o_orderkey is
+    jointly a unique key — the composite FD holds at confidence 1.0
+    while k_lo alone (10 groups) fails. Same one-groupBy-per-determinant
+    plan as single FDs, shuffle keyed on the determinant columns."""
+    from truthound_spark.ml import ConstraintMiner
+
+    df = t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 10).alias("k_lo"),
+        F.floor(F.col("o_orderkey") / 10).cast("long").alias("k_hi"),
+        "o_orderpriority",
+    )
+    res = ConstraintMiner(
+        min_confidence=0.0, min_support=0.0, discover_value_implications=False
+    ).learn_rules(
+        df,
+        fd_candidates=[
+            (("k_lo", "k_hi"), "o_orderpriority"),
+            ("k_lo", "o_orderpriority"),
+        ],
+    )
+    rows = [
+        (r.name, round(r.confidence, 6), r.confidence == 1.0)
+        for r in res.by_type("functional_dependency")
+    ]
+    return spark.createDataFrame(
+        rows, "name string, confidence double, holds boolean"
+    ).orderBy("name")
