@@ -36,7 +36,12 @@ def cmd_check(args: argparse.Namespace) -> int:
     from truthound_spark.reporters import render, save_report
 
     df = _load(_spark(), args.path)
-    validators = args.validators.split(",") if args.validators else None
+    if getattr(args, "suite", None):
+        from truthound_spark.suite_io import load_suite
+
+        validators = load_suite(args.suite).validators
+    else:
+        validators = args.validators.split(",") if args.validators else None
     result = api.check(df, validators=validators, learn=args.learn)
     print(render(result, args.format))
     if args.output:
@@ -136,6 +141,17 @@ def cmd_tune(args: argparse.Namespace) -> int:
         tt = HistoryThresholdLearner().learn(history, table=table)
     else:
         tt = ThresholdTuner(args.strategy, args.strictness).tune(p, table=args.path)
+    if args.emit_suite:
+        from truthound_spark.ml import thresholds_to_suite
+        from truthound_spark.suite_io import save_suite
+
+        save_suite(
+            thresholds_to_suite(tt),
+            args.emit_suite,
+            name=args.table or "learned",
+            strategy=tt.strategy,
+        )
+        print(f"wrote suite to {args.emit_suite}")
     print(_json.dumps(tt.to_dict(), indent=2, default=str))
     return 0
 
@@ -276,6 +292,7 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("check", help="validate a dataset")
     c.add_argument("path")
     c.add_argument("--validators", help="comma-separated validator names")
+    c.add_argument("--suite", help="run a saved suite file (json/yaml) instead")
     c.add_argument("--learn", action="store_true", help="learn a baseline first")
     c.add_argument("--format", default="console", choices=["console", "json", "markdown", "html"])
     c.add_argument("--output", help="write report to file")
@@ -324,6 +341,7 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--history-root", help="profile-history dir: learn from stored runs")
     c.add_argument("--table", help="history table name (default: file stem)")
     c.add_argument("--save", action="store_true", help="append this run to the history first")
+    c.add_argument("--emit-suite", help="also write the learned suite to this json/yaml file")
     c.set_defaults(fn=cmd_tune)
 
     c = sub.add_parser("mine", help="mine rules: profile | constraints | patterns")
