@@ -467,6 +467,7 @@ def main():
                     "l_quantity", "l_discount"
                 ),
                 with_duplicates=False,
+                top_k=0,
             )
             for i in (0, 1, 2)
         ]

@@ -10026,6 +10026,7 @@ def q_learned_thresholds_lineitem(spark, sf_dir):
         profile_fn(
             df.filter(F.col("l_orderkey") % 4 == i).select(*cols),
             with_duplicates=False,
+            top_k=0,
         )
         for i in (0, 1, 2)
     ]
@@ -10412,12 +10413,14 @@ def q_profile_evolution_drift_lineitem(spark, sf_dir):
     old = profile_fn(
         df.filter(F.col("l_orderkey") % 2 == 0).select("l_quantity"),
         with_duplicates=False,
+        top_k=0,
     )
     new = profile_fn(
         df.filter(F.col("l_orderkey") % 2 == 1).select(
             (F.col("l_quantity") + 50).alias("l_quantity")
         ),
         with_duplicates=False,
+        top_k=0,
     )
     cmp = compare_profiles(old, new)
     mean_drifts = cmp.get_by_type("mean")

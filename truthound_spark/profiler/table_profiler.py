@@ -139,9 +139,12 @@ def profile(
         prof.columns[c] = cp
 
     # value frequencies for low-cardinality columns (ValueFrequencyAnalyzer,
-    # reference column_profiler.py:311) — bounded groupBy per column
+    # reference column_profiler.py:311) — bounded groupBy per column;
+    # top_k=0 skips the whole phase (threshold learners don't consume
+    # top_values, and each low-cardinality column otherwise costs one
+    # extra job — material when profiling N snapshots in a loop)
     for c, cp in prof.columns.items():
-        if 0 < cp.distinct_count <= 100:
+        if 0 < cp.distinct_count <= 100 and top_k > 0:
             top = (
                 df.groupBy(c)
                 .agg(F.count(F.lit(1)).alias("n"))
