@@ -422,3 +422,33 @@ def test_composite_fd_mining(spark, sf_dir):
         df.limit(20).withColumn("o_orderpriority", F.lit("9-BROKEN"))
     )
     assert not check(broken, validators=suite).success
+
+
+def test_history_quantile_robust_mode(spark):
+    """history_quantile < 1: one anomalous past run doesn't permanently
+    widen the learned gates; default 1.0 keeps exact extremes."""
+    import random
+
+    rng = random.Random(9)
+    snaps = [
+        spark.createDataFrame(
+            [(i, float(rng.gauss(100, 5))) for i in range(500)], "id long, v double"
+        )
+        for _ in range(9)
+    ]
+    # a bad run that slipped into history: huge values
+    bad = spark.createDataFrame(
+        [(i, float(rng.gauss(100, 5)) * 100) for i in range(500)], "id long, v double"
+    )
+    history = [profile(s, with_duplicates=False, top_k=0) for s in snaps + [bad]]
+
+    exact = HistoryThresholdLearner().learn(history)
+    # q=0.85 over 10 runs: the interpolated position (0.85·9 = 7.65)
+    # stays inside the 9 good runs, so the bad run can't leak in
+    robust = HistoryThresholdLearner(history_quantile=0.85).learn(history)
+    # exact mode is poisoned by the bad run; robust mode is not
+    assert exact.get_column("v").max_value > 5000
+    assert robust.get_column("v").max_value < 300
+
+    with pytest.raises(ValueError):
+        HistoryThresholdLearner(history_quantile=0.3)

@@ -340,6 +340,21 @@ def tune_thresholds(
 # ---------------------------------------------------------------------------
 
 
+def _quantile(values: list[float], q: float) -> float:
+    """Linear-interpolation quantile over a tiny scalar list (q=0 → min,
+    q=1 → max, matching percentile_cont semantics)."""
+    xs = sorted(values)
+    if not xs:
+        raise ValueError("empty history stat")
+    if len(xs) == 1:
+        return xs[0]
+    pos = q * (len(xs) - 1)
+    lo = int(math.floor(pos))
+    hi = min(lo + 1, len(xs) - 1)
+    frac = pos - lo
+    return xs[lo] * (1 - frac) + xs[hi] * frac
+
+
 class HistoryThresholdLearner:
     """Learn thresholds from N stored profile runs.
 
@@ -370,6 +385,7 @@ class HistoryThresholdLearner:
         uniq_tol: float = 0.001,
         row_tol: float = 0.2,
         min_history: int = 2,
+        history_quantile: float = 1.0,
     ) -> None:
         self.range_buffer = range_buffer
         self.null_mult = null_mult
@@ -378,6 +394,21 @@ class HistoryThresholdLearner:
         self.uniq_tol = uniq_tol
         self.row_tol = row_tol
         self.min_history = min_history
+        if not 0.5 < history_quantile <= 1.0:
+            raise ValueError("history_quantile must be in (0.5, 1.0]")
+        # 1.0 = exact extremes over the history (default; every past-
+        # normal value stays legal). < 1.0 = robust mode: the q-quantile
+        # of per-run stats on each side, so a single anomalous PAST run
+        # (that slipped into history before anyone noticed) doesn't
+        # permanently widen the learned gates. With long histories
+        # (daily runs for a year) 0.95 is the production setting.
+        self.history_quantile = history_quantile
+
+    def _lo(self, values: list[float]) -> float:
+        return _quantile(values, 1.0 - self.history_quantile)
+
+    def _hi(self, values: list[float]) -> float:
+        return _quantile(values, self.history_quantile)
 
     def learn(self, history: list[TableProfile], table: str = "") -> TableThresholds:
         if len(history) < self.min_history:
@@ -387,9 +418,9 @@ class HistoryThresholdLearner:
         tt = TableThresholds(table=table, strategy="history")
         tt.metadata["n_runs"] = len(history)
 
-        counts = [p.row_count for p in history]
-        tt.row_count_min = int(math.floor(min(counts) * (1 - self.row_tol)))
-        tt.row_count_max = int(math.ceil(max(counts) * (1 + self.row_tol)))
+        counts = [float(p.row_count) for p in history]
+        tt.row_count_min = int(math.floor(self._lo(counts) * (1 - self.row_tol)))
+        tt.row_count_max = int(math.ceil(self._hi(counts) * (1 + self.row_tol)))
 
         # columns present in EVERY run (a column must have full history)
         common = set(history[0].columns)
@@ -400,22 +431,23 @@ class HistoryThresholdLearner:
             cps = [p.columns[name] for p in history]
             th = ColumnThresholds(column=name)
             th.null_ratio_max = min(
-                1.0, max(c.null_ratio for c in cps) * self.null_mult + self.null_eps
+                1.0,
+                self._hi([c.null_ratio for c in cps]) * self.null_mult + self.null_eps,
             )
-            th.reasoning.append(f"null<=hist_max*{self.null_mult}+{self.null_eps}")
+            th.reasoning.append(f"null<=hist_q*{self.null_mult}+{self.null_eps}")
             mins = [float(c.min) for c in cps if c.min is not None and c.mean is not None]
             maxs = [float(c.max) for c in cps if c.max is not None and c.mean is not None]
             if mins and maxs and len(mins) == len(cps):
-                g_lo, g_hi = min(mins), max(maxs)
+                g_lo, g_hi = self._lo(mins), self._hi(maxs)
                 pad = (g_hi - g_lo) * self.range_buffer
                 th.min_value, th.max_value = g_lo - pad, g_hi + pad
                 th.reasoning.append(f"range=hist_minmax±{self.range_buffer:.0%}")
                 means = [float(c.mean) for c in cps if c.mean is not None]
                 stds = [float(c.std or 0.0) for c in cps]
                 if means:
-                    band = self.sigma_mult * max(stds)
-                    th.mean_min = min(means) - band
-                    th.mean_max = max(means) + band
+                    band = self.sigma_mult * self._hi(stds)
+                    th.mean_min = self._lo(means) - band
+                    th.mean_max = self._hi(means) + band
                     th.reasoning.append(f"mean∈hist±{self.sigma_mult}σ")
             if all(c.unique_ratio >= 0.999 and c.distinct_count > 1 for c in cps):
                 th.unique_ratio_min = max(
