@@ -285,6 +285,7 @@ class ConstraintMiner:
         discover_conditional_rules: bool = False,
         max_implication_rows: int = 10_000,
         max_conditional_columns: int = 12,
+        max_fd_determinants: int = 16,
     ) -> None:
         self.min_confidence = min_confidence
         self.min_support = min_support
@@ -296,6 +297,7 @@ class ConstraintMiner:
         self.discover_conditional_rules = discover_conditional_rules
         self.max_implication_rows = max_implication_rows
         self.max_conditional_columns = max_conditional_columns
+        self.max_fd_determinants = max_fd_determinants
 
     # -- cardinality prefilter: one fused sketch pass ----------------------
     def _cardinalities(self, df: DataFrame, columns: list[str]) -> dict[str, int]:
@@ -320,8 +322,15 @@ class ConstraintMiner:
         if self.discover_functional_deps:
             if fd_candidates is None:
                 # every (X, Y) pair whose determinant is group-able —
-                # the sketch prefilter keeps the group count bounded
-                dets = [c for c in cols if card[c] <= self.max_determinant_card]
+                # the sketch prefilter keeps the group count bounded;
+                # auto mode costs 2 jobs PER determinant, so cap the
+                # determinant list (lowest cardinality first — cheap
+                # groupBys and the most FD-like columns) rather than
+                # silently launching hundreds of shuffles on wide tables
+                dets = sorted(
+                    (c for c in cols if card[c] <= self.max_determinant_card),
+                    key=lambda c: (card[c], c),
+                )[: self.max_fd_determinants]
                 fd_candidates = [(x, y) for x in dets for y in cols if y != x]
             else:
                 fd_candidates = [
