@@ -310,3 +310,68 @@ def test_no_inferred_size_filter_inlines_gram_pipelines(spark):
             if "Filter" in line and "size(" in line
         ]
         assert not offending, offending
+
+
+# --- round 7: learning-layer plan shapes -----------------------------------
+
+
+def test_conditional_mining_is_one_aggregate_one_scan(spark):
+    """The whole candidate grid (null/positive/ordering stats for every
+    pair) must compile to ONE aggregate over ONE scan — the claim that
+    replaces the reference's 3·C² filter passes."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    )
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    pairs = [(x, y) for x in cols for y in cols if x != y]
+    aggs = []
+    for i, (x, y) in enumerate(pairs):
+        xc, yc = F.col(x), F.col(y)
+        aggs.append(F.sum(xc.isNotNull().cast("long")).alias(f"nx_{i}"))
+        aggs.append(F.sum((xc.isNotNull() & yc.isNotNull()).cast("long")).alias(f"nxy_{i}"))
+        aggs.append(F.sum((xc > 0).cast("long")).alias(f"px_{i}"))
+        aggs.append(F.sum(((xc > 0) & (yc > 0)).cast("long")).alias(f"pxy_{i}"))
+        aggs.append(
+            F.sum((xc.isNotNull() & yc.isNotNull() & (xc <= yc)).cast("long")).alias(f"o_{i}")
+        )
+    plan = _plan(li.agg(*aggs))
+    assert plan.count("Scan parquet") == 1
+    # single global aggregate: partial + final HashAggregate, nothing else
+    assert plan.count("HashAggregate") == 2
+
+
+def test_fd_mining_shuffles_on_determinant_only(spark):
+    """FD mining's groupBy(determinant) covers all dependents in one
+    shuffle keyed on the determinant — countDistinct expands but never
+    adds a second Exchange round beyond the expand/partial/final chain."""
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    grouped = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderstatus").alias("u1"),
+        F.countDistinct("o_orderpriority").alias("u2"),
+    )
+    plan = _plan(grouped)
+    assert plan.count("Scan parquet") == 1
+    assert "hashpartitioning(o_custkey" in plan
+
+
+def test_pattern_histogram_has_no_unpartitioned_window(spark):
+    from truthound_spark.ml.rule_learning import PatternRuleLearner
+
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    plan = _plan(PatternRuleLearner().pattern_histogram(c, "c_name"))
+    assert "Window" not in plan  # broadcast scalar total instead
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_partial_profile_merge_single_shuffle(spark):
+    from truthound_spark.profiler.incremental import merged_stats, partial_profile
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    parts = [
+        partial_profile(li.filter(F.col("l_orderkey") % 2 == i), f"s{i}", ["l_quantity"])
+        for i in range(2)
+    ]
+    plan = _plan(merged_stats(parts[0].unionByName(parts[1])))
+    # one hashpartitioning exchange on the column key — the merge itself
+    # distributes (thousands of columns × years of snapshots is fine)
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -132,7 +132,10 @@ def merged_stats(partials: DataFrame) -> DataFrame:
             F.min("len_min").alias("len_min"),
             F.max("len_max").alias("len_max"),
             F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("distinct_est"),
-            F.count_distinct(F.col("snapshot_id")).alias("n_snapshots"),
+            # a partial carries exactly ONE row per (snapshot, column), so
+            # count == distinct snapshots — count_distinct(snapshot_id)
+            # would force a second (column, snapshot)-keyed Exchange
+            F.count(F.lit(1)).cast("long").alias("n_snapshots"),
         )
     )
 
