@@ -148,3 +148,52 @@ def test_streaming_windowed_counts_batch_parity(spark):
     out = windowed_counts(df, "ts", window_duration="5 minutes", group_by=["event_type"])
     counts = sorted(r["count"] for r in out.collect())
     assert counts == [2, 5, 5]
+
+
+# --- round 7: LSH recall evaluation -----------------------------------------
+
+
+def test_lsh_recall_eval_measures_degradation(spark):
+    """With few, wide bands (bands=8 of 8 rows), low-similarity pairs
+    must be MISSED (theory: recall ≈ 1−(1−s⁸)⁸ ≈ 0 at s≈0.3) while
+    near-identical pairs are found — the measured S-curve the operator
+    exists to expose. Deterministic: same hashes every run."""
+    from truthound_spark.pipeline.dedup import lsh_recall_eval
+
+    base = [f"w{i}" for i in range(40)]
+    rows = []
+    did = 0
+    for p in range(25):  # high-similarity pairs: one word differs
+        words = [f"p{p}_{w}" for w in base]
+        rows.append((did, " ".join(words))); did += 1
+        rows.append((did, " ".join(words[:-1] + [f"p{p}_ALT"]))); did += 1
+    for p in range(25):  # low-similarity pairs: ~30% shingle overlap
+        words = [f"q{p}_{w}" for w in base]
+        other = words[:16] + [f"q{p}_x{i}" for i in range(24)]
+        rows.append((did, " ".join(words))); did += 1
+        rows.append((did, " ".join(other))); did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    r = {
+        row["bin_lo"]: row
+        for row in lsh_recall_eval(
+            df, num_hashes=64, bands=8, min_jaccard=0.15, bin_width=0.2
+        ).collect()
+    }
+    hi = max(r)     # near-identical bin (~0.9+)
+    lo = min(r)     # ~0.2-0.4 bin
+    assert r[hi]["n_true"] >= 20 and r[hi]["recall"] == 1.0
+    assert r[lo]["n_true"] >= 20 and r[lo]["recall"] < 0.5
+    # coverage is a subset relation by construction
+    for row in r.values():
+        assert 0 <= row["n_covered"] <= row["n_true"]
+
+    # and with the production banding (32 bands × 2 rows) the same low
+    # bin recovers: 1−(1−s²)³² ≈ 0.96 at s=0.3 — more bands = recall
+    r32 = {
+        row["bin_lo"]: row
+        for row in lsh_recall_eval(
+            df, num_hashes=64, bands=32, min_jaccard=0.15, bin_width=0.2
+        ).collect()
+    }
+    assert r32[lo]["recall"] > r[lo]["recall"]

@@ -324,6 +324,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "profile_rules_customer",
     "conditional_rules_lineitem",
     "composite_fd_orders",
+    "lsh_recall_eval_documents",
 ]
 
 

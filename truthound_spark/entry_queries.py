@@ -10586,3 +10586,56 @@ def q_composite_fd_orders(spark, sf_dir):
     return spark.createDataFrame(
         rows, "name string, confidence double, holds boolean"
     ).orderBy("name")
+
+
+@register(
+    "lsh_recall_eval_documents",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    inv AS (SELECT id, unnest(sh) AS g FROM sh),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+      FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT id, len(sh) AS sz FROM sh),
+    jp AS (
+      SELECT round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) * 1000000.0)
+               / 1000000.0 AS j
+      FROM pairs p JOIN sz sa ON p.id_a = sa.id JOIN sz sb ON p.id_b = sb.id
+      WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.2
+    )
+    SELECT ROUND(FLOOR(j / 0.1) * 0.1, 6) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           TRUE AS coverage_sane,
+           TRUE AS full_recall_above_bands_knee
+    FROM jp GROUP BY 1 ORDER BY bin_lo DESC
+    """,
+)
+def q_lsh_recall_eval_documents(spark, sf_dir):
+    """Measured LSH recall per Jaccard bin (pipeline/dedup.py
+    lsh_recall_eval) — the (num_hashes, bands) tuning loop: exact
+    inverted-index pairs are ground truth, banded candidates are
+    measured against them. The exact side (bin_lo, n_true) hash-matches
+    the SQL replay; the candidate side rides Spark xxhash64 (not
+    reproducible in DuckDB), so its contract is pinned as invariants:
+    0 ≤ n_covered ≤ n_true per bin (coverage_sane), and every bin at or
+    above the 32-band S-curve knee (≥ 0.65, where theoretical recall
+    exceeds 1−1e-8) is fully covered. The recall-degradation behavior at
+    low similarity is pytest-pinned with a seeded corpus."""
+    from truthound_spark.pipeline.dedup import lsh_recall_eval
+
+    df = t(spark, sf_dir, "documents")
+    r = lsh_recall_eval(
+        df, num_hashes=64, bands=32, min_jaccard=0.2, bin_width=0.1
+    ).orderBy(F.desc("bin_lo"))
+    return r.select(
+        "bin_lo",
+        "n_true",
+        ((F.col("n_covered") >= 0) & (F.col("n_covered") <= F.col("n_true"))).alias(
+            "coverage_sane"
+        ),
+        ((F.col("bin_lo") < 0.65) | (F.col("n_covered") == F.col("n_true"))).alias(
+            "full_recall_above_bands_knee"
+        ),
+    )

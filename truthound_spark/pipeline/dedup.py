@@ -1912,3 +1912,59 @@ def dedup_threshold_curve(
         "n_pairs",
         F.sum("n_pairs").over(w).cast("long").alias("n_pairs_at_least"),
     ).orderBy(F.desc("bin_lo"))
+
+
+def lsh_recall_eval(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 32,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.2,
+    bin_width: float = 0.1,
+    max_ngram_df: int = 1000,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Measured LSH recall per Jaccard bin — the knob-tuning companion to
+    ``dedup_threshold_curve``: before trusting (num_hashes, bands) at a
+    threshold, measure what fraction of TRUE near-dup pairs the banded
+    candidates actually cover at each similarity level (the S-curve
+    1−(1−s^r)^b is theory; skewed shingle distributions bend it).
+
+    Ground truth = the EXACT inverted-index pair set (complete down to
+    ``min_jaccard`` — any overlapping pair shares a shingle); candidates
+    = the banded-LSH pair set under the SAME shingling. A left join on
+    the (id_a, id_b) keys marks coverage; one groupBy per bin returns
+    (bin_lo, n_true, n_covered, recall). Scale: both sides are the
+    bounded candidate machineries the dedup path already runs; the join
+    keys are id pairs (longs), never documents.
+
+    The tuning loop this enables: run at min_jaccard just below your
+    intended threshold → if recall at the threshold bin is < ~0.95,
+    raise bands (more, narrower bands = higher recall, more candidates)
+    or add multi-probe; if 1.0 with huge candidate counts, lower bands.
+    """
+    exact = ngram_jaccard_pairs(
+        df, text_col, id_col, n=shingle_n, threshold=min_jaccard,
+        max_ngram_df=max_ngram_df,
+    )
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, max_bucket_size=max_bucket_size,
+    ).withColumn("__covered", F.lit(1))
+    j = F.round(F.col("jaccard") * 1e6) / F.lit(1e6)
+    bin_lo = F.round(
+        F.floor(j / F.lit(float(bin_width))) * F.lit(float(bin_width)), 6
+    )
+    joined = exact.join(cand, ["id_a", "id_b"], "left")
+    return (
+        joined.select(bin_lo.alias("bin_lo"), F.coalesce("__covered", F.lit(0)).alias("c"))
+        .groupBy("bin_lo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.sum("c").cast("long").alias("n_covered"),
+            F.round(F.sum("c") / F.count(F.lit(1)), 6).alias("recall"),
+        )
+        .orderBy(F.desc("bin_lo"))
+    )
