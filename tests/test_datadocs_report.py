@@ -171,3 +171,57 @@ def test_corpus_section_surfaces_boilerplate(spark):
     assert all(e["n_docs"] == 12 for e in stats["boilerplate"][:1])
     sec = corpus_section(stats)
     assert "boilerplate" in sec.html.lower()
+
+
+# --- round 7: evolution + learned-thresholds sections ------------------------
+
+
+def test_evolution_and_thresholds_sections(spark):
+    import random
+
+    from truthound_spark.datadocs_report import (
+        build_report,
+        render_report_html,
+        render_report_json,
+    )
+    from truthound_spark.ml import HistoryThresholdLearner
+    from truthound_spark.profiler.evolution import compare_profiles
+    from truthound_spark.profiler.table_profiler import profile
+
+    rng = random.Random(2)
+    old_df = spark.createDataFrame(
+        [(i, float(rng.gauss(10, 1))) for i in range(500)], "id long, v double"
+    )
+    new_df = spark.createDataFrame(
+        [(i, float(rng.gauss(25, 1))) for i in range(500)], "id long, v double"
+    )
+    p_old = profile(old_df, with_duplicates=False)
+    p_new = profile(new_df, with_duplicates=False)
+    cmp = compare_profiles(p_old, p_new)
+    tt = HistoryThresholdLearner().learn([p_old, p_old])
+
+    spec = build_report(
+        p_new,
+        title="t",
+        comparison=cmp,
+        thresholds=tt,
+        sections=["overview", "evolution", "thresholds"],
+    )
+    html = render_report_html(spec)
+    assert "Profile evolution" in html and "Learned thresholds" in html
+    assert "mean" in html and "critical" in html  # 15σ shift flagged
+    assert "row count gate" in html
+    # machine-readable export carries the same payloads
+    import json as _json
+
+    j = _json.loads(render_report_json(spec))
+    assert set(j["sections"]) == {"overview", "evolution", "thresholds"}
+    assert j["sections"]["evolution"]["drifts"]  # the 15σ mean drift
+
+
+def test_evolution_section_empty_comparison(spark):
+    from truthound_spark.datadocs_report import evolution_section
+    from truthound_spark.profiler.evolution import ProfileComparison
+
+    s = evolution_section(ProfileComparison())
+    assert "no changes" in s.html

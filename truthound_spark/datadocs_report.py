@@ -358,9 +358,13 @@ def build_report(
     title: str = "Data profile",
     sections: list[str] | None = None,
     corpus: dict[str, Any] | None = None,
+    comparison: Any | None = None,
+    thresholds: Any | None = None,
 ) -> ReportSpec:
     """Assemble a ReportSpec; ``sections`` selects/reorders by id.
-    ``corpus`` (a ``corpus_stats`` dict) adds the corpus-health section."""
+    ``corpus`` (a ``corpus_stats`` dict) adds the corpus-health section;
+    ``comparison`` (ProfileComparison) adds the evolution section;
+    ``thresholds`` (TableThresholds) adds the learned-gates section."""
     builders = {
         "overview": lambda: overview_section(profile),
         "columns": lambda: columns_section(profile),
@@ -372,6 +376,10 @@ def build_report(
     }
     if corpus is not None:
         builders["corpus"] = lambda: corpus_section(corpus)
+    if comparison is not None:
+        builders["evolution"] = lambda: evolution_section(comparison)
+    if thresholds is not None:
+        builders["thresholds"] = lambda: thresholds_section(thresholds)
     chosen = sections or list(builders)
     unknown = [s for s in chosen if s not in builders]
     if unknown:
@@ -591,3 +599,83 @@ def corpus_section(stats: dict[str, Any]) -> Section:
             f"<tr><td>{_esc(e['gram'])}</td><td>{e['n_docs']}</td></tr>" for e in bp
         ) + "</table>"
     return Section("corpus", "Corpus health", html, data={**stats})
+
+
+# ---------------------------------------------------------------------------
+# round 7: evolution + learned-thresholds sections (reference profiler
+# comparison/evolution HTML surfaces; dashboards stay a non-goal — these
+# are report SECTIONS riding the existing datadocs renderer)
+# ---------------------------------------------------------------------------
+
+
+def evolution_section(cmp: Any) -> Section:
+    """Render a profiler/evolution.py ProfileComparison: schema changes
+    (renames called out, breaking changes flagged) + stat drifts."""
+    rows = []
+    for c in cmp.added_columns:
+        rows.append(("column added", c, "", "", "good", ""))
+    for c in cmp.removed_columns:
+        rows.append(("column removed", c, "", "", "bad", "breaking"))
+    for old, new in cmp.renamed_columns.items():
+        rows.append(("column renamed", f"{old} → {new}", "", "", "warn", ""))
+    for c, (a, b) in cmp.type_changes.items():
+        rows.append(("type changed", c, a, b, "bad", "breaking"))
+    for d in cmp.drifts:
+        cls = "bad" if d.severity == "critical" else "warn"
+        rows.append(
+            (d.drift_type, d.column or "<table>", _fmt(d.old_value), _fmt(d.new_value), cls, d.severity)
+        )
+    body = "".join(
+        f"<tr><td>{_esc(k)}</td><td>{_esc(col)}</td><td>{_esc(a)}</td>"
+        f"<td>{_esc(b)}</td><td class='{cls}'>{_esc(sev)}</td></tr>"
+        for k, col, a, b, cls, sev in rows
+    ) or "<tr><td colspan='5' class='muted'>no changes</td></tr>"
+    html = (
+        "<table><tr><th>change</th><th>column</th><th>before</th>"
+        f"<th>after</th><th>severity</th></tr>{body}</table>"
+    )
+    return Section(
+        section_id="evolution",
+        title="Profile evolution",
+        html=html,
+        data=cmp.to_dict(),
+    )
+
+
+def thresholds_section(tt: Any) -> Section:
+    """Render ml/auto_threshold.py TableThresholds — the learned gates a
+    reviewer signs off on before the suite goes live."""
+    rows = []
+    for name, th in sorted(tt.columns.items()):
+        gates = []
+        if th.null_ratio_max is not None:
+            gates.append(f"null ≤ {th.null_ratio_max:.2%}")
+        if th.min_value is not None or th.max_value is not None:
+            gates.append(f"range [{_fmt(th.min_value)}, {_fmt(th.max_value)}]")
+        if th.mean_min is not None:
+            gates.append(f"mean ∈ [{_fmt(th.mean_min)}, {_fmt(th.mean_max)}]")
+        if th.unique_ratio_min is not None:
+            gates.append(f"unique ≥ {th.unique_ratio_min:.3f}")
+        if th.min_length is not None:
+            gates.append(f"len [{th.min_length}, {th.max_length}]")
+        rows.append(
+            f"<tr><td>{_esc(name)}</td><td>{_esc('; '.join(gates) or '—')}</td>"
+            f"<td>{th.confidence:.2f}</td>"
+            f"<td class='muted'>{_esc(', '.join(th.reasoning))}</td></tr>"
+        )
+    meta = []
+    if tt.row_count_min is not None:
+        meta.append(
+            f"<p>row count gate: [{tt.row_count_min:,} – {tt.row_count_max:,}]"
+            f" · strategy: <span class='pill'>{_esc(tt.strategy)}</span></p>"
+        )
+    html = "".join(meta) + (
+        "<table><tr><th>column</th><th>learned gates</th><th>confidence</th>"
+        f"<th>reasoning</th></tr>{''.join(rows)}</table>"
+    )
+    return Section(
+        section_id="thresholds",
+        title="Learned thresholds",
+        html=html,
+        data=tt.to_dict(),
+    )
