@@ -175,3 +175,21 @@ def test_incremental_profile_feeds_history_learner(spark, li, tmp_path):
     tt = HistoryThresholdLearner().learn(history)
     th = tt.get_column("l_quantity")
     assert th.min_value is not None and th.mean_min is not None
+
+
+def test_validate_merge_self_check(spark, li, tmp_path):
+    from truthound_spark.profiler.incremental import validate_merge
+
+    cols = ["l_quantity"]
+    parts = [
+        partial_profile(li.filter(F.col("l_orderkey") % 2 == i), f"s{i}", cols)
+        for i in range(2)
+    ]
+    union = parts[0].unionByName(parts[1])
+    rep = validate_merge(union, li.select(*cols))
+    assert rep["passed"] and rep["row_count_ok"]
+    assert all(all(c.values()) for c in rep["columns"].values())
+
+    # a corrupted partial set (one half missing) must FAIL the check
+    rep_bad = validate_merge(parts[0], li.select(*cols))
+    assert not rep_bad["passed"]

@@ -222,3 +222,67 @@ class IncrementalProfiler:
         path = self._path(snapshot_id)
         if os.path.isdir(path):
             shutil.rmtree(path)
+
+
+def validate_merge(
+    partials: DataFrame,
+    full_df: DataFrame,
+    rel_tol: float = 1e-9,
+    hll_tol: float = 0.05,
+) -> dict[str, Any]:
+    """Merge-correctness self-check (reference profiler/
+    incremental_validation.py — profile-merge correctness validation):
+    re-aggregates the FULL data once and compares every exact-mergeable
+    stat of the merged partials against it; distinct counts compare at
+    the HLL tolerance. Returns {column: {stat: ok}} plus an overall
+    ``passed`` flag — run it after a backfill or retention change to
+    prove the partial set still reconstructs the truth."""
+    merged = merge_partials(partials)
+    cols = [c for c in merged.columns if c in full_df.columns]
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__nu"))
+        if isinstance(full_df.schema[c].dataType, NUMERIC_TYPES):
+            dc = F.col(c).cast("double")
+            aggs.extend(
+                [
+                    F.min(dc).alias(f"{c}__min"),
+                    F.max(dc).alias(f"{c}__max"),
+                    F.avg(dc).alias(f"{c}__mean"),
+                    F.stddev(dc).alias(f"{c}__std"),
+                ]
+            )
+    row = full_df.agg(*aggs).collect()[0].asDict()
+
+    def _close(a, b, tol):
+        if a is None or b is None:
+            return a is None and b is None
+        if b == 0:
+            return abs(a) <= tol
+        return abs(a - b) <= tol * abs(b)
+
+    report: dict[str, Any] = {"passed": True, "columns": {}}
+    n = int(row["__n"])
+    if merged.row_count != n:
+        report["passed"] = False
+    report["row_count_ok"] = merged.row_count == n
+    for c in cols:
+        cp = merged.columns[c]
+        nn = int(row.get(f"{c}__nn") or 0)
+        checks = {
+            "null_count": cp.null_count == n - nn,
+            "distinct_within_tol": _close(
+                float(cp.distinct_count), float(row.get(f"{c}__nu") or 0), hll_tol
+            ),
+        }
+        if row.get(f"{c}__min") is not None:
+            checks["min"] = _close(float(cp.min), float(row[f"{c}__min"]), rel_tol)
+            checks["max"] = _close(float(cp.max), float(row[f"{c}__max"]), rel_tol)
+            checks["mean"] = _close(cp.mean, float(row[f"{c}__mean"]), rel_tol)
+            if cp.std is not None and row.get(f"{c}__std") is not None:
+                checks["std"] = _close(cp.std, float(row[f"{c}__std"]), 1e-6)
+        report["columns"][c] = checks
+        if not all(checks.values()):
+            report["passed"] = False
+    return report
