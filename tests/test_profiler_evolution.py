@@ -193,3 +193,39 @@ def test_validate_merge_self_check(spark, li, tmp_path):
     # a corrupted partial set (one half missing) must FAIL the check
     rep_bad = validate_merge(parts[0], li.select(*cols))
     assert not rep_bad["passed"]
+
+
+def test_streaming_incremental_profile(spark, tmp_path):
+    """File stream → foreach_batch_profiler → running profile equals the
+    batch profile of all data seen; restart replay stays idempotent."""
+    import json as _json
+    import os
+
+    from truthound_spark.profiler.incremental import (
+        IncrementalProfiler,
+        foreach_batch_profiler,
+    )
+    from truthound_spark.streaming.sources import read_file_stream
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    for b in range(2):
+        with open(os.path.join(src, f"b{b}.jsonl"), "w") as f:
+            for i in range(300):
+                f.write(_json.dumps({"v": float(b * 1000 + i)}) + "\n")
+
+    prof = IncrementalProfiler(root=str(tmp_path / "state"))
+    stream = read_file_stream(spark, src, "v double", format="json", max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_profiler(prof, ["v"]))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    cur = prof.current_profile(spark)
+    assert cur.row_count == 600
+    assert float(cur.columns["v"].min) == 0.0
+    assert float(cur.columns["v"].max) == 1299.0
+    assert cur.columns["v"].mean == pytest.approx((sum(range(300)) + sum(range(1000, 1300))) / 600)

@@ -286,3 +286,27 @@ def validate_merge(
         if not all(checks.values()):
             report["passed"] = False
     return report
+
+
+def foreach_batch_profiler(
+    profiler: "IncrementalProfiler", columns: list[str] | None = None
+):
+    """Structured-Streaming glue (reference realtime/incremental.py:322
+    IncrementalValidator's running column stats + checkpointed state):
+    a ``foreachBatch`` sink that partial-profiles each micro-batch into
+    the profiler's store — ``current_profile()`` is then the exact
+    running profile of everything the stream has seen.
+
+    State story: the partials ARE the state (one tiny parquet per
+    batch), so restart recovery is free — Structured Streaming's own
+    checkpoint guarantees each batch id lands exactly once, and
+    re-processed batch ids OVERWRITE their partial (idempotent), which
+    is the reference CheckpointManager.restore contract without a
+    separate state snapshot format."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        profiler.profile_snapshot(batch_df, f"batch-{batch_id:012d}", columns)
+
+    return sink
