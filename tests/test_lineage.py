@@ -115,13 +115,18 @@ def test_current_tracker_helpers():
 
 
 def test_track_dataframe_input_files(spark, sf_dir, tmp_path):
+    # write a private copy: a .cache()d identical scan elsewhere in the
+    # session would make Spark substitute the InMemoryRelation, whose
+    # inputFiles() is empty (documented caveat on track_dataframe)
+    src = str(tmp_path / "cust_lineage.parquet")
+    spark.read.parquet(f"{sf_dir}/customer.parquet").write.parquet(src)
     t = LineageTracker()
-    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = spark.read.parquet(src)
     node = t.track_dataframe("customer", df)
     assert node.columns == df.columns
     files = [n for n in t.graph.get_upstream("customer") if n.node_type == "file"]
     assert len(files) >= 1
-    assert any("customer.parquet" in n.id for n in files)
+    assert any("cust_lineage.parquet" in n.id for n in files)
 
 
 def test_check_lineage_integration(spark, sf_dir):

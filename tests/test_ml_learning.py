@@ -452,3 +452,95 @@ def test_history_quantile_robust_mode(spark):
 
     with pytest.raises(ValueError):
         HistoryThresholdLearner(history_quantile=0.3)
+
+
+# --- round-7 review regressions ---------------------------------------------
+
+
+def test_pattern_learner_underscore_values(spark):
+    """Literal underscores must survive generalization distinctly from
+    whitespace: snake_case values round-trip through the learned regex
+    (review finding: a '_' whitespace marker made learned regexes reject
+    their own mining corpus)."""
+    from truthound_spark.api import check
+
+    df = spark.createDataFrame(
+        [("user_name",), ("other_field",), ("a_b",)], "s string"
+    )
+    learner = PatternRuleLearner(min_coverage=0.9)
+    res = learner.learn_rules(df, columns=["s"])
+    (rule,) = res.by_type("regex")
+    assert rule.validator_config["pattern"] == "^[A-Za-z]+_[A-Za-z]+$"
+    assert check(df, validators=rules_to_suite([rule])).success
+    # whitespace generalizes to \s+ and still matches
+    df2 = spark.createDataFrame([("ab 12",), ("x  9",)], "s string")
+    res2 = PatternRuleLearner(min_coverage=0.9).learn_rules(df2, columns=["s"])
+    (r2,) = res2.by_type("regex")
+    assert r2.validator_config["pattern"] == r"^[A-Za-z]+\s+[0-9]+$"
+    assert check(df2, validators=rules_to_suite([r2])).success
+
+
+def test_mined_not_null_unique_enforce_at_confidence(spark):
+    """not_null/unique rules mined with tolerance must pass on their own
+    mining corpus (review finding: strict mostly=1.0 enforcement)."""
+    from truthound_spark.api import check
+
+    rows = [(i, float(i)) for i in range(995)] + [(None, 1.0)] * 5  # 0.5% nulls
+    rows[0] = (990, 0.0)  # one duplicate id → unique_ratio ≈ 0.999
+    df = spark.createDataFrame(rows, "id long, v double")
+    res = DataProfileRuleLearner(
+        null_threshold=0.01, uniqueness_threshold=0.998, strictness="loose"
+    ).learn_rules(df, columns=["id"])
+    assert res.by_type("not_null") and res.by_type("unique")
+    suite = rules_to_suite(res.rules)
+    assert check(df, validators=suite).success, [
+        i.to_dict() for i in check(df, validators=suite).issues
+    ]
+
+
+def test_mined_ordering_with_nulls_passes_own_corpus(spark):
+    """Sub-1.0-confidence orderings on sparse columns: null pairs pass
+    (review finding: null rows counted as violations deflated ok_ratio
+    below the mined confidence)."""
+    from truthound_spark.api import check
+
+    rows = []
+    for i in range(400):
+        rows.append((float(i), float(i + 1)))       # ordered
+    for i in range(2):
+        rows.append((float(i + 10), float(i)))      # 0.5% disordered
+    rows += [(None, 1.0)] * 300                     # 40% null side
+    df = spark.createDataFrame(rows, "a double, b double")
+    res = ConstraintMiner(
+        min_confidence=0.0,
+        min_support=0.0,
+        discover_functional_deps=False,
+        discover_value_implications=False,
+        discover_conditional_rules=True,
+    ).learn_rules(df)
+    rule = next(r for r in res.rules if r.name == "order_a_leq_b")
+    assert 0.97 < rule.confidence < 1.0
+    suite = rules_to_suite([rule])
+    assert check(df, validators=suite).success
+
+
+def test_composite_fd_joint_cardinality_gate(spark):
+    """Tuple determinants are gated on JOINT cardinality (review
+    finding: per-component checks admit data-sized group counts)."""
+    df = spark.range(2000).select(
+        (F.col("id") % 40).alias("a"),
+        F.floor(F.col("id") / 40).alias("b"),
+        F.lit("x").alias("y"),
+    )
+    miner = ConstraintMiner(
+        max_determinant_card=100,
+        min_confidence=0.0,
+        min_support=0.0,
+        discover_value_implications=False,
+    )
+    res = miner.learn_rules(df, fd_candidates=[(("a", "b"), "y"), ("a", "y")])
+    names = {r.name for r in res.by_type("functional_dependency")}
+    # a (40) and b (50) each pass the per-column cap, but the joint 2000
+    # exceeds it → composite dropped, single determinant kept
+    assert "fd_a_to_y" in names
+    assert "fd_a_b_to_y" not in names

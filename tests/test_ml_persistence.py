@@ -116,3 +116,37 @@ def test_summarize_scores_one_aggregate(spark):
     assert s.mean == pytest.approx(0.4995, abs=0.001)
     assert s.q50 == pytest.approx(0.5, abs=0.02)
     assert s.anomaly_rate == pytest.approx(0.1, abs=0.01)
+
+
+def test_registry_version_after_delete_no_collision(tmp_path, fitted):
+    """Review finding: len+1 versioning collided after delete_version."""
+    reg = ModelRegistry(root=str(tmp_path / "m4"))
+    reg.save_iforest("m", fitted)
+    reg.save_iforest("m", fitted)
+    reg.delete_version("m", "v0001")
+    v3 = reg.save_iforest("m", fitted)  # must NOT collide with v0002
+    assert v3 == "v0003"
+    assert reg.list_versions("m") == ["v0002", "v0003"]
+
+
+def test_monitor_health_ages_out_by_batch_not_wallclock(spark, tmp_path):
+    """Review finding: two batches within 1s — the drifted batch's
+    alerts must not bleed into the clean batch's health."""
+    import random
+
+    rng = random.Random(8)
+    ref = spark.createDataFrame(
+        [(float(rng.gauss(0.2, 0.05)),) for _ in range(1500)], "score double"
+    )
+    mon = ModelMonitor(root=str(tmp_path / "mon2"))
+    mon.register_model("m", ref, threshold=0.5)
+    drifted = spark.createDataFrame(
+        [(float(rng.gauss(0.8, 0.05)),) for _ in range(500)], "score double"
+    )
+    clean = spark.createDataFrame(
+        [(float(rng.gauss(0.2, 0.05)),) for _ in range(500)], "score double"
+    )
+    mon.record_scores("m", drifted)
+    assert mon.health("m") == "critical"
+    mon.record_scores("m", clean)  # recorded well under 1s later
+    assert mon.health("m") == "healthy"

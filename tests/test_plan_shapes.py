@@ -318,23 +318,19 @@ def test_no_inferred_size_filter_inlines_gram_pipelines(spark):
 def test_conditional_mining_is_one_aggregate_one_scan(spark):
     """The whole candidate grid (null/positive/ordering stats for every
     pair) must compile to ONE aggregate over ONE scan — the claim that
-    replaces the reference's 3·C² filter passes."""
+    replaces the reference's 3·C² filter passes. Certified against the
+    miner's OWN aggregate (conditional_stats is exactly what
+    _mine_conditionals collects)."""
+    from truthound_spark.ml.rule_learning import conditional_stats
+
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
         "l_quantity", "l_extendedprice", "l_discount"
     )
-    cols = ["l_quantity", "l_extendedprice", "l_discount"]
-    pairs = [(x, y) for x in cols for y in cols if x != y]
-    aggs = []
-    for i, (x, y) in enumerate(pairs):
-        xc, yc = F.col(x), F.col(y)
-        aggs.append(F.sum(xc.isNotNull().cast("long")).alias(f"nx_{i}"))
-        aggs.append(F.sum((xc.isNotNull() & yc.isNotNull()).cast("long")).alias(f"nxy_{i}"))
-        aggs.append(F.sum((xc > 0).cast("long")).alias(f"px_{i}"))
-        aggs.append(F.sum(((xc > 0) & (yc > 0)).cast("long")).alias(f"pxy_{i}"))
-        aggs.append(
-            F.sum((xc.isNotNull() & yc.isNotNull() & (xc <= yc)).cast("long")).alias(f"o_{i}")
-        )
-    plan = _plan(li.agg(*aggs))
+    pairs, stats = conditional_stats(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+    assert len(pairs) == 6 and stats is not None
+    plan = _plan(stats)
     assert plan.count("Scan parquet") == 1
     # single global aggregate: partial + final HashAggregate, nothing else
     assert plan.count("HashAggregate") == 2

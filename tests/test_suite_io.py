@@ -107,3 +107,20 @@ def test_runtime_only_validator_rejected(spark, cust):
     v = ForeignKeyValidator(cust, "c_nationkey")
     with pytest.raises(SuiteSerializationError):
         validator_to_dict(v)
+
+
+def test_mined_rule_name_roundtrips(spark, tmp_path):
+    """Review finding: class-level registry name masked the instance's
+    mined-rule name for CustomExpressionValidator."""
+    from truthound_spark.validators.query import CustomExpressionValidator
+
+    v = CustomExpressionValidator(
+        "a IS NULL OR b IS NULL OR a <= b", name="order_a_leq_b", mostly=0.99
+    )
+    d = validator_to_dict(v)
+    assert d["params"]["name"] == "order_a_leq_b"
+    assert d["params"]["mostly"] == 0.99
+    from truthound_spark.suite_io import validator_from_dict
+
+    back = validator_from_dict(d)
+    assert back._name == "order_a_leq_b" and back.mostly == 0.99

@@ -126,13 +126,14 @@ def cmd_tune(args: argparse.Namespace) -> int:
     )
     from truthound_spark.profiler.table_profiler import profile
 
-    df = _load(_spark(), args.path)
-    p = profile(df, approx=args.approx)
     if args.history_root:
         store = ProfileHistoryStore(root=args.history_root)
         table = args.table or args.path.rsplit("/", 1)[-1].split(".")[0]
         if args.save:
-            run_id = store.save(table, p)
+            # only scan the table when this run is actually recorded —
+            # learning itself reads stored history, never the data
+            df = _load(_spark(), args.path)
+            run_id = store.save(table, profile(df, approx=args.approx))
             print(f"saved profile run {run_id} for {table}", flush=True)
         history = store.load_history(table)
         if len(history) < 2:
@@ -140,6 +141,8 @@ def cmd_tune(args: argparse.Namespace) -> int:
             return 1
         tt = HistoryThresholdLearner().learn(history, table=table)
     else:
+        df = _load(_spark(), args.path)
+        p = profile(df, approx=args.approx)
         tt = ThresholdTuner(args.strategy, args.strictness).tune(p, table=args.path)
     if args.emit_suite:
         from truthound_spark.ml import thresholds_to_suite

@@ -10223,7 +10223,7 @@ def q_value_implications_orders(spark, sf_dir):
                regexp_replace(
                  regexp_replace(c_name, '[0-9]+', '9', 'g'),
                  '[A-Za-z]+', 'A', 'g'),
-               '\s+', '_', 'g') AS pattern,
+               '\s+', ' ', 'g') AS pattern,
              COUNT(*) AS n
       FROM customer WHERE c_name IS NOT NULL GROUP BY 1
     ),

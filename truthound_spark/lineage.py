@@ -142,6 +142,11 @@ class LineageGraph:
     def add_node(self, node: LineageNode) -> LineageNode:
         if node.node_type not in NODE_TYPES:
             raise LineageError(f"unknown node type {node.node_type!r}")
+        if node.id in self.nodes:
+            # silent overwrite would corrupt history (a re-used
+            # validation run_id replacing the earlier run's metadata
+            # while its edges accumulate) — surface the collision
+            raise LineageError(f"lineage node {node.id!r} already exists")
         self.nodes[node.id] = node
         return node
 
@@ -246,8 +251,12 @@ class LineageTracker:
         _CURRENT = tracker
 
     def _next_id(self, prefix: str) -> str:
-        self._seq += 1
-        return f"{prefix}-{self._seq:05d}"
+        # advance past any ids already in the graph (e.g. after load())
+        while True:
+            self._seq += 1
+            nid = f"{prefix}-{self._seq:05d}"
+            if not self.graph.has_node(nid):
+                return nid
 
     def _log(self, op: str, **kw: Any) -> None:
         self.history.append({"op": op, "ts": time.time(), **kw})
@@ -277,7 +286,13 @@ class LineageTracker:
         derived_from edge — lineage extracted from the Spark plan, not
         hand-declared. File lists are bounded by partition count; only
         distinct parent DIRECTORIES are recorded (one node per dataset,
-        not per part-file) to keep the graph metadata-sized."""
+        not per part-file) to keep the graph metadata-sized.
+
+        Caveat: if an identical scan is already .cache()d in the
+        session, Spark substitutes the InMemoryRelation and
+        ``inputFiles()`` reports no files — the node is still created,
+        just without auto-derived source edges (add them with
+        ``track_source`` + ``add_dependency`` in that case)."""
         node = LineageNode(
             id=name, node_type=node_type, name=name, columns=list(df.columns)
         )

@@ -87,6 +87,7 @@ class Alert:
     level: str
     value: float
     threshold: float
+    batch_idx: int = -1
     ts: float = field(default_factory=time.time)
 
     def to_dict(self) -> dict[str, Any]:
@@ -96,6 +97,7 @@ class Alert:
             "level": self.level,
             "value": self.value,
             "threshold": self.threshold,
+            "batch_idx": self.batch_idx,
             "ts": self.ts,
         }
 
@@ -161,14 +163,16 @@ class ModelMonitor:
         batch = scores.select(F.col(col).alias("score"))
         summary = summarize_scores(batch, "score", meta["threshold"])
         self._history[model_id].append(summary)
-        self._evaluate(model_id, batch, summary)
+        self._evaluate(model_id, batch, summary, len(self._history[model_id]) - 1)
         if self.root:
             with open(os.path.join(self.root, f"{model_id}.jsonl"), "a") as f:
                 f.write(json.dumps(summary.to_dict()) + "\n")
         return summary
 
     # -- rules ------------------------------------------------------------------
-    def _evaluate(self, model_id: str, batch: DataFrame, summary: ScoreSummary) -> None:
+    def _evaluate(
+        self, model_id: str, batch: DataFrame, summary: ScoreSummary, batch_idx: int
+    ) -> None:
         from truthound_spark.drift.detectors import psi as psi_detector
 
         alerts = self._alerts[model_id]
@@ -179,11 +183,13 @@ class ModelMonitor:
         res = psi_detector(ref, batch, "score", threshold=self.psi_warn)
         if res.statistic > self.psi_critical:
             alerts.append(
-                Alert(model_id, "score_psi", "critical", round(res.statistic, 6), self.psi_critical)
+                Alert(model_id, "score_psi", "critical", round(res.statistic, 6),
+                      self.psi_critical, batch_idx)
             )
         elif res.statistic > self.psi_warn:
             alerts.append(
-                Alert(model_id, "score_psi", "warning", round(res.statistic, 6), self.psi_warn)
+                Alert(model_id, "score_psi", "warning", round(res.statistic, 6),
+                      self.psi_warn, batch_idx)
             )
 
         # mean shift in reference-σ units
@@ -191,7 +197,8 @@ class ModelMonitor:
             shift = abs(summary.mean - ref_sum.mean) / ref_sum.std
             if shift > self.mean_shift_sigmas:
                 alerts.append(
-                    Alert(model_id, "mean_shift", "warning", round(shift, 4), self.mean_shift_sigmas)
+                    Alert(model_id, "mean_shift", "warning", round(shift, 4),
+                          self.mean_shift_sigmas, batch_idx)
                 )
 
         # anomaly-rate breach
@@ -203,6 +210,7 @@ class ModelMonitor:
                     "critical",
                     round(summary.anomaly_rate, 6),
                     self.anomaly_rate_max,
+                    batch_idx,
                 )
             )
 
@@ -213,12 +221,13 @@ class ModelMonitor:
     def health(self, model_id: str) -> str:
         """reference _calculate_health_score (:367): critical alert →
         critical; any alert → degraded; else healthy. Only alerts from
-        the LAST recorded batch window count (stale alerts age out)."""
+        the LAST recorded batch count — indexed by batch, not wall
+        clock, so two micro-batches landing within the same second
+        (availableNow drains) still age out the earlier batch's alerts
+        deterministically."""
+        last_idx = len(self._history.get(model_id, [])) - 1
         recent = [
-            a
-            for a in self._alerts.get(model_id, [])
-            if self._history.get(model_id)
-            and a.ts >= self._history[model_id][-1].ts - 1.0
+            a for a in self._alerts.get(model_id, []) if a.batch_idx == last_idx
         ]
         if any(a.level == "critical" for a in recent):
             return "critical"

@@ -112,7 +112,10 @@ class ModelRegistry:
         params: dict[str, Any] | None = None,
     ) -> str:
         vs = self.list_versions(name)
-        version = f"v{len(vs) + 1:04d}"
+        # max existing number + 1, NOT len+1 — after delete_version the
+        # count-based scheme would collide with a surviving version
+        last = max((int(v[1:]) for v in vs if v[1:].isdigit()), default=0)
+        version = f"v{last + 1:04d}"
         vdir = os.path.join(self._model_dir(name), version)
         os.makedirs(vdir)
         with open(os.path.join(vdir, "model.json"), "w") as f:

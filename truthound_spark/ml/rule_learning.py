@@ -333,15 +333,30 @@ class ConstraintMiner:
                 )[: self.max_fd_determinants]
                 fd_candidates = [(x, y) for x in dets for y in cols if y != x]
             else:
+                # composite determinants are gated on their JOINT
+                # cardinality (one fused sketch pass over the distinct
+                # tuples) — per-component checks would admit a pair of
+                # 100k-card columns whose product is data-sized, exactly
+                # the billion-group groupBy the prefilter exists to stop
+                tuples = sorted(
+                    {tuple(x) for x, _ in fd_candidates if not isinstance(x, str)}
+                )
+                joint: dict[tuple[str, ...], int] = {}
+                if tuples:
+                    jrow = df.agg(
+                        *[
+                            F.approx_count_distinct(F.struct(*xs)).alias(f"__j{i}")
+                            for i, xs in enumerate(tuples)
+                        ]
+                    ).collect()[0]
+                    joint = {xs: int(jrow[f"__j{i}"]) for i, xs in enumerate(tuples)}
                 fd_candidates = [
                     (x, y)
                     for x, y in fd_candidates
                     if (
                         card.get(x, 0) <= self.max_determinant_card
                         if isinstance(x, str)
-                        else all(
-                            card.get(c, 0) <= self.max_determinant_card for c in x
-                        )
+                        else joint.get(tuple(x), 0) <= self.max_determinant_card
                     )
                 ]
             rules.extend(self._mine_fds(df, fd_candidates, n))
@@ -490,30 +505,15 @@ class ConstraintMiner:
         ALL pair statistics come from ONE fused aggregate — each stat is
         a sum of boolean products, so the whole candidate grid costs a
         single table scan regardless of pair count."""
+        pairs, stats = conditional_stats(df, cols)
+        if stats is None:
+            return []
         numeric = {
             f.name
             for f in df.schema.fields
             if isinstance(f.dataType, NUMERIC_TYPES) and f.name in cols
         }
-        pairs = [(x, y) for x in cols for y in cols if x != y]
-        aggs: list = []
-        for i, (x, y) in enumerate(pairs):
-            xc, yc = F.col(x), F.col(y)
-            aggs.append(F.sum(xc.isNotNull().cast("long")).alias(f"nx_{i}"))
-            aggs.append(
-                F.sum((xc.isNotNull() & yc.isNotNull()).cast("long")).alias(f"nxy_{i}")
-            )
-            if x in numeric and y in numeric:
-                aggs.append(F.sum((xc > 0).cast("long")).alias(f"px_{i}"))
-                aggs.append(F.sum(((xc > 0) & (yc > 0)).cast("long")).alias(f"pxy_{i}"))
-                aggs.append(
-                    F.sum((xc.isNotNull() & yc.isNotNull() & (xc <= yc)).cast("long")).alias(
-                        f"ord_{i}"
-                    )
-                )
-        if not aggs:
-            return []
-        row = df.agg(*aggs).collect()[0]
+        row = stats.collect()[0]
 
         rules: list[LearnedRule] = []
         for i, (x, y) in enumerate(pairs):
@@ -578,6 +578,37 @@ class ConstraintMiner:
         return rules
 
 
+def conditional_stats(
+    df: DataFrame, cols: list[str]
+) -> tuple[list[tuple[str, str]], DataFrame | None]:
+    """The miner's fused conditional-stat aggregate, exposed UNCOLLECTED
+    so plan tests certify the actual product plan (one scan, one
+    aggregate) rather than a re-implementation. Returns (pairs, 1-row
+    DataFrame) with nx_i / nxy_i / px_i / pxy_i / ord_i columns."""
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, NUMERIC_TYPES) and f.name in cols
+    }
+    pairs = [(x, y) for x in cols for y in cols if x != y]
+    aggs: list = []
+    for i, (x, y) in enumerate(pairs):
+        xc, yc = F.col(x), F.col(y)
+        aggs.append(F.sum(xc.isNotNull().cast("long")).alias(f"nx_{i}"))
+        aggs.append(
+            F.sum((xc.isNotNull() & yc.isNotNull()).cast("long")).alias(f"nxy_{i}")
+        )
+        if x in numeric and y in numeric:
+            aggs.append(F.sum((xc > 0).cast("long")).alias(f"px_{i}"))
+            aggs.append(F.sum(((xc > 0) & (yc > 0)).cast("long")).alias(f"pxy_{i}"))
+            aggs.append(
+                F.sum(
+                    (xc.isNotNull() & yc.isNotNull() & (xc <= yc)).cast("long")
+                ).alias(f"ord_{i}")
+            )
+    return pairs, (df.agg(*aggs) if aggs else None)
+
+
 # ---------------------------------------------------------------------------
 # pattern learner (reference pattern_learner.py)
 # ---------------------------------------------------------------------------
@@ -586,11 +617,15 @@ class ConstraintMiner:
 #: marker is never re-matched — regexp_replace is a single pass), then
 #: letter runs, then whitespace runs. Mirrors reference
 #: pattern_learner.py:343-425 D/A/S class grouping (level 2: consecutive
-#: same-class chars collapse to one marker).
+#: same-class chars collapse to one marker). The whitespace marker is a
+#: single SPACE — unambiguous because every literal whitespace run is
+#: itself collapsed by this step; an underscore marker would collide
+#: with literal '_' in snake_case values and emit regexes that reject
+#: the very corpus they were learned from.
 _GENERALIZE_STEPS: tuple[tuple[str, str], ...] = (
     (r"[0-9]+", "9"),
     (r"[A-Za-z]+", "A"),
-    (r"\s+", "_"),
+    (r"\s+", " "),
 )
 
 
@@ -611,7 +646,7 @@ def _pattern_to_regex(pattern: str) -> str:
             out.append("[0-9]+")
         elif ch == "A":
             out.append("[A-Za-z]+")
-        elif ch == "_":
+        elif ch == " ":
             out.append(r"\s+")
         elif ch in r"\^$.|?*+()[]{}":
             out.append("\\" + ch)
@@ -724,9 +759,28 @@ def rules_to_suite(rules: Iterable[LearnedRule]) -> list[object]:
     for r in rules:
         cfg = r.validator_config
         if r.rule_type == "not_null":
-            suite.append(NullValidator(columns=cfg["columns"]))
+            # mined at confidence 1-null_ratio < 1 → enforce with the
+            # matching mostly slack, same contract as orderings below (a
+            # 0.5%-null column's not_null rule must not fail on the
+            # corpus it was mined from)
+            suite.append(
+                NullValidator(
+                    columns=cfg["columns"],
+                    mostly=1.0 if r.confidence >= 1.0 else max(0.0, r.confidence - 0.005),
+                )
+            )
         elif r.rule_type == "unique":
-            suite.append(UniqueValidator(columns=cfg["columns"]))
+            if r.confidence >= 1.0:
+                suite.append(UniqueValidator(columns=cfg["columns"]))
+            else:
+                from truthound_spark.validators.uniqueness import UniqueRatioValidator
+
+                suite.append(
+                    UniqueRatioValidator(
+                        cfg["columns"][0],
+                        min_ratio=max(0.0, r.confidence - 0.005),
+                    )
+                )
         elif r.rule_type in ("range", "min_value"):
             suite.append(
                 RangeValidator(
@@ -769,12 +823,18 @@ def rules_to_suite(rules: Iterable[LearnedRule]) -> list[object]:
             else:
                 # enforce at the rule's own confidence (a 99.2%-true
                 # mined ordering must not fail on the corpus it was
-                # mined from); small slack absorbs batch-to-batch jitter
+                # mined from); small slack absorbs batch-to-batch jitter.
+                # NULL pairs pass explicitly — the mined confidence was
+                # computed over non-null pairs, and counting null rows
+                # as violations would deflate ok_ratio below it on any
+                # sparse column (ColumnPairValidator's strict path
+                # excludes nulls the same way).
                 from truthound_spark.validators.query import CustomExpressionValidator
 
+                a, b, op = cfg["column_a"], cfg["column_b"], cfg["op"]
                 suite.append(
                     CustomExpressionValidator(
-                        f"{cfg['column_a']} {cfg['op']} {cfg['column_b']}",
+                        f"{a} IS NULL OR {b} IS NULL OR {a} {op} {b}",
                         name=r.name,
                         mostly=max(0.0, r.confidence - 0.005),
                     )

@@ -52,14 +52,20 @@ def validator_to_dict(v: Any) -> dict[str, Any]:
         raise SuiteSerializationError(f"{cls.__name__} is not a registered validator")
     params: dict[str, Any] = {}
     sig = inspect.signature(cls.__init__)
+    inst = vars(v)
     for pname, p in sig.parameters.items():
         if pname == "self" or p.kind in (p.VAR_POSITIONAL, p.VAR_KEYWORD):
             continue
-        # constructor args are stored under the same attribute name
-        # (columns may land in .columns via the list-normalizing ctors)
-        if hasattr(v, pname):
-            val = getattr(v, pname)
-        elif pname == "column" and hasattr(v, "columns"):
+        # constructor args live in the INSTANCE dict under the same (or
+        # underscore-prefixed) name. Class attributes are deliberately
+        # NOT consulted: register_validator sets cls.name, so a generic
+        # getattr would serialize the registry name in place of a
+        # mined rule's instance name (CustomExpressionValidator._name).
+        if pname in inst:
+            val = inst[pname]
+        elif f"_{pname}" in inst:
+            val = inst[f"_{pname}"]
+        elif pname == "column" and "columns" in inst:
             continue  # normalized into .columns
         elif p.default is not p.empty:
             continue  # default applied, attribute renamed — skip
