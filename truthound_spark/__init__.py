@@ -18,6 +18,8 @@ from truthound_spark.drift.detectors import compare  # noqa: F401
 from truthound_spark.reporters import render, save_report  # noqa: F401
 from truthound_spark.sdk import ValidatorBuilder, validator  # noqa: F401
 from truthound_spark.checkpoint import Checkpoint  # noqa: F401
-from truthound_spark import drift, pipeline, sources, streaming  # noqa: F401
+from truthound_spark.lineage import ImpactAnalyzer, LineageTracker  # noqa: F401
+from truthound_spark.suite_io import ValidationSuite, load_suite, save_suite  # noqa: F401
+from truthound_spark import drift, ml, pipeline, sources, streaming  # noqa: F401
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
