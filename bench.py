@@ -458,20 +458,16 @@ def main():
     def learned_thresholds_bench():
         from truthound_spark.api import check
         from truthound_spark.ml import HistoryThresholdLearner, thresholds_to_suite
-        from truthound_spark.profiler.table_profiler import profile as profile_fn
+        from truthound_spark.profiler.table_profiler import profile_grouped
 
         li = lineitem.select("l_orderkey", "l_quantity", "l_discount")
-        history = [
-            profile_fn(
-                li.filter(F.col("l_orderkey") % 4 == i).select(
-                    "l_quantity", "l_discount"
-                ),
-                with_duplicates=False,
-                top_k=0,
-            )
-            for i in (0, 1, 2)
-        ]
-        tt = HistoryThresholdLearner().learn(history)
+        snaps = profile_grouped(
+            li.filter(F.col("l_orderkey") % 4 != 3).select(
+                (F.col("l_orderkey") % 4).alias("__snap"), "l_quantity", "l_discount"
+            ),
+            "__snap",
+        )
+        tt = HistoryThresholdLearner().learn([snaps[k] for k in sorted(snaps)])
         probe = li.filter(F.col("l_orderkey") % 4 == 3).select(
             "l_quantity", "l_discount"
         )

@@ -544,3 +544,87 @@ def test_composite_fd_joint_cardinality_gate(spark):
     # exceeds it → composite dropped, single determinant kept
     assert "fd_a_to_y" in names
     assert "fd_a_b_to_y" not in names
+
+
+# ---------------------------------------------------------------------------
+# grouped (one-scan snapshot-history) profiling
+# ---------------------------------------------------------------------------
+
+
+def test_profile_grouped_matches_per_snapshot_profiles(spark, sf_dir):
+    """profile_grouped must be bit-identical to N filtered profile()
+    calls — that equivalence is what lets HistoryThresholdLearner consume
+    a one-scan grouped history (reference ProfileMerger's
+    'profiles from different data partitions' role,
+    profiler/incremental.py:465)."""
+    from truthound_spark.profiler.table_profiler import profile_grouped
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .cache()
+    )
+    grouped = profile_grouped(
+        li.select((F.col("l_orderkey") % 3).alias("snap"), "l_quantity", "l_returnflag"),
+        "snap",
+    )
+    assert sorted(grouped) == [0, 1, 2]
+    for i in (0, 1, 2):
+        solo = profile(
+            li.filter(F.col("l_orderkey") % 3 == i).select("l_quantity", "l_returnflag"),
+            with_duplicates=False,
+            top_k=0,
+        )
+        g = grouped[i]
+        assert g.row_count == solo.row_count
+        assert "snap" not in g.columns
+        for c in ("l_quantity", "l_returnflag"):
+            a, b = g.columns[c], solo.columns[c]
+            assert (a.null_count, a.distinct_count) == (b.null_count, b.distinct_count)
+            assert a.min == b.min and a.max == b.max
+            if a.mean is not None:
+                assert abs(a.mean - b.mean) < 1e-9
+                assert abs(a.std - b.std) < 1e-9
+                assert a.quantiles == b.quantiles
+            if a.avg_length is not None:
+                assert abs(a.avg_length - b.avg_length) < 1e-9
+    li.unpersist()
+
+
+def test_profile_grouped_learner_e2e(spark, sf_dir):
+    """Grouped history feeds HistoryThresholdLearner identically to the
+    per-snapshot loop (the learned_thresholds oracle slot runs this path)."""
+    from truthound_spark.profiler.table_profiler import profile_grouped
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    snaps = profile_grouped(
+        li.filter(F.col("l_orderkey") % 4 != 3).select(
+            (F.col("l_orderkey") % 4).alias("s"), "l_quantity"
+        ),
+        "s",
+    )
+    loop = [
+        profile(
+            li.filter(F.col("l_orderkey") % 4 == i).select("l_quantity"),
+            with_duplicates=False,
+            top_k=0,
+        )
+        for i in (0, 1, 2)
+    ]
+    a = HistoryThresholdLearner().learn([snaps[k] for k in sorted(snaps)])
+    b = HistoryThresholdLearner().learn(loop)
+    ca, cb = a.get_column("l_quantity"), b.get_column("l_quantity")
+    assert (ca.min_value, ca.max_value) == (cb.min_value, cb.max_value)
+    assert (a.row_count_min, a.row_count_max) == (b.row_count_min, b.row_count_max)
+
+
+def test_profile_grouped_guards(spark):
+    from truthound_spark.profiler.table_profiler import profile_grouped
+
+    df = spark.range(100).select(F.col("id").alias("g"), (F.col("id") * 2).alias("v"))
+    with pytest.raises(ValueError, match="more than"):
+        profile_grouped(df, "g", max_groups=10)
+    with pytest.raises(ValueError, match="non-group"):
+        profile_grouped(df.select("g"), "g")

@@ -10018,18 +10018,19 @@ def q_learned_thresholds_lineitem(spark, sf_dir):
     aggregates, the learned-bound arithmetic, and the violation counts."""
     from truthound_spark.api import check
     from truthound_spark.ml import HistoryThresholdLearner, thresholds_to_suite
-    from truthound_spark.profiler.table_profiler import profile as profile_fn
+    from truthound_spark.profiler.table_profiler import profile_grouped
 
     df = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity", "l_discount")
     cols = ["l_quantity", "l_discount"]
-    history = [
-        profile_fn(
-            df.filter(F.col("l_orderkey") % 4 == i).select(*cols),
-            with_duplicates=False,
-            top_k=0,
-        )
-        for i in (0, 1, 2)
-    ]
+    # whole history in ONE grouped scan (profile_grouped) — bit-identical
+    # stats to three per-snapshot profile() calls
+    snaps = profile_grouped(
+        df.filter(F.col("l_orderkey") % 4 != 3).select(
+            (F.col("l_orderkey") % 4).alias("__snap"), *cols
+        ),
+        "__snap",
+    )
+    history = [snaps[k] for k in sorted(snaps)]
     tt = HistoryThresholdLearner().learn(history, table="lineitem")
     probe = df.filter(F.col("l_orderkey") % 4 == 3).select(
         F.when(F.col("l_orderkey") % 8 == 7, F.col("l_quantity") + 30)

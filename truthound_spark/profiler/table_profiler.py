@@ -62,15 +62,9 @@ class TableProfile:
         return json.dumps(self.to_dict(), indent=indent, default=str)
 
 
-def profile(
-    df: DataFrame,
-    approx: bool = False,
-    top_k: int = 10,
-    with_correlations: bool = False,
-    with_duplicates: bool = True,
-) -> TableProfile:
-    """Profile a DataFrame; ``approx=True`` switches distinct counts to
-    HLL++ and percentiles to the mergeable sketch (the 100 TB mode)."""
+def _stat_aggs(fields, approx: bool):
+    """The fused per-column agg list shared by profile() and
+    profile_grouped() — one wide aggregate carries every analyzer."""
     aggs: list = [F.count(F.lit(1)).alias("__n")]
     numeric, string = [], []
     distinct = (
@@ -79,7 +73,7 @@ def profile(
         else (lambda c: F.countDistinct(F.col(c)).alias(f"{c}__nu"))
     )
     pfn = "percentile_approx" if approx else "percentile"
-    for f_ in df.schema.fields:
+    for f_ in fields:
         c = f_.name
         aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
         aggs.append(distinct(c))
@@ -108,11 +102,13 @@ def profile(
             )
         elif isinstance(f_.dataType, DATETIME_TYPES):
             aggs.extend([F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")])
-    row = df.agg(*aggs).collect()[0].asDict()
-    n = int(row["__n"])
+    return aggs, numeric, string
 
-    prof = TableProfile(row_count=n, column_count=len(df.columns))
-    for f_ in df.schema.fields:
+
+def _row_to_profile(row: dict, fields) -> TableProfile:
+    n = int(row["__n"])
+    prof = TableProfile(row_count=n, column_count=len(fields))
+    for f_ in fields:
         c = f_.name
         nn = int(row.get(f"{c}__nn") or 0)
         nu = int(row.get(f"{c}__nu") or 0)
@@ -137,6 +133,22 @@ def profile(
         if q:
             cp.quantiles = {"q25": q[0], "q50": q[1], "q75": q[2]}
         prof.columns[c] = cp
+    return prof
+
+
+def profile(
+    df: DataFrame,
+    approx: bool = False,
+    top_k: int = 10,
+    with_correlations: bool = False,
+    with_duplicates: bool = True,
+) -> TableProfile:
+    """Profile a DataFrame; ``approx=True`` switches distinct counts to
+    HLL++ and percentiles to the mergeable sketch (the 100 TB mode)."""
+    aggs, numeric, string = _stat_aggs(df.schema.fields, approx)
+    row = df.agg(*aggs).collect()[0].asDict()
+    n = int(row["__n"])
+    prof = _row_to_profile(row, df.schema.fields)
 
     # value frequencies for low-cardinality columns (ValueFrequencyAnalyzer,
     # reference column_profiler.py:311) — bounded groupBy per column;
@@ -166,6 +178,43 @@ def profile(
         crow = df.agg(*corr_aggs).collect()[0].asDict()
         prof.correlations = {k: v for k, v in crow.items() if v is not None}
     return prof
+
+
+def profile_grouped(
+    df: DataFrame,
+    group_col: str,
+    approx: bool = False,
+    max_groups: int = 10_000,
+) -> dict[Any, TableProfile]:
+    """Profile every group/segment of ``df`` in ONE scan — the snapshot /
+    daily-partition profiling primitive (reference ProfileMerger
+    "profiles from ... different data partitions",
+    profiler/incremental.py:465-470, and the distributed profiler's
+    PartitionStrategy, profiler/distributed.py:93; the reference
+    materializes per-partition frames and profiles each — here the whole
+    history is ONE groupBy aggregate, so N snapshots cost one table scan
+    instead of N).
+
+    Returns {group_value: TableProfile}. The group column itself is not
+    profiled. Stats are bit-identical to per-snapshot ``profile()`` calls
+    (same fused agg expressions, grouped), which is what lets
+    HistoryThresholdLearner consume either form interchangeably.
+
+    Driver safety: one collected row per group (~a few KB of scalars);
+    ``max_groups`` bounds it — snapshot keys are calendar-bounded by
+    design, and a mistyped high-cardinality group column raises instead
+    of OOMing the driver."""
+    fields = [f_ for f_ in df.schema.fields if f_.name != group_col]
+    if not fields:
+        raise ValueError("profile_grouped needs at least one non-group column")
+    aggs, _, _ = _stat_aggs(fields, approx)
+    rows = df.groupBy(group_col).agg(*aggs).limit(max_groups + 1).collect()
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"profile_grouped: more than {max_groups} groups in {group_col!r}; "
+            "raise max_groups or use a coarser snapshot key"
+        )
+    return {r[group_col]: _row_to_profile(r.asDict(), fields) for r in rows}
 
 
 #: Pattern classes for the string pattern analyzer
