@@ -7,7 +7,7 @@ joins/windows/streams map to native DataFrame / Structured Streaming plans.
 """
 
 from truthound_spark.adapters import get_spark, load_table, to_dataframe  # noqa: F401
-from truthound_spark.api import check  # noqa: F401
+from truthound_spark.api import check, check_grouped  # noqa: F401
 from truthound_spark.core.results import ValidationIssue, ValidationRunResult  # noqa: F401
 from truthound_spark.maskers import mask  # noqa: F401
 from truthound_spark.profiler import profile  # noqa: F401

@@ -10134,6 +10134,64 @@ def q_fd_mining_orders(spark, sf_dir):
 
 
 @register(
+    "grouped_check_lineitem",
+    """
+    SELECT l_returnflag AS grp,
+           CAST(COUNT(*) AS BIGINT) AS row_count,
+           CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 30 THEN 1 ELSE 0 END)
+                AS BIGINT) AS qty_viol,
+           CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS disc_nulls,
+           (AVG(l_extendedprice) BETWEEN 20000 AND 60000) AS price_mean_ok
+    FROM lineitem
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_grouped_check_lineitem(spark, sf_dir):
+    """Segmented validation (api.check_grouped): one suite evaluated per
+    segment in a SINGLE grouped aggregate — the per-day/per-source
+    quality-gate primitive. Generalizes the fused-suite executor
+    (reference base.py:2309-2471 batch execution; the reference's grouped
+    validators are ad-hoc only, freshness.py:211). The oracle replays the
+    per-group violation counts and the judged mean gate in plain SQL."""
+    from truthound_spark.api import check_grouped
+    from truthound_spark.validators.aggregate import MeanBetweenValidator
+    from truthound_spark.validators.completeness import NullValidator
+    from truthound_spark.validators.distribution import RangeValidator
+
+    df = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"
+    )
+    res = check_grouped(
+        df,
+        "l_returnflag",
+        [
+            RangeValidator("l_quantity", 1, 30),
+            NullValidator("l_discount"),
+            MeanBetweenValidator("l_extendedprice", 20000, 60000),
+        ],
+    )
+    rows = []
+    for grp in sorted(res):
+        r = res[grp]
+        qty = next(
+            (i.count for i in r.issues if i.issue_type == "out_of_range"), 0
+        )
+        nulls = next(
+            (i.count for i in r.issues if i.issue_type == "null_values"), 0
+        )
+        mean_ok = not any(
+            i.issue_type == "aggregate_out_of_range" for i in r.issues
+        )
+        rows.append((grp, r.row_count, int(qty), int(nulls), bool(mean_ok)))
+    return spark.createDataFrame(
+        rows,
+        "grp string, row_count bigint, qty_viol bigint, disc_nulls bigint, "
+        "price_mean_ok boolean",
+    ).orderBy("grp")
+
+
+@register(
     "value_implications_orders",
     """
     WITH base AS (

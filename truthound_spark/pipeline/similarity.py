@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from truthound_spark.pipeline.dedup import cosine_sim
+from truthound_spark.pipeline.dedup import _ensure_parallelism, cosine_sim
 
 
 def brute_force_topk(
@@ -45,7 +45,11 @@ def brute_force_topk(
     """
     qv = query_vec_col or vec_col
     qi = query_id_col or id_col
-    corpus = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    # the q·dim cosine folds per corpus row are the cost — spread a
+    # narrow (single-row-group file) scan across the cluster first
+    corpus = _ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    )
     q = queries.select(F.col(qi).alias("query_id"), F.col(qv).cast("array<double>").alias("qv"))
     joined = corpus.crossJoin(F.broadcast(q))
     if exclude_self:
