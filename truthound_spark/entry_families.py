@@ -325,6 +325,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "conditional_rules_lineitem",
     "composite_fd_orders",
     "lsh_recall_eval_documents",
+    "grouped_check_lineitem",
 ]
 
 

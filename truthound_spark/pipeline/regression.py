@@ -1,0 +1,176 @@
+"""Distributed, deterministic regression fits — logistic (iterative
+batch gradient descent) and simple linear (closed-form) — built the same
+way as the repo's other hash-certified iterative algorithms
+(``clustering.kmeans``, ``tokenizer.bpe_train``): every per-row
+contribution is quantized to a fixed-point long BEFORE the aggregate, so
+the sums are exact and order-independent, and the whole training
+trajectory is bit-identical across engines, partitionings, and reruns.
+
+Reference surface: ``validators/security/redos/ml/models.py:645``
+(LogisticRegressionReDoSModel) and ``profiler/ml/base.py`` fit sklearn
+models on driver-collected matrices; here EVERY row participates in
+every gradient step and nothing but (d+1) longs ever reaches the driver.
+
+Scale design (100 TB): per iteration the plan is one scan of the cached
+narrow feature projection → map-side partial aggregation → ONE final
+row of (d+1) long counters. No shuffle of data rows, no UDFs — the
+sigmoid/residual math is whole-stage-codegen'd column arithmetic.
+Cost is iterations × scan, the canonical distributed batch GD.
+
+Exactness contract: gradient sums are exact longs as long as
+``|residual| · |x_j| · quant · n_rows`` stays under 2^63 (documented
+per call); the driver-side weight update mirrors the oracle's
+``CAST(long AS DOUBLE) / quant / n`` IEEE arithmetic operation-for-
+operation, so weights — not just predictions — hash-match cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _sigmoid(z):
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def logreg_train(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    iters: int = 3,
+    lr: float = 0.5,
+    quant: int = 1_000_000,
+):
+    """Batch-gradient-descent logistic regression, full-corpus, exact.
+
+    Weights start at 0 (so iteration 1's sigmoid is exactly 0.5 — no
+    transcendental enters until round 2) and update as
+
+        w_j ← w_j − lr · (Σ_i round((σ(w·x_i) − y_i) · x_ij · quant)) / quant / n
+
+    The inner sum is a LONG — order-independent, partition-count-
+    independent — which is what makes the trajectory reproducible on a
+    1000-executor cluster and replayable as a DuckDB CTE chain. The
+    label must be 0/1; callers pre-drop null features.
+
+    Returns ``(history, weights)``: history is a driver-built DataFrame
+    with one row per iteration — (iter, w_bias, w_<feature>...) rounded
+    to 6 decimals — and ``weights`` is the final ``[bias, w_1, ...]``
+    floats for :func:`logreg_score`.
+    """
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    spark = df.sparkSession
+    feats = df.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.col(label_col).cast("double").alias("__y"),
+    )
+    feats.persist()
+    try:
+        w = [0.0] * (len(feature_cols) + 1)  # [bias, w_1, ...]
+        history: list[tuple] = []
+        for it in range(1, iters + 1):
+            z = F.lit(w[0])
+            for j, c in enumerate(feature_cols):
+                z = z + F.lit(w[j + 1]) * F.col(c)
+            r = _sigmoid(z) - F.col("__y")
+            aggs = [
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(r * quant).cast("long")).alias("g0"),
+            ]
+            for j, c in enumerate(feature_cols):
+                aggs.append(
+                    F.sum(F.round(r * F.col(c) * quant).cast("long")).alias(f"g{j + 1}")
+                )
+            row = feats.agg(*aggs).collect()[0]
+            n = row["n"]
+            if not n:
+                raise ValueError("logreg_train: empty input")
+            for j in range(len(w)):
+                # mirrors the oracle's CAST(g AS DOUBLE) / quant / n exactly
+                w[j] = w[j] - lr * ((float(row[f"g{j}"]) / float(quant)) / n)
+            history.append((it, *w))
+    finally:
+        feats.unpersist()
+    cols = ["iter", "w_bias"] + [f"w_{c}" for c in feature_cols]
+    hist = spark.createDataFrame(history, cols).select(
+        F.col("iter").cast("int").alias("iter"),
+        *[F.round(F.col(c), 6).alias(c) for c in cols[1:]],
+    )
+    return hist, w
+
+
+def logreg_score(
+    df: DataFrame,
+    feature_cols: list[str],
+    weights: list[float],
+    output_col: str = "score",
+) -> DataFrame:
+    """Apply trained weights as a map-only sigmoid projection — the
+    classifier inference pass (quality gating, probe scoring). Pure
+    column math, zero shuffles; composes with ``text.quantile_gate``
+    for threshold selection."""
+    if len(weights) != len(feature_cols) + 1:
+        raise ValueError(
+            f"weights must be [bias]+{len(feature_cols)} coefs, got {len(weights)}"
+        )
+    z = F.lit(weights[0])
+    for j, c in enumerate(feature_cols):
+        z = z + F.lit(weights[j + 1]) * F.col(c)
+    return df.withColumn(output_col, F.round(_sigmoid(z), 6))
+
+
+def linreg_simple(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Closed-form simple linear regression (slope / intercept / r²) in
+    ONE aggregate over fixed-point sums — the trend-fit primitive
+    (reference ``validators/timeseries/trend.py`` fits on driver
+    arrays; here the five sufficient statistics Σx Σy Σxy Σx² Σy² are
+    exact quantized longs, so the fit is bit-identical cross-engine).
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), intercept = ȳ − slope·x̄,
+    r² = slope² · Sxx / Syy. Returns one row
+    (n, slope, intercept, r2) rounded to 6 decimals.
+
+    Scale: one scan, map-side partials, 5 longs to the driver. The
+    quantized cross-sums bound: |x·y|·quant·n must stay < 2^63 —
+    rescale features (as the entry does) for wide-range columns.
+    """
+    qx = F.round(F.col(x_col).cast("double") * quant).cast("long")
+    qy = F.round(F.col(y_col).cast("double") * quant).cast("long")
+    g = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(qx.alias("qx"), qy.alias("qy"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qx").alias("sx"),
+            F.sum("qy").alias("sy"),
+            F.sum(F.col("qx") * F.col("qy")).alias("sxy"),
+            F.sum(F.col("qx") * F.col("qx")).alias("sxx"),
+            F.sum(F.col("qy") * F.col("qy")).alias("syy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    q = F.lit(float(quant))
+    sx, sy = F.col("sx") / q, F.col("sy") / q
+    sxy = F.col("sxy") / q / q
+    sxx = F.col("sxx") / q / q
+    syy = F.col("syy") / q / q
+    cov_n = n * sxy - sx * sy
+    var_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    slope = cov_n / var_n
+    intercept = (sy - slope * sx) / n
+    r2 = (cov_n * cov_n) / (var_n * vary_n)
+    return g.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
