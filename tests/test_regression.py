@@ -1,0 +1,111 @@
+"""pipeline/regression.py: distributed logistic GD + closed-form linear
+fit. Determinism is the contract under test — the same data must yield
+bit-identical weights under any partitioning (the quantized-long
+gradient design), and the linear fit is pinned against an independent
+pure-Python replay of the same fixed-point arithmetic."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from truthound_spark.pipeline.regression import (
+    linreg_simple,
+    logreg_score,
+    logreg_train,
+)
+
+
+def _toy(spark, parts):
+    # separable-ish: y correlates with x1
+    rows = [
+        ((i % 20) / 10.0, (i * 37 % 11) / 10.0, 1.0 if i % 3 == 0 else 0.0)
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "x1 double, x2 double, y double").repartition(
+        parts
+    )
+
+
+def test_logreg_partitioning_invariant(spark):
+    """Bit-identical trajectory on 1 vs 13 partitions — the exact-long
+    gradient contract that makes the oracle replay possible."""
+    h1, w1 = logreg_train(_toy(spark, 1), ["x1", "x2"], "y", iters=3)
+    h13, w13 = logreg_train(_toy(spark, 13), ["x1", "x2"], "y", iters=3)
+    assert w1 == w13
+    assert [tuple(r) for r in h1.collect()] == [tuple(r) for r in h13.collect()]
+
+
+def test_logreg_descends_loss(spark):
+    """Each GD round must not increase log-loss on the training set."""
+    df = _toy(spark, 4)
+    losses = []
+    for iters in (1, 2, 3, 4):
+        _h, w = logreg_train(df, ["x1", "x2"], "y", iters=iters, lr=0.1)
+        scored = logreg_score(df, ["x1", "x2"], w).collect()
+        eps = 1e-9
+        loss = -sum(
+            r["y"] * math.log(max(r["score"], eps))
+            + (1 - r["y"]) * math.log(max(1 - r["score"], eps))
+            for r in scored
+        ) / len(scored)
+        losses.append(loss)
+    assert losses == sorted(losses, reverse=True)
+
+
+def test_logreg_first_round_matches_hand_computation(spark):
+    """With w=0 the sigmoid is exactly 0.5 — round 1 is closed-form."""
+    rows = [(1.0, 0.0), (2.0, 1.0), (3.0, 1.0), (4.0, 0.0)]
+    df = spark.createDataFrame(rows, "x1 double, y double")
+    h, _w = logreg_train(df, ["x1"], "y", iters=1, lr=0.5, quant=1_000_000)
+    r = h.collect()[0]
+    # residual r_i = 0.5 - y_i; g0 = sum round(r*1e6); g1 = sum round(r*x*1e6)
+    g0 = sum(round((0.5 - y) * 1e6) for _x, y in rows)
+    g1 = sum(round((0.5 - y) * x * 1e6) for x, y in rows)
+    assert r["w_bias"] == round(0.0 - 0.5 * ((g0 / 1e6) / 4), 6)
+    assert r["w_x1"] == round(0.0 - 0.5 * ((g1 / 1e6) / 4), 6)
+
+
+def test_logreg_validation_errors(spark):
+    df = _toy(spark, 2)
+    with pytest.raises(ValueError, match="non-empty"):
+        logreg_train(df, [], "y")
+    with pytest.raises(ValueError, match="iters"):
+        logreg_train(df, ["x1"], "y", iters=0)
+    with pytest.raises(ValueError, match="empty input"):
+        logreg_train(df.filter(F.lit(False)), ["x1"], "y")
+    with pytest.raises(ValueError, match="weights"):
+        logreg_score(df, ["x1", "x2"], [0.1, 0.2])
+
+
+def test_logreg_score_is_map_only(spark):
+    """Inference must add zero Exchange nodes — pure projection."""
+    df = spark.createDataFrame([(1.0, 2.0)], "x1 double, x2 double")
+    plan = logreg_score(df, ["x1", "x2"], [0.1, -0.2, 0.3])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_linreg_exact_line(spark):
+    """Noise-free y = 3x + 2 must be recovered exactly with r2 = 1."""
+    df = spark.createDataFrame(
+        [(float(i) / 10, 3.0 * i / 10 + 2.0) for i in range(1, 50)],
+        "x double, y double",
+    )
+    r = linreg_simple(df, "x", "y").collect()[0]
+    assert r["n"] == 49
+    assert r["slope"] == pytest.approx(3.0, abs=1e-5)
+    assert r["intercept"] == pytest.approx(2.0, abs=1e-5)
+    assert r["r2"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_linreg_partitioning_invariant(spark):
+    rows = [(float(i % 17) / 3, float((i * 7) % 23)) for i in range(500)]
+    a = linreg_simple(
+        spark.createDataFrame(rows, "x double, y double").repartition(1), "x", "y"
+    ).collect()
+    b = linreg_simple(
+        spark.createDataFrame(rows, "x double, y double").repartition(11), "x", "y"
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

@@ -326,6 +326,9 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "composite_fd_orders",
     "lsh_recall_eval_documents",
     "grouped_check_lineitem",
+    "logreg_train_documents",
+    "logreg_score_documents",
+    "linreg_lineitem",
 ]
 
 

@@ -10698,3 +10698,175 @@ def q_lsh_recall_eval_documents(spark, sf_dir):
             "full_recall_above_bands_knee"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 7 (cont.): distributed regression fits — logistic GD + closed-form
+# linear — hash-certified through the arithmetic (pipeline/regression.py)
+# ---------------------------------------------------------------------------
+
+#: documents feature CTE shared by the logreg slots: x1 = kilochars,
+#: x2 = hectospaces, y = 1 iff lang='en'. Engine-portable char math only.
+_LOGREG_F = """f AS (
+      SELECT CAST(doc_id AS BIGINT) AS id,
+             n_chars / 1000.0 AS x1,
+             (length(text) - length(replace(text, ' ', ''))) / 100.0 AS x2,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM documents
+      WHERE text IS NOT NULL AND n_chars IS NOT NULL AND lang IS NOT NULL
+    )"""
+
+
+def _logreg_weight_ctes(iters: int, lr: str = "0.5", q: str = "1000000") -> str:
+    """CTE chain replaying pipeline/regression.logreg_train: w0 = zeros,
+    then per GD round one aggregate of quantized-long gradient sums and
+    a weight-update CTE mirroring the driver's IEEE arithmetic
+    operation-for-operation (CAST(long AS DOUBLE) / q / n)."""
+    z = "(w.wb + w.w1 * f.x1 + w.w2 * f.x2)"
+    p = f"(1.0 / (1.0 + exp(-{z})))"
+    ctes = [_LOGREG_F, "w0 AS (SELECT 0.0 AS wb, 0.0 AS w1, 0.0 AS w2)"]
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""g{it} AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(round(({p} - f.y) * {q}) AS BIGINT)) AS g0,
+             SUM(CAST(round(({p} - f.y) * f.x1 * {q}) AS BIGINT)) AS g1,
+             SUM(CAST(round(({p} - f.y) * f.x2 * {q}) AS BIGINT)) AS g2
+      FROM f, w{it - 1} w
+    )"""
+        )
+        ctes.append(
+            f"""w{it} AS (
+      SELECT w.wb - {lr} * ((CAST(g.g0 AS DOUBLE) / {q}) / g.n) AS wb,
+             w.w1 - {lr} * ((CAST(g.g1 AS DOUBLE) / {q}) / g.n) AS w1,
+             w.w2 - {lr} * ((CAST(g.g2 AS DOUBLE) / {q}) / g.n) AS w2
+      FROM w{it - 1} w, g{it} g
+    )"""
+        )
+    return "WITH " + ",\n    ".join(ctes)
+
+
+_LOGREG_ITERS = 3
+
+
+def _logreg_feats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & F.col("lang").isNotNull()
+    )
+    return d.select(
+        F.col("doc_id").cast("long").alias("id"),
+        (F.col("n_chars") / 1000.0).alias("x1"),
+        (
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            )
+            / 100.0
+        ).alias("x2"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+
+
+@register(
+    "logreg_train_documents",
+    _logreg_weight_ctes(_LOGREG_ITERS)
+    + "\n    SELECT * FROM (\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT {it} AS iter, round(wb, 6) AS w_bias, round(w1, 6) AS w_x1,"
+        f" round(w2, 6) AS w_x2 FROM w{it}"
+        for it in range(1, _LOGREG_ITERS + 1)
+    )
+    + "\n    ) ORDER BY iter",
+)
+def q_logreg_train_documents(spark, sf_dir):
+    """Distributed batch-GD logistic regression, hash-certified THROUGH
+    THE ITERATIONS (pipeline/regression.py logreg_train): is-English
+    probe over (kilochars, hectospaces), 3 full gradient rounds.
+    Quantized-long gradient sums make every round's weight vector
+    bit-identical across engines — the third iterative algorithm (after
+    Lloyd k-means and BPE) certified beyond rows-only. Reference
+    surface: redos/ml/models.py:645 LogisticRegressionReDoSModel fits
+    sklearn on a driver matrix; here every row joins every gradient and
+    only 4 longs reach the driver per round."""
+    from truthound_spark.pipeline.regression import logreg_train
+
+    hist, _w = logreg_train(
+        _logreg_feats(spark, sf_dir), ["x1", "x2"], "y", iters=_LOGREG_ITERS
+    )
+    return hist.orderBy("iter")
+
+
+@register(
+    "logreg_score_documents",
+    _logreg_weight_ctes(_LOGREG_ITERS)
+    + f"""
+    SELECT f.id,
+           round(1.0 / (1.0 + exp(-(w.wb + w.w1 * f.x1 + w.w2 * f.x2))), 6)
+             AS score
+    FROM f, w{_LOGREG_ITERS} w ORDER BY f.id""",
+)
+def q_logreg_score_documents(spark, sf_dir):
+    """Classifier inference pass (pipeline/regression.py logreg_score):
+    the trained round-3 weights re-enter the plan as literals and score
+    every document in one map-only sigmoid projection — per-row
+    hash-match proves train AND apply end-to-end. Composes with
+    text.quantile_gate for threshold selection at 100 TB (no shuffle
+    anywhere in the scoring path)."""
+    from truthound_spark.pipeline.regression import logreg_score, logreg_train
+
+    feats = _logreg_feats(spark, sf_dir)
+    _hist, w = logreg_train(feats, ["x1", "x2"], "y", iters=_LOGREG_ITERS)
+    return logreg_score(feats, ["x1", "x2"], w).select("id", "score").orderBy("id")
+
+
+@register(
+    "linreg_lineitem",
+    """
+    WITH q AS (
+      SELECT CAST(round(l_quantity / 10.0 * 1000) AS BIGINT) AS qx,
+             CAST(round(l_extendedprice / 100000.0 * 1000) AS BIGINT) AS qy
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    g AS (
+      SELECT COUNT(*) AS n, SUM(qx) AS sx, SUM(qy) AS sy,
+             SUM(qx * qy) AS sxy, SUM(qx * qx) AS sxx, SUM(qy * qy) AS syy
+      FROM q
+    ),
+    s AS (
+      SELECT n, sx / 1000.0 AS sxd, sy / 1000.0 AS syd,
+             sxy / 1000.0 / 1000.0 AS sxyd,
+             sxx / 1000.0 / 1000.0 AS sxxd,
+             syy / 1000.0 / 1000.0 AS syyd
+      FROM g
+    ),
+    c AS (
+      SELECT n, sxd, syd,
+             n * sxyd - sxd * syd AS covn,
+             n * sxxd - sxd * sxd AS varn,
+             n * syyd - syd * syd AS varyn
+      FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(covn / varn, 6) AS slope,
+           round((syd - covn / varn * sxd) / n, 6) AS intercept,
+           round(covn * covn / (varn * varyn), 6) AS r2
+    FROM c
+    """,
+)
+def q_linreg_lineitem(spark, sf_dir):
+    """Closed-form simple linear regression (pipeline/regression.py
+    linreg_simple): decaquantity → extendedprice/1e5 fit in ONE
+    aggregate of five exact fixed-point sufficient statistics — the
+    trend-fit primitive, bit-identical cross-engine (reference
+    timeseries/trend.py fits driver arrays). Slope recovers the mean
+    unit price; r² certifies the variance algebra."""
+    from truthound_spark.pipeline.regression import linreg_simple
+
+    li = t(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity") / 10.0).alias("x"),
+        (F.col("l_extendedprice") / 100000.0).alias("y"),
+    )
+    return linreg_simple(li, "x", "y", quant=1000)
