@@ -329,6 +329,8 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "logreg_train_documents",
     "logreg_score_documents",
     "linreg_lineitem",
+    "corpus_composition_documents",
+    "concentration_report_documents",
 ]
 
 

@@ -10870,3 +10870,87 @@ def q_linreg_lineitem(spark, sf_dir):
         (F.col("l_extendedprice") / 100000.0).alias("y"),
     )
     return linreg_simple(li, "x", "y", quant=1000)
+
+
+# ---------------------------------------------------------------------------
+# round 7 (cont.): corpus composition / concentration diagnostics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_composition_documents",
+    """
+    WITH g AS (
+      SELECT COALESCE(CAST(source AS VARCHAR), '__null__') AS "group",
+             COUNT(*) AS n_docs,
+             SUM(COALESCE(CAST(n_chars AS BIGINT), 0)) AS weight
+      FROM documents GROUP BY 1
+    ),
+    t AS (SELECT SUM(n_docs) AS td, SUM(weight) AS tw FROM g)
+    SELECT g."group",
+           CAST(g.n_docs AS BIGINT) AS n_docs,
+           CAST(g.weight AS BIGINT) AS weight,
+           round(g.n_docs / CAST(t.td AS DOUBLE), 6) AS doc_share,
+           round(g.weight / CAST(t.tw AS DOUBLE), 6) AS weight_share,
+           round(SUM(g.weight) OVER (ORDER BY g.weight DESC, g."group"
+                                     ROWS UNBOUNDED PRECEDING)
+                 / CAST(t.tw AS DOUBLE), 6) AS cum_share,
+           CAST(ROW_NUMBER() OVER (ORDER BY g.weight DESC, g."group") AS BIGINT)
+             AS rank
+    FROM g, t ORDER BY rank
+    """,
+)
+def q_corpus_composition_documents(spark, sf_dir):
+    """Data-mixture composition audit (pipeline/report.py
+    corpus_composition): char-mass share per source with the cumulative
+    head curve — exact long mass sums make every share a deterministic
+    integer ratio. One groupBy to a source-sized table; the window runs
+    over groups, never documents (and the top_n mode drops even that,
+    pytest-pinned)."""
+    from truthound_spark.pipeline.report import corpus_composition
+
+    df = t(spark, sf_dir, "documents")
+    return corpus_composition(df, "source", weight_col="n_chars").orderBy("rank")
+
+
+@register(
+    "concentration_report_documents",
+    """
+    WITH g AS (
+      SELECT COALESCE(CAST(source AS VARCHAR), '__null__') AS grp,
+             SUM(COALESCE(CAST(n_chars AS BIGINT), 0)) AS weight
+      FROM documents GROUP BY 1
+    ),
+    t AS (SELECT SUM(weight) AS tw FROM g),
+    terms AS (
+      SELECT g.weight, t.tw,
+             CAST(round(g.weight / CAST(t.tw AS DOUBLE)
+                        * (g.weight / CAST(t.tw AS DOUBLE))
+                        * 1000000000) AS BIGINT) AS hq,
+             CASE WHEN g.weight > 0 THEN
+               CAST(round(-(g.weight / CAST(t.tw AS DOUBLE))
+                          * log2(g.weight / CAST(t.tw AS DOUBLE))
+                          * 1000000000) AS BIGINT)
+             ELSE 0 END AS eq
+      FROM g, t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MAX(tw) AS BIGINT) AS total_weight,
+           round(SUM(hq) / 1000000000.0, 6) AS hhi,
+           round(1.0 / (SUM(hq) / 1000000000.0), 6) AS effective_groups,
+           round(SUM(eq) / 1000000000.0, 6) AS entropy_bits,
+           round(MAX(weight) / CAST(MAX(tw) AS DOUBLE), 6) AS top1_share
+    FROM terms
+    """,
+)
+def q_concentration_report_documents(spark, sf_dir):
+    """Source-concentration diagnostics (pipeline/report.py
+    concentration_report): HHI, effective source count, mix entropy and
+    top-1 dominance in ONE aggregate over the group table — per-group
+    hhi/entropy terms quantized to 1e-9 longs before summing (the
+    char_entropy pattern) so the report is order-independent and
+    engine-portable. No window, no sort, no driver rows."""
+    from truthound_spark.pipeline.report import concentration_report
+
+    df = t(spark, sf_dir, "documents")
+    return concentration_report(df, "source", weight_col="n_chars")

@@ -52,3 +52,161 @@ def curation_funnel(stages: list[tuple[str, DataFrame]]) -> DataFrame:
         "stage_idx int, stage string, rows long, dropped long,"
         " drop_rate double, keep_rate double",
     )
+
+
+def corpus_composition(
+    df: DataFrame,
+    group_col: str = "source",
+    weight_col: str | None = None,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Corpus composition by source/domain/language — the data-mixture
+    audit every training run starts from (what fraction of the corpus
+    is each source, and how head-heavy is the mix?).
+
+    Reference surface: the reference's profiler reports per-column value
+    frequencies (``profiler/analyzers``); composition of the CORPUS by a
+    grouping key with mass shares and the cumulative head curve is the
+    pipeline-level counterpart a 100 TB mix needs.
+
+    ``weight_col`` (optional) must be an INTEGRAL mass column (token /
+    char counts): weights sum as exact longs, so every share is a
+    deterministic ratio of exact integers — hash-stable cross-engine.
+    Without it, mass = document count.
+
+    Scale: one groupBy(group) aggregate (map-side partial) → a
+    group-cardinality table. With ``top_n`` set, the head is taken with
+    an ``orderBy().limit()`` (TakeOrdered — never a global window), the
+    window runs over ≤ top_n rows, and everything below the head folds
+    into one ``__other__`` row computed from total-minus-head — safe
+    even for URL-host-grade keys with 1e8 groups. With ``top_n=None``
+    the cumulative window is unpartitioned and the caller asserts the
+    key is low-cardinality (source / language).
+
+    Returns (group, n_docs, weight, doc_share, weight_share, cum_share,
+    rank) ordered by rank; shares rounded to 6dp; ``__other__`` (if
+    present) carries rank top_n+1 and cum_share 1.0.
+    """
+    from pyspark.sql import Window, functions as F
+
+    w = (
+        F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+        if weight_col
+        else F.lit(1)
+    )
+    grp = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    g = df.select(grp.alias("group"), w.alias("__w")).groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("__w").alias("weight")
+    )
+    tot = g.agg(
+        F.sum("n_docs").alias("__td"),
+        F.sum("weight").alias("__tw"),
+        F.count(F.lit(1)).alias("__ng"),
+    )
+    if top_n is not None:
+        head = g.orderBy(F.desc("weight"), "group").limit(top_n)
+    else:
+        head = g
+    win = Window.orderBy(F.desc("weight"), "group")
+    out = (
+        head.join(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(win))
+        .select(
+            "group",
+            "n_docs",
+            "weight",
+            F.round(F.col("n_docs") / F.col("__td"), 6).alias("doc_share"),
+            F.round(F.col("weight") / F.col("__tw"), 6).alias("weight_share"),
+            F.round(
+                F.sum("weight")
+                .over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+                / F.col("__tw"),
+                6,
+            ).alias("cum_share"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+    if top_n is None:
+        return out
+    other = (
+        head.agg(
+            F.sum("n_docs").alias("__hd"),
+            F.sum("weight").alias("__hw"),
+            F.count(F.lit(1)).alias("__nh"),
+        )
+        .join(F.broadcast(tot))
+        .filter(F.col("__ng") > F.col("__nh"))
+        .select(
+            F.lit("__other__").alias("group"),
+            (F.col("__td") - F.col("__hd")).alias("n_docs"),
+            (F.col("__tw") - F.col("__hw")).alias("weight"),
+            F.round((F.col("__td") - F.col("__hd")) / F.col("__td"), 6).alias(
+                "doc_share"
+            ),
+            F.round((F.col("__tw") - F.col("__hw")) / F.col("__tw"), 6).alias(
+                "weight_share"
+            ),
+            F.lit(1.0).alias("cum_share"),
+            (F.col("__nh") + 1).cast("long").alias("rank"),
+        )
+    )
+    return out.unionByName(other)
+
+
+def concentration_report(
+    df: DataFrame,
+    group_col: str = "source",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """One-row concentration diagnostics over a grouping key: is the
+    corpus dangerously dominated by a few sources?
+
+    * ``hhi`` — Herfindahl–Hirschman index Σ share² (1 = single source).
+    * ``effective_groups`` — 1/HHI, the "effective number of sources".
+    * ``entropy_bits`` — Shannon entropy of the mix.
+    * ``top1_share`` — largest single group's mass share (a plain max,
+      no ordering pass).
+
+    Determinism: shares are ratios of exact long sums; the hhi/entropy
+    per-group terms are quantized to 1e-9 longs before summing (the
+    char_entropy pattern), so the whole report is order-independent and
+    engine-portable. Scale: groupBy → group-sized table → one aggregate;
+    no window, no sort, nothing driver-side.
+    """
+    from pyspark.sql import functions as F
+
+    w = (
+        F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+        if weight_col
+        else F.lit(1)
+    )
+    grp = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    g = df.select(grp.alias("group"), w.alias("__w")).groupBy("group").agg(
+        F.sum("__w").alias("weight")
+    )
+    tot = g.agg(F.sum("weight").alias("__tw"))
+    share = F.col("weight") / F.col("__tw")
+    q = 1_000_000_000
+    hhi_term = F.round(share * share * q).cast("long")
+    ent_term = F.when(
+        F.col("weight") > 0, F.round(-share * F.log2(share) * q).cast("long")
+    ).otherwise(F.lit(0))
+    out = (
+        g.join(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.max("__tw").cast("long").alias("total_weight"),
+            (F.sum(hhi_term) / q).alias("__hhi"),
+            F.round(F.sum(ent_term) / q, 6).alias("entropy_bits"),
+            F.round(F.max("weight") / F.max("__tw"), 6).alias("top1_share"),
+        )
+        .select(
+            "n_groups",
+            "total_weight",
+            F.round("__hhi", 6).alias("hhi"),
+            F.round(F.lit(1.0) / F.col("__hhi"), 6).alias("effective_groups"),
+            "entropy_bits",
+            "top1_share",
+        )
+    )
+    return out
