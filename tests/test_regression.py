@@ -109,3 +109,40 @@ def test_linreg_partitioning_invariant(spark):
         spark.createDataFrame(rows, "x double, y double").repartition(11), "x", "y"
     ).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+# ---------------------------------------------------------------------------
+# bpe_fertility (tokenizer equity) — rides this module to avoid another
+# Spark-session test file
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_fertility_consistent_with_per_doc_counts(spark):
+    from truthound_spark.pipeline.tokenizer import (
+        bpe_fertility,
+        bpe_token_counts,
+        bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "low lower lowest", "en"),
+            (1, "low low low newer new", "en"),
+            (2, "bajo bajito bajo", "es"),
+            (3, None, "es"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    merges = bpe_train(df, rounds=3)
+    per = {r["id"]: r for r in bpe_token_counts(df, merges).collect()}
+    fert = {r["group"]: r for r in bpe_fertility(df, merges, "lang").collect()}
+    assert fert["en"]["n_docs"] == 2
+    assert fert["es"]["n_docs"] == 2
+    assert fert["en"]["n_tokens"] == per[0]["n_tokens"] + per[1]["n_tokens"]
+    assert fert["en"]["n_words"] == per[0]["n_words"] + per[1]["n_words"]
+    # null text contributes 0 tokens and NULL words (skipped by sum)
+    assert fert["es"]["n_tokens"] == per[2]["n_tokens"] + per[3]["n_tokens"]
+    assert fert["en"]["fertility"] == round(
+        fert["en"]["n_tokens"] / fert["en"]["n_words"], 6
+    )
+    assert fert["en"]["chars_per_token"] <= 10

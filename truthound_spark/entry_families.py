@@ -331,6 +331,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "linreg_lineitem",
     "corpus_composition_documents",
     "concentration_report_documents",
+    "bpe_fertility_documents",
 ]
 
 

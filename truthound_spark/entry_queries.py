@@ -10954,3 +10954,62 @@ def q_concentration_report_documents(spark, sf_dir):
 
     df = t(spark, sf_dir, "documents")
     return concentration_report(df, "source", weight_col="n_chars")
+
+
+@register(
+    "bpe_fertility_documents",
+    _bpe_oracle_ctes(_BPE_ROUNDS)
+    + f""",
+    enc AS (
+      SELECT COALESCE(CAST(lang AS VARCHAR), '__null__') AS "group",
+             len(list_filter(string_split({_NORM_SQL.format(c='text')}, ' '),
+                             w -> w <> '')) AS n_words,
+             length(array_to_string(
+               list_filter(string_split({_NORM_SQL.format(c='text')}, ' '),
+                           w -> w <> ''), '')) AS n_chars,
+             {"".join("replace(" for _ in range(_BPE_ROUNDS))}array_to_string(
+               list_transform(
+                 list_filter(string_split({_NORM_SQL.format(c='text')}, ' '),
+                             w -> w <> ''),
+                 w -> '|' || array_to_string(string_split(w,''),'||') || '|'
+               ), ' ')"""
+    + "".join(
+        f""",
+               COALESCE((SELECT '|'||x||'||'||y||'|' FROM m{r}), chr(1)),
+               COALESCE((SELECT '|'||x||y||'|' FROM m{r}), chr(1)))"""
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    + """ AS s
+      FROM documents
+    ),
+    per AS (
+      SELECT "group", n_words, n_chars,
+             CASE WHEN n_words > 0 THEN
+               CAST((length(s) - length(replace(s, '||', ''))) / 2 + n_words
+                    AS BIGINT)
+             ELSE 0 END AS n_tokens
+      FROM enc
+    )
+    SELECT "group",
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           round(SUM(n_tokens) / CAST(SUM(n_words) AS DOUBLE), 6) AS fertility,
+           round(SUM(n_chars) / CAST(SUM(n_tokens) AS DOUBLE), 6)
+             AS chars_per_token
+    FROM per GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_bpe_fertility_documents(spark, sf_dir):
+    """Per-language tokenizer fertility under the trained merges
+    (pipeline/tokenizer.py bpe_fertility): tokens/word + chars/token by
+    lang — the multilingual tokenizer-equity audit. The oracle retrains
+    the merges (shared bpe_train CTEs) and replays the whole
+    count-and-ratio pipeline; exact long sums make each group's ratios
+    deterministic quotients."""
+    from truthound_spark.pipeline.tokenizer import bpe_fertility, bpe_train
+
+    df = t(spark, sf_dir, "documents")
+    merges = bpe_train(df, rounds=_BPE_ROUNDS)
+    return bpe_fertility(df, merges, group_col="lang").orderBy("group")

@@ -46,6 +46,7 @@ __all__ = [
     "bpe_token_count_expr",
     "bpe_train",
     "bpe_token_counts",
+    "bpe_fertility",
     "bpe_tokenize",
     "bpe_vocab",
 ]
@@ -291,4 +292,46 @@ def bpe_tokenize(
         F.col(id_col).cast("long").alias("id"),
         F.coalesce(toks, F.array().cast("array<string>")).alias("tokens"),
         F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+
+
+def bpe_fertility(
+    df: DataFrame,
+    merges: list[tuple] | DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group tokenizer fertility — the multilingual tokenizer-equity
+    check (how many tokens does a word cost in each language / source?):
+    fertility = tokens per word, compression = chars per token. High
+    fertility for a language means its documents burn training budget
+    and context length faster — the standard reason to retrain or
+    rebalance a tokenizer (SentencePiece/BLOOM tokenizer audits).
+
+    Same map-only merge application as :func:`bpe_token_counts` (shared
+    ``bpe_token_count_expr``), then ONE groupBy(group) of exact long
+    sums: corpus scanned once, output is group-sized, every ratio is a
+    deterministic quotient of exact integers. Null text contributes
+    0 tokens / NULL words exactly like the per-doc counter.
+
+    Returns (group, n_docs, n_words, n_tokens, n_chars, fertility,
+    chars_per_token)."""
+    pairs = merge_pairs(merges)
+    n_words, n_tokens = bpe_token_count_expr(F.col(text_col), pairs)
+    wlist = F.filter(words(F.col(text_col)), lambda x: x != F.lit(""))
+    n_chars = F.length(F.array_join(wlist, ""))
+    grp = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    per = df.select(
+        grp.alias("group"),
+        n_words.cast("long").alias("__w"),
+        n_tokens.alias("__t"),
+        n_chars.cast("long").alias("__c"),
+    )
+    return per.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__w").alias("n_words"),
+        F.sum("__t").alias("n_tokens"),
+        F.sum("__c").alias("n_chars"),
+        F.round(F.sum("__t") / F.sum("__w"), 6).alias("fertility"),
+        F.round(F.sum("__c") / F.sum("__t"), 6).alias("chars_per_token"),
     )
