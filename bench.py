@@ -475,6 +475,40 @@ def main():
 
     bench_one("learned_thresholds", learned_thresholds_bench, timings, cold_timings)
 
+    # --- round-7 regression / composition workloads -------------------
+    def logreg_bench():
+        from truthound_spark.pipeline.regression import logreg_train
+
+        feats = documents.filter(
+            F.col("text").isNotNull()
+            & F.col("n_chars").isNotNull()
+            & F.col("lang").isNotNull()
+        ).select(
+            (F.col("n_chars") / 1000.0).alias("x1"),
+            (
+                (
+                    F.length("text")
+                    - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                )
+                / 100.0
+            ).alias("x2"),
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        )
+        logreg_train(feats, ["x1", "x2"], "y", iters=3)
+
+    bench_one("logreg_train", logreg_bench, timings, cold_timings)
+
+    def composition_bench():
+        from truthound_spark.pipeline.report import (
+            concentration_report,
+            corpus_composition,
+        )
+
+        corpus_composition(documents, "source", weight_col="n_chars").count()
+        concentration_report(documents, "source", weight_col="n_chars").collect()
+
+    bench_one("corpus_composition", composition_bench, timings, cold_timings)
+
     # --- sf1 lane (VERDICT r5 #10): the dedup/BPE/tagger trio on a 10×
     # documents corpus derived from SF_DIR (replica-perturbed text: every
     # 7th word, offset per replica, gets a replica suffix — JVM HOFs, so

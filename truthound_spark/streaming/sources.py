@@ -61,6 +61,19 @@ def read_kafka_stream(
     raw = reader.load()
     if value_schema is None:
         return raw
+    return decode_kafka_envelope(raw, value_schema)
+
+
+def decode_kafka_envelope(raw: DataFrame, value_schema: Any) -> DataFrame:
+    """Kafka message envelope → typed columns: value bytes decode via
+    ``from_json(schema)`` next to the (topic, partition, offset,
+    timestamp) metadata. Factored out of :func:`read_kafka_stream` so the
+    IDENTICAL decode plan runs against any kafka-SHAPED frame — the live
+    broker reader, a file-replayed topic dump (how the e2e test drives
+    it without a broker in the sandbox, the same move that closed the
+    JDBC gap with a file-backed DuckDB), or a batch backfill of archived
+    messages. Map-only; the JSON parse is JVM-side ``from_json``, never
+    a Python UDF."""
     return raw.select(
         F.col("topic"),
         F.col("partition"),
