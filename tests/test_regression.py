@@ -146,3 +146,96 @@ def test_bpe_fertility_consistent_with_per_doc_counts(spark):
         fert["en"]["n_tokens"] / fert["en"]["n_words"], 6
     )
     assert fert["en"]["chars_per_token"] <= 10
+
+
+# ---------------------------------------------------------------------------
+# evaluation operators: metrics / calibration / AUC
+# ---------------------------------------------------------------------------
+
+
+def _scored(spark):
+    # score, label pairs with a known confusion matrix at t=0.5
+    rows = [
+        (0.9, 1.0),  # tp
+        (0.8, 1.0),  # tp
+        (0.7, 0.0),  # fp
+        (0.4, 1.0),  # fn
+        (0.2, 0.0),  # tn
+        (0.1, 0.0),  # tn
+        (None, 1.0),  # excluded
+    ]
+    return spark.createDataFrame(rows, "score double, y double")
+
+
+def test_classification_metrics_hand_checked(spark):
+    from truthound_spark.pipeline.regression import classification_metrics
+
+    r = classification_metrics(_scored(spark), "score", "y", 0.5).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (2, 1, 1, 2)
+    assert r["n_scored"] == 6
+    assert r["precision"] == round(2 / 3, 6)
+    assert r["recall"] == round(2 / 3, 6)
+    assert r["f1"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r["accuracy"] == round(4 / 6, 6)
+
+
+def test_classification_metrics_degenerate_threshold_yields_null(spark):
+    from truthound_spark.pipeline.regression import classification_metrics
+
+    r = classification_metrics(_scored(spark), "score", "y", 2.0).collect()[0]
+    assert r["tp"] == 0 and r["fp"] == 0
+    assert r["precision"] is None  # no predicted positives → undefined, not crash
+
+
+def test_auc_matches_sklearn_free_reference(spark):
+    """AUC vs a hand pairwise count: P(score_pos > score_neg) + ½ ties."""
+    from truthound_spark.pipeline.regression import auc_binned
+
+    rows = [(s, y) for s, y in [
+        (0.9, 1.0), (0.8, 1.0), (0.7, 0.0), (0.4, 1.0), (0.4, 0.0),
+        (0.2, 0.0), (0.1, 0.0),
+    ]]
+    pos = [s for s, y in rows if y == 1.0]
+    neg = [s for s, y in rows if y == 0.0]
+    expect = sum(
+        1.0 if p > n_ else (0.5 if p == n_ else 0.0) for p in pos for n_ in neg
+    ) / (len(pos) * len(neg))
+    df = spark.createDataFrame(rows, "score double, y double")
+    r = auc_binned(df, "score", "y").collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (3, 4)
+    assert r["auc"] == round(expect, 6)
+
+
+def test_auc_extremes_and_single_class(spark):
+    from truthound_spark.pipeline.regression import auc_binned
+
+    perfect = spark.createDataFrame(
+        [(0.9, 1.0), (0.8, 1.0), (0.2, 0.0)], "score double, y double"
+    )
+    assert auc_binned(perfect, "score", "y").collect()[0]["auc"] == 1.0
+    single = spark.createDataFrame([(0.9, 1.0), (0.1, 1.0)], "score double, y double")
+    assert auc_binned(single, "score", "y").collect()[0]["auc"] is None
+
+
+def test_calibration_bins_perfectly_calibrated_scores(spark):
+    from truthound_spark.pipeline.regression import calibration_bins
+
+    # 10 rows at score 0.3 with 3 positives → bin 3 gap ≈ 0
+    rows = [(0.3, 1.0 if i < 3 else 0.0) for i in range(10)]
+    rows += [(0.85, 1.0), (0.85, 0.0)]  # bin 8, frac 0.5, gap 0.35
+    df = spark.createDataFrame(rows, "score double, y double")
+    out = {r["bin"]: r for r in calibration_bins(df, "score", "y", bins=10).collect()}
+    assert out[3]["n"] == 10
+    assert out[3]["mean_score"] == 0.3
+    assert out[3]["frac_positive"] == 0.3
+    assert out[3]["gap"] == 0.0
+    assert out[8]["gap"] == pytest.approx(0.35, abs=1e-6)
+    assert out[8]["bin_lo"] == 0.8
+
+
+def test_calibration_score_one_lands_in_top_bin(spark):
+    from truthound_spark.pipeline.regression import calibration_bins
+
+    df = spark.createDataFrame([(1.0, 1.0)], "score double, y double")
+    out = calibration_bins(df, "score", "y", bins=10).collect()
+    assert len(out) == 1 and out[0]["bin"] == 9

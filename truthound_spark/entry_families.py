@@ -332,6 +332,9 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "corpus_composition_documents",
     "concentration_report_documents",
     "bpe_fertility_documents",
+    "classifier_eval_metrics_documents",
+    "calibration_bins_documents",
+    "auc_documents",
 ]
 
 

@@ -10850,9 +10850,9 @@ def q_logreg_score_documents(spark, sf_dir):
       FROM s
     )
     SELECT CAST(n AS BIGINT) AS n,
-           round(covn / varn, 6) AS slope,
-           round((syd - covn / varn * sxd) / n, 6) AS intercept,
-           round(covn * covn / (varn * varyn), 6) AS r2
+           round(covn / NULLIF(varn, 0), 6) AS slope,
+           round((syd - covn / NULLIF(varn, 0) * sxd) / NULLIF(n, 0), 6) AS intercept,
+           round(covn * covn / NULLIF(varn * varyn, 0), 6) AS r2
     FROM c
     """,
 )
@@ -11013,3 +11013,142 @@ def q_bpe_fertility_documents(spark, sf_dir):
     df = t(spark, sf_dir, "documents")
     merges = bpe_train(df, rounds=_BPE_ROUNDS)
     return bpe_fertility(df, merges, group_col="lang").orderBy("group")
+
+
+# ---------------------------------------------------------------------------
+# round 7 (cont.): classifier evaluation — confusion metrics, calibration,
+# histogram-exact AUC (pipeline/regression.py)
+# ---------------------------------------------------------------------------
+
+#: fixed probe weights (no training cost in the eval slots): the eval
+#: operators are model-agnostic; any [0,1] score column works.
+_EVAL_SC = (
+    _LOGREG_F
+    + """,
+    sc AS (
+      SELECT f.id,
+             round(1.0 / (1.0 + exp(-(-1.1 + 2.0 * f.x1 + 1.0 * f.x2))), 6)
+               AS score,
+             f.y AS y
+      FROM f
+    )"""
+)
+
+
+def _eval_scored(spark, sf_dir):
+    from truthound_spark.pipeline.regression import logreg_score
+
+    return logreg_score(_logreg_feats(spark, sf_dir), ["x1", "x2"], [-1.1, 2.0, 1.0])
+
+
+@register(
+    "classifier_eval_metrics_documents",
+    "WITH "
+    + _EVAL_SC
+    + """,
+    m AS (
+      SELECT COUNT(*) AS n_scored,
+             SUM(CASE WHEN y = 1.0 AND score >= 0.5 THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN y = 0.0 AND score >= 0.5 THEN 1 ELSE 0 END) AS fp,
+             SUM(CASE WHEN y = 1.0 AND score < 0.5 THEN 1 ELSE 0 END) AS fn,
+             SUM(CASE WHEN y = 0.0 AND score < 0.5 THEN 1 ELSE 0 END) AS tn
+      FROM sc WHERE score IS NOT NULL AND y IS NOT NULL
+    ),
+    pr AS (
+      SELECT *, tp / CAST(NULLIF(tp + fp, 0) AS DOUBLE) AS p,
+                tp / CAST(NULLIF(tp + fn, 0) AS DOUBLE) AS r
+      FROM m
+    )
+    SELECT CAST(n_scored AS BIGINT) AS n_scored,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           round(p, 6) AS precision,
+           round(r, 6) AS recall,
+           round(2 * p * r / NULLIF(p + r, 0), 6) AS f1,
+           round((tp + tn) / CAST(NULLIF(n_scored, 0) AS DOUBLE), 6) AS accuracy
+    FROM pr
+    """,
+)
+def q_classifier_eval_metrics_documents(spark, sf_dir):
+    """Threshold evaluation (pipeline/regression.py
+    classification_metrics): confusion counts + P/R/F1/accuracy in ONE
+    aggregate of exact long counters — reference redos/ml/base.py
+    ReDoSModelMetrics does this on driver arrays; here it's map-side
+    partials and an O(1) result at any corpus size."""
+    from truthound_spark.pipeline.regression import classification_metrics
+
+    return classification_metrics(_eval_scored(spark, sf_dir), "score", "y", 0.5)
+
+
+@register(
+    "calibration_bins_documents",
+    "WITH "
+    + _EVAL_SC
+    + """,
+    g AS (
+      SELECT LEAST(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+             COUNT(*) AS n,
+             SUM(CAST(round(score * 1000000) AS BIGINT)) AS sq,
+             SUM(CAST(y AS BIGINT)) AS sy
+      FROM sc WHERE score IS NOT NULL AND y IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT bin,
+           round(bin / 10.0, 6) AS bin_lo,
+           CAST(n AS BIGINT) AS n,
+           round(sq / 1000000.0 / n, 6) AS mean_score,
+           round(sy / CAST(n AS DOUBLE), 6) AS frac_positive,
+           round(sq / 1000000.0 / n - sy / CAST(n AS DOUBLE), 6) AS gap
+    FROM g ORDER BY bin
+    """,
+)
+def q_calibration_bins_documents(spark, sf_dir):
+    """Reliability diagram (pipeline/regression.py calibration_bins):
+    mean predicted score vs observed positive rate per decile — the
+    is-0.9-really-90% audit before score-gated corpus mixing. Quantized
+    long sums per bin; one groupBy to a 10-row table."""
+    from truthound_spark.pipeline.regression import calibration_bins
+
+    return calibration_bins(_eval_scored(spark, sf_dir), "score", "y", bins=10).orderBy(
+        "bin"
+    )
+
+
+@register(
+    "auc_documents",
+    "WITH "
+    + _EVAL_SC
+    + """,
+    h AS (
+      SELECT CAST(round(score * 1000000) AS BIGINT) AS q,
+             SUM(CAST(y AS BIGINT)) AS pos,
+             COUNT(*) - SUM(CAST(y AS BIGINT)) AS neg
+      FROM sc WHERE score IS NOT NULL AND y IS NOT NULL
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT pos, neg,
+             SUM(neg) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) AS cum_neg
+      FROM h
+    ),
+    a AS (
+      SELECT SUM(pos) AS n_pos, SUM(neg) AS n_neg,
+             SUM(pos * (2 * (cum_neg - neg) + neg)) AS u2
+      FROM c
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           round(u2 / 2.0 / NULLIF(n_pos * n_neg, 0), 6) AS auc
+    FROM a
+    """,
+)
+def q_auc_documents(spark, sf_dir):
+    """Exact ROC-AUC with NO global sort (pipeline/regression.py
+    auc_binned): Mann-Whitney rank-sum over a bounded quantized-score
+    histogram — corpus-scale work is one groupBy; the cumulative window
+    touches histogram rows only (the curriculum_order histogram-not-sort
+    move applied to model evaluation). Doubled-U stays integral until
+    the final division, so the statistic is deterministic cross-engine."""
+    from truthound_spark.pipeline.regression import auc_binned
+
+    return auc_binned(_eval_scored(spark, sf_dir), "score", "y")

@@ -165,12 +165,153 @@ def linreg_simple(
     cov_n = n * sxy - sx * sy
     var_n = n * sxx - sx * sx
     vary_n = n * syy - sy * sy
-    slope = cov_n / var_n
-    intercept = (sy - slope * sx) / n
-    r2 = (cov_n * cov_n) / (var_n * vary_n)
+    # try_divide: constant-x (or empty) input reports NULL under ANSI
+    # instead of crashing; oracle mirrors with NULLIF denominators
+    slope = F.try_divide(cov_n, var_n)
+    intercept = F.try_divide(sy - slope * sx, n)
+    r2 = F.try_divide(cov_n * cov_n, var_n * vary_n)
     return g.select(
         F.col("n").cast("long").alias("n"),
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
+    )
+
+
+def classification_metrics(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Confusion matrix + precision/recall/F1/accuracy at a threshold —
+    ONE aggregate of four exact long counters (reference
+    redos/ml/base.py ReDoSModelMetrics computes these on driver arrays).
+    Null scores/labels are excluded (counted in ``n_scored`` vs the
+    caller's row count if they care). Map-side partials, O(1) result."""
+    y = F.col(label_col).cast("double")
+    pred = (F.col(score_col) >= threshold).cast("int")
+    ok = F.col(score_col).isNotNull() & y.isNotNull()
+    g = df.filter(ok).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(((y == 1.0) & (pred == 1)).cast("long")).alias("tp"),
+        F.sum(((y == 0.0) & (pred == 1)).cast("long")).alias("fp"),
+        F.sum(((y == 1.0) & (pred == 0)).cast("long")).alias("fn"),
+        F.sum(((y == 0.0) & (pred == 0)).cast("long")).alias("tn"),
+    )
+    # try_divide: a degenerate threshold (zero predicted positives / no
+    # actual positives) reports NULL, not an ANSI divide-by-zero crash
+    prec = F.try_divide(F.col("tp"), F.col("tp") + F.col("fp"))
+    rec = F.try_divide(F.col("tp"), F.col("tp") + F.col("fn"))
+    return g.select(
+        "n_scored",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(F.try_divide(2 * prec * rec, prec + rec), 6).alias("f1"),
+        F.round(
+            F.try_divide(F.col("tp") + F.col("tn"), F.col("n_scored")), 6
+        ).alias("accuracy"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram: equal-width score bins with mean predicted
+    score vs observed positive rate — the calibration audit behind "is
+    0.9 really 90%?" (quality-classifier gating trusts the score as a
+    probability; an uncalibrated one silently shifts the corpus mix).
+
+    Exactness: scores quantize to 1e-6 longs for the in-bin mean, labels
+    sum as longs — bin rows are deterministic integer arithmetic, so the
+    whole diagram hash-matches cross-engine. One groupBy to a
+    ``bins``-sized table; no window, no sort.
+
+    Returns (bin, bin_lo, n, mean_score, frac_positive, gap)."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    b = F.least(F.floor(s * bins).cast("long"), F.lit(bins - 1))
+    g = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .select(
+            b.alias("bin"),
+            F.round(s * 1_000_000).cast("long").alias("__q"),
+            y.cast("long").alias("__y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__q").alias("__sq"),
+            F.sum("__y").alias("__sy"),
+        )
+    )
+    mean_score = F.col("__sq") / 1_000_000.0 / F.col("n")
+    frac_pos = F.col("__sy") / F.col("n")
+    return g.select(
+        "bin",
+        F.round(F.col("bin") / bins, 6).alias("bin_lo"),
+        "n",
+        F.round(mean_score, 6).alias("mean_score"),
+        F.round(frac_pos, 6).alias("frac_positive"),
+        F.round(mean_score - frac_pos, 6).alias("gap"),
+    )
+
+
+def auc_binned(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Exact ROC-AUC WITHOUT a global sort — the rank-sum (Mann-Whitney)
+    statistic computed from a quantized score histogram: AUC =
+    Σ_bins pos_in · (neg_below + neg_in/2) / (P·N), ties (same quantized
+    score) credited the canonical half. Scores must live in [0, 1]
+    (sigmoid / quality scores), so the histogram is bounded at quant+1
+    rows regardless of corpus size: corpus-scale work is ONE groupBy;
+    the cumulative window runs over histogram rows only — the same
+    histogram-not-sort move as export.curriculum_order.
+
+    Returns one row (n_pos, n_neg, auc)."""
+    from pyspark.sql import Window
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    g = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .select(F.round(s * quant).cast("long").alias("q"), y.cast("long").alias("__y"))
+        .groupBy("q")
+        .agg(
+            F.sum("__y").alias("pos"),
+            (F.count(F.lit(1)) - F.sum("__y")).alias("neg"),
+        )
+    )
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    contrib = (
+        g.withColumn("cum_neg", F.sum("neg").over(w))
+        .select(
+            F.sum("pos").alias("n_pos"),
+            F.sum("neg").alias("n_neg"),
+            # 2× the U statistic stays integral: 2·neg_below + neg_in
+            F.sum(F.col("pos") * (2 * (F.col("cum_neg") - F.col("neg")) + F.col("neg"))).alias(
+                "__u2"
+            ),
+        )
+    )
+    return contrib.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        # single-class input → NULL auc (undefined), not an ANSI crash
+        F.round(
+            F.try_divide(F.col("__u2") / 2.0, F.col("n_pos") * F.col("n_neg")), 6
+        ).alias("auc"),
     )
