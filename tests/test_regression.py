@@ -239,3 +239,33 @@ def test_calibration_score_one_lands_in_top_bin(spark):
     df = spark.createDataFrame([(1.0, 1.0)], "score double, y double")
     out = calibration_bins(df, "score", "y", bins=10).collect()
     assert len(out) == 1 and out[0]["bin"] == 9
+
+
+def test_threshold_sweep_matches_single_metrics_and_is_one_scan(spark):
+    from truthound_spark.pipeline.regression import (
+        classification_metrics,
+        threshold_sweep,
+    )
+
+    df = _scored(spark)
+    sweep = {r["threshold"]: r for r in threshold_sweep(df, "score", "y", [0.3, 0.5, 0.75]).collect()}
+    for t in (0.3, 0.5, 0.75):
+        single = classification_metrics(df, "score", "y", t).collect()[0]
+        row = sweep[t]
+        assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (
+            single["tp"], single["fp"], single["fn"], single["tn"]
+        )
+        assert row["precision"] == single["precision"]
+        assert row["f1"] == single["f1"]
+    # fused: the whole curve is ONE aggregate over one scan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        threshold_sweep(df, "score", "y", [])
+    plan = (
+        threshold_sweep(df, "score", "y", [0.3, 0.5, 0.75])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan") == 1

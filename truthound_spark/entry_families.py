@@ -335,6 +335,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "classifier_eval_metrics_documents",
     "calibration_bins_documents",
     "auc_documents",
+    "threshold_sweep_documents",
 ]
 
 

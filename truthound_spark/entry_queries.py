@@ -11152,3 +11152,47 @@ def q_auc_documents(spark, sf_dir):
     from truthound_spark.pipeline.regression import auc_binned
 
     return auc_binned(_eval_scored(spark, sf_dir), "score", "y")
+
+
+@register(
+    "threshold_sweep_documents",
+    "WITH "
+    + _EVAL_SC
+    + """,
+    th AS (SELECT CAST(UNNEST([0.2, 0.35, 0.5, 0.65, 0.8]) AS DOUBLE) AS threshold),
+    m AS (
+      SELECT th.threshold,
+             SUM(CASE WHEN sc.y = 1.0 AND sc.score >= th.threshold THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN sc.y = 0.0 AND sc.score >= th.threshold THEN 1 ELSE 0 END) AS fp,
+             SUM(CASE WHEN sc.y = 1.0 AND sc.score < th.threshold THEN 1 ELSE 0 END) AS fn,
+             SUM(CASE WHEN sc.y = 0.0 AND sc.score < th.threshold THEN 1 ELSE 0 END) AS tn
+      FROM sc, th
+      WHERE sc.score IS NOT NULL AND sc.y IS NOT NULL
+      GROUP BY th.threshold
+    ),
+    pr AS (
+      SELECT *, tp / CAST(NULLIF(tp + fp, 0) AS DOUBLE) AS p,
+                tp / CAST(NULLIF(tp + fn, 0) AS DOUBLE) AS r
+      FROM m
+    )
+    SELECT threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           round(p, 6) AS precision,
+           round(r, 6) AS recall,
+           round(2 * p * r / NULLIF(p + r, 0), 6) AS f1
+    FROM pr ORDER BY threshold
+    """,
+)
+def q_threshold_sweep_documents(spark, sf_dir):
+    """Operating-point sweep (pipeline/regression.py threshold_sweep):
+    the whole precision/recall curve from ONE fused aggregate — every
+    threshold's confusion counters are conditional sums in the same agg
+    (the fused-suite executor move applied to evaluation), so 5
+    thresholds or 50 cost one corpus scan. The oracle computes the same
+    grid via a cross-joined threshold table."""
+    from truthound_spark.pipeline.regression import threshold_sweep
+
+    return threshold_sweep(
+        _eval_scored(spark, sf_dir), "score", "y", [0.2, 0.35, 0.5, 0.65, 0.8]
+    ).orderBy("threshold")

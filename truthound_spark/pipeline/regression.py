@@ -315,3 +315,62 @@ def auc_binned(
             F.try_divide(F.col("__u2") / 2.0, F.col("n_pos") * F.col("n_neg")), 6
         ).alias("auc"),
     )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[float] | None = None,
+) -> DataFrame:
+    """Precision/recall curve over a threshold grid in ONE fused
+    aggregate — the operating-point picker (which gate keeps 90% of the
+    good documents?). Every threshold's confusion counters are
+    conditional sums in the SAME ``agg`` (the fused-suite executor move
+    applied to model evaluation): one scan for the whole curve, however
+    many thresholds. Exact long counters; NULL metrics on degenerate
+    rows (try_divide), never a crash.
+
+    Returns (threshold, tp, fp, fn, tn, precision, recall, f1) ordered
+    by threshold."""
+    ts = sorted(thresholds if thresholds is not None else [i / 10 for i in range(1, 10)])
+    if not ts:
+        raise ValueError("thresholds must be non-empty")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    base = df.filter(s.isNotNull() & y.isNotNull())
+    aggs = []
+    for i, t in enumerate(ts):
+        pred = s >= t
+        aggs += [
+            F.sum(((y == 1.0) & pred).cast("long")).alias(f"tp{i}"),
+            F.sum(((y == 0.0) & pred).cast("long")).alias(f"fp{i}"),
+            F.sum(((y == 1.0) & ~pred).cast("long")).alias(f"fn{i}"),
+            F.sum(((y == 0.0) & ~pred).cast("long")).alias(f"tn{i}"),
+        ]
+    one = base.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(float(t)).alias("threshold"),
+                F.col(f"tp{i}").alias("tp"),
+                F.col(f"fp{i}").alias("fp"),
+                F.col(f"fn{i}").alias("fn"),
+                F.col(f"tn{i}").alias("tn"),
+            )
+            for i, t in enumerate(ts)
+        ]
+    )
+    e = one.select(F.explode(rows).alias("r")).select("r.*")
+    prec = F.try_divide(F.col("tp"), F.col("tp") + F.col("fp"))
+    rec = F.try_divide(F.col("tp"), F.col("tp") + F.col("fn"))
+    return e.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(F.try_divide(2 * prec * rec, prec + rec), 6).alias("f1"),
+    )
