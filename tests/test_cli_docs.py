@@ -120,3 +120,56 @@ def test_cli_curate_with_self_dedup_and_quantile_gate(spark, tmp_path, capsys):
     # the shared footer span was excised from all but one owner doc
     with_footer = back.filter(back.text.contains("rights reserved")).count()
     assert with_footer <= 1
+
+
+def test_cli_docs_site(spark, tmp_path, capsys):
+    from truthound_spark.cli import main
+
+    path = _write_parquet(spark, tmp_path)
+    out_dir = str(tmp_path / "site")
+    rc = main(["docs", path, out_dir, "--with-check"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "index.html" in out
+    assert os.path.exists(os.path.join(out_dir, "index.html"))
+    assert any(f.startswith("table_") for f in os.listdir(out_dir))
+    assert any(f.startswith("run_") for f in os.listdir(out_dir))
+
+
+def test_cli_lineage_list_and_impact(tmp_path, capsys):
+    from truthound_spark.cli import main
+    from truthound_spark.lineage import LineageTracker
+
+    t = LineageTracker()
+    s = t.track_source("raw")
+    t.track_transformation([s.id], "clean", "filter")
+    graph = str(tmp_path / "lineage.json")
+    t.save(graph)
+
+    rc = main(["lineage", graph])
+    out = capsys.readouterr().out
+    assert rc == 0 and "raw" in out and "clean" in out
+
+    rc = main(["lineage", graph, "--impact", "raw"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert json.loads(out)["affected"][0]["id"] == "clean"
+
+    rc = main(["lineage", graph, "--impact", "clean", "--direction", "upstream"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "raw" in out
+
+
+def test_cli_checkpoint_runs_actions(spark, tmp_path, capsys):
+    from truthound_spark.cli import main
+
+    path = _write_parquet(spark, tmp_path)
+    store = str(tmp_path / "runs")
+    report = str(tmp_path / "report.html")
+    rc = main(
+        ["checkpoint", "nightly", path, "--store", store, "--report", report,
+         "--validators", "null,unique"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 1  # seeded defects → issues found
+    assert "[checkpoint nightly]" in out
+    assert os.listdir(store) and os.path.exists(report)

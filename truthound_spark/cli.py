@@ -391,9 +391,124 @@ def build_parser() -> argparse.ArgumentParser:
     )
     c.set_defaults(fn=cmd_curate)
 
+    c = sub.add_parser(
+        "docs", help="build a static data-docs site (profile + optional check run)"
+    )
+    c.add_argument("path")
+    c.add_argument("out_dir")
+    c.add_argument("--title", default=None)
+    c.add_argument("--with-check", action="store_true", help="include a validation run page")
+    c.add_argument("--baseline", help="earlier parquet snapshot for a versioned diff page")
+    c.set_defaults(fn=cmd_docs)
+
+    c = sub.add_parser(
+        "lineage", help="query a saved lineage graph: nodes / impact radius"
+    )
+    c.add_argument("graph", help="lineage JSON written by LineageTracker.save()")
+    c.add_argument("--impact", metavar="NODE_ID", help="blast radius of this node")
+    c.add_argument("--direction", default="downstream", choices=["downstream", "upstream"])
+    c.set_defaults(fn=cmd_lineage)
+
+    c = sub.add_parser(
+        "checkpoint", help="run a named checkpoint: check + actions (console/store/report)"
+    )
+    c.add_argument("name")
+    c.add_argument("path")
+    c.add_argument("--validators", help="comma list (default: suite or null,duplicate)")
+    c.add_argument("--suite", help="saved suite JSON/YAML (suite_io.load_suite)")
+    c.add_argument("--store", help="directory: persist the run result as JSON")
+    c.add_argument("--report", help="write an HTML report of the run here")
+    c.set_defaults(fn=cmd_checkpoint)
+
     c = sub.add_parser("doctor", help="diagnose the runtime environment")
     c.set_defaults(fn=cmd_doctor)
     return p
+
+
+def cmd_docs(args: argparse.Namespace) -> int:
+    """Static data-docs site (reference cli_modules/advanced/docs.py role):
+    profile → per-table page; --with-check adds a validation-run page;
+    --baseline adds the versioned diff page."""
+    from truthound_spark.datadocs import build_site
+    from truthound_spark.profiler.table_profiler import profile
+
+    spark = _spark()
+    df = _load(spark, args.path)
+    name = args.title or args.path.rsplit("/", 1)[-1].split(".")[0]
+    profiles = {name: profile(df)}
+    runs = None
+    if args.with_check:
+        from truthound_spark import api
+
+        runs = [("cli_check", api.check(df, validators=["null", "duplicate"]))]
+    previous = None
+    if args.baseline:
+        previous = {name: profile(_load(spark, args.baseline))}
+    index = build_site(
+        args.out_dir, profiles=profiles, runs=runs, previous_profiles=previous
+    )
+    print(f"wrote {index}")
+    return 0
+
+
+def cmd_lineage(args: argparse.Namespace) -> int:
+    """Query a persisted lineage graph (reference cli_modules/advanced/
+    lineage.py role): list nodes, or print the blast radius of one."""
+    import json as _json
+
+    from truthound_spark.lineage import ImpactAnalyzer, LineageTracker
+
+    tracker = LineageTracker()
+    tracker.load(args.graph)
+    if args.impact:
+        if args.direction == "upstream":
+            print(
+                _json.dumps(
+                    tracker.get_lineage(args.impact, direction="upstream"),
+                    indent=2,
+                    default=str,
+                )
+            )
+            return 0
+        result = ImpactAnalyzer(tracker).analyze_impact(args.impact)
+        print(_json.dumps(result.to_dict(), indent=2, default=str))
+        return 0
+    for node in tracker.graph.nodes.values():
+        print(f"{node.id}\t{node.node_type}\t{node.name}")
+    return 0
+
+
+def cmd_checkpoint(args: argparse.Namespace) -> int:
+    """Run a named checkpoint end-to-end (reference cli_modules/checkpoint
+    role): suite or validator list + console/store/report actions; exit
+    code mirrors `check` (0 pass / 1 issues)."""
+    from truthound_spark.checkpoint import (
+        Checkpoint,
+        ConsoleAction,
+        SaveReportAction,
+        StoreResultAction,
+    )
+
+    validators: Any = None
+    if args.suite:
+        from truthound_spark.suite_io import load_suite
+
+        validators = list(load_suite(args.suite))
+    elif args.validators:
+        validators = args.validators.split(",")
+    else:
+        validators = ["null", "duplicate"]
+    actions: list[Any] = [ConsoleAction()]
+    if args.store:
+        from truthound_spark.stores import FilesystemStore
+
+        actions.append(StoreResultAction(FilesystemStore(args.store)))
+    if args.report:
+        actions.append(SaveReportAction(args.report))
+    df = _load(_spark(), args.path)
+    cp = Checkpoint(args.name, validators=validators, actions=actions)
+    result = cp.run(df)
+    return 0 if result.success else 1
 
 
 
