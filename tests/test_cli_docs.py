@@ -173,3 +173,23 @@ def test_cli_checkpoint_runs_actions(spark, tmp_path, capsys):
     assert rc == 1  # seeded defects → issues found
     assert "[checkpoint nightly]" in out
     assert os.listdir(store) and os.path.exists(report)
+
+
+def test_cli_stream_validates_landing_dir(spark, tmp_path, capsys):
+    import json as _json
+
+    from truthound_spark.cli import main
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "b1.json").write_text(
+        '{"id": 1, "email": "a@x.com"}\n{"id": 1, "email": null}\n'
+    )
+    rc = main([
+        "stream", str(landing), "--schema", "id LONG, email STRING",
+        "--checkpoint", str(tmp_path / "ckpt"), "--validators", "null,duplicate",
+    ])
+    out = capsys.readouterr().out.strip().splitlines()
+    batches = [_json.loads(l) for l in out if l.startswith("{")]
+    assert rc == 1
+    assert len(batches) == 1 and batches[0]["rows"] == 2 and not batches[0]["success"]

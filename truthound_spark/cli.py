@@ -420,6 +420,19 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--report", help="write an HTML report of the run here")
     c.set_defaults(fn=cmd_checkpoint)
 
+    c = sub.add_parser(
+        "stream",
+        help="streaming validation over a landing directory (file source)",
+    )
+    c.add_argument("path", help="directory that receives data files")
+    c.add_argument("--schema", required=True, help='DDL, e.g. "id LONG, email STRING"')
+    c.add_argument("--format", default="json", choices=["json", "csv", "parquet", "text", "orc"])
+    c.add_argument("--validators", default="null,duplicate")
+    c.add_argument("--checkpoint", required=True, help="checkpoint directory (exactly-once)")
+    c.add_argument("--follow", type=float, default=0.0, metavar="SECONDS",
+                   help="keep polling this long (0 = drain once and exit)")
+    c.set_defaults(fn=cmd_stream)
+
     c = sub.add_parser("doctor", help="diagnose the runtime environment")
     c.set_defaults(fn=cmd_doctor)
     return p
@@ -476,6 +489,54 @@ def cmd_lineage(args: argparse.Namespace) -> int:
     for node in tracker.graph.nodes.values():
         print(f"{node.id}\t{node.node_type}\t{node.name}")
     return 0
+
+
+def cmd_stream(args: argparse.Namespace) -> int:
+    """Streaming validation from a landing directory (reference
+    cli_modules/advanced/realtime.py validate command; file source is the
+    broker-free path — swap read_file_stream for read_kafka_stream on a
+    cluster). Drains available files (exactly-once via --checkpoint),
+    prints one JSON line per micro-batch, exit 1 if any batch failed."""
+    import json as _json
+    import time as _time
+
+    from truthound_spark.streaming.sources import read_file_stream
+    from truthound_spark.streaming.validate import validate_stream
+
+    spark = _spark()
+    stream = read_file_stream(spark, args.path, args.schema, format=args.format)
+    failed = [False]
+
+    def on_result(batch_id: int, result) -> None:
+        failed[0] = failed[0] or not result.success
+        print(
+            _json.dumps(
+                {
+                    "batch_id": batch_id,
+                    "rows": result.row_count,
+                    "success": result.success,
+                    "issues": len(result.issues),
+                }
+            ),
+            flush=True,
+        )
+
+    q, _sink = validate_stream(
+        stream,
+        args.validators.split(","),
+        checkpoint_location=args.checkpoint,
+        on_result=on_result,
+        query_name="cli_stream",
+    )
+    try:
+        q.processAllAvailable()
+        deadline = _time.time() + args.follow
+        while _time.time() < deadline:
+            _time.sleep(min(1.0, max(0.0, deadline - _time.time())))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return 1 if failed[0] else 0
 
 
 def cmd_checkpoint(args: argparse.Namespace) -> int:
