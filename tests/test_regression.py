@@ -269,3 +269,65 @@ def test_threshold_sweep_matches_single_metrics_and_is_one_scan(spark):
         .toString()
     )
     assert plan.count("Scan") == 1
+
+
+def test_linreg_grouped_matches_per_group_simple(spark):
+    from truthound_spark.pipeline.regression import linreg_grouped, linreg_simple
+
+    rows = []
+    for g, slope, icept in (("a", 2.0, 1.0), ("b", -0.5, 3.0)):
+        rows += [(g, i / 10, slope * i / 10 + icept) for i in range(1, 30)]
+    rows.append((None, 1.0, 1.0))  # null group, single row → degenerate
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["group"]: r for r in linreg_grouped(df, "x", "y", "g").collect()}
+    for g in ("a", "b"):
+        single = linreg_simple(df.filter(F.col("g") == g), "x", "y").collect()[0]
+        assert out[g]["slope"] == single["slope"]
+        assert out[g]["intercept"] == single["intercept"]
+        assert out[g]["r2"] == single["r2"]
+    assert out["__null__"]["n"] == 1
+    assert out["__null__"]["slope"] is None  # degenerate, not a crash
+
+
+def test_weighted_sample_properties(spark):
+    from truthound_spark.pipeline.export import weighted_sample
+
+    rows = [(i, "heavy" if i % 10 == 0 else "light", 1000 if i % 10 == 0 else 1)
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, kind string, w long")
+
+    out = weighted_sample(df, "w", k=60, key_col="doc_id", seed=0).collect()
+    assert len(out) == 60
+    assert len({r["doc_id"] for r in out}) == 60  # without replacement
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == list(range(1, 61))
+    # 100 heavy rows carry ~99% of the mass → they must dominate the draw
+    heavy = sum(1 for r in out if r["kind"] == "heavy")
+    assert heavy >= 45
+
+    # determinism across partitionings; independence across seeds
+    again = weighted_sample(df.repartition(17), "w", k=60, key_col="doc_id", seed=0).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}
+    other = weighted_sample(df, "w", k=60, key_col="doc_id", seed=1).collect()
+    assert {r["doc_id"] for r in other} != {r["doc_id"] for r in out}
+
+
+def test_weighted_sample_grouped_and_guards(spark):
+    from truthound_spark.pipeline.export import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 3), (i % 7) + 1) for i in range(90)]
+        + [(900, "s0", 0), (901, "s0", None)],  # excluded: zero / null weight
+        "doc_id long, src string, w long",
+    )
+    out = weighted_sample(df, "w", k=4, group_col="src", key_col="doc_id").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], []).append(r["rank"])
+    assert set(by_src) == {"s0", "s1", "s2"}
+    for ranks in by_src.values():
+        assert sorted(ranks) == [1, 2, 3, 4]
+    assert not any(r["doc_id"] in (900, 901) for r in out)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        weighted_sample(df, "w", k=0)

@@ -336,6 +336,8 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "calibration_bins_documents",
     "auc_documents",
     "threshold_sweep_documents",
+    "linreg_grouped_lineitem",
+    "weighted_sample_documents",
 ]
 
 

@@ -11196,3 +11196,91 @@ def q_threshold_sweep_documents(spark, sf_dir):
     return threshold_sweep(
         _eval_scored(spark, sf_dir), "score", "y", [0.2, 0.35, 0.5, 0.65, 0.8]
     ).orderBy("threshold")
+
+
+@register(
+    "linreg_grouped_lineitem",
+    """
+    WITH q AS (
+      SELECT COALESCE(CAST(l_returnflag AS VARCHAR), '__null__') AS "group",
+             CAST(round(l_quantity / 10.0 * 1000) AS BIGINT) AS qx,
+             CAST(round(l_extendedprice / 100000.0 * 1000) AS BIGINT) AS qy
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    g AS (
+      SELECT "group", COUNT(*) AS n, SUM(qx) AS sx, SUM(qy) AS sy,
+             SUM(qx * qy) AS sxy, SUM(qx * qx) AS sxx, SUM(qy * qy) AS syy
+      FROM q GROUP BY 1
+    ),
+    s AS (
+      SELECT "group", n, sx / 1000.0 AS sxd, sy / 1000.0 AS syd,
+             sxy / 1000.0 / 1000.0 AS sxyd,
+             sxx / 1000.0 / 1000.0 AS sxxd,
+             syy / 1000.0 / 1000.0 AS syyd
+      FROM g
+    ),
+    c AS (
+      SELECT "group", n, sxd, syd,
+             n * sxyd - sxd * syd AS covn,
+             n * sxxd - sxd * sxd AS varn,
+             n * syyd - syd * syd AS varyn
+      FROM s
+    )
+    SELECT "group",
+           CAST(n AS BIGINT) AS n,
+           round(covn / NULLIF(varn, 0), 6) AS slope,
+           round((syd - covn / NULLIF(varn, 0) * sxd) / NULLIF(n, 0), 6) AS intercept,
+           round(covn * covn / NULLIF(varn * varyn, 0), 6) AS r2
+    FROM c ORDER BY "group"
+    """,
+)
+def q_linreg_grouped_lineitem(spark, sf_dir):
+    """Per-group trend fit (pipeline/regression.py linreg_grouped): one
+    groupBy carries every return-flag's five fixed-point sufficient
+    statistics — a million series would cost this same single shuffle.
+    Reference timeseries/trend.py fits one driver array per series."""
+    from truthound_spark.pipeline.regression import linreg_grouped
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_quantity") / 10.0).alias("x"),
+        (F.col("l_extendedprice") / 100000.0).alias("y"),
+    )
+    return linreg_grouped(li, "x", "y", "l_returnflag", quant=1000).orderBy("group")
+
+
+@register(
+    "weighted_sample_documents",
+    """
+    WITH b AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             ln((CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 6))
+                      AS BIGINT) + 1.0) / 16777216.0)
+               / CAST(n_chars AS DOUBLE) AS pri
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    top AS (SELECT * FROM b ORDER BY pri DESC, doc_id LIMIT 50)
+    SELECT doc_id, n_chars,
+           round(pri, 6) AS priority,
+           CAST(ROW_NUMBER() OVER (ORDER BY pri DESC, doc_id) AS BIGINT) AS rank
+    FROM top ORDER BY rank
+    """,
+)
+def q_weighted_sample_documents(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (pipeline/
+    export.py weighted_sample — Efraimidis & Spirakis 2006 A-ES):
+    char-mass-weighted 50-doc draw whose selected SET, priorities, and
+    ranks all hash-match the SQL replay (the md5-uniform makes the draw
+    engine-portable). Map-only priorities + TakeOrdered top-k — no full
+    sort at any corpus size."""
+    from truthound_spark.pipeline.export import weighted_sample
+
+    df = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = weighted_sample(df, "n_chars", k=50, key_col="doc_id", seed=0)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round("__priority", 6).alias("priority"),
+        "rank",
+    ).orderBy("rank")

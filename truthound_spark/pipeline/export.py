@@ -616,3 +616,64 @@ def curriculum_order(
         )
         .select("id", "band", "shard", "position")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    group_col: str | None = None,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — Efraimidis &
+    Spirakis 2006 (A-ES): each row draws priority ``ln(u)/w`` with ``u``
+    a cryptographic (seed, key)-derived uniform, and the k highest
+    priorities win; inclusion probability is proportional to weight,
+    no row repeats. THE primitive for "keep 1M documents, quality- (or
+    temperature-) weighted" — plain ``fractions`` sampling can't do
+    without-replacement weighting, and a multinomial draw can't do
+    determinism.
+
+    Determinism: u = (md5(seed:key)[:24 bits]+1)/2^24 — the same
+    engine-portable hash-uniform as ``global_shuffle``, so the selected
+    SET is reproducible across reruns, partitionings, and engines, and a
+    different ``seed`` yields an independent draw.
+
+    Scale: weights/priorities are map-only column math. Global mode
+    ranks via ``orderBy().limit(k)`` (TakeOrdered — per-partition top-k
+    then a k-row merge, never a full sort); grouped mode is a
+    ``row_number`` window that Spark plans as WindowGroupLimit (map-side
+    per-group limit before the shuffle). Rows with NULL or
+    non-positive weight are excluded (zero weight = zero inclusion
+    probability; A-ES priority is undefined there).
+
+    Returns the sampled rows + (__priority, rank), rank 1..k per group
+    (or globally)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.col(weight_col).cast("double")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col(key_col).cast("string"))),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + 1.0) / float(1 << 24)
+    pri = F.log(u) / w
+    base = df.filter(w.isNotNull() & (w > 0)).withColumn("__priority", pri)
+    from pyspark.sql import Window
+
+    if group_col is None:
+        # TakeOrdered path: deterministic (priority, key) order
+        top = base.orderBy(F.desc("__priority"), F.col(key_col)).limit(k)
+        win = Window.orderBy(F.desc("__priority"), F.col(key_col))
+        return top.withColumn("rank", F.row_number().over(win).cast("long"))
+    win = Window.partitionBy(group_col).orderBy(F.desc("__priority"), F.col(key_col))
+    return (
+        base.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

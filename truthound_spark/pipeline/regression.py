@@ -374,3 +374,57 @@ def threshold_sweep(
         F.round(rec, 6).alias("recall"),
         F.round(F.try_divide(2 * prec * rec, prec + rec), 6).alias("f1"),
     )
+
+
+def linreg_grouped(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Per-group simple linear regression — the per-series trend fit at
+    scale (quality drift per source, value trend per entity): the same
+    five fixed-point sufficient statistics as :func:`linreg_simple`, in
+    ONE ``groupBy(group)`` — a million series cost one shuffle keyed on
+    the group, never a loop, never a per-series driver fit (reference
+    ``validators/timeseries/trend.py`` fits one driver array per call).
+
+    Returns (group, n, slope, intercept, r2) — NULL fit columns for
+    degenerate groups (constant x, single row), 6dp-rounded, exact-long
+    sums so every group's fit is deterministic cross-engine."""
+    qx = F.round(F.col(x_col).cast("double") * quant).cast("long")
+    qy = F.round(F.col(y_col).cast("double") * quant).cast("long")
+    grp = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    g = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(grp.alias("group"), qx.alias("qx"), qy.alias("qy"))
+        .groupBy("group")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qx").alias("sx"),
+            F.sum("qy").alias("sy"),
+            F.sum(F.col("qx") * F.col("qy")).alias("sxy"),
+            F.sum(F.col("qx") * F.col("qx")).alias("sxx"),
+            F.sum(F.col("qy") * F.col("qy")).alias("syy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    q = F.lit(float(quant))
+    sx, sy = F.col("sx") / q, F.col("sy") / q
+    sxy = F.col("sxy") / q / q
+    sxx = F.col("sxx") / q / q
+    syy = F.col("syy") / q / q
+    cov_n = n * sxy - sx * sy
+    var_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    slope = F.try_divide(cov_n, var_n)
+    intercept = F.try_divide(sy - slope * sx, n)
+    r2 = F.try_divide(cov_n * cov_n, var_n * vary_n)
+    return g.select(
+        "group",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
