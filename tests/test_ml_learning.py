@@ -628,3 +628,30 @@ def test_profile_grouped_guards(spark):
         profile_grouped(df, "g", max_groups=10)
     with pytest.raises(ValueError, match="non-group"):
         profile_grouped(df.select("g"), "g")
+
+
+def test_holdout_rule_eval_flags_degraded_fd(spark):
+    """An FD that holds on the training half but breaks on the holdout
+    must come back degraded; a stable FD must not."""
+    from truthound_spark.ml import ConstraintMiner, holdout_rule_eval
+
+    rows = []
+    for i in range(200):
+        # stable FD everywhere: k -> stable (k % 5 determines it)
+        # fragile FD: k -> frag holds only on the train half
+        half = i % 2
+        k = i % 20
+        rows.append((i, k, f"s{k % 5}", f"f{k}" if half == 0 else f"f{i}"))
+    df = spark.createDataFrame(rows, "id long, k long, stable string, frag string")
+    train, hold = df.filter("id % 2 = 0"), df.filter("id % 2 = 1")
+    res = ConstraintMiner(
+        min_confidence=0.0, min_support=0.0, discover_value_implications=False
+    ).learn_rules(train, fd_candidates=[("k", "stable"), ("k", "frag")])
+    out = {r["dependent"]: r for r in holdout_rule_eval(res, hold)}
+    assert out["stable"]["trained_confidence"] == 1.0
+    assert out["stable"]["eval_confidence"] == 1.0
+    assert not out["stable"]["degraded"]
+    assert out["frag"]["trained_confidence"] == 1.0
+    assert out["frag"]["eval_confidence"] < 0.5
+    assert out["frag"]["degraded"]
+    assert holdout_rule_eval(res, hold.limit(0))  # empty holdout → conf 0, no crash

@@ -338,6 +338,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "threshold_sweep_documents",
     "linreg_grouped_lineitem",
     "weighted_sample_documents",
+    "holdout_rule_eval_orders",
 ]
 
 

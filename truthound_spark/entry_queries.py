@@ -11284,3 +11284,74 @@ def q_weighted_sample_documents(spark, sf_dir):
         F.round("__priority", 6).alias("priority"),
         "rank",
     ).orderBy("rank")
+
+
+def _fd_conf_sql(where: str, det: str, dep: str) -> str:
+    return (
+        f"(SELECT ROUND(SUM(CASE WHEN u <= 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)"
+        f" FROM (SELECT {det} AS k, COUNT(DISTINCT {dep}) AS u FROM orders"
+        f" WHERE {where} GROUP BY 1))"
+    )
+
+
+@register(
+    "holdout_rule_eval_orders",
+    f"""
+    WITH pairs AS (
+      SELECT 'o_custkey' AS determinant, 'o_orderstatus' AS dependent,
+             {_fd_conf_sql('o_orderkey % 2 = 0', 'o_custkey', 'o_orderstatus')} AS tc,
+             {_fd_conf_sql('o_orderkey % 2 = 1', 'o_custkey', 'o_orderstatus')} AS ec
+      UNION ALL
+      SELECT 'o_custkey', 'o_orderpriority',
+             {_fd_conf_sql('o_orderkey % 2 = 0', 'o_custkey', 'o_orderpriority')},
+             {_fd_conf_sql('o_orderkey % 2 = 1', 'o_custkey', 'o_orderpriority')}
+      UNION ALL
+      SELECT 'o_orderstatus', 'o_orderpriority',
+             {_fd_conf_sql('o_orderkey % 2 = 0', 'o_orderstatus', 'o_orderpriority')},
+             {_fd_conf_sql('o_orderkey % 2 = 1', 'o_orderstatus', 'o_orderpriority')}
+    )
+    SELECT determinant, dependent,
+           tc AS trained_confidence,
+           ec AS eval_confidence,
+           round(tc - ec, 6) AS drop,
+           (tc - ec > 0.02) AS degraded
+    FROM pairs ORDER BY determinant, dependent
+    """,
+)
+def q_holdout_rule_eval_orders(spark, sf_dir):
+    """Holdout rule confirmation (ml/rule_learning.py holdout_rule_eval;
+    reference cli_modules/advanced/quality.py rule-quality reporting):
+    FDs mined on even orderkeys re-measured on odd ones — the
+    did-the-learned-rule-survive gate before enforcing mined suites.
+    Both sides are the same bounded one-groupBy-per-determinant
+    aggregates; the oracle replays train AND eval confidences."""
+    from truthound_spark.ml import ConstraintMiner, holdout_rule_eval
+
+    df = t(spark, sf_dir, "orders")
+    train = df.filter(F.col("o_orderkey") % 2 == 0)
+    res = ConstraintMiner(
+        min_confidence=0.0, min_support=0.0, discover_value_implications=False
+    ).learn_rules(
+        train,
+        fd_candidates=[
+            ("o_custkey", "o_orderstatus"),
+            ("o_custkey", "o_orderpriority"),
+            ("o_orderstatus", "o_orderpriority"),
+        ],
+    )
+    rows = holdout_rule_eval(res, df.filter(F.col("o_orderkey") % 2 == 1))
+    return spark.createDataFrame(
+        [
+            (
+                r["determinant"],
+                r["dependent"],
+                r["trained_confidence"],
+                r["eval_confidence"],
+                r["drop"],
+                r["degraded"],
+            )
+            for r in rows
+        ],
+        "determinant string, dependent string, trained_confidence double,"
+        " eval_confidence double, drop double, degraded boolean",
+    ).orderBy("determinant", "dependent")

@@ -21,6 +21,7 @@ from truthound_spark.ml.monitoring import ModelMonitor, ScoreSummary, summarize_
 from truthound_spark.ml.persistence import ModelRegistry
 from truthound_spark.ml.rule_learning import (
     ConstraintMiner,
+    holdout_rule_eval,
     DataProfileRuleLearner,
     LearnedRule,
     PatternRuleLearner,
@@ -40,6 +41,7 @@ __all__ = [
     "RuleLearningResult",
     "DataProfileRuleLearner",
     "ConstraintMiner",
+    "holdout_rule_eval",
     "PatternRuleLearner",
     "rules_to_suite",
     "ModelRegistry",

@@ -850,3 +850,56 @@ def rules_to_suite(rules: Iterable[LearnedRule]) -> list[object]:
                 )
             )
     return suite
+
+
+def holdout_rule_eval(
+    result: RuleLearningResult,
+    eval_df: DataFrame,
+    tolerance: float = 0.02,
+) -> list[dict[str, Any]]:
+    """Holdout confirmation of mined FD rules — the reference's
+    rule-quality reporting role (cli_modules/advanced/quality.py ranks
+    learned rules by how well they held up): re-measure every trained
+    functional dependency's confidence on data it was NOT mined from,
+    and flag the ones that degraded.
+
+    Same bounded aggregates as mining (one groupBy per determinant over
+    the eval frame — the candidate set is fixed, so cardinality
+    prefilters are skipped and nothing explores); a rule absent from the
+    eval side (empty frame) evaluates to confidence 0.
+
+    Returns one record per trained FD:
+    ``{name, determinant, dependent, trained_confidence,
+    eval_confidence, drop, degraded}`` — ``degraded`` iff the holdout
+    confidence fell more than ``tolerance`` below the trained one."""
+    fd_rules = result.by_type("functional_dependency")
+    if not fd_rules:
+        return []
+    cands = [r.column for r in fd_rules]
+    eval_res = ConstraintMiner(
+        min_confidence=0.0,
+        min_support=0.0,
+        max_rules=max(len(cands), 100),
+        discover_value_implications=False,
+        discover_conditional_rules=False,
+    ).learn_rules(eval_df, fd_candidates=cands)
+    eval_by = {r.name: r for r in eval_res.by_type("functional_dependency")}
+    out: list[dict[str, Any]] = []
+    for r in fd_rules:
+        e = eval_by.get(r.name)
+        ec = e.confidence if e is not None else 0.0
+        det, dep = r.column
+        det = det if isinstance(det, str) else "+".join(det)
+        drop = round(r.confidence - ec, 6)
+        out.append(
+            {
+                "name": r.name,
+                "determinant": det,
+                "dependent": dep,
+                "trained_confidence": round(r.confidence, 6),
+                "eval_confidence": round(ec, 6),
+                "drop": drop,
+                "degraded": drop > tolerance,
+            }
+        )
+    return out
