@@ -331,3 +331,39 @@ def test_weighted_sample_grouped_and_guards(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         weighted_sample(df, "w", k=0)
+
+
+def test_standardize_zero_mean_unit_var_and_constant_null(spark):
+    from truthound_spark.pipeline.regression import standardize
+
+    df = spark.createDataFrame(
+        [(float(i), 7.0) for i in range(100)], "x double, c double"
+    )
+    out = standardize(df, ["x", "c"]).collect()
+    xs = [r["x"] for r in out]
+    assert abs(sum(xs) / len(xs)) < 1e-9
+    assert abs(sum(v * v for v in xs) / len(xs) - 1.0) < 1e-9
+    assert all(r["c"] is None for r in out)  # constant column → NULL, not 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        standardize(df, [])
+
+
+def test_standardize_partitioning_invariant(spark):
+    from truthound_spark.pipeline.regression import standardize
+
+    rows = [(float(i % 31) / 7,) for i in range(300)]
+    a = standardize(spark.createDataFrame(rows, "x double").repartition(1), ["x"]).collect()
+    b = standardize(spark.createDataFrame(rows, "x double").repartition(13), ["x"]).collect()
+    assert sorted(r["x"] for r in a) == sorted(r["x"] for r in b)
+
+
+def test_logreg_l2_shrinks_weights_and_zero_is_identity(spark):
+    df = _toy(spark, 4)
+    _h0, w0 = logreg_train(df, ["x1", "x2"], "y", iters=4, lr=0.1)
+    _hz, wz = logreg_train(df, ["x1", "x2"], "y", iters=4, lr=0.1, l2=0.0)
+    assert w0 == wz  # l2=0 reproduces plain GD bit-identically
+    _hr, wr = logreg_train(df, ["x1", "x2"], "y", iters=4, lr=0.1, l2=1.0)
+    # decayed coefficient norm strictly smaller; bias not decayed
+    assert wr[1] ** 2 + wr[2] ** 2 < w0[1] ** 2 + w0[2] ** 2

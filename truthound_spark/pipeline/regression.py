@@ -40,13 +40,17 @@ def logreg_train(
     iters: int = 3,
     lr: float = 0.5,
     quant: int = 1_000_000,
+    l2: float = 0.0,
 ):
     """Batch-gradient-descent logistic regression, full-corpus, exact.
 
     Weights start at 0 (so iteration 1's sigmoid is exactly 0.5 — no
     transcendental enters until round 2) and update as
 
-        w_j ← w_j − lr · (Σ_i round((σ(w·x_i) − y_i) · x_ij · quant)) / quant / n
+        w_j ← w_j·(1 − lr·l2) − lr · (Σ_i round((σ(w·x_i) − y_i) · x_ij · quant)) / quant / n
+
+    (``l2`` is standard weight decay — the bias is NOT decayed, per
+    convention; 0 disables it and reproduces plain GD exactly.)
 
     The inner sum is a LONG — order-independent, partition-count-
     independent — which is what makes the trajectory reproducible on a
@@ -90,7 +94,8 @@ def logreg_train(
                 raise ValueError("logreg_train: empty input")
             for j in range(len(w)):
                 # mirrors the oracle's CAST(g AS DOUBLE) / quant / n exactly
-                w[j] = w[j] - lr * ((float(row[f"g{j}"]) / float(quant)) / n)
+                decay = 1.0 if (j == 0 or not l2) else (1.0 - lr * l2)
+                w[j] = w[j] * decay - lr * ((float(row[f"g{j}"]) / float(quant)) / n)
             history.append((it, *w))
     finally:
         feats.unpersist()
@@ -428,3 +433,48 @@ def linreg_grouped(
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def standardize(
+    df: DataFrame,
+    cols: list[str],
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Z-score feature standardization in ONE statistics pass: per-column
+    mean/std from exact quantized sums (population σ, the GD-conditioning
+    convention), then a map-only ``(x − μ)/σ`` projection — the
+    preconditioning step in front of :func:`logreg_train` / ``kmeans`` /
+    Mahalanobis-style distances so one wide-range column can't dominate.
+
+    Constant columns (σ = 0) standardize to NULL (try_divide), surfacing
+    the do-not-fit-on-this signal instead of fabricating zeros. Stats
+    are computed once and inlined as literals — the output plan adds NO
+    aggregate, join, or shuffle to the consumer's plan.
+
+    Returns df with each col replaced by its standardized value."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs = []
+    for c in cols:
+        q = F.round(F.col(c).cast("double") * quant).cast("long")
+        aggs += [
+            F.count(F.col(c)).alias(f"n_{c}"),
+            F.sum(q).alias(f"s_{c}"),
+            F.sum(q * q).alias(f"ss_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    out = df
+    for c in cols:
+        n = row[f"n_{c}"]
+        if not n:
+            out = out.withColumn(c, F.lit(None).cast("double"))
+            continue
+        s = float(row[f"s_{c}"]) / float(quant)
+        ss = float(row[f"ss_{c}"]) / float(quant) / float(quant)
+        mean = s / n
+        var = ss / n - mean * mean
+        std = var**0.5 if var > 0 else 0.0
+        out = out.withColumn(
+            c, F.try_divide(F.col(c).cast("double") - F.lit(mean), F.lit(std))
+        )
+    return out
