@@ -11086,7 +11086,7 @@ def q_classifier_eval_metrics_documents(spark, sf_dir):
     + _EVAL_SC
     + """,
     g AS (
-      SELECT LEAST(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+      SELECT GREATEST(LEAST(CAST(floor(score * 10) AS BIGINT), 9), 0) AS bin,
              COUNT(*) AS n,
              SUM(CAST(round(score * 1000000) AS BIGINT)) AS sq,
              SUM(CAST(y AS BIGINT)) AS sy

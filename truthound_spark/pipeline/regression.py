@@ -244,7 +244,9 @@ def calibration_bins(
         raise ValueError(f"bins must be >= 1, got {bins}")
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("double")
-    b = F.least(F.floor(s * bins).cast("long"), F.lit(bins - 1))
+    b = F.greatest(
+        F.least(F.floor(s * bins).cast("long"), F.lit(bins - 1)), F.lit(0)
+    )  # out-of-range scores clamp to the edge bins instead of minting bin -3
     g = (
         df.filter(s.isNotNull() & y.isNotNull())
         .select(
