@@ -47,17 +47,32 @@ def brute_force_topk(
     qi = query_id_col or id_col
     # the q·dim cosine folds per corpus row are the cost — spread a
     # narrow (single-row-group file) scan across the cluster first
+    # norms hoist OUT of the pair loop: each side's ||x|| is computed once
+    # per ROW before the cross join (q·corpus pairs would otherwise fold
+    # every vector's self-product q (resp. n) times — 3× the FLOPs and a
+    # 3×-wider codegen tree). cosine = dot/(na·nb) is the IDENTICAL
+    # arithmetic to cosine_sim — same values bit-for-bit, oracles intact.
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
     corpus = _ensure_parallelism(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
-    )
-    q = queries.select(F.col(qi).alias("query_id"), F.col(qv).cast("array<double>").alias("qv"))
+    ).withColumn("__na", norm(F.col("v")))
+    q = queries.select(
+        F.col(qi).alias("query_id"), F.col(qv).cast("array<double>").alias("qv")
+    ).withColumn("__nb", norm(F.col("qv")))
     joined = corpus.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col("id") != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     scored = joined.select(
         "query_id",
         "id",
-        cosine_sim(F.col("v"), F.col("qv")).alias("cosine"),
+        (dot / (F.col("__na") * F.col("__nb"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
