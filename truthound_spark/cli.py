@@ -434,6 +434,8 @@ def build_parser() -> argparse.ArgumentParser:
     c.set_defaults(fn=cmd_stream)
 
     c = sub.add_parser("doctor", help="diagnose the runtime environment")
+    c.add_argument("--validators", action="store_true",
+                   help="list every registered validator by category")
     c.set_defaults(fn=cmd_doctor)
     return p
 
@@ -589,9 +591,22 @@ def cmd_read(args: argparse.Namespace) -> int:
 
 
 def cmd_doctor(args: argparse.Namespace) -> int:
-    """reference: cli doctor — environment diagnosis."""
+    """reference: cli doctor — environment diagnosis; --validators adds
+    the registry inventory (reference cli_modules/profiler/metadata.py
+    analyzer-listing role)."""
     import importlib
     import os as _os
+
+    if getattr(args, "validators", False):
+        import truthound_spark.validators  # noqa: F401 - populate registry
+        from truthound_spark.core.registry import list_categories, list_validators
+
+        total = len(list_validators())
+        print(f"registered validators: {total}")
+        for cat in list_categories():
+            names = list_validators(cat)
+            print(f"  {cat} ({len(names)}): {', '.join(names)}")
+        return 0
 
     ok = True
     print(f"python: {sys.version.split()[0]}")
