@@ -339,6 +339,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "linreg_grouped_lineitem",
     "weighted_sample_documents",
     "holdout_rule_eval_orders",
+    "model_quality_check_documents",
 ]
 
 

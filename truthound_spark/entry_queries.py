@@ -11355,3 +11355,76 @@ def q_holdout_rule_eval_orders(spark, sf_dir):
         "determinant string, dependent string, trained_confidence double,"
         " eval_confidence double, drop double, degraded boolean",
     ).orderBy("determinant", "dependent")
+
+
+@register(
+    "model_quality_check_documents",
+    "WITH "
+    + _EVAL_SC
+    + """,
+    h AS (
+      SELECT CAST(round(score * 1000000) AS BIGINT) AS q,
+             SUM(CAST(y AS BIGINT)) AS pos,
+             COUNT(*) - SUM(CAST(y AS BIGINT)) AS neg
+      FROM sc WHERE score IS NOT NULL AND y IS NOT NULL GROUP BY 1
+    ),
+    c AS (
+      SELECT pos, neg,
+             SUM(neg) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) AS cum_neg
+      FROM h
+    ),
+    a AS (
+      SELECT round(SUM(pos * (2 * (cum_neg - neg) + neg)) / 2.0
+                   / NULLIF(SUM(pos) * SUM(neg), 0), 6) AS auc
+      FROM c
+    ),
+    g AS (
+      SELECT GREATEST(LEAST(CAST(floor(score * 10) AS BIGINT), 9), 0) AS bin,
+             COUNT(*) AS n,
+             SUM(CAST(round(score * 1000000) AS BIGINT)) AS sq,
+             SUM(CAST(y AS BIGINT)) AS sy
+      FROM sc WHERE score IS NOT NULL AND y IS NOT NULL GROUP BY 1
+    ),
+    gaps AS (
+      SELECT n, round(sq / 1000000.0 / n - sy / CAST(n AS DOUBLE), 6) AS gap
+      FROM g
+    ),
+    bad AS (SELECT * FROM gaps WHERE n >= 30 AND abs(gap) > 0.15)
+    SELECT * FROM (
+      SELECT 'auc' AS validator, 'auc_below_threshold' AS issue_type,
+             CAST(1 AS BIGINT) AS n, (SELECT auc FROM a) AS actual
+      UNION ALL
+      SELECT 'calibration', 'calibration_gap',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM bad),
+             (SELECT gap FROM bad ORDER BY abs(gap) DESC, gap LIMIT 1)
+    ) ORDER BY validator
+    """,
+)
+def q_model_quality_check_documents(spark, sf_dir):
+    """Model-quality gates through the PUBLIC check() path (validators/
+    model_quality.py AucValidator + CalibrationValidator over
+    pipeline/regression.py aggregates): the probe scores genuinely fail
+    both gates on this corpus (AUC ≈ 0.49 — the label is independent of
+    the probe features; 2 deciles out of calibration), and the oracle
+    replays the exact issue counts and actuals — certifying validator
+    WIRING (thresholds, bin guards, worst-gap selection), not just the
+    underlying statistics (those are the auc/calibration slots)."""
+    from truthound_spark.api import check
+    from truthound_spark.validators.model_quality import (
+        AucValidator,
+        CalibrationValidator,
+    )
+
+    res = check(
+        _eval_scored(spark, sf_dir),
+        validators=[
+            AucValidator("score", "y", min_auc=0.6),
+            CalibrationValidator("score", "y", max_gap=0.15, min_bin_n=30),
+        ],
+    )
+    rows = sorted(
+        (i.validator_name, i.issue_type, i.count, float(i.actual)) for i in res.issues
+    )
+    return spark.createDataFrame(
+        rows, "validator string, issue_type string, n long, actual double"
+    ).orderBy("validator")

@@ -17,6 +17,7 @@ from truthound_spark.validators import (  # noqa: F401
     distribution,
     geospatial,
     ml_feature,
+    model_quality,
     multi_column,
     privacy,
     profiling,
