@@ -390,3 +390,85 @@ def cramer_von_mises(
 
 
 _METHODS["cramer_von_mises"] = cramer_von_mises
+
+
+def psi_grouped(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    group_col: str,
+    bins: int = 10,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Per-SEGMENT Population Stability Index — drift per source / day /
+    tenant in a CONSTANT number of passes (the grouped-one-pass design
+    of profile_grouped/check_grouped applied to drift): a per-day loop
+    over plain :func:`psi` costs 3 jobs × N segments; this costs one
+    range aggregate + one histogram aggregate per side + group-sized
+    joins, for ANY number of segments.
+
+    Semantics per group mirror :func:`psi` exactly: bin edges from the
+    group's BASELINE range, clamped fixed-width bins, Σ (p−q)·ln((p+ε)/
+    (q+ε)). Per-group terms quantize to 1e-9 longs before the final sum
+    (order-independent, engine-portable). Groups absent from the current
+    side score against all-zero q (maximal drift — the disappeared-
+    segment signal); groups absent from the BASELINE have no edges and
+    are reported with NULL psi rather than invented bins.
+
+    Returns (group, psi, drifted) — fully relational, nothing collected;
+    the only shuffles are keyed on (group) or (group, bin)."""
+    grp = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    rng = (
+        baseline.select(grp.alias("group"), F.col(column).alias("__x"))
+        .filter(F.col("__x").isNotNull())
+        .groupBy("group")
+        .agg(F.min("__x").alias("__lo"), F.max("__x").alias("__hi"))
+    )
+    width = F.when(
+        F.col("__hi") > F.col("__lo"), (F.col("__hi") - F.col("__lo")) / bins
+    ).otherwise(F.lit(1.0))
+
+    def binned(df: DataFrame, alias: str) -> DataFrame:
+        d = df.select(grp.alias("group"), F.col(column).alias("__x")).filter(
+            F.col("__x").isNotNull()
+        )
+        j = d.join(F.broadcast(rng), "group")
+        b = F.least(
+            F.greatest(F.floor((F.col("__x") - F.col("__lo")) / width), F.lit(0)),
+            F.lit(bins - 1),
+        )
+        return j.groupBy("group", b.alias("bin")).agg(
+            F.count(F.lit(1)).alias(alias)
+        )
+
+    pb, qb = binned(baseline, "pn"), binned(current, "qn")
+    cells = pb.join(qb, ["group", "bin"], "full").select(
+        "group",
+        "bin",
+        F.coalesce("pn", F.lit(0)).alias("pn"),
+        F.coalesce("qn", F.lit(0)).alias("qn"),
+    )
+    tots = cells.groupBy("group").agg(
+        F.sum("pn").alias("__tp"), F.sum("qn").alias("__tq")
+    )
+    p = F.coalesce(F.try_divide(F.col("pn"), F.col("__tp")), F.lit(0.0))
+    q = F.coalesce(F.try_divide(F.col("qn"), F.col("__tq")), F.lit(0.0))
+    term = F.round(
+        (p - q) * F.log((p + F.lit(EPS)) / (q + F.lit(EPS))) * 1_000_000_000
+    ).cast("long")
+    out = (
+        cells.join(F.broadcast(tots), "group")
+        .groupBy("group")
+        .agg(F.round(F.sum(term) / 1_000_000_000, 6).alias("psi"))
+        .select("group", "psi", (F.col("psi") > threshold).alias("drifted"))
+    )
+    # baseline-absent groups: report NULL psi (no edges to bin against)
+    cur_groups = (
+        current.select(grp.alias("group")).distinct().join(rng, "group", "left_anti")
+    )
+    missing = cur_groups.select(
+        "group",
+        F.lit(None).cast("double").alias("psi"),
+        F.lit(None).cast("boolean").alias("drifted"),
+    )
+    return out.unionByName(missing)

@@ -340,6 +340,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "weighted_sample_documents",
     "holdout_rule_eval_orders",
     "model_quality_check_documents",
+    "psi_grouped_events",
 ]
 
 

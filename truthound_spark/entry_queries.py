@@ -11428,3 +11428,77 @@ def q_model_quality_check_documents(spark, sf_dir):
     return spark.createDataFrame(
         rows, "validator string, issue_type string, n long, actual double"
     ).orderBy("validator")
+
+
+@register(
+    "psi_grouped_events",
+    """
+    WITH b AS (
+      SELECT COALESCE(CAST(event_type AS VARCHAR), '__null__') AS g, value AS x
+      FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL
+    ),
+    c AS (
+      SELECT COALESCE(CAST(event_type AS VARCHAR), '__null__') AS g, value AS x
+      FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL
+    ),
+    rng AS (SELECT g, MIN(x) AS lo, MAX(x) AS hi FROM b GROUP BY 1),
+    pb AS (
+      SELECT b.g,
+             LEAST(GREATEST(floor((b.x - r.lo)
+               / (CASE WHEN r.hi > r.lo THEN (r.hi - r.lo) / 10 ELSE 1.0 END)),
+               0), 9) AS bin,
+             COUNT(*) AS pn
+      FROM b JOIN rng r ON b.g = r.g GROUP BY 1, 2
+    ),
+    qb AS (
+      SELECT c.g,
+             LEAST(GREATEST(floor((c.x - r.lo)
+               / (CASE WHEN r.hi > r.lo THEN (r.hi - r.lo) / 10 ELSE 1.0 END)),
+               0), 9) AS bin,
+             COUNT(*) AS qn
+      FROM c JOIN rng r ON c.g = r.g GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT COALESCE(pb.g, qb.g) AS g, COALESCE(pb.bin, qb.bin) AS bin,
+             COALESCE(pn, 0) AS pn, COALESCE(qn, 0) AS qn
+      FROM pb FULL JOIN qb ON pb.g = qb.g AND pb.bin = qb.bin
+    ),
+    tots AS (SELECT g, SUM(pn) AS tp, SUM(qn) AS tq FROM cells GROUP BY 1),
+    terms AS (
+      SELECT cells.g,
+             CAST(round(
+               (COALESCE(pn / CAST(tp AS DOUBLE), 0.0)
+                  - COALESCE(qn / CAST(tq AS DOUBLE), 0.0))
+               * ln((COALESCE(pn / CAST(tp AS DOUBLE), 0.0) + 1e-10)
+                    / (COALESCE(qn / CAST(tq AS DOUBLE), 0.0) + 1e-10))
+               * 1000000000) AS BIGINT) AS t
+      FROM cells JOIN tots ON cells.g = tots.g
+    ),
+    agg AS (SELECT g, round(SUM(t) / 1000000000.0, 6) AS psi FROM terms GROUP BY 1)
+    SELECT * FROM (
+      SELECT g AS "group", psi, psi > 0.1 AS drifted FROM agg
+      UNION ALL
+      SELECT g, CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
+      FROM (SELECT DISTINCT g FROM c) cg
+      WHERE g NOT IN (SELECT g FROM rng)
+    ) ORDER BY "group"
+    """,
+)
+def q_psi_grouped_events(spark, sf_dir):
+    """Per-segment drift (drift/detectors.py psi_grouped): PSI per
+    event_type between the even/odd event halves — N segments cost ONE
+    range aggregate + one histogram aggregate per side (the
+    grouped-one-pass design applied to drift; a per-segment psi() loop
+    would cost 3 jobs × N). Quantized 1e-9 long terms; per-group edges
+    from the segment's own baseline range."""
+    from truthound_spark.drift.detectors import psi_grouped
+
+    ev = t(spark, sf_dir, "events")
+    return psi_grouped(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "value",
+        "event_type",
+        bins=10,
+        threshold=0.1,
+    ).orderBy("group")
