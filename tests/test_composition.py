@@ -113,3 +113,32 @@ def test_composition_top_n_plan_has_no_global_window_over_groups(spark):
         .toString()
     )
     assert "GlobalLimit" in plan or "Limit" in plan
+
+
+def test_corpus_card_end_to_end(spark):
+    from truthound_spark.pipeline.report import corpus_card, render_corpus_card
+
+    rows = [
+        (i, f"the quick brown fox {i % 4}", ["en", "es"][i % 2], f"src{i % 3}")
+        for i in range(60)
+    ]
+    rows.append((60, None, "en", "src0"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    card = corpus_card(df)
+    assert card["docs"] == 61 and card["null_text"] == 1
+    assert card["tokens_est"] > 0 and card["chars"] > 0
+    # 60 docs over 4 distinct texts → 56 excess copies
+    assert card["exact_dup_ratio"] == round(56 / 60, 6)
+    assert {r["group"] for r in card["by_language"]} == {"en", "es"}
+    assert card["source_concentration"]["n_groups"] == 3
+    md = render_corpus_card(card)
+    assert "# Corpus card" in md and "| src0 |" in md and "Exact-duplicate" in md
+
+
+def test_corpus_card_skips_missing_grouping_columns(spark):
+    from truthound_spark.pipeline.report import corpus_card
+
+    df = spark.createDataFrame([(0, "hello world")], "doc_id long, text string")
+    card = corpus_card(df)
+    assert "by_source" not in card and "by_language" not in card
+    assert card["docs"] == 1

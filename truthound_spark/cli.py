@@ -433,6 +433,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="keep polling this long (0 = drain once and exit)")
     c.set_defaults(fn=cmd_stream)
 
+    c = sub.add_parser("card", help="corpus datasheet: size/tokens/composition/dup mass/quality")
+    c.add_argument("path")
+    c.add_argument("--text-col", default="text")
+    c.add_argument("--lang-col", default="lang")
+    c.add_argument("--source-col", default="source")
+    c.add_argument("--output", help="write markdown here (default: stdout)")
+    c.add_argument("--json", action="store_true", help="emit the raw dict as JSON")
+    c.set_defaults(fn=cmd_card)
+
     c = sub.add_parser("doctor", help="diagnose the runtime environment")
     c.add_argument("--validators", action="store_true",
                    help="list every registered validator by category")
@@ -587,6 +596,32 @@ def cmd_read(args: argparse.Namespace) -> int:
     for f_ in df.schema.fields:
         print(f"  {f_.name}: {f_.dataType.simpleString()}")
     df.show(args.n, truncate=80)
+    return 0
+
+
+def cmd_card(args: argparse.Namespace) -> int:
+    """Corpus datasheet (pipeline/report.py corpus_card) — the data-card
+    markdown published next to exported shards."""
+    import json as _json
+
+    from truthound_spark.pipeline.report import corpus_card, render_corpus_card
+
+    df = _load(_spark(), args.path)
+    card = corpus_card(
+        df,
+        text_col=args.text_col,
+        lang_col=args.lang_col,
+        source_col=args.source_col,
+    )
+    out = _json.dumps(card, indent=2) if args.json else render_corpus_card(
+        card, title=f"Corpus card — {args.path.rsplit('/', 1)[-1]}"
+    )
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(out)
+        print(f"wrote {args.output}")
+    else:
+        print(out)
     return 0
 
 

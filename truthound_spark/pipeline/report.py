@@ -210,3 +210,127 @@ def concentration_report(
         )
     )
     return out
+
+
+def corpus_card(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = "lang",
+    source_col: str | None = "source",
+    top_sources: int = 10,
+) -> dict:
+    """One-call corpus datasheet (Gebru et al. '21 "Datasheets for
+    Datasets", the corpus-level sections) — the summary a training run's
+    data card starts from: size, token budget, composition,
+    concentration, exact-duplicate mass, quality quantiles.
+
+    Cost is bounded and stated: one size/quality aggregate, one
+    fingerprint groupBy (exact-dup mass), one composition groupBy per
+    grouping column, one concentration aggregate — each map-side
+    partial, none corpus-wide sorted. Reuses the certified operators
+    (corpus_composition / concentration_report / fingerprint counts), so
+    every number on the card has an oracle-backed twin.
+
+    Returns a plain dict (json-ready); render with
+    :func:`render_corpus_card`."""
+    from pyspark.sql import functions as F
+
+    from truthound_spark.pipeline.text import (
+        bpe_ish_token_count,
+        fingerprint_documents,
+        quality_score,
+    )
+
+    size = df.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.length(text_col)).alias("chars"),
+        F.sum(F.coalesce(bpe_ish_token_count(F.col(text_col)), F.lit(0))).alias(
+            "tokens_est"
+        ),
+        F.sum(F.col(text_col).isNull().cast("long")).alias("null_text"),
+    ).collect()[0]
+    qq = (
+        quality_score(df.filter(F.col(text_col).isNotNull()), text_col)
+        .agg(
+            F.percentile_approx(
+                "quality_score", [0.1, 0.5, 0.9], 10_000
+            ).alias("q")
+        )
+        .collect()[0]["q"]
+    )
+    dup = (
+        fingerprint_documents(df.filter(F.col(text_col).isNotNull()), text_col)
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum("n").alias("docs"),
+            F.sum(F.col("n") - 1).alias("excess"),
+        )
+        .collect()[0]
+    )
+    card: dict = {
+        "docs": int(size["docs"]),
+        "chars": int(size["chars"] or 0),
+        "tokens_est": int(size["tokens_est"] or 0),
+        "null_text": int(size["null_text"] or 0),
+        "quality_p10_p50_p90": [round(float(x), 4) for x in (qq or [])],
+        "exact_dup_ratio": (
+            round(int(dup["excess"] or 0) / int(dup["docs"]), 6)
+            if dup["docs"]
+            else 0.0
+        ),
+    }
+    for label, col in (("source", source_col), ("language", lang_col)):
+        if col is None or col not in df.columns:
+            continue
+        comp = corpus_composition(df, col, weight_col=None, top_n=top_sources)
+        card[f"by_{label}"] = [
+            {
+                "group": r["group"],
+                "n_docs": int(r["n_docs"]),
+                "doc_share": float(r["doc_share"]),
+            }
+            for r in comp.collect()
+        ]
+        conc = concentration_report(df, col).collect()[0]
+        card[f"{label}_concentration"] = {
+            "n_groups": int(conc["n_groups"]),
+            "hhi": float(conc["hhi"]),
+            "effective_groups": float(conc["effective_groups"]),
+            "entropy_bits": float(conc["entropy_bits"]),
+            "top1_share": float(conc["top1_share"]),
+        }
+    return card
+
+
+def render_corpus_card(card: dict, title: str = "Corpus card") -> str:
+    """Markdown rendering of :func:`corpus_card` — publishable next to
+    the exported shards."""
+    lines = [f"# {title}", ""]
+    lines.append(f"- **Documents**: {card['docs']:,} ({card['null_text']:,} null-text)")
+    lines.append(f"- **Characters**: {card['chars']:,}")
+    lines.append(f"- **Tokens (BPE-ish estimate)**: {card['tokens_est']:,}")
+    if card.get("quality_p10_p50_p90"):
+        p10, p50, p90 = card["quality_p10_p50_p90"]
+        lines.append(f"- **Quality score** p10/p50/p90: {p10} / {p50} / {p90}")
+    lines.append(f"- **Exact-duplicate mass**: {card['exact_dup_ratio']:.2%}")
+    for label in ("source", "language"):
+        rows = card.get(f"by_{label}")
+        if not rows:
+            continue
+        conc = card[f"{label}_concentration"]
+        lines += [
+            "",
+            f"## By {label} "
+            f"({conc['n_groups']} groups, effective {conc['effective_groups']:.1f}, "
+            f"top-1 {conc['top1_share']:.1%}, {conc['entropy_bits']:.2f} bits)",
+            "",
+            "| group | docs | share |",
+            "|---|---|---|",
+        ]
+        for r in rows:
+            lines.append(
+                f"| {r['group']} | {r['n_docs']:,} | {r['doc_share']:.2%} |"
+            )
+    return "\n".join(lines) + "\n"
