@@ -243,3 +243,88 @@ def test_bpe_train_matches_reference_on_random_corpora(spark, texts, rounds):
         for r in bpe_train(df, rounds=rounds).orderBy("round").collect()
     ]
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# ROC-AUC: histogram rank-sum == brute-force pairwise probability
+# ---------------------------------------------------------------------------
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=100),  # score in %
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_auc_binned_matches_pairwise_probability(spark, pairs):
+    from truthound_spark.pipeline.regression import auc_binned
+
+    rows = [(s / 100.0, 1.0 if y else 0.0) for s, y in pairs]
+    pos = [s for s, y in rows if y == 1.0]
+    neg = [s for s, y in rows if y == 0.0]
+    df = spark.createDataFrame(rows, "score double, y double")
+    r = auc_binned(df, "score", "y").collect()[0]
+    if not pos or not neg:
+        assert r["auc"] is None
+        return
+    expect = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg
+    ) / (len(pos) * len(neg))
+    assert r["auc"] == round(expect, 6)
+
+
+# ---------------------------------------------------------------------------
+# Composition: shares are exact ratios; cum_share monotone; totals conserved
+# ---------------------------------------------------------------------------
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abcdef"), st.integers(min_value=0, max_value=500)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_corpus_composition_share_algebra(spark, rows):
+    from truthound_spark.pipeline.report import corpus_composition
+
+    df = spark.createDataFrame(
+        [(i, g, w) for i, (g, w) in enumerate(rows)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = corpus_composition(df, "source", weight_col="n_chars").collect()
+    assert sum(r["n_docs"] for r in out) == len(rows)
+    assert sum(r["weight"] for r in out) == sum(w for _g, w in rows)
+    cums = [r["cum_share"] for r in out]
+    assert cums == sorted(cums)
+    for r in out:
+        tot = sum(w for _g, w in rows)
+        if tot:
+            expect = sum(w for g, w in rows if g == r["group"]) / tot
+            assert abs(r["weight_share"] - expect) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling: zero weights never selected; k >= n keeps everything
+# positive; determinism under re-run
+# ---------------------------------------------------------------------------
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=30),
+    st.integers(min_value=1, max_value=40),
+)
+def test_weighted_sample_selection_laws(spark, weights, k):
+    from truthound_spark.pipeline.export import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "doc_id long, w long"
+    )
+    out = weighted_sample(df, "w", k=k, key_col="doc_id").collect()
+    positive = [i for i, w in enumerate(weights) if w > 0]
+    assert len(out) == min(k, len(positive))
+    ids = {r["doc_id"] for r in out}
+    assert all(weights[i] > 0 for i in ids)
+    again = {r["doc_id"] for r in weighted_sample(df, "w", k=k, key_col="doc_id").collect()}
+    assert again == ids

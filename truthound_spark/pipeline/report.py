@@ -115,12 +115,17 @@ def corpus_composition(
             "group",
             "n_docs",
             "weight",
-            F.round(F.col("n_docs") / F.col("__td"), 6).alias("doc_share"),
-            F.round(F.col("weight") / F.col("__tw"), 6).alias("weight_share"),
+            F.round(F.try_divide(F.col("n_docs"), F.col("__td")), 6).alias("doc_share"),
+            F.round(F.try_divide(F.col("weight"), F.col("__tw")), 6).alias(
+                "weight_share"
+            ),
             F.round(
-                F.sum("weight")
-                .over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-                / F.col("__tw"),
+                F.try_divide(
+                    F.sum("weight").over(
+                        win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                    ),
+                    F.col("__tw"),
+                ),
                 6,
             ).alias("cum_share"),
             F.col("rank").cast("long").alias("rank"),
@@ -140,12 +145,12 @@ def corpus_composition(
             F.lit("__other__").alias("group"),
             (F.col("__td") - F.col("__hd")).alias("n_docs"),
             (F.col("__tw") - F.col("__hw")).alias("weight"),
-            F.round((F.col("__td") - F.col("__hd")) / F.col("__td"), 6).alias(
-                "doc_share"
-            ),
-            F.round((F.col("__tw") - F.col("__hw")) / F.col("__tw"), 6).alias(
-                "weight_share"
-            ),
+            F.round(
+                F.try_divide(F.col("__td") - F.col("__hd"), F.col("__td")), 6
+            ).alias("doc_share"),
+            F.round(
+                F.try_divide(F.col("__tw") - F.col("__hw"), F.col("__tw")), 6
+            ).alias("weight_share"),
             F.lit(1.0).alias("cum_share"),
             (F.col("__nh") + 1).cast("long").alias("rank"),
         )
@@ -185,7 +190,7 @@ def concentration_report(
         F.sum("__w").alias("weight")
     )
     tot = g.agg(F.sum("weight").alias("__tw"))
-    share = F.col("weight") / F.col("__tw")
+    share = F.try_divide(F.col("weight"), F.col("__tw"))  # all-zero mass -> NULL report, not a crash
     q = 1_000_000_000
     hhi_term = F.round(share * share * q).cast("long")
     ent_term = F.when(
@@ -198,13 +203,13 @@ def concentration_report(
             F.max("__tw").cast("long").alias("total_weight"),
             (F.sum(hhi_term) / q).alias("__hhi"),
             F.round(F.sum(ent_term) / q, 6).alias("entropy_bits"),
-            F.round(F.max("weight") / F.max("__tw"), 6).alias("top1_share"),
+            F.round(F.try_divide(F.max("weight"), F.max("__tw")), 6).alias("top1_share"),
         )
         .select(
             "n_groups",
             "total_weight",
             F.round("__hhi", 6).alias("hhi"),
-            F.round(F.lit(1.0) / F.col("__hhi"), 6).alias("effective_groups"),
+            F.round(F.try_divide(F.lit(1.0), F.col("__hhi")), 6).alias("effective_groups"),
             "entropy_bits",
             "top1_share",
         )
