@@ -328,3 +328,35 @@ def test_weighted_sample_selection_laws(spark, weights, k):
     assert all(weights[i] > 0 for i in ids)
     again = {r["doc_id"] for r in weighted_sample(df, "w", k=k, key_col="doc_id").collect()}
     assert again == ids
+
+
+# ---------------------------------------------------------------------------
+# Threshold sweep: tp+fn is the constant positive count; tp/fp monotone
+# nonincreasing as the threshold rises
+# ---------------------------------------------------------------------------
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=100), st.booleans()),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_threshold_sweep_confusion_invariants(spark, pairs):
+    from truthound_spark.pipeline.regression import threshold_sweep
+
+    rows = [(s / 100.0, 1.0 if y else 0.0) for s, y in pairs]
+    df = spark.createDataFrame(rows, "score double, y double")
+    out = sorted(
+        threshold_sweep(df, "score", "y", [0.25, 0.5, 0.75]).collect(),
+        key=lambda r: r["threshold"],
+    )
+    n_pos = sum(1 for _s, y in rows if y == 1.0)
+    n_neg = len(rows) - n_pos
+    for r in out:
+        assert r["tp"] + r["fn"] == n_pos
+        assert r["fp"] + r["tn"] == n_neg
+    tps = [r["tp"] for r in out]
+    fps = [r["fp"] for r in out]
+    assert tps == sorted(tps, reverse=True)
+    assert fps == sorted(fps, reverse=True)
