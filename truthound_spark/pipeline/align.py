@@ -159,7 +159,7 @@ def mine_hard_negatives(
     top-k rows.
 
     Returns (query_id, id, cosine, rank), rank 1-based per query."""
-    from truthound_spark.pipeline.dedup import cosine_sim
+    from truthound_spark.pipeline.dedup import cosine_pair, l2_norm
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -176,8 +176,15 @@ def mine_hard_negatives(
         F.col(id_col).cast("long").alias("id"),
     )
     scored = (
-        c.crossJoin(F.broadcast(q))
-        .select("query_id", "id", cosine_sim(F.col("v"), F.col("qv")).alias("cosine"))
+        c.withColumn("__na", l2_norm(F.col("v")))
+        .crossJoin(F.broadcast(q.withColumn("__nb", l2_norm(F.col("qv")))))
+        .select(
+            "query_id",
+            "id",
+            cosine_pair(F.col("v"), F.col("qv"), F.col("__na"), F.col("__nb")).alias(
+                "cosine"
+            ),
+        )
         .join(F.broadcast(pos), ["query_id", "id"], "left_anti")
     )
     if min_cosine is not None:

@@ -14,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from truthound_spark.pipeline.dedup import _ensure_parallelism, cosine_sim
+from truthound_spark.pipeline.dedup import (
+    _ensure_parallelism,
+    cosine_pair,
+    cosine_sim,
+    l2_norm,
+)
 
 
 def brute_force_topk(
@@ -52,27 +57,21 @@ def brute_force_topk(
     # every vector's self-product q (resp. n) times — 3× the FLOPs and a
     # 3×-wider codegen tree). cosine = dot/(na·nb) is the IDENTICAL
     # arithmetic to cosine_sim — same values bit-for-bit, oracles intact.
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v)
-    )
     corpus = _ensure_parallelism(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
-    ).withColumn("__na", norm(F.col("v")))
+    ).withColumn("__na", l2_norm(F.col("v")))
     q = queries.select(
         F.col(qi).alias("query_id"), F.col(qv).cast("array<double>").alias("qv")
-    ).withColumn("__nb", norm(F.col("qv")))
+    ).withColumn("__nb", l2_norm(F.col("qv")))
     joined = corpus.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col("id") != F.col("query_id"))
-    dot = F.aggregate(
-        F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     scored = joined.select(
         "query_id",
         "id",
-        (dot / (F.col("__na") * F.col("__nb"))).alias("cosine"),
+        cosine_pair(F.col("v"), F.col("qv"), F.col("__na"), F.col("__nb")).alias(
+            "cosine"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -159,8 +158,17 @@ def lsh_topk(
         q = q.select(
             "query_id", "qv", F.explode(probes).alias("bucket")
         )
-    scored = corpus.join(F.broadcast(q), "bucket").filter(F.col("id") != F.col("query_id")).select(
-        "query_id", "id", cosine_sim(F.col("v"), F.col("qv")).alias("cosine")
+    scored = (
+        corpus.withColumn("__na", l2_norm(F.col("v")))
+        .join(F.broadcast(q.withColumn("__nb", l2_norm(F.col("qv")))), "bucket")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "id",
+            cosine_pair(F.col("v"), F.col("qv"), F.col("__na"), F.col("__nb")).alias(
+                "cosine"
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -306,9 +314,16 @@ def ivf_seeded_topk(
         .select("query_id", "qv", "cell")
     )
     scored = (
-        assigned.join(F.broadcast(probes), "cell")
+        assigned.withColumn("__na", l2_norm(F.col("v")))
+        .join(F.broadcast(probes.withColumn("__nb", l2_norm(F.col("qv")))), "cell")
         .filter(F.col("id") != F.col("query_id"))
-        .select("query_id", "id", cosine_sim(F.col("v"), F.col("qv")).alias("cosine"))
+        .select(
+            "query_id",
+            "id",
+            cosine_pair(F.col("v"), F.col("qv"), F.col("__na"), F.col("__nb")).alias(
+                "cosine"
+            ),
+        )
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("id"))
     return scored.withColumn("rank", F.row_number().over(wk)).filter(F.col("rank") <= k)
@@ -493,9 +508,16 @@ def ivf_search_index(
         .select("id", "v", F.col("cell").cast("long").alias("cell"))
     )
     scored = (
-        corpus.join(F.broadcast(probes), "cell")
+        corpus.withColumn("__na", l2_norm(F.col("v")))
+        .join(F.broadcast(probes.withColumn("__nb", l2_norm(F.col("qv")))), "cell")
         .filter(F.col("id") != F.col("query_id"))
-        .select("query_id", "id", cosine_sim(F.col("v"), F.col("qv")).alias("cosine"))
+        .select(
+            "query_id",
+            "id",
+            cosine_pair(F.col("v"), F.col("qv"), F.col("__na"), F.col("__nb")).alias(
+                "cosine"
+            ),
+        )
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("id"))
     return scored.withColumn("rank", F.row_number().over(wk)).filter(F.col("rank") <= k)
