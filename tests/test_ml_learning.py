@@ -655,3 +655,64 @@ def test_holdout_rule_eval_flags_degraded_fd(spark):
     assert out["frag"]["eval_confidence"] < 0.5
     assert out["frag"]["degraded"]
     assert holdout_rule_eval(res, hold.limit(0))  # empty holdout → conf 0, no crash
+
+
+def test_holdout_rule_eval_composite_fd(spark):
+    """Review r7: composite determinants flatten into LearnedRule.column —
+    holdout eval must rebuild ((a, b), y) candidates, not crash."""
+    from truthound_spark.ml import ConstraintMiner, holdout_rule_eval
+
+    rows = [(i, i % 5, i % 7, f"v{(i % 5, i % 7)}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, a long, b long, y string")
+    res = ConstraintMiner(
+        min_confidence=0.0, min_support=0.0, discover_value_implications=False
+    ).learn_rules(df.filter("id % 2 = 0"), fd_candidates=[(("a", "b"), "y")])
+    out = holdout_rule_eval(res, df.filter("id % 2 = 1"))
+    assert len(out) == 1
+    assert out[0]["determinant"] == "a+b"
+    assert out[0]["eval_confidence"] == 1.0 and not out[0]["degraded"]
+
+
+def test_fd_support_is_row_coverage_not_confidence(spark):
+    """Review r7: FD support must be the covered-ROW fraction."""
+    from truthound_spark.ml import ConstraintMiner
+
+    # k=0 group (100 rows) single-valued; k=1 group (10 rows) two-valued
+    rows = [(i, 0, "same") for i in range(100)] + [
+        (100 + i, 1, f"d{i % 2}") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "id long, k long, y string")
+    res = ConstraintMiner(
+        min_confidence=0.0, min_support=0.0, discover_value_implications=False
+    ).learn_rules(df, fd_candidates=[("k", "y")])
+    r = res.by_type("functional_dependency")[0]
+    assert r.confidence == 0.5  # 1 of 2 groups single-valued
+    assert abs(r.support - 100 / 110) < 1e-9  # but 91% of ROWS covered
+
+
+def test_rules_to_suite_range_rule_passes_on_training_corpus(spark):
+    """Review r7: p05-p95 range rules must re-enter check() with mostly
+    slack — the mined suite may not flag the corpus it was mined from."""
+    from truthound_spark.api import check
+    from truthound_spark.ml import DataProfileRuleLearner
+    from truthound_spark.ml.rule_learning import rules_to_suite
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1000)], "x double"
+    )
+    res = DataProfileRuleLearner(strictness="medium").learn_rules(df)
+    suite = rules_to_suite(res.rules)
+    assert suite
+    out = check(df, validators=suite)
+    assert out.success, [i.to_dict() for i in out.issues]
+
+
+def test_profile_rules_quoted_identifiers(spark):
+    """Review r7: percentile expr must survive columns needing backticks."""
+    from truthound_spark.ml import DataProfileRuleLearner
+
+    df = spark.createDataFrame(
+        [(float(i), float(i)) for i in range(100)], ["order count", "from"]
+    )
+    res = DataProfileRuleLearner(strictness="medium").learn_rules(df)
+    assert res.rules  # no ParseException

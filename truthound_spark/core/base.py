@@ -211,6 +211,20 @@ class Validator:
         return out
 
 
+def pct_agg(column, q, approx: bool = False, accuracy: int = 10_000):
+    """Percentile aggregate via the COLUMN API — never SQL-string
+    interpolation (review r7: a column named "order count" or "from"
+    inside an F.expr percentile string raises ParseException)."""
+    col = F.col(column) if isinstance(column, str) else column
+    if isinstance(q, (list, tuple)):
+        qq = F.array(*[F.lit(float(x)) for x in q])
+    else:
+        qq = F.lit(float(q))
+    if approx:
+        return F.percentile_approx(col, qq, F.lit(accuracy))
+    return F.percentile(col, qq)
+
+
 def violation_count(predicate: Column) -> Column:
     """Aggregate: number of rows where predicate holds (Spark-side fused)."""
     return F.sum(F.when(predicate, F.lit(1)).otherwise(F.lit(0)))

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from truthound_spark.core.base import NUMERIC_TYPES, Validator, columns_of_type
+from truthound_spark.core.base import NUMERIC_TYPES, Validator, columns_of_type, pct_agg
 from truthound_spark.core.registry import register_validator
 from truthound_spark.core.results import ValidationIssue
 from truthound_spark.drift import detectors
@@ -218,11 +218,9 @@ class QuantileDriftValidator(Validator):
         issues = []
         for c in cols:
             qb = self.baseline.agg(
-                F.expr(f"percentile_approx({c}, {self.q}, 10000)").alias("q")
+                pct_agg(c, self.q, approx=True).alias("q")
             ).collect()[0]["q"]
-            qc = df.agg(
-                F.expr(f"percentile_approx({c}, {self.q}, 10000)").alias("q")
-            ).collect()[0]["q"]
+            qc = df.agg(pct_agg(c, self.q, approx=True).alias("q")).collect()[0]["q"]
             if qb is None or qc is None:
                 continue
             rel = abs(qc - qb) / (abs(qb) + detectors.EPS)

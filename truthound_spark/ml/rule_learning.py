@@ -36,7 +36,12 @@ from typing import Any, Iterable
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from truthound_spark.core.base import NUMERIC_TYPES, STRING_TYPES
+from truthound_spark.core.base import (
+    NUMERIC_TYPES,
+    STRING_TYPES,
+    Validator,
+    pct_agg,
+)
 
 # ---------------------------------------------------------------------------
 # result containers (reference ml/rule_learning/base.py LearnedRule)
@@ -135,10 +140,9 @@ class DataProfileRuleLearner:
         ]
         pcts: dict[str, list[float]] = {}
         if numeric and self.strictness != "loose":
-            pfn = "percentile_approx" if self.approx else "percentile"
             row = df.agg(
                 *[
-                    F.expr(f"{pfn}({c}, array(0.01, 0.05, 0.95, 0.99))").alias(c)
+                    pct_agg(c, [0.01, 0.05, 0.95, 0.99], self.approx).alias(c)
                     for c in numeric
                 ]
             ).collect()[0]
@@ -403,12 +407,22 @@ class ConstraintMiner:
         rules: list[LearnedRule] = []
         for xs, deps in sorted(by_det.items()):
             grouped = df.groupBy(*xs).agg(
-                *[F.countDistinct(F.col(y)).alias(f"__u_{y}") for y in deps]
+                F.count(F.lit(1)).alias("__n"),
+                *[F.countDistinct(F.col(y)).alias(f"__u_{y}") for y in deps],
             )
             stat = grouped.agg(
                 F.count(F.lit(1)).alias("__groups"),
                 *[
                     F.sum((F.col(f"__u_{y}") <= 1).cast("long")).alias(f"__s_{y}")
+                    for y in deps
+                ],
+                *[
+                    # support = fraction of ROWS living in single-valued
+                    # groups (review r7: support==confidence made the
+                    # min_support gate vacuous for FDs)
+                    F.sum(
+                        F.when(F.col(f"__u_{y}") <= 1, F.col("__n")).otherwise(0)
+                    ).alias(f"__r_{y}")
                     for y in deps
                 ],
             ).collect()[0]
@@ -420,6 +434,7 @@ class ConstraintMiner:
                 if total_groups == 0:
                     continue
                 confidence = single / total_groups
+                support = (int(stat[f"__r_{y}"] or 0) / n_rows) if n_rows else 0.0
                 rules.append(
                     LearnedRule(
                         name=f"fd_{x_label}_to_{y}",
@@ -428,7 +443,7 @@ class ConstraintMiner:
                         condition=(
                             f"({x_cond}) -> {y}" if len(xs) > 1 else f"{x_cond} -> {y}"
                         ),
-                        support=confidence,
+                        support=support,
                         confidence=confidence,
                         validator_config={
                             "determinant": xs[0] if len(xs) == 1 else list(xs),
@@ -742,6 +757,43 @@ class PatternRuleLearner:
 # ---------------------------------------------------------------------------
 
 
+class MostlyWrapped(Validator):
+    """Tolerance adapter: enforce any spec-based validator at its MINED
+    confidence/coverage — pass while the violation share stays ≤
+    1 − mostly (review r7: a p05–p95 range rule enforced strictly is
+    guaranteed to flag ~10% of the corpus it was mined from). Delegates
+    ``specs`` and swaps each spec's judge for the ratio tolerance; works
+    for every count-style validator without touching its class."""
+
+    def __init__(self, inner: object, mostly: float) -> None:
+        self.inner = inner
+        self.mostly = float(mostly)
+
+    def specs(self, df: DataFrame) -> list:
+        import dataclasses
+
+        mostly = self.mostly
+
+        def make_judge(spec):
+            def judge(m):
+                denom = m.get("denom") or 0
+                count = int(m.get("count") or 0)
+                ok = 1.0 - (count / denom) if denom else 1.0
+                return (
+                    ok >= mostly,
+                    count,
+                    f"{count}/{denom} {spec.issue_type}"
+                    f" ({1 - ok:.2%} > {1 - mostly:.2%} allowed)",
+                )
+
+            return judge
+
+        return [
+            dataclasses.replace(sp, judge=make_judge(sp))
+            for sp in self.inner.specs(df)
+        ]
+
+
 def rules_to_suite(rules: Iterable[LearnedRule]) -> list[object]:
     """LearnedRule records → validator instances (reference RuleLearner
     emits validator_config dicts for the same mapping). FD / implication
@@ -782,13 +834,17 @@ def rules_to_suite(rules: Iterable[LearnedRule]) -> list[object]:
                     )
                 )
         elif r.rule_type in ("range", "min_value"):
-            suite.append(
-                RangeValidator(
-                    cfg["columns"][0],
-                    cfg.get("min_value"),
-                    cfg.get("max_value"),
-                )
+            v: object = RangeValidator(
+                cfg["columns"][0],
+                cfg.get("min_value"),
+                cfg.get("max_value"),
             )
+            # range rules mined from percentile bounds EXPECT tail mass
+            # outside (support carries the coverage: 0.9 at medium)
+            tol = min(r.support, r.confidence)
+            if tol < 1.0:
+                v = MostlyWrapped(v, max(0.0, tol - 0.005))
+            suite.append(v)
         elif r.rule_type == "length":
             suite.append(
                 LengthValidator(
@@ -798,7 +854,10 @@ def rules_to_suite(rules: Iterable[LearnedRule]) -> list[object]:
                 )
             )
         elif r.rule_type == "regex":
-            suite.append(RegexValidator(cfg["columns"][0], cfg["pattern"]))
+            rv: object = RegexValidator(cfg["columns"][0], cfg["pattern"])
+            if r.confidence < 1.0:  # pattern admitted at coverage ≥ 0.9
+                rv = MostlyWrapped(rv, max(0.0, r.confidence - 0.005))
+            suite.append(rv)
         elif r.rule_type == "functional_dependency":
             suite.append(
                 FunctionalDependencyValidator(cfg["determinant"], cfg["dependent"])
@@ -875,11 +934,20 @@ def holdout_rule_eval(
     fd_rules = result.by_type("functional_dependency")
     if not fd_rules:
         return []
-    cands = [r.column for r in fd_rules]
+    # LearnedRule.column flattens composite determinants into (*xs, y) —
+    # rebuild the (determinant, dependent) candidate shape (review r7)
+    cands = []
+    for r in fd_rules:
+        *xs, dep = r.column
+        cands.append((xs[0] if len(xs) == 1 else tuple(xs), dep))
     eval_res = ConstraintMiner(
         min_confidence=0.0,
         min_support=0.0,
         max_rules=max(len(cands), 100),
+        # fixed candidate set → the high-cardinality prefilter must NOT
+        # silently drop a trained FD on the eval side (it would read as
+        # degraded); the determinant was already admitted at train time
+        max_determinant_card=2**62,
         discover_value_implications=False,
         discover_conditional_rules=False,
     ).learn_rules(eval_df, fd_candidates=cands)
@@ -888,8 +956,8 @@ def holdout_rule_eval(
     for r in fd_rules:
         e = eval_by.get(r.name)
         ec = e.confidence if e is not None else 0.0
-        det, dep = r.column
-        det = det if isinstance(det, str) else "+".join(det)
+        *xs, dep = r.column
+        det = xs[0] if len(xs) == 1 else "+".join(xs)
         drop = round(r.confidence - ec, 6)
         out.append(
             {

@@ -144,8 +144,13 @@ def linreg_simple(
     (n, slope, intercept, r2) rounded to 6 decimals.
 
     Scale: one scan, map-side partials, 5 longs to the driver. The
-    quantized cross-sums bound: |x·y|·quant·n must stay < 2^63 —
-    rescale features (as the entry does) for wide-range columns.
+    quantized cross-sums bound: |x·y|·quant²·n must stay < 2^63 (the
+    per-row term is (x·quant)·(y·quant)) — at the default quant=1e6,
+    unit-scale data overflows around ~9M rows, so at corpus scale
+    RESCALE the features toward O(1) and LOWER quant (the lineitem
+    entry uses quant=1e3 on decascaled features: exact to 1e-3 feature
+    resolution with ~1.7e12-row headroom). Overflow raises under ANSI
+    mode rather than corrupting silently.
     """
     qx = F.round(F.col(x_col).cast("double") * quant).cast("long")
     qy = F.round(F.col(y_col).cast("double") * quant).cast("long")
@@ -196,7 +201,9 @@ def classification_metrics(
     caller's row count if they care). Map-side partials, O(1) result."""
     y = F.col(label_col).cast("double")
     pred = (F.col(score_col) >= threshold).cast("int")
-    ok = F.col(score_col).isNotNull() & y.isNotNull()
+    # restrict to the binary label domain: a stray label=2 would count in
+    # n_scored but in NO confusion cell (silently deflating accuracy)
+    ok = F.col(score_col).isNotNull() & y.isin(0.0, 1.0)
     g = df.filter(ok).agg(
         F.count(F.lit(1)).alias("n_scored"),
         F.sum(((y == 1.0) & (pred == 1)).cast("long")).alias("tp"),
@@ -248,7 +255,7 @@ def calibration_bins(
         F.least(F.floor(s * bins).cast("long"), F.lit(bins - 1)), F.lit(0)
     )  # out-of-range scores clamp to the edge bins instead of minting bin -3
     g = (
-        df.filter(s.isNotNull() & y.isNotNull())
+        df.filter(s.isNotNull() & y.isin(0.0, 1.0))
         .select(
             b.alias("bin"),
             F.round(s * 1_000_000).cast("long").alias("__q"),
@@ -294,7 +301,7 @@ def auc_binned(
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("double")
     g = (
-        df.filter(s.isNotNull() & y.isNotNull())
+        df.filter(s.isNotNull() & y.isin(0.0, 1.0))
         .select(F.round(s * quant).cast("long").alias("q"), y.cast("long").alias("__y"))
         .groupBy("q")
         .agg(
@@ -345,7 +352,7 @@ def threshold_sweep(
         raise ValueError("thresholds must be non-empty")
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("double")
-    base = df.filter(s.isNotNull() & y.isNotNull())
+    base = df.filter(s.isNotNull() & y.isin(0.0, 1.0))
     aggs = []
     for i, t in enumerate(ts):
         pred = s >= t
@@ -452,6 +459,9 @@ def standardize(
     the do-not-fit-on-this signal instead of fabricating zeros. Stats
     are computed once and inlined as literals — the output plan adds NO
     aggregate, join, or shuffle to the consumer's plan.
+
+    Bound: the Σq² term is |x|²·quant²·n < 2^63 — lower ``quant`` for
+    wide-range columns or huge corpora (ANSI raises on overflow).
 
     Returns df with each col replaced by its standardized value."""
     if not cols:

@@ -220,7 +220,6 @@ def concentration_report(
 def corpus_card(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     lang_col: str | None = "lang",
     source_col: str | None = "source",
     top_sources: int = 10,
@@ -299,6 +298,8 @@ def corpus_card(
             for r in comp.collect()
         ]
         conc = concentration_report(df, col).collect()[0]
+        if conc["hhi"] is None:  # empty corpus → no concentration to report
+            continue
         card[f"{label}_concentration"] = {
             "n_groups": int(conc["n_groups"]),
             "hhi": float(conc["hhi"]),
@@ -322,9 +323,9 @@ def render_corpus_card(card: dict, title: str = "Corpus card") -> str:
     lines.append(f"- **Exact-duplicate mass**: {card['exact_dup_ratio']:.2%}")
     for label in ("source", "language"):
         rows = card.get(f"by_{label}")
-        if not rows:
+        conc = card.get(f"{label}_concentration")
+        if not rows or conc is None:
             continue
-        conc = card[f"{label}_concentration"]
         lines += [
             "",
             f"## By {label} "

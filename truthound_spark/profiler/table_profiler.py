@@ -17,7 +17,12 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from truthound_spark.core.base import DATETIME_TYPES, NUMERIC_TYPES, STRING_TYPES
+from truthound_spark.core.base import (
+    DATETIME_TYPES,
+    NUMERIC_TYPES,
+    STRING_TYPES,
+    pct_agg,
+)
 
 
 @dataclass
@@ -72,7 +77,7 @@ def _stat_aggs(fields, approx: bool):
         if approx
         else (lambda c: F.countDistinct(F.col(c)).alias(f"{c}__nu"))
     )
-    pfn = "percentile_approx" if approx else "percentile"
+
     for f_ in fields:
         c = f_.name
         aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
@@ -87,7 +92,7 @@ def _stat_aggs(fields, approx: bool):
                     F.stddev(c).alias(f"{c}__std"),
                     F.skewness(c).alias(f"{c}__skew"),
                     F.kurtosis(c).alias(f"{c}__kurt"),
-                    F.expr(f"{pfn}({c}, array(0.25, 0.5, 0.75))").alias(f"{c}__q"),
+                    pct_agg(c, [0.25, 0.5, 0.75], approx).alias(f"{c}__q"),
                 ]
             )
         elif isinstance(f_.dataType, STRING_TYPES):

@@ -12,7 +12,7 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from truthound_spark.core.base import ExpressionSpec, Validator, violation_count
+from truthound_spark.core.base import ExpressionSpec, Validator, pct_agg, violation_count
 from truthound_spark.core.registry import register_validator
 
 
@@ -66,7 +66,7 @@ class MedianBetweenValidator(_ScalarAggValidator):
     metric = "median"
 
     def _agg(self) -> Column:
-        return F.expr(f"percentile({self.column}, 0.5)")
+        return pct_agg(self.column, 0.5)
 
 
 @register_validator("std_between", category="aggregate")

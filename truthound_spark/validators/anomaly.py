@@ -15,7 +15,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from truthound_spark.core.base import NUMERIC_TYPES, Validator, violation_count
+from truthound_spark.core.base import NUMERIC_TYPES, Validator, pct_agg, violation_count
 from truthound_spark.core.registry import register_validator
 from truthound_spark.core.results import ValidationIssue
 from truthound_spark.types import Severity, severity_from_ratio
@@ -36,13 +36,14 @@ class MADAnomalyValidator(Validator):
         self.approx = approx
 
     def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
-        pfn = "percentile_approx" if self.approx else "percentile"
-        med = df.agg(F.expr(f"{pfn}({self.column}, 0.5)").alias("m")).collect()[0]["m"]
+        med = df.agg(
+            pct_agg(self.column, 0.5, self.approx).alias("m")
+        ).collect()[0]["m"]
         if med is None:
             return []
         mad = (
             df.select(F.abs(F.col(self.column) - med).alias("__ad"))
-            .agg(F.expr(f"{pfn}(__ad, 0.5)").alias("mad"))
+            .agg(pct_agg("__ad", 0.5, self.approx).alias("mad"))
             .collect()[0]["mad"]
         )
         if not mad:
@@ -103,8 +104,8 @@ class PercentileAnomalyValidator(Validator):
     def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
         pfn = "percentile_approx" if self.approx else "percentile"
         row = df.agg(
-            F.expr(f"{pfn}({self.column}, {self.lower})").alias("lo"),
-            F.expr(f"{pfn}({self.column}, {self.upper})").alias("hi"),
+            pct_agg(self.column, self.lower, self.approx).alias("lo"),
+            pct_agg(self.column, self.upper, self.approx).alias("hi"),
         ).collect()[0]
         lo, hi = row["lo"], row["hi"]
         if lo is None or hi is None:

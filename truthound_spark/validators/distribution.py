@@ -17,6 +17,7 @@ from truthound_spark.core.base import (
     NUMERIC_TYPES,
     ExpressionSpec,
     Validator,
+    pct_agg,
     violation_count,
 )
 from truthound_spark.core.registry import register_validator
@@ -139,11 +140,10 @@ class IQROutlierValidator(Validator):
         cols = self._target_columns(df, self.columns, NUMERIC_TYPES)
         if not cols:
             return []
-        pfn = "percentile_approx" if self.approx else "percentile"
         aggs = []
         for c in cols:
-            aggs.append(F.expr(f"{pfn}({c}, 0.25)").alias(f"{c}__q1"))
-            aggs.append(F.expr(f"{pfn}({c}, 0.75)").alias(f"{c}__q3"))
+            aggs.append(pct_agg(c, 0.25, self.approx).alias(f"{c}__q1"))
+            aggs.append(pct_agg(c, 0.75, self.approx).alias(f"{c}__q3"))
         fences = df.agg(*aggs).collect()[0].asDict()
         counts = []
         preds = {}
@@ -264,7 +264,7 @@ class QuantileValidator(Validator):
                 name="quantile",
                 issue_type="quantile_out_of_range",
                 column=self.column,
-                extra_exprs={"quantile": F.expr(f"{pfn}({self.column}, {self.q})")},
+                extra_exprs={"quantile": pct_agg(self.column, self.q, self.approx)},
                 expected=f"quantile({self.q}) in [{lo},{hi}]",
                 judge=judge,
             )

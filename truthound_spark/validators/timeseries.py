@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from truthound_spark.core.base import Validator
+from truthound_spark.core.base import Validator, pct_agg
 from truthound_spark.core.registry import register_validator
 from truthound_spark.core.results import ValidationIssue
 from truthound_spark.types import Severity, severity_from_ratio
@@ -393,7 +393,9 @@ class TrendBreakValidator(Validator):
 
     def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
         mid = df.agg(
-            F.expr(f"percentile_approx(cast({self.time_column} as double), 0.5, 10000)").alias("m")
+            pct_agg(
+                F.col(self.time_column).cast("double"), 0.5, approx=True
+            ).alias("m")
         ).collect()[0]["m"]
         if mid is None:
             return []
