@@ -716,3 +716,48 @@ def test_profile_rules_quoted_identifiers(spark):
     )
     res = DataProfileRuleLearner(strictness="medium").learn_rules(df)
     assert res.rules  # no ParseException
+
+
+def test_value_implications_fused_matches_bruteforce(spark):
+    """Review r7: the grouping-sets fused implication miner must produce
+    the same rules a per-pair brute force finds."""
+    from truthound_spark.ml import ConstraintMiner
+
+    rows = []
+    for i in range(300):
+        a = f"a{i % 3}"
+        b = f"b{i % 3}" if i % 10 else "bX"  # a=>b at 90%
+        c = f"c{i % 4}"
+        rows.append((i, a, b, c))
+    df = spark.createDataFrame(rows, "id long, a string, b string, c string")
+    res = ConstraintMiner(
+        min_confidence=0.85,
+        min_support=0.05,
+        max_rules=1000,
+        discover_functional_deps=False,
+        discover_conditional_rules=False,
+    ).learn_rules(df)
+    got = {
+        (r.validator_config["condition_column"],
+         r.validator_config["condition_value"],
+         r.validator_config["expected_column"],
+         r.validator_config["expected_value"]): (round(r.confidence, 6), round(r.support, 6))
+        for r in res.by_type("value_implication")
+    }
+    # brute force in python
+    from collections import Counter
+
+    data = {"a": [r[1] for r in rows], "b": [r[2] for r in rows], "c": [r[3] for r in rows]}
+    expect = {}
+    n = len(rows)
+    for x in data:
+        for y in data:
+            if x == y:
+                continue
+            pair = Counter(zip(data[x], data[y]))
+            xt = Counter(data[x])
+            for (xv, yv), cnt in pair.items():
+                conf, supp = cnt / xt[xv], cnt / n
+                if conf >= 0.85 and supp >= 0.05:
+                    expect[(x, xv, y, yv)] = (round(conf, 6), round(supp, 6))
+    assert got == expect

@@ -463,28 +463,50 @@ class ConstraintMiner:
         the confidence/support gates reach the driver, capped at
         ``max_implication_rows``."""
         rules: list[LearnedRule] = []
-        pairs = [
-            (x, y)
-            for x in cats
-            for y in cats
-            if x != y
-        ]
-        for x, y in pairs:
-            w = Window.partitionBy(x)
+        for x in cats:
+            ys = [y for y in cats if y != x]
+            if not ys:
+                continue
+            # ONE grouping-sets aggregate per determinant covers (x) and
+            # every (x, y) — K jobs for K categoricals instead of K²
+            # separate groupBy+window jobs (review r7). grouping_id bit i
+            # (first listed column = highest bit) is 1 iff that column is
+            # aggregated away in the row's set.
+            cols_order = [x] + ys
+            k = len(ys)
+            full = (1 << (k + 1)) - 1
+            bit = {c: 1 << (k - i) for i, c in enumerate(cols_order)}
+            gid_x = full & ~bit[x]
+            g = (
+                df.where(F.col(x).isNotNull())
+                .groupingSets(
+                    [[F.col(x)]] + [[F.col(x), F.col(y)] for y in ys],
+                    *[F.col(c) for c in cols_order],
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("__c"),
+                    F.grouping_id().alias("__gid"),
+                )
+            )
+            tot = g.where(F.col("__gid") == gid_x).select(
+                F.col(x).alias("__xv"), F.col("__c").alias("__xt")
+            )
+            w = Window.partitionBy("__gid").orderBy(
+                F.desc("__c"), *[F.col(c).cast("string") for c in cols_order]
+            )
             mined = (
-                df.groupBy(x, y)
-                .agg(F.count(F.lit(1)).alias("__c"))
-                .withColumn("__xt", F.sum("__c").over(w))
+                g.where(F.col("__gid") != gid_x)
+                .join(F.broadcast(tot), F.col(x) == F.col("__xv"))
                 .where(
                     (F.col("__c") / F.col("__xt") >= self.min_confidence)
                     & (F.col("__c") / F.lit(n_rows) >= self.min_support)
-                    & F.col(x).isNotNull()
                 )
-                .orderBy(F.desc("__c"))
-                .limit(self.max_implication_rows)
+                .withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= self.max_implication_rows)
                 .collect()
             )
             for r in mined:
+                y = next(c for c in ys if not r["__gid"] & bit[c])
                 x_val, y_val = r[x], r[y]
                 conf = r["__c"] / r["__xt"]
                 supp = r["__c"] / n_rows
