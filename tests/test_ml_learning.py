@@ -761,3 +761,19 @@ def test_value_implications_fused_matches_bruteforce(spark):
                 if conf >= 0.85 and supp >= 0.05:
                     expect[(x, xv, y, yv)] = (round(conf, 6), round(supp, 6))
     assert got == expect
+
+
+def test_rules_to_suite_regex_rule_passes_on_training_corpus(spark):
+    """Review r7 (regex arm): a pattern admitted at coverage ≥ 0.9 must
+    re-enter check() with mostly slack."""
+    from truthound_spark.api import check
+    from truthound_spark.ml import PatternRuleLearner
+    from truthound_spark.ml.rule_learning import rules_to_suite
+
+    rows = [(f"AB-{i:04d}",) for i in range(95)] + [("oddball",)] * 5
+    df = spark.createDataFrame(rows, "code string")
+    res = PatternRuleLearner(min_coverage=0.9).learn_rules(df)
+    regex_rules = [r for r in res.rules if r.rule_type == "regex"]
+    assert regex_rules and regex_rules[0].confidence < 1.0
+    out = check(df, validators=rules_to_suite(regex_rules))
+    assert out.success, [i.to_dict() for i in out.issues]
