@@ -46,6 +46,14 @@ def validator_to_dict(v: Any) -> dict[str, Any]:
     """Instance → {"validator": name, "params": {...}} via constructor
     introspection. Raises for validators holding non-serializable state
     (e.g. a reference DataFrame) — those are runtime-only by nature."""
+    from truthound_spark.ml.rule_learning import MostlyWrapped
+
+    if isinstance(v, MostlyWrapped):
+        # tolerance adapter around a registered validator: serialize the
+        # inner validator + the mostly level, re-wrap on load
+        d = validator_to_dict(v.inner)
+        d["mostly_wrap"] = v.mostly
+        return d
     cls = type(v)
     name = _registry_name(cls)
     if name is None:
@@ -94,7 +102,12 @@ def validator_to_dict(v: Any) -> dict[str, Any]:
 
 def validator_from_dict(d: dict[str, Any]) -> Any:
     cls = get_validator(d["validator"])
-    return cls(**(d.get("params") or {}))
+    v = cls(**(d.get("params") or {}))
+    if d.get("mostly_wrap") is not None:
+        from truthound_spark.ml.rule_learning import MostlyWrapped
+
+        return MostlyWrapped(v, float(d["mostly_wrap"]))
+    return v
 
 
 @dataclass
