@@ -341,6 +341,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "holdout_rule_eval_orders",
     "model_quality_check_documents",
     "psi_grouped_events",
+    "weighted_sample_grouped_documents",
 ]
 
 

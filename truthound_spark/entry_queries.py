@@ -11502,3 +11502,44 @@ def q_psi_grouped_events(spark, sf_dir):
         bins=10,
         threshold=0.1,
     ).orderBy("group")
+
+
+@register(
+    "weighted_sample_grouped_documents",
+    """
+    WITH b AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(source AS VARCHAR) AS source,
+             CAST(n_chars AS BIGINT) AS n_chars,
+             ln((CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 6))
+                      AS BIGINT) + 1.0) / 16777216.0)
+               / CAST(n_chars AS DOUBLE) AS pri
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    r AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+                  PARTITION BY source ORDER BY pri DESC, doc_id
+                ) AS BIGINT) AS rank
+      FROM b
+    )
+    SELECT doc_id, source, n_chars, round(pri, 6) AS priority, rank
+    FROM r WHERE rank <= 3 ORDER BY source, rank
+    """,
+)
+def q_weighted_sample_grouped_documents(spark, sf_dir):
+    """Per-stratum A-ES weighted sampling (pipeline/export.py
+    weighted_sample grouped mode): 3 char-mass-weighted draws per source,
+    rank filter planned as WindowGroupLimit (map-side per-group top-k
+    before the shuffle). Set, priorities, and ranks hash-match the SQL
+    replay — certifying the grouped path the global slot doesn't touch."""
+    from truthound_spark.pipeline.export import weighted_sample
+
+    df = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = weighted_sample(df, "n_chars", k=3, group_col="source", key_col="doc_id")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source").cast("string").alias("source"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round("__priority", 6).alias("priority"),
+        "rank",
+    ).orderBy("source", "rank")
