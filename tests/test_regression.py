@@ -367,3 +367,25 @@ def test_logreg_l2_shrinks_weights_and_zero_is_identity(spark):
     _hr, wr = logreg_train(df, ["x1", "x2"], "y", iters=4, lr=0.1, l2=1.0)
     # decayed coefficient norm strictly smaller; bias not decayed
     assert wr[1] ** 2 + wr[2] ** 2 < w0[1] ** 2 + w0[2] ** 2
+
+
+def test_auc_grouped_matches_per_group_auc_binned(spark):
+    from truthound_spark.pipeline.regression import auc_binned, auc_grouped
+
+    rows = []
+    for i in range(400):
+        g = ["a", "b"][i % 2]
+        y = 1.0 if i % 3 == 0 else 0.0
+        s = (0.6 if y else 0.3) + (i % 7) * 0.02 if g == "a" else (i % 10) / 10.0
+        rows.append((round(s, 3), y, g))
+    rows.append((0.9, 1.0, "single"))  # single-class segment
+    df = spark.createDataFrame(rows, "score double, y double, g string")
+    grouped = {r["group"]: r for r in auc_grouped(df, "score", "y", "g").collect()}
+    for g in ("a", "b"):
+        single = auc_binned(df.filter(F.col("g") == g), "score", "y").collect()[0]
+        assert grouped[g]["auc"] == single["auc"], g
+        assert (grouped[g]["n_pos"], grouped[g]["n_neg"]) == (
+            single["n_pos"], single["n_neg"],
+        )
+    assert grouped["single"]["auc"] is None  # undefined, loud
+    assert grouped["a"]["auc"] > grouped["b"]["auc"]  # a separates, b is noise

@@ -342,6 +342,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "model_quality_check_documents",
     "psi_grouped_events",
     "weighted_sample_grouped_documents",
+    "auc_grouped_documents",
 ]
 
 

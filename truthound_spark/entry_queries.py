@@ -11543,3 +11543,71 @@ def q_weighted_sample_grouped_documents(spark, sf_dir):
         F.round("__priority", 6).alias("priority"),
         "rank",
     ).orderBy("source", "rank")
+
+
+@register(
+    "auc_grouped_documents",
+    "WITH "
+    + _EVAL_SC.replace(
+        "SELECT f.id,", "SELECT f.id, f.lang,"
+    ).replace(
+        """             f.y AS y
+      FROM f""",
+        """             f.y AS y
+      FROM f""",
+    ).replace(
+        "f AS (\n      SELECT CAST(doc_id AS BIGINT) AS id,",
+        "f AS (\n      SELECT CAST(doc_id AS BIGINT) AS id, lang,",
+    )
+    + """,
+    h AS (
+      SELECT COALESCE(CAST(lang AS VARCHAR), '__null__') AS "group",
+             CAST(round(score * 1000000) AS BIGINT) AS q,
+             SUM(CAST(y AS BIGINT)) AS pos,
+             COUNT(*) - SUM(CAST(y AS BIGINT)) AS neg
+      FROM sc WHERE score IS NOT NULL AND y IN (0.0, 1.0)
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT "group", pos, neg,
+             SUM(neg) OVER (PARTITION BY "group" ORDER BY q
+                            ROWS UNBOUNDED PRECEDING) AS cum_neg
+      FROM h
+    )
+    SELECT "group",
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg,
+           round(SUM(pos * (2 * (cum_neg - neg) + neg)) / 2.0
+                 / NULLIF(SUM(pos) * SUM(neg), 0), 6) AS auc
+    FROM c GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_auc_grouped_documents(spark, sf_dir):
+    """Per-segment ROC-AUC (pipeline/regression.py auc_grouped): the
+    probe classifier's separation measured per LANGUAGE in one pass —
+    the fairness gate that catches a model working only on the dominant
+    segment. Same quantized-histogram Mann-Whitney as auc_documents;
+    the cumulative window partitions by group over histogram rows only.
+    'en' segments are single-class here (the label IS lang='en') →
+    NULL auc, certifying the loud-undefined contract cross-engine."""
+    from truthound_spark.pipeline.regression import auc_grouped, logreg_score
+
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & F.col("lang").isNotNull()
+    )
+    feats = d.select(
+        "lang",
+        (F.col("n_chars") / 1000.0).alias("x1"),
+        (
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            )
+            / 100.0
+        ).alias("x2"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    scored = logreg_score(feats, ["x1", "x2"], [-1.1, 2.0, 1.0])
+    return auc_grouped(scored, "score", "y", "lang").orderBy("group")
