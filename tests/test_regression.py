@@ -389,3 +389,22 @@ def test_auc_grouped_matches_per_group_auc_binned(spark):
         )
     assert grouped["single"]["auc"] is None  # undefined, loud
     assert grouped["a"]["auc"] > grouped["b"]["auc"]  # a separates, b is noise
+
+
+def test_calibration_grouped_matches_per_group(spark):
+    from truthound_spark.pipeline.regression import calibration_bins, calibration_grouped
+
+    rows = []
+    for i in range(300):
+        g = ["a", "b"][i % 2]
+        s = round((i % 10) / 10 + 0.05, 3)
+        y = 1.0 if (i % 10) / 10 > (0.4 if g == "a" else 0.7) else 0.0
+        rows.append((s, y, g))
+    df = spark.createDataFrame(rows, "score double, y double, g string")
+    grouped = {(r["group"], r["bin"]): r for r in calibration_grouped(df, "score", "y", "g").collect()}
+    for g in ("a", "b"):
+        for r in calibration_bins(df.filter(F.col("g") == g), "score", "y").collect():
+            gr = grouped[(g, r["bin"])]
+            assert (gr["n"], gr["mean_score"], gr["frac_positive"], gr["gap"]) == (
+                r["n"], r["mean_score"], r["frac_positive"], r["gap"]
+            ), (g, r["bin"])

@@ -343,6 +343,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "psi_grouped_events",
     "weighted_sample_grouped_documents",
     "auc_grouped_documents",
+    "calibration_grouped_documents",
 ]
 
 

@@ -11611,3 +11611,58 @@ def q_auc_grouped_documents(spark, sf_dir):
     )
     scored = logreg_score(feats, ["x1", "x2"], [-1.1, 2.0, 1.0])
     return auc_grouped(scored, "score", "y", "lang").orderBy("group")
+
+
+@register(
+    "calibration_grouped_documents",
+    "WITH "
+    + _EVAL_SC.replace(
+        "f AS (\n      SELECT CAST(doc_id AS BIGINT) AS id,",
+        "f AS (\n      SELECT CAST(doc_id AS BIGINT) AS id, lang,",
+    ).replace("SELECT f.id,", "SELECT f.id, f.lang,")
+    + """,
+    g AS (
+      SELECT COALESCE(CAST(lang AS VARCHAR), '__null__') AS "group",
+             GREATEST(LEAST(CAST(floor(score * 10) AS BIGINT), 9), 0) AS bin,
+             COUNT(*) AS n,
+             SUM(CAST(round(score * 1000000) AS BIGINT)) AS sq,
+             SUM(CAST(y AS BIGINT)) AS sy
+      FROM sc WHERE score IS NOT NULL AND y IN (0.0, 1.0)
+      GROUP BY 1, 2
+    )
+    SELECT "group", bin,
+           round(bin / 10.0, 6) AS bin_lo,
+           CAST(n AS BIGINT) AS n,
+           round(sq / 1000000.0 / n, 6) AS mean_score,
+           round(sy / CAST(n AS DOUBLE), 6) AS frac_positive,
+           round(sq / 1000000.0 / n - sy / CAST(n AS DOUBLE), 6) AS gap
+    FROM g ORDER BY "group", bin
+    """,
+)
+def q_calibration_grouped_documents(spark, sf_dir):
+    """Per-language reliability diagram (pipeline/regression.py
+    calibration_grouped): the probe's calibration per segment in one
+    groupBy(group, decile) — a score calibrated on the majority language
+    can be over-confident on a minority one; this is the audit that
+    catches it before score-gated mixing."""
+    from truthound_spark.pipeline.regression import calibration_grouped, logreg_score
+
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & F.col("lang").isNotNull()
+    )
+    feats = d.select(
+        "lang",
+        (F.col("n_chars") / 1000.0).alias("x1"),
+        (
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            )
+            / 100.0
+        ).alias("x2"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    scored = logreg_score(feats, ["x1", "x2"], [-1.1, 2.0, 1.0])
+    return calibration_grouped(scored, "score", "y", "lang").orderBy("group", "bin")

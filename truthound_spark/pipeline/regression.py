@@ -552,3 +552,53 @@ def auc_grouped(
             F.try_divide(F.col("__u2") / 2.0, F.col("n_pos") * F.col("n_neg")), 6
         ).alias("auc"),
     )
+
+
+def calibration_grouped(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Per-SEGMENT reliability diagram — completes the segment-eval trio
+    (psi_grouped drift, auc_grouped separation, this calibration): a
+    score can be calibrated globally while wildly over-confident on one
+    source. One groupBy(group, bin) of quantized-long sums; output is
+    (groups × bins)-sized, nothing corpus-scale after the aggregate.
+
+    Returns (group, bin, bin_lo, n, mean_score, frac_positive, gap)."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    grp = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    b = F.greatest(
+        F.least(F.floor(s * bins).cast("long"), F.lit(bins - 1)), F.lit(0)
+    )
+    g = (
+        df.filter(s.isNotNull() & y.isin(0.0, 1.0))
+        .select(
+            grp.alias("group"),
+            b.alias("bin"),
+            F.round(s * 1_000_000).cast("long").alias("__q"),
+            y.cast("long").alias("__y"),
+        )
+        .groupBy("group", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__q").alias("__sq"),
+            F.sum("__y").alias("__sy"),
+        )
+    )
+    mean_score = F.col("__sq") / 1_000_000.0 / F.col("n")
+    frac_pos = F.col("__sy") / F.col("n")
+    return g.select(
+        "group",
+        "bin",
+        F.round(F.col("bin") / bins, 6).alias("bin_lo"),
+        "n",
+        F.round(mean_score, 6).alias("mean_score"),
+        F.round(frac_pos, 6).alias("frac_positive"),
+        F.round(mean_score - frac_pos, 6).alias("gap"),
+    )
