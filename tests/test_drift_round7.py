@@ -54,3 +54,40 @@ def test_psi_grouped_disappeared_segment_is_maximal_drift(spark):
     out = {r["group"]: r for r in psi_grouped(base, cur, "v", "g").collect()}
     assert out["gone"]["drifted"]  # all-zero current side → loud signal
     assert not out["stays"]["drifted"]
+
+
+def test_mean_variance_drift_grouped_gates_and_membership(spark):
+    from truthound_spark.drift.detectors import mean_variance_drift_grouped
+
+    base = spark.createDataFrame(
+        [(i, "stable", float(i % 10)) for i in range(100)]
+        + [(i, "shifts", float(i % 10)) for i in range(100, 200)]
+        + [(i, "gone", 1.0) for i in range(200, 220)],
+        "id long, g string, v double",
+    )
+    cur = spark.createDataFrame(
+        [(i, "stable", float(i % 10)) for i in range(100)]
+        + [(i, "shifts", float(i % 10) + 5.0) for i in range(100)]
+        + [(i, "new", 2.0) for i in range(50)],
+        "id long, g string, v double",
+    )
+    out = {r["group"]: r for r in mean_variance_drift_grouped(base, cur, "v", "g").collect()}
+    assert not out["stable"]["drifted"]
+    assert out["shifts"]["drifted"] and out["shifts"]["mean_shift"] > 1.0
+    # one-sided segments: NULL shifts, NULL verdict — never invented
+    assert out["gone"]["mean_shift"] is None and out["gone"]["drifted"] is None
+    assert out["new"]["n_base"] == 0 and out["new"]["drifted"] is None
+
+
+def test_mean_variance_drift_grouped_partitioning_invariant(spark):
+    from truthound_spark.drift.detectors import mean_variance_drift_grouped
+
+    rows = [(i, f"g{i % 3}", float((i * 7) % 23)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    a = mean_variance_drift_grouped(
+        df.filter("id % 2 = 0").repartition(1), df.filter("id % 2 = 1").repartition(1), "v", "g"
+    ).collect()
+    b = mean_variance_drift_grouped(
+        df.filter("id % 2 = 0").repartition(13), df.filter("id % 2 = 1").repartition(13), "v", "g"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -472,3 +472,75 @@ def psi_grouped(
         F.lit(None).cast("boolean").alias("drifted"),
     )
     return out.unionByName(missing)
+
+
+def mean_variance_drift_grouped(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    group_col: str,
+    mean_threshold: float = 0.1,
+    var_threshold: float = 0.2,
+    quant: int = 1000,
+) -> DataFrame:
+    """Per-segment mean/variance drift — the O(1)-state screen you run on
+    EVERY segment before paying for a per-segment histogram
+    (:func:`psi_grouped`): one moments aggregate per side, a group-sized
+    join, relative-shift gates per group (same gates as
+    :func:`mean_drift` / :func:`variance_drift`).
+
+    Segments missing from either side report NULL shifts (no basis for a
+    ratio) with drifted=NULL — the appeared/disappeared signal belongs
+    to psi_grouped; this screen never invents a number. Baselines with
+    zero mean/variance also yield NULL (relative shift undefined) rather
+    than a division crash. Moments come from quantized-long sums
+    (order-independent → engine-portable; |x|²·quant²·n must stay under
+    2^63 — lower ``quant`` for wide-range columns). Returns (group,
+    n_base, n_cur, mean_shift, var_shift, drifted)."""
+    grp = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+
+    def moments(df: DataFrame, tag: str) -> DataFrame:
+        q = F.round(F.col("__x") * quant).cast("long")
+        g = (
+            df.select(grp.alias("group"), F.col(column).cast("double").alias("__x"))
+            .filter(F.col("__x").isNotNull())
+            .select("group", q.alias("__q"))
+            .groupBy("group")
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{tag}"),
+                F.sum("__q").alias("__s"),
+                F.sum(F.col("__q") * F.col("__q")).alias("__ss"),
+            )
+        )
+        mean = F.col("__s") / float(quant) / F.col(f"n_{tag}")
+        ss = F.col("__ss") / float(quant) / float(quant) / F.col(f"n_{tag}")
+        return g.select(
+            "group",
+            f"n_{tag}",
+            mean.alias(f"mean_{tag}"),
+            (ss - mean * mean).alias(f"var_{tag}"),
+        )
+
+    j = moments(baseline, "base").join(moments(current, "cur"), "group", "full")
+    mean_shift = F.round(
+        F.abs(
+            F.try_divide(
+                F.col("mean_cur") - F.col("mean_base"), F.abs(F.col("mean_base"))
+            )
+        ),
+        6,
+    )
+    var_shift = F.round(
+        F.abs(F.try_divide(F.col("var_cur") - F.col("var_base"), F.col("var_base"))),
+        6,
+    )
+    return j.select(
+        "group",
+        F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        mean_shift.alias("mean_shift"),
+        var_shift.alias("var_shift"),
+        (
+            (mean_shift > mean_threshold) | (var_shift > var_threshold)
+        ).alias("drifted"),
+    )

@@ -344,6 +344,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "weighted_sample_grouped_documents",
     "auc_grouped_documents",
     "calibration_grouped_documents",
+    "mean_variance_drift_grouped_events",
 ]
 
 

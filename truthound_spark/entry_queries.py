@@ -11666,3 +11666,64 @@ def q_calibration_grouped_documents(spark, sf_dir):
     )
     scored = logreg_score(feats, ["x1", "x2"], [-1.1, 2.0, 1.0])
     return calibration_grouped(scored, "score", "y", "lang").orderBy("group", "bin")
+
+
+@register(
+    "mean_variance_drift_grouped_events",
+    """
+    WITH b AS (
+      SELECT COALESCE(CAST(event_type AS VARCHAR), '__null__') AS g,
+             CAST(round(value * 1000) AS BIGINT) AS q
+      FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL
+    ),
+    c AS (
+      SELECT COALESCE(CAST(event_type AS VARCHAR), '__null__') AS g,
+             CAST(round(value * 1000) AS BIGINT) AS q
+      FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL
+    ),
+    mb AS (
+      SELECT g, COUNT(*) AS n_base,
+             SUM(q) / 1000.0 / COUNT(*) AS mean_base,
+             SUM(q * q) / 1000.0 / 1000.0 / COUNT(*)
+               - (SUM(q) / 1000.0 / COUNT(*)) * (SUM(q) / 1000.0 / COUNT(*))
+               AS var_base
+      FROM b GROUP BY 1
+    ),
+    mc AS (
+      SELECT g, COUNT(*) AS n_cur,
+             SUM(q) / 1000.0 / COUNT(*) AS mean_cur,
+             SUM(q * q) / 1000.0 / 1000.0 / COUNT(*)
+               - (SUM(q) / 1000.0 / COUNT(*)) * (SUM(q) / 1000.0 / COUNT(*))
+               AS var_cur
+      FROM c GROUP BY 1
+    ),
+    j AS (
+      SELECT COALESCE(mb.g, mc.g) AS "group",
+             COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur,
+             round(abs((mean_cur - mean_base) / NULLIF(abs(mean_base), 0)), 6)
+               AS mean_shift,
+             round(abs((var_cur - var_base) / NULLIF(var_base, 0)), 6) AS var_shift
+      FROM mb FULL JOIN mc ON mb.g = mc.g
+    )
+    SELECT "group", CAST(n_base AS BIGINT) AS n_base, CAST(n_cur AS BIGINT) AS n_cur,
+           mean_shift, var_shift,
+           (mean_shift > 0.1 OR var_shift > 0.2) AS drifted
+    FROM j ORDER BY "group"
+    """,
+)
+def q_mean_variance_drift_grouped_events(spark, sf_dir):
+    """Per-segment moment-drift screen (drift/detectors.py
+    mean_variance_drift_grouped): every event_type's relative mean and
+    variance shift between the even/odd halves from ONE quantized-moment
+    aggregate per side — the O(1)-state gate you run on all segments
+    before paying for psi_grouped histograms."""
+    from truthound_spark.drift.detectors import mean_variance_drift_grouped
+
+    ev = t(spark, sf_dir, "events")
+    return mean_variance_drift_grouped(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "value",
+        "event_type",
+        quant=1000,
+    ).orderBy("group")
