@@ -6,7 +6,9 @@ from truthound_spark.drift.detectors import (  # noqa: F401
     kl_divergence,
     ks_test,
     mean_drift,
+    mean_variance_drift_grouped,
     psi,
+    psi_grouped,
     variance_drift,
     wasserstein,
 )
