@@ -161,6 +161,17 @@ def test_profile_history_store_roundtrip(spark, tmp_path):
     assert tt.row_count_min <= 2000 <= tt.row_count_max
 
 
+def test_profile_history_store_generated_run_ids_never_collide(spark, tmp_path):
+    """ADVICE r7: two saves in the same millisecond must not silently
+    overwrite each other."""
+    snaps, _ = _snapshots(spark)
+    store = ProfileHistoryStore(root=str(tmp_path / "profiles2"))
+    p = profile(snaps[0], with_duplicates=False)
+    ids = [store.save("t", p) for _ in range(5)]  # sub-ms apart
+    assert len(set(ids)) == 5
+    assert store.list_runs("t") == sorted(ids)  # time-prefix keeps ordering
+
+
 # ---------------------------------------------------------------------------
 # profile rule learner
 # ---------------------------------------------------------------------------

@@ -109,6 +109,31 @@ def test_monitor_healthy_then_drift_alerts(spark, tmp_path):
     assert len(mon.load_history("m1")) == 2
 
 
+def test_monitor_psi_matches_detector_without_reference_rescan(spark, tmp_path):
+    """ADVICE r7: the PSI alert value must equal drift.detectors.psi on
+    the same frames, computed from the histogram precomputed at
+    register_model — record_scores never re-aggregates the reference."""
+    import random
+
+    from truthound_spark.drift.detectors import psi as psi_detector
+
+    rng = random.Random(13)
+    ref = spark.createDataFrame(
+        [(float(rng.gauss(0.2, 0.05)),) for _ in range(1500)], "score double"
+    )
+    batch = spark.createDataFrame(
+        [(float(rng.gauss(0.45, 0.05)),) for _ in range(600)], "score double"
+    )
+    mon = ModelMonitor(root=str(tmp_path / "mon3"))
+    mon.register_model("m", ref)
+    assert mon._ref_hist["m"] is not None  # histogram captured at register
+    mon.record_scores("m", batch)
+    psi_alerts = [a for a in mon.alerts("m") if a.rule == "score_psi"]
+    assert psi_alerts
+    expected = psi_detector(ref.select("score"), batch.select("score"), "score")
+    assert psi_alerts[0].value == pytest.approx(round(expected.statistic, 6))
+
+
 def test_summarize_scores_one_aggregate(spark):
     df = spark.range(1000).select((F.col("id") / 1000.0).alias("score"))
     s = summarize_scores(df, "score", threshold=0.9)

@@ -138,6 +138,25 @@ def test_partial_merge_matches_full_profile(spark, li):
     assert s.avg_length == pytest.approx(fs.avg_length, rel=1e-9)
 
 
+def test_merge_partials_mixed_column_subsets_row_count(spark, li):
+    """ADVICE r7: partials profiling DIFFERENT column subsets — row_count
+    must be the max per-column n (the column present in every snapshot),
+    not whichever column iterated last; per-column null ratios stay
+    against that column's own n."""
+    full = partial_profile(li, "s0", ["l_quantity", "l_returnflag"])
+    half = partial_profile(
+        li.filter(F.col("l_orderkey") % 2 == 0), "s1", ["l_quantity"]
+    )
+    merged = merge_partials(full.unionByName(half))
+    n_all = li.count()
+    n_half = li.filter(F.col("l_orderkey") % 2 == 0).count()
+    assert merged.row_count == n_all + n_half  # l_quantity saw both snapshots
+    # l_returnflag's ratio is against its own n (one snapshot), not row_count
+    assert merged.columns["l_returnflag"].null_ratio == pytest.approx(
+        li.filter(F.col("l_returnflag").isNull()).count() / n_all
+    )
+
+
 def test_incremental_profiler_snapshots(spark, li, tmp_path):
     prof = IncrementalProfiler(root=str(tmp_path / "partials"))
     for i in range(3):

@@ -109,6 +109,61 @@ def test_runtime_only_validator_rejected(spark, cust):
         validator_to_dict(v)
 
 
+def test_fd_and_implication_validators_roundtrip(spark, tmp_path):
+    """ADVICE r7: validators that pluralize a scalar-or-list ctor arg
+    (determinant→determinants, condition_value→condition_values,
+    antecedent_value→antecedent_values) must serialize — these are
+    exactly the rule types ConstraintMiner emits."""
+    from truthound_spark.suite_io import validator_from_dict
+    from truthound_spark.validators.multi_column import (
+        ColumnDependencyValidator,
+        ColumnImplicationValidator,
+        FunctionalDependencyValidator,
+    )
+
+    vs = [
+        FunctionalDependencyValidator("nation", "region"),
+        FunctionalDependencyValidator(["nation", "city"], "region"),
+        ColumnDependencyValidator("status", "shipped", ["ship_date"]),
+        ColumnDependencyValidator("status", ["shipped", "billed"], ["ship_date"]),
+        ColumnImplicationValidator("a", 1, "b", [2, 3]),
+    ]
+    for v in vs:
+        back = validator_from_dict(validator_to_dict(v))
+        assert vars(back) == vars(v), type(v).__name__
+    path = str(tmp_path / "fd.json")
+    save_suite(vs, path, name="fd-suite")
+    loaded = load_suite(path)
+    assert [vars(v) for v in loaded] == [vars(v) for v in vs]
+
+    df = spark.createDataFrame(
+        [("kr", "asia", "seoul"), ("jp", "asia", "tokyo"), ("fr", "eu", "paris")],
+        "nation string, region string, city string",
+    )
+    assert loaded.filter_by_validator("functional_dependency").check(df).success
+
+
+def test_mined_fd_rule_suite_saves(spark, tmp_path):
+    """End-to-end: ConstraintMiner-mined FD rules → rules_to_suite →
+    save_suite must not raise SuiteSerializationError (ADVICE r7)."""
+    from truthound_spark.ml import rules_to_suite
+    from truthound_spark.ml.rule_learning import ConstraintMiner
+
+    df = spark.createDataFrame(
+        [(i, f"n{i % 5}", f"r{(i % 5) // 3}") for i in range(200)],
+        "id long, nation string, region string",
+    )
+    res = ConstraintMiner().learn_rules(df, columns=["nation", "region"])
+    fd_rules = [r for r in res.rules if r.rule_type == "functional_dependency"]
+    assert fd_rules, "miner should find nation→region"
+    suite = rules_to_suite(fd_rules)
+    path = str(tmp_path / "mined.json")
+    save_suite(suite, path, name="mined-fd")
+    loaded = load_suite(path)
+    assert len(loaded) == len(suite)
+    assert loaded.check(df).success
+
+
 def test_mined_rule_name_roundtrips(spark, tmp_path):
     """Review finding: class-level registry name masked the instance's
     mined-rule name for CustomExpressionValidator."""

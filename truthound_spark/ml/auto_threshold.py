@@ -23,6 +23,7 @@ the min/max/null/mean paths end-to-end against DuckDB).
 
 from __future__ import annotations
 
+import itertools
 import json
 import math
 import os
@@ -530,8 +531,14 @@ class ProfileHistoryStore:
         os.makedirs(d, exist_ok=True)
         return d
 
+    _seq = itertools.count()  # disambiguates same-millisecond saves
+
     def save(self, table: str, profile: TableProfile, run_id: str | None = None) -> str:
-        run_id = run_id or f"p-{int(time.time() * 1000):016d}"
+        # ms timestamp alone collides when two saves land in the same
+        # millisecond (silently overwriting a history run); a process-wide
+        # monotonic counter keeps generated ids unique while preserving
+        # the sortable time prefix that list_runs() ordering relies on.
+        run_id = run_id or f"p-{int(time.time() * 1000):016d}-{next(self._seq):06d}"
         with open(os.path.join(self._dir(table), f"{run_id}.json"), "w") as f:
             json.dump(profile.to_dict(), f, default=str)
         return run_id

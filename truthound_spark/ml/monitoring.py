@@ -122,6 +122,7 @@ class ModelMonitor:
         self.mean_shift_sigmas = mean_shift_sigmas
         self.anomaly_rate_max = anomaly_rate_max
         self._reference: dict[str, DataFrame] = {}
+        self._ref_hist: dict[str, tuple[float, float, list[float]] | None] = {}
         self._ref_summary: dict[str, ScoreSummary] = {}
         self._history: dict[str, list[ScoreSummary]] = {}
         self._alerts: dict[str, list[Alert]] = {}
@@ -137,17 +138,35 @@ class ModelMonitor:
         **metadata: Any,
     ) -> None:
         """Reference scores define 'normal' (reference
-        set_reference_data :257). Persisted as a cached/persistable
-        DataFrame handle + its summary."""
+        set_reference_data :257). The reference frame is scanned ONCE
+        here — its O(1) summary and its 10-bin PSI histogram are what
+        every later record_scores() batch compares against, so per-batch
+        cost is one aggregate over the BATCH only, never a re-scan of
+        the (potentially huge) reference."""
+        from truthound_spark.drift.detectors import _freqs, _hist_counts, _numeric_range
+
         ref = reference_scores.select(F.col(column).alias("score"))
         self._reference[model_id] = ref
         self._ref_summary[model_id] = summarize_scores(ref, "score", threshold)
+        rng = _numeric_range(ref, "score")
+        self._ref_hist[model_id] = (
+            (rng[0], rng[1], _freqs(_hist_counts(ref, "score", rng[0], rng[1], 10)))
+            if rng is not None
+            else None
+        )
         self._history[model_id] = []
         self._alerts[model_id] = []
         self._meta[model_id] = {"column": column, "threshold": threshold, **metadata}
 
     def unregister_model(self, model_id: str) -> None:
-        for d in (self._reference, self._ref_summary, self._history, self._alerts, self._meta):
+        for d in (
+            self._reference,
+            self._ref_hist,
+            self._ref_summary,
+            self._history,
+            self._alerts,
+            self._meta,
+        ):
             d.pop(model_id, None)
 
     def models(self) -> list[str]:
@@ -173,24 +192,32 @@ class ModelMonitor:
     def _evaluate(
         self, model_id: str, batch: DataFrame, summary: ScoreSummary, batch_idx: int
     ) -> None:
-        from truthound_spark.drift.detectors import psi as psi_detector
+        from truthound_spark.drift.detectors import EPS, _freqs, _hist_counts
 
         alerts = self._alerts[model_id]
-        ref = self._reference[model_id]
         ref_sum = self._ref_summary[model_id]
 
-        # score-distribution PSI vs the reference (engine's own detector)
-        res = psi_detector(ref, batch, "score", threshold=self.psi_warn)
-        if res.statistic > self.psi_critical:
-            alerts.append(
-                Alert(model_id, "score_psi", "critical", round(res.statistic, 6),
-                      self.psi_critical, batch_idx)
+        # score-distribution PSI vs the reference histogram precomputed at
+        # register time (same edges/ε-smoothing as drift.detectors.psi, so
+        # the statistic is bit-identical to re-running the detector — minus
+        # the reference re-scan)
+        hist = self._ref_hist.get(model_id)
+        if hist is not None:
+            lo, hi, p = hist
+            q = _freqs(_hist_counts(batch, "score", lo, hi, len(p)))
+            stat = sum(
+                (pi - qi) * math.log((pi + EPS) / (qi + EPS)) for pi, qi in zip(p, q)
             )
-        elif res.statistic > self.psi_warn:
-            alerts.append(
-                Alert(model_id, "score_psi", "warning", round(res.statistic, 6),
-                      self.psi_warn, batch_idx)
-            )
+            if stat > self.psi_critical:
+                alerts.append(
+                    Alert(model_id, "score_psi", "critical", round(stat, 6),
+                          self.psi_critical, batch_idx)
+                )
+            elif stat > self.psi_warn:
+                alerts.append(
+                    Alert(model_id, "score_psi", "warning", round(stat, 6),
+                          self.psi_warn, batch_idx)
+                )
 
         # mean shift in reference-σ units
         if ref_sum.std > 0:

@@ -143,7 +143,15 @@ def merged_stats(partials: DataFrame) -> DataFrame:
 def merge_partials(partials: DataFrame) -> TableProfile:
     """Union-of-partials → TableProfile (reference ProfileMerger
     :466-517). Exact for count/null/sum/mean/std/min/max; distinct via
-    HLL union estimate."""
+    HLL union estimate.
+
+    ``row_count`` is the MAX of the per-column summed ``n`` values: when
+    every partial covered the same column set these are all equal, but
+    if snapshots profiled different column subsets (partial_profile's
+    ``columns`` param) a column missing from some snapshots undercounts —
+    max is the per-column n that saw the most snapshots, not whichever
+    column happened to iterate last. Per-column null ratios stay against
+    that column's OWN n (rows the column was actually profiled over)."""
     prof = TableProfile()
     rows = merged_stats(partials).collect()
     for r in rows:
@@ -171,7 +179,7 @@ def merge_partials(partials: DataFrame) -> TableProfile:
             avg_length=(r["len_sum"] / nn) if r["len_sum"] is not None and nn else None,
         )
         prof.columns[cp.name] = cp
-        prof.row_count = n
+        prof.row_count = max(prof.row_count, n)
     prof.column_count = len(prof.columns)
     return prof
 

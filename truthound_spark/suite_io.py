@@ -73,6 +73,13 @@ def validator_to_dict(v: Any) -> dict[str, Any]:
             val = inst[pname]
         elif f"_{pname}" in inst:
             val = inst[f"_{pname}"]
+        elif f"{pname}s" in inst:
+            # list-normalizing ctors store scalar-or-list args pluralized
+            # (FunctionalDependency determinant→determinants, ColumnDependency
+            # condition_value→condition_values, ColumnImplication
+            # antecedent/consequent_value→*_values); the ctor re-accepts the
+            # list form, so the round-trip is value-identical.
+            val = inst[f"{pname}s"]
         elif pname == "column" and "columns" in inst:
             continue  # normalized into .columns
         elif p.default is not p.empty:

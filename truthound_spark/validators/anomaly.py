@@ -102,7 +102,6 @@ class PercentileAnomalyValidator(Validator):
         self.approx = approx
 
     def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
-        pfn = "percentile_approx" if self.approx else "percentile"
         row = df.agg(
             pct_agg(self.column, self.lower, self.approx).alias("lo"),
             pct_agg(self.column, self.upper, self.approx).alias("hi"),

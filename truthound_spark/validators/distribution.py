@@ -251,7 +251,6 @@ class QuantileValidator(Validator):
         self.approx = approx
 
     def specs(self, df: DataFrame) -> list[ExpressionSpec]:
-        pfn = "percentile_approx" if self.approx else "percentile"
         lo, hi = self.min_value, self.max_value
 
         def judge(m: dict[str, Any]) -> tuple[bool, Any, str]:
