@@ -345,6 +345,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "auc_grouped_documents",
     "calibration_grouped_documents",
     "mean_variance_drift_grouped_events",
+    "concept_drift_lineitem",
 ]
 
 

@@ -11727,3 +11727,53 @@ def q_mean_variance_drift_grouped_events(spark, sf_dir):
         "event_type",
         quant=1000,
     ).orderBy("group")
+
+
+@register(
+    "concept_drift_lineitem",
+    """
+    WITH b AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS q, CAST(l_discount AS DOUBLE) AS d,
+             CAST(l_tax AS DOUBLE) AS t, CAST(l_extendedprice AS DOUBLE) AS y
+      FROM lineitem WHERE l_orderkey % 2 = 0
+    ),
+    c AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS q, CAST(l_discount AS DOUBLE) AS d,
+             CAST(l_tax AS DOUBLE) AS t, CAST(l_extendedprice AS DOUBLE) AS y
+      FROM lineitem WHERE l_orderkey % 2 = 1
+    ),
+    cb AS (SELECT COALESCE(CORR(q, y), 0) AS c0, COALESCE(CORR(d, y), 0) AS c1,
+                  COALESCE(CORR(t, y), 0) AS c2 FROM b),
+    cc AS (SELECT COALESCE(CORR(q, y), 0) AS c0, COALESCE(CORR(d, y), 0) AS c1,
+                  COALESCE(CORR(t, y), 0) AS c2 FROM c),
+    pairs AS (
+      SELECT 'l_quantity' AS feature, cb.c0 AS rb, cc.c0 AS rc FROM cb, cc
+      UNION ALL SELECT 'l_discount', cb.c1, cc.c1 FROM cb, cc
+      UNION ALL SELECT 'l_tax', cb.c2, cc.c2 FROM cb, cc
+    )
+    SELECT feature, ROUND(rb, 6) AS ref_corr, ROUND(rc, 6) AS cur_corr,
+           ROUND(ABS(rc - rb), 6) AS corr_change,
+           ROUND(LEAST(1.0,
+                 (ABS(rc - rb) + CASE WHEN rb * rc < 0 AND ABS(rb) > 0.1
+                                       AND ABS(rc) > 0.1
+                                      THEN 0.5 ELSE 0.0 END) / 0.5), 6) AS score
+    FROM pairs ORDER BY feature
+    """,
+)
+def q_concept_drift_lineitem(spark, sf_dir):
+    """Concept drift: feature↔target correlation shift (ml/concept_drift.py
+    concept_drift_table; reference ml/drift_detection/concept.py:159-285) —
+    every feature's Pearson corr with the target from ONE aggregate per
+    side (Catalyst fuses the F.corr batch into a single scan), scored with
+    the reference's |Δcorr|/0.5 + sign-change-penalty formula. The input
+    marginals of the even/odd halves match; only the RELATIONSHIP is
+    probed — the signal feature drift cannot see."""
+    from truthound_spark.ml.concept_drift import concept_drift_table
+
+    li = t(spark, sf_dir, "lineitem")
+    return concept_drift_table(
+        li.filter(F.col("l_orderkey") % 2 == 0),
+        li.filter(F.col("l_orderkey") % 2 == 1),
+        "l_extendedprice",
+        ["l_quantity", "l_discount", "l_tax"],
+    ).orderBy("feature")

@@ -17,6 +17,12 @@ from truthound_spark.ml.auto_threshold import (
     thresholds_to_suite,
     tune_thresholds,
 )
+from truthound_spark.ml.concept_drift import (
+    ConceptDriftDetector,
+    ConceptDriftResult,
+    ConceptSummary,
+    concept_drift_table,
+)
 from truthound_spark.ml.monitoring import ModelMonitor, ScoreSummary, summarize_scores
 from truthound_spark.ml.persistence import ModelRegistry
 from truthound_spark.ml.rule_learning import (
@@ -44,6 +50,10 @@ __all__ = [
     "holdout_rule_eval",
     "PatternRuleLearner",
     "rules_to_suite",
+    "ConceptDriftDetector",
+    "ConceptDriftResult",
+    "ConceptSummary",
+    "concept_drift_table",
     "ModelRegistry",
     "ModelMonitor",
     "ScoreSummary",

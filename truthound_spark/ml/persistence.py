@@ -191,3 +191,16 @@ class ModelRegistry:
         """Per-column robust fences (reference ml/anomaly_models/
         statistical.py): {'col': {'lo': .., 'hi': ..}}."""
         return self.save(name, "statistical_fences", {"fences": fences}, params)
+
+    def save_concept_drift(self, name: str, detector: Any, **params: Any) -> str:
+        """Fitted ConceptDriftDetector (reference concept.py carries
+        save/load via its model registry) — payload is O(features)."""
+        return self.save(name, "concept_drift", detector.to_payload(), params)
+
+    def load_concept_drift(self, name: str, version: str | None = None) -> Any:
+        from truthound_spark.ml.concept_drift import ConceptDriftDetector
+
+        payload, meta = self.load(name, version)
+        if meta["kind"] != "concept_drift":
+            raise ValueError(f"{name}/{meta['version']} is kind {meta['kind']!r}")
+        return ConceptDriftDetector.from_payload(payload)
