@@ -346,6 +346,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "calibration_grouped_documents",
     "mean_variance_drift_grouped_events",
     "concept_drift_lineitem",
+    "ensemble_anomaly_customer",
 ]
 
 

@@ -11777,3 +11777,115 @@ def q_concept_drift_lineitem(spark, sf_dir):
         "l_extendedprice",
         ["l_quantity", "l_discount", "l_tax"],
     ).orderBy("feature")
+
+
+@register(
+    "ensemble_anomaly_customer",
+    """
+    WITH st AS (
+      SELECT avg(CAST(c_acctbal AS DOUBLE)) AS mu,
+             stddev_samp(CAST(c_acctbal AS DOUBLE)) AS sd,
+             quantile_cont(CAST(c_acctbal AS DOUBLE), 0.25) AS q1,
+             quantile_cont(CAST(c_acctbal AS DOUBLE), 0.5) AS med,
+             quantile_cont(CAST(c_acctbal AS DOUBLE), 0.75) AS q3
+      FROM customer
+    ),
+    md AS (
+      SELECT quantile_cont(ABS(CAST(c_acctbal AS DOUBLE) - (SELECT med FROM st)),
+                           0.5) AS mad
+      FROM customer
+    ),
+    sc AS (
+      SELECT c_custkey,
+        COALESCE(LEAST(1.0, ABS(CAST(c_acctbal AS DOUBLE) - mu) / sd / 3.0),
+                 0.0) AS z,
+        COALESCE(CASE
+          WHEN CAST(c_acctbal AS DOUBLE) < q1 - 1.5 * (q3 - q1)
+            THEN LEAST(1.0, (q1 - 1.5 * (q3 - q1) - CAST(c_acctbal AS DOUBLE))
+                            / (q3 - q1))
+          WHEN CAST(c_acctbal AS DOUBLE) > q3 + 1.5 * (q3 - q1)
+            THEN LEAST(1.0, (CAST(c_acctbal AS DOUBLE) - (q3 + 1.5 * (q3 - q1)))
+                            / (q3 - q1))
+          ELSE 0.0 END, 0.0) AS i,
+        COALESCE(LEAST(1.0, 0.6745 * ABS(CAST(c_acctbal AS DOUBLE) - med)
+                            / mad / 3.0), 0.0) AS m
+      FROM customer, st, md
+    ),
+    cmb AS (
+      SELECT c_custkey, z, i, m,
+        (z + i + m) / 3 AS avg_score,
+        z * 0.5 + i * 0.3 + m * 0.2 AS wavg_score,
+        GREATEST(z, i, m) AS max_score,
+        LEAST(z, i, m) AS min_score,
+        CASE WHEN z >= 0.9 THEN 1 ELSE 0 END AS fz,
+        CASE WHEN i >= 0.9 THEN 1 ELSE 0 END AS fi,
+        CASE WHEN m >= 0.9 THEN 1 ELSE 0 END AS fm
+      FROM sc
+    )
+    SELECT c_custkey,
+      ROUND(avg_score, 6) AS avg_score,
+      ROUND(wavg_score, 6) AS wavg_score,
+      ROUND(max_score, 6) AS max_score,
+      ROUND(min_score, 6) AS min_score,
+      ROUND(CASE WHEN (fz + fi + fm) / 3.0 >= 0.5
+                 THEN (z * fz + i * fi + m * fm)
+                      / CAST(fz + fi + fm AS DOUBLE)
+                 ELSE 0.0 END, 6) AS vote_score,
+      ROUND(CASE WHEN fz + fi + fm = 3 THEN avg_score ELSE 0.0 END, 6)
+        AS unanimous_score,
+      CAST(fz + fi + fm AS BIGINT) AS detector_votes,
+      avg_score >= 0.9 AS is_anomaly,
+      ROUND((fz + fi + fm) / 3.0, 6) AS confidence,
+      CASE WHEN fz + fi + fm = 3 THEN 'collective'
+           WHEN fz + fi + fm >= 1 THEN 'contextual'
+           ELSE 'point' END AS anomaly_type
+    FROM cmb ORDER BY c_custkey
+    """,
+)
+def q_ensemble_anomaly_customer(spark, sf_dir):
+    """Ensemble anomaly detection (ml/ensemble.py; reference
+    ml/anomaly_models/ensemble.py:58): ZScore + IQR + MAD fitted once
+    (three bounded aggregates), then ALL SIX combination strategies —
+    average / weighted / max / min / vote / unanimous — plus predict()'s
+    votes/confidence/anomaly_type, every one a map-only column
+    expression over the fitted literals: no shuffle, no UDF, the same
+    per-row cost at 100 TB."""
+    from truthound_spark.ml.ensemble import (
+        EnsembleAnomalyDetector,
+        IQRDetector,
+        MADDetector,
+        ZScoreDetector,
+    )
+
+    df = t(spark, sf_dir, "customer")
+    dets = [
+        ZScoreDetector(["c_acctbal"]).fit(df),
+        IQRDetector(["c_acctbal"]).fit(df),
+        MADDetector(["c_acctbal"]).fit(df),
+    ]
+    out = EnsembleAnomalyDetector.from_fitted(dets, "average").predict(
+        df.select("c_custkey", "c_acctbal"), out="avg_score"
+    )
+    for alias, strat, w in [
+        ("wavg_score", "weighted_average", [0.5, 0.3, 0.2]),
+        ("max_score", "max", None),
+        ("min_score", "min", None),
+        ("vote_score", "vote", None),
+        ("unanimous_score", "unanimous", None),
+    ]:
+        out = EnsembleAnomalyDetector.from_fitted(dets, strat, weights=w).with_scores(
+            out, out=alias
+        )
+    return out.select(
+        "c_custkey",
+        F.round("avg_score", 6).alias("avg_score"),
+        F.round("wavg_score", 6).alias("wavg_score"),
+        F.round("max_score", 6).alias("max_score"),
+        F.round("min_score", 6).alias("min_score"),
+        F.round("vote_score", 6).alias("vote_score"),
+        F.round("unanimous_score", 6).alias("unanimous_score"),
+        F.col("detector_votes").cast("long").alias("detector_votes"),
+        "is_anomaly",
+        F.round("confidence", 6).alias("confidence"),
+        "anomaly_type",
+    ).orderBy("c_custkey")

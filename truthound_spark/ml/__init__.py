@@ -23,6 +23,12 @@ from truthound_spark.ml.concept_drift import (
     ConceptSummary,
     concept_drift_table,
 )
+from truthound_spark.ml.ensemble import (
+    EnsembleAnomalyDetector,
+    IQRDetector,
+    MADDetector,
+    ZScoreDetector,
+)
 from truthound_spark.ml.monitoring import ModelMonitor, ScoreSummary, summarize_scores
 from truthound_spark.ml.persistence import ModelRegistry
 from truthound_spark.ml.rule_learning import (
@@ -50,6 +56,10 @@ __all__ = [
     "holdout_rule_eval",
     "PatternRuleLearner",
     "rules_to_suite",
+    "EnsembleAnomalyDetector",
+    "ZScoreDetector",
+    "IQRDetector",
+    "MADDetector",
     "ConceptDriftDetector",
     "ConceptDriftResult",
     "ConceptSummary",

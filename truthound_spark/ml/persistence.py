@@ -192,6 +192,20 @@ class ModelRegistry:
         statistical.py): {'col': {'lo': .., 'hi': ..}}."""
         return self.save(name, "statistical_fences", {"fences": fences}, params)
 
+    def save_ensemble(self, name: str, ensemble: Any, **params: Any) -> str:
+        """Fitted EnsembleAnomalyDetector (reference ensemble.py:58) —
+        composite payload: strategy + normalized weights + every
+        component's fitted stats."""
+        return self.save(name, "ensemble", ensemble.to_payload(), params)
+
+    def load_ensemble(self, name: str, version: str | None = None) -> Any:
+        from truthound_spark.ml.ensemble import EnsembleAnomalyDetector
+
+        payload, meta = self.load(name, version)
+        if meta["kind"] != "ensemble":
+            raise ValueError(f"{name}/{meta['version']} is kind {meta['kind']!r}")
+        return EnsembleAnomalyDetector.from_payload(payload)
+
     def save_concept_drift(self, name: str, detector: Any, **params: Any) -> str:
         """Fitted ConceptDriftDetector (reference concept.py carries
         save/load via its model registry) — payload is O(features)."""
