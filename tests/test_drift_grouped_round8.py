@@ -1,0 +1,100 @@
+"""js_grouped / ks_grouped: per-segment two-sample drift, one pass for
+any number of segments, per-group values pinned to the ungrouped
+detectors (drift/detectors.py; reference drift/statistical.py looped
+per segment)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from truthound_spark.drift.detectors import js_divergence, js_grouped, ks_grouped, ks_test
+
+
+def _mk(spark):
+    rows = []
+    for i in range(600):
+        g = ["a", "b", "c"][i % 3]
+        side = i % 2
+        v = float((i // 6) % 50)
+        if g == "b" and side == 1:
+            v += 40.0  # segment b drifts hard
+        rows.append((i, g, v, side))
+    df = spark.createDataFrame(rows, "id long, g string, v double, side int")
+    return df.filter("side = 0"), df.filter("side = 1")
+
+
+def test_js_grouped_matches_per_group_js(spark):
+    base, cur = _mk(spark)
+    grouped = {r["group"]: r for r in js_grouped(base, cur, "v", "g").collect()}
+    for g in ("a", "b", "c"):
+        single = js_divergence(
+            base.filter(F.col("g") == g), cur.filter(F.col("g") == g), "v"
+        )
+        assert grouped[g]["js"] == round(single.statistic, 6), g
+        assert grouped[g]["drifted"] == single.drifted
+    assert grouped["b"]["drifted"] and not grouped["a"]["drifted"]
+
+
+def test_ks_grouped_matches_per_group_exact_ks(spark):
+    base, cur = _mk(spark)
+    grouped = {r["group"]: r for r in ks_grouped(base, cur, "v", "g").collect()}
+    for g in ("a", "b", "c"):
+        single = ks_test(
+            base.filter(F.col("g") == g), cur.filter(F.col("g") == g), "v"
+        )
+        assert grouped[g]["ks"] == round(single.statistic, 6), g
+        assert grouped[g]["crit"] == round(single.threshold, 6), g
+        assert grouped[g]["drifted"] == single.drifted
+        assert grouped[g]["n_base"] == single.details["n_baseline"]
+    assert grouped["b"]["drifted"] and not grouped["a"]["drifted"]
+
+
+def test_js_grouped_membership_edges(spark):
+    base = spark.createDataFrame(
+        [(i, "old", float(i % 10)) for i in range(50)], "id long, g string, v double"
+    )
+    cur = spark.createDataFrame(
+        [(i, "new", float(i % 10)) for i in range(50)]
+        + [(100 + i, "old", float(i % 10) + 100.0) for i in range(50)],
+        "id long, g string, v double",
+    )
+    out = {r["group"]: r for r in js_grouped(base, cur, "v", "g").collect()}
+    assert out["new"]["js"] is None and out["new"]["drifted"] is None
+    assert out["old"]["js"] > 0.3 and out["old"]["drifted"]
+    # disappeared segment → all-zero current → near-ln2 divergence, loud
+    base2 = base.withColumn("g", F.lit("gone"))
+    out2 = {r["group"]: r for r in js_grouped(base2, cur, "v", "g").collect()}
+    assert out2["gone"]["drifted"]
+
+
+def test_ks_grouped_one_sided_segments_are_null(spark):
+    base = spark.createDataFrame(
+        [(i, "only_base", float(i)) for i in range(30)]
+        + [(50 + i, "both", float(i)) for i in range(30)],
+        "id long, g string, v double",
+    )
+    cur = spark.createDataFrame(
+        [(i, "only_cur", float(i)) for i in range(30)]
+        + [(50 + i, "both", float(i)) for i in range(30)],
+        "id long, g string, v double",
+    )
+    out = {r["group"]: r for r in ks_grouped(base, cur, "v", "g").collect()}
+    assert out["only_base"]["ks"] is None and out["only_base"]["drifted"] is None
+    assert out["only_cur"]["ks"] is None
+    assert out["both"]["ks"] == 0.0 and not out["both"]["drifted"]
+
+
+def test_ks_grouped_window_is_partitioned_by_group(spark):
+    """Plan check: the cumulative window must carry a partition spec —
+    never a global single-partition Window.orderBy."""
+    base, cur = _mk(spark)
+    plan = (
+        ks_grouped(base, cur, "v", "g")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\], \[(.*?)\]", plan):
+        assert "group" in m.group(2), plan[:2000]

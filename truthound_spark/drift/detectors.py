@@ -544,3 +544,161 @@ def mean_variance_drift_grouped(
             (mean_shift > mean_threshold) | (var_shift > var_threshold)
         ).alias("drifted"),
     )
+
+
+def js_grouped(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    group_col: str,
+    bins: int = 10,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Per-segment Jensen–Shannon divergence — :func:`psi_grouped`'s
+    one-pass design applied to the JS statistic (reference runs
+    drift/statistical.py detectors in a per-segment loop; here N
+    segments cost one range aggregate + one histogram aggregate per
+    side). Per-group semantics mirror :func:`js_divergence` exactly:
+    bin edges from the group's BASELINE range, m = (p+q)/2, per-bin
+    0.5·p·ln((p+ε)/(m+ε)) + 0.5·q·ln((q+ε)/(m+ε)) terms quantized to
+    1e-9 longs before the order-independent sum. Groups absent from the
+    baseline report NULL js (no edges); groups absent from the current
+    score against all-zero q (ln 2-bounded maximal-divergence signal).
+    Returns (group, js, drifted); shuffles keyed on (group) / (group,
+    bin) only."""
+    grp = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    rng = (
+        baseline.select(grp.alias("group"), F.col(column).alias("__x"))
+        .filter(F.col("__x").isNotNull())
+        .groupBy("group")
+        .agg(F.min("__x").alias("__lo"), F.max("__x").alias("__hi"))
+    )
+    width = F.when(
+        F.col("__hi") > F.col("__lo"), (F.col("__hi") - F.col("__lo")) / bins
+    ).otherwise(F.lit(1.0))
+
+    def binned(df: DataFrame, alias: str) -> DataFrame:
+        d = df.select(grp.alias("group"), F.col(column).alias("__x")).filter(
+            F.col("__x").isNotNull()
+        )
+        j = d.join(F.broadcast(rng), "group")
+        b = F.least(
+            F.greatest(F.floor((F.col("__x") - F.col("__lo")) / width), F.lit(0)),
+            F.lit(bins - 1),
+        )
+        return j.groupBy("group", b.alias("bin")).agg(F.count(F.lit(1)).alias(alias))
+
+    pb, qb = binned(baseline, "pn"), binned(current, "qn")
+    cells = pb.join(qb, ["group", "bin"], "full").select(
+        "group",
+        "bin",
+        F.coalesce("pn", F.lit(0)).alias("pn"),
+        F.coalesce("qn", F.lit(0)).alias("qn"),
+    )
+    tots = cells.groupBy("group").agg(
+        F.sum("pn").alias("__tp"), F.sum("qn").alias("__tq")
+    )
+    p = F.coalesce(F.try_divide(F.col("pn"), F.col("__tp")), F.lit(0.0))
+    q = F.coalesce(F.try_divide(F.col("qn"), F.col("__tq")), F.lit(0.0))
+    m = (p + q) / 2
+    term = F.round(
+        (
+            F.lit(0.5) * p * F.log((p + F.lit(EPS)) / (m + F.lit(EPS)))
+            + F.lit(0.5) * q * F.log((q + F.lit(EPS)) / (m + F.lit(EPS)))
+        )
+        * 1_000_000_000
+    ).cast("long")
+    out = (
+        cells.join(F.broadcast(tots), "group")
+        .groupBy("group")
+        .agg(F.round(F.sum(term) / 1_000_000_000, 6).alias("js"))
+        .select("group", "js", (F.col("js") > threshold).alias("drifted"))
+    )
+    cur_groups = (
+        current.select(grp.alias("group")).distinct().join(rng, "group", "left_anti")
+    )
+    missing = cur_groups.select(
+        "group",
+        F.lit(None).cast("double").alias("js"),
+        F.lit(None).cast("boolean").alias("drifted"),
+    )
+    return out.unionByName(missing)
+
+
+def ks_grouped(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    group_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Per-segment EXACT Kolmogorov–Smirnov — :func:`ks_test`'s
+    distributed ECDF merge with the cumulative window PARTITIONED BY
+    GROUP (never the single-partition global window): every segment's
+    sup|F_b − F_c| and asymptotic critical value in one pass. One-sided
+    segments (n_base or n_cur = 0) report NULL ks/drifted — try_divide
+    propagates the NULL; no invented statistic.
+
+    Scale: the shuffle is keyed (group, value); each group's DISTINCT
+    values sort within that group's partition — exact per-segment KS is
+    a segment-scale tool (same contract as exact :func:`ks_test`); at
+    extreme per-segment cardinality use the quantile-grid sketch path.
+    Returns (group, n_base, n_cur, ks, crit, drifted)."""
+    from pyspark.sql import Window
+
+    grp = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    b = (
+        baseline.select(grp.alias("group"), F.col(column).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .withColumn("s", F.lit(0))
+    )
+    c = (
+        current.select(grp.alias("group"), F.col(column).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .withColumn("s", F.lit(1))
+    )
+    u = (
+        b.unionAll(c)
+        .groupBy("group", "v")
+        .agg(
+            F.sum(F.when(F.col("s") == 0, 1).otherwise(0)).alias("gb"),
+            F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("gc"),
+        )
+    )
+    tots = u.groupBy("group").agg(
+        F.sum("gb").alias("n_base"), F.sum("gc").alias("n_cur")
+    )
+    w = (
+        Window.partitionBy("group")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ecdf = u.select(
+        "group",
+        F.sum("gb").over(w).alias("cb"),
+        F.sum("gc").over(w).alias("cc"),
+    )
+    j = ecdf.join(F.broadcast(tots), "group")
+    d = F.abs(
+        F.try_divide(F.col("cb"), F.col("n_base"))
+        - F.try_divide(F.col("cc"), F.col("n_cur"))
+    )
+    c_alpha = math.sqrt(-0.5 * math.log(alpha / 2))
+    agg = j.groupBy("group").agg(
+        F.max(d).alias("__raw"),
+        F.max("n_base").alias("n_base"),
+        F.max("n_cur").alias("n_cur"),
+    )
+    crit = F.lit(c_alpha) * F.sqrt(
+        F.try_divide(
+            F.col("n_base") + F.col("n_cur"), F.col("n_base") * F.col("n_cur")
+        )
+    )
+    return agg.select(
+        "group",
+        "n_base",
+        "n_cur",
+        F.round("__raw", 6).alias("ks"),
+        F.round(crit, 6).alias("crit"),
+        (F.col("__raw") > crit).alias("drifted"),
+    )

@@ -347,6 +347,8 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "mean_variance_drift_grouped_events",
     "concept_drift_lineitem",
     "ensemble_anomaly_customer",
+    "js_grouped_events",
+    "ks_grouped_events",
 ]
 
 

@@ -11889,3 +11889,145 @@ def q_ensemble_anomaly_customer(spark, sf_dir):
         F.round("confidence", 6).alias("confidence"),
         "anomaly_type",
     ).orderBy("c_custkey")
+
+
+@register(
+    "js_grouped_events",
+    """
+    WITH b AS (
+      SELECT COALESCE(CAST(event_type AS VARCHAR), '__null__') AS g, value AS x
+      FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL
+    ),
+    c AS (
+      SELECT COALESCE(CAST(event_type AS VARCHAR), '__null__') AS g, value AS x
+      FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL
+    ),
+    rng AS (SELECT g, MIN(x) AS lo, MAX(x) AS hi FROM b GROUP BY 1),
+    pb AS (
+      SELECT b.g,
+             LEAST(GREATEST(floor((b.x - r.lo)
+               / (CASE WHEN r.hi > r.lo THEN (r.hi - r.lo) / 10 ELSE 1.0 END)),
+               0), 9) AS bin,
+             COUNT(*) AS pn
+      FROM b JOIN rng r ON b.g = r.g GROUP BY 1, 2
+    ),
+    qb AS (
+      SELECT c.g,
+             LEAST(GREATEST(floor((c.x - r.lo)
+               / (CASE WHEN r.hi > r.lo THEN (r.hi - r.lo) / 10 ELSE 1.0 END)),
+               0), 9) AS bin,
+             COUNT(*) AS qn
+      FROM c JOIN rng r ON c.g = r.g GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT COALESCE(pb.g, qb.g) AS g, COALESCE(pb.bin, qb.bin) AS bin,
+             COALESCE(pn, 0) AS pn, COALESCE(qn, 0) AS qn
+      FROM pb FULL JOIN qb ON pb.g = qb.g AND pb.bin = qb.bin
+    ),
+    tots AS (SELECT g, SUM(pn) AS tp, SUM(qn) AS tq FROM cells GROUP BY 1),
+    freqs AS (
+      SELECT cells.g,
+             COALESCE(pn / CAST(tp AS DOUBLE), 0.0) AS p,
+             COALESCE(qn / CAST(tq AS DOUBLE), 0.0) AS q
+      FROM cells JOIN tots ON cells.g = tots.g
+    ),
+    terms AS (
+      SELECT g,
+             CAST(round(
+               (0.5 * p * ln((p + 1e-10) / ((p + q) / 2 + 1e-10))
+                + 0.5 * q * ln((q + 1e-10) / ((p + q) / 2 + 1e-10)))
+               * 1000000000) AS BIGINT) AS t
+      FROM freqs
+    ),
+    agg AS (SELECT g, round(SUM(t) / 1000000000.0, 6) AS js FROM terms GROUP BY 1)
+    SELECT * FROM (
+      SELECT g AS "group", js, js > 0.1 AS drifted FROM agg
+      UNION ALL
+      SELECT g, CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
+      FROM (SELECT DISTINCT g FROM c) cg
+      WHERE g NOT IN (SELECT g FROM rng)
+    ) ORDER BY "group"
+    """,
+)
+def q_js_grouped_events(spark, sf_dir):
+    """Per-segment Jensen–Shannon divergence (drift/detectors.py
+    js_grouped): every event_type's JS between the even/odd halves in
+    ONE histogram pass per side — psi_grouped's constant-pass design on
+    the symmetric, ln2-bounded statistic; per-group values pinned
+    bit-identical to js_divergence()."""
+    from truthound_spark.drift.detectors import js_grouped
+
+    ev = t(spark, sf_dir, "events")
+    return js_grouped(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "value",
+        "event_type",
+        bins=10,
+        threshold=0.1,
+    ).orderBy("group")
+
+
+@register(
+    "ks_grouped_events",
+    """
+    WITH b AS (
+      SELECT COALESCE(CAST(event_type AS VARCHAR), '__null__') AS g, value AS v,
+             0 AS s
+      FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL
+    ),
+    c AS (
+      SELECT COALESCE(CAST(event_type AS VARCHAR), '__null__') AS g, value AS v,
+             1 AS s
+      FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL
+    ),
+    u AS (
+      SELECT g, v,
+             SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS gb,
+             SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS gc
+      FROM (SELECT * FROM b UNION ALL SELECT * FROM c) GROUP BY g, v
+    ),
+    tots AS (SELECT g, SUM(gb) AS n_base, SUM(gc) AS n_cur FROM u GROUP BY 1),
+    ecdf AS (
+      SELECT g,
+             SUM(gb) OVER (PARTITION BY g ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cb,
+             SUM(gc) OVER (PARTITION BY g ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cc
+      FROM u
+    ),
+    agg AS (
+      SELECT ecdf.g,
+             MAX(ABS(cb / CAST(NULLIF(n_base, 0) AS DOUBLE)
+                     - cc / CAST(NULLIF(n_cur, 0) AS DOUBLE))) AS raw,
+             MAX(n_base) AS n_base, MAX(n_cur) AS n_cur
+      FROM ecdf JOIN tots ON ecdf.g = tots.g GROUP BY 1
+    )
+    SELECT g AS "group", CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           ROUND(raw, 6) AS ks,
+           ROUND(sqrt(-0.5 * ln(0.05 / 2))
+                 * sqrt((n_base + n_cur)
+                        / CAST(NULLIF(n_base * n_cur, 0) AS DOUBLE)), 6) AS crit,
+           raw > sqrt(-0.5 * ln(0.05 / 2))
+                 * sqrt((n_base + n_cur)
+                        / CAST(NULLIF(n_base * n_cur, 0) AS DOUBLE)) AS drifted
+    FROM agg ORDER BY "group"
+    """,
+)
+def q_ks_grouped_events(spark, sf_dir):
+    """Per-segment EXACT Kolmogorov–Smirnov (drift/detectors.py
+    ks_grouped): sup|F_b − F_c| per event_type from ONE (group, value)
+    ECDF merge with the cumulative window PARTITIONED BY GROUP — the
+    per-segment design of psi_grouped applied to the distribution-free
+    test; values pinned bit-identical to exact ks_test() per group."""
+    from truthound_spark.drift.detectors import ks_grouped
+
+    ev = t(spark, sf_dir, "events")
+    return ks_grouped(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "value",
+        "event_type",
+        alpha=0.05,
+    ).orderBy("group")
