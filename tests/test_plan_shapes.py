@@ -371,3 +371,14 @@ def test_partial_profile_merge_single_shuffle(spark):
     # one hashpartitioning exchange on the column key — the merge itself
     # distributes (thousands of columns × years of snapshots is fine)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pca_power_anomaly_ranks_after_takeordered(spark):
+    """VERDICT r7 #8: the top-10 must come from TakeOrderedAndProject
+    (per-partition heads, driver merge), with the rank window applied
+    only to the 10-row post-limit relation — never a full-table
+    single-partition rank."""
+    from truthound_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["pca_power_anomaly_lineitem"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan

@@ -6148,21 +6148,21 @@ def q_pca_power_anomaly_lineitem(spark, sf_dir):
     # avg/covar_pop fold order and DuckDB's sequential one at sub-ulp
     # magnitudes, so an unrounded rank could flip on boundary values at
     # other scale factors / partition counts (ADVICE r3)
-    w = Window.orderBy(F.desc("resid_ratio"), "l_orderkey", "l_linenumber")
+    # top-k first via orderBy+limit (TakeOrdered: per-partition heads,
+    # driver merge of 10 rows), THEN row_number over the 10-row result —
+    # the repo idiom (retrieval.py:186); a full-table rank window would
+    # funnel every row through one partition (VERDICT r7 #8)
+    scored = df.select(
+        F.col("l_orderkey").cast("long"),
+        F.col("l_linenumber").cast("long"),
+        F.round(err, 6).alias("resid_ratio"),
+    )
+    order = [F.desc("resid_ratio"), F.col("l_orderkey"), F.col("l_linenumber")]
+    top = scored.orderBy(*order).limit(10)
+    w = Window.orderBy(*order)
     return (
-        df.select(
-            F.col("l_orderkey").cast("long"),
-            F.col("l_linenumber").cast("long"),
-            F.round(err, 6).alias("resid_ratio"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            "resid_ratio",
-            F.col("rank").cast("long").alias("rank"),
-        )
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("l_orderkey", "l_linenumber", "resid_ratio", "rank")
         .orderBy("rank")
     )
 
