@@ -408,3 +408,29 @@ def test_calibration_grouped_matches_per_group(spark):
             assert (gr["n"], gr["mean_score"], gr["frac_positive"], gr["gap"]) == (
                 r["n"], r["mean_score"], r["frac_positive"], r["gap"]
             ), (g, r["bin"])
+
+
+def test_threshold_sweep_grouped_matches_per_group(spark):
+    from truthound_spark.pipeline.regression import threshold_sweep, threshold_sweep_grouped
+
+    rows = []
+    for i in range(400):
+        g = ["a", "b"][i % 2]
+        y = 1.0 if i % 3 == 0 else 0.0
+        s = (0.6 if y else 0.3) + (i % 7) * 0.02 if g == "a" else (i % 10) / 10.0
+        rows.append((round(s, 3), y, g))
+    rows.append((0.9, 1.0, "single"))  # single-class segment
+    df = spark.createDataFrame(rows, "score double, y double, g string")
+    ts = [0.25, 0.5, 0.75]
+    grouped = {
+        (r["group"], r["threshold"]): r
+        for r in threshold_sweep_grouped(df, "score", "y", "g", ts).collect()
+    }
+    for g in ("a", "b", "single"):
+        for r in threshold_sweep(df.filter(F.col("g") == g), "score", "y", ts).collect():
+            gr = grouped[(g, r["threshold"])]
+            for c in ("tp", "fp", "fn", "tn", "precision", "recall", "f1"):
+                assert gr[c] == r[c], (g, r["threshold"], c)
+    # degenerate segment: all-positive → precision NULL below its score
+    assert grouped[("single", 0.25)]["recall"] == 1.0
+    assert grouped[("single", 0.25)]["tn"] == 0

@@ -12031,3 +12031,70 @@ def q_ks_grouped_events(spark, sf_dir):
         "event_type",
         alpha=0.05,
     ).orderBy("group")
+
+
+@register(
+    "threshold_sweep_grouped_documents",
+    "WITH "
+    + _EVAL_SC.replace(
+        "f AS (\n      SELECT CAST(doc_id AS BIGINT) AS id,",
+        "f AS (\n      SELECT CAST(doc_id AS BIGINT) AS id, lang,",
+    ).replace("SELECT f.id,", "SELECT f.id, f.lang,")
+    + """,
+    th AS (SELECT CAST(UNNEST([0.2, 0.35, 0.5, 0.65, 0.8]) AS DOUBLE) AS threshold),
+    m AS (
+      SELECT COALESCE(CAST(sc.lang AS VARCHAR), '__null__') AS "group",
+             th.threshold,
+             SUM(CASE WHEN sc.y = 1.0 AND sc.score >= th.threshold THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN sc.y = 0.0 AND sc.score >= th.threshold THEN 1 ELSE 0 END) AS fp,
+             SUM(CASE WHEN sc.y = 1.0 AND sc.score < th.threshold THEN 1 ELSE 0 END) AS fn,
+             SUM(CASE WHEN sc.y = 0.0 AND sc.score < th.threshold THEN 1 ELSE 0 END) AS tn
+      FROM sc, th
+      WHERE sc.score IS NOT NULL AND sc.y IN (0.0, 1.0)
+      GROUP BY 1, 2
+    ),
+    pr AS (
+      SELECT *, tp / CAST(NULLIF(tp + fp, 0) AS DOUBLE) AS p,
+                tp / CAST(NULLIF(tp + fn, 0) AS DOUBLE) AS r
+      FROM m
+    )
+    SELECT "group", threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           round(p, 6) AS precision,
+           round(r, 6) AS recall,
+           round(2 * p * r / NULLIF(p + r, 0), 6) AS f1
+    FROM pr ORDER BY "group", threshold
+    """,
+)
+def q_threshold_sweep_grouped_documents(spark, sf_dir):
+    """Per-segment operating-point sweep (pipeline/regression.py
+    threshold_sweep_grouped — the last ungrouped member of the eval
+    family joins psi/auc/calibration_grouped): every language's whole
+    precision/recall curve from ONE groupBy(group) whose conditional
+    confusion sums cover every threshold. Single-class segments (the
+    probe label IS lang='en') certify the NULL-not-crash metric
+    contract per group cross-engine."""
+    from truthound_spark.pipeline.regression import logreg_score, threshold_sweep_grouped
+
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & F.col("lang").isNotNull()
+    )
+    feats = d.select(
+        "lang",
+        (F.col("n_chars") / 1000.0).alias("x1"),
+        (
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            )
+            / 100.0
+        ).alias("x2"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    scored = logreg_score(feats, ["x1", "x2"], [-1.1, 2.0, 1.0])
+    return threshold_sweep_grouped(
+        scored, "score", "y", "lang", [0.2, 0.35, 0.5, 0.65, 0.8]
+    ).orderBy("group", "threshold")

@@ -602,3 +602,70 @@ def calibration_grouped(
         F.round(frac_pos, 6).alias("frac_positive"),
         F.round(mean_score - frac_pos, 6).alias("gap"),
     )
+
+
+def threshold_sweep_grouped(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str,
+    thresholds: list[float] | None = None,
+) -> DataFrame:
+    """Per-SEGMENT precision/recall curve — the last ungrouped member of
+    the eval family joins psi/auc/calibration_grouped: the operating
+    point that keeps 90% of good documents globally can silently drop a
+    minority language to 40% recall; this surfaces every segment's whole
+    curve from ONE ``groupBy(group)`` whose conditional confusion sums
+    cover every threshold (the :func:`threshold_sweep` fused-agg design
+    with group in the key — N segments × T thresholds cost one scan).
+
+    Per-group rows are bit-identical to :func:`threshold_sweep` on that
+    segment (exact long counters; NULL metrics on degenerate groups via
+    try_divide). Returns (group, threshold, tp, fp, fn, tn, precision,
+    recall, f1)."""
+    ts = sorted(thresholds if thresholds is not None else [i / 10 for i in range(1, 10)])
+    if not ts:
+        raise ValueError("thresholds must be non-empty")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    grp = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    base = df.filter(s.isNotNull() & y.isin(0.0, 1.0)).select(
+        grp.alias("group"), s.alias("__s"), y.alias("__y")
+    )
+    sc, yc = F.col("__s"), F.col("__y")
+    aggs = []
+    for i, t in enumerate(ts):
+        pred = sc >= t
+        aggs += [
+            F.sum(((yc == 1.0) & pred).cast("long")).alias(f"tp{i}"),
+            F.sum(((yc == 0.0) & pred).cast("long")).alias(f"fp{i}"),
+            F.sum(((yc == 1.0) & ~pred).cast("long")).alias(f"fn{i}"),
+            F.sum(((yc == 0.0) & ~pred).cast("long")).alias(f"tn{i}"),
+        ]
+    one = base.groupBy("group").agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(float(t)).alias("threshold"),
+                F.col(f"tp{i}").alias("tp"),
+                F.col(f"fp{i}").alias("fp"),
+                F.col(f"fn{i}").alias("fn"),
+                F.col(f"tn{i}").alias("tn"),
+            )
+            for i, t in enumerate(ts)
+        ]
+    )
+    e = one.select("group", F.explode(rows).alias("r")).select("group", "r.*")
+    prec = F.try_divide(F.col("tp"), F.col("tp") + F.col("fp"))
+    rec = F.try_divide(F.col("tp"), F.col("tp") + F.col("fn"))
+    return e.select(
+        "group",
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(F.try_divide(2 * prec * rec, prec + rec), 6).alias("f1"),
+    )
