@@ -175,3 +175,50 @@ def test_monitor_health_ages_out_by_batch_not_wallclock(spark, tmp_path):
     assert mon.health("m") == "critical"
     mon.record_scores("m", clean)  # recorded well under 1s later
     assert mon.health("m") == "healthy"
+
+
+def test_monitor_alerts_route_through_checkpoint_actions(spark, tmp_path):
+    """VERDICT r7 #9: ModelMonitor alerts fire the engine's checkpoint
+    actions (Slack/webhook payload builders), not bare dicts — drifted
+    batch posts, clean batch is skipped by only_on_failure."""
+    import json
+    import random
+
+    from truthound_spark.checkpoint import SlackAction, WebhookAction
+    from truthound_spark.ml.monitoring import alerts_to_result
+
+    sent = []
+    hook = WebhookAction("http://x/hook", sender=lambda url, body: sent.append((url, json.loads(body))))
+    slack = SlackAction("http://x/slack", sender=lambda url, body: sent.append((url, json.loads(body))))
+
+    rng = random.Random(31)
+    ref = spark.createDataFrame(
+        [(float(rng.gauss(0.2, 0.05)),) for _ in range(1500)], "score double"
+    )
+    mon = ModelMonitor(root=str(tmp_path / "mon4"), actions=[hook, slack])
+    mon.register_model("m", ref, threshold=0.5)
+
+    clean = spark.createDataFrame(
+        [(float(rng.gauss(0.2, 0.05)),) for _ in range(500)], "score double"
+    )
+    mon.record_scores("m", clean)
+    assert sent == []  # success result → only_on_failure skips
+
+    drifted = spark.createDataFrame(
+        [(float(rng.gauss(0.8, 0.05)),) for _ in range(500)], "score double"
+    )
+    mon.record_scores("m", drifted)
+    urls = [u for u, _ in sent]
+    assert urls == ["http://x/hook", "http://x/slack"]
+    generic = sent[0][1]
+    assert generic["checkpoint"] == "model:m" and not generic["success"]
+    assert generic["issues"] >= 2  # psi + anomaly_rate at least
+    assert "FAIL" in sent[1][1]["text"]  # Slack Block Kit summary
+
+    # payload contract of the adapter itself
+    alerts = [a for a in mon.alerts("m") if a.batch_idx == 1]
+    res = alerts_to_result("m", alerts, mon._history["m"][-1])
+    assert res.source == "model:m" and not res.success
+    by_rule = {i.issue_type: i for i in res.issues}
+    assert str(by_rule["score_psi"].severity) == "critical"
+    assert by_rule["score_psi"].actual == alerts[0].value

@@ -102,9 +102,46 @@ class Alert:
         }
 
 
+def alerts_to_result(model_id: str, alerts: list[Alert], summary: ScoreSummary):
+    """Render one batch's alerts as a ValidationRunResult so the
+    CHECKPOINT ACTIONS (checkpoint.py Slack/Teams/PagerDuty/webhook/email
+    payload builders — reference ml/monitoring/alerting routes through
+    the same notifier fleet) fire for model alerts with zero new payload
+    code: warning → HIGH, critical → CRITICAL; a clean batch is a
+    success-result, which only_on_failure actions skip."""
+    from truthound_spark.core.results import ValidationIssue, ValidationRunResult
+    from truthound_spark.types import Severity
+
+    issues = [
+        ValidationIssue(
+            column="score",
+            issue_type=a.rule,
+            count=1,
+            severity=Severity.CRITICAL if a.level == "critical" else Severity.HIGH,
+            validator_name="model_monitor",
+            expected=a.threshold,
+            actual=a.value,
+            details=f"model {model_id}: {a.rule} {a.value} vs {a.threshold}",
+        )
+        for a in alerts
+    ]
+    return ValidationRunResult(
+        issues=issues,
+        source=f"model:{model_id}",
+        row_count=summary.n,
+        column_count=1,
+        checks_run=3,  # psi / mean-shift / anomaly-rate rules
+        metadata={"model_id": model_id, "batch": summary.to_dict()},
+    )
+
+
 class ModelMonitor:
     """Track per-model score batches; alert on drift/shift
-    (reference monitor.py:60-430)."""
+    (reference monitor.py:60-430). ``actions`` — the checkpoint-action
+    callables (checkpoint.py) — fire once per recorded batch with that
+    batch's alerts rendered as a ValidationRunResult (reference
+    ml/monitoring/alerting notifiers, reusing the engine's own payload
+    builders instead of bare dicts)."""
 
     def __init__(
         self,
@@ -113,6 +150,7 @@ class ModelMonitor:
         psi_critical: float = 0.25,
         mean_shift_sigmas: float = 3.0,
         anomaly_rate_max: float = 0.05,
+        actions: list[Any] | None = None,
     ) -> None:
         self.root = root
         if root:
@@ -121,6 +159,7 @@ class ModelMonitor:
         self.psi_critical = psi_critical
         self.mean_shift_sigmas = mean_shift_sigmas
         self.anomaly_rate_max = anomaly_rate_max
+        self.actions = list(actions or [])
         self._reference: dict[str, DataFrame] = {}
         self._ref_hist: dict[str, tuple[float, float, list[float]] | None] = {}
         self._ref_summary: dict[str, ScoreSummary] = {}
@@ -182,7 +221,15 @@ class ModelMonitor:
         batch = scores.select(F.col(col).alias("score"))
         summary = summarize_scores(batch, "score", meta["threshold"])
         self._history[model_id].append(summary)
-        self._evaluate(model_id, batch, summary, len(self._history[model_id]) - 1)
+        batch_idx = len(self._history[model_id]) - 1
+        self._evaluate(model_id, batch, summary, batch_idx)
+        if self.actions:
+            batch_alerts = [
+                a for a in self._alerts[model_id] if a.batch_idx == batch_idx
+            ]
+            result = alerts_to_result(model_id, batch_alerts, summary)
+            for action in self.actions:
+                action(f"model:{model_id}", result)
         if self.root:
             with open(os.path.join(self.root, f"{model_id}.jsonl"), "a") as f:
                 f.write(json.dumps(summary.to_dict()) + "\n")
