@@ -111,6 +111,18 @@ class DataSource:
             from truthound_spark.adapters import _read_path
 
             df = _read_path(spark, self.path)
+        elif self.kind == "mongodb" and "dump_path" in self.options:
+            # file-backed replay of a mongoexport extended-JSON dump —
+            # the broker-free e2e path (same pattern as the DuckDB-file
+            # JDBC and file-replayed Kafka stand-ins); delivers the
+            # dtypes the live connector would
+            from truthound_spark.sources.mongo_dump import read_mongo_dump
+
+            df = read_mongo_dump(
+                spark,
+                self.options["dump_path"],
+                multiline=self.options.get("multiline", "false") == "true",
+            )
         elif self.kind in _CONNECTOR_FORMATS:
             reader = spark.read.format(_CONNECTOR_FORMATS[self.kind])
             for k, v in self.options.items():
