@@ -350,6 +350,8 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "js_grouped_events",
     "ks_grouped_events",
     "threshold_sweep_grouped_documents",
+    "multivariate_corr_drift_lineitem",
+    "multivariate_mahalanobis_drift_lineitem",
 ]
 
 

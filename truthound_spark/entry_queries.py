@@ -12098,3 +12098,111 @@ def q_threshold_sweep_grouped_documents(spark, sf_dir):
     return threshold_sweep_grouped(
         scored, "score", "y", "lang", [0.2, 0.35, 0.5, 0.65, 0.8]
     ).orderBy("group", "threshold")
+
+
+@register(
+    "multivariate_corr_drift_lineitem",
+    """
+    WITH b AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS q, CAST(l_extendedprice AS DOUBLE) AS e,
+             CAST(l_discount AS DOUBLE) AS d
+      FROM lineitem WHERE l_orderkey % 2 = 0
+    ),
+    c AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS q, CAST(l_extendedprice AS DOUBLE) AS e,
+             CAST(l_discount AS DOUBLE) AS d
+      FROM lineitem WHERE l_orderkey % 2 = 1
+    ),
+    cb AS (SELECT COALESCE(CORR(q, e), 0) AS c01, COALESCE(CORR(q, d), 0) AS c02,
+                  COALESCE(CORR(e, d), 0) AS c12 FROM b),
+    cc AS (SELECT COALESCE(CORR(q, e), 0) AS c01, COALESCE(CORR(q, d), 0) AS c02,
+                  COALESCE(CORR(e, d), 0) AS c12 FROM c),
+    pairs AS (
+      SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+             cb.c01 AS rb, cc.c01 AS rc FROM cb, cc
+      UNION ALL SELECT 'l_quantity', 'l_discount', cb.c02, cc.c02 FROM cb, cc
+      UNION ALL SELECT 'l_extendedprice', 'l_discount', cb.c12, cc.c12 FROM cb, cc
+    ),
+    mx AS (SELECT MAX(ABS(rc - rb)) AS m FROM pairs)
+    SELECT col_a, col_b, ROUND(rb, 6) AS ref_corr, ROUND(rc, 6) AS cur_corr,
+           ROUND(ABS(rc - rb), 6) AS diff,
+           ROUND(LEAST(1.0, mx.m / 0.5), 6) AS drift_score
+    FROM pairs, mx ORDER BY col_a, col_b
+    """,
+)
+def q_multivariate_corr_drift_lineitem(spark, sf_dir):
+    """Multivariate correlation-structure drift (ml/multivariate_drift.py
+    correlation_drift_table; reference ml/drift_detection/
+    multivariate.py:335-384): every feature PAIR's Pearson shift between
+    the even/odd halves from ONE aggregate per side — the drift
+    univariate marginals cannot see (a correlation can rotate while
+    every histogram stays put); drift_score = min(1, max|Δcorr|/0.5)."""
+    from truthound_spark.ml.multivariate_drift import correlation_drift_table
+
+    li = t(spark, sf_dir, "lineitem")
+    return correlation_drift_table(
+        li.filter(F.col("l_orderkey") % 2 == 0),
+        li.filter(F.col("l_orderkey") % 2 == 1),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    ).orderBy("col_a", "col_b")
+
+
+@register(
+    "multivariate_mahalanobis_drift_lineitem",
+    """
+    WITH b AS (
+      SELECT avg(CAST(l_quantity AS DOUBLE)) AS m0,
+             stddev_samp(CAST(l_quantity AS DOUBLE)) AS s0,
+             avg(CAST(l_extendedprice AS DOUBLE)) AS m1,
+             stddev_samp(CAST(l_extendedprice AS DOUBLE)) AS s1,
+             avg(CAST(l_discount AS DOUBLE)) AS m2,
+             stddev_samp(CAST(l_discount AS DOUBLE)) AS s2
+      FROM lineitem WHERE l_orderkey % 2 = 0
+    ),
+    c AS (
+      SELECT avg(CAST(l_quantity AS DOUBLE)) AS m0,
+             avg(CAST(l_extendedprice AS DOUBLE)) AS m1,
+             avg(CAST(l_discount AS DOUBLE)) AS m2
+      FROM lineitem WHERE l_orderkey % 2 = 1
+    ),
+    sd AS (
+      SELECT (c.m0 - b.m0) / b.s0 AS d0, (c.m1 - b.m1) / b.s1 AS d1,
+             (c.m2 - b.m2) / b.s2 AS d2
+      FROM b, c
+    )
+    SELECT ROUND(sqrt((d0 * d0 + d1 * d1 + d2 * d2) / 3), 6) AS mahalanobis,
+           ROUND(LEAST(1.0, sqrt((d0 * d0 + d1 * d1 + d2 * d2) / 3) / 3.0), 6)
+             AS drift_score,
+           ROUND(ABS(d0) / 3.0, 6) AS score_l_quantity,
+           ROUND(ABS(d1) / 3.0, 6) AS score_l_extendedprice,
+           ROUND(ABS(d2) / 3.0, 6) AS score_l_discount
+    FROM sd
+    """,
+)
+def q_multivariate_mahalanobis_drift_lineitem(spark, sf_dir):
+    """Joint-mean multivariate shift (ml/multivariate_drift.py
+    MultivariateDriftDetector method='mahalanobis'; reference
+    multivariate.py:447-486): diagonal-approx Mahalanobis distance of
+    the current mean vector in reference-σ units — one moments
+    aggregate per side, O(features) driver state."""
+    import math as _math
+
+    from truthound_spark.ml.multivariate_drift import MultivariateDriftDetector
+
+    li = t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    det = MultivariateDriftDetector(method="mahalanobis", columns=cols).fit(
+        li.filter(F.col("l_orderkey") % 2 == 0)
+    )
+    res = det.detect(li.filter(F.col("l_orderkey") % 2 == 1))
+    # raw distance from the column scores' invariant: score_i = |sd_i|/3
+    sds = [s * 3.0 for _, s in res.column_scores]
+    raw = _math.sqrt(sum(d * d for d in sds) / len(sds))
+    return _scalar_df(
+        spark,
+        mahalanobis=round(raw, 6),
+        drift_score=round(res.drift_score, 6),
+        score_l_quantity=round(dict(res.column_scores)["l_quantity"], 6),
+        score_l_extendedprice=round(dict(res.column_scores)["l_extendedprice"], 6),
+        score_l_discount=round(dict(res.column_scores)["l_discount"], 6),
+    )

@@ -30,6 +30,11 @@ from truthound_spark.ml.ensemble import (
     ZScoreDetector,
 )
 from truthound_spark.ml.monitoring import ModelMonitor, ScoreSummary, summarize_scores
+from truthound_spark.ml.multivariate_drift import (
+    MultivariateDriftDetector,
+    MultivariateDriftResult,
+    correlation_drift_table,
+)
 from truthound_spark.ml.persistence import ModelRegistry
 from truthound_spark.ml.rule_learning import (
     ConstraintMiner,
@@ -62,6 +67,9 @@ __all__ = [
     "MADDetector",
     "ConceptDriftDetector",
     "ConceptDriftResult",
+    "MultivariateDriftDetector",
+    "MultivariateDriftResult",
+    "correlation_drift_table",
     "ConceptSummary",
     "concept_drift_table",
     "ModelRegistry",

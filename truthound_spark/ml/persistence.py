@@ -206,6 +206,19 @@ class ModelRegistry:
             raise ValueError(f"{name}/{meta['version']} is kind {meta['kind']!r}")
         return EnsembleAnomalyDetector.from_payload(payload)
 
+    def save_multivariate_drift(self, name: str, detector: Any, **params: Any) -> str:
+        """Fitted MultivariateDriftDetector (reference multivariate.py:46)
+        — O(features²) payload: corr matrix, moments, PCA components."""
+        return self.save(name, "multivariate_drift", detector.to_payload(), params)
+
+    def load_multivariate_drift(self, name: str, version: str | None = None) -> Any:
+        from truthound_spark.ml.multivariate_drift import MultivariateDriftDetector
+
+        payload, meta = self.load(name, version)
+        if meta["kind"] != "multivariate_drift":
+            raise ValueError(f"{name}/{meta['version']} is kind {meta['kind']!r}")
+        return MultivariateDriftDetector.from_payload(payload)
+
     def save_concept_drift(self, name: str, detector: Any, **params: Any) -> str:
         """Fitted ConceptDriftDetector (reference concept.py carries
         save/load via its model registry) — payload is O(features)."""
