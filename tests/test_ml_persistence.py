@@ -3,6 +3,8 @@ reference ml/anomaly_models/*.save/load, ml/monitoring/monitor.py)."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -222,3 +224,54 @@ def test_monitor_alerts_route_through_checkpoint_actions(spark, tmp_path):
     by_rule = {i.issue_type: i for i in res.issues}
     assert str(by_rule["score_psi"].severity) == "critical"
     assert by_rule["score_psi"].actual == alerts[0].value
+
+
+def test_prometheus_exposition_contract(spark, tmp_path):
+    """ml/prometheus.py (reference ml/monitoring/stores/prometheus.py):
+    exposition text pinned — HELP/TYPE headers, labeled samples, health
+    codes, counters; atomic textfile write."""
+    import random
+    import re
+
+    from truthound_spark.ml.prometheus import prometheus_metrics, write_textfile
+
+    rng = random.Random(41)
+    ref = spark.createDataFrame(
+        [(float(rng.gauss(0.2, 0.05)),) for _ in range(1500)], "score double"
+    )
+    mon = ModelMonitor(root=str(tmp_path / "mon5"))
+    mon.register_model("fraud_v1", ref, threshold=0.5)
+    mon.record_scores(
+        "fraud_v1",
+        spark.createDataFrame(
+            [(float(rng.gauss(0.8, 0.05)),) for _ in range(400)], "score double"
+        ),
+    )
+
+    text = prometheus_metrics(mon)
+    assert "# HELP truthound_model_score_mean Mean of the last scored batch" in text
+    assert "# TYPE truthound_model_score_mean gauge" in text
+    assert "# TYPE truthound_model_batches_total counter" in text
+    assert re.search(
+        r'truthound_model_score_mean\{model_id="fraud_v1"\} 0\.\d+', text
+    )
+    assert 'truthound_model_health{model_id="fraud_v1"} 2' in text  # critical
+    assert 'truthound_model_batches_total{model_id="fraud_v1"} 1' in text
+    assert re.search(
+        r'truthound_model_alerts_total\{level="critical",model_id="fraud_v1"\} \d+',
+        text,
+    )
+    psi = re.search(
+        r'truthound_model_score_psi\{model_id="fraud_v1"\} ([\d.]+)', text
+    )
+    assert psi and float(psi.group(1)) > 0.25
+    # every non-comment line is a valid exposition sample
+    for line in text.strip().splitlines():
+        if line.startswith("#"):
+            continue
+        assert re.fullmatch(r'[a-zA-Z_:][a-zA-Z0-9_:]*\{[^}]*\} -?[\d.e+-]+', line), line
+
+    out = str(tmp_path / "model.prom")
+    written = write_textfile(mon, out)
+    assert open(out).read() == written == text
+    assert not os.path.exists(out + ".tmp")  # atomic rename cleaned up

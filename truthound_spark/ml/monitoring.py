@@ -231,9 +231,14 @@ class ModelMonitor:
             for action in self.actions:
                 action(f"model:{model_id}", result)
         if self.root:
-            with open(os.path.join(self.root, f"{model_id}.jsonl"), "a") as f:
+            with open(self._history_path(model_id), "a") as f:
                 f.write(json.dumps(summary.to_dict()) + "\n")
         return summary
+
+    def _history_path(self, model_id: str) -> str:
+        # model ids like "fraud/v1" are legal labels but not filenames
+        safe = model_id.replace(os.sep, "_").replace("/", "_")
+        return os.path.join(self.root, f"{safe}.jsonl")
 
     # -- rules ------------------------------------------------------------------
     def _evaluate(
@@ -325,7 +330,7 @@ class ModelMonitor:
         """Re-read persisted summaries (restart recovery)."""
         if not self.root:
             return []
-        path = os.path.join(self.root, f"{model_id}.jsonl")
+        path = self._history_path(model_id)
         if not os.path.exists(path):
             return []
         with open(path) as f:
