@@ -193,3 +193,33 @@ def test_cli_stream_validates_landing_dir(spark, tmp_path, capsys):
     batches = [_json.loads(l) for l in out if l.startswith("{")]
     assert rc == 1
     assert len(batches) == 1 and batches[0]["rows"] == 2 and not batches[0]["success"]
+
+
+def test_cli_anomaly_detects_planted_outliers(spark, tmp_path, capsys):
+    """reference cli_modules/advanced/ml.py:43 `truthound ml anomaly`:
+    zscore / mad / ensemble over a frame with planted extremes."""
+    import json
+    import random
+
+    from truthound_spark.cli import main
+
+    rng = random.Random(51)
+    rows = [(i, rng.gauss(100.0, 5.0)) for i in range(1000)]
+    rows += [(1000 + j, 1000.0) for j in range(4)]
+    path = str(tmp_path / "a.parquet")
+    spark.createDataFrame(rows, "id long, v double").write.parquet(path)
+
+    rc = main(["anomaly", path, "--method", "zscore", "--columns", "v"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "Anomalies found: 4" in out
+
+    out_json = str(tmp_path / "res.json")
+    rc = main(
+        ["anomaly", path, "--method", "ensemble", "--strategy", "vote",
+         "--columns", "v", "--format", "json", "--output", out_json]
+    )
+    capsys.readouterr()
+    assert rc == 0
+    res = json.loads(open(out_json).read())
+    assert res["anomaly_count"] == 4 and res["total_points"] == 1004
+    assert all(t["votes"] >= 2 for t in res["top"])

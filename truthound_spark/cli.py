@@ -113,6 +113,96 @@ def cmd_compare(args: argparse.Namespace) -> int:
     return 1 if drifted else 0
 
 
+def cmd_anomaly(args: argparse.Namespace) -> int:
+    """reference cli_modules/advanced/ml.py:43 ``truthound ml anomaly``:
+    fit a detector on the data, report anomaly count/ratio + top scores.
+    Methods zscore | iqr | mad | ensemble (reference offers the three
+    statistical detectors + isolation_forest; ensemble combines the
+    statistical trio, ml/anomaly_models/ensemble.py)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from truthound_spark.ml.ensemble import (
+        EnsembleAnomalyDetector,
+        IQRDetector,
+        MADDetector,
+        ZScoreDetector,
+    )
+
+    df = _load(_spark(), args.path)
+    cols = args.columns.split(",") if args.columns else None
+    numeric = [
+        c
+        for c, t in df.dtypes
+        if (cols is None or c in cols)
+        and t.split("(")[0]
+        in ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+    ]
+    if not numeric:
+        print("error: no numeric columns to analyze", file=sys.stderr)
+        return 1
+    kw = {"score_threshold": None, "contamination": args.contamination}
+    if args.method == "ensemble":
+        ens = EnsembleAnomalyDetector(
+            strategy=args.strategy, contamination=args.contamination
+        ).fit(df, columns=numeric)
+    else:
+        det_cls = {"zscore": ZScoreDetector, "iqr": IQRDetector, "mad": MADDetector}
+        if args.method not in det_cls:
+            print(
+                f"error: unknown method {args.method!r} "
+                "(zscore | iqr | mad | ensemble)",
+                file=sys.stderr,
+            )
+            return 1
+        ens = EnsembleAnomalyDetector.from_fitted(
+            [det_cls[args.method](numeric, **kw).fit(df)], "max"
+        )
+        ens.contamination = args.contamination
+    pred = ens.predict(df)
+    agg = pred.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_anomaly").cast("long")).alias("anomalies"),
+    ).collect()[0]
+    n, anomalies = int(agg["n"]), int(agg["anomalies"] or 0)
+    top = (
+        pred.filter("is_anomaly")
+        .orderBy(F.desc("anomaly_score"))
+        .limit(10)
+        .collect()
+    )
+    if args.format == "json":
+        out = {
+            "method": args.method,
+            "total_points": n,
+            "anomaly_count": anomalies,
+            "anomaly_ratio": round(anomalies / n, 6) if n else 0.0,
+            "threshold_used": ens.threshold,
+            "top": [
+                {"score": round(r["anomaly_score"], 6), "votes": r["detector_votes"]}
+                for r in top
+            ],
+        }
+        text = _json.dumps(out, indent=2)
+        if args.output:
+            with open(args.output, "w") as f:
+                f.write(text)
+        print(text)
+    else:
+        print(f"Anomaly Detection Results ({args.method})")
+        print(f"Total points: {n}")
+        print(f"Anomalies found: {anomalies}")
+        print(f"Anomaly ratio: {anomalies / n:.2%}" if n else "Anomaly ratio: n/a")
+        print(f"Threshold used: {ens.threshold:.4f}")
+        for r in top:
+            print(
+                f"  score={r['anomaly_score']:.4f} votes={r['detector_votes']} "
+                f"type={r['anomaly_type']}"
+            )
+    return 0
+
+
 def cmd_tune(args: argparse.Namespace) -> int:
     """Profile → thresholds (reference auto_threshold.py tune_thresholds);
     with --history-root, learn from stored profile runs instead and
@@ -328,6 +418,18 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("path")
     c.add_argument("--method", default="psi")
     c.set_defaults(fn=cmd_compare)
+
+    c = sub.add_parser(
+        "anomaly", help="ML anomaly detection: zscore | iqr | mad | ensemble"
+    )
+    c.add_argument("path")
+    c.add_argument("--method", default="zscore")
+    c.add_argument("--strategy", default="average", help="ensemble combiner")
+    c.add_argument("--contamination", type=float, default=0.1)
+    c.add_argument("--columns", default=None, help="comma-separated numeric columns")
+    c.add_argument("--format", default="console", choices=["console", "json"])
+    c.add_argument("--output", default=None)
+    c.set_defaults(fn=cmd_anomaly)
 
     c = sub.add_parser("read", help="load a source and show schema + head")
     c.add_argument("path")
