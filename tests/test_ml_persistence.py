@@ -275,3 +275,64 @@ def test_prometheus_exposition_contract(spark, tmp_path):
     written = write_textfile(mon, out)
     assert open(out).read() == written == text
     assert not os.path.exists(out + ".tmp")  # atomic rename cleaned up
+
+
+def test_configurable_alert_rules(spark, tmp_path):
+    """reference ml/monitoring/alerting/rules.py Threshold/Anomaly/Trend
+    rules evaluated over the batch-summary series — stateless, replay-
+    deterministic, batch-indexed for_batches."""
+    import random
+
+    from truthound_spark.ml.monitoring import AnomalyRule, ThresholdRule, TrendRule
+
+    rng = random.Random(61)
+
+    def batch(mu, n=400):
+        return spark.createDataFrame(
+            [(float(rng.gauss(mu, 0.02)),) for _ in range(n)], "score double"
+        )
+
+    mon = ModelMonitor(
+        root=str(tmp_path / "mon6"),
+        psi_warn=1e9,  # silence built-ins; this test drives custom rules
+        psi_critical=1e9,
+        mean_shift_sigmas=1e9,
+        rules=[
+            ThresholdRule("mean_floor", "mean", 0.3, "lt", for_batches=2,
+                          level="critical"),
+            TrendRule("mean_rising", "mean", "increasing", window_size=4,
+                      min_change_percent=20.0),
+        ],
+    )
+    mon.add_rule(AnomalyRule("mean_outlier", "mean", z_threshold=3.0, min_history=5))
+    mon.register_model("m", batch(0.5, 1500))
+
+    # rising means: 0.4, 0.5, 0.6, 0.72 → second-half mean ≥ 20% over first
+    for mu in (0.4, 0.5, 0.6, 0.72):
+        mon.record_scores("m", batch(mu))
+    rules_fired = {a.rule for a in mon.alerts("m")}
+    assert "mean_rising" in rules_fired
+    assert "mean_floor" not in rules_fired  # single 0.4 batch, for_batches=2
+
+    # two consecutive sub-0.3 batches → threshold rule fires critical
+    mon.record_scores("m", batch(0.2))
+    assert "mean_floor" not in {a.rule for a in mon.alerts("m")}
+    mon.record_scores("m", batch(0.2))
+    floor = [a for a in mon.alerts("m") if a.rule == "mean_floor"]
+    assert floor and floor[0].level == "critical"
+    assert mon.health("m") == "critical"
+
+    # anomaly rule: a wild outlier vs the rolling window
+    mon2 = ModelMonitor(
+        psi_warn=1e9, psi_critical=1e9, mean_shift_sigmas=1e9,
+        rules=[AnomalyRule("mean_outlier", "mean", z_threshold=3.0, min_history=5)],
+    )
+    mon2.register_model("m", batch(0.5, 1000))
+    # the rolling window INCLUDES the current value (reference rules.py:
+    # 234-261), which inflates the window std — enough clean batches are
+    # needed before a 10x spike clears z=3
+    for _ in range(12):
+        mon2.record_scores("m", batch(0.5))
+    assert not [a for a in mon2.alerts("m") if a.rule == "mean_outlier"]
+    mon2.record_scores("m", batch(5.0))
+    assert [a for a in mon2.alerts("m") if a.rule == "mean_outlier"]

@@ -29,7 +29,15 @@ from truthound_spark.ml.ensemble import (
     MADDetector,
     ZScoreDetector,
 )
-from truthound_spark.ml.monitoring import ModelMonitor, ScoreSummary, summarize_scores
+from truthound_spark.ml.monitoring import (
+    AlertRule,
+    AnomalyRule,
+    ModelMonitor,
+    ScoreSummary,
+    ThresholdRule,
+    TrendRule,
+    summarize_scores,
+)
 from truthound_spark.ml.multivariate_drift import (
     MultivariateDriftDetector,
     MultivariateDriftResult,
@@ -74,6 +82,10 @@ __all__ = [
     "concept_drift_table",
     "ModelRegistry",
     "ModelMonitor",
+    "AlertRule",
+    "ThresholdRule",
+    "AnomalyRule",
+    "TrendRule",
     "ScoreSummary",
     "summarize_scores",
 ]

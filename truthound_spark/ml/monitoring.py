@@ -102,6 +102,147 @@ class Alert:
         }
 
 
+class AlertRule:
+    """Configurable alert rule over the batch-summary series (reference
+    ml/monitoring/alerting/rules.py:25 AlertRule). Metrics are the
+    ScoreSummary fields: n / mean / std / q05 / q50 / q95 /
+    anomaly_rate. Rules are STATELESS — they read the monitor's own
+    history, so a reloaded monitor evaluates identically."""
+
+    def __init__(self, name: str, metric: str, level: str = "warning") -> None:
+        self.name = name
+        self.metric = metric
+        self.level = level
+
+    def _value(self, s: ScoreSummary) -> float | None:
+        v = getattr(s, self.metric, None)
+        return float(v) if v is not None else None
+
+    def evaluate(
+        self, history: list[ScoreSummary]
+    ) -> tuple[bool, float, float]:
+        """→ (fired, observed value, threshold)."""
+        raise NotImplementedError
+
+
+class ThresholdRule(AlertRule):
+    """metric ⋛ threshold, optionally sustained for N consecutive
+    batches (reference rules.py:96 ThresholdRule; its wall-clock
+    for_duration becomes batch-indexed ``for_batches`` — deterministic
+    under replay, consistent with the monitor's batch-indexed health)."""
+
+    _OPS = {
+        "gt": lambda a, b: a > b,
+        "lt": lambda a, b: a < b,
+        "gte": lambda a, b: a >= b,
+        "lte": lambda a, b: a <= b,
+        "eq": lambda a, b: a == b,
+    }
+
+    def __init__(
+        self,
+        name: str,
+        metric: str,
+        threshold: float,
+        comparison: str = "gt",
+        for_batches: int = 1,
+        level: str = "warning",
+    ) -> None:
+        super().__init__(name, metric, level)
+        if comparison not in self._OPS:
+            raise ValueError(f"comparison must be one of {sorted(self._OPS)}")
+        self.threshold = threshold
+        self.comparison = comparison
+        self.for_batches = max(1, for_batches)
+
+    def evaluate(self, history: list[ScoreSummary]) -> tuple[bool, float, float]:
+        if not history:
+            return False, 0.0, self.threshold
+        value = self._value(history[-1])
+        if value is None:
+            return False, 0.0, self.threshold
+        op = self._OPS[self.comparison]
+        tail = history[-self.for_batches :]
+        fired = len(tail) >= self.for_batches and all(
+            (v := self._value(s)) is not None and op(v, self.threshold) for s in tail
+        )
+        return fired, value, self.threshold
+
+
+class AnomalyRule(AlertRule):
+    """Latest batch's metric is a z-score outlier vs its own rolling
+    window (reference rules.py:206; window includes the current value,
+    min 10 observations)."""
+
+    def __init__(
+        self,
+        name: str,
+        metric: str,
+        z_threshold: float = 3.0,
+        window_size: int = 100,
+        min_history: int = 10,
+        level: str = "warning",
+    ) -> None:
+        super().__init__(name, metric, level)
+        self.z_threshold = z_threshold
+        self.window_size = window_size
+        self.min_history = min_history
+
+    def evaluate(self, history: list[ScoreSummary]) -> tuple[bool, float, float]:
+        values = [
+            v for s in history[-self.window_size :] if (v := self._value(s)) is not None
+        ]
+        if not values or len(values) < self.min_history:
+            return False, values[-1] if values else 0.0, self.z_threshold
+        cur = values[-1]
+        mean = sum(values) / len(values)
+        var = sum((x - mean) ** 2 for x in values) / len(values)
+        std = var**0.5 if var > 0 else 1.0
+        z = abs(cur - mean) / std if std > 0 else 0.0
+        return z > self.z_threshold, round(z, 6), self.z_threshold
+
+
+class TrendRule(AlertRule):
+    """Sustained increase/decrease: second-half mean vs first-half mean
+    over the last ``window_size`` batches (reference rules.py:307)."""
+
+    def __init__(
+        self,
+        name: str,
+        metric: str,
+        trend: str = "increasing",
+        window_size: int = 10,
+        min_change_percent: float = 10.0,
+        level: str = "warning",
+    ) -> None:
+        super().__init__(name, metric, level)
+        if trend not in ("increasing", "decreasing"):
+            raise ValueError("trend must be increasing | decreasing")
+        self.trend = trend
+        self.window_size = window_size
+        self.min_change_percent = min_change_percent
+
+    def evaluate(self, history: list[ScoreSummary]) -> tuple[bool, float, float]:
+        values = [
+            v for s in history[-self.window_size :] if (v := self._value(s)) is not None
+        ]
+        if len(values) < self.window_size:
+            return False, 0.0, self.min_change_percent
+        first = values[: len(values) // 2]
+        second = values[len(values) // 2 :]
+        fm = sum(first) / len(first)
+        sm = sum(second) / len(second)
+        if fm == 0:
+            return False, 0.0, self.min_change_percent
+        change = (sm - fm) / abs(fm) * 100
+        fired = (
+            change >= self.min_change_percent
+            if self.trend == "increasing"
+            else change <= -self.min_change_percent
+        )
+        return fired, round(change, 6), self.min_change_percent
+
+
 def alerts_to_result(model_id: str, alerts: list[Alert], summary: ScoreSummary):
     """Render one batch's alerts as a ValidationRunResult so the
     CHECKPOINT ACTIONS (checkpoint.py Slack/Teams/PagerDuty/webhook/email
@@ -151,6 +292,7 @@ class ModelMonitor:
         mean_shift_sigmas: float = 3.0,
         anomaly_rate_max: float = 0.05,
         actions: list[Any] | None = None,
+        rules: list["AlertRule"] | None = None,
     ) -> None:
         self.root = root
         if root:
@@ -160,6 +302,7 @@ class ModelMonitor:
         self.mean_shift_sigmas = mean_shift_sigmas
         self.anomaly_rate_max = anomaly_rate_max
         self.actions = list(actions or [])
+        self.rules: list[AlertRule] = list(rules or [])
         self._reference: dict[str, DataFrame] = {}
         self._ref_hist: dict[str, tuple[float, float, list[float]] | None] = {}
         self._ref_summary: dict[str, ScoreSummary] = {}
@@ -292,6 +435,19 @@ class ModelMonitor:
                     batch_idx,
                 )
             )
+
+        # user-configured rules over the batch-summary series (reference
+        # ml/monitoring/alerting/rules.py — Threshold/Anomaly/Trend)
+        history = self._history[model_id]
+        for rule in self.rules:
+            fired, value, threshold = rule.evaluate(history)
+            if fired:
+                alerts.append(
+                    Alert(model_id, rule.name, rule.level, value, threshold, batch_idx)
+                )
+
+    def add_rule(self, rule: "AlertRule") -> None:
+        self.rules.append(rule)
 
     # -- status ------------------------------------------------------------------
     def alerts(self, model_id: str) -> list[Alert]:
