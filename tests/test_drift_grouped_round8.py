@@ -98,3 +98,43 @@ def test_ks_grouped_window_is_partitioned_by_group(spark):
 
     for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\], \[(.*?)\]", plan):
         assert "group" in m.group(2), plan[:2000]
+
+
+def test_wasserstein_grouped_matches_per_group(spark):
+    from truthound_spark.drift.detectors import wasserstein, wasserstein_grouped
+
+    base, cur = _mk(spark)
+    grouped = {
+        r["group"]: r for r in wasserstein_grouped(base, cur, "v", "g").collect()
+    }
+    for g in ("a", "b", "c"):
+        single = wasserstein(
+            base.filter(F.col("g") == g), cur.filter(F.col("g") == g), "v"
+        )
+        assert grouped[g]["emd"] == round(single.statistic, 6), g
+        assert grouped[g]["threshold"] == round(single.threshold, 6), g
+        assert grouped[g]["drifted"] == single.drifted
+    assert grouped["b"]["drifted"] and not grouped["a"]["drifted"]
+
+
+def test_wasserstein_grouped_one_sided_null_and_window_partitioned(spark):
+    from truthound_spark.drift.detectors import wasserstein_grouped
+
+    base = spark.createDataFrame(
+        [(i, "only_base" if i < 30 else "both", float(i % 10)) for i in range(60)],
+        "id long, g string, v double",
+    )
+    cur = spark.createDataFrame(
+        [(i, "only_cur" if i < 30 else "both", float(i % 10)) for i in range(60)],
+        "id long, g string, v double",
+    )
+    res = wasserstein_grouped(base, cur, "v", "g")
+    out = {r["group"]: r for r in res.collect()}
+    assert out["only_base"]["emd"] is None and out["only_base"]["drifted"] is None
+    assert out["only_cur"]["emd"] is None
+    assert out["both"]["emd"] == 0.0 and not out["both"]["drifted"]
+    import re
+
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\], \[(.*?)\]", plan):
+        assert "group" in m.group(2), plan[:2000]

@@ -702,3 +702,123 @@ def ks_grouped(
         F.round(crit, 6).alias("crit"),
         (F.col("__raw") > crit).alias("drifted"),
     )
+
+
+def wasserstein_grouped(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    group_col: str,
+    bins: int = 100,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Per-segment earth-mover distance — completes the grouped family
+    (psi/js/ks/moments + this): :func:`wasserstein`'s histogram-CDF
+    integral per group in one histogram pass per side. Per-group
+    semantics mirror the ungrouped form exactly: edges span BOTH sides'
+    range (min of mins → max of maxs), the CDF difference integrates
+    over a DENSE bin grid (empty bins carry the standing CDF gap —
+    dropping them would under-count the distance), per-bin |ΔCDF|·width
+    terms quantize to 1e-9 longs, default threshold 0.1·(hi−lo) per
+    group. Groups present on only one side report NULL emd/drifted (the
+    ungrouped empty-side convention, made loud). Returns (group, emd,
+    threshold, drifted); shuffles keyed on (group) / (group, bin), the
+    cumulative window partitions by group over ≤``bins`` rows."""
+    from pyspark.sql import Window
+
+    grp = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+
+    def rng_of(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return (
+            df.select(grp.alias("group"), F.col(column).alias("__x"))
+            .filter(F.col("__x").isNotNull())
+            .groupBy("group")
+            .agg(F.min("__x").alias(lo), F.max("__x").alias(hi))
+        )
+
+    rb, rc = rng_of(baseline, "__lob", "__hib"), rng_of(current, "__loc", "__hic")
+    both = rb.join(rc, "group").select(
+        "group",
+        F.least("__lob", "__loc").alias("__lo"),
+        F.greatest("__hib", "__hic").alias("__hi"),
+    )
+    width = F.when(
+        F.col("__hi") > F.col("__lo"), (F.col("__hi") - F.col("__lo")) / bins
+    ).otherwise(F.lit(1.0))
+
+    def binned(df: DataFrame, alias: str) -> DataFrame:
+        d = df.select(grp.alias("group"), F.col(column).alias("__x")).filter(
+            F.col("__x").isNotNull()
+        )
+        j = d.join(F.broadcast(both), "group")
+        b = F.least(
+            F.greatest(F.floor((F.col("__x") - F.col("__lo")) / width), F.lit(0)),
+            F.lit(bins - 1),
+        )
+        return j.groupBy("group", b.alias("bin")).agg(F.count(F.lit(1)).alias(alias))
+
+    pb, qb = binned(baseline, "pn"), binned(current, "qn")
+    spark = baseline.sparkSession
+    grid = both.crossJoin(
+        spark.range(bins).select(F.col("id").alias("bin"))
+    )
+    cells = (
+        grid.join(pb, ["group", "bin"], "left")
+        .join(qb, ["group", "bin"], "left")
+        .select(
+            "group",
+            "bin",
+            "__lo",
+            "__hi",
+            F.coalesce("pn", F.lit(0)).alias("pn"),
+            F.coalesce("qn", F.lit(0)).alias("qn"),
+        )
+    )
+    tots = cells.groupBy("group").agg(
+        F.sum("pn").alias("__tp"), F.sum("qn").alias("__tq")
+    )
+    w = (
+        Window.partitionBy("group")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = cells.join(F.broadcast(tots), "group")
+    # cumulative sums of the per-bin FREQUENCIES (same float-addition
+    # sequence as the ungrouped Python loop, not counts-then-divide)
+    cdf_p = F.sum(F.try_divide(F.col("pn"), F.col("__tp"))).over(w)
+    cdf_q = F.sum(F.try_divide(F.col("qn"), F.col("__tq"))).over(w)
+    wexpr = F.when(
+        F.col("__hi") > F.col("__lo"), (F.col("__hi") - F.col("__lo")) / bins
+    ).otherwise(F.lit(1.0))
+    term = F.round(F.abs(cdf_p - cdf_q) * wexpr * 1_000_000_000).cast("long")
+    out = (
+        j.select("group", "__lo", "__hi", term.alias("__t"))
+        .groupBy("group")
+        .agg(
+            F.round(F.sum("__t") / 1_000_000_000, 6).alias("emd"),
+            F.max("__lo").alias("__lo"),
+            F.max("__hi").alias("__hi"),
+        )
+    )
+    thr = (
+        F.lit(float(threshold))
+        if threshold is not None
+        else F.lit(0.1) * (F.col("__hi") - F.col("__lo"))
+    )
+    out = out.select(
+        "group",
+        "emd",
+        F.round(thr, 6).alias("threshold"),
+        (F.col("emd") > thr).alias("drifted"),
+    )
+    one_sided = (
+        rb.join(rc, "group", "full")
+        .filter(F.col("__lob").isNull() | F.col("__loc").isNull())
+        .select(
+            "group",
+            F.lit(None).cast("double").alias("emd"),
+            F.lit(None).cast("double").alias("threshold"),
+            F.lit(None).cast("boolean").alias("drifted"),
+        )
+    )
+    return out.unionByName(one_sided)

@@ -352,6 +352,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "threshold_sweep_grouped_documents",
     "multivariate_corr_drift_lineitem",
     "multivariate_mahalanobis_drift_lineitem",
+    "wasserstein_grouped_events",
 ]
 
 

@@ -12206,3 +12206,99 @@ def q_multivariate_mahalanobis_drift_lineitem(spark, sf_dir):
         score_l_extendedprice=round(dict(res.column_scores)["l_extendedprice"], 6),
         score_l_discount=round(dict(res.column_scores)["l_discount"], 6),
     )
+
+
+@register(
+    "wasserstein_grouped_events",
+    """
+    WITH b AS (
+      SELECT COALESCE(CAST(event_type AS VARCHAR), '__null__') AS g, value AS x
+      FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL
+    ),
+    c AS (
+      SELECT COALESCE(CAST(event_type AS VARCHAR), '__null__') AS g, value AS x
+      FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL
+    ),
+    rb AS (SELECT g, MIN(x) AS lob, MAX(x) AS hib FROM b GROUP BY 1),
+    rc AS (SELECT g, MIN(x) AS loc, MAX(x) AS hic FROM c GROUP BY 1),
+    bt AS (
+      SELECT rb.g, LEAST(lob, loc) AS lo, GREATEST(hib, hic) AS hi
+      FROM rb JOIN rc ON rb.g = rc.g
+    ),
+    pb AS (
+      SELECT b.g,
+             LEAST(GREATEST(floor((b.x - t.lo)
+               / (CASE WHEN t.hi > t.lo THEN (t.hi - t.lo) / 20 ELSE 1.0 END)),
+               0), 19) AS bin,
+             COUNT(*) AS pn
+      FROM b JOIN bt t ON b.g = t.g GROUP BY 1, 2
+    ),
+    qb AS (
+      SELECT c.g,
+             LEAST(GREATEST(floor((c.x - t.lo)
+               / (CASE WHEN t.hi > t.lo THEN (t.hi - t.lo) / 20 ELSE 1.0 END)),
+               0), 19) AS bin,
+             COUNT(*) AS qn
+      FROM c JOIN bt t ON c.g = t.g GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT bt.g, bt.lo, bt.hi, gs.bin
+      FROM bt, (SELECT UNNEST(range(20)) AS bin) gs
+    ),
+    cells AS (
+      SELECT grid.g, grid.bin, grid.lo, grid.hi,
+             COALESCE(pn, 0) AS pn, COALESCE(qn, 0) AS qn
+      FROM grid
+      LEFT JOIN pb ON grid.g = pb.g AND grid.bin = pb.bin
+      LEFT JOIN qb ON grid.g = qb.g AND grid.bin = qb.bin
+    ),
+    tots AS (SELECT g, SUM(pn) AS tp, SUM(qn) AS tq FROM cells GROUP BY 1),
+    cum AS (
+      SELECT cells.g, cells.bin, cells.lo, cells.hi,
+             SUM(pn / CAST(tp AS DOUBLE)) OVER (PARTITION BY cells.g ORDER BY cells.bin
+                                                ROWS UNBOUNDED PRECEDING) AS cp,
+             SUM(qn / CAST(tq AS DOUBLE)) OVER (PARTITION BY cells.g ORDER BY cells.bin
+                                                ROWS UNBOUNDED PRECEDING) AS cq
+      FROM cells JOIN tots ON cells.g = tots.g
+    ),
+    terms AS (
+      SELECT g, lo, hi,
+             CAST(round(ABS(cp - cq)
+               * (CASE WHEN hi > lo THEN (hi - lo) / 20 ELSE 1.0 END)
+               * 1000000000) AS BIGINT) AS t
+      FROM cum
+    ),
+    agg AS (
+      SELECT g, round(SUM(t) / 1000000000.0, 6) AS emd,
+             MAX(lo) AS lo, MAX(hi) AS hi
+      FROM terms GROUP BY 1
+    )
+    SELECT * FROM (
+      SELECT g AS "group", emd, ROUND(0.1 * (hi - lo), 6) AS threshold,
+             emd > 0.1 * (hi - lo) AS drifted
+      FROM agg
+      UNION ALL
+      SELECT COALESCE(rb.g, rc.g), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             CAST(NULL AS BOOLEAN)
+      FROM rb FULL JOIN rc ON rb.g = rc.g
+      WHERE rb.g IS NULL OR rc.g IS NULL
+    ) ORDER BY "group"
+    """,
+)
+def q_wasserstein_grouped_events(spark, sf_dir):
+    """Per-segment earth-mover distance (drift/detectors.py
+    wasserstein_grouped): every event_type's EMD between the even/odd
+    halves from one histogram pass per side — completes the grouped
+    drift family (psi/js/ks/moments); dense bin grid so empty bins keep
+    carrying the standing CDF gap; per-group values pinned bit-identical
+    to wasserstein()."""
+    from truthound_spark.drift.detectors import wasserstein_grouped
+
+    ev = t(spark, sf_dir, "events")
+    return wasserstein_grouped(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "value",
+        "event_type",
+        bins=20,
+    ).orderBy("group")
