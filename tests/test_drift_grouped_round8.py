@@ -138,3 +138,53 @@ def test_wasserstein_grouped_one_sided_null_and_window_partitioned(spark):
     plan = res._jdf.queryExecution().executedPlan().toString()
     for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\], \[(.*?)\]", plan):
         assert "group" in m.group(2), plan[:2000]
+
+
+def test_chi_square_grouped_matches_per_group(spark):
+    from truthound_spark.drift.detectors import chi_square_drift, chi_square_grouped
+
+    rows = []
+    for i in range(900):
+        g = ["a", "b", "c"][i % 3]
+        side = i % 2
+        cat = f"k{(i // 6) % 5}"
+        if g == "b" and side == 1:
+            cat = f"k{(i // 6) % 2}"  # b's current collapses to 2 categories
+        rows.append((i, g, cat, side))
+    df = spark.createDataFrame(rows, "id long, g string, cat string, side int")
+    base, cur = df.filter("side = 0"), df.filter("side = 1")
+    grouped = {
+        r["group"]: r for r in chi_square_grouped(base, cur, "cat", "g").collect()
+    }
+    for g in ("a", "b", "c"):
+        single = chi_square_drift(
+            base.filter(F.col("g") == g), cur.filter(F.col("g") == g), "cat"
+        )
+        assert grouped[g]["chi2"] == round(single.statistic, 6), g
+        assert grouped[g]["dof"] == single.details["dof"]
+        assert grouped[g]["drifted"] == single.drifted, g
+    assert grouped["b"]["drifted"] and not grouped["a"]["drifted"]
+
+
+def test_chi_square_grouped_caps_per_group_and_one_sided(spark):
+    from truthound_spark.drift.detectors import chi_square_grouped
+
+    base = spark.createDataFrame(
+        [(i, "wide", f"c{i}") for i in range(200)]
+        + [(i, "only_base", "x") for i in range(20)],
+        "id long, g string, cat string",
+    )
+    cur = spark.createDataFrame(
+        [(i, "wide", "HOT" if i < 100 else f"c{i + 100}") for i in range(200)],
+        "id long, g string, cat string",
+    )
+    out = {
+        r["group"]: r
+        for r in chi_square_grouped(base, cur, "cat", "g", max_categories=50).collect()
+    }
+    # wide segment: ~300 distinct categories capped at 50 + other → dof 50
+    assert out["wide"]["dof"] == 50
+    # the concentrated HOT category (absent from baseline) tops the kept
+    # set and drives the statistic
+    assert out["wide"]["drifted"] and out["wide"]["chi2"] > 50
+    assert out["only_base"]["chi2"] is None and out["only_base"]["drifted"] is None

@@ -822,3 +822,127 @@ def wasserstein_grouped(
         )
     )
     return out.unionByName(one_sided)
+
+
+def chi_square_grouped(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    group_col: str,
+    alpha: float = 0.05,
+    max_categories: int = 1000,
+) -> DataFrame:
+    """Per-segment categorical χ² homogeneity — the CATEGORICAL member
+    of the grouped drift family (psi/js/ks/wasserstein cover numerics):
+    every segment's chi-square statistic from ONE (group, value) count
+    pass, with the ungrouped detector's top-K + "other"-fold discipline
+    applied PER GROUP (WindowGroupLimit keeps ≤``max_categories``
+    categories per segment; the tail folds into one cell via the
+    group-total subtraction, so a high-cardinality column can never blow
+    up any segment).
+
+    The drift gate is the Wilson–Hilferty normal transform z of the
+    statistic (the same monotone map :func:`_chi2_sf` inverts), compared
+    to the alpha critical value — p < α ⟺ z > z_α, expressed as column
+    math so the whole relation stays engine-portable (no erfc needed in
+    SQL). Terms quantize to 1e-9 longs. One-sided segments report NULL.
+    Returns (group, chi2, dof, z, drifted)."""
+    from pyspark.sql import Window
+
+    grp = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    u = (
+        baseline.select(grp.alias("group"), F.col(column).alias("v")).withColumn(
+            "s", F.lit(0)
+        )
+        .unionAll(
+            current.select(grp.alias("group"), F.col(column).alias("v")).withColumn(
+                "s", F.lit(1)
+            )
+        )
+        .groupBy("group", "v")
+        .agg(
+            F.sum(F.when(F.col("s") == 0, 1).otherwise(0)).alias("nb"),
+            F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("nc"),
+        )
+    )
+    # per-group totals as WINDOW columns (no tots re-join — a self-join
+    # on the same u lineage trips AMBIGUOUS_REFERENCE); the partition-by
+    # window is group-keyed, never global
+    wg = Window.partitionBy("group")
+    w = Window.partitionBy("group").orderBy(
+        F.desc(F.col("nb") + F.col("nc")), F.col("v").cast("string")
+    )
+    ranked = (
+        u.withColumn("tb", F.sum("nb").over(wg))
+        .withColumn("tc", F.sum("nc").over(wg))
+        .withColumn("__rk", F.row_number().over(w))
+    )
+    kept = ranked.filter(F.col("__rk") <= max_categories)
+    # the tail folds into one "other" cell per group: group totals minus
+    # the kept mass (exact — the subtraction never reads the tail rows)
+    other = (
+        kept.groupBy("group")
+        .agg(
+            (F.max("tb") - F.sum("nb")).alias("nb"),
+            (F.max("tc") - F.sum("nc")).alias("nc"),
+            F.max("tb").alias("tb"),
+            F.max("tc").alias("tc"),
+        )
+        .filter((F.col("nb") > 0) | (F.col("nc") > 0))
+    )
+    j = kept.select("group", "nb", "nc", "tb", "tc").unionByName(
+        other.select("group", "nb", "nc", "tb", "tc")
+    )
+    tot = F.col("nb") + F.col("nc")
+    e_b = tot * F.col("tb") / (F.col("tb") + F.col("tc"))
+    e_c = tot * F.col("tc") / (F.col("tb") + F.col("tc"))
+    term = F.round(
+        (
+            F.when(e_b > 0, F.pow(F.col("nb") - e_b, 2) / e_b).otherwise(0.0)
+            + F.when(e_c > 0, F.pow(F.col("nc") - e_c, 2) / e_c).otherwise(0.0)
+        )
+        * 1_000_000_000
+    ).cast("long")
+    agg = j.groupBy("group").agg(
+        F.round(F.sum(term) / 1_000_000_000, 6).alias("chi2"),
+        F.greatest(F.count(F.lit(1)) - 1, F.lit(1)).cast("long").alias("dof"),
+        F.max("tb").alias("tb"),
+        F.max("tc").alias("tc"),
+    )
+    # Wilson–Hilferty: z = ((x/k)^(1/3) − (1 − 2/(9k))) / sqrt(2/(9k));
+    # p < α ⟺ z > z_α (same transform _chi2_sf applies)
+    k = F.col("dof").cast("double")
+    z = (
+        F.cbrt(F.try_divide(F.col("chi2"), k))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * k))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * k))
+    z_alpha = math.sqrt(2.0) * _erfc_inv(2.0 * alpha)
+    out = agg.filter((F.col("tb") > 0) & (F.col("tc") > 0)).select(
+        "group",
+        "chi2",
+        "dof",
+        F.round(z, 6).alias("z"),
+        (z > F.lit(z_alpha)).alias("drifted"),
+    )
+    one_sided = agg.filter((F.col("tb") == 0) | (F.col("tc") == 0)).select(
+        "group",
+        F.lit(None).cast("double").alias("chi2"),
+        F.lit(None).cast("long").alias("dof"),
+        F.lit(None).cast("double").alias("z"),
+        F.lit(None).cast("boolean").alias("drifted"),
+    )
+    return out.unionByName(one_sided)
+
+
+def _erfc_inv(y: float) -> float:
+    """Inverse complementary error function via bisection on math.erfc
+    (driver-side scalar; only used to precompute the z_α critical
+    value)."""
+    lo, hi = -10.0, 10.0
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if math.erfc(mid) > y:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2

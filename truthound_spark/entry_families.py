@@ -353,6 +353,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "multivariate_corr_drift_lineitem",
     "multivariate_mahalanobis_drift_lineitem",
     "wasserstein_grouped_events",
+    "chi_square_grouped_events",
 ]
 
 

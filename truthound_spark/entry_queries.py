@@ -12302,3 +12302,94 @@ def q_wasserstein_grouped_events(spark, sf_dir):
         "event_type",
         bins=20,
     ).orderBy("group")
+
+
+@register(
+    "chi_square_grouped_events",
+    """
+    WITH ub AS (
+      SELECT COALESCE(CAST(event_type AS VARCHAR), '__null__') AS g,
+             CAST(user_id % 20 AS VARCHAR) AS v, 0 AS s
+      FROM events WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT COALESCE(CAST(event_type AS VARCHAR), '__null__') AS g,
+             CAST(user_id % 20 AS VARCHAR) AS v, 1 AS s
+      FROM events WHERE event_id % 2 = 1
+    ),
+    u AS (
+      SELECT g, v,
+             SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS nb,
+             SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS nc
+      FROM ub GROUP BY g, v
+    ),
+    r AS (
+      SELECT g, v, nb, nc,
+             SUM(nb) OVER (PARTITION BY g) AS tb,
+             SUM(nc) OVER (PARTITION BY g) AS tc,
+             ROW_NUMBER() OVER (PARTITION BY g
+                                ORDER BY nb + nc DESC, CAST(v AS VARCHAR)) AS rk
+      FROM u
+    ),
+    kept AS (SELECT * FROM r WHERE rk <= 1000),
+    oth AS (
+      SELECT g, MAX(tb) - SUM(nb) AS nb, MAX(tc) - SUM(nc) AS nc,
+             MAX(tb) AS tb, MAX(tc) AS tc
+      FROM kept GROUP BY g
+      HAVING MAX(tb) - SUM(nb) > 0 OR MAX(tc) - SUM(nc) > 0
+    ),
+    j AS (
+      SELECT g, nb, nc, tb, tc FROM kept
+      UNION ALL SELECT g, nb, nc, tb, tc FROM oth
+    ),
+    terms AS (
+      SELECT g, tb, tc,
+             CAST(round((
+               CASE WHEN (nb + nc) * tb / (tb + tc) > 0
+                    THEN POW(nb - (nb + nc) * tb / (tb + tc), 2)
+                         / ((nb + nc) * tb / (tb + tc))
+                    ELSE 0.0 END
+               + CASE WHEN (nb + nc) * tc / (tb + tc) > 0
+                      THEN POW(nc - (nb + nc) * tc / (tb + tc), 2)
+                           / ((nb + nc) * tc / (tb + tc))
+                      ELSE 0.0 END) * 1000000000) AS BIGINT) AS t
+      FROM j
+    ),
+    agg AS (
+      SELECT g, round(SUM(t) / 1000000000.0, 6) AS chi2,
+             GREATEST(COUNT(*) - 1, 1) AS dof,
+             MAX(tb) AS tb, MAX(tc) AS tc
+      FROM terms GROUP BY g
+    )
+    SELECT * FROM (
+      SELECT g AS "group", chi2, CAST(dof AS BIGINT) AS dof,
+             ROUND((cbrt(chi2 / dof) - (1 - 2.0 / (9 * dof)))
+                   / sqrt(2.0 / (9 * dof)), 6) AS z,
+             (cbrt(chi2 / dof) - (1 - 2.0 / (9 * dof)))
+                   / sqrt(2.0 / (9 * dof)) > 1.6448536269514729 AS drifted
+      FROM agg WHERE tb > 0 AND tc > 0
+      UNION ALL
+      SELECT g, CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+             CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
+      FROM agg WHERE tb = 0 OR tc = 0
+    ) ORDER BY "group"
+    """,
+)
+def q_chi_square_grouped_events(spark, sf_dir):
+    """Per-segment categorical χ² (drift/detectors.py chi_square_grouped)
+    — the categorical member of the grouped drift family: every
+    event_type's homogeneity statistic over the user_id%20 category
+    distribution from ONE (group, value) count pass, top-K + "other"
+    fold PER GROUP, Wilson–Hilferty z gate (p < α ⟺ z > z_α) so the
+    whole decision stays relational column math."""
+    from truthound_spark.drift.detectors import chi_square_grouped
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "cat", (F.col("user_id") % 20).cast("string")
+    )
+    return chi_square_grouped(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "cat",
+        "event_type",
+        alpha=0.05,
+    ).orderBy("group")
