@@ -188,3 +188,46 @@ def test_chi_square_grouped_caps_per_group_and_one_sided(spark):
     # set and drives the statistic
     assert out["wide"]["drifted"] and out["wide"]["chi2"] > 50
     assert out["only_base"]["chi2"] is None and out["only_base"]["drifted"] is None
+
+
+def test_compare_grouped_dispatch_and_plan_partition_specs(spark):
+    from truthound_spark.drift.detectors import compare_grouped
+
+    base, cur = _mk(spark)
+    import re
+
+    for method in ("psi", "js", "ks", "wasserstein", "mean_variance"):
+        out = compare_grouped(base, cur, "v", "g", method=method)
+        rows = {r["group"]: r for r in out.collect()}
+        assert rows["b"]["drifted"] and not rows["a"]["drifted"], method
+        # every window in every grouped plan partitions by group
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\], \[(.*?)\]", plan):
+            assert "group" in m.group(2), (method, plan[:1500])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        compare_grouped(base, cur, "v", "g", method="nope")
+
+
+def test_chi_square_grouped_windows_partition_by_group(spark):
+    from truthound_spark.drift.detectors import chi_square_grouped
+
+    base = spark.createDataFrame(
+        [(i, f"g{i % 3}", f"c{i % 5}") for i in range(150)],
+        "id long, g string, cat string",
+    )
+    cur = spark.createDataFrame(
+        [(i, f"g{i % 3}", f"c{(i + 1) % 5}") for i in range(150)],
+        "id long, g string, cat string",
+    )
+    import re
+
+    plan = (
+        chi_square_grouped(base, cur, "cat", "g")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\], \[(.*?)\]", plan):
+        assert "group" in m.group(2), plan[:1500]

@@ -946,3 +946,34 @@ def _erfc_inv(y: float) -> float:
         else:
             hi = mid
     return (lo + hi) / 2
+
+
+_GROUPED_METHODS = {
+    "psi": psi_grouped,
+    "js": js_grouped,
+    "ks": ks_grouped,
+    "wasserstein": wasserstein_grouped,
+    "chi_square": chi_square_grouped,
+    "mean_variance": mean_variance_drift_grouped,
+}
+
+
+def compare_grouped(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    group_col: str,
+    method: str = "psi",
+    **kwargs: Any,
+) -> DataFrame:
+    """Per-segment drift sweep dispatcher — the grouped mirror of
+    :func:`compare`: one name for the whole per-segment family
+    (psi / js / ks / wasserstein / chi_square / mean_variance), each a
+    constant number of passes for ANY number of segments. Returns the
+    method's relational per-group result (always carrying ``group`` and
+    ``drifted``)."""
+    if method not in _GROUPED_METHODS:
+        raise ValueError(
+            f"unknown grouped method {method!r}; one of {sorted(_GROUPED_METHODS)}"
+        )
+    return _GROUPED_METHODS[method](baseline, current, column, group_col, **kwargs)
