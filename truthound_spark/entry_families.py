@@ -354,6 +354,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "multivariate_mahalanobis_drift_lineitem",
     "wasserstein_grouped_events",
     "chi_square_grouped_events",
+    "feature_drift_fitted_lineitem",
 ]
 
 

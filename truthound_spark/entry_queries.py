@@ -12393,3 +12393,131 @@ def q_chi_square_grouped_events(spark, sf_dir):
         "event_type",
         alpha=0.05,
     ).orderBy("group")
+
+
+@register(
+    "feature_drift_fitted_lineitem",
+    """
+    WITH bq AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS q, CAST(l_extendedprice AS DOUBLE) AS e,
+             l_returnflag AS rf
+      FROM lineitem WHERE l_orderkey % 2 = 0
+    ),
+    cq AS (
+      SELECT CAST(l_quantity AS DOUBLE) * 1.5 AS q,
+             CAST(l_extendedprice AS DOUBLE) AS e,
+             CASE WHEN l_returnflag = 'R' THEN 'X' ELSE l_returnflag END AS rf
+      FROM lineitem WHERE l_orderkey % 2 = 1
+    ),
+    nb AS (
+      SELECT COUNT(*) AS total,
+             COUNT(q) AS nq, AVG(q) AS mq, STDDEV_SAMP(q) AS sq,
+             MIN(q) AS loq, MAX(q) AS hiq,
+             COUNT(e) AS ne, AVG(e) AS me, STDDEV_SAMP(e) AS se,
+             MIN(e) AS loe, MAX(e) AS hie
+      FROM bq
+    ),
+    nc AS (
+      SELECT COUNT(*) AS total,
+             COUNT(q) AS nq, AVG(q) AS mq, STDDEV_SAMP(q) AS sq,
+             MIN(q) AS loq, MAX(q) AS hiq,
+             COUNT(e) AS ne, AVG(e) AS me, STDDEV_SAMP(e) AS se,
+             MIN(e) AS loe, MAX(e) AS hie
+      FROM cq
+    ),
+    num AS (
+      SELECT 'l_quantity' AS feature,
+             nb.mq AS mb, nb.sq AS sb, nb.loq AS lob, nb.hiq AS hib,
+             (nb.total - nb.nq) / CAST(nb.total AS DOUBLE) AS nrb,
+             nc.mq AS mc, nc.sq AS sc, nc.loq AS loc, nc.hiq AS hic,
+             (nc.total - nc.nq) / CAST(nc.total AS DOUBLE) AS nrc
+      FROM nb, nc
+      UNION ALL
+      SELECT 'l_extendedprice',
+             nb.me, nb.se, nb.loe, nb.hie,
+             (nb.total - nb.ne) / CAST(nb.total AS DOUBLE),
+             nc.me, nc.se, nc.loe, nc.hie,
+             (nc.total - nc.ne) / CAST(nc.total AS DOUBLE)
+      FROM nb, nc
+    ),
+    num_scores AS (
+      SELECT feature,
+             GREATEST(
+               LEAST(1.0, ABS(mc - mb)
+                 / (CASE WHEN sb IS NULL OR sb = 0 THEN 1.0 ELSE sb END) / 3.0),
+               CASE WHEN sb > 0 THEN LEAST(1.0, ABS(sc / sb - 1.0)) ELSE 0.0 END,
+               CASE WHEN loc < lob OR hic > hib THEN 0.5 ELSE 0.0 END,
+               CASE WHEN ABS(nrc - nrb) > 0.1 THEN ABS(nrc - nrb) ELSE 0.0 END
+             ) AS raw
+      FROM num
+    ),
+    pb AS (
+      SELECT rf AS v, COUNT(*) / CAST((SELECT total FROM nb) AS DOUBLE) AS p
+      FROM bq WHERE rf IS NOT NULL GROUP BY rf
+    ),
+    pc AS (
+      SELECT rf AS v, COUNT(*) / CAST((SELECT total FROM nc) AS DOUBLE) AS p
+      FROM cq WHERE rf IS NOT NULL GROUP BY rf
+    ),
+    cat_terms AS (
+      SELECT
+        COALESCE((SELECT SUM(p) FROM pc WHERE v NOT IN (SELECT v FROM pb)), 0)
+          AS new_mass,
+        COALESCE((SELECT SUM(p) FROM pb WHERE v NOT IN (SELECT v FROM pc)), 0)
+          AS missing_mass,
+        COALESCE((SELECT MAX(ABS(pc.p - pb.p)) FROM pb JOIN pc ON pb.v = pc.v), 0)
+          AS max_prop,
+        ABS((SELECT (total - COUNT(*)) / CAST(total AS DOUBLE)
+             FROM cq, nc WHERE rf IS NOT NULL GROUP BY total)
+            - (SELECT (total - COUNT(*)) / CAST(total AS DOUBLE)
+               FROM bq, nb WHERE rf IS NOT NULL GROUP BY total)) AS null_drift
+    ),
+    cat_scores AS (
+      SELECT 'l_returnflag' AS feature,
+             GREATEST(
+               CASE WHEN new_mass > 0.05 THEN new_mass ELSE 0.0 END,
+               CASE WHEN missing_mass > 0.1 THEN missing_mass ELSE 0.0 END,
+               CASE WHEN max_prop > 0.1 THEN max_prop ELSE 0.0 END,
+               CASE WHEN null_drift > 0.1 THEN null_drift ELSE 0.0 END
+             ) AS raw
+      FROM cat_terms
+    )
+    SELECT feature, ROUND(raw, 6) AS drift_score, raw >= 0.05 AS is_drifted
+    FROM (SELECT * FROM num_scores UNION ALL SELECT * FROM cat_scores)
+    ORDER BY feature
+    """,
+)
+def q_feature_drift_fitted_lineitem(spark, sf_dir):
+    """Fitted feature-drift detection (ml/feature_drift.py
+    FeatureDriftDetector; reference ml/drift_detection/feature.py:80):
+    fit() reduces the reference to O(columns) profiles in ONE fused
+    aggregate — detection against a 100 TB baseline never re-scans it —
+    then detect() scores mean/std/range/null shifts per numeric feature
+    and new/missing/proportion shifts per categorical. The current side
+    plants a 1.5× quantity scale and an R→X category swap; the oracle
+    replays both profile passes and the reference's max-of-gated-terms
+    scoring."""
+    from truthound_spark.ml.feature_drift import FeatureDriftDetector
+
+    li = t(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_orderkey") % 2 == 0).select(
+        "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    cur = li.filter(F.col("l_orderkey") % 2 == 1).select(
+        (F.col("l_quantity") * 1.5).alias("l_quantity"),
+        "l_extendedprice",
+        F.when(F.col("l_returnflag") == "R", "X")
+        .otherwise(F.col("l_returnflag"))
+        .alias("l_returnflag"),
+    )
+    det = FeatureDriftDetector(threshold=0.05).fit(base)
+    res = det.detect(cur)
+    out = None
+    for fs in sorted(res.feature_scores, key=lambda f: f.feature):
+        one = _scalar_df(
+            spark,
+            drift_score=round(fs.drift_score, 6),
+            is_drifted=bool(fs.is_drifted),
+        ).select(F.lit(fs.feature).alias("feature"), "drift_score", "is_drifted")
+        out = one if out is None else out.unionAll(one)
+    return out.orderBy("feature")

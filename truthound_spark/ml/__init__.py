@@ -29,6 +29,11 @@ from truthound_spark.ml.ensemble import (
     MADDetector,
     ZScoreDetector,
 )
+from truthound_spark.ml.feature_drift import (
+    FeatureDriftDetector,
+    FeatureDriftResult,
+    FeatureDriftScore,
+)
 from truthound_spark.ml.monitoring import (
     AlertRule,
     AnomalyRule,
@@ -75,6 +80,9 @@ __all__ = [
     "MADDetector",
     "ConceptDriftDetector",
     "ConceptDriftResult",
+    "FeatureDriftDetector",
+    "FeatureDriftResult",
+    "FeatureDriftScore",
     "MultivariateDriftDetector",
     "MultivariateDriftResult",
     "correlation_drift_table",

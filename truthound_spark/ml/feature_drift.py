@@ -1,0 +1,345 @@
+"""Feature drift with PERSISTED reference profiles: fit once, detect
+against the profile — the baseline frame is never re-scanned.
+
+Reference: ml/drift_detection/feature.py:80 ``FeatureDriftDetector`` —
+fit() profiles every column (numeric: count/null/mean/std/min/max/
+median/q1/q3, :175; categorical: value proportions, :207), detect()
+scores each feature's profile shift (:322-434):
+
+  numeric — max over: |Δmean|/ref_std / 3 capped at 1 (relative mode;
+  |Δmean|/(|ref_mean|+1e-4) absolute), |cur_std/ref_std − 1| capped at
+  1, a 0.5 range-exceeded flag, and a null-ratio delta when > 0.1
+  categorical — max over: new-value mass (> 5%), missing-value mass
+  (> 10% of reference), max per-value proportion delta (> 0.1), and the
+  null-ratio delta (> 0.1)
+
+  drift_type none / single_feature / partial / widespread by the
+  drifted-feature count (:301-309).
+
+This differs from the repo's ``drift.detectors.compare`` sweep (which
+needs BOTH frames every call): here the reference reduces once into an
+O(columns + categories) profile that persists via the ModelRegistry —
+the right shape when the baseline is a 100 TB snapshot and detection
+runs on every daily batch. fit/detect each cost ONE fused aggregate
+for all numeric columns (Catalyst shares the scan across every
+column's moments + exact percentiles) plus one capped groupBy per
+categorical column.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from truthound_spark.core.base import pct_agg
+from truthound_spark.ml.concept_drift import _is_numeric
+
+_CATEGORICAL = {"string", "varchar", "char", "boolean"}
+
+
+@dataclass
+class FeatureDriftScore:
+    """reference feature.py:29."""
+
+    feature: str
+    drift_score: float
+    statistic_type: str
+    reference_stats: dict[str, Any]
+    current_stats: dict[str, Any]
+    is_drifted: bool
+    details: str
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "feature": self.feature,
+            "drift_score": self.drift_score,
+            "statistic_type": self.statistic_type,
+            "reference_stats": self.reference_stats,
+            "current_stats": self.current_stats,
+            "is_drifted": self.is_drifted,
+            "details": self.details,
+        }
+
+
+@dataclass
+class FeatureDriftResult:
+    is_drifted: bool
+    drift_score: float
+    column_scores: list[tuple[str, float]]
+    feature_scores: list[FeatureDriftScore]
+    drift_type: str
+    confidence: float
+    details: str
+
+    def drifted_features(self) -> list[str]:
+        return [f.feature for f in self.feature_scores if f.is_drifted]
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "is_drifted": self.is_drifted,
+            "drift_score": self.drift_score,
+            "column_scores": list(self.column_scores),
+            "feature_scores": [f.to_dict() for f in self.feature_scores],
+            "drift_type": self.drift_type,
+            "confidence": self.confidence,
+            "details": self.details,
+        }
+
+
+class FeatureDriftDetector:
+    """fit() → O(columns) profiles; detect(current) scores every feature
+    against the STORED profiles (reference feature.py:80-434; parameters
+    mirror FeatureDriftConfig :62)."""
+
+    def __init__(
+        self,
+        columns: list[str] | None = None,
+        threshold: float = 0.05,
+        relative_threshold: bool = True,
+        alert_on_new_values: bool = True,
+        max_categories: int = 1000,
+    ) -> None:
+        self.columns = columns
+        self.threshold = threshold
+        self.relative_threshold = relative_threshold
+        self.alert_on_new_values = alert_on_new_values
+        self.max_categories = max_categories
+        self.profiles_: dict[str, dict[str, Any]] = {}
+
+    # -- profiling (one fused agg for ALL numeric columns) --------------------
+    def _split_columns(self, df: DataFrame) -> tuple[list[str], list[str]]:
+        dtypes = dict(df.dtypes)
+        wanted = self.columns or list(dtypes)
+        numeric = [
+            c for c in wanted if c in dtypes and _is_numeric(dtypes[c])
+        ]
+        categorical = [
+            c
+            for c in wanted
+            if c in dtypes and dtypes[c].split("(")[0] in _CATEGORICAL
+        ]
+        return numeric, categorical
+
+    def profile(self, df: DataFrame) -> dict[str, dict[str, Any]]:
+        numeric, categorical = self._split_columns(df)
+        profiles: dict[str, dict[str, Any]] = {}
+        if numeric:
+            aggs = [F.count(F.lit(1)).alias("__total")]
+            for i, c in enumerate(numeric):
+                x = F.col(c).cast("double")
+                aggs += [
+                    F.count(x).alias(f"n{i}"),
+                    F.mean(x).alias(f"m{i}"),
+                    F.stddev(x).alias(f"s{i}"),
+                    F.min(x).alias(f"lo{i}"),
+                    F.max(x).alias(f"hi{i}"),
+                    pct_agg(x, [0.25, 0.5, 0.75]).alias(f"q{i}"),
+                ]
+            row = df.agg(*aggs).collect()[0]
+            total = int(row["__total"])
+            for i, c in enumerate(numeric):
+                n = int(row[f"n{i}"])
+                q = list(row[f"q{i}"] or [None, None, None])
+                profiles[c] = {
+                    "type": "numeric",
+                    "count": n,
+                    "null_count": total - n,
+                    "null_ratio": (total - n) / total if total else 0.0,
+                    "mean": row[f"m{i}"],
+                    "std": row[f"s{i}"],
+                    "min": row[f"lo{i}"],
+                    "max": row[f"hi{i}"],
+                    "q1": q[0],
+                    "median": q[1],
+                    "q3": q[2],
+                }
+        for c in categorical:
+            agg = df.agg(
+                F.count(F.lit(1)).alias("__total"), F.count(F.col(c)).alias("__n")
+            ).collect()[0]
+            total, n = int(agg["__total"]), int(agg["__n"])
+            top = (
+                df.filter(F.col(c).isNotNull())
+                .groupBy(F.col(c).cast("string").alias("v"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .orderBy(F.desc("cnt"), "v")
+                .limit(self.max_categories)
+                .collect()
+            )
+            profiles[c] = {
+                "type": "categorical",
+                "count": n,
+                "null_count": total - n,
+                "null_ratio": (total - n) / total if total else 0.0,
+                "n_unique": len(top),
+                # proportions against TOTAL rows (reference :222)
+                "proportions": {r["v"]: int(r["cnt"]) / total for r in top}
+                if total
+                else {},
+            }
+        return profiles
+
+    def fit(self, reference: DataFrame) -> "FeatureDriftDetector":
+        self.profiles_ = self.profile(reference)
+        if not self.profiles_:
+            raise ValueError("no numeric or categorical columns to profile")
+        return self
+
+    # -- detection -------------------------------------------------------------
+    def detect(
+        self, current: DataFrame, columns: list[str] | None = None
+    ) -> FeatureDriftResult:
+        if not self.profiles_:
+            raise ValueError("fit() must run before detect()")
+        check = [
+            c
+            for c in (columns or list(self.profiles_))
+            if c in current.columns and c in self.profiles_
+        ]
+        sub = self.__class__(
+            columns=check, max_categories=self.max_categories
+        )
+        cur_profiles = sub.profile(current.select(*check)) if check else {}
+
+        feature_scores: list[FeatureDriftScore] = []
+        column_scores: list[tuple[str, float]] = []
+        for c in check:
+            ref, cur = self.profiles_[c], cur_profiles.get(c)
+            if cur is None:
+                continue
+            if ref["type"] == "numeric":
+                score, details = self._numeric_drift(ref, cur)
+            else:
+                score, details = self._categorical_drift(ref, cur)
+            is_drifted = score >= self.threshold
+            feature_scores.append(
+                FeatureDriftScore(
+                    feature=c,
+                    drift_score=score,
+                    statistic_type=ref["type"],
+                    reference_stats=dict(ref),
+                    current_stats=dict(cur),
+                    is_drifted=is_drifted,
+                    details=details,
+                )
+            )
+            column_scores.append((c, score))
+
+        drifted = sum(1 for _, s in column_scores if s >= self.threshold)
+        max_score = max((s for _, s in column_scores), default=0.0)
+        if drifted == 0:
+            drift_type = "none"
+        elif drifted == 1:
+            drift_type = "single_feature"
+        elif drifted < len(check) / 2:
+            drift_type = "partial"
+        else:
+            drift_type = "widespread"
+        return FeatureDriftResult(
+            is_drifted=drifted > 0,
+            drift_score=max_score,
+            column_scores=column_scores,
+            feature_scores=feature_scores,
+            drift_type=drift_type,
+            confidence=1.0 - (drifted / len(check)) if check else 1.0,
+            details=f"Drifted features: {drifted}/{len(check)}",
+        )
+
+    # -- scoring (reference :322-434) ------------------------------------------
+    def _numeric_drift(self, ref: dict, cur: dict) -> tuple[float, str]:
+        scores: list[float] = []
+        details: list[str] = []
+        if ref["mean"] is not None and cur["mean"] is not None:
+            ref_std = ref["std"] or 1.0
+            if self.relative_threshold:
+                if ref_std > 0:
+                    mean_drift = abs(cur["mean"] - ref["mean"]) / ref_std
+                else:
+                    mean_drift = (
+                        abs(cur["mean"] - ref["mean"])
+                        if cur["mean"] != ref["mean"]
+                        else 0.0
+                    )
+                mean_drift = min(1.0, mean_drift / 3.0)
+            else:
+                mean_drift = abs(cur["mean"] - ref["mean"]) / (
+                    abs(ref["mean"]) + 0.0001
+                )
+            scores.append(mean_drift)
+            if mean_drift > 0.3:
+                details.append(f"mean: {ref['mean']:.2f} -> {cur['mean']:.2f}")
+        if ref["std"] is not None and cur["std"] is not None and ref["std"] > 0:
+            std_drift = min(1.0, abs(cur["std"] / ref["std"] - 1.0))
+            scores.append(std_drift)
+            if std_drift > 0.3:
+                details.append(f"std: {ref['std']:.2f} -> {cur['std']:.2f}")
+        if all(
+            x is not None for x in (ref["min"], ref["max"], cur["min"], cur["max"])
+        ) and (cur["min"] < ref["min"] or cur["max"] > ref["max"]):
+            scores.append(0.5)
+            details.append(f"range exceeded: [{cur['min']:.2f}, {cur['max']:.2f}]")
+        null_drift = abs(cur["null_ratio"] - ref["null_ratio"])
+        if null_drift > 0.1:
+            scores.append(null_drift)
+            details.append(
+                f"null_ratio: {ref['null_ratio']:.2%} -> {cur['null_ratio']:.2%}"
+            )
+        return (max(scores) if scores else 0.0), "; ".join(details)
+
+    def _categorical_drift(self, ref: dict, cur: dict) -> tuple[float, str]:
+        scores: list[float] = []
+        details: list[str] = []
+        ref_props, cur_props = ref["proportions"], cur.get("proportions", {})
+        ref_vals, cur_vals = set(ref_props), set(cur_props)
+        new_vals = cur_vals - ref_vals
+        if new_vals and self.alert_on_new_values:
+            new_mass = sum(cur_props.get(v, 0.0) for v in new_vals)
+            if new_mass > 0.05:
+                scores.append(new_mass)
+                details.append(f"new values: {len(new_vals)}")
+        missing = ref_vals - cur_vals
+        if missing:
+            missing_mass = sum(ref_props.get(v, 0.0) for v in missing)
+            if missing_mass > 0.1:
+                scores.append(missing_mass)
+                details.append(f"missing values: {len(missing)}")
+        max_prop = max(
+            (abs(cur_props[v] - ref_props[v]) for v in ref_vals & cur_vals),
+            default=0.0,
+        )
+        if max_prop > 0.1:
+            scores.append(max_prop)
+            details.append(f"max proportion change: {max_prop:.2%}")
+        null_drift = abs(cur.get("null_ratio", 0.0) - ref.get("null_ratio", 0.0))
+        if null_drift > 0.1:
+            scores.append(null_drift)
+            details.append(f"null_ratio change: {null_drift:.2%}")
+        return (max(scores) if scores else 0.0), "; ".join(details)
+
+    # -- persistence -----------------------------------------------------------
+    def to_payload(self) -> dict[str, Any]:
+        if not self.profiles_:
+            raise ValueError("fit() before saving")
+        return {
+            "columns": self.columns,
+            "threshold": self.threshold,
+            "relative_threshold": self.relative_threshold,
+            "alert_on_new_values": self.alert_on_new_values,
+            "max_categories": self.max_categories,
+            "profiles": self.profiles_,
+        }
+
+    @classmethod
+    def from_payload(cls, payload: dict[str, Any]) -> "FeatureDriftDetector":
+        det = cls(
+            columns=payload.get("columns"),
+            threshold=float(payload["threshold"]),
+            relative_threshold=bool(payload["relative_threshold"]),
+            alert_on_new_values=bool(payload["alert_on_new_values"]),
+            max_categories=int(payload["max_categories"]),
+        )
+        det.profiles_ = payload["profiles"]
+        return det

@@ -206,6 +206,20 @@ class ModelRegistry:
             raise ValueError(f"{name}/{meta['version']} is kind {meta['kind']!r}")
         return EnsembleAnomalyDetector.from_payload(payload)
 
+    def save_feature_drift(self, name: str, detector: Any, **params: Any) -> str:
+        """Fitted FeatureDriftDetector (reference feature.py:80) —
+        O(columns + categories) profile payload; detection against a
+        loaded profile never re-scans the reference."""
+        return self.save(name, "feature_drift", detector.to_payload(), params)
+
+    def load_feature_drift(self, name: str, version: str | None = None) -> Any:
+        from truthound_spark.ml.feature_drift import FeatureDriftDetector
+
+        payload, meta = self.load(name, version)
+        if meta["kind"] != "feature_drift":
+            raise ValueError(f"{name}/{meta['version']} is kind {meta['kind']!r}")
+        return FeatureDriftDetector.from_payload(payload)
+
     def save_multivariate_drift(self, name: str, detector: Any, **params: Any) -> str:
         """Fitted MultivariateDriftDetector (reference multivariate.py:46)
         — O(features²) payload: corr matrix, moments, PCA components."""
