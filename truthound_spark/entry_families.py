@@ -355,6 +355,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "wasserstein_grouped_events",
     "chi_square_grouped_events",
     "feature_drift_fitted_lineitem",
+    "distribution_drift_fitted_lineitem",
 ]
 
 

@@ -12521,3 +12521,102 @@ def q_feature_drift_fitted_lineitem(spark, sf_dir):
         ).select(F.lit(fs.feature).alias("feature"), "drift_score", "is_drifted")
         out = one if out is None else out.unionAll(one)
     return out.orderBy("feature")
+
+
+@register(
+    "distribution_drift_fitted_lineitem",
+    """
+    WITH b AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS q, CAST(l_discount AS DOUBLE) AS d
+      FROM lineitem WHERE l_orderkey % 2 = 0
+    ),
+    c AS (
+      SELECT CAST(l_quantity AS DOUBLE) * 1.2 AS q, CAST(l_discount AS DOUBLE) AS d
+      FROM lineitem WHERE l_orderkey % 2 = 1
+    ),
+    stq AS (SELECT MIN(q) AS lo, MAX(q) AS hi FROM b),
+    std AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM b),
+    binq AS (
+      SELECT t.b AS bin, lo + t.b * ((hi - lo) / 10) AS e_lo,
+             CASE WHEN t.b < 9 THEN lo + (t.b + 1) * ((hi - lo) / 10)
+                  ELSE hi + 0.001 END AS e_hi
+      FROM stq, (SELECT UNNEST(range(10)) AS b) t
+    ),
+    bind AS (
+      SELECT t.b AS bin, lo + t.b * ((hi - lo) / 10) AS e_lo,
+             CASE WHEN t.b < 9 THEN lo + (t.b + 1) * ((hi - lo) / 10)
+                  ELSE hi + 0.001 END AS e_hi
+      FROM std, (SELECT UNNEST(range(10)) AS b) t
+    ),
+    hq AS (
+      SELECT 'l_quantity' AS col, binq.bin,
+             (SELECT COUNT(*) FROM b WHERE b.q >= e_lo AND b.q < e_hi) AS pn,
+             (SELECT COUNT(*) FROM c WHERE c.q >= e_lo AND c.q < e_hi) AS qn
+      FROM binq
+    ),
+    hd AS (
+      SELECT 'l_discount' AS col, bind.bin,
+             (SELECT COUNT(*) FROM b WHERE b.d >= e_lo AND b.d < e_hi) AS pn,
+             (SELECT COUNT(*) FROM c WHERE c.d >= e_lo AND c.d < e_hi) AS qn
+      FROM bind
+    ),
+    cells AS (SELECT * FROM hq UNION ALL SELECT * FROM hd),
+    sm AS (
+      SELECT col, bin,
+             (pn + 0.0001) / (SUM(pn) OVER (PARTITION BY col) + 0.0001 * 10) AS p,
+             (qn + 0.0001) / (SUM(qn) OVER (PARTITION BY col) + 0.0001 * 10) AS q
+      FROM cells
+    ),
+    terms AS (
+      SELECT col,
+             CAST(round(CASE WHEN p > 0 AND q > 0
+                             THEN (q - p) * ln(q / p) ELSE 0.0 END
+                        * 1000000000) AS BIGINT) AS t
+      FROM sm
+    ),
+    scores AS (
+      SELECT col, ABS(SUM(t) / 1000000000.0) AS raw FROM terms GROUP BY col
+    ),
+    dt AS (
+      SELECT CASE SUM(CASE WHEN raw >= 0.1 THEN 1 ELSE 0 END)
+             WHEN 0 THEN 'none' WHEN 1 THEN 'single_feature'
+             ELSE 'global' END AS drift_type
+      FROM scores
+    )
+    SELECT col AS "column", ROUND(raw, 6) AS drift_score,
+           raw >= 0.1 AS is_drifted, dt.drift_type
+    FROM scores, dt ORDER BY "column"
+    """,
+)
+def q_distribution_drift_fitted_lineitem(spark, sf_dir):
+    """Fitted distribution drift (ml/distribution_drift.py
+    DistributionDriftDetector; reference ml/drift_detection/
+    distribution.py:45): fit() stores O(cols × bins) smoothed reference
+    histograms — never the reference's raw ``values`` list — and
+    detect() scores PSI per column from ONE fused aggregate over the
+    current side (here with a planted 1.2× quantity scale). The oracle
+    replays the reference-edge binning (+0.001 top-edge nudge), the
+    (c+1e-4)/(total+1e-3) smoothing, and |Σ (q−p)·ln(q/p)|."""
+    from truthound_spark.ml.distribution_drift import DistributionDriftDetector
+
+    li = t(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_orderkey") % 2 == 0).select("l_quantity", "l_discount")
+    cur = li.filter(F.col("l_orderkey") % 2 == 1).select(
+        (F.col("l_quantity") * 1.2).alias("l_quantity"), "l_discount"
+    )
+    det = DistributionDriftDetector(method="psi", threshold=0.1).fit(base)
+    res = det.detect(cur)
+    out = None
+    for col, score in sorted(res.column_scores):
+        one = _scalar_df(
+            spark,
+            drift_score=round(score, 6),
+            is_drifted=bool(score >= det.threshold),
+        ).select(
+            F.lit(col).alias("column"),
+            "drift_score",
+            "is_drifted",
+            F.lit(res.drift_type).alias("drift_type"),
+        )
+        out = one if out is None else out.unionAll(one)
+    return out.orderBy("column")

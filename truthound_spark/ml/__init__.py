@@ -23,6 +23,10 @@ from truthound_spark.ml.concept_drift import (
     ConceptSummary,
     concept_drift_table,
 )
+from truthound_spark.ml.distribution_drift import (
+    DistributionDriftDetector,
+    DistributionDriftResult,
+)
 from truthound_spark.ml.ensemble import (
     EnsembleAnomalyDetector,
     IQRDetector,
@@ -80,6 +84,8 @@ __all__ = [
     "MADDetector",
     "ConceptDriftDetector",
     "ConceptDriftResult",
+    "DistributionDriftDetector",
+    "DistributionDriftResult",
     "FeatureDriftDetector",
     "FeatureDriftResult",
     "FeatureDriftScore",

@@ -206,6 +206,19 @@ class ModelRegistry:
             raise ValueError(f"{name}/{meta['version']} is kind {meta['kind']!r}")
         return EnsembleAnomalyDetector.from_payload(payload)
 
+    def save_distribution_drift(self, name: str, detector: Any, **params: Any) -> str:
+        """Fitted DistributionDriftDetector (reference distribution.py:45)
+        — O(columns x (bins + grid)) payload, never raw values."""
+        return self.save(name, "distribution_drift", detector.to_payload(), params)
+
+    def load_distribution_drift(self, name: str, version: str | None = None) -> Any:
+        from truthound_spark.ml.distribution_drift import DistributionDriftDetector
+
+        payload, meta = self.load(name, version)
+        if meta["kind"] != "distribution_drift":
+            raise ValueError(f"{name}/{meta['version']} is kind {meta['kind']!r}")
+        return DistributionDriftDetector.from_payload(payload)
+
     def save_feature_drift(self, name: str, detector: Any, **params: Any) -> str:
         """Fitted FeatureDriftDetector (reference feature.py:80) —
         O(columns + categories) profile payload; detection against a
