@@ -336,3 +336,40 @@ def test_configurable_alert_rules(spark, tmp_path):
     assert not [a for a in mon2.alerts("m") if a.rule == "mean_outlier"]
     mon2.record_scores("m", batch(5.0))
     assert [a for a in mon2.alerts("m") if a.rule == "mean_outlier"]
+
+
+def test_monitor_feature_drift_collector(spark, tmp_path):
+    """reference ml/monitoring/collectors/drift.py role: register a
+    feature reference, score feature batches, per-feature alerts ride
+    the same health path."""
+    import random
+
+    rng = random.Random(71)
+
+    def feats(mu_x):
+        # fixed-support grid: the range-exceeded term must not trip on
+        # sampling-tail differences in the clean batch
+        rows = [
+            (mu_x + (i % 100) / 50.0 - 1.0, (i % 80) / 40.0 - 1.0)
+            for i in range(800)
+        ]
+        rng.shuffle(rows)
+        return spark.createDataFrame(rows, "x double, y double")
+
+    ref_scores = spark.createDataFrame(
+        [(float(rng.gauss(0.5, 0.05)),) for _ in range(1000)], "score double"
+    )
+    mon = ModelMonitor(root=str(tmp_path / "mon7"))
+    mon.register_model(
+        "m", ref_scores, feature_reference=feats(0.0), feature_columns=["x", "y"]
+    )
+    clean = mon.record_features("m", feats(0.0))
+    assert not clean.is_drifted
+    assert not [a for a in mon.alerts("m") if a.rule.startswith("feature_drift")]
+
+    shifted = mon.record_features("m", feats(5.0))  # x shifts 5 sigma
+    assert shifted.is_drifted
+    fd = [a for a in mon.alerts("m") if a.rule.startswith("feature_drift")]
+    assert {a.rule for a in fd} == {"feature_drift:x"}
+    with pytest.raises(KeyError):
+        ModelMonitor().record_features("m", feats(0.0))

@@ -304,6 +304,7 @@ class ModelMonitor:
         self.actions = list(actions or [])
         self.rules: list[AlertRule] = list(rules or [])
         self._reference: dict[str, DataFrame] = {}
+        self._feature_detector: dict[str, Any] = {}
         self._ref_hist: dict[str, tuple[float, float, list[float]] | None] = {}
         self._ref_summary: dict[str, ScoreSummary] = {}
         self._history: dict[str, list[ScoreSummary]] = {}
@@ -317,6 +318,9 @@ class ModelMonitor:
         reference_scores: DataFrame,
         column: str = "score",
         threshold: float | None = None,
+        feature_reference: DataFrame | None = None,
+        feature_columns: list[str] | None = None,
+        feature_drift_threshold: float = 0.3,
         **metadata: Any,
     ) -> None:
         """Reference scores define 'normal' (reference
@@ -324,7 +328,13 @@ class ModelMonitor:
         here — its O(1) summary and its 10-bin PSI histogram are what
         every later record_scores() batch compares against, so per-batch
         cost is one aggregate over the BATCH only, never a re-scan of
-        the (potentially huge) reference."""
+        the (potentially huge) reference.
+
+        ``feature_reference`` additionally fits a FeatureDriftDetector
+        (the reference ml/monitoring/collectors/drift.py role): every
+        ``record_features`` batch is scored against those O(columns)
+        profiles and per-feature drift raises ``feature_drift:<col>``
+        alerts through the same action/health path."""
         from truthound_spark.drift.detectors import _freqs, _hist_counts, _numeric_range
 
         ref = reference_scores.select(F.col(column).alias("score"))
@@ -339,10 +349,40 @@ class ModelMonitor:
         self._history[model_id] = []
         self._alerts[model_id] = []
         self._meta[model_id] = {"column": column, "threshold": threshold, **metadata}
+        if feature_reference is not None:
+            from truthound_spark.ml.feature_drift import FeatureDriftDetector
+
+            self._feature_detector[model_id] = FeatureDriftDetector(
+                columns=feature_columns, threshold=feature_drift_threshold
+            ).fit(feature_reference)
+
+    def record_features(self, model_id: str, batch: DataFrame) -> Any:
+        """Score one feature batch against the registered feature
+        profiles (reference DriftCollector.collect) — per-feature alerts
+        land on the model's CURRENT batch index so health() sees them."""
+        det = self._feature_detector.get(model_id)
+        if det is None:
+            raise KeyError(f"model {model_id!r} has no feature reference")
+        res = det.detect(batch)
+        batch_idx = len(self._history.get(model_id, [])) - 1
+        for fs in res.feature_scores:
+            if fs.is_drifted:
+                self._alerts[model_id].append(
+                    Alert(
+                        model_id,
+                        f"feature_drift:{fs.feature}",
+                        "warning",
+                        round(fs.drift_score, 6),
+                        det.threshold,
+                        batch_idx,
+                    )
+                )
+        return res
 
     def unregister_model(self, model_id: str) -> None:
         for d in (
             self._reference,
+            self._feature_detector,
             self._ref_hist,
             self._ref_summary,
             self._history,
