@@ -172,3 +172,33 @@ def test_http_transport_degrades_without_requests(monkeypatch):
     monkeypatch.setattr(builtins, "__import__", fake_import)
     send = http_transport(OpenLineageConfig())
     send({"eventType": "START"})  # must not raise
+
+
+def test_checkpoint_action_emits_quality_assertions(spark):
+    """OpenLineageAction: a Checkpoint run becomes START + COMPLETE/FAIL
+    events with the dataQualityAssertions facet."""
+    from truthound_spark.checkpoint import Checkpoint
+    from truthound_spark.lineage_openlineage import OpenLineageAction
+
+    em = _emitter()
+    action = OpenLineageAction(em, dataset="warehouse.users")
+    cp = Checkpoint("daily-users", validators=["null", "unique"], actions=[action])
+
+    clean = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    cp.run(clean)
+    assert [e["eventType"] for e in em.events] == ["START", "COMPLETE"]
+    facet = em.events[0]["inputs"][0]["facets"]["dataQualityAssertions"]
+    assert facet["assertions"] == [{"assertion": "suite", "success": True}]
+    assert em.events[0]["run"]["facets"]["truthound"]["issueCount"] == 0
+
+    em.events.clear()
+    dirty = spark.createDataFrame(
+        [(1, "a"), (1, None)], "id long, name string"
+    )
+    cp.run(dirty)
+    assert [e["eventType"] for e in em.events] == ["START", "FAIL"]
+    facet = em.events[0]["inputs"][0]["facets"]["dataQualityAssertions"]
+    by = {(a["assertion"], a.get("column")): a["success"] for a in facet["assertions"]}
+    assert by[("suite", None)] is False
+    assert any(not ok for k, ok in by.items() if k[0] != "suite")
+    assert "errorMessage" in em.events[1]["run"]["facets"]

@@ -371,3 +371,81 @@ def emit_tracker(
     )
     em.emit_from_graph(tracker.graph, job_name=job_name)
     return em
+
+
+class OpenLineageAction:
+    """Checkpoint action: emit each validation run as an OpenLineage
+    START→COMPLETE/FAIL run whose input dataset carries the spec's
+    dataQualityAssertions facet (one assertion per executed validator,
+    failures marked) — the interop join of the engine's checkpoint layer
+    (checkpoint.py actions) and the reference's OpenLineage integration:
+    a Marquez-style collector sees every data-quality run beside the
+    pipeline jobs that produced the data.
+
+    Usage: ``Checkpoint(name, validators=[...], actions=[
+    OpenLineageAction(emitter, dataset="warehouse.orders")])``."""
+
+    def __init__(
+        self,
+        emitter: OpenLineageEmitter | None = None,
+        dataset: str = "dataset",
+        namespace: str | None = None,
+        job_prefix: str = "truthound-check",
+    ) -> None:
+        self.emitter = emitter or OpenLineageEmitter()
+        self.dataset = dataset
+        self.namespace = namespace
+        self.job_prefix = job_prefix
+
+    def _assertions_facet(self, result: Any) -> dict[str, Any]:
+        # the run result enumerates FAILURES only (passing validators
+        # emit no issues), so every enumerated assertion is success=False
+        assertions = [
+            {
+                "assertion": v,
+                "success": False,
+                **({"column": c} if c else {}),
+            }
+            for v, c in sorted(
+                {(i.validator_name, i.column) for i in result.issues},
+                key=lambda t: (t[0], t[1] or ""),
+            )
+        ]
+        # passing validators aren't enumerated in the result; the facet
+        # carries the failures plus a run-level summary assertion
+        assertions.append(
+            {
+                "assertion": "suite",
+                "success": result.success,
+            }
+        )
+        return {
+            "dataQualityAssertions": {
+                "_producer": self.emitter.config.producer,
+                "_schemaURL": f"{_FACET_BASE}/DataQualityAssertionsDatasetFacet.json",
+                "assertions": assertions,
+            }
+        }
+
+    def __call__(self, name: str, result: Any) -> RunEvent:
+        ds = self.emitter.build_dataset(self.dataset, self.namespace)
+        ds["facets"] = self._assertions_facet(result)
+        run = self.emitter.start_run(
+            f"{self.job_prefix}:{name}",
+            inputs=[ds],
+            facets={
+                "truthound": {
+                    "_producer": self.emitter.config.producer,
+                    "rowCount": result.row_count,
+                    "checksRun": result.checks_run,
+                    "issueCount": len(result.issues),
+                }
+            },
+        )
+        if result.success:
+            self.emitter.emit_complete(run)
+        else:
+            self.emitter.emit_fail(
+                run, f"{len(result.issues)} validation issues"
+            )
+        return run
