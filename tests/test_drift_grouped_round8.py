@@ -5,6 +5,7 @@ per segment)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from truthound_spark.drift.detectors import js_divergence, js_grouped, ks_grouped, ks_test
@@ -231,3 +232,37 @@ def test_chi_square_grouped_windows_partition_by_group(spark):
     )
     for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\], \[(.*?)\]", plan):
         assert "group" in m.group(2), plan[:1500]
+
+
+@pytest.mark.parametrize(
+    "method,kwargs",
+    [
+        ("js", {}),
+        ("ks", {}),
+        ("wasserstein", {"bins": 20}),
+        ("chi_square", {}),
+    ],
+)
+def test_grouped_detectors_partitioning_invariant(spark, method, kwargs):
+    """Quantized terms / exact counts: every grouped statistic must be
+    bit-identical under different partitionings (the determinism
+    property the oracle hashes rely on)."""
+    from truthound_spark.drift.detectors import compare_grouped
+
+    rows = [
+        (i, f"g{i % 3}", float((i * 7) % 23), f"c{(i * 5) % 11}")
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double, cat string")
+    col = "cat" if method == "chi_square" else "v"
+    a = compare_grouped(
+        df.filter("id % 2 = 0").repartition(1),
+        df.filter("id % 2 = 1").repartition(1),
+        col, "g", method=method, **kwargs,
+    ).collect()
+    b = compare_grouped(
+        df.filter("id % 2 = 0").repartition(13),
+        df.filter("id % 2 = 1").repartition(13),
+        col, "g", method=method, **kwargs,
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)), method
