@@ -416,7 +416,50 @@ def psi_grouped(
     are reported with NULL psi rather than invented bins.
 
     Returns (group, psi, drifted) — fully relational, nothing collected;
-    the only shuffles are keyed on (group) or (group, bin)."""
+    the only shuffles are keyed on (group) or (group, bin).
+
+    Plan shape (r8 audit): THREE scans total — one baseline range pass
+    plus one tagged-union histogram pass. Both sides bin through ONE
+    conditional-sum aggregate (no per-side relations full-joined back
+    together — every lazy reuse re-executes its subtree), totals are
+    group-partitioned window sums, and baseline-absent groups fold into
+    the SAME aggregate as NULL-bin rows (has_edges flag) instead of a
+    separate anti-join arm re-scanning the current side."""
+    cells = _grouped_hist_cells(baseline, current, column, group_col, bins)
+    p = F.coalesce(F.try_divide(F.col("pn"), F.col("__tp")), F.lit(0.0))
+    q = F.coalesce(F.try_divide(F.col("qn"), F.col("__tq")), F.lit(0.0))
+    term = F.round(
+        (p - q) * F.log((p + F.lit(EPS)) / (q + F.lit(EPS))) * 1_000_000_000
+    ).cast("long")
+    agg = cells.groupBy("group").agg(
+        F.sum(F.when(F.col("bin").isNotNull(), term)).alias("__t"),
+        F.max(F.col("bin").isNotNull().cast("int")).alias("__has"),
+    )
+    psi_col = F.when(
+        F.col("__has") == 1, F.round(F.col("__t") / 1_000_000_000, 6)
+    )
+    return agg.select(
+        "group",
+        psi_col.alias("psi"),
+        F.when(F.col("__has") == 1, psi_col > threshold).alias("drifted"),
+    )
+
+
+def _grouped_hist_cells(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    group_col: str,
+    bins: int,
+) -> DataFrame:
+    """Shared binning core for psi_grouped/js_grouped: (group, bin, pn,
+    qn, __tp, __tq) cells from ONE tagged-union conditional aggregate
+    over baseline-range edges. Rows of groups ABSENT from the baseline
+    carry a NULL bin (no edges) — callers fold them into their final
+    aggregate as the NULL-result signal. Totals __tp/__tq are
+    group-partitioned window sums over non-null-bin cells."""
+    from pyspark.sql import Window as _W
+
     grp = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
     rng = (
         baseline.select(grp.alias("group"), F.col(column).alias("__x"))
@@ -424,54 +467,37 @@ def psi_grouped(
         .groupBy("group")
         .agg(F.min("__x").alias("__lo"), F.max("__x").alias("__hi"))
     )
+    tagged = (
+        baseline.select(grp.alias("group"), F.col(column).alias("__x"))
+        .filter(F.col("__x").isNotNull())
+        .withColumn("__s", F.lit(0))
+        .unionAll(
+            current.select(grp.alias("group"), F.col(column).alias("__x"))
+            .filter(F.col("__x").isNotNull())
+            .withColumn("__s", F.lit(1))
+        )
+    )
+    j = tagged.join(F.broadcast(rng), "group", "left")
     width = F.when(
         F.col("__hi") > F.col("__lo"), (F.col("__hi") - F.col("__lo")) / bins
     ).otherwise(F.lit(1.0))
-
-    def binned(df: DataFrame, alias: str) -> DataFrame:
-        d = df.select(grp.alias("group"), F.col(column).alias("__x")).filter(
-            F.col("__x").isNotNull()
-        )
-        j = d.join(F.broadcast(rng), "group")
-        b = F.least(
+    b = F.when(
+        F.col("__lo").isNotNull(),
+        F.least(
             F.greatest(F.floor((F.col("__x") - F.col("__lo")) / width), F.lit(0)),
             F.lit(bins - 1),
-        )
-        return j.groupBy("group", b.alias("bin")).agg(
-            F.count(F.lit(1)).alias(alias)
-        )
-
-    pb, qb = binned(baseline, "pn"), binned(current, "qn")
-    cells = pb.join(qb, ["group", "bin"], "full").select(
-        "group",
-        "bin",
-        F.coalesce("pn", F.lit(0)).alias("pn"),
-        F.coalesce("qn", F.lit(0)).alias("qn"),
+        ),
     )
-    tots = cells.groupBy("group").agg(
-        F.sum("pn").alias("__tp"), F.sum("qn").alias("__tq")
+    cells = j.groupBy("group", b.alias("bin")).agg(
+        F.sum(F.when(F.col("__s") == 0, 1).otherwise(0)).alias("pn"),
+        F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("qn"),
     )
-    p = F.coalesce(F.try_divide(F.col("pn"), F.col("__tp")), F.lit(0.0))
-    q = F.coalesce(F.try_divide(F.col("qn"), F.col("__tq")), F.lit(0.0))
-    term = F.round(
-        (p - q) * F.log((p + F.lit(EPS)) / (q + F.lit(EPS))) * 1_000_000_000
-    ).cast("long")
-    out = (
-        cells.join(F.broadcast(tots), "group")
-        .groupBy("group")
-        .agg(F.round(F.sum(term) / 1_000_000_000, 6).alias("psi"))
-        .select("group", "psi", (F.col("psi") > threshold).alias("drifted"))
+    wg = _W.partitionBy("group")
+    return cells.withColumn(
+        "__tp", F.sum(F.when(F.col("bin").isNotNull(), F.col("pn"))).over(wg)
+    ).withColumn(
+        "__tq", F.sum(F.when(F.col("bin").isNotNull(), F.col("qn"))).over(wg)
     )
-    # baseline-absent groups: report NULL psi (no edges to bin against)
-    cur_groups = (
-        current.select(grp.alias("group")).distinct().join(rng, "group", "left_anti")
-    )
-    missing = cur_groups.select(
-        "group",
-        F.lit(None).cast("double").alias("psi"),
-        F.lit(None).cast("boolean").alias("drifted"),
-    )
-    return out.unionByName(missing)
 
 
 def mean_variance_drift_grouped(
@@ -565,39 +591,9 @@ def js_grouped(
     baseline report NULL js (no edges); groups absent from the current
     score against all-zero q (ln 2-bounded maximal-divergence signal).
     Returns (group, js, drifted); shuffles keyed on (group) / (group,
-    bin) only."""
-    grp = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
-    rng = (
-        baseline.select(grp.alias("group"), F.col(column).alias("__x"))
-        .filter(F.col("__x").isNotNull())
-        .groupBy("group")
-        .agg(F.min("__x").alias("__lo"), F.max("__x").alias("__hi"))
-    )
-    width = F.when(
-        F.col("__hi") > F.col("__lo"), (F.col("__hi") - F.col("__lo")) / bins
-    ).otherwise(F.lit(1.0))
-
-    def binned(df: DataFrame, alias: str) -> DataFrame:
-        d = df.select(grp.alias("group"), F.col(column).alias("__x")).filter(
-            F.col("__x").isNotNull()
-        )
-        j = d.join(F.broadcast(rng), "group")
-        b = F.least(
-            F.greatest(F.floor((F.col("__x") - F.col("__lo")) / width), F.lit(0)),
-            F.lit(bins - 1),
-        )
-        return j.groupBy("group", b.alias("bin")).agg(F.count(F.lit(1)).alias(alias))
-
-    pb, qb = binned(baseline, "pn"), binned(current, "qn")
-    cells = pb.join(qb, ["group", "bin"], "full").select(
-        "group",
-        "bin",
-        F.coalesce("pn", F.lit(0)).alias("pn"),
-        F.coalesce("qn", F.lit(0)).alias("qn"),
-    )
-    tots = cells.groupBy("group").agg(
-        F.sum("pn").alias("__tp"), F.sum("qn").alias("__tq")
-    )
+    bin) only. Same three-scan single-consumption plan shape as
+    :func:`psi_grouped` (shared :func:`_grouped_hist_cells` core)."""
+    cells = _grouped_hist_cells(baseline, current, column, group_col, bins)
     p = F.coalesce(F.try_divide(F.col("pn"), F.col("__tp")), F.lit(0.0))
     q = F.coalesce(F.try_divide(F.col("qn"), F.col("__tq")), F.lit(0.0))
     m = (p + q) / 2
@@ -608,21 +604,18 @@ def js_grouped(
         )
         * 1_000_000_000
     ).cast("long")
-    out = (
-        cells.join(F.broadcast(tots), "group")
-        .groupBy("group")
-        .agg(F.round(F.sum(term) / 1_000_000_000, 6).alias("js"))
-        .select("group", "js", (F.col("js") > threshold).alias("drifted"))
+    agg = cells.groupBy("group").agg(
+        F.sum(F.when(F.col("bin").isNotNull(), term)).alias("__t"),
+        F.max(F.col("bin").isNotNull().cast("int")).alias("__has"),
     )
-    cur_groups = (
-        current.select(grp.alias("group")).distinct().join(rng, "group", "left_anti")
+    js_col = F.when(
+        F.col("__has") == 1, F.round(F.col("__t") / 1_000_000_000, 6)
     )
-    missing = cur_groups.select(
+    return agg.select(
         "group",
-        F.lit(None).cast("double").alias("js"),
-        F.lit(None).cast("boolean").alias("drifted"),
+        js_col.alias("js"),
+        F.when(F.col("__has") == 1, js_col > threshold).alias("drifted"),
     )
-    return out.unionByName(missing)
 
 
 def ks_grouped(
@@ -665,20 +658,23 @@ def ks_grouped(
             F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("gc"),
         )
     )
-    tots = u.groupBy("group").agg(
-        F.sum("gb").alias("n_base"), F.sum("gc").alias("n_cur")
-    )
+    # cumulative AND total sums as two window specs over the SAME
+    # (group)-partitioned sort — an aggregate re-joined to u would make
+    # Spark recompute the whole union subtree (double scans; r8 plan
+    # audit); same partition spec → one Exchange serves both windows
     w = (
         Window.partitionBy("group")
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ecdf = u.select(
+    wg = Window.partitionBy("group")
+    j = u.select(
         "group",
         F.sum("gb").over(w).alias("cb"),
         F.sum("gc").over(w).alias("cc"),
+        F.sum("gb").over(wg).alias("n_base"),
+        F.sum("gc").over(wg).alias("n_cur"),
     )
-    j = ecdf.join(F.broadcast(tots), "group")
     d = F.abs(
         F.try_divide(F.col("cb"), F.col("n_base"))
         - F.try_divide(F.col("cc"), F.col("n_cur"))
@@ -723,21 +719,42 @@ def wasserstein_grouped(
     group. Groups present on only one side report NULL emd/drifted (the
     ungrouped empty-side convention, made loud). Returns (group, emd,
     threshold, drifted); shuffles keyed on (group) / (group, bin), the
-    cumulative window partitions by group over ≤``bins`` rows."""
+    cumulative window partitions by group over ≤``bins`` rows.
+
+    Plan shape (r8 audit): the segment-sized per-group range table is
+    needed by THREE consumers (bin edges, the dense grid, the one-sided
+    arm) — each lazy reuse would re-execute its subtree (the original
+    shape ran 16 scans at runtime). It is ``localCheckpoint``-
+    materialized once (executor blocks, never the driver — group
+    cardinality stays unbounded-safe; the referential pointer-doubling
+    precedent), and both sides bin through ONE tagged-union conditional
+    aggregate: four scans total regardless of bins or segments."""
     from pyspark.sql import Window
 
     grp = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
-
-    def rng_of(df: DataFrame, lo: str, hi: str) -> DataFrame:
-        return (
-            df.select(grp.alias("group"), F.col(column).alias("__x"))
+    tagged = (
+        baseline.select(grp.alias("group"), F.col(column).alias("__x"))
+        .filter(F.col("__x").isNotNull())
+        .withColumn("__s", F.lit(0))
+        .unionAll(
+            current.select(grp.alias("group"), F.col(column).alias("__x"))
             .filter(F.col("__x").isNotNull())
-            .groupBy("group")
-            .agg(F.min("__x").alias(lo), F.max("__x").alias(hi))
+            .withColumn("__s", F.lit(1))
         )
-
-    rb, rc = rng_of(baseline, "__lob", "__hib"), rng_of(current, "__loc", "__hic")
-    both = rb.join(rc, "group").select(
+    )
+    ranges = (
+        tagged.groupBy("group")
+        .agg(
+            F.min(F.when(F.col("__s") == 0, F.col("__x"))).alias("__lob"),
+            F.max(F.when(F.col("__s") == 0, F.col("__x"))).alias("__hib"),
+            F.min(F.when(F.col("__s") == 1, F.col("__x"))).alias("__loc"),
+            F.max(F.when(F.col("__s") == 1, F.col("__x"))).alias("__hic"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    both = ranges.filter(
+        F.col("__lob").isNotNull() & F.col("__loc").isNotNull()
+    ).select(
         "group",
         F.least("__lob", "__loc").alias("__lo"),
         F.greatest("__hib", "__hic").alias("__hi"),
@@ -745,44 +762,42 @@ def wasserstein_grouped(
     width = F.when(
         F.col("__hi") > F.col("__lo"), (F.col("__hi") - F.col("__lo")) / bins
     ).otherwise(F.lit(1.0))
-
-    def binned(df: DataFrame, alias: str) -> DataFrame:
-        d = df.select(grp.alias("group"), F.col(column).alias("__x")).filter(
-            F.col("__x").isNotNull()
+    b = F.least(
+        F.greatest(F.floor((F.col("__x") - F.col("__lo")) / width), F.lit(0)),
+        F.lit(bins - 1),
+    )
+    hist = (
+        tagged.join(F.broadcast(both), "group")
+        .groupBy("group", b.alias("bin"))
+        .agg(
+            F.sum(F.when(F.col("__s") == 0, 1).otherwise(0)).alias("pn"),
+            F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("qn"),
         )
-        j = d.join(F.broadcast(both), "group")
-        b = F.least(
-            F.greatest(F.floor((F.col("__x") - F.col("__lo")) / width), F.lit(0)),
-            F.lit(bins - 1),
-        )
-        return j.groupBy("group", b.alias("bin")).agg(F.count(F.lit(1)).alias(alias))
-
-    pb, qb = binned(baseline, "pn"), binned(current, "qn")
+    )
     spark = baseline.sparkSession
     grid = both.crossJoin(
         spark.range(bins).select(F.col("id").alias("bin"))
     )
-    cells = (
-        grid.join(pb, ["group", "bin"], "left")
-        .join(qb, ["group", "bin"], "left")
-        .select(
-            "group",
-            "bin",
-            "__lo",
-            "__hi",
-            F.coalesce("pn", F.lit(0)).alias("pn"),
-            F.coalesce("qn", F.lit(0)).alias("qn"),
-        )
+    cells = grid.join(hist, ["group", "bin"], "left").select(
+        "group",
+        "bin",
+        "__lo",
+        "__hi",
+        F.coalesce("pn", F.lit(0)).alias("pn"),
+        F.coalesce("qn", F.lit(0)).alias("qn"),
     )
-    tots = cells.groupBy("group").agg(
-        F.sum("pn").alias("__tp"), F.sum("qn").alias("__tq")
-    )
+    # totals as group-partitioned window sums (an aggregate re-joined to
+    # cells would recompute the grid+histogram subtree — double scans;
+    # r8 plan audit); same partition spec as the cumulative window
     w = (
         Window.partitionBy("group")
         .orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    j = cells.join(F.broadcast(tots), "group")
+    wg = Window.partitionBy("group")
+    j = cells.withColumn("__tp", F.sum("pn").over(wg)).withColumn(
+        "__tq", F.sum("qn").over(wg)
+    )
     # cumulative sums of the per-bin FREQUENCIES (same float-addition
     # sequence as the ungrouped Python loop, not counts-then-divide)
     cdf_p = F.sum(F.try_divide(F.col("pn"), F.col("__tp"))).over(w)
@@ -811,15 +826,13 @@ def wasserstein_grouped(
         F.round(thr, 6).alias("threshold"),
         (F.col("emd") > thr).alias("drifted"),
     )
-    one_sided = (
-        rb.join(rc, "group", "full")
-        .filter(F.col("__lob").isNull() | F.col("__loc").isNull())
-        .select(
-            "group",
-            F.lit(None).cast("double").alias("emd"),
-            F.lit(None).cast("double").alias("threshold"),
-            F.lit(None).cast("boolean").alias("drifted"),
-        )
+    one_sided = ranges.filter(
+        F.col("__lob").isNull() | F.col("__loc").isNull()
+    ).select(
+        "group",
+        F.lit(None).cast("double").alias("emd"),
+        F.lit(None).cast("double").alias("threshold"),
+        F.lit(None).cast("boolean").alias("drifted"),
     )
     return out.unionByName(one_sided)
 
@@ -878,21 +891,11 @@ def chi_square_grouped(
         .withColumn("__rk", F.row_number().over(w))
     )
     kept = ranked.filter(F.col("__rk") <= max_categories)
-    # the tail folds into one "other" cell per group: group totals minus
-    # the kept mass (exact — the subtraction never reads the tail rows)
-    other = (
-        kept.groupBy("group")
-        .agg(
-            (F.max("tb") - F.sum("nb")).alias("nb"),
-            (F.max("tc") - F.sum("nc")).alias("nc"),
-            F.max("tb").alias("tb"),
-            F.max("tc").alias("tc"),
-        )
-        .filter((F.col("nb") > 0) | (F.col("nc") > 0))
-    )
-    j = kept.select("group", "nb", "nc", "tb", "tc").unionByName(
-        other.select("group", "nb", "nc", "tb", "tc")
-    )
+    # kept-cell χ² terms sum inside ONE aggregate; the "other" tail cell
+    # is reconstructed ANALYTICALLY from the aggregate's own sums (group
+    # totals minus kept mass) instead of a separate relation unioned
+    # back — any lazy reuse of `kept` would re-execute the whole count
+    # subtree (r8 plan audit: the original shape ran the scans twice)
     tot = F.col("nb") + F.col("nc")
     e_b = tot * F.col("tb") / (F.col("tb") + F.col("tc"))
     e_c = tot * F.col("tc") / (F.col("tb") + F.col("tc"))
@@ -903,11 +906,41 @@ def chi_square_grouped(
         )
         * 1_000_000_000
     ).cast("long")
-    agg = j.groupBy("group").agg(
-        F.round(F.sum(term) / 1_000_000_000, 6).alias("chi2"),
-        F.greatest(F.count(F.lit(1)) - 1, F.lit(1)).cast("long").alias("dof"),
+    agg0 = kept.groupBy("group").agg(
+        F.sum(term).alias("__tk"),
+        F.sum("nb").alias("__kb"),
+        F.sum("nc").alias("__kc"),
         F.max("tb").alias("tb"),
         F.max("tc").alias("tc"),
+        F.count(F.lit(1)).alias("__cells"),
+    )
+    onb = F.col("tb") - F.col("__kb")
+    onc = F.col("tc") - F.col("__kc")
+    has_other = (onb > 0) | (onc > 0)
+    otot = onb + onc
+    oe_b = otot * F.col("tb") / (F.col("tb") + F.col("tc"))
+    oe_c = otot * F.col("tc") / (F.col("tb") + F.col("tc"))
+    oterm = F.round(
+        (
+            F.when(oe_b > 0, F.pow(onb - oe_b, 2) / oe_b).otherwise(0.0)
+            + F.when(oe_c > 0, F.pow(onc - oe_c, 2) / oe_c).otherwise(0.0)
+        )
+        * 1_000_000_000
+    ).cast("long")
+    agg = agg0.select(
+        "group",
+        F.round(
+            (F.col("__tk") + F.when(has_other, oterm).otherwise(F.lit(0)))
+            / 1_000_000_000,
+            6,
+        ).alias("chi2"),
+        F.greatest(
+            F.col("__cells") + F.when(has_other, 1).otherwise(0) - 1, F.lit(1)
+        )
+        .cast("long")
+        .alias("dof"),
+        "tb",
+        "tc",
     )
     # Wilson–Hilferty: z = ((x/k)^(1/3) − (1 − 2/(9k))) / sqrt(2/(9k));
     # p < α ⟺ z > z_α (same transform _chi2_sf applies)
@@ -917,21 +950,17 @@ def chi_square_grouped(
         - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * k))
     ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * k))
     z_alpha = math.sqrt(2.0) * _erfc_inv(2.0 * alpha)
-    out = agg.filter((F.col("tb") > 0) & (F.col("tc") > 0)).select(
+    # one-sided segments fold into the SAME projection as conditional
+    # NULLs (two filtered arms of `agg` unioned back would re-execute
+    # the aggregate subtree twice)
+    present = (F.col("tb") > 0) & (F.col("tc") > 0)
+    return agg.select(
         "group",
-        "chi2",
-        "dof",
-        F.round(z, 6).alias("z"),
-        (z > F.lit(z_alpha)).alias("drifted"),
+        F.when(present, F.col("chi2")).alias("chi2"),
+        F.when(present, F.col("dof")).alias("dof"),
+        F.when(present, F.round(z, 6)).alias("z"),
+        F.when(present, z > F.lit(z_alpha)).alias("drifted"),
     )
-    one_sided = agg.filter((F.col("tb") == 0) | (F.col("tc") == 0)).select(
-        "group",
-        F.lit(None).cast("double").alias("chi2"),
-        F.lit(None).cast("long").alias("dof"),
-        F.lit(None).cast("double").alias("z"),
-        F.lit(None).cast("boolean").alias("drifted"),
-    )
-    return out.unionByName(one_sided)
 
 
 def _erfc_inv(y: float) -> float:
