@@ -87,3 +87,36 @@ def test_duplicate_rows_do_not_cancel(spark):
 def test_sample_size_guard(df):
     with pytest.raises(ValueError):
         fingerprint_dataset(df, sample_size=0)
+
+
+def test_diff_datasets_categories(spark, df):
+    from truthound_spark.fingerprint import diff_datasets
+
+    same = diff_datasets(df, df, "v1", "v1b", include_content_checksum=True)
+    assert not same.changed and same.categories == []
+
+    target = (
+        df.filter("id <> 7")
+        .withColumn("extra", F.lit(1))
+        .withColumn("v", F.when(F.col("id") < 30, None).otherwise(F.col("v")))
+    )
+    diff = diff_datasets(df, target, "v1", "v2", include_content_checksum=True)
+    assert diff.changed
+    assert {"schema_added", "row_count_changed", "null_profile_changed",
+            "content_changed"} <= set(diff.categories)
+    assert diff.summary["row_count_delta"] == -1
+    assert diff.details["schema"]["added"][0]["name"] == "extra"
+
+
+def test_diff_detects_type_and_order_changes(spark, df):
+    from truthound_spark.fingerprint import diff_datasets
+
+    retyped = df.withColumn("id", F.col("id").cast("int"))
+    d1 = diff_datasets(df, retyped)
+    assert "schema_changed" in d1.categories
+    assert d1.details["schema"]["type_changed"][0]["name"] == "id"
+
+    reordered = df.select("v", "id", "name")
+    d2 = diff_datasets(df, reordered)
+    assert "schema_changed" in d2.categories
+    assert d2.details["schema"]["column_order_changed"]

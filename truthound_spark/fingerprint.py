@@ -130,3 +130,168 @@ def fingerprint_dataset(
             **(metadata or {}),
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# summary diffing (reference _datasets/diffing.py)
+# ---------------------------------------------------------------------------
+DIFF_CATEGORIES = (
+    "schema_added",
+    "schema_removed",
+    "schema_changed",
+    "row_count_changed",
+    "null_profile_changed",
+    "sample_changed",
+    "content_changed",
+    "unknown_changed",
+)
+
+
+@dataclass
+class DatasetDiff:
+    """Summary-level diff between two fingerprints (reference
+    diffing.py:58 — explicitly NOT a row-level diff; corpus_diff in
+    pipeline/dedup.py is the per-document form)."""
+
+    source_snapshot_id: str
+    target_snapshot_id: str
+    categories: list[str]
+    summary: dict[str, Any]
+    details: dict[str, Any]
+
+    @property
+    def changed(self) -> bool:
+        return bool(self.categories)
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "source_snapshot_id": self.source_snapshot_id,
+            "target_snapshot_id": self.target_snapshot_id,
+            "categories": list(self.categories),
+            "summary": self.summary,
+            "details": self.details,
+        }
+
+
+def diff_fingerprints(
+    source: DatasetFingerprint,
+    target: DatasetFingerprint,
+    source_snapshot_id: str = "source",
+    target_snapshot_id: str = "target",
+) -> DatasetDiff:
+    """Deterministic summary diff (reference diffing.py:58-163):
+    schema added/removed/retyped + column-order drift, row-count delta,
+    null-profile/sample/content hash changes, categorized."""
+    s_items = source.metadata.get("schema") or []
+    t_items = target.metadata.get("schema") or []
+    s_by = {i["name"]: i for i in s_items}
+    t_by = {i["name"]: i for i in t_items}
+    added = [i for i in t_items if i["name"] not in s_by]
+    removed = [i for i in s_items if i["name"] not in t_by]
+    type_changed = [
+        {
+            "name": n,
+            "source_dtype": s_by[n]["dtype"],
+            "target_dtype": t_by[n]["dtype"],
+        }
+        for n in (i["name"] for i in s_items)
+        if n in t_by and s_by[n]["dtype"] != t_by[n]["dtype"]
+    ]
+    order_changed = (
+        source.column_list_hash != target.column_list_hash
+        and not added
+        and not removed
+        and not type_changed
+    )
+    categories: list[str] = []
+    if added:
+        categories.append("schema_added")
+    if removed:
+        categories.append("schema_removed")
+    if type_changed or order_changed:
+        categories.append("schema_changed")
+    if source.row_count != target.row_count:
+        categories.append("row_count_changed")
+    if source.null_profile_hash != target.null_profile_hash:
+        categories.append("null_profile_changed")
+    if source.sampled_row_hash != target.sampled_row_hash:
+        categories.append("sample_changed")
+    if (
+        source.content_checksum
+        and target.content_checksum
+        and source.content_checksum != target.content_checksum
+    ):
+        categories.append("content_changed")
+    if not categories and source.to_dict() != target.to_dict():
+        categories.append("unknown_changed")
+    return DatasetDiff(
+        source_snapshot_id=source_snapshot_id,
+        target_snapshot_id=target_snapshot_id,
+        categories=categories,
+        summary={
+            "changed": bool(categories),
+            "category_count": len(categories),
+            "categories": categories,
+            "source_row_count": source.row_count,
+            "target_row_count": target.row_count,
+            "row_count_delta": target.row_count - source.row_count,
+            "schema_added_count": len(added),
+            "schema_removed_count": len(removed),
+            "schema_type_changed_count": len(type_changed),
+            "scope": "summary_fingerprint",
+            "row_level_diff_available": False,
+        },
+        details={
+            "schema": {
+                "added": added,
+                "removed": removed,
+                "type_changed": type_changed,
+                "column_order_changed": order_changed,
+            },
+            "row_count": {
+                "changed": source.row_count != target.row_count,
+                "source": source.row_count,
+                "target": target.row_count,
+                "delta": target.row_count - source.row_count,
+            },
+            "null_profile": {
+                "changed": source.null_profile_hash != target.null_profile_hash
+            },
+            "sampled_row_digest": {
+                "changed": source.sampled_row_hash != target.sampled_row_hash
+            },
+            "content_checksum": {
+                "available": bool(source.content_checksum and target.content_checksum),
+                "changed": bool(
+                    source.content_checksum
+                    and target.content_checksum
+                    and source.content_checksum != target.content_checksum
+                ),
+            },
+        },
+    )
+
+
+def diff_datasets(
+    source: DataFrame,
+    target: DataFrame,
+    source_snapshot_id: str = "source",
+    target_snapshot_id: str = "target",
+    sample_size: int = 128,
+    include_content_checksum: bool = False,
+) -> DatasetDiff:
+    """Fingerprint both sides, then diff (reference diffing.py:20)."""
+    return diff_fingerprints(
+        fingerprint_dataset(
+            source,
+            sample_size=sample_size,
+            include_content_checksum=include_content_checksum,
+        ),
+        fingerprint_dataset(
+            target,
+            sample_size=sample_size,
+            include_content_checksum=include_content_checksum,
+        ),
+        source_snapshot_id=source_snapshot_id,
+        target_snapshot_id=target_snapshot_id,
+    )
