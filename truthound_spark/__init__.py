@@ -20,6 +20,21 @@ from truthound_spark.sdk import ValidatorBuilder, validator  # noqa: F401
 from truthound_spark.checkpoint import Checkpoint  # noqa: F401
 from truthound_spark.lineage import ImpactAnalyzer, LineageTracker  # noqa: F401
 from truthound_spark.suite_io import ValidationSuite, load_suite, save_suite  # noqa: F401
+from truthound_spark.drift.detectors import compare_grouped  # noqa: F401
+from truthound_spark.fingerprint import (  # noqa: F401
+    DatasetFingerprint,
+    diff_datasets,
+    fingerprint_dataset,
+)
+from truthound_spark.quality_gates import (  # noqa: F401
+    QualityGatePolicy,
+    evaluate_quality_gate,
+    gate_check,
+)
+from truthound_spark.lineage_openlineage import (  # noqa: F401
+    OpenLineageAction,
+    OpenLineageEmitter,
+)
 from truthound_spark import drift, ml, pipeline, sources, streaming  # noqa: F401
 
 __version__ = "0.3.0"
