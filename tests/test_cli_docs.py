@@ -223,3 +223,31 @@ def test_cli_anomaly_detects_planted_outliers(spark, tmp_path, capsys):
     res = json.loads(open(out_json).read())
     assert res["anomaly_count"] == 4 and res["total_points"] == 1004
     assert all(t["votes"] >= 2 for t in res["top"])
+
+
+def test_cli_fingerprint_and_diff(spark, tmp_path, capsys):
+    """th fingerprint / th diff: stable digests, CI exit codes."""
+    import json
+
+    from truthound_spark.cli import main
+
+    p1 = str(tmp_path / "a.parquet")
+    p2 = str(tmp_path / "b.parquet")
+    df = spark.createDataFrame([(i, f"n{i}") for i in range(100)], "id long, s string")
+    df.write.parquet(p1)
+    df.filter("id <> 5").write.parquet(p2)
+
+    out_json = str(tmp_path / "fp.json")
+    rc = main(["fingerprint", p1, "--checksum", "--output", out_json])
+    capsys.readouterr()
+    assert rc == 0
+    fp = json.loads(open(out_json).read())
+    assert fp["row_count"] == 100 and fp["content_checksum"]
+
+    rc = main(["diff", p1, p1])
+    capsys.readouterr()
+    assert rc == 0  # identical → exit 0
+
+    rc = main(["diff", p1, p2])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 1 and "row_count_changed" in out["categories"]

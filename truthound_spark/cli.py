@@ -203,6 +203,46 @@ def cmd_anomaly(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_fingerprint(args: argparse.Namespace) -> int:
+    """Deterministic dataset fingerprint (fingerprint.py; reference
+    _datasets/fingerprinting.py) — the did-the-data-change artifact."""
+    import json as _json
+
+    from truthound_spark.fingerprint import fingerprint_dataset
+
+    df = _load(_spark(), args.path)
+    fp = fingerprint_dataset(
+        df,
+        sample_size=args.sample_size,
+        include_content_checksum=args.checksum,
+    )
+    text = _json.dumps(fp.to_dict(), indent=2)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(text)
+    print(text)
+    return 0
+
+
+def cmd_diff(args: argparse.Namespace) -> int:
+    """Summary fingerprint diff between two datasets (reference
+    _datasets/diffing.py). Exit 1 when changed (CI-friendly)."""
+    import json as _json
+
+    from truthound_spark.fingerprint import diff_datasets
+
+    spark = _spark()
+    d = diff_datasets(
+        _load(spark, args.source),
+        _load(spark, args.target),
+        source_snapshot_id=args.source,
+        target_snapshot_id=args.target,
+        include_content_checksum=args.checksum,
+    )
+    print(_json.dumps(d.to_dict(), indent=2))
+    return 1 if d.changed else 0
+
+
 def cmd_tune(args: argparse.Namespace) -> int:
     """Profile → thresholds (reference auto_threshold.py tune_thresholds);
     with --history-root, learn from stored profile runs instead and
@@ -418,6 +458,21 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("path")
     c.add_argument("--method", default="psi")
     c.set_defaults(fn=cmd_compare)
+
+    c = sub.add_parser("fingerprint", help="deterministic dataset fingerprint")
+    c.add_argument("path")
+    c.add_argument("--sample-size", type=int, default=128)
+    c.add_argument("--checksum", action="store_true", help="full content checksum")
+    c.add_argument("--output", default=None)
+    c.set_defaults(fn=cmd_fingerprint)
+
+    c = sub.add_parser(
+        "diff", help="summary fingerprint diff of two datasets (exit 1 when changed)"
+    )
+    c.add_argument("source")
+    c.add_argument("target")
+    c.add_argument("--checksum", action="store_true")
+    c.set_defaults(fn=cmd_diff)
 
     c = sub.add_parser(
         "anomaly", help="ML anomaly detection: zscore | iqr | mad | ensemble"
