@@ -349,18 +349,22 @@ def concept_drift_table(
 
     b, c = side(baseline, "b"), side(current, "c")
     wide = b.crossJoin(c)
-    rows = None
+    # ONE explode over a per-feature struct array — a unionByName of
+    # per-feature selects would consume `wide` N times and re-run both
+    # side aggregates N times (r8 lazy-reuse audit)
+    structs = []
     for i, feat in enumerate(feature_columns):
         rb, rc = F.col(f"b_{i}"), F.col(f"c_{i}")
         diff = F.abs(rc - rb) + F.when(
             (rb * rc < 0) & (F.abs(rb) > 0.1) & (F.abs(rc) > 0.1), F.lit(0.5)
         ).otherwise(F.lit(0.0))
-        one = wide.select(
-            F.lit(feat).alias("feature"),
-            F.round(rb, decimals).alias("ref_corr"),
-            F.round(rc, decimals).alias("cur_corr"),
-            F.round(F.abs(rc - rb), decimals).alias("corr_change"),
-            F.round(F.least(F.lit(1.0), diff / 0.5), decimals).alias("score"),
+        structs.append(
+            F.struct(
+                F.lit(feat).alias("feature"),
+                F.round(rb, decimals).alias("ref_corr"),
+                F.round(rc, decimals).alias("cur_corr"),
+                F.round(F.abs(rc - rb), decimals).alias("corr_change"),
+                F.round(F.least(F.lit(1.0), diff / 0.5), decimals).alias("score"),
+            )
         )
-        rows = one if rows is None else rows.unionByName(one)
-    return rows
+    return wide.select(F.explode(F.array(*structs)).alias("r")).select("r.*")

@@ -362,27 +362,32 @@ def correlation_drift_table(
         return df.agg(*aggs)
 
     wide = side(baseline, "b").crossJoin(side(current, "c"))
-    rows = None
-    for i in range(len(columns)):
-        for j in range(i + 1, len(columns)):
-            rb, rc = F.col(f"b_{i}_{j}"), F.col(f"c_{i}_{j}")
-            one = wide.select(
+    # ONE explode + the max-|Δ| as a static GREATEST over the known pair
+    # set — per-pair selects unioned back and an aggregate re-joined for
+    # the max consumed `wide` 2·pairs times (12 scans; r8 lazy-reuse
+    # audit). The pair list is compile-time known, so the detector's
+    # scalar is pure column math on the single wide row.
+    pair_idx = [
+        (i, j)
+        for i in range(len(columns))
+        for j in range(i + 1, len(columns))
+    ]
+    diffs = [
+        F.abs(F.col(f"c_{i}_{j}") - F.col(f"b_{i}_{j}")) for i, j in pair_idx
+    ]
+    mx = F.greatest(*diffs) if len(diffs) > 1 else diffs[0]
+    score = F.round(F.least(F.lit(1.0), mx / 0.5), decimals)
+    structs = []
+    for i, j in pair_idx:
+        rb, rc = F.col(f"b_{i}_{j}"), F.col(f"c_{i}_{j}")
+        structs.append(
+            F.struct(
                 F.lit(columns[i]).alias("col_a"),
                 F.lit(columns[j]).alias("col_b"),
                 F.round(rb, decimals).alias("ref_corr"),
                 F.round(rc, decimals).alias("cur_corr"),
                 F.round(F.abs(rc - rb), decimals).alias("diff"),
-                F.abs(rc - rb).alias("__raw"),
+                score.alias("drift_score"),
             )
-            rows = one if rows is None else rows.unionByName(one)
-    top = rows.agg(F.max("__raw").alias("__mx"))
-    return rows.crossJoin(F.broadcast(top)).select(
-        "col_a",
-        "col_b",
-        "ref_corr",
-        "cur_corr",
-        "diff",
-        F.round(F.least(F.lit(1.0), F.col("__mx") / 0.5), decimals).alias(
-            "drift_score"
-        ),
-    )
+        )
+    return wide.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
