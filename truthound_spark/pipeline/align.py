@@ -75,6 +75,13 @@ def mine_bitext(
         F.col("id").alias("src_id"),
         "cosine",
     )
+    # each k-NN table feeds its neighborhood mean AND the candidate join
+    # (forward and backward) — lazy reuse would re-run the corpus-scan
+    # top-k passes per consumer (12 scans measured, r8 audit). Checkpoint
+    # the candidate-sized (≤ corpus·k skinny rows) relations once; lazy
+    # (eager=False) so the function stays deferred until first action.
+    fwd = fwd.localCheckpoint(eager=False)
+    bwd = bwd.localCheckpoint(eager=False)
     # neighborhood means over exact quantized longs: the sum of k values
     # is order-independent, so avg_src/avg_tgt hash-match cross-engine
     q = lambda c: F.round(F.col(c) * 1e6).cast("long")  # noqa: E731

@@ -1254,10 +1254,15 @@ def incremental_dedup(
     # union (hashed shingle arrays — see _hashed_shingle_arrays)
     sh_new = _hashed_shingle_arrays(new_docs, "__t", "id", shingle_n)
     sh_base = _hashed_shingle_arrays(base_docs, "__t", "id", shingle_n)
-    sh = sh_new.unionByName(sh_base).localCheckpoint(eager=True)
-    sides = sh_new.select("id").withColumn("side", F.lit(1)).unionByName(
-        sh_base.select("id").withColumn("side", F.lit(0))
+    # side tag rides INSIDE the checkpointed union: a separate `sides`
+    # relation built from sh_new/sh_base would re-run both shingle
+    # pipelines (and their scans) — r8 lazy-reuse audit
+    sh = (
+        sh_new.withColumn("side", F.lit(1))
+        .unionByName(sh_base.withColumn("side", F.lit(0)))
+        .localCheckpoint(eager=True)
     )
+    sides = sh.select("id", "side")
     cands = minhash_lsh_candidates(
         sh, "__t", "id", num_hashes, bands, shingle_n, _hashed_shingles=sh
     )
