@@ -75,3 +75,44 @@ def test_streaming_monitor_alerts_on_drifted_batch(spark, tmp_path):
     assert len(mon.get_metrics("m")["batches"]) == n_batches_clean + 1
     # persisted JSONL matches in-memory history
     assert len(mon.load_history("m")) == n_batches_clean + 1
+
+
+def test_streaming_fitted_distribution_drift(spark, tmp_path):
+    """Fitted DistributionDriftDetector in the streaming loop: profile
+    the reference ONCE, then every micro-batch costs one aggregate over
+    the batch — the scan-once contract under foreachBatch."""
+    import random
+
+    from truthound_spark.ml import DistributionDriftDetector
+
+    rng = random.Random(91)
+    ref = spark.createDataFrame(
+        [(rng.gauss(0.3, 0.05),) for _ in range(2000)], "score double"
+    )
+    det = DistributionDriftDetector(method="psi", threshold=0.1).fit(ref)
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    _write_batch(src, "b1.jsonl", [rng.gauss(0.3, 0.05) for _ in range(500)])
+    _write_batch(src, "b2.jsonl", [rng.gauss(0.75, 0.05) for _ in range(500)])
+
+    results = []
+    stream = read_file_stream(
+        spark, src, "score double", format="json", max_files_per_trigger=1
+    )
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        results.append(det.detect(batch_df))
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(results) == 2
+    drifted = sorted(r.is_drifted for r in results)
+    assert drifted == [False, True]  # in-dist batch quiet, shifted batch loud
