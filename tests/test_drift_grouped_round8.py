@@ -266,3 +266,55 @@ def test_grouped_detectors_partitioning_invariant(spark, method, kwargs):
         col, "g", method=method, **kwargs,
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b)), method
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_grouped_detectors_match_ungrouped_on_random_data(spark, seed):
+    """Randomized differential pin: for every grouped detector and every
+    group of random mixed-shape data, the per-group value equals the
+    ungrouped detector on that group's slice — across seeds, not just
+    the handcrafted fixtures."""
+    import random
+
+    from truthound_spark.drift.detectors import (
+        chi_square_drift,
+        chi_square_grouped,
+        js_divergence,
+        js_grouped,
+        ks_grouped,
+        ks_test,
+        psi,
+        psi_grouped,
+        wasserstein,
+        wasserstein_grouped,
+    )
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(500):
+        g = rng.choice(["a", "b", "c", "d"])
+        side = rng.random() < 0.5
+        shape = {"a": rng.gauss(0, 1), "b": rng.uniform(-2, 5),
+                 "c": rng.expovariate(1.0), "d": rng.gauss(3, 0.5)}[g]
+        if g == "b" and side:
+            shape += rng.uniform(0, 4)  # b drifts
+        rows.append((i, g, float(shape), f"k{rng.randint(0, 6)}", int(side)))
+    df = spark.createDataFrame(rows, "id long, g string, v double, cat string, side int")
+    base, cur = df.filter("side = 0"), df.filter("side = 1")
+    groups = sorted({r[1] for r in rows})
+
+    psi_g = {r["group"]: r for r in psi_grouped(base, cur, "v", "g").collect()}
+    js_g = {r["group"]: r for r in js_grouped(base, cur, "v", "g").collect()}
+    ks_g = {r["group"]: r for r in ks_grouped(base, cur, "v", "g").collect()}
+    wa_g = {r["group"]: r for r in wasserstein_grouped(base, cur, "v", "g").collect()}
+    ch_g = {r["group"]: r for r in chi_square_grouped(base, cur, "cat", "g").collect()}
+    for g in groups:
+        b = base.filter(F.col("g") == g)
+        c = cur.filter(F.col("g") == g)
+        assert psi_g[g]["psi"] == round(psi(b, c, "v").statistic, 6), (seed, g)
+        assert js_g[g]["js"] == round(js_divergence(b, c, "v").statistic, 6), (seed, g)
+        assert ks_g[g]["ks"] == round(ks_test(b, c, "v").statistic, 6), (seed, g)
+        assert wa_g[g]["emd"] == round(wasserstein(b, c, "v").statistic, 6), (seed, g)
+        single = chi_square_drift(b, c, "cat")
+        assert ch_g[g]["chi2"] == round(single.statistic, 6), (seed, g)
+        assert ch_g[g]["dof"] == single.details["dof"], (seed, g)
