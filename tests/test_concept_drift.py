@@ -129,3 +129,42 @@ def test_concept_drift_table_matches_detector_scores(spark):
     res = det.detect(cur)
     score = dict(res.column_scores)["x"]
     assert tbl["x"]["score"] == pytest.approx(score, abs=1e-6)
+
+
+def test_concept_drift_grouped_matches_per_group_table(spark):
+    """Per-group rows pinned to concept_drift_table on each segment's
+    slice; segments missing from one side report NULL scores."""
+    import random
+
+    from truthound_spark.ml import concept_drift_grouped, concept_drift_table
+    from pyspark.sql import functions as F
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(600):
+        g = ["s1", "s2"][i % 2]
+        x = rng.gauss(0, 1)
+        slope = 1.0 if g == "s1" else -1.0
+        side = i % 3 == 0
+        if g == "s2" and side:
+            slope = 1.0  # s2's relationship flips between sides
+        rows.append((i, g, x, slope * x + rng.gauss(0, 0.2), int(side)))
+    rows.append((999, "only_base", 1.0, 1.0, 0))
+    df = spark.createDataFrame(rows, "id long, g string, x double, y double, side int")
+    base, cur = df.filter("side = 0"), df.filter("side = 1")
+
+    grouped = {
+        (r["group"], r["feature"]): r
+        for r in concept_drift_grouped(base, cur, "y", ["x"], "g").collect()
+    }
+    for g in ("s1", "s2"):
+        single = concept_drift_table(
+            base.filter(F.col("g") == g), cur.filter(F.col("g") == g), "y", ["x"]
+        ).collect()[0]
+        got = grouped[(g, "x")]
+        for c in ("ref_corr", "cur_corr", "corr_change", "score"):
+            assert got[c] == single[c], (g, c)
+    assert grouped[("s2", "x")]["score"] == 1.0  # flipped relationship
+    assert grouped[("s1", "x")]["score"] < 0.1
+    assert grouped[("only_base", "x")]["cur_corr"] is None
+    assert grouped[("only_base", "x")]["score"] is None

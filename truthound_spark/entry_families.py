@@ -356,6 +356,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "chi_square_grouped_events",
     "feature_drift_fitted_lineitem",
     "distribution_drift_fitted_lineitem",
+    "concept_drift_grouped_lineitem",
 ]
 
 

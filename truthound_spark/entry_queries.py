@@ -12620,3 +12620,61 @@ def q_distribution_drift_fitted_lineitem(spark, sf_dir):
         )
         out = one if out is None else out.unionAll(one)
     return out.orderBy("column")
+
+
+@register(
+    "concept_drift_grouped_lineitem",
+    """
+    WITH b AS (
+      SELECT COALESCE(CAST(l_returnflag AS VARCHAR), '__null__') AS g,
+             CAST(l_quantity AS DOUBLE) AS q, CAST(l_discount AS DOUBLE) AS d,
+             CAST(l_extendedprice AS DOUBLE) AS y
+      FROM lineitem WHERE l_orderkey % 2 = 0
+    ),
+    c AS (
+      SELECT COALESCE(CAST(l_returnflag AS VARCHAR), '__null__') AS g,
+             CAST(l_quantity AS DOUBLE) AS q, CAST(l_discount AS DOUBLE) AS d,
+             CAST(l_extendedprice AS DOUBLE) AS y
+      FROM lineitem WHERE l_orderkey % 2 = 1
+    ),
+    cb AS (SELECT g, COALESCE(CORR(q, y), 0) AS c0, COALESCE(CORR(d, y), 0) AS c1
+           FROM b GROUP BY g),
+    cc AS (SELECT g, COALESCE(CORR(q, y), 0) AS c0, COALESCE(CORR(d, y), 0) AS c1
+           FROM c GROUP BY g),
+    wide AS (
+      SELECT COALESCE(cb.g, cc.g) AS g, cb.c0 AS b0, cb.c1 AS b1,
+             cc.c0 AS k0, cc.c1 AS k1
+      FROM cb FULL JOIN cc ON cb.g = cc.g
+    ),
+    pairs AS (
+      SELECT g, 'l_quantity' AS feature, b0 AS rb, k0 AS rc FROM wide
+      UNION ALL SELECT g, 'l_discount', b1, k1 FROM wide
+    )
+    SELECT g AS "group", feature, ROUND(rb, 6) AS ref_corr,
+           ROUND(rc, 6) AS cur_corr, ROUND(ABS(rc - rb), 6) AS corr_change,
+           CASE WHEN rb IS NOT NULL AND rc IS NOT NULL THEN
+             ROUND(LEAST(1.0,
+                   (ABS(rc - rb) + CASE WHEN rb * rc < 0 AND ABS(rb) > 0.1
+                                         AND ABS(rc) > 0.1
+                                        THEN 0.5 ELSE 0.0 END) / 0.5), 6)
+           END AS score
+    FROM pairs ORDER BY "group", feature
+    """,
+)
+def q_concept_drift_grouped_lineitem(spark, sf_dir):
+    """Per-segment concept drift (ml/concept_drift.py
+    concept_drift_grouped): every l_returnflag segment's feature↔target
+    correlation shift between the even/odd halves from ONE
+    groupBy(group) correlation batch per side — a model can hold its
+    global feature↔target structure while one segment's relationship
+    quietly inverts; N segments cost the same two aggregates as one."""
+    from truthound_spark.ml.concept_drift import concept_drift_grouped
+
+    li = t(spark, sf_dir, "lineitem")
+    return concept_drift_grouped(
+        li.filter(F.col("l_orderkey") % 2 == 0),
+        li.filter(F.col("l_orderkey") % 2 == 1),
+        "l_extendedprice",
+        ["l_quantity", "l_discount"],
+        "l_returnflag",
+    ).orderBy("group", "feature")

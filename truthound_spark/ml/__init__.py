@@ -21,6 +21,7 @@ from truthound_spark.ml.concept_drift import (
     ConceptDriftDetector,
     ConceptDriftResult,
     ConceptSummary,
+    concept_drift_grouped,
     concept_drift_table,
 )
 from truthound_spark.ml.distribution_drift import (
@@ -94,6 +95,7 @@ __all__ = [
     "correlation_drift_table",
     "ConceptSummary",
     "concept_drift_table",
+    "concept_drift_grouped",
     "ModelRegistry",
     "ModelMonitor",
     "AlertRule",

@@ -368,3 +368,64 @@ def concept_drift_table(
             )
         )
     return wide.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+def concept_drift_grouped(
+    baseline: DataFrame,
+    current: DataFrame,
+    target_column: str,
+    feature_columns: list[str],
+    group_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-SEGMENT concept drift — the grouped-one-pass design applied
+    to the feature↔target correlation shift: every segment's whole
+    per-feature drift table from ONE ``groupBy(group)`` correlation
+    batch per side (``F.corr`` is an aggregate function, so N segments
+    cost the same two aggregates as one), a group-sized join, and one
+    explode. A model can hold its global feature↔target structure while
+    one tenant's relationship quietly inverts — this is the audit that
+    sees it.
+
+    Per-(group, feature) scores mirror :func:`concept_drift_table`
+    exactly (|Δcorr|/0.5, sign-change penalty); segments missing from
+    either side report NULL scores (inner join semantics would drop
+    them — the full join + NULL convention keeps them loud). Returns
+    (group, feature, ref_corr, cur_corr, corr_change, score)."""
+    grp = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    t = F.col(target_column).cast("double")
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        aggs = [
+            F.coalesce(
+                _safe_corr(F.col(c).cast("double"), t), F.lit(0.0)
+            ).alias(f"{tag}_{i}")
+            for i, c in enumerate(feature_columns)
+        ]
+        return df.groupBy(grp.alias("group")).agg(*aggs)
+
+    wide = side(baseline, "b").join(side(current, "c"), "group", "full")
+    structs = []
+    for i, feat in enumerate(feature_columns):
+        rb, rc = F.col(f"b_{i}"), F.col(f"c_{i}")
+        diff = F.abs(rc - rb) + F.when(
+            (rb * rc < 0) & (F.abs(rb) > 0.1) & (F.abs(rc) > 0.1), F.lit(0.5)
+        ).otherwise(F.lit(0.0))
+        # one-sided groups: NULL score, explicitly — F.least SKIPS nulls,
+        # so least(1.0, NULL/0.5) would silently read as maximal drift
+        score = F.when(
+            rb.isNotNull() & rc.isNotNull(),
+            F.round(F.least(F.lit(1.0), diff / 0.5), decimals),
+        )
+        structs.append(
+            F.struct(
+                F.lit(feat).alias("feature"),
+                F.round(rb, decimals).alias("ref_corr"),
+                F.round(rc, decimals).alias("cur_corr"),
+                F.round(F.abs(rc - rb), decimals).alias("corr_change"),
+                score.alias("score"),
+            )
+        )
+    return wide.select(
+        "group", F.explode(F.array(*structs)).alias("r")
+    ).select("group", "r.*")
