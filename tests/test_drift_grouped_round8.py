@@ -318,3 +318,60 @@ def test_grouped_detectors_match_ungrouped_on_random_data(spark, seed):
         single = chi_square_drift(b, c, "cat")
         assert ch_g[g]["chi2"] == round(single.statistic, 6), (seed, g)
         assert ch_g[g]["dof"] == single.details["dof"], (seed, g)
+
+
+def test_ks_grouped_sketch_tracks_exact(spark):
+    """The per-group quantile-grid sketch lower-bounds exact grouped KS
+    with a 1/grid-order gap — the 100 TB path for high-cardinality
+    segments."""
+    import random
+
+    from truthound_spark.drift.detectors import ks_grouped, ks_grouped_sketch
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(3000):
+        g = ["a", "b"][i % 2]
+        side = i % 3 == 0
+        v = rng.gauss(0, 1)
+        if g == "b" and side:
+            v += 1.2  # b's current shifts
+        rows.append((i, g, float(v), int(side)))
+    df = spark.createDataFrame(rows, "id long, g string, v double, side int")
+    base, cur = df.filter("side = 0"), df.filter("side = 1")
+
+    exact = {r["group"]: r for r in ks_grouped(base, cur, "v", "g").collect()}
+    sk = {r["group"]: r for r in ks_grouped_sketch(base, cur, "v", "g", grid=200).collect()}
+    for g in ("a", "b"):
+        assert sk[g]["ks"] <= exact[g]["ks"] + 1e-9, g  # lower bound
+        assert sk[g]["ks"] == pytest.approx(exact[g]["ks"], abs=0.03), g
+        assert sk[g]["crit"] == exact[g]["crit"], g
+        assert (sk[g]["n_base"], sk[g]["n_cur"]) == (
+            exact[g]["n_base"], exact[g]["n_cur"],
+        )
+    assert sk["b"]["drifted"] and not sk["a"]["drifted"]
+
+
+def test_ks_grouped_sketch_one_sided_null_and_invariance(spark):
+    from truthound_spark.drift.detectors import ks_grouped_sketch
+
+    base = spark.createDataFrame(
+        [(i, "only_base" if i < 40 else "both", float(i % 17)) for i in range(200)],
+        "id long, g string, v double",
+    )
+    cur = spark.createDataFrame(
+        [(i, "only_cur" if i < 40 else "both", float(i % 17)) for i in range(200)],
+        "id long, g string, v double",
+    )
+    out = {r["group"]: r for r in ks_grouped_sketch(base, cur, "v", "g", grid=50).collect()}
+    assert out["only_base"]["ks"] is None and out["only_cur"]["ks"] is None
+    assert out["both"]["ks"] == 0.0 and not out["both"]["drifted"]
+    a = sorted(map(tuple, ks_grouped_sketch(
+        base.repartition(1), cur.repartition(1), "v", "g", grid=50).collect()))
+    b = sorted(map(tuple, ks_grouped_sketch(
+        base.repartition(7), cur.repartition(7), "v", "g", grid=50).collect()))
+    assert a == b  # percentile_approx sketch is deterministic for exact-fit data
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        ks_grouped_sketch(base, cur, "v", "g", grid=1)

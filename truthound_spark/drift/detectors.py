@@ -675,6 +675,80 @@ def ks_grouped(
         F.sum("gb").over(wg).alias("n_base"),
         F.sum("gc").over(wg).alias("n_cur"),
     )
+    return _ks_grouped_finish(j, alpha)
+
+
+def ks_grouped_sketch(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    group_col: str,
+    alpha: float = 0.05,
+    grid: int = 200,
+) -> DataFrame:
+    """Per-segment KS over a per-group QUANTILE GRID — the 100 TB path
+    :func:`ks_grouped`'s docstring defers to: exact grouped KS shuffles
+    every DISTINCT (group, value) pair, which a high-cardinality segment
+    can make arbitrarily wide; here each group's ECDFs are evaluated
+    only at its own ``grid`` pooled percentile_approx points (the
+    mergeable-sketch analogue of ``ks_test(grid=...)``), so the
+    post-scan state is (segments × grid) regardless of cardinality.
+
+    Mechanics: one pooled quantile aggregate per group (edges array),
+    broadcast back; each row maps to its grid cell via a map-only
+    O(grid) array filter (idx = #edges < x — no row×grid join blowup);
+    (group, cell) counts, then the same group-partitioned cumulative/
+    total windows and sup as the exact form, with the beyond-last-point
+    bucket kept for the totals but excluded from the sup (it is not a
+    grid point). The sketch sup lower-bounds the exact statistic with a
+    gap that shrinks as 1/grid. One-sided segments report NULL.
+    Returns (group, n_base, n_cur, ks, crit, drifted)."""
+    from pyspark.sql import Window
+
+    if grid < 2:
+        raise ValueError(f"grid must be >= 2, got {grid}")
+    grp = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    tagged = (
+        baseline.select(grp.alias("group"), F.col(column).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .withColumn("s", F.lit(0))
+        .unionAll(
+            current.select(grp.alias("group"), F.col(column).alias("v"))
+            .filter(F.col("v").isNotNull())
+            .withColumn("s", F.lit(1))
+        )
+    )
+    probs = F.array(*[F.lit(i / grid) for i in range(1, grid)])
+    edges = tagged.groupBy("group").agg(
+        F.percentile_approx("v", probs, F.lit(10000)).alias("__edges")
+    )
+    jd = tagged.join(F.broadcast(edges), "group")
+    idx = F.size(F.filter(F.col("__edges"), lambda e: e < F.col("v")))
+    u = jd.groupBy(
+        "group", idx.alias("__i"), F.size("__edges").alias("__m")
+    ).agg(
+        F.sum(F.when(F.col("s") == 0, 1).otherwise(0)).alias("gb"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("gc"),
+    )
+    w = (
+        Window.partitionBy("group")
+        .orderBy("__i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy("group")
+    j = u.select(
+        "group",
+        "__i",
+        "__m",
+        F.sum("gb").over(w).alias("cb"),
+        F.sum("gc").over(w).alias("cc"),
+        F.sum("gb").over(wg).alias("n_base"),
+        F.sum("gc").over(wg).alias("n_cur"),
+    ).filter(F.col("__i") < F.col("__m"))
+    return _ks_grouped_finish(j.drop("__i", "__m"), alpha)
+
+
+def _ks_grouped_finish(j: DataFrame, alpha: float) -> DataFrame:
     d = F.abs(
         F.try_divide(F.col("cb"), F.col("n_base"))
         - F.try_divide(F.col("cc"), F.col("n_cur"))
