@@ -251,3 +251,30 @@ def test_cli_fingerprint_and_diff(spark, tmp_path, capsys):
     rc = main(["diff", p1, p2])
     out = json.loads(capsys.readouterr().out)
     assert rc == 1 and "row_count_changed" in out["categories"]
+
+
+def test_cli_concept_drift(spark, tmp_path, capsys):
+    """th concept-drift: relationship flip -> exit 1; like windows -> 0."""
+    import json
+    import random
+
+    from truthound_spark.cli import main
+
+    rng = random.Random(61)
+
+    def snap(path, slope):
+        rows = [(x, slope * x + rng.gauss(0, 0.2))
+                for x in (rng.gauss(0, 1) for _ in range(800))]
+        spark.createDataFrame(rows, "x double, y double").write.parquet(path)
+
+    p_base, p_same, p_flip = (str(tmp_path / n) for n in ("b.parquet", "s.parquet", "f.parquet"))
+    snap(p_base, 1.0)
+    snap(p_same, 1.0)
+    snap(p_flip, -1.0)
+
+    rc = main(["concept-drift", p_base, p_same, "--target", "y", "--threshold", "0.2"])
+    assert rc == 0 and "ok" in capsys.readouterr().out
+
+    rc = main(["concept-drift", p_base, p_flip, "--target", "y", "--format", "json"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 1 and out["is_drifted"] and out["drift_score"] == 1.0

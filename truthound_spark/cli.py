@@ -203,6 +203,36 @@ def cmd_anomaly(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_concept_drift(args: argparse.Namespace) -> int:
+    """Concept drift between two snapshots (ml/concept_drift.py;
+    reference cli ml drift compares distributions — this compares the
+    feature↔target RELATIONSHIP). Exit 1 on drift."""
+    import json as _json
+
+    from truthound_spark.ml.concept_drift import ConceptDriftDetector
+
+    spark = _spark()
+    baseline = _load(spark, args.baseline)
+    current = _load(spark, args.path)
+    det = ConceptDriftDetector(
+        args.target,
+        feature_columns=args.features.split(",") if args.features else None,
+        threshold=args.threshold,
+    ).fit(baseline)
+    res = det.detect(current)
+    if args.format == "json":
+        print(_json.dumps(res.to_dict(), indent=2))
+    else:
+        flag = "DRIFT" if res.is_drifted else "ok"
+        print(f"concept drift: {flag} score={res.drift_score:.4f} "
+              f"type={res.drift_type}")
+        for col, score in res.column_scores:
+            print(f"  {col}: {score:.4f}")
+        if res.details:
+            print(f"  details: {res.details}")
+    return 1 if res.is_drifted else 0
+
+
 def cmd_fingerprint(args: argparse.Namespace) -> int:
     """Deterministic dataset fingerprint (fingerprint.py; reference
     _datasets/fingerprinting.py) — the did-the-data-change artifact."""
@@ -458,6 +488,18 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("path")
     c.add_argument("--method", default="psi")
     c.set_defaults(fn=cmd_compare)
+
+    c = sub.add_parser(
+        "concept-drift",
+        help="feature-target relationship drift between two snapshots (exit 1 on drift)",
+    )
+    c.add_argument("baseline")
+    c.add_argument("path")
+    c.add_argument("--target", required=True)
+    c.add_argument("--features", default=None, help="comma-separated; default all numeric")
+    c.add_argument("--threshold", type=float, default=0.05)
+    c.add_argument("--format", default="console", choices=["console", "json"])
+    c.set_defaults(fn=cmd_concept_drift)
 
     c = sub.add_parser("fingerprint", help="deterministic dataset fingerprint")
     c.add_argument("path")
