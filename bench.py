@@ -528,6 +528,18 @@ def main():
 
     bench_one("corpus_composition", composition_bench, timings, cold_timings)
 
+    # --- round-8 grouped drift family (per-segment psi + exact KS over
+    # every event_type in constant passes) -------------------------------
+    def grouped_drift_bench():
+        from truthound_spark.drift.detectors import ks_grouped, psi_grouped
+
+        base = events.filter(F.col("event_id") % 2 == 0)
+        cur = events.filter(F.col("event_id") % 2 == 1)
+        psi_grouped(base, cur, "value", "event_type").collect()
+        ks_grouped(base, cur, "value", "event_type").collect()
+
+    bench_one("grouped_drift_events", grouped_drift_bench, timings, cold_timings)
+
     # --- sf1 lane (VERDICT r5 #10): the dedup/BPE/tagger trio on a 10×
     # documents corpus derived from SF_DIR (replica-perturbed text: every
     # 7th word, offset per replica, gets a replica suffix — JVM HOFs, so

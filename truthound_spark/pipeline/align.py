@@ -76,12 +76,15 @@ def mine_bitext(
         "cosine",
     )
     # each k-NN table feeds its neighborhood mean AND the candidate join
-    # (forward and backward) — lazy reuse would re-run the corpus-scan
-    # top-k passes per consumer (12 scans measured, r8 audit). Checkpoint
-    # the candidate-sized (≤ corpus·k skinny rows) relations once; lazy
-    # (eager=False) so the function stays deferred until first action.
-    fwd = fwd.localCheckpoint(eager=False)
-    bwd = bwd.localCheckpoint(eager=False)
+    # (forward and backward) — lazy reuse re-runs the top-k passes per
+    # consumer (12 scans measured, r8 audit). A localCheckpoint here
+    # fixed the scans but left never-unpersisted executor blocks that
+    # turned later same-session queries into intermittent 15-20s
+    # spill-stalls (measured) — worse than the recompute for a lazily
+    # returned relation. At production scale, persist the two candidate
+    # tables EXPLICITLY around the call:
+    #   fwd.persist(); bwd.persist(); ... ; fwd.unpersist()
+    # (candidates are skinny: (id, id, cosine) × corpus·k rows).
     # neighborhood means over exact quantized longs: the sum of k values
     # is order-independent, so avg_src/avg_tgt hash-match cross-engine
     q = lambda c: F.round(F.col(c) * 1e6).cast("long")  # noqa: E731
