@@ -382,3 +382,33 @@ def test_pca_power_anomaly_ranks_after_takeordered(spark):
 
     plan = _plan(QUERIES["pca_power_anomaly_lineitem"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_mine_bitext_single_consumption_four_scans(spark):
+    """VERDICT r9 #1: the default lazy plan must execute each of the two
+    top-k passes exactly once — 4 FileScans (src+tgt per pass), not the
+    12 the old groupBy-mean-join-back shape re-ran per consumer."""
+    from truthound_spark.pipeline.align import mine_bitext
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    plan = _plan(mine_bitext(src, tgt, k=4))
+    assert plan.count("FileScan parquet") <= 4, plan
+
+
+def test_mine_bitext_persist_returns_materialized_result(spark):
+    """persist=True eagerly localCheckpoints the (result-sized) output:
+    downstream consumers must not re-run the mining — the returned
+    plan has no FileScan left at all."""
+    from truthound_spark.pipeline.align import mine_bitext
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    lazy = mine_bitext(src, tgt, k=4)
+    eager = mine_bitext(src, tgt, k=4, persist=True)
+    assert "FileScan parquet" not in _plan(eager)
+    a = {tuple(r) for r in lazy.collect()}
+    b = {tuple(r) for r in eager.collect()}
+    assert a == b and len(a) > 0

@@ -11,11 +11,13 @@ WikiMatrix) usable for MT training.
 
 Spark-first shape: the two corpora never cross-shuffle — both k-NN
 passes are the broadcast-query brute-force top-k (WindowGroupLimit
-collapses per-partition), neighborhood means are tiny per-id aggregates
-joined back by id, and the final argmax is one per-source window. All
-cosines are the same sequential JVM fold as the rest of the similarity
-module, and the ranking margin is 1e-6-quantized — deterministic,
-oracle-certifiable.
+collapses per-partition), and everything downstream runs over ONE
+tagged union of the two candidate tables: neighborhood means are
+conditional window averages, per-direction argmaxes are rank windows,
+and mutual agreement is a pair-count aggregate — a single consumption
+of each top-k pass, no join-backs, no self-joins. All cosines are the
+same sequential JVM fold as the rest of the similarity module, and the
+ranking margin is 1e-6-quantized — deterministic, oracle-certifiable.
 """
 
 from __future__ import annotations
@@ -36,6 +38,7 @@ def mine_bitext(
     id_col: str = "vec_id",
     min_margin: float | None = None,
     mutual: bool = True,
+    persist: bool = False,
 ) -> DataFrame:
     """Mine aligned (src, tgt) pairs by ratio margin over k-NN
     neighborhoods.
@@ -49,12 +52,36 @@ def mine_bitext(
     paper found most precise. ``min_margin`` additionally thresholds
     (the paper's operating points are ~1.04-1.06).
 
-    Plan: two broadcast-query top-k passes (src→tgt, tgt→src) — the
-    corpora are scanned, never cross-joined at corpus scale; everything
-    after runs on candidate-sized relations (≤ |src|·k rows).
+    Plan (single-consumption — r9 restructure of the r8 audit's last
+    multi-scan): two broadcast-query top-k passes (src→tgt, tgt→src)
+    feed ONE direction-tagged union; each pass executes exactly once
+    (4 FileScans total, down from the 12 the join-back shape re-ran).
+    On the union, candidate-sized throughout (≤ (|src|+|tgt|)·k rows):
+
+    * neighborhood means = conditional window averages —
+      ``avg(fwd cosine) over (partition by src_id)`` lands nbhd_src on
+      the BACKWARD rows of the same src too (and symmetrically for
+      nbhd_tgt), which is what made the old shape join back;
+    * per-direction argmax = rank windows partitioned (dir, query id);
+    * mutual agreement = ``groupBy(src_id, tgt_id) HAVING n_dirs = 2``
+      — a mutual pair is nominated once per direction with bit-identical
+      cosine/margin (the cosine fold and na·nb product are symmetric),
+      so the pair-count aggregate replaces the forward⋈backward
+      self-join that re-ran both subtrees.
+
     Neighborhood means sum 1e-6-quantized cosines (exact longs, order-
     independent), and the margin quantizes before the argmax window, so
     results are reproducible cross-engine.
+
+    ``persist=True`` eagerly materializes the result via
+    ``localCheckpoint`` so callers that consume it multiple times
+    (count + write, iterative filtering) don't re-run the mining.
+    Resident blocks are RESULT-sized (≤ min(|src|,|tgt|) skinny rows,
+    not corpus·k candidates) — the bounded version of the r8
+    experiment whose candidate-sized checkpoint blocks caused measured
+    15-20s spill-stalls in later same-session queries and was reverted.
+    Default False: lazily returned, single-consumer plan is already
+    single-scan.
 
     Returns (src_id, tgt_id, cosine, margin) — margin rounded 6dp."""
     if k < 1:
@@ -66,6 +93,7 @@ def mine_bitext(
         F.col("query_id").alias("src_id"),
         F.col("id").alias("tgt_id"),
         "cosine",
+        F.lit("f").alias("dir"),
     )
     bwd = brute_force_topk(
         src, tgt, k=k, vec_col=vec_col, id_col=id_col,
@@ -74,67 +102,72 @@ def mine_bitext(
         F.col("query_id").alias("tgt_id"),
         F.col("id").alias("src_id"),
         "cosine",
+        F.lit("b").alias("dir"),
     )
-    # each k-NN table feeds its neighborhood mean AND the candidate join
-    # (forward and backward) — lazy reuse re-runs the top-k passes per
-    # consumer (12 scans measured, r8 audit). A localCheckpoint here
-    # fixed the scans but left never-unpersisted executor blocks that
-    # turned later same-session queries into intermittent 15-20s
-    # spill-stalls (measured) — worse than the recompute for a lazily
-    # returned relation. At production scale, persist the two candidate
-    # tables EXPLICITLY around the call:
-    #   fwd.persist(); bwd.persist(); ... ; fwd.unpersist()
-    # (candidates are skinny: (id, id, cosine) × corpus·k rows).
+    allk = fwd.unionByName(bwd)
     # neighborhood means over exact quantized longs: the sum of k values
-    # is order-independent, so avg_src/avg_tgt hash-match cross-engine
-    q = lambda c: F.round(F.col(c) * 1e6).cast("long")  # noqa: E731
-    avg_src = fwd.groupBy("src_id").agg(
-        (F.sum(q("cosine")) / F.count(F.lit(1)) / 1e6).alias("nbhd_src")
+    # is order-independent, so nbhd_src/nbhd_tgt hash-match cross-engine.
+    # Conditional over the union: only forward rows define a src's
+    # neighborhood (resp. backward for a tgt's), but the window attaches
+    # the mean to BOTH directions' rows sharing that id — every src_id
+    # has k forward rows and every tgt_id k backward rows, so the means
+    # are never NULL.
+    qcos = F.round(F.col("cosine") * 1e6).cast("long")
+    w_src = Window.partitionBy("src_id")
+    w_tgt = Window.partitionBy("tgt_id")
+    is_f = F.col("dir") == "f"
+    scored = allk.select(
+        "src_id",
+        "tgt_id",
+        "cosine",
+        "dir",
+        (
+            F.sum(F.when(is_f, qcos)).over(w_src)
+            / F.count(F.when(is_f, F.lit(1))).over(w_src)
+            / 1e6
+        ).alias("nbhd_src"),
+        (
+            F.sum(F.when(~is_f, qcos)).over(w_tgt)
+            / F.count(F.when(~is_f, F.lit(1))).over(w_tgt)
+            / 1e6
+        ).alias("nbhd_tgt"),
+    ).withColumn(
+        "margin",
+        F.round(
+            F.col("cosine") / ((F.col("nbhd_src") + F.col("nbhd_tgt")) / 2), 6
+        ),
     )
-    avg_tgt = bwd.groupBy("tgt_id").agg(
-        (F.sum(q("cosine")) / F.count(F.lit(1)) / 1e6).alias("nbhd_tgt")
-    )
-    cand = (
-        fwd.join(avg_src, "src_id")
-        .join(avg_tgt, "tgt_id")
-        .withColumn(
-            "margin",
-            F.round(
-                F.col("cosine") / ((F.col("nbhd_src") + F.col("nbhd_tgt")) / 2),
-                6,
-            ),
-        )
-    )
-    wf = Window.partitionBy("src_id").orderBy(F.desc("margin"), "tgt_id")
-    best_fwd = (
-        cand.withColumn("__rn", F.row_number().over(wf))
-        .filter(F.col("__rn") == 1)
-        .select("src_id", "tgt_id", F.round("cosine", 6).alias("cosine"), "margin")
-    )
+    # per-direction argmax: rank inside (dir, query id). Forward rows
+    # nominate per src, backward per tgt; partitioning by dir keeps the
+    # two rankings from seeing each other's rows.
+    wf = Window.partitionBy("dir", "src_id").orderBy(F.desc("margin"), "tgt_id")
+    wb = Window.partitionBy("dir", "tgt_id").orderBy(F.desc("margin"), "src_id")
+    nominated = scored.withColumn(
+        "__rn",
+        F.when(is_f, F.row_number().over(wf)).otherwise(F.row_number().over(wb)),
+    ).filter(F.col("__rn") == 1)
     if mutual:
-        bcand = (
-            bwd.join(avg_src, "src_id")
-            .join(avg_tgt, "tgt_id")
-            .withColumn(
-                "margin",
-                F.round(
-                    F.col("cosine") / ((F.col("nbhd_src") + F.col("nbhd_tgt")) / 2),
-                    6,
-                ),
+        # a mutual pair is nominated by both directions with identical
+        # (cosine, margin) — max() just collapses the two copies
+        out = (
+            nominated.groupBy("src_id", "tgt_id")
+            .agg(
+                F.round(F.max("cosine"), 6).alias("cosine"),
+                F.max("margin").alias("margin"),
+                F.count(F.lit(1)).alias("__n_dirs"),
             )
+            .filter(F.col("__n_dirs") == 2)
+            .drop("__n_dirs")
         )
-        wb = Window.partitionBy("tgt_id").orderBy(F.desc("margin"), "src_id")
-        best_bwd = (
-            bcand.withColumn("__rn", F.row_number().over(wb))
-            .filter(F.col("__rn") == 1)
-            .select("tgt_id", F.col("src_id").alias("__b_src"))
+    else:
+        out = nominated.filter(is_f).select(
+            "src_id", "tgt_id", F.round("cosine", 6).alias("cosine"), "margin"
         )
-        best_fwd = best_fwd.join(best_bwd, "tgt_id").filter(
-            F.col("src_id") == F.col("__b_src")
-        ).drop("__b_src")
-    out = best_fwd.select("src_id", "tgt_id", "cosine", "margin")
+    out = out.select("src_id", "tgt_id", "cosine", "margin")
     if min_margin is not None:
         out = out.filter(F.col("margin") >= float(min_margin))
+    if persist:
+        out = out.localCheckpoint(eager=True)
     return out
 
 
