@@ -60,6 +60,31 @@ def bench_one(name, fn, timings, cold_timings):
 
 WARM_SAMPLES: dict[str, list[float]] = {}
 
+# Adjudicated bench_regressions pins (VERDICT r8 #2): queries whose
+# ratio vs the historical per-query minimum exceeds 1.5 but whose cause
+# was bisected to the environment, not a commit. Each entry names the
+# evidence; the dispositions ride bench_detail.json so the series stays
+# attributable without re-litigating sub-second fixed-overhead queries
+# every round.
+REGRESSION_DISPOSITIONS = {
+    "pushdown_unique": (
+        "environmental: DuckDBSource code byte-identical since r2 "
+        "(e484adb); idle-machine re-run 2026-08-15 = 0.065-0.082s total "
+        "(open 0.005 + register 0.001 + query 0.06), matching the 0.067 "
+        "pin; the r8 0.185 median reflects bench-session CPU contention "
+        "on an in-process DuckDB query (r3 recorded 0.247 with the same "
+        "code)."
+    ),
+    "global_shuffle_documents": (
+        "environmental: global_shuffle and make_spark byte-identical "
+        "since r4 (e52aec3/e899411); isolated fresh-session runs "
+        "2026-08-15 give 0.36-0.40s on BOTH the raw and 32-way relayout "
+        "documents table, so no repo change produces today's number — "
+        "the 0.147 pin came from the r4 round-VM under best-of-2. "
+        "Fixed overhead (2 stages x 32 tasks) dominates at sf0.1."
+    ),
+}
+
 
 def best_recorded_queries(repo_dir):
     """Per-query MIN across every parsed BENCH_r*.json — the pin each
@@ -719,6 +744,9 @@ def main():
         "queries_cold": cold_timings,
         "best_recorded": best,
         "bench_regressions": ratios,
+        "regression_dispositions": {
+            k: v for k, v in REGRESSION_DISPOSITIONS.items() if ratios.get(k, 0) > 1.5
+        },
         "sf": sf_val,
         "sf1_lane": sf1_lane,
     }
