@@ -123,6 +123,22 @@ class DataSource:
                 self.options["dump_path"],
                 multiline=self.options.get("multiline", "false") == "true",
             )
+        elif self.kind == "elasticsearch" and "dump_path" in self.options:
+            # file-backed replay of an ES export (elasticdump data /
+            # scroll NDJSON / bulk file) — closes the NoSQL surface the
+            # way mongo_dump did for Mongo: _source unwrap + mapping-
+            # driven dtype normalization as column expressions
+            from truthound_spark.sources.es_dump import read_es_dump
+
+            df = read_es_dump(
+                spark,
+                self.options["dump_path"],
+                format=self.options.get("format", "auto"),
+                mapping_path=self.options.get("mapping_path"),
+                include_meta=self.options.get("include_meta", "false") == "true",
+                flatten_nested=self.options.get("flatten_nested", "true") == "true",
+                separator=self.options.get("separator", "_"),
+            )
         elif self.kind in _CONNECTOR_FORMATS:
             reader = spark.read.format(_CONNECTOR_FORMATS[self.kind])
             for k, v in self.options.items():
