@@ -273,6 +273,70 @@ def cmd_diff(args: argparse.Namespace) -> int:
     return 1 if d.changed else 0
 
 
+def cmd_bundle(args: argparse.Namespace) -> int:
+    """Versioned dataset artifact bundle (artifacts.py; reference
+    _datasets/bundles.py) — one machine-readable envelope carrying a
+    snapshot (fingerprint + manifest), a two-dataset diff, or a
+    quality-gate run, for CI hand-off. Exit codes: snapshot always 0;
+    diff 1 when a blocking category changed; gate 1 when not passed."""
+    import json as _json
+
+    from truthound_spark.artifacts import (
+        DiffBundle,
+        QualityGateBundle,
+        SnapshotBundle,
+    )
+
+    spark = _spark()
+    rc = 0
+    if args.kind == "snapshot":
+        from truthound_spark.fingerprint import fingerprint_dataset
+
+        fp = fingerprint_dataset(
+            _load(spark, args.path), include_content_checksum=args.checksum
+        )
+        bundle = SnapshotBundle.from_fingerprint(
+            fp,
+            snapshot_id=args.snapshot_id or args.path,
+            asset_id=args.asset_id or args.path,
+            parent_snapshot_id=args.parent,
+            asset_manifest={
+                "asset_id": args.asset_id or args.path,
+                "asset_name": args.asset_id or args.path,
+                "asset_type": "generic_dataset",
+                "logical_path": args.path,
+                "source_kind": "file",
+            },
+        )
+    elif args.kind == "diff":
+        from truthound_spark.fingerprint import diff_datasets
+
+        d = diff_datasets(
+            _load(spark, args.path),
+            _load(spark, args.target),
+            source_snapshot_id=args.path,
+            target_snapshot_id=args.target,
+            include_content_checksum=args.checksum,
+        )
+        blocking = [s for s in (args.blocking or "").split(",") if s]
+        bundle = DiffBundle.from_diff(d, blocking_categories=blocking)
+        rc = 1 if (bundle.blocking if blocking else d.changed) else 0
+    elif args.kind == "gate":
+        from truthound_spark.quality_gates import gate_check
+
+        result = gate_check(_load(spark, args.path), gate_id=args.gate_id)
+        bundle = QualityGateBundle.from_gate_result(result, dataset_ref=args.path)
+        rc = 0 if bundle.passed else 1
+    else:
+        raise SystemExit(f"unknown bundle kind {args.kind!r}")
+    text = bundle.to_json(indent=2)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(text)
+    print(text)
+    return rc
+
+
 def cmd_tune(args: argparse.Namespace) -> int:
     """Profile → thresholds (reference auto_threshold.py tune_thresholds);
     with --history-root, learn from stored profile runs instead and
@@ -515,6 +579,26 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("target")
     c.add_argument("--checksum", action="store_true")
     c.set_defaults(fn=cmd_diff)
+
+    c = sub.add_parser(
+        "bundle",
+        help="versioned dataset artifact envelope: snapshot | diff | gate",
+    )
+    c.add_argument("kind", choices=["snapshot", "diff", "gate"])
+    c.add_argument("path")
+    c.add_argument("target", nargs="?", default=None, help="diff: second dataset")
+    c.add_argument("--snapshot-id", default=None)
+    c.add_argument("--asset-id", default=None)
+    c.add_argument("--parent", default=None, help="parent snapshot id (lineage)")
+    c.add_argument("--gate-id", default="gate")
+    c.add_argument("--checksum", action="store_true", help="full content checksum")
+    c.add_argument(
+        "--blocking",
+        default=None,
+        help="diff: comma-separated categories that exit 1 (default: any change)",
+    )
+    c.add_argument("--output", default=None)
+    c.set_defaults(fn=cmd_bundle)
 
     c = sub.add_parser(
         "anomaly", help="ML anomaly detection: zscore | iqr | mad | ensemble"
