@@ -723,6 +723,60 @@ def ks_grouped_sketch(
         F.percentile_approx("v", probs, F.lit(10000)).alias("__edges")
     )
     jd = tagged.join(F.broadcast(edges), "group")
+    return _ks_grouped_cells(jd, alpha)
+
+
+def ks_grouped_at_edges(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    group_col: str,
+    group_edges: dict[str, list[float]],
+    alpha: float = 0.05,
+) -> DataFrame:
+    """The detect/replay phase of :func:`ks_grouped_sketch` against
+    ALREADY-FITTED per-group edges — the fit-then-replay split the
+    fitted drift detectors use: at 100 TB the quantile sketch runs once
+    on the baseline corpus and its edges (segments × grid doubles,
+    model-sized) are stored; every later detect() replays only the
+    map-only cell assignment + group-partitioned windows below, no
+    re-sketching. Also the oracle surface: ``percentile_approx`` is not
+    reproducible cross-engine, but given the same literal edges the
+    cell/window/sup machinery is — so this path is hash-certified and
+    the sketch fit is pinned against exact KS in pytest.
+
+    ``group_edges``: {group value: sorted edge list}. Groups without an
+    entry are dropped (they can't be scored against a fitted grid).
+    Scan count: ONE pass over each side's rows (the tagged union),
+    edges broadcast as a literal relation."""
+    grp = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    tagged = (
+        baseline.select(grp.alias("group"), F.col(column).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .withColumn("s", F.lit(0))
+        .unionAll(
+            current.select(grp.alias("group"), F.col(column).alias("v"))
+            .filter(F.col("v").isNotNull())
+            .withColumn("s", F.lit(1))
+        )
+    )
+    spark = baseline.sparkSession
+    edges = spark.createDataFrame(
+        [(g, [float(x) for x in es]) for g, es in sorted(group_edges.items())],
+        "group string, __edges array<double>",
+    )
+    jd = tagged.join(F.broadcast(edges), "group")
+    return _ks_grouped_cells(jd, alpha)
+
+
+def _ks_grouped_cells(jd: DataFrame, alpha: float) -> DataFrame:
+    """Shared sketch-KS tail: rows with a per-group ``__edges`` array →
+    cell index via a map-only O(grid) array filter, (group, cell)
+    counts, group-partitioned cumulative/total windows, sup. The
+    beyond-last-point bucket rides the totals but is excluded from the
+    sup (it is not a grid point)."""
+    from pyspark.sql import Window
+
     idx = F.size(F.filter(F.col("__edges"), lambda e: e < F.col("v")))
     u = jd.groupBy(
         "group", idx.alias("__i"), F.size("__edges").alias("__m")

@@ -349,6 +349,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "ensemble_anomaly_customer",
     "js_grouped_events",
     "ks_grouped_events",
+    "ks_grouped_sketch_events",
     "threshold_sweep_grouped_documents",
     "multivariate_corr_drift_lineitem",
     "multivariate_mahalanobis_drift_lineitem",
