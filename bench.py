@@ -682,6 +682,47 @@ def main():
                 key_col="doc_id",
             ).count()
 
+        # grouped drift family at 10× (VERDICT r8 #6: SCALING.md's r8
+        # 1×/10× table was ad hoc — fold it into the recorded lane).
+        # events ×10 with value perturbed per replica so distinct
+        # (group, value) pairs actually grow (exact ks_grouped's shuffle
+        # carries them; unperturbed replicas would fake flatness), plus
+        # one fitted-detector detect() (VERDICT r8 #9) — the
+        # fit-once/detect-cheap monitoring shape at 10×.
+        events10 = (
+            events.crossJoin(F.broadcast(reps))
+            .select(
+                (F.col("event_id") * 10 + F.col("rep")).alias("event_id"),
+                "event_type",
+                F.round(F.col("value") + F.col("rep") * 0.001, 6).alias("value"),
+                (F.col("user_id") / 7.0).alias("u"),
+            )
+            .persist()
+        )
+        ev_n10 = events10.count()
+        ev_base10 = events10.filter(F.col("event_id") % 2 == 0)
+        ev_cur10 = events10.filter(F.col("event_id") % 2 == 1)
+
+        def _grouped(fn_name):
+            from truthound_spark.drift import detectors as D
+
+            def run():
+                getattr(D, fn_name)(
+                    ev_base10, ev_cur10, "value", "event_type"
+                ).collect()
+
+            return run
+
+        def sf1_fitted_detect():
+            from truthound_spark.ml.feature_drift import FeatureDriftDetector
+
+            det = FeatureDriftDetector().fit(
+                ev_base10.select("value", "u")
+            )
+            t0 = time.time()
+            det.detect(ev_cur10.select("value", "u"))
+            sf1_lane["fitted_feature_drift_detect"] = round(time.time() - t0, 3)
+
         for nm, fn in (
             ("minhash_dedup", sf1_minhash),
             ("bpe_train_tokenize", sf1_bpe),
@@ -691,12 +732,20 @@ def main():
             ("threshold_sweep", sf1_threshold_sweep),
             ("corpus_composition", sf1_composition),
             ("weighted_sample", sf1_weighted_sample),
+            ("grouped_psi", _grouped("psi_grouped")),
+            ("grouped_js", _grouped("js_grouped")),
+            ("grouped_ks_exact", _grouped("ks_grouped")),
+            ("grouped_wasserstein", _grouped("wasserstein_grouped")),
+            ("grouped_chi_square", _grouped("chi_square_grouped")),
         ):
             t0 = time.time()
             fn()
             sf1_lane[nm] = round(time.time() - t0, 3)
+        sf1_fitted_detect()  # times only detect(); fit is outside
         sf1_lane["rows"] = n10
+        sf1_lane["events_rows"] = ev_n10
         documents10.unpersist()
+        events10.unpersist()
 
     # headline = sum of per-query WARM times (best-of-2, comparable to
     # BASELINE.md's warm-run protocol; sf1 lane excluded — different data

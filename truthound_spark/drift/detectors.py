@@ -702,6 +702,13 @@ def ks_grouped_sketch(
     bucket kept for the totals but excluded from the sup (it is not a
     grid point). The sketch sup lower-bounds the exact statistic with a
     gap that shrinks as 1/grid. One-sided segments report NULL.
+
+    Scan count (audited r9): TWO scans of the tagged union — one for
+    the per-group quantile edges (the fit), one for cell assignment
+    (the replay). That is the honest linear price of a sketch pass +
+    assignment pass; to pay only the replay scan per detect() at
+    scale, fit once and use :func:`ks_grouped_at_edges` with the
+    stored edges.
     Returns (group, n_base, n_cur, ks, crit, drifted)."""
     from pyspark.sql import Window
 

@@ -85,7 +85,12 @@ def fingerprint_dataset(
     include_content_checksum: bool = False,
     metadata: dict[str, Any] | None = None,
 ) -> DatasetFingerprint:
-    """One-aggregate deterministic fingerprint (reference :76)."""
+    """One-aggregate deterministic fingerprint (reference :76).
+
+    Scan count (audited r9): TWO scans — the fused count/null/checksum
+    aggregate, plus the bottom-k row-hash sketch (a TakeOrdered pass;
+    it needs per-row hashes, not aggregates, so it cannot fold into
+    the first). Both are independent of column count."""
     if sample_size <= 0:
         raise ValueError("sample_size must be greater than zero")
     cols = df.columns

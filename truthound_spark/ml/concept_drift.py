@@ -116,7 +116,11 @@ class ConceptDriftDetector:
 
     Parameters mirror ConceptDriftConfig (concept.py:29): threshold is
     the reference DriftConfig default 0.05 (ml/base.py:184) — the
-    max-score gate, NOT a p-value."""
+    max-score gate, NOT a p-value.
+
+    Scan count (audited r9): ONE scan per side — fit() is a single
+    fused correlation/moments aggregate over the reference, detect()
+    the same single aggregate over the current side."""
 
     def __init__(
         self,

@@ -86,6 +86,11 @@ class DistributionDriftDetector:
 
     # -- fit (two fused aggregates for every column) ---------------------------
     def fit(self, reference: DataFrame) -> "DistributionDriftDetector":
+        """Scan count (audited r9): TWO scans of the reference — one
+        fused moments/range/quantile aggregate over ALL columns, then
+        one fused histogram aggregate (its bin edges need the first
+        pass's min/max; the two-phase shape is inherent, never
+        per-column). ``detect()`` is ONE scan of the current side."""
         dtypes = dict(reference.dtypes)
         cols = [
             c

@@ -124,9 +124,18 @@ class FeatureDriftDetector:
         return numeric, categorical
 
     def profile(self, df: DataFrame) -> dict[str, dict[str, Any]]:
+        """Scan count (audited r9): exactly 2 table scans regardless of
+        column count — ONE fused aggregate carries every numeric
+        column's moments/quantiles AND every categorical column's
+        null counts; all categorical top-k tables come from ONE
+        melt-style pass (explode to (column, value), a single
+        (column, value) groupBy, per-column rank window capped at
+        ``max_categories``). The r8 shape re-scanned twice PER
+        categorical column (count agg + its own top-k groupBy) —
+        1 + 2·n_cat scans, a fit-phase scale-killer on wide tables."""
         numeric, categorical = self._split_columns(df)
         profiles: dict[str, dict[str, Any]] = {}
-        if numeric:
+        if numeric or categorical:
             aggs = [F.count(F.lit(1)).alias("__total")]
             for i, c in enumerate(numeric):
                 x = F.col(c).cast("double")
@@ -138,6 +147,8 @@ class FeatureDriftDetector:
                     F.max(x).alias(f"hi{i}"),
                     pct_agg(x, [0.25, 0.5, 0.75]).alias(f"q{i}"),
                 ]
+            for i, c in enumerate(categorical):
+                aggs.append(F.count(F.col(c)).alias(f"cn{i}"))
             row = df.agg(*aggs).collect()[0]
             total = int(row["__total"])
             for i, c in enumerate(numeric):
@@ -156,30 +167,53 @@ class FeatureDriftDetector:
                     "median": q[1],
                     "q3": q[2],
                 }
-        for c in categorical:
-            agg = df.agg(
-                F.count(F.lit(1)).alias("__total"), F.count(F.col(c)).alias("__n")
-            ).collect()[0]
-            total, n = int(agg["__total"]), int(agg["__n"])
+            for i, c in enumerate(categorical):
+                n = int(row[f"cn{i}"])
+                profiles[c] = {
+                    "type": "categorical",
+                    "count": n,
+                    "null_count": total - n,
+                    "null_ratio": (total - n) / total if total else 0.0,
+                    "n_unique": 0,
+                    "proportions": {},
+                }
+        if categorical:
+            from pyspark.sql import Window
+
+            pairs = df.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("col"),
+                                F.col(c).cast("string").alias("v"),
+                            )
+                            for c in categorical
+                        ]
+                    )
+                ).alias("p")
+            ).select("p.col", "p.v").filter(F.col("v").isNotNull())
+            w = Window.partitionBy("col").orderBy(F.desc("cnt"), "v")
             top = (
-                df.filter(F.col(c).isNotNull())
-                .groupBy(F.col(c).cast("string").alias("v"))
+                pairs.groupBy("col", "v")
                 .agg(F.count(F.lit(1)).alias("cnt"))
-                .orderBy(F.desc("cnt"), "v")
-                .limit(self.max_categories)
+                .withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") <= self.max_categories)
                 .collect()
             )
-            profiles[c] = {
-                "type": "categorical",
-                "count": n,
-                "null_count": total - n,
-                "null_ratio": (total - n) / total if total else 0.0,
-                "n_unique": len(top),
+            total = profiles[categorical[0]]["count"] + profiles[categorical[0]][
+                "null_count"
+            ]
+            by_col: dict[str, list] = {c: [] for c in categorical}
+            for r in top:
+                by_col[r["col"]].append(r)
+            for c in categorical:
+                rows = by_col[c]
+                profiles[c]["n_unique"] = len(rows)
                 # proportions against TOTAL rows (reference :222)
-                "proportions": {r["v"]: int(r["cnt"]) / total for r in top}
-                if total
-                else {},
-            }
+                profiles[c]["proportions"] = (
+                    {r["v"]: int(r["cnt"]) / total for r in rows} if total else {}
+                )
         return profiles
 
     def fit(self, reference: DataFrame) -> "FeatureDriftDetector":
