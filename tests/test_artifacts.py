@@ -161,3 +161,28 @@ def test_cli_bundle_commands(tmp_path, capsys):
     assert rc == 0
     payload = json.loads(capsys.readouterr().out)
     assert payload["payload"]["blocking_summary"]["passed"] is True
+
+
+def test_evidence_payload_from_bundles_roundtrip(spark, fp):
+    from truthound_spark.artifacts import EvidenceInputPayload
+    from truthound_spark.fingerprint import diff_datasets
+    from truthound_spark.quality_gates import gate_check
+    from truthound_spark.validators.distribution import RangeValidator
+
+    df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    snap = SnapshotBundle.from_fingerprint(fp, snapshot_id="s1", asset_id="nation")
+    d = diff_datasets(df, df.limit(10), source_snapshot_id="s0", target_snapshot_id="s1")
+    diffb = DiffBundle.from_diff(d, blocking_categories=["row_count_changed"])
+    gateb = QualityGateBundle.from_gate_result(
+        gate_check(df, validators=[RangeValidator("n_nationkey", 0, 3)]),
+        dataset_ref="nation",
+    )
+    ev = EvidenceInputPayload.from_bundles("ev-1", [snap, diffb, gateb])
+    assert ev.source_artifact_refs[0] == "s1"
+    assert set(ev.risk_flags) == {"blocking_diff", "gate_not_passed"}
+    assert len(ev.artifact_summaries) == 3
+    restored = restore_artifact(ev.to_json())
+    from truthound_spark.artifacts import EvidenceInputPayload as E
+
+    assert isinstance(restored, E)
+    assert restored.to_dict() == ev.to_dict()

@@ -48,6 +48,7 @@ QUALITY_GATE_BUNDLE = "quality_gate_bundle"
 FINGERPRINT_ARTIFACT = "dataset_fingerprint"
 DIFF_ARTIFACT = "dataset_diff"
 QUALITY_GATE_ARTIFACT = "quality_gate_result"
+EVIDENCE_INPUT_PAYLOAD = "dataset_evidence_input_payload"
 
 
 class ArtifactContractError(ValueError):
@@ -450,10 +451,125 @@ class QualityGateBundle:
         return self.to_envelope().to_json(indent=indent)
 
 
+@dataclass
+class EvidenceInputPayload:
+    """Redacted evidence payload derived from other artifacts
+    (reference bundles.py:395-493 DatasetEvidenceInputPayload): the
+    reviewer-facing digest a downstream evidence/review system ingests
+    — refs to the source artifacts, their summary dicts, and risk
+    flags. Summary-only by construction: the envelope's redaction
+    boundary rejects raw rows or PII-like literals."""
+
+    evidence_id: str
+    source_artifact_refs: list[str] = field(default_factory=list)
+    artifact_summaries: list[dict[str, Any]] = field(default_factory=list)
+    risk_flags: list[str] = field(default_factory=list)
+    reviewer_summary: dict[str, Any] = field(default_factory=dict)
+    metadata: dict[str, Any] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        self.evidence_id = _require_str(self.evidence_id, "evidence_id")
+        for i, s in enumerate(self.artifact_summaries):
+            _require_mapping(s, f"artifact_summaries[{i}]")
+
+    @classmethod
+    def from_bundles(
+        cls,
+        evidence_id: str,
+        bundles: list[Any],
+        risk_flags: list[str] | None = None,
+        metadata: dict[str, Any] | None = None,
+    ) -> "EvidenceInputPayload":
+        """Derive the digest from built bundles: snapshot bundles
+        contribute their manifests, diff bundles their category/blocking
+        summary, gate bundles their blocking summary; refs are the
+        bundles' natural ids."""
+        refs: list[str] = []
+        summaries: list[dict[str, Any]] = []
+        flags = list(risk_flags or [])
+        for b in bundles:
+            if isinstance(b, SnapshotBundle):
+                m = b.snapshot_manifest
+                refs.append(str(m["snapshot_id"]))
+                summaries.append(
+                    {
+                        "artifact_type": SNAPSHOT_BUNDLE,
+                        "snapshot_id": m["snapshot_id"],
+                        "asset_id": m["asset_id"],
+                        "row_count": m.get("row_count"),
+                        "fingerprint": m.get("fingerprint"),
+                    }
+                )
+            elif isinstance(b, DiffBundle):
+                refs.append(f"{b.source_ref}->{b.target_ref}")
+                summaries.append(
+                    {
+                        "artifact_type": DIFF_BUNDLE,
+                        "categories": list(b.diff.get("categories") or []),
+                        "blocking": b.blocking,
+                    }
+                )
+                if b.blocking:
+                    flags.append("blocking_diff")
+            elif isinstance(b, QualityGateBundle):
+                refs.append(str(b.dataset_ref or b.gate_result.get("gate_id")))
+                summaries.append(
+                    {
+                        "artifact_type": QUALITY_GATE_BUNDLE,
+                        "status": b.gate_result.get("status"),
+                        "passed": b.passed,
+                    }
+                )
+                if not b.passed:
+                    flags.append("gate_not_passed")
+            else:
+                raise ArtifactContractError(
+                    f"cannot summarize {type(b).__name__} into evidence"
+                )
+        return cls(
+            evidence_id=evidence_id,
+            source_artifact_refs=refs,
+            artifact_summaries=summaries,
+            risk_flags=sorted(set(flags)),
+            metadata=metadata or {},
+        )
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "evidence_id": self.evidence_id,
+            "source_artifact_refs": list(self.source_artifact_refs),
+            "artifact_summaries": [dict(s) for s in self.artifact_summaries],
+            "risk_flags": list(self.risk_flags),
+            "reviewer_summary": dict(self.reviewer_summary),
+            "metadata": dict(self.metadata),
+        }
+
+    @classmethod
+    def from_dict(cls, data: dict[str, Any]) -> "EvidenceInputPayload":
+        data = _require_mapping(data, "evidence payload")
+        return cls(
+            evidence_id=_require_str(data.get("evidence_id"), "evidence_id"),
+            source_artifact_refs=list(data.get("source_artifact_refs") or []),
+            artifact_summaries=list(data.get("artifact_summaries") or []),
+            risk_flags=list(data.get("risk_flags") or []),
+            reviewer_summary=dict(data.get("reviewer_summary") or {}),
+            metadata=dict(data.get("metadata") or {}),
+        )
+
+    def to_envelope(self) -> DatasetArtifactEnvelope:
+        return DatasetArtifactEnvelope(
+            artifact_type=EVIDENCE_INPUT_PAYLOAD, payload=self.to_dict()
+        )
+
+    def to_json(self, indent: int | None = None) -> str:
+        return self.to_envelope().to_json(indent=indent)
+
+
 _RESTORERS = {
     SNAPSHOT_BUNDLE: SnapshotBundle.from_dict,
     DIFF_BUNDLE: DiffBundle.from_dict,
     QUALITY_GATE_BUNDLE: QualityGateBundle.from_dict,
+    EVIDENCE_INPUT_PAYLOAD: EvidenceInputPayload.from_dict,
     # bare payloads round-trip as plain dicts
     FINGERPRINT_ARTIFACT: dict,
     DIFF_ARTIFACT: dict,
@@ -491,6 +607,7 @@ __all__ = [
     "SnapshotBundle",
     "DiffBundle",
     "QualityGateBundle",
+    "EvidenceInputPayload",
     "assert_artifact_safe",
     "restore_artifact",
 ]
