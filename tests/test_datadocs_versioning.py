@@ -102,3 +102,36 @@ def test_versioned_profile_docs_end_to_end(spark, store):
     d = diff_versions(store, "nation", 1, 2)
     assert d.has_changes
     assert "25 rows" in store.load("nation", 1)
+
+
+def test_cli_docs_version_store(spark, tmp_path, capsys):
+    from truthound_spark.cli import main
+
+    site = str(tmp_path / "site")
+    vs = str(tmp_path / "vs")
+    rc = main(
+        ["docs", "/root/testdata/sf0.001/nation.parquet", site,
+         "--title", "nation", "--version-store", vs]
+    )
+    assert rc == 0
+    out1 = capsys.readouterr().out
+    assert "versioned nation v1" in out1
+    # second identical run: no new version, no diff page
+    rc = main(
+        ["docs", "/root/testdata/sf0.001/nation.parquet", site,
+         "--title", "nation", "--version-store", vs]
+    )
+    assert rc == 0
+    assert "versioned nation v1" in capsys.readouterr().out
+    # changed input: v2 + a diff page linking both versions
+    rc = main(
+        ["docs", "/root/testdata/sf0.001/region.parquet", site,
+         "--title", "nation", "--version-store", vs]
+    )
+    assert rc == 0
+    out3 = capsys.readouterr().out
+    assert "versioned nation v2" in out3 and "_v1_v2_diff.html" in out3
+    import os
+
+    diff_page = [f for f in os.listdir(vs) if f.endswith("_diff.html")]
+    assert diff_page == ["nation_v1_v2_diff.html"]

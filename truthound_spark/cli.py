@@ -682,6 +682,13 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--title", default=None)
     c.add_argument("--with-check", action="store_true", help="include a validation run page")
     c.add_argument("--baseline", help="earlier parquet snapshot for a versioned diff page")
+    c.add_argument(
+        "--version-store",
+        metavar="DIR",
+        help="also save the profile page into a DocsVersionStore at DIR; "
+        "when it differs from the previous version, write a "
+        "v<prev>_v<new>_diff.html page linking both",
+    )
     c.set_defaults(fn=cmd_docs)
 
     c = sub.add_parser(
@@ -754,6 +761,30 @@ def cmd_docs(args: argparse.Namespace) -> int:
     index = build_site(
         args.out_dir, profiles=profiles, runs=runs, previous_profiles=previous
     )
+    if args.version_store:
+        import os as _os
+
+        from truthound_spark.datadocs import profile_docs
+        from truthound_spark.datadocs_versioning import (
+            DocsVersionStore,
+            diff_versions,
+            render_diff_page,
+        )
+
+        store = DocsVersionStore(args.version_store)
+        prev = store.latest(name)
+        info = store.save(name, profile_docs(profiles[name], title=name))
+        print(f"versioned {name} v{info.version}")
+        if prev and info.version > prev.version:
+            page = render_diff_page(
+                diff_versions(store, name, prev.version, info.version)
+            )
+            diff_path = _os.path.join(
+                args.version_store, f"{name}_v{prev.version}_v{info.version}_diff.html"
+            )
+            with open(diff_path, "w") as fh:
+                fh.write(page)
+            print(f"wrote {diff_path}")
     print(f"wrote {index}")
     return 0
 
