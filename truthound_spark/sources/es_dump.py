@@ -182,7 +182,12 @@ def read_es_dump(
         action_fields = sorted(set(raw.schema.fieldNames()) & _BULK_ACTIONS)
         doc_fields = [f for f in raw.schema.fieldNames() if f not in _BULK_ACTIONS]
         # an action envelope line populates ONLY its action field; doc
-        # lines leave them all null — a map-only filter, no pairing
+        # lines leave them all null — a map-only filter, no pairing.
+        # Caveat (documented, rare): a DOCUMENT whose own top-level
+        # field is literally named index/create/update/delete would be
+        # dropped by this filter — such corpora must replay via the
+        # hits format, whose _source nesting keeps doc fields apart
+        # from envelope keys.
         df = raw
         for a in action_fields:
             df = df.filter(F.col(f"`{a}`").isNull())
