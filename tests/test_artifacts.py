@@ -186,3 +186,26 @@ def test_evidence_payload_from_bundles_roundtrip(spark, fp):
 
     assert isinstance(restored, E)
     assert restored.to_dict() == ev.to_dict()
+
+
+def test_redaction_allows_timestamps_and_ids_but_catches_luhn_cards():
+    # 13-digit epoch millis in ids/paths must NOT trip the card check
+    assert_artifact_safe(
+        {
+            "snapshot_id": "run-1723708800000",
+            "logical_path": "/data/run-1723708800000/part.parquet",
+            "fingerprint": "1234567890123deadbeef",
+        }
+    )
+    # a Luhn-valid card number (test number) must still be rejected
+    with pytest.raises(RedactionError, match="PII-like"):
+        assert_artifact_safe({"note": "card 4539 1488 0343 6467"})
+    with pytest.raises(RedactionError, match="PII-like"):
+        assert_artifact_safe({"note": "4111111111111111"})
+
+
+def test_cli_bundle_diff_requires_target(capsys):
+    from truthound_spark.cli import main
+
+    with pytest.raises(SystemExit, match="requires a second dataset"):
+        main(["bundle", "diff", "/root/testdata/sf0.001/nation.parquet"])

@@ -130,8 +130,22 @@ def test_cli_docs_version_store(spark, tmp_path, capsys):
     )
     assert rc == 0
     out3 = capsys.readouterr().out
-    assert "versioned nation v2" in out3 and "_v1_v2_diff.html" in out3
+    assert "versioned nation v2" in out3 and "v1_v2_diff.html" in out3
     import os
 
-    diff_page = [f for f in os.listdir(vs) if f.endswith("_diff.html")]
-    assert diff_page == ["nation_v1_v2_diff.html"]
+    # the diff page lives in the REPORT's directory so its relative
+    # v<N>.html links resolve
+    report_dir = os.path.join(vs, "nation")
+    assert os.path.exists(os.path.join(report_dir, "v1_v2_diff.html"))
+    assert os.path.exists(os.path.join(report_dir, "v1.html"))
+    assert os.path.exists(os.path.join(report_dir, "v2.html"))
+
+
+def test_sanitized_report_ids_do_not_collide(store):
+    a = store.save("a/b", "content-one")
+    b = store.save("a_b", "content-two")
+    assert a.version == 1 and b.version == 1
+    assert store.load("a/b", 1) == "content-one"
+    assert store.load("a_b", 1) == "content-two"
+    assert [v.report_id for v in store.list_versions("a/b")] == ["a/b"]
+    assert store.report_dir("a/b") != store.report_dir("a_b")

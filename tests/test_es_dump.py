@@ -206,3 +206,18 @@ def test_replay_is_map_only(spark, dumps):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_bulk_update_doc_wrapper_unwraps(spark, tmp_path):
+    """_bulk update actions carry the document inside {"doc": ...};
+    the replay merges wrapper and bare docs onto one schema."""
+    bulk = tmp_path / "upd.ndjson"
+    with open(bulk, "w") as f:
+        f.write(json.dumps({"index": {"_index": "logs", "_id": "a"}}) + "\n")
+        f.write(json.dumps({"user": "alice", "age": 34}) + "\n")
+        f.write(json.dumps({"update": {"_index": "logs", "_id": "b"}}) + "\n")
+        f.write(json.dumps({"doc": {"user": "bob", "age": 41}}) + "\n")
+    df = read_es_dump(spark, str(bulk), format="bulk")
+    rows = {r["user"]: r["age"] for r in df.collect()}
+    assert rows == {"alice": 34, "bob": 41}
+    assert "doc" not in df.columns

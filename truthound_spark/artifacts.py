@@ -78,8 +78,32 @@ _FORBIDDEN_KEY_MARKERS = ("sample_values", "raw_row", "row_sample",
 _PII_RES = [
     re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     re.compile(r"\b\d{3}-\d{2}-\d{4}\b"),
-    re.compile(r"\b(?:\d[ -]?){13,16}\b"),
 ]
+# card numbers are gated on the Luhn checksum, not shape alone: a bare
+# 13-16 digit run matches epoch-millis timestamps, digit-prefixed run
+# ids, and hash fragments, which would make LEGITIMATE artifacts
+# (snapshot ids carrying timestamps, logical paths) unserializable
+_CARD_RE = re.compile(r"\b\d(?:[ -]?\d){12,15}\b")
+
+
+def _luhn_ok(digits: str) -> bool:
+    total, alt = 0, False
+    for ch in reversed(digits):
+        d = ord(ch) - 48
+        if alt:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+        alt = not alt
+    return total % 10 == 0
+
+
+def _card_like(text: str) -> bool:
+    for m in _CARD_RE.finditer(text):
+        if _luhn_ok(re.sub(r"[ -]", "", m.group())):
+            return True
+    return False
 
 
 def assert_artifact_safe(payload: Any, label: str = "dataset artifact") -> None:
@@ -103,10 +127,8 @@ def assert_artifact_safe(payload: Any, label: str = "dataset artifact") -> None:
             for i, v in enumerate(node):
                 walk(v, f"{path}[{i}]")
         elif isinstance(node, str):
-            for rx in _PII_RES:
-                if rx.search(node):
-                    violations.append(f"{path}: PII-like literal content")
-                    break
+            if any(rx.search(node) for rx in _PII_RES) or _card_like(node):
+                violations.append(f"{path}: PII-like literal content")
 
     walk(payload, "$")
     if violations:

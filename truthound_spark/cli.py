@@ -309,6 +309,9 @@ def cmd_bundle(args: argparse.Namespace) -> int:
             },
         )
     elif args.kind == "diff":
+        if not args.target:
+            raise SystemExit("bundle diff requires a second dataset: "
+                             "bundle diff SOURCE TARGET")
         from truthound_spark.fingerprint import diff_datasets
 
         d = diff_datasets(
@@ -779,8 +782,11 @@ def cmd_docs(args: argparse.Namespace) -> int:
             page = render_diff_page(
                 diff_versions(store, name, prev.version, info.version)
             )
+            # the page's relative v<N>.html links resolve against the
+            # report's own directory, so the diff page lives there too
             diff_path = _os.path.join(
-                args.version_store, f"{name}_v{prev.version}_v{info.version}_diff.html"
+                store.report_dir(name),
+                f"v{prev.version}_v{info.version}_diff.html",
             )
             with open(diff_path, "w") as fh:
                 fh.write(page)

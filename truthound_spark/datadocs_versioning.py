@@ -102,9 +102,18 @@ class DocsVersionStore:
         self.root = root
         os.makedirs(root, exist_ok=True)
 
-    def _dir(self, report_id: str) -> str:
+    def report_dir(self, report_id: str) -> str:
+        """Directory holding this report's versions + manifest. When
+        sanitization changes the name, a short hash of the ORIGINAL id
+        disambiguates — otherwise 'a/b' and 'a_b' would silently share
+        one manifest and interleave their version histories."""
         safe = "".join(c if (c.isalnum() or c in "-_.") else "_" for c in report_id)
+        if safe != report_id:
+            safe += "-" + hashlib.sha256(report_id.encode("utf-8")).hexdigest()[:8]
         return os.path.join(self.root, safe)
+
+    # backwards-internal alias
+    _dir = report_dir
 
     def _manifest_path(self, report_id: str) -> str:
         return os.path.join(self._dir(report_id), "manifest.json")

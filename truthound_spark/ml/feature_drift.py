@@ -201,9 +201,8 @@ class FeatureDriftDetector:
                 .filter(F.col("__rk") <= self.max_categories)
                 .collect()
             )
-            total = profiles[categorical[0]]["count"] + profiles[categorical[0]][
-                "null_count"
-            ]
+            # `total` still in scope from the fused aggregate above
+            # (categorical non-empty guarantees that branch ran)
             by_col: dict[str, list] = {c: [] for c in categorical}
             for r in top:
                 by_col[r["col"]].append(r)

@@ -192,6 +192,27 @@ def read_es_dump(
         for a in action_fields:
             df = df.filter(F.col(f"`{a}`").isNull())
         df = df.select(*[f"`{f}`" for f in doc_fields])
+        # _bulk "update" actions carry their document inside a
+        # {"doc": {...}} wrapper line (index/create docs are bare) —
+        # merge wrapper fields with the bare fields in one map-only
+        # coalesce projection so both action styles land on one schema
+        doc_dt = {f.name: f.dataType for f in df.schema.fields}.get("doc")
+        if "update" in action_fields and isinstance(doc_dt, StructType):
+            direct = [f for f in df.columns if f != "doc"]
+            wrapped = [f.name for f in doc_dt.fields]
+            names = list(dict.fromkeys(direct + wrapped))
+            df = df.select(
+                *[
+                    F.coalesce(F.col(f"`{n}`"), F.col("doc").getField(n)).alias(n)
+                    if (n in direct and n in wrapped)
+                    else (
+                        F.col("doc").getField(n).alias(n)
+                        if n in wrapped
+                        else F.col(f"`{n}`")
+                    )
+                    for n in names
+                ]
+            )
     elif fmt == "source":
         df = raw
     else:

@@ -80,28 +80,48 @@ class StreamingDriftSink:
         self.min_rows = min_rows
         self.max_results = max_results
         self.detections: list[DriftDetection] = []
-        self._seen_batches: set[int] = set()
+        # batch ids are monotonically increasing per checkpoint and only
+        # the LAST uncommitted batch can replay — a high-water mark is
+        # the O(1) form of the seen-set (an int per batch forever would
+        # contradict the bounded-driver-memory contract)
+        self._max_seen: int = -1
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in self._seen_batches:
+        if batch_id <= self._max_seen:
             return
-        self._seen_batches.add(batch_id)
-        if batch_df.count() < self.min_rows:
-            return
-        for name, det in self.detectors.items():
-            res = det.detect(batch_df)
-            detection = DriftDetection(
-                batch_id=batch_id,
-                detector=name,
-                drift_score=float(getattr(res, "drift_score", 0.0)),
-                is_drifted=bool(getattr(res, "is_drifted", False)),
-                result=res,
-            )
-            self.detections.append(detection)
-            if len(self.detections) > self.max_results:
-                del self.detections[: -self.max_results]
-            if detection.is_drifted and self.on_drift is not None:
-                self.on_drift(detection)
+        # each detector's detect() is its own aggregate — persist the
+        # micro-batch once so the source isn't re-read n_detectors+1
+        # times (count + every detect) on the hot path
+        batch_df.persist()
+        try:
+            if batch_df.count() < self.min_rows:
+                return
+            batch = [
+                DriftDetection(
+                    batch_id=batch_id,
+                    detector=name,
+                    drift_score=float(getattr(res, "drift_score", 0.0)),
+                    is_drifted=bool(getattr(res, "is_drifted", False)),
+                    result=res,
+                )
+                for name, res in (
+                    (n, det.detect(batch_df)) for n, det in self.detectors.items()
+                )
+            ]
+        finally:
+            # a detector failure leaves the batch UNMARKED, so the
+            # replayed batch re-runs every detector instead of being
+            # silently committed with partial results; alerts are
+            # therefore at-least-once, detections never lost
+            batch_df.unpersist()
+        self._max_seen = batch_id
+        self.detections.extend(batch)
+        if len(self.detections) > self.max_results:
+            del self.detections[: -self.max_results]
+        if self.on_drift is not None:
+            for detection in batch:
+                if detection.is_drifted:
+                    self.on_drift(detection)
 
     @property
     def drifted(self) -> list[DriftDetection]:
@@ -114,6 +134,7 @@ def monitor_stream(
     checkpoint_location: str,
     on_drift: Callable[[DriftDetection], None] | None = None,
     min_rows: int = 100,
+    max_results: int = 1000,
     trigger_seconds: int | None = None,
     query_name: str = "truthound_drift_monitor",
 ):
@@ -121,7 +142,9 @@ def monitor_stream(
     — the streaming companion of ``validate_stream`` (same
     exactly-once bookkeeping via checkpointLocation + per-batch-id
     idempotence). Returns (StreamingQuery, StreamingDriftSink)."""
-    sink = StreamingDriftSink(detectors, on_drift=on_drift, min_rows=min_rows)
+    sink = StreamingDriftSink(
+        detectors, on_drift=on_drift, min_rows=min_rows, max_results=max_results
+    )
     writer = (
         stream_df.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_location)
