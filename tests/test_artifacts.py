@@ -209,3 +209,34 @@ def test_cli_bundle_diff_requires_target(capsys):
 
     with pytest.raises(SystemExit, match="requires a second dataset"):
         main(["bundle", "diff", "/root/testdata/sf0.001/nation.parquet"])
+
+
+def test_cli_bundle_evidence_chain(tmp_path, capsys):
+    """The full CI chain: emit snapshot + gate envelopes, then derive
+    the evidence digest from the files; exit 1 only on risk flags."""
+    from truthound_spark.cli import main
+
+    snap = tmp_path / "snap.json"
+    gate = tmp_path / "gate.json"
+    assert main(
+        ["bundle", "snapshot", "/root/testdata/sf0.001/nation.parquet",
+         "--snapshot-id", "s1", "--asset-id", "nation", "--output", str(snap)]
+    ) == 0
+    assert main(
+        ["bundle", "gate", "/root/testdata/sf0.001/nation.parquet",
+         "--output", str(gate)]
+    ) == 0
+    capsys.readouterr()
+    out = tmp_path / "ev.json"
+    rc = main(
+        ["bundle", "evidence", "ev-9", "--from", str(snap), str(gate),
+         "--output", str(out)]
+    )
+    assert rc == 0  # default-validator gate passes → no risk flags
+    from truthound_spark.artifacts import EvidenceInputPayload
+
+    ev = restore_artifact(out.read_text())
+    assert isinstance(ev, EvidenceInputPayload)
+    assert ev.evidence_id == "ev-9" and len(ev.artifact_summaries) == 2
+    with pytest.raises(SystemExit, match="--from"):
+        main(["bundle", "evidence", "ev-9"])

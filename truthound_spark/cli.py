@@ -287,6 +287,30 @@ def cmd_bundle(args: argparse.Namespace) -> int:
         SnapshotBundle,
     )
 
+    if args.kind == "evidence":
+        # driver-only: derive the reviewer digest from ALREADY-EMITTED
+        # envelope files (no Spark session needed)
+        from truthound_spark.artifacts import (
+            EvidenceInputPayload,
+            restore_artifact,
+        )
+
+        if not args.from_artifacts:
+            raise SystemExit(
+                "bundle evidence requires --from <envelope.json> [...]"
+            )
+        restored = []
+        for ap in args.from_artifacts:
+            with open(ap) as fh:
+                restored.append(restore_artifact(fh.read()))
+        ev = EvidenceInputPayload.from_bundles(args.path, restored)
+        text = ev.to_json(indent=2)
+        if args.output:
+            with open(args.output, "w") as f:
+                f.write(text)
+        print(text)
+        return 1 if ev.risk_flags else 0
+
     spark = _spark()
     rc = 0
     if args.kind == "snapshot":
@@ -585,11 +609,21 @@ def build_parser() -> argparse.ArgumentParser:
 
     c = sub.add_parser(
         "bundle",
-        help="versioned dataset artifact envelope: snapshot | diff | gate",
+        help="versioned dataset artifact envelope: snapshot | diff | gate | evidence",
     )
-    c.add_argument("kind", choices=["snapshot", "diff", "gate"])
-    c.add_argument("path")
+    c.add_argument("kind", choices=["snapshot", "diff", "gate", "evidence"])
+    c.add_argument("path", help="dataset path (snapshot/diff/gate) or "
+                                "evidence id (evidence)")
     c.add_argument("target", nargs="?", default=None, help="diff: second dataset")
+    c.add_argument(
+        "--from",
+        dest="from_artifacts",
+        nargs="+",
+        default=None,
+        metavar="ENVELOPE.json",
+        help="evidence: emitted envelope files to summarize "
+        "(exit 1 when any risk flag is raised)",
+    )
     c.add_argument("--snapshot-id", default=None)
     c.add_argument("--asset-id", default=None)
     c.add_argument("--parent", default=None, help="parent snapshot id (lineage)")
