@@ -350,6 +350,9 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "js_grouped_events",
     "ks_grouped_events",
     "ks_grouped_sketch_events",
+    "media_audio_features",
+    "media_audio_chunks",
+    "media_resize_images",
     "threshold_sweep_grouped_documents",
     "multivariate_corr_drift_lineitem",
     "multivariate_mahalanobis_drift_lineitem",

@@ -12775,3 +12775,102 @@ def q_ks_grouped_sketch_events(spark, sf_dir):
         _KS_SKETCH_EDGES,
         alpha=0.05,
     ).orderBy("group")
+
+
+@register(
+    "media_audio_features",
+    """
+    WITH m AS (
+      SELECT doc_id AS asset_id, md5(text) AS h,
+             octet_length(encode(text)) AS nbytes
+      FROM documents WHERE doc_id < 50
+    ),
+    v AS (
+      SELECT asset_id, nbytes,
+             (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+               + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) AS b0,
+             (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+               + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) AS b1
+      FROM m
+    )
+    SELECT asset_id,
+           CAST(CASE b0 % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                            WHEN 2 THEN 22050 ELSE 44100 END AS INT)
+             AS sample_rate,
+           ROUND(nbytes / 1000.0, 3) AS duration_s,
+           CAST(1 + b1 % 2 AS INT) AS channels
+    FROM v ORDER BY asset_id
+    """,
+)
+def q_media_audio_features(spark, sf_dir):
+    """Audio decode/feature-extract plumbing via mapInPandas
+    (pipeline/multimodal.py extract_audio_features — the audio sibling
+    of the image slot): deterministic fake decoder (md5-derived rate/
+    channels, byte-length duration) lets the oracle verify the full
+    Arrow-batch pipeline; librosa drops into the same decoder slot."""
+    from truthound_spark.pipeline.multimodal import extract_audio_features
+
+    media = _media_df(spark, sf_dir).filter(F.col("asset_id") < 50)
+    feats = extract_audio_features(media)
+    return feats.select(
+        "asset_id", "sample_rate", F.round("duration_s", 3).alias("duration_s"),
+        "channels",
+    ).orderBy("asset_id")
+
+
+@register(
+    "media_audio_chunks",
+    """
+    WITH m AS (
+      SELECT doc_id AS asset_id, text,
+             GREATEST(1, CAST(CEIL(octet_length(encode(text)) / 4096.0) AS INT))
+               AS n_chunks
+      FROM documents WHERE doc_id < 20
+    )
+    SELECT asset_id, gs.i AS chunk_index, n_chunks,
+           md5(text || ':' || CAST(gs.i AS VARCHAR)) AS chunk_fingerprint
+    FROM m, generate_series(0, 255) AS gs(i)
+    WHERE gs.i < n_chunks
+    ORDER BY asset_id, chunk_index
+    """,
+)
+def q_media_audio_chunks(spark, sf_dir):
+    """Audio segmentation plumbing (pipeline/multimodal.py chunk_audio):
+    one row per fixed-size chunk — ceil(bytes/chunk) fan-out with
+    deterministic per-chunk fingerprints, the bounded-work-unit pre-step
+    for ASR/diarization at corpus scale."""
+    from truthound_spark.pipeline.multimodal import chunk_audio
+
+    media = _media_df(spark, sf_dir).filter(F.col("asset_id") < 20)
+    chunks = chunk_audio(media, chunk_bytes=4096)
+    return chunks.select(
+        "asset_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        F.col("n_chunks").cast("int").alias("n_chunks"),
+        "chunk_fingerprint",
+    ).orderBy("asset_id", "chunk_index")
+
+
+@register(
+    "media_resize_images",
+    """
+    SELECT doc_id AS asset_id, CAST(224 AS INT) AS width,
+           CAST(224 AS INT) AS height,
+           md5(text || ':224x224') AS resized_fingerprint
+    FROM documents WHERE doc_id < 20
+    ORDER BY asset_id
+    """,
+)
+def q_media_resize_images(spark, sf_dir):
+    """Image resize plumbing (pipeline/multimodal.py resize_images):
+    mapInPandas payload → resized payload at the target geometry plus a
+    lineage fingerprint of (original, dims); PIL drops into the resizer
+    slot unchanged. The oracle verifies the fingerprint fan-through
+    (payload bytes stay executor-side)."""
+    from truthound_spark.pipeline.multimodal import resize_images
+
+    media = _media_df(spark, sf_dir).filter(F.col("asset_id") < 20)
+    out = resize_images(media, width=224, height=224)
+    return out.select(
+        "asset_id", "width", "height", "resized_fingerprint"
+    ).orderBy("asset_id")

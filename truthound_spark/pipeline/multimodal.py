@@ -232,3 +232,185 @@ def media_near_duplicates(
     sig = phash_col if phash_col is not None else fake_perceptual_hash(F.col(payload_col))
     sigs = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
     return hamming_blocked_pairs(sigs, "sig", "id", max_hamming)
+
+
+def fake_audio_decoder(payload: bytes) -> dict[str, Any]:
+    """Deterministic stand-in for audio decode: md5-derived sample rate /
+    channel count, byte-length-derived duration, 8-dim feature vector.
+    Replace with librosa/soundfile in production."""
+    import hashlib
+
+    h = hashlib.md5(payload or b"").digest()
+    return {
+        "sample_rate": (8000, 16000, 22050, 44100)[h[0] % 4],
+        "duration_s": round(len(payload or b"") / 1000.0, 3),
+        "channels": 1 + h[1] % 2,
+        "features": [b / 255.0 for b in h[8:16]],
+    }
+
+
+def real_audio_decoder(payload: bytes) -> dict[str, Any]:  # pragma: no cover
+    """Production decoder slot — audio libraries absent in this container."""
+    raise NotImplementedError(
+        "audio decoding requires librosa/soundfile; inject fake_audio_decoder "
+        "for tests"
+    )
+
+
+def extract_audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+    decoder: Callable[[bytes], dict[str, Any]] = fake_audio_decoder,
+) -> DataFrame:
+    """Decode + featurize audio payloads via mapInPandas — the audio
+    sibling of :func:`extract_image_features` (same Arrow-batch shape,
+    same decoder-injection contract).
+
+    Output: (asset_id, sample_rate, duration_s, channels,
+    features:array<double>)."""
+    out_schema = (
+        f"{id_col} long, sample_rate int, duration_s double, channels int, "
+        "features array<double>"
+    )
+
+    def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = decoder(bytes(payload) if payload is not None else b"")
+                rows.append(
+                    {
+                        id_col: aid,
+                        "sample_rate": d["sample_rate"],
+                        "duration_s": d["duration_s"],
+                        "channels": d["channels"],
+                        "features": d["features"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "sample_rate", "duration_s", "channels", "features"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode_batches, schema=out_schema)
+
+
+def chunk_audio(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+    chunk_bytes: int = 4096,
+) -> DataFrame:
+    """Audio segmentation plumbing: one output row per fixed-size chunk
+    (the ASR/diarization pre-step — long recordings become bounded work
+    units). Chunk count = ceil(payload bytes / chunk_bytes); stub
+    fingerprints are deterministic (md5 of payload ++ ':' ++ index, the
+    ``sample_video_frames`` recipe) so the full fan-out is
+    oracle-checkable; a real implementation would slice PCM frames at
+    the same boundaries.
+
+    Output: (asset_id, chunk_index, n_chunks, chunk_fingerprint)."""
+    if chunk_bytes < 1:
+        raise ValueError(f"chunk_bytes must be >= 1, got {chunk_bytes}")
+    out_schema = (
+        f"{id_col} long, chunk_index int, n_chunks int, chunk_fingerprint string"
+    )
+
+    def chunk_batches(batches):
+        import hashlib
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                n = max(1, math.ceil(len(data) / chunk_bytes))
+                for i in range(n):
+                    rows.append(
+                        {
+                            id_col: aid,
+                            "chunk_index": i,
+                            "n_chunks": n,
+                            "chunk_fingerprint": hashlib.md5(
+                                data + b":" + str(i).encode()
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "chunk_index", "n_chunks", "chunk_fingerprint"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(chunk_batches, schema=out_schema)
+
+
+def fake_image_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for resize: a digest of (payload, dims) —
+    stable, size-bounded, distinct per target geometry."""
+    import hashlib
+
+    return hashlib.md5(
+        (payload or b"") + f":{width}x{height}".encode()
+    ).digest()
+
+
+def real_image_resizer(payload: bytes, width: int, height: int) -> bytes:  # pragma: no cover
+    """Production resizer slot — media libraries absent in this container."""
+    raise NotImplementedError(
+        "image resizing requires PIL/opencv; inject fake_image_resizer for tests"
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+    resizer: Callable[[bytes, int, int], bytes] = fake_image_resizer,
+) -> DataFrame:
+    """Resize plumbing: payload → resized payload at (width, height),
+    plus a hex fingerprint of the ORIGINAL payload + target dims for
+    lineage/dedup of resize outputs. Same mapInPandas/decoder-injection
+    contract as the feature extractors; a real resizer drops into the
+    ``resizer`` slot unchanged.
+
+    Output: (asset_id, width, height, payload:binary,
+    resized_fingerprint)."""
+    if width < 1 or height < 1:
+        raise ValueError(f"target dims must be >= 1, got {width}x{height}")
+    out_schema = (
+        f"{id_col} long, width int, height int, payload binary, "
+        "resized_fingerprint string"
+    )
+
+    def resize_batches(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                rows.append(
+                    {
+                        id_col: aid,
+                        "width": width,
+                        "height": height,
+                        "payload": resizer(data, width, height),
+                        "resized_fingerprint": hashlib.md5(
+                            data + f":{width}x{height}".encode()
+                        ).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "payload", "resized_fingerprint"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(resize_batches, schema=out_schema)
