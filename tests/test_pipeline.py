@@ -1,5 +1,6 @@
 """Tests for the LLM-pipeline operators: dedup, similarity, text, multimodal."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from truthound_spark.pipeline import dedup, multimodal, similarity, text
@@ -197,3 +198,66 @@ def test_lsh_recall_eval_measures_degradation(spark):
         ).collect()
     }
     assert r32[lo]["recall"] > r[lo]["recall"]
+
+
+# --- round-9 multimodal additions: audio / chunking / resize ---------------
+
+
+def test_extract_audio_features_deterministic(spark):
+    from truthound_spark.pipeline.multimodal import (
+        extract_audio_features,
+        fake_audio_decoder,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"a" * 2500), (2, b"bb"), (3, None)],
+        "asset_id long, payload binary",
+    )
+    rows = {r["asset_id"]: r for r in extract_audio_features(df).collect()}
+    d1 = fake_audio_decoder(b"a" * 2500)
+    assert rows[1]["sample_rate"] == d1["sample_rate"]
+    assert rows[1]["duration_s"] == 2.5
+    assert rows[1]["channels"] in (1, 2)
+    assert len(rows[1]["features"]) == 8
+    assert rows[3]["duration_s"] == 0.0  # NULL payload → b""
+
+
+def test_chunk_audio_multi_chunk_fanout(spark):
+    import hashlib
+
+    from truthound_spark.pipeline.multimodal import chunk_audio
+
+    payload = bytes(range(250))  # 250 bytes, 100-byte chunks → 3 chunks
+    df = spark.createDataFrame(
+        [(1, payload), (2, b"x")], "asset_id long, payload binary"
+    )
+    out = chunk_audio(df, chunk_bytes=100).collect()
+    by_asset = {}
+    for r in out:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    a1 = sorted(by_asset[1], key=lambda r: r["chunk_index"])
+    assert [r["chunk_index"] for r in a1] == [0, 1, 2]
+    assert all(r["n_chunks"] == 3 for r in a1)
+    assert a1[2]["chunk_fingerprint"] == hashlib.md5(payload + b":2").hexdigest()
+    assert len(by_asset[2]) == 1 and by_asset[2][0]["n_chunks"] == 1
+
+    with pytest.raises(ValueError, match="chunk_bytes"):
+        chunk_audio(df, chunk_bytes=0)
+
+
+def test_resize_images_invokes_resizer_on_payload(spark):
+    """The resized payload must actually come from the resizer — under
+    the fake resizer, payload == md5(original ++ ':WxH') digest bytes ==
+    bytes.fromhex(resized_fingerprint)."""
+    from truthound_spark.pipeline.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, b"imgbytes"), (2, None)], "asset_id long, payload binary"
+    )
+    rows = {r["asset_id"]: r for r in resize_images(df, 224, 160).collect()}
+    for r in rows.values():
+        assert (r["width"], r["height"]) == (224, 160)
+        assert bytes(r["payload"]) == bytes.fromhex(r["resized_fingerprint"])
+
+    with pytest.raises(ValueError, match="dims"):
+        resize_images(df, 0, 160)

@@ -278,7 +278,8 @@ def cmd_bundle(args: argparse.Namespace) -> int:
     _datasets/bundles.py) — one machine-readable envelope carrying a
     snapshot (fingerprint + manifest), a two-dataset diff, or a
     quality-gate run, for CI hand-off. Exit codes: snapshot always 0;
-    diff 1 when a blocking category changed; gate 1 when not passed."""
+    diff 1 when a blocking category changed; gate 1 when not passed;
+    evidence 1 when any risk flag is raised."""
     import json as _json
 
     from truthound_spark.artifacts import (
@@ -299,11 +300,24 @@ def cmd_bundle(args: argparse.Namespace) -> int:
             raise SystemExit(
                 "bundle evidence requires --from <envelope.json> [...]"
             )
+        from truthound_spark.artifacts import ArtifactContractError
+
         restored = []
         for ap in args.from_artifacts:
-            with open(ap) as fh:
-                restored.append(restore_artifact(fh.read()))
-        ev = EvidenceInputPayload.from_bundles(args.path, restored)
+            try:
+                with open(ap) as fh:
+                    restored.append(restore_artifact(fh.read()))
+            except OSError as exc:
+                raise SystemExit(f"cannot read artifact {ap}: {exc}") from exc
+            except ArtifactContractError as exc:
+                raise SystemExit(f"{ap} is not a usable envelope: {exc}") from exc
+        try:
+            ev = EvidenceInputPayload.from_bundles(args.path, restored)
+        except ArtifactContractError as exc:
+            raise SystemExit(
+                f"cannot summarize into evidence: {exc} "
+                "(--from takes snapshot/diff/gate bundle envelopes)"
+            ) from exc
         text = ev.to_json(indent=2)
         if args.output:
             with open(args.output, "w") as f:

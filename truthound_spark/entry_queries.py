@@ -12823,13 +12823,16 @@ def q_media_audio_features(spark, sf_dir):
     """
     WITH m AS (
       SELECT doc_id AS asset_id, text,
-             GREATEST(1, CAST(CEIL(octet_length(encode(text)) / 4096.0) AS INT))
+             GREATEST(1, CAST(CEIL(octet_length(encode(text)) / 64.0) AS INT))
                AS n_chunks
       FROM documents WHERE doc_id < 20
     )
+    -- series bound 4095 caps verifiable docs at 256 KiB of text
+    -- (generate_series can't take a lateral column bound in DuckDB);
+    -- chunk_audio itself has no such cap
     SELECT asset_id, gs.i AS chunk_index, n_chunks,
            md5(text || ':' || CAST(gs.i AS VARCHAR)) AS chunk_fingerprint
-    FROM m, generate_series(0, 255) AS gs(i)
+    FROM m, generate_series(0, 4095) AS gs(i)
     WHERE gs.i < n_chunks
     ORDER BY asset_id, chunk_index
     """,
@@ -12842,7 +12845,9 @@ def q_media_audio_chunks(spark, sf_dir):
     from truthound_spark.pipeline.multimodal import chunk_audio
 
     media = _media_df(spark, sf_dir).filter(F.col("asset_id") < 20)
-    chunks = chunk_audio(media, chunk_bytes=4096)
+    # 64-byte chunks so the multi-chunk fan-out is actually
+    # exercised at verify scale (4096 would make every doc 1 chunk)
+    chunks = chunk_audio(media, chunk_bytes=64)
     return chunks.select(
         "asset_id",
         F.col("chunk_index").cast("long").alias("chunk_index"),

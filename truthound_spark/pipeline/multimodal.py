@@ -72,6 +72,34 @@ def real_image_decoder(payload: bytes) -> dict[str, Any]:  # pragma: no cover
     )
 
 
+def _map_media_batches(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    out_schema: str,
+    columns: list[str],
+    row_fn: Callable[[Any, bytes], list[dict[str, Any]]],
+) -> DataFrame:
+    """Shared mapInPandas skeleton for every media op: iterate Arrow
+    batches, coerce NULL payloads to b'', emit ``row_fn(id, bytes)``
+    rows with a fixed column order — the per-op code is just the row
+    function. (One place for the batch plumbing instead of a copy per
+    op.)"""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows: list[dict[str, Any]] = []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows.extend(
+                    row_fn(aid, bytes(payload) if payload is not None else b"")
+                )
+            yield pd.DataFrame(rows, columns=columns)
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
 def extract_image_features(
     df: DataFrame,
     payload_col: str = "payload",
@@ -85,29 +113,27 @@ def extract_image_features(
     The decoder runs once per row inside an Arrow batch loop — the canonical
     multimodal UDF shape (SURVEY Phase 6; mapInPandas for per-batch work).
     """
-    out_schema = (
-        f"{id_col} long, width int, height int, channels int, features array<double>"
+
+    def row(aid: Any, data: bytes) -> list[dict[str, Any]]:
+        d = decoder(data)
+        return [
+            {
+                id_col: aid,
+                "width": d["width"],
+                "height": d["height"],
+                "channels": d["channels"],
+                "features": d["features"],
+            }
+        ]
+
+    return _map_media_batches(
+        df,
+        id_col,
+        payload_col,
+        f"{id_col} long, width int, height int, channels int, features array<double>",
+        [id_col, "width", "height", "channels", "features"],
+        row,
     )
-
-    def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
-
-        for pdf in batches:
-            rows = []
-            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
-                d = decoder(bytes(payload) if payload is not None else b"")
-                rows.append(
-                    {
-                        id_col: aid,
-                        "width": d["width"],
-                        "height": d["height"],
-                        "channels": d["channels"],
-                        "features": d["features"],
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[id_col, "width", "height", "channels", "features"])
-
-    return df.select(id_col, payload_col).mapInPandas(decode_batches, schema=out_schema)
 
 
 def sample_video_frames(
@@ -122,32 +148,28 @@ def sample_video_frames(
     Stub decode derives deterministic per-frame fingerprints; real impl
     would seek ffmpeg to evenly-spaced timestamps. Output:
     (asset_id, frame_index, frame_fingerprint)."""
-    out_schema = f"{id_col} long, frame_index int, frame_fingerprint string"
+    import hashlib
 
-    def sample_batches(batches):
-        import hashlib
+    def row(aid, data):
+        # payload bytes + decimal frame index — oracle-checkable
+        # (md5 over valid UTF-8 both engines)
+        return [
+            {
+                id_col: aid,
+                "frame_index": i,
+                "frame_fingerprint": hashlib.md5(data + str(i).encode()).hexdigest(),
+            }
+            for i in range(frames_per_video)
+        ]
 
-        import pandas as pd
-
-        for pdf in batches:
-            rows = []
-            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
-                data = bytes(payload) if payload is not None else b""
-                for i in range(frames_per_video):
-                    rows.append(
-                        {
-                            id_col: aid,
-                            "frame_index": i,
-                            # payload bytes + decimal frame index — oracle-
-                            # checkable (md5 over valid UTF-8 both engines)
-                            "frame_fingerprint": hashlib.md5(
-                                data + str(i).encode()
-                            ).hexdigest(),
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=[id_col, "frame_index", "frame_fingerprint"])
-
-    return df.select(id_col, payload_col).mapInPandas(sample_batches, schema=out_schema)
+    return _map_media_batches(
+        df,
+        id_col,
+        payload_col,
+        f"{id_col} long, frame_index int, frame_fingerprint string",
+        [id_col, "frame_index", "frame_fingerprint"],
+        row,
+    )
 
 
 def media_size_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -269,33 +291,28 @@ def extract_audio_features(
 
     Output: (asset_id, sample_rate, duration_s, channels,
     features:array<double>)."""
-    out_schema = (
+
+    def row(aid, data):
+        d = decoder(data)
+        return [
+            {
+                id_col: aid,
+                "sample_rate": d["sample_rate"],
+                "duration_s": d["duration_s"],
+                "channels": d["channels"],
+                "features": d["features"],
+            }
+        ]
+
+    return _map_media_batches(
+        df,
+        id_col,
+        payload_col,
         f"{id_col} long, sample_rate int, duration_s double, channels int, "
-        "features array<double>"
+        "features array<double>",
+        [id_col, "sample_rate", "duration_s", "channels", "features"],
+        row,
     )
-
-    def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
-
-        for pdf in batches:
-            rows = []
-            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
-                d = decoder(bytes(payload) if payload is not None else b"")
-                rows.append(
-                    {
-                        id_col: aid,
-                        "sample_rate": d["sample_rate"],
-                        "duration_s": d["duration_s"],
-                        "channels": d["channels"],
-                        "features": d["features"],
-                    }
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[id_col, "sample_rate", "duration_s", "channels", "features"],
-            )
-
-    return df.select(id_col, payload_col).mapInPandas(decode_batches, schema=out_schema)
 
 
 def chunk_audio(
@@ -315,37 +332,31 @@ def chunk_audio(
     Output: (asset_id, chunk_index, n_chunks, chunk_fingerprint)."""
     if chunk_bytes < 1:
         raise ValueError(f"chunk_bytes must be >= 1, got {chunk_bytes}")
-    out_schema = (
-        f"{id_col} long, chunk_index int, n_chunks int, chunk_fingerprint string"
+    import hashlib
+    import math
+
+    def row(aid, data):
+        n = max(1, math.ceil(len(data) / chunk_bytes))
+        return [
+            {
+                id_col: aid,
+                "chunk_index": i,
+                "n_chunks": n,
+                "chunk_fingerprint": hashlib.md5(
+                    data + b":" + str(i).encode()
+                ).hexdigest(),
+            }
+            for i in range(n)
+        ]
+
+    return _map_media_batches(
+        df,
+        id_col,
+        payload_col,
+        f"{id_col} long, chunk_index int, n_chunks int, chunk_fingerprint string",
+        [id_col, "chunk_index", "n_chunks", "chunk_fingerprint"],
+        row,
     )
-
-    def chunk_batches(batches):
-        import hashlib
-        import math
-
-        import pandas as pd
-
-        for pdf in batches:
-            rows = []
-            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
-                data = bytes(payload) if payload is not None else b""
-                n = max(1, math.ceil(len(data) / chunk_bytes))
-                for i in range(n):
-                    rows.append(
-                        {
-                            id_col: aid,
-                            "chunk_index": i,
-                            "n_chunks": n,
-                            "chunk_fingerprint": hashlib.md5(
-                                data + b":" + str(i).encode()
-                            ).hexdigest(),
-                        }
-                    )
-            yield pd.DataFrame(
-                rows, columns=[id_col, "chunk_index", "n_chunks", "chunk_fingerprint"]
-            )
-
-    return df.select(id_col, payload_col).mapInPandas(chunk_batches, schema=out_schema)
 
 
 def fake_image_resizer(payload: bytes, width: int, height: int) -> bytes:
@@ -383,34 +394,27 @@ def resize_images(
     resized_fingerprint)."""
     if width < 1 or height < 1:
         raise ValueError(f"target dims must be >= 1, got {width}x{height}")
-    out_schema = (
+    import hashlib
+
+    def row(aid, data):
+        return [
+            {
+                id_col: aid,
+                "width": width,
+                "height": height,
+                "payload": resizer(data, width, height),
+                "resized_fingerprint": hashlib.md5(
+                    data + f":{width}x{height}".encode()
+                ).hexdigest(),
+            }
+        ]
+
+    return _map_media_batches(
+        df,
+        id_col,
+        payload_col,
         f"{id_col} long, width int, height int, payload binary, "
-        "resized_fingerprint string"
+        "resized_fingerprint string",
+        [id_col, "width", "height", "payload", "resized_fingerprint"],
+        row,
     )
-
-    def resize_batches(batches):
-        import hashlib
-
-        import pandas as pd
-
-        for pdf in batches:
-            rows = []
-            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
-                data = bytes(payload) if payload is not None else b""
-                rows.append(
-                    {
-                        id_col: aid,
-                        "width": width,
-                        "height": height,
-                        "payload": resizer(data, width, height),
-                        "resized_fingerprint": hashlib.md5(
-                            data + f":{width}x{height}".encode()
-                        ).hexdigest(),
-                    }
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[id_col, "width", "height", "payload", "resized_fingerprint"],
-            )
-
-    return df.select(id_col, payload_col).mapInPandas(resize_batches, schema=out_schema)
