@@ -1172,3 +1172,47 @@ def test_dedup_threshold_curve_cumulative_and_bins(spark):
     assert cum[-1] == sum(r["n_pairs"] for r in rows)
     # the exact-dup pair lands in the top bin
     assert rows[0]["bin_lo"] >= 0.75 and rows[0]["n_pairs"] >= 1
+
+
+def test_filter_bitext_pairs_gates(spark):
+    """Length-ratio + cross-lingual gates over mined pairs
+    (align.filter_bitext_pairs, the CCMatrix post-filter)."""
+    from truthound_spark.pipeline.align import filter_bitext_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, 11, 0.9, 1.1), (2, 12, 0.8, 1.2), (3, 13, 0.7, 1.3)],
+        "src_id long, tgt_id long, cosine double, margin double",
+    )
+    src = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "ok", "en"), (3, "bonjour", "en")],
+        "vec_id long, text string, lang string",
+    )
+    tgt = spark.createDataFrame(
+        [(11, "hallo welt!", "de"), (12, "a much longer sentence here", "de"),
+         (13, "salut", "en")],
+        "vec_id long, text string, lang string",
+    )
+    kept = filter_bitext_pairs(
+        pairs, src, tgt, text_col="text", max_len_ratio=2.0,
+        require_lang_cols=("lang", "lang"),
+    ).collect()
+    # pair 2 fails the length ratio (2 vs 27 chars); pair 3 fails the
+    # cross-lingual gate (en-en); pair 1 survives
+    assert [(r["src_id"], r["tgt_id"]) for r in kept] == [(1, 11)]
+    assert kept[0]["len_ratio"] == 1.0  # 11 vs 11 chars
+
+    # without the lang gate, ratio keeps pairs 1 and 3; min_margin=1.2
+    # then drops pair 1 (margin 1.1) — only pair 3 survives
+    assert (
+        filter_bitext_pairs(
+            pairs, src, tgt, text_col="text", max_len_ratio=2.0,
+            min_margin=1.2,
+        ).count()
+        == 1
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_len_ratio"):
+        filter_bitext_pairs(pairs, src, tgt, text_col="text", max_len_ratio=0.5)
+    with _pytest.raises(ValueError, match="text_col or len_col"):
+        filter_bitext_pairs(pairs, src, tgt)

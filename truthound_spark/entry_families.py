@@ -353,6 +353,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "media_audio_features",
     "media_audio_chunks",
     "media_resize_images",
+    "bitext_filtered_pairs_embeddings",
     "threshold_sweep_grouped_documents",
     "multivariate_corr_drift_lineitem",
     "multivariate_mahalanobis_drift_lineitem",

@@ -12879,3 +12879,50 @@ def q_media_resize_images(spark, sf_dir):
     return out.select(
         "asset_id", "width", "height", "resized_fingerprint"
     ).orderBy("asset_id")
+
+
+_BITEXT_FILTER_ORACLE = (
+    "WITH pairs AS (\n"
+    + ORACLES["bitext_mining_embeddings"].replace("ORDER BY f.src_id", "")
+    + """),
+    d AS (SELECT CAST(doc_id AS BIGINT) AS id, CAST(n_chars AS BIGINT) AS len
+          FROM documents)
+    SELECT p.src_id, p.tgt_id, p.cosine, p.margin,
+           ds.len AS src_len, dt.len AS tgt_len,
+           ROUND(GREATEST(ds.len, dt.len)
+                 / CAST(LEAST(ds.len, dt.len) AS DOUBLE), 6) AS len_ratio
+    FROM pairs p JOIN d ds ON p.src_id = ds.id JOIN d dt ON p.tgt_id = dt.id
+    WHERE ds.len >= 1 AND dt.len >= 1
+      AND ROUND(GREATEST(ds.len, dt.len)
+                / CAST(LEAST(ds.len, dt.len) AS DOUBLE), 6) <= 1.5
+    ORDER BY p.src_id
+    """
+)
+
+
+@register("bitext_filtered_pairs_embeddings", _BITEXT_FILTER_ORACLE)
+def q_bitext_filtered_pairs_embeddings(spark, sf_dir):
+    """CCMatrix-style post-filter over mined pairs (pipeline/align.py
+    filter_bitext_pairs; Schwenk et al. 2021 §3.3): after margin
+    mining, keep only pairs whose side lengths are comparable
+    (max/min ≤ 1.5 here) — the cheap noise gate before MT training.
+    Lengths join in from the documents table (vec_id aligns with
+    doc_id); payloads never ride the join (id/len projections only)."""
+    from truthound_spark.pipeline.align import filter_bitext_pairs, mine_bitext
+
+    emb = t(spark, sf_dir, "embeddings")
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "n_chars"
+    )
+    pairs = mine_bitext(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+    )
+    return filter_bitext_pairs(
+        pairs,
+        docs.filter(F.col("vec_id") % 2 == 0),
+        docs.filter(F.col("vec_id") % 2 == 1),
+        len_col="n_chars",
+        max_len_ratio=1.5,
+    ).orderBy("src_id")

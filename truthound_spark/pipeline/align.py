@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from truthound_spark.pipeline.similarity import brute_force_topk
 
-__all__ = ["mine_bitext", "mine_hard_negatives"]
+__all__ = ["mine_bitext", "mine_hard_negatives", "filter_bitext_pairs"]
 
 
 def mine_bitext(
@@ -242,4 +242,81 @@ def mine_hard_negatives(
             "query_id", "id", F.round("cosine", 6).alias("cosine"),
             F.col("rank").cast("long").alias("rank"),
         )
+    )
+
+
+def filter_bitext_pairs(
+    pairs: DataFrame,
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str = "vec_id",
+    text_col: str | None = None,
+    len_col: str | None = None,
+    max_len_ratio: float = 2.0,
+    min_len: int = 1,
+    min_margin: float | None = None,
+    require_lang_cols: tuple[str, str] | None = None,
+) -> DataFrame:
+    """CCMatrix-style post-filters over mined pairs (Schwenk et al.
+    2021 §3.3: after margin mining, pairs are kept only when their
+    lengths are comparable and each side is in its expected language —
+    the cheap gates that remove most of the remaining noise before MT
+    training).
+
+    ``pairs`` is :func:`mine_bitext` output (src_id, tgt_id, cosine,
+    margin). Lengths come from ``len_col`` (precomputed) or
+    ``length(text_col)``; the ratio gate keeps pairs with
+    max(len)/min(len) <= max_len_ratio and both sides >= min_len.
+    ``require_lang_cols=(src_lang, tgt_lang)`` keeps pairs whose side
+    tables' language columns differ (a bitext PAIR should be
+    cross-lingual; same-language pairs are usually near-duplicates the
+    miner mistook for translations). ``min_margin`` re-thresholds.
+
+    Plan: two broadcast-eligible joins of the (skinny) pair table to
+    per-id length/lang projections — the corpora are projected to
+    (id, len, lang) before joining, so payloads never ride the join;
+    everything else is row-local column math. Returns the input
+    columns + (src_len, tgt_len, len_ratio)."""
+    if max_len_ratio < 1.0:
+        raise ValueError(f"max_len_ratio must be >= 1, got {max_len_ratio}")
+    if text_col is None and len_col is None:
+        raise ValueError("need text_col or len_col to derive lengths")
+
+    def side(df: DataFrame, lang_col: str | None, prefix: str) -> DataFrame:
+        length = (
+            F.col(len_col).cast("long")
+            if len_col is not None
+            else F.length(F.col(text_col)).cast("long")
+        )
+        cols = [F.col(id_col).alias(f"{prefix}_id"), length.alias(f"{prefix}_len")]
+        if lang_col is not None:
+            cols.append(F.col(lang_col).alias(f"__{prefix}_lang"))
+        return df.select(*cols)
+
+    sl, tl = (require_lang_cols or (None, None))
+    out = (
+        pairs.join(side(src, sl, "src"), "src_id")
+        .join(side(tgt, tl, "tgt"), "tgt_id")
+        .withColumn(
+            "len_ratio",
+            F.round(
+                F.greatest("src_len", "tgt_len")
+                / F.least("src_len", "tgt_len"),
+                6,
+            ),
+        )
+        .filter(
+            (F.col("src_len") >= min_len)
+            & (F.col("tgt_len") >= min_len)
+            & (F.col("len_ratio") <= float(max_len_ratio))
+        )
+    )
+    if require_lang_cols is not None:
+        out = out.filter(F.col("__src_lang") != F.col("__tgt_lang")).drop(
+            "__src_lang", "__tgt_lang"
+        )
+    if min_margin is not None:
+        out = out.filter(F.col("margin") >= float(min_margin))
+    return out.select(
+        "src_id", "tgt_id", "cosine", "margin", "src_len", "tgt_len", "len_ratio"
     )
