@@ -261,3 +261,32 @@ def test_resize_images_invokes_resizer_on_payload(spark):
 
     with pytest.raises(ValueError, match="dims"):
         resize_images(df, 0, 160)
+
+
+def test_canonicalize_url_normalizations(spark):
+    from truthound_spark.pipeline.text import canonicalize_url
+
+    cases = [
+        # scheme+host lowercased, default port stripped, fragment dropped
+        ("HTTP://WWW.Ex.COM:80/A/b#frag", "http://www.ex.com/A/b"),
+        # https default port; trailing slash stripped on non-root path
+        ("https://Ex.com:443/path/", "https://ex.com/path"),
+        # root path slash kept (length-1 path)
+        ("https://ex.com/", "https://ex.com/"),
+        # tracking params dropped, remaining sorted
+        (
+            "http://ex.com/p?utm_source=n&b=2&a=1&gclid=xyz",
+            "http://ex.com/p?a=1&b=2",
+        ),
+        # all params tracking → no query at all
+        ("http://ex.com/p?utm_campaign=x&fbclid=1", "http://ex.com/p"),
+        # non-default port kept; path case preserved
+        ("http://ex.com:8080/Api?z=1&y=2", "http://ex.com:8080/Api?y=2&z=1"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, u string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonicalize_url(F.col("u")).alias("c")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)

@@ -354,6 +354,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "media_audio_chunks",
     "media_resize_images",
     "bitext_filtered_pairs_embeddings",
+    "canonical_url_dedup_customer",
     "threshold_sweep_grouped_documents",
     "multivariate_corr_drift_lineitem",
     "multivariate_mahalanobis_drift_lineitem",

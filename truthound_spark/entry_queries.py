@@ -12926,3 +12926,94 @@ def q_bitext_filtered_pairs_embeddings(spark, sf_dir):
         len_col="n_chars",
         max_len_ratio=1.5,
     ).orderBy("src_id")
+
+
+_URL_RAW_SQL = (
+    "(CASE WHEN c_custkey % 2 = 0 THEN 'HTTP' ELSE 'https' END) || "
+    "'://WWW.Example' || CAST(c_custkey % 5 AS VARCHAR) || '.COM' || "
+    "(CASE WHEN c_custkey % 2 = 0 THEN ':80' ELSE ':443' END) || "
+    "'/Products/' || CAST(c_custkey % 7 AS VARCHAR) || "
+    "(CASE WHEN c_custkey % 3 = 0 THEN '/' ELSE '' END) || "
+    "'?utm_source=news&b=' || CAST(c_custkey % 3 AS VARCHAR) || '&a=1' || "
+    "(CASE WHEN c_custkey % 4 = 0 THEN '&gclid=xyz' ELSE '' END) || '#frag'"
+)
+
+
+@register(
+    "canonical_url_dedup_customer",
+    f"""
+    WITH raw AS (SELECT c_custkey AS id, {_URL_RAW_SQL} AS u FROM customer),
+    parts AS (
+      SELECT id,
+        lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
+          AS host0,
+        regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+          AS path0,
+        regexp_extract(u, '\\?([^#]*)', 1) AS query
+      FROM raw
+    ),
+    norm AS (
+      SELECT id, scheme,
+        CASE WHEN scheme = 'http' AND host0 LIKE '%:80'
+               THEN regexp_replace(host0, ':80$', '')
+             WHEN scheme = 'https' AND host0 LIKE '%:443'
+               THEN regexp_replace(host0, ':443$', '')
+             ELSE host0 END AS host,
+        CASE WHEN length(path0) > 1 AND path0 LIKE '%/'
+               THEN regexp_replace(path0, '/$', '')
+             ELSE path0 END AS path,
+        array_to_string(list_sort(list_filter(string_split(query, '&'),
+          x -> length(x) > 0 AND NOT (
+            starts_with(lower(x), 'utm_') OR starts_with(lower(x), 'fbclid=')
+            OR starts_with(lower(x), 'gclid=')
+            OR starts_with(lower(x), 'msclkid=')
+            OR starts_with(lower(x), 'mc_eid=')
+            OR starts_with(lower(x), 'ref=')))), '&') AS q
+      FROM parts
+    ),
+    canon AS (
+      SELECT scheme || '://' || host || path
+               || CASE WHEN length(q) > 0 THEN '?' || q ELSE '' END
+               AS url_canonical
+      FROM norm
+    )
+    SELECT url_canonical, CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM canon GROUP BY 1 HAVING COUNT(*) > 1
+    ORDER BY url_canonical
+    """,
+)
+def q_canonical_url_dedup_customer(spark, sf_dir):
+    """URL canonicalization → exact-dedup key (pipeline/text.py
+    canonicalize_url — the CommonCrawl/C4 first dedup pass): derived
+    URLs with mixed-case scheme/host, default ports, trailing slashes,
+    unsorted + tracking query params, and fragments all collapse onto
+    one canonical form; the oracle recomputes the normalization
+    independently in SQL. Output = canonical URLs fetched more than
+    once + their multiplicity (the dedup mass)."""
+    from truthound_spark.pipeline.text import canonicalize_url
+
+    c = t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    raw = F.concat(
+        F.when(k % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://WWW.Example"),
+        (k % 5).cast("string"),
+        F.lit(".COM"),
+        F.when(k % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        F.lit("/Products/"),
+        (k % 7).cast("string"),
+        F.when(k % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=news&b="),
+        (k % 3).cast("string"),
+        F.lit("&a=1"),
+        F.when(k % 4 == 0, F.lit("&gclid=xyz")).otherwise(F.lit("")),
+        F.lit("#frag"),
+    )
+    return (
+        c.select(canonicalize_url(raw).alias("url_canonical"))
+        .groupBy("url_canonical")
+        .agg(F.count(F.lit(1)).cast("long").alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+        .orderBy("url_canonical")
+    )

@@ -1276,3 +1276,60 @@ def trigram_backoff_score(
         F.round("avg_neg_logprob", 6).alias("avg_neg_logprob"),
         F.round(F.exp("avg_neg_logprob"), 6).alias("perplexity"),
     )
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Canonical URL form — the first dedup key of any web corpus
+    (CommonCrawl/C4-style pipelines dedup by canonical URL before any
+    content pass, since crawls re-fetch the same page under trivially
+    different URLs).
+
+    Normalizations (pure column math, no UDF; each mirrors what
+    url-normalize/courlan do):
+      * scheme + host lowercased; fragment (#…) dropped
+      * default ports stripped (:80 for http, :443 for https)
+      * trailing slash on a non-root path stripped
+      * tracking params removed (utm_*, fbclid, gclid, msclkid,
+        mc_eid, ref) and the surviving query params SORTED — parameter
+        order is transport noise, not identity
+
+    100 TB story: this is a per-row projection feeding an exact-dedup
+    groupBy whose key is the canonical string — the cheapest dedup mass
+    removal available, run before any shingling."""
+    scheme = F.lower(F.regexp_extract(col, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.when(
+        (scheme == "http") & host.endswith(":80"),
+        F.regexp_replace(host, r":80$", ""),
+    ).otherwise(
+        F.when(
+            (scheme == "https") & host.endswith(":443"),
+            F.regexp_replace(host, r":443$", ""),
+        ).otherwise(host)
+    )
+    path = F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.regexp_replace(path, r"/$", ""),
+    ).otherwise(path)
+    query = F.regexp_extract(col, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0)
+        & ~F.lower(p).startswith("utm_")
+        & ~F.lower(p).startswith("fbclid=")
+        & ~F.lower(p).startswith("gclid=")
+        & ~F.lower(p).startswith("msclkid=")
+        & ~F.lower(p).startswith("mc_eid=")
+        & ~F.lower(p).startswith("ref="),
+    )
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(F.length(sorted_q) > 0, F.concat(F.lit("?"), sorted_q)).otherwise(
+            F.lit("")
+        ),
+    )
