@@ -290,3 +290,20 @@ def test_canonicalize_url_normalizations(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_repartition_by_size_buckets_by_bytes(spark):
+    from truthound_spark.pipeline.multimodal import repartition_by_size
+
+    df = spark.createDataFrame(
+        [(i, b"x" * 1000) for i in range(100)], "asset_id long, payload binary"
+    )
+    out = repartition_by_size(df, target_partition_bytes=10_000)
+    # 100 KB total / 10 KB target → 10 partitions, all rows preserved
+    assert out.rdd.getNumPartitions() == 10
+    assert out.count() == 100
+    # a tiny corpus never goes below one partition
+    tiny = repartition_by_size(df.limit(1), target_partition_bytes=1 << 30)
+    assert tiny.rdd.getNumPartitions() == 1
+    with pytest.raises(ValueError, match="target_partition_bytes"):
+        repartition_by_size(df, target_partition_bytes=0)

@@ -418,3 +418,35 @@ def resize_images(
         [id_col, "width", "height", "payload", "resized_fingerprint"],
         row,
     )
+
+
+def repartition_by_size(
+    df: DataFrame,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """The repartition-by-size-bucket step the module docstring
+    prescribes: size media partitions by PAYLOAD BYTES, not row count —
+    1000 rows of 4 KB thumbnails and 1000 rows of 200 MB videos need
+    very different partition counts, and the parquet reader's
+    maxPartitionBytes only governs the SCAN, not post-transform stages.
+
+    One fused aggregate measures total payload bytes (scan count: 1
+    extra pass, documented), then rows hash-spread across
+    ceil(total / target) partitions keyed by xxhash64(id) —
+    deterministic placement, expected bytes/partition ≈ target. A
+    single row larger than the target cannot be split (that asset IS
+    its partition's weight) — chunk first (``chunk_audio``-style) when
+    single payloads exceed executor memory."""
+    if target_partition_bytes < 1:
+        raise ValueError(
+            f"target_partition_bytes must be >= 1, got {target_partition_bytes}"
+        )
+    import math
+
+    total = df.agg(
+        F.sum(F.length(F.col(payload_col))).alias("b")
+    ).collect()[0]["b"] or 0
+    n = max(1, math.ceil(total / target_partition_bytes))
+    return df.repartition(n, F.xxhash64(F.col(id_col)))
