@@ -375,3 +375,44 @@ def test_ks_grouped_sketch_one_sided_null_and_invariance(spark):
 
     with _p.raises(ValueError):
         ks_grouped_sketch(base, cur, "v", "g", grid=1)
+
+
+# --- round-9: cvm_grouped ---------------------------------------------------
+
+
+def test_cvm_grouped_matches_per_group(spark):
+    from truthound_spark.drift.detectors import cramer_von_mises, cvm_grouped
+
+    base, cur = _mk(spark)
+    grouped = {r["group"]: r for r in cvm_grouped(base, cur, "v", "g").collect()}
+    for g in ("a", "b", "c"):
+        single = cramer_von_mises(
+            base.filter(F.col("g") == g), cur.filter(F.col("g") == g), "v"
+        )
+        assert grouped[g]["cvm"] == round(single.statistic, 6), g
+        assert grouped[g]["drifted"] == single.drifted
+    assert grouped["b"]["drifted"] and not grouped["a"]["drifted"]
+
+
+def test_cvm_grouped_one_sided_null_and_window_partitioned(spark):
+    from truthound_spark.drift.detectors import cvm_grouped
+
+    base, cur = _mk(spark)
+    base2 = base.unionByName(
+        spark.createDataFrame([(9999, "only_base", 1.0, 0)], base.schema)
+    )
+    rows = {r["group"]: r for r in cvm_grouped(base2, cur, "v", "g").collect()}
+    ob = rows["only_base"]
+    assert ob["cvm"] is None and ob["drifted"] is None  # absence ≠ agreement
+    assert ob["n_base"] == 1 and ob["n_cur"] == 0
+    # the cumulative window must be group-partitioned, never global
+    plan = (
+        cvm_grouped(base, cur, "v", "g")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\], \[(.*?)\]", plan):
+        assert "group" in m.group(2), plan[:2000]

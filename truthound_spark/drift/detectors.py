@@ -1098,6 +1098,90 @@ def chi_square_grouped(
     )
 
 
+def cvm_grouped(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    group_col: str,
+    threshold: float = 0.461,
+) -> DataFrame:
+    """Per-segment Cramér–von Mises — completes the grouped family
+    (psi/js/ks/wasserstein/chi²/moments + this): :func:`cramer_von_mises`'s
+    ECDF form T = n·m/(n+m)² · Σ_x g(x)·(F_b(x) − F_c(x))² per group,
+    with the squared-difference sum expanded into the same three
+    integer-valued aggregate scalars as the ungrouped form (sbb, sbc,
+    scc) so every term is exact and order-independent.
+
+    Single-consumption shape (the r8 audit rule): one (group, value)
+    ECDF merge; cumulative AND total sums as two window specs over the
+    SAME group-partitioned sort (no aggregate-join-back); ONE final
+    groupBy. Unlike the ungrouped form's global window, the cumulative
+    sort is partitioned by group — N segments cost one pass. One-sided
+    segments (a group present on only one side) report NULL statistic /
+    NULL drifted, never 0 (absence of evidence is not agreement).
+    Per-group values are pinned bit-identical to cramer_von_mises() on
+    the slice (same pow/sum arithmetic shapes).
+
+    Returns (group, n_base, n_cur, cvm, drifted)."""
+    from pyspark.sql import Window
+
+    grp = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    u = (
+        baseline.select(grp.alias("group"), F.col(column).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .withColumn("s", F.lit(0))
+        .unionAll(
+            current.select(grp.alias("group"), F.col(column).alias("v"))
+            .filter(F.col("v").isNotNull())
+            .withColumn("s", F.lit(1))
+        )
+        .groupBy("group", "v")
+        .agg(
+            F.sum(F.when(F.col("s") == 0, 1).otherwise(0)).alias("gb"),
+            F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("gc"),
+        )
+    )
+    w = (
+        Window.partitionBy("group")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy("group")
+    j = u.select(
+        "group",
+        "gb",
+        "gc",
+        F.sum("gb").over(w).alias("cum_b"),
+        F.sum("gc").over(w).alias("cum_c"),
+        F.sum("gb").over(wg).alias("n"),
+        F.sum("gc").over(wg).alias("m"),
+    )
+    g = F.col("gb") + F.col("gc")
+    agg = j.groupBy("group").agg(
+        F.max("n").alias("n_base"),
+        F.max("m").alias("n_cur"),
+        F.sum(g * F.pow(F.col("cum_b"), 2)).alias("sbb"),
+        F.sum(g * F.col("cum_b") * F.col("cum_c")).alias("sbc"),
+        F.sum(g * F.pow(F.col("cum_c"), 2)).alias("scc"),
+    )
+    n, m = F.col("n_base"), F.col("n_cur")
+    # Σ g·(cum_b/n − cum_c/m)² expanded; try_divide NULLs the one-sided
+    # case (m or n = 0) and the NULL propagates through t and drifted
+    ssq = (
+        F.try_divide(F.col("sbb"), n * n)
+        - F.lit(2.0) * F.try_divide(F.col("sbc"), n * m)
+        + F.try_divide(F.col("scc"), m * m)
+    )
+    t = F.try_divide(n * m, F.pow(n + m, 2)) * ssq
+    return agg.select(
+        "group",
+        "n_base",
+        "n_cur",
+        F.round(t, 6).alias("cvm"),
+        (t > F.lit(threshold)).alias("drifted"),
+    )
+
+
 def _erfc_inv(y: float) -> float:
     """Inverse complementary error function via bisection on math.erfc
     (driver-side scalar; only used to precompute the z_α critical

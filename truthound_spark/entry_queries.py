@@ -13017,3 +13017,73 @@ def q_canonical_url_dedup_customer(spark, sf_dir):
         .filter(F.col("dup_count") > 1)
         .orderBy("url_canonical")
     )
+
+
+@register(
+    "cvm_grouped_events",
+    """
+    WITH ub AS (
+      SELECT COALESCE(CAST(event_type AS VARCHAR), '__null__') AS g, value AS v,
+             0 AS s
+      FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL
+      UNION ALL
+      SELECT COALESCE(CAST(event_type AS VARCHAR), '__null__') AS g, value AS v,
+             1 AS s
+      FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL
+    ),
+    u AS (
+      SELECT g, v,
+             SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS gb,
+             SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS gc
+      FROM ub GROUP BY g, v
+    ),
+    e AS (
+      SELECT g, gb, gc,
+             SUM(gb) OVER (PARTITION BY g ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cb,
+             SUM(gc) OVER (PARTITION BY g ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cc,
+             SUM(gb) OVER (PARTITION BY g) AS n,
+             SUM(gc) OVER (PARTITION BY g) AS m
+      FROM u
+    ),
+    agg AS (
+      SELECT g, MAX(n) AS n_base, MAX(m) AS n_cur,
+             SUM((gb + gc) * cb * cb) AS sbb,
+             SUM((gb + gc) * cb * cc) AS sbc,
+             SUM((gb + gc) * cc * cc) AS scc
+      FROM e GROUP BY g
+    ),
+    st AS (
+      SELECT g, n_base, n_cur,
+             CASE WHEN n_base = 0 OR n_cur = 0 THEN NULL
+                  ELSE (CAST(n_base AS DOUBLE) * n_cur
+                        / POW(n_base + n_cur, 2))
+                       * (sbb / CAST(n_base * n_base AS DOUBLE)
+                          - 2 * sbc / CAST(n_base * n_cur AS DOUBLE)
+                          + scc / CAST(n_cur * n_cur AS DOUBLE))
+             END AS t
+      FROM agg
+    )
+    SELECT g AS "group", CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           ROUND(t, 6) AS cvm, t > 0.461 AS drifted
+    FROM st ORDER BY "group"
+    """,
+)
+def q_cvm_grouped_events(spark, sf_dir):
+    """Per-segment Cramér–von Mises (drift/detectors.py cvm_grouped):
+    T = n·m/(n+m)² · Σ g(x)·(F_b−F_c)² per event_type from ONE
+    (group, value) ECDF merge — the squared-difference sum expands into
+    three exact integer aggregate scalars, cumulative/total sums ride
+    two window specs over one group-partitioned sort; values pinned
+    bit-identical to cramer_von_mises() per slice."""
+    from truthound_spark.drift.detectors import cvm_grouped
+
+    ev = t(spark, sf_dir, "events")
+    return cvm_grouped(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "value",
+        "event_type",
+    ).orderBy("group")
