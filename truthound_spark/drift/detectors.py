@@ -1202,6 +1202,7 @@ _GROUPED_METHODS = {
     "ks": ks_grouped,
     "wasserstein": wasserstein_grouped,
     "chi_square": chi_square_grouped,
+    "cramer_von_mises": cvm_grouped,
     "mean_variance": mean_variance_drift_grouped,
 }
 
@@ -1216,7 +1217,8 @@ def compare_grouped(
 ) -> DataFrame:
     """Per-segment drift sweep dispatcher — the grouped mirror of
     :func:`compare`: one name for the whole per-segment family
-    (psi / js / ks / wasserstein / chi_square / mean_variance), each a
+    (psi / js / ks / wasserstein / chi_square / cramer_von_mises /
+    mean_variance), each a
     constant number of passes for ANY number of segments. Returns the
     method's relational per-group result (always carrying ``group`` and
     ``drifted``)."""
