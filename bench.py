@@ -54,11 +54,27 @@ def bench_one(name, fn, timings, cold_timings):
         t0 = time.time()
         fn()
         warm.append(time.time() - t0)
+    # Warm-sample spread guard (VERDICT r9 #1): a 3-sample series like
+    # [13.6, 3.74, 0.78] — a 17× spread across supposedly-warm passes of
+    # byte-identical code — means the first "warm" pass was still paying
+    # cold effects (page cache, GC, codegen, VM contention). Such a
+    # series must never median into a recorded pin. When max/min > 3×,
+    # take ONE extra pass, drop the first sample, and median the last
+    # three; the raw pre-guard series is preserved in
+    # bench_detail.json["spread_guard"]["applied"] for auditability.
+    if min(warm) > 0 and max(warm) / min(warm) > SPREAD_GUARD_RATIO:
+        t0 = time.time()
+        fn()
+        warm.append(time.time() - t0)
+        SPREAD_GUARD_APPLIED[name] = [round(x, 4) for x in warm]
+        warm = warm[1:]
     WARM_SAMPLES[name] = [round(x, 4) for x in warm]
     timings[name] = round(sorted(warm)[1], 4)
 
 
 WARM_SAMPLES: dict[str, list[float]] = {}
+SPREAD_GUARD_RATIO = 3.0
+SPREAD_GUARD_APPLIED: dict[str, list[float]] = {}
 
 # Adjudicated bench_regressions pins (VERDICT r8 #2): queries whose
 # ratio vs the historical per-query minimum exceeds 1.5 but whose cause
@@ -82,6 +98,19 @@ REGRESSION_DISPOSITIONS = {
         "documents table, so no repo change produces today's number — "
         "the 0.147 pin came from the r4 round-VM under best-of-2. "
         "Fixed overhead (2 stages x 32 tasks) dominates at sf0.1."
+    ),
+    "sequence_packing": (
+        "environmental: pack_sequences (pipeline/export.py:154) "
+        "byte-identical since r4 — zero r9 commits touch export.py; the "
+        "driver's r9 median 3.74s came from warm samples [13.60, 3.74, "
+        "0.78], a 17x spread across three warm passes of the same query "
+        "(contention signature). Isolated fresh-session re-run "
+        "2026-08-15: cold 3.19s then warm [0.718, 0.634, 0.655, 0.665] "
+        "- matching the builder's r9 recorded 0.92 [0.83, 0.92, 0.98]. "
+        "The plan is one repartitionByRange + shard-local mapInPandas "
+        "first-fit, scale-safe. The r10 spread guard (bench_one) now "
+        "structurally prevents this class of series from medianing "
+        "into a pin."
     ),
 }
 
@@ -747,6 +776,123 @@ def main():
         documents10.unpersist()
         events10.unpersist()
 
+    # --- sf10 lane (VERDICT r9 #2): one more decade for the five
+    # heaviest corpus ops — 100× documents (500k docs) / 100× embeddings
+    # (200k vectors) built the same replica-perturbed way as the sf1
+    # lane, so "≈ linear" claims rest on a 3-point (1×/10×/100×) series
+    # instead of a 2-point fit. Single cold pass per op (this lane
+    # measures scaling shape, not warm-cache latency). Each op's
+    # `x_vs_sf1` ratio rides along: ~10 = linear in data, <10 =
+    # sublinear, >>10 = a hidden driver-side or skew cost that a real
+    # 100× would hit harder. Disable with SPARK_GRAFT_SF10_LANE=0.
+    sf10_lane: dict = {}
+    if (
+        os.environ.get("SPARK_GRAFT_SF10_LANE", "1") != "0"
+        and os.environ.get("SPARK_GRAFT_SF1_LANE", "1") != "0"
+    ):
+        reps100 = spark.range(100).select(F.col("id").cast("int").alias("rep"))
+        documents100 = (
+            documents.crossJoin(F.broadcast(reps100))
+            .select(
+                (F.col("doc_id") * 100 + F.col("rep")).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(split(text, ' '), (w, i) -> "
+                        "IF((i + rep) % 7 = 0, concat(w, '_', rep), w))"
+                    ),
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            .persist()
+        )
+        n100 = documents100.count()
+        embeddings100 = (
+            embeddings.crossJoin(F.broadcast(reps100))
+            .select(
+                (F.col("vec_id") * 100 + F.col("rep")).alias("vec_id"),
+                # perturb one component per replica so the 100 copies are
+                # distinct points, not a degenerate 100×-duplicate cloud
+                F.expr(
+                    "transform(embedding, (x, i) -> "
+                    "IF(i = rep % size(embedding), "
+                    "cast(x + (rep + 1) * 0.0003 as float), x))"
+                ).alias("embedding"),
+                "label",
+            )
+            .persist()
+        )
+        e100 = embeddings100.count()
+
+        def sf10_minhash():
+            from truthound_spark.pipeline.dedup import minhash_dedup_pairs
+
+            minhash_dedup_pairs(
+                documents100, threshold=0.7, num_hashes=64, bands=32
+            ).count()
+
+        def sf10_clusters():
+            from truthound_spark.pipeline.dedup import dedup_clusters
+
+            dedup_clusters(
+                documents100, threshold=0.7, num_hashes=64, bands=32
+            ).filter(~F.col("is_canonical")).count()
+
+        def sf10_tagger():
+            from truthound_spark.pipeline.text import tag_documents
+
+            tag_documents(documents100).agg(
+                F.avg("quality_score"), F.avg("classifier_score")
+            ).collect()
+
+        def sf10_bpe():
+            from truthound_spark.pipeline.tokenizer import bpe_token_counts, bpe_train
+
+            merges = bpe_train(documents100, rounds=6)
+            bpe_token_counts(documents100, merges).agg(F.sum("n_tokens")).collect()
+
+        def sf10_pq():
+            from truthound_spark.pipeline.similarity import pq_search, pq_train
+
+            books = pq_train(embeddings100, m=8, k=16, iters=1)
+            q = embeddings100.filter(F.col("vec_id") < 8).withColumnRenamed(
+                "vec_id", "query_id"
+            )
+            pq_search(embeddings100, q, books, k=10).count()
+
+        # linearity ratios: vs the sf1 lane (10× data → ~10 = linear)
+        # where the op runs there, else vs the sf0.1 warm median
+        # (100× data → ~100 = linear; far less = fixed overhead
+        # dominates the small scale, which is itself the finding).
+        sf01_keys = {
+            "dedup_clusters": "dedup_clusters_documents",
+            "pq_train_search": "pq_train_search",
+        }
+        for nm, fn in (
+            ("minhash_dedup", sf10_minhash),
+            ("dedup_clusters", sf10_clusters),
+            ("tag_documents_fused", sf10_tagger),
+            ("bpe_train_tokenize", sf10_bpe),
+            ("pq_train_search", sf10_pq),
+        ):
+            t0 = time.time()
+            fn()
+            sf10_lane[nm] = round(time.time() - t0, 3)
+            if sf1_lane.get(nm):
+                sf10_lane[f"{nm}_x_vs_sf1"] = round(
+                    sf10_lane[nm] / sf1_lane[nm], 2
+                )
+            elif timings.get(sf01_keys.get(nm, "")):
+                sf10_lane[f"{nm}_x_vs_sf01"] = round(
+                    sf10_lane[nm] / timings[sf01_keys[nm]], 2
+                )
+        sf10_lane["rows"] = n100
+        sf10_lane["embedding_rows"] = e100
+        documents100.unpersist()
+        embeddings100.unpersist()
+
     # headline = sum of per-query WARM times (best-of-2, comparable to
     # BASELINE.md's warm-run protocol; sf1 lane excluded — different data
     # scale). The cold first-pass timings and their total ride along
@@ -796,8 +942,20 @@ def main():
         "regression_dispositions": {
             k: v for k, v in REGRESSION_DISPOSITIONS.items() if ratios.get(k, 0) > 1.5
         },
+        "spread_guard": {
+            "rule": (
+                "when max/min of the 3 warm samples exceeds "
+                f"{SPREAD_GUARD_RATIO}x, one extra pass is taken, the first "
+                "sample is dropped, and the median is over the last three - "
+                "a still-cold first 'warm' pass can never median into a "
+                "recorded pin (VERDICT r9 #1)"
+            ),
+            "ratio": SPREAD_GUARD_RATIO,
+            "applied": SPREAD_GUARD_APPLIED,
+        },
         "sf": sf_val,
         "sf1_lane": sf1_lane,
+        "sf10_lane": sf10_lane,
     }
     try:
         with open(
@@ -817,6 +975,15 @@ def main():
     }
     if sf1_lane:
         line["sf1"] = sf1_lane
+    if sf10_lane:
+        # stdout stays under the driver's 2000-char tail budget: the
+        # x_vs_* ratios live in bench_detail.json and are recomputable
+        # from the sf1 map on this same line.
+        line["sf10"] = {
+            k: v
+            for k, v in sf10_lane.items()
+            if "_x_vs_" not in k
+        }
     if flagged:
         line["bench_regressions"] = flagged
     print(json.dumps(line))
