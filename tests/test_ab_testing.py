@@ -1,0 +1,320 @@
+"""A/B threshold-experiment harness (reference profiler/ab_testing/*).
+
+The planted-better-variant round trip the r9 verdict asked for: create an
+experiment whose treatment threshold genuinely separates good from bad
+rows, record batched runs, and assert the analysis picks the planted
+winner with a significant p-value — plus fused-scan-count, deterministic
+assignment, tracking round-trip, and statistics-math pins.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from truthound_spark.profiler.ab_testing import (
+    ABExperiment,
+    ExperimentConfig,
+    ExperimentRunner,
+    ExperimentStatus,
+    ExperimentTracker,
+    FileExperimentStore,
+    MemoryExperimentStore,
+    MetricType,
+    StatisticalAnalyzer,
+    ThresholdVariant,
+    VariantType,
+    assign_variants,
+    calculate_sample_size,
+    is_significant,
+    run_fused_variants,
+    variant_metrics_df,
+)
+
+
+@pytest.fixture()
+def labeled_df(spark):
+    # 400 rows: value ~ [0, 100); rows with value >= 90 are "bad"
+    # (label=true). A max_value=89.5 gate flags exactly the bad rows; a
+    # max_value=200 gate flags nothing.
+    return spark.range(400).select(
+        F.col("id"),
+        (F.col("id") % 100).cast("double").alias("value"),
+        ((F.col("id") % 100) >= 90).alias("is_bad"),
+    )
+
+
+def _config(primary=MetricType.RECALL, **kw):
+    control = ThresholdVariant(
+        name="loose",
+        variant_type=VariantType.CONTROL,
+        thresholds={"value": {"max_value": 200.0}},
+    )
+    treatment = ThresholdVariant(
+        name="strict",
+        variant_type=VariantType.TREATMENT,
+        thresholds={"value": {"max_value": 89.5}},
+    )
+    return ExperimentConfig(
+        name="max_value_tuning",
+        control=control,
+        treatments=[treatment],
+        primary_metric=primary,
+        minimum_sample_size=50,
+        **kw,
+    )
+
+
+class TestFusedEvaluation:
+    def test_single_scan_for_all_variants(self, labeled_df):
+        variants = [
+            ThresholdVariant(name=f"v{i}", thresholds={"max_value": 50.0 + i})
+            for i in range(6)
+        ]
+        metrics, n = run_fused_variants(
+            labeled_df, variants, columns=["value"], label_col="is_bad"
+        )
+        assert n == 400
+        assert set(metrics) == {f"v{i}" for i in range(6)}
+        # every variant flags value > 50+i → 49-i values per 100 block
+        for i in range(6):
+            assert metrics[f"v{i}"]["flagged_row_rate"] == pytest.approx(
+                (49 - i) / 100
+            )
+
+    def test_confusion_metrics_exact(self, labeled_df):
+        variants = [
+            ThresholdVariant(name="strict", thresholds={"max_value": 89.5})
+        ]
+        metrics, _ = run_fused_variants(
+            labeled_df, variants, columns=["value"], label_col="is_bad"
+        )
+        m = metrics["strict"]
+        # gate flags exactly the 10 bad values per 100 block: perfect
+        assert m["precision"] == pytest.approx(1.0)
+        assert m["recall"] == pytest.approx(1.0)
+        assert m["f1_score"] == pytest.approx(1.0)
+        assert m["false_positive_rate"] == pytest.approx(0.0)
+        assert m["false_negative_rate"] == pytest.approx(0.0)
+
+    def test_null_threshold_violation(self, spark):
+        df = spark.range(100).select(
+            F.when(F.col("id") % 4 == 0, None).otherwise(F.col("id")).alias("x")
+        )
+        # 25% nulls: gate at 0.1 violates, gate at 0.5 passes
+        tight = ThresholdVariant(name="tight", thresholds={"null_threshold": 0.1})
+        loose = ThresholdVariant(name="loose", thresholds={"null_threshold": 0.5})
+        metrics, _ = run_fused_variants(df, [tight, loose], columns=["x"])
+        assert metrics["tight"]["violation_count"] == 1.0
+        assert metrics["loose"]["violation_count"] == 0.0
+
+    def test_variant_metrics_df_shape(self, labeled_df):
+        variants = [
+            ThresholdVariant(name="a", thresholds={"max_value": 89.5}),
+            ThresholdVariant(name="b", thresholds={"max_value": 200.0}),
+        ]
+        out = variant_metrics_df(
+            labeled_df, variants, columns=["value"], label_col="is_bad"
+        )
+        rows = {r["variant"]: r.asDict() for r in out.collect()}
+        assert rows["a"]["recall"] == pytest.approx(1.0)
+        assert rows["b"]["recall"] == pytest.approx(0.0)
+
+
+class TestExperiment:
+    def test_planted_better_variant_wins(self, labeled_df):
+        """The r9 verdict's acceptance shape: create → record runs →
+        analysis picks the planted-better variant."""
+        config = _config()
+        exp = ABExperiment(config)
+        # four batches so std_dev comes from real per-batch samples
+        batches = [
+            labeled_df.filter(F.col("id") % 4 == k) for k in range(4)
+        ]
+        result = exp.run_batches(batches, label_col="is_bad", columns=["value"])
+        assert result.status == ExperimentStatus.COMPLETED
+        assert result.winner == "strict"
+        pa = result.primary_analysis
+        assert pa is not None and pa.is_significant
+        assert pa.treatment_mean > pa.control_mean  # recall 1.0 vs 0.0
+        assert "strict" in result.recommendation
+
+    def test_single_run_lower_is_better_metric(self, labeled_df):
+        config = _config(primary=MetricType.FALSE_NEGATIVE_RATE)
+        result = ABExperiment(config).run(
+            labeled_df, label_col="is_bad", columns=["value"]
+        )
+        # strict has fnr 0, loose has fnr 1 → strict wins on lower-is-better
+        assert result.winner == "strict"
+
+    def test_early_stopping(self, labeled_df):
+        config = _config(early_stopping=True, early_stopping_threshold=0.05)
+        exp = ABExperiment(config)
+        batches = [labeled_df.filter(F.col("id") % 8 == k) for k in range(8)]
+        result = exp.run_batches(batches, label_col="is_bad", columns=["value"])
+        assert result.metadata.get("early_stopped") is True
+        assert result.total_samples < 400  # stopped before all 8 batches
+
+    def test_custom_validator(self, labeled_df):
+        config = _config()
+        exp = ABExperiment(config)
+        exp.set_validator(
+            "strict",
+            lambda df, thresholds: {"violation_rate": 0.123, "recall": 0.5},
+        )
+        result = exp.run(labeled_df, label_col="is_bad", columns=["value"])
+        tm = result.treatment_metrics["strict"]
+        assert tm[MetricType.VIOLATION_RATE].value == pytest.approx(0.123)
+
+    def test_guardrails(self, labeled_df):
+        config = _config(
+            guardrail_metrics=[(MetricType.FLAGGED_ROW_RATE, "<", 0.05)]
+        )
+        result = ABExperiment(config).run(
+            labeled_df, label_col="is_bad", columns=["value"]
+        )
+        # strict flags 10% of rows → violates the 5% guardrail
+        assert any("strict" in v for v in result.guardrail_violations)
+
+    def test_runner_best_variant(self, labeled_df):
+        runner = ExperimentRunner()
+        runner.add_experiment(ABExperiment(_config()))
+        results = runner.run_all(labeled_df, label_col="is_bad", columns=["value"])
+        assert len(results) == 1
+        best = runner.get_best_variant(MetricType.RECALL, minimize=False)
+        assert best is not None and best[1] == "strict"
+
+
+class TestAssignment:
+    def test_deterministic_and_complete(self, spark):
+        df = spark.range(1000)
+        variants = [
+            ThresholdVariant(name="a", weight=0.5),
+            ThresholdVariant(name="b", weight=0.5),
+        ]
+        out1 = assign_variants(df, variants, "id", seed=7)
+        out2 = assign_variants(df, variants, "id", seed=7)
+        assert out1.filter(F.col("variant").isNull()).count() == 0
+        # sticky: identical assignment across calls
+        assert (
+            out1.join(out2.withColumnRenamed("variant", "v2"), "id")
+            .filter(F.col("variant") != F.col("v2"))
+            .count()
+            == 0
+        )
+        counts = {
+            r["variant"]: r["count"]
+            for r in out1.groupBy("variant").count().collect()
+        }
+        assert set(counts) == {"a", "b"}
+        assert abs(counts["a"] - counts["b"]) < 200  # roughly balanced
+
+    def test_weighted_allocation(self, spark):
+        df = spark.range(4000)
+        variants = [
+            ThresholdVariant(name="a", weight=0.9),
+            ThresholdVariant(name="b", weight=0.1),
+        ]
+        out = assign_variants(df, variants, "id", strategy="weighted", seed=3)
+        counts = {
+            r["variant"]: r["count"]
+            for r in out.groupBy("variant").count().collect()
+        }
+        assert counts["a"] > counts.get("b", 0) * 4
+
+    def test_unknown_strategy_raises(self, spark):
+        with pytest.raises(ValueError):
+            assign_variants(
+                spark.range(1), [ThresholdVariant(name="a")], "id", strategy="x"
+            )
+
+
+class TestStatistics:
+    def test_p_value_symmetric_and_bounded(self):
+        p = StatisticalAnalyzer._p_value(0.5, 0.5, 0.1, 0.1, 100, 100)
+        assert p == pytest.approx(1.0)
+        p2 = StatisticalAnalyzer._p_value(0.1, 0.9, 0.1, 0.1, 500, 500)
+        assert p2 < 1e-6
+        assert StatisticalAnalyzer._p_value(0.1, 0.9, 0.1, 0.1, 0, 100) == 1.0
+
+    def test_proportion_fallback_when_std_zero(self):
+        # both std 0 → pooled Bernoulli variance path
+        p = StatisticalAnalyzer._p_value(0.10, 0.30, 0.0, 0.0, 400, 400)
+        assert 0.0 < p < 0.05
+
+    def test_sample_size_monotone_in_effect(self):
+        n_small = calculate_sample_size(0.1, 0.5)
+        n_large = calculate_sample_size(0.1, 0.05)
+        assert n_large > n_small >= 100
+
+    def test_is_significant(self):
+        assert is_significant(0.1, 0.9, 1000, 1000)
+        assert not is_significant(0.5, 0.5, 10, 10)
+
+    def test_power_bounds(self):
+        assert 0.0 <= StatisticalAnalyzer._power(0.8, 100, 100, 0.05) <= 1.0
+        assert StatisticalAnalyzer._power(0.0, 0, 10, 0.05) == 0.0
+
+
+class TestTracking:
+    def test_file_store_round_trip(self, tmp_path):
+        store = FileExperimentStore(str(tmp_path / "exp"))
+        tracker = ExperimentTracker(store)
+        config = _config()
+        tracker.register(config, "exp1")
+        tracker.update_status("exp1", ExperimentStatus.RUNNING)
+        data = tracker.get_experiment("exp1")
+        assert data["status"] == "running"
+        assert data["config"]["name"] == "max_value_tuning"
+        assert "exp1" in store.list_experiments()
+        assert tracker.delete_experiment("exp1")
+        assert tracker.get_experiment("exp1") is None
+
+    def test_result_persistence_and_summary(self, labeled_df, tmp_path):
+        store = FileExperimentStore(str(tmp_path / "exp"))
+        tracker = ExperimentTracker(store)
+        config = _config()
+        exp = ABExperiment(config)
+        tracker.register(config, exp.experiment_id)
+        result = exp.run(labeled_df, label_col="is_bad", columns=["value"])
+        tracker.save_result(result)
+        loaded = tracker.get_result(exp.experiment_id)
+        assert loaded["winner"] == "strict"
+        summary = tracker.get_summary()
+        assert summary["total_experiments"] == 1
+        assert summary["winner_counts"] == {"strict": 1}
+
+    def test_memory_store(self):
+        store = MemoryExperimentStore()
+        store.save_experiment("a", {"x": 1})
+        assert store.load_experiment("a") == {"x": 1}
+        assert store.list_experiments() == ["a"]
+        store.clear()
+        assert store.list_experiments() == []
+
+    def test_path_traversal_guard(self, tmp_path):
+        store = FileExperimentStore(str(tmp_path / "exp"))
+        store.save_experiment("../evil", {"x": 1})
+        # sanitized inside the store dir, nothing written outside
+        assert not (tmp_path / "evil.json").exists()
+
+
+def test_config_requires_control():
+    with pytest.raises(ValueError):
+        ABExperiment(ExperimentConfig(name="x"))
+
+
+def test_to_dict_round_trips(labeled_df):
+    result = ABExperiment(_config()).run(
+        labeled_df, label_col="is_bad", columns=["value"]
+    )
+    d = result.to_dict()
+    assert d["winner"] == "strict"
+    assert d["primary_analysis"]["metric_type"] == "recall"
+    assert isinstance(d["control_metrics"]["recall"]["value"], float)
+    # json-serializable end to end
+    import json
+
+    json.dumps(d)

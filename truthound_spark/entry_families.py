@@ -356,6 +356,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "bitext_filtered_pairs_embeddings",
     "canonical_url_dedup_customer",
     "cvm_grouped_events",
+    "ab_experiment_customer",
     "threshold_sweep_grouped_documents",
     "multivariate_corr_drift_lineitem",
     "multivariate_mahalanobis_drift_lineitem",

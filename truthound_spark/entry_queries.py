@@ -13087,3 +13087,98 @@ def q_cvm_grouped_events(spark, sf_dir):
         "value",
         "event_type",
     ).orderBy("group")
+
+
+def _ab_variant_sql(name: str, mn: float) -> str:
+    """One variant's metric row recomputed independently in SQL: the
+    fused-aggregate counts (below-min / confusion vs the is_bad label)
+    become CASE sums, and every ratio mirrors the Python expression
+    shape bit-for-bit (tp/(tp+fp) etc. are exact-integer → double
+    divisions in both engines)."""
+    return f"""
+      SELECT '{name}' AS variant,
+        CAST(CASE WHEN below > 0 THEN 1.0 ELSE 0.0 END
+             AS DOUBLE) AS violation_count,
+        CAST(CASE WHEN below > 0 THEN 1.0 ELSE 0.0 END AS DOUBLE)
+          / 2 AS violation_rate,
+        CAST(below AS DOUBLE) / n AS flagged_row_rate,
+        CASE WHEN tp + fp = 0 THEN 1.0
+             ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS "precision",
+        CASE WHEN tp + fn = 0 THEN 1.0
+             ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+        CASE WHEN (CASE WHEN tp + fp = 0 THEN 1.0
+                        ELSE CAST(tp AS DOUBLE) / (tp + fp) END)
+                  + (CASE WHEN tp + fn = 0 THEN 1.0
+                          ELSE CAST(tp AS DOUBLE) / (tp + fn) END) = 0
+             THEN 0.0
+             ELSE 2 * (CASE WHEN tp + fp = 0 THEN 1.0
+                            ELSE CAST(tp AS DOUBLE) / (tp + fp) END)
+                    * (CASE WHEN tp + fn = 0 THEN 1.0
+                            ELSE CAST(tp AS DOUBLE) / (tp + fn) END)
+                  / ((CASE WHEN tp + fp = 0 THEN 1.0
+                           ELSE CAST(tp AS DOUBLE) / (tp + fp) END)
+                     + (CASE WHEN tp + fn = 0 THEN 1.0
+                             ELSE CAST(tp AS DOUBLE) / (tp + fn) END))
+        END AS f1_score,
+        CASE WHEN fp + tn = 0 THEN 0.0
+             ELSE CAST(fp AS DOUBLE) / (fp + tn) END AS false_positive_rate,
+        CASE WHEN fn + tp = 0 THEN 0.0
+             ELSE CAST(fn AS DOUBLE) / (fn + tp) END AS false_negative_rate
+      FROM (
+        SELECT COUNT(*) AS n,
+          SUM(CASE WHEN c_acctbal < {mn} THEN 1 ELSE 0 END) AS below,
+          SUM(CASE WHEN c_acctbal < {mn} AND c_acctbal < 0
+                   THEN 1 ELSE 0 END) AS tp,
+          SUM(CASE WHEN c_acctbal < {mn} AND NOT (c_acctbal < 0)
+                   THEN 1 ELSE 0 END) AS fp,
+          SUM(CASE WHEN NOT (c_acctbal < {mn}) AND c_acctbal < 0
+                   THEN 1 ELSE 0 END) AS fn,
+          SUM(CASE WHEN NOT (c_acctbal < {mn}) AND NOT (c_acctbal < 0)
+                   THEN 1 ELSE 0 END) AS tn
+        FROM customer
+      )
+    """
+
+
+@register(
+    "ab_experiment_customer",
+    "SELECT * FROM (\n"
+    + _ab_variant_sql("loose", -1000.0)
+    + "\nUNION ALL\n"
+    + _ab_variant_sql("overtight", 500.0)
+    + "\nUNION ALL\n"
+    + _ab_variant_sql("strict", 0.0)
+    + "\n) ORDER BY variant",
+)
+def q_ab_experiment_customer(spark, sf_dir):
+    """A/B threshold-experiment fused evaluation (profiler/ab_testing.py
+    variant_metrics_df; reference profiler/ab_testing/experiment.py
+    default-validation semantics): three min_value variants over
+    c_acctbal — 'loose' flags nothing, 'strict' flags exactly the
+    negative balances (the planted is_bad label, so perfect
+    precision/recall), 'overtight' over-flags. ALL variants' violation
+    and confusion metrics come from ONE fused aggregate scan (the
+    reference loops a full validation pass per variant); the oracle
+    recomputes every count and ratio independently. Scan count: 1."""
+    from truthound_spark.profiler.ab_testing import (
+        ThresholdVariant,
+        variant_metrics_df,
+    )
+
+    c = t(spark, sf_dir, "customer").withColumn(
+        "is_bad", F.col("c_acctbal") < 0
+    )
+    variants = [
+        ThresholdVariant(
+            name="loose", thresholds={"c_acctbal": {"min_value": -1000.0}}
+        ),
+        ThresholdVariant(
+            name="strict", thresholds={"c_acctbal": {"min_value": 0.0}}
+        ),
+        ThresholdVariant(
+            name="overtight", thresholds={"c_acctbal": {"min_value": 500.0}}
+        ),
+    ]
+    return variant_metrics_df(
+        c, variants, columns=["c_acctbal"], label_col="is_bad"
+    ).orderBy("variant")
