@@ -357,6 +357,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "canonical_url_dedup_customer",
     "cvm_grouped_events",
     "ab_experiment_customer",
+    "streaming_drift_monitor_events",
     "threshold_sweep_grouped_documents",
     "multivariate_corr_drift_lineitem",
     "multivariate_mahalanobis_drift_lineitem",

@@ -13182,3 +13182,97 @@ def q_ab_experiment_customer(spark, sf_dir):
     return variant_metrics_df(
         c, variants, columns=["c_acctbal"], label_col="is_bad"
     ).orderBy("variant")
+
+
+@register(
+    "streaming_drift_monitor_events",
+    f"""
+    WITH {EV},
+    b AS (
+      SELECT CAST(value AS DOUBLE) AS v FROM ev WHERE event_id % 2 = 0
+    ),
+    nb AS (
+      SELECT COUNT(*) AS total, COUNT(v) AS nv, AVG(v) AS m,
+             STDDEV_SAMP(v) AS s, MIN(v) AS lo, MAX(v) AS hi
+      FROM b
+    ),
+    cur AS (
+      SELECT (event_id % 8 - 1) / 2 AS batch_id,
+             CASE WHEN event_id % 8 IN (5, 7)
+                  THEN CAST(value AS DOUBLE) * 1.5
+                  ELSE CAST(value AS DOUBLE) END AS v
+      FROM ev WHERE event_id % 2 = 1
+    ),
+    nc AS (
+      SELECT batch_id, COUNT(*) AS total, COUNT(v) AS nv, AVG(v) AS m,
+             STDDEV_SAMP(v) AS s, MIN(v) AS lo, MAX(v) AS hi
+      FROM cur GROUP BY batch_id
+    ),
+    scored AS (
+      SELECT nc.batch_id,
+        GREATEST(
+          LEAST(1.0, ABS(nc.m - nb.m)
+            / (CASE WHEN nb.s IS NULL OR nb.s = 0 THEN 1.0 ELSE nb.s END)
+            / 3.0),
+          CASE WHEN nb.s > 0 THEN LEAST(1.0, ABS(nc.s / nb.s - 1.0))
+               ELSE 0.0 END,
+          CASE WHEN nc.lo < nb.lo OR nc.hi > nb.hi THEN 0.5 ELSE 0.0 END,
+          CASE WHEN ABS((nc.total - nc.nv) / CAST(nc.total AS DOUBLE)
+                        - (nb.total - nb.nv) / CAST(nb.total AS DOUBLE)) > 0.1
+               THEN ABS((nc.total - nc.nv) / CAST(nc.total AS DOUBLE)
+                        - (nb.total - nb.nv) / CAST(nb.total AS DOUBLE))
+               ELSE 0.0 END
+        ) AS raw
+      FROM nc, nb
+    )
+    SELECT CAST(batch_id AS BIGINT) AS batch_id,
+           'feature' AS detector,
+           ROUND(raw, 6) AS drift_score,
+           raw >= 0.05 AS is_drifted
+    FROM scored ORDER BY batch_id
+    """,
+)
+def q_streaming_drift_monitor_events(spark, sf_dir):
+    """Streaming drift monitoring replayed batch-by-batch
+    (streaming/monitor.py StreamingDriftSink; reference
+    ml/monitoring/monitor.py record/evaluate loop): a
+    FeatureDriftDetector is fitted ONCE on the baseline half of events
+    (O(columns) driver state, the baseline is never re-scanned), then
+    the sink is invoked exactly as Structured Streaming's foreachBatch
+    would — four micro-batches (the last two with a planted 1.5× value
+    scale) plus a REPLAYED batch_id 0 that the high-water-mark
+    idempotence guard must drop. The oracle recomputes every batch's
+    detect() score relationally over the same batch boundaries — the
+    slot certifies the per-batch drift math AND the replay bookkeeping
+    (4 output rows, not 5). VERDICT r9 #6."""
+    from truthound_spark.ml.feature_drift import FeatureDriftDetector
+    from truthound_spark.streaming.monitor import StreamingDriftSink
+
+    ev = t(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("value").cast("double").alias("value")
+    )
+    det = FeatureDriftDetector(threshold=0.05).fit(base)
+    sink = StreamingDriftSink({"feature": det}, min_rows=100)
+    for k in range(4):
+        batch = ev.filter(F.col("event_id") % 8 == 2 * k + 1).select(
+            (
+                F.col("value") * 1.5 if k >= 2 else F.col("value")
+            ).cast("double").alias("value")
+        )
+        sink(batch, k)
+    # crash-recovery replay of the first batch: must be a no-op
+    sink(
+        ev.filter(F.col("event_id") % 8 == 1).select(
+            F.col("value").cast("double").alias("value")
+        ),
+        0,
+    )
+    rows = [
+        (int(d.batch_id), d.detector, round(d.drift_score, 6), bool(d.is_drifted))
+        for d in sink.detections
+    ]
+    schema = (
+        "batch_id long, detector string, drift_score double, is_drifted boolean"
+    )
+    return spark.createDataFrame(rows, schema).orderBy("batch_id")
