@@ -652,6 +652,19 @@ def build_parser() -> argparse.ArgumentParser:
     c.set_defaults(fn=cmd_bundle)
 
     c = sub.add_parser(
+        "dashboard",
+        help="static dashboard page: run history x gates + drift sparklines "
+        "+ docs versions",
+    )
+    c.add_argument("runs", help="run-history JSON (list of run records)")
+    c.add_argument("--out", default="dashboard.html")
+    c.add_argument("--title", default="Data quality dashboard")
+    c.add_argument("--version-store", default=None)
+    c.add_argument("--report-id", default=None)
+    c.add_argument("--drift-threshold", type=float, default=0.05)
+    c.set_defaults(fn=cmd_dashboard)
+
+    c = sub.add_parser(
         "anomaly", help="ML anomaly detection: zscore | iqr | mad | ensemble"
     )
     c.add_argument("path")
@@ -840,6 +853,32 @@ def cmd_docs(args: argparse.Namespace) -> int:
                 fh.write(page)
             print(f"wrote {diff_path}")
     print(f"wrote {index}")
+    return 0
+
+
+def cmd_dashboard(args: argparse.Namespace) -> int:
+    """Static dashboard-lite (reference datadocs/dashboard/app.py role,
+    zero server): run-history JSON → tiles + runs×gates + drift
+    sparklines, optionally joined with a DocsVersionStore's history."""
+    from truthound_spark.datadocs_dashboard import load_runs, save_dashboard
+
+    store = None
+    if args.version_store:
+        from truthound_spark.datadocs_versioning import DocsVersionStore
+
+        store = DocsVersionStore(args.version_store)
+        if not args.report_id:
+            print("--report-id is required with --version-store")
+            return 2
+    path = save_dashboard(
+        args.out,
+        load_runs(args.runs),
+        store=store,
+        report_id=args.report_id,
+        title=args.title,
+        drift_threshold=args.drift_threshold,
+    )
+    print(f"wrote {path}")
     return 0
 
 
