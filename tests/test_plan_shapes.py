@@ -412,3 +412,40 @@ def test_mine_bitext_persist_returns_materialized_result(spark):
     a = {tuple(r) for r in lazy.collect()}
     b = {tuple(r) for r in eager.collect()}
     assert a == b and len(a) > 0
+
+
+def test_ab_experiment_fused_variants_one_scan(spark):
+    """Every A/B variant's violation + confusion metrics must compile to
+    ONE aggregate over ONE scan regardless of variant count — the claim
+    that replaces the reference's full-validation-pass-per-variant loop
+    (profiler/ab_testing/experiment.py:112-127). Certified against the
+    harness's OWN aggregate: the plan below is exactly what
+    run_fused_variants collects."""
+    from pyspark.sql import functions as F
+
+    from truthound_spark.profiler.ab_testing import (
+        ThresholdVariant,
+        _variant_exprs,
+    )
+
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").withColumn(
+        "is_bad", F.col("c_acctbal") < 0
+    )
+    variants = [
+        ThresholdVariant(
+            name=f"v{i}", thresholds={"c_acctbal": {"min_value": float(i)}}
+        )
+        for i in range(8)
+    ]
+    exprs = [F.count(F.lit(1)).alias("n_rows")]
+    for vi, v in enumerate(variants):
+        ve, _ = _variant_exprs(v, vi, ["c_acctbal"], {"c_acctbal"}, "is_bad")
+        exprs.extend(ve)
+    agg = c.agg(*exprs)
+    plan = _plan(agg)
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("HashAggregate") == 2, plan
+    # column pruning: only the two columns the gates touch are read
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "c_acctbal" in read_schema
+    assert "c_name" not in read_schema and "c_address" not in read_schema
