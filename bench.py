@@ -870,13 +870,23 @@ def main():
             "dedup_clusters": "dedup_clusters_documents",
             "pq_train_search": "pq_train_search",
         }
+        # wall-clock budget: the lane measured ~18 min of op time on its
+        # first full run — bounded here so a slow machine can never turn
+        # the per-round bench into an unbounded job (ops are launched
+        # while under budget; anything skipped is recorded, not silent).
+        sf10_budget = float(os.environ.get("SPARK_GRAFT_SF10_BUDGET", "1800"))
+        lane_t0 = time.time()
+        # cheapest-first so a budget cut costs the fewest data points
         for nm, fn in (
+            ("pq_train_search", sf10_pq),
+            ("bpe_train_tokenize", sf10_bpe),
             ("minhash_dedup", sf10_minhash),
             ("dedup_clusters", sf10_clusters),
             ("tag_documents_fused", sf10_tagger),
-            ("bpe_train_tokenize", sf10_bpe),
-            ("pq_train_search", sf10_pq),
         ):
+            if time.time() - lane_t0 > sf10_budget:
+                sf10_lane[f"{nm}_skipped_budget"] = True
+                continue
             t0 = time.time()
             fn()
             sf10_lane[nm] = round(time.time() - t0, 3)
@@ -973,20 +983,30 @@ def main():
         "cold_value": cold_total,
         "sf": sf_val,
     }
+    # stdout must stay under the driver's 2000-char tail budget (the r10
+    # sf10 lane pushed the full payload past it): lane values round to
+    # 2dp, the row-count fields and x_vs_* ratios live only in
+    # bench_detail.json (ratios are recomputable from the sf1 map here).
     if sf1_lane:
-        line["sf1"] = sf1_lane
+        line["sf1"] = {
+            k: (round(v, 2) if isinstance(v, float) else v)
+            for k, v in sf1_lane.items()
+            if k not in ("rows", "events_rows")
+        }
     if sf10_lane:
-        # stdout stays under the driver's 2000-char tail budget: the
-        # x_vs_* ratios live in bench_detail.json and are recomputable
-        # from the sf1 map on this same line.
         line["sf10"] = {
-            k: v
+            k: (round(v, 2) if isinstance(v, float) else v)
             for k, v in sf10_lane.items()
-            if "_x_vs_" not in k
+            if "_x_vs_" not in k and k not in ("rows", "embedding_rows")
         }
     if flagged:
         line["bench_regressions"] = flagged
-    print(json.dumps(line))
+    out = json.dumps(line)
+    if len(out) > 1900 and flagged:
+        # last-resort trim: regressions are fully recorded in detail
+        line["bench_regressions"] = dict(list(flagged.items())[:2])
+        out = json.dumps(line)
+    print(out)
     spark.stop()
 
 
