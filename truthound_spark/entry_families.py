@@ -358,6 +358,8 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "cvm_grouped_events",
     "ab_experiment_customer",
     "streaming_drift_monitor_events",
+    "es_dump_replay_customer",
+    "mongo_dump_replay_customer",
     "threshold_sweep_grouped_documents",
     "multivariate_corr_drift_lineitem",
     "multivariate_mahalanobis_drift_lineitem",

@@ -13276,3 +13276,146 @@ def q_streaming_drift_monitor_events(spark, sf_dir):
         "batch_id long, detector string, drift_score double, is_drifted boolean"
     )
     return spark.createDataFrame(rows, schema).orderBy("batch_id")
+
+
+def _replay_dump_dir(sf_dir: str, kind: str) -> str:
+    import os as _os
+    import tempfile as _tempfile
+
+    return _os.path.join(
+        _tempfile.gettempdir(),
+        f"spark_graft_{kind}_replay_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+
+
+@register(
+    "es_dump_replay_customer",
+    """
+    SELECT c_custkey AS custkey, c_name AS name,
+           CAST(c_acctbal AS DOUBLE) AS acctbal,
+           c_mktsegment AS segment,
+           CAST(epoch(TIMESTAMP '2020-01-01 00:00:00'
+                + (c_custkey % 365) * INTERVAL 1 DAY) AS BIGINT)
+             AS epoch_joined
+    FROM customer WHERE c_custkey % 5 = 0 ORDER BY custkey
+    """,
+)
+def q_es_dump_replay_customer(spark, sf_dir):
+    """Elasticsearch dump replay end-to-end (sources/es_dump.py
+    read_es_dump; reference datasources/nosql/elasticsearch.py): a
+    hits-format NDJSON export is DERIVED from the customer table
+    executor-side (to_json over nested structs, written as text — no
+    driver collect), then replayed through the real source: format
+    auto-detect, _source explode, nested-object flatten ('_'
+    separator), and mapping-driven casts (keyword/long/double/date —
+    the date column lands as a timestamp from its ISO string). The
+    oracle recomputes every projected value straight from customer, so
+    a cast or flatten defect anywhere in the replay path breaks the
+    hash. Scan count: 1 write + 2 reads of the fixture (inference +
+    replay) — fixture-sized, not corpus-sized."""
+    from truthound_spark.sources.es_dump import read_es_dump
+
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 5 == 0)
+    k = F.col("c_custkey")
+    joined_iso = F.date_format(
+        F.date_add(F.lit("2020-01-01").cast("date"), (k % 365).cast("int")),
+        "yyyy-MM-dd'T'HH:mm:ss",
+    )
+    line = F.to_json(
+        F.struct(
+            F.lit("customers").alias("_index"),
+            k.cast("string").alias("_id"),
+            F.struct(
+                k.alias("custkey"),
+                F.col("c_name").alias("name"),
+                F.col("c_acctbal").cast("double").alias("acctbal"),
+                F.struct(
+                    F.col("c_mktsegment").alias("segment"),
+                    joined_iso.alias("joined"),
+                ).alias("profile"),
+            ).alias("_source"),
+        )
+    )
+    path = _replay_dump_dir(sf_dir, "es")
+    c.select(line.alias("value")).write.mode("overwrite").text(path)
+    mapping = {
+        "properties": {
+            "custkey": {"type": "long"},
+            "name": {"type": "keyword"},
+            "acctbal": {"type": "double"},
+            "profile": {
+                "properties": {
+                    "segment": {"type": "keyword"},
+                    "joined": {"type": "date"},
+                }
+            },
+        }
+    }
+    replayed = read_es_dump(spark, path, format="auto", mapping=mapping)
+    return replayed.select(
+        F.col("custkey"),
+        F.col("name"),
+        F.col("acctbal"),
+        F.col("profile_segment").alias("segment"),
+        F.unix_timestamp("profile_joined").alias("epoch_joined"),
+    ).orderBy("custkey")
+
+
+@register(
+    "mongo_dump_replay_customer",
+    """
+    SELECT lower(lpad(to_hex(c_custkey), 24, '0')) AS oid,
+           c_custkey AS custkey,
+           CAST(c_acctbal AS DOUBLE) AS acctbal,
+           c_mktsegment AS segment,
+           CAST(epoch(TIMESTAMP '2020-01-01 00:00:00'
+                + (c_custkey % 365) * INTERVAL 1 DAY) AS BIGINT)
+             AS epoch_joined
+    FROM customer WHERE c_custkey % 7 = 3 ORDER BY custkey
+    """,
+)
+def q_mongo_dump_replay_customer(spark, sf_dir):
+    """MongoDB extended-JSON dump replay end-to-end
+    (sources/mongo_dump.py read_mongo_dump; reference
+    datasources/nosql/mongodb.py _normalize_document:475-514): a
+    mongoexport-style NDJSON dump is derived from customer
+    executor-side with canonical extended-JSON wrappers — $oid,
+    $numberLong, and the canonical $date:{$numberLong:"<ms>"} — then
+    replayed through the real source, whose recursive wrapper
+    normalization must land ObjectId→string, $numberLong→bigint and
+    $date→timestamp. The oracle recomputes every value from customer
+    (the oid hex from to_hex, the epoch from the same date math), so
+    any wrapper-unwrap defect breaks the hash."""
+    from truthound_spark.sources.mongo_dump import read_mongo_dump
+
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 == 3)
+    k = F.col("c_custkey")
+    epoch_joined = (
+        F.lit(1577836800)  # 2020-01-01T00:00:00Z
+        + (k % 365).cast("long") * F.lit(86400)
+    )
+    line = F.to_json(
+        F.struct(
+            F.struct(
+                F.lower(F.lpad(F.hex(k), 24, "0")).alias("$oid")
+            ).alias("_id"),
+            F.struct(k.cast("string").alias("$numberLong")).alias("custkey"),
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.struct(
+                F.struct(
+                    (epoch_joined * 1000).cast("string").alias("$numberLong")
+                ).alias("$date")
+            ).alias("joined"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    path = _replay_dump_dir(sf_dir, "mongo")
+    c.select(line.alias("value")).write.mode("overwrite").text(path)
+    replayed = read_mongo_dump(spark, path)
+    return replayed.select(
+        F.col("_id").alias("oid"),
+        F.col("custkey"),
+        F.col("acctbal"),
+        F.col("segment"),
+        F.unix_timestamp("joined").alias("epoch_joined"),
+    ).orderBy("custkey")
