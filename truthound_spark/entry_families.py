@@ -360,6 +360,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "streaming_drift_monitor_events",
     "es_dump_replay_customer",
     "mongo_dump_replay_customer",
+    "quality_gate_orders",
     "threshold_sweep_grouped_documents",
     "multivariate_corr_drift_lineitem",
     "multivariate_mahalanobis_drift_lineitem",

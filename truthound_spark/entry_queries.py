@@ -13419,3 +13419,96 @@ def q_mongo_dump_replay_customer(spark, sf_dir):
         F.col("segment"),
         F.unix_timestamp("joined").alias("epoch_joined"),
     ).orderBy("custkey")
+
+
+@register(
+    "quality_gate_orders",
+    """
+    WITH facts AS (
+      SELECT
+        CAST((SELECT COUNT(*) FROM (
+          SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
+        )) > 0 AS BOOLEAN) AS dup_exists,
+        CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice > 100000.0) > 0
+          AS BOOLEAN) AS range_exists
+    )
+    SELECT * FROM (
+      SELECT 'lenient' AS gate_id,
+        CASE WHEN range_exists THEN 'warning' ELSE 'passed' END AS status,
+        CAST(0 AS BIGINT) AS blocking_count,
+        CAST(CASE WHEN range_exists THEN 1 ELSE 0 END AS BIGINT)
+          AS warning_count,
+        CAST(CASE WHEN dup_exists THEN 1 ELSE 0 END AS BIGINT)
+          AS informational_count,
+        CAST((CASE WHEN dup_exists THEN 1 ELSE 0 END)
+             + (CASE WHEN range_exists THEN 1 ELSE 0 END) AS BIGINT)
+          AS issue_count
+      FROM facts
+      UNION ALL
+      SELECT 'strict',
+        CASE WHEN dup_exists OR range_exists THEN 'blocked'
+             ELSE 'passed' END,
+        CAST((CASE WHEN dup_exists THEN 1 ELSE 0 END)
+             + (CASE WHEN range_exists THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(0 AS BIGINT),
+        CAST(0 AS BIGINT),
+        CAST((CASE WHEN dup_exists THEN 1 ELSE 0 END)
+             + (CASE WHEN range_exists THEN 1 ELSE 0 END) AS BIGINT)
+      FROM facts
+    ) ORDER BY gate_id
+    """,
+)
+def q_quality_gate_orders(spark, sf_dir):
+    """Quality-gate evaluation end-to-end (quality_gates.py
+    evaluate_quality_gate; reference gates.py:37-243): ONE real check()
+    run over orders (fused agg — duplicate o_custkey + planted
+    out-of-range o_totalprice both fire) is projected through TWO
+    policies: 'strict' (default blocking → status ladder lands on
+    blocked) and 'lenient' (out_of_range → warning, duplicate_values →
+    informational → lands on warning). The oracle recomputes the
+    planted facts from orders and replays the disposition arithmetic
+    and status ladder in SQL — a defect in either the run's issue
+    detection or the gate classification breaks the hash."""
+    from truthound_spark import api
+    from truthound_spark.quality_gates import (
+        QualityGatePolicy,
+        evaluate_quality_gate,
+    )
+    from truthound_spark.validators.distribution import RangeValidator
+    from truthound_spark.validators.uniqueness import UniqueValidator
+
+    df = t(spark, sf_dir, "orders")
+    run = api.check(
+        df,
+        validators=[
+            UniqueValidator(columns=["o_custkey"]),
+            RangeValidator(column="o_totalprice", min_value=0.0, max_value=100000.0),
+        ],
+    )
+    strict = evaluate_quality_gate(run, gate_id="strict")
+    lenient = evaluate_quality_gate(
+        run,
+        gate_id="lenient",
+        policy=QualityGatePolicy(
+            issue_type_dispositions={
+                "out_of_range": "warning",
+                "duplicate_values": "informational",
+            }
+        ),
+    )
+    rows = [
+        (
+            g.gate_id,
+            g.status,
+            len(g.blocking_failures),
+            len(g.warnings),
+            g.informational_count,
+            g.summary["issue_count"],
+        )
+        for g in (lenient, strict)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "gate_id string, status string, blocking_count long, "
+        "warning_count long, informational_count long, issue_count long",
+    ).orderBy("gate_id")
