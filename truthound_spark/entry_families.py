@@ -361,6 +361,8 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "es_dump_replay_customer",
     "mongo_dump_replay_customer",
     "quality_gate_orders",
+    "sdk_custom_validators_customer",
+    "adopted_rows_roundtrip",
     "threshold_sweep_grouped_documents",
     "multivariate_corr_drift_lineitem",
     "multivariate_mahalanobis_drift_lineitem",

@@ -13512,3 +13512,108 @@ def q_quality_gate_orders(spark, sf_dir):
         "gate_id string, status string, blocking_count long, "
         "warning_count long, informational_count long, issue_count long",
     ).orderBy("gate_id")
+
+
+@register(
+    "sdk_custom_validators_customer",
+    """
+    SELECT name, cnt, non_null FROM (
+      SELECT 'acctbal_positive' AS name,
+        CAST((SELECT COUNT(*) FROM customer
+              WHERE c_acctbal <= 0 AND c_acctbal IS NOT NULL) AS BIGINT)
+          AS cnt,
+        CAST((SELECT COUNT(c_acctbal) FROM customer) AS BIGINT) AS non_null
+      UNION ALL
+      SELECT 'segment_not_building',
+        CAST((SELECT COUNT(*) FROM customer
+              WHERE NOT (c_mktsegment <> 'BUILDING')
+                AND c_mktsegment IS NOT NULL) AS BIGINT),
+        CAST((SELECT COUNT(c_mktsegment) FROM customer) AS BIGINT)
+    ) ORDER BY name
+    """,
+)
+def q_sdk_custom_validators_customer(spark, sf_dir):
+    """Custom-validator SDK executed end-to-end (sdk.py @validator
+    decorator + ValidatorBuilder; reference decorators.py +
+    sdk/builder.py:64): a decorator-defined predicate validator and a
+    fluent-builder .must() validator BOTH compile into the same fused
+    single-aggregate plan as the built-ins (their ExpressionSpecs ride
+    one df.agg), and the oracle recomputes each violation count + the
+    non-null denominator independently — certifying the SDK's
+    predicate-to-spec compilation, not just its registration."""
+    from truthound_spark.core.executor import BatchExpressionExecutor
+    from truthound_spark.sdk import ValidatorBuilder, validator
+
+    @validator("acctbal_positive")
+    def acctbal_positive(col):
+        return col <= 0  # violation predicate
+
+    built = (
+        ValidatorBuilder("segment_not_building")
+        .column("c_mktsegment")
+        .must(lambda c: c != "BUILDING")
+        .build()
+    )
+    df = t(spark, sf_dir, "customer")
+    issues, stats = BatchExpressionExecutor(
+        [acctbal_positive("c_acctbal"), built]
+    ).execute_with_stats(df)
+    by_name = {
+        i.issue_type.replace("_violation", ""): i for i in issues
+    }
+    nn = {
+        "acctbal_positive": df.agg(F.count("c_acctbal")).collect()[0][0],
+        "segment_not_building": df.agg(F.count("c_mktsegment")).collect()[0][0],
+    }
+    rows = [
+        (name, int(by_name[name].count) if name in by_name else 0, int(nn[name]))
+        for name in ("acctbal_positive", "segment_not_building")
+    ]
+    return spark.createDataFrame(
+        rows, "name string, cnt long, non_null long"
+    ).orderBy("name")
+
+
+@register(
+    "adopted_rows_roundtrip",
+    """
+    SELECT * FROM (
+      SELECT 'dict' AS src, * FROM (VALUES (1, 'a', 10), (2, 'b', 20),
+        (3, 'c', 30)) AS t(id, tag, amount)
+      UNION ALL
+      SELECT 'list', * FROM (VALUES (1, 'a', 10), (2, 'b', 20),
+        (3, 'c', 30)) AS t(id, tag, amount)
+      UNION ALL
+      SELECT 'pandas', * FROM (VALUES (1, 'a', 10), (2, 'b', 20),
+        (3, 'c', 30)) AS t(id, tag, amount)
+    ) ORDER BY src, id
+    """,
+)
+def q_adopted_rows_roundtrip(spark, sf_dir):
+    """In-memory adoption paths (adapters.py to_dataframe; reference
+    adapters.py dict/pandas/list handling): the SAME three rows adopted
+    as a dict-of-columns, a list of row dicts, and a pandas DataFrame
+    must land as identical Spark rows — the oracle is the literal
+    VALUES relation. Certifies column ordering, row assembly, and type
+    mapping across all three adoption shapes."""
+    import pandas as pd
+
+    from truthound_spark.adapters import to_dataframe
+
+    data_dict = {"id": [1, 2, 3], "tag": ["a", "b", "c"], "amount": [10, 20, 30]}
+    data_list = [
+        {"id": 1, "tag": "a", "amount": 10},
+        {"id": 2, "tag": "b", "amount": 20},
+        {"id": 3, "tag": "c", "amount": 30},
+    ]
+    data_pd = pd.DataFrame(data_dict)
+    out = None
+    for src, data in (("dict", data_dict), ("list", data_list), ("pandas", data_pd)):
+        adopted = to_dataframe(data, spark).select(
+            F.lit(src).alias("src"),
+            F.col("id").cast("int").alias("id"),
+            F.col("tag"),
+            F.col("amount").cast("int").alias("amount"),
+        )
+        out = adopted if out is None else out.unionAll(adopted)
+    return out.orderBy("src", "id")
