@@ -13617,3 +13617,53 @@ def q_adopted_rows_roundtrip(spark, sf_dir):
         )
         out = adopted if out is None else out.unionAll(adopted)
     return out.orderBy("src", "id")
+
+
+@register(
+    "kafka_envelope_decode_events",
+    f"""
+    WITH {EV}
+    SELECT 'events' AS topic,
+           CAST(event_id % 4 AS INTEGER) AS partition,
+           event_id AS "offset",
+           event_id AS evt_id,
+           event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM ev ORDER BY "offset"
+    """,
+)
+def q_kafka_envelope_decode_events(spark, sf_dir):
+    """Kafka message-envelope decode (streaming/sources.py
+    decode_kafka_envelope; reference realtime/kafka source shape): a
+    kafka-SHAPED frame — (topic, partition, offset, timestamp, value
+    BYTES) — is derived from events executor-side (payload =
+    to_json(...) cast binary, exactly what a producer would have
+    written), then run through the IDENTICAL decode plan the live
+    broker reader uses: from_json over the declared value schema next
+    to the passthrough metadata, map-only, JVM-side. The oracle
+    recomputes every decoded field straight from events — a defect in
+    the envelope projection or the JSON decode breaks the hash."""
+    from truthound_spark.streaming.sources import decode_kafka_envelope
+
+    ev = t(spark, sf_dir, "events")
+    kafka_shaped = ev.select(
+        F.lit("events").alias("topic"),
+        (F.col("event_id") % 4).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("evt_id"),
+                F.col("event_type"),
+                F.col("value").cast("double").alias("value"),
+            )
+        )
+        .cast("binary")
+        .alias("value"),
+    )
+    decoded = decode_kafka_envelope(
+        kafka_shaped, "evt_id long, event_type string, value double"
+    )
+    return decoded.select(
+        "topic", "partition", "offset", "evt_id", "event_type", "value"
+    ).orderBy("offset")
