@@ -56,18 +56,21 @@ def bench_one(name, fn, timings, cold_timings):
         warm.append(time.time() - t0)
     # Warm-sample spread guard (VERDICT r9 #1): a 3-sample series like
     # [13.6, 3.74, 0.78] — a 17× spread across supposedly-warm passes of
-    # byte-identical code — means the first "warm" pass was still paying
-    # cold effects (page cache, GC, codegen, VM contention). Such a
-    # series must never median into a recorded pin. When max/min > 3×,
-    # take ONE extra pass, drop the first sample, and median the last
-    # three; the raw pre-guard series is preserved in
-    # bench_detail.json["spread_guard"]["applied"] for auditability.
+    # byte-identical code — means one pass paid effects that aren't the
+    # query (cold page cache/codegen on the first pass, or contention
+    # arriving mid-series). Such a series must never median into a
+    # recorded pin. When max/min > 3×, take ONE extra pass and drop the
+    # SLOWEST sample of the four — that covers both the cold-first case
+    # ([13.6,3.7,0.8] drops 13.6) and the late-contention case
+    # ([0.8,0.79,3.2] drops 3.2, where dropping the first would median
+    # the contention INTO the pin); the raw pre-drop series is preserved
+    # in bench_detail.json["spread_guard"]["applied"] for auditability.
     if min(warm) > 0 and max(warm) / min(warm) > SPREAD_GUARD_RATIO:
         t0 = time.time()
         fn()
         warm.append(time.time() - t0)
         SPREAD_GUARD_APPLIED[name] = [round(x, 4) for x in warm]
-        warm = warm[1:]
+        warm = sorted(warm)[:3]
     WARM_SAMPLES[name] = [round(x, 4) for x in warm]
     timings[name] = round(sorted(warm)[1], 4)
 
@@ -955,10 +958,11 @@ def main():
         "spread_guard": {
             "rule": (
                 "when max/min of the 3 warm samples exceeds "
-                f"{SPREAD_GUARD_RATIO}x, one extra pass is taken, the first "
-                "sample is dropped, and the median is over the last three - "
-                "a still-cold first 'warm' pass can never median into a "
-                "recorded pin (VERDICT r9 #1)"
+                f"{SPREAD_GUARD_RATIO}x, one extra pass is taken, the "
+                "SLOWEST of the four samples is dropped, and the median is "
+                "over the remaining three - neither a still-cold first "
+                "'warm' pass nor late-arriving contention can median into "
+                "a recorded pin (VERDICT r9 #1)"
             ),
             "ratio": SPREAD_GUARD_RATIO,
             "applied": SPREAD_GUARD_APPLIED,

@@ -318,3 +318,92 @@ def test_to_dict_round_trips(labeled_df):
     import json
 
     json.dumps(d)
+
+
+class TestReviewFixes:
+    """Round-10 review findings (code-review pass): multi-treatment
+    winner, run() reuse, custom-metric visibility, CI/test agreement,
+    disabled-null-gate emission."""
+
+    def test_multi_treatment_winner_is_best_not_first(self, labeled_df):
+        control = ThresholdVariant(
+            name="loose",
+            variant_type=VariantType.CONTROL,
+            thresholds={"value": {"max_value": 200.0}},  # recall 0
+        )
+        mediocre = ThresholdVariant(
+            name="mediocre", thresholds={"value": {"max_value": 94.5}}
+        )  # flags values 95..99 -> recall 0.5
+        best = ThresholdVariant(
+            name="best", thresholds={"value": {"max_value": 89.5}}
+        )  # flags 90..99 -> recall 1.0
+        config = ExperimentConfig(
+            name="multi",
+            control=control,
+            treatments=[mediocre, best],  # mediocre FIRST
+            primary_metric=MetricType.RECALL,
+            minimum_sample_size=50,
+        )
+        exp = ABExperiment(config)
+        batches = [labeled_df.filter(F.col("id") % 4 == k) for k in range(4)]
+        result = exp.run_batches(batches, label_col="is_bad", columns=["value"])
+        assert result.winner == "best"
+        assert result.primary_analysis.treatment_name == "best"
+        # the runner-up's analysis is still reported
+        assert any(
+            a.treatment_name == "mediocre" for a in result.secondary_analyses
+        )
+
+    def test_repeated_run_does_not_accumulate(self, labeled_df):
+        exp = ABExperiment(_config())
+        r1 = exp.run(labeled_df, label_col="is_bad", columns=["value"])
+        r2 = exp.run(labeled_df, label_col="is_bad", columns=["value"])
+        assert r1.total_samples == r2.total_samples == 400
+        m1 = r1.treatment_metrics["strict"][MetricType.RECALL]
+        m2 = r2.treatment_metrics["strict"][MetricType.RECALL]
+        assert m1.sample_size == m2.sample_size == 400
+
+    def test_custom_validator_unknown_metrics_surface(self, labeled_df):
+        exp = ABExperiment(_config())
+        exp.set_validator(
+            "strict", lambda df, th: {"my_quality": 0.9, "recall": 0.5}
+        )
+        result = exp.run(labeled_df, label_col="is_bad", columns=["value"])
+        assert result.metadata["custom_metrics"]["strict"][
+            "my_quality"
+        ] == pytest.approx(0.9)
+
+    def test_ci_agrees_with_significance(self):
+        from truthound_spark.profiler.ab_testing import MetricResult
+
+        analyzer = StatisticalAnalyzer(ExperimentConfig(name="x"))
+        # the case from the review: diff=0.006, std=0.1, n=1000/1000 —
+        # z=1.34 is NOT significant and the CI must include 0
+        c = MetricResult(MetricType.RECALL, "c", 0.500, 1000, std_dev=0.1)
+        t = MetricResult(MetricType.RECALL, "t", 0.506, 1000, std_dev=0.1)
+        a = analyzer._analyze_metric(c, t, MetricType.RECALL)
+        assert not a.is_significant
+        assert a.confidence_interval[0] < 0 < a.confidence_interval[1]
+        # and a clearly significant diff excludes 0
+        t2 = MetricResult(MetricType.RECALL, "t", 0.60, 1000, std_dev=0.1)
+        a2 = analyzer._analyze_metric(c, t2, MetricType.RECALL)
+        assert a2.is_significant
+        assert a2.confidence_interval[0] > 0
+
+    def test_far_tail_p_value_not_zero(self):
+        # z = 0.012/0.001 = 12: the old 2*(1-erf-form-cdf) rounds to 0.0
+        # past z≈8.2; erfc keeps ~1e-33 here (and stays nonzero to z≈37)
+        p = StatisticalAnalyzer._p_value(0.0, 0.012, 0.1, 0.1, 20000, 20000)
+        assert 0.0 < p < 1e-30
+
+    def test_disabled_null_gate_emits_no_aggregate(self):
+        from truthound_spark.profiler.ab_testing import _variant_exprs
+
+        v = ThresholdVariant(
+            name="v",
+            thresholds={"c": {"null_threshold": None, "min_value": 0.0}},
+        )
+        exprs, _ = _variant_exprs(v, 0, ["c"], {"c"}, None)
+        names = [e.__str__() for e in exprs]
+        assert not any("v0_null_c" in n for n in names)
+        assert any("v0_min_c" in n for n in names)

@@ -348,3 +348,32 @@ def test_repartition_by_size_sample_estimate_tracks_exact(spark):
         repartition_by_size(df, estimate="sample", sample_fraction=0.0)
     with pytest.raises(ValueError, match="estimate"):
         repartition_by_size(df, estimate="bogus")
+
+
+def test_repartition_by_size_sample_mode_null_payloads_unbiased(spark):
+    """Review fix: NULL payloads (missing assets) must not inflate the
+    sample estimate — the sample indicator is computed separately from
+    the byte measurement, so a sampled NULL row counts toward the
+    sampled-row share while contributing 0 bytes (matching exact mode's
+    sum(length) semantics)."""
+    from truthound_spark.pipeline.multimodal import repartition_by_size
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, (b"x" * 10_000) if i % 2 == 0 else None) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    target = 500_000  # exact total = 10 MB -> 20 partitions
+    exact_n = repartition_by_size(
+        df, target_partition_bytes=target
+    ).rdd.getNumPartitions()
+    sample_n = repartition_by_size(
+        df,
+        target_partition_bytes=target,
+        estimate="sample",
+        sample_fraction=0.4,
+        seed=11,
+    ).rdd.getNumPartitions()
+    assert exact_n == 20
+    # the pre-fix estimator would have read ~2x exact (~40) here
+    assert abs(sample_n - exact_n) <= max(1, round(0.2 * exact_n))

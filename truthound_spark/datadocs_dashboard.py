@@ -344,7 +344,11 @@ def save_dashboard(
     """Render + write; when a store/report_id is given and ``path`` is
     a bare filename, the page lands inside the report's version
     directory so its relative v<N> links resolve."""
-    if store is not None and report_id is not None and os.sep not in path:
+    if (
+        store is not None
+        and report_id is not None
+        and os.path.basename(path) == path
+    ):
         path = os.path.join(store.report_dir(report_id), path)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     html = render_dashboard(

@@ -478,19 +478,23 @@ def repartition_by_size(
             raise ValueError(
                 f"sample_fraction must be in (0, 1], got {sample_fraction}"
             )
-        # count() on the un-sampled frame is metadata-cheap for parquet
-        # scans (row-group row counts, no payload decode); the sampled
-        # aggregate is the only pass touching payload bytes.
+        # The sample INDICATOR is computed separately from the byte
+        # measurement so NULL payloads stay in the sampled-row count:
+        # scaling by sampled_rows/total_rows where sampled_rows counted
+        # only non-null payloads would overestimate the total by
+        # 1/(non-null fraction) on corpora with missing assets (a
+        # sampled NULL payload contributes 0 bytes — exactly what exact
+        # mode's sum(length) does — but still one sampled row).
         row = (
             df.select(
-                F.when(
-                    F.rand(seed) < F.lit(sample_fraction),
-                    F.length(F.col(payload_col)).cast("long"),
-                ).alias("b")
+                (F.rand(seed) < F.lit(sample_fraction)).alias("samp"),
+                F.length(F.col(payload_col)).cast("long").alias("len"),
             )
             .agg(
-                F.sum("b").alias("sampled_bytes"),
-                F.count("b").alias("sampled_rows"),
+                F.sum(F.when(F.col("samp"), F.col("len"))).alias("sampled_bytes"),
+                F.sum(F.when(F.col("samp"), F.lit(1)).otherwise(F.lit(0))).alias(
+                    "sampled_rows"
+                ),
                 F.count(F.lit(1)).alias("total_rows"),
             )
             .collect()[0]

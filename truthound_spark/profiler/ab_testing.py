@@ -338,13 +338,15 @@ def _variant_exprs(
     flag_parts: list = []
     for c in columns:
         nt = variant.gate(c, "null_threshold", 0.1)
-        exprs.append(
-            F.sum(F.when(F.col(c).isNull(), F.lit(1)).otherwise(F.lit(0))).alias(
-                f"v{vi}_null_{c}"
-            )
-        )
-        gates.append(("null", c))
         if nt is not None:
+            # emitted only when the gate is active — an explicitly
+            # disabled null gate (None) must not cost aggregate work
+            exprs.append(
+                F.sum(
+                    F.when(F.col(c).isNull(), F.lit(1)).otherwise(F.lit(0))
+                ).alias(f"v{vi}_null_{c}")
+            )
+            gates.append(("null", c))
             flag_parts.append(F.col(c).isNull())
         if c in numeric:
             mn = variant.gate(c, "min_value")
@@ -392,10 +394,8 @@ def _variant_exprs(
             cnt = row.get(f"v{vi}_{kind}_{c}") or 0
             if kind == "null":
                 nt = variant.gate(c, "null_threshold", 0.1)
-                if nt is None:
-                    continue
                 checks += 1
-                if n_rows > 0 and cnt / n_rows > nt:
+                if nt is not None and n_rows > 0 and cnt / n_rows > nt:
                     violations += 1
             else:
                 checks += 1
@@ -541,10 +541,18 @@ def assign_variants(
 
 
 def _normal_cdf(x: float) -> float:
-    """Exact-to-double normal CDF via math.erf (the reference uses the
-    Abramowitz–Stegun polynomial, analysis.py:231-240; erf is the same
-    function without the approximation error)."""
+    """Exact-to-double normal CDF (the reference uses the
+    Abramowitz–Stegun polynomial, analysis.py:231-240; math.erf is the
+    same function without the approximation error). Tail probabilities
+    must NOT be computed as 2*(1-_normal_cdf(z)) — that rounds to 0 by
+    z≈6; use :func:`_normal_tail`, the erfc form drift/detectors.py's
+    Wilson–Hilferty gate also uses, which keeps precision to z≈37."""
     return 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))
+
+
+def _normal_tail(z: float) -> float:
+    """Two-tailed normal p-value for |z|, precision-safe in the far tail."""
+    return math.erfc(abs(z) / math.sqrt(2.0))
 
 
 def _z_for(confidence: float) -> float:
@@ -562,15 +570,32 @@ class StatisticalAnalyzer:
         primary = self.config.primary_metric
         control = result.control_metrics.get(primary)
         if control is not None:
-            for name, tm in result.treatment_metrics.items():
-                tr = tm.get(primary)
-                if tr is None:
-                    continue
-                analysis = self._analyze_metric(control, tr, primary)
-                if result.primary_analysis is None:
-                    result.primary_analysis = analysis
-                else:
-                    result.secondary_analyses.append(analysis)
+            analyses = [
+                self._analyze_metric(control, tr, primary)
+                for tm in result.treatment_metrics.values()
+                if (tr := tm.get(primary)) is not None
+            ]
+            if analyses:
+                # primary_analysis = the BEST treatment on the primary
+                # metric (significant treatment-wins first), not merely
+                # the first configured one — with N treatments the
+                # winner must be the best of them, and control wins only
+                # when no treatment significantly beats it
+                lower = primary in _LOWER_IS_BETTER
+
+                def goodness(a: StatisticalAnalysis) -> float:
+                    return -a.treatment_mean if lower else a.treatment_mean
+
+                sig_wins = [
+                    a
+                    for a in analyses
+                    if a.is_significant and a.winner == a.treatment_name
+                ]
+                best = max(sig_wins or analyses, key=goodness)
+                result.primary_analysis = best
+                result.secondary_analyses.extend(
+                    a for a in analyses if a is not best
+                )
         for metric in self.config.secondary_metrics:
             c = result.control_metrics.get(metric)
             if c is None:
@@ -602,7 +627,7 @@ class StatisticalAnalyzer:
             else 0.1
         )
         effect = diff / pooled if pooled > 0 else 0.0
-        p_value = self._p_value(
+        se = self._welch_se(
             cm,
             tm,
             control.std_dev,
@@ -610,11 +635,15 @@ class StatisticalAnalyzer:
             control.sample_size,
             treatment.sample_size,
         )
+        p_value = _normal_tail(diff / se) if se else 1.0
         alpha = 1 - self.config.confidence_level
         significant = p_value < alpha
-        n_total = control.sample_size + treatment.sample_size
+        # the CI uses the SAME standard error as the z-test, so
+        # is_significant and "CI excludes 0" can never disagree (the
+        # reference's z*pooled/sqrt(n1+n2) margin is half the
+        # test-consistent width at equal n)
         z = _z_for(self.config.confidence_level)
-        margin = z * pooled / math.sqrt(n_total) if n_total > 0 else 0.0
+        margin = z * se if se else 0.0
         ci = (diff - margin, diff + margin)
         power = self._power(
             effect, control.sample_size, treatment.sample_size, alpha
@@ -654,7 +683,31 @@ class StatisticalAnalyzer:
         )
 
     @staticmethod
+    def _welch_se(
+        mean1: float,
+        mean2: float,
+        std1: float,
+        std2: float,
+        n1: int,
+        n2: int,
+    ) -> float | None:
+        """Welch standard error of the mean difference; when both stds
+        are 0 (single-pass proportion metrics), fall back to pooled
+        Bernoulli variance (analysis.py:207-215). None = undefined."""
+        if n1 <= 0 or n2 <= 0:
+            return None
+        if std1 == 0 and std2 == 0:
+            p_pooled = (mean1 * n1 + mean2 * n2) / (n1 + n2)
+            if 0 < p_pooled < 1:
+                std1 = std2 = math.sqrt(p_pooled * (1 - p_pooled))
+            else:
+                return None
+        se = math.sqrt(std1**2 / n1 + std2**2 / n2)
+        return se if se > 0 else None
+
+    @classmethod
     def _p_value(
+        cls,
         mean1: float,
         mean2: float,
         std1: float,
@@ -662,22 +715,9 @@ class StatisticalAnalyzer:
         n1: int,
         n2: int,
     ) -> float:
-        """Two-tailed Welch z-test; when both stds are 0 (single-pass
-        proportion metrics), fall back to pooled Bernoulli variance
-        (analysis.py:207-215)."""
-        if n1 <= 0 or n2 <= 0:
-            return 1.0
-        if std1 == 0 and std2 == 0:
-            p_pooled = (mean1 * n1 + mean2 * n2) / (n1 + n2)
-            if 0 < p_pooled < 1:
-                std1 = std2 = math.sqrt(p_pooled * (1 - p_pooled))
-            else:
-                return 1.0
-        se = math.sqrt(std1**2 / n1 + std2**2 / n2)
-        if se == 0:
-            return 1.0
-        z = abs(mean2 - mean1) / se
-        return 2 * (1 - _normal_cdf(z))
+        """Two-tailed Welch z-test over :meth:`_welch_se`."""
+        se = cls._welch_se(mean1, mean2, std1, std2, n1, n2)
+        return _normal_tail((mean2 - mean1) / se) if se else 1.0
 
     @staticmethod
     def _power(effect_size: float, n1: int, n2: int, alpha: float) -> float:
@@ -807,6 +847,7 @@ class ABExperiment:
         columns: list[str] | None = None,
     ) -> ExperimentResult:
         self.status = ExperimentStatus.RUNNING
+        self._reset()
         started = time.time()
         try:
             metrics, n_rows = self._evaluate(df, label_col, columns)
@@ -830,6 +871,7 @@ class ABExperiment:
         columns: list[str] | None = None,
     ) -> ExperimentResult:
         self.status = ExperimentStatus.RUNNING
+        self._reset()
         started = time.time()
         n_rows = 0
         try:
@@ -866,6 +908,14 @@ class ABExperiment:
             raise
 
     # -- internals -----------------------------------------------------------
+    def _reset(self) -> None:
+        """run()/run_batches() measure ONE dataset each: accumulated
+        per-batch samples and the rows-seen counter must not leak into a
+        repeated invocation (doubled n would inflate significance, and
+        duplicated identical samples would collapse std toward 0)."""
+        self._samples = {}
+        self._rows_seen = 0
+
     def _evaluate(
         self,
         df: DataFrame,
@@ -904,29 +954,30 @@ class ABExperiment:
             total_samples=self._rows_seen,
         )
         result.control_metrics = self._aggregate_samples(
-            control_name, self._samples.get(control_name, [])
+            control_name, self._samples.get(control_name, []), result
         )
         for t in self.config.treatments:
             result.treatment_metrics[t.name] = self._aggregate_samples(
-                t.name, self._samples.get(t.name, [])
+                t.name, self._samples.get(t.name, []), result
             )
         return result
 
     def _aggregate_samples(
-        self, variant_name: str, samples: list[dict[str, float]]
+        self,
+        variant_name: str,
+        samples: list[dict[str, float]],
+        result: ExperimentResult,
     ) -> dict[MetricType, MetricResult]:
-        """Mean + std over per-batch samples → MetricResult per metric."""
+        """Mean + std over per-batch samples → MetricResult per metric.
+        Keys that are not MetricType values (a custom validator is free
+        to return any dict) are NOT silently dropped: their aggregated
+        means surface under ``result.metadata['custom_metrics']`` keyed
+        by variant."""
         out: dict[MetricType, MetricResult] = {}
         if not samples:
             return out
         keys = set().union(*(s.keys() for s in samples))
         for key in keys:
-            try:
-                metric = MetricType(key)
-            except ValueError:
-                metric = MetricType.CUSTOM
-                if key != "custom":
-                    continue
             vals = [float(s[key]) for s in samples if key in s]
             mean = sum(vals) / len(vals)
             var = (
@@ -934,6 +985,13 @@ class ABExperiment:
                 if len(vals) > 1
                 else 0.0
             )
+            try:
+                metric = MetricType(key)
+            except ValueError:
+                result.metadata.setdefault("custom_metrics", {}).setdefault(
+                    variant_name, {}
+                )[key] = mean
+                continue
             out[metric] = MetricResult(
                 metric_type=metric,
                 variant_name=variant_name,
