@@ -65,12 +65,12 @@ def bench_one(name, fn, timings, cold_timings):
     # ([0.8,0.79,3.2] drops 3.2, where dropping the first would median
     # the contention INTO the pin); the raw pre-drop series is preserved
     # in bench_detail.json["spread_guard"]["applied"] for auditability.
-    if min(warm) > 0 and max(warm) / min(warm) > SPREAD_GUARD_RATIO:
+    if spread_guard_triggers(warm):
         t0 = time.time()
         fn()
         warm.append(time.time() - t0)
         SPREAD_GUARD_APPLIED[name] = [round(x, 4) for x in warm]
-        warm = sorted(warm)[:3]
+        warm = apply_spread_guard(warm)
     WARM_SAMPLES[name] = [round(x, 4) for x in warm]
     timings[name] = round(sorted(warm)[1], 4)
 
@@ -78,6 +78,20 @@ def bench_one(name, fn, timings, cold_timings):
 WARM_SAMPLES: dict[str, list[float]] = {}
 SPREAD_GUARD_RATIO = 3.0
 SPREAD_GUARD_APPLIED: dict[str, list[float]] = {}
+
+
+def spread_guard_triggers(warm: list[float]) -> bool:
+    """True when the warm series' max/min spread exceeds the guard ratio
+    (one pass paid effects that aren't the query)."""
+    return min(warm) > 0 and max(warm) / min(warm) > SPREAD_GUARD_RATIO
+
+
+def apply_spread_guard(samples: list[float]) -> list[float]:
+    """Drop the single slowest sample of the (extra-pass-extended)
+    series — covers both a still-cold first pass AND late-arriving
+    contention (dropping the FIRST sample would median late contention
+    INTO the pin). Pure so tests can pin the rule."""
+    return sorted(samples)[: len(samples) - 1]
 
 # Adjudicated bench_regressions pins (VERDICT r8 #2): queries whose
 # ratio vs the historical per-query minimum exceeds 1.5 but whose cause
