@@ -13667,3 +13667,102 @@ def q_kafka_envelope_decode_events(spark, sf_dir):
     return decoded.select(
         "topic", "partition", "offset", "evt_id", "event_type", "value"
     ).orderBy("offset")
+
+
+@register(
+    "streaming_near_dedup_customer",
+    """
+    SELECT c_custkey + 10000000 AS doc_id,
+           c_custkey AS dup_of,
+           CAST(1.0 AS DOUBLE) AS est_jaccard
+    FROM customer WHERE c_custkey % 11 = 5 ORDER BY doc_id
+    """,
+)
+def q_streaming_near_dedup_customer(spark, sf_dir):
+    """Streaming near-duplicate detection driven through a REAL
+    Structured Streaming query with a live state store
+    (streaming/stateful.py streaming_near_dedup; reference
+    realtime/processors dedup shape): batch 1 ingests one uniquely-texted
+    doc per selected customer (all become bucket canonicals — texts are
+    pairwise distinct, so no within-batch order dependence), batch 2
+    ingests an EXACT duplicate of each under a shifted doc_id. The
+    per-bucket canonical signatures must survive the micro-batch
+    boundary in the state store, and each batch-2 doc must alert
+    against its batch-1 canonical with signature agreement EXACTLY 1.0
+    (identical text ⇒ identical 64-hash signature — the only way est
+    reaches 1.0, so filtering on it is order- and engine-independent;
+    near-misses between distinct texts cannot produce it). Alerts are
+    collapsed across a doc's LSH buckets to DISTINCT (doc_id, dup_of).
+    The oracle is the planted pairing recomputed from customer. File
+    mtimes are set explicitly so maxFilesPerTrigger=1 yields the batch
+    order the state-store semantics are being certified against."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from truthound_spark.streaming.stateful import streaming_near_dedup
+
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 11 == 5)
+        .select("c_custkey")
+        .collect()
+    )  # fixture-sized driver collect: one id per planted doc
+    keys = sorted(r["c_custkey"] for r in c)
+
+    def text_for(k: int) -> str:
+        return (
+            f"alpha tok{k} beta tok{k % 7} gamma tok{k % 11} "
+            f"delta tok{k % 13} epsilon"
+        )
+
+    root = _os.path.join(
+        _tempfile.gettempdir(), f"spark_graft_stream_dedup_{_uuid.uuid4().hex[:8]}"
+    )
+    in_dir = _os.path.join(root, "in")
+    _os.makedirs(in_dir, exist_ok=True)
+    f1 = _os.path.join(in_dir, "batch1.json")
+    f2 = _os.path.join(in_dir, "batch2.json")
+    with open(f1, "w") as fh:
+        for k in keys:
+            fh.write(_json.dumps({"doc_id": k, "text": text_for(k)}) + "\n")
+    with open(f2, "w") as fh:
+        for k in keys:
+            fh.write(
+                _json.dumps({"doc_id": k + 10_000_000, "text": text_for(k)})
+                + "\n"
+            )
+    _os.utime(f1, (1_700_000_000, 1_700_000_000))
+    _os.utime(f2, (1_700_000_100, 1_700_000_100))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(in_dir)
+    )
+    alerts = streaming_near_dedup(stream, threshold=0.7)
+    qname = f"near_dedup_{_uuid.uuid4().hex[:8]}"
+    query = (
+        alerts.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", _os.path.join(root, "ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    out = (
+        spark.table(qname)
+        .filter(F.col("est_jaccard") == 1.0)
+        .select("doc_id", "dup_of", "est_jaccard")
+        .distinct()
+        .orderBy("doc_id")
+        # state-store output materialized BEFORE the temp inputs vanish
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(root, ignore_errors=True)
+    return out
