@@ -365,6 +365,7 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "adopted_rows_roundtrip",
     "kafka_envelope_decode_events",
     "streaming_near_dedup_customer",
+    "streaming_running_stats_customer",
     "threshold_sweep_grouped_documents",
     "multivariate_corr_drift_lineitem",
     "multivariate_mahalanobis_drift_lineitem",

@@ -13766,3 +13766,95 @@ def q_streaming_near_dedup_customer(spark, sf_dir):
     )
     _shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "streaming_running_stats_customer",
+    """
+    SELECT c_custkey % 5 AS key,
+           CAST(COUNT(*) AS BIGINT) AS count,
+           CAST(SUM(c_custkey % 97) AS DOUBLE) / COUNT(*) AS mean,
+           CAST(MIN(c_custkey % 97) AS DOUBLE) AS min,
+           CAST(MAX(c_custkey % 97) AS DOUBLE) AS max,
+           CAST(SUM(CASE WHEN c_custkey % 97 < 10 OR c_custkey % 97 > 80
+                         THEN 1 ELSE 0 END) AS BIGINT) AS violations
+    FROM customer GROUP BY 1 ORDER BY key
+    """,
+)
+def q_streaming_running_stats_customer(spark, sf_dir):
+    """Per-key running stats with persistent state across micro-batches
+    (streaming/stateful.py running_column_stats; reference
+    realtime/base.py stateful accumulation shape): a two-batch file
+    stream (even custkeys then odd custkeys) drives the REAL
+    applyInPandasWithState query; each batch emits the UPDATED
+    cumulative state per key, so the final emission per key (selected
+    as the max-count row — batch 2 strictly grows every key's count)
+    must equal the whole-dataset aggregate: the partial-state
+    composition contract, certified relationally. Values are integers
+    carried as doubles (exact in IEEE754), so count/mean/min/max/
+    violation arithmetic is bit-identical to DuckDB's."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from truthound_spark.streaming.stateful import running_column_stats
+
+    rows = (
+        t(spark, sf_dir, "customer").select("c_custkey").collect()
+    )  # fixture-sized driver collect: ids only, builds the replay files
+    keys = sorted(r["c_custkey"] for r in rows)
+    root = _os.path.join(
+        _tempfile.gettempdir(), f"spark_graft_stream_stats_{_uuid.uuid4().hex[:8]}"
+    )
+    in_dir = _os.path.join(root, "in")
+    _os.makedirs(in_dir, exist_ok=True)
+    for batch, parity in (("batch1.json", 0), ("batch2.json", 1)):
+        with open(_os.path.join(in_dir, batch), "w") as fh:
+            for k in keys:
+                if k % 2 == parity:
+                    fh.write(
+                        _json.dumps({"key": k % 5, "v": float(k % 97)}) + "\n"
+                    )
+    _os.utime(
+        _os.path.join(in_dir, "batch1.json"), (1_700_000_000, 1_700_000_000)
+    )
+    _os.utime(
+        _os.path.join(in_dir, "batch2.json"), (1_700_000_100, 1_700_000_100)
+    )
+
+    stream = (
+        spark.readStream.schema("key long, v double")
+        .option("maxFilesPerTrigger", "1")
+        .json(in_dir)
+    )
+    stats = running_column_stats(stream, "key", "v", min_value=10, max_value=80)
+    qname = f"running_stats_{_uuid.uuid4().hex[:8]}"
+    query = (
+        stats.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", _os.path.join(root, "ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    from pyspark.sql.window import Window
+
+    tbl = spark.table(qname)
+    final = tbl.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("key").orderBy(F.col("count").desc())
+        ),
+    ).filter(F.col("__rn") == 1)
+    out = (
+        final.select("key", "count", "mean", "min", "max", "violations")
+        .orderBy("key")
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(root, ignore_errors=True)
+    return out
