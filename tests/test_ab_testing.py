@@ -407,3 +407,110 @@ class TestReviewFixes:
         names = [e.__str__() for e in exprs]
         assert not any("v0_null_c" in n for n in names)
         assert any("v0_min_c" in n for n in names)
+
+
+class TestRound11AdviceFixes:
+    """The five ADVICE r10 items: exact z, recorded runner failures,
+    collision-free file store, duplicate-variant guard, lazy import."""
+
+    def test_z_for_is_exact_inverse_of_the_p_value(self):
+        from truthound_spark.profiler.ab_testing import _normal_tail, _z_for
+
+        # erfc(z/sqrt(2)) == alpha to float rounding, at ANY level —
+        # including ones outside the old {0.90, 0.95, 0.99} table
+        for conf in (0.80, 0.90, 0.95, 0.98, 0.99, 0.995):
+            z = _z_for(conf)
+            assert abs(_normal_tail(z) - (1 - conf)) < 1e-12, conf
+        # table levels still land on the textbook values
+        assert abs(_z_for(0.95) - 1.959964) < 1e-5
+        assert abs(_z_for(0.99) - 2.575829) < 1e-5
+        with pytest.raises(ValueError):
+            _z_for(1.0)
+        with pytest.raises(ValueError):
+            _z_for(0.0)
+
+    def test_ci_significance_invariant_at_nontable_level(self):
+        # the ADVICE counterexample: confidence 0.98, observed z ≈ 2.2 —
+        # p ≈ 0.028 > alpha = 0.02 so NOT significant; under the old
+        # 1.96 fallback the CI excluded 0 anyway, breaking the invariant
+        from truthound_spark.profiler.ab_testing import MetricResult
+
+        analyzer = StatisticalAnalyzer(
+            ExperimentConfig(name="x", confidence_level=0.98)
+        )
+        # se = sqrt(2*0.1^2/1000) ≈ 0.004472; diff = 0.00985 → z ≈ 2.203
+        c = MetricResult(MetricType.RECALL, "c", 0.500, 1000, std_dev=0.1)
+        t = MetricResult(MetricType.RECALL, "t", 0.50985, 1000, std_dev=0.1)
+        a = analyzer._analyze_metric(c, t, MetricType.RECALL)
+        assert not a.is_significant
+        assert a.confidence_interval[0] < 0 < a.confidence_interval[1]
+        # nudge past the exact 0.98 critical z (≈2.3263): significant AND
+        # the CI excludes 0 — the two boundaries move together
+        t2 = MetricResult(MetricType.RECALL, "t", 0.5105, 1000, std_dev=0.1)
+        a2 = analyzer._analyze_metric(c, t2, MetricType.RECALL)
+        assert a2.is_significant
+        assert a2.confidence_interval[0] > 0
+
+    def test_runner_records_failures(self, labeled_df):
+        runner = ExperimentRunner()
+        ok = ABExperiment(_config())
+        # two variants sharing one name crash in run_fused_variants —
+        # a deterministic failure the runner must RECORD, not swallow
+        bad = ABExperiment(
+            ExperimentConfig(
+                name="crashes",
+                control=ThresholdVariant(
+                    name="same",
+                    variant_type=VariantType.CONTROL,
+                    thresholds={"value": {"max_value": 200.0}},
+                ),
+                treatments=[
+                    ThresholdVariant(
+                        name="same",
+                        thresholds={"value": {"max_value": 89.5}},
+                    )
+                ],
+                minimum_sample_size=50,
+            )
+        )
+        runner.add_experiment(ok)
+        runner.add_experiment(bad)
+        results = runner.run_all(labeled_df, label_col="is_bad")
+        assert len(results) == 1
+        assert len(runner.errors) == 1
+        exp_id, msg = runner.errors[0]
+        assert exp_id == bad.experiment_id
+        assert msg  # non-empty diagnostic
+
+    def test_file_store_distinct_ids_never_collide(self, tmp_path):
+        store = FileExperimentStore(str(tmp_path))
+        store.save_experiment("a/b", {"v": 1})
+        store.save_experiment("ab", {"v": 2})
+        assert store.load_experiment("a/b") == {"v": 1}
+        assert store.load_experiment("ab") == {"v": 2}
+        # an id that sanitizes to empty still gets a real, loadable file
+        store.save_experiment("///", {"v": 3})
+        assert store.load_experiment("///") == {"v": 3}
+        assert len(store.list_experiments()) == 3
+
+    def test_duplicate_variant_names_rejected(self, labeled_df):
+        v = ThresholdVariant(name="same", thresholds={"value": {"max_value": 1.0}})
+        w = ThresholdVariant(name="same", thresholds={"value": {"max_value": 2.0}})
+        with pytest.raises(ValueError, match="duplicate variant names"):
+            run_fused_variants(labeled_df, [v, w])
+
+    def test_profiler_import_is_actually_lazy(self):
+        import subprocess
+        import sys
+
+        code = (
+            "import sys; import truthound_spark.profiler; "
+            "assert 'truthound_spark.profiler.ab_testing' not in sys.modules, 'eager'; "
+            "from truthound_spark.profiler import ab_testing; "
+            "assert hasattr(ab_testing, 'run_fused_variants')"
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            cwd="/root/repo",
+        )
+        assert proc.returncode == 0, proc.stderr

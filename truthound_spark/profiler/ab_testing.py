@@ -52,6 +52,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+import logging
+
+logger = logging.getLogger(__name__)
+
 __all__ = [
     "ExperimentStatus",
     "MetricType",
@@ -435,7 +439,14 @@ def run_fused_variants(
     """Evaluate EVERY variant's threshold metrics in one aggregate scan.
 
     Returns ({variant_name: metrics_dict}, n_rows). Scan count: 1.
+    Duplicate variant names are rejected loudly — results are keyed by
+    name, so two same-named variants would silently collapse to one
+    entry (last decoder wins) and skew the analysis unnoticed.
     """
+    names = [v.name for v in variants]
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"duplicate variant names: {dupes}")
     schema = {f.name: f.dataType for f in df.schema.fields}
     if columns is None:
         columns = [c for c in schema if c != label_col]
@@ -556,7 +567,30 @@ def _normal_tail(z: float) -> float:
 
 
 def _z_for(confidence: float) -> float:
-    return {0.90: 1.645, 0.95: 1.96, 0.99: 2.576}.get(round(confidence, 2), 1.96)
+    """Exact two-tailed critical z for ANY confidence level: the z with
+    erfc(z/√2) = alpha, i.e. the true inverse of :func:`_normal_tail`.
+
+    A lookup table falling back to 1.96 (the reference's approach,
+    analysis.py:243-247) breaks the is_significant ⟺ "CI excludes 0"
+    invariant for any level outside the table (e.g. 0.98: p≈0.028 >
+    alpha=0.02 under z≈2.2 yet a 1.96·SE interval excludes 0). A
+    Winitzki inverse-erf start (validators/anomaly.py:_erfinv) refined
+    by Newton on the SAME erfc the p-value uses makes the two
+    boundaries bit-consistent to float rounding."""
+    if not 0.0 < confidence < 1.0:
+        raise ValueError(f"confidence must be in (0, 1), got {confidence}")
+    alpha = 1.0 - confidence
+    from truthound_spark.validators.anomaly import _erfinv
+
+    z = math.sqrt(2.0) * _erfinv(confidence)
+    for _ in range(4):  # Newton on f(z) = erfc(z/√2) − alpha
+        f = math.erfc(z / math.sqrt(2.0)) - alpha
+        fp = -math.sqrt(2.0 / math.pi) * math.exp(-z * z / 2.0)
+        step = f / fp
+        z -= step
+        if abs(step) < 1e-15 * max(1.0, abs(z)):
+            break
+    return z
 
 
 class StatisticalAnalyzer:
@@ -1015,6 +1049,11 @@ class ExperimentRunner:
     def __init__(self) -> None:
         self._experiments: list[ABExperiment] = []
         self.results: list[ExperimentResult] = []
+        #: (experiment_id, repr(error)) per experiment that crashed in
+        #: run_all — a silently-vanished experiment is indistinguishable
+        #: from "ran clean" otherwise (the reference logs the failure
+        #: with the experiment id, experiment.py:355).
+        self.errors: list[tuple[str, str]] = []
 
     def add_experiment(self, experiment: ABExperiment) -> None:
         self._experiments.append(experiment)
@@ -1026,11 +1065,14 @@ class ExperimentRunner:
         columns: list[str] | None = None,
     ) -> list[ExperimentResult]:
         self.results = []
+        self.errors = []
         for exp in self._experiments:
             try:
                 self.results.append(exp.run(df, label_col, columns))
-            except Exception:
-                continue
+            except Exception as e:  # noqa: BLE001 — queue keeps draining
+                exp_id = getattr(exp, "experiment_id", repr(exp))
+                self.errors.append((str(exp_id), f"{type(e).__name__}: {e}"))
+                logger.warning("experiment %s failed: %s", exp_id, e)
         return self.results
 
     def get_best_variant(
@@ -1086,7 +1128,18 @@ class FileExperimentStore(ExperimentStore):
         os.makedirs(directory, exist_ok=True)
 
     def _path(self, experiment_id: str) -> str:
+        """One file per id, collision-free: stripping non-alphanumerics
+        alone maps distinct ids onto one file ('a/b' and 'ab' → ab.json,
+        silently overwriting each other; an all-symbol id → '.json').
+        When sanitization changes the name, a short hash of the ORIGINAL
+        id disambiguates — same scheme as DocsVersionStore.report_dir."""
         safe = "".join(ch for ch in experiment_id if ch.isalnum() or ch in "-_")
+        if safe != experiment_id:
+            import hashlib
+
+            safe += "-" + hashlib.sha256(
+                experiment_id.encode("utf-8")
+            ).hexdigest()[:8]
         return os.path.join(self.directory, f"{safe}.json")
 
     def save_experiment(self, experiment_id: str, data: dict[str, Any]) -> None:
