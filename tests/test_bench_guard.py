@@ -49,3 +49,57 @@ def test_sf10_lane_env_defaults():
     src = open(os.path.join(os.path.dirname(__file__), "..", "bench.py")).read()
     assert "SPARK_GRAFT_SF10_BUDGET" in src
     assert "skipped_budget" in src
+
+
+def test_canary_normalization_rule():
+    """VERDICT r10 #2: ratios divide by the canary's own round-over-best
+    ratio — ambient load moves both together (normalized flat), a real
+    regression moves only its query (normalized still flags it)."""
+    b = _bench()
+    ratios = {"a": 1.3, "b": 1.25, "real_regression": 2.6}
+    # ambient-load round: canary 30% slower than its best
+    norm, load = b.normalize_ratios(ratios, canary_seconds=1.3, best_canary=1.0)
+    assert load == 1.3
+    assert norm["a"] == 1.0 and norm["b"] == 0.96  # drift explained away
+    assert norm["real_regression"] == 2.0  # still flagged after normalizing
+    # idle round: canary at its best → normalization is the identity
+    norm, load = b.normalize_ratios(ratios, canary_seconds=1.0, best_canary=1.0)
+    assert load == 1.0 and norm == ratios
+    # no canary history yet → identity with load 1.0
+    norm, load = b.normalize_ratios(ratios, canary_seconds=1.2, best_canary=None)
+    assert load == 1.0 and norm == ratios
+
+
+def test_best_recorded_canary_parses_history(tmp_path):
+    import json
+
+    b = _bench()
+    (tmp_path / "BENCH_r11.json").write_text(
+        json.dumps({"parsed": {"canary": 1.4}})
+    )
+    (tmp_path / "BENCH_r12.json").write_text(
+        json.dumps({"parsed": {"canary": 1.1}})
+    )
+    (tmp_path / "BENCH_r13.json").write_text(json.dumps({"parsed": {}}))
+    (tmp_path / "BENCH_r14.json").write_text("not json")
+    assert b.best_recorded_canary(str(tmp_path)) == 1.1
+    assert b.best_recorded_canary(str(tmp_path / "empty_missing")) is None
+
+
+def test_canary_is_pinned_and_io_free():
+    """The canary must never be edited: pin its constants and assert its
+    plan uses no file source (spark.range only)."""
+    b = _bench()
+    assert b.CANARY_ROWS == 10_000_000
+    assert b.CANARY_SEED == 0x5EED11
+    import inspect
+
+    src = inspect.getsource(b.canary_fn)
+    assert "spark.range" in src and "read" not in src and "parquet" not in src
+
+
+def test_core_decades_lane_wired():
+    src = open(os.path.join(os.path.dirname(__file__), "..", "bench.py")).read()
+    assert "SPARK_GRAFT_CORE_LANE" in src
+    assert "SPARK_GRAFT_CORE_BUDGET" in src
+    assert "core_lane" in src

@@ -4,6 +4,7 @@ static page; VERDICT r9 #7)."""
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 
@@ -176,3 +177,108 @@ def test_run_record_from_check_adapter():
     assert rec.row_count == 42 and not rec.success and rec.issue_count == 2
     assert rec.gates == {"release": "failed"}
     assert rec.drift_scores == {"psi": 0.3}
+
+
+class TestRealWorkspaceE2E:
+    """VERDICT r10 #6: dashboard rendered from an ACTUAL multi-run
+    workspace produced by repeated check() + gate + fitted-monitor runs
+    — not synthetic RunRecords — so a field-name drift between the run
+    artifacts (check result / gate result / detector output / stored
+    run JSON) and the dashboard reader fails HERE."""
+
+    def test_dashboard_from_real_multi_run_workspace(self, spark, tmp_path):
+        import json
+
+        from pyspark.sql import functions as F
+
+        from truthound_spark import api
+        from truthound_spark.datadocs import profile_docs
+        from truthound_spark.datadocs_dashboard import (
+            load_runs,
+            run_record_from_check,
+            save_dashboard,
+        )
+        from truthound_spark.datadocs_versioning import (
+            DocsVersionStore,
+            diff_versions,
+            render_diff_page,
+        )
+        from truthound_spark.ml.feature_drift import FeatureDriftDetector
+        from truthound_spark.profiler import profile
+        from truthound_spark.quality_gates import evaluate_quality_gate
+        from truthound_spark.validators.distribution import RangeValidator
+        from truthound_spark.validators.uniqueness import UniqueValidator
+
+        workspace = tmp_path / ".truthound"
+        workspace.mkdir()
+        store = DocsVersionStore(str(workspace / "docs"))
+        runs_path = workspace / "runs.json"
+
+        def batch(shift: float, dup: bool):
+            df = spark.range(200).select(
+                (F.col("id") + (1 if dup else 0) * (F.col("id") % 2)).alias("uid"),
+                (F.col("id") % 50 + F.lit(shift)).cast("double").alias("v"),
+            )
+            return df
+
+        baseline = batch(0.0, False)
+        detector = FeatureDriftDetector(threshold=0.05).fit(
+            baseline.select("v")
+        )
+
+        history = []
+        for i, (shift, dup) in enumerate([(0.0, False), (0.5, False), (40.0, True)]):
+            df = batch(shift, dup)
+            result = api.check(
+                df,
+                validators=[
+                    UniqueValidator(columns=["uid"]),
+                    RangeValidator("v", 0.0, 60.0),
+                ],
+            )
+            gate = evaluate_quality_gate(result, gate_id="release")
+            drift = detector.detect(df.select("v"))
+            rec = run_record_from_check(
+                result,
+                run_id=f"run-{i}",
+                ts=f"2026-08-{10 + i}",
+                gate_results=[gate],
+                drift_scores={"v": float(drift.drift_score)},
+            )
+            history.append(rec.to_dict())
+            # version-store page per run (what cmd_docs writes in CI)
+            ver = store.save(
+                "events", profile_docs(profile(df), title=f"run {i}"), "html"
+            )
+            if ver.version > 1:
+                d = diff_versions(store, "events", ver.version - 1, ver.version)
+                with open(
+                    os.path.join(
+                        store.report_dir("events"),
+                        f"v{ver.version - 1}_v{ver.version}_diff.html",
+                    ),
+                    "w",
+                ) as fh:
+                    fh.write(render_diff_page(d))
+        runs_path.write_text(json.dumps(history))
+
+        # reload THROUGH the dashboard reader (catches to_dict/from_dict drift)
+        runs = load_runs(str(runs_path))
+        assert [r.run_id for r in runs] == ["run-0", "run-1", "run-2"]
+        assert runs[0].success and not runs[2].success
+        assert runs[2].issue_count >= 2  # planted dup + out-of-range
+        assert runs[2].drift_scores["v"] > runs[0].drift_scores["v"]
+        assert runs[2].gates["release"] == "blocked"
+        assert all(r.row_count == 200 for r in runs)
+
+        out = save_dashboard(
+            "dashboard.html", runs, store=store, report_id="events"
+        )
+        html = open(out).read()
+        # page landed inside the report's version dir so links resolve
+        assert os.path.dirname(out) == store.report_dir("events")
+        for link in ("v1.html", "v2.html", "v1_v2_diff.html"):
+            assert link in html, link
+            assert os.path.exists(os.path.join(store.report_dir("events"), link))
+        assert "run-2" in html and "blocked" in html
+        assert "<svg" in html  # drift sparkline rendered from real scores

