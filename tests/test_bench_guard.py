@@ -103,3 +103,20 @@ def test_core_decades_lane_wired():
     assert "SPARK_GRAFT_CORE_LANE" in src
     assert "SPARK_GRAFT_CORE_BUDGET" in src
     assert "core_lane" in src
+
+
+def test_bracket_canary_rule():
+    """r11: min of the start/end canary drives normalization; the spread
+    records intra-run burstiness a single start-of-run sample misses."""
+    b = _bench()
+    lo, spread = b.bracket_canary(0.42, 0.42)
+    assert lo == 0.42 and spread == 1.0
+    # burst arrived mid-run: end canary slower
+    lo, spread = b.bracket_canary(0.42, 1.26)
+    assert lo == 0.42 and spread == 3.0
+    # burst present at start, gone by the end
+    lo, spread = b.bracket_canary(1.26, 0.42)
+    assert lo == 0.42 and spread == 3.0
+    # degenerate zero never divides
+    lo, spread = b.bracket_canary(0.0, 0.5)
+    assert spread == 1.0

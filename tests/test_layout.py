@@ -1,0 +1,212 @@
+"""Storage-layout tests: bucketed co-located joins (zero-Exchange pins)
+and partition-pruned incremental checks (PartitionFilters pins)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from truthound_spark.layout import (
+    colocated_join,
+    fk_orphans_bucketed,
+    incremental_check,
+    plan_exchanges,
+    read_pruned,
+    scan_partition_filters,
+    write_bucketed,
+    write_partitioned,
+    write_range_clustered,
+)
+from truthound_spark.validators.completeness import NullValidator
+from truthound_spark.validators.distribution import RangeValidator
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def bucketed_pair(spark, orders, lineitem, tmp_path_factory):
+    loc = str(tmp_path_factory.mktemp("layout_db"))
+    # Drop every 7th parent so the FK check has real orphans to find.
+    parent = orders.filter(F.col("o_orderkey") % 7 != 0)
+    child_t = write_bucketed(
+        lineitem, "t_lineitem", "l_orderkey", buckets=8, location=loc
+    )
+    parent_t = write_bucketed(
+        parent.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "t_orders",
+        "l_orderkey",
+        buckets=8,
+        location=loc,
+    )
+    return child_t, parent_t
+
+
+class TestBucketed:
+    def test_colocated_join_has_no_exchange(self, spark, bucketed_pair):
+        child_t, parent_t = bucketed_pair
+        joined = colocated_join(spark, child_t, parent_t, "l_orderkey")
+        assert plan_exchanges(joined) == 0
+
+    def test_unbucketed_same_join_does_shuffle(self, spark, orders, lineitem):
+        joined = lineitem.hint("merge").join(
+            orders.withColumnRenamed("o_orderkey", "l_orderkey").select(
+                "l_orderkey"
+            ),
+            on="l_orderkey",
+        )
+        assert plan_exchanges(joined) >= 1
+
+    def test_fk_orphans_bucketed_no_exchange_and_correct(
+        self, spark, bucketed_pair, lineitem
+    ):
+        child_t, parent_t = bucketed_pair
+        orphans = fk_orphans_bucketed(
+            spark, child_t, parent_t, "l_orderkey"
+        )
+        assert plan_exchanges(orphans) == 0
+        expected = lineitem.filter(F.col("l_orderkey") % 7 == 0).count()
+        assert orphans.count() == expected
+        assert expected > 0  # the fixture really planted orphans
+
+    def test_colocated_join_matches_plain_join(
+        self, spark, bucketed_pair, orders, lineitem
+    ):
+        child_t, parent_t = bucketed_pair
+        got = (
+            colocated_join(spark, child_t, parent_t, "l_orderkey")
+            .groupBy()
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("l_quantity").alias("q"),
+            )
+            .collect()[0]
+        )
+        want = (
+            lineitem.join(
+                orders.filter(F.col("o_orderkey") % 7 != 0),
+                lineitem.l_orderkey == F.col("o_orderkey"),
+            )
+            .groupBy()
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("l_quantity").alias("q"),
+            )
+            .collect()[0]
+        )
+        assert got["n"] == want["n"]
+        assert got["q"] == want["q"]
+
+    def test_bucketed_groupby_has_no_exchange(self, spark, bucketed_pair, lineitem):
+        # the other bucketing win: aggregation on the bucket key is
+        # map-side only — no shuffle between scan and final agg
+        child_t, _ = bucketed_pair
+        agg = (
+            spark.table(child_t)
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        assert plan_exchanges(agg) == 0
+        plain = lineitem.groupBy("l_orderkey").agg(
+            F.sum("l_quantity").alias("q")
+        )
+        assert plan_exchanges(plain) >= 1
+        assert agg.count() == plain.count()
+
+    def test_write_bucketed_validates_args(self, lineitem):
+        with pytest.raises(ValueError):
+            write_bucketed(lineitem, "t", [], buckets=8)
+        with pytest.raises(ValueError):
+            write_bucketed(lineitem, "t", "l_orderkey", buckets=0)
+
+
+class TestPartitioned:
+    @pytest.fixture(scope="class")
+    def events_path(self, spark, sf_dir, tmp_path_factory):
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        path = str(tmp_path_factory.mktemp("layout_part") / "events")
+        write_partitioned(events, path, "event_type")
+        return path
+
+    def test_pruned_read_carries_partition_filters(self, spark, events_path):
+        df = read_pruned(spark, events_path, {"event_type": "click"})
+        filters = scan_partition_filters(df)
+        assert "event_type" in filters
+        # the predicate reached file listing, not a post-scan Filter
+        assert "click" in filters
+
+    def test_pruned_read_matches_plain_filter(self, spark, sf_dir, events_path):
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        got = read_pruned(spark, events_path, {"event_type": "click"}).count()
+        want = events.filter(F.col("event_type") == "click").count()
+        assert got == want > 0
+
+    def test_pruned_read_lists_only_matching_partition(self, spark, events_path):
+        # directory layout really is one dir per value
+        dirs = [d for d in os.listdir(events_path) if d.startswith("event_type=")]
+        assert len(dirs) >= 2
+        df = read_pruned(spark, events_path, {"event_type": "click"})
+        assert "event_type=click" not in scan_partition_filters(df)  # sanity: filters hold exprs, not paths
+        assert df.select("event_type").distinct().collect()[0][0] == "click"
+
+    def test_incremental_check_runs_on_partition_only(self, spark, events_path):
+        issues, stats = incremental_check(
+            spark,
+            events_path,
+            [NullValidator(columns=["value"]), RangeValidator("value", -1e9, 1e9)],
+            {"event_type": "click"},
+        )
+        # fused executor ran; row_count matches the single partition
+        got = read_pruned(spark, events_path, {"event_type": "click"}).count()
+        assert stats["row_count"] == got
+
+
+class TestRangeClustered:
+    @pytest.fixture(scope="class")
+    def clustered_path(self, spark, sf_dir, tmp_path_factory):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        path = str(tmp_path_factory.mktemp("layout_rc") / "lineitem")
+        write_range_clustered(li, path, "l_orderkey", num_partitions=4)
+        return path
+
+    def test_rows_preserved_and_filter_matches(self, spark, sf_dir, clustered_path):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        rc = spark.read.parquet(clustered_path)
+        assert rc.count() == li.count()
+        lo, hi = 100, 500
+        pred = (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= hi)
+        assert rc.filter(pred).count() == li.filter(pred).count()
+
+    def test_filter_is_pushed_to_scan(self, spark, clustered_path):
+        rc = spark.read.parquet(clustered_path).filter(
+            (F.col("l_orderkey") >= 100) & (F.col("l_orderkey") <= 500)
+        )
+        plan = rc._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan
+        assert "l_orderkey" in plan.split("PushedFilters: [", 1)[1][:120]
+
+    def test_file_ranges_are_disjoint(self, spark, clustered_path):
+        # every output file covers a disjoint l_orderkey range, so a
+        # selective pushed filter can skip whole files via statistics
+        rc = spark.read.parquet(clustered_path)
+        ranges = (
+            rc.groupBy(F.input_file_name().alias("f"))
+            .agg(F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi"))
+            .orderBy("lo")
+            .collect()
+        )
+        assert len(ranges) >= 2
+        for prev, cur in zip(ranges, ranges[1:]):
+            assert prev["hi"] <= cur["lo"]
+
+    def test_validates_args(self, spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        with pytest.raises(ValueError):
+            write_range_clustered(li, "/tmp/x", [])

@@ -383,6 +383,11 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "artifact_diff_envelope_orders",
     "checkpoint_actions_payload_orders",
     "streaming_incremental_profile_customer",
+    # r11 storage layout (layout.py): Exchange-free bucketed FK orphans
+    # (plan pinned in-slot) + partition-pruned incremental check.
+    "bucketed_fk_orphans_lineitem",
+    "partition_pruned_check_events",
+    "range_clustered_scan_lineitem",
 ]
 
 

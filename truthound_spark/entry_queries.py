@@ -14301,3 +14301,188 @@ def q_streaming_incremental_profile_customer(spark, sf_dir):
     )
     _shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "bucketed_fk_orphans_lineitem",
+    """
+    SELECT l_returnflag AS returnflag,
+           COUNT(*) AS orphans,
+           ROUND(SUM(l_quantity), 2) AS orphan_qty
+    FROM lineitem l
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_orderkey = l.l_orderkey AND (o.o_orderkey % 7) <> 0
+    )
+    GROUP BY l_returnflag ORDER BY returnflag
+    """,
+)
+def q_bucketed_fk_orphans_lineitem(spark, sf_dir):
+    """FK orphan check over a BUCKETED co-located layout (layout.py;
+    single-run equivalent: validators/referential.py FKValidator, whose
+    reference counterpart is validators/integrity/foreign_key.py). Both
+    sides are written once with bucketBy(8, l_orderkey) — the one layout
+    shuffle — and the orphan anti-join is then pinned Exchange-free IN
+    THIS SLOT (a RuntimeError if the co-located plan ever regresses to a
+    shuffle), which is the plan shape a per-ingest-batch FK re-check
+    needs at 100 TB. Every 7th parent is dropped so the check finds real
+    orphans; the oracle recomputes them with NOT EXISTS straight from
+    the raw tables, so bucketed writes that lost/duplicated rows, a
+    wrong-keyed layout, or a broken anti-join all break the hash."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from truthound_spark.layout import (
+        fk_orphans_bucketed,
+        plan_exchanges,
+        write_bucketed,
+    )
+
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    loc = _os.path.join(_tempfile.gettempdir(), f"spark_graft_layout_{tag}")
+    child_t = write_bucketed(
+        t(spark, sf_dir, "lineitem"),
+        f"fk_child_{tag}",
+        "l_orderkey",
+        buckets=8,
+        location=loc,
+    )
+    parent_t = write_bucketed(
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 != 0)
+        .withColumnRenamed("o_orderkey", "l_orderkey"),
+        f"fk_parent_{tag}",
+        "l_orderkey",
+        buckets=8,
+        location=loc,
+    )
+    orphans = fk_orphans_bucketed(spark, child_t, parent_t, "l_orderkey")
+    n_exchanges = plan_exchanges(orphans)
+    if n_exchanges != 0:
+        raise RuntimeError(
+            f"co-located FK anti-join regressed to {n_exchanges} Exchange(s)"
+        )
+    return (
+        orphans.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.count(F.lit(1)).alias("orphans"),
+            F.round(F.sum("l_quantity"), 2).alias("orphan_qty"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+@register(
+    "partition_pruned_check_events",
+    """
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS value_nulls,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(MAX(value), 6) AS max_value,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def q_partition_pruned_check_events(spark, sf_dir):
+    """Partition-pruned incremental check (layout.py write_partitioned /
+    read_pruned / incremental_check): events are laid out once as
+    parquet partitioned by event_type, then ONLY the 'click' partition
+    is validated — the slot asserts the predicate landed in the scan's
+    PartitionFilters (file-listing-time pruning, the property that makes
+    "validate today's partition of a 100 TB table" touch only today's
+    bytes) and that the fused executor saw exactly the partition's rows.
+    The oracle recomputes the same metric vector from the unpartitioned
+    table with a WHERE clause, so a layout that dropped, duplicated, or
+    mis-binned rows breaks the hash."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from truthound_spark.layout import (
+        incremental_check,
+        read_pruned,
+        scan_partition_filters,
+        write_partitioned,
+    )
+    from truthound_spark.validators.completeness import NullValidator
+
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = _os.path.join(
+        _tempfile.gettempdir(), f"spark_graft_layout_events_{tag}"
+    )
+    write_partitioned(t(spark, sf_dir, "events"), path, "event_type")
+    pruned = read_pruned(spark, path, {"event_type": "click"})
+    filters = scan_partition_filters(pruned)
+    if "event_type" not in filters:
+        raise RuntimeError(
+            f"partition predicate did not reach file listing: {filters!r}"
+        )
+    _issues, stats = incremental_check(
+        spark, path, [NullValidator(columns=["value"])], {"event_type": "click"}
+    )
+    agg = pruned.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("value").isNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("value_nulls"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    row_count = agg.collect()[0]["n"]
+    if stats["row_count"] != row_count:
+        raise RuntimeError(
+            f"incremental check saw {stats['row_count']} rows, "
+            f"partition holds {row_count}"
+        )
+    return agg
+
+
+@register(
+    "range_clustered_scan_lineitem",
+    """
+    SELECT l_returnflag AS returnflag,
+           COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 2000 AND 8000
+    GROUP BY l_returnflag ORDER BY returnflag
+    """,
+)
+def q_range_clustered_scan_lineitem(spark, sf_dir):
+    """Range-clustered layout (layout.py write_range_clustered): lineitem
+    is rewritten once with repartitionByRange + sortWithinPartitions on
+    l_orderkey — disjoint per-file key ranges and tight row-group min/max
+    stats, so the selective key-range filter below skips whole files at
+    the parquet reader (measured 8x at 60M rows, SCALING.md r11). The
+    slot pins the pushed filter into the scan (RuntimeError if
+    PushedFilters loses the key predicate) and the oracle recomputes the
+    same aggregate from the UNCLUSTERED table, so a clustered write that
+    dropped, duplicated, or re-binned rows breaks the hash."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from truthound_spark.layout import write_range_clustered
+
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = _os.path.join(
+        _tempfile.gettempdir(), f"spark_graft_layout_rc_{tag}"
+    )
+    write_range_clustered(
+        t(spark, sf_dir, "lineitem"), path, "l_orderkey", num_partitions=4
+    )
+    rc = spark.read.parquet(path).filter(
+        (F.col("l_orderkey") >= 2000) & (F.col("l_orderkey") <= 8000)
+    )
+    plan = rc._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters: [", 1)
+    if len(pushed) < 2 or "l_orderkey" not in pushed[1][:200]:
+        raise RuntimeError("key predicate missing from PushedFilters")
+    return (
+        rc.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("returnflag")
+    )

@@ -1,0 +1,286 @@
+"""Storage layout for repeated validation at scale: bucketed co-located
+joins and partition-pruned incremental checks.
+
+No reference counterpart — the reference is a single-node engine, so
+physical layout never appears in its API (the closest is its chunked
+out-of-core reader, src/truthound/datasources/spark.py, which Spark
+subsumes natively). Layout IS a first-class concern for THIS engine:
+
+* **Bucketing (co-located joins).** At 100 TB a referential check re-runs
+  on every ingest batch; a shuffled anti-join moves every child key across
+  the cluster on EVERY run. Writing both sides once with
+  ``bucketBy(n, key)`` makes every subsequent FK check / join on that key
+  Exchange-free: each task reads matching bucket files from both tables
+  and joins locally. The one-time layout shuffle is amortized across all
+  later runs — ``fk_orphans_bucketed`` on bucketed tables shows ZERO
+  Exchange nodes (pinned in tests/test_layout.py).
+
+* **Partitioning (pruned incremental checks).** ``partitionBy(day)`` at
+  write time turns "validate only today's data" into a metadata operation:
+  the partition predicate is applied at FILE LISTING (``PartitionFilters``
+  in the scan node), before any row IO, so an incremental check on a
+  100 TB table touches only the new partition's bytes.
+
+Both helpers are plain wiring around the DataFrame writer/reader — the
+point is the PLAN SHAPE they guarantee, and the plan-introspection helpers
+(`plan_exchanges`, `scan_partition_filters`) that let tests and callers
+pin it.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Any, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "ensure_layout_database",
+    "write_bucketed",
+    "colocated_join",
+    "fk_orphans_bucketed",
+    "write_partitioned",
+    "write_range_clustered",
+    "read_pruned",
+    "incremental_check",
+    "plan_exchanges",
+    "scan_partition_filters",
+]
+
+#: Default bucket count. Production guidance: pick so that one bucket of the
+#: LARGER table is a few hundred MB (100 TB / 65536 buckets ≈ 1.5 GB — size
+#: up from here); both sides of a co-located join MUST use the same count.
+DEFAULT_BUCKETS = 64
+
+_DEFAULT_DB = "truthound_layout"
+
+
+def _plan_string(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def plan_exchanges(df: DataFrame) -> int:
+    """Number of Exchange (shuffle or broadcast) nodes in df's physical plan.
+
+    0 for a co-located bucketed join; >=1 for any shuffled/broadcast join.
+    Counted on the pre-execution plan, so it is cheap and side-effect free
+    (under AQE this is the initial physical plan — bucketed scans remove
+    the Exchange statically, so the pin does not depend on runtime
+    re-planning).
+    """
+    plan = _plan_string(df)
+    return sum(line.count("Exchange") for line in plan.splitlines())
+
+
+def scan_partition_filters(df: DataFrame) -> str:
+    """The ``PartitionFilters: [...]`` clauses of df's scan nodes (joined),
+    '' when no partition pruning applies. Lets callers/tests assert a
+    predicate was pushed to file listing rather than row filtering."""
+    plan = _plan_string(df)
+    out = []
+    for line in plan.splitlines():
+        idx = line.find("PartitionFilters: [")
+        if idx >= 0:
+            end = line.find("]", idx)
+            out.append(line[idx : end + 1 if end >= 0 else len(line)])
+    return "; ".join(out)
+
+
+def ensure_layout_database(
+    spark: SparkSession,
+    database: str = _DEFAULT_DB,
+    location: str | None = None,
+) -> str:
+    """Create (if needed) the catalog database that holds layout tables.
+
+    An explicit LOCATION keeps table data out of the session's default
+    ``spark-warehouse`` directory (which defaults to the process cwd in
+    local mode); on a cluster, point it at the object-store prefix the
+    layout tables should live under.
+    """
+    if not database.replace("_", "").isalnum():
+        raise ValueError(f"database must be an identifier, got {database!r}")
+    loc = location or os.path.join(
+        tempfile.gettempdir(), f"truthound_layout_{database}"
+    )
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS {database} LOCATION '{loc}'"
+    )
+    return database
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: str | Sequence[str],
+    buckets: int = DEFAULT_BUCKETS,
+    sort: bool = True,
+    database: str = _DEFAULT_DB,
+    location: str | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Write ``df`` as a bucketed (and bucket-sorted) parquet table; returns
+    the fully-qualified table name.
+
+    This is the ONE shuffle a co-located layout pays. Every later join or
+    groupBy on ``keys`` between tables bucketed with the SAME count reads
+    matching bucket files side by side — no Exchange (and, when ``sort``,
+    no Sort for a single-file-per-bucket layout). Bucket count is part of
+    the layout contract: joins across different counts re-shuffle.
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    if not keys:
+        raise ValueError("at least one bucket key is required")
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    db = ensure_layout_database(df.sparkSession, database, location)
+    fq = f"{db}.{table}"
+    writer = (
+        df.write.format("parquet")
+        .mode(mode)
+        .bucketBy(buckets, keys[0], *keys[1:])
+    )
+    if sort:
+        writer = writer.sortBy(keys[0], *keys[1:])
+    writer.saveAsTable(fq)
+    return fq
+
+
+def colocated_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: str | Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two bucketed tables on their bucket keys without an Exchange.
+
+    The ``merge`` hint forces a sort-merge join (a small side would
+    otherwise broadcast, which also avoids the shuffle but would not
+    exercise — or prove — the co-located layout); with both scans already
+    hash-distributed by bucket, Catalyst drops both Exchange nodes.
+    """
+    if isinstance(on, str):
+        on = [on]
+    left = spark.table(left_table).hint("merge")
+    right = spark.table(right_table)
+    return left.join(right, on=list(on), how=how)
+
+
+def fk_orphans_bucketed(
+    spark: SparkSession,
+    child_table: str,
+    parent_table: str,
+    child_key: str,
+    parent_key: str | None = None,
+) -> DataFrame:
+    """Child rows whose key has no parent — the FK orphan check — as an
+    Exchange-free anti-join over a bucketed layout.
+
+    Equivalent single-run plan: ``validators/referential.py`` FKValidator
+    (shuffled or broadcast anti-join). Use THIS form when the check re-runs
+    per ingest batch over layout-managed tables: per-run cost drops from
+    "shuffle every child key" to "stream matching bucket files".
+    """
+    parent_key = parent_key or child_key
+    child = spark.table(child_table).hint("merge")
+    parent = spark.table(parent_table).select(parent_key)
+    if parent_key != child_key:
+        parent = parent.withColumnRenamed(parent_key, child_key)
+    return child.join(parent, on=child_key, how="left_anti")
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cols: str | Sequence[str],
+    mode: str = "overwrite",
+    num_partitions: int | None = None,
+) -> str:
+    """Write ``df`` as parquet range-clustered on ``cols`` — the layout
+    that makes parquet ROW-GROUP statistics (min/max) skip selective
+    filters on those columns.
+
+    ``repartitionByRange`` gives each output file a disjoint value range
+    and ``sortWithinPartitions`` makes every row group's min/max tight, so
+    a pushed filter like ``col BETWEEN a AND b`` (visible as
+    ``PushedFilters`` in the scan) eliminates whole row groups — and, with
+    disjoint file ranges, whole files — at the reader, before decoding.
+    The complement to ``write_partitioned``: partitioning prunes on LOW
+    cardinality columns at file listing; range clustering skips on HIGH
+    cardinality columns (ids, timestamps) at the parquet reader. One
+    range-exchange at write time, repaid on every selective read.
+    """
+    if isinstance(cols, str):
+        cols = [cols]
+    if not cols:
+        raise ValueError("at least one clustering column is required")
+    key_cols = [F.col(c) for c in cols]
+    clustered = (
+        df.repartitionByRange(num_partitions, *key_cols)
+        if num_partitions
+        else df.repartitionByRange(*key_cols)
+    )
+    clustered.sortWithinPartitions(*key_cols).write.mode(mode).parquet(path)
+    return path
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: str | Sequence[str],
+    mode: str = "overwrite",
+) -> str:
+    """Write ``df`` as parquet partitioned by ``partition_cols`` (directory
+    per value — the layout that makes incremental checks prunable)."""
+    if isinstance(partition_cols, str):
+        partition_cols = [partition_cols]
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    return path
+
+
+def read_pruned(
+    spark: SparkSession,
+    path: str,
+    partition_equals: Mapping[str, Any] | None = None,
+    where: Column | str | None = None,
+) -> DataFrame:
+    """Read a partitioned parquet table keeping only matching partitions.
+
+    ``partition_equals`` maps partition column -> value (combined with AND);
+    ``where`` is any extra predicate. Equality on partition columns lands in
+    the scan's ``PartitionFilters`` — directories for other values are never
+    listed or read.
+    """
+    df = spark.read.parquet(path)
+    if partition_equals:
+        for col, val in partition_equals.items():
+            df = df.filter(F.col(col) == F.lit(val))
+    if where is not None:
+        df = df.filter(where)
+    return df
+
+
+def incremental_check(
+    spark: SparkSession,
+    path: str,
+    validators: list,
+    partition_equals: Mapping[str, Any] | None = None,
+    where: Column | str | None = None,
+    result_format: Any = None,
+):
+    """Run a validator suite on ONLY the matching partitions of a
+    partitioned table — the incremental-validation entry point.
+
+    Returns ``(issues, stats)`` from the fused single-aggregation executor;
+    the scan under it carries the partition predicate as PartitionFilters,
+    so cost scales with the new partition, not the table.
+    """
+    from truthound_spark.core.executor import BatchExpressionExecutor
+
+    df = read_pruned(spark, path, partition_equals, where)
+    kwargs = {} if result_format is None else {"result_format": result_format}
+    return BatchExpressionExecutor(validators, **kwargs).execute_with_stats(df)

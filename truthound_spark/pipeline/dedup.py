@@ -514,17 +514,20 @@ def minhash_dedup_pairs(
     # each side's shingle lookup, so both lookups are map-side and the
     # corpus shingle table is never shuffled for them. The two enriched
     # sides (candidate-count rows, each carrying ONE document's shingle
-    # array) then meet in an ordinary shuffle join on the pair key.
-    # Broadcasting an enriched side instead would ship candidate_count ×
-    # document-sized arrays through the driver — past Spark's broadcast
-    # cap at real corpus scale.
+    # array) then meet in a shuffle join on the pair key — PINNED with a
+    # shuffle_hash hint, because Catalyst's size estimate would broadcast
+    # a small-looking enriched side (shipping document-sized shingle
+    # arrays through the driver), and at real corpus scale that estimate
+    # flipping late is exactly the plan instability this stage must not
+    # have. Broadcasting an enriched side is never right here: past the
+    # broadcast cap at scale, pointless at test scale.
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     with_a = a.join(F.broadcast(cands), "id_a").select("id_a", "id_b", "sh_a")
     with_b = b.join(F.broadcast(cands.select("id_b").dropDuplicates()), "id_b").select(
         "id_b", "sh_b"
     )
     return (
-        with_a.join(with_b, "id_b")
+        with_a.join(with_b.hint("shuffle_hash"), "id_b")
         .select(
             "id_a",
             "id_b",
