@@ -278,3 +278,33 @@ def test_cli_concept_drift(spark, tmp_path, capsys):
     rc = main(["concept-drift", p_base, p_flip, "--target", "y", "--format", "json"])
     out = json.loads(capsys.readouterr().out)
     assert rc == 1 and out["is_drifted"] and out["drift_score"] == 1.0
+
+
+def test_cli_sample_check(spark, tmp_path, capsys):
+    """th sample-check: sampled pre-check, CI-aware exit codes."""
+    from truthound_spark.cli import main
+
+    p = str(tmp_path / "sc.parquet")
+    rows = [(i, None if i % 4 == 0 else f"v{i}") for i in range(2000)]
+    spark.createDataFrame(rows, "id long, s string").write.parquet(p)
+
+    # ~25% null rate: ci_low clears --fail-above 0.05 -> exit 1
+    rc = main(
+        ["sample-check", p, "--validators", "null", "--key-col", "id",
+         "--modulus", "5", "--residue", "2", "--fail-above", "0.05"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "violates" in out
+
+    # generous bound: clean verdicts, exit 0
+    rc = main(
+        ["sample-check", p, "--validators", "null", "--key-col", "id",
+         "--modulus", "5", "--residue", "2", "--fail-above", "0.9"]
+    )
+    capsys.readouterr()
+    assert rc == 0
+
+    # no validators -> usage error
+    rc = main(["sample-check", p])
+    assert rc == 2

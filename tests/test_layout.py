@@ -120,6 +120,24 @@ class TestBucketed:
         assert plan_exchanges(plain) >= 1
         assert agg.count() == plain.count()
 
+    def test_write_bucketed_clears_stale_location(self, spark, lineitem, tmp_path):
+        # a fresh session's catalog forgets tables but managed dirs
+        # persist; overwrite must not die with LOCATION_ALREADY_EXISTS
+        loc = str(tmp_path)
+        stale = os.path.join(loc, "t_stale")
+        os.makedirs(stale, exist_ok=True)
+        with open(os.path.join(stale, "junk.parquet"), "w") as fh:
+            fh.write("not parquet")
+        t = write_bucketed(
+            lineitem.limit(10),
+            "t_stale",
+            "l_orderkey",
+            buckets=2,
+            database="truthound_layout_stale",
+            location=loc,
+        )
+        assert spark.table(t).count() == 10
+
     def test_write_bucketed_validates_args(self, lineitem):
         with pytest.raises(ValueError):
             write_bucketed(lineitem, "t", [], buckets=8)

@@ -378,6 +378,45 @@ def cmd_bundle(args: argparse.Namespace) -> int:
     return rc
 
 
+def cmd_sample_check(args: argparse.Namespace) -> int:
+    """Sampled pre-check with Wilson intervals (sampled.py): estimate
+    violation ratios from a deterministic sample instead of scanning the
+    full table; exit 1 when any check's ci_low clears --fail-above."""
+    from truthound_spark.core.registry import resolve
+    from truthound_spark.sampled import sampled_check_report
+
+    df = _load(_spark(), args.path)
+    validators = resolve(args.validators.split(",")) if args.validators else None
+    if not validators:
+        print("sample-check requires --validators", file=sys.stderr)
+        return 2
+    rep = sampled_check_report(
+        df,
+        validators,
+        key_col=args.key_col,
+        modulus=args.modulus,
+        residue=args.residue,
+        fraction=args.fraction,
+        seed=args.seed,
+        confidence=args.confidence,
+        level=args.level,
+    ).collect()
+    failed = 0
+    for r in rep:
+        verdict = "ok"
+        if r["ci_low"] is not None and r["ci_low"] > args.fail_above:
+            verdict = "violates"
+            failed += 1
+        elif r["ci_high"] is not None and r["ci_high"] > args.fail_above:
+            verdict = "inconclusive"
+        print(
+            f"{r['check']}\t{r['column']}\tn={r['denom']}"
+            f"\tviolations={r['violations']}\tratio={r['ratio']}"
+            f"\tci=[{r['ci_low']}, {r['ci_high']}]\t{verdict}"
+        )
+    return 1 if failed else 0
+
+
 def cmd_tune(args: argparse.Namespace) -> int:
     """Profile → thresholds (reference auto_threshold.py tune_thresholds);
     with --history-root, learn from stored profile runs instead and
@@ -556,6 +595,25 @@ def cmd_curate(args: argparse.Namespace) -> int:
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="truthound-spark")
     sub = p.add_subparsers(dest="command", required=True)
+
+    c = sub.add_parser(
+        "sample-check",
+        help="sampled pre-check with Wilson confidence intervals",
+    )
+    c.add_argument("path")
+    c.add_argument("--validators", help="comma-separated registry names")
+    c.add_argument("--key-col", dest="key_col", help="deterministic key-mod sampling column")
+    c.add_argument("--modulus", type=int, default=20)
+    c.add_argument("--residue", type=int, default=3)
+    c.add_argument("--fraction", type=float, default=0.05)
+    c.add_argument("--seed", type=int, default=42)
+    c.add_argument("--confidence", type=float, default=0.95)
+    c.add_argument("--level", choices=["rows", "files"], default="rows")
+    c.add_argument(
+        "--fail-above", dest="fail_above", type=float, default=0.0,
+        help="exit 1 when a check's ci_low exceeds this ratio",
+    )
+    c.set_defaults(fn=cmd_sample_check)
 
     c = sub.add_parser("check", help="validate a dataset")
     c.add_argument("path")

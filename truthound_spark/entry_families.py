@@ -388,6 +388,9 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "bucketed_fk_orphans_lineitem",
     "partition_pruned_check_events",
     "range_clustered_scan_lineitem",
+    # r11 sampled validation (sampled.py): deterministic key-mod sample +
+    # Wilson intervals, formula replayed bit-for-bit by the oracle.
+    "sampled_check_report_lineitem",
 ]
 
 

@@ -14486,3 +14486,96 @@ def q_range_clustered_scan_lineitem(spark, sf_dir):
         )
         .orderBy("returnflag")
     )
+
+
+@register(
+    "sampled_check_report_lineitem",
+    """
+    WITH s AS (SELECT * FROM lineitem WHERE l_orderkey % 20 = 3),
+    m AS (
+      SELECT 'null' AS "check", 'l_returnflag' AS col_name,
+             (SELECT COUNT(*) FROM s) AS sample_rows,
+             COUNT(*) AS denom,
+             CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS violations
+      FROM s
+      UNION ALL
+      SELECT 'range', 'l_discount', (SELECT COUNT(*) FROM s),
+             COUNT(l_discount),
+             CAST(SUM(CASE WHEN (l_discount < 0.0 OR l_discount > 0.05)
+                           AND l_discount IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM s
+      UNION ALL
+      SELECT 'range', 'l_quantity', (SELECT COUNT(*) FROM s),
+             COUNT(l_quantity),
+             CAST(SUM(CASE WHEN (l_quantity < 1.0 OR l_quantity > 30.0)
+                           AND l_quantity IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM s
+    ),
+    w AS (
+      SELECT *, violations / CAST(denom AS DOUBLE) AS p,
+             1.959963984540054 * 1.959963984540054 AS z2
+      FROM m
+    ),
+    w2 AS (
+      SELECT *,
+             (p + z2 / (2.0 * denom)) / (1.0 + z2 / denom) AS center,
+             (1.959963984540054 / (1.0 + z2 / denom))
+               * SQRT(p * (1.0 - p) / denom + z2 / (4.0 * denom * denom))
+               AS half
+      FROM w
+    )
+    SELECT "check", col_name, sample_rows, denom, violations,
+           CAST(FLOOR(p * 1000000.0) AS BIGINT) AS ratio_ppm,
+           CAST(FLOOR(GREATEST(0.0, center - half) * 1000000.0) AS BIGINT)
+             AS ci_low_ppm,
+           CAST(FLOOR(LEAST(1.0, center + half) * 1000000.0) AS BIGINT)
+             AS ci_high_ppm
+    FROM w2 ORDER BY "check", col_name
+    """,
+)
+def q_sampled_check_report_lineitem(spark, sf_dir):
+    """Sampled validation with Wilson confidence intervals (sampled.py
+    sampled_check_report; reference analog: the DataSource factory's
+    sample/max_rows profiling subsample, datasources/base.py — here run
+    through the SAME compiled ExpressionSpecs as the full fused path).
+    Deterministic key-mod sample (l_orderkey % 20 = 3 — saves the
+    aggregation CPU of heavy expression batteries; the module's
+    level="files" mode is the one that cuts scan IO, certified by pytest
+    since file paths aren't cross-engine), ONE fused aggregate over the
+    sample, then exact Wilson bounds. The oracle replays the sample predicate, every violation/
+    denominator count, AND the Wilson formula itself (same z to the last
+    bit, same operation order) in DuckDB; bounds compare at floor-to-ppm
+    granularity, so a sampling, counting, or interval-math defect breaks
+    the hash."""
+    from truthound_spark.sampled import sampled_check_report
+    from truthound_spark.validators.completeness import NullValidator
+    from truthound_spark.validators.distribution import RangeValidator
+
+    rep = sampled_check_report(
+        t(spark, sf_dir, "lineitem"),
+        [
+            NullValidator(columns=["l_returnflag"]),
+            RangeValidator("l_quantity", 1.0, 30.0),
+            RangeValidator("l_discount", 0.0, 0.05),
+        ],
+        key_col="l_orderkey",
+        modulus=20,
+        residue=3,
+        round_to=None,
+    )
+    ppm = lambda c: F.floor(F.col(c) * F.lit(1000000.0)).cast("long")  # noqa: E731
+    return (
+        rep.select(
+            "check",
+            F.col("column").alias("col_name"),
+            "sample_rows",
+            "denom",
+            "violations",
+            ppm("ratio").alias("ratio_ppm"),
+            ppm("ci_low").alias("ci_low_ppm"),
+            ppm("ci_high").alias("ci_high_ppm"),
+        ).orderBy("check", "col_name")
+    )

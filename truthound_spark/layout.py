@@ -138,6 +138,23 @@ def write_bucketed(
         raise ValueError(f"buckets must be >= 1, got {buckets}")
     db = ensure_layout_database(df.sparkSession, database, location)
     fq = f"{db}.{table}"
+    if mode == "overwrite" and not df.sparkSession.catalog.tableExists(fq):
+        # A fresh session's in-memory catalog forgets tables but their
+        # managed-table directories persist; saveAsTable then fails with
+        # LOCATION_ALREADY_EXISTS. Clear the stale local directory (an
+        # overwrite would have replaced it anyway). Non-local schemes are
+        # left alone — on a cluster the catalog is durable, so a table
+        # unknown to it with data at its location deserves the error.
+        import shutil
+
+        for row in df.sparkSession.sql(f"DESCRIBE DATABASE {db}").collect():
+            if "location" in str(row[0]).lower():
+                db_loc = str(row[1])
+                if db_loc.startswith("file:"):
+                    stale = os.path.join(db_loc[len("file:") :], table.lower())
+                    if os.path.isdir(stale):
+                        shutil.rmtree(stale, ignore_errors=True)
+                break
     writer = (
         df.write.format("parquet")
         .mode(mode)
