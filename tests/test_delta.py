@@ -1,0 +1,101 @@
+"""Delta validation (delta.py): validate only added/changed rows."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from truthound_spark.delta import changed_rows, delta_check, row_fingerprint
+from truthound_spark.validators.distribution import RangeValidator
+
+
+@pytest.fixture(scope="module")
+def snapshots(spark):
+    old = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+    )
+    # 50 updates (k % 20 == 0 -> v negated), 10 deletes (k in [990,1000)),
+    # 30 inserts (k in [2000, 2030))
+    new = (
+        old.filter(F.col("k") < 990)
+        .withColumn(
+            "v",
+            F.when(F.col("k") % 20 == 0, -F.col("v") - 1).otherwise(F.col("v")),
+        )
+        .unionByName(
+            spark.range(2000, 2030).select(
+                F.col("id").alias("k"),
+                F.lit(5.0).alias("v"),
+                F.lit("new").alias("s"),
+            )
+        )
+    )
+    return old, new
+
+
+class TestChangedRows:
+    def test_exactly_updates_plus_inserts(self, snapshots):
+        old, new = snapshots
+        delta = changed_rows(old, new, "k")
+        keys = {r["k"] for r in delta.select("k").collect()}
+        expected = {k for k in range(0, 990, 20)} | set(range(2000, 2030))
+        assert keys == expected
+
+    def test_unchanged_table_yields_empty_delta(self, snapshots):
+        old, _ = snapshots
+        assert changed_rows(old, old, "k").count() == 0
+
+    def test_compare_cols_subset_ignores_other_changes(self, snapshots):
+        old, _ = snapshots
+        renamed = old.withColumn("s", F.lit("different"))
+        # comparing only v: the s rewrite is invisible
+        assert changed_rows(old, renamed, "k", compare_cols=["v"]).count() == 0
+        # comparing s: every row changed
+        assert changed_rows(old, renamed, "k", compare_cols=["s"]).count() == 1000
+
+    def test_null_vs_value_is_a_change(self, spark):
+        old = spark.createDataFrame([(1, "a"), (2, None)], "k long, s string")
+        new = spark.createDataFrame([(1, None), (2, None)], "k long, s string")
+        keys = {r["k"] for r in changed_rows(old, new, "k").collect()}
+        assert keys == {1}
+
+    def test_framing_prevents_concat_aliasing(self, spark):
+        # ("ab","c") must not fingerprint-collide with ("a","bc")
+        old = spark.createDataFrame([(1, "ab", "c")], "k long, a string, b string")
+        new = spark.createDataFrame([(1, "a", "bc")], "k long, a string, b string")
+        assert changed_rows(old, new, "k").count() == 1
+
+    def test_validates_args(self, snapshots):
+        old, new = snapshots
+        with pytest.raises(ValueError):
+            changed_rows(old, new, [])
+        with pytest.raises(ValueError):
+            changed_rows(
+                old.select("k"), new.select("k"), "k"
+            )  # nothing but keys
+        with pytest.raises(ValueError):
+            row_fingerprint([])
+
+
+class TestDeltaCheck:
+    def test_audits_only_the_delta(self, snapshots):
+        old, new = snapshots
+        issues, stats = delta_check(
+            old, new, "k", [RangeValidator("v", 0, 1e9)]
+        )
+        # 50 negated updates violate; 30 inserts are clean
+        assert stats["row_count"] == 80
+        assert issues and issues[0].count == 50
+
+    def test_clean_delta_passes(self, snapshots):
+        old, _ = snapshots
+        grown = old.unionByName(
+            old.sparkSession.range(5000, 5010).select(
+                F.col("id").alias("k"),
+                F.lit(1.0).alias("v"),
+                F.lit("x").alias("s"),
+            )
+        )
+        issues, stats = delta_check(old, grown, "k", [RangeValidator("v", 0, 10)])
+        assert stats["row_count"] == 10
+        assert issues == []

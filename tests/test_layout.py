@@ -228,3 +228,99 @@ class TestRangeClustered:
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         with pytest.raises(ValueError):
             write_range_clustered(li, "/tmp/x", [])
+
+
+class TestWriteAuditPublish:
+    def _vals(self):
+        return [
+            NullValidator(columns=["s"]),
+            RangeValidator("v", 0, 100),
+        ]
+
+    def test_clean_publish(self, spark, tmp_path):
+        from truthound_spark.layout import write_audit_publish
+
+        df = spark.range(500).select(
+            F.col("id"), F.lit("ok").alias("s"), (F.col("id") % 50).cast("double").alias("v")
+        )
+        final = str(tmp_path / "t_clean")
+        published, issues, where = write_audit_publish(df, final, self._vals())
+        assert published and issues == [] and where == final
+        assert spark.read.parquet(final).count() == 500
+        # no staging residue
+        assert [d for d in os.listdir(tmp_path) if "__staging__" in d] == []
+
+    def test_dirty_abort_leaves_no_published_table(self, spark, tmp_path):
+        from truthound_spark.layout import write_audit_publish
+
+        df = spark.range(500).select(
+            F.col("id"),
+            F.when(F.col("id") % 10 == 0, None).otherwise(F.lit("ok")).alias("s"),
+            (F.col("id") % 50).cast("double").alias("v"),
+        )
+        final = str(tmp_path / "t_dirty")
+        published, issues, where = write_audit_publish(df, final, self._vals())
+        assert not published and where == ""
+        assert issues and issues[0].count == 50
+        assert not os.path.exists(final)
+        assert [d for d in os.listdir(tmp_path) if "__staging__" in d] == []
+
+    def test_keep_failed_staging_for_debugging(self, spark, tmp_path):
+        from truthound_spark.layout import write_audit_publish
+
+        df = spark.range(100).select(
+            F.col("id"), F.lit(None).cast("string").alias("s"),
+            F.lit(1.0).alias("v"),
+        )
+        final = str(tmp_path / "t_keep")
+        published, issues, where = write_audit_publish(
+            df, final, self._vals(), keep_failed_staging=True
+        )
+        assert not published and "__staging__" in where
+        assert spark.read.parquet(where).count() == 100
+
+    def test_overwrite_replaces_atomically(self, spark, tmp_path):
+        from truthound_spark.layout import write_audit_publish
+
+        final = str(tmp_path / "t_over")
+        v1 = spark.range(10).select(
+            F.col("id"), F.lit("a").alias("s"), F.lit(1.0).alias("v")
+        )
+        v2 = spark.range(20).select(
+            F.col("id"), F.lit("b").alias("s"), F.lit(2.0).alias("v")
+        )
+        assert write_audit_publish(v1, final, self._vals())[0]
+        with pytest.raises(FileExistsError):
+            write_audit_publish(v2, final, self._vals())
+        assert spark.read.parquet(final).count() == 10  # untouched
+        assert write_audit_publish(v2, final, self._vals(), overwrite=True)[0]
+        assert spark.read.parquet(final).count() == 20
+        # a FAILED overwrite keeps the old version published
+        dirty = v2.withColumn("v", F.lit(999.0))
+        published, _, _ = write_audit_publish(
+            dirty, final, self._vals(), overwrite=True
+        )
+        assert not published
+        assert spark.read.parquet(final).count() == 20
+
+    def test_object_store_scheme_refused(self, spark):
+        from truthound_spark.layout import write_audit_publish
+
+        df = spark.range(1)
+        with pytest.raises(NotImplementedError):
+            write_audit_publish(df, "s3a://bucket/table", [])
+
+    def test_partitioned_publish(self, spark, tmp_path):
+        from truthound_spark.layout import write_audit_publish
+
+        df = spark.range(100).select(
+            F.col("id"), F.lit("ok").alias("s"),
+            (F.col("id") % 50).cast("double").alias("v"),
+            (F.col("id") % 3).cast("string").alias("part"),
+        )
+        final = str(tmp_path / "t_part")
+        published, _, _ = write_audit_publish(
+            df, final, self._vals(), partition_cols="part"
+        )
+        assert published
+        assert len([d for d in os.listdir(final) if d.startswith("part=")]) == 3

@@ -35,6 +35,6 @@ from truthound_spark.lineage_openlineage import (  # noqa: F401
     OpenLineageAction,
     OpenLineageEmitter,
 )
-from truthound_spark import drift, layout, ml, pipeline, sampled, sources, streaming  # noqa: F401
+from truthound_spark import delta, drift, layout, ml, pipeline, sampled, sources, streaming  # noqa: F401
 
 __version__ = "0.3.0"

@@ -1,0 +1,101 @@
+"""Delta validation — validate only the rows that changed between two
+snapshots of a table.
+
+The incremental complement to ``layout.incremental_check``: partition
+pruning covers append-only tables with partition discipline; real tables
+also get UPDATES, and re-validating 100 TB because 0.1% of rows changed
+is the cost this module removes. No reference counterpart (the
+single-node reference re-validates whatever frame it is handed); the
+closest published analogs are CDC-feed validation and Iceberg/Delta
+incremental scans, re-expressed here over plain parquet snapshots.
+
+Plan shape: both snapshots are reduced to narrow ``(key, fingerprint)``
+projections (fingerprint = xxhash64 over a null-safe canonical encoding
+of the compared columns), the anti-join between those projections
+shuffles ONLY keys and 64-bit hashes (never rows), and the surviving
+keys pull their full rows from the new snapshot with a semi-join. The
+fused executor then audits just the added/changed subset.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["row_fingerprint", "changed_rows", "delta_check"]
+
+#: Field separator / null sentinel for the canonical row encoding. A raw
+#: concat would collide ("ab"+"c" vs "a"+"bc"); a null skipped by
+#: xxhash64's null handling would collide (x, NULL) with (NULL, x).
+_SEP = "\x1f"
+_NULL = "\x00NULL"
+
+
+def row_fingerprint(cols: Sequence[str]):
+    """64-bit fingerprint Column over ``cols`` — null-safe, order-fixed,
+    separator-framed so no value concatenation can alias another row."""
+    if not cols:
+        raise ValueError("at least one column to fingerprint")
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit(_NULL)) for c in cols
+    ]
+    return F.xxhash64(F.concat_ws(_SEP, *parts))
+
+
+def changed_rows(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: str | Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Rows of ``new`` that are ADDED or CHANGED relative to ``old``.
+
+    A row counts as changed when no old row shares its key AND compared
+    columns (default: every non-key column both frames share). Deleted
+    rows do not appear — they have no row in ``new`` to validate; audit
+    deletions with a referential check on the other side.
+
+    Shuffle cost: the anti-join moves (key, hash) pairs only; full rows
+    move once, in the final semi-join against the new snapshot.
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    if not key_cols:
+        raise ValueError("at least one key column is required")
+    if compare_cols is None:
+        shared = [c for c in new.columns if c in set(old.columns)]
+        compare_cols = [c for c in shared if c not in set(key_cols)]
+    if not compare_cols:
+        raise ValueError("no columns to compare (all shared columns are keys)")
+    fp = row_fingerprint(list(key_cols) + list(compare_cols))
+    new_ids = new.select(*key_cols, fp.alias("__fp"))
+    old_ids = old.select(*key_cols, fp.alias("__fp"))
+    changed_keys = new_ids.join(
+        old_ids, on=[*key_cols, "__fp"], how="left_anti"
+    ).select(*key_cols)
+    return new.join(changed_keys, on=list(key_cols), how="left_semi")
+
+
+def delta_check(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: str | Sequence[str],
+    validators: list,
+    compare_cols: Sequence[str] | None = None,
+    result_format: Any = None,
+):
+    """Run a validator suite on ONLY the added/changed rows of ``new``.
+
+    Returns ``(issues, stats)`` from the fused executor over the delta —
+    ``stats["row_count"]`` is the number of changed rows, so the caller
+    sees both the audit verdict and how much actually changed. Cost
+    scales with the change mass plus two narrow fingerprint scans, not
+    with the table.
+    """
+    from truthound_spark.core.executor import BatchExpressionExecutor
+
+    delta = changed_rows(old, new, key_cols, compare_cols)
+    kwargs = {} if result_format is None else {"result_format": result_format}
+    return BatchExpressionExecutor(validators, **kwargs).execute_with_stats(delta)

@@ -391,6 +391,12 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     # r11 sampled validation (sampled.py): deterministic key-mod sample +
     # Wilson intervals, formula replayed bit-for-bit by the oracle.
     "sampled_check_report_lineitem",
+    # r11 write gate (layout.py write_audit_publish): WAP pattern driven
+    # through the real staging/rename machinery, both gate outcomes.
+    "wap_gate_orders",
+    # r11 delta validation (delta.py): hash-projection anti-join delta,
+    # recomputed by the oracle with NOT EXISTS full-column equality.
+    "delta_check_orders",
 ]
 
 

@@ -14579,3 +14579,165 @@ def q_sampled_check_report_lineitem(spark, sf_dir):
             ppm("ci_high").alias("ci_high_ppm"),
         ).orderBy("check", "col_name")
     )
+
+
+@register(
+    "wap_gate_orders",
+    """
+    SELECT COUNT(*) AS published_rows,
+           ROUND(SUM(o_totalprice), 2) AS published_revenue,
+           1 AS clean_published,
+           0 AS dirty_published,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 11 = 0)
+                AS BIGINT) AS dirty_violations
+    FROM orders
+    """,
+)
+def q_wap_gate_orders(spark, sf_dir):
+    """Write-audit-publish gate (layout.py write_audit_publish — the WAP
+    pattern; no reference counterpart: a single-node engine returns
+    issues, a pipeline engine must gate the WRITE). Two gated writes run
+    against the REAL staging/rename machinery: a clean orders write must
+    publish (its row count + revenue are then read back FROM THE
+    PUBLISHED PARQUET and recomputed by the oracle from the source
+    table, so a staging write that dropped or mangled rows breaks the
+    hash), and a write with every 11th o_totalprice negated must be
+    rejected by the audit with exactly count(o_orderkey % 11 = 0)
+    violations and leave NO published table. The slot raises if either
+    gate decision is wrong or the aborted path leaves residue."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from truthound_spark.layout import write_audit_publish
+    from truthound_spark.validators.distribution import RangeValidator
+
+    orders = t(spark, sf_dir, "orders")
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = _os.path.join(_tempfile.gettempdir(), f"spark_graft_wap_{tag}")
+    _shutil.rmtree(root, ignore_errors=True)
+    _os.makedirs(root)
+    gate = [RangeValidator("o_totalprice", min_value=0.0)]
+
+    clean_path = _os.path.join(root, "orders_clean")
+    ok, issues, where = write_audit_publish(orders, clean_path, gate)
+    if not ok or issues or where != clean_path:
+        raise RuntimeError(f"clean write failed to publish: {issues}")
+
+    dirty = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, -F.col("o_totalprice")
+        ).otherwise(F.col("o_totalprice")),
+    )
+    dirty_path = _os.path.join(root, "orders_dirty")
+    ok2, issues2, where2 = write_audit_publish(dirty, dirty_path, gate)
+    if ok2 or _os.path.exists(dirty_path) or where2 != "":
+        raise RuntimeError("dirty write escaped the audit gate")
+    dirty_violations = sum(i.count for i in issues2)
+
+    published = spark.read.parquet(clean_path)
+    return published.groupBy().agg(
+        F.count(F.lit(1)).alias("published_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("published_revenue"),
+        F.lit(1).alias("clean_published"),
+        F.lit(0).alias("dirty_published"),
+        F.lit(int(dirty_violations)).cast("long").alias("dirty_violations"),
+    )
+
+
+@register(
+    "delta_check_orders",
+    """
+    WITH p AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+    n AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN -o_totalprice
+                  ELSE o_totalprice END AS o_totalprice
+      FROM p WHERE o_orderkey % 17 <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_custkey, o_totalprice
+      FROM p WHERE o_orderkey % 19 = 0
+    ),
+    d AS (
+      SELECT * FROM n WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.o_orderkey = n.o_orderkey
+          AND p.o_custkey IS NOT DISTINCT FROM n.o_custkey
+          AND p.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+      )
+    )
+    SELECT COUNT(*) AS n_changed,
+           CAST(SUM(CASE WHEN o_orderkey < 1000000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS modified_rows,
+           CAST(SUM(CASE WHEN o_orderkey >= 1000000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS added_rows,
+           CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS negative_prices,
+           ROUND(SUM(o_totalprice), 2) AS changed_revenue
+    FROM d
+    """,
+)
+def q_delta_check_orders(spark, sf_dir):
+    """Delta validation (delta.py changed_rows / delta_check — validate
+    ONLY the rows that changed between snapshots; CDC-style incremental
+    audit over plain parquet, no reference counterpart). A synthetic new
+    snapshot plants every change class against orders: every 13th key's
+    price negated (updates the audit must catch), every 17th key deleted
+    (must NOT appear — no row to validate), every 19th key re-inserted
+    under a shifted key (clean additions). changed_rows reduces both
+    snapshots to (key, xxhash64 fingerprint) projections — the anti-join
+    shuffles hashes, never rows — and the oracle recomputes the same
+    delta with NOT EXISTS over full column equality, so fingerprint
+    collisions, null-handling or framing defects in the canonical
+    encoding, and wrong join semantics all break the hash. The slot also
+    runs the fused audit over the delta and RAISES unless it reports
+    exactly the planted negative prices."""
+    from truthound_spark.delta import changed_rows, delta_check
+    from truthound_spark.validators.distribution import RangeValidator
+
+    p = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    new = (
+        p.filter(k % 17 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 13 == 0, -F.col("o_totalprice")).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            p.filter(k % 19 == 0).select(
+                (k + 1000000000).alias("o_orderkey"),
+                "o_custkey",
+                "o_totalprice",
+            )
+        )
+    )
+    delta = changed_rows(p, new, "o_orderkey")
+    issues, stats = delta_check(
+        p, new, "o_orderkey", [RangeValidator("o_totalprice", min_value=0.0)]
+    )
+    agg = delta.groupBy().agg(
+        F.count(F.lit(1)).alias("n_changed"),
+        F.sum(F.when(k < 1000000000, 1).otherwise(0))
+        .cast("long")
+        .alias("modified_rows"),
+        F.sum(F.when(k >= 1000000000, 1).otherwise(0))
+        .cast("long")
+        .alias("added_rows"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("negative_prices"),
+        F.round(F.sum("o_totalprice"), 2).alias("changed_revenue"),
+    )
+    row = agg.collect()[0]
+    audit_count = sum(i.count for i in issues)
+    if audit_count != row["negative_prices"] or stats["row_count"] != row["n_changed"]:
+        raise RuntimeError(
+            f"delta audit mismatch: audit={audit_count} rows={stats['row_count']} "
+            f"vs relational {row['negative_prices']}/{row['n_changed']}"
+        )
+    return agg

@@ -281,6 +281,84 @@ def read_pruned(
     return df
 
 
+def write_audit_publish(
+    df: DataFrame,
+    path: str,
+    validators: list,
+    partition_cols: str | Sequence[str] | None = None,
+    overwrite: bool = False,
+    keep_failed_staging: bool = False,
+    result_format: Any = None,
+):
+    """Stage → audit → publish: the write gate that keeps bad data out of
+    a published table (the WAP pattern popularized by Netflix's Iceberg
+    deployments; no reference counterpart — a single-node engine returns
+    issues to its caller, a pipeline engine must gate the WRITE).
+
+    ``df`` is written to a staging directory NEXT TO ``path``, the audit
+    re-reads the staged files (so it validates the bytes that actually
+    landed — catching write-path surprises and non-deterministic upstream
+    plans, which an audit of the in-memory frame would miss), and only a
+    clean audit publishes staging to ``path`` with one same-filesystem
+    rename. A failed audit deletes staging (or keeps it for debugging
+    with ``keep_failed_staging``) and the published path is never touched
+    — downstream readers see the previous version or nothing, never a
+    half-validated table.
+
+    Returns ``(published: bool, issues: list, final_path: str)`` —
+    ``final_path`` is ``path`` on publish, the retained staging directory
+    on a kept failure, else "".
+
+    Local/HDFS-style filesystems only (rename is atomic there); for
+    object stores use a table format with a real commit protocol
+    (Iceberg/Delta) — a rename on S3 is a copy, and this function refuses
+    to pretend otherwise.
+    """
+    import shutil
+    import uuid
+
+    from truthound_spark.core.executor import BatchExpressionExecutor
+
+    if "://" in path and not path.startswith("file:"):
+        raise NotImplementedError(
+            "write_audit_publish publishes with a filesystem rename; "
+            f"scheme of {path!r} has no atomic rename — use a table "
+            "format with a commit protocol (Iceberg/Delta) there"
+        )
+    local = path[len("file:") :] if path.startswith("file:") else path
+    staging = f"{local}__staging__{uuid.uuid4().hex[:12]}"
+
+    writer = df.write.mode("errorifexists")
+    if partition_cols:
+        if isinstance(partition_cols, str):
+            partition_cols = [partition_cols]
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(staging)
+
+    staged = df.sparkSession.read.parquet(staging)
+    kwargs = {} if result_format is None else {"result_format": result_format}
+    issues = BatchExpressionExecutor(validators, **kwargs).execute(staged)
+    failed = [i for i in issues if not i.success]
+    if failed:
+        if keep_failed_staging:
+            return False, failed, staging
+        shutil.rmtree(staging, ignore_errors=True)
+        return False, failed, ""
+    if os.path.exists(local):
+        if not overwrite:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise FileExistsError(
+                f"{local} exists; pass overwrite=True to replace it"
+            )
+        old = f"{local}__replaced__{uuid.uuid4().hex[:12]}"
+        os.rename(local, old)
+        os.rename(staging, local)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.rename(staging, local)
+    return True, [], local
+
+
 def incremental_check(
     spark: SparkSession,
     path: str,
