@@ -99,3 +99,33 @@ class TestDeltaCheck:
         issues, stats = delta_check(old, grown, "k", [RangeValidator("v", 0, 10)])
         assert stats["row_count"] == 10
         assert issues == []
+
+
+class TestNullKeys:
+    def test_unchanged_null_key_row_is_not_reflagged(self, spark):
+        old = spark.createDataFrame([(1, "a"), (None, "x")], "k int, v string")
+        new = spark.createDataFrame([(1, "a"), (None, "x")], "k int, v string")
+        assert changed_rows(old, new, "k").count() == 0
+
+    def test_null_key_inserts_survive_into_the_delta(self, spark):
+        # r12 fix: with plain `=` joins the anti-join flagged NULL-key rows
+        # but the final semi-join dropped them — exactly the dirtiest rows
+        # vanished from the audit. eqNullSafe keeps them.
+        old = spark.createDataFrame([(1, "a"), (None, "x")], "k int, v string")
+        new = spark.createDataFrame(
+            [(1, "a"), (None, "x"), (None, "y"), (2, "b")], "k int, v string"
+        )
+        got = {(r["k"], r["v"]) for r in changed_rows(old, new, "k").collect()}
+        assert (2, "b") in got
+        assert (None, "y") in got  # NULL-key insert must be audited
+        # key-granular semantics: the changed NULL key conservatively pulls
+        # its sibling row too (same rule as any non-unique key)
+        assert (None, "x") in got
+        assert (1, "a") not in got
+
+    def test_null_key_delta_rows_are_audited(self, spark):
+        old = spark.createDataFrame([(1, 5.0)], "k int, v double")
+        new = spark.createDataFrame([(1, 5.0), (None, 999.0)], "k int, v double")
+        issues, stats = delta_check(old, new, "k", [RangeValidator("v", 0, 100)])
+        assert stats["row_count"] == 1
+        assert any(not i.success for i in issues)

@@ -324,3 +324,65 @@ class TestWriteAuditPublish:
         )
         assert published
         assert len([d for d in os.listdir(final) if d.startswith("part=")]) == 3
+
+
+class TestIdentifierAndPathSafety:
+    def test_quote_in_location_is_escaped(self, spark, tmp_path):
+        from truthound_spark.layout import ensure_layout_database
+
+        loc = str(tmp_path / "o'brien db")
+        db = ensure_layout_database(spark, "t_quote_db", location=loc)
+        desc = " ".join(str(r) for r in spark.sql("DESCRIBE DATABASE t_quote_db").collect())
+        assert "brien" in desc
+        spark.sql(f"DROP DATABASE {db}")
+
+    def test_bad_table_name_rejected(self, spark):
+        from truthound_spark.layout import write_bucketed
+
+        with pytest.raises(ValueError):
+            write_bucketed(spark.range(1), "bad-name; DROP TABLE x", "id")
+
+    def test_nonlocal_default_fs_refused_for_schemeless_path(self, spark, tmp_path):
+        # scheme-less path would stage to defaultFS but publish with a
+        # driver-local os.rename — different filesystems, refuse up front
+        from truthound_spark.layout import write_audit_publish
+
+        hconf = spark._jsc.hadoopConfiguration()
+        old = hconf.get("fs.defaultFS", "file:///")
+        hconf.set("fs.defaultFS", "hdfs://nameservice1/")
+        try:
+            with pytest.raises(NotImplementedError):
+                write_audit_publish(spark.range(1), str(tmp_path / "t_hdfs"), [])
+        finally:
+            hconf.set("fs.defaultFS", old)
+
+    def test_failed_publish_rename_restores_old_version(
+        self, spark, tmp_path, monkeypatch
+    ):
+        # crash window between the two overwrite renames: the old version
+        # must be restored, never left stranded under __replaced__
+        from truthound_spark import layout
+
+        final = str(tmp_path / "t_restore")
+        v1 = spark.range(10).select(
+            F.col("id"), F.lit("a").alias("s"), F.lit(1.0).alias("v")
+        )
+        v2 = spark.range(20).select(
+            F.col("id"), F.lit("b").alias("s"), F.lit(2.0).alias("v")
+        )
+        vals = [NullValidator(columns=["s"]), RangeValidator("v", 0, 100)]
+        assert layout.write_audit_publish(v1, final, vals)[0]
+
+        real_rename = os.rename
+
+        def failing(src, dst):
+            if dst == final and "__staging__" in src:
+                raise OSError("injected: publish rename failed")
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(os, "rename", failing)
+        with pytest.raises(OSError, match="injected"):
+            layout.write_audit_publish(v2, final, vals, overwrite=True)
+        monkeypatch.undo()
+        assert spark.read.parquet(final).count() == 10  # old version restored
+        assert [d for d in os.listdir(tmp_path) if "__replaced__" in d] == []

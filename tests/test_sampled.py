@@ -151,3 +151,56 @@ class TestReport:
             )
         with pytest.raises(ValueError):
             sampled_check_report(lineitem, [], level="blocks")
+
+
+class TestPartitionedFileSample:
+    def test_partition_columns_survive_file_sampling(self, spark, tmp_path):
+        # r12 fix: a direct leaf-file read skips partition discovery, so
+        # partition columns came back all-NULL — every sampled check on a
+        # partition column silently miscounted. basePath pins the table
+        # root so the directory-borne values are recovered.
+        path = str(tmp_path / "parted")
+        spark.range(300).select(
+            F.col("id"), (F.col("id") % 3).cast("string").alias("part")
+        ).write.partitionBy("part").parquet(path)
+        parted = spark.read.parquet(path)
+        rep = sampled_check_report(
+            parted,
+            [NullValidator(columns=["part"])],
+            level="files",
+            fraction=0.6,
+            seed=1,
+        ).collect()
+        assert rep[0]["sample_rows"] > 0
+        assert rep[0]["violations"] == 0  # all-NULL bug would report 100%
+
+    def test_single_partition_sample_keeps_value(self, spark, tmp_path):
+        # edge: every sampled file under ONE partition dir — a naive
+        # commonpath would fold `part=a` into basePath and lose the column
+        from truthound_spark.sampled import _file_sample
+
+        path = str(tmp_path / "one_part")
+        spark.range(100).select(
+            F.col("id"), F.lit("a").alias("part")
+        ).write.partitionBy("part").parquet(path)
+        parted = spark.read.parquet(path)
+        sub = _file_sample(parted, 1.0, 0)
+        assert {r["part"] for r in sub.select("part").distinct().collect()} == {"a"}
+
+    def test_table_base_path_strips_partition_dirs(self):
+        from truthound_spark.sampled import _table_base_path
+
+        assert (
+            _table_base_path(
+                [
+                    "file:/data/t/part=a/f1.parquet",
+                    "file:/data/t/part=b/f2.parquet",
+                ]
+            )
+            == "file:/data/t"
+        )
+        assert (
+            _table_base_path(["file:/data/t/part=a/day=3/f1.parquet"])
+            == "file:/data/t"
+        )
+        assert _table_base_path(["file:/data/t/f1.parquet"]) == "file:/data/t"

@@ -76,10 +76,26 @@ def changed_rows(
     fp = row_fingerprint(list(key_cols) + list(compare_cols))
     new_ids = new.select(*key_cols, fp.alias("__fp"))
     old_ids = old.select(*key_cols, fp.alias("__fp"))
-    changed_keys = new_ids.join(
-        old_ids, on=[*key_cols, "__fp"], how="left_anti"
-    ).select(*key_cols)
-    return new.join(changed_keys, on=list(key_cols), how="left_semi")
+    # NULL-safe key equality throughout: with plain `=` joins a NULL key
+    # never matches, so an added/changed NULL-key row would be flagged by
+    # the anti-join and then silently DROPPED by the semi-join — a quality
+    # tool losing exactly the dirtiest rows. eqNullSafe treats NULL as a
+    # distinct key value in both joins (unchanged NULL-key rows are also
+    # correctly recognized as unchanged instead of re-flagged every run).
+    anti_cond = new_ids["__fp"].eqNullSafe(old_ids["__fp"])
+    for k in key_cols:
+        anti_cond = anti_cond & new_ids[k].eqNullSafe(old_ids[k])
+    changed_keys = new_ids.join(old_ids, on=anti_cond, how="left_anti").select(
+        # fresh names (new exprIds) — the semi-join below joins `new` back
+        # to a frame derived FROM `new`; unrenamed key attributes would be
+        # ambiguous self-join references
+        *[F.col(k).alias(f"__ck_{k}") for k in key_cols]
+    )
+    semi_cond = None
+    for k in key_cols:
+        c = F.col(k).eqNullSafe(F.col(f"__ck_{k}"))
+        semi_cond = c if semi_cond is None else semi_cond & c
+    return new.join(changed_keys, on=semi_cond, how="left_semi")
 
 
 def delta_check(

@@ -105,8 +105,11 @@ def ensure_layout_database(
     loc = location or os.path.join(
         tempfile.gettempdir(), f"truthound_layout_{database}"
     )
+    # the location is interpolated into SQL inside single quotes — escape
+    # embedded quotes (tempdir- or caller-derived paths can contain them)
+    loc_sql = loc.replace("'", "''")
     spark.sql(
-        f"CREATE DATABASE IF NOT EXISTS {database} LOCATION '{loc}'"
+        f"CREATE DATABASE IF NOT EXISTS {database} LOCATION '{loc_sql}'"
     )
     return database
 
@@ -136,6 +139,8 @@ def write_bucketed(
         raise ValueError("at least one bucket key is required")
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
+    if not table.replace("_", "").isalnum():
+        raise ValueError(f"table must be an identifier, got {table!r}")
     db = ensure_layout_database(df.sparkSession, database, location)
     fq = f"{db}.{table}"
     if mode == "overwrite" and not df.sparkSession.catalog.tableExists(fq):
@@ -299,11 +304,16 @@ def write_audit_publish(
     re-reads the staged files (so it validates the bytes that actually
     landed — catching write-path surprises and non-deterministic upstream
     plans, which an audit of the in-memory frame would miss), and only a
-    clean audit publishes staging to ``path`` with one same-filesystem
-    rename. A failed audit deletes staging (or keeps it for debugging
+    clean audit publishes staging to ``path`` via same-filesystem
+    rename(s). A failed audit deletes staging (or keeps it for debugging
     with ``keep_failed_staging``) and the published path is never touched
     — downstream readers see the previous version or nothing, never a
-    half-validated table.
+    half-validated table. An ``overwrite`` publish is TWO renames
+    (old → aside, staging → path): readers may observe a brief ENOENT
+    window between them, and a crash inside the window is repaired by
+    restoring the old version (so the table is never left unpublished) —
+    a single-rename atomic replace would need renameat2(RENAME_EXCHANGE),
+    which Python/HDFS don't expose portably.
 
     Returns ``(published: bool, issues: list, final_path: str)`` —
     ``final_path`` is ``path`` on publish, the retained staging directory
@@ -325,6 +335,26 @@ def write_audit_publish(
             f"scheme of {path!r} has no atomic rename — use a table "
             "format with a commit protocol (Iceberg/Delta) there"
         )
+    if not path.startswith("file:"):
+        # a scheme-less path resolves against fs.defaultFS for the SPARK
+        # write but against the driver's local filesystem for the
+        # audit/publish os.rename below; on a cluster whose defaultFS is
+        # HDFS those are different filesystems — refuse rather than stage
+        # to HDFS and rename a nonexistent local path
+        default_fs = (
+            df.sparkSession._jsc.hadoopConfiguration().get(
+                "fs.defaultFS", "file:///"
+            )
+            or "file:///"
+        )
+        if not default_fs.startswith("file:"):
+            raise NotImplementedError(
+                f"scheme-less path {path!r} resolves against "
+                f"fs.defaultFS={default_fs!r} for the write but against "
+                "the local filesystem for the publish rename — pass an "
+                "explicit file: URI for a local table, or use a table "
+                "format with a commit protocol for non-local filesystems"
+            )
     local = path[len("file:") :] if path.startswith("file:") else path
     staging = f"{local}__staging__{uuid.uuid4().hex[:12]}"
 
@@ -352,7 +382,13 @@ def write_audit_publish(
             )
         old = f"{local}__replaced__{uuid.uuid4().hex[:12]}"
         os.rename(local, old)
-        os.rename(staging, local)
+        try:
+            os.rename(staging, local)
+        except BaseException:
+            # repair the ENOENT window: restore the previous version so a
+            # failed second rename never leaves the table unpublished
+            os.rename(old, local)
+            raise
         shutil.rmtree(old, ignore_errors=True)
     else:
         os.rename(staging, local)

@@ -574,23 +574,14 @@ def _z_for(confidence: float) -> float:
     analysis.py:243-247) breaks the is_significant ⟺ "CI excludes 0"
     invariant for any level outside the table (e.g. 0.98: p≈0.028 >
     alpha=0.02 under z≈2.2 yet a 1.96·SE interval excludes 0). A
-    Winitzki inverse-erf start (validators/anomaly.py:_erfinv) refined
-    by Newton on the SAME erfc the p-value uses makes the two
-    boundaries bit-consistent to float rounding."""
-    if not 0.0 < confidence < 1.0:
-        raise ValueError(f"confidence must be in (0, 1), got {confidence}")
-    alpha = 1.0 - confidence
-    from truthound_spark.validators.anomaly import _erfinv
+    Winitzki inverse-erf start refined by Newton on the SAME erfc the
+    p-value uses makes the two boundaries bit-consistent to float
+    rounding. One shared kernel (truthound_spark/stats.py) serves this
+    and sampled.py's Wilson pre-checks, so the two CI layers cannot
+    drift apart."""
+    from truthound_spark.stats import z_for_confidence
 
-    z = math.sqrt(2.0) * _erfinv(confidence)
-    for _ in range(4):  # Newton on f(z) = erfc(z/√2) − alpha
-        f = math.erfc(z / math.sqrt(2.0)) - alpha
-        fp = -math.sqrt(2.0 / math.pi) * math.exp(-z * z / 2.0)
-        step = f / fp
-        z -= step
-        if abs(step) < 1e-15 * max(1.0, abs(z)):
-            break
-    return z
+    return z_for_confidence(confidence)
 
 
 class StatisticalAnalyzer:

@@ -51,28 +51,10 @@ from pyspark.sql.types import (
 __all__ = ["wilson_interval", "z_for_confidence", "sampled_check_report"]
 
 
-def z_for_confidence(confidence: float) -> float:
-    """Exact two-sided normal critical value via inverse-erf (Winitzki
-    start + Newton on erfc, same scheme as profiler.ab_testing._z_for)."""
-    if not 0 < confidence < 1:
-        raise ValueError(f"confidence must be in (0,1), got {confidence}")
-    # Winitzki approximation of erfinv
-    x = confidence
-    a = 0.147
-    ln1mx2 = math.log(1.0 - x * x)
-    t1 = 2.0 / (math.pi * a) + ln1mx2 / 2.0
-    z = math.copysign(math.sqrt(math.sqrt(t1 * t1 - ln1mx2 / a) - t1), x)
-    z *= math.sqrt(2.0)
-    # Newton refinement on erfc so the value is exact to double precision
-    for _ in range(4):
-        # f(z) = erfc(z/sqrt(2)) - (1-confidence); f'(z) = -sqrt(2/pi)e^{-z^2/2}
-        f = math.erfc(z / math.sqrt(2.0)) - (1.0 - confidence)
-        fp = -math.sqrt(2.0 / math.pi) * math.exp(-z * z / 2.0)
-        step = f / fp
-        z -= step
-        if abs(step) < 1e-15:
-            break
-    return z
+# One shared implementation (truthound_spark/stats.py) — the A/B layer
+# (profiler/ab_testing.py:_z_for) uses the same kernel, so sampled CIs
+# and A/B CIs can never drift apart. Re-exported here for compatibility.
+from truthound_spark.stats import z_for_confidence  # noqa: E402
 
 
 def wilson_interval(
@@ -109,11 +91,37 @@ _SCHEMA = StructType(
 )
 
 
+def _table_base_path(files: Sequence[str]) -> str:
+    """Common ancestor directory of a table's data files, with trailing
+    Hive partition segments (``name=value``) stripped.
+
+    Needed because a direct read of leaf files does not run partition
+    discovery: without ``basePath`` the partition columns (which live in
+    the directory names, not the file footers) come back all-NULL — on a
+    partitioned table that silently corrupts any sampled check touching
+    a partition column. Stripping trailing ``name=value`` segments keeps
+    the base correct even when every sampled file sits under ONE
+    partition value (the commonpath would otherwise swallow it)."""
+    dirs = sorted({f.rsplit("/", 1)[0] for f in files})
+    parts = [d.split("/") for d in dirs]
+    common: list[str] = []
+    for segs in zip(*parts):
+        if all(s == segs[0] for s in segs):
+            common.append(segs[0])
+        else:
+            break
+    while common and "=" in common[-1]:
+        common.pop()
+    return "/".join(common)
+
+
 def _file_sample(df: DataFrame, share: float, seed: int) -> DataFrame:
     """Read a deterministic hash-share of df's parquet files (≥1 file).
 
     The only mode that cuts scan IO: row-level sampling still reads
     every row group. Deterministic in (file set, seed) — no RNG.
+    ``basePath`` is pinned to the table root so Hive-partitioned tables
+    keep their partition columns (see ``_table_base_path``).
     """
     import zlib
 
@@ -131,7 +139,11 @@ def _file_sample(df: DataFrame, share: float, seed: int) -> DataFrame:
     ]
     if not picked:
         picked = [files[zlib.crc32(str(seed).encode()) % len(files)]]
-    return df.sparkSession.read.schema(df.schema).parquet(*picked)
+    return (
+        df.sparkSession.read.option("basePath", _table_base_path(files))
+        .schema(df.schema)
+        .parquet(*picked)
+    )
 
 
 def sampled_check_report(
