@@ -1,0 +1,138 @@
+"""Scale shape of the dedup verify stages (r12): size-gated candidate
+attaches (broadcast only under a byte budget, shuffle-hash over it) and
+the bucketed shingle-table layout that replaces localCheckpoint reuse."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from truthound_spark.layout import plan_exchanges
+from truthound_spark.pipeline.dedup import (
+    _pair_relation_bytes,
+    incremental_dedup,
+    minhash_dedup_pairs,
+    set_similarity_join,
+    write_shingle_layout,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").limit(400)
+
+
+def _pairs_set(df):
+    return {(r["id_a"], r["id_b"], round(r["jaccard"], 6)) for r in df.collect()}
+
+
+class TestBroadcastBudgetGate:
+    def test_over_budget_plan_has_no_broadcast(self, docs):
+        # budget 0 = the 100 TB shape: every candidate attach must be a
+        # shuffle join; a BroadcastExchange anywhere means a pair relation
+        # (unbounded in the corpus) is being shipped through the driver
+        pairs = minhash_dedup_pairs(docs, threshold=0.5, broadcast_pairs_budget=0)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan
+
+    def test_gate_preserves_results_exactly(self, docs):
+        base = _pairs_set(minhash_dedup_pairs(docs, threshold=0.5))
+        gated = _pairs_set(
+            minhash_dedup_pairs(docs, threshold=0.5, broadcast_pairs_budget=0)
+        )
+        assert gated == base
+
+    def test_set_similarity_gate_preserves_results(self, docs):
+        sets = docs.select(
+            F.col("doc_id"), F.split(F.lower("text"), r"\s+").alias("toks")
+        )
+        base = _pairs_set(set_similarity_join(sets, "toks", "doc_id", 0.6))
+        gated = _pairs_set(
+            set_similarity_join(sets, "toks", "doc_id", 0.6, broadcast_pairs_budget=0)
+        )
+        assert gated == base
+        # the candidate ATTACH must be a shuffled-hash join on id_a (the
+        # freq/prefix joins inside candidate generation may still auto-
+        # broadcast from SIZE ESTIMATES — correct at test scale, and they
+        # degrade to shuffles at real scale; the gate removes only the
+        # FORCED broadcasts that would override those estimates)
+        pairs = set_similarity_join(sets, "toks", "doc_id", 0.6, broadcast_pairs_budget=0)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        attach_lines = [
+            ln for ln in plan.splitlines() if "Join" in ln and "id_a" in ln
+        ]
+        assert attach_lines and all(
+            "Broadcast" not in ln for ln in attach_lines
+        ), attach_lines
+
+    def test_pair_bytes_estimate_orders_of_magnitude(self, spark):
+        rel = spark.range(1).select(
+            F.col("id").alias("id_a"), F.col("id").alias("id_b")
+        )
+        per_pair = _pair_relation_bytes(rel, 1)
+        # two longs + overhead: must land between "raw 16 bytes" and "1 KB"
+        assert 16 <= per_pair <= 1024
+        # 35M pairs (the measured sf10 candidate count) must blow any sane
+        # budget — the gate exists to flip THAT case to the shuffle path
+        assert _pair_relation_bytes(rel, 35_000_000) > (64 << 20)
+
+
+class TestShingleTableLayout:
+    @pytest.fixture(scope="class")
+    def shingle_table(self, spark, docs, tmp_path_factory):
+        loc = str(tmp_path_factory.mktemp("shingle_db"))
+        return write_shingle_layout(
+            docs, "t_doc_shingles", buckets=8, location=loc
+        )
+
+    def test_results_identical_to_inline_mode(self, docs, shingle_table):
+        base = _pairs_set(minhash_dedup_pairs(docs, threshold=0.5))
+        stored = _pairs_set(
+            minhash_dedup_pairs(docs, threshold=0.5, shingle_table=shingle_table)
+        )
+        assert stored == base
+
+    def test_bucketed_scan_removes_attach_exchanges(self, docs, shingle_table):
+        # over-budget attaches shuffle BOTH sides on id unless the shingle
+        # side is already hash-distributed by the bucketed layout — the
+        # stored mode must need strictly fewer Exchanges
+        inline = minhash_dedup_pairs(docs, threshold=0.5, broadcast_pairs_budget=0)
+        stored = minhash_dedup_pairs(
+            docs,
+            threshold=0.5,
+            broadcast_pairs_budget=0,
+            shingle_table=shingle_table,
+        )
+        assert plan_exchanges(stored) < plan_exchanges(inline)
+        plan = stored._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+
+    def test_incremental_dedup_with_stored_base(self, spark, docs, tmp_path_factory):
+        new_docs = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+        base = incremental_dedup(new_docs, docs, threshold=0.5)
+        loc = str(tmp_path_factory.mktemp("shingle_base_db"))
+        table = write_shingle_layout(docs, "t_base_shingles", buckets=8, location=loc)
+        stored = incremental_dedup(
+            new_docs, docs, threshold=0.5, base_shingle_table=table
+        )
+        as_set = lambda df: {  # noqa: E731
+            (r["id"], r["dup_of"], r["match_kind"]) for r in df.collect()
+        }
+        assert as_set(stored) == as_set(base)
+
+    def test_incremental_gated_has_no_broadcast(self, docs):
+        new_docs = docs.limit(50).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        res = incremental_dedup(
+            new_docs, docs, threshold=0.5, broadcast_pairs_budget=0
+        )
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        # the candidate-cross attach (key id_a) must not broadcast; the
+        # final per-new-doc assembly left-joins may still auto-broadcast
+        # from size estimates (correct at any scale: their build side is
+        # bounded by the DELTA, not the corpus)
+        attach_lines = [
+            ln for ln in plan.splitlines() if "Join" in ln and "id_a" in ln
+        ]
+        assert attach_lines and all(
+            "Broadcast" not in ln for ln in attach_lines
+        ), attach_lines

