@@ -129,3 +129,63 @@ class TestNullKeys:
         issues, stats = delta_check(old, new, "k", [RangeValidator("v", 0, 100)])
         assert stats["row_count"] == 1
         assert any(not i.success for i in issues)
+
+
+class TestFingerprintStore:
+    @pytest.fixture()
+    def store(self, spark, snapshots, tmp_path):
+        from truthound_spark.delta import write_fingerprints
+
+        old, _ = snapshots
+        path = str(tmp_path / "fp_store")
+        return write_fingerprints(old, path, "k")
+
+    def test_stored_path_matches_direct_delta(self, spark, snapshots, store):
+        old, new = snapshots
+        direct = {r["k"] for r in changed_rows(old, new, "k").select("k").collect()}
+        stored = {
+            r["k"]
+            for r in changed_rows(None, new, "k", old_fingerprints=store)
+            .select("k")
+            .collect()
+        }
+        assert stored == direct
+
+    def test_stored_path_never_scans_old(self, spark, snapshots, store):
+        _, new = snapshots
+        # the whole point: `old` is not needed at all
+        delta = changed_rows(None, new, "k", old_fingerprints=store)
+        assert delta.count() > 0
+
+    def test_meta_is_enforced(self, spark, snapshots, store):
+        _, new = snapshots
+        with pytest.raises(ValueError, match="keyed by"):
+            changed_rows(None, new, "s", old_fingerprints=store)
+        with pytest.raises(ValueError, match="covers columns"):
+            changed_rows(None, new, "k", compare_cols=["v"], old_fingerprints=store)
+        # identical explicit list is fine
+        assert (
+            changed_rows(
+                None, new, "k", compare_cols=["v", "s"], old_fingerprints=store
+            ).count()
+            > 0
+        )
+
+    def test_missing_column_in_new_raises(self, spark, snapshots, store):
+        _, new = snapshots
+        with pytest.raises(ValueError, match="lacks fingerprinted"):
+            changed_rows(None, new.drop("s"), "k", old_fingerprints=store)
+
+    def test_delta_check_through_store(self, spark, snapshots, store):
+        old, new = snapshots
+        direct = delta_check(old, new, "k", [RangeValidator("v", 0, 200)])
+        stored = delta_check(
+            None, new, "k", [RangeValidator("v", 0, 200)], old_fingerprints=store
+        )
+        assert stored[1]["row_count"] == direct[1]["row_count"]
+        assert sum(i.count for i in stored[0]) == sum(i.count for i in direct[0])
+
+    def test_requires_old_or_store(self, snapshots):
+        _, new = snapshots
+        with pytest.raises(ValueError, match="old or old_fingerprints"):
+            changed_rows(None, new, "k")

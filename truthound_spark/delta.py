@@ -19,12 +19,50 @@ fused executor then audits just the added/changed subset.
 
 from __future__ import annotations
 
+import json
 from typing import Any, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["row_fingerprint", "changed_rows", "delta_check"]
+__all__ = [
+    "row_fingerprint",
+    "write_fingerprints",
+    "read_fingerprints",
+    "changed_rows",
+    "delta_check",
+]
+
+_META_FILE = "_truthound_fp_meta.json"
+
+
+def _hadoop_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    return jvm.org.apache.hadoop.fs.Path(path), spark._jsc.hadoopConfiguration()
+
+
+def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API (works on
+    local paths and any FS Spark can reach — no driver-local assumption)."""
+    p, conf = _hadoop_path(spark, path)
+    fs = p.getFileSystem(conf)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text(spark: SparkSession, path: str) -> str:
+    p, conf = _hadoop_path(spark, path)
+    fs = p.getFileSystem(conf)
+    stream = fs.open(p)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
 
 def row_fingerprint(cols: Sequence[str]):
     """64-bit fingerprint Column over ``cols`` — null-safe and
@@ -48,11 +86,66 @@ def row_fingerprint(cols: Sequence[str]):
     return F.xxhash64(*parts)
 
 
+def write_fingerprints(
+    df: DataFrame,
+    path: str,
+    key_cols: str | Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> str:
+    """Persist a snapshot's narrow ``(key..., __fp)`` projection so the
+    NEXT delta check never scans the old snapshot at all.
+
+    SCALING.md's r11 conclusion: delta validation only beats a cheap
+    fused audit when ``old``'s fingerprints are PRECOMPUTED — otherwise
+    both snapshots are scanned every run and the fingerprint pass costs
+    more than the audit it replaces. This is the storage half: write the
+    projection once, when the snapshot lands (the scan is usually shared
+    with that ingest's own audit), then pass the path to
+    ``changed_rows(..., old_fingerprints=path)`` /
+    ``delta_check(..., old_fingerprints=path)`` — incremental cost drops
+    to one scan of ``new`` plus the change mass plus this narrow table.
+
+    The fingerprinted column list is recorded in a ``_``-prefixed JSON
+    sidecar (invisible to parquet readers) and validated on read: a delta
+    check against fingerprints built over DIFFERENT columns would be
+    silently wrong, so it raises instead. Returns ``path``."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    if not key_cols:
+        raise ValueError("at least one key column is required")
+    if compare_cols is None:
+        compare_cols = [c for c in df.columns if c not in set(key_cols)]
+    if not compare_cols:
+        raise ValueError("no columns to compare (all columns are keys)")
+    fp = row_fingerprint(list(key_cols) + list(compare_cols))
+    df.select(*key_cols, fp.alias("__fp")).write.mode("overwrite").parquet(path)
+    _write_text(
+        df.sparkSession,
+        f"{path.rstrip('/')}/{_META_FILE}",
+        json.dumps(
+            {
+                "version": 1,
+                "key_cols": list(key_cols),
+                "compare_cols": list(compare_cols),
+            }
+        ),
+    )
+    return path
+
+
+def read_fingerprints(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    """Load a fingerprint store written by :func:`write_fingerprints`:
+    returns ``(projection, meta)`` with meta = {key_cols, compare_cols}."""
+    meta = json.loads(_read_text(spark, f"{path.rstrip('/')}/{_META_FILE}"))
+    return spark.read.parquet(path), meta
+
+
 def changed_rows(
-    old: DataFrame,
+    old: DataFrame | None,
     new: DataFrame,
     key_cols: str | Sequence[str],
     compare_cols: Sequence[str] | None = None,
+    old_fingerprints: str | None = None,
 ) -> DataFrame:
     """Rows of ``new`` that are ADDED or CHANGED relative to ``old``.
 
@@ -62,20 +155,49 @@ def changed_rows(
     deletions with a referential check on the other side.
 
     Shuffle cost: the anti-join moves (key, hash) pairs only; full rows
-    move once, in the final semi-join against the new snapshot.
+    move once, in the final semi-join against the new snapshot. With
+    ``old_fingerprints`` (a store written by :func:`write_fingerprints`)
+    the old snapshot is NOT read — ``old`` may be ``None`` — and the
+    stored column lists are enforced: pass no ``compare_cols`` to adopt
+    the stored ones, or identical lists; anything else raises (a delta
+    against fingerprints over different columns is silently wrong).
     """
     if isinstance(key_cols, str):
         key_cols = [key_cols]
     if not key_cols:
         raise ValueError("at least one key column is required")
-    if compare_cols is None:
-        shared = [c for c in new.columns if c in set(old.columns)]
-        compare_cols = [c for c in shared if c not in set(key_cols)]
-    if not compare_cols:
-        raise ValueError("no columns to compare (all shared columns are keys)")
-    fp = row_fingerprint(list(key_cols) + list(compare_cols))
-    new_ids = new.select(*key_cols, fp.alias("__fp"))
-    old_ids = old.select(*key_cols, fp.alias("__fp"))
+    if old_fingerprints is not None:
+        fps, meta = read_fingerprints(new.sparkSession, old_fingerprints)
+        if list(key_cols) != meta["key_cols"]:
+            raise ValueError(
+                f"fingerprint store at {old_fingerprints!r} was keyed by "
+                f"{meta['key_cols']}, not {list(key_cols)}"
+            )
+        if compare_cols is None:
+            compare_cols = meta["compare_cols"]
+        elif list(compare_cols) != meta["compare_cols"]:
+            raise ValueError(
+                f"fingerprint store at {old_fingerprints!r} covers columns "
+                f"{meta['compare_cols']}, not {list(compare_cols)} — "
+                "rewrite the store or drop compare_cols"
+            )
+        missing = [c for c in compare_cols if c not in new.columns]
+        if missing:
+            raise ValueError(f"new snapshot lacks fingerprinted columns {missing}")
+        fp = row_fingerprint(list(key_cols) + list(compare_cols))
+        new_ids = new.select(*key_cols, fp.alias("__fp"))
+        old_ids = fps.select(*key_cols, "__fp")
+    else:
+        if old is None:
+            raise ValueError("pass either old or old_fingerprints")
+        if compare_cols is None:
+            shared = [c for c in new.columns if c in set(old.columns)]
+            compare_cols = [c for c in shared if c not in set(key_cols)]
+        if not compare_cols:
+            raise ValueError("no columns to compare (all shared columns are keys)")
+        fp = row_fingerprint(list(key_cols) + list(compare_cols))
+        new_ids = new.select(*key_cols, fp.alias("__fp"))
+        old_ids = old.select(*key_cols, fp.alias("__fp"))
     # NULL-safe key equality throughout: with plain `=` joins a NULL key
     # never matches, so an added/changed NULL-key row would be flagged by
     # the anti-join and then silently DROPPED by the semi-join — a quality
@@ -99,12 +221,13 @@ def changed_rows(
 
 
 def delta_check(
-    old: DataFrame,
+    old: DataFrame | None,
     new: DataFrame,
     key_cols: str | Sequence[str],
     validators: list,
     compare_cols: Sequence[str] | None = None,
     result_format: Any = None,
+    old_fingerprints: str | None = None,
 ):
     """Run a validator suite on ONLY the added/changed rows of ``new``.
 
@@ -112,10 +235,15 @@ def delta_check(
     ``stats["row_count"]`` is the number of changed rows, so the caller
     sees both the audit verdict and how much actually changed. Cost
     scales with the change mass plus two narrow fingerprint scans, not
-    with the table.
+    with the table — and with ``old_fingerprints`` (the stored-projection
+    path, see :func:`write_fingerprints`) the old-snapshot scan drops out
+    entirely: this is the mode where delta validation beats a cheap full
+    audit (SCALING.md).
     """
     from truthound_spark.core.executor import BatchExpressionExecutor
 
-    delta = changed_rows(old, new, key_cols, compare_cols)
+    delta = changed_rows(
+        old, new, key_cols, compare_cols, old_fingerprints=old_fingerprints
+    )
     kwargs = {} if result_format is None else {"result_format": result_format}
     return BatchExpressionExecutor(validators, **kwargs).execute_with_stats(delta)

@@ -14741,3 +14741,114 @@ def q_delta_check_orders(spark, sf_dir):
             f"vs relational {row['negative_prices']}/{row['n_changed']}"
         )
     return agg
+
+
+@register(
+    "delta_check_fp_store_orders",
+    """
+    WITH p AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+    n AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN -o_totalprice
+                  ELSE o_totalprice END AS o_totalprice
+      FROM p WHERE o_orderkey % 17 <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_custkey, o_totalprice
+      FROM p WHERE o_orderkey % 19 = 0
+    ),
+    d AS (
+      SELECT * FROM n WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.o_orderkey = n.o_orderkey
+          AND p.o_custkey IS NOT DISTINCT FROM n.o_custkey
+          AND p.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+      )
+    )
+    SELECT COUNT(*) AS n_changed,
+           CAST(SUM(CASE WHEN o_orderkey < 1000000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS modified_rows,
+           CAST(SUM(CASE WHEN o_orderkey >= 1000000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS added_rows,
+           CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS negative_prices,
+           ROUND(SUM(o_totalprice), 2) AS changed_revenue
+    FROM d
+    """,
+)
+def q_delta_check_fp_store_orders(spark, sf_dir):
+    """Delta validation through the PERSISTED fingerprint store (delta.py
+    write_fingerprints / old_fingerprints — the r11 SCALING conclusion's
+    missing half: delta validation only beats a cheap full audit when the
+    old snapshot's fingerprints are precomputed and stored). Same planted
+    change classes as delta_check_orders (13th price negated, 17th
+    deleted, 19th re-keyed), but the old snapshot's (key, xxhash64)
+    projection is WRITTEN TO DISK with its column-list sidecar and the
+    delta is derived from the STORE — the old frame is never passed in.
+    The NOT-EXISTS oracle replays full column equality, so a store that
+    round-trips fingerprints wrongly (schema, sidecar, hash framing)
+    breaks the hash; the slot raises unless the fused audit over the
+    store-derived delta reports exactly the planted negatives."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from truthound_spark.delta import delta_check, write_fingerprints
+    from truthound_spark.validators.distribution import RangeValidator
+
+    p = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    new = (
+        p.filter(k % 17 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 13 == 0, -F.col("o_totalprice")).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            p.filter(k % 19 == 0).select(
+                (k + 1000000000).alias("o_orderkey"),
+                "o_custkey",
+                "o_totalprice",
+            )
+        )
+    )
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = _os.path.join(_tempfile.gettempdir(), f"spark_graft_fpstore_{tag}")
+    _shutil.rmtree(root, ignore_errors=True)
+    store = write_fingerprints(p, _os.path.join(root, "orders_fp"), "o_orderkey")
+
+    from truthound_spark.delta import changed_rows
+
+    delta = changed_rows(None, new, "o_orderkey", old_fingerprints=store)
+    issues, stats = delta_check(
+        None,
+        new,
+        "o_orderkey",
+        [RangeValidator("o_totalprice", min_value=0.0)],
+        old_fingerprints=store,
+    )
+    agg = delta.groupBy().agg(
+        F.count(F.lit(1)).alias("n_changed"),
+        F.sum(F.when(k < 1000000000, 1).otherwise(0))
+        .cast("long")
+        .alias("modified_rows"),
+        F.sum(F.when(k >= 1000000000, 1).otherwise(0))
+        .cast("long")
+        .alias("added_rows"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("negative_prices"),
+        F.round(F.sum("o_totalprice"), 2).alias("changed_revenue"),
+    )
+    row = agg.collect()[0]
+    audit_count = sum(i.count for i in issues)
+    if audit_count != row["negative_prices"] or stats["row_count"] != row["n_changed"]:
+        raise RuntimeError(
+            f"fp-store delta audit mismatch: audit={audit_count} "
+            f"rows={stats['row_count']} vs relational "
+            f"{row['negative_prices']}/{row['n_changed']}"
+        )
+    return agg
