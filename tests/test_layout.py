@@ -386,3 +386,109 @@ class TestIdentifierAndPathSafety:
         monkeypatch.undo()
         assert spark.read.parquet(final).count() == 10  # old version restored
         assert [d for d in os.listdir(tmp_path) if "__replaced__" in d] == []
+
+
+class TestWapPartition:
+    def _vals(self):
+        return [
+            NullValidator(columns=["s"]),
+            RangeValidator("v", 0, 100),
+        ]
+
+    def _day(self, spark, day, n=100, v=1.0, s="ok"):
+        return spark.range(n).select(
+            F.col("id"),
+            F.lit(s).alias("s"),
+            F.lit(v).alias("v"),
+            F.lit(day).alias("day"),
+        )
+
+    def test_partition_publish_and_isolation(self, spark, tmp_path):
+        from truthound_spark.layout import write_audit_publish_partition
+
+        final = str(tmp_path / "t_days")
+        ok1, _, where1 = write_audit_publish_partition(
+            self._day(spark, "d1"), final, self._vals(), {"day": "d1"}
+        )
+        ok2, _, where2 = write_audit_publish_partition(
+            self._day(spark, "d2", n=50), final, self._vals(), {"day": "d2"}
+        )
+        assert ok1 and ok2
+        assert where1.endswith("day=d1") and where2.endswith("day=d2")
+        table = spark.read.parquet(final)
+        assert table.count() == 150
+        assert table.filter(F.col("day") == "d1").count() == 100
+        # a DIRTY publish of d3 must leave d1/d2 serving and put NOTHING
+        # under the table root (staging is a sibling directory)
+        dirty = self._day(spark, "d3", v=999.0)
+        ok3, issues, _ = write_audit_publish_partition(
+            dirty, final, self._vals(), {"day": "d3"}
+        )
+        assert not ok3 and issues
+        assert sorted(d for d in os.listdir(final) if d.startswith("day=")) == [
+            "day=d1",
+            "day=d2",
+        ]
+        assert all("__staging__" not in d for d in os.listdir(final))
+        assert spark.read.parquet(final).count() == 150
+
+    def test_partition_overwrite_replaces_only_that_partition(self, spark, tmp_path):
+        from truthound_spark.layout import write_audit_publish_partition
+
+        final = str(tmp_path / "t_days_ow")
+        write_audit_publish_partition(
+            self._day(spark, "d1"), final, self._vals(), {"day": "d1"}
+        )
+        write_audit_publish_partition(
+            self._day(spark, "d2", n=40), final, self._vals(), {"day": "d2"}
+        )
+        with pytest.raises(FileExistsError):
+            write_audit_publish_partition(
+                self._day(spark, "d1", n=7), final, self._vals(), {"day": "d1"}
+            )
+        ok, _, _ = write_audit_publish_partition(
+            self._day(spark, "d1", n=7, s="v2"),
+            final,
+            self._vals(),
+            {"day": "d1"},
+            overwrite=True,
+        )
+        assert ok
+        table = spark.read.parquet(final)
+        assert table.filter(F.col("day") == "d1").count() == 7
+        assert table.filter(F.col("day") == "d2").count() == 40
+
+    def test_mixed_partition_data_refused(self, spark, tmp_path):
+        from truthound_spark.layout import write_audit_publish_partition
+
+        final = str(tmp_path / "t_mixed")
+        mixed = self._day(spark, "d1").unionByName(self._day(spark, "d2"))
+        with pytest.raises(ValueError, match="not exactly partition"):
+            write_audit_publish_partition(
+                mixed, final, self._vals(), {"day": "d1"}
+            )
+        # nothing published, no staging residue anywhere
+        assert not os.path.exists(final)
+        assert [d for d in os.listdir(tmp_path) if "__staging__" in d] == []
+
+    def test_missing_partition_column_refused(self, spark, tmp_path):
+        from truthound_spark.layout import write_audit_publish_partition
+
+        df = spark.range(5).select(F.col("id"), F.lit("ok").alias("s"), F.lit(1.0).alias("v"))
+        with pytest.raises(ValueError, match="lacks partition column"):
+            write_audit_publish_partition(
+                df, str(tmp_path / "t"), self._vals(), {"day": "d1"}
+            )
+
+    def test_multi_level_partition(self, spark, tmp_path):
+        from truthound_spark.layout import write_audit_publish_partition
+
+        final = str(tmp_path / "t_multi")
+        df = self._day(spark, "d1").withColumn("region", F.lit("eu"))
+        ok, _, where = write_audit_publish_partition(
+            df, final, self._vals(), {"day": "d1", "region": "eu"}
+        )
+        assert ok and where.endswith(os.path.join("day=d1", "region=eu"))
+        got = spark.read.parquet(final)
+        assert got.count() == 100
+        assert {r["region"] for r in got.select("region").distinct().collect()} == {"eu"}

@@ -14852,3 +14852,72 @@ def q_delta_check_fp_store_orders(spark, sf_dir):
             f"{row['negative_prices']}/{row['n_changed']}"
         )
     return agg
+
+
+@register(
+    "wap_partition_gate_orders",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS published_rows,
+           ROUND(SUM(o_totalprice), 2) AS published_revenue,
+           CAST(COUNT(DISTINCT o_orderkey % 3) AS BIGINT) AS published_parts,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 2)
+                AS BIGINT) AS dirty_violations
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    """,
+)
+def q_wap_partition_gate_orders(spark, sf_dir):
+    """Partition-scoped write-audit-publish (layout.py
+    write_audit_publish_partition — the per-ingest WAP pattern: gate each
+    day's partition while earlier partitions keep serving reads). Orders
+    are split into three shards (o_orderkey % 3) published as separate
+    partitions through the REAL stage→audit→rename machinery: shards 0
+    and 1 publish cleanly, shard 2 arrives with every price negated and
+    must be rejected WITHOUT touching the two published partitions. The
+    result is read back FROM THE PUBLISHED PARQUET (so a publish that
+    dropped, duplicated, or misfiled rows breaks the hash) and the oracle
+    recomputes rows/revenue/partition-count from the source table; the
+    slot raises if the dirty shard publishes, leaves residue under the
+    table root, or reports the wrong violation count."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from truthound_spark.layout import write_audit_publish_partition
+    from truthound_spark.validators.distribution import RangeValidator
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", (F.col("o_orderkey") % 3).alias("shard")
+    )
+    gate = [RangeValidator("o_totalprice", min_value=0.0)]
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = _os.path.join(_tempfile.gettempdir(), f"spark_graft_wap_part_{tag}")
+    _shutil.rmtree(root, ignore_errors=True)
+    table = _os.path.join(root, "orders_sharded")
+
+    for shard in (0, 1):
+        ok, issues, _ = write_audit_publish_partition(
+            orders.filter(F.col("shard") == shard), table, gate, {"shard": shard}
+        )
+        if not ok or issues:
+            raise RuntimeError(f"clean shard {shard} failed to publish: {issues}")
+    dirty = orders.filter(F.col("shard") == 2).withColumn(
+        "o_totalprice", -F.col("o_totalprice")
+    )
+    ok2, issues2, where2 = write_audit_publish_partition(
+        dirty, table, gate, {"shard": 2}
+    )
+    if ok2 or where2 != "":
+        raise RuntimeError("dirty shard escaped the partition audit gate")
+    resid = [d for d in _os.listdir(table) if not d.startswith("shard=")]
+    parts = sorted(d for d in _os.listdir(table) if d.startswith("shard="))
+    if resid or parts != ["shard=0", "shard=1"]:
+        raise RuntimeError(f"partition publish residue: {resid} parts={parts}")
+    dirty_violations = sum(i.count for i in issues2)
+
+    published = spark.read.parquet(table)
+    return published.groupBy().agg(
+        F.count(F.lit(1)).alias("published_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("published_revenue"),
+        F.countDistinct("shard").cast("long").alias("published_parts"),
+        F.lit(int(dirty_violations)).cast("long").alias("dirty_violations"),
+    )

@@ -44,6 +44,8 @@ __all__ = [
     "write_partitioned",
     "write_range_clustered",
     "read_pruned",
+    "write_audit_publish",
+    "write_audit_publish_partition",
     "incremental_check",
     "plan_exchanges",
     "scan_partition_filters",
@@ -286,6 +288,35 @@ def read_pruned(
     return df
 
 
+def _refuse_nonlocal(df: DataFrame, path: str) -> None:
+    """Write-audit-publish publishes with driver-side os.rename: refuse
+    explicit non-file schemes (no atomic rename on object stores) AND
+    scheme-less paths when fs.defaultFS is non-local (the Spark staging
+    write would land on defaultFS while the publish rename runs on the
+    driver's local filesystem — two different filesystems)."""
+    if "://" in path and not path.startswith("file:"):
+        raise NotImplementedError(
+            "write_audit_publish publishes with a filesystem rename; "
+            f"scheme of {path!r} has no atomic rename — use a table "
+            "format with a commit protocol (Iceberg/Delta) there"
+        )
+    if not path.startswith("file:"):
+        default_fs = (
+            df.sparkSession._jsc.hadoopConfiguration().get(
+                "fs.defaultFS", "file:///"
+            )
+            or "file:///"
+        )
+        if not default_fs.startswith("file:"):
+            raise NotImplementedError(
+                f"scheme-less path {path!r} resolves against "
+                f"fs.defaultFS={default_fs!r} for the write but against "
+                "the local filesystem for the publish rename — pass an "
+                "explicit file: URI for a local table, or use a table "
+                "format with a commit protocol for non-local filesystems"
+            )
+
+
 def write_audit_publish(
     df: DataFrame,
     path: str,
@@ -329,32 +360,7 @@ def write_audit_publish(
 
     from truthound_spark.core.executor import BatchExpressionExecutor
 
-    if "://" in path and not path.startswith("file:"):
-        raise NotImplementedError(
-            "write_audit_publish publishes with a filesystem rename; "
-            f"scheme of {path!r} has no atomic rename — use a table "
-            "format with a commit protocol (Iceberg/Delta) there"
-        )
-    if not path.startswith("file:"):
-        # a scheme-less path resolves against fs.defaultFS for the SPARK
-        # write but against the driver's local filesystem for the
-        # audit/publish os.rename below; on a cluster whose defaultFS is
-        # HDFS those are different filesystems — refuse rather than stage
-        # to HDFS and rename a nonexistent local path
-        default_fs = (
-            df.sparkSession._jsc.hadoopConfiguration().get(
-                "fs.defaultFS", "file:///"
-            )
-            or "file:///"
-        )
-        if not default_fs.startswith("file:"):
-            raise NotImplementedError(
-                f"scheme-less path {path!r} resolves against "
-                f"fs.defaultFS={default_fs!r} for the write but against "
-                "the local filesystem for the publish rename — pass an "
-                "explicit file: URI for a local table, or use a table "
-                "format with a commit protocol for non-local filesystems"
-            )
+    _refuse_nonlocal(df, path)
     local = path[len("file:") :] if path.startswith("file:") else path
     staging = f"{local}__staging__{uuid.uuid4().hex[:12]}"
 
@@ -393,6 +399,116 @@ def write_audit_publish(
     else:
         os.rename(staging, local)
     return True, [], local
+
+
+def write_audit_publish_partition(
+    df: DataFrame,
+    path: str,
+    validators: list,
+    partition: Mapping[str, Any],
+    overwrite: bool = False,
+    keep_failed_staging: bool = False,
+    result_format: Any = None,
+):
+    """Stage → audit → publish ONE partition of a partitioned table — the
+    per-ingest WAP pattern (``write_audit_publish`` gates whole tables;
+    a daily pipeline gates each day's partition while yesterday's data
+    keeps serving reads).
+
+    ``partition`` maps partition column(s) → the single value being
+    published (e.g. ``{"day": "2024-06-01"}``). ``df`` must contain ONLY
+    that partition's rows: it is staged ``partitionBy`` the partition
+    columns into a SIBLING staging directory (never under ``path``, so
+    concurrent readers of other partitions can never list it), the audit
+    re-reads the staged bytes, the staged layout is checked to contain
+    exactly the requested partition directory (mixed or mislabeled data
+    aborts), and only then is that one directory renamed into place —
+    other partitions are never touched. Replacing an existing partition
+    needs ``overwrite=True`` and uses the same two-rename + crash-repair
+    protocol as the table-level gate.
+
+    Returns ``(published: bool, issues: list, final_path: str)`` —
+    ``final_path`` is the published partition directory on success."""
+    import shutil
+    import urllib.parse
+    import uuid
+
+    from truthound_spark.core.executor import BatchExpressionExecutor
+
+    if not partition:
+        raise ValueError("partition must name at least one column=value")
+    _refuse_nonlocal(df, path)
+    local = path[len("file:") :] if path.startswith("file:") else path
+    staging = f"{local}__staging__{uuid.uuid4().hex[:12]}"
+    cols = list(partition.keys())
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"df lacks partition column(s) {missing}")
+
+    df.write.mode("errorifexists").partitionBy(*cols).parquet(staging)
+
+    try:
+        staged = df.sparkSession.read.option("basePath", staging).parquet(staging)
+        kwargs = {} if result_format is None else {"result_format": result_format}
+        issues = BatchExpressionExecutor(validators, **kwargs).execute(staged)
+        failed = [i for i in issues if not i.success]
+        if failed:
+            if keep_failed_staging:
+                return False, failed, staging
+            shutil.rmtree(staging, ignore_errors=True)
+            return False, failed, ""
+        # descend the staged layout: each level must hold exactly the one
+        # requested partition directory — anything else means df carried
+        # rows of OTHER partitions (publishing them under this partition's
+        # name would silently misfile data)
+        src_dir = staging
+        rel_parts = []
+        for c in cols:
+            subdirs = [
+                d
+                for d in os.listdir(src_dir)
+                if os.path.isdir(os.path.join(src_dir, d)) and "=" in d
+            ]
+            want = str(partition[c])
+            ok = (
+                len(subdirs) == 1
+                and subdirs[0].split("=", 1)[0] == c
+                and urllib.parse.unquote(subdirs[0].split("=", 1)[1]) == want
+            )
+            if not ok:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise ValueError(
+                    f"staged data is not exactly partition {c}={want!r}: "
+                    f"found {sorted(subdirs)!r} — df must contain only the "
+                    "published partition's rows"
+                )
+            rel_parts.append(subdirs[0])
+            src_dir = os.path.join(src_dir, subdirs[0])
+    except BaseException:
+        if not keep_failed_staging:
+            shutil.rmtree(staging, ignore_errors=True)
+        raise
+
+    target = os.path.join(local, *rel_parts)
+    os.makedirs(os.path.dirname(target), exist_ok=True)
+    if os.path.exists(target):
+        if not overwrite:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise FileExistsError(
+                f"partition {target} exists; pass overwrite=True to replace it"
+            )
+        old = f"{target}__replaced__{uuid.uuid4().hex[:12]}"
+        os.rename(target, old)
+        try:
+            os.rename(src_dir, target)
+        except BaseException:
+            os.rename(old, target)
+            raise
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.rename(src_dir, target)
+    shutil.rmtree(staging, ignore_errors=True)
+    return True, [], target
 
 
 def incremental_check(
