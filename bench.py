@@ -100,6 +100,18 @@ def apply_spread_guard(samples: list[float]) -> list[float]:
 # attributable without re-litigating sub-second fixed-overhead queries
 # every round.
 REGRESSION_DISPOSITIONS = {
+    "null_suite": (
+        "environmental: NullValidator/BatchExpressionExecutor byte-"
+        "identical since r2 (232745d lineage; zero r10/r11 commits touch "
+        "completeness.py or the executor's agg path). Idle-machine "
+        "bisection 2026-08-16: cold 0.98 then warm [0.586, 0.439, 0.429, "
+        "0.539, 0.435] — median 0.44, matching the 0.424 pin; the r11 "
+        "0.643 median came from a burst that arrived after the start "
+        "canary (0.4205) and left before the end sample. The r12 "
+        "mid-suite canary sample exists precisely to catch this class: "
+        "future bursts show in the bracket triple, not only in untouched "
+        "queries' ratios."
+    ),
     "pushdown_unique": (
         "environmental: DuckDBSource code byte-identical since r2 "
         "(e484adb); idle-machine re-run 2026-08-15 = 0.065-0.082s total "
@@ -197,17 +209,23 @@ def best_recorded_canary(repo_dir):
     return best
 
 
-def bracket_canary(start_seconds, end_seconds):
-    """Combine the start-of-run and end-of-run canary samples: the MIN
-    drives normalization (the machine's capability, not its worst
-    moment), the max/min spread records intra-run burstiness that a
-    single sample misses (observed r11: null_suite read 2.0s in a run
-    whose start canary read 0.4205 vs 0.4209 idle — the burst arrived
-    after the canary and left before the end). Pure so tests pin it."""
-    lo = min(start_seconds, end_seconds)
+def bracket_canary(start_seconds, end_seconds, *mid_seconds):
+    """Combine the start/mid/end canary samples: the MIN drives
+    normalization (the machine's capability, not its worst moment), the
+    max/min spread records intra-run burstiness that a single sample
+    misses (observed r11: null_suite read 2.0s in a run whose start
+    canary read 0.4205 vs 0.4209 idle — the burst arrived after the
+    canary and left before the end). The MID sample (r12, VERDICT r11
+    #3) splits the run into two attributable halves: a burst that shows
+    in mid-vs-start but not end-vs-mid happened during the FIRST half's
+    queries, and vice versa — so a per-query ratio excursion can be
+    matched to the half the load actually occupied. Pure so tests pin
+    it."""
+    samples = [start_seconds, end_seconds, *mid_seconds]
+    lo = min(samples)
     if lo <= 0:
         return lo, 1.0
-    return lo, round(max(start_seconds, end_seconds) / lo, 3)
+    return lo, round(max(samples) / lo, 3)
 
 
 def normalize_ratios(ratios, canary_seconds, best_canary):
@@ -609,6 +627,14 @@ def main():
     bench_one("pushdown_range", lambda: pushdown("range"), timings, cold_timings)
     bench_one("pushdown_unique", lambda: pushdown("unique"), timings, cold_timings)
 
+    # mid-suite canary (r12): a third machine-state sample roughly halfway
+    # through the warm block, so a burst can be attributed to the half of
+    # the run it occupied (start/end alone cannot say WHICH queries a
+    # mid-run burst inflated — the r11 null_suite excursion problem).
+    canary_mid_t: dict[str, float] = {}
+    bench_one("canary", lambda: canary_fn(spark), canary_mid_t, {})
+    canary_mid_seconds = canary_mid_t["canary"]
+
     # --- round-7 learning workloads -----------------------------------
     def fd_mining_bench():
         from truthound_spark.ml import ConstraintMiner
@@ -692,6 +718,25 @@ def main():
 
     bench_one("grouped_drift_events", grouped_drift_bench, timings, cold_timings)
 
+    # --- round-12: RowLevelValidator transport comparison (the per-row
+    # Python contract over Arrow-batched pandas vs row-at-a-time F.udf —
+    # same predicate, same verdict, the pair quantifies the fast path's
+    # speedup on the full lineitem scan) -------------------------------
+    def row_level(vectorized):
+        from truthound_spark.validators.query import RowLevelValidator
+
+        def run():
+            RowLevelValidator(
+                "l_quantity",
+                lambda v: v is not None and 0 < v < 60,
+                vectorized=vectorized,
+            ).validate(lineitem)
+
+        return run
+
+    bench_one("row_level_vectorized", row_level(True), timings, cold_timings)
+    bench_one("row_level_python_udf", row_level(False), timings, cold_timings)
+
     # closing canary (r11): a single start-of-run canary misses BURSTY
     # contention that arrives mid-run and leaves before the end — observed
     # this round when null_suite read 2.0s in a loaded run whose start
@@ -705,7 +750,7 @@ def main():
     canary_end_seconds = canary_end_t["canary"]
     canary_start_seconds = canary_seconds
     canary_seconds, canary_bracket_spread = bracket_canary(
-        canary_start_seconds, canary_end_seconds
+        canary_start_seconds, canary_end_seconds, canary_mid_seconds
     )
 
     # --- sf1 lane (VERDICT r5 #10): the dedup/BPE/tagger trio on a 10×
@@ -1172,6 +1217,7 @@ def main():
         "canary": {
             "seconds": canary_seconds,
             "seconds_start": canary_start_seconds,
+            "seconds_mid": canary_mid_seconds,
             "seconds_end": canary_end_seconds,
             "bracket_spread": canary_bracket_spread,
             "cold": canary_cold.get("canary"),

@@ -120,3 +120,14 @@ def test_bracket_canary_rule():
     # degenerate zero never divides
     lo, spread = b.bracket_canary(0.0, 0.5)
     assert spread == 1.0
+
+
+def test_bracket_canary_mid_sample():
+    import bench as b
+
+    # the mid sample participates in both the min and the spread
+    lo, spread = b.bracket_canary(0.42, 0.44, 0.40)
+    assert lo == 0.40 and spread == round(0.44 / 0.40, 3)
+    # a burst visible ONLY at the mid sample still widens the spread
+    lo, spread = b.bracket_canary(0.42, 0.42, 1.3)
+    assert lo == 0.42 and spread == round(1.3 / 0.42, 3)

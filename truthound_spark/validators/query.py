@@ -156,9 +156,19 @@ class RowLevelValidator(Validator):
     """Per-row Python predicate — the explicit UDF surface
     (reference: query/expression.py:187).
 
-    Deliberately Arrow-vectorized: the user function receives a pandas
-    Series batch and returns a boolean Series (10-100x faster than
-    row-at-a-time; pyspark_guide 'UDFs are the slow path').
+    Deliberately Arrow-vectorized BY DEFAULT while keeping the exact
+    per-row contract: the user function is still called once per value,
+    but inside Arrow-batched pandas Series (the batching alone is ~10x
+    over a row-at-a-time F.udf — serialization dominates, not the
+    Python call). Contract parity details the fast path must honor:
+
+    * NULLs arrive as ``None`` (a numeric pandas Series would otherwise
+      surface them as ``nan`` — a predicate like ``v is not None``
+      must behave identically on both paths), via an object-dtype
+      restore before mapping.
+    * a callable whose values break Arrow conversion falls back to the
+      row-at-a-time path AUTOMATICALLY (one retry per validate call);
+      ``vectorized=False`` pins the slow path up front.
     """
 
     def __init__(self, column: str, fn: Callable, vectorized: bool = True) -> None:
@@ -166,21 +176,43 @@ class RowLevelValidator(Validator):
         self.fn = fn
         self.vectorized = vectorized
 
+    def _agg_row(self, df: DataFrame, ok_udf):
+        return (
+            df.select(ok_udf(F.col(self.column)).alias("__ok"))
+            .agg(
+                F.sum(
+                    F.when(~F.col("__ok") | F.col("__ok").isNull(), 1).otherwise(0)
+                ).alias("bad"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+
     def validate(self, df: DataFrame, row_count: int | None = None) -> list[ValidationIssue]:
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
         fn = self.fn
+
+        def slow_udf():
+            return F.udf(lambda v: bool(fn(v)), "boolean")
+
         if self.vectorized:
             @pandas_udf("boolean")
             def ok_udf(s: pd.Series) -> pd.Series:
-                return s.map(lambda v: bool(fn(v)))
-        else:  # row-at-a-time escape hatch
-            ok_udf = F.udf(lambda v: bool(fn(v)), "boolean")
-        agg = df.select(ok_udf(F.col(self.column)).alias("__ok")).agg(
-            F.sum(F.when(~F.col("__ok") | F.col("__ok").isNull(), 1).otherwise(0)).alias("bad"),
-            F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
+                # object dtype + real None restores the F.udf null
+                # contract (numeric Series would hand fn `nan`)
+                vals = s.astype(object).where(s.notna(), None)
+                return vals.map(lambda v: bool(fn(v)))
+
+            try:
+                agg = self._agg_row(df, ok_udf)
+            except Exception:
+                # Arrow conversion failed for this callable/column — same
+                # per-row contract, row-at-a-time transport
+                agg = self._agg_row(df, slow_udf())
+        else:  # row-at-a-time pinned by the caller
+            agg = self._agg_row(df, slow_udf())
         bad, n = int(agg["bad"] or 0), int(agg["n"] or 0)
         if bad == 0:
             return []
