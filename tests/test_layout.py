@@ -492,3 +492,45 @@ class TestWapPartition:
         got = spark.read.parquet(final)
         assert got.count() == 100
         assert {r["region"] for r in got.select("region").distinct().collect()} == {"eu"}
+
+
+class TestAutoColocatedFK:
+    def test_orphans_auto_routes_on_bucketed_tables(self, spark, bucketed_pair):
+        from truthound_spark.layout import plan_exchanges
+        from truthound_spark.validators.referential import orphans
+
+        child_t, parent_t = bucketed_pair
+        child = spark.table(child_t)
+        parent = spark.table(parent_t)
+        auto = orphans(child, parent, [("l_orderkey", "l_orderkey")])
+        assert plan_exchanges(auto) == 0  # co-located path selected
+        # opting out restores the broadcast/shuffle form
+        manual = orphans(
+            child, parent, [("l_orderkey", "l_orderkey")], auto_colocated=False
+        )
+        assert plan_exchanges(manual) > 0
+        assert auto.count() == manual.count() > 0
+
+    def test_fk_validator_end_to_end_on_bucketed_tables(self, spark, bucketed_pair):
+        from truthound_spark.validators.referential import ForeignKeyValidator
+
+        child_t, parent_t = bucketed_pair
+        child = spark.table(child_t)
+        parent = spark.table(parent_t)
+        issues = ForeignKeyValidator(parent, "l_orderkey").validate(child)
+        baseline = ForeignKeyValidator(
+            parent, "l_orderkey", broadcast_parent=False
+        )
+        baseline_issues = baseline.validate(child.hint("shuffle_hash"))
+        assert issues and issues[0].count == baseline_issues[0].count
+
+    def test_unbucketed_frames_fall_back(self, spark, orders, lineitem):
+        from truthound_spark.layout import plan_exchanges
+        from truthound_spark.validators.referential import orphans
+
+        got = orphans(
+            lineitem,
+            orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+            [("l_orderkey", "l_orderkey")],
+        )
+        assert plan_exchanges(got) > 0  # probe rejected, broadcast path kept

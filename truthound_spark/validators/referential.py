@@ -19,14 +19,63 @@ from truthound_spark.core.results import ValidationIssue
 from truthound_spark.types import Severity, severity_from_ratio
 
 
-def orphans(child: DataFrame, parent: DataFrame, keys: list[tuple[str, str]], broadcast_parent: bool = True) -> DataFrame:
+def _colocated_orphans(
+    child: DataFrame, parent: DataFrame, keys: list[tuple[str, str]]
+) -> DataFrame | None:
+    """The Exchange-free anti-join over a bucketed layout, or ``None``.
+
+    Builds the merge-hinted anti-join on the RAW frames and lets
+    Catalyst decide: when both sides are bucketed-table scans on the
+    join keys with matching counts the physical plan carries ZERO
+    Exchange nodes and this plan is strictly better than shuffling or
+    broadcasting (layout.py's fk_orphans_bucketed measured FLAT across
+    a decade vs linear shuffled); any Exchange in the plan means the
+    layout does not apply and the candidate is discarded. The probe
+    compiles a plan but runs no job."""
+    try:
+        from truthound_spark.layout import plan_exchanges
+
+        parent_keys = parent.select(
+            *[F.col(pk).alias(f"__pk_{i}") for i, (_, pk) in enumerate(keys)]
+        )
+        cond = None
+        for i, (ck, _) in enumerate(keys):
+            c = child[ck] == parent_keys[f"__pk_{i}"]
+            cond = c if cond is None else (cond & c)
+        joined = child.hint("merge").join(parent_keys, on=cond, how="left_anti")
+        if plan_exchanges(joined) == 0:
+            return joined
+    except Exception:
+        return None
+    return None
+
+
+def orphans(
+    child: DataFrame,
+    parent: DataFrame,
+    keys: list[tuple[str, str]],
+    broadcast_parent: bool = True,
+    auto_colocated: bool = True,
+) -> DataFrame:
     """Rows of ``child`` whose key has no match in ``parent`` (anti-join).
 
     reference: referential/foreign_key.py:158 "Find orphans using anti-join".
     ``broadcast_parent`` hints a broadcast of the deduplicated parent keys —
     the right call whenever the parent key set fits in executor memory
     (dimension tables at 100 TB fact scale).
+
+    When BOTH inputs are bucketed catalog tables on the join keys (the
+    ``layout.write_bucketed`` contract) the check auto-routes to the
+    co-located Exchange-free anti-join instead — detected by plan
+    introspection (see ``_colocated_orphans``), so per-ingest re-checks
+    over layout-managed tables pay zero shuffle and zero broadcast
+    without the caller opting in. ``auto_colocated=False`` disables the
+    probe.
     """
+    if auto_colocated:
+        co = _colocated_orphans(child, parent, keys)
+        if co is not None:
+            return co
     parent_keys = parent.select(*[F.col(pk).alias(f"__pk_{i}") for i, (_, pk) in enumerate(keys)]).dropDuplicates()
     if broadcast_parent:
         parent_keys = F.broadcast(parent_keys)
