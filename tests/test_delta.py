@@ -189,3 +189,78 @@ class TestFingerprintStore:
         _, new = snapshots
         with pytest.raises(ValueError, match="old or old_fingerprints"):
             changed_rows(None, new, "k")
+
+
+class TestBucketedFingerprintStore:
+    @pytest.fixture()
+    def table_store(self, spark, snapshots, tmp_path):
+        from truthound_spark.delta import write_fingerprints_table
+
+        old, _ = snapshots
+        return write_fingerprints_table(
+            old, "t_fp_snap", "k", buckets=4, location=str(tmp_path / "fpdb")
+        )
+
+    def test_table_store_matches_direct_delta(self, spark, snapshots, table_store):
+        old, new = snapshots
+        direct = {r["k"] for r in changed_rows(old, new, "k").select("k").collect()}
+        stored = {
+            r["k"]
+            for r in changed_rows(None, new, "k", old_fingerprints=table_store)
+            .select("k")
+            .collect()
+        }
+        assert stored == direct
+
+    def test_meta_enforced_for_tables(self, spark, snapshots, table_store):
+        _, new = snapshots
+        with pytest.raises(ValueError, match="keyed by"):
+            changed_rows(None, new, "s", old_fingerprints=table_store)
+
+    def test_store_side_joins_without_exchange(self, spark, snapshots, table_store):
+        # the point of the bucketed store: the anti-join's store side
+        # reads its bucketed distribution — no shuffle Exchange above the
+        # store scan. At test scale Catalyst would just broadcast the
+        # tiny store (also fine, also Exchange-free in the shuffle
+        # sense), so disable broadcast to force the large-large shape the
+        # layout exists for.
+        _, new = snapshots
+        old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            d = changed_rows(None, new, "k", old_fingerprints=table_store)
+            plan = d._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        scan_lines = [
+            ln for ln in plan.splitlines() if "t_fp_snap" in ln and "Scan" in ln
+        ]
+        assert scan_lines and any("Bucketed: true" in ln for ln in scan_lines), plan
+
+    def test_table_store_needs_fewer_exchanges_than_path_store(
+        self, spark, snapshots, table_store, tmp_path
+    ):
+        from truthound_spark.delta import write_fingerprints
+        from truthound_spark.layout import plan_exchanges
+
+        old, new = snapshots
+        path_store = write_fingerprints(old, str(tmp_path / "fp_plain"), "k")
+        thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            via_table = changed_rows(None, new, "k", old_fingerprints=table_store)
+            via_path = changed_rows(None, new, "k", old_fingerprints=path_store)
+            # the bucketed store removes exactly the store-side shuffle
+            assert plan_exchanges(via_table) < plan_exchanges(via_path)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+    def test_non_store_table_rejected(self, spark, snapshots, tmp_path):
+        from truthound_spark.layout import write_bucketed
+
+        old, new = snapshots
+        t = write_bucketed(
+            old, "t_not_a_store", "k", buckets=4, location=str(tmp_path / "nsdb")
+        )
+        with pytest.raises(ValueError, match="truthound.fp.meta"):
+            changed_rows(None, new, "k", old_fingerprints=t)

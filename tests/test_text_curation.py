@@ -355,3 +355,54 @@ def test_char_entropy_separates_noise_and_spam(spark):
     assert out[4]["entropy_bits"] == 0.0 and out[4]["n_chars"] == 0
     # exact check: doc 2 = 36 'a' chars -> entropy exactly 0
     assert out[2]["entropy_bits"] == 0.0 or out[2]["entropy_bits"] < 1e-6
+
+
+class TestHashFnFastPath:
+    def test_xxhash64_same_shape_different_buckets(self, docs):
+        from truthound_spark.pipeline.text import hashed_feature_buckets
+
+        md5 = docs.select(
+            hashed_feature_buckets("text", hash_fn="md5").alias("b")
+        ).collect()
+        xx = docs.select(
+            hashed_feature_buckets("text", hash_fn="xxhash64").alias("b")
+        ).collect()
+        # same token count per doc, every bucket id in range on both paths
+        for a, b in zip(md5, xx):
+            assert len(a["b"]) == len(b["b"])
+            assert all(0 <= v < 4096 for v in a["b"])
+            assert all(0 <= v < 4096 for v in b["b"])
+        # and the assignments genuinely differ (weights are NOT portable
+        # across hash_fn — the reason it is a parameter, not a default)
+        assert any(a["b"] != b["b"] for a, b in zip(md5, xx) if a["b"])
+
+    def test_scores_bounded_under_xxhash64(self, docs):
+        scored = classifier_quality_score(docs, hash_fn="xxhash64").collect()
+        assert all(0.0 <= r["classifier_score"] <= 1.0 for r in scored)
+
+    def test_train_score_consistency_under_xxhash64(self, spark):
+        from truthound_spark.pipeline.text import train_quality_weights
+
+        pos = spark.createDataFrame(
+            [(i, "excellent well written prose here") for i in range(8)],
+            "doc_id long, text string",
+        )
+        neg = spark.createDataFrame(
+            [(i, "buy cheap pills now click here") for i in range(8, 16)],
+            "doc_id long, text string",
+        )
+        w = train_quality_weights(pos, neg, hash_fn="xxhash64")
+        scored = {
+            r["doc_id"]: r["classifier_score"]
+            for r in classifier_quality_score(
+                pos.unionByName(neg), weights=w, hash_fn="xxhash64"
+            ).collect()
+        }
+        # trained under the same hash: positives outscore negatives
+        assert min(scored[i] for i in range(8)) > max(
+            scored[i] for i in range(8, 16)
+        )
+
+    def test_bad_hash_fn_rejected(self, docs):
+        with pytest.raises(ValueError, match="hash_fn"):
+            classifier_quality_score(docs, hash_fn="sha1").collect()

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "row_fingerprint",
     "write_fingerprints",
+    "write_fingerprints_table",
     "read_fingerprints",
     "changed_rows",
     "delta_check",
@@ -133,11 +134,116 @@ def write_fingerprints(
     return path
 
 
-def read_fingerprints(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
-    """Load a fingerprint store written by :func:`write_fingerprints`:
+def write_fingerprints_table(
+    df: DataFrame,
+    table: str,
+    key_cols: str | Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+    buckets: int = 64,
+    database: str = "truthound_layout",
+    location: str | None = None,
+) -> str:
+    """The BUCKETED form of :func:`write_fingerprints`: persist the
+    ``(key..., __fp)`` projection as a catalog table bucketed by
+    ``(key..., __fp)`` — exactly the anti-join's keys, so every later
+    ``changed_rows(old_fingerprints=<table>)`` reads the store with NO
+    Exchange and NO re-sort on the store side (the non-NULL-key branch
+    of ``_anti_against_old`` joins on the raw bucket columns; a plain
+    path store re-shuffles its full width every run — at 100 TB that is
+    a table-sized shuffle this layout removes). Column lists ride in
+    table properties and are enforced on read like the sidecar. Returns
+    the fully-qualified table name; pass it (not a path) as
+    ``old_fingerprints``."""
+    from truthound_spark.layout import write_bucketed
+
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    if not key_cols:
+        raise ValueError("at least one key column is required")
+    if compare_cols is None:
+        compare_cols = [c for c in df.columns if c not in set(key_cols)]
+    if not compare_cols:
+        raise ValueError("no columns to compare (all columns are keys)")
+    fp = row_fingerprint(list(key_cols) + list(compare_cols))
+    fps = df.select(*key_cols, fp.alias("__fp"))
+    fq = write_bucketed(
+        fps,
+        table,
+        [*key_cols, "__fp"],
+        buckets=buckets,
+        database=database,
+        location=location,
+    )
+    meta = json.dumps(
+        {
+            "version": 1,
+            "key_cols": list(key_cols),
+            "compare_cols": list(compare_cols),
+        }
+    ).replace("'", "''")
+    df.sparkSession.sql(
+        f"ALTER TABLE {fq} SET TBLPROPERTIES ('truthound.fp.meta' = '{meta}')"
+    )
+    return fq
+
+
+def read_fingerprints(spark: SparkSession, store: str) -> tuple[DataFrame, dict]:
+    """Load a fingerprint store written by :func:`write_fingerprints`
+    (a path) or :func:`write_fingerprints_table` (a catalog table name):
     returns ``(projection, meta)`` with meta = {key_cols, compare_cols}."""
-    meta = json.loads(_read_text(spark, f"{path.rstrip('/')}/{_META_FILE}"))
-    return spark.read.parquet(path), meta
+    looks_like_table = "/" not in store and ":" not in store
+    if looks_like_table and spark.catalog.tableExists(store):
+        rows = spark.sql(
+            f"SHOW TBLPROPERTIES {store} ('truthound.fp.meta')"
+        ).collect()
+        if not rows or "does not have property" in str(rows[0]):
+            raise ValueError(
+                f"table {store!r} carries no truthound.fp.meta property — "
+                "not a fingerprint store (write it with "
+                "write_fingerprints_table)"
+            )
+        return spark.table(store), json.loads(rows[0]["value"])
+    meta = json.loads(_read_text(spark, f"{store.rstrip('/')}/{_META_FILE}"))
+    return spark.read.parquet(store), meta
+
+
+def _anti_against_old(
+    new_ids: DataFrame, old_ids: DataFrame, key_cols: Sequence[str]
+) -> DataFrame:
+    """LEFT ANTI of the (key..., __fp) projections with NULL-safe key
+    semantics, formulated so a store bucketed by (key..., __fp) joins
+    Exchange-free on the store side.
+
+    A single eqNullSafe join would be simplest, but its join keys become
+    coalesce/isnull EXPRESSIONS — which can never match a bucketed
+    scan's hash distribution on the raw columns, so the layout's saved
+    shuffle silently reappears (measured: the superset probe re-shuffled
+    the store). Instead: rows whose keys are all non-NULL use PLAIN
+    column equality (bit-identical to eqNullSafe on non-null values, and
+    the raw-column keys line up with the bucketed distribution), while
+    the NULL-key slices of both sides — almost always empty, and pruned
+    nearly for free on parquet sources via row-group null_count stats —
+    meet in a separate eqNullSafe anti-join. Union of the two = exactly
+    the old single-join semantics (pinned by tests/test_delta.py's NULL-
+    key battery)."""
+    any_null_new = None
+    any_null_old = None
+    for k in key_cols:
+        n = new_ids[k].isNull()
+        o = old_ids[k].isNull()
+        any_null_new = n if any_null_new is None else (any_null_new | n)
+        any_null_old = o if any_null_old is None else (any_null_old | o)
+    join_cols = [*key_cols, "__fp"]
+    nn = new_ids.filter(~any_null_new).join(
+        old_ids.filter(~any_null_old), on=join_cols, how="left_anti"
+    )
+    nu_new = new_ids.filter(any_null_new)
+    nu_old = old_ids.filter(any_null_old)
+    cond = nu_new["__fp"].eqNullSafe(nu_old["__fp"])
+    for k in key_cols:
+        cond = cond & nu_new[k].eqNullSafe(nu_old[k])
+    nu = nu_new.join(nu_old, on=cond, how="left_anti")
+    return nn.unionByName(nu)
 
 
 def changed_rows(
@@ -201,13 +307,12 @@ def changed_rows(
     # NULL-safe key equality throughout: with plain `=` joins a NULL key
     # never matches, so an added/changed NULL-key row would be flagged by
     # the anti-join and then silently DROPPED by the semi-join — a quality
-    # tool losing exactly the dirtiest rows. eqNullSafe treats NULL as a
-    # distinct key value in both joins (unchanged NULL-key rows are also
-    # correctly recognized as unchanged instead of re-flagged every run).
-    anti_cond = new_ids["__fp"].eqNullSafe(old_ids["__fp"])
-    for k in key_cols:
-        anti_cond = anti_cond & new_ids[k].eqNullSafe(old_ids[k])
-    changed_keys = new_ids.join(old_ids, on=anti_cond, how="left_anti").select(
+    # tool losing exactly the dirtiest rows. NULL keys are treated as
+    # distinct key values in both joins (unchanged NULL-key rows are also
+    # correctly recognized as unchanged instead of re-flagged every run);
+    # see _anti_against_old for the split formulation that keeps a
+    # bucketed fingerprint store Exchange-free.
+    changed_keys = _anti_against_old(new_ids, old_ids, key_cols).select(
         # fresh names (new exprIds) — the semi-join below joins `new` back
         # to a frame derived FROM `new`; unrenamed key attributes would be
         # ambiguous self-join references

@@ -255,13 +255,34 @@ def _md5_bucket(col: Column, num_buckets: int) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 6), 16, 10).cast("long") % num_buckets
 
 
+def _hash_bucket(col: Column, num_buckets: int, hash_fn: str) -> Column:
+    """Token → bucket id under the chosen hash.
+
+    ``md5`` (default everywhere) is the engine-PORTABLE hash — DuckDB
+    replays it bit-for-bit, which is what lets the classifier slots be
+    oracle-certified. ``xxhash64`` is the PRODUCTION fast path: ~an
+    order of magnitude cheaper per token (the classifier is 73 % of the
+    fused tagger's wall, and token hashing dominates it — SCALING.md
+    r12), identical output SHAPE but different bucket assignment, so
+    weights trained under one hash only score under the same hash."""
+    if hash_fn == "md5":
+        return _md5_bucket(col, num_buckets)
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(num_buckets)).cast("long")
+    raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+
+
 def hashed_feature_buckets(
-    text_col: str, num_buckets: int = 4096, use_bigrams: bool = True
+    text_col: str,
+    num_buckets: int = 4096,
+    use_bigrams: bool = True,
+    hash_fn: str = "md5",
 ) -> Column:
     """The classifier's feature extractor as a reusable Column: word
-    unigrams (+ bigrams) hashed into md5 buckets — shared by scoring
+    unigrams (+ bigrams) hashed into buckets — shared by scoring
     (classifier_quality_score) and training (train_quality_weights) so
-    the two can never drift apart."""
+    the two can never drift apart. ``hash_fn`` — see ``_hash_bucket``:
+    md5 = portable/oracle-replayable default, xxhash64 = fast path."""
     # words('') yields [''] (split semantics) — drop empty tokens so blank
     # documents score exactly sigmoid(bias), not a hashed-''-bucket weight
     w = F.filter(words(F.col(text_col)), lambda x: x != F.lit(""))
@@ -274,7 +295,7 @@ def hashed_feature_buckets(
             lambda a, b: F.concat(a, F.lit("_"), b),
         )
         feats = F.concat(w, bigrams)
-    return F.transform(feats, lambda t: _md5_bucket(t, num_buckets))
+    return F.transform(feats, lambda t: _hash_bucket(t, num_buckets, hash_fn))
 
 
 def train_quality_weights(
@@ -283,6 +304,7 @@ def train_quality_weights(
     text_col: str = "text",
     num_buckets: int = 4096,
     use_bigrams: bool = True,
+    hash_fn: str = "md5",
 ) -> list[float]:
     """Train the hashed-feature quality classifier CLOSED-FORM: per-bucket
     Naive Bayes log-odds ln((pos_b+1)/(pos_total+B)) −
@@ -302,7 +324,7 @@ def train_quality_weights(
     # side flag and conditional-sum per bucket. Same exact integer
     # counts (hash-pinned by the dsir/classifier oracle slots), half
     # the scheduling and one shared shuffle.
-    b = hashed_feature_buckets(text_col, num_buckets, use_bigrams)
+    b = hashed_feature_buckets(text_col, num_buckets, use_bigrams, hash_fn)
     tagged = pos.select(
         F.lit(1).alias("__side"), F.explode_outer(b).alias("bucket")
     ).unionByName(
@@ -334,6 +356,7 @@ def classifier_quality_score(
     num_buckets: int = 4096,
     bias: float = 0.0,
     use_bigrams: bool = True,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """fastText-style linear quality classifier over hashed n-gram
     features (the CCNet/LLaMA-pipeline "quality filter" shape): word
@@ -352,7 +375,7 @@ def classifier_quality_score(
     fastText regime (vocab-hashed buckets, tens of KB); a million-bucket
     model should become a broadcast join against a weights table instead.
     """
-    buckets = hashed_feature_buckets(text_col, num_buckets, use_bigrams)
+    buckets = hashed_feature_buckets(text_col, num_buckets, use_bigrams, hash_fn)
     trained = weights is not None
     if trained:
         if len(weights) != num_buckets:
@@ -985,6 +1008,7 @@ def tag_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
     classifier_weights: list[float] | None = None,
+    classifier_hash_fn: str = "md5",
 ) -> DataFrame:
     """Dolma-style FUSED document tagger: every per-document curation
     signal this module offers, computed in ONE corpus pass.
@@ -1003,12 +1027,18 @@ def tag_documents(
     Returns df + the ~15 signal columns; filter/gate downstream
     (``gopher_filter`` thresholds, ``quantile_gate`` on quality_score,
     …) or write the tagged corpus once and let every later stage reuse
-    it."""
+    it. The classifier is ~73 % of this pass's wall (SCALING.md r12
+    stage split) and token MD5s dominate it — ``classifier_hash_fn=
+    "xxhash64"`` is the production fast path (same plan shape, cheaper
+    hash; weights must be trained under the same hash_fn; md5 stays the
+    default because the oracle replays it bit-for-bit)."""
     out = quality_score(df, text_col)
     out = detect_languages(out, text_col)
     out = fingerprint_documents(out, text_col)
     out = repetition_signals(out, text_col)
-    out = classifier_quality_score(out, text_col, weights=classifier_weights)
+    out = classifier_quality_score(
+        out, text_col, weights=classifier_weights, hash_fn=classifier_hash_fn
+    )
     return out
 
 
