@@ -397,6 +397,14 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     # r11 delta validation (delta.py): hash-projection anti-join delta,
     # recomputed by the oracle with NOT EXISTS full-column equality.
     "delta_check_orders",
+    # r12 fingerprint store (delta.py write_fingerprints /
+    # old_fingerprints): the delta derived from the PERSISTED projection
+    # (old never read), same NOT-EXISTS oracle.
+    "delta_check_fp_store_orders",
+    # r12 partition-scoped WAP (layout.py write_audit_publish_partition):
+    # two shards published, dirty third rejected, published bytes
+    # hash-checked vs SQL recomputation.
+    "wap_partition_gate_orders",
 ]
 
 
