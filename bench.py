@@ -100,17 +100,35 @@ def apply_spread_guard(samples: list[float]) -> list[float]:
 # attributable without re-litigating sub-second fixed-overhead queries
 # every round.
 REGRESSION_DISPOSITIONS = {
+    "dedup_clusters_documents": (
+        "intentional r12 trade, measured at both ends: the verify-stage "
+        "candidate attaches are now size-gated (persist+count the pair "
+        "relation, broadcast only under a byte budget — VERDICT r11 #1). "
+        "The count materialization costs ~+0.7 s at sf0.1 (A/B vs the "
+        "pre-gate module, idle machine 2026-08-16: old 4.84 s median "
+        "[4.26,4.84,4.96] vs new 5.55 s [5.34,5.55,5.8]) and buys -20 s "
+        "AND removes the 8 GB broadcast ceiling at sf10 (forced-broadcast "
+        "82.8 s vs gated 62.4 s, SCALING.md r12). Toy-scale fixed "
+        "overhead accepted for the scale win."
+    ),
+    "minhash_dedup_documents": (
+        "same r12 size-gate trade as dedup_clusters_documents (shared "
+        "verify stage): ~+0.6 s at sf0.1 from the pair-relation "
+        "persist+count, 25% faster and ceiling-free at sf10."
+    ),
     "null_suite": (
         "environmental: NullValidator/BatchExpressionExecutor byte-"
         "identical since r2 (232745d lineage; zero r10/r11 commits touch "
         "completeness.py or the executor's agg path). Idle-machine "
         "bisection 2026-08-16: cold 0.98 then warm [0.586, 0.439, 0.429, "
-        "0.539, 0.435] — median 0.44, matching the 0.424 pin; the r11 "
-        "0.643 median came from a burst that arrived after the start "
-        "canary (0.4205) and left before the end sample. The r12 "
-        "mid-suite canary sample exists precisely to catch this class: "
-        "future bursts show in the bracket triple, not only in untouched "
-        "queries' ratios."
+        "0.539, 0.435] — median 0.44, matching the 0.424 pin. The r12 "
+        "bracket TRIPLE then attributed the in-bench excursions: a clean "
+        "full run read canary start 0.577 / mid 0.389 / end 0.399 — the "
+        "run's FIRST phase (right after the relayout writes + warmups, "
+        "where null_suite is the first recorded query) is systematically "
+        "~1.5x slower while the machine is otherwise idle. Early-slot "
+        "queries inherit that phase, not a regression; the mid canary "
+        "sample now records it every run."
     ),
     "pushdown_unique": (
         "environmental: DuckDBSource code byte-identical since r2 "
