@@ -260,11 +260,13 @@ def _hash_bucket(col: Column, num_buckets: int, hash_fn: str) -> Column:
 
     ``md5`` (default everywhere) is the engine-PORTABLE hash — DuckDB
     replays it bit-for-bit, which is what lets the classifier slots be
-    oracle-certified. ``xxhash64`` is the PRODUCTION fast path: ~an
-    order of magnitude cheaper per token (the classifier is 73 % of the
-    fused tagger's wall, and token hashing dominates it — SCALING.md
-    r12), identical output SHAPE but different bucket assignment, so
-    weights trained under one hash only score under the same hash."""
+    oracle-certified. ``xxhash64`` exists for engines/pipelines that
+    standardize on it — NOT as a performance lever: measured at 500k
+    docs the whole classifier runs 25.3 s (md5) vs 24.3 s (xxhash64),
+    ~4 % — the cost lives in tokenization and per-token array
+    construction, not the hash (SCALING.md r12). Identical output
+    SHAPE but different bucket assignment, so weights trained under one
+    hash only score under the same hash."""
     if hash_fn == "md5":
         return _md5_bucket(col, num_buckets)
     if hash_fn == "xxhash64":
@@ -1028,10 +1030,11 @@ def tag_documents(
     (``gopher_filter`` thresholds, ``quantile_gate`` on quality_score,
     …) or write the tagged corpus once and let every later stage reuse
     it. The classifier is ~73 % of this pass's wall (SCALING.md r12
-    stage split) and token MD5s dominate it — ``classifier_hash_fn=
-    "xxhash64"`` is the production fast path (same plan shape, cheaper
-    hash; weights must be trained under the same hash_fn; md5 stays the
-    default because the oracle replays it bit-for-bit)."""
+    stage split); the cost is tokenization + per-token array math, NOT
+    the hash — swapping md5 for xxhash64 measured only ~4 %
+    (``classifier_hash_fn`` exists for hash standardization, weights
+    valid only under their training hash; md5 stays the default because
+    the oracle replays it bit-for-bit)."""
     out = quality_score(df, text_col)
     out = detect_languages(out, text_col)
     out = fingerprint_documents(out, text_col)
