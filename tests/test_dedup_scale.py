@@ -136,3 +136,79 @@ class TestShingleTableLayout:
         assert attach_lines and all(
             "Broadcast" not in ln for ln in attach_lines
         ), attach_lines
+
+
+class TestDedupIndex:
+    @pytest.fixture(scope="class")
+    def split(self, docs):
+        new = docs.filter(F.col("doc_id") % 2 == 1)
+        base = docs.filter(F.col("doc_id") % 2 == 0)
+        return new, base
+
+    @pytest.fixture(scope="class")
+    def index(self, spark, split, tmp_path_factory):
+        from truthound_spark.pipeline.dedup import write_dedup_index
+
+        _, base = split
+        loc = str(tmp_path_factory.mktemp("dedup_idx"))
+        return write_dedup_index(
+            base, "t_idx", max_bucket_size=None, buckets=8, location=loc
+        )
+
+    def test_matches_union_based_incremental(self, split, index):
+        from truthound_spark.pipeline.dedup import incremental_dedup_indexed
+
+        new, base = split
+        want = {
+            (r["id"], r["dup_of"], r["match_kind"])
+            for r in incremental_dedup(
+                new, base, threshold=0.7, max_bucket_size=None
+            ).collect()
+        }
+        got = {
+            (r["id"], r["dup_of"], r["match_kind"])
+            for r in incremental_dedup_indexed(new, index, threshold=0.7).collect()
+        }
+        assert got == want
+        assert any(k is not None for _, _, k in got)  # real matches exist
+
+    def test_prefix_string_form(self, split, index):
+        from truthound_spark.pipeline.dedup import incremental_dedup_indexed
+
+        new, _ = split
+        via_dict = incremental_dedup_indexed(new, index).count()
+        via_prefix = incremental_dedup_indexed(new, "t_idx").count()
+        assert via_dict == via_prefix == new.count()
+
+    def test_meta_enforced(self, spark, split, tmp_path_factory):
+        from truthound_spark.layout import write_bucketed
+        from truthound_spark.pipeline.dedup import incremental_dedup_indexed
+
+        new, base = split
+        loc = str(tmp_path_factory.mktemp("not_idx"))
+        t = write_bucketed(
+            base.select(F.col("doc_id").alias("id"), F.lit(0).alias("band"),
+                        F.lit(0).alias("bucket")),
+            "t_not_an_index", ["band", "bucket"], buckets=2, location=loc,
+        )
+        with pytest.raises(ValueError, match="truthound.dedup.meta"):
+            incremental_dedup_indexed(
+                new, {"fingerprints": t, "shingles": t, "lsh": t}
+            )
+
+    def test_write_time_bucket_cap_is_enforced(self, spark, split, tmp_path_factory):
+        from truthound_spark.pipeline.dedup import write_dedup_index
+
+        _, base = split
+        loc = str(tmp_path_factory.mktemp("capped_idx"))
+        idx = write_dedup_index(
+            base, "t_idx_capped", max_bucket_size=3, buckets=4, location=loc
+        )
+        worst = (
+            spark.table(idx["lsh"])
+            .groupBy("band", "bucket")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        assert worst <= 3

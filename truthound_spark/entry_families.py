@@ -405,6 +405,10 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     # two shards published, dirty third rejected, published bytes
     # hash-checked vs SQL recomputation.
     "wap_partition_gate_orders",
+    # r12 indexed incremental dedup (write_dedup_index +
+    # incremental_dedup_indexed): delta deduped against the stored
+    # three-table index, same exhaustive oracle as the union-based path.
+    "incremental_dedup_indexed_documents",
 ]
 
 

@@ -14855,6 +14855,42 @@ def q_delta_check_fp_store_orders(spark, sf_dir):
 
 
 @register(
+    "incremental_dedup_indexed_documents",
+    ORACLES["incremental_dedup_documents"],
+)
+def q_incremental_dedup_indexed_documents(spark, sf_dir):
+    """Indexed cross-snapshot dedup (pipeline/dedup.py write_dedup_index
+    + incremental_dedup_indexed — r12: the base corpus is indexed ONCE
+    into three bucketed tables (content fingerprints by fp, hashed
+    shingles by id, LSH band entries by (band, bucket)) and the delta is
+    deduped against the STORED artifacts in delta-sized time — the base
+    is never re-shingled or re-banded. Same odd/even split and the SAME
+    exhaustive NOT-EXISTS/Jaccard oracle as incremental_dedup_documents:
+    a stored index whose banding, fingerprints, shingle round-trip, or
+    candidate orientation drifts from the live path breaks the hash.
+    Exact mode (no write-time bucket cap) so the oracle replay is
+    complete."""
+    from truthound_spark.pipeline.dedup import (
+        incremental_dedup_indexed,
+        write_dedup_index,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    import os as _os
+    import tempfile as _tempfile
+
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    loc = _os.path.join(_tempfile.gettempdir(), f"spark_graft_dedup_idx_{tag}")
+    idx = write_dedup_index(
+        base, f"entry_dedup_idx_{tag}", max_bucket_size=None, buckets=8,
+        location=loc,
+    )
+    return incremental_dedup_indexed(new, idx, threshold=0.7).orderBy("id")
+
+
+@register(
     "wap_partition_gate_orders",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS published_rows,
