@@ -1453,14 +1453,18 @@ def incremental_dedup(
 
     Ids must be globally unique across both snapshots (they share an id
     space in any real pipeline). ``base_shingle_table`` (written once by
-    :func:`write_shingle_layout`, bucketed by id) is the production path
-    for the history side: the base corpus is never re-shingled per
-    increment (a table scan replaces the recompute), the shingle union is
-    NOT pinned in executor memory (no ``localCheckpoint`` — the stored
-    table plus a persisted delta re-derive it fault-tolerantly), and
-    id-keyed joins read the bucketed distribution. Candidate attaches are
-    broadcast only under ``broadcast_pairs_budget`` (measured), else
-    shuffle-hash on id — see ``minhash_dedup_pairs``.
+    :func:`write_shingle_layout`, bucketed by id) removes the base
+    re-SHINGLE per increment and un-pins the union from executor memory
+    (no ``localCheckpoint``) — but the union still re-BANDS the whole
+    corpus every run, which dominates (measured 105.8 s → 83.6 s at
+    500k base / 5k delta). The real production path is
+    :func:`write_dedup_index` + :func:`incremental_dedup_indexed`:
+    increments run in DELTA-sized time (6.4 s warm on the same shape,
+    SCALING.md r12) against the stored three-table index. Keep THIS
+    function for one-shot comparisons and as the oracle-twin reference.
+    Candidate attaches are broadcast only under
+    ``broadcast_pairs_budget`` (measured), else shuffle-hash on id —
+    see ``minhash_dedup_pairs``.
 
     Returns one row per new document: (id, dup_of, match_kind) with
     match_kind ∈ ('exact', 'near', NULL); exact wins over near, and
