@@ -409,6 +409,13 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     # incremental_dedup_indexed): delta deduped against the stored
     # three-table index, same exhaustive oracle as the union-based path.
     "incremental_dedup_indexed_documents",
+    # r12 oracle conversions of the remaining new surfaces: the bucketed
+    # shingle layout driven through the full minhash pipeline, the
+    # bucketed fingerprint-store table, and the row-level dual-transport
+    # certification (vectorized vs F.udf, NULL contract included).
+    "minhash_shingle_table_documents",
+    "delta_check_fp_table_orders",
+    "row_level_transport_lineitem",
 ]
 
 

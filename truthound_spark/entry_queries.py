@@ -14957,3 +14957,157 @@ def q_wap_partition_gate_orders(spark, sf_dir):
         F.countDistinct("shard").cast("long").alias("published_parts"),
         F.lit(int(dirty_violations)).cast("long").alias("dirty_violations"),
     )
+
+
+@register(
+    "minhash_shingle_table_documents",
+    ORACLES["minhash_lsh_pairs_documents"],
+)
+def q_minhash_shingle_table_documents(spark, sf_dir):
+    """MinHash dedup through the PERSISTED bucketed shingle layout (r12
+    write_shingle_layout + minhash_dedup_pairs(shingle_table=...)): the
+    hashed-shingle table is written once bucketBy(id) and the whole
+    pipeline — signatures, banding, exact-Jaccard verification — runs
+    off the STORED table instead of the in-memory recompute. Same
+    exhaustive inverted-index oracle as minhash_lsh_pairs_documents, so
+    a shingle round-trip defect (array encoding, id mapping, bucketed
+    read) breaks the hash. Exact mode; attaches ride the size gate."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from truthound_spark.pipeline.dedup import (
+        minhash_dedup_pairs,
+        write_shingle_layout,
+    )
+
+    df = t(spark, sf_dir, "documents")
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    loc = _os.path.join(_tempfile.gettempdir(), f"spark_graft_shingle_{tag}")
+    table = write_shingle_layout(
+        df, f"entry_shingles_{tag}", buckets=8, location=loc
+    )
+    pairs = minhash_dedup_pairs(
+        df, "text", "doc_id", threshold=0.7, num_hashes=64, bands=32,
+        max_bucket_size=None, shingle_table=table,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "delta_check_fp_table_orders",
+    ORACLES["delta_check_fp_store_orders"],
+)
+def q_delta_check_fp_table_orders(spark, sf_dir):
+    """Delta validation through the BUCKETED fingerprint-store table (r12
+    write_fingerprints_table — (key, __fp) bucketBy exactly the anti-join
+    keys, column lists pinned in table properties; the split anti-join
+    keeps the store side Exchange-free). Same planted change classes and
+    the same NOT-EXISTS oracle as the path-store slot: a table
+    round-trip, properties-metadata, or split-join defect breaks the
+    hash. The slot raises unless the fused audit over the table-derived
+    delta reports exactly the planted negatives."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from truthound_spark.delta import (
+        changed_rows,
+        delta_check,
+        write_fingerprints_table,
+    )
+    from truthound_spark.validators.distribution import RangeValidator
+
+    p = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    new = (
+        p.filter(k % 17 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 13 == 0, -F.col("o_totalprice")).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            p.filter(k % 19 == 0).select(
+                (k + 1000000000).alias("o_orderkey"),
+                "o_custkey",
+                "o_totalprice",
+            )
+        )
+    )
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    loc = _os.path.join(_tempfile.gettempdir(), f"spark_graft_fptab_{tag}")
+    store = write_fingerprints_table(
+        p, f"entry_fp_orders_{tag}", "o_orderkey", buckets=8, location=loc
+    )
+    delta = changed_rows(None, new, "o_orderkey", old_fingerprints=store)
+    issues, stats = delta_check(
+        None,
+        new,
+        "o_orderkey",
+        [RangeValidator("o_totalprice", min_value=0.0)],
+        old_fingerprints=store,
+    )
+    agg = delta.groupBy().agg(
+        F.count(F.lit(1)).alias("n_changed"),
+        F.sum(F.when(k < 1000000000, 1).otherwise(0))
+        .cast("long")
+        .alias("modified_rows"),
+        F.sum(F.when(k >= 1000000000, 1).otherwise(0))
+        .cast("long")
+        .alias("added_rows"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("negative_prices"),
+        F.round(F.sum("o_totalprice"), 2).alias("changed_revenue"),
+    )
+    row = agg.collect()[0]
+    audit_count = sum(i.count for i in issues)
+    if audit_count != row["negative_prices"] or stats["row_count"] != row["n_changed"]:
+        raise RuntimeError(
+            f"fp-table delta audit mismatch: audit={audit_count} "
+            f"rows={stats['row_count']} vs relational "
+            f"{row['negative_prices']}/{row['n_changed']}"
+        )
+    return agg
+
+
+@register(
+    "row_level_transport_lineitem",
+    """
+    SELECT CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity <= 0
+                          OR l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT)
+             AS violations,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           1 AS transports_agree
+    FROM lineitem
+    """,
+)
+def q_row_level_transport_lineitem(spark, sf_dir):
+    """RowLevelValidator transport certification (r12: the Arrow-
+    vectorized default must be bit-identical to the row-at-a-time F.udf
+    contract — including NULLs arriving as None, never nan). The SAME
+    per-row Python predicate runs through BOTH transports in-slot; the
+    slot RAISES if they disagree, and the violation count is recomputed
+    relationally by the oracle — so a nan-coercion or batching defect on
+    either path breaks the hash."""
+    from truthound_spark.validators.query import RowLevelValidator
+
+    li = t(spark, sf_dir, "lineitem")
+    fn = lambda v: v is not None and 0 < v < 25  # noqa: E731
+    fast = RowLevelValidator("l_quantity", fn).validate(li)
+    slow = RowLevelValidator("l_quantity", fn, vectorized=False).validate(li)
+    n_fast = fast[0].count if fast else 0
+    n_slow = slow[0].count if slow else 0
+    if n_fast != n_slow:
+        raise RuntimeError(
+            f"row-level transports disagree: vectorized={n_fast} udf={n_slow}"
+        )
+    return li.groupBy().agg(
+        F.lit(int(n_fast)).cast("long").alias("violations"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.lit(1).alias("transports_agree"),
+    )
