@@ -212,3 +212,25 @@ class TestDedupIndex:
             .collect()[0][0]
         )
         assert worst <= 3
+
+    def test_delta_side_cap_bounds_entries_and_keeps_results_here(
+        self, split, index
+    ):
+        from truthound_spark.pipeline.dedup import incremental_dedup_indexed
+
+        new, _ = split
+        exact = {
+            (r["id"], r["dup_of"])
+            for r in incremental_dedup_indexed(
+                new, index, threshold=0.7, max_bucket_size=None
+            ).collect()
+        }
+        capped = {
+            (r["id"], r["dup_of"])
+            for r in incremental_dedup_indexed(
+                new, index, threshold=0.7, max_bucket_size=512
+            ).collect()
+        }
+        # no bucket in this corpus exceeds the default cap, so the guard
+        # must be a no-op on results (it only ever bounds WORK)
+        assert capped == exact

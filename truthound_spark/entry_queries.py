@@ -14887,7 +14887,9 @@ def q_incremental_dedup_indexed_documents(spark, sf_dir):
         base, f"entry_dedup_idx_{tag}", max_bucket_size=None, buckets=8,
         location=loc,
     )
-    return incremental_dedup_indexed(new, idx, threshold=0.7).orderBy("id")
+    return incremental_dedup_indexed(
+        new, idx, threshold=0.7, max_bucket_size=None
+    ).orderBy("id")
 
 
 @register(

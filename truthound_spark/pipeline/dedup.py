@@ -1673,6 +1673,7 @@ def incremental_dedup_indexed(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.7,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     broadcast_pairs_budget: int = DEFAULT_PAIR_BROADCAST_BUDGET,
     database: str = "truthound_layout",
 ) -> DataFrame:
@@ -1690,8 +1691,12 @@ def incremental_dedup_indexed(
     — base × base pairs never exist — and verification pulls only the
     candidate base ids' shingle arrays (size-gated attach, see
     ``_attach_pairs``). Returns (id, dup_of, match_kind) exactly like
-    ``incremental_dedup``; recall differences exist only where the
-    index's write-time bucket cap engaged (see ``write_dedup_index``).
+    ``incremental_dedup``; recall differences exist only where a bucket
+    cap engaged. ``max_bucket_size`` here caps the DELTA side's band
+    entries at query time (lowest ids kept) — the mirror of the index's
+    write-time cap: candidate count per (band, bucket) is then bounded
+    by delta-cap × index-cap even when a boilerplate-heavy batch lands
+    in a boilerplate-heavy bucket. ``None`` = exact (the oracle mode).
     """
     import json as _json
 
@@ -1737,6 +1742,15 @@ def incremental_dedup_indexed(
         new_docs, "__t", "id", num_hashes, shingle_n, _hashed_shingles=sh_new
     )
     e_new = _band_entries(sig_new, num_hashes, bands)
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket").orderBy("id")
+        e_new = (
+            e_new.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_bucket_size)
+            .drop("__rn")
+        )
     idx = spark.table(index["lsh"]).select(
         "band", "bucket", F.col("id").alias("base_id")
     )
