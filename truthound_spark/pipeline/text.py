@@ -59,6 +59,27 @@ def language_scores(col: Column) -> dict[str, Column]:
     return out
 
 
+def _language_id_from_tokens(w: Column, default: str = "unknown") -> Column:
+    """Argmax language over an ALREADY-STAGED distinct-word column (see
+    detect_languages: the inline form re-tokenizes once per language)."""
+    scores = {}
+    for lang, sws in STOPWORDS.items():
+        sw = F.array(*[F.lit(s) for s in sws])
+        scores[lang] = F.size(F.array_intersect(w, sw))
+    langs = sorted(scores)
+    best = None
+    for lang in langs:
+        s = scores[lang]
+        if best is None:
+            best = (s, F.lit(lang))
+        else:
+            best = (
+                F.when(s > best[0], s).otherwise(best[0]),
+                F.when(s > best[0], F.lit(lang)).otherwise(best[1]),
+            )
+    return F.when(best[0] > 0, best[1]).otherwise(F.lit(default))
+
+
 def language_id(col: Column, default: str = "unknown") -> Column:
     """Argmax language by stopword overlap; ties break by language-code
     order; 0 overlap → default."""
@@ -79,10 +100,20 @@ def language_id(col: Column, default: str = "unknown") -> Column:
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality features (the reference's profiler analyzers,
-    re-aimed at LLM data curation): lengths, token counts, ratios."""
+    re-aimed at LLM data curation): lengths, token counts, ratios.
+
+    The word array is STAGED into a column first: the features reference
+    it ~9x between them, and codegen re-evaluates higher-order-function
+    subtrees per reference — inline it tokenized every document ~9 times
+    (same finding as ``_buckets_from_tokens``, SCALING.md r12). Same
+    expressions over the staged column → bit-identical outputs (oracle-
+    pinned)."""
     col = F.col(text_col)
-    w = words(col)
-    return df.withColumns(
+    staged = df.withColumn("__qf_w", words(col))
+    w = F.col("__qf_w")
+    sw = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    sw_hits = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
+    return staged.withColumns(
         {
             "n_chars": F.length(col),
             "n_words": whitespace_token_count(col),
@@ -91,7 +122,9 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
                 F.size(w) > 0,
                 F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x)) / F.size(w),
             ).otherwise(F.lit(0.0)),
-            "stopword_ratio": stopword_ratio(col),
+            "stopword_ratio": F.when(
+                F.size(w) > 0, sw_hits / F.size(w)
+            ).otherwise(F.lit(0.0)),
             "punct_ratio": F.when(
                 F.length(col) > 0,
                 F.regexp_count(col, F.lit(r"[^\w\s]")).cast("double") / F.length(col),
@@ -104,7 +137,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
                 F.size(w) > 0, F.size(F.array_distinct(w)).cast("double") / F.size(w)
             ).otherwise(F.lit(0.0)),
         }
-    )
+    ).drop("__qf_w")
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -128,8 +161,18 @@ def fingerprint_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def detect_languages(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Add predicted_lang via the stopword-overlap heuristic."""
-    return df.withColumn("predicted_lang", language_id(F.col(text_col)))
+    """Add predicted_lang via the stopword-overlap heuristic. The
+    distinct-word array is staged once — the inline language_id column
+    re-tokenizes per LANGUAGE (codegen re-evaluates HOF subtrees per
+    reference, SCALING.md r12); same argmax over the staged column is
+    bit-identical (oracle-pinned)."""
+    return (
+        df.withColumn(
+            "__lid_w", F.array_distinct(words(F.col(text_col)))
+        )
+        .withColumn("predicted_lang", _language_id_from_tokens(F.col("__lid_w")))
+        .drop("__lid_w")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -274,6 +317,40 @@ def _hash_bucket(col: Column, num_buckets: int, hash_fn: str) -> Column:
     raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
 
 
+def clean_tokens(text_col: str) -> Column:
+    """Non-empty normalized word tokens of ``text_col`` — the SHARED
+    tokenization every hashed-feature consumer stages into a column
+    first. words('') yields [''] (split semantics), so empty tokens are
+    dropped: blank documents score exactly sigmoid(bias), not a
+    hashed-''-bucket weight."""
+    return F.filter(words(F.col(text_col)), lambda x: x != F.lit(""))
+
+
+def _buckets_from_tokens(
+    tokens: Column, num_buckets: int, use_bigrams: bool, hash_fn: str
+) -> Column:
+    """Bucket ids from an ALREADY-STAGED token array column.
+
+    The token expression is referenced ~5x here (unigrams, both bigram
+    slices, the size guard); Spark's whole-stage codegen re-evaluates
+    higher-order-function subtrees PER REFERENCE, so building this
+    directly over ``words(text)`` tokenizes every document ~5 times —
+    measured 8.06 s vs 1.80 s at 500k docs (SCALING.md r12). Callers
+    must pass a COLUMN REFERENCE to tokens staged in a prior projection
+    (CollapseProject keeps the stage split because the alias is
+    multiply-referenced)."""
+    feats = tokens
+    if use_bigrams:
+        n = F.size(tokens)
+        bigrams = F.zip_with(
+            F.slice(tokens, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(tokens, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        )
+        feats = F.concat(tokens, bigrams)
+    return F.transform(feats, lambda t: _hash_bucket(t, num_buckets, hash_fn))
+
+
 def hashed_feature_buckets(
     text_col: str,
     num_buckets: int = 4096,
@@ -284,20 +361,15 @@ def hashed_feature_buckets(
     unigrams (+ bigrams) hashed into buckets — shared by scoring
     (classifier_quality_score) and training (train_quality_weights) so
     the two can never drift apart. ``hash_fn`` — see ``_hash_bucket``:
-    md5 = portable/oracle-replayable default, xxhash64 = fast path."""
-    # words('') yields [''] (split semantics) — drop empty tokens so blank
-    # documents score exactly sigmoid(bias), not a hashed-''-bucket weight
-    w = F.filter(words(F.col(text_col)), lambda x: x != F.lit(""))
-    feats = w
-    if use_bigrams:
-        n = F.size(w)
-        bigrams = F.zip_with(
-            F.slice(w, 1, F.greatest(n - 1, F.lit(0))),
-            F.slice(w, 2, F.greatest(n - 1, F.lit(0))),
-            lambda a, b: F.concat(a, F.lit("_"), b),
-        )
-        feats = F.concat(w, bigrams)
-    return F.transform(feats, lambda t: _hash_bucket(t, num_buckets, hash_fn))
+    md5 = portable/oracle-replayable default, xxhash64 = fast path.
+
+    NOTE this inline form re-tokenizes per expression reference (see
+    ``_buckets_from_tokens``); the engine's own consumers stage
+    ``clean_tokens`` into a column first and call the from-tokens form —
+    prefer that in any hot path."""
+    return _buckets_from_tokens(
+        clean_tokens(text_col), num_buckets, use_bigrams, hash_fn
+    )
 
 
 def train_quality_weights(
@@ -326,11 +398,13 @@ def train_quality_weights(
     # side flag and conditional-sum per bucket. Same exact integer
     # counts (hash-pinned by the dsir/classifier oracle slots), half
     # the scheduling and one shared shuffle.
-    b = hashed_feature_buckets(text_col, num_buckets, use_bigrams, hash_fn)
-    tagged = pos.select(
+    b = _buckets_from_tokens(F.col("__toks"), num_buckets, use_bigrams, hash_fn)
+    tagged = pos.withColumn("__toks", clean_tokens(text_col)).select(
         F.lit(1).alias("__side"), F.explode_outer(b).alias("bucket")
     ).unionByName(
-        neg.select(F.lit(0).alias("__side"), F.explode_outer(b).alias("bucket"))
+        neg.withColumn("__toks", clean_tokens(text_col)).select(
+            F.lit(0).alias("__side"), F.explode_outer(b).alias("bucket")
+        )
     )
     rows = (
         tagged.filter(F.col("bucket").isNotNull())
@@ -377,7 +451,12 @@ def classifier_quality_score(
     fastText regime (vocab-hashed buckets, tens of KB); a million-bucket
     model should become a broadcast join against a weights table instead.
     """
-    buckets = hashed_feature_buckets(text_col, num_buckets, use_bigrams, hash_fn)
+    # stage tokens ONCE (see _buckets_from_tokens: the inline form
+    # re-tokenizes ~5x per document — measured 4.5x slower)
+    df = df.withColumn("__clf_toks", clean_tokens(text_col))
+    buckets = _buckets_from_tokens(
+        F.col("__clf_toks"), num_buckets, use_bigrams, hash_fn
+    )
     trained = weights is not None
     if trained:
         if len(weights) != num_buckets:
@@ -404,7 +483,7 @@ def classifier_quality_score(
     logit = F.lit(float(bias)) + mean
     out = df.withColumn(
         "classifier_score", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
-    )
+    ).drop("__clf_toks")
     return out.drop("__clf_w") if trained else out
 
 
@@ -528,7 +607,9 @@ def dsir_log_importance(
     Returns df + ``log_importance`` (double)."""
     if len(weights) != num_buckets:
         raise ValueError(f"weights has {len(weights)} entries, expected {num_buckets}")
-    buckets = hashed_feature_buckets(text_col, num_buckets, use_bigrams)
+    buckets = _buckets_from_tokens(
+        F.col("__dsir_toks"), num_buckets, use_bigrams, "md5"
+    )
     wdf = df.sparkSession.createDataFrame(
         [([float(x) for x in weights],)], "__dsir_w: array<double>"
     )
@@ -538,9 +619,10 @@ def dsir_log_importance(
         lambda acc, b: acc + F.element_at(F.col("__dsir_w"), (b + 1).cast("int")),
     )
     return (
-        df.crossJoin(F.broadcast(wdf))
+        df.withColumn("__dsir_toks", clean_tokens(text_col))
+        .crossJoin(F.broadcast(wdf))
         .withColumn("log_importance", logw)
-        .drop("__dsir_w")
+        .drop("__dsir_w", "__dsir_toks")
     )
 
 
