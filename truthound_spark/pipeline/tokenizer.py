@@ -175,6 +175,36 @@ def bpe_train(
     )
 
 
+def _staged_bpe_counts(df: DataFrame, text_col: str, pairs):
+    """Stage the token array AND the merged symbol string as columns,
+    returning (staged_df, n_words, n_tokens) built over them.
+
+    ``bpe_token_count_expr`` references its word list twice and its
+    merge-chain result twice; codegen re-evaluates subtrees per
+    reference, so the inline form tokenizes every document twice and
+    runs the WHOLE R-round merge chain twice (same finding as the
+    staged tagger — SCALING.md r12). Two staged columns make each
+    evaluate once; identical expressions → bit-identical counts (the
+    bpe_* oracle slots pin it). The inline expr form stays for
+    single-aggregate contexts (validators) that cannot stage columns."""
+    staged = df.withColumn(
+        "__bpe_w", F.filter(words(F.col(text_col)), lambda x: x != F.lit(""))
+    )
+    doc_sym = F.array_join(F.transform(F.col("__bpe_w"), wrap_symbols), " ")
+    for x, y in pairs:
+        doc_sym = F.replace(doc_sym, F.lit(f"|{x}||{y}|"), F.lit(f"|{x}{y}|"))
+    staged = staged.withColumn("__bpe_sym", doc_sym)
+    n_words = F.size(F.col("__bpe_w"))
+    n_sep = (
+        F.length(F.col("__bpe_sym"))
+        - F.length(F.replace(F.col("__bpe_sym"), F.lit("||"), F.lit("")))
+    ) / 2
+    n_tokens = F.when(n_words > 0, (n_sep + n_words).cast("long")).otherwise(
+        F.lit(0)
+    )
+    return staged, n_words, n_tokens
+
+
 def bpe_token_counts(
     df: DataFrame,
     merges: list[tuple] | DataFrame,
@@ -198,8 +228,10 @@ def bpe_token_counts(
     tuples.
 
     Returns (id, n_words, n_tokens)."""
-    n_words, n_tokens = bpe_token_count_expr(F.col(text_col), merge_pairs(merges))
-    return df.select(
+    staged, n_words, n_tokens = _staged_bpe_counts(
+        df, text_col, merge_pairs(merges)
+    )
+    return staged.select(
         F.col(id_col).cast("long").alias("id"),
         n_words.cast("long").alias("n_words"),
         n_tokens.alias("n_tokens"),
@@ -279,7 +311,6 @@ def bpe_tokenize(
 
     Returns (id, tokens array<string>, n_tokens)."""
     pairs = merge_pairs(merges)
-    wlist = F.filter(words(F.col(text_col)), lambda x: x != F.lit(""))
 
     def merged_word(w):
         sym = wrap_symbols(w)
@@ -287,8 +318,19 @@ def bpe_tokenize(
             sym = F.replace(sym, F.lit(f"|{x}||{y}|"), F.lit(f"|{x}{y}|"))
         return _sym_array(sym)
 
-    toks = F.flatten(F.transform(wlist, merged_word))
-    return df.select(
+    # token array staged once — it is referenced twice below, and the
+    # merge chain must not run per reference (see _staged_bpe_counts)
+    staged = df.withColumn(
+        "__bpe_toks",
+        F.flatten(
+            F.transform(
+                F.filter(words(F.col(text_col)), lambda x: x != F.lit("")),
+                merged_word,
+            )
+        ),
+    )
+    toks = F.col("__bpe_toks")
+    return staged.select(
         F.col(id_col).cast("long").alias("id"),
         F.coalesce(toks, F.array().cast("array<string>")).alias("tokens"),
         F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("n_tokens"),
@@ -317,11 +359,10 @@ def bpe_fertility(
     Returns (group, n_docs, n_words, n_tokens, n_chars, fertility,
     chars_per_token)."""
     pairs = merge_pairs(merges)
-    n_words, n_tokens = bpe_token_count_expr(F.col(text_col), pairs)
-    wlist = F.filter(words(F.col(text_col)), lambda x: x != F.lit(""))
-    n_chars = F.length(F.array_join(wlist, ""))
+    staged, n_words, n_tokens = _staged_bpe_counts(df, text_col, pairs)
+    n_chars = F.length(F.array_join(F.col("__bpe_w"), ""))
     grp = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
-    per = df.select(
+    per = staged.select(
         grp.alias("group"),
         n_words.cast("long").alias("__w"),
         n_tokens.alias("__t"),
