@@ -130,6 +130,15 @@ REGRESSION_DISPOSITIONS = {
         "queries inherit that phase, not a regression; the mid canary "
         "sample now records it every run."
     ),
+    "schema_learn_validate": (
+        "environmental, same start-phase class as null_suite: learn()/"
+        "validate_against byte-identical (zero r12 commits touch "
+        "schema.py); it runs in the suite's FIRST phase, and isolated "
+        "idle-machine samples 2026-08-16 show the classic warm-up decay "
+        "[1.458, 1.164, 1.010, 0.726, 0.712] settling to the historical "
+        "0.6-0.8 pin — a median taken during the decay reads 1.5-2.5x. "
+        "The bracket triple records the phase each run."
+    ),
     "pushdown_unique": (
         "environmental: DuckDBSource code byte-identical since r2 "
         "(e484adb); idle-machine re-run 2026-08-15 = 0.065-0.082s total "
