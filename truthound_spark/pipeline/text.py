@@ -98,7 +98,9 @@ def language_id(col: Column, default: str = "unknown") -> Column:
     return F.when(best[0] > 0, best[1]).otherwise(F.lit(default))
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(
+    df: DataFrame, text_col: str = "text", _words: Column | None = None
+) -> DataFrame:
     """Per-document quality features (the reference's profiler analyzers,
     re-aimed at LLM data curation): lengths, token counts, ratios.
 
@@ -109,8 +111,12 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     expressions over the staged column → bit-identical outputs (oracle-
     pinned)."""
     col = F.col(text_col)
-    staged = df.withColumn("__qf_w", words(col))
-    w = F.col("__qf_w")
+    if _words is None:
+        staged = df.withColumn("__qf_w", words(col))
+        w = F.col("__qf_w")
+        drop = ["__qf_w"]
+    else:  # caller (tag_documents) already staged the shared word array
+        staged, w, drop = df, _words, []
     sw = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
     sw_hits = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
     return staged.withColumns(
@@ -137,14 +143,16 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
                 F.size(w) > 0, F.size(F.array_distinct(w)).cast("double") / F.size(w)
             ).otherwise(F.lit(0.0)),
         }
-    ).drop("__qf_w")
+    ).drop(*drop)
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(
+    df: DataFrame, text_col: str = "text", _words: Column | None = None
+) -> DataFrame:
     """Composite 0-1 quality score from the features (heuristic weights:
     enough words, healthy stopword presence, low punctuation/digit noise,
     lexical diversity)."""
-    feats = quality_features(df, text_col)
+    feats = quality_features(df, text_col, _words=_words)
     score = (
         F.least(F.col("n_words") / 50.0, F.lit(1.0)) * 0.3
         + F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0)) * 0.2
@@ -155,21 +163,35 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return feats.withColumn("quality_score", score)
 
 
-def fingerprint_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Add a deterministic md5 content fingerprint column."""
-    return df.withColumn("fingerprint", content_fingerprint(F.col(text_col)))
+def fingerprint_documents(
+    df: DataFrame, text_col: str = "text", _words: Column | None = None
+) -> DataFrame:
+    """Add a deterministic md5 content fingerprint column.
+
+    With a staged word array, the md5 input is rebuilt as
+    ``array_join(words, " ")`` — EXACTLY normalized_text (words =
+    split(norm, " ") with norm trimmed/single-spaced, so split-then-join
+    is the identity; oracle-pinned) without re-running the normalization
+    regexes."""
+    fp = (
+        content_fingerprint(F.col(text_col))
+        if _words is None
+        else F.md5(F.array_join(_words, " "))
+    )
+    return df.withColumn("fingerprint", fp)
 
 
-def detect_languages(df: DataFrame, text_col: str = "text") -> DataFrame:
+def detect_languages(
+    df: DataFrame, text_col: str = "text", _words: Column | None = None
+) -> DataFrame:
     """Add predicted_lang via the stopword-overlap heuristic. The
     distinct-word array is staged once — the inline language_id column
     re-tokenizes per LANGUAGE (codegen re-evaluates HOF subtrees per
     reference, SCALING.md r12); same argmax over the staged column is
     bit-identical (oracle-pinned)."""
+    base = words(F.col(text_col)) if _words is None else _words
     return (
-        df.withColumn(
-            "__lid_w", F.array_distinct(words(F.col(text_col)))
-        )
+        df.withColumn("__lid_w", F.array_distinct(base))
         .withColumn("predicted_lang", _language_id_from_tokens(F.col("__lid_w")))
         .drop("__lid_w")
     )
@@ -211,7 +233,10 @@ def scrub_pii_text(col: Column) -> Column:
 
 
 def repetition_signals(
-    df: DataFrame, text_col: str = "text", top_word_window: int = 512
+    df: DataFrame,
+    text_col: str = "text",
+    top_word_window: int = 512,
+    _words: Column | None = None,
 ) -> DataFrame:
     """Gopher-style repetition features, all higher-order-function column
     math (no shuffle, no UDF):
@@ -227,8 +252,15 @@ def repetition_signals(
     in document length — so it is computed over the first
     ``top_word_window`` words (a repeated-token pathology shows up in any
     window; the dup_* signals remain exact over the full document)."""
-    lines = F.split(F.col(text_col), r"\n")
-    ws = words(F.col(text_col))
+    staged = df.withColumn("__rep_lines", F.split(F.col(text_col), r"\n"))
+    drop = ["__rep_lines"]
+    if _words is None:
+        staged = staged.withColumn("__rep_w", words(F.col(text_col)))
+        ws = F.col("__rep_w")
+        drop.append("__rep_w")
+    else:
+        ws = _words
+    lines = F.col("__rep_lines")
     wsw = F.slice(ws, 1, top_word_window)
     n_lines = F.size(lines)
     n_words = F.size(ws)
@@ -253,7 +285,7 @@ def repetition_signals(
         ),
         lambda acc: acc["best"],
     )
-    return df.select(
+    return staged.select(
         "*",
         F.when(n_lines > 0, 1.0 - F.size(F.array_distinct(lines)) / n_lines)
         .otherwise(0.0)
@@ -264,7 +296,7 @@ def repetition_signals(
         F.when(n_words > 0, 1.0 - F.size(F.array_distinct(ws)) / n_words)
         .otherwise(0.0)
         .alias("dup_word_fraction"),
-    )
+    ).drop(*drop)
 
 
 def gopher_filter(
@@ -433,6 +465,7 @@ def classifier_quality_score(
     bias: float = 0.0,
     use_bigrams: bool = True,
     hash_fn: str = "md5",
+    _words: Column | None = None,
 ) -> DataFrame:
     """fastText-style linear quality classifier over hashed n-gram
     features (the CCNet/LLaMA-pipeline "quality filter" shape): word
@@ -452,8 +485,14 @@ def classifier_quality_score(
     model should become a broadcast join against a weights table instead.
     """
     # stage tokens ONCE (see _buckets_from_tokens: the inline form
-    # re-tokenizes ~5x per document — measured 4.5x slower)
-    df = df.withColumn("__clf_toks", clean_tokens(text_col))
+    # re-tokenizes ~5x per document — measured 4.5x slower); with a
+    # shared staged word array the filter is one cheap array pass
+    df = df.withColumn(
+        "__clf_toks",
+        clean_tokens(text_col)
+        if _words is None
+        else F.filter(_words, lambda x: x != F.lit("")),
+    )
     buckets = _buckets_from_tokens(
         F.col("__clf_toks"), num_buckets, use_bigrams, hash_fn
     )
@@ -1117,14 +1156,23 @@ def tag_documents(
     (``classifier_hash_fn`` exists for hash standardization, weights
     valid only under their training hash; md5 stays the default because
     the oracle replays it bit-for-bit)."""
-    out = quality_score(df, text_col)
-    out = detect_languages(out, text_col)
-    out = fingerprint_documents(out, text_col)
-    out = repetition_signals(out, text_col)
+    # ONE tokenization for the whole tagger: every stage reads the shared
+    # staged word array (normalize+split are the floor cost of this pass,
+    # and each stage would otherwise re-run them — SCALING.md r12)
+    shared = F.col("__tag_w")
+    out = df.withColumn("__tag_w", words(F.col(text_col)))
+    out = quality_score(out, text_col, _words=shared)
+    out = detect_languages(out, text_col, _words=shared)
+    out = fingerprint_documents(out, text_col, _words=shared)
+    out = repetition_signals(out, text_col, _words=shared)
     out = classifier_quality_score(
-        out, text_col, weights=classifier_weights, hash_fn=classifier_hash_fn
+        out,
+        text_col,
+        weights=classifier_weights,
+        hash_fn=classifier_hash_fn,
+        _words=shared,
     )
-    return out
+    return out.drop("__tag_w")
 
 
 def blocklist_filter(
