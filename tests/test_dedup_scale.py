@@ -105,6 +105,59 @@ class TestShingleTableLayout:
         plan = stored._jdf.queryExecution().executedPlan().toString()
         assert "Bucketed: true" in plan
 
+    def test_shingle_n_mismatch_raises(self, docs, shingle_table):
+        # the table was written with shingle_n=3; probing it with n=5
+        # would compute near-zero cross-side Jaccard and silently drop
+        # every near-duplicate — it must fail loudly instead (ADVICE r12)
+        with pytest.raises(ValueError, match="shingle_n=3"):
+            minhash_dedup_pairs(
+                docs, threshold=0.5, shingle_n=5, shingle_table=shingle_table
+            )
+
+    def test_shingle_n_mismatch_raises_incremental(self, docs, shingle_table):
+        new_docs = docs.limit(20).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        with pytest.raises(ValueError, match="shingle_n=3"):
+            incremental_dedup(
+                new_docs, docs, shingle_n=4, base_shingle_table=shingle_table
+            )
+
+    def test_pre_meta_table_warns_but_runs(self, spark, docs, shingle_table, caplog):
+        # simulate a pre-r13 layout: strip the property — the read must
+        # degrade to a warning, not brick the table
+        import logging
+
+        spark.sql(
+            f"ALTER TABLE {shingle_table} UNSET TBLPROPERTIES "
+            "('truthound.shingles.meta')"
+        )
+        try:
+            with caplog.at_level(logging.WARNING, "truthound_spark.pipeline.dedup"):
+                got = minhash_dedup_pairs(
+                    docs, threshold=0.5, shingle_table=shingle_table
+                ).count()
+            assert got >= 0
+            assert any("shingles.meta" in r.message for r in caplog.records)
+        finally:
+            import json
+
+            meta = json.dumps({"version": 1, "shingle_n": 3, "tok_version": 1})
+            spark.sql(
+                f"ALTER TABLE {shingle_table} SET TBLPROPERTIES "
+                f"('truthound.shingles.meta' = '{meta}')"
+            )
+
+    def test_release_dedup_caches(self, spark, docs):
+        from truthound_spark.pipeline.dedup import (
+            _TRACKED_PERSISTS,
+            release_dedup_caches,
+        )
+
+        release_dedup_caches()  # start clean
+        minhash_dedup_pairs(docs, threshold=0.5).count()
+        assert len(_TRACKED_PERSISTS) >= 1
+        n = release_dedup_caches()
+        assert n >= 1 and not _TRACKED_PERSISTS
+
     def test_incremental_dedup_with_stored_base(self, spark, docs, tmp_path_factory):
         new_docs = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
             "doc_id", F.col("doc_id") + 1_000_000

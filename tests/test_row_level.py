@@ -41,6 +41,28 @@ class TestVectorizedParity:
         slow = _count(RowLevelValidator("v", fn, vectorized=False).validate(frame))
         assert fast == slow == 100  # exactly the planted nulls
 
+    def test_nan_stays_nan_null_stays_none(self, spark):
+        # the OTHER half of the null contract (ADVICE r12): a genuine NaN
+        # double is NOT an SQL NULL — F.udf hands the predicate nan, so
+        # the vectorized path must too. `s.notna()` is False for both, so
+        # a notna-based restore silently upgraded NaN to None; the mask
+        # must come from isNull() computed JVM-side.
+        import math
+
+        df = spark.createDataFrame(
+            [(1, float("nan")), (2, None), (3, 5.0)], "id long, v double"
+        )
+        fn = lambda v: v is not None  # noqa: E731
+        fast = _count(RowLevelValidator("v", fn).validate(df))
+        slow = _count(RowLevelValidator("v", fn, vectorized=False).validate(df))
+        assert fast == slow == 1  # only the real NULL violates
+
+        is_nan = lambda v: v is not None and isinstance(v, float) and math.isnan(v)  # noqa: E731
+        fn2 = lambda v: not is_nan(v)  # noqa: E731
+        fast2 = _count(RowLevelValidator("v", fn2).validate(df))
+        slow2 = _count(RowLevelValidator("v", fn2, vectorized=False).validate(df))
+        assert fast2 == slow2 == 1  # only the real NaN violates
+
     def test_string_predicate_identical(self, frame):
         fn = lambda v: v is not None and v.endswith("7")  # noqa: E731
         fast = _count(RowLevelValidator("s", fn).validate(frame))

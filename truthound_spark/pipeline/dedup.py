@@ -54,6 +54,53 @@ DEFAULT_MAX_BUCKET_SIZE = 512
 #: 0 disables broadcasting entirely.
 DEFAULT_PAIR_BROADCAST_BUDGET = 64 << 20
 
+#: Version of the normalize→split→shingle→hash pipeline that produces
+#: stored shingle tables (``normalized_text`` / ``words`` /
+#: ``_hashed_shingle_arrays``). Recorded in every layout's table
+#: properties and checked at read time: shingles produced by a DIFFERENT
+#: tokenizer never intersect, so a silent mismatch would report
+#: near-zero Jaccard everywhere instead of failing. Bump on ANY change
+#: to the tokenization expressions above.
+SHINGLE_TOKENIZER_VERSION = 1
+
+#: DataFrames persisted by dedup internals (candidate-pair relations,
+#: delta shingle caches) and not yet released. persist() is the point —
+#: every verify-stage consumer reads the same blocks — but a long-lived
+#: session running many dedups would otherwise accumulate cached blocks
+#: until LRU pressure evicts them (ADVICE r12). Call
+#: :func:`release_dedup_caches` after the results of a dedup call have
+#: been consumed (collected / written).
+_TRACKED_PERSISTS: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    """persist(MEMORY_AND_DISK) with registration for later release."""
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def release_dedup_caches() -> int:
+    """Unpersist every relation the dedup pipelines cached and clear the
+    registry; returns how many were released.
+
+    Safe to call at any time: unpersist only drops the cached blocks —
+    lineage is intact, so a still-unconsumed plan recomputes instead of
+    failing. Intended after consuming the output of
+    ``minhash_dedup_pairs`` / ``incremental_dedup(_indexed)`` /
+    ``dedup_clusters`` in a long-lived session."""
+    n = 0
+    while _TRACKED_PERSISTS:
+        df = _TRACKED_PERSISTS.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to release
+            pass
+    return n
+
 # ---------------------------------------------------------------------------
 # tokenization helpers (pure column expressions)
 # ---------------------------------------------------------------------------
@@ -522,13 +569,73 @@ def write_shingle_layout(
     consumer — the signature groupBy and the over-budget verify attaches
     — from the bucketed hash distribution instead of a fresh shuffle.
     Bucket count is the layout contract (see ``layout.write_bucketed``):
-    size it so one bucket of the corpus is a few hundred MB."""
+    size it so one bucket of the corpus is a few hundred MB.
+
+    ``shingle_n`` and the tokenizer version ride in table properties
+    (``truthound.shingles.meta``) and are enforced when the table is read
+    back by ``minhash_dedup_pairs(shingle_table=)`` /
+    ``incremental_dedup(base_shingle_table=)`` — cross-side Jaccard
+    between shingles of different n (or a different tokenizer) is
+    near-zero, so a mismatch would silently drop every near-duplicate
+    instead of erroring (ADVICE r12)."""
+    import json as _json
+
     from truthound_spark.layout import write_bucketed
 
     sh = _hashed_shingle_arrays(df, text_col, id_col, shingle_n)
-    return write_bucketed(
+    fq = write_bucketed(
         sh, table, "id", buckets=buckets, database=database, location=location
     )
+    # field is "tok_version", NOT "tokenizer_version": Spark redacts any
+    # SHOW TBLPROPERTIES VALUE matching spark.redaction.string.regex
+    # (default matches "token"), which would hand the reader
+    # '*********(redacted)' instead of the JSON
+    meta = _json.dumps(
+        {
+            "version": 1,
+            "shingle_n": shingle_n,
+            "tok_version": SHINGLE_TOKENIZER_VERSION,
+        }
+    ).replace("'", "''")
+    df.sparkSession.sql(
+        f"ALTER TABLE {fq} SET TBLPROPERTIES ('truthound.shingles.meta' = '{meta}')"
+    )
+    return fq
+
+
+def _check_shingle_meta(spark, table: str, shingle_n: int) -> None:
+    """Raise if a stored shingle table's recorded (shingle_n, tokenizer
+    version) disagree with the caller's parameters.
+
+    Tables written before the metadata existed carry no property; those
+    get a WARNING, not an error — the caller may know the n is right,
+    and failing would brick every pre-r13 layout."""
+    import json as _json
+
+    rows = spark.sql(
+        f"SHOW TBLPROPERTIES {table} ('truthound.shingles.meta')"
+    ).collect()
+    if not rows or "does not have property" in str(rows[0]):
+        logger.warning(
+            "shingle table %r carries no truthound.shingles.meta (written "
+            "before r13?): cannot verify it used shingle_n=%d — an n "
+            "mismatch silently reports near-zero Jaccard everywhere",
+            table,
+            shingle_n,
+        )
+        return
+    meta = _json.loads(rows[0]["value"])
+    stored_n = int(meta["shingle_n"])
+    stored_tok = int(meta.get("tok_version", 1))
+    if stored_n != shingle_n or stored_tok != SHINGLE_TOKENIZER_VERSION:
+        raise ValueError(
+            f"shingle table {table!r} was written with shingle_n={stored_n} "
+            f"tokenizer_version={stored_tok}, but this run uses "
+            f"shingle_n={shingle_n} tokenizer_version="
+            f"{SHINGLE_TOKENIZER_VERSION}; cross-side Jaccard would be "
+            "near-zero and every near-duplicate silently missed — rewrite "
+            "the layout (write_shingle_layout) or pass the matching n"
+        )
 
 
 def _pair_relation_bytes(rel: DataFrame, n_rows: int) -> int:
@@ -576,10 +683,13 @@ def _materialize_pairs(cands: DataFrame) -> tuple[DataFrame, int]:
     blocks instead of killing the job (VERDICT r11 #2). The count both
     materializes the cache — every verify-stage consumer then reads the
     same blocks instead of re-running candidate generation per branch —
-    and feeds the broadcast-budget gate."""
-    from pyspark.storagelevel import StorageLevel
+    and feeds the broadcast-budget gate.
 
-    cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+    Retention: the cache lives until :func:`release_dedup_caches` (or
+    session end) — it cannot be dropped here because the RETURNED plan
+    still reads it; callers running many dedups in one session should
+    release after consuming each result (ADVICE r12)."""
+    cands = _persist_tracked(cands)
     return cands, cands.count()
 
 
@@ -643,6 +753,7 @@ def minhash_dedup_pairs(
     over-budget attach joins — reads the bucketed distribution instead
     of shuffling."""
     if shingle_table is not None:
+        _check_shingle_meta(df.sparkSession, shingle_table, shingle_n)
         sh = df.sparkSession.table(shingle_table).select("id", "sh")
     else:
         # shingle+hash each document exactly once: the checkpointed
@@ -1490,15 +1601,17 @@ def incremental_dedup(
     # union (hashed shingle arrays — see _hashed_shingle_arrays)
     sh_new = _hashed_shingle_arrays(new_docs, "__t", "id", shingle_n)
     if base_shingle_table is not None:
-        from pyspark.storagelevel import StorageLevel
-
         # stored-layout mode: base shingles are a bucketed table scan
         # (cheap to re-read, fault-tolerant), only the small delta is
-        # persisted — the union needs no localCheckpoint, so nothing is
-        # pinned in executor memory without lineage
+        # persisted (tracked — release_dedup_caches) — the union needs no
+        # localCheckpoint, so nothing is pinned in executor memory
+        # without lineage
+        _check_shingle_meta(
+            new_df.sparkSession, base_shingle_table, shingle_n
+        )
         sh_base = new_df.sparkSession.table(base_shingle_table).select("id", "sh")
         sh = (
-            sh_new.persist(StorageLevel.MEMORY_AND_DISK)
+            _persist_tracked(sh_new)
             .withColumn("side", F.lit(1))
             .unionByName(sh_base.withColumn("side", F.lit(0)))
         )
@@ -1733,10 +1846,9 @@ def incremental_dedup_indexed(
     exact = nfp.join(bfp, "fp").groupBy("id").agg(F.min("base_id").alias("exact_of"))
 
     # near pass: delta-only shingles + signatures + band entries
-    from pyspark.storagelevel import StorageLevel
-
-    sh_new = _hashed_shingle_arrays(new_docs, "__t", "id", shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # (persist tracked — release_dedup_caches)
+    sh_new = _persist_tracked(
+        _hashed_shingle_arrays(new_docs, "__t", "id", shingle_n)
     )
     sig_new = minhash_signatures(
         new_docs, "__t", "id", num_hashes, shingle_n, _hashed_shingles=sh_new

@@ -8,6 +8,7 @@ string-level injection guard ported from the reference
 
 from __future__ import annotations
 
+import logging
 import re
 from typing import Any, Callable
 
@@ -20,6 +21,8 @@ from truthound_spark.core.base import ExpressionSpec, Validator, violation_count
 from truthound_spark.core.registry import register_validator
 from truthound_spark.core.results import ValidationIssue
 from truthound_spark.types import Severity
+
+logger = logging.getLogger(__name__)
 
 # -- SQL security guard (string-level, reference sql_security.py) -----------
 _FORBIDDEN_SQL = re.compile(
@@ -162,10 +165,11 @@ class RowLevelValidator(Validator):
     over a row-at-a-time F.udf — serialization dominates, not the
     Python call). Contract parity details the fast path must honor:
 
-    * NULLs arrive as ``None`` (a numeric pandas Series would otherwise
-      surface them as ``nan`` — a predicate like ``v is not None``
-      must behave identically on both paths), via an object-dtype
-      restore before mapping.
+    * NULLs arrive as ``None`` and genuine NaN doubles arrive as ``nan``
+      on BOTH transports: the null mask is computed JVM-side with
+      ``isNull()`` and shipped alongside the values, because after Arrow
+      transfer a float pandas Series cannot tell SQL NULL from NaN — a
+      predicate like ``v is not None`` must count identically either way.
     * a callable whose values break Arrow conversion falls back to the
       row-at-a-time path AUTOMATICALLY (one retry per validate call);
       ``vectorized=False`` pins the slow path up front.
@@ -176,9 +180,9 @@ class RowLevelValidator(Validator):
         self.fn = fn
         self.vectorized = vectorized
 
-    def _agg_row(self, df: DataFrame, ok_udf):
+    def _agg_row(self, df: DataFrame, ok_col: Column):
         return (
-            df.select(ok_udf(F.col(self.column)).alias("__ok"))
+            df.select(ok_col.alias("__ok"))
             .agg(
                 F.sum(
                     F.when(~F.col("__ok") | F.col("__ok").isNull(), 1).otherwise(0)
@@ -194,25 +198,45 @@ class RowLevelValidator(Validator):
 
         fn = self.fn
 
-        def slow_udf():
-            return F.udf(lambda v: bool(fn(v)), "boolean")
+        def slow_col():
+            return F.udf(lambda v: bool(fn(v)), "boolean")(F.col(self.column))
 
         if self.vectorized:
             @pandas_udf("boolean")
-            def ok_udf(s: pd.Series) -> pd.Series:
-                # object dtype + real None restores the F.udf null
-                # contract (numeric Series would hand fn `nan`)
-                vals = s.astype(object).where(s.notna(), None)
+            def ok_udf(s: pd.Series, isnull: pd.Series) -> pd.Series:
+                # Restore the F.udf null contract EXACTLY: only rows that
+                # are null JVM-side become None — the null mask is computed
+                # with isNull() BEFORE Arrow transfer, because a pandas
+                # float Series cannot tell an SQL NULL from a genuine NaN
+                # double (both arrive as nan; `s.notna()` would hand fn
+                # None for real NaN values, where F.udf hands it nan —
+                # ADVICE r12). Non-null values keep their pandas scalar
+                # form (real NaN stays nan) via the object-dtype cast.
+                vals = s.astype(object)
+                vals[isnull.astype(bool).values] = None
                 return vals.map(lambda v: bool(fn(v)))
 
             try:
-                agg = self._agg_row(df, ok_udf)
-            except Exception:
+                agg = self._agg_row(
+                    df, ok_udf(F.col(self.column), F.col(self.column).isNull())
+                )
+            except Exception as exc:
                 # Arrow conversion failed for this callable/column — same
-                # per-row contract, row-at-a-time transport
-                agg = self._agg_row(df, slow_udf())
+                # per-row contract, row-at-a-time transport. Logged, not
+                # swallowed: if the failure was a user-predicate bug the
+                # slow path re-raises it, but the FIRST traceback (which
+                # may differ, e.g. an executor-side transient) must stay
+                # visible rather than be masked by the retry (ADVICE r12).
+                logger.warning(
+                    "vectorized row_level path failed on column %r (%s: %s); "
+                    "retrying with row-at-a-time F.udf transport",
+                    self.column,
+                    type(exc).__name__,
+                    exc,
+                )
+                agg = self._agg_row(df, slow_col())
         else:  # row-at-a-time pinned by the caller
-            agg = self._agg_row(df, slow_udf())
+            agg = self._agg_row(df, slow_col())
         bad, n = int(agg["bad"] or 0), int(agg["n"] or 0)
         if bad == 0:
             return []
