@@ -140,11 +140,25 @@ class TestShingleTableLayout:
         finally:
             import json
 
-            meta = json.dumps({"version": 1, "shingle_n": 3, "tok_version": 1})
+            meta = json.dumps(
+                {"version": 1, "shingle_n": 3, "tok_version": 1,
+                 "source_md5": None, "text_col": "text", "id_col": "doc_id"}
+            )
             spark.sql(
                 f"ALTER TABLE {shingle_table} SET TBLPROPERTIES "
                 f"('truthound.shingles.meta' = '{meta}')"
             )
+
+    def test_limit_frame_records_no_source(self, spark, shingle_table):
+        # the docs fixture is .limit(400) — NOT a bare scan, so the
+        # layout written from it must carry source_md5=None and never
+        # auto-match (a derived frame's row set isn't the files')
+        import json
+
+        rows = spark.sql(
+            f"SHOW TBLPROPERTIES {shingle_table} ('truthound.shingles.meta')"
+        ).collect()
+        assert json.loads(rows[0]["value"]).get("source_md5") is None
 
     def test_release_dedup_caches(self, spark, docs):
         from truthound_spark.pipeline.dedup import (
@@ -189,6 +203,71 @@ class TestShingleTableLayout:
         assert attach_lines and all(
             "Broadcast" not in ln for ln in attach_lines
         ), attach_lines
+
+
+class TestAutoShingleLayout:
+    """shingle_table="auto" (r13): a stored layout of the EXACT corpus is
+    auto-selected; anything derived/filtered/changed never matches."""
+
+    @pytest.fixture(scope="class")
+    def bare_docs(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    @pytest.fixture(scope="class")
+    def auto_table(self, spark, bare_docs, tmp_path_factory):
+        from truthound_spark.pipeline.dedup import write_shingle_layout
+
+        loc = str(tmp_path_factory.mktemp("auto_sh_db"))
+        return write_shingle_layout(
+            bare_docs, "t_auto_shingles", buckets=8, location=loc
+        )
+
+    def test_probe_finds_layout_for_bare_scan(self, bare_docs, auto_table):
+        from truthound_spark.pipeline.dedup import find_shingle_layout
+
+        assert find_shingle_layout(bare_docs) == auto_table
+
+    def test_auto_selected_plan_reads_bucketed(self, bare_docs, auto_table):
+        # default args — no opt-in — must pick the stored bucketed table
+        pairs = minhash_dedup_pairs(
+            bare_docs, threshold=0.5, broadcast_pairs_budget=0
+        )
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+
+    def test_auto_results_identical_to_inline(self, bare_docs, auto_table):
+        auto = _pairs_set(minhash_dedup_pairs(bare_docs, threshold=0.5))
+        inline = _pairs_set(
+            minhash_dedup_pairs(bare_docs, threshold=0.5, shingle_table=None)
+        )
+        assert auto == inline and auto
+
+    def test_filtered_frame_never_matches(self, bare_docs, auto_table):
+        from truthound_spark.pipeline.dedup import find_shingle_layout
+
+        assert (
+            find_shingle_layout(bare_docs.filter(F.col("doc_id") % 2 == 0))
+            is None
+        )
+
+    def test_param_mismatch_never_matches(self, bare_docs, auto_table):
+        from truthound_spark.pipeline.dedup import find_shingle_layout
+
+        assert find_shingle_layout(bare_docs, shingle_n=5) is None
+        assert find_shingle_layout(bare_docs, text_col="lang") is None
+
+    def test_dedup_clusters_passthrough(self, bare_docs, auto_table):
+        from truthound_spark.pipeline.dedup import dedup_clusters
+
+        # (no plan pin here: the cluster output plan is the components
+        # join over the materialized pair RDD — the bucketed scan lives
+        # in the pair stage, pinned by test_auto_selected_plan_reads_bucketed)
+        auto = dedup_clusters(bare_docs, threshold=0.5)
+        inline = dedup_clusters(bare_docs, threshold=0.5, shingle_table=None)
+        as_set = lambda df: {  # noqa: E731
+            (r["doc_id"], r["cluster_id"], r["is_canonical"]) for r in df.collect()
+        }
+        assert as_set(auto) == as_set(inline)
 
 
 class TestDedupIndex:

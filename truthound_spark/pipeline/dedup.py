@@ -595,12 +595,105 @@ def write_shingle_layout(
             "version": 1,
             "shingle_n": shingle_n,
             "tok_version": SHINGLE_TOKENIZER_VERSION,
+            # source identity for auto-detection (find_shingle_layout):
+            # md5 of the corpus scan's sorted file list, or None when the
+            # input wasn't a bare scan (derived frames are never
+            # auto-matched — their row set isn't recoverable)
+            "source_md5": _source_fingerprint(df),
+            "text_col": text_col,
+            "id_col": id_col,
         }
     ).replace("'", "''")
     df.sparkSession.sql(
         f"ALTER TABLE {fq} SET TBLPROPERTIES ('truthound.shingles.meta' = '{meta}')"
     )
     return fq
+
+
+def _source_fingerprint(df: DataFrame) -> str | None:
+    """Identity of a BARE corpus scan: md5 over the sorted file list.
+
+    None for anything that is not scan-only (filters, projections,
+    limits, joins — any transformation means the frame's row/content set
+    is not the files', so a stored per-document layout must not be
+    matched to it). The scan-only test walks the ANALYZED plan: every
+    line must be a Relation or SubqueryAlias node."""
+    import hashlib
+
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return None
+    for ln in plan.splitlines():
+        s = ln.strip()
+        while s[:2] in ("+-", ":-", ": ") or s[:1] in ("+", ":", "-", " "):
+            s = s[2:].strip() if s[:2] in ("+-", ":-") else s[1:].strip()
+        if not s:
+            continue
+        if not (s.startswith("Relation") or s.startswith("SubqueryAlias")):
+            return None
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        return None
+    if not files:
+        return None
+    return hashlib.md5("\n".join(files).encode()).hexdigest()
+
+
+def find_shingle_layout(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    database: str = "truthound_layout",
+) -> str | None:
+    """The stored shingle table matching this EXACT corpus, or None.
+
+    The auto-detect probe behind ``shingle_table="auto"`` (the default):
+    same pattern as ``orphans()``'s bucketed-FK plan probe (r12 #9) —
+    layout reuse without the caller opting in, engaged only when it is
+    provably safe. Match requires ALL of: ``df`` is a bare scan whose
+    sorted file-list md5 equals the one recorded at
+    :func:`write_shingle_layout` time (a grown/changed corpus or any
+    filter/projection disqualifies — stale layouts are never silently
+    reused), same text/id columns, same shingle_n, same tokenizer
+    version. Probe cost is driver-side catalog metadata only."""
+    import json as _json
+
+    spark = df.sparkSession
+    fp = _source_fingerprint(df)
+    if fp is None:
+        return None
+    try:
+        tables = spark.catalog.listTables(database)
+    except Exception:
+        return None  # layout database absent — nothing to reuse
+    for tb in tables:
+        fq = f"{tb.namespace[0] if tb.namespace else database}.{tb.name}"
+        try:
+            rows = spark.sql(
+                f"SHOW TBLPROPERTIES {fq} ('truthound.shingles.meta')"
+            ).collect()
+            if not rows or "does not have property" in str(rows[0]):
+                continue
+            meta = _json.loads(rows[0]["value"])
+        except Exception:
+            continue
+        if (
+            meta.get("source_md5") == fp
+            and int(meta.get("shingle_n", -1)) == shingle_n
+            and int(meta.get("tok_version", 1)) == SHINGLE_TOKENIZER_VERSION
+            and meta.get("text_col") == text_col
+            and meta.get("id_col") == id_col
+        ):
+            logger.info(
+                "auto-selected stored shingle layout %r for this corpus "
+                "(source fingerprint + params match)",
+                fq,
+            )
+            return fq
+    return None
 
 
 def _check_shingle_meta(spark, table: str, shingle_n: int) -> None:
@@ -730,7 +823,7 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     broadcast_pairs_budget: int = DEFAULT_PAIR_BROADCAST_BUDGET,
-    shingle_table: str | None = None,
+    shingle_table: str | None = "auto",
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard.
 
@@ -751,7 +844,16 @@ def minhash_dedup_pairs(
     reuse becomes fault-tolerant (a table scan, not pinned executor
     blocks) and every id-keyed consumer — the signature groupBy and the
     over-budget attach joins — reads the bucketed distribution instead
-    of shuffling."""
+    of shuffling.
+
+    ``shingle_table="auto"`` (the default, r13) probes the layout
+    database for a stored table whose recorded source fingerprint
+    matches this exact corpus (see :func:`find_shingle_layout`); when a
+    layout exists the bucketed read is auto-selected — measured 46.4 s
+    bucketed vs 62.4 s inline at the sf10 lane — and when none matches
+    the inline path runs unchanged. Pass ``None`` to force inline."""
+    if shingle_table == "auto":
+        shingle_table = find_shingle_layout(df, text_col, id_col, shingle_n)
     if shingle_table is not None:
         _check_shingle_meta(df.sparkSession, shingle_table, shingle_n)
         sh = df.sparkSession.table(shingle_table).select("id", "sh")
@@ -835,7 +937,12 @@ def ngram_jaccard_pairs(
     quadratic candidates and carry no signal) — the standard scale guard.
     Returns (id_a, id_b, jaccard) with jaccard >= threshold.
     """
-    sh = _shingle_arrays(df, text_col, id_col, n)
+    # localCheckpoint: sh feeds FIVE evaluation sites (sizes, the gram-df
+    # aggregate, both self-join sides, the df-filter join) — without it
+    # each re-runs the tokenize+shingle pipeline from text (r13 HOF/reuse
+    # sweep; same inline-reuse pattern as minhash_dedup_pairs). Downstream
+    # re-explodes read the pinned (id, array) blocks, not the text.
+    sh = _shingle_arrays(df, text_col, id_col, n).localCheckpoint(eager=True)
     sizes = sh.select("id", F.size("sh").alias("sz"))
     # explode_outer: see _shingle_rows — plain explode's inferred filter
     # pushes the inlined (quadratic) shingle pipeline below the projection
@@ -1462,16 +1569,20 @@ def dedup_clusters(
     bands: int = 32,
     shingle_n: int = 3,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    shingle_table: str | None = "auto",
 ) -> DataFrame:
     """End-to-end fuzzy-dedup resolution: MinHash-LSH pairs ≥ threshold →
     connected components → (doc_id, cluster_id, is_canonical). Keep rows
     with ``is_canonical`` to retain exactly one representative (the min
     doc id) per transitive near-duplicate cluster — the standard
     large-corpus fuzzy-dedup final step. Docs in no pair keep themselves
-    as singleton canonical clusters (left join, not dropped)."""
+    as singleton canonical clusters (left join, not dropped).
+    ``shingle_table`` passes through to the pair stage ("auto" probes
+    for a stored layout of this exact corpus — see
+    :func:`find_shingle_layout`)."""
     pairs = minhash_dedup_pairs(
         df, text_col, id_col, threshold, num_hashes, bands, shingle_n,
-        max_bucket_size=max_bucket_size,
+        max_bucket_size=max_bucket_size, shingle_table=shingle_table,
     )
     comp = connected_components(pairs)
     ids = df.select(F.col(id_col).cast("long").alias("id"))
@@ -1491,6 +1602,7 @@ def dedup_keep_best(
     num_hashes: int = 64,
     bands: int = 32,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    shingle_table: str | None = "auto",
 ) -> DataFrame:
     """Fuzzy dedup with a QUALITY-AWARE canonical policy: each near-dup
     cluster keeps its highest-scoring member (ties → lowest id) instead
@@ -1509,6 +1621,7 @@ def dedup_keep_best(
     clusters = dedup_clusters(
         df, text_col, id_col, threshold=threshold, num_hashes=num_hashes,
         bands=bands, max_bucket_size=max_bucket_size,
+        shingle_table=shingle_table,
     )
     if score_col is None:
         from truthound_spark.pipeline.text import quality_score
@@ -1544,7 +1657,7 @@ def incremental_dedup(
     shingle_n: int = 3,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     broadcast_pairs_budget: int = DEFAULT_PAIR_BROADCAST_BUDGET,
-    base_shingle_table: str | None = None,
+    base_shingle_table: str | None = "auto",
 ) -> DataFrame:
     """Cross-snapshot deduplication: which NEW documents already exist in
     the BASE corpus — the daily-crawl-increment primitive (dedup the
@@ -1600,6 +1713,10 @@ def incremental_dedup(
     # near pass: one shingle+hash+signature+banding run over the tagged
     # union (hashed shingle arrays — see _hashed_shingle_arrays)
     sh_new = _hashed_shingle_arrays(new_docs, "__t", "id", shingle_n)
+    if base_shingle_table == "auto":
+        base_shingle_table = find_shingle_layout(
+            base_df, text_col, id_col, shingle_n
+        )
     if base_shingle_table is not None:
         # stored-layout mode: base shingles are a bucketed table scan
         # (cheap to re-read, fault-tolerant), only the small delta is
@@ -2289,20 +2406,23 @@ def self_dedup_spans(
     # size(__g) > 0 predicate and inline the whole gram pipeline into it —
     # re-tokenizing once per emitted gram; see _shingle_rows docstring.
     # Measured 9x on the sf0.1 bench.)
-    # one shuffle on the gram: count + lexicographic-min (id, start) owner
-    dup_stats = (
-        grams.groupBy("gram")
-        .agg(
-            F.count(F.lit(1)).alias("__occ"),
-            F.min(F.struct("id", "start")).alias("__owner"),
-        )
-        .filter(F.col("__occ") >= 2)
-        .select("gram", "__owner")
-    )
-    losers = grams.join(dup_stats, "gram").filter(
-        ~(
-            (F.col("id") == F.col("__owner.id"))
-            & (F.col("start") == F.col("__owner.start"))
+    # occurrence count + lexicographic-min (id, start) owner as WINDOW
+    # aggregates over the gram (r13 HOF/reuse sweep): the former
+    # groupBy+join-back evaluated the tokenize+gram pipeline twice (once
+    # per side of the join) and shuffled the grams twice; the window
+    # form is one gram pass and one gram-keyed exchange, same semantics.
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy("gram")
+    losers = (
+        grams.withColumn("__occ", F.count(F.lit(1)).over(wg))
+        .withColumn("__owner", F.min(F.struct("id", "start")).over(wg))
+        .filter(
+            (F.col("__occ") >= 2)
+            & ~(
+                (F.col("id") == F.col("__owner.id"))
+                & (F.col("start") == F.col("__owner.start"))
+            )
         )
     )
     covered = losers.select(
