@@ -108,6 +108,43 @@ def main():
     )
     issues, stats = delta_check(None, new, keys, cheap, old_fingerprints=store)
     out["delta_rows"] = stats["row_count"]
+
+    # --- r13: keys-bucketed store (+ key-bucketed NEW snapshot) --------
+    # The bucket_by="keys" contract: the anti-join is equi-keyed on the
+    # keys alone, so a new snapshot that is itself a key-bucketed table
+    # (the ingest layout) joins the store co-located on BOTH sides.
+    from truthound_spark.delta import write_fingerprints_table
+    from truthound_spark.layout import write_bucketed
+
+    loc = os.path.join(tempfile.gettempdir(), "spark_graft_fp60m_db")
+    t0 = time.time()
+    tbl_keys = write_fingerprints_table(
+        old, "fp60m_keys", keys, database="truthound_fp60m",
+        location=loc, bucket_by="keys",
+    )
+    out["fp_table_keys_write_once"] = round(time.time() - t0, 2)
+    timed(
+        "delta_stored_keys_raw_new",
+        lambda: delta_check(None, new, keys, cheap, old_fingerprints=tbl_keys),
+    )
+    t0 = time.time()
+    new_tbl = spark.table(
+        write_bucketed(
+            new, "lineitem60m_new", keys, database="truthound_fp60m",
+            location=loc,
+        )
+    )
+    out["new_bucketed_write_once"] = round(time.time() - t0, 2)
+    timed(
+        "delta_stored_keys_bucketed_new",
+        lambda: delta_check(
+            None, new_tbl, keys, cheap, old_fingerprints=tbl_keys
+        ),
+    )
+    issues2, stats2 = delta_check(
+        None, new_tbl, keys, cheap, old_fingerprints=tbl_keys
+    )
+    out["delta_rows_keys_bucketed"] = stats2["row_count"]
     print(json.dumps(out, indent=1))
     spark.stop()
 

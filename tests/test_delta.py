@@ -255,6 +255,97 @@ class TestBucketedFingerprintStore:
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
 
+    def test_keys_fp_variant_matches_keys_default(
+        self, spark, snapshots, table_store, tmp_path
+    ):
+        # both bucketing contracts must produce identical deltas; "keys"
+        # is the r13 default (table_store), "keys_fp" the r12 layout
+        from truthound_spark.delta import write_fingerprints_table
+
+        old, new = snapshots
+        legacy = write_fingerprints_table(
+            old, "t_fp_snap_kfp", "k", buckets=4,
+            location=str(tmp_path / "fpdb_kfp"), bucket_by="keys_fp",
+        )
+        a = {r["k"] for r in changed_rows(None, new, "k", old_fingerprints=table_store).select("k").collect()}
+        b = {r["k"] for r in changed_rows(None, new, "k", old_fingerprints=legacy).select("k").collect()}
+        direct = {r["k"] for r in changed_rows(old, new, "k").select("k").collect()}
+        assert a == b == direct
+
+    def test_keys_store_with_null_keys(self, spark, tmp_path):
+        # NULL-key battery through the keys-bucketed store: the non-equi
+        # fp comparison lives only in the non-NULL branch; NULL keys ride
+        # the separate eqNullSafe join exactly as before
+        from truthound_spark.delta import write_fingerprints_table
+
+        old = spark.createDataFrame(
+            [(1, "a"), (None, "b"), (None, "c")], "k long, s string"
+        )
+        new = spark.createDataFrame(
+            [(1, "a2"), (None, "b"), (None, "d"), (2, "e")], "k long, s string"
+        )
+        store = write_fingerprints_table(
+            old, "t_fp_nullkeys", "k", buckets=2,
+            location=str(tmp_path / "fpdb_nk"),
+        )
+        got = {
+            (r["k"], r["s"])
+            for r in changed_rows(None, new, "k", old_fingerprints=store).collect()
+        }
+        want = {
+            (r["k"], r["s"]) for r in changed_rows(old, new, "k").collect()
+        }
+        # key-granular semantics: the changed NULL key conservatively
+        # pulls its sibling NULL-key row too (same rule as any
+        # non-unique key — pinned by test_null_key_inserts_survive...)
+        assert got == want == {(1, "a2"), (None, "b"), (None, "d"), (2, "e")}
+
+    def test_keys_store_plus_key_bucketed_new_joins_colocated(
+        self, spark, snapshots, table_store, tmp_path
+    ):
+        # the r13 point: a NEW snapshot that is itself a key-bucketed
+        # table (the ingest layout contract, same bucket count) must
+        # anti-join the keys-bucketed store with BOTH scans serving the
+        # join's hash(k) distribution — strictly fewer Exchanges than the
+        # r12 (keys, fp) store, whose superset equi-keys no natural
+        # snapshot layout can serve
+        from truthound_spark.delta import write_fingerprints_table
+        from truthound_spark.layout import plan_exchanges, write_bucketed
+
+        old, new = snapshots
+        new_tbl = spark.table(
+            write_bucketed(
+                new, "t_new_snap_b", "k", buckets=4,
+                location=str(tmp_path / "newdb"),
+            )
+        )
+        legacy = write_fingerprints_table(
+            old, "t_fp_snap_kfp2", "k", buckets=4,
+            location=str(tmp_path / "fpdb_kfp2"), bucket_by="keys_fp",
+        )
+        thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            via_keys = changed_rows(None, new_tbl, "k", old_fingerprints=table_store)
+            via_kfp = changed_rows(None, new_tbl, "k", old_fingerprints=legacy)
+            assert plan_exchanges(via_keys) < plan_exchanges(via_kfp)
+            # and the anti-join region itself is Exchange-free: both its
+            # scans are bucketed
+            plan = via_keys._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Bucketed: true") >= 2, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+    def test_bad_bucket_by_rejected(self, spark, snapshots, tmp_path):
+        from truthound_spark.delta import write_fingerprints_table
+
+        old, _ = snapshots
+        with pytest.raises(ValueError, match="bucket_by"):
+            write_fingerprints_table(
+                old, "t_fp_bad", "k", location=str(tmp_path / "bad"),
+                bucket_by="fp",
+            )
+
     def test_non_store_table_rejected(self, spark, snapshots, tmp_path):
         from truthound_spark.layout import write_bucketed
 

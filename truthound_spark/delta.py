@@ -142,43 +142,63 @@ def write_fingerprints_table(
     buckets: int = 64,
     database: str = "truthound_layout",
     location: str | None = None,
+    bucket_by: str = "keys",
 ) -> str:
     """The BUCKETED form of :func:`write_fingerprints`: persist the
-    ``(key..., __fp)`` projection as a catalog table bucketed by
-    ``(key..., __fp)`` — exactly the anti-join's keys, so every later
-    ``changed_rows(old_fingerprints=<table>)`` reads the store with NO
-    Exchange and NO re-sort on the store side (the non-NULL-key branch
-    of ``_anti_against_old`` joins on the raw bucket columns; a plain
-    path store re-shuffles its full width every run — at 100 TB that is
-    a table-sized shuffle this layout removes). Column lists ride in
-    table properties and are enforced on read like the sidecar. Returns
-    the fully-qualified table name; pass it (not a path) as
-    ``old_fingerprints``."""
+    ``(key..., __fp)`` projection as a bucketed catalog table so every
+    later ``changed_rows(old_fingerprints=<table>)`` reads the store
+    with NO Exchange and NO re-sort on the store side (a plain path
+    store re-shuffles its full width every run — at 100 TB that is a
+    table-sized shuffle this layout removes). Column lists AND the
+    bucketing mode ride in table properties and are enforced on read
+    like the sidecar. Returns the fully-qualified table name; pass it
+    (not a path) as ``old_fingerprints``.
+
+    ``bucket_by`` picks the layout contract (r13, VERDICT r12 #6):
+
+    * ``"keys"`` (default) — bucket/sort by the KEY columns only. The
+      anti-join is then keyed on the keys alone with the fingerprint
+      comparison as a non-equi condition (see ``_anti_against_old``),
+      which the store's distribution serves directly — and, decisively,
+      a NEW snapshot that is itself a key-bucketed table (the
+      ``layout.write_bucketed`` ingest contract, same bucket count)
+      joins Exchange-free on BOTH sides: the per-run anti-join drops
+      from two 60M-row shuffles to a co-located streamed merge.
+    * ``"keys_fp"`` — the r12 contract: bucket by ``(key..., __fp)``,
+      anti-join equi-keyed on all of them. Store side is Exchange-free,
+      but the new side ALWAYS re-shuffles (its natural layouts are
+      keyed by keys, never by (keys, fp) — Spark's v1 bucketing cannot
+      serve a superset join). Kept for stores written by r12.
+    """
     from truthound_spark.layout import write_bucketed
 
     if isinstance(key_cols, str):
         key_cols = [key_cols]
     if not key_cols:
         raise ValueError("at least one key column is required")
+    if bucket_by not in ("keys", "keys_fp"):
+        raise ValueError(f"bucket_by must be 'keys' or 'keys_fp', got {bucket_by!r}")
     if compare_cols is None:
         compare_cols = [c for c in df.columns if c not in set(key_cols)]
     if not compare_cols:
         raise ValueError("no columns to compare (all columns are keys)")
     fp = row_fingerprint(list(key_cols) + list(compare_cols))
     fps = df.select(*key_cols, fp.alias("__fp"))
+    bucket_cols = list(key_cols) if bucket_by == "keys" else [*key_cols, "__fp"]
     fq = write_bucketed(
         fps,
         table,
-        [*key_cols, "__fp"],
+        bucket_cols,
         buckets=buckets,
         database=database,
         location=location,
     )
     meta = json.dumps(
         {
-            "version": 1,
+            "version": 2,
             "key_cols": list(key_cols),
             "compare_cols": list(compare_cols),
+            "bucket_by": bucket_by,
         }
     ).replace("'", "''")
     df.sparkSession.sql(
@@ -208,11 +228,14 @@ def read_fingerprints(spark: SparkSession, store: str) -> tuple[DataFrame, dict]
 
 
 def _anti_against_old(
-    new_ids: DataFrame, old_ids: DataFrame, key_cols: Sequence[str]
+    new_ids: DataFrame,
+    old_ids: DataFrame,
+    key_cols: Sequence[str],
+    keys_only_equi: bool = False,
 ) -> DataFrame:
     """LEFT ANTI of the (key..., __fp) projections with NULL-safe key
-    semantics, formulated so a store bucketed by (key..., __fp) joins
-    Exchange-free on the store side.
+    semantics, formulated so a bucketed store joins Exchange-free on the
+    store side.
 
     A single eqNullSafe join would be simplest, but its join keys become
     coalesce/isnull EXPRESSIONS — which can never match a bucketed
@@ -225,7 +248,17 @@ def _anti_against_old(
     nearly for free on parquet sources via row-group null_count stats —
     meet in a separate eqNullSafe anti-join. Union of the two = exactly
     the old single-join semantics (pinned by tests/test_delta.py's NULL-
-    key battery)."""
+    key battery).
+
+    ``keys_only_equi`` (r13, the ``bucket_by="keys"`` store contract):
+    the non-NULL branch equi-joins on the KEYS ALONE and compares the
+    fingerprint as ``(new.__fp ^ old.__fp) = 0`` — exact 64-bit equality
+    (xxhash64 never returns NULL) expressed so Catalyst does NOT extract
+    it as an equi-join key: the join's required distribution stays
+    hash(keys), which a key-bucketed store — and a key-bucketed NEW
+    snapshot — satisfy with zero Exchange. With fp in the equi keys the
+    required distribution is hash(keys, fp), which no natural snapshot
+    layout has."""
     any_null_new = None
     any_null_old = None
     for k in key_cols:
@@ -233,10 +266,15 @@ def _anti_against_old(
         o = old_ids[k].isNull()
         any_null_new = n if any_null_new is None else (any_null_new | n)
         any_null_old = o if any_null_old is None else (any_null_old | o)
-    join_cols = [*key_cols, "__fp"]
-    nn = new_ids.filter(~any_null_new).join(
-        old_ids.filter(~any_null_old), on=join_cols, how="left_anti"
-    )
+    nn_new = new_ids.filter(~any_null_new)
+    nn_old = old_ids.filter(~any_null_old)
+    if keys_only_equi:
+        cond = nn_new["__fp"].bitwiseXOR(nn_old["__fp"]) == 0
+        for k in key_cols:
+            cond = cond & (nn_new[k] == nn_old[k])
+        nn = nn_new.join(nn_old, on=cond, how="left_anti")
+    else:
+        nn = nn_new.join(nn_old, on=[*key_cols, "__fp"], how="left_anti")
     nu_new = new_ids.filter(any_null_new)
     nu_old = old_ids.filter(any_null_old)
     cond = nu_new["__fp"].eqNullSafe(nu_old["__fp"])
@@ -272,8 +310,13 @@ def changed_rows(
         key_cols = [key_cols]
     if not key_cols:
         raise ValueError("at least one key column is required")
+    keys_only_equi = False
     if old_fingerprints is not None:
         fps, meta = read_fingerprints(new.sparkSession, old_fingerprints)
+        # a key-bucketed store (bucket_by="keys", the r13 default) is
+        # served by a keys-only equi join; (keys, fp) stores keep the
+        # r12 formulation
+        keys_only_equi = meta.get("bucket_by") == "keys"
         if list(key_cols) != meta["key_cols"]:
             raise ValueError(
                 f"fingerprint store at {old_fingerprints!r} was keyed by "
@@ -312,7 +355,9 @@ def changed_rows(
     # correctly recognized as unchanged instead of re-flagged every run);
     # see _anti_against_old for the split formulation that keeps a
     # bucketed fingerprint store Exchange-free.
-    changed_keys = _anti_against_old(new_ids, old_ids, key_cols).select(
+    changed_keys = _anti_against_old(
+        new_ids, old_ids, key_cols, keys_only_equi=keys_only_equi
+    ).select(
         # fresh names (new exprIds) — the semi-join below joins `new` back
         # to a frame derived FROM `new`; unrenamed key attributes would be
         # ambiguous self-join references
