@@ -690,7 +690,13 @@ def dsir_select(
     (per-partition top-n, driver merge of n_select rows), not a global
     sort.
 
-    Returns (id, log_importance, rank) for the selected documents."""
+    Returns (id, log_importance, rank) for the selected documents.
+
+    Audited single-reference (r13 HOF/reuse sweep): tokens are staged
+    once (``__dsir_toks``, see :func:`dsir_log_importance`), the bucket
+    transform feeds exactly one aggregate, and the only corpus re-scan
+    is the weight TRAINER's own count pass — inherent to
+    train-then-score, not an expression-reuse artifact."""
     if weights is None:
         weights = train_quality_weights(
             target, df, text_col, num_buckets, use_bigrams
@@ -817,12 +823,19 @@ def winnow_overlap_pairs(
     # ENTIRE winnowing HOF pipeline into it — re-evaluating extraction
     # once per emitted fingerprint (was ~60x the extraction cost; same
     # pathology as dedup._shingle_rows, see its docstring).
+    # localCheckpoint: fp feeds THREE consumers (the size aggregate and
+    # both sides of the hash self-join) — uncheckpointed, each re-runs
+    # the md5-per-gram winnowing extraction, tripling the map cost (r13
+    # HOF/reuse sweep; same inline-reuse pattern as minhash_dedup_pairs'
+    # checkpointed shingle table). The pinned relation is bare
+    # (id, 16-char hash) rows, a ~2/(w+1) subsample of the gram count.
     fp = (
         winnow_fingerprints(df, text_col, id_col, k=k, w=w)
         .select("id", F.explode_outer("fingerprints").alias("f"))
         .filter(F.col("f").isNotNull())
         .select("id", F.col("f.h").alias("h"))
         .dropDuplicates(["id", "h"])
+        .localCheckpoint(eager=True)
     )
     sizes = fp.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
     a = fp.select(F.col("id").alias("id_a"), "h")
@@ -1010,10 +1023,16 @@ def ngram_novelty(
     detection (a doc can evade pairwise Jaccard while still being built
     entirely from corpus-common n-grams).
 
-    Plan: one shingling pass, one groupBy(gram) document-frequency
-    aggregate, one join back — shuffle keys are n-gram strings, payloads
-    counts. Returns (id, n_grams, novel_grams, novelty ∈ [0,1]; docs too
-    short for any n-gram report 0 grams and novelty 0.0)."""
+    Plan: ONE shingling pass — per-gram document frequency comes from a
+    count window over the exploded grams (partitionBy gram), not a
+    groupBy+join back, so the tokenize/shingle pipeline is evaluated
+    once instead of twice and one gram-keyed shuffle drops out (r13 HOF/
+    reuse sweep; the window's sort rides the same exchange). Shuffle
+    keys are n-gram strings, payloads counts. Returns (id, n_grams,
+    novel_grams, novelty ∈ [0,1]; docs too short for any n-gram report
+    0 grams and novelty 0.0)."""
+    from pyspark.sql import Window
+
     from truthound_spark.pipeline.dedup import _shingle_arrays
 
     sh = _shingle_arrays(df, text_col, id_col, n)
@@ -1021,9 +1040,9 @@ def ngram_novelty(
         sh.select("id", F.explode_outer("sh").alias("g"))
         .filter(F.col("g").isNotNull() & (F.col("g") != ""))
     )
-    dfreq = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    wg = Window.partitionBy("g")
     per_doc = (
-        inv.join(dfreq, "g")
+        inv.withColumn("df", F.count(F.lit(1)).over(wg))
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),
