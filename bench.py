@@ -155,6 +155,23 @@ REGRESSION_DISPOSITIONS = {
         "the 0.147 pin came from the r4 round-VM under best-of-2. "
         "Fixed overhead (2 stages x 32 tasks) dominates at sf0.1."
     ),
+    "learned_thresholds": (
+        "environmental: the 2.489 pin is a favorable r9 reading, not a "
+        "code state any commit regressed from. Idle-machine code A/B "
+        "2026-08-16 (back-to-back fresh sessions, same box): the exact "
+        "r9 tree (85bbc5e, the pin's round) medians 3.018 s warm "
+        "[3.369, 3.084, 2.776, 2.815, 3.018] while HEAD medians 2.821 s "
+        "[3.328, 3.247, 2.821, 2.672, 2.756] — HEAD is FASTER than the "
+        "pin's own code isolated, so the r10-r12 3.4-3.9 s series is "
+        "suite-position overhead (learned_thresholds runs mid-suite "
+        "after ~30 workloads' GC/cache pressure; isolated it never "
+        "reads above ~3.4 even cold-adjacent). Stage split identical on "
+        "both trees: profile_grouped ~2.7 s = 95% of the runtime, "
+        "learn+check ~0.25 s — the one-scan grouped profile IS the "
+        "query; plan unchanged. The r12 suspect (7716c64 file-sampling "
+        "fix) touches sampled.py/layout.py, which this workload never "
+        "imports."
+    ),
     "sequence_packing": (
         "environmental: pack_sequences (pipeline/export.py:154) "
         "byte-identical since r4 — zero r9 commits touch export.py; the "
@@ -266,6 +283,40 @@ def normalize_ratios(ratios, canary_seconds, best_canary):
     if load <= 0:
         return dict(ratios), 1.0
     return {k: round(r / load, 2) for k, r in ratios.items()}, round(load, 3)
+
+
+def lane_canary_sample(spark, lane, tag):
+    """One canary sample recorded into a cold lane's dict (VERDICT r12
+    #2): the warm suite got bracket samples + a load factor in r12 while
+    the single-cold-pass lanes had NO variance discipline — so sf10
+    swings like mixed_core_suite 17.9→28.7 s could only be called
+    'almost certainly load' instead of attributed. Lane entries now
+    carry their own machine-state samples."""
+    t0 = time.time()
+    canary_fn(spark)
+    lane[f"canary_{tag}"] = round(time.time() - t0, 4)
+
+
+def finish_lane_canary(lane, best_canary):
+    """Derive the lane's spread + load factor from its canary samples.
+
+    The MIN sample is the machine's capability during the lane; the
+    load factor (min / best recorded canary) is the multiplier ambient
+    load put on everything measured between the samples — a lane number
+    that swings round-over-round by ~the load factor is the machine, a
+    swing the factor can't explain is a commit."""
+    samples = [
+        v
+        for k, v in lane.items()
+        if k.startswith("canary_") and isinstance(v, (int, float))
+    ]
+    if not samples:
+        return
+    lo = min(samples)
+    if lo > 0:
+        lane["canary_spread"] = round(max(samples) / lo, 3)
+    if best_canary and lo > 0:
+        lane["canary_load_factor"] = round(lo / best_canary, 3)
 
 
 def main():
@@ -470,6 +521,37 @@ def main():
         ).count()
 
     bench_one("dedup_clusters_documents", dedup_clusters_bench, timings, cold_timings)
+
+    # incremental_dedup_indexed (VERDICT r12 #3): the production
+    # daily-increment path — dedup a ~10% delta against a PRE-INDEXED
+    # base in delta-sized time. The one-time index write happens here,
+    # outside the query timers (it is the amortized cost the steady
+    # state never re-pays), but its seconds are RECORDED
+    # (dedup_index_write_seconds in bench_detail) so the amortization
+    # claim stays auditable rather than hidden.
+    from truthound_spark.pipeline.dedup import write_dedup_index
+
+    dedup_idx_loc = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_bench_dedup_idx_{os.path.basename(SF_DIR)}",
+    )
+    idx_base = documents.filter(F.col("doc_id") % 10 != 0)
+    idx_delta = documents.filter(F.col("doc_id") % 10 == 0)
+    t0 = time.time()
+    dedup_index = write_dedup_index(
+        idx_base, "bench_docs", database="truthound_bench_idx01",
+        location=dedup_idx_loc,
+    )
+    dedup_index_write_seconds = round(time.time() - t0, 3)
+
+    def incremental_indexed_bench():
+        from truthound_spark.pipeline.dedup import incremental_dedup_indexed
+
+        incremental_dedup_indexed(idx_delta, dedup_index, threshold=0.7).count()
+
+    bench_one(
+        "incremental_dedup_indexed", incremental_indexed_bench, timings, cold_timings
+    )
 
     def decontaminate_bench():
         from truthound_spark.pipeline.dedup import decontaminate
@@ -779,6 +861,9 @@ def main():
     canary_seconds, canary_bracket_spread = bracket_canary(
         canary_start_seconds, canary_end_seconds, canary_mid_seconds
     )
+    # best recorded canary, needed by the cold-lane brackets below (the
+    # warm-suite normalization reuses it at the bottom of main)
+    best_canary = best_recorded_canary(os.path.dirname(os.path.abspath(__file__)))
 
     # --- sf1 lane (VERDICT r5 #10): the dedup/BPE/tagger trio on a 10×
     # documents corpus derived from SF_DIR (replica-perturbed text: every
@@ -938,6 +1023,7 @@ def main():
             det.detect(ev_cur10.select("value", "u"))
             sf1_lane["fitted_feature_drift_detect"] = round(time.time() - t0, 3)
 
+        lane_canary_sample(spark, sf1_lane, "start")
         for nm, fn in (
             ("minhash_dedup", sf1_minhash),
             ("bpe_train_tokenize", sf1_bpe),
@@ -957,6 +1043,8 @@ def main():
             fn()
             sf1_lane[nm] = round(time.time() - t0, 3)
         sf1_fitted_detect()  # times only detect(); fit is outside
+        lane_canary_sample(spark, sf1_lane, "end")
+        finish_lane_canary(sf1_lane, best_canary)
         sf1_lane["rows"] = n10
         sf1_lane["events_rows"] = ev_n10
         documents10.unpersist()
@@ -1012,18 +1100,41 @@ def main():
         )
         e100 = embeddings100.count()
 
+        # minhash/clusters run the LANE DEFAULT path (VERDICT r12 #4):
+        # corpus materialized as parquet once per machine (content is
+        # deterministic in SF_DIR), shingle layout written per run
+        # (in-memory catalog forgets tables across sessions; cost
+        # recorded as shingle_layout_write, amortized in production),
+        # then the ops auto-detect the bucketed layout via
+        # find_shingle_layout — measured 46.4 s bucketed vs 62.4 s
+        # inline at this corpus in r12.
+        docs100_path = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_docs100_{os.path.basename(SF_DIR)}",
+        )
+        if not os.path.exists(os.path.join(docs100_path, "_SUCCESS")):
+            documents100.write.mode("overwrite").parquet(docs100_path)
+        docs100_scan = spark.read.parquet(docs100_path)
+
+        def sf10_shingle_layout():
+            from truthound_spark.pipeline.dedup import write_shingle_layout
+
+            # default layout database: the ops below then auto-detect it
+            # with NO opt-in (shingle_table="auto" is the default)
+            write_shingle_layout(docs100_scan, "bench_docs100_shingles")
+
         def sf10_minhash():
             from truthound_spark.pipeline.dedup import minhash_dedup_pairs
 
             minhash_dedup_pairs(
-                documents100, threshold=0.7, num_hashes=64, bands=32
+                docs100_scan, threshold=0.7, num_hashes=64, bands=32
             ).count()
 
         def sf10_clusters():
             from truthound_spark.pipeline.dedup import dedup_clusters
 
             dedup_clusters(
-                documents100, threshold=0.7, num_hashes=64, bands=32
+                docs100_scan, threshold=0.7, num_hashes=64, bands=32
             ).filter(~F.col("is_canonical")).count()
 
         def sf10_tagger():
@@ -1061,11 +1172,13 @@ def main():
         # the per-round bench into an unbounded job (ops are launched
         # while under budget; anything skipped is recorded, not silent).
         sf10_budget = float(os.environ.get("SPARK_GRAFT_SF10_BUDGET", "1800"))
+        lane_canary_sample(spark, sf10_lane, "start")
         lane_t0 = time.time()
         # cheapest-first so a budget cut costs the fewest data points
         for nm, fn in (
             ("pq_train_search", sf10_pq),
             ("bpe_train_tokenize", sf10_bpe),
+            ("shingle_layout_write", sf10_shingle_layout),
             ("minhash_dedup", sf10_minhash),
             ("dedup_clusters", sf10_clusters),
             ("tag_documents_fused", sf10_tagger),
@@ -1084,6 +1197,38 @@ def main():
                 sf10_lane[f"{nm}_x_vs_sf01"] = round(
                     sf10_lane[nm] / timings[sf01_keys[nm]], 2
                 )
+        # production increment path at the 100× corpus (VERDICT r12 #3):
+        # index 495k docs once (one-time cost RECORDED, not hidden),
+        # then dedup the 5k delta against the stored index — the row the
+        # amortization claim (increments in delta-sized time) rests on.
+        if time.time() - lane_t0 <= sf10_budget:
+            from truthound_spark.pipeline.dedup import incremental_dedup_indexed
+
+            base100 = documents100.filter(F.col("doc_id") % 100 != 0)
+            delta100 = documents100.filter(F.col("doc_id") % 100 == 0)
+            loc100 = os.path.join(
+                tempfile.gettempdir(),
+                f"spark_graft_bench_dedup_idx10_{os.path.basename(SF_DIR)}",
+            )
+            t0 = time.time()
+            idx100 = write_dedup_index(
+                base100, "bench_docs_sf10", database="truthound_bench_idx10",
+                location=loc100,
+            )
+            sf10_lane["dedup_index_write"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            incremental_dedup_indexed(delta100, idx100, threshold=0.7).count()
+            sf10_lane["incremental_dedup_indexed"] = round(time.time() - t0, 3)
+            if timings.get("incremental_dedup_indexed"):
+                sf10_lane["incremental_dedup_indexed_x_vs_sf01"] = round(
+                    sf10_lane["incremental_dedup_indexed"]
+                    / timings["incremental_dedup_indexed"],
+                    2,
+                )
+        else:
+            sf10_lane["incremental_dedup_indexed_skipped_budget"] = True
+        lane_canary_sample(spark, sf10_lane, "end")
+        finish_lane_canary(sf10_lane, best_canary)
         sf10_lane["rows"] = n100
         sf10_lane["embedding_rows"] = e100
         documents100.unpersist()
@@ -1141,6 +1286,11 @@ def main():
             tabs = _scaled_core_tables(mult)
             li, od, cu = tabs["lineitem"], tabs["orders"], tabs["customer"]
             decade: dict = {"lineitem_rows": li.count()}
+            # per-decade canary bracket (the relayout write above is
+            # excluded — it runs at most once per machine): a decade
+            # whose queries swung vs last round under a flat bracket is
+            # a commit; under an elevated one it is the machine
+            lane_canary_sample(spark, decade, "start")
 
             def _null(li=li):
                 BatchExpressionExecutor([NullValidator()]).execute(li)
@@ -1185,6 +1335,8 @@ def main():
                 decade[nm] = round(time.time() - t0, 3)
                 if timings.get(nm):
                     decade[f"{nm}_x_vs_sf01"] = round(decade[nm] / timings[nm], 2)
+            lane_canary_sample(spark, decade, "end")
+            finish_lane_canary(decade, best_canary)
             core_lane[label] = decade
 
     # headline = sum of per-query WARM times (best-of-2, comparable to
@@ -1222,7 +1374,6 @@ def main():
     # divided by this round's canary load factor — an ambient-load round
     # moves raw ratios AND the canary together, so the normalized map
     # stays flat; a genuine regression moves only its own query.
-    best_canary = best_recorded_canary(repo_dir)
     ratios_normalized, load_factor = normalize_ratios(
         ratios, canary_seconds, best_canary
     )
@@ -1270,6 +1421,9 @@ def main():
             "applied": SPREAD_GUARD_APPLIED,
         },
         "sf": sf_val,
+        # one-time base-index build the incremental_dedup_indexed entry
+        # amortizes (outside its query timers, recorded here)
+        "dedup_index_write_seconds": dedup_index_write_seconds,
         "sf1_lane": sf1_lane,
         "sf10_lane": sf10_lane,
         "core_lane": core_lane,
@@ -1296,24 +1450,31 @@ def main():
     # sf10 lane pushed the full payload past it): lane values round to
     # 2dp, the row-count fields and x_vs_* ratios live only in
     # bench_detail.json (ratios are recomputable from the sf1 map here).
+    # lane canaries: only the derived load factor prints (the raw
+    # start/end samples + spread live in bench_detail.json)
+    def _lane_line_keep(k):
+        return not k.startswith("canary_") or k == "canary_load_factor"
+
     if sf1_lane:
         line["sf1"] = {
             k: (round(v, 2) if isinstance(v, float) else v)
             for k, v in sf1_lane.items()
-            if k not in ("rows", "events_rows")
+            if k not in ("rows", "events_rows") and _lane_line_keep(k)
         }
     if sf10_lane:
         line["sf10"] = {
             k: (round(v, 2) if isinstance(v, float) else v)
             for k, v in sf10_lane.items()
-            if "_x_vs_" not in k and k not in ("rows", "embedding_rows")
+            if "_x_vs_" not in k
+            and k not in ("rows", "embedding_rows")
+            and _lane_line_keep(k)
         }
     if core_lane:
         line["core"] = {
             label: {
                 k: (round(v, 1) if isinstance(v, float) else v)
                 for k, v in d.items()
-                if "_x_vs_" not in k and k != "lineitem_rows"
+                if "_x_vs_" not in k and k != "lineitem_rows" and _lane_line_keep(k)
             }
             if isinstance(d, dict)
             else d
@@ -1326,6 +1487,18 @@ def main():
         # last-resort trims: everything cut here is fully recorded in
         # bench_detail.json
         line["bench_regressions"] = dict(list(flagged.items())[:2])
+        out = json.dumps(line)
+    if len(out) > 1900 and "sf1" in line:
+        # graduated, not a full pop (r13): the lane's machine-state
+        # reading must stay visible in the driver's series even when the
+        # per-op map can't fit — the full lane is in bench_detail.json
+        keep = {
+            k: v
+            for k, v in line["sf1"].items()
+            if k in ("minhash_dedup", "bpe_train_tokenize", "tag_documents_fused",
+                     "canary_load_factor")
+        }
+        line["sf1"] = keep
         out = json.dumps(line)
     if len(out) > 1900 and "sf1" in line:
         line.pop("sf1")
