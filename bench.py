@@ -1124,8 +1124,17 @@ def main():
             write_shingle_layout(docs100_scan, "bench_docs100_shingles")
 
         def sf10_minhash():
-            from truthound_spark.pipeline.dedup import minhash_dedup_pairs
+            from truthound_spark.pipeline.dedup import (
+                find_shingle_layout,
+                minhash_dedup_pairs,
+            )
 
+            # record whether the default "auto" probe engages the layout
+            # (metadata-only) so the lane's bucketed-read claim is
+            # auditable in the record, not assumed
+            sf10_lane["minhash_layout_autodetected"] = bool(
+                find_shingle_layout(docs100_scan)
+            )
             minhash_dedup_pairs(
                 docs100_scan, threshold=0.7, num_hashes=64, bands=32
             ).count()
@@ -1285,7 +1294,21 @@ def main():
                 continue
             tabs = _scaled_core_tables(mult)
             li, od, cu = tabs["lineitem"], tabs["orders"], tabs["customer"]
-            decade: dict = {"lineitem_rows": li.count()}
+            # the timed warm-up count doubles as the lane's I/O-state
+            # reading (r13): the CPU canary cannot see page-cache state,
+            # and the r12/r13 core-decade swings (mixed_core_suite
+            # 17.9→28.7→39.7 s under FLAT canaries) turned out to be
+            # exactly that — the sf10 lane's multi-GB artifacts evict the
+            # decade parquet from cache, so its first scan pays disk. A
+            # high scan_warmup_seconds says the decade started I/O-cold;
+            # isolated idle re-runs of the same code read 17-22 s
+            # (SCALING.md r13).
+            t0 = time.time()
+            n_rows = li.count()
+            decade: dict = {
+                "lineitem_rows": n_rows,
+                "scan_warmup_seconds": round(time.time() - t0, 3),
+            }
             # per-decade canary bracket (the relayout write above is
             # excluded — it runs at most once per machine): a decade
             # whose queries swung vs last round under a flat bracket is

@@ -70,4 +70,5 @@ from truthound_spark.entry_queries import q04_training_data_export_operators  # 
 from truthound_spark.entry_queries import q05_misc  # noqa: F401,E402
 from truthound_spark.entry_queries import q06_rule_threshold_learning_truthound  # noqa: F401,E402
 from truthound_spark.entry_queries import q07_misc  # noqa: F401,E402
+from truthound_spark.entry_queries import q08_r13_layout_reuse  # noqa: F401,E402
 from truthound_spark.entry_queries.q07_misc import _BITEXT_FILTER_ORACLE  # noqa: F401,E402
