@@ -145,6 +145,107 @@ class TestBucketed:
             write_bucketed(lineitem, "t", "l_orderkey", buckets=0)
 
 
+class TestAttachLayout:
+    """Re-attachable layouts (r13): the on-disk sidecar restores the
+    bucket spec + TBLPROPERTIES a session-bound catalog would lose."""
+
+    @pytest.fixture(scope="class")
+    def written(self, spark, orders, tmp_path_factory):
+        loc = str(tmp_path_factory.mktemp("attach_db"))
+        fq = write_bucketed(
+            orders, "t_attach_src", "o_orderkey", buckets=8, location=loc,
+            properties={"truthound.test.meta": '{"answer": 42}'},
+        )
+        from truthound_spark.layout import _table_location
+
+        return fq, _table_location(spark, fq)
+
+    def test_sidecar_written(self, spark, written):
+        _, tbl_loc = written
+        assert tbl_loc is not None
+        path = tbl_loc[len("file:"):] if tbl_loc.startswith("file:") else tbl_loc
+        assert os.path.exists(os.path.join(path, "_truthound_layout_spec.json"))
+
+    def test_attach_under_new_name_restores_everything(self, spark, written):
+        from truthound_spark.layout import attach_layout
+
+        src_fq, tbl_loc = written
+        fq = attach_layout(spark, tbl_loc, table="t_attach_again")
+        # rows identical
+        assert spark.table(fq).count() == spark.table(src_fq).count()
+        # bucketing restored: scan reads the bucketed distribution
+        df = spark.table(fq).hint("merge").groupBy("o_orderkey").count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        # properties restored from the sidecar
+        rows = spark.sql(
+            f"SHOW TBLPROPERTIES {fq} ('truthound.test.meta')"
+        ).collect()
+        assert '"answer": 42' in rows[0]["value"]
+
+    def test_attached_table_joins_colocated(self, spark, written, bucketed_pair):
+        from truthound_spark.layout import attach_layout
+
+        child_t, _ = bucketed_pair
+        _, tbl_loc = written
+        fq = attach_layout(spark, tbl_loc, table="t_attach_join")
+        child = spark.table(child_t).hint("merge")
+        attached = spark.table(fq)
+        joined = child.join(
+            attached, child["l_orderkey"] == attached["o_orderkey"]
+        )
+        # both scans serve hash(key): the only acceptable Exchange count
+        # is zero for a same-bucket-count join
+        assert plan_exchanges(joined) == 0
+
+    def test_attach_layout_database_recovers_warehouse(
+        self, spark, orders, tmp_path_factory
+    ):
+        from truthound_spark.layout import attach_layout_database
+
+        loc = str(tmp_path_factory.mktemp("attach_wh"))
+        write_bucketed(
+            orders, "t_wh_a", "o_orderkey", buckets=4, location=loc,
+            database="truthound_attach_wh",
+        )
+        write_bucketed(
+            orders.select("o_orderkey", "o_totalprice"), "t_wh_b",
+            "o_orderkey", buckets=4, location=loc,
+            database="truthound_attach_wh",
+        )
+        got = attach_layout_database(
+            spark, loc, database="truthound_attach_wh2"
+        )
+        assert sorted(t.split(".")[-1] for t in got) == ["t_wh_a", "t_wh_b"]
+        for t in got:
+            assert spark.table(t).count() == orders.count()
+
+    def test_fp_store_meta_survives_attach(self, spark, orders, tmp_path_factory):
+        # the point of the sidecar: a fingerprint store re-attached in a
+        # "new session" still enforces its column/bucketing contract
+        from truthound_spark.delta import changed_rows, write_fingerprints_table
+        from truthound_spark.layout import _table_location, attach_layout
+
+        loc = str(tmp_path_factory.mktemp("attach_fp"))
+        p = orders.select("o_orderkey", "o_totalprice")
+        store = write_fingerprints_table(
+            p, "t_fp_attach", "o_orderkey", buckets=4, location=loc
+        )
+        tbl_loc = _table_location(spark, store)
+        again = attach_layout(spark, tbl_loc, table="t_fp_attached")
+        new = p.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 50 == 0, -F.col("o_totalprice"))
+            .otherwise(F.col("o_totalprice")),
+        )
+        via_src = changed_rows(None, new, "o_orderkey", old_fingerprints=store)
+        via_att = changed_rows(None, new, "o_orderkey", old_fingerprints=again)
+        assert via_att.count() == via_src.count() > 0
+        # and the meta contract still raises on a wrong key
+        with pytest.raises(ValueError, match="keyed by"):
+            changed_rows(None, new, "o_totalprice", old_fingerprints=again)
+
+
 class TestPartitioned:
     @pytest.fixture(scope="class")
     def events_path(self, spark, sf_dir, tmp_path_factory):

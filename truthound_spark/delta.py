@@ -36,34 +36,9 @@ __all__ = [
 
 _META_FILE = "_truthound_fp_meta.json"
 
-
-def _hadoop_path(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    return jvm.org.apache.hadoop.fs.Path(path), spark._jsc.hadoopConfiguration()
-
-
-def _write_text(spark: SparkSession, path: str, text: str) -> None:
-    """Write a small text file through the Hadoop FileSystem API (works on
-    local paths and any FS Spark can reach — no driver-local assumption)."""
-    p, conf = _hadoop_path(spark, path)
-    fs = p.getFileSystem(conf)
-    out = fs.create(p, True)
-    try:
-        out.write(bytearray(text.encode("utf-8")))
-    finally:
-        out.close()
-
-
-def _read_text(spark: SparkSession, path: str) -> str:
-    p, conf = _hadoop_path(spark, path)
-    fs = p.getFileSystem(conf)
-    stream = fs.open(p)
-    try:
-        return spark._jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
-        )
-    finally:
-        stream.close()
+# shared Hadoop-FS text helpers (work on any FS Spark can reach)
+from truthound_spark.layout import read_fs_text as _read_text  # noqa: E402
+from truthound_spark.layout import write_fs_text as _write_text  # noqa: E402
 
 def row_fingerprint(cols: Sequence[str]):
     """64-bit fingerprint Column over ``cols`` — null-safe and
@@ -185,14 +160,6 @@ def write_fingerprints_table(
     fp = row_fingerprint(list(key_cols) + list(compare_cols))
     fps = df.select(*key_cols, fp.alias("__fp"))
     bucket_cols = list(key_cols) if bucket_by == "keys" else [*key_cols, "__fp"]
-    fq = write_bucketed(
-        fps,
-        table,
-        bucket_cols,
-        buckets=buckets,
-        database=database,
-        location=location,
-    )
     meta = json.dumps(
         {
             "version": 2,
@@ -200,11 +167,19 @@ def write_fingerprints_table(
             "compare_cols": list(compare_cols),
             "bucket_by": bucket_by,
         }
-    ).replace("'", "''")
-    df.sparkSession.sql(
-        f"ALTER TABLE {fq} SET TBLPROPERTIES ('truthound.fp.meta' = '{meta}')"
     )
-    return fq
+    # meta rides through write_bucketed into TBLPROPERTIES AND the layout
+    # sidecar — a fresh session re-attaches the store (layout.attach_layout)
+    # with the column/bucketing contract intact (r13)
+    return write_bucketed(
+        fps,
+        table,
+        bucket_cols,
+        buckets=buckets,
+        database=database,
+        location=location,
+        properties={"truthound.fp.meta": meta},
+    )
 
 
 def read_fingerprints(spark: SparkSession, store: str) -> tuple[DataFrame, dict]:

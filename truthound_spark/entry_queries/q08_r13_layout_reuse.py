@@ -58,6 +58,71 @@ def q_minhash_autodetect_documents(spark, sf_dir):
 
 
 @register(
+    "attached_layout_fk_orphans",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orphans,
+           CAST(COALESCE(SUM(l_quantity), 0) AS DOUBLE) AS orphan_qty
+    FROM lineitem l
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_orderkey = l.l_orderkey AND o.o_orderkey % 7 != 0
+    )
+    """,
+)
+def q_attached_layout_fk_orphans(spark, sf_dir):
+    """FK orphan check over RE-ATTACHED bucketed layouts (r13
+    layout.attach_layout): both sides are written bucketed, then
+    re-registered under NEW names purely from their on-disk sidecars —
+    the session-restart recovery path — and the Exchange-free anti-join
+    runs over the attached tables. The NOT-EXISTS oracle certifies that
+    an attached layout computes byte-identical results; the slot raises
+    unless the attached plan actually reads the bucketed distribution
+    (a silent bucketing-metadata loss would degrade co-location without
+    changing results)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from truthound_spark.layout import (
+        _table_location,
+        attach_layout,
+        fk_orphans_bucketed,
+        write_bucketed,
+    )
+
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    loc = _os.path.join(_tempfile.gettempdir(), f"spark_graft_attach_{tag}")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    od = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 != 0)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    child_src = write_bucketed(
+        li, f"entry_att_li_{tag}", "l_orderkey", buckets=8, location=loc
+    )
+    parent_src = write_bucketed(
+        od, f"entry_att_od_{tag}", "l_orderkey", buckets=8, location=loc
+    )
+    child = attach_layout(
+        spark, _table_location(spark, child_src), table=f"entry_att_li2_{tag}"
+    )
+    parent = attach_layout(
+        spark, _table_location(spark, parent_src), table=f"entry_att_od2_{tag}"
+    )
+    orphans = fk_orphans_bucketed(spark, child, parent, "l_orderkey")
+    plan = orphans._jdf.queryExecution().executedPlan().toString()
+    if "Bucketed: true" not in plan:
+        raise RuntimeError(
+            "attached layout lost its bucketing metadata — the anti-join "
+            "plan does not read a bucketed scan"
+        )
+    return orphans.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_orphans"),
+        F.coalesce(F.sum("l_quantity"), F.lit(0)).cast("double").alias("orphan_qty"),
+    )
+
+
+@register(
     "delta_check_fp_keys_colocated_orders",
     ORACLES["delta_check_fp_store_orders"],
 )

@@ -39,6 +39,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "ensure_layout_database",
     "write_bucketed",
+    "attach_layout",
+    "attach_layout_database",
     "colocated_join",
     "fk_orphans_bucketed",
     "write_partitioned",
@@ -57,6 +59,42 @@ __all__ = [
 DEFAULT_BUCKETS = 64
 
 _DEFAULT_DB = "truthound_layout"
+
+#: On-disk sidecar (``_``-prefixed = invisible to parquet readers) written
+#: into every bucketed table's directory: the bucket spec + table
+#: properties that otherwise live ONLY in the session catalog. Without a
+#: durable metastore the catalog dies with the session — and with it the
+#: bucketing metadata (co-location silently degrades to shuffles) and the
+#: safety properties the dedup index / fingerprint store / shingle layout
+#: enforce at read time. ``attach_layout`` restores both from this file.
+_LAYOUT_SPEC_FILE = "_truthound_layout_spec.json"
+
+
+def _hadoop_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    return jvm.org.apache.hadoop.fs.Path(path), spark._jsc.hadoopConfiguration()
+
+
+def write_fs_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API (works on
+    local paths and any FS Spark can reach — no driver-local assumption)."""
+    p, conf = _hadoop_path(spark, path)
+    fs = p.getFileSystem(conf)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_fs_text(spark: SparkSession, path: str) -> str:
+    p, conf = _hadoop_path(spark, path)
+    fs = p.getFileSystem(conf)
+    stream = fs.open(p)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
 
 
 def _plan_string(df: DataFrame) -> str:
@@ -125,6 +163,7 @@ def write_bucketed(
     database: str = _DEFAULT_DB,
     location: str | None = None,
     mode: str = "overwrite",
+    properties: Mapping[str, str] | None = None,
 ) -> str:
     """Write ``df`` as a bucketed (and bucket-sorted) parquet table; returns
     the fully-qualified table name.
@@ -134,7 +173,14 @@ def write_bucketed(
     matching bucket files side by side — no Exchange (and, when ``sort``,
     no Sort for a single-file-per-bucket layout). Bucket count is part of
     the layout contract: joins across different counts re-shuffle.
-    """
+
+    ``properties`` are applied as TBLPROPERTIES (raw strings; quoting is
+    handled here) AND recorded, with the bucket spec and schema, in an
+    on-disk sidecar in the table directory — so a layout survives its
+    session: a fresh session (or a restarted cluster without a durable
+    metastore) recovers the table, its co-location guarantee, and its
+    safety metadata with :func:`attach_layout` instead of re-paying the
+    layout shuffle (r13)."""
     if isinstance(keys, str):
         keys = [keys]
     if not keys:
@@ -170,7 +216,124 @@ def write_bucketed(
     if sort:
         writer = writer.sortBy(keys[0], *keys[1:])
     writer.saveAsTable(fq)
+    spark = df.sparkSession
+    props = {str(k): str(v) for k, v in (properties or {}).items()}
+    for k, v in props.items():
+        kq = k.replace("'", "''")
+        vq = v.replace("'", "''")
+        spark.sql(f"ALTER TABLE {fq} SET TBLPROPERTIES ('{kq}' = '{vq}')")
+    # durable sidecar: bucket spec + schema + properties, in the table dir
+    tbl_loc = _table_location(spark, fq)
+    if tbl_loc:
+        import json as _json
+
+        spec = {
+            "version": 1,
+            "table": table,
+            "keys": list(keys),
+            "buckets": int(buckets),
+            "sort": bool(sort),
+            "schema_ddl": spark.table(fq)._jdf.schema().toDDL(),
+            "properties": props,
+        }
+        try:
+            write_fs_text(
+                spark,
+                f"{tbl_loc.rstrip('/')}/{_LAYOUT_SPEC_FILE}",
+                _json.dumps(spec),
+            )
+        except Exception:  # pragma: no cover - sidecar is best-effort
+            pass
     return fq
+
+
+def _table_location(spark: SparkSession, fq: str) -> str | None:
+    """The table's storage location URI from DESCRIBE EXTENDED, or None."""
+    try:
+        for row in spark.sql(f"DESCRIBE TABLE EXTENDED {fq}").collect():
+            if str(row[0]).strip().lower() == "location":
+                return str(row[1])
+    except Exception:
+        return None
+    return None
+
+
+def attach_layout(
+    spark: SparkSession,
+    location: str,
+    table: str | None = None,
+    database: str = _DEFAULT_DB,
+) -> str:
+    """Register an EXISTING bucketed table directory (written by
+    :func:`write_bucketed` in some earlier session) in this session's
+    catalog, restoring the bucket spec and every recorded TBLPROPERTY.
+
+    Without a durable metastore, the catalog — and with it the bucketing
+    metadata and the read-time safety properties of the dedup index /
+    fingerprint store / shingle layout — dies with the session, leaving
+    only the files. This reads the table's on-disk sidecar and issues
+    ``CREATE TABLE ... USING parquet CLUSTERED BY ... INTO n BUCKETS
+    LOCATION ...`` (an EXTERNAL table: dropping it later leaves the data)
+    plus the recorded properties, so co-located plans and metadata
+    checks work exactly as in the writing session — for the cost of a
+    metadata read instead of a re-layout shuffle. Bucket file names carry
+    their bucket ids, which is how Spark re-associates the existing
+    files with the declared spec.
+
+    ``table`` overrides the recorded name (attach the same files under a
+    second name); returns the fully-qualified table name. A table that
+    already exists under that name is returned as-is."""
+    import json as _json
+
+    spec = _json.loads(
+        read_fs_text(spark, f"{location.rstrip('/')}/{_LAYOUT_SPEC_FILE}")
+    )
+    name = table or spec["table"]
+    if not name.replace("_", "").isalnum():
+        raise ValueError(f"table must be an identifier, got {name!r}")
+    db = ensure_layout_database(spark, database)
+    fq = f"{db}.{name}"
+    if spark.catalog.tableExists(fq):
+        return fq
+    keys = ", ".join(f"`{k}`" for k in spec["keys"])
+    sorted_by = f" SORTED BY ({keys})" if spec.get("sort") else ""
+    loc_sql = location.replace("'", "''")
+    spark.sql(
+        f"CREATE TABLE {fq} ({spec['schema_ddl']}) USING parquet "
+        f"CLUSTERED BY ({keys}){sorted_by} INTO {int(spec['buckets'])} BUCKETS "
+        f"LOCATION '{loc_sql}'"
+    )
+    for k, v in (spec.get("properties") or {}).items():
+        kq = str(k).replace("'", "''")
+        vq = str(v).replace("'", "''")
+        spark.sql(f"ALTER TABLE {fq} SET TBLPROPERTIES ('{kq}' = '{vq}')")
+    return fq
+
+
+def attach_layout_database(
+    spark: SparkSession,
+    location: str,
+    database: str = _DEFAULT_DB,
+) -> list[str]:
+    """Attach every sidecar-carrying table directory under ``location`` —
+    one call recovers a whole layout warehouse (shingle layouts, dedup
+    indexes, fingerprint stores, FK layouts) after a session/cluster
+    restart. Directories without a sidecar are skipped; returns the
+    attached fully-qualified names."""
+    p, conf = _hadoop_path(spark, location)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return []
+    out: list[str] = []
+    for status in fs.listStatus(p):
+        if not status.isDirectory():
+            continue
+        child = status.getPath().toString()
+        spec_path, _ = _hadoop_path(spark, f"{child}/{_LAYOUT_SPEC_FILE}")
+        if not fs.exists(spec_path):
+            continue
+        out.append(attach_layout(spark, child, database=database))
+    return out
 
 
 def colocated_join(

@@ -583,9 +583,6 @@ def write_shingle_layout(
     from truthound_spark.layout import write_bucketed
 
     sh = _hashed_shingle_arrays(df, text_col, id_col, shingle_n)
-    fq = write_bucketed(
-        sh, table, "id", buckets=buckets, database=database, location=location
-    )
     # field is "tok_version", NOT "tokenizer_version": Spark redacts any
     # SHOW TBLPROPERTIES VALUE matching spark.redaction.string.regex
     # (default matches "token"), which would hand the reader
@@ -603,11 +600,14 @@ def write_shingle_layout(
             "text_col": text_col,
             "id_col": id_col,
         }
-    ).replace("'", "''")
-    df.sparkSession.sql(
-        f"ALTER TABLE {fq} SET TBLPROPERTIES ('truthound.shingles.meta' = '{meta}')"
     )
-    return fq
+    # properties ride through write_bucketed so they ALSO land in the
+    # on-disk layout sidecar — a fresh session re-attaches the layout
+    # (layout.attach_layout) with the meta intact instead of re-shingling
+    return write_bucketed(
+        sh, table, "id", buckets=buckets, database=database, location=location,
+        properties={"truthound.shingles.meta": meta},
+    )
 
 
 def _source_fingerprint(df: DataFrame) -> str | None:
@@ -1878,10 +1878,6 @@ def write_dedup_index(
             .filter(F.col("__rn") <= max_bucket_size)
             .drop("__rn")
         )
-    t_lsh = write_bucketed(
-        entries, f"{prefix}_lsh", ["band", "bucket"], buckets=buckets,
-        database=database, location=location,
-    )
     meta = _json.dumps(
         {
             "version": 1,
@@ -1890,9 +1886,14 @@ def write_dedup_index(
             "shingle_n": shingle_n,
             "max_bucket_size": max_bucket_size,
         }
-    ).replace("'", "''")
-    df.sparkSession.sql(
-        f"ALTER TABLE {t_lsh} SET TBLPROPERTIES ('truthound.dedup.meta' = '{meta}')"
+    )
+    # meta rides through write_bucketed into TBLPROPERTIES AND the
+    # on-disk sidecar, so a fresh session recovers the index with its
+    # banding config intact via layout.attach_layout_database (r13)
+    t_lsh = write_bucketed(
+        entries, f"{prefix}_lsh", ["band", "bucket"], buckets=buckets,
+        database=database, location=location,
+        properties={"truthound.dedup.meta": meta},
     )
     return {"fingerprints": t_fp, "shingles": t_sh, "lsh": t_lsh}
 
