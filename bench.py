@@ -139,6 +139,16 @@ REGRESSION_DISPOSITIONS = {
         "0.6-0.8 pin — a median taken during the decay reads 1.5-2.5x. "
         "The bracket triple records the phase each run."
     ),
+    "pushdown_range": (
+        "environmental, same class as pushdown_unique: a sub-50ms "
+        "in-process DuckDB query whose cross-round series over "
+        "byte-identical code (no commit has touched the pushdown query "
+        "path since r9's JDBC addition) reads 0.035/0.033/0.027/0.042/"
+        "0.028/0.025/0.035/0.057/0.038 s (r2..r12) — a 2.3x max/min "
+        "spread from scheduling noise alone. Any ratio against the "
+        "0.025 s minimum is dominated by fixed per-call overhead, not "
+        "plan or code state."
+    ),
     "pushdown_unique": (
         "environmental: DuckDBSource code byte-identical since r2 "
         "(e484adb); idle-machine re-run 2026-08-15 = 0.065-0.082s total "

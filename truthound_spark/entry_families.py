@@ -416,6 +416,14 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "minhash_shingle_table_documents",
     "delta_check_fp_table_orders",
     "row_level_transport_lineitem",
+    # r13 certifications: the DEFAULT-args shingle-layout auto-detect
+    # (probe must engage, raise-on-miss), the keys-bucketed co-located
+    # delta (the XOR-condition anti-join that closed the 60M crossover),
+    # and re-attached bucketed layouts (results + bucketed plan kept
+    # after sidecar recovery, raise on a non-bucketed scan).
+    "minhash_autodetect_documents",
+    "delta_check_fp_keys_colocated_orders",
+    "attached_layout_fk_orphans",
 ]
 
 
