@@ -3,8 +3,8 @@
 ``entry(spark)`` runs the flagship fused data-quality suite + pricing
 summary on sf0.001. ``queries()`` / ``oracle_sql()`` expose one
 driver-verifiable entry per implemented operator (SURVEY.md §2 and the
-training-data pipeline operators), registered in
-``truthound_spark/entry_queries.py``.
+training-data pipeline operators), registered in the
+``truthound_spark/entry_queries/`` package (split per-family in r13).
 """
 
 from __future__ import annotations

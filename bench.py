@@ -1166,14 +1166,20 @@ def main():
             # machine, so from run 2 on the attach is valid); any miss
             # falls back to a fresh write into the DEFAULT layout
             # database — the ops below then auto-detect it with NO
-            # opt-in (shingle_table="auto" is the default)
+            # opt-in (shingle_table="auto" is the default). Table name
+            # carries the SF tag: a layout of another scale factor's
+            # corpus must never be the one probed/overwritten here.
+            sh_table = (
+                "bench_docs100_shingles_"
+                + os.path.basename(SF_DIR).replace(".", "_")
+            )
             try:
                 attach_layout(
                     spark,
                     os.path.join(
                         tempfile.gettempdir(),
                         "truthound_layout_truthound_layout",
-                        "bench_docs100_shingles",
+                        sh_table,
                     ),
                 )
             except Exception:
@@ -1182,7 +1188,7 @@ def main():
                 sf10_lane["shingle_layout_attached"] = True
                 return
             sf10_lane["shingle_layout_attached"] = False
-            write_shingle_layout(docs100_scan, "bench_docs100_shingles")
+            write_shingle_layout(docs100_scan, sh_table)
 
         def sf10_minhash():
             from truthound_spark.pipeline.dedup import (

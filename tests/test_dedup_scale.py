@@ -312,6 +312,34 @@ class TestDedupIndex:
         via_prefix = incremental_dedup_indexed(new, "t_idx").count()
         assert via_dict == via_prefix == new.count()
 
+    def test_prefix_form_recovers_index_from_sidecars(
+        self, spark, split, index, tmp_path_factory
+    ):
+        # the session-restart story (r13): the prefix-string form names
+        # tables a fresh catalog wouldn't know — with location= the three
+        # member tables are attached from their on-disk sidecars. The
+        # fresh catalog is simulated by resolving under a DIFFERENT
+        # database name, where none of the tables exist yet.
+        from truthound_spark.layout import _table_location
+        from truthound_spark.pipeline.dedup import incremental_dedup_indexed
+
+        new, _ = split
+
+        tbl_loc = _table_location(spark, index["lsh"])
+        db_loc = tbl_loc.rsplit("/", 1)[0]
+        want = {
+            (r["id"], r["dup_of"], r["match_kind"])
+            for r in incremental_dedup_indexed(new, index).collect()
+        }
+        got = {
+            (r["id"], r["dup_of"], r["match_kind"])
+            for r in incremental_dedup_indexed(
+                new, "t_idx", database="truthound_recovered_idx",
+                location=db_loc,
+            ).collect()
+        }
+        assert got == want
+
     def test_meta_enforced(self, spark, split, tmp_path_factory):
         from truthound_spark.layout import write_bucketed
         from truthound_spark.pipeline.dedup import incremental_dedup_indexed

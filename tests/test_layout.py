@@ -198,6 +198,33 @@ class TestAttachLayout:
         # is zero for a same-bucket-count join
         assert plan_exchanges(joined) == 0
 
+    def test_overwrite_replaces_attached_external_table(
+        self, spark, orders, tmp_path_factory
+    ):
+        # the stale-attach path (hit by the r13 bench): attach registers
+        # an EXTERNAL table, the content turns out stale, and the fresh
+        # write_bucketed(mode=overwrite) must replace it — saveAsTable
+        # alone would die with LOCATION_ALREADY_EXISTS over the occupied
+        # external location
+        from truthound_spark.layout import _table_location, attach_layout
+
+        loc = str(tmp_path_factory.mktemp("ext_ow"))
+        src = write_bucketed(
+            orders.limit(100), "t_ext_src", "o_orderkey", buckets=2,
+            location=loc, database="truthound_extow",
+        )
+        tbl_loc = _table_location(spark, src)
+        att = attach_layout(
+            spark, tbl_loc, table="t_ext_again", database="truthound_extow"
+        )
+        # now overwrite the ATTACHED name with fresh (different) content
+        fq = write_bucketed(
+            orders.limit(250), "t_ext_again", "o_orderkey", buckets=2,
+            location=loc, database="truthound_extow",
+        )
+        assert fq == att
+        assert spark.table(fq).count() == 250
+
     def test_attach_layout_database_recovers_warehouse(
         self, spark, orders, tmp_path_factory
     ):

@@ -191,6 +191,25 @@ def write_bucketed(
         raise ValueError(f"table must be an identifier, got {table!r}")
     db = ensure_layout_database(df.sparkSession, database, location)
     fq = f"{db}.{table}"
+    if mode == "overwrite" and df.sparkSession.catalog.tableExists(fq):
+        # replacing an EXTERNAL table (e.g. one re-registered by
+        # attach_layout whose content turned out stale): saveAsTable
+        # would try to create a MANAGED table over the still-occupied
+        # location and fail with LOCATION_ALREADY_EXISTS. Drop the
+        # catalog entry — external drops leave the files, which the
+        # stale-dir cleanup below then clears (local scheme only, same
+        # rules as the catalog-forgot case).
+        try:
+            rows = df.sparkSession.sql(f"DESCRIBE TABLE EXTENDED {fq}").collect()
+            is_external = any(
+                str(r[0]).strip().lower() == "type"
+                and "external" in str(r[1]).lower()
+                for r in rows
+            )
+        except Exception:
+            is_external = False
+        if is_external:
+            df.sparkSession.sql(f"DROP TABLE {fq}")
     if mode == "overwrite" and not df.sparkSession.catalog.tableExists(fq):
         # A fresh session's in-memory catalog forgets tables but their
         # managed-table directories persist; saveAsTable then fails with

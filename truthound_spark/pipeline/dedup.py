@@ -1907,6 +1907,7 @@ def incremental_dedup_indexed(
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     broadcast_pairs_budget: int = DEFAULT_PAIR_BROADCAST_BUDGET,
     database: str = "truthound_layout",
+    location: str | None = None,
 ) -> DataFrame:
     """Which NEW documents already exist in an INDEXED base corpus —
     ``incremental_dedup`` semantics at DELTA-sized cost.
@@ -1928,6 +1929,14 @@ def incremental_dedup_indexed(
     write-time cap: candidate count per (band, bucket) is then bounded
     by delta-cap × index-cap even when a boilerplate-heavy batch lands
     in a boilerplate-heavy bucket. ``None`` = exact (the oracle mode).
+
+    ``location`` (r13): the index database's storage location. When the
+    prefix-string form names tables a FRESH session's catalog no longer
+    knows (no durable metastore — the r12 index was session-bound), the
+    three member tables are recovered from their on-disk layout
+    sidecars (``layout.attach_layout_database``) before probing, so a
+    restarted pipeline keeps its delta-sized increments without
+    re-indexing the base.
     """
     import json as _json
 
@@ -1938,6 +1947,18 @@ def incremental_dedup_indexed(
             "shingles": f"{database}.{index}_shingles",
             "lsh": f"{database}.{index}_lsh",
         }
+    if location is not None and not all(
+        spark.catalog.tableExists(t) for t in index.values()
+    ):
+        from truthound_spark.layout import attach_layout_database
+
+        attach_layout_database(spark, location, database=database)
+        missing = [t for t in index.values() if not spark.catalog.tableExists(t)]
+        if missing:
+            raise ValueError(
+                f"dedup index tables {missing} not found in the catalog or "
+                f"recoverable from sidecars under {location!r}"
+            )
     rows = spark.sql(
         f"SHOW TBLPROPERTIES {index['lsh']} ('truthound.dedup.meta')"
     ).collect()
