@@ -329,6 +329,145 @@ def finish_lane_canary(lane, best_canary):
         lane["canary_load_factor"] = round(lo / best_canary, 3)
 
 
+SUMMARY_LINE_BUDGET = 1900
+
+# Headline lane keys, kept longest under budget pressure (everything
+# trimmed away is fully recorded in bench_detail.json). Order matters:
+# the later a trim step runs, the more load-bearing the keys it keeps.
+_SF1_HEADLINE = (
+    "minhash_dedup", "bpe_train_tokenize", "tag_documents_fused",
+    "canary_load_factor",
+)
+_SF10_HEADLINE = (
+    "minhash_dedup", "dedup_clusters", "incremental_dedup_indexed",
+    "delta_check_fp_colocated", "tag_documents_fused", "bpe_train_tokenize",
+    "pq_train_search", "canary_load_factor",
+)
+_CORE_HEADLINE = (
+    "mixed_core_suite", "fk_orphans_join", "scan_warmup_seconds",
+    "canary_load_factor",
+)
+
+
+def build_summary_line(detail, flagged=None, budget=SUMMARY_LINE_BUDGET):
+    """Build the ONE-line JSON stdout summary from the full detail dict.
+
+    The driver keeps only the last ~2000 chars of stdout; r13's summary
+    grew to 2105 chars after the old ad-hoc trims and the round's numbers
+    were lost (`BENCH_r13.json parsed: null`, VERDICT r13 #1). This
+    rebuilds the line through a HARD trim loop: graduated steps drop
+    lane detail first (all of it lives in bench_detail.json), then a
+    last-resort step truncates the per-query map itself — the emitted
+    line is provably <= `budget` chars for any input shape.
+    """
+    if flagged is None:
+        ratios = detail.get("bench_regressions") or {}
+        flagged = dict(
+            sorted(
+                ((k, r) for k, r in ratios.items() if r > 1.5),
+                key=lambda kv: -kv[1],
+            )[:5]
+        )
+    canary = detail.get("canary") or {}
+    line = {
+        "metric": "suite_seconds",
+        "value": detail.get("value"),
+        "unit": "sec",
+        "queries": {
+            k: round(v, 3) for k, v in (detail.get("queries") or {}).items()
+        },
+        "cold_value": detail.get("cold_value"),
+        "canary": canary.get("seconds"),
+        "load_factor": canary.get("load_factor"),
+        "sf": detail.get("sf"),
+    }
+
+    # lane filters: row counts, x_vs_* ratios and raw canary samples live
+    # only in bench_detail.json; only the derived load factor prints.
+    def _lane_keep(k):
+        if "_x_vs_" in k or k in ("rows", "events_rows", "embedding_rows",
+                                  "lineitem_rows"):
+            return False
+        return not k.startswith("canary_") or k == "canary_load_factor"
+
+    def _lane(d, nd):
+        return {
+            k: (round(v, nd) if isinstance(v, float) else v)
+            for k, v in d.items()
+            if _lane_keep(k)
+        }
+
+    if detail.get("sf1_lane"):
+        line["sf1"] = _lane(detail["sf1_lane"], 2)
+    if detail.get("sf10_lane"):
+        line["sf10"] = _lane(detail["sf10_lane"], 2)
+    if detail.get("core_lane"):
+        line["core"] = {
+            label: _lane(d, 1) if isinstance(d, dict) else d
+            for label, d in detail["core_lane"].items()
+        }
+    if flagged:
+        line["bench_regressions"] = flagged
+
+    def _headline(key, keep):
+        if key in line and isinstance(line[key], dict):
+            line[key] = {k: v for k, v in line[key].items() if k in keep}
+
+    def _trim_flagged():
+        if flagged:
+            line["bench_regressions"] = dict(list(flagged.items())[:2])
+
+    def _trim_core_headline():
+        if isinstance(line.get("core"), dict):
+            line["core"] = {
+                label: {k: v for k, v in d.items() if k in _CORE_HEADLINE}
+                if isinstance(d, dict)
+                else d
+                for label, d in line["core"].items()
+            }
+
+    def _trim_queries():
+        # absolute last resort: keep the slowest queries that fit; the
+        # full map is always in bench_detail.json
+        q = line.get("queries") or {}
+        line["queries"] = dict(
+            sorted(q.items(), key=lambda kv: -kv[1])[: max(1, len(q) // 2)]
+        )
+        line["queries_truncated"] = True
+
+    trims = [
+        _trim_flagged,
+        lambda: _headline("sf1", _SF1_HEADLINE),
+        _trim_core_headline,
+        lambda: _headline("sf10", _SF10_HEADLINE),
+        lambda: line.pop("sf1", None),
+        lambda: (
+            line.__setitem__("core", {"sf10": line["core"]["sf10"]})
+            if isinstance(line.get("core"), dict) and "sf10" in line["core"]
+            else None
+        ),
+        lambda: line.pop("core", None),
+        lambda: _headline(
+            "sf10", ("minhash_dedup", "incremental_dedup_indexed",
+                     "delta_check_fp_colocated", "canary_load_factor")
+        ),
+        lambda: line.pop("sf10", None),
+        lambda: line.pop("bench_regressions", None),
+    ]
+    out = json.dumps(line)
+    for trim in trims:
+        if len(out) <= budget:
+            break
+        trim()
+        out = json.dumps(line)
+    # hard floor: halve the query map until it fits (terminates — the
+    # map shrinks every pass and the fixed fields are ~200 chars)
+    while len(out) > budget and len(line.get("queries") or {}) > 1:
+        _trim_queries()
+        out = json.dumps(line)
+    return out
+
+
 def main():
     from pyspark.sql import functions as F
 
@@ -1545,82 +1684,24 @@ def main():
         "sf10_lane": sf10_lane,
         "core_lane": core_lane,
     }
+    # VERDICT r13 #2: foreign (driver/smoke) runs kept overwriting the
+    # committed bench_detail.json in the working tree. Default runs now
+    # write the gitignored *.latest.json; the committed artifact is only
+    # touched when the builder opts in with SPARK_GRAFT_COMMIT_DETAIL=1.
+    detail_name = (
+        "bench_detail.json"
+        if os.environ.get("SPARK_GRAFT_COMMIT_DETAIL") == "1"
+        else "bench_detail.latest.json"
+    )
     try:
         with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"),
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name),
             "w",
         ) as fh:
             json.dump(detail, fh, indent=1)
     except OSError:
         pass
-    line = {
-        "metric": "suite_seconds",
-        "value": total,
-        "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in timings.items()},
-        "cold_value": cold_total,
-        "canary": canary_seconds,
-        "load_factor": load_factor,
-        "sf": sf_val,
-    }
-    # stdout must stay under the driver's 2000-char tail budget (the r10
-    # sf10 lane pushed the full payload past it): lane values round to
-    # 2dp, the row-count fields and x_vs_* ratios live only in
-    # bench_detail.json (ratios are recomputable from the sf1 map here).
-    # lane canaries: only the derived load factor prints (the raw
-    # start/end samples + spread live in bench_detail.json)
-    def _lane_line_keep(k):
-        return not k.startswith("canary_") or k == "canary_load_factor"
-
-    if sf1_lane:
-        line["sf1"] = {
-            k: (round(v, 2) if isinstance(v, float) else v)
-            for k, v in sf1_lane.items()
-            if k not in ("rows", "events_rows") and _lane_line_keep(k)
-        }
-    if sf10_lane:
-        line["sf10"] = {
-            k: (round(v, 2) if isinstance(v, float) else v)
-            for k, v in sf10_lane.items()
-            if "_x_vs_" not in k
-            and k not in ("rows", "embedding_rows")
-            and _lane_line_keep(k)
-        }
-    if core_lane:
-        line["core"] = {
-            label: {
-                k: (round(v, 1) if isinstance(v, float) else v)
-                for k, v in d.items()
-                if "_x_vs_" not in k and k != "lineitem_rows" and _lane_line_keep(k)
-            }
-            if isinstance(d, dict)
-            else d
-            for label, d in core_lane.items()
-        }
-    if flagged:
-        line["bench_regressions"] = flagged
-    out = json.dumps(line)
-    if len(out) > 1900 and flagged:
-        # last-resort trims: everything cut here is fully recorded in
-        # bench_detail.json
-        line["bench_regressions"] = dict(list(flagged.items())[:2])
-        out = json.dumps(line)
-    if len(out) > 1900 and "sf1" in line:
-        # graduated, not a full pop (r13): the lane's machine-state
-        # reading must stay visible in the driver's series even when the
-        # per-op map can't fit — the full lane is in bench_detail.json
-        keep = {
-            k: v
-            for k, v in line["sf1"].items()
-            if k in ("minhash_dedup", "bpe_train_tokenize", "tag_documents_fused",
-                     "canary_load_factor")
-        }
-        line["sf1"] = keep
-        out = json.dumps(line)
-    if len(out) > 1900 and "sf1" in line:
-        line.pop("sf1")
-        out = json.dumps(line)
-    print(out)
+    print(build_summary_line(detail, flagged))
     spark.stop()
 
 

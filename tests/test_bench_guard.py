@@ -131,3 +131,111 @@ def test_bracket_canary_mid_sample():
     # a burst visible ONLY at the mid sample still widens the spread
     lo, spread = b.bracket_canary(0.42, 0.42, 1.3)
     assert lo == 0.42 and spread == round(1.3 / 0.42, 3)
+
+
+def _maximal_detail():
+    """Worst-case bench_detail shape: every lane populated with MORE keys
+    than r13 shipped, 5 flagged regressions with long names, 50 queries."""
+    queries = {f"very_long_query_name_{i:02d}_documents": 1.234 + i for i in range(50)}
+    sf1 = {f"lane_op_{i:02d}": 12.345 for i in range(20)}
+    sf1.update(
+        minhash_dedup=123.456, bpe_train_tokenize=99.9,
+        tag_documents_fused=88.8, canary_start=0.4, canary_end=0.41,
+        canary_spread=1.02, canary_load_factor=1.001, rows=60_000_000,
+        events_rows=12_000_000,
+    )
+    sf10 = dict(sf1)
+    sf10.update(
+        dedup_clusters=66.6, incremental_dedup_indexed=5.3,
+        delta_check_fp_colocated=7.7, delta_fp_store_write=22.2,
+        pq_train_search=9.3, embedding_rows=6_000_000,
+        shingle_layout_attached=True, minhash_layout_autodetected=True,
+        dedup_index_attached=True,
+    )
+    sf10.update({f"{k}_x_vs_sf1": 9.87 for k in list(sf10)[:10]})
+    core_decade = {f"core_op_{i}": 11.1 for i in range(10)}
+    core_decade.update(
+        mixed_core_suite=15.2, fk_orphans_join=11.3,
+        scan_warmup_seconds=0.1, canary_load_factor=1.0,
+        lineitem_rows=240_000_000, canary_start=0.4, canary_end=0.4,
+    )
+    return {
+        "metric": "suite_seconds",
+        "value": 50.505,
+        "cold_value": 66.666,
+        "sf": 0.1,
+        "queries": queries,
+        "canary": {"seconds": 0.412, "load_factor": 1.013},
+        "bench_regressions": {f"regressed_query_name_{i}": 1.6 + i for i in range(8)},
+        "sf1_lane": sf1,
+        "sf10_lane": sf10,
+        "core_lane": {"sf1": dict(core_decade), "sf10": dict(core_decade)},
+    }
+
+
+def test_summary_line_hard_budget():
+    """VERDICT r13 #1: the stdout line must be provably <= budget for any
+    input shape — r13's line hit 2105 chars after the old ad-hoc trims
+    and the driver recorded parsed=null."""
+    import json
+
+    b = _bench()
+    out = b.build_summary_line(_maximal_detail())
+    assert len(out) <= b.SUMMARY_LINE_BUDGET, len(out)
+    parsed = json.loads(out)  # the driver must be able to parse it
+    assert parsed["metric"] == "suite_seconds"
+    assert parsed["value"] == 50.505
+    assert parsed["queries"]  # per-query numbers survive every trim tier
+
+
+def test_summary_line_keeps_lanes_when_small():
+    import json
+
+    b = _bench()
+    detail = _maximal_detail()
+    detail["queries"] = {"q1": 1.0, "q2": 2.0}
+    detail["sf1_lane"] = {"minhash_dedup": 1.0, "canary_load_factor": 1.0}
+    detail["sf10_lane"] = {"minhash_dedup": 10.0, "canary_load_factor": 1.0}
+    detail["core_lane"] = {"sf10": {"mixed_core_suite": 15.2}}
+    detail["bench_regressions"] = {}
+    out = b.build_summary_line(detail)
+    parsed = json.loads(out)
+    # under budget nothing is trimmed: all lanes print in full
+    assert parsed["sf1"] == {"minhash_dedup": 1.0, "canary_load_factor": 1.0}
+    assert parsed["sf10"]["minhash_dedup"] == 10.0
+    assert parsed["core"]["sf10"]["mixed_core_suite"] == 15.2
+    assert "queries_truncated" not in parsed
+
+
+def test_summary_line_r13_regression_case():
+    """The exact failure: rebuild the line from the committed r13-shaped
+    detail and assert it now fits (it measured 2105 chars before)."""
+    import json
+    import os
+
+    b = _bench()
+    path = os.path.join(os.path.dirname(__file__), "..", "bench_detail.json")
+    with open(path) as fh:
+        detail = json.load(fh)
+    out = b.build_summary_line(detail)
+    assert len(out) <= b.SUMMARY_LINE_BUDGET, len(out)
+    assert json.loads(out)["queries"]
+
+
+def test_summary_line_query_map_floor():
+    """Even a pathological query map (200 long-named entries) terminates
+    under budget via the halving floor, flagged as truncated."""
+    import json
+
+    b = _bench()
+    detail = _maximal_detail()
+    detail["queries"] = {
+        f"pathologically_long_query_name_number_{i:03d}_documents_embeddings": float(i)
+        for i in range(200)
+    }
+    out = b.build_summary_line(detail)
+    assert len(out) <= b.SUMMARY_LINE_BUDGET
+    parsed = json.loads(out)
+    assert parsed.get("queries_truncated") is True
+    # the slowest queries are the ones kept
+    assert all(v >= 100 for v in parsed["queries"].values())
