@@ -256,6 +256,42 @@ class TestAutoShingleLayout:
         assert find_shingle_layout(bare_docs, shingle_n=5) is None
         assert find_shingle_layout(bare_docs, text_col="lang") is None
 
+    def test_in_place_rewrite_never_matches(self, spark, tmp_path_factory):
+        """ADVICE r13 (medium): files rewritten IN PLACE under the same
+        names must change the source fingerprint — path-only identity
+        would silently serve a layout of the OLD corpus."""
+        import pandas as pd
+
+        from truthound_spark.pipeline.dedup import _source_fingerprint
+
+        d = tmp_path_factory.mktemp("rewrite_corpus")
+        f = str(d / "data.parquet")  # fixed name, as fixed-name writers do
+        pd.DataFrame({"doc_id": [1, 2], "text": ["old corpus", "rows"]}).to_parquet(f)
+        fp_old = _source_fingerprint(spark.read.parquet(str(d)))
+        fp_old_again = _source_fingerprint(spark.read.parquet(str(d)))
+        assert fp_old is not None and fp_old == fp_old_again  # deterministic
+        # same path, new content (length and mtime both move)
+        pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["entirely new corpus contents", "x"]}
+        ).to_parquet(f)
+        spark.catalog.clearCache()
+        fp_new = _source_fingerprint(spark.read.parquet(str(d)))
+        assert fp_new is not None and fp_new != fp_old
+
+    def test_paths_only_fallback_is_tagged(self, spark, sf_dir, monkeypatch):
+        """A probe that cannot list statuses degrades to the path-only
+        digest under a distinct 'paths-only:' tag — it can never equal
+        (and thus never silently match) a status-tagged fingerprint."""
+        import truthound_spark.pipeline.dedup as dd
+
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        fp_full = dd._source_fingerprint(df)
+        monkeypatch.setattr(dd, "_file_statuses", lambda s, f: None)
+        fp_fallback = dd._source_fingerprint(df)
+        assert fp_fallback.startswith("paths-only:")
+        assert fp_full is not None and not fp_full.startswith("paths-only:")
+        assert fp_fallback != fp_full
+
     def test_dedup_clusters_passthrough(self, bare_docs, auto_table):
         from truthound_spark.pipeline.dedup import dedup_clusters
 

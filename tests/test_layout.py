@@ -247,6 +247,70 @@ class TestAttachLayout:
         for t in got:
             assert spark.table(t).count() == orders.count()
 
+    def test_attach_same_location_is_idempotent(self, spark, written):
+        from truthound_spark.layout import attach_layout
+
+        _, tbl_loc = written
+        a = attach_layout(spark, tbl_loc, table="t_attach_idem")
+        b = attach_layout(spark, tbl_loc, table="t_attach_idem")
+        assert a == b
+
+    def test_attach_name_collision_raises(self, spark, orders, tmp_path_factory):
+        """ADVICE r13: the same name attached from TWO different
+        directories must raise, not silently serve the first directory's
+        data under the second attach."""
+        from truthound_spark.layout import attach_layout, write_bucketed
+
+        loc_a = str(tmp_path_factory.mktemp("collide_a"))
+        loc_b = str(tmp_path_factory.mktemp("collide_b"))
+        fq_a = write_bucketed(
+            orders.limit(50), "t_collide_src_a", "o_orderkey", buckets=2,
+            location=loc_a, database="truthound_collide",
+        )
+        write_bucketed(
+            orders.limit(120), "t_collide_src_b", "o_orderkey", buckets=2,
+            location=loc_b, database="truthound_collide",
+        )
+        from truthound_spark.layout import _table_location
+
+        attach_layout(
+            spark, _table_location(spark, fq_a), table="t_collided",
+            database="truthound_collide",
+        )
+        with pytest.raises(ValueError, match="already exists at"):
+            attach_layout(
+                spark,
+                _table_location(spark, "truthound_collide.t_collide_src_b"),
+                table="t_collided",
+                database="truthound_collide",
+            )
+
+    def test_backslash_property_round_trips(self, spark, orders, tmp_path_factory):
+        """ADVICE r13: a backslash in a TBLPROPERTY value (JSON-escaped
+        char, windows path) must survive the SQL literal and come back
+        byte-identical from SHOW TBLPROPERTIES — and survive re-attach."""
+        from truthound_spark.layout import _table_location, attach_layout
+
+        raw = 'c:\\data\\corpus and {"esc": "a\\tb"} and a lone \\'
+        loc = str(tmp_path_factory.mktemp("bslash"))
+        fq = write_bucketed(
+            orders.limit(10), "t_bslash", "o_orderkey", buckets=2,
+            location=loc, database="truthound_bslash",
+            properties={"truthound.test.path": raw},
+        )
+        got = spark.sql(
+            f"SHOW TBLPROPERTIES {fq} ('truthound.test.path')"
+        ).collect()[0]["value"]
+        assert got == raw
+        att = attach_layout(
+            spark, _table_location(spark, fq), table="t_bslash_again",
+            database="truthound_bslash",
+        )
+        got2 = spark.sql(
+            f"SHOW TBLPROPERTIES {att} ('truthound.test.path')"
+        ).collect()[0]["value"]
+        assert got2 == raw
+
     def test_fp_store_meta_survives_attach(self, spark, orders, tmp_path_factory):
         # the point of the sidecar: a fingerprint store re-attached in a
         # "new session" still enforces its column/bucketing contract

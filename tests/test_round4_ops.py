@@ -635,6 +635,29 @@ def test_ngram_novelty_separates_copies_from_originals(spark):
     assert got[4]["n_grams"] == 1 and got[4]["novelty"] == 1.0
 
 
+def test_ngram_novelty_plan_has_no_window(spark):
+    """ADVICE r13: the gram-frequency path must be a groupBy (map-side
+    partial agg; a hot stop-word gram collapses to one partial row per
+    task), never a count window over partitionBy(gram) — window
+    exchanges get no AQE skew splitting, so one corpus-common trigram
+    serialized the stage."""
+    from truthound_spark.pipeline.text import ngram_novelty
+
+    df = spark.createDataFrame(
+        [(i, f"some text body {i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = ngram_novelty(df, n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # and the single tokenize pass is persisted, not re-evaluated
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    from truthound_spark.pipeline.dedup import release_dedup_caches
+
+    out.collect()
+    assert release_dedup_caches() >= 1
+
+
 def test_bigram_perplexity_orders_gibberish_above_fluent(spark):
     from truthound_spark.pipeline.text import bigram_perplexity
 

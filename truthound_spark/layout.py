@@ -238,9 +238,10 @@ def write_bucketed(
     spark = df.sparkSession
     props = {str(k): str(v) for k, v in (properties or {}).items()}
     for k, v in props.items():
-        kq = k.replace("'", "''")
-        vq = v.replace("'", "''")
-        spark.sql(f"ALTER TABLE {fq} SET TBLPROPERTIES ('{kq}' = '{vq}')")
+        spark.sql(
+            f"ALTER TABLE {fq} SET TBLPROPERTIES "
+            f"('{_sql_str(k)}' = '{_sql_str(v)}')"
+        )
     # durable sidecar: bucket spec + schema + properties, in the table dir
     tbl_loc = _table_location(spark, fq)
     if tbl_loc:
@@ -264,6 +265,29 @@ def write_bucketed(
         except Exception:  # pragma: no cover - sidecar is best-effort
             pass
     return fq
+
+
+def _sql_str(s) -> str:
+    """Escape a value for interpolation into a single-quoted SQL string
+    literal. Backslashes must be doubled as well as quotes (ADVICE r13):
+    with the default ``spark.sql.parser.escapedStringLiterals=false`` the
+    parser interprets ``\\n``/``\\t``/``\\\\`` inside literals, so a raw
+    backslash in a property value (JSON-escaped char, windows path) would
+    not round-trip back out of SHOW TBLPROPERTIES."""
+    return str(s).replace("\\", "\\\\").replace("'", "''")
+
+
+def _norm_location(loc: str | None) -> str | None:
+    """Comparable form of a storage location: URI path component (scheme
+    spellings differ — ``file:/x`` vs ``file:///x`` vs ``/x``), trailing
+    slashes stripped."""
+    if loc is None:
+        return None
+    from urllib.parse import urlparse
+
+    parsed = urlparse(str(loc))
+    path = parsed.path if parsed.scheme else str(loc)
+    return path.rstrip("/") or "/"
 
 
 def _table_location(spark: SparkSession, fq: str) -> str | None:
@@ -301,7 +325,11 @@ def attach_layout(
 
     ``table`` overrides the recorded name (attach the same files under a
     second name); returns the fully-qualified table name. A table that
-    already exists under that name is returned as-is."""
+    already exists under that name is returned as-is ONLY if it points at
+    the requested location with the sidecar's bucket spec — a name
+    collision (same name previously attached from a DIFFERENT directory,
+    or a leftover session table) raises instead of silently serving
+    different data under the attached name (ADVICE r13)."""
     import json as _json
 
     spec = _json.loads(
@@ -313,20 +341,61 @@ def attach_layout(
     db = ensure_layout_database(spark, database)
     fq = f"{db}.{name}"
     if spark.catalog.tableExists(fq):
+        existing_loc = _norm_location(_table_location(spark, fq))
+        if existing_loc != _norm_location(location):
+            raise ValueError(
+                f"attach_layout: table {fq!r} already exists at "
+                f"{existing_loc!r}, not at the requested location "
+                f"{_norm_location(location)!r} — returning it would serve "
+                "different data under the attached name; drop it or attach "
+                "under another name (table=)"
+            )
+        existing_spec = _bucket_spec(spark, fq)
+        want = (int(spec["buckets"]), [str(k) for k in spec["keys"]])
+        if existing_spec is not None and existing_spec != want:
+            raise ValueError(
+                f"attach_layout: table {fq!r} at the requested location has "
+                f"bucket spec {existing_spec!r} but the sidecar records "
+                f"{want!r} — the catalog entry predates a re-layout; drop "
+                "and re-attach"
+            )
         return fq
     keys = ", ".join(f"`{k}`" for k in spec["keys"])
     sorted_by = f" SORTED BY ({keys})" if spec.get("sort") else ""
-    loc_sql = location.replace("'", "''")
     spark.sql(
         f"CREATE TABLE {fq} ({spec['schema_ddl']}) USING parquet "
         f"CLUSTERED BY ({keys}){sorted_by} INTO {int(spec['buckets'])} BUCKETS "
-        f"LOCATION '{loc_sql}'"
+        f"LOCATION '{_sql_str(location)}'"
     )
     for k, v in (spec.get("properties") or {}).items():
-        kq = str(k).replace("'", "''")
-        vq = str(v).replace("'", "''")
-        spark.sql(f"ALTER TABLE {fq} SET TBLPROPERTIES ('{kq}' = '{vq}')")
+        spark.sql(
+            f"ALTER TABLE {fq} SET TBLPROPERTIES "
+            f"('{_sql_str(k)}' = '{_sql_str(v)}')"
+        )
     return fq
+
+
+def _bucket_spec(spark: SparkSession, fq: str) -> tuple[int, list[str]] | None:
+    """(num_buckets, bucket_columns) from DESCRIBE EXTENDED, or None when
+    the table is unbucketed or the rows are absent."""
+    try:
+        buckets = None
+        cols: list[str] | None = None
+        for row in spark.sql(f"DESCRIBE TABLE EXTENDED {fq}").collect():
+            label = str(row[0]).strip().lower()
+            if label == "num buckets":
+                buckets = int(str(row[1]).strip())
+            elif label == "bucket columns":
+                cols = [
+                    c.strip().strip("`")
+                    for c in str(row[1]).strip().strip("[]").split(",")
+                    if c.strip()
+                ]
+        if buckets is None or cols is None:
+            return None
+        return buckets, cols
+    except Exception:
+        return None
 
 
 def attach_layout_database(

@@ -611,13 +611,25 @@ def write_shingle_layout(
 
 
 def _source_fingerprint(df: DataFrame) -> str | None:
-    """Identity of a BARE corpus scan: md5 over the sorted file list.
+    """Identity of a BARE corpus scan: md5 over the sorted file list,
+    each entry tagged with the file's LENGTH and MODIFICATION TIME.
 
     None for anything that is not scan-only (filters, projections,
     limits, joins — any transformation means the frame's row/content set
     is not the files', so a stored per-document layout must not be
     matched to it). The scan-only test walks the ANALYZED plan: every
-    line must be a Relation or SubqueryAlias node."""
+    line must be a Relation or SubqueryAlias node.
+
+    Length+mtime are part of the identity (ADVICE r13): a corpus whose
+    files were REWRITTEN IN PLACE under the same names (fixed-name
+    writers, same-path overwrite by non-Spark tools) must not match a
+    layout stored for the old content. Statuses come from one Hadoop
+    ``listStatus`` per distinct parent directory (driver-side metadata,
+    one LIST per dataset dir even on object stores — never per-file HEAD
+    calls in the common layout). If status listing fails the fallback is
+    the historical path-only digest, tagged ``paths-only:`` — it can
+    only ever match a layout that was ITSELF stored without statuses, so
+    a degraded probe can never silently match a status-tagged layout."""
     import hashlib
 
     try:
@@ -638,7 +650,55 @@ def _source_fingerprint(df: DataFrame) -> str | None:
         return None
     if not files:
         return None
-    return hashlib.md5("\n".join(files).encode()).hexdigest()
+    statuses = _file_statuses(df.sparkSession, files)
+    if statuses is None:
+        digest = hashlib.md5("\n".join(files).encode()).hexdigest()
+        return f"paths-only:{digest}"
+    lines = [f"{p}\t{length}\t{mtime}" for p, length, mtime in statuses]
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+def _file_statuses(spark, files: list[str]) -> list[tuple[str, int, int]] | None:
+    """(path, length, modificationTime) for each file, in input order.
+
+    One ``FileSystem.listStatus`` per distinct PARENT directory (a
+    parquet dataset is typically one directory, so one metadata RPC
+    covers the whole corpus); stragglers not covered by their parent's
+    listing (e.g. pattern reads) fall back to per-path getFileStatus.
+    None when the filesystem can't be consulted at all."""
+    try:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        # key on the URI *path component*: inputFiles() ("file:///x/y")
+        # and FileStatus.getPath() ("file:/x/y") render the same file
+        # with different scheme spellings
+        by_path: dict[str, tuple[int, int]] = {}
+        # full URI string for the LISTING (keeps the scheme — a
+        # scheme-less parent would resolve against the default fs),
+        # path-component string for the KEY
+        parents: set[str] = set()
+        for p in files:
+            jpath = jvm.org.apache.hadoop.fs.Path(p)
+            parents.add(str(jpath.getParent()))
+        for parent in sorted(parents):
+            jparent = jvm.org.apache.hadoop.fs.Path(parent)
+            fs = jparent.getFileSystem(hconf)
+            for st in fs.listStatus(jparent):
+                by_path[str(st.getPath().toUri().getPath())] = (
+                    st.getLen(),
+                    st.getModificationTime(),
+                )
+        out = []
+        for p in files:
+            jpath = jvm.org.apache.hadoop.fs.Path(p)
+            hit = by_path.get(str(jpath.toUri().getPath()))
+            if hit is None:
+                st = jpath.getFileSystem(hconf).getFileStatus(jpath)
+                hit = (st.getLen(), st.getModificationTime())
+            out.append((p, hit[0], hit[1]))
+        return out
+    except Exception:
+        return None
 
 
 def find_shingle_layout(

@@ -85,16 +85,17 @@ def real_image_decoder(payload: bytes) -> dict[str, Any]:
         ) from exc
     import io
 
+    from PIL import ImageStat  # noqa: PLC0415
+
     img = Image.open(io.BytesIO(payload))
     img.load()
     bands = img.getbands()
     # per-band mean intensity, normalized to [0,1]; cycle/pad to the
-    # 8-slot feature contract shared with fake_image_decoder
-    stats = []
-    for i, _ in enumerate(bands):
-        hist_band = img.getdata(band=i)
-        vals = list(hist_band)
-        stats.append((sum(vals) / max(len(vals), 1)) / 255.0)
+    # 8-slot feature contract shared with fake_image_decoder.
+    # ImageStat runs in PIL's C layer off the band histograms — never
+    # materialize W*H Python ints per band (ADVICE r13: the pure-Python
+    # list(getdata) loop dominated decode cost at scale)
+    stats = [m / 255.0 for m in ImageStat.Stat(img).mean]
     features = [stats[i % len(stats)] if stats else 0.0 for i in range(8)]
     return {
         "width": img.width,

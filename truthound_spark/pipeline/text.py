@@ -1023,32 +1023,41 @@ def ngram_novelty(
     detection (a doc can evade pairwise Jaccard while still being built
     entirely from corpus-common n-grams).
 
-    Plan: ONE shingling pass — per-gram document frequency comes from a
-    count window over the exploded grams (partitionBy gram), not a
-    groupBy+join back, so the tokenize/shingle pipeline is evaluated
-    once instead of twice and one gram-keyed shuffle drops out (r13 HOF/
-    reuse sweep; the window's sort rides the same exchange). Shuffle
-    keys are n-gram strings, payloads counts. Returns (id, n_grams,
+    Plan: ONE shingling pass — the shingle ARRAYS are persisted (tracked;
+    ``dedup.release_dedup_caches()`` frees them) so the tokenize
+    pipeline is evaluated once, then two skew-immune aggregates read the
+    arrays back. The r13 window form (count over partitionBy gram) kept
+    the single pass but dropped map-side partial aggregation and forced
+    every occurrence of a hot gram into ONE window task — and AQE skew
+    splitting does not apply to window exchanges, so a corpus-common
+    stop-word trigram (exactly this operator's target data) serialized
+    the stage (ADVICE r13). Here instead: (a) per-doc totals are an
+    id-keyed groupBy; (b) per-gram frequency is a gram-keyed groupBy
+    with partial agg — a hot gram collapses to one partial row per task
+    — and because a ``df == 1`` gram's single occurrence also pins its
+    owning document, ``min(id)`` of the group replaces the old
+    gram-keyed join-back entirely. The only join left is id-keyed
+    between two doc-counted aggregates. Returns (id, n_grams,
     novel_grams, novelty ∈ [0,1]; docs too short for any n-gram report
     0 grams and novelty 0.0)."""
-    from pyspark.sql import Window
+    from truthound_spark.pipeline.dedup import _persist_tracked, _shingle_arrays
 
-    from truthound_spark.pipeline.dedup import _shingle_arrays
-
-    sh = _shingle_arrays(df, text_col, id_col, n)
+    sh = _persist_tracked(_shingle_arrays(df, text_col, id_col, n))
     inv = (
         sh.select("id", F.explode_outer("sh").alias("g"))
         .filter(F.col("g").isNotNull() & (F.col("g") != ""))
     )
-    wg = Window.partitionBy("g")
-    per_doc = (
-        inv.withColumn("df", F.count(F.lit(1)).over(wg))
-        .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.sum((F.col("df") == 1).cast("long")).alias("novel_grams"),
-        )
+    n_per_doc = inv.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
     )
+    novel_per_doc = (
+        inv.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("id").alias("id"))
+        .filter(F.col("df") == 1)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("novel_grams"))
+    )
+    per_doc = n_per_doc.join(novel_per_doc, "id", "left")
     ids = df.select(F.col(id_col).cast("long").alias("id"))
     return ids.join(per_doc, "id", "left").select(
         "id",
