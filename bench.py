@@ -73,6 +73,23 @@ def bench_one(name, fn, timings, cold_timings):
         warm = apply_spread_guard(warm)
     WARM_SAMPLES[name] = [round(x, 4) for x in warm]
     timings[name] = round(sorted(warm)[1], 4)
+    # VERDICT r13 #3: dedup-family entries leave tracked
+    # MEMORY_AND_DISK blocks behind; across ~40 entries those
+    # accumulate and plausibly feed the page-cache pollution the lane
+    # canaries attributed (SCALING.md core-decade swings). Release
+    # after EVERY entry — a no-op (returns 0) for non-dedup entries,
+    # and each entry is self-contained so nothing downstream reuses a
+    # prior entry's cache.
+    _release_caches()
+
+
+def _release_caches():
+    try:
+        from truthound_spark.pipeline.dedup import release_dedup_caches
+
+        release_dedup_caches()
+    except Exception:
+        pass
 
 
 WARM_SAMPLES: dict[str, list[float]] = {}
@@ -344,8 +361,8 @@ _SF10_HEADLINE = (
     "pq_train_search", "canary_load_factor",
 )
 _CORE_HEADLINE = (
-    "mixed_core_suite", "fk_orphans_join", "scan_warmup_seconds",
-    "canary_load_factor",
+    "mixed_core_suite", "fk_orphans_join", "delta_check_fp_colocated",
+    "scan_warmup_seconds", "canary_load_factor",
 )
 
 
@@ -386,7 +403,7 @@ def build_summary_line(detail, flagged=None, budget=SUMMARY_LINE_BUDGET):
     # only in bench_detail.json; only the derived load factor prints.
     def _lane_keep(k):
         if "_x_vs_" in k or k in ("rows", "events_rows", "embedding_rows",
-                                  "lineitem_rows"):
+                                  "lineitem_rows", "delta_rows"):
             return False
         return not k.startswith("canary_") or k == "canary_load_factor"
 
@@ -1218,6 +1235,7 @@ def main():
             t0 = time.time()
             fn()
             sf1_lane[nm] = round(time.time() - t0, 3)
+            _release_caches()
         sf1_fitted_detect()  # times only detect(); fit is outside
         lane_canary_sample(spark, sf1_lane, "end")
         finish_lane_canary(sf1_lane, best_canary)
@@ -1404,6 +1422,7 @@ def main():
             t0 = time.time()
             fn()
             sf10_lane[nm] = round(time.time() - t0, 3)
+            _release_caches()
             if sf1_lane.get(nm):
                 sf10_lane[f"{nm}_x_vs_sf1"] = round(
                     sf10_lane[nm] / sf1_lane[nm], 2
@@ -1461,6 +1480,7 @@ def main():
             t0 = time.time()
             incremental_dedup_indexed(delta100, idx100, threshold=0.7).count()
             sf10_lane["incremental_dedup_indexed"] = round(time.time() - t0, 3)
+            _release_caches()
             if timings.get("incremental_dedup_indexed"):
                 sf10_lane["incremental_dedup_indexed_x_vs_sf01"] = round(
                     sf10_lane["incremental_dedup_indexed"]
@@ -1519,7 +1539,12 @@ def main():
                 out[name] = spark.read.parquet(path)
             return out
 
-        core_budget = float(os.environ.get("SPARK_GRAFT_CORE_BUDGET", "900"))
+        # 900 → 1200 (r14): the delta-crossover row's one-time layout
+        # writes measured ~240 s at the 60M decade (SCALING.md r13);
+        # on a cold machine the old budget would skip the row on its
+        # debut run. Warm machines attach instead (~0.3 s) and never
+        # approach either bound.
+        core_budget = float(os.environ.get("SPARK_GRAFT_CORE_BUDGET", "1200"))
         core_t0 = time.time()
         for label, mult in (("sf1", 10), ("sf10", 100)):
             if time.time() - core_t0 > core_budget:
@@ -1591,6 +1616,79 @@ def main():
                 decade[nm] = round(time.time() - t0, 3)
                 if timings.get(nm):
                     decade[f"{nm}_x_vs_sf01"] = round(decade[nm] / timings[nm], 2)
+            # delta-validation crossover at the decade scale (VERDICT r13
+            # #4): the r13 headline scale win (60M rows: 29.8 → 7.7 s via
+            # keys-bucketed store + key-bucketed snapshot, beating the
+            # 10.1 s expensive-audit bar) lived only in SCALING.md prose
+            # and benchmarks/delta_fpstore_bench.py — recorded here so the
+            # driver's series can see it. Attach-first: the store and the
+            # bucketed "new" snapshot are pure functions of the
+            # deterministic decade tables, written once per machine; the
+            # one-time write cost is recorded alongside, like
+            # dedup_index_write.
+            if time.time() - core_t0 <= core_budget:
+                from truthound_spark.delta import (
+                    delta_check,
+                    write_fingerprints_table,
+                )
+                from truthound_spark.layout import (
+                    attach_layout_database,
+                    write_bucketed,
+                )
+
+                dkeys = ["l_orderkey", "l_linenumber"]
+                # 0.1% of rows modified — the delta the check must find
+                dnew = li.withColumn(
+                    "l_quantity",
+                    F.when(
+                        F.xxhash64(*dkeys) % 1000 == 0,
+                        F.col("l_quantity") + 1000,
+                    ).otherwise(F.col("l_quantity")),
+                )
+                sf_tag = os.path.basename(SF_DIR).replace(".", "_")
+                ddb = f"truthound_fp_decade_{label}"
+                dloc = os.path.join(
+                    tempfile.gettempdir(),
+                    f"spark_graft_fp_decade_{sf_tag}_{label}",
+                )
+                fp_name = f"fp_{sf_tag}_{label}_keys"
+                new_name = f"lineitem_new_{sf_tag}_{label}"
+                t0 = time.time()
+                attached = False
+                try:
+                    names = {
+                        t.split(".")[-1]
+                        for t in attach_layout_database(
+                            spark, dloc, database=ddb
+                        )
+                    }
+                    attached = {fp_name, new_name} <= names
+                except Exception:
+                    attached = False
+                if not attached:
+                    write_fingerprints_table(
+                        li, fp_name, dkeys, database=ddb, location=dloc,
+                        bucket_by="keys",
+                    )
+                    write_bucketed(
+                        dnew, new_name, dkeys, database=ddb, location=dloc
+                    )
+                decade["delta_fp_attached"] = attached
+                decade["delta_fp_store_write"] = round(time.time() - t0, 3)
+                cheap = [
+                    NullValidator(columns=["l_quantity", "l_extendedprice"]),
+                    RangeValidator("l_discount", 0.0, 0.1),
+                ]
+                new_tbl = spark.table(f"{ddb}.{new_name}")
+                t0 = time.time()
+                _, dstats = delta_check(
+                    None, new_tbl, dkeys, cheap,
+                    old_fingerprints=f"{ddb}.{fp_name}",
+                )
+                decade["delta_check_fp_colocated"] = round(time.time() - t0, 3)
+                decade["delta_rows"] = dstats["row_count"]
+            else:
+                decade["delta_check_fp_colocated_skipped_budget"] = True
             lane_canary_sample(spark, decade, "end")
             finish_lane_canary(decade, best_canary)
             core_lane[label] = decade
