@@ -30,6 +30,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import (  # noqa: E402
     SF_DIR,
     apply_spread_guard,
+    best_recorded_canary,
+    canary_fn,
     make_spark,
     spread_guard_triggers,
 )
@@ -145,6 +147,21 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     fns, preceding = entry_fns(spark)
     out = {"sf_dir": SF_DIR, "mid_suite": mid_suite}
+    # same CPU canary as the bench: readings are only comparable across
+    # runs/trees after dividing by the machine's capability at run time.
+    # Bracketed like the bench (min of several samples — a single
+    # early-session sample is JIT/GC-inflated: the r14 probe's first
+    # attempt read 0.80 where the bench's min-of-bracket read 0.38).
+    def canary_sample():
+        canary_fn(spark)  # codegen warm-up
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            canary_fn(spark)
+            samples.append(time.time() - t0)
+        return round(min(samples), 3)
+
+    out["canary_start"] = canary_sample()
     if mid_suite:
         t0 = time.time()
         for fn in preceding:
@@ -155,6 +172,14 @@ def main():
             out[name] = {"err": "unknown entry"}
             continue
         out[name] = measure(fns[name])
+    out["canary_end"] = canary_sample()
+    canary = min(out["canary_start"], out["canary_end"])
+    out["canary"] = canary
+    best = best_recorded_canary(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    if best:
+        out["canary_load_factor"] = round(canary / best, 3)
     print(json.dumps(out))
     spark.stop()
 
