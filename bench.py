@@ -1402,6 +1402,12 @@ def main():
         def sf10_clusters():
             from truthound_spark.pipeline.dedup import dedup_clusters
 
+            # NOTE (VERDICT r13 plan audit): this re-runs the whole pair
+            # stage minhash_dedup just ran — INTENTIONAL. Each lane entry
+            # must be self-contained so its number is attributable to one
+            # op; do not "optimize" this into a cross-entry dependency
+            # (sharing the pair relation would make dedup_clusters'
+            # recorded time depend on whether minhash ran first).
             dedup_clusters(
                 docs100_scan, threshold=0.7, num_hashes=64, bands=32
             ).filter(~F.col("is_canonical")).count()
@@ -1723,6 +1729,27 @@ def main():
                 )
                 decade["delta_check_fp_colocated"] = round(time.time() - t0, 3)
                 decade["delta_rows"] = dstats["row_count"]
+                # the bar the crossover claim is measured against: the
+                # expensive full-snapshot audit (regex + set + range
+                # battery) delta validation must beat to be worth running
+                # — recorded in the SAME run so the row is
+                # self-interpreting (delta wins iff delta < bar)
+                from truthound_spark.validators.distribution import (
+                    InSetValidator,
+                )
+                from truthound_spark.validators.string import RegexValidator
+
+                expensive = [
+                    RegexValidator("l_returnflag", r"^[ARN]$"),
+                    RegexValidator("l_linestatus", r"^[OF]$"),
+                    InSetValidator("l_returnflag", ["A", "R", "N"]),
+                    RangeValidator("l_quantity", 0, 2000),
+                    RangeValidator("l_extendedprice", 0, 1e8),
+                    NullValidator(),
+                ]
+                t0 = time.time()
+                BatchExpressionExecutor(expensive).execute(dnew)
+                decade["audit_bar_expensive"] = round(time.time() - t0, 3)
             else:
                 decade["delta_check_fp_colocated_skipped_budget"] = True
             lane_canary_sample(spark, decade, "end")

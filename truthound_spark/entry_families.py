@@ -424,6 +424,10 @@ POST_PREFIX_ORACLE_SLOTS: list[str] = [
     "minhash_autodetect_documents",
     "delta_check_fp_keys_colocated_orders",
     "attached_layout_fk_orphans",
+    # r14 certification: a REAL audio codec round-trip — stdlib-wave
+    # decode of synthesized constant-amplitude PCM whose per-segment RMS
+    # is closed-form, certified by DuckDB with no audio library.
+    "media_audio_wav_real_decode",
 ]
 
 
