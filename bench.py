@@ -1722,12 +1722,22 @@ def main():
                     RangeValidator("l_discount", 0.0, 0.1),
                 ]
                 new_tbl = spark.table(f"{ddb}.{new_name}")
-                t0 = time.time()
-                _, dstats = delta_check(
-                    None, new_tbl, dkeys, cheap,
-                    old_fingerprints=f"{ddb}.{fp_name}",
-                )
-                decade["delta_check_fp_colocated"] = round(time.time() - t0, 3)
+                # best-of-2 like benchmarks/delta_fpstore_bench.py (the
+                # protocol the crossover claim was measured under): on a
+                # write-fresh machine the single first pass reads the
+                # just-written, uncached 60M store (+30% observed) —
+                # both passes are recorded, the steady-state one is the
+                # headline
+                passes = []
+                for _ in range(2):
+                    t0 = time.time()
+                    _, dstats = delta_check(
+                        None, new_tbl, dkeys, cheap,
+                        old_fingerprints=f"{ddb}.{fp_name}",
+                    )
+                    passes.append(round(time.time() - t0, 3))
+                decade["delta_check_fp_colocated"] = min(passes)
+                decade["delta_check_fp_colocated_first"] = passes[0]
                 decade["delta_rows"] = dstats["row_count"]
                 # the bar the crossover claim is measured against: the
                 # expensive full-snapshot audit (regex + set + range
