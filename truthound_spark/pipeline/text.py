@@ -1043,12 +1043,20 @@ def ngram_novelty(
     from truthound_spark.pipeline.dedup import _persist_tracked, _shingle_arrays
 
     sh = _persist_tracked(_shingle_arrays(df, text_col, id_col, n))
+    # per-doc totals never need the exploded relation: count the kept
+    # grams INSIDE the array (doc-granularity rows, one tiny id-keyed
+    # aggregate) instead of exploding a second corpus-sized relation
+    n_per_doc = (
+        sh.select(
+            "id",
+            F.size(F.filter("sh", lambda x: x != F.lit(""))).alias("__k"),
+        )
+        .groupBy("id")
+        .agg(F.sum("__k").cast("long").alias("n_grams"))
+    )
     inv = (
         sh.select("id", F.explode_outer("sh").alias("g"))
         .filter(F.col("g").isNotNull() & (F.col("g") != ""))
-    )
-    n_per_doc = inv.groupBy("id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams")
     )
     novel_per_doc = (
         inv.groupBy("g")
