@@ -166,6 +166,15 @@ REGRESSION_DISPOSITIONS = {
         "0.025 s minimum is dominated by fixed per-call overhead, not "
         "plan or code state."
     ),
+    "pushdown_null": (
+        "environmental, same class as pushdown_range/pushdown_unique: a "
+        "sub-50ms in-process DuckDB call whose r2..r12 series over "
+        "byte-identical code reads 0.073/0.016/0.014/0.018/0.014/0.019/"
+        "0.020/0.032/0.016 s — a 5x max/min spread from scheduling noise "
+        "alone against a 0.0137 s minimum; any ratio is fixed per-call "
+        "overhead, not plan state (r14: flagged 1.93 in one of three "
+        "same-evening identical-code runs, absent from the other two)."
+    ),
     "pushdown_unique": (
         "environmental: DuckDBSource code byte-identical since r2 "
         "(e484adb); idle-machine re-run 2026-08-15 = 0.065-0.082s total "
@@ -1603,8 +1612,18 @@ def main():
             # high scan_warmup_seconds says the decade started I/O-cold;
             # isolated idle re-runs of the same code read 17-22 s
             # (SCALING.md r13).
+            # the warm-up must READ DATA PAGES to be an I/O-state probe:
+            # a bare parquet count() answers from file footers, so it
+            # read ~0.1 s cache-warm AND cache-cold (r14 finding: three
+            # same-evening runs swung fk_orphans 11.2→17.5 s under flat
+            # canaries while this instrument read 0.1 every time — it
+            # was measuring footer metadata, not the cache). One real
+            # column aggregate scans ~8 bytes/row and shows the state.
             t0 = time.time()
-            n_rows = li.count()
+            warm_row = li.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s")
+            ).collect()[0]
+            n_rows = warm_row["n"]
             decade: dict = {
                 "lineitem_rows": n_rows,
                 "scan_warmup_seconds": round(time.time() - t0, 3),

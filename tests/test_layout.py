@@ -285,6 +285,39 @@ class TestAttachLayout:
                 database="truthound_collide",
             )
 
+    def test_attach_bucket_spec_mismatch_raises(
+        self, spark, orders, tmp_path_factory
+    ):
+        """A catalog entry at the RIGHT location whose bucket spec
+        disagrees with the sidecar (stale entry predating a re-layout)
+        must raise, not silently serve the wrong distribution."""
+        from truthound_spark.layout import (
+            _table_location,
+            attach_layout,
+            write_bucketed,
+        )
+
+        loc = str(tmp_path_factory.mktemp("spec_mismatch"))
+        fq = write_bucketed(
+            orders.limit(30), "t_spec_src", "o_orderkey", buckets=4,
+            location=loc, database="truthound_specmm",
+        )
+        tbl_loc = _table_location(spark, fq)
+        # register a table under the attach name at the SAME location but
+        # with a DIFFERENT bucket count (the stale-catalog shape)
+        loc_sql = tbl_loc.replace("'", "''")
+        spark.sql(
+            "CREATE TABLE truthound_specmm.t_spec_stale "
+            "(o_orderkey BIGINT) USING parquet "
+            "CLUSTERED BY (o_orderkey) INTO 2 BUCKETS "
+            f"LOCATION '{loc_sql}'"
+        )
+        with pytest.raises(ValueError, match="bucket spec"):
+            attach_layout(
+                spark, tbl_loc, table="t_spec_stale",
+                database="truthound_specmm",
+            )
+
     def test_backslash_property_round_trips(self, spark, orders, tmp_path_factory):
         """ADVICE r13: a backslash in a TBLPROPERTY value (JSON-escaped
         char, windows path) must survive the SQL literal and come back
