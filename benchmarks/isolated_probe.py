@@ -108,11 +108,31 @@ def entry_fns(spark):
             documents, threshold=0.7, num_hashes=64, bands=32
         ).count()
 
+    def dedup_clusters_bench():
+        from truthound_spark.pipeline.dedup import dedup_clusters
+
+        dedup_clusters(documents, threshold=0.7, num_hashes=64, bands=32).filter(
+            ~F.col("is_canonical")
+        ).count()
+
+    def semantic_dedup_bench():
+        from truthound_spark.pipeline.dedup import semantic_dedup
+
+        semantic_dedup(embeddings, num_cells=16, threshold=0.4).filter(
+            "NOT keep"
+        ).count()
+
     return (
         {
             "pq_train_search": pq_bench,
             "tumbling_windows_events": tumbling,
             "lof_native_customer": lof_bench,
+            "minhash_dedup_documents": minhash,
+            "dedup_clusters_documents": dedup_clusters_bench,
+            "semantic_dedup_embeddings": semantic_dedup_bench,
+            "self_dedup_spans": self_dedup,
+            "winnow_overlap": winnow,
+            "semantic_decontaminate": semantic_decon,
         },
         [minhash, lof_bench, self_dedup, winnow, semantic_decon],
     )
