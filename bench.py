@@ -335,6 +335,46 @@ def canary_fn(spark):
     )
 
 
+SHUFFLE_CANARY_ROWS = 10_000_000
+
+
+def shuffle_canary_fn(spark):
+    """Bandwidth-shaped twin of :func:`canary_fn` (r14): full-width
+    ``xxhash64`` keys are ~unique, so map-side partial aggregation CANNOT
+    collapse rows — every one of the 10M (key, value) pairs crosses the
+    exchange (~16 B/row + framing ≈ 200-300 MB shuffle write + fetch).
+    The CPU canary proved blind to exactly this cost class: this
+    session's core-sf10 lane measured fk_orphans_join 33.2 s vs the 11-17 s
+    history UNDER A FLAT CPU canary, while the compute-bound
+    audit_bar_expensive sat at parity — ambient memory/disk-bandwidth
+    contention the scalar-aggregate canary never touches. Shuffle-bound
+    swings are attributable only against a canary that shuffles."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(SHUFFLE_CANARY_ROWS).select(
+        F.xxhash64(F.col("id"), F.lit(CANARY_SEED)).alias("k"),
+        (F.col("id") % 997).cast("double").alias("v"),
+    )
+    (
+        df.groupBy("k")
+        .agg(F.sum("v").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("s").alias("t"))
+        .collect()
+    )
+
+
+def shuffle_canary_bracket(spark):
+    """One untimed warm-up (codegen) then MIN of 3 timed passes — the
+    machine's shuffle capability at this moment, not its worst burst."""
+    shuffle_canary_fn(spark)
+    samples = []
+    for _ in range(3):
+        t0 = time.time()
+        shuffle_canary_fn(spark)
+        samples.append(time.time() - t0)
+    return round(min(samples), 4)
+
+
 def best_recorded_canary(repo_dir):
     """MIN canary_seconds across every parsed BENCH_r*.json (None until
     the first canary-carrying round lands)."""
@@ -395,6 +435,14 @@ def lane_canary_sample(spark, lane, tag):
     t0 = time.time()
     canary_fn(spark)
     lane[f"canary_{tag}"] = round(time.time() - t0, 4)
+    # r14: one shuffle-canary sample alongside (shuffle-bound lane
+    # entries — fk_orphans, minhash, dedup_clusters — swing with
+    # memory/disk bandwidth the CPU canary cannot see; the key prefix
+    # "canary_shuffle_" keeps it out of the stdout lane summary AND out
+    # of the CPU-canary spread/load-factor math below).
+    t0 = time.time()
+    shuffle_canary_fn(spark)
+    lane[f"canary_shuffle_{tag}"] = round(time.time() - t0, 4)
 
 
 def finish_lane_canary(lane, best_canary):
@@ -408,7 +456,9 @@ def finish_lane_canary(lane, best_canary):
     samples = [
         v
         for k, v in lane.items()
-        if k.startswith("canary_") and isinstance(v, (int, float))
+        if k.startswith("canary_")
+        and not k.startswith("canary_shuffle_")
+        and isinstance(v, (int, float))
     ]
     if not samples:
         return
@@ -469,6 +519,9 @@ def build_summary_line(detail, flagged=None, budget=SUMMARY_LINE_BUDGET):
         "cold_value": detail.get("cold_value"),
         "canary": canary.get("seconds"),
         "load_factor": canary.get("load_factor"),
+        # r14: the shuffle-bandwidth twin rides the parsed line so the
+        # driver's cross-round series can normalize shuffle-bound swings
+        "shuffle_canary": (detail.get("shuffle_canary") or {}).get("seconds"),
         "sf": detail.get("sf"),
     }
 
@@ -617,6 +670,7 @@ def main():
     canary_cold: dict[str, float] = {}
     bench_one("canary", lambda: canary_fn(spark), canary_timings, canary_cold)
     canary_seconds = canary_timings["canary"]
+    shuffle_canary_start = shuffle_canary_bracket(spark)
 
     # --- BASELINE.md workload shapes -----------------------------------
     # local-null: not_null over every lineitem column (fused single agg)
@@ -1123,6 +1177,7 @@ def main():
     canary_end_t: dict[str, float] = {}
     bench_one("canary", lambda: canary_fn(spark), canary_end_t, {})
     canary_end_seconds = canary_end_t["canary"]
+    shuffle_canary_end = shuffle_canary_bracket(spark)
     canary_start_seconds = canary_seconds
     canary_seconds, canary_bracket_spread = bracket_canary(
         canary_start_seconds, canary_end_seconds, canary_mid_seconds
@@ -1876,6 +1931,17 @@ def main():
             "best_recorded": best_canary,
             "load_factor": load_factor,
             "rows": CANARY_ROWS,
+        },
+        "shuffle_canary": {
+            "seconds": min(shuffle_canary_start, shuffle_canary_end),
+            "seconds_start": shuffle_canary_start,
+            "seconds_end": shuffle_canary_end,
+            "bracket_spread": round(
+                max(shuffle_canary_start, shuffle_canary_end)
+                / max(min(shuffle_canary_start, shuffle_canary_end), 1e-9),
+                3,
+            ),
+            "rows": SHUFFLE_CANARY_ROWS,
         },
         "bench_regressions": ratios,
         "bench_regressions_normalized": ratios_normalized,

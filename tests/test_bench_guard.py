@@ -166,6 +166,13 @@ def _maximal_detail():
         "sf": 0.1,
         "queries": queries,
         "canary": {"seconds": 0.412, "load_factor": 1.013},
+        "shuffle_canary": {
+            "seconds": 1.234,
+            "seconds_start": 1.234,
+            "seconds_end": 1.456,
+            "bracket_spread": 1.18,
+            "rows": 10_000_000,
+        },
         "bench_regressions": {f"regressed_query_name_{i}": 1.6 + i for i in range(8)},
         "sf1_lane": sf1,
         "sf10_lane": sf10,
@@ -264,3 +271,45 @@ def test_tuning_conf_env_overrides(monkeypatch):
         == "134217728"
     )
     assert conf["spark.io.compression.codec"] == "zstd"
+
+
+def test_shuffle_canary_pinned_and_io_free():
+    """r14: the shuffle canary must never be edited (cross-round
+    comparability) and must actually SHUFFLE — full-width hash keys so
+    partial aggregation cannot collapse the exchange — while staying
+    file-free like the CPU canary."""
+    import inspect
+
+    b = _bench()
+    assert b.SHUFFLE_CANARY_ROWS == 10_000_000
+    src = inspect.getsource(b.shuffle_canary_fn)
+    assert "spark.range" in src and "read" not in src and "parquet" not in src
+    # full-width xxhash64 keys (no modulus before the groupBy) — the
+    # property that defeats map-side collapse
+    assert "xxhash64" in src and "% 1024" not in src
+    assert "groupBy" in src
+
+
+def test_lane_cpu_canary_math_ignores_shuffle_samples():
+    """finish_lane_canary's spread/load factor must stay a CPU-canary
+    statistic: a shuffle sample is seconds-scale different and would
+    corrupt both."""
+    b = _bench()
+    lane = {
+        "canary_start": 0.40,
+        "canary_end": 0.44,
+        "canary_shuffle_start": 2.5,
+        "canary_shuffle_end": 2.9,
+    }
+    b.finish_lane_canary(lane, best_canary=0.40)
+    assert lane["canary_spread"] == 1.1  # 0.44/0.40, shuffle excluded
+    assert lane["canary_load_factor"] == 1.0
+
+
+def test_summary_line_carries_shuffle_canary():
+    import json
+
+    b = _bench()
+    out = b.build_summary_line(_maximal_detail())
+    parsed = json.loads(out)
+    assert parsed["shuffle_canary"] == 1.234
