@@ -154,7 +154,13 @@ REGRESSION_DISPOSITIONS = {
         "[4.26,4.84,4.96] vs new 5.55 s [5.34,5.55,5.8]) and buys -20 s "
         "AND removes the 8 GB broadcast ceiling at sf10 (forced-broadcast "
         "82.8 s vs gated 62.4 s, SCALING.md r12). Toy-scale fixed "
-        "overhead accepted for the scale win."
+        "overhead accepted for the scale win. The residual r14 gap vs "
+        "the 4.08 pin is the VM class, not code: the r14 join-experiment "
+        "isolated medians on this box (7.47-8.15 s, OPTIMIZATION_r14.md) "
+        "match the in-suite reading, and the entry is shuffle-bound on a "
+        "box whose shuffle canary reads ~0.9 s — the pin's box was "
+        "bandwidth-faster in exactly the dimension the CPU-canary "
+        "normalization cannot correct."
     ),
     "minhash_dedup_documents": (
         "same r12 size-gate trade as dedup_clusters_documents (shared "
