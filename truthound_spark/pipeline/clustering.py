@@ -43,6 +43,7 @@ from itertools import product
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from truthound_spark.litexpr import lit_double_array
 from truthound_spark.pipeline.dedup import connected_components
 
 __all__ = ["dbscan", "kmeans", "kmeans_vec"]
@@ -104,7 +105,8 @@ def kmeans_vec(
         x = F.col("xv")
         entries = []
         for ci, c in centroids:
-            lit = F.array(*[F.lit(float(v)) for v in c])
+            # one F.expr per centroid, not d F.lit round trips (litexpr)
+            lit = lit_double_array(c)
             entries.append(
                 F.struct(
                     (dot(x, x) - 2 * dot(x, lit) + dot(lit, lit)).alias("dist"),
