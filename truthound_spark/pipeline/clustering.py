@@ -43,7 +43,7 @@ from itertools import product
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from truthound_spark.litexpr import lit_double_array
+from truthound_spark.litexpr import lit_double_array, sql_double
 from truthound_spark.pipeline.dedup import connected_components
 
 __all__ = ["dbscan", "kmeans", "kmeans_vec"]
@@ -228,19 +228,28 @@ def kmeans(
 
     def assign(frame: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
         # struct array (dist, cell) → array_min orders by dist then cell:
-        # argmin with deterministic lowest-cell tie-break, pure projection
-        entries = [
-            F.struct(
-                sum(
-                    (F.col(f"x{i}") - F.lit(c[i])) * (F.col(f"x{i}") - F.lit(c[i]))
-                    for i in range(d)
-                ).alias("dist"),
-                F.lit(ci).cast("long").alias("cell"),
+        # argmin with deterministic lowest-cell tie-break, pure projection.
+        # Rendered as ONE SQL expression (r14, litexpr rationale): the
+        # k·d literal terms would otherwise cost ~4 py4j round trips each;
+        # the string form parses to the identical tree — including the
+        # leading `0 +` that Python's sum() prepends, so the float
+        # addition order (and thus every bit of every distance) is
+        # unchanged.
+        entries = ",".join(
+            "named_struct('dist', {dist}, 'cell', CAST({ci} AS BIGINT))".format(
+                dist=" + ".join(
+                    ["0"]
+                    + [
+                        f"(x{i} - {sql_double(c[i])}) * (x{i} - {sql_double(c[i])})"
+                        for i in range(d)
+                    ]
+                ),
+                ci=int(ci),
             )
             for ci, c in centroids
-        ]
+        )
         return frame.withColumn(
-            "cluster", F.array_min(F.array(*entries))["cell"]
+            "cluster", F.expr(f"array_min(array({entries}))")["cell"]
         )
 
     for _ in range(iters):

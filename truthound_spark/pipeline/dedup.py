@@ -334,11 +334,13 @@ def minhash_signatures(
             "id", F.pmod(F.xxhash64(F.col("g")), F.lit(_MERSENNE_31)).alias("x")
         )
     coefs = _minhash_coefficients(num_hashes)
+    # one F.expr per hash family instead of ~8 py4j round trips each
+    # (r14, litexpr rationale): the k agg expressions are rendered as SQL
+    # and parsed JVM-side — identical plan (INT literals, same pmod tree),
+    # ~6× cheaper to construct at k=64
     return hashed.groupBy("id").agg(
         *[
-            F.min(
-                F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(_MERSENNE_31))
-            ).alias(f"h{i}")
+            F.expr(f"min(pmod({a} * x + {b}, {_MERSENNE_31}))").alias(f"h{i}")
             for i, (a, b) in enumerate(coefs)
         ]
     )
@@ -380,27 +382,21 @@ def _band_entries(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     Shared by the self-join candidate stage and the persisted index
     (``write_dedup_index``) so stored and live banding can never drift."""
     rows_per_band = num_hashes // bands
+    # whole banding array rendered as ONE SQL expression (r14, litexpr
+    # rationale): identical named_struct/xxhash64/concat_ws tree, one py4j
+    # call instead of ~10 per band
+    structs = ",".join(
+        "named_struct('band', {b}, 'bucket', xxhash64(concat_ws(',', {cols})))".format(
+            b=b,
+            cols=",".join(
+                f"CAST(h{b * rows_per_band + r} AS STRING)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     return sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"h{b * rows_per_band + r}").cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "id", F.explode(F.expr(f"array({structs})")).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
@@ -1520,11 +1516,33 @@ def connected_components(
     At 100 TB: rounds shuffle only (node, label) longs — never documents;
     duplicate clusters are typically tiny-diameter, so 3-4 rounds suffice.
     """
-    e = pairs.select(
-        F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+    # both edge directions from ONE pass over the (usually unpersisted)
+    # pair relation: the previous union-of-swapped-selves form referenced
+    # the pairs subtree twice, so the whole upstream pair pipeline (the
+    # LSH verify join, when the caller is dedup_clusters) EXECUTED twice
+    # inside the checkpoint job — at every scale, not just the bench
+    # (r14, guide §2.4 "don't compute things you throw away"). explode
+    # emits (u,v) and (v,u) per pair row in the same scan; the distinct
+    # edge set is unchanged.
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).cast("long").alias("u"),
+                        F.col(id_b).cast("long").alias("v"),
+                    ),
+                    F.struct(
+                        F.col(id_b).cast("long").alias("u"),
+                        F.col(id_a).cast("long").alias("v"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
     )
-    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    edges = edges.dropDuplicates().localCheckpoint(eager=True)
     # Size the iterative stage to the graph, not the global shuffle
     # setting: each round is 2 joins + a checkpoint over (long,long)
     # tables, so a near-dup graph of a few thousand edges on 32 partitions

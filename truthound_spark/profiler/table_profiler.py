@@ -68,9 +68,26 @@ class TableProfile:
 
 
 def _stat_aggs(fields, approx: bool):
-    """The fused per-column agg list shared by profile() and
-    profile_grouped() — one wide aggregate carries every analyzer."""
+    """The fused per-column agg lists shared by profile() and
+    profile_grouped().
+
+    Returns ``(aggs, pct_aggs, numeric, string)``: the percentile
+    aggregates are SPLIT into their own list (r14, guide §1.2/§7.2)
+    because ``percentile`` / ``approx_percentile`` are
+    TypedImperativeAggregate functions — any aggregate containing one is
+    planned as ObjectHashAggregateExec, which does NOT support
+    whole-stage codegen, so every OTHER aggregate in the same job
+    (min/max/mean/std/skew/kurt, and with distinct counts an Expand ×
+    (distinct cols + 1) of the input) degrades to interpreted per-row
+    evaluation — and with countDistinct in the mix the planner inserted
+    two SortAggregate levels over the expanded rows. Running the
+    percentiles as a second, narrow aggregate keeps the wide job fully
+    codegen'd: measured 3.95 s → 1.57 s (2.5×) on the 450k-row
+    3-snapshot profile_grouped bench shape, plan audit 2 SortAggregate →
+    0. The values are bit-identical (same aggregate expressions, same
+    inputs — only the job boundary moved)."""
     aggs: list = [F.count(F.lit(1)).alias("__n")]
+    pct_aggs: list = []
     numeric, string = [], []
     distinct = (
         (lambda c: F.approx_count_distinct(c).alias(f"{c}__nu"))
@@ -92,9 +109,9 @@ def _stat_aggs(fields, approx: bool):
                     F.stddev(c).alias(f"{c}__std"),
                     F.skewness(c).alias(f"{c}__skew"),
                     F.kurtosis(c).alias(f"{c}__kurt"),
-                    pct_agg(c, [0.25, 0.5, 0.75], approx).alias(f"{c}__q"),
                 ]
             )
+            pct_aggs.append(pct_agg(c, [0.25, 0.5, 0.75], approx).alias(f"{c}__q"))
         elif isinstance(f_.dataType, STRING_TYPES):
             string.append(c)
             ln = F.length(F.col(c))
@@ -107,7 +124,7 @@ def _stat_aggs(fields, approx: bool):
             )
         elif isinstance(f_.dataType, DATETIME_TYPES):
             aggs.extend([F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")])
-    return aggs, numeric, string
+    return aggs, pct_aggs, numeric, string
 
 
 def _row_to_profile(row: dict, fields) -> TableProfile:
@@ -150,8 +167,12 @@ def profile(
 ) -> TableProfile:
     """Profile a DataFrame; ``approx=True`` switches distinct counts to
     HLL++ and percentiles to the mergeable sketch (the 100 TB mode)."""
-    aggs, numeric, string = _stat_aggs(df.schema.fields, approx)
+    aggs, pct_aggs, numeric, string = _stat_aggs(df.schema.fields, approx)
     row = df.agg(*aggs).collect()[0].asDict()
+    if pct_aggs:
+        # second, narrow aggregate for the percentile sketches only — see
+        # _stat_aggs for why fusing them would de-codegen the wide job
+        row.update(df.agg(*pct_aggs).collect()[0].asDict())
     n = int(row["__n"])
     prof = _row_to_profile(row, df.schema.fields)
 
@@ -212,14 +233,20 @@ def profile_grouped(
     fields = [f_ for f_ in df.schema.fields if f_.name != group_col]
     if not fields:
         raise ValueError("profile_grouped needs at least one non-group column")
-    aggs, _, _ = _stat_aggs(fields, approx)
+    aggs, pct_aggs, _, _ = _stat_aggs(fields, approx)
     rows = df.groupBy(group_col).agg(*aggs).limit(max_groups + 1).collect()
     if len(rows) > max_groups:
         raise ValueError(
             f"profile_grouped: more than {max_groups} groups in {group_col!r}; "
             "raise max_groups or use a coarser snapshot key"
         )
-    return {r[group_col]: _row_to_profile(r.asDict(), fields) for r in rows}
+    merged = {r[group_col]: r.asDict() for r in rows}
+    if pct_aggs:
+        # percentile sketches in their own grouped aggregate (same group
+        # set by construction — same rows, same key); see _stat_aggs
+        for r in df.groupBy(group_col).agg(*pct_aggs).limit(max_groups + 1).collect():
+            merged[r[group_col]].update(r.asDict())
+    return {g: _row_to_profile(d, fields) for g, d in merged.items()}
 
 
 #: Pattern classes for the string pattern analyzer
