@@ -127,21 +127,37 @@ def knn_edges(
             .filter(F.col("d") <= F.lit(r))
         )
         # k-dist within radius r; points with >= k in-radius candidates
-        # have their TRUE kNN fully inside the 3^d neighborhood
+        # have their TRUE kNN fully inside the 3^d neighborhood.
+        # ONE window pass over the candidate relation (r14, guide §2.4):
+        # the previous join-back form (cand ⋈ kth) referenced the
+        # unpersisted cand subtree three times per round — the cell join
+        # executed once under the rank window, again as the join's left
+        # side, and a third time for kth's own checkpoint. The k-dist now
+        # rides the SAME sorted window partition as the rank
+        # (max(case rn=k then d) over (partition by id_a)), so the cell
+        # join runs once, checkpointed once; kth and the edge list are
+        # narrow reads of that checkpoint. Values are unchanged: k_dist
+        # is the same k-th distance, the edge set is the same d ≤ k_dist
+        # rows (the rn=k row has d = k_dist, so the filter keeps it).
         from pyspark.sql import Window
 
         w = Window.partitionBy("id_a").orderBy("d", "id_b")
-        ranked = cand.withColumn("__rn", F.row_number().over(w))
-        kth = (
-            ranked.filter(F.col("__rn") == k)
-            .select(F.col("id_a").alias("id"), F.col("d").alias("k_dist"))
+        wall = Window.partitionBy("id_a")
+        combined = (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .withColumn(
+                "k_dist",
+                F.max(F.when(F.col("__rn") == k, F.col("d"))).over(wall),
+            )
+            .filter(F.col("k_dist").isNotNull() & (F.col("d") <= F.col("k_dist")))
+            .localCheckpoint(eager=True)
         )
-        resolved_edges = (
-            cand.join(kth.withColumnRenamed("id", "id_a"), "id_a")
-            .filter(F.col("d") <= F.col("k_dist"))
-            .select(F.col("id_a").alias("id"), F.col("id_b").alias("nbr"), "d")
-        ).localCheckpoint(eager=True)
-        kth = kth.localCheckpoint(eager=True)
+        kth = combined.filter(F.col("__rn") == k).select(
+            F.col("id_a").alias("id"), F.col("k_dist")
+        )
+        resolved_edges = combined.select(
+            F.col("id_a").alias("id"), F.col("id_b").alias("nbr"), "d"
+        )
         edges_parts.append(resolved_edges)
         kdist_parts.append(kth)
         frontier = frontier.join(kth, "id", "left_anti").localCheckpoint(eager=True)
@@ -201,7 +217,12 @@ def lof_from_edges(edges: DataFrame, kdist: DataFrame) -> DataFrame:
             "lrd"
         )
     )
-    qlrd = lrd.select("id", F.round(F.col("lrd") * F.lit(_SCALE)).cast("long").alias("qlrd"), "lrd")
+    # qlrd feeds BOTH the neighbor-mean join and the final ratio join —
+    # without a checkpoint the reach join + lrd aggregation execute twice
+    # (r14, guide §2.4). O(n) rows of (id, qlrd, lrd): safe to pin.
+    qlrd = lrd.select(
+        "id", F.round(F.col("lrd") * F.lit(_SCALE)).cast("long").alias("qlrd"), "lrd"
+    ).localCheckpoint(eager=True)
     nbr_lrd = (
         edges.join(
             qlrd.select(F.col("id").alias("nbr"), F.col("qlrd").alias("qlrd_o")),
