@@ -449,3 +449,31 @@ def test_ab_experiment_fused_variants_one_scan(spark):
     read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
     assert "c_acctbal" in read_schema
     assert "c_name" not in read_schema and "c_address" not in read_schema
+
+
+def test_profile_wide_aggregate_stays_codegen(spark):
+    """The r14 percentile split (guide §1.2/§7.2): percentile /
+    approx_percentile are TypedImperativeAggregate, and ONE of them in an
+    aggregate plans the whole job as ObjectHashAggregateExec — no
+    whole-stage codegen for every other stat, plus SortAggregate levels
+    over the countDistinct Expand. _stat_aggs therefore returns them in a
+    SEPARATE list; this pins the plan property that justifies the split:
+    the wide job is pure HashAggregate (codegen), the percentile job is
+    the only ObjectHashAggregate, and nothing plans a SortAggregate."""
+    from truthound_spark.profiler.table_profiler import _stat_aggs
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_discount"
+    )
+    df = li.withColumn("__snap", F.col("l_orderkey") % 3)
+    fields = [f_ for f_ in df.schema.fields if f_.name != "__snap"]
+    aggs, pct_aggs, _, _ = _stat_aggs(fields, approx=False)
+    assert pct_aggs, "numeric columns must produce percentile aggs"
+    # no percentile agg may leak into the wide list
+    wide_plan = _plan(df.groupBy("__snap").agg(*aggs))
+    assert "ObjectHashAggregate" not in wide_plan, wide_plan
+    assert "SortAggregate" not in wide_plan, wide_plan
+    assert "HashAggregate" in wide_plan, wide_plan
+    pct_plan = _plan(df.groupBy("__snap").agg(*pct_aggs))
+    assert "ObjectHashAggregate" in pct_plan, pct_plan
+    assert "SortAggregate" not in pct_plan, pct_plan
