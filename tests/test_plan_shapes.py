@@ -477,3 +477,45 @@ def test_profile_wide_aggregate_stays_codegen(spark):
     pct_plan = _plan(df.groupBy("__snap").agg(*pct_aggs))
     assert "ObjectHashAggregate" in pct_plan, pct_plan
     assert "SortAggregate" not in pct_plan, pct_plan
+
+
+def test_coarse_assign_hoists_self_dots(spark):
+    """The r14 coarse-assign hoist (_nearest_cell_pairs): the l2_sq
+    self-dot folds must sit BELOW the crossJoin — dot(v,v) once per
+    corpus row, dot(cv,cv) once per centroid — leaving exactly ONE
+    aggregate(zip_with) per (row × centroid) pair in the d2 projection.
+    HOF folds are CodegenFallback (interpreted), so the pre-hoist 3
+    folds/pair were real per-pair cost (measured 2.6× at 1M×16×dim64,
+    benchmarks/assign_hoist_probe.py). Also pins bit-exactness of the
+    hoisted d2 against the inline l2_sq formula on real vectors."""
+    from truthound_spark.pipeline.similarity import _nearest_cell_pairs, l2_sq
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = emb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    cents = (
+        corpus.orderBy("id")
+        .limit(16)
+        .select(F.col("id").alias("cell"), F.col("v").alias("cv"))
+    )
+    pairs, d2 = _nearest_cell_pairs(corpus, cents, "v")
+    plan = _plan(pairs.select("id", "cell", d2.alias("d2")))
+    # the d2 projection (above the join) folds only the cross term
+    d2_lines = [ln for ln in plan.split("\n") if "AS d2#" in ln]
+    assert d2_lines, plan
+    assert all(ln.count("zip_with") == 1 for ln in d2_lines), d2_lines
+    # ... and references the hoisted self-dots as plain column refs
+    # (__vv computed in a Project below the join, __cc inside the
+    # broadcast-side TakeOrderedAndProject — one eval per row/centroid)
+    assert all("__vv#" in ln and "__cc#" in ln for ln in d2_lines), d2_lines
+    below = "\n".join(ln for ln in plan.split("\n") if "AS d2#" not in ln)
+    assert "__vv#" in below and "__cc#" in below, plan
+    # bit-exactness: identical IEEE result to the inline 3-fold l2_sq
+    mism = (
+        pairs.select((d2 != l2_sq(F.col("v"), F.col("cv"))).cast("int").alias("m"))
+        .agg(F.sum("m").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert mism == 0

@@ -102,18 +102,29 @@ def kmeans_vec(
         )
 
     def assign(frame: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+        # the _pq_subspace_code strength reductions (IEEE-safe, results
+        # bit-identical): dot(x,x) folds ONCE per row — a multi-use
+        # projection alias, which CollapseProject keeps — instead of once
+        # per centroid struct, and dot(c,c) is a Python-side constant
+        # (same sequential fold over the same doubles). HOF folds are
+        # interpreted (CodegenFallback), so the k-1 redundant self-dot
+        # evals and k per-row literal-dot evals were real per-row cost.
         x = F.col("xv")
+        fr = frame.withColumn("__xx", dot(x, x))
         entries = []
         for ci, c in centroids:
             # one F.expr per centroid, not d F.lit round trips (litexpr)
             lit = lit_double_array(c)
+            cc = sum((v * v for v in c), 0.0)
             entries.append(
                 F.struct(
-                    (dot(x, x) - 2 * dot(x, lit) + dot(lit, lit)).alias("dist"),
+                    (F.col("__xx") - 2 * dot(x, lit) + F.lit(cc)).alias("dist"),
                     F.lit(ci).cast("long").alias("cell"),
                 )
             )
-        return frame.withColumn("cluster", F.array_min(F.array(*entries))["cell"])
+        return fr.withColumn(
+            "cluster", F.array_min(F.array(*entries))["cell"]
+        ).drop("__xx")
 
     for _ in range(iters):
         agg = (

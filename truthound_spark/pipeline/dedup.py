@@ -1401,7 +1401,7 @@ def semantic_dedup(
     """
     from pyspark.sql import Window
 
-    from truthound_spark.pipeline.similarity import l2_sq
+    from truthound_spark.pipeline.similarity import _nearest_cell_pairs
 
     v = df.select(
         F.col(id_col).cast("long").alias("id"),
@@ -1432,9 +1432,9 @@ def semantic_dedup(
     norm = F.sqrt(
         F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
     )
+    apairs, ad2 = _nearest_cell_pairs(v, centroids, "v")
     assigned = (
-        v.crossJoin(F.broadcast(centroids))
-        .select("id", "v", "cell", l2_sq(F.col("v"), F.col("cv")).alias("d2"))
+        apairs.select("id", "v", "cell", ad2.alias("d2"))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("id", "v", "cell", norm.alias("nv"))

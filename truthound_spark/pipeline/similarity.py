@@ -242,11 +242,42 @@ def l2_sq(a: "F.Column", b: "F.Column") -> "F.Column":
     vectors) is chosen over sum((a-b)²) so a SQL oracle computing the
     same three list_dot_product terms reproduces the exact IEEE result —
     the property that lets IVF cell ASSIGNMENT (an unrounded argmin)
-    hash-match across engines."""
+    hash-match across engines.
+
+    For the crossJoin(centroids) assign shape use
+    :func:`_nearest_cell_pairs` instead — same distance bit-for-bit,
+    2/3 of the folds hoisted out of the per-pair expression."""
     dot = lambda x, y: F.aggregate(  # noqa: E731
         F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
     )
     return dot(a, a) - 2 * dot(a, b) + dot(b, b)
+
+
+def _nearest_cell_pairs(left: DataFrame, cents: DataFrame, vcol: str):
+    """``left.crossJoin(broadcast(cents))`` with the ``l2_sq`` self-dot
+    terms HOISTED out of the per-pair expression — the
+    ``_pq_subspace_code`` strength reductions applied to the coarse
+    assign: ``dot(v,v)`` folds once per LEFT row (a projection below the
+    join) and ``dot(cv,cv)`` once per centroid row (below the broadcast
+    exchange, |cells| evals total), so each (row × centroid) pair folds
+    only the cross term — 1 fold per pair instead of 3. HOF folds are
+    CodegenFallback (interpreted per eval), which is what makes the
+    redundant evals a real per-row cost at scale.
+
+    ``d2`` combines the SAME fold values with the SAME operator tree as
+    ``l2_sq`` (Add(Subtract(vv, 2·ab), cc), multiplication commutes
+    bit-exactly) → distances and therefore window ranks are
+    bit-identical; the IVF/SemDeDup oracle slots certify it.
+
+    Returns ``(pairs, d2)``; callers select their kept columns plus
+    ``d2.alias(...)`` and never expose __vv/__cc."""
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+    )
+    lw = left.withColumn("__vv", dot(F.col(vcol), F.col(vcol)))
+    cw = cents.withColumn("__cc", dot(F.col("cv"), F.col("cv")))
+    d2 = F.col("__vv") - 2 * dot(F.col(vcol), F.col("cv")) + F.col("__cc")
+    return lw.crossJoin(F.broadcast(cw)), d2
 
 
 def ivf_seeded_topk(
@@ -295,9 +326,9 @@ def ivf_seeded_topk(
         F.col(vec_col).cast("array<double>").alias("v"),
     )
     wa = Window.partitionBy("id").orderBy("d2", "cell")
+    apairs, ad2 = _nearest_cell_pairs(corpus, cents, "v")
     assigned = (
-        corpus.crossJoin(F.broadcast(cents))
-        .select("id", "v", "cell", l2_sq(F.col("v"), F.col("cv")).alias("d2"))
+        apairs.select("id", "v", "cell", ad2.alias("d2"))
         .withColumn("__rn", F.row_number().over(wa))
         .filter(F.col("__rn") == 1)
         .select("id", "v", "cell")
@@ -307,9 +338,9 @@ def ivf_seeded_topk(
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
     wp = Window.partitionBy("query_id").orderBy("d2", "cell")
+    ppairs, pd2 = _nearest_cell_pairs(q, cents, "qv")
     probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select("query_id", "qv", "cell", l2_sq(F.col("qv"), F.col("cv")).alias("d2"))
+        ppairs.select("query_id", "qv", "cell", pd2.alias("d2"))
         .withColumn("__rn", F.row_number().over(wp))
         .filter(F.col("__rn") <= nprobe)
         .select("query_id", "qv", "cell")
@@ -457,9 +488,9 @@ def ivf_build_index(
                 "centroids from; pass an explicit `centroids` frame"
             )
     wa = Window.partitionBy("id").orderBy("d2", "cell")
+    apairs, ad2 = _nearest_cell_pairs(v, centroids, "v")
     assigned = (
-        v.crossJoin(F.broadcast(centroids))
-        .select("id", "v", "cell", l2_sq(F.col("v"), F.col("cv")).alias("d2"))
+        apairs.select("id", "v", "cell", ad2.alias("d2"))
         .withColumn("__rn", F.row_number().over(wa))
         .filter(F.col("__rn") == 1)
         .select("id", "v", "cell")
@@ -494,9 +525,9 @@ def ivf_search_index(
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
     wp = Window.partitionBy("query_id").orderBy("d2", "cell")
+    ppairs, pd2 = _nearest_cell_pairs(q, cents, "qv")
     probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select("query_id", "qv", "cell", l2_sq(F.col("qv"), F.col("cv")).alias("d2"))
+        ppairs.select("query_id", "qv", "cell", pd2.alias("d2"))
         .withColumn("__rn", F.row_number().over(wp))
         .filter(F.col("__rn") <= nprobe)
         .select("query_id", "qv", "cell")
@@ -1059,9 +1090,9 @@ def ivfpq_search(
         F.col(vec_col).cast("array<double>").alias("v"),
         qx.alias("__x"),
     ).where(F.col("v").isNotNull())
+    apairs, ad2 = _nearest_cell_pairs(base, cents, "v")
     assigned = (
-        base.crossJoin(F.broadcast(cents))
-        .select("id", "v", "__x", "cell", l2_sq(F.col("v"), F.col("cv")).alias("d2"))
+        apairs.select("id", "v", "__x", "cell", ad2.alias("d2"))
         .withColumn("__rn", F.row_number().over(wa))
         .filter(F.col("__rn") == 1)
         .select("id", "v", "__x", "cell")
@@ -1113,9 +1144,9 @@ def ivfpq_search(
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
     wp = Window.partitionBy("query_id").orderBy("d2", "cell")
+    ppairs, pd2 = _nearest_cell_pairs(q, cents, "qv")
     probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select("query_id", "qv", "cell", l2_sq(F.col("qv"), F.col("cv")).alias("d2"))
+        ppairs.select("query_id", "qv", "cell", pd2.alias("d2"))
         .withColumn("__rn", F.row_number().over(wp))
         .filter(F.col("__rn") <= nprobe)
         .select("query_id", "qv", "cell")
@@ -1208,9 +1239,9 @@ def ivfpq_train_residual(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).where(F.col("v").isNotNull())
+    apairs, ad2 = _nearest_cell_pairs(base, cents, "v")
     assigned = (
-        base.crossJoin(F.broadcast(cents))
-        .select("id", "v", "cell", l2_sq(F.col("v"), F.col("cv")).alias("d2"))
+        apairs.select("id", "v", "cell", ad2.alias("d2"))
         .withColumn("__rn", F.row_number().over(wa))
         .filter(F.col("__rn") == 1)
         .select("id", "v", "cell")
