@@ -63,6 +63,25 @@ def make_spark():
     return builder.getOrCreate()
 
 
+def _check_dedup_index_version(spark, lsh_table: str) -> None:
+    """Raise unless the persisted LSH index's banding version matches the
+    live banding function (``DEDUP_INDEX_VERSION``) — attach-first runs
+    must fall back to a fresh write when a sidecar predates a banding
+    change, exactly like ``incremental_dedup_indexed`` itself refuses a
+    stale index at probe time."""
+    import json as _json
+
+    from truthound_spark.pipeline.dedup import DEDUP_INDEX_VERSION
+
+    rows = spark.sql(
+        f"SHOW TBLPROPERTIES {lsh_table} ('truthound.dedup.meta')"
+    ).collect()
+    if not rows or "does not have property" in str(rows[0]):
+        raise ValueError(f"{lsh_table}: no dedup meta")
+    if int(_json.loads(rows[0]["value"]).get("version", 1)) != DEDUP_INDEX_VERSION:
+        raise ValueError(f"{lsh_table}: stale banding version")
+
+
 def bench_one(name, fn, timings, cold_timings):
     """Cold pass + MEDIAN of three warm passes (r8 protocol, VERDICT r7
     #2): best-of-2 on a VM whose identical runs vary 2× made the series
@@ -860,6 +879,10 @@ def main():
                 k: f"truthound_bench_idx01.bench_docs_{k}"
                 for k in ("fingerprints", "shingles", "lsh")
             }
+            # banding-version gate (r14): an index persisted by an older
+            # banding function must be re-written, not probed — raise
+            # here so the except falls through to the fresh write
+            _check_dedup_index_version(spark, dedup_index["lsh"])
             dedup_index_attached = True
     except Exception:
         dedup_index = None
@@ -1607,6 +1630,9 @@ def main():
                         k: f"truthound_bench_idx10.bench_docs_sf10_{k}"
                         for k in ("fingerprints", "shingles", "lsh")
                     }
+                    # banding-version gate (r14): stale-version index →
+                    # raise → fresh write below
+                    _check_dedup_index_version(spark, idx100["lsh"])
                     sf10_lane["dedup_index_attached"] = True
             except Exception:
                 idx100 = None

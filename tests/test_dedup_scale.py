@@ -392,6 +392,43 @@ class TestDedupIndex:
                 new, {"fingerprints": t, "shingles": t, "lsh": t}
             )
 
+    def test_stale_banding_version_raises(
+        self, spark, split, index, tmp_path_factory
+    ):
+        # an index persisted by an older banding function must raise at
+        # probe time, not silently return zero near-duplicates (r14:
+        # banding v2 hashes the minhash longs directly; v1 hashed their
+        # stringified concat — stored and live buckets would never match)
+        import json
+
+        from truthound_spark.pipeline.dedup import incremental_dedup_indexed
+
+        new, _ = split
+        stale = dict(
+            json.loads(
+                spark.sql(
+                    f"SHOW TBLPROPERTIES {index['lsh']} ('truthound.dedup.meta')"
+                ).collect()[0]["value"]
+            ),
+            version=1,
+        )
+        spark.sql(
+            f"ALTER TABLE {index['lsh']} SET TBLPROPERTIES "
+            f"('truthound.dedup.meta' = '{json.dumps(stale)}')"
+        )
+        try:
+            with pytest.raises(ValueError, match="banding +version 1"):
+                incremental_dedup_indexed(new, index, threshold=0.7)
+        finally:
+            fresh = dict(stale)
+            from truthound_spark.pipeline.dedup import DEDUP_INDEX_VERSION
+
+            fresh["version"] = DEDUP_INDEX_VERSION
+            spark.sql(
+                f"ALTER TABLE {index['lsh']} SET TBLPROPERTIES "
+                f"('truthound.dedup.meta' = '{json.dumps(fresh)}')"
+            )
+
     def test_write_time_bucket_cap_is_enforced(self, spark, split, tmp_path_factory):
         from truthound_spark.pipeline.dedup import write_dedup_index
 

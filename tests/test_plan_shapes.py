@@ -56,6 +56,29 @@ def test_minhash_has_no_cartesian(spark):
     assert "Cartesian" not in plan and "NestedLoop" not in plan
 
 
+def test_band_bucket_hashes_longs_not_strings(spark):
+    """Banding v2 (r14): the LSH bucket is xxhash64 over the band's
+    minhash LONGS directly — the v1 CAST-to-STRING + concat_ws form
+    allocated ~10 chars per hash per corpus row before hashing (2.6×
+    slower map-side at 2M rows, benchmarks/band_hash_probe.py). The
+    candidate pair set is unchanged (bucket equality == band tuple
+    equality either way), so only the plan shape needs pinning."""
+    from truthound_spark.pipeline.dedup import _band_entries, minhash_signatures
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sig = minhash_signatures(docs)
+    plan = _plan(_band_entries(sig, 64, 32))
+    # isolate the banding Generate node (the shingle subtree legitimately
+    # uses concat_ws to join word shingles — only the BUCKET expression
+    # must be string-free)
+    band_lines = [ln for ln in plan.splitlines() if "named_struct(band" in ln]
+    assert band_lines, plan
+    for ln in band_lines:
+        assert "concat_ws" not in ln
+        assert "cast(h" not in ln.lower()
+        assert "xxhash64(h0" in ln
+
+
 @pytest.mark.slow
 def test_no_entry_query_has_accidental_cartesian(spark):
     """Sweep every registered query's physical plan: cartesian products are

@@ -63,6 +63,17 @@ DEFAULT_PAIR_BROADCAST_BUDGET = 64 << 20
 #: to the tokenization expressions above.
 SHINGLE_TOKENIZER_VERSION = 1
 
+#: Version of the LSH banding function that produces stored dedup-index
+#: ``<prefix>_lsh`` tables (``_band_entries``). Stored bucket values are
+#: probed by live banding of the delta in
+#: ``incremental_dedup_indexed``, so the two MUST be the same function:
+#: a silent mismatch would miss every near-duplicate instead of failing.
+#: Checked at probe time; bump on ANY change to the bucket expression.
+#: v2 (r14): bucket = multi-arg xxhash64 over the band's minhash longs
+#: (was xxhash64 over the comma-joined stringified longs — 2.6× slower
+#: map-side, same collision semantics).
+DEDUP_INDEX_VERSION = 2
+
 #: DataFrames persisted by dedup internals (candidate-pair relations,
 #: delta shingle caches) and not yet released. persist() is the point —
 #: every verify-stage consumer reads the same blocks — but a long-lived
@@ -380,17 +391,30 @@ def _band_entries(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(id, band, bucket) LSH band entries from a signature table — each
     band's bucket is one xxhash64 over that band's row of minhashes.
     Shared by the self-join candidate stage and the persisted index
-    (``write_dedup_index``) so stored and live banding can never drift."""
+    (``write_dedup_index``) so stored and live banding can never drift.
+
+    The bucket hashes the band's minhash LONGS directly (multi-arg
+    xxhash64) rather than stringifying them (r14, guide §1.2 per-task
+    work): the former CAST-to-STRING + concat_ws form allocated ~10
+    chars per hash per corpus row before hashing — measured 2.6× slower
+    map-side at 2M rows × 32 bands (benchmarks/band_hash_probe.py).
+    Collision SEMANTICS are unchanged: two docs share a bucket iff their
+    band's hash tuple is equal (either form), modulo ~2⁻⁶⁴ xxhash64
+    collisions that only ADD candidates for the Jaccard verify to drop —
+    the verified pair set is identical, which is what the exhaustive
+    DuckDB oracle pins. Stored LSH indexes persist bucket values, so
+    this is a FORMAT change for them: ``DEDUP_INDEX_VERSION`` is bumped
+    and enforced at probe time (a v1 index raises instead of silently
+    missing every near-duplicate)."""
     rows_per_band = num_hashes // bands
     # whole banding array rendered as ONE SQL expression (r14, litexpr
-    # rationale): identical named_struct/xxhash64/concat_ws tree, one py4j
+    # rationale): identical named_struct/xxhash64 tree, one py4j
     # call instead of ~10 per band
     structs = ",".join(
-        "named_struct('band', {b}, 'bucket', xxhash64(concat_ws(',', {cols})))".format(
+        "named_struct('band', {b}, 'bucket', xxhash64({cols}))".format(
             b=b,
             cols=",".join(
-                f"CAST(h{b * rows_per_band + r} AS STRING)"
-                for r in range(rows_per_band)
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
             ),
         )
         for b in range(bands)
@@ -1958,7 +1982,7 @@ def write_dedup_index(
         )
     meta = _json.dumps(
         {
-            "version": 1,
+            "version": DEDUP_INDEX_VERSION,
             "num_hashes": num_hashes,
             "bands": bands,
             "shingle_n": shingle_n,
@@ -2046,6 +2070,18 @@ def incremental_dedup_indexed(
             "dedup index (write it with write_dedup_index)"
         )
     meta = _json.loads(rows[0]["value"])
+    stored_version = int(meta.get("version", 1))
+    if stored_version != DEDUP_INDEX_VERSION:
+        # stored bucket values were produced by a DIFFERENT banding
+        # function than the live one about to probe them — probing would
+        # silently miss every near-duplicate, so fail loudly instead
+        raise ValueError(
+            f"dedup index {index['lsh']!r} was written with banding "
+            f"version {stored_version}, but this engine bands with "
+            f"version {DEDUP_INDEX_VERSION} — stored and live bucket "
+            "values would never match. Re-index the base corpus with "
+            "write_dedup_index."
+        )
     num_hashes, bands, shingle_n = (
         int(meta["num_hashes"]),
         int(meta["bands"]),
