@@ -247,6 +247,49 @@ class TestAttachLayout:
         for t in got:
             assert spark.table(t).count() == orders.count()
 
+    def test_rewrite_after_attach_lands_at_attach_root(
+        self, spark, orders, tmp_path_factory
+    ):
+        """r14: attach_layout_database must pin the database's home to
+        the attach root, so a post-attach overwrite (the stale-version
+        re-index path) writes its files and sidecar back where the NEXT
+        session will attach from — not at the database's default
+        location, which left the stale sidecars in place and made every
+        future session re-pay the rewrite."""
+        import json
+
+        from truthound_spark.layout import attach_layout_database, write_bucketed
+
+        loc = str(tmp_path_factory.mktemp("reattach_root"))
+        write_bucketed(
+            orders.limit(50), "t_rewrite_cycle", "o_orderkey", buckets=2,
+            location=loc, database="truthound_rw1",
+            properties={"truthound.test.gen": "1"},
+        )
+        # session 2: attach, decide the content is stale, rewrite into
+        # the SAME database+location with new content/properties
+        got = attach_layout_database(spark, loc, database="truthound_rw2")
+        assert [t.split(".")[-1] for t in got] == ["t_rewrite_cycle"]
+        write_bucketed(
+            orders.limit(125), "t_rewrite_cycle", "o_orderkey", buckets=2,
+            location=loc, database="truthound_rw2",
+            properties={"truthound.test.gen": "2"},
+        )
+        # session 3: a fresh attach from the SAME root must see gen 2
+        got3 = attach_layout_database(spark, loc, database="truthound_rw3")
+        assert [t.split(".")[-1] for t in got3] == ["t_rewrite_cycle"]
+        fq3 = got3[0]
+        assert spark.table(fq3).count() == 125
+        rows = spark.sql(
+            f"SHOW TBLPROPERTIES {fq3} ('truthound.test.gen')"
+        ).collect()
+        assert rows and rows[0]["value"] == "2"
+        # on-disk sidecar at the attach root carries gen 2 as well
+        spec = json.loads(
+            open(f"{loc}/t_rewrite_cycle/_truthound_layout_spec.json").read()
+        )
+        assert spec["properties"]["truthound.test.gen"] == "2"
+
     def test_attach_same_location_is_idempotent(self, spark, written):
         from truthound_spark.layout import attach_layout
 

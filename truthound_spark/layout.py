@@ -407,11 +407,22 @@ def attach_layout_database(
     one call recovers a whole layout warehouse (shingle layouts, dedup
     indexes, fingerprint stores, FK layouts) after a session/cluster
     restart. Directories without a sidecar are skipped; returns the
-    attached fully-qualified names."""
+    attached fully-qualified names.
+
+    The database is (re-)ensured AT the attach root: attaching a
+    warehouse re-establishes ``location`` as the database's home, so a
+    LATER ``write_bucketed(mode="overwrite")`` of an attached table —
+    the stale-content / stale-version re-index path — writes its fresh
+    files and sidecar back under THIS root. Without the pin the rewrite
+    lands at the database's DEFAULT location while every future session
+    re-attaches the stale sidecars from here and re-pays the rewrite:
+    a permanent re-index loop (r14, found when the dedup-index banding
+    version gate first exercised the rewrite-after-attach path)."""
     p, conf = _hadoop_path(spark, location)
     fs = p.getFileSystem(conf)
     if not fs.exists(p):
         return []
+    ensure_layout_database(spark, database, location)
     out: list[str] = []
     for status in fs.listStatus(p):
         if not status.isDirectory():
