@@ -38,8 +38,8 @@ def release_dead_blocks(spark) -> int:
     """Unpersist every persistent RDD. ONLY safe when no live DataFrame
     depends on pinned blocks (between self-contained bench entries)."""
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    n = jmap.size()
-    for jrdd in jmap.values().toArray():
+    n = len(jmap)
+    for jrdd in list(jmap.values()):
         jrdd.unpersist(False)
     return n
 
