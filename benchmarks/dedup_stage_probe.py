@@ -10,8 +10,18 @@ components — so the per-stage cost is visible without the Spark UI
 itself forces them (localCheckpoint / persist+count); the final verify
 and CC read those materialized inputs, so no stage is double-counted.
 
-Run: python benchmarks/dedup_stage_probe.py [sf_dir]
+Run: python benchmarks/dedup_stage_probe.py [sf_dir_or_corpus_parquet]
 Prints one JSON object {stage: seconds, ...} per repetition.
+
+Pass a DIRECT parquet path (e.g. the bench's sf10 corpus
+``/tmp/spark_graft_docs100_sf0.1``) to stage-split at decade scale —
+the r14 continuation session measured 500 k docs there as: shingle
+18.6 / signature 2.0 / band+group 4.5 / candidate materialization 21.3
+/ exact-Jaccard verify 32.2 / CC 3.0 s with n_pairs = 35.3 M (warm
+rep; the duplicate-heavy decade corpus keeps ~70 candidates per doc,
+so the pair shuffle and the per-pair intersects dominate — inherent to
+exact verification, see OPTIMIZATION_r14.md "Decade-scale stage
+split").
 """
 
 from __future__ import annotations
@@ -34,19 +44,26 @@ def main():
 
     from truthound_spark.pipeline import dedup as dd
 
-    # bench-identical relayout (CPUS-way) so parallelism matches the suite
+    # a direct corpus parquet (doc_id, text, ...) stages as-is; an sf dir
+    # goes through the bench-identical relayout (CPUS-way) so parallelism
+    # matches the suite
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     import tempfile
 
-    relayout = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_bench_relayout_{os.path.basename(sf_dir)}",
-    )
-    if not os.path.exists(f"{relayout}/documents.parquet"):
-        spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
-            cpus
-        ).write.mode("overwrite").parquet(f"{relayout}/documents.parquet")
-    documents = spark.read.parquet(f"{relayout}/documents.parquet")
+    if os.path.exists(os.path.join(sf_dir, "_SUCCESS")) or sf_dir.endswith(
+        ".parquet"
+    ):
+        documents = spark.read.parquet(sf_dir).select("doc_id", "text")
+    else:
+        relayout = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_bench_relayout_{os.path.basename(sf_dir)}",
+        )
+        if not os.path.exists(f"{relayout}/documents.parquet"):
+            spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+                cpus
+            ).write.mode("overwrite").parquet(f"{relayout}/documents.parquet")
+        documents = spark.read.parquet(f"{relayout}/documents.parquet")
     documents.count()
 
     for rep in range(3):
