@@ -100,8 +100,11 @@ def main():
         spark.sparkContext.setJobDescription(f"probe rep{rep}: pair expand")
         t0 = time.time()
         cap = dd.DEFAULT_MAX_BUCKET_SIZE
+        # byte-equivalent to minhash_lsh_candidates' capped branch (r14):
+        # pairs expand from DISTINCT member sets
+        expand = grouped.dropDuplicates(["ids"])
         small_pairs = (
-            grouped.filter(F.size("ids") <= cap)
+            expand.filter(F.size("ids") <= cap)
             .select(
                 F.explode(
                     F.expr(
@@ -114,7 +117,7 @@ def main():
             .select("p.id_a", "p.id_b")
         )
         star_pairs = (
-            grouped.filter(F.size("ids") > cap)
+            expand.filter(F.size("ids") > cap)
             .select(
                 F.explode(
                     F.expr(

@@ -773,6 +773,37 @@ def test_lsh_small_buckets_unaffected_by_cap(spark):
     assert base == capped == [(1, 2)]
 
 
+def test_lsh_pairs_identical_under_duplicate_band_buckets(spark):
+    """r14: the capped branch expands pairs from DISTINCT member sets —
+    on exact-copy groups every band's bucket holds the same sorted id
+    list, so per-band expansion emitted each pair bands× redundantly.
+    The pair set must be identical to exact all-pairs mode (and to the
+    C(n,2) ground truth) on a corpus made entirely of copy groups."""
+    from truthound_spark.pipeline.dedup import minhash_lsh_candidates
+
+    texts = [
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliett",
+        "one two three four five six seven eight nine ten eleven twelve",
+        "red orange yellow green blue indigo violet magenta cyan white",
+    ]
+    rows = []
+    for g, text in enumerate(texts):  # 3 distinct groups x 6 exact copies
+        for i in range(6):
+            rows.append((g * 10 + i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(
+        (g * 10 + i, g * 10 + j)
+        for g in range(3)
+        for i in range(6)
+        for j in range(i + 1, 6)
+    )
+    capped = sorted(map(tuple, minhash_lsh_candidates(docs).collect()))
+    exact = sorted(
+        map(tuple, minhash_lsh_candidates(docs, max_bucket_size=None).collect())
+    )
+    assert capped == exact == want
+
+
 # ---------------------------------------------------------------------------
 # ivfpq_search
 # ---------------------------------------------------------------------------
