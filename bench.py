@@ -501,6 +501,10 @@ SUMMARY_LINE_BUDGET = 1900
 # the later a trim step runs, the more load-bearing the keys it keeps.
 _SF1_HEADLINE = (
     "minhash_dedup", "bpe_train_tokenize", "tag_documents_fused",
+    # r15 scaling rows (VERDICT r14 #7): the five ratio≈1 suite entries'
+    # 10× points must survive trims — they are the lane's reason to exist
+    "decontamination", "embedding_topk", "self_dedup_spans",
+    "dsir_select", "psi_drift",
     "canary_load_factor",
 )
 _SF10_HEADLINE = (
@@ -509,9 +513,19 @@ _SF10_HEADLINE = (
     "pq_train_search", "canary_load_factor",
 )
 _CORE_HEADLINE = (
-    "mixed_core_suite", "fk_orphans_join", "delta_check_fp_colocated",
-    "scan_warmup_seconds", "canary_load_factor",
+    "mixed_core_suite", "fk_orphans_join", "fk_orphans_bucketed",
+    "delta_check_fp_colocated", "scan_warmup_seconds",
+    "canary_load_factor",
 )
+
+
+def _dumps(obj) -> str:
+    """Compact JSON for the stdout summary line: the default
+    ``json.dumps`` separators waste one space per key and per comma
+    (~120 chars across a full line — r14's line was 1899/1900). Compact
+    separators buy exactly the headroom the r15 sf1 scaling rows need
+    while staying standard JSON for the driver's parser."""
+    return json.dumps(obj, separators=(",", ":"))
 
 
 def build_summary_line(detail, flagged=None, budget=SUMMARY_LINE_BUDGET):
@@ -608,12 +622,16 @@ def build_summary_line(detail, flagged=None, budget=SUMMARY_LINE_BUDGET):
         lambda: _headline("sf1", _SF1_HEADLINE),
         _trim_core_headline,
         lambda: _headline("sf10", _SF10_HEADLINE),
-        lambda: line.pop("sf1", None),
+        # r15: the core lane's mid-scale label yields BEFORE the sf1
+        # scaling rows do — the sf1 rows are the driver's only mid-scale
+        # point for the ratio≈1 suite entries (VERDICT r14 #7), while
+        # core.sf1 duplicates the shape core.sf10 shows better
         lambda: (
             line.__setitem__("core", {"sf10": line["core"]["sf10"]})
             if isinstance(line.get("core"), dict) and "sf10" in line["core"]
             else None
         ),
+        lambda: line.pop("sf1", None),
         lambda: line.pop("core", None),
         lambda: _headline(
             "sf10", ("minhash_dedup", "incremental_dedup_indexed",
@@ -622,17 +640,17 @@ def build_summary_line(detail, flagged=None, budget=SUMMARY_LINE_BUDGET):
         lambda: line.pop("sf10", None),
         lambda: line.pop("bench_regressions", None),
     ]
-    out = json.dumps(line)
+    out = _dumps(line)
     for trim in trims:
         if len(out) <= budget:
             break
         trim()
-        out = json.dumps(line)
+        out = _dumps(line)
     # hard floor: halve the query map until it fits (terminates — the
     # map shrinks every pass and the fixed fields are ~200 chars)
     while len(out) > budget and len(line.get("queries") or {}) > 1:
         _trim_queries()
-        out = json.dumps(line)
+        out = _dumps(line)
     return out
 
 
@@ -1363,6 +1381,61 @@ def main():
 
             return run
 
+        # r15 (VERDICT r14 #7): mid-scale rows for the five suite entries
+        # whose 8-core/32-core ratio sits at ~1 at sf0.1 (overhead-bound
+        # at toy scale, NOT serial) and that had no sf1/sf10 presence —
+        # the 10× point lets the driver's scaling block tell the two
+        # apart. Bodies are the suite entries' own, over the 10× corpora.
+        embeddings10 = (
+            embeddings.crossJoin(F.broadcast(reps))
+            .select(
+                (F.col("vec_id") * 10 + F.col("rep")).alias("vec_id"),
+                F.expr(
+                    "transform(embedding, (x, i) -> "
+                    "IF(i = rep % size(embedding), "
+                    "cast(x + (rep + 1) * 0.0003 as float), x))"
+                ).alias("embedding"),
+                "label",
+            )
+            .persist()
+        )
+        e10 = embeddings10.count()
+
+        def sf1_decontamination():
+            from truthound_spark.pipeline.dedup import decontaminate
+
+            decontaminate(
+                documents10.filter(F.col("doc_id") % 2 == 0),
+                documents10.filter(F.col("doc_id") % 2 == 1),
+            ).count()
+
+        def sf1_embedding_topk():
+            from truthound_spark.pipeline.similarity import brute_force_topk
+
+            q = embeddings10.filter(F.col("vec_id") < 8)
+            brute_force_topk(embeddings10, q, k=10).count()
+
+        def sf1_self_dedup():
+            from truthound_spark.pipeline.dedup import self_dedup_spans
+
+            self_dedup_spans(documents10, n=8).agg(
+                F.sum("removed_tokens"), F.count(F.lit(1))
+            ).collect()
+
+        def sf1_dsir():
+            from truthound_spark.pipeline.text import dsir_select
+
+            dsir_select(
+                documents10,
+                documents10.filter(F.col("lang") == "en"),
+                n_select=1000,
+            ).count()
+
+        def sf1_psi_drift():
+            from truthound_spark.drift.detectors import psi
+
+            psi(ev_base10, ev_cur10, "value")
+
         def sf1_fitted_detect():
             from truthound_spark.ml.feature_drift import FeatureDriftDetector
 
@@ -1388,6 +1461,11 @@ def main():
             ("grouped_ks_exact", _grouped("ks_grouped")),
             ("grouped_wasserstein", _grouped("wasserstein_grouped")),
             ("grouped_chi_square", _grouped("chi_square_grouped")),
+            ("decontamination", sf1_decontamination),
+            ("embedding_topk", sf1_embedding_topk),
+            ("self_dedup_spans", sf1_self_dedup),
+            ("dsir_select", sf1_dsir),
+            ("psi_drift", sf1_psi_drift),
         ):
             t0 = time.time()
             fn()
@@ -1398,8 +1476,10 @@ def main():
         finish_lane_canary(sf1_lane, best_canary)
         sf1_lane["rows"] = n10
         sf1_lane["events_rows"] = ev_n10
+        sf1_lane["embedding_rows"] = e10
         documents10.unpersist()
         events10.unpersist()
+        embeddings10.unpersist()
 
     # --- sf10 lane (VERDICT r9 #2): one more decade for the five
     # heaviest corpus ops — 100× documents (500k docs) / 100× embeddings
@@ -1896,6 +1976,63 @@ def main():
                 decade["audit_bar_expensive"] = round(time.time() - t0, 3)
             else:
                 decade["delta_check_fp_colocated_skipped_budget"] = True
+            # FK orphans over bucketed layouts at the decade (VERDICT r14
+            # #5): the Exchange-free co-located anti-join is oracle-
+            # certified (attached_layout_fk_orphans) but the core lane
+            # only ever measured the un-laid-out path. Record the decade
+            # row attach-first like the dedup lanes: the one-time layout
+            # write cost rides as fk_layout_write (outside the row's
+            # timer), the timed row streams matching bucket files with no
+            # Exchange before the join.
+            if time.time() - core_t0 <= core_budget:
+                from truthound_spark.layout import (
+                    attach_layout_database as _attach_db,
+                    fk_orphans_bucketed,
+                    write_bucketed as _write_bucketed,
+                )
+
+                fk_tag = os.path.basename(SF_DIR).replace(".", "_")
+                fdb = f"truthound_fk_decade_{label}"
+                floc = os.path.join(
+                    tempfile.gettempdir(),
+                    f"spark_graft_fk_decade_{fk_tag}_{label}",
+                )
+                li_name = f"fk_li_{fk_tag}_{label}"
+                od_name = f"fk_od_{fk_tag}_{label}"
+                t0 = time.time()
+                fk_attached = False
+                try:
+                    names = {
+                        t.split(".")[-1]
+                        for t in _attach_db(spark, floc, database=fdb)
+                    }
+                    fk_attached = {li_name, od_name} <= names
+                except Exception:
+                    fk_attached = False
+                if not fk_attached:
+                    # bucket count derives from the session's core count
+                    # (scale knob, recorded in the layout sidecar; attach
+                    # runs re-use whatever is on disk)
+                    _write_bucketed(
+                        li.select("l_orderkey", "l_quantity"), li_name,
+                        "l_orderkey", buckets=max(int(CPUS), 8),
+                        database=fdb, location=floc,
+                    )
+                    _write_bucketed(
+                        od.select(F.col("o_orderkey").alias("l_orderkey")),
+                        od_name, "l_orderkey", buckets=max(int(CPUS), 8),
+                        database=fdb, location=floc,
+                    )
+                decade["fk_layout_attached"] = fk_attached
+                decade["fk_layout_write"] = round(time.time() - t0, 3)
+                t0 = time.time()
+                fk_orphans_bucketed(
+                    spark, f"{fdb}.{li_name}", f"{fdb}.{od_name}",
+                    "l_orderkey",
+                ).count()
+                decade["fk_orphans_bucketed"] = round(time.time() - t0, 3)
+            else:
+                decade["fk_orphans_bucketed_skipped_budget"] = True
             lane_canary_sample(spark, decade, "end")
             finish_lane_canary(decade, best_canary)
             core_lane[label] = decade

@@ -115,6 +115,14 @@ def entry_fns(spark):
             ~F.col("is_canonical")
         ).count()
 
+    def decontaminate_bench():
+        from truthound_spark.pipeline.dedup import decontaminate
+
+        decontaminate(
+            documents.filter(F.col("doc_id") % 2 == 0),
+            documents.filter(F.col("doc_id") % 2 == 1),
+        ).count()
+
     def semantic_dedup_bench():
         from truthound_spark.pipeline.dedup import semantic_dedup
 
@@ -129,6 +137,7 @@ def entry_fns(spark):
             "lof_native_customer": lof_bench,
             "minhash_dedup_documents": minhash,
             "dedup_clusters_documents": dedup_clusters_bench,
+            "decontamination_documents": decontaminate_bench,
             "semantic_dedup_embeddings": semantic_dedup_bench,
             "self_dedup_spans": self_dedup,
             "winnow_overlap": winnow,

@@ -29,14 +29,20 @@ class TestBroadcastBudgetGate:
         # budget 0 = the 100 TB shape: every candidate attach must be a
         # shuffle join; a BroadcastExchange anywhere means a pair relation
         # (unbounded in the corpus) is being shipped through the driver
-        pairs = minhash_dedup_pairs(docs, threshold=0.5, broadcast_pairs_budget=0)
+        pairs = minhash_dedup_pairs(
+            docs, threshold=0.5, broadcast_pairs_budget=0,
+            shingle_broadcast_budget=0,
+        )
         plan = pairs._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastExchange" not in plan
 
     def test_gate_preserves_results_exactly(self, docs):
         base = _pairs_set(minhash_dedup_pairs(docs, threshold=0.5))
         gated = _pairs_set(
-            minhash_dedup_pairs(docs, threshold=0.5, broadcast_pairs_budget=0)
+            minhash_dedup_pairs(
+                docs, threshold=0.5, broadcast_pairs_budget=0,
+                shingle_broadcast_budget=0,
+            )
         )
         assert gated == base
 
@@ -46,7 +52,10 @@ class TestBroadcastBudgetGate:
         )
         base = _pairs_set(set_similarity_join(sets, "toks", "doc_id", 0.6))
         gated = _pairs_set(
-            set_similarity_join(sets, "toks", "doc_id", 0.6, broadcast_pairs_budget=0)
+            set_similarity_join(
+                sets, "toks", "doc_id", 0.6, broadcast_pairs_budget=0,
+                shingle_broadcast_budget=0,
+            )
         )
         assert gated == base
         # the candidate ATTACH must be a shuffled-hash join on id_a (the
@@ -54,7 +63,10 @@ class TestBroadcastBudgetGate:
         # broadcast from SIZE ESTIMATES — correct at test scale, and they
         # degrade to shuffles at real scale; the gate removes only the
         # FORCED broadcasts that would override those estimates)
-        pairs = set_similarity_join(sets, "toks", "doc_id", 0.6, broadcast_pairs_budget=0)
+        pairs = set_similarity_join(
+            sets, "toks", "doc_id", 0.6, broadcast_pairs_budget=0,
+            shingle_broadcast_budget=0,
+        )
         plan = pairs._jdf.queryExecution().executedPlan().toString()
         attach_lines = [
             ln for ln in plan.splitlines() if "Join" in ln and "id_a" in ln
@@ -62,6 +74,30 @@ class TestBroadcastBudgetGate:
         assert attach_lines and all(
             "Broadcast" not in ln for ln in attach_lines
         ), attach_lines
+
+    def test_shingle_broadcast_gate_results_and_plan(self, docs):
+        # r15 verify-join gate (guide §8): under the measured shingle
+        # budget the pair-key join is a BroadcastHashJoin against the
+        # b-side shingle TABLE (the per-pair enriched a-side never
+        # crosses an exchange); results are identical to the
+        # ceiling-free shuffle shape, which remains the over-budget path
+        base = _pairs_set(
+            minhash_dedup_pairs(docs, threshold=0.5, shingle_broadcast_budget=0)
+        )
+        bcast = minhash_dedup_pairs(docs, threshold=0.5)  # engages at test scale
+        assert _pairs_set(bcast) == base
+        plan = bcast._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_payload_bytes_measured_not_estimated(self, spark):
+        from truthound_spark.pipeline.dedup import _payload_relation_bytes
+
+        rel = spark.range(100).select(
+            F.col("id"), F.array(F.col("id"), F.col("id") + 1).alias("sh")
+        )
+        got = _payload_relation_bytes(rel, "sh", 8)
+        # 100 rows × (48 overhead + 2 longs × 8)
+        assert got == 100 * (48 + 16)
 
     def test_pair_bytes_estimate_orders_of_magnitude(self, spark):
         rel = spark.range(1).select(
@@ -190,7 +226,8 @@ class TestShingleTableLayout:
     def test_incremental_gated_has_no_broadcast(self, docs):
         new_docs = docs.limit(50).withColumn("doc_id", F.col("doc_id") + 1_000_000)
         res = incremental_dedup(
-            new_docs, docs, threshold=0.5, broadcast_pairs_budget=0
+            new_docs, docs, threshold=0.5, broadcast_pairs_budget=0,
+            shingle_broadcast_budget=0,
         )
         plan = res._jdf.queryExecution().executedPlan().toString()
         # the candidate-cross attach (key id_a) must not broadcast; the

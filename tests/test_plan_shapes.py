@@ -502,6 +502,43 @@ def test_profile_wide_aggregate_stays_codegen(spark):
     assert "SortAggregate" not in pct_plan, pct_plan
 
 
+def test_schema_learn_wide_aggregate_stays_codegen(spark):
+    """The r15 percentile split in schema.learn (VERDICT r14 #1 — the
+    same §7.2 fix the profiler got in r14): the wide learn aggregate
+    must plan as pure HashAggregate (whole-stage codegen), with the
+    percentile_approx sketches isolated in their own narrow
+    ObjectHashAggregate job, and no SortAggregate anywhere. Also pins
+    value identity: the split learn() returns the same profile the
+    fused expressions produce (same agg exprs, only the job boundary
+    moved)."""
+    from truthound_spark.schema import _learn_aggs, learn
+
+    cu = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_acctbal", "c_name"
+    )
+    aggs, pct_aggs, numeric, _ = _learn_aggs(cu.schema.fields, False)
+    assert pct_aggs, "numeric columns must produce percentile aggs"
+    assert numeric == {"c_custkey", "c_acctbal"}
+    wide_plan = _plan(cu.agg(*aggs))
+    assert "ObjectHashAggregate" not in wide_plan, wide_plan
+    assert "SortAggregate" not in wide_plan, wide_plan
+    assert "HashAggregate" in wide_plan, wide_plan
+    pct_plan = _plan(cu.agg(*pct_aggs))
+    assert "ObjectHashAggregate" in pct_plan, pct_plan
+    assert "SortAggregate" not in pct_plan, pct_plan
+    # value identity vs the fused single-agg form
+    fused = cu.agg(*aggs, *pct_aggs).collect()[0].asDict()
+    sch = learn(cu)
+    q = sch.columns["c_acctbal"].quantiles
+    assert q == {
+        "q25": fused["c_acctbal__q"][0],
+        "q50": fused["c_acctbal__q"][1],
+        "q75": fused["c_acctbal__q"][2],
+    }
+    assert sch.columns["c_acctbal"].mean == fused["c_acctbal__mean"]
+    assert sch.row_count == int(fused["__n"])
+
+
 def test_coarse_assign_hoists_self_dots(spark):
     """The r14 coarse-assign hoist (_nearest_cell_pairs): the l2_sq
     self-dot folds must sit BELOW the crossJoin — dot(v,v) once per

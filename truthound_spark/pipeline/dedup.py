@@ -54,6 +54,33 @@ DEFAULT_MAX_BUCKET_SIZE = 512
 #: 0 disables broadcasting entirely.
 DEFAULT_PAIR_BROADCAST_BUDGET = 64 << 20
 
+#: Byte budget under which the b-side SHINGLE TABLE may be broadcast
+#: into the verify stage's pair-key join (r15, guide §8/§3.1). The
+#: enriched a-side of the verify join carries one document-sized shingle
+#: array PER CANDIDATE PAIR — at the decade corpus that is 35 M pairs ×
+#: ~1.6 KB ≈ 56 GB through the pair-key exchange, and the r14 stage
+#: split measured the verify at 32.2 s, almost all of it that shuffle,
+#: not the array_intersect compute. Broadcasting the b-side table (one
+#: array per DOCUMENT, ~0.9 GB at the same corpus) turns the pair-key
+#: join into a BroadcastHashJoin: the heavy per-pair relation never
+#: moves, and the intersect runs in the same stage that attached sh_a.
+#: The gate is MEASURED (one narrow aggregate over the checkpointed /
+#: bucketed shingle table — count + total elements), so a corpus whose
+#: shingle relation outgrows the budget falls back to the shuffle-hash
+#: shape automatically: at 100 TB the b-side is TB-scale and this
+#: broadcast never engages. 0 disables the broadcast path entirely.
+DEFAULT_SHINGLE_BROADCAST_BUDGET = 2 << 30
+
+#: Cap on the number of input files whose (length, mtime) statuses a
+#: layout-probe source fingerprint will fetch (VERDICT r14 #4: one
+#: listStatus per distinct parent dir is unbounded for a multi-partition
+#: corpus on an object store). Past the cap the fingerprint degrades to
+#: the path-only digest — deterministic (same file set ⇒ same branch at
+#: both write and probe time), so a bounded probe can never mismatch a
+#: status-tagged layout, it just stops detecting same-name in-place
+#: rewrites for corpora above the cap.
+FP_STATUS_MAX_FILES = 4096
+
 #: Version of the normalize→split→shingle→hash pipeline that produces
 #: stored shingle tables (``normalized_text`` / ``words`` /
 #: ``_hashed_shingle_arrays``). Recorded in every layout's table
@@ -686,6 +713,17 @@ def _source_fingerprint(df: DataFrame) -> str | None:
         return None
     if not files:
         return None
+    if len(files) > FP_STATUS_MAX_FILES:
+        # bound the driver-side metadata work (VERDICT r14 #4): one
+        # listStatus per distinct parent dir is fine for the common
+        # one-directory dataset, but a multi-partition corpus at object-
+        # store scale could mean thousands of LIST calls per dedup-family
+        # probe. Past the bound, fall back to the path-only digest — it
+        # can only ever match a layout that was ITSELF stored paths-only
+        # (same file set ⇒ same branch both at write and probe time), so
+        # the degraded identity is still never wrong, just coarser.
+        digest = hashlib.md5("\n".join(files).encode()).hexdigest()
+        return f"paths-only:{digest}"
     statuses = _file_statuses(df.sparkSession, files)
     if statuses is None:
         digest = hashlib.md5("\n".join(files).encode()).hexdigest()
@@ -864,6 +902,168 @@ def _pair_relation_bytes(rel: DataFrame, n_rows: int) -> int:
     return n_rows * per_row
 
 
+def _payload_relation_bytes(rel: DataFrame, arr_col: str, elem_bytes: int) -> int:
+    """Estimated in-memory size of an (id, <array>) payload relation:
+    one narrow aggregate (count + total element count) over the
+    already-materialized (checkpointed / bucketed) relation — a cheap
+    real measurement, not a Catalyst estimate, because the verify-stage
+    broadcast gate must never flip on a bad stats guess."""
+    row = rel.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.size(arr_col)), F.lit(0)).alias("e"),
+    ).collect()[0]
+    return int(row["n"]) * 48 + int(row["e"]) * elem_bytes
+
+
+#: Worker-side cache of the b-side shingle store's numpy views, keyed by
+#: the broadcast payload's object id (the pyspark broadcast registry
+#: already caches the unpickled Table per worker process; this caches
+#: the offsets/values numpy conversion on top — §4.5 heavyweight init
+#: once per worker, not per task).
+_VERIFY_STORE_CACHE: dict = {}
+
+
+def _verify_store_np(tbl):
+    key = id(tbl)
+    hit = _VERIFY_STORE_CACHE.get(key)
+    if hit is None:
+        import numpy as np  # noqa: F401
+
+        ids = tbl.column("id").to_numpy()
+        col = tbl.column("sh").combine_chunks()
+        offsets = col.offsets.to_numpy()
+        flat = col.values.to_numpy(zero_copy_only=False)
+        _VERIFY_STORE_CACHE.clear()  # at most one live store per worker
+        _VERIFY_STORE_CACHE[key] = hit = (ids, offsets, flat)
+    return hit
+
+
+def _verify_pairs_arrow(
+    sh: DataFrame, cands: DataFrame, broadcast_pairs_budget: int
+) -> DataFrame:
+    """(id_a, id_b, __na, __nb, __inter) for every candidate pair via
+    the r15 grouped Arrow merge-intersect kernel (guide §4.2/§8 —
+    VERDICT r14 #2).
+
+    Why: the shuffle-hash verify ships one document-sized shingle array
+    PER PAIR into the pair-key join (~56 GB at the decade corpus) and
+    then pays a per-pair hash-set ``array_intersect`` (measured ~11 s of
+    the 18 s verify on the r15 box; stage-isolated v0/v0_floor probe in
+    ``benchmarks/verify_kernel_probe.py``). Here the decision data moves
+    once per DOCUMENT instead: candidates group by ``id_a`` (bare-id
+    shuffle), the a-side array attaches once per group, and the b-side
+    table — SORTED arrays, ordered by id — broadcasts to the Python
+    workers, where intersections are counted with vectorized
+    ``np.searchsorted`` over each group's concatenated b-arrays.
+
+    Bit-exactness: intersection COUNTS are integers — sorted-merge
+    equality counting over the same distinct-element arrays returns
+    exactly ``size(array_intersect(sh_a, sh_b))`` (both sides are
+    ``array_distinct`` outputs; xxhash64 collisions within a pair are
+    the same 1e-12 event the JVM path already accepts). The Jaccard
+    division and threshold filter stay JVM-side as the identical
+    expressions. Pairs whose ids miss the store are dropped exactly as
+    the inner attach joins drop them.
+
+    Scale gate lives in the CALLER: this path must only run when the
+    shingle relation fits ``shingle_broadcast_budget`` (the broadcast is
+    the whole table; past the budget the ceiling-free shuffle shape
+    runs instead)."""
+    spark = sh.sparkSession
+    store_tbl = (
+        sh.select("id", F.sort_array("sh").alias("sh")).orderBy("id").toArrow()
+    )
+    bstore = spark.sparkContext.broadcast(store_tbl)
+
+    grouped = cands.groupBy("id_a").agg(F.collect_list("id_b").alias("ids"))
+    n_groups = grouped.count()
+    a_side = sh.select(
+        F.col("id").alias("id_a"), F.sort_array("sh").alias("sh_a")
+    )
+    with_a = _attach_pairs(
+        a_side, grouped, "id_a", n_groups, broadcast_pairs_budget
+    ).select("id_a", "sh_a", "ids")
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        b_ids, b_off, b_flat = _verify_store_np(bstore.value)
+        nb_store = len(b_ids)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ida = batch.column(0).to_numpy(zero_copy_only=False)
+            acol = batch.column(1)
+            icol = batch.column(2)
+            a_off = acol.offsets.to_numpy()
+            a_flat = acol.values.to_numpy(zero_copy_only=False)
+            i_off = icol.offsets.to_numpy()
+            i_flat = icol.values.to_numpy(zero_copy_only=False)
+            # locate every id_b in the sorted store in ONE searchsorted
+            pos = np.searchsorted(b_ids, i_flat)
+            pos_c = np.minimum(pos, nb_store - 1)
+            found = b_ids[pos_c] == i_flat
+            out_a, out_b, out_na, out_nb, out_int = [], [], [], [], []
+            for i in range(n):
+                lo, hi = i_off[i], i_off[i + 1]
+                if lo == hi:
+                    continue
+                ok = found[lo:hi]
+                if not ok.all():
+                    # defensive: drop ids missing from the store (the
+                    # inner-join semantics of the shuffle shape)
+                    sel = np.nonzero(ok)[0] + lo
+                else:
+                    sel = np.arange(lo, hi)
+                if len(sel) == 0:
+                    continue
+                p = pos_c[sel]
+                a = a_flat[a_off[i] : a_off[i + 1]]
+                na = len(a)
+                lens = b_off[p + 1] - b_off[p]
+                parts = [b_flat[b_off[j] : b_off[j + 1]] for j in p]
+                bc = (
+                    np.concatenate(parts)
+                    if parts
+                    else np.empty(0, dtype=b_flat.dtype)
+                )
+                if na:
+                    idx = np.searchsorted(a, bc)
+                    valid = idx < na
+                    m = np.zeros(len(bc), dtype=np.bool_)
+                    m[valid] = a[idx[valid]] == bc[valid]
+                else:
+                    m = np.zeros(len(bc), dtype=np.bool_)
+                cs = np.concatenate(([0], np.cumsum(m)))
+                ends = np.cumsum(lens)
+                starts = ends - lens
+                inter = cs[ends] - cs[starts]
+                k = len(sel)
+                out_a.append(np.full(k, ida[i], dtype=np.int64))
+                out_b.append(i_flat[sel])
+                out_na.append(np.full(k, na, dtype=np.int64))
+                out_nb.append(lens.astype(np.int64))
+                out_int.append(inter.astype(np.int64))
+            if not out_a:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_a), type=pa.int64()),
+                    pa.array(np.concatenate(out_b), type=pa.int64()),
+                    pa.array(np.concatenate(out_na), type=pa.int64()),
+                    pa.array(np.concatenate(out_nb), type=pa.int64()),
+                    pa.array(np.concatenate(out_int), type=pa.int64()),
+                ],
+                names=["id_a", "id_b", "__na", "__nb", "__inter"],
+            )
+
+    return with_a.mapInArrow(
+        kernel, "id_a long, id_b long, __na long, __nb long, __inter long"
+    )
+
+
 def _materialize_pairs(cands: DataFrame) -> tuple[DataFrame, int]:
     """Persist the candidate-pair relation and return (relation, count).
 
@@ -920,6 +1120,7 @@ def minhash_dedup_pairs(
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     broadcast_pairs_budget: int = DEFAULT_PAIR_BROADCAST_BUDGET,
     shingle_table: str | None = "auto",
+    shingle_broadcast_budget: int = DEFAULT_SHINGLE_BROADCAST_BUDGET,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard.
 
@@ -947,7 +1148,14 @@ def minhash_dedup_pairs(
     matches this exact corpus (see :func:`find_shingle_layout`); when a
     layout exists the bucketed read is auto-selected — measured 46.4 s
     bucketed vs 62.4 s inline at the sf10 lane — and when none matches
-    the inline path runs unchanged. Pass ``None`` to force inline."""
+    the inline path runs unchanged. Pass ``None`` to force inline.
+
+    ``shingle_broadcast_budget`` (r15) gates the verify join's shape:
+    under it the b-side shingle table broadcasts so the per-pair
+    enriched relation never crosses an exchange (guide §8 — the decision
+    data is one array per DOCUMENT; the heavy per-PAIR bytes move zero
+    times); over it the pair-key shuffle-hash join runs as before. See
+    ``DEFAULT_SHINGLE_BROADCAST_BUDGET`` for the measured rationale."""
     if shingle_table == "auto":
         shingle_table = find_shingle_layout(df, text_col, id_col, shingle_n)
     if shingle_table is not None:
@@ -970,45 +1178,61 @@ def minhash_dedup_pairs(
     )
     a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
     b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
-    # ONLY the bare (id_a, id_b) candidate list is ever a broadcast
-    # CANDIDATE — and only under the measured budget (see _attach_pairs);
-    # over budget both lookups become shuffle-hash joins on id. The two
-    # enriched sides (candidate-count rows, each carrying ONE document's
-    # shingle array) then meet in a shuffle join on the pair key — PINNED
-    # with a shuffle_hash hint, because Catalyst's size estimate would
-    # broadcast a small-looking enriched side (shipping document-sized
-    # shingle arrays through the driver), and at real corpus scale that
-    # estimate flipping late is exactly the plan instability this stage
-    # must not have. Broadcasting an enriched side is never right here:
-    # past the broadcast cap at scale, pointless at test scale.
+    # Broadcast decisions here are ALL measured, never Catalyst
+    # estimates: the bare (id_a, id_b) candidate list broadcasts only
+    # under broadcast_pairs_budget (see _attach_pairs), and the b-side
+    # shingle TABLE (one array per document — NOT the per-pair enriched
+    # relation) broadcasts only under shingle_broadcast_budget. The
+    # per-PAIR enriched a-side is never a broadcast candidate at any
+    # scale: it is the largest relation in the pipeline, and Catalyst's
+    # size estimate flipping a join strategy on it late is exactly the
+    # plan instability this stage must not have — hence the explicit
+    # shuffle_hash pin on the fallback shape.
     cands, n_pairs = _materialize_pairs(cands)
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    with_a = _attach_pairs(
-        a, cands, "id_a", n_pairs, broadcast_pairs_budget
-    ).select("id_a", "id_b", "sh_a")
-    with_b = _attach_pairs(
-        b,
-        cands.select("id_b").dropDuplicates(),
-        "id_b",
-        n_pairs,
-        broadcast_pairs_budget,
-    ).select("id_b", "sh_b")
-    return (
-        with_a.join(with_b.hint("shuffle_hash"), "id_b")
-        .select(
+    jac = (
+        F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter"))
+    ).alias("jaccard")
+    # r15 (guide §8/§4.2): the shuffle shape ships one shingle array PER
+    # PAIR into the pair-key join (~56 GB at the decade corpus) and pays
+    # a per-pair hash-set intersect. Under the MEASURED budget, route
+    # the verify through the grouped Arrow merge-intersect kernel
+    # instead (see _verify_pairs_arrow — arrays move once per document,
+    # intersections count via vectorized sorted search, bit-identical
+    # integer counts); over budget, the ceiling-free shuffle-hash shape
+    # runs unchanged.
+    if (
+        shingle_broadcast_budget > 0
+        and _payload_relation_bytes(sh, "sh", 8) <= shingle_broadcast_budget
+    ):
+        scored = _verify_pairs_arrow(sh, cands, broadcast_pairs_budget).select(
+            "id_a",
+            "id_b",
+            F.col("__na"),
+            F.col("__nb"),
+            F.col("__inter").cast("double").alias("__inter"),
+        )
+    else:
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        with_a = _attach_pairs(
+            a, cands, "id_a", n_pairs, broadcast_pairs_budget
+        ).select("id_a", "id_b", "sh_a")
+        with_b = _attach_pairs(
+            b,
+            cands.select("id_b").dropDuplicates(),
+            "id_b",
+            n_pairs,
+            broadcast_pairs_budget,
+        ).select("id_b", "sh_b")
+        scored = with_a.join(with_b.hint("shuffle_hash"), "id_b").select(
             "id_a",
             "id_b",
             F.size("sh_a").alias("__na"),
             F.size("sh_b").alias("__nb"),
             inter.alias("__inter"),
         )
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter"))).alias(
-                "jaccard"
-            ),
-        )
+    return (
+        scored
+        .select("id_a", "id_b", jac)
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -1076,6 +1300,7 @@ def set_similarity_join(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     broadcast_pairs_budget: int = DEFAULT_PAIR_BROADCAST_BUDGET,
+    shingle_broadcast_budget: int = DEFAULT_SHINGLE_BROADCAST_BUDGET,
 ) -> DataFrame:
     """PREFIX-FILTERED exact set-similarity self-join (the SSJoin/PPJoin
     principle — Chaudhuri et al. '06, Xiao et al. '08): all pairs with
@@ -1159,13 +1384,24 @@ def set_similarity_join(
     wa = sets.select(F.col("id").alias("id_a"), F.col("__s").alias("__sa"))
     wb = sets.select(F.col("id").alias("id_b"), F.col("__s").alias("__sb"))
     cands, n_pairs = _materialize_pairs(cands)
-    enriched = _attach_pairs(wa, cands, "id_a", n_pairs, broadcast_pairs_budget).join(
-        # pair-key join of two enriched sides: pinned shuffle_hash for the
-        # same plan-stability reason as minhash_dedup_pairs (never let a
-        # size estimate broadcast document-sized set payloads)
-        wb.hint("shuffle_hash"),
-        "id_b",
-    )
+    with_a = _attach_pairs(wa, cands, "id_a", n_pairs, broadcast_pairs_budget)
+    # r15 verify-join gate (guide §8, same as minhash_dedup_pairs): the
+    # per-document b-side broadcasts under the MEASURED budget so the
+    # per-pair enriched a-side never crosses an exchange; over budget the
+    # pair-key join stays pinned shuffle_hash (never let a size estimate
+    # broadcast document-sized set payloads late at real scale).
+    import pyspark.sql.types as T
+
+    elem = sets.schema["__s"].dataType.elementType
+    elem_bytes = 8 if isinstance(elem, (T.LongType, T.IntegerType, T.DoubleType)) else 32
+    if (
+        shingle_broadcast_budget > 0
+        and _payload_relation_bytes(sets, "__s", elem_bytes)
+        <= shingle_broadcast_budget
+    ):
+        enriched = with_a.join(F.broadcast(wb), "id_b")
+    else:
+        enriched = with_a.join(wb.hint("shuffle_hash"), "id_b")
     inter = F.size(F.array_intersect("__sa", "__sb"))
     jac = inter / (F.size("__sa") + F.size("__sb") - inter).cast("double")
     return enriched.select(
@@ -1787,6 +2023,7 @@ def incremental_dedup(
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     broadcast_pairs_budget: int = DEFAULT_PAIR_BROADCAST_BUDGET,
     base_shingle_table: str | None = "auto",
+    shingle_broadcast_budget: int = DEFAULT_SHINGLE_BROADCAST_BUDGET,
 ) -> DataFrame:
     """Cross-snapshot deduplication: which NEW documents already exist in
     the BASE corpus — the daily-crawl-increment primitive (dedup the
@@ -1897,9 +2134,17 @@ def incremental_dedup(
         F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
     )
     cross, n_cross = _materialize_pairs(cross)
-    near = (
-        _attach_pairs(a, cross, "id", n_cross, broadcast_pairs_budget)
-        .join(
+    with_a = _attach_pairs(a, cross, "id", n_cross, broadcast_pairs_budget)
+    # same r15 verify-join gate as minhash_dedup_pairs (guide §8): under
+    # the measured budget the per-document b-side broadcasts and the
+    # per-PAIR enriched relation never crosses an exchange
+    if (
+        shingle_broadcast_budget > 0
+        and _payload_relation_bytes(sh, "sh", 8) <= shingle_broadcast_budget
+    ):
+        verified = with_a.join(F.broadcast(b), "base_id")
+    else:
+        verified = with_a.join(
             _attach_pairs(
                 b,
                 cross.select("base_id").dropDuplicates(),
@@ -1909,6 +2154,8 @@ def incremental_dedup(
             ).hint("shuffle_hash"),
             "base_id",
         )
+    near = (
+        verified
         .filter(jac >= threshold)
         .groupBy("id")
         .agg(F.min("base_id").alias("near_of"))

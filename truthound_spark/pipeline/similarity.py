@@ -817,6 +817,23 @@ def _quantize_half_away(x: float, scale: float) -> float:
     return math.copysign(math.floor(abs(x) * scale + 0.5), x) / scale
 
 
+def _pq_luts(qv: list[float], codebooks, sub_d: int) -> list[list[float]]:
+    """Per-subspace ADC lookup tables for one (already grid-quantized)
+    query, each indexed BY CELL ID with +inf for missing cells — THE
+    single LUT builder shared by the literal-expression path
+    (:func:`_pq_adc_dist`) and the Arrow kernel
+    (:func:`_pq_scored_arrow`), so their entries can never drift."""
+    luts: list[list[float]] = []
+    for s in range(len(codebooks)):
+        qs = qv[s * sub_d : (s + 1) * sub_d]
+        max_cell = max(ci for ci, _c in codebooks[s])
+        lut = [float("inf")] * (max_cell + 1)
+        for ci, c in codebooks[s]:
+            lut[ci] = sum((a - b) * (a - b) for a, b in zip(qs, c))
+        luts.append(lut)
+    return luts
+
+
 def _pq_adc_dist(qv: list[float], codebooks, sub_d: int):
     """Σ_s LUT_s[code_s] as a Column over a ``codes`` array column, with
     each LUT indexed BY CELL ID: a Lloyd round that empties a cell makes
@@ -826,16 +843,126 @@ def _pq_adc_dist(qv: list[float], codebooks, sub_d: int):
     from the same codebook), the sentinel only keeps ``element_at``
     in-bounds. Returns the 1e-6-quantized distance column."""
     dist = None
-    for s in range(len(codebooks)):
-        qs = qv[s * sub_d : (s + 1) * sub_d]
-        max_cell = max(ci for ci, _c in codebooks[s])
-        lut = [float("inf")] * (max_cell + 1)
-        for ci, c in codebooks[s]:
-            lut[ci] = sum((a - b) * (a - b) for a, b in zip(qs, c))
+    for s, lut in enumerate(_pq_luts(qv, codebooks, sub_d)):
         lut_lit = lit_double_array(lut)
         term = F.element_at(lut_lit, F.element_at("codes", s + 1) + 1)
         dist = term if dist is None else dist + term
     return F.round(dist * 1e6) / F.lit(1e6)
+
+
+#: Default for pq_search's Arrow ADC kernel (VERDICT r14 #3). Flipped by
+#: the r15 probe ONLY if the kernel is measured ≥1.3× on the isolated
+#: A/B with the output proven bit-identical (exceptAll both ways = 0 at
+#: sf0.1 AND the 100× corpus, plus the PQ oracle slots).
+PQ_ARROW_KERNEL_DEFAULT = False
+
+
+def _pq_scored_arrow(
+    df: DataFrame,
+    codebooks,
+    queries: list[tuple[int, list[float]]],
+    vec_col: str,
+    id_col: str,
+    scale: float,
+) -> DataFrame:
+    """(query_id, id, __raw) scored relation via ONE ``mapInArrow``
+    NumPy kernel — the §4.2 alternative to the literal-expression
+    encode+ADC projection. ``queries`` carry ALREADY grid-quantized
+    query vectors (same ``_quantize_half_away`` the literal path uses).
+
+    Bit-exactness contract with the JVM path (each step replicates the
+    exact IEEE-double op sequence of the expressions it replaces):
+
+    * grid quantization: ``copysign(floor(abs(x)·scale + 0.5), x)/scale``
+      elementwise — the test-pinned twin of Spark's HALF-AWAY ``F.round``
+      (see ``_quantize_half_away``);
+    * ``dot``/``xx`` folds: sequential left-to-right adds, vectorized
+      ACROSS rows (one fused multiply-add per dimension index — the same
+      per-row op order as ``aggregate(zip_with(...))``);
+    * assignment: ``(xx − 2·dot) + cc`` with ``cc`` the identical
+      Python-side fold; argmin scans centroids in ``str(cell)`` order so
+      first-occurrence ties replicate ``array_min``'s (dist,
+      cell-STRING) struct comparison;
+    * ADC: Σ_s LUT_s[code_s] left-to-right over the shared
+      :func:`_pq_luts` entries. The caller applies the SAME JVM
+      ``F.round(__raw·1e6)/1e6`` quantization the literal path uses.
+
+    The kernel ships only (id, vec) into Arrow (float32 stays float32
+    across the boundary — §2.3 narrower bytes; widening to float64
+    happens in NumPy, exactly like the JVM cast)."""
+    import numpy as np
+
+    m = len(codebooks)
+    sub_d = len(codebooks[0][0][1])
+    # centroid matrices in str(cell) scan order (tie-break replication)
+    cb = []
+    for s in range(m):
+        ordered = sorted(codebooks[s], key=lambda t: str(int(t[0])))
+        cells = np.array([int(ci) for ci, _ in ordered], dtype=np.int64)
+        cents = np.array([list(c) for _, c in ordered], dtype=np.float64)
+        cc = np.array(
+            [sum((v * v for v in c), 0.0) for _, c in ordered], dtype=np.float64
+        )
+        cb.append((cells, cents, cc))
+    qluts = [
+        (int(qid), [np.asarray(l, dtype=np.float64) for l in _pq_luts(qv, codebooks, sub_d)])
+        for qid, qv in queries
+    ]
+    fscale = float(scale)
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            col = batch.column(1)
+            if isinstance(col, pa.ChunkedArray):  # pragma: no cover
+                col = col.combine_chunks()
+            n = len(col)
+            if n == 0:
+                continue
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            x = flat.astype(np.float64, copy=False).reshape(n, -1)
+            # grid quantization (HALF-AWAY twin of F.round)
+            xq = np.copysign(np.floor(np.abs(x) * fscale + 0.5), x) / fscale
+            codes = np.empty((n, m), dtype=np.int64)
+            for s in range(m):
+                cells, cents, cc = cb[s]
+                xs = xq[:, s * sub_d : (s + 1) * sub_d]
+                xx = np.zeros(n, dtype=np.float64)
+                for j in range(sub_d):
+                    xx = xx + xs[:, j] * xs[:, j]
+                k_s = cents.shape[0]
+                dist = np.empty((n, k_s), dtype=np.float64)
+                for t in range(k_s):
+                    dot = np.zeros(n, dtype=np.float64)
+                    for j in range(sub_d):
+                        dot = dot + xs[:, j] * cents[t, j]
+                    dist[:, t] = (xx - 2.0 * dot) + cc[t]
+                codes[:, s] = cells[np.argmin(dist, axis=1)]
+            out_q, out_id, out_raw = [], [], []
+            for qid, luts in qluts:
+                acc = luts[0][codes[:, 0]]
+                for s in range(1, m):
+                    acc = acc + luts[s][codes[:, s]]
+                out_q.append(np.full(n, qid, dtype=np.int64))
+                out_id.append(ids)
+                out_raw.append(acc)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), type=pa.int64()),
+                    pa.array(np.concatenate(out_id), type=pa.int64()),
+                    pa.array(np.concatenate(out_raw), type=pa.float64()),
+                ],
+                names=["query_id", "id", "__raw"],
+            )
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("__v")
+    )
+    return base.mapInArrow(
+        kernel, "query_id long, id long, __raw double"
+    )
 
 
 def _pq_codes_from(frame: DataFrame, codebooks, extra: tuple[str, ...] = ()):
@@ -906,6 +1033,7 @@ def pq_search(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     scale: float = 1e6,
+    arrow_kernel: bool | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
     full-precision, each corpus vector is its m codes, and the distance
@@ -917,21 +1045,57 @@ def pq_search(
     LUT[s][code_s] — no join against the corpus vectors at all, the
     scored relation carries only (id, m codes). Scores are quantized to
     1e-6 before ranking (engine-reproducible rank order, same contract
-    as IVF/BM25). Returns (query_id, id, adc_dist, rank)."""
+    as IVF/BM25). Returns (query_id, id, adc_dist, rank).
+
+    ``arrow_kernel`` (r15, guide §4.2): route encode+ADC through ONE
+    ``mapInArrow`` NumPy kernel (:func:`_pq_scored_arrow`) instead of
+    the literal-expression projection; ``None`` uses
+    ``PQ_ARROW_KERNEL_DEFAULT``. The kernel replicates the JVM op
+    sequence bit-for-bit (its docstring is the contract) and the final
+    1e-6 quantization and ranking stay JVM-side either way."""
     from pyspark.sql import Window
 
     sub_d = len(codebooks[0][0][1])
-    # null-vector rows must not score: their subvector distances are
-    # all NULL, the argmin still emits SOME cell, and the phantom row
-    # can outrank genuine neighbors (review r5). Filter the source
-    # vector — same contract as pq_train's isNotNull guard.
-    enc = pq_encode(
-        df.where(F.col(vec_col).isNotNull()), codebooks, vec_col, id_col, scale
-    )
+    if arrow_kernel is None:
+        arrow_kernel = PQ_ARROW_KERNEL_DEFAULT
     qrows = queries.select(
         F.col(query_id_col).cast("long").alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).collect()
+    if not qrows:
+        # empty query side: F.array() would be array<void> and the e.*
+        # extraction fails analysis — return an empty, correctly-typed frame
+        return df.select(
+            F.lit(None).cast("long").alias("query_id"),
+            F.col(id_col).cast("long").alias("id"),
+            F.lit(None).cast("double").alias("adc_dist"),
+            F.lit(None).cast("int").alias("rank"),
+        ).limit(0)
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "id")
+    # null-vector rows must not score: their subvector distances are
+    # all NULL, the argmin still emits SOME cell, and the phantom row
+    # can outrank genuine neighbors (review r5). Filter the source
+    # vector — same contract as pq_train's isNotNull guard.
+    nn = df.where(F.col(vec_col).isNotNull())
+    if arrow_kernel:
+        qqs = [
+            (
+                int(qr["query_id"]),
+                [_quantize_half_away(float(x), scale) for x in qr["qv"]],
+            )
+            for qr in qrows
+        ]
+        scored = _pq_scored_arrow(
+            nn, codebooks, qqs, vec_col, id_col, scale
+        ).select(
+            "query_id",
+            "id",
+            (F.round(F.col("__raw") * 1e6) / F.lit(1e6)).alias("adc_dist"),
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+    enc = pq_encode(nn, codebooks, vec_col, id_col, scale)
     # ONE corpus scan scores every query: each row emits an array of
     # (query_id, adc_dist) structs — q·m LUT lookups per row — and an
     # explode_outer turns it into the scored relation. No per-query
@@ -945,21 +1109,11 @@ def pq_search(
                 _pq_adc_dist(qv, codebooks, sub_d).alias("adc_dist"),
             )
         )
-    if not entries:
-        # empty query side: F.array() would be array<void> and the e.*
-        # extraction fails analysis — return an empty, correctly-typed frame
-        return enc.select(
-            F.lit(None).cast("long").alias("query_id"),
-            "id",
-            F.lit(None).cast("double").alias("adc_dist"),
-            F.lit(None).cast("int").alias("rank"),
-        ).limit(0)
     scored = (
         enc.select("id", F.explode_outer(F.array(*entries)).alias("e"))
         .filter(F.col("e").isNotNull())
         .select(F.col("e.query_id").alias("query_id"), "id", F.col("e.adc_dist").alias("adc_dist"))
     )
-    w = Window.partitionBy("query_id").orderBy("adc_dist", "id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )

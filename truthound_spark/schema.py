@@ -70,20 +70,16 @@ class Schema:
         return cls(columns=cols, row_count=d["row_count"])
 
 
-def learn(df: DataFrame, approx_distinct: bool = False) -> Schema:
-    """Single-pass schema learning (reference: schema.py:244-277).
+def _learn_aggs(fields, approx_distinct: bool):
+    """The per-column agg lists behind :func:`learn`, with the
+    percentile sketches SPLIT into their own list (see ``learn``'s
+    docstring for the §7.2 codegen rationale; the split mirrors
+    ``profiler.table_profiler._stat_aggs`` and is pinned by the same
+    plan-shape test pattern).
 
-    Scale notes (100 TB): quantiles use ``percentile_approx`` (t-digest-like
-    sketch, bounded memory per partition) rather than exact ``percentile``
-    (which buffers every value). Each exact ``countDistinct`` adds a
-    projection to Spark's Expand operator — one duplicated row-stream per
-    column — so at cluster scale pass ``approx_distinct=True`` to use HLL
-    ``approx_count_distinct`` (regular agg, no Expand); the ``unique`` flag
-    then means "distinct count within HLL error of row count" and the
-    auto-suite should confirm with an exact UniqueValidator on flagged
-    columns before enforcing.
-    """
+    Returns ``(aggs, pct_aggs, numeric, string)``."""
     aggs: list = [F.count(F.lit(1)).alias("__n")]
+    pct_aggs: list = []
     numeric = set()
     string = set()
     nu_of = (
@@ -93,7 +89,7 @@ def learn(df: DataFrame, approx_distinct: bool = False) -> Schema:
     )
     import pyspark.sql.types as T
 
-    for f_ in df.schema.fields:
+    for f_ in fields:
         c = f_.name
         aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
         if isinstance(f_.dataType, T.MapType):
@@ -110,10 +106,12 @@ def learn(df: DataFrame, approx_distinct: bool = False) -> Schema:
                     F.max(c).alias(f"{c}__max"),
                     F.mean(c).alias(f"{c}__mean"),
                     F.stddev(c).alias(f"{c}__std"),
-                    F.expr(
-                        f"percentile_approx(`{c}`, array(0.25, 0.5, 0.75), 10000)"
-                    ).alias(f"{c}__q"),
                 ]
+            )
+            pct_aggs.append(
+                F.expr(
+                    f"percentile_approx(`{c}`, array(0.25, 0.5, 0.75), 10000)"
+                ).alias(f"{c}__q")
             )
         elif isinstance(f_.dataType, STRING_TYPES):
             string.add(c)
@@ -125,7 +123,39 @@ def learn(df: DataFrame, approx_distinct: bool = False) -> Schema:
             )
         else:
             aggs.extend([F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")])
+    return aggs, pct_aggs, numeric, string
+
+
+def learn(df: DataFrame, approx_distinct: bool = False) -> Schema:
+    """Single-pass schema learning (reference: schema.py:244-277).
+
+    Scale notes (100 TB): quantiles use ``percentile_approx`` (t-digest-like
+    sketch, bounded memory per partition) rather than exact ``percentile``
+    (which buffers every value). Each exact ``countDistinct`` adds a
+    projection to Spark's Expand operator — one duplicated row-stream per
+    column — so at cluster scale pass ``approx_distinct=True`` to use HLL
+    ``approx_count_distinct`` (regular agg, no Expand); the ``unique`` flag
+    then means "distinct count within HLL error of row count" and the
+    auto-suite should confirm with an exact UniqueValidator on flagged
+    columns before enforcing.
+
+    The percentile sketches run as a SECOND, narrow aggregate (r15 —
+    guide §1.2/§7.2, the same split ``profiler.table_profiler._stat_aggs``
+    got in r14): ``percentile_approx`` is a TypedImperativeAggregate, and
+    fusing one into the wide agg plans the WHOLE job as
+    ObjectHashAggregateExec — no whole-stage codegen for any of the
+    min/max/mean/std/count aggregates, and with countDistinct in the mix
+    the planner adds SortAggregate levels over the Expand. Splitting
+    keeps the wide job fully codegen'd; the values are bit-identical
+    (same aggregate expressions over the same rows — only the job
+    boundary moves).
+    """
+    aggs, pct_aggs, numeric, string = _learn_aggs(df.schema.fields, approx_distinct)
     row = df.agg(*aggs).collect()[0].asDict()
+    if pct_aggs:
+        # second, narrow aggregate for the percentile sketches only — see
+        # the docstring for why fusing them would de-codegen the wide job
+        row.update(df.agg(*pct_aggs).collect()[0].asDict())
     n = int(row["__n"])
 
     schema = Schema(row_count=n)
